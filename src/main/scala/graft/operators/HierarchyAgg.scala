@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Hierarchy node-table builders over the TPC-H-ish testdata, and the
+  * flagship hierarchical rollup (reference: main.py:20-69).
+  *
+  * The reference's grocery hierarchy (root → Category → UPC) maps to
+  * root → Region → Nation here; facts come from
+  * lineitem ⨝ orders ⨝ customer keyed by `c_nationkey` at the leaves.
+  */
+object HierarchyAgg {
+
+  /** Parent-child node table, reference schema
+    * (sql/create_grocery_store_database.sql:1-14): node_id,
+    * node_natural_key, node_name, level_name, parent_node_id.
+    * Node ids are deterministic strings so the DuckDB oracle can build
+    * the identical hierarchy.
+    */
+  def regionNationNodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = spark.range(1).select(
+      lit("root").as("node_id"),
+      lit(-1L).as("node_natural_key"),
+      lit("All Regions").as("node_name"),
+      lit("Total").as("level_name"),
+      lit(null).cast("string").as("parent_node_id"))
+    val regions = Tables.region(spark, sfDir).select(
+      concat(lit("r"), col("r_regionkey").cast("string")).as("node_id"),
+      (col("r_regionkey").cast("long") + 100L).as("node_natural_key"),
+      col("r_name").as("node_name"),
+      lit("Region").as("level_name"),
+      lit("root").as("parent_node_id"))
+    val nations = Tables.nation(spark, sfDir).select(
+      concat(lit("n"), col("n_nationkey").cast("string")).as("node_id"),
+      col("n_nationkey").cast("long").as("node_natural_key"),
+      col("n_name").as("node_name"),
+      lit("Nation").as("level_name"),
+      concat(lit("r"), col("n_regionkey").cast("string")).as("parent_node_id"))
+    root.unionByName(regions).unionByName(nations)
+  }
+
+  /** 4-level variant: root → Region → Nation → market segment.
+    * Segment natural keys are arithmetic (1000 + nationkey*8 + segIdx)
+    * so the oracle can reproduce them without engine-specific hashing.
+    */
+  val segments: Seq[String] =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  def segmentIdx(c: Column): Column =
+    segments.zipWithIndex.foldLeft(lit(7)) { case (acc, (s, i)) =>
+      when(c === s, i).otherwise(acc)
+    }
+
+  def segmentLeafKey(nationKey: Column, seg: Column): Column =
+    lit(1000L) + nationKey.cast("long") * 8L + segmentIdx(seg).cast("long")
+
+  def regionNationSegmentNodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = regionNationNodes(spark, sfDir)
+    val nation = Tables.nation(spark, sfDir)
+    val segRows = segments.zipWithIndex.map { case (s, i) =>
+      nation.select(
+        concat(lit("s"), col("n_nationkey").cast("string"), lit("_"), lit(s)).as("node_id"),
+        (lit(1000L) + col("n_nationkey").cast("long") * 8L + lit(i.toLong)).as("node_natural_key"),
+        concat(col("n_name"), lit(" "), lit(s)).as("node_name"),
+        lit("Segment").as("level_name"),
+        concat(lit("n"), col("n_nationkey").cast("string")).as("parent_node_id"))
+    }.reduce(_ unionByName _)
+    base.unionByName(segRows)
+  }
+
+  /** Sales facts: lineitem ⨝ orders ⨝ customer. At 100 TB lineitem is
+    * the giant; orders⨝customer is pre-joined then the orderkey join
+    * shuffles both sides on o_orderkey (AQE re-plans; customer join is
+    * broadcast-eligible at dim scale).
+    */
+  def salesFacts(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey", "c_mktsegment")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .select(
+        col("c_nationkey").cast("long").as("leaf_key"),
+        col("c_nationkey"), col("c_mktsegment"),
+        col("c_custkey").as("customer_id"),
+        col("l_quantity").as("unit_quantity"),
+        col("l_extendedprice").as("sales_amount"))
+  }
+
+  /** The flagship rollup (reference: main.py:27-56): join facts to the
+    * aggregation dim on the descendant natural key, group by ancestor
+    * node with `lpad`-indented labels, aggregate
+    * sum/sum/distinct-count/count, order by DFS sort order.
+    *
+    * Scale shape: `aggDim` is broadcast (dim-sized closure), so the
+    * 100 TB fact side never shuffles for the join; the groupBy keys
+    * have |nodes| cardinality → partial aggregation collapses nearly
+    * everything map-side. `distinct_customer_count` is the one
+    * genuinely shuffle-heavy term (exact distinct per the reference).
+    */
+  def hierarchicalRollup(facts: DataFrame, aggDim: DataFrame,
+      factKey: String = "leaf_key"): DataFrame = {
+    val indent = expr("lpad('-', (ancestor_level_number - 1) * 7, '-')")
+    val dim = aggDim.select(
+      col("descendant_node_natural_key"),
+      concat(indent, col("ancestor_node_name")).as("product_node_name"),
+      concat(indent, col("ancestor_level_name")).as("product_level_name"),
+      col("ancestor_node_sort_order"))
+    facts
+      .join(broadcast(dim), col(factKey) === col("descendant_node_natural_key"))
+      .groupBy("product_node_name", "product_level_name", "ancestor_node_sort_order")
+      .agg(
+        round(sum(col("sales_amount")), 2).as("sum_sales_amount"),
+        round(sum(col("unit_quantity")), 2).as("sum_unit_quantity"),
+        countDistinct(col("customer_id")).as("distinct_customer_count"),
+        count(lit(1)).as("count_of_fact_records"))
+      .orderBy("ancestor_node_sort_order")
+      .select("product_node_name", "product_level_name", "sum_sales_amount",
+        "sum_unit_quantity", "distinct_customer_count", "count_of_fact_records")
+  }
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** `SparkEntry.queries` / `oracleSql` entries for the hierarchy family
+  * (SURVEY.md §2.A). The oracle SQL rebuilds the identical hierarchy in
+  * DuckDB with WITH RECURSIVE — node ids are deterministic strings so
+  * both engines derive the same dimension.
+  */
+object HierarchyQueries {
+
+  def dimension(spark: SparkSession, sfDir: String): HierarchyDimension =
+    new HierarchyDimension(HierarchyAgg.regionNationNodes(spark, sfDir))
+
+  def deepDimension(spark: SparkSession, sfDir: String): HierarchyDimension =
+    new HierarchyDimension(HierarchyAgg.regionNationSegmentNodes(spark, sfDir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h1_nodes" -> ((s, d) => dimension(s, d).flaggedNodes),
+    "h2_reporting_dim" -> ((s, d) => dimension(s, d).reportingDim),
+    "h3_aggregation_dim" -> ((s, d) => dimension(s, d).aggregationDim),
+    "h4_hier_agg" -> ((s, d) =>
+      HierarchyAgg.hierarchicalRollup(
+        HierarchyAgg.salesFacts(s, d),
+        dimension(s, d).aggregationDim)),
+    "h5_hier_agg_deep" -> ((s, d) => {
+      val facts = HierarchyAgg.salesFacts(s, d)
+        .withColumn("leaf_key",
+          HierarchyAgg.segmentLeafKey(col("c_nationkey"), col("c_mktsegment")))
+      HierarchyAgg.hierarchicalRollup(facts, deepDimension(s, d).aggregationDim)
+    })
+  )
+
+  /** Shared DuckDB prelude: nodes → flags → recursive leveling → DFS
+    * sort order. Mirrors [[HierarchyDimension]] semantics exactly.
+    */
+  private def prelude(deep: Boolean): String = {
+    val segNodes =
+      """
+  UNION ALL
+  SELECT 's' || n_nationkey || '_' || s.seg,
+         CAST(1000 + n_nationkey * 8 + s.i AS BIGINT),
+         n_name || ' ' || s.seg, 'Segment', 'n' || n_nationkey
+  FROM nation, (VALUES ('AUTOMOBILE',0),('BUILDING',1),('FURNITURE',2),('HOUSEHOLD',3),('MACHINERY',4)) s(seg, i)"""
+    s"""WITH RECURSIVE nodes AS (
+  SELECT 'root' AS node_id, CAST(-1 AS BIGINT) AS node_natural_key,
+         'All Regions' AS node_name, 'Total' AS level_name,
+         CAST(NULL AS VARCHAR) AS parent_node_id
+  UNION ALL
+  SELECT 'r' || r_regionkey, CAST(100 + r_regionkey AS BIGINT), r_name, 'Region', 'root' FROM region
+  UNION ALL
+  SELECT 'n' || n_nationkey, CAST(n_nationkey AS BIGINT), n_name, 'Nation', 'r' || n_regionkey FROM nation${if (deep) segNodes else ""}
+),
+flagged AS (
+  SELECT n.*,
+         (n.parent_node_id IS NULL) AS is_root,
+         (n.node_id NOT IN (SELECT parent_node_id FROM nodes WHERE parent_node_id IS NOT NULL)) AS is_leaf
+  FROM nodes n
+),
+rec AS (
+  SELECT f.node_id, f.node_natural_key, f.node_name, f.level_name, f.parent_node_id,
+         f.is_root, f.is_leaf, 1 AS level_number,
+         [struct_pack(node_id := f.node_id, node_natural_key := f.node_natural_key, node_name := f.node_name, level_name := f.level_name)] AS path
+  FROM flagged f WHERE f.is_root
+  UNION ALL
+  SELECT f.node_id, f.node_natural_key, f.node_name, f.level_name, f.parent_node_id,
+         f.is_root, f.is_leaf, r.level_number + 1,
+         list_append(r.path, struct_pack(node_id := f.node_id, node_natural_key := f.node_natural_key, node_name := f.node_name, level_name := f.level_name))
+  FROM flagged f JOIN rec r ON f.parent_node_id = r.node_id
+),
+rdim AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY array_to_string(list_transform(path, x -> x.node_id), '/')) AS BIGINT) AS node_sort_order
+  FROM rec
+),
+adim AS (
+  SELECT a.node_id AS ancestor_node_id, a.node_natural_key AS ancestor_node_natural_key,
+         a.node_name AS ancestor_node_name, a.level_name AS ancestor_level_name,
+         a.is_root AS ancestor_is_root, a.is_leaf AS ancestor_is_leaf,
+         a.level_number AS ancestor_level_number, a.node_sort_order AS ancestor_node_sort_order,
+         d.node_id AS descendant_node_id, d.node_natural_key AS descendant_node_natural_key,
+         d.node_name AS descendant_node_name, d.level_name AS descendant_level_name,
+         d.is_root AS descendant_is_root, d.is_leaf AS descendant_is_leaf,
+         d.level_number AS descendant_level_number, d.node_sort_order AS descendant_node_sort_order,
+         d.level_number - a.level_number AS net_level
+  FROM (SELECT unnest(list_transform(path, x -> x.node_id)) AS anc_id, * FROM rdim) d
+  JOIN rdim a ON d.anc_id = a.node_id
+)"""
+  }
+
+  private def levelCols: String =
+    (1 to 4).flatMap { i =>
+      Seq("node_id", "node_natural_key", "node_name", "level_name").map { f =>
+        s"path[$i].$f AS level_${i}_$f"
+      }
+    }.mkString(", ")
+
+  private def rollupSql(deep: Boolean, leafKeyExpr: String): String =
+    s"""${prelude(deep)},
+facts AS (
+  SELECT $leafKeyExpr AS leaf_key, l.l_quantity AS unit_quantity,
+         l.l_extendedprice AS sales_amount, c.c_custkey AS customer_id
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+),
+agg AS (
+  SELECT lpad('-', (ancestor_level_number - 1) * 7, '-') || ancestor_node_name AS product_node_name,
+         lpad('-', (ancestor_level_number - 1) * 7, '-') || ancestor_level_name AS product_level_name,
+         ancestor_node_sort_order,
+         ROUND(SUM(sales_amount), 2) AS sum_sales_amount,
+         ROUND(SUM(unit_quantity), 2) AS sum_unit_quantity,
+         COUNT(DISTINCT customer_id) AS distinct_customer_count,
+         COUNT(*) AS count_of_fact_records
+  FROM facts f JOIN adim ON CAST(f.leaf_key AS BIGINT) = adim.descendant_node_natural_key
+  GROUP BY 1, 2, 3
+)
+SELECT product_node_name, product_level_name, sum_sales_amount, sum_unit_quantity,
+       distinct_customer_count, count_of_fact_records
+FROM agg ORDER BY ancestor_node_sort_order"""
+
+  val oracles: Map[String, String] = Map(
+    "h1_nodes" ->
+      s"""${prelude(false)}
+SELECT node_id, node_natural_key, node_name, level_name, parent_node_id, is_root, is_leaf FROM flagged""",
+    "h2_reporting_dim" ->
+      s"""${prelude(false)}
+SELECT node_id, node_natural_key, node_name, level_name, parent_node_id, is_root, is_leaf,
+       level_number, node_sort_order, $levelCols
+FROM rdim""",
+    "h3_aggregation_dim" ->
+      s"""${prelude(false)}
+SELECT * FROM adim""",
+    "h4_hier_agg" -> rollupSql(deep = false, "c.c_nationkey"),
+    "h5_hier_agg_deep" -> rollupSql(deep = true,
+      """1000 + c.c_nationkey * 8 +
+         CASE c.c_mktsegment WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1
+              WHEN 'FURNITURE' THEN 2 WHEN 'HOUSEHOLD' THEN 3
+              WHEN 'MACHINERY' THEN 4 ELSE 7 END""")
+  )
+}

@@ -1,0 +1,359 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Core OLAP operator family (SURVEY.md §2.B) over the TPC-H-ish
+  * testdata, each with a DuckDB oracle.
+  *
+  * Numeric-parity rules (SURVEY.md §6): double aggregates are rounded
+  * (2 dp where the true decimal value is exact at 2 dp, 4–6 dp for
+  * derived measures) in BOTH engines; raw doubles pass through
+  * untouched (bit-identical in parquet); every top-k carries a total
+  * order.
+  */
+object OlapQueries {
+
+  private val cutoff = java.sql.Timestamp.valueOf("1998-09-02 00:00:00")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1 pricing summary: the canonical multi-aggregate scan.
+    // 100 TB shape: pure scan + partial agg on 6-value key space — no
+    // meaningful shuffle; whole-stage codegen end to end.
+    "q1_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit(cutoff))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_extendedprice"), 6).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Predicate + projection pushdown: filters and the 4-column read
+    // schema must reach the parquet scan (verified in specs via
+    // explain: PushedFilters / ReadSchema).
+    "q2_filter_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * col("l_discount"), 4).as("disc_revenue"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+    }),
+
+    // TPC-H Q3-style: 3-way join + agg + ordered top-k. The customer
+    // filter shrinks the build side; orders⨝lineitem shuffles on the
+    // orderkey; final top-k is TakeOrdered (no global sort).
+    "q3_join_agg" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1997-06-30 00:00:00")))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Dim-chain broadcast join: region and nation are broadcast; the
+    // (large) customer side never shuffles for the join.
+    "q4_broadcast_join" -> ((s, d) => {
+      val r = Tables.region(s, d)
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("num_customers"),
+          round(sum("c_acctbal"), 2).as("total_acctbal"))
+    }),
+
+    // Deterministic top-k: orderBy+limit plans as TakeOrderedAndProject
+    // (per-partition heaps + driver merge, no full sort shuffle).
+    "q5_sort_limit" -> ((s, d) => {
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    }),
+
+    // Exact distinct counts, incl. multi-column distinct.
+    "q6_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        countDistinct(col("l_partkey"), col("l_suppkey")).as("distinct_part_supp"),
+        count(lit(1)).as("total_rows"))
+    }),
+
+    // Window functions: ranking, lag, running sum — all over one
+    // partition-by-customer shuffle, single window spec reused.
+    "q7_window" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 100)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("prev_price", round(lag("o_totalprice", 1).over(w), 2))
+        .withColumn("running_total",
+          round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+        .select("o_custkey", "o_orderkey", "rn", "rnk", "prev_price", "running_total")
+    }),
+
+    // ROLLUP subtotal lattice over the dim chain.
+    "q8_rollup" -> ((s, d) => {
+      val r = Tables.region(s, d)
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "c_acctbal")
+        // note: rollup(String*) trips Spark 4's ambiguous-self-join
+        // detector after multi-joins; the Column overload does not
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("num_customers"),
+          round(sum("c_acctbal"), 2).as("total_acctbal"))
+        .select(
+          coalesce(col("r_name"), lit("(all)")).as("region_name"),
+          coalesce(col("n_name"), lit("(all)")).as("nation_name"),
+          col("num_customers"), col("total_acctbal"))
+    }),
+
+    // CUBE over two independent dimensions.
+    "q9_cube" -> ((s, d) => {
+      val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+      val o = Tables.orders(s, d).select("o_custkey", "o_orderpriority", "o_totalprice")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select("c_mktsegment", "o_orderpriority", "o_totalprice")
+        .cube(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("num_orders"),
+          round(sum("o_totalprice"), 2).as("total_price"))
+        .select(
+          coalesce(col("c_mktsegment"), lit("(all)")).as("segment"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("num_orders"), col("total_price"))
+    }),
+
+    // EXISTS / NOT EXISTS as left-semi / left-anti joins.
+    "q10_semi_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d).select("c_custkey")
+      val o = Tables.orders(s, d).select("o_custkey")
+      val has = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(lit("has_orders").as("tag"), col("c_custkey"))
+      val not = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(lit("no_orders").as("tag"), col("c_custkey"))
+      has.unionByName(not)
+    }),
+
+    // UNION / INTERSECT / EXCEPT (distinct set semantics).
+    "q11_setops" -> ((s, d) => {
+      val cn = Tables.customer(s, d).select(col("c_nationkey").as("k")).distinct()
+      val sn = Tables.supplier(s, d).select(col("s_nationkey").as("k")).distinct()
+      cn.union(sn).distinct().select(lit("union").as("tag"), col("k"))
+        .unionByName(cn.intersect(sn).select(lit("intersect").as("tag"), col("k")))
+        .unionByName(cn.except(sn).select(lit("except").as("tag"), col("k")))
+    }),
+
+    // Conditional (CASE-based) aggregation.
+    "q12_conditional_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(sum(when(col("l_quantity") > 25, col("l_extendedprice")).otherwise(lit(0.0))), 2).as("rev_bulk"),
+          round(sum(when(col("l_discount") > 0.05, col("l_extendedprice") * col("l_discount")).otherwise(lit(0.0))), 4).as("rev_discounted"),
+          sum(when(col("l_tax") > 0.04, 1L).otherwise(0L)).as("n_taxed"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // Post-aggregation filter (HAVING).
+    "q13_having" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n_lines"))
+        .filter(col("sum_qty") > 100)
+    }),
+
+    // Scalar-subquery comparison (above-average filter), decorrelated
+    // by Catalyst into a broadcast of the 1-row aggregate.
+    "q14_subquery" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val avgPrice = p.agg(avg("p_retailprice").as("__avg"))
+      p.join(broadcast(avgPrice))
+        .filter(col("p_retailprice") > col("__avg"))
+        .select("p_partkey", "p_brand", "p_retailprice")
+    }),
+
+    // Pivot to wide on fixed pivot values (counts per nation×segment).
+    "q15_pivot" -> ((s, d) => {
+      val segs = HierarchyAgg.segments
+      val pivoted = Tables.customer(s, d)
+        .groupBy("c_nationkey")
+        .pivot("c_mktsegment", segs)
+        .agg(count(lit(1)))
+      segs.foldLeft(pivoted) { (df, seg) =>
+        df.withColumn(seg, coalesce(col(s"`$seg`"), lit(0L)))
+      }
+    }),
+
+    // Exact interpolated percentiles (= DuckDB quantile_cont).
+    "q16_percentile" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"))
+    }),
+
+    // Time-series aggregation: month bucketing over the events table.
+    "q17_time_agg" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(
+          date_format(date_trunc("month", col("ts")), "yyyy-MM").as("month"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 4).as("total_value"),
+          countDistinct(col("user_id")).as("distinct_users"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         ROUND(SUM(l_quantity), 2) AS sum_qty,
+         ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+         ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+         ROUND(AVG(l_quantity), 6) AS avg_qty,
+         ROUND(AVG(l_extendedprice), 6) AS avg_price,
+         ROUND(AVG(l_discount), 6) AS avg_disc,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+         ROUND(l_extendedprice * l_discount, 4) AS disc_revenue,
+         strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q3_join_agg" ->
+      """SELECT l_orderkey, o_orderpriority,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+         GROUP BY l_orderkey, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+    "q4_broadcast_join" ->
+      """SELECT r_name, n_name, COUNT(*) AS num_customers,
+         ROUND(SUM(c_acctbal), 2) AS total_acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "q5_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
+    "q6_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS distinct_parts,
+         COUNT(DISTINCT l_suppkey) AS distinct_supps,
+         COUNT(DISTINCT (l_partkey, l_suppkey)) AS distinct_part_supp,
+         COUNT(*) AS total_rows
+         FROM lineitem""",
+    "q7_window" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(row_number() OVER w AS BIGINT) AS rn,
+         CAST(rank() OVER w AS BIGINT) AS rnk,
+         ROUND(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+         ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+         FROM orders WHERE o_custkey < 100
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)""",
+    "q8_rollup" ->
+      """SELECT COALESCE(r_name, '(all)') AS region_name,
+         COALESCE(n_name, '(all)') AS nation_name,
+         COUNT(*) AS num_customers,
+         ROUND(SUM(c_acctbal), 2) AS total_acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)""",
+    "q9_cube" ->
+      """SELECT COALESCE(c_mktsegment, '(all)') AS segment,
+         COALESCE(o_orderpriority, '(all)') AS priority,
+         COUNT(*) AS num_orders,
+         ROUND(SUM(o_totalprice), 2) AS total_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY CUBE(c_mktsegment, o_orderpriority)""",
+    "q10_semi_anti" ->
+      """SELECT 'has_orders' AS tag, c_custkey FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         UNION ALL
+         SELECT 'no_orders' AS tag, c_custkey FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+    "q11_setops" ->
+      """WITH cn AS (SELECT DISTINCT c_nationkey AS k FROM customer),
+              sn AS (SELECT DISTINCT s_nationkey AS k FROM supplier)
+         SELECT 'union' AS tag, k FROM (SELECT k FROM cn UNION SELECT k FROM sn)
+         UNION ALL
+         SELECT 'intersect' AS tag, k FROM (SELECT k FROM cn INTERSECT SELECT k FROM sn)
+         UNION ALL
+         SELECT 'except' AS tag, k FROM (SELECT k FROM cn EXCEPT SELECT k FROM sn)""",
+    "q12_conditional_agg" ->
+      """SELECT l_returnflag,
+         ROUND(SUM(CASE WHEN l_quantity > 25 THEN l_extendedprice ELSE 0.0 END), 2) AS rev_bulk,
+         ROUND(SUM(CASE WHEN l_discount > 0.05 THEN l_extendedprice * l_discount ELSE 0.0 END), 4) AS rev_discounted,
+         SUM(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END)::BIGINT AS n_taxed,
+         COUNT(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
+    "q13_having" ->
+      """SELECT l_partkey, ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n_lines
+         FROM lineitem GROUP BY l_partkey HAVING SUM(l_quantity) > 100""",
+    "q14_subquery" ->
+      """SELECT p_partkey, p_brand, p_retailprice FROM part
+         WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)""",
+    "q15_pivot" ->
+      """SELECT c_nationkey,
+         COUNT(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS "AUTOMOBILE",
+         COUNT(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS "BUILDING",
+         COUNT(*) FILTER (WHERE c_mktsegment = 'FURNITURE') AS "FURNITURE",
+         COUNT(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD') AS "HOUSEHOLD",
+         COUNT(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS "MACHINERY"
+         FROM customer GROUP BY c_nationkey""",
+    "q16_percentile" ->
+      """SELECT l_returnflag,
+         ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+         ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+         ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+         ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty
+         FROM lineitem GROUP BY l_returnflag""",
+    "q17_time_agg" ->
+      """SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month, event_type,
+         COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value,
+         COUNT(DISTINCT user_id) AS distinct_users
+         FROM events GROUP BY 1, 2"""
+  )
+}
