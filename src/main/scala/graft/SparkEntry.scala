@@ -14,10 +14,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    HierarchyQueries.queries ++ OlapQueries.queries
+    HierarchyQueries.queries ++ OlapQueries.queries ++ TextQueries.queries ++
+      DedupQueries.queries ++ SimilarityQueries.queries ++
+      MultimodalQueries.queries ++ graft.streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    HierarchyQueries.oracles ++ OlapQueries.oracles
+    HierarchyQueries.oracles ++ OlapQueries.oracles ++ TextQueries.oracles ++
+      DedupQueries.oracles ++ SimilarityQueries.oracles ++
+      MultimodalQueries.oracles ++ graft.streaming.StreamingQueries.oracles
 }

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication operator family (SURVEY.md §2.D) — the core
+  * LLM-training-data pipeline operators.
+  *
+  * Scale design: every variant avoids the O(n²) all-pairs comparison.
+  * - exact: shuffle on sha256(normalized text) — fixed-width key, one
+  *   aggregation, broadcast join back.
+  * - minhash-LSH / simhash: candidate pairs are generated only WITHIN
+  *   hash buckets (shuffle on band key, self-join per bucket) — the
+  *   classic sub-quadratic near-dup pipeline.
+  * - n-gram Jaccard: exact verification, but only over blocked
+  *   candidate pairs (here lang + length blocking; at 100 TB the
+  *   blocking key would be the LSH band).
+  * - embedding near-dup: label-blocked exact cosine (at 100 TB the
+  *   block is an LSH/IVF bucket, see [[SimilarityQueries]]).
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, canonical = min(doc_id). */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val keyed = docs.withColumn("__key", sha2(lower(trim(col("text"))), 256))
+    val groups = keyed.groupBy("__key").agg(
+      min("doc_id").as("canonical_id"),
+      count(lit(1)).as("group_size"))
+    keyed.join(groups, "__key")
+      .select(col("doc_id"), col("canonical_id"), col("group_size"),
+        (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+  }
+
+  /** Per-doc minhash signature + banded LSH keys + candidate count.
+    * `sigCols` exposes band keys so the result is inspectable; the
+    * candidate count comes from the bucket self-join.
+    */
+  def minhashLsh(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sigs = docs
+      .withColumn("toks", tokens(lower(col("text"))))
+      .withColumn("shingles", array_distinct(wordNgrams(col("toks"), 2)))
+      .withColumn("sig", minhashSignature(col("shingles"), k))
+      .withColumn("bandkeys", bandKeys(col("sig"), bands, rows))
+      .select("doc_id", "sig", "bandkeys")
+    val buckets = sigs.select(col("doc_id"), explode(col("bandkeys")).as("bucket"))
+    // candidate pairs: same band bucket, a < b, deduped across bands
+    val pairs = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val cand = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+    sigs.join(cand, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        element_at(col("bandkeys"), 1).as("band_0"),
+        element_at(col("bandkeys"), 2).as("band_1"),
+        element_at(col("bandkeys"), 3).as("band_2"),
+        element_at(col("bandkeys"), 4).as("band_3"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+  }
+
+  /** Candidate near-dup pairs from minhash LSH with estimated Jaccard
+    * (used by specs; at sf the testdata has no near-dups, so the
+    * per-doc summary above is the registered query).
+    */
+  def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sigs = docs
+      .withColumn("toks", tokens(lower(col("text"))))
+      .withColumn("shingles", array_distinct(wordNgrams(col("toks"), 2)))
+      .withColumn("sig", minhashSignature(col("shingles"), k))
+      .withColumn("bandkeys", bandKeys(col("sig"), bands, rows))
+      .select("doc_id", "sig", "bandkeys")
+    val buckets = sigs.select(col("doc_id"), col("sig"), explode(col("bandkeys")).as("bucket"))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        estJaccard(col("a.sig"), col("b.sig")).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** Per-doc simhash (as 4 band keys) + count of near neighbors within
+    * `maxHamming` found via band-bucket candidates.
+    */
+  def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = docs
+      .withColumn("toks", tokens(lower(col("text"))))
+      .withColumn("bits", simhashBits(col("toks")))
+      .select(Seq(col("doc_id"), col("bits")) ++
+        (0 until 4).map(k => simhashBandKey(col("bits"), k).as(s"sb_$k")): _*)
+    val buckets = sigs.select(col("doc_id"), col("bits"),
+        explode(array((0 until 4).map(k => col(s"sb_$k")): _*)).as("bucket"))
+    val near = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("doc_b"),
+        hammingBits(col("a.bits"), col("b.bits")).as("hd"))
+      .distinct()
+      .filter(col("hd") <= maxHamming)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+    sigs.drop("bits")
+      .join(near, Seq("doc_id"), "left")
+      .withColumn("n_near", coalesce(col("n_near"), lit(0L)))
+  }
+
+  /** Exact word-bigram Jaccard over blocked candidate pairs. */
+  def ngramJaccard(docs: DataFrame, maxLenDiff: Int = 3): DataFrame = {
+    val t = docs
+      .withColumn("shingles", array_distinct(wordNgrams(tokens(lower(col("text"))), 2)))
+      .select("doc_id", "lang", "n_chars", "shingles")
+    t.as("a").join(t.as("b"),
+        col("a.lang") === col("b.lang") &&
+        abs(col("a.n_chars") - col("b.n_chars")) <= maxLenDiff &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(
+          size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
+          size(array_union(col("a.shingles"), col("b.shingles"))), 6).as("jaccard"))
+  }
+
+  /** Label-blocked embedding cosine near-dup pairs. */
+  def embeddingNearDup(emb: DataFrame, threshold: Double = 0.25): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cos"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Registry for the dedup family (SURVEY.md §2.D). d1/d4/d5 have exact
+  * DuckDB oracles; d2/d3 are xxhash64-based sketches (engine-specific
+  * hash) → rows-only driver check + ScalaTest oracles on synthetic
+  * near-duplicates.
+  */
+object DedupQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
+    "d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    "d3_simhash" -> ((s, d) => Dedup.simhashDedup(Tables.documents(s, d))),
+    "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    "d5_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d)))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """WITH keyed AS (
+           SELECT doc_id, sha256(lower(trim(text))) AS key FROM documents),
+         groups AS (
+           SELECT key, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
+           FROM keyed GROUP BY key)
+         SELECT k.doc_id, g.canonical_id, g.group_size,
+           (k.doc_id <> g.canonical_id) AS is_dup
+         FROM keyed k JOIN groups g ON k.key = g.key""",
+    "d4_ngram_jaccard" ->
+      raw"""WITH t AS (
+           SELECT doc_id, lang, n_chars,
+             list_distinct(list_transform(
+               range(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')), 1)),
+               i -> regexp_split_to_array(trim(lower(text)), '\s+')[i] || ' ' ||
+                    regexp_split_to_array(trim(lower(text)), '\s+')[i + 1])) AS shingles
+           FROM documents)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+         FROM t a JOIN t b
+           ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 3 AND a.doc_id < b.doc_id""",
+    "d5_embedding_neardup" ->
+      """WITH e AS (
+           SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, label, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+           FROM e)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_sum(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]))
+                 / (a.nrm * b.nrm), 6) AS cosine
+         FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_sum(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]))
+               / (a.nrm * b.nrm) >= 0.25"""
+  )
+}

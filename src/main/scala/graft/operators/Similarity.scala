@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity-search operator family (SURVEY.md §2.E): top-k cosine
+  * neighbors over the embeddings table.
+  *
+  * - brute force: exact baseline. The (small) query set is broadcast
+  *   against the corpus — a narrow map over the big side, then a
+  *   per-query top-k window. At 100 TB this is the ground-truth/recall
+  *   harness, not the serving path.
+  * - LSH: random-hyperplane buckets; candidates share a bucket. The
+  *   shuffle is on bucket id, never all-pairs.
+  * - IVF: coarse centroids (mean per label here — a stand-in for a
+  *   k-means codebook), nprobe nearest lists probed per query.
+  */
+object Similarity {
+
+  def corpus(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** Exact brute-force top-k for queries `vec_id < nQueries`. */
+  def bruteForceTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val c = corpus(emb)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("cos"), 9).desc, col("vec_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Random-hyperplane LSH ANN: probe only the query's bucket.
+    * `nPlanes` controls bucket granularity (2^nPlanes buckets).
+    */
+  def lshTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10, nPlanes: Int = 4): DataFrame = {
+    val c = corpus(emb).withColumn("bucket", hyperplaneBucket(col("v"), nPlanes))
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qbucket"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("cos"), 9).desc, col("vec_id").asc)
+    c.join(broadcast(q), col("bucket") === col("qbucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** IVF ANN: coarse centroids = per-label mean vectors (deterministic
+    * stand-in for a trained codebook); assign every vector to its
+    * nearest centroid, probe the `nprobe` nearest lists per query.
+    */
+  def ivfTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10, nprobe: Int = 3): DataFrame = {
+    val c = corpus(emb)
+    // centroids: element-wise mean per label via posexplode + rebuild
+    val centroids = c.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg("x").as("cx"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pcs"))
+      .select(col("label").as("c_id"), expr("transform(pcs, p -> p.cx)").as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    // assign corpus vectors to nearest centroid
+    val wAssign = Window.partitionBy("vec_id").orderBy(round(col("ccos"), 9).desc, col("c_id").asc)
+    val assigned = c.crossJoin(broadcast(centroids))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("c_id").as("list_id"))
+    // queries probe their nprobe nearest lists
+    val wProbe = Window.partitionBy("q_id").orderBy(round(col("ccos"), 9).desc, col("c_id").asc)
+    val probes = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("crk", row_number().over(wProbe))
+      .filter(col("crk") <= nprobe)
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("list_id"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("cos"), 9).desc, col("vec_id").asc)
+    assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+}
+
+/** Registry for the similarity family. s1 has an exact DuckDB oracle;
+  * s2/s3 are recall-tested against s1 in specs (approximate results
+  * are hash-engine-specific → rows-only driver check).
+  */
+object SimilarityQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_knn_brute" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
+    "s2_knn_lsh" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
+    "s3_knn_ivf" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d)))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_knn_brute" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         pairs AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(c.v, q.v), s -> s[1] * s[2]))
+               / (c.nrm * q.nrm) AS cos
+           FROM n c JOIN n q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         ranked AS (
+           SELECT q_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY ROUND(cos, 9) DESC, neighbor_id ASC) AS BIGINT) AS rank
+           FROM pairs)
+         SELECT q_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+         FROM ranked WHERE rank <= 5"""
+  )
+}

