@@ -62,11 +62,63 @@ object StreamingOps {
       .select("user_id", "sess_idx", "session_start", "n_events", "total_value")
   }
 
+  /** Streaming-native sessionization: Spark's `session_window` gap
+    * window. Same semantics as [[sessionize]] but without the session
+    * index (windows are identified by their start time).
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("total_value"))
+
   /** Streaming sessionization state for flatMapGroupsWithState. */
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
-  case class SessState(sessIdx: Long, lastTs: Long, startTs: Long, n: Long, total: Double)
-  case class SessOut(user_id: Long, sess_idx: Long, session_start: java.sql.Timestamp,
-      n_events: Long, total_value: Double)
+  case class SessOut(user_id: Long, session_start: String, n_events: Long, total_value: Double)
+
+  /** Custom-state sessionization via flatMapGroupsWithState — the
+    * KeyValueGroupedDataset stateful-processing path. Per user, events
+    * are sessionized on the gap; in this bounded/batch-test form every
+    * session (including the still-open one) is emitted at the end of
+    * the batch. In a production unbounded stream the open session
+    * would stay in `state` and be flushed on a ProcessingTime timeout.
+    */
+  def sessionizeFMGWS(spark: SparkSession, events: DataFrame,
+      gapSeconds: Long = 1800): org.apache.spark.sql.Dataset[SessOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    events.select(col("event_id"), col("ts"), col("user_id"), col("value")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Array[Long], SessOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[Array[Long]]) =>
+          // microsecond-precision epoch (Timestamp.getTime drops µs)
+          def micros(t: java.sql.Timestamp): Long =
+            t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000
+          val evs = it.toIndexedSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val sessions = scala.collection.mutable.Buffer[SessOut]()
+          var start = 0
+          var i = 1
+          def emit(lo: Int, hi: Int): Unit = {
+            val slice = evs.slice(lo, hi)
+            val total = slice.map(_.value).sum
+            sessions += SessOut(uid, fmt.format(slice.head.ts), slice.size.toLong,
+              math.round(total * 100.0) / 100.0)
+          }
+          while (i < evs.size) {
+            if ((micros(evs(i).ts) - micros(evs(i - 1).ts)) / 1.0e6 > gapSeconds) {
+              emit(start, i); start = i
+            }
+            i += 1
+          }
+          if (evs.nonEmpty) emit(start, evs.size)
+          sessions.iterator
+      }
+  }
 }
 
 object StreamingQueries {

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Synthetic corpus with planted duplicates:
+    * 0/1 exact dups; 2 a near-dup of 0 (one word changed); 3 unrelated.
+    */
+  lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog and runs far away home", "en", "s0", 60L),
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home", "en", "s1", 60L),
+    (2L, "the quick brown fox jumps over the lazy cat and runs far away home", "en", "s2", 60L),
+    (3L, "completely different text about spark query engines and data pipelines", "en", "s3", 60L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exactDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("canonical_id"), r.getAs[Long]("group_size"), r.getAs[Boolean]("is_dup"))).toMap
+    assert(out(0L) == (0L, 2L, false))
+    assert(out(1L) == (0L, 2L, true))
+    assert(out(2L) == (2L, 1L, false))
+    assert(out(3L) == (3L, 1L, false))
+  }
+
+  test("minhash LSH surfaces exact and near duplicates as candidate pairs") {
+    val pairs = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("est_jaccard")).toMap
+    assert(pairs.contains((0L, 1L)), s"exact dup pair missing: $pairs")
+    assert(pairs((0L, 1L)) == 1.0)
+    // near-dup (1 word of 14 changed → most bigram shingles shared)
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)), s"near-dup pair missing: $pairs")
+    // unrelated doc shares no band with anything
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L), s"false candidate with doc 3: $pairs")
+  }
+
+  test("simhash marks near-dups within hamming radius") {
+    val out = Dedup.simhashDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_near")).toMap
+    assert(out(0L) >= 1L, s"doc 0 should have near dup: $out")  // exact dup always hamming 0
+    assert(out(1L) >= 1L)
+    assert(out(3L) == 0L, s"doc 3 is unrelated: $out")
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near-dup high, blocked pairs only") {
+    val out = Dedup.ngramJaccard(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(out((0L, 1L)) == 1.0)
+    assert(out((0L, 2L)) > 0.6 && out((0L, 2L)) < 1.0)
+    assert(out((0L, 3L)) < 0.1)
+  }
+
+  test("embedding near-dup finds planted high-cosine pair on testdata") {
+    val out = Dedup.embeddingNearDup(Tables.embeddings(spark, sf), threshold = 0.25)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "expected at least one >=0.25 cosine pair in sf0.001 embeddings")
+    assert(rows.forall(_.getAs[Double]("cosine") >= 0.25))
+    assert(rows.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{HierarchyAgg, HierarchyDimension, HierarchyQueries}
+
+class HierarchySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Hand-built 6-node hierarchy:
+    * root ─ a ─ a1, a2
+    *      └ b ─ b1
+    */
+  lazy val toy = Seq(
+    ("root", 0L, "Root", "Total", null.asInstanceOf[String]),
+    ("a", 1L, "A", "Mid", "root"),
+    ("b", 2L, "B", "Mid", "root"),
+    ("a1", 11L, "A1", "Leaf", "a"),
+    ("a2", 12L, "A2", "Leaf", "a"),
+    ("b1", 21L, "B1", "Leaf", "b")
+  ).toDF("node_id", "node_natural_key", "node_name", "level_name", "parent_node_id")
+
+  lazy val dim = new HierarchyDimension(toy)
+
+  test("flags: root and leaves identified") {
+    val m = dim.flaggedNodes.collect().map(r =>
+      r.getAs[String]("node_id") -> (r.getAs[Boolean]("is_root"), r.getAs[Boolean]("is_leaf"))).toMap
+    assert(m("root") == (true, false))
+    assert(m("a") == (false, false))
+    assert(m("b") == (false, false))
+    assert(Seq("a1", "a2", "b1").forall(m(_) == (false, true)))
+  }
+
+  test("reporting dim: levels and DFS sort order") {
+    val rd = dim.reportingDim.collect().map(r =>
+      r.getAs[String]("node_id") ->
+        (r.getAs[Int]("level_number"), r.getAs[Long]("node_sort_order"))).toMap
+    assert(rd("root")._1 == 1)
+    assert(rd("a")._1 == 2 && rd("b")._1 == 2)
+    assert(rd("a1")._1 == 3)
+    // DFS: root < a < a1 < a2 < b < b1 (lexicographic path order)
+    val order = Seq("root", "a", "a1", "a2", "b", "b1").map(rd(_)._2)
+    assert(order == order.sorted, s"expected DFS order, got $order")
+  }
+
+  test("reporting dim: flattened level columns") {
+    val a1 = dim.reportingDim.filter(col("node_id") === "a1").collect().head
+    assert(a1.getAs[String]("level_1_node_id") == "root")
+    assert(a1.getAs[String]("level_2_node_id") == "a")
+    assert(a1.getAs[String]("level_3_node_id") == "a1")
+    assert(a1.getAs[String]("level_4_node_id") == null)
+  }
+
+  test("aggregation dim: closure pairs (self included) + net_level") {
+    val pairs = dim.aggregationDim
+      .select("ancestor_node_id", "descendant_node_id", "net_level")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Int]("net_level")).toMap
+    // 6 self pairs + 5 parent links + 3 root->grandchild = 14
+    assert(pairs.size == 14, s"closure size ${pairs.size}")
+    assert(pairs(("root", "a1")) == 2)
+    assert(pairs(("a", "a1")) == 1)
+    assert(pairs(("a1", "a1")) == 0)
+    assert(!pairs.contains(("a", "b1")))
+  }
+
+  test("hierarchical rollup: root row aggregates all facts; leaf rows match facts") {
+    val facts = Seq((11L, 1L, 2.0, 10.0), (12L, 2L, 1.0, 5.0), (21L, 1L, 4.0, 20.0))
+      .toDF("leaf_key", "customer_id", "unit_quantity", "sales_amount")
+    val out = HierarchyAgg.hierarchicalRollup(facts, dim.aggregationDim).collect()
+    assert(out.length == 6)
+    val root = out.head // ordered by sort order; root first
+    assert(root.getAs[String]("product_node_name") == "Root")
+    assert(root.getAs[Double]("sum_sales_amount") == 35.0)
+    assert(root.getAs[Long]("distinct_customer_count") == 2L)
+    assert(root.getAs[Long]("count_of_fact_records") == 3L)
+    val byName = out.map(r => r.getAs[String]("product_node_name") -> r).toMap
+    assert(byName("-------A").getAs[Double]("sum_sales_amount") == 15.0)
+    assert(byName("--------------B1").getAs[Double]("sum_sales_amount") == 20.0)
+  }
+
+  test("testdata region-nation rollup: nation sums roll up to regions and root") {
+    val out = HierarchyQueries.queries("h4_hier_agg")(spark, sf).collect()
+    val root = out.head
+    val regions = out.filter(_.getAs[String]("product_level_name") == "-------Region")
+    val nations = out.filter(_.getAs[String]("product_level_name").endsWith("Nation"))
+    assert(regions.length == 5 && nations.length == 25)
+    def s(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Double]("sum_sales_amount")).sum
+    assert(math.abs(s(regions) - root.getAs[Double]("sum_sales_amount")) < 1e-4)
+    assert(math.abs(s(nations) - root.getAs[Double]("sum_sales_amount")) < 1e-4)
+  }
+}

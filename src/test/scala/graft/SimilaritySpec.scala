@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  lazy val emb = Tables.embeddings(spark, sf)
+  lazy val brute = Similarity.bruteForceTopK(emb).collect()
+    .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+
+  test("brute force: 5 ranked neighbors per query, no self-matches, cosine descending") {
+    val rows = Similarity.bruteForceTopK(emb).collect()
+    assert(rows.length == 50)
+    assert(rows.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("q_id")))
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cosine"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN: structurally valid and overlaps brute-force") {
+    val rows = Similarity.lshTopK(emb).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) => assert(rs.length <= 5) }
+    val hits = rows.count(r => brute((r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))))
+    val recall = hits.toDouble / 50
+    info(f"LSH recall@5 vs brute force: $recall%.2f")
+    // deterministic for this data+hash; generous floor to tolerate
+    // future parameter tweaks
+    assert(recall >= 0.1, f"LSH recall collapsed: $recall%.2f")
+  }
+
+  test("IVF ANN: structurally valid and overlaps brute-force") {
+    val rows = Similarity.ivfTopK(emb).collect()
+    assert(rows.nonEmpty)
+    val hits = rows.count(r => brute((r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))))
+    val recall = hits.toDouble / 50
+    info(f"IVF recall@5 (nprobe=3/10) vs brute force: $recall%.2f")
+    assert(recall >= 0.2, f"IVF recall collapsed: $recall%.2f")
+  }
+
+  test("ANN cosines agree with brute-force for overlapping pairs") {
+    val b = Similarity.bruteForceTopK(emb).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
+    val l = Similarity.lshTopK(emb).collect()
+    l.foreach { r =>
+      val k = (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))
+      b.get(k).foreach(c => assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-9))
+    }
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+
+class StreamingSpec extends SparkSpec {
+
+  private def canon(df: org.apache.spark.sql.DataFrame, cols: String*): Set[String] =
+    df.select(cols.map(col): _*).collect().map(_.mkString("|")).toSet
+
+  test("streaming windowed agg (watermark) equals batch windowed agg") {
+    val batch = StreamingOps.windowedAgg(Tables.events(spark, sf))
+    // FileStreamSource needs a directory; expose the single parquet
+    // file through a temp dir symlink
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val stream = spark.readStream.schema(
+        spark.read.parquet(s"$sf/events.parquet").schema)
+      .parquet(dir.toString)
+    // normalize nanos->timestamp as Tables.events does
+    val streamTs = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = StreamingOps.windowedAggStream(streamTs)
+      .writeStream.outputMode("complete").format("memory").queryName("st1_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("st1_out")
+      val cols = Seq("window_start", "event_type", "n_events", "total_value")
+      assert(canon(got, cols: _*) == canon(batch, cols: _*))
+    } finally q.stop()
+  }
+
+  test("session_window streaming form equals lag-based batch sessionization") {
+    val ev = Tables.events(spark, sf)
+    val lagForm = StreamingOps.sessionize(ev)
+      // session identity = (user, start); drop the running index
+      .select("user_id", "session_start", "n_events", "total_value")
+    val windowForm = StreamingOps.sessionWindowAgg(ev)
+    val cols = Seq("user_id", "session_start", "n_events", "total_value")
+    assert(canon(windowForm, cols: _*) == canon(lagForm, cols: _*))
+  }
+
+  test("flatMapGroupsWithState sessionization equals batch sessionization") {
+    val ev = Tables.events(spark, sf)
+    val lagForm = StreamingOps.sessionize(ev)
+      .select("user_id", "session_start", "n_events", "total_value")
+    val fmgws = StreamingOps.sessionizeFMGWS(spark, ev).toDF()
+    val cols = Seq("user_id", "session_start", "n_events", "total_value")
+    assert(canon(fmgws, cols: _*) == canon(lagForm, cols: _*))
+  }
+}
