@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression for the embedding hot path.
+  *
+  * Spark's higher-order functions (`zip_with`+`aggregate`) are
+  * evaluated with interpreted lambdas and break whole-stage codegen —
+  * fine for per-document text stats, too slow for the O(pairs × dim)
+  * inner loop of similarity search / near-dup detection. This is the
+  * "custom `Expression` (with doGenCode) beats a Scala UDF" tier: a
+  * tight primitive-array loop that inlines into the generated stage.
+  *
+  * Both children must be `array<double>` (use
+  * [[VectorFunctions.asDouble]]); summation is left-to-right, matching
+  * the DuckDB oracle's `list_sum` semantics for FP parity.
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object NativeVectorExpressions {
+  def vectorDot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProductExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}

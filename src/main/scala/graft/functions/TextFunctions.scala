@@ -57,11 +57,17 @@ object TextFunctions {
 
   /** Word n-grams (n >= 2) as space-joined strings; empty array when
     * the document has fewer than n tokens.
+    *
+    * Built by zipping n shifted `slice`s of the token array — NOT by
+    * `element_at` over an index sequence, which re-evaluates the token
+    * expression per element (O(tokens²) per row when `toks` is an
+    * unmaterialized split).
     */
   def wordNgrams(toks: Column, n: Int): Column = {
-    val idx = sequence(lit(1), size(toks) - lit(n - 1))
-    val grams = transform(idx, i =>
-      concat_ws(" ", (0 until n).map(o => element_at(toks, (i + lit(o)).cast("int"))): _*))
+    val m = size(toks) - lit(n - 1)
+    val parts = (0 until n).map(o => slice(toks, lit(o + 1), m))
+    val grams = parts.reduceLeft((acc, p) =>
+      zip_with(acc, p, (a, b) => concat(a, lit(" "), b)))
     when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
   }
 }

@@ -12,15 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** array<float> → array<double>, so all arithmetic runs in f64 in
-    * both engines. */
-  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+  /** array<float> → array<double> via a native Cast (codegen'd; a
+    * `transform` lambda here would be interpreted), so all arithmetic
+    * runs in f64 in both engines. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+  /** Native codegen'd dot product — see [[DotProductExpr]]. Children
+    * must already be array<double>. */
+  def dot(a: Column, b: Column): Column = NativeVectorExpressions.vectorDot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

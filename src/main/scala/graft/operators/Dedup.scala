@@ -25,7 +25,8 @@ object Dedup {
 
   /** Exact dedup: group by content hash, canonical = min(doc_id). */
   def exactDedup(docs: DataFrame): DataFrame = {
-    val keyed = docs.withColumn("__key", sha2(lower(trim(col("text"))), 256))
+    val keyed = docs.select(col("doc_id"),
+      sha2(lower(trim(col("text"))), 256).as("__key"))
     val groups = keyed.groupBy("__key").agg(
       min("doc_id").as("canonical_id"),
       count(lit(1)).as("group_size"))

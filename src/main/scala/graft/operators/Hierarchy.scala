@@ -30,6 +30,10 @@ import org.apache.spark.sql.functions._
   *                    (reference hardcodes 10; we default lower, the
   *                    testdata hierarchies are depth ≤ 4)
   * @param maxDepth    safety bound on the BFS loop (cycles / bad data)
+  * @param knownDepth  exact hierarchy depth if the caller knows it
+  *                    (> 0): the BFS loop then runs a fixed number of
+  *                    joins with NO per-level `isEmpty` action — on a
+  *                    cluster each avoided action is a full job launch
   */
 class HierarchyDimension(
     nodes: DataFrame,
@@ -37,7 +41,8 @@ class HierarchyDimension(
     parentIdCol: String = "parent_node_id",
     levelFields: Seq[String] = Seq("node_id", "node_natural_key", "node_name", "level_name"),
     levelColumns: Int = 4,
-    maxDepth: Int = 16) {
+    maxDepth: Int = 16,
+    knownDepth: Int = -1) {
 
   /** Nodes + `is_root` / `is_leaf` flags
     * (reference: classes/hierarchy_dimension_table.py:96-107).
@@ -45,11 +50,15 @@ class HierarchyDimension(
     * check done as a broadcast join against the distinct parent set.
     */
   lazy val flaggedNodes: DataFrame = {
-    val parents = nodes
+    // hierarchy dims are small by definition (even with 100 TB facts);
+    // collapsing to one partition makes the whole derivation — BFS
+    // joins, window, closure explode — exchange-free narrow stages
+    val n1 = nodes.coalesce(1)
+    val parents = n1
       .filter(col(parentIdCol).isNotNull)
       .select(col(parentIdCol).as("__pid"))
       .distinct()
-    nodes
+    n1
       .join(broadcast(parents), col(nodeIdCol) === col("__pid"), "left")
       .withColumn("is_root", col(parentIdCol).isNull)
       .withColumn("is_leaf", col("__pid").isNull)
@@ -58,7 +67,10 @@ class HierarchyDimension(
 
   private def pathStruct: Column = struct(levelFields.map(col): _*)
 
-  /** Reporting dim + the root-path array column `path` (internal). */
+  /** Reporting dim + the root-path array column `path` (internal).
+    * Cached: the closure derivation reads it twice (descendant explode
+    * + ancestor attribute join).
+    */
   lazy val reportingDimWithPath: DataFrame = {
     val flagged = flaggedNodes.cache()
     var frontier = flagged
@@ -68,7 +80,7 @@ class HierarchyDimension(
     var acc = frontier
     var depth = 1
     var done = false
-    while (!done && depth < maxDepth) {
+    while (!done && depth < (if (knownDepth > 0) knownDepth else maxDepth)) {
       val parents = frontier.select(
         col(nodeIdCol).as("__parent_id"),
         col("level_number").as("__parent_level"),
@@ -78,7 +90,9 @@ class HierarchyDimension(
         .withColumn("level_number", col("__parent_level") + 1)
         .withColumn("path", array_append(col("__parent_path"), pathStruct))
         .drop("__parent_id", "__parent_level", "__parent_path")
-      if (frontier.isEmpty) done = true
+      // with a known depth the loop is fixed-length — no isEmpty
+      // action (each one is a whole Spark job) per level
+      if (knownDepth <= 0 && frontier.isEmpty) done = true
       else { acc = acc.unionByName(frontier); depth += 1 }
     }
     // DFS ordering: row_number over the lexicographic root-path key.
@@ -87,6 +101,7 @@ class HierarchyDimension(
     val pathKey = array_join(expr(s"transform(path, x -> x.$nodeIdCol)"), "/")
     acc.withColumn("node_sort_order",
       row_number().over(Window.orderBy(pathKey)).cast("long"))
+      .cache()
   }
 
   /** Reporting dimension: `level_number`, DFS `node_sort_order`, and

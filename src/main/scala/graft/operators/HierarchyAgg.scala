@@ -57,16 +57,17 @@ object HierarchyAgg {
     lit(1000L) + nationKey.cast("long") * 8L + segmentIdx(seg).cast("long")
 
   def regionNationSegmentNodes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val base = regionNationNodes(spark, sfDir)
-    val nation = Tables.nation(spark, sfDir)
-    val segRows = segments.zipWithIndex.map { case (s, i) =>
-      nation.select(
-        concat(lit("s"), col("n_nationkey").cast("string"), lit("_"), lit(s)).as("node_id"),
-        (lit(1000L) + col("n_nationkey").cast("long") * 8L + lit(i.toLong)).as("node_natural_key"),
-        concat(col("n_name"), lit(" "), lit(s)).as("node_name"),
+    // one nation scan × a 5-row literal frame, not 5 scans unioned
+    val segDf = segments.zipWithIndex.toDF("seg", "seg_idx")
+    val segRows = Tables.nation(spark, sfDir).crossJoin(broadcast(segDf))
+      .select(
+        concat(lit("s"), col("n_nationkey").cast("string"), lit("_"), col("seg")).as("node_id"),
+        (lit(1000L) + col("n_nationkey").cast("long") * 8L + col("seg_idx").cast("long")).as("node_natural_key"),
+        concat(col("n_name"), lit(" "), col("seg")).as("node_name"),
         lit("Segment").as("level_name"),
         concat(lit("n"), col("n_nationkey").cast("string")).as("parent_node_id"))
-    }.reduce(_ unionByName _)
     base.unionByName(segRows)
   }
 

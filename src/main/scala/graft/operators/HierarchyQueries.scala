@@ -10,11 +10,22 @@ import org.apache.spark.sql.functions._
   */
 object HierarchyQueries {
 
+  /** Memoized per (session, sfDir): the reference materializes its
+    * reporting/aggregation dims ONCE as tables
+    * (hierarchy_dimension_table.py:75-82) and every query reuses them —
+    * mirrored here via the instance cache (instances cache their
+    * derived DataFrames).
+    */
+  private val dimCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, Boolean), HierarchyDimension]
+
   def dimension(spark: SparkSession, sfDir: String): HierarchyDimension =
-    new HierarchyDimension(HierarchyAgg.regionNationNodes(spark, sfDir))
+    dimCache.getOrElseUpdate((System.identityHashCode(spark), sfDir, false),
+      new HierarchyDimension(HierarchyAgg.regionNationNodes(spark, sfDir), knownDepth = 3))
 
   def deepDimension(spark: SparkSession, sfDir: String): HierarchyDimension =
-    new HierarchyDimension(HierarchyAgg.regionNationSegmentNodes(spark, sfDir))
+    dimCache.getOrElseUpdate((System.identityHashCode(spark), sfDir, true),
+      new HierarchyDimension(HierarchyAgg.regionNationSegmentNodes(spark, sfDir), knownDepth = 4))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h1_nodes" -> ((s, d) => dimension(s, d).flaggedNodes),

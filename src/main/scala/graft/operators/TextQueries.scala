@@ -74,7 +74,8 @@ object TextQueries {
     // Top word-bigrams by frequency (global n-gram statistics).
     "t5_ngram_stats" -> ((s, d) => {
       Tables.documents(s, d)
-        .select(explode(wordNgrams(tokens(lower(col("text"))), 2)).as("bigram"))
+        .select(tokens(lower(col("text"))).as("toks"))
+        .select(explode(wordNgrams(col("toks"), 2)).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("bigram").asc)

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ⇄ Expression bridge for graft's native Catalyst expressions.
+  *
+  * `classic.ExpressionUtils` is `private[sql]` in Spark 4, so library
+  * extensions expose it from inside the package — the same pattern
+  * Spark ecosystem libraries use to register custom expressions.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
