@@ -22,6 +22,7 @@ object GraftSession {
       // testdata events.parquet uses TIMESTAMP(NANOS); read as long,
       // Tables.events converts back to a timestamp column
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests/benchmarks. */

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable OLAP operator builders beyond plain groupBy — the
+  * composition layer a user of the engine calls directly.
+  */
+object Olap {
+
+  /** As-of join: for each left row, the single most recent right row
+    * with `rightTime <= leftTime` on matching keys (left outer: left
+    * rows with no prior right row survive with nulls).
+    *
+    * Spark lacks a native as-of join; this composes an equi-join on
+    * the key (so the range condition never becomes a cartesian
+    * explosion across keys) with a per-left-row top-1 window. Ties on
+    * `rightTime` break on `tieBreak` descending for determinism.
+    *
+    * Scale: the equi-join shuffles both sides on the key once; the
+    * window re-uses that partitioning (partitionBy leftId ⊇ key) — at
+    * 100 TB, bucket both tables on the key to skip the shuffle
+    * entirely (see [[graft.sources.Sources.writeBucketed]]).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, leftTime: String, rightTime: String,
+      leftId: String, tieBreak: String): DataFrame = {
+    val joined = left.join(right,
+      left(leftKey) === right(rightKey) && right(rightTime) <= left(leftTime),
+      "left")
+    val w = Window.partitionBy(left(leftId))
+      .orderBy(right(rightTime).desc_nulls_last, right(tieBreak).desc_nulls_last)
+    joined
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Top-k per group without a global sort: rank inside each partition
+    * key and keep k.
+    */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[String],
+      orderCol: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCol)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+  }
+}

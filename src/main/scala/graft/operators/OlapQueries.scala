@@ -224,6 +224,56 @@ object OlapQueries {
           round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"))
     }),
 
+    // Explicit GROUPING SETS (finer than rollup/cube): chosen lattice
+    // cells only.
+    "q18_grouping_sets" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n_orders"), col("total_price"))
+    }),
+
+    // Semi-structured extraction: JSON props column → typed value.
+    "q19_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          max("k").as("max_k"), min("k").as("min_k"))
+    }),
+
+    // As-of join: each event matched to the user's most recent order
+    // at event time (composed operator — see Olap.asofJoin).
+    "q21_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      Olap.asofJoin(ev, o, "user_id", "o_custkey", "ts", "o_orderdate",
+          "event_id", "o_orderkey")
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("asof_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_orderdate"),
+          col("o_totalprice").as("asof_totalprice"))
+    }),
+
+    // Approximate sketches (HLL distinct + quantile sketch) next to
+    // their exact twins — the 100 TB path for q6/q16-style questions.
+    // Sketch values are engine-specific → rows-only driver check;
+    // error bounds asserted in specs.
+    "q20_approx_sketch" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("exact_median"))
+    }),
+
     // Time-series aggregation: month bucketing over the events table.
     "q17_time_agg" -> ((s, d) => {
       Tables.events(s, d)
@@ -350,6 +400,29 @@ object OlapQueries {
          ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
          ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty
          FROM lineitem GROUP BY l_returnflag""",
+    "q18_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+         COALESCE(o_orderpriority, '(all)') AS priority,
+         COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""",
+    "q19_json_extract" ->
+      raw"""SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+         MAX(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS max_k,
+         MIN(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS min_k
+         FROM events GROUP BY event_type""",
+    "q21_asof_join" ->
+      """WITH j AS (
+           SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+             row_number() OVER (PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+           FROM events e LEFT JOIN orders o
+             ON e.user_id = o.o_custkey AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP))
+         SELECT event_id, user_id, o_orderkey AS asof_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS asof_orderdate,
+           o_totalprice AS asof_totalprice
+         FROM j WHERE rn = 1""",
     "q17_time_agg" ->
       """SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month, event_type,
          COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value,

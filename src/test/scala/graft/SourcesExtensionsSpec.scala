@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Sources
+import graft.operators.Olap
+
+class SourcesExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv and json roundtrip through Sources") {
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+    val dir = java.nio.file.Files.createTempDirectory("src_rt").toString
+    Sources.write(df, s"$dir/csv", "csv")
+    Sources.write(df, s"$dir/json", "json")
+    val csv = Sources.read(spark, s"$dir/csv", "csv")
+    val json = Sources.read(spark, s"$dir/json", "json")
+    assert(csv.count() == 2 && json.count() == 2)
+    assert(csv.select(sum("v")).head().getDouble(0) == 4.0)
+  }
+
+  test("partitioned write enables partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("src_part").toString + "/t"
+    Sources.writePartitioned(Tables.nation(spark, sf), dir, Seq("n_regionkey"))
+    val pruned = spark.read.parquet(dir).filter(col("n_regionkey") === 2)
+    val p = pruned.queryExecution.executedPlan.toString()
+    assert(p.contains("PartitionFilters: [isnotnull(n_regionkey"), p)
+    assert(pruned.count() == 5)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    // in-memory catalog forgets tables across JVMs but leaves files:
+    // clear both
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    Sources.writeBucketed(
+      Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice"),
+      "orders_b", "o_orderkey", 4)
+    Sources.writeBucketed(
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),
+      "lineitem_b", "l_orderkey", 4)
+    // force a merge join (broadcast would mask the bucketing benefit)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("lineitem_b").join(spark.table("orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      j.count() // materialize through AQE
+      val p = j.queryExecution.executedPlan.toString()
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$p")
+      assert(p.contains("SortMergeJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("vector_dot is callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head().getDouble(0)
+    assert(got == 11.0)
+  }
+
+  test("vector_dot via SparkSessionExtensions-built session") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val got = s2.sql(
+      "SELECT vector_dot(array(1.0d, 2.0d, 3.0d), array(1.0d, 1.0d, 1.0d)) AS d")
+      .head().getDouble(0)
+    assert(got == 6.0)
+  }
+
+  test("asofJoin picks the most recent right row per left row") {
+    val left = Seq((1L, 10L, "2024-01-10 00:00:00"), (2L, 10L, "2024-01-05 00:00:00"),
+      (3L, 99L, "2024-01-10 00:00:00")).toDF("id", "k", "t")
+      .withColumn("t", to_timestamp(col("t")))
+    val right = Seq((100L, 10L, "2024-01-01 00:00:00", 1.0), (101L, 10L, "2024-01-07 00:00:00", 2.0),
+      (102L, 10L, "2024-02-01 00:00:00", 3.0)).toDF("rid", "rk", "rt", "rv")
+      .withColumn("rt", to_timestamp(col("rt")))
+    val out = Olap.asofJoin(left, right, "k", "rk", "t", "rt", "id", "rid")
+      .select("id", "rid").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(out(1L) == 101L)  // most recent <= Jan 10
+    assert(out(2L) == 100L)  // only Jan 1 precedes Jan 5
+    assert(out(3L) == null)  // no match → left outer null
+  }
+
+  test("approx sketches stay within error bounds of exact values") {
+    val rows = SparkEntry.queries("q20_approx_sketch")(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1, s"HLL err too big: $approx vs $exact")
+      val am = r.getAs[Double]("approx_median")
+      val em = r.getAs[Double]("exact_median")
+      assert(math.abs(am - em) / em < 0.1, s"quantile sketch err: $am vs $em")
+    }
+  }
+}
