@@ -248,12 +248,15 @@ object OlapQueries {
     }),
 
     // As-of join: each event matched to the user's most recent order
-    // at event time (composed operator — see Olap.asofJoin).
+    // at event time. Runs on the NATIVE sort-merge as-of operator
+    // (graft.plans.AsOfJoin: custom LogicalPlan/Strategy/Exec, linear
+    // merge — no pair blow-up); Olap.asofJoin is the compositional
+    // fallback with identical semantics (equality proven in specs).
     "q21_asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
       val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
-      Olap.asofJoin(ev, o, "user_id", "o_custkey", "ts", "o_orderdate",
-          "event_id", "o_orderkey")
+      graft.plans.AsOfJoin.asofJoinNative(ev, o, "user_id", "o_custkey", "ts", "o_orderdate",
+          "o_orderkey")
         .select(col("event_id"), col("user_id"),
           col("o_orderkey").as("asof_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_orderdate"),

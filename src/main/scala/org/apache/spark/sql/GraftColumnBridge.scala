@@ -20,4 +20,11 @@ object GraftColumnBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  def analyzedPlan(df: Dataset[_]): catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  def dataFrame(spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

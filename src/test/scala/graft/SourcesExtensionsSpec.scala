@@ -93,6 +93,24 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(out(3L) == null)  // no match → left outer null
   }
 
+  test("native sort-merge as-of join matches the window-based operator") {
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts")
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val window = Olap.asofJoin(ev, o, "user_id", "o_custkey", "ts", "o_orderdate",
+        "event_id", "o_orderkey")
+      .select(col("event_id"), col("o_orderkey"))
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    val native = graft.plans.AsOfJoin.asofJoinNative(ev, o,
+        "user_id", "o_custkey", "ts", "o_orderdate", "o_orderkey")
+      .select(col("event_id"), col("o_orderkey"))
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(native.size == window.size)
+    assert(native == window, {
+      val diff = window.keySet.filter(k => window(k) != native.getOrElse(k, "MISSING")).take(5)
+      s"first diffs: ${diff.map(k => s"$k: window=${window(k)} native=${native.get(k)}").mkString(", ")}"
+    })
+  }
+
   test("approx sketches stay within error bounds of exact values") {
     val rows = SparkEntry.queries("q20_approx_sketch")(spark, sf).collect()
     rows.foreach { r =>
