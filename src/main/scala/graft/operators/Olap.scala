@@ -37,6 +37,25 @@ object Olap {
       .drop("__rn")
   }
 
+  /** Skew-mitigated join: when `bigKey` has hot keys, a plain shuffle
+    * join puts an entire hot key in one task. Salting fans each big-side
+    * row into one of `salts` sub-partitions (deterministic hash of
+    * `saltSource`) and replicates the small side across all salts —
+    * hot keys split `salts` ways at the cost of a small-side
+    * replication. AQE's skew-join handles moderate skew automatically;
+    * this is the explicit tool for extreme/known skew.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, salts: Int, saltSource: Column): DataFrame = {
+    val sBig = big.withColumn("__salt_b",
+      pmod(xxhash64(saltSource), lit(salts.toLong)).cast("int"))
+    val sSmall = small.withColumn("__salt_s",
+      explode(sequence(lit(0), lit(salts - 1))))
+    sBig.join(sSmall,
+        col(bigKey) === col(smallKey) && col("__salt_b") === col("__salt_s"))
+      .drop("__salt_b", "__salt_s")
+  }
+
   /** Top-k per group without a global sort: rank inside each partition
     * key and keep k.
     */

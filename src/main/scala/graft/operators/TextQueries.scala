@@ -71,6 +71,22 @@ object TextQueries {
           length(col("text")).cast("long").as("len"))
     }),
 
+    // BPE-ish token estimation: whitespace tokens refined by a
+    // subword-chunk heuristic (ceil(len/4) pieces per word — the
+    // ~4-chars-per-BPE-token rule) plus regex chunk counts. All
+    // integer/regex arithmetic → exact oracle.
+    "t6_bpe_tokens" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", tokens(lower(col("text"))))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_ws_tokens"),
+          expr("aggregate(transform(toks, t -> CAST((length(t) + 3) div 4 AS BIGINT)), 0L, (a, x) -> a + x)")
+            .as("n_subword_est"),
+          expr("CAST(regexp_count(text, '[aeiou]+') AS BIGINT)").as("n_vowel_runs"),
+          expr("CAST(regexp_count(text, '[bcdfghjklmnpqrstvwxyz]+') AS BIGINT)").as("n_consonant_runs"))
+    }),
+
     // Top word-bigrams by frequency (global n-gram statistics).
     "t5_ngram_stats" -> ((s, d) => {
       Tables.documents(s, d)
@@ -136,6 +152,16 @@ object TextQueries {
            CAST(length(text) AS BIGINT) AS len
          FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents)
          GROUP BY doc_id, length(text)""",
+    "t6_bpe_tokens" ->
+      raw"""WITH t AS (
+           SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents)
+         SELECT doc_id,
+           len(toks) AS n_ws_tokens,
+           CAST(list_sum(list_transform(toks, t -> (length(t) + 3) // 4)) AS BIGINT) AS n_subword_est,
+           CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_vowel_runs,
+           CAST(len(regexp_extract_all(text, '[bcdfghjklmnpqrstvwxyz]+')) AS BIGINT) AS n_consonant_runs
+         FROM t""",
     "t5_ngram_stats" ->
       raw"""WITH t AS (
            SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),

@@ -111,6 +111,20 @@ class SourcesExtensionsSpec extends SparkSpec {
     })
   }
 
+  test("salted join equals the plain join, with the salt in the shuffle key") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority")
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(sum("l_quantity").as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val salted = Olap.saltedJoin(li, o, "l_orderkey", "o_orderkey",
+        salts = 8, saltSource = col("l_quantity"))
+      .groupBy("o_orderpriority").agg(sum("l_quantity").as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(plain.keySet == salted.keySet)
+    plain.foreach { case (k, v) => assert(math.abs(v - salted(k)) < 1e-6, k) }
+  }
+
   test("approx sketches stay within error bounds of exact values") {
     val rows = SparkEntry.queries("q20_approx_sketch")(spark, sf).collect()
     rows.foreach { r =>
