@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     HierarchyQueries.queries ++ OlapQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
-      MultimodalQueries.queries ++ graft.streaming.StreamingQueries.queries
+      MultimodalQueries.queries ++ graft.streaming.StreamingQueries.queries ++
+      Profile.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     HierarchyQueries.oracles ++ OlapQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++
-      MultimodalQueries.oracles ++ graft.streaming.StreamingQueries.oracles
+      MultimodalQueries.oracles ++ graft.streaming.StreamingQueries.oracles ++
+      Profile.oracles
 }

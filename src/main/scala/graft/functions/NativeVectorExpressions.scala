@@ -56,6 +56,46 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 norm — the self-dot special case: one array traversal
+  * (and one null check) instead of two. Produced by
+  * [[graft.OptimizeSelfDot]] rewriting `vector_dot(x, x)`.
+  */
+case class NormSquaredExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "norm_sq"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) { val v = x.getDouble(i); s += v * v; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = $a.getDouble($i);
+         |  $sum += $v * $v;
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NormSquaredExpr =
+    copy(child = newChild)
+}
+
 object NativeVectorExpressions {
   def vectorDot(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProductExpr(

@@ -128,6 +128,53 @@ object Dedup {
           size(array_union(col("a.shingles"), col("b.shingles"))), 6).as("jaccard"))
   }
 
+  /** Connected components over candidate-pair edges by iterative
+    * minimum-label propagation: each node adopts the smallest label in
+    * its neighborhood (self included) until fixpoint. Converges in
+    * O(component diameter) rounds — near-dup clusters are shallow, so
+    * a handful of distributed join+agg rounds; `maxIter` bounds
+    * pathological chains.
+    *
+    * This is the step that turns pairwise near-dup hits into dedup
+    * GROUPS (keep min doc_id per component, drop the rest).
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      idCol: String = "doc_id", srcCol: String = "doc_a",
+      dstCol: String = "doc_b", maxIter: Int = 10): DataFrame = {
+    // symmetrized edge list
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).cast("long").as("component_id"))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels, col("dst") === col("id"))
+        .groupBy(col("src").as("nid"))
+        .agg(min("component_id").as("nbr_min"))
+      val updated = labels
+        .join(neighborMin, col("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("component_id"), coalesce(col("nbr_min"), col("component_id")))
+            .as("component_id"))
+        .cache()
+      val changed = updated.as("u").join(labels.as("l"), col("u.id") === col("l.id"))
+        .filter(col("u.component_id") =!= col("l.component_id")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("component_id"))
+  }
+
+  /** Near-dup clusters: minhash-LSH candidate pairs filtered by
+    * estimated Jaccard, grouped into components.
+    */
+  def dupClusters(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame = {
+    val pairs = minhashPairs(docs).filter(col("est_jaccard") >= minEstJaccard)
+    connectedComponents(docs, pairs)
+  }
+
   /** Label-blocked embedding cosine near-dup pairs. */
   def embeddingNearDup(emb: DataFrame, threshold: Double = 0.25): DataFrame = {
     val e = emb.select(col("vec_id"), col("label"),

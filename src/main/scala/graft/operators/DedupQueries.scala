@@ -15,7 +15,8 @@ object DedupQueries {
     "d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "d3_simhash" -> ((s, d) => Dedup.simhashDedup(Tables.documents(s, d))),
     "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
-    "d5_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d)))
+    "d5_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
+    "d6_dup_clusters" -> ((s, d) => Dedup.dupClusters(Tables.documents(s, d)))
   )
 
   val oracles: Map[String, String] = Map(

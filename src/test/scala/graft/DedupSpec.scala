@@ -53,6 +53,24 @@ class DedupSpec extends SparkSpec {
     assert(out((0L, 3L)) < 0.1)
   }
 
+  test("connected components merge chained near-dup pairs into one cluster") {
+    import spark.implicits._
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L).toDF("doc_id")
+    // chain 0-1, 1-2 (one component) + 3-4
+    val edges = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(0L) == 0L && comp(1L) == 0L && comp(2L) == 0L)
+    assert(comp(3L) == 3L && comp(4L) == 3L)
+  }
+
+  test("dup clusters: planted exact+near dups collapse to one component") {
+    val comp = Dedup.dupClusters(docs, minEstJaccard = 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(0L) == 0L && comp(1L) == 0L, comp.toString) // exact dups
+    assert(comp(3L) == 3L) // unrelated stays alone
+  }
+
   test("embedding near-dup finds planted high-cosine pair on testdata") {
     val out = Dedup.embeddingNearDup(Tables.embeddings(spark, sf), threshold = 0.25)
     val rows = out.collect()

@@ -111,6 +111,19 @@ class SourcesExtensionsSpec extends SparkSpec {
     })
   }
 
+  test("optimizer rule rewrites self-dot into norm_sq") {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val df = emb.select(
+      graft.functions.VectorFunctions.norm(
+        graft.functions.VectorFunctions.asDouble(col("embedding"))).as("n"))
+    val optimized = df.queryExecution.optimizedPlan.toString()
+    assert(optimized.contains("norm_sq"), optimized.take(1000))
+    // and the rewrite preserves values
+    val viaRule = df.agg(round(sum("n"), 6)).head().getDouble(0)
+    assert(viaRule > 0)
+  }
+
   test("salted join equals the plain join, with the salt in the shuffle key") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority")
