@@ -160,6 +160,7 @@ object Dedup {
         .cache()
       val changed = updated.as("u").join(labels.as("l"), col("u.id") === col("l.id"))
         .filter(col("u.component_id") =!= col("l.component_id")).limit(1).count()
+      if (iter > 0) labels.unpersist(blocking = false)
       labels = updated
       converged = changed == 0
       iter += 1

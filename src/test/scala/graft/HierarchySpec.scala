@@ -77,6 +77,21 @@ class HierarchySpec extends SparkSpec {
     assert(byName("--------------B1").getAs[Double]("sum_sales_amount") == 20.0)
   }
 
+  test("entry: flagship query returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("cyclic parent links terminate at maxDepth instead of hanging") {
+    val cyclic = Seq(
+      ("root", 0L, "Root", "Total", null.asInstanceOf[String]),
+      ("x", 1L, "X", "Mid", "y"),
+      ("y", 2L, "Y", "Mid", "x") // x ↔ y cycle, unreachable from root
+    ).toDF("node_id", "node_natural_key", "node_name", "level_name", "parent_node_id")
+    val rd = new operators.HierarchyDimension(cyclic, maxDepth = 6).reportingDim
+    val ids = rd.select("node_id").collect().map(_.getString(0)).toSet
+    assert(ids == Set("root"), s"cycle nodes must not appear: $ids")
+  }
+
   test("testdata region-nation rollup: nation sums roll up to regions and root") {
     val out = HierarchyQueries.queries("h4_hier_agg")(spark, sf).collect()
     val root = out.head
