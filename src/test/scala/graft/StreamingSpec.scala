@@ -31,6 +31,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join: streaming events enrich against a static dim") {
+    val dir = java.nio.file.Files.createTempDirectory("events_ssj")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val static = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$sf/events.parquet").schema)
+      .parquet(dir.toString)
+      .join(static, col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssj_out")
+      val batch = Tables.events(spark, sf)
+        .join(static, col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      assert(canon(got, "c_mktsegment", "n") == canon(batch, "c_mktsegment", "n"))
+    } finally q.stop()
+  }
+
   test("session_window streaming form equals lag-based batch sessionization") {
     val ev = Tables.events(spark, sf)
     val lagForm = StreamingOps.sessionize(ev)
