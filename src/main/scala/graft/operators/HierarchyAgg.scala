@@ -71,6 +71,35 @@ object HierarchyAgg {
     base.unionByName(segRows)
   }
 
+  /** Part hierarchy: root → Brand → Part. Much wider than the
+    * region/nation dim (20k leaves at sf0.1) — exercises the closure
+    * derivation at real dimension width. Brand natural keys derive
+    * from the digits in the brand name (+1e6 to stay disjoint from
+    * part keys).
+    */
+  def partNodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = Tables.part(spark, sfDir)
+    val root = spark.range(1).select(
+      lit("root").as("node_id"),
+      lit(-1L).as("node_natural_key"),
+      lit("All Parts").as("node_name"),
+      lit("Total").as("level_name"),
+      lit(null).cast("string").as("parent_node_id"))
+    val brands = part.select(col("p_brand")).distinct().select(
+      concat(lit("b"), col("p_brand")).as("node_id"),
+      (lit(1000000L) + regexp_extract(col("p_brand"), "\\d+", 0).cast("long")).as("node_natural_key"),
+      col("p_brand").as("node_name"),
+      lit("Brand").as("level_name"),
+      lit("root").as("parent_node_id"))
+    val parts = part.select(
+      concat(lit("p"), col("p_partkey").cast("string")).as("node_id"),
+      col("p_partkey").cast("long").as("node_natural_key"),
+      col("p_name").as("node_name"),
+      lit("Part").as("level_name"),
+      concat(lit("b"), col("p_brand")).as("parent_node_id"))
+    root.unionByName(brands).unionByName(parts)
+  }
+
   /** Sales facts: lineitem ⨝ orders ⨝ customer. At 100 TB lineitem is
     * the giant; orders⨝customer is pre-joined then the orderkey join
     * shuffles both sides on o_orderkey (AQE re-plans; customer join is
@@ -78,7 +107,7 @@ object HierarchyAgg {
     */
   def salesFacts(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
-      .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
     val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
     val cust = Tables.customer(spark, sfDir)
       .select("c_custkey", "c_nationkey", "c_mktsegment")
@@ -87,6 +116,7 @@ object HierarchyAgg {
       .select(
         col("c_nationkey").cast("long").as("leaf_key"),
         col("c_nationkey"), col("c_mktsegment"),
+        col("l_partkey"),
         col("c_custkey").as("customer_id"),
         col("l_quantity").as("unit_quantity"),
         col("l_extendedprice").as("sales_amount"))

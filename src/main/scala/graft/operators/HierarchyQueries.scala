@@ -27,6 +27,13 @@ object HierarchyQueries {
     dimCache.getOrElseUpdate((System.identityHashCode(spark), sfDir, true),
       new HierarchyDimension(HierarchyAgg.regionNationSegmentNodes(spark, sfDir), knownDepth = 4))
 
+  private val partDimCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), HierarchyDimension]
+
+  def partDimension(spark: SparkSession, sfDir: String): HierarchyDimension =
+    partDimCache.getOrElseUpdate((System.identityHashCode(spark), sfDir),
+      new HierarchyDimension(HierarchyAgg.partNodes(spark, sfDir), knownDepth = 3))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h1_nodes" -> ((s, d) => dimension(s, d).flaggedNodes),
     "h2_reporting_dim" -> ((s, d) => dimension(s, d).reportingDim),
@@ -40,6 +47,13 @@ object HierarchyQueries {
         .withColumn("leaf_key",
           HierarchyAgg.segmentLeafKey(col("c_nationkey"), col("c_mktsegment")))
       HierarchyAgg.hierarchicalRollup(facts, deepDimension(s, d).aggregationDim)
+    }),
+    // wide-dimension rollup: 20k part leaves at sf0.1 — same engine,
+    // dimension two orders of magnitude wider than region/nation
+    "h6_hier_agg_parts" -> ((s, d) => {
+      val facts = HierarchyAgg.salesFacts(s, d)
+        .withColumn("leaf_key", col("l_partkey").cast("long"))
+      HierarchyAgg.hierarchicalRollup(facts, partDimension(s, d).aggregationDim)
     })
   )
 
@@ -54,14 +68,29 @@ object HierarchyQueries {
          CAST(1000 + n_nationkey * 8 + s.i AS BIGINT),
          n_name || ' ' || s.seg, 'Segment', 'n' || n_nationkey
   FROM nation, (VALUES ('AUTOMOBILE',0),('BUILDING',1),('FURNITURE',2),('HOUSEHOLD',3),('MACHINERY',4)) s(seg, i)"""
-    s"""WITH RECURSIVE nodes AS (
+    preludeWith(s"""
   SELECT 'root' AS node_id, CAST(-1 AS BIGINT) AS node_natural_key,
          'All Regions' AS node_name, 'Total' AS level_name,
          CAST(NULL AS VARCHAR) AS parent_node_id
   UNION ALL
   SELECT 'r' || r_regionkey, CAST(100 + r_regionkey AS BIGINT), r_name, 'Region', 'root' FROM region
   UNION ALL
-  SELECT 'n' || n_nationkey, CAST(n_nationkey AS BIGINT), n_name, 'Nation', 'r' || n_regionkey FROM nation${if (deep) segNodes else ""}
+  SELECT 'n' || n_nationkey, CAST(n_nationkey AS BIGINT), n_name, 'Nation', 'r' || n_regionkey FROM nation${if (deep) segNodes else ""}""")
+  }
+
+  private def partPrelude: String = preludeWith("""
+  SELECT 'root' AS node_id, CAST(-1 AS BIGINT) AS node_natural_key,
+         'All Parts' AS node_name, 'Total' AS level_name,
+         CAST(NULL AS VARCHAR) AS parent_node_id
+  UNION ALL
+  SELECT 'b' || p_brand, CAST(1000000 + CAST(regexp_extract(p_brand, '\d+') AS BIGINT) AS BIGINT),
+         p_brand, 'Brand', 'root'
+  FROM (SELECT DISTINCT p_brand FROM part)
+  UNION ALL
+  SELECT 'p' || p_partkey, CAST(p_partkey AS BIGINT), p_name, 'Part', 'b' || p_brand FROM part""")
+
+  private def preludeWith(nodesSql: String): String = {
+    s"""WITH RECURSIVE nodes AS ($nodesSql
 ),
 flagged AS (
   SELECT n.*,
@@ -107,7 +136,10 @@ adim AS (
     }.mkString(", ")
 
   private def rollupSql(deep: Boolean, leafKeyExpr: String): String =
-    s"""${prelude(deep)},
+    rollupSqlWith(prelude(deep), leafKeyExpr)
+
+  private def rollupSqlWith(preludeSql: String, leafKeyExpr: String): String =
+    s"""$preludeSql,
 facts AS (
   SELECT $leafKeyExpr AS leaf_key, l.l_quantity AS unit_quantity,
          l.l_extendedprice AS sales_amount, c.c_custkey AS customer_id
@@ -143,6 +175,7 @@ FROM rdim""",
       s"""${prelude(false)}
 SELECT * FROM adim""",
     "h4_hier_agg" -> rollupSql(deep = false, "c.c_nationkey"),
+    "h6_hier_agg_parts" -> rollupSqlWith(partPrelude, "l.l_partkey"),
     "h5_hier_agg_deep" -> rollupSql(deep = true,
       """1000 + c.c_nationkey * 8 +
          CASE c.c_mktsegment WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1
