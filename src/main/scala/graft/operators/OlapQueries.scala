@@ -277,6 +277,49 @@ object OlapQueries {
           round(expr("percentile(l_extendedprice, 0.5)"), 6).as("exact_median"))
     }),
 
+    // Full outer join of two aggregated sides (nations with customers
+    // but no suppliers and vice versa survive with nulls → coalesced).
+    "q23_full_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d).groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_customers"))
+      val sup = Tables.supplier(s, d).groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"))
+      c.join(sup, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+    }),
+
+    // RANGE-frame window: per customer, orders within the trailing 30
+    // days of each order (event-time range, not row count).
+    "q24_range_window" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_epoch"))
+        .rangeBetween(-30L * 86400, 0)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 200)
+        // NTZ → TZ (session tz is UTC) → epoch seconds; ANSI blocks a
+        // direct NTZ→long cast
+        .withColumn("o_epoch", col("o_orderdate").cast("timestamp").cast("long"))
+        .withColumn("n_trailing_30d", count(lit(1)).over(w))
+        .withColumn("sum_trailing_30d", round(sum("o_totalprice").over(w), 4))
+        .select("o_custkey", "o_orderkey", "n_trailing_30d", "sum_trailing_30d")
+    }),
+
+    // Null semantics: counts / distinct / null-safe equality over a
+    // column with injected nulls.
+    "q25_null_semantics" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("prio", nullif(col("o_orderpriority"), lit("1-URGENT")))
+      o.groupBy("o_orderstatus").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("prio")).as("n_nonnull"),
+        countDistinct(col("prio")).as("n_distinct_nonnull"),
+        sum(when(col("prio").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        sum(when(col("prio") <=> lit("3-MEDIUM"), 1L).otherwise(0L)).as("n_medium_nullsafe"))
+    }),
+
     // Time-series aggregation: month bucketing over the events table.
     "q17_time_agg" -> ((s, d) => {
       Tables.events(s, d)
@@ -426,6 +469,29 @@ object OlapQueries {
            strftime(o_orderdate, '%Y-%m-%d') AS asof_orderdate,
            o_totalprice AS asof_totalprice
          FROM j WHERE rn = 1""",
+    "q23_full_outer" ->
+      """WITH c AS (SELECT c_nationkey, COUNT(*) AS n_customers FROM customer GROUP BY c_nationkey),
+              s AS (SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY s_nationkey)
+         SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+         FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey""",
+    "q24_range_window" ->
+      """SELECT o_custkey, o_orderkey,
+         COUNT(*) OVER w AS n_trailing_30d,
+         ROUND(SUM(o_totalprice) OVER w, 4) AS sum_trailing_30d
+         FROM (SELECT *, epoch(o_orderdate)::BIGINT AS o_epoch FROM orders WHERE o_custkey < 200)
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_epoch
+           RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""",
+    "q25_null_semantics" ->
+      """SELECT o_orderstatus,
+         COUNT(*) AS n_rows,
+         COUNT(prio) AS n_nonnull,
+         COUNT(DISTINCT prio) AS n_distinct_nonnull,
+         CAST(SUM(CASE WHEN prio IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         CAST(SUM(CASE WHEN prio IS NOT DISTINCT FROM '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium_nullsafe
+         FROM (SELECT o_orderstatus, NULLIF(o_orderpriority, '1-URGENT') AS prio FROM orders)
+         GROUP BY o_orderstatus""",
     "q17_time_agg" ->
       """SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month, event_type,
          COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value,
