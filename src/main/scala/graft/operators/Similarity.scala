@@ -59,19 +59,41 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
-  /** IVF ANN: coarse centroids = per-label mean vectors (deterministic
-    * stand-in for a trained codebook); assign every vector to its
-    * nearest centroid, probe the `nprobe` nearest lists per query.
+  /** Deterministic seeded k-means (the IVF coarse codebook): init =
+    * the first `k` vectors by id, then `iters` rounds of
+    * assign-to-nearest + element-wise mean. Every step is a
+    * distributed DataFrame op (assignment broadcast, means via
+    * posexplode-groupBy); fully deterministic — no RNG.
+    */
+  def kmeansCentroids(c: DataFrame, k: Int, iters: Int): DataFrame = {
+    var centroids = c.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    for (_ <- 1 to iters) {
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(round(col("ccos"), 9).desc, col("c_id").asc)
+      val assigned = c.crossJoin(broadcast(centroids))
+        .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("crk", row_number().over(wAssign))
+        .filter(col("crk") === 1)
+        .select(col("c_id"), col("v"))
+      centroids = assigned.select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("c_id", "pos").agg(avg("x").as("cx"))
+        .groupBy("c_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pcs"))
+        .select(col("c_id"), expr("transform(pcs, p -> p.cx)").as("cv"))
+        .withColumn("cn", norm(col("cv")))
+    }
+    centroids
+  }
+
+  /** IVF ANN: coarse centroids from seeded k-means; assign every
+    * vector to its nearest centroid, probe the `nprobe` nearest lists
+    * per query.
     */
   def ivfTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10, nprobe: Int = 3): DataFrame = {
     val c = corpus(emb)
-    // centroids: element-wise mean per label via posexplode + rebuild
-    val centroids = c.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("label", "pos").agg(avg("x").as("cx"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pcs"))
-      .select(col("label").as("c_id"), expr("transform(pcs, p -> p.cx)").as("cv"))
-      .withColumn("cn", norm(col("cv")))
+    val centroids = kmeansCentroids(c, k = 10, iters = 2)
     // assign corpus vectors to nearest centroid
     val wAssign = Window.partitionBy("vec_id").orderBy(round(col("ccos"), 9).desc, col("c_id").asc)
     val assigned = c.crossJoin(broadcast(centroids))
