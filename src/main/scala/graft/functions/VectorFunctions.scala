@@ -28,10 +28,18 @@ object VectorFunctions {
   /** MinHash signature (k components) over a string-array column.
     * Component i = min over shingles of xxhash64(shingle, i) — xxhash64
     * is a native codegen'd Catalyst expression, no UDF.
+    *
+    * Single `aggregate` pass with a k-wide running-min accumulator —
+    * NOT transform-per-seed, which re-evaluates the `shingles`
+    * expression k times per row once projection collapse inlines the
+    * upstream tokenize/shingle pipeline (a 16× blow-up in practice).
     */
   def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles, s => xxhash64(s, i))))
+    aggregate(
+      shingles,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (m, i) => least(m, xxhash64(s, i))))
 
   /** Banded LSH keys for a minhash signature: `bands` keys, each
     * hashing `rowsPerBand` consecutive signature components plus the

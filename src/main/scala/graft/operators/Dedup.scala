@@ -41,12 +41,15 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = k / bands
+    // cached: read by both sides of the bucket self-join, and caching
+    // stops projection collapse re-inlining the signature pipeline
     val sigs = docs
       .withColumn("toks", tokens(lower(col("text"))))
       .withColumn("shingles", array_distinct(wordNgrams(col("toks"), 2)))
       .withColumn("sig", minhashSignature(col("shingles"), k))
       .withColumn("bandkeys", bandKeys(col("sig"), bands, rows))
       .select("doc_id", "sig", "bandkeys")
+      .cache()
     val buckets = sigs.select(col("doc_id"), explode(col("bandkeys")).as("bucket"))
     // candidate pairs: same band bucket, a < b, deduped across bands
     val pairs = buckets.as("a")
@@ -79,6 +82,7 @@ object Dedup {
       .withColumn("sig", minhashSignature(col("shingles"), k))
       .withColumn("bandkeys", bandKeys(col("sig"), bands, rows))
       .select("doc_id", "sig", "bandkeys")
+      .cache()
     val buckets = sigs.select(col("doc_id"), col("sig"), explode(col("bandkeys")).as("bucket"))
     buckets.as("a")
       .join(buckets.as("b"),
@@ -97,6 +101,7 @@ object Dedup {
       .withColumn("bits", simhashBits(col("toks")))
       .select(Seq(col("doc_id"), col("bits")) ++
         (0 until 4).map(k => simhashBandKey(col("bits"), k).as(s"sb_$k")): _*)
+      .cache()
     val buckets = sigs.select(col("doc_id"), col("bits"),
         explode(array((0 until 4).map(k => col(s"sb_$k")): _*)).as("bucket"))
     val near = buckets.as("a")
@@ -141,12 +146,18 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       idCol: String = "doc_id", srcCol: String = "doc_a",
       dstCol: String = "doc_b", maxIter: Int = 10): DataFrame = {
-    // symmetrized edge list
+    // symmetrized edge list — CACHED: the loop reads it every round,
+    // and recomputing an LSH-candidate pipeline per round would
+    // dominate the whole algorithm
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .cache()
     var labels = nodes.select(col(idCol).as("id"), col(idCol).cast("long").as("component_id"))
     var iter = 0
-    var converged = false
+    // count() (not isEmpty) so the cache is FULLY materialized before
+    // the loop — isEmpty stops at one partition and the rest would be
+    // recomputed every round
+    var converged = sym.count() == 0
     while (!converged && iter < maxIter) {
       val neighborMin = sym
         .join(labels, col("dst") === col("id"))
@@ -165,6 +176,7 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    sym.unpersist(blocking = false)
     labels.select(col("id").as(idCol), col("component_id"))
   }
 
