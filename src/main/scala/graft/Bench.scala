@@ -21,7 +21,11 @@ object Bench {
     SparkEntry.entry(spark).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // toRdd.count forces full evaluation of the final projection —
+      // a DataFrame count() would let Catalyst prune the computed
+      // columns and time a bare scan for row-level queries
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

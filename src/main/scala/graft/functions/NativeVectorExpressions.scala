@@ -96,8 +96,62 @@ case class NormSquaredExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** 64-bit SimHash of a token array as a packed long: per-token
+  * xxhash64 (seed 42, matching Spark's `xxhash64`), ±1 vote per bit,
+  * sign → bit. The hot loop lives in [[SimHash64Expr.compute]] (a
+  * plain static JVM loop); codegen emits a single call to it — no
+  * per-element lambda interpretation.
+  */
+case class SimHash64Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(a: Any): Any =
+    SimHash64Expr.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SimHash64Expr.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+object SimHash64Expr {
+  def compute(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          s, org.apache.spark.sql.types.StringType, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sim |= (1L << j)
+      j += 1
+    }
+    sim
+  }
+}
+
 object NativeVectorExpressions {
   def vectorDot(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProductExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def simhash64(toks: Column): Column =
+    GraftColumnBridge.column(SimHash64Expr(GraftColumnBridge.expression(toks)))
 }

@@ -55,32 +55,20 @@ object VectorFunctions {
     aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), _ + _).cast("double") / size(sigA)
 
-  /** SimHash as a 64-element 0/1 bit array: per-token xxhash64, ±1 vote
-    * per bit (bit j of the token hash), sign of the vote sum → bit.
-    * Kept as an array (not packed) so hamming/banding stay pure
-    * higher-order-function compositions.
+  /** 64-bit SimHash packed into a long — native expression
+    * ([[SimHash64Expr]]): the per-token ±1 vote loop runs as a plain
+    * JVM loop inside codegen, not interpreted lambdas.
     */
-  def simhashBits(toks: Column): Column = {
-    val votes = aggregate(
-      transform(toks, t => xxhash64(t)),
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc,
-        // literal shift amounts: bit j of the token hash as a ±1 vote
-        array((0 until 64).map(j =>
-          when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))): _*),
-        (a, v) => a + v))
-    transform(votes, s => when(s > 0, 1).otherwise(0))
-  }
+  def simhash64(toks: Column): Column = NativeVectorExpressions.simhash64(toks)
 
-  /** Hamming distance between two simhash bit arrays. */
-  def hammingBits(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0), _ + _)
+  /** Hamming distance between two packed simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** 16-bit band `k` (0..3) of a simhash bit array, hashed to a key —
-    * near-dups within hamming distance ≤ 3 share at least one band.
+  /** 16-bit band `k` (0..3) of a packed simhash — near-dups within
+    * hamming distance ≤ 3 share at least one band.
     */
-  def simhashBandKey(bits: Column, k: Int): Column =
-    xxhash64(slice(bits, 16 * k + 1, 16), lit(k))
+  def simhashBand64(sim: Column, k: Int): Column =
+    shiftright(sim, 16 * k).bitwiseAND(lit(0xFFFFL))
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
     * plane p, dimension d — engine-independent arithmetic on xxhash64.

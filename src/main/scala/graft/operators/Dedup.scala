@@ -98,22 +98,21 @@ object Dedup {
   def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigs = docs
       .withColumn("toks", tokens(lower(col("text"))))
-      .withColumn("bits", simhashBits(col("toks")))
-      .select(Seq(col("doc_id"), col("bits")) ++
-        (0 until 4).map(k => simhashBandKey(col("bits"), k).as(s"sb_$k")): _*)
+      .withColumn("sim", simhash64(col("toks")))
+      .select(Seq(col("doc_id"), col("sim")) ++
+        (0 until 4).map(k => simhashBand64(col("sim"), k).as(s"sb_$k")): _*)
       .cache()
-    val buckets = sigs.select(col("doc_id"), col("bits"),
+    val buckets = sigs.select(col("doc_id"), col("sim"),
         explode(array((0 until 4).map(k => col(s"sb_$k")): _*)).as("bucket"))
     val near = buckets.as("a")
       .join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("doc_b"),
-        hammingBits(col("a.bits"), col("b.bits")).as("hd"))
+        hamming64(col("a.sim"), col("b.sim")).as("hd"))
       .distinct()
       .filter(col("hd") <= maxHamming)
       .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
-    sigs.drop("bits")
-      .join(near, Seq("doc_id"), "left")
+    sigs.join(near, Seq("doc_id"), "left")
       .withColumn("n_near", coalesce(col("n_near"), lit(0L)))
   }
 

@@ -272,9 +272,8 @@ object OlapQueries {
         .groupBy("l_returnflag")
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("exact_median"))
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+        // exact twins live in q6/q16; specs assert the error bounds
     }),
 
     // Full outer join of two aggregated sides (nations with customers
@@ -318,6 +317,17 @@ object OlapQueries {
         countDistinct(col("prio")).as("n_distinct_nonnull"),
         sum(when(col("prio").isNull, 1L).otherwise(0L)).as("n_nulls"),
         sum(when(col("prio") <=> lit("3-MEDIUM"), 1L).otherwise(0L)).as("n_medium_nullsafe"))
+    }),
+
+    // Nested aggregation: per-group collected set, emitted as a
+    // canonical joined string (cross-engine-stable representation).
+    "q26_nested_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
+          countDistinct(col("l_linestatus")).as("n_statuses"),
+          count(lit(1)).as("n_rows"))
     }),
 
     // Time-series aggregation: month bucketing over the events table.
@@ -492,6 +502,12 @@ object OlapQueries {
          CAST(SUM(CASE WHEN prio IS NOT DISTINCT FROM '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium_nullsafe
          FROM (SELECT o_orderstatus, NULLIF(o_orderpriority, '1-URGENT') AS prio FROM orders)
          GROUP BY o_orderstatus""",
+    "q26_nested_agg" ->
+      """SELECT l_returnflag,
+         array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+         COUNT(DISTINCT l_linestatus) AS n_statuses,
+         COUNT(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
     "q17_time_agg" ->
       """SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month, event_type,
          COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value,

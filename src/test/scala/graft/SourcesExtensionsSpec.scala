@@ -139,13 +139,15 @@ class SourcesExtensionsSpec extends SparkSpec {
   }
 
   test("approx sketches stay within error bounds of exact values") {
-    val rows = SparkEntry.queries("q20_approx_sketch")(spark, sf).collect()
-    rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact < 0.1, s"HLL err too big: $approx vs $exact")
-      val am = r.getAs[Double]("approx_median")
-      val em = r.getAs[Double]("exact_median")
+    val approx = SparkEntry.queries("q20_approx_sketch")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("approx_parts"), r.getAs[Double]("approx_median"))).toMap
+    val exact = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("p"),
+        expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("p"), r.getAs[Double]("m"))).toMap
+    exact.foreach { case (k, (ep, em)) =>
+      val (ap, am) = approx(k)
+      assert(math.abs(ap.toDouble - ep) / ep < 0.1, s"HLL err too big: $ap vs $ep")
       assert(math.abs(am - em) / em < 0.1, s"quantile sketch err: $am vs $em")
     }
   }
