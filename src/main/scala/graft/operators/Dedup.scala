@@ -118,9 +118,11 @@ object Dedup {
 
   /** Exact word-bigram Jaccard over blocked candidate pairs. */
   def ngramJaccard(docs: DataFrame, maxLenDiff: Int = 3): DataFrame = {
+    // cached: both sides of the blocked self-join read it
     val t = docs
       .withColumn("shingles", array_distinct(wordNgrams(tokens(lower(col("text"))), 2)))
       .select("doc_id", "lang", "n_chars", "shingles")
+      .cache()
     t.as("a").join(t.as("b"),
         col("a.lang") === col("b.lang") &&
         abs(col("a.n_chars") - col("b.n_chars")) <= maxLenDiff &&

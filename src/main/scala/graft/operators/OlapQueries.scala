@@ -213,15 +213,20 @@ object OlapQueries {
       }
     }),
 
-    // Exact interpolated percentiles (= DuckDB quantile_cont).
+    // Exact interpolated percentiles (= DuckDB quantile_cont). One
+    // array-percentile aggregate per column: a scalar call per
+    // quantile would build three separate value buffers.
     "q16_percentile" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
+          expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ps"),
           round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"))
+        .select(col("l_returnflag"),
+          round(expr("ps[0]"), 6).as("p25"),
+          round(expr("ps[1]"), 6).as("p50"),
+          round(expr("ps[2]"), 6).as("p75"),
+          col("median_qty"))
     }),
 
     // Explicit GROUPING SETS (finer than rollup/cube): chosen lattice
