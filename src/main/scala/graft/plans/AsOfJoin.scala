@@ -68,7 +68,9 @@ case class AsOfJoinExec(
     val rightWidth = right.output.size
     val schema = output
     val leftAttrs = left.output
-    val rightAttrs = right.output
+    // bind as nullable: the outer-join null row must survive the
+    // projection (non-nullable BoundReferences skip the null check)
+    val rightAttrs = right.output.map(_.withNullability(true))
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val proj = UnsafeProjection.create(schema, leftAttrs ++ rightAttrs)
       val nullRight = new GenericInternalRow(rightWidth)
@@ -83,7 +85,12 @@ case class AsOfJoinExec(
         case n: Number => n.longValue()
       }
       lIt.map { lRow =>
-        val k = asLong(lkB.eval(lRow))
+        val kRaw = lkB.eval(lRow)
+        if (kRaw == null) {
+          // SQL join semantics: a null key matches nothing
+          proj(joined(lRow, nullRight))
+        } else {
+        val k = asLong(kRaw)
         val t = asLong(ltB.eval(lRow))
         // advance the right side up to (key, time<=t); the LAST row
         // consumed for this key is the as-of match (sorted by
@@ -91,15 +98,22 @@ case class AsOfJoinExec(
         var advancing = true
         while (advancing && rBuf.hasNext) {
           val head = rBuf.head
-          val hk = asLong(rkB.eval(head))
-          val ht = asLong(rtB.eval(head))
+          val hkRaw = rkB.eval(head)
+          val htRaw = rtB.eval(head)
+          val hk = asLong(hkRaw)
+          val ht = asLong(htRaw)
           if (hk < k || (hk == k && ht <= t)) {
             val r = rBuf.next()
-            if (hk == k) { heldRow = r.copy(); heldKey = k }
+            // null key/time rows are consumed (they sort first) but
+            // never held — an unknown time cannot be an as-of match
+            if (hk == k && hkRaw != null && htRaw != null) {
+              heldRow = r.copy(); heldKey = k
+            }
           } else advancing = false
         }
         val matched = heldRow != null && heldKey == k
         proj(joined(lRow, if (matched) heldRow else nullRight))
+        }
       }
     }
   }

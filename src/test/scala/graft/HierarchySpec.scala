@@ -81,6 +81,32 @@ class HierarchySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("forest: multiple roots each get their own subtree and closure") {
+    val forest = Seq(
+      ("r1", 1L, "R1", "Total", null.asInstanceOf[String]),
+      ("r2", 2L, "R2", "Total", null.asInstanceOf[String]),
+      ("r1a", 11L, "R1A", "Leaf", "r1"),
+      ("r2a", 21L, "R2A", "Leaf", "r2")
+    ).toDF("node_id", "node_natural_key", "node_name", "level_name", "parent_node_id")
+    val d = new operators.HierarchyDimension(forest)
+    val pairs = d.aggregationDim
+      .select("ancestor_node_id", "descendant_node_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("r1", "r1"), ("r2", "r2"), ("r1a", "r1a"), ("r2a", "r2a"),
+      ("r1", "r1a"), ("r2", "r2a")), pairs.toString)
+  }
+
+  test("null keys in native as-of join match nothing") {
+    val left = Seq((1L, Option(10L), "2024-01-10 00:00:00"), (2L, Option.empty[Long], "2024-01-10 00:00:00"))
+      .toDF("id", "k", "t").withColumn("t", to_timestamp(col("t")))
+    val right = Seq((100L, 10L, "2024-01-01 00:00:00")).toDF("rid", "rk", "rt")
+      .withColumn("rt", to_timestamp(col("rt")))
+    val out = graft.plans.AsOfJoin.asofJoinNative(left, right, "k", "rk", "t", "rt", "rid")
+      .select("id", "rid").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(out(1L) == 100L)
+    assert(out(2L) == null)
+  }
+
   test("cyclic parent links terminate at maxDepth instead of hanging") {
     val cyclic = Seq(
       ("root", 0L, "Root", "Total", null.asInstanceOf[String]),
