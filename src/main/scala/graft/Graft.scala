@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.operators._
+
+/** User-facing facade — the one-import surface for a user of the
+  * reference (prmoore77/ibis-olap-aggregation) switching to this
+  * library, plus the large-scale pipeline operators.
+  *
+  * {{{
+  * import graft.Graft
+  * val dim = Graft.hierarchy(nodesDf)                      // reference: HierarchyDimension(...)
+  * val out = Graft.hierarchicalRollup(factsDf, dim)        // reference: main.py flagship
+  * val dups = Graft.nearDupClusters(docsDf)                // LLM-pipeline dedup
+  * val knn  = Graft.cosineTopK(embeddingsDf, k = 5)        // similarity search
+  * }}}
+  */
+object Graft {
+
+  /** Parent-child node table → derived hierarchy dims
+    * (reference: classes/hierarchy_dimension_table.py:47-94).
+    */
+  def hierarchy(nodes: DataFrame,
+      nodeIdCol: String = "node_id",
+      parentIdCol: String = "parent_node_id",
+      knownDepth: Int = -1): HierarchyDimension =
+    new HierarchyDimension(nodes, nodeIdCol, parentIdCol, knownDepth = knownDepth)
+
+  /** Flagship hierarchical rollup (reference: main.py:27-56): facts
+    * keyed by `factKey` aggregated to every node of the hierarchy.
+    */
+  def hierarchicalRollup(facts: DataFrame, dim: HierarchyDimension,
+      factKey: String = "leaf_key"): DataFrame =
+    HierarchyAgg.hierarchicalRollup(facts, dim.aggregationDim, factKey)
+
+  /** Exact dedup groups on normalized text. */
+  def exactDedup(docs: DataFrame): DataFrame = Dedup.exactDedup(docs)
+
+  /** Near-duplicate clusters (minhash-LSH candidates → connected
+    * components); docs need `doc_id` + `text`.
+    */
+  def nearDupClusters(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame =
+    Dedup.dupClusters(docs, minEstJaccard)
+
+  /** Exact cosine top-k neighbors for the query set `vec_id < nQueries`. */
+  def cosineTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame =
+    Similarity.bruteForceTopK(embeddings, k, nQueries)
+
+  /** IVF approximate top-k (seeded k-means codebook). */
+  def cosineTopKApprox(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
+      nprobe: Int = 3): DataFrame =
+    Similarity.ivfTopK(embeddings, k, nQueries, nprobe)
+
+  /** Native sort-merge as-of join (see graft.plans.AsOfJoin). */
+  def asofJoin(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, leftTime: String, rightTime: String,
+      tieBreak: String): DataFrame =
+    graft.plans.AsOfJoin.asofJoinNative(left, right, leftKey, rightKey,
+      leftTime, rightTime, tieBreak)
+
+  /** Gap-based sessionization (batch form; streaming twins in
+    * graft.streaming.StreamingOps).
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame =
+    graft.streaming.StreamingOps.sessionize(events, gapSeconds)
+
+  /** One-pass column profile. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = Profile.profile(df, cols)
+
+  /** Register graft's SQL functions + optimizer rule on a session. */
+  def install(spark: SparkSession): Unit = GraftFunctions.register(spark)
+}

@@ -41,6 +41,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("multimodal: metadata-only query never reads the payload source column") {
+    val media = graft.operators.Multimodal.mediaTable(Tables.documents(spark, sf))
+    val metaOnly = media.select("doc_id", "media_type", "width", "height")
+    val p = metaOnly.queryExecution.executedPlan.toString()
+    // payload = encode(text); a pruned plan reads doc_id only
+    assert(!p.contains("ReadSchema: struct<doc_id:bigint,text"), p)
+  }
+
   test("q1: aggregation runs inside whole-stage codegen") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     // AQE's pre-execution plan string hides codegen stages; ask for
