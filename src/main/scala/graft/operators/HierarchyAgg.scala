@@ -136,19 +136,27 @@ object HierarchyAgg {
   def hierarchicalRollup(facts: DataFrame, aggDim: DataFrame,
       factKey: String = "leaf_key"): DataFrame = {
     val indent = expr("lpad('-', (ancestor_level_number - 1) * 7, '-')")
-    val dim = aggDim.select(
+    // the fact-side shuffle/groupBy key is the numeric sort order
+    // (1:1 with nodes) — the string labels join back onto the
+    // nodes-sized aggregate, so the wide expanded fact stream never
+    // hashes or shuffles strings
+    val joinDim = aggDim.select(
       col("descendant_node_natural_key"),
-      concat(indent, col("ancestor_node_name")).as("product_node_name"),
-      concat(indent, col("ancestor_level_name")).as("product_level_name"),
       col("ancestor_node_sort_order"))
+    val labels = aggDim.select(
+      col("ancestor_node_sort_order"),
+      concat(indent, col("ancestor_node_name")).as("product_node_name"),
+      concat(indent, col("ancestor_level_name")).as("product_level_name"))
+      .distinct()
     facts
-      .join(broadcast(dim), col(factKey) === col("descendant_node_natural_key"))
-      .groupBy("product_node_name", "product_level_name", "ancestor_node_sort_order")
+      .join(broadcast(joinDim), col(factKey) === col("descendant_node_natural_key"))
+      .groupBy("ancestor_node_sort_order")
       .agg(
         round(sum(col("sales_amount")), 2).as("sum_sales_amount"),
         round(sum(col("unit_quantity")), 2).as("sum_unit_quantity"),
         countDistinct(col("customer_id")).as("distinct_customer_count"),
         count(lit(1)).as("count_of_fact_records"))
+      .join(broadcast(labels), Seq("ancestor_node_sort_order"))
       .orderBy("ancestor_node_sort_order")
       .select("product_node_name", "product_level_name", "sum_sales_amount",
         "sum_unit_quantity", "distinct_customer_count", "count_of_fact_records")
