@@ -143,11 +143,16 @@ object HierarchyAgg {
     val joinDim = aggDim.select(
       col("descendant_node_natural_key"),
       col("ancestor_node_sort_order"))
-    val labels = aggDim.select(
+    // CONTRACT: aggDim must come from HierarchyDimension.aggregationDim
+    // (or satisfy the same invariant): ancestor_node_sort_order is a
+    // non-null row_number, unique per node, so it functionally
+    // determines the label pair. The closure's self-pairs
+    // (net_level = 0) are exactly one row per node — labels need no
+    // distinct() shuffle.
+    val labels = aggDim.filter(col("net_level") === 0).select(
       col("ancestor_node_sort_order"),
       concat(indent, col("ancestor_node_name")).as("product_node_name"),
       concat(indent, col("ancestor_level_name")).as("product_level_name"))
-      .distinct()
     facts
       .join(broadcast(joinDim), col(factKey) === col("descendant_node_natural_key"))
       .groupBy("ancestor_node_sort_order")
