@@ -29,7 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "vector_dot"),
-      (exprs: Seq[Expression]) => DotProductExpr(exprs.head, exprs(1))))
+      GraftExtensions.vectorDotBuilder))
     e.injectOptimizerRule(_ => OptimizeSelfDot)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
@@ -38,10 +38,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 /** Imperative twin of [[GraftExtensions]] for sessions that are
   * already built (tests, the driver contract mains).
   */
+object GraftExtensions {
+  /** Arity-checked builder: wrong argument counts surface as an
+    * analysis error, not an IndexOutOfBoundsException.
+    */
+  val vectorDotBuilder: Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != 2) {
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map("functionName" -> "`vector_dot`",
+          "expectedNum" -> "2", "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    }
+    DotProductExpr(exprs.head, exprs(1))
+  }
+}
+
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, "vector_dot",
-      exprs => DotProductExpr(exprs.head, exprs(1)))
+      GraftExtensions.vectorDotBuilder)
     if (!spark.experimental.extraOptimizations.contains(OptimizeSelfDot)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ OptimizeSelfDot

@@ -50,10 +50,13 @@ object TextFunctions {
     * `split(text, '')` (O(n)) — semantics unchanged.
     */
   def fingerprint(text: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(text)),
-        i => i.cast("long") * ascii(text.substr(i, lit(1)))),
-      lit(0L), (acc, x) => acc + x)
+    // empty-text guard: sequence(1, 0) would produce the DESCENDING
+    // [1, 0] (Spark's default step is -1), not an empty sequence
+    when(length(text) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(text)),
+          i => i.cast("long") * ascii(text.substr(i, lit(1)))),
+        lit(0L), (acc, x) => acc + x))
 
   /** Word n-grams (n >= 2) as space-joined strings; empty array when
     * the document has fewer than n tokens.

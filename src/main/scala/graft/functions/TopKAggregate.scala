@@ -25,10 +25,14 @@ import org.apache.spark.sql.types._
 case class TopKByScore(
     score: Expression, id: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   require(k > 0, "k must be positive")
 
+  // analysis-time typing: int/float inputs are implicitly cast instead
+  // of dying with a ClassCastException in update()
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(

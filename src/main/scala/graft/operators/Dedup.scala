@@ -40,6 +40,7 @@ object Dedup {
     * candidate count comes from the bucket self-join.
     */
   def minhashLsh(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, s"k ($k) must be a multiple of bands ($bands)")
     val rows = k / bands
     // cached: read by both sides of the bucket self-join, and caching
     // stops projection collapse re-inlining the signature pipeline
@@ -61,13 +62,9 @@ object Dedup {
       .unionAll(pairs.select(col("doc_b").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
     sigs.join(cand, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        element_at(col("bandkeys"), 1).as("band_0"),
-        element_at(col("bandkeys"), 2).as("band_1"),
-        element_at(col("bandkeys"), 3).as("band_2"),
-        element_at(col("bandkeys"), 4).as("band_3"),
-        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+      .select(col("doc_id") +:
+        (0 until bands).map(b => element_at(col("bandkeys"), b + 1).as(s"band_$b")) :+
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"): _*)
   }
 
   /** Candidate near-dup pairs from minhash LSH with estimated Jaccard
@@ -75,6 +72,7 @@ object Dedup {
     * per-doc summary above is the registered query).
     */
   def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, s"k ($k) must be a multiple of bands ($bands)")
     val rows = k / bands
     val sigs = docs
       .withColumn("toks", tokens(lower(col("text"))))
@@ -153,7 +151,9 @@ object Dedup {
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .cache()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).cast("long").as("component_id"))
+    // component label = min id of the component, in the id's own type
+    // (a cast-to-long here would null out non-numeric ids)
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("component_id"))
     var iter = 0
     // count() (not isEmpty) so the cache is FULLY materialized before
     // the loop — isEmpty stops at one partition and the rest would be

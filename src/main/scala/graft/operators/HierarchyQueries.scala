@@ -16,22 +16,36 @@ object HierarchyQueries {
     * mirrored here via the instance cache (instances cache their
     * derived DataFrames).
     */
-  private val dimCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, Boolean), HierarchyDimension]
+  // weak-keyed on the session: entries (and their cached dims) die
+  // with the session instead of leaking for the JVM lifetime, and
+  // identity is the session object itself (no hashCode collisions)
+  private val dimCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), HierarchyDimension]]())
+
+  private def cached(spark: SparkSession, kind: String, sfDir: String)(
+      build: => HierarchyDimension): HierarchyDimension = {
+    val perSession = dimCache.synchronized {
+      var m = dimCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(String, String), HierarchyDimension]
+        dimCache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((kind, sfDir), build)
+  }
 
   def dimension(spark: SparkSession, sfDir: String): HierarchyDimension =
-    dimCache.getOrElseUpdate((System.identityHashCode(spark), sfDir, false),
+    cached(spark, "region_nation", sfDir)(
       new HierarchyDimension(HierarchyAgg.regionNationNodes(spark, sfDir), knownDepth = 3))
 
   def deepDimension(spark: SparkSession, sfDir: String): HierarchyDimension =
-    dimCache.getOrElseUpdate((System.identityHashCode(spark), sfDir, true),
+    cached(spark, "region_nation_segment", sfDir)(
       new HierarchyDimension(HierarchyAgg.regionNationSegmentNodes(spark, sfDir), knownDepth = 4))
 
-  private val partDimCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), HierarchyDimension]
-
   def partDimension(spark: SparkSession, sfDir: String): HierarchyDimension =
-    partDimCache.getOrElseUpdate((System.identityHashCode(spark), sfDir),
+    cached(spark, "part", sfDir)(
       new HierarchyDimension(HierarchyAgg.partNodes(spark, sfDir), knownDepth = 3))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -148,10 +148,11 @@ object TextQueries {
                 + 4000 * LEAST(n_toks, 100) AS BIGINT) AS quality_ppm
          FROM m""",
     "t4_fingerprint" ->
-      """SELECT doc_id, CAST(SUM(i * ord(substring(text, CAST(i AS INT), 1))) AS BIGINT) AS fingerprint,
+      """SELECT doc_id,
+           CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+             i -> i * ord(substring(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS fingerprint,
            CAST(length(text) AS BIGINT) AS len
-         FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents)
-         GROUP BY doc_id, length(text)""",
+         FROM documents""",
     "t6_bpe_tokens" ->
       raw"""WITH t AS (
            SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
