@@ -40,18 +40,43 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
-  /** Random-hyperplane LSH ANN: probe only the query's bucket.
-    * `nPlanes` controls bucket granularity (2^nPlanes buckets).
+  /** Random-hyperplane LSH ANN with `nTables` independent hash tables
+    * (the standard recall amplifier: a true neighbor is missed only if
+    * it hashes apart in EVERY table). Each vector lands in one bucket
+    * per table; candidates are the union over tables, deduped before
+    * the exact re-rank. The shuffle key is (table, bucket) — never
+    * all-pairs.
     */
-  def lshTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10, nPlanes: Int = 4): DataFrame = {
-    val c = corpus(emb).withColumn("bucket", hyperplaneBucket(col("v"), nPlanes))
-    val q = c.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("bucket").as("qbucket"))
+  def lshTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
+      nPlanes: Int = 4, nTables: Int = 4): DataFrame = {
+    val base = corpus(emb)
+    // per-table bucket: table t uses planes [t*nPlanes, (t+1)*nPlanes)
+    // via the deterministic plane hash, so tables are independent
+    val c = base.withColumn("buckets", array((0 until nTables).map { t =>
+      val planes = transform(sequence(lit(t * nPlanes), lit((t + 1) * nPlanes - 1)), p => {
+        val proj = aggregate(
+          zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+            (x, d) => x * graft.functions.VectorFunctions.planeComponent(p.cast("long"), d.cast("long"))),
+          lit(0.0), _ + _)
+        when(proj >= 0, 1).otherwise(0)
+      })
+      xxhash64(planes, lit(t))
+    }: _*)).cache()
+    val buckets = c.select(col("vec_id"), col("v"), col("nrm"),
+      posexplode(col("buckets")).as(Seq("table", "bucket")))
+    val qBuckets = buckets
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("table").as("qtable"), col("bucket").as("qbucket"))
     val w = Window.partitionBy("q_id")
       .orderBy(round(col("cos"), 9).desc, col("vec_id").asc)
-    c.join(broadcast(q), col("bucket") === col("qbucket"))
+    buckets.join(broadcast(qBuckets),
+        col("table") === col("qtable") && col("bucket") === col("qbucket"))
       .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id", "v", "nrm", "qv", "qn")
+      // union candidates across tables, once each (payload columns are
+      // functionally determined by the pair key)
+      .dropDuplicates("q_id", "vec_id")
       .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
