@@ -324,6 +324,20 @@ object OlapQueries {
         sum(when(col("prio") <=> lit("3-MEDIUM"), 1L).otherwise(0L)).as("n_medium_nullsafe"))
     }),
 
+    // Remaining ranking family: ntile / percent_rank / cume_dist /
+    // dense_rank over a totally-ordered window.
+    "q27_rank_family" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 300)
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .select("o_orderpriority", "o_orderkey", "quartile", "pr", "cd", "drnk")
+    }),
+
     // Nested aggregation: per-group collected set, emitted as a
     // canonical joined string (cross-engine-stable representation).
     "q26_nested_agg" -> ((s, d) => {
@@ -507,6 +521,14 @@ object OlapQueries {
          CAST(SUM(CASE WHEN prio IS NOT DISTINCT FROM '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium_nullsafe
          FROM (SELECT o_orderstatus, NULLIF(o_orderpriority, '1-URGENT') AS prio FROM orders)
          GROUP BY o_orderstatus""",
+    "q27_rank_family" ->
+      """SELECT o_orderpriority, o_orderkey,
+         CAST(ntile(4) OVER w AS INT) AS quartile,
+         ROUND(percent_rank() OVER w, 6) AS pr,
+         ROUND(cume_dist() OVER w, 6) AS cd,
+         CAST(dense_rank() OVER w AS BIGINT) AS drnk
+         FROM orders WHERE o_custkey < 300
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)""",
     "q26_nested_agg" ->
       """SELECT l_returnflag,
          array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
