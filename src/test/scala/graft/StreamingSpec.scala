@@ -64,6 +64,26 @@ class StreamingSpec extends SparkSpec {
     assert(canon(windowForm, cols: _*) == canon(lagForm, cols: _*))
   }
 
+  test("streaming dedup: duplicated stream input deduped to batch-distinct counts") {
+    // same file exposed twice → every event_id arrives twice
+    val dir = java.nio.file.Files.createTempDirectory("events_dup")
+    Seq("a", "b").foreach { n =>
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve(s"events_$n.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
+    }
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val q = spark.readStream.schema(schema).parquet(dir.toString)
+      .dropDuplicates("event_id")
+      .groupBy().count()
+      .writeStream.outputMode("complete").format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_out").head().getLong(0)
+      val batchDistinct = spark.read.parquet(s"$sf/events.parquet").count()
+      assert(streamed == batchDistinct, s"$streamed != $batchDistinct")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization equals batch sessionization") {
     val ev = Tables.events(spark, sf)
     val lagForm = StreamingOps.sessionize(ev)
