@@ -1,0 +1,277 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text/sketch hot paths.
+  *
+  * Round-1 profiling showed the three slowest queries (t4/t5/t6, 26–81s
+  * at sf0.1) were all bottlenecked on INTERPRETED higher-order-function
+  * lambdas (`aggregate`/`transform`/`zip_with` evaluate their lambda per
+  * element through the interpreter, outside whole-stage codegen). Same
+  * story for the minhash signature feeding d2/d6. Each expression here
+  * keeps the hot loop in a plain static JVM method (JIT-compiled), and
+  * codegen emits a single call to it — the [[SimHash64Expr]] pattern.
+  *
+  * All semantics are engine-independent arithmetic (or xxhash64, which
+  * is already Spark-native), bit-identical to the previous HOF forms so
+  * the DuckDB oracles are unchanged.
+  */
+object NativeTextExpressions {
+
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Position-weighted rolling-hash fingerprint:
+    * sum_i( i * codepoint(text[i]) ), 1-based, 0 for empty text.
+    * Replaces an O(n²) `transform(sequence)` + per-position `substr`.
+    */
+  def fingerprintCompute(s: UTF8String): Long = {
+    val str = s.toString
+    var sum = 0L
+    var i = 0
+    var pos = 1L
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      sum += pos * cp
+      i += Character.charCount(cp)
+      pos += 1
+    }
+    sum
+  }
+
+  /** Word n-grams as space-joined strings; empty when fewer than n
+    * tokens. Null tokens propagate to null grams (matching the
+    * `zip_with`+`concat` form).
+    */
+  def wordNgramsCompute(arr: ArrayData, n: Int): ArrayData = {
+    val num = arr.numElements()
+    val m = num - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](num)
+    var i = 0
+    while (i < num) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var j = 0
+      var ok = true
+      while (j < n) {
+        if (toks(i + j) == null) ok = false
+        parts(2 * j) = toks(i + j)
+        if (j < n - 1) parts(2 * j + 1) = SPACE
+        j += 1
+      }
+      out(i) = if (ok) UTF8String.concat(parts: _*) else null
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** BPE-ish subword estimate: sum over tokens of ceil(len/4) — the
+    * ~4-chars-per-BPE-token rule. Null tokens contribute nothing (the
+    * documents pipeline never produces them).
+    */
+  def subwordEstCompute(arr: ArrayData): Long = {
+    val num = arr.numElements()
+    var sum = 0L
+    var i = 0
+    while (i < num) {
+      val s = arr.getUTF8String(i)
+      if (s != null) sum += (s.numChars() + 3) / 4
+      i += 1
+    }
+    sum
+  }
+
+  /** MinHash signature: component i = min over shingles of
+    * xxhash64(shingle, i) with Spark's column semantics (seed 42, the
+    * string hashed first, the component index folded in after) — bit-
+    * identical to the previous `aggregate`+`zip_with` accumulator.
+    */
+  def minhashSigCompute(arr: ArrayData, k: Int): ArrayData = {
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val num = arr.numElements()
+    var i = 0
+    while (i < num) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val h1 = XxHash64Function.hash(s, StringType, 42L)
+        var c = 0
+        while (c < k) {
+          val h = XxHash64Function.hash(c, IntegerType, h1)
+          if (h < mins(c)) mins(c) = h
+          c += 1
+        }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  /** Fraction of equal components between two equal-length signatures
+    * (the minhash Jaccard estimate).
+    */
+  def sigMatchFracCompute(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * pmod(xxhash64(p, d), 2000)/1000 - 1 with Spark's two-long column
+    * hash (seed 42 folded through both) — identical to the previous
+    * [[VectorFunctions.planeComponent]].
+    */
+  def planeComponentCompute(p: Long, d: Long): Double = {
+    val h1 = XxHash64Function.hash(p, LongType, 42L)
+    val h = XxHash64Function.hash(d, LongType, h1)
+    val m = h % 2000L
+    val pm = if (m < 0) m + 2000L else m
+    pm.toDouble / 1000.0 - 1.0
+  }
+
+  /** Random-hyperplane LSH buckets, one per table: table t projects
+    * onto planes [t*nPlanes, (t+1)*nPlanes) and packs the projection
+    * sign bits into a long (bit p set ⇔ projection on plane p ≥ 0).
+    * The (table, bucket) pair is the shuffle key for ANN candidate
+    * generation — never all-pairs.
+    */
+  def hyperplaneBucketsCompute(vec: ArrayData, nPlanes: Int, nTables: Int): ArrayData = {
+    val dim = vec.numElements()
+    val v = new Array[Double](dim)
+    var d = 0
+    while (d < dim) { v(d) = vec.getDouble(d); d += 1 }
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bits = 0L
+      var pi = 0
+      while (pi < nPlanes) {
+        val p = (t * nPlanes + pi).toLong
+        var proj = 0.0
+        d = 0
+        while (d < dim) { proj += v(d) * planeComponentCompute(p, d.toLong); d += 1 }
+        if (proj >= 0) bits |= (1L << pi)
+        pi += 1
+      }
+      out(t) = bits
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  // ---- Column API ----
+
+  def fingerprint64(text: Column): Column =
+    GraftColumnBridge.column(Fingerprint64Expr(GraftColumnBridge.expression(text)))
+
+  def wordNgramsNative(toks: Column, n: Int): Column =
+    GraftColumnBridge.column(WordNgramsExpr(GraftColumnBridge.expression(toks), n))
+
+  def subwordEstimate(toks: Column): Column =
+    GraftColumnBridge.column(SubwordEstExpr(GraftColumnBridge.expression(toks)))
+
+  def minhashSig(shingles: Column, k: Int): Column =
+    GraftColumnBridge.column(MinHashSigExpr(GraftColumnBridge.expression(shingles), k))
+
+  def sigMatchFrac(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SigMatchFracExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def hyperplaneBuckets(vec: Column, nPlanes: Int, nTables: Int): Column =
+    GraftColumnBridge.column(HyperplaneBucketsExpr(
+      GraftColumnBridge.expression(vec), nPlanes, nTables))
+}
+
+case class Fingerprint64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fingerprint64"
+  override def nullSafeEval(a: Any): Any =
+    NativeTextExpressions.fingerprintCompute(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.NativeTextExpressions.fingerprintCompute($a);")
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint64Expr =
+    copy(child = newChild)
+}
+
+case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 2, "n-grams need n >= 2")
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "word_ngrams"
+  override def nullSafeEval(a: Any): Any =
+    NativeTextExpressions.wordNgramsCompute(a.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.NativeTextExpressions.wordNgramsCompute($a, $n);")
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsExpr =
+    copy(child = newChild)
+}
+
+case class SubwordEstExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "subword_estimate"
+  override def nullSafeEval(a: Any): Any =
+    NativeTextExpressions.subwordEstCompute(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.NativeTextExpressions.subwordEstCompute($a);")
+  override protected def withNewChildInternal(newChild: Expression): SubwordEstExpr =
+    copy(child = newChild)
+}
+
+case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, "signature length must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(a: Any): Any =
+    NativeTextExpressions.minhashSigCompute(a.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.NativeTextExpressions.minhashSigCompute($a, $k);")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+case class SigMatchFracExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sig_match_frac"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NativeTextExpressions.sigMatchFracCompute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.NativeTextExpressions.sigMatchFracCompute($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigMatchFracExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+case class HyperplaneBucketsExpr(child: Expression, nPlanes: Int, nTables: Int)
+    extends UnaryExpression {
+  require(nPlanes >= 1 && nPlanes <= 63, "nPlanes must fit a long's bits")
+  require(nTables >= 1, "need at least one table")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+  override def nullSafeEval(a: Any): Any =
+    NativeTextExpressions.hyperplaneBucketsCompute(a.asInstanceOf[ArrayData], nPlanes, nTables)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.NativeTextExpressions.hyperplaneBucketsCompute($a, $nPlanes, $nTables);")
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketsExpr =
+    copy(child = newChild)
+}

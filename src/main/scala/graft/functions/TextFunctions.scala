@@ -41,36 +41,27 @@ object TextFunctions {
       .otherwise("de")
 
   /** Position-weighted rolling-hash fingerprint:
-    * sum_i( i * codepoint(text[i]) ), 1-based.
+    * sum_i( i * codepoint(text[i]) ), 1-based; 0 for empty text.
     *
     * Engine-independent (plain arithmetic — no murmur/xx dependence) so
-    * the DuckDB oracle can reproduce it bit-for-bit. The per-position
-    * `substring` is O(n²) per document; documents here are ≤1 KB. For
-    * multi-MB documents switch the inner expression to
-    * `split(text, '')` (O(n)) — semantics unchanged.
+    * the DuckDB oracle can reproduce it bit-for-bit. Native codegen'd
+    * expression ([[Fingerprint64Expr]]) — a single O(n) codepoint walk
+    * per document; the previous HOF form ran an interpreted O(n²)
+    * per-position `substr` loop (82× the oracle at sf0.1).
     */
-  def fingerprint(text: Column): Column =
-    // empty-text guard: sequence(1, 0) would produce the DESCENDING
-    // [1, 0] (Spark's default step is -1), not an empty sequence
-    when(length(text) === 0, lit(0L)).otherwise(
-      aggregate(
-        transform(sequence(lit(1), length(text)),
-          i => i.cast("long") * ascii(text.substr(i, lit(1)))),
-        lit(0L), (acc, x) => acc + x))
+  def fingerprint(text: Column): Column = NativeTextExpressions.fingerprint64(text)
 
   /** Word n-grams (n >= 2) as space-joined strings; empty array when
-    * the document has fewer than n tokens.
-    *
-    * Built by zipping n shifted `slice`s of the token array — NOT by
-    * `element_at` over an index sequence, which re-evaluates the token
-    * expression per element (O(tokens²) per row when `toks` is an
-    * unmaterialized split).
+    * the document has fewer than n tokens. Native codegen'd expression
+    * ([[WordNgramsExpr]]): one token-array pass per row, no interpreted
+    * lambdas.
     */
-  def wordNgrams(toks: Column, n: Int): Column = {
-    val m = size(toks) - lit(n - 1)
-    val parts = (0 until n).map(o => slice(toks, lit(o + 1), m))
-    val grams = parts.reduceLeft((acc, p) =>
-      zip_with(acc, p, (a, b) => concat(a, lit(" "), b)))
-    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
-  }
+  def wordNgrams(toks: Column, n: Int): Column =
+    NativeTextExpressions.wordNgramsNative(toks, n)
+
+  /** BPE-ish subword-count estimate: sum over tokens of ceil(len/4)
+    * (~4-chars-per-BPE-token rule). Native ([[SubwordEstExpr]]).
+    */
+  def subwordEstimate(toks: Column): Column =
+    NativeTextExpressions.subwordEstimate(toks)
 }

@@ -26,20 +26,14 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** MinHash signature (k components) over a string-array column.
-    * Component i = min over shingles of xxhash64(shingle, i) — xxhash64
-    * is a native codegen'd Catalyst expression, no UDF.
-    *
-    * Single `aggregate` pass with a k-wide running-min accumulator —
-    * NOT transform-per-seed, which re-evaluates the `shingles`
-    * expression k times per row once projection collapse inlines the
-    * upstream tokenize/shingle pipeline (a 16× blow-up in practice).
+    * Component i = min over shingles of xxhash64(shingle, i). Native
+    * codegen'd expression ([[MinHashSigExpr]]): one shingle pass with a
+    * k-wide running-min array in a plain JVM loop — bit-identical to
+    * (and ~30× faster than) the previous interpreted `aggregate`
+    * accumulator.
     */
   def minhashSignature(shingles: Column, k: Int): Column =
-    aggregate(
-      shingles,
-      array_repeat(lit(Long.MaxValue), k),
-      (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),
-        (m, i) => least(m, xxhash64(s, i))))
+    NativeTextExpressions.minhashSig(shingles, k)
 
   /** Banded LSH keys for a minhash signature: `bands` keys, each
     * hashing `rowsPerBand` consecutive signature components plus the
@@ -50,10 +44,9 @@ object VectorFunctions {
       b => xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), b))
 
   /** Estimated Jaccard from two minhash signatures: fraction of equal
-    * components. */
+    * components. Native ([[SigMatchFracExpr]]). */
   def estJaccard(sigA: Column, sigB: Column): Column =
-    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), _ + _).cast("double") / size(sigA)
+    NativeTextExpressions.sigMatchFrac(sigA, sigB)
 
   /** 64-bit SimHash packed into a long — native expression
     * ([[SimHash64Expr]]): the per-token ±1 vote loop runs as a plain

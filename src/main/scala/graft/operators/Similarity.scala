@@ -1,9 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.NativeTextExpressions
+import graft.functions.TopKAggregate.topkByScore
 import graft.functions.VectorFunctions._
 
 /** Similarity-search operator family (SURVEY.md §2.E): top-k cosine
@@ -11,12 +12,20 @@ import graft.functions.VectorFunctions._
   *
   * - brute force: exact baseline. The (small) query set is broadcast
   *   against the corpus — a narrow map over the big side, then a
-  *   per-query top-k window. At 100 TB this is the ground-truth/recall
+  *   per-query top-k. At 100 TB this is the ground-truth/recall
   *   harness, not the serving path.
-  * - LSH: random-hyperplane buckets; candidates share a bucket. The
-  *   shuffle is on bucket id, never all-pairs.
-  * - IVF: coarse centroids (mean per label here — a stand-in for a
-  *   k-means codebook), nprobe nearest lists probed per query.
+  * - LSH: random-hyperplane buckets (native codegen'd projection),
+  *   multiprobe on the query side; candidates share a bucket. The
+  *   shuffle is on (table, bucket), never all-pairs.
+  * - IVF: coarse centroids (seeded k-means codebook), nprobe nearest
+  *   lists probed per query.
+  *
+  * All three re-rank with [[graft.functions.TopKByScore]] — a bounded-
+  * heap partial aggregate, so only nTasks × k candidate tuples cross
+  * the shuffle (a `row_number` window would shuffle and sort EVERY
+  * candidate pair). The sort key is `round(cos, 9)` for cross-engine
+  * FP-tie parity with the DuckDB oracle; the emitted cosine is the raw
+  * value rounded to 6, exactly as before.
   */
 object Similarity {
 
@@ -24,84 +33,82 @@ object Similarity {
     emb.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
 
+  /** Shared top-k re-rank: candidate pairs (q_id, vec_id, cos) →
+    * (q_id, rank, neighbor_id, cosine). Partial aggregation: map-side
+    * buffers hold ≤ k entries each.
+    */
+  private def rerank(pairs: DataFrame, k: Int): DataFrame =
+    pairs
+      .groupBy("q_id")
+      .agg(topkByScore(round(col("cos"), 9), col("cos"), col("vec_id"), k).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("neighbor_id"), round(col("t.score"), 6).as("cosine"))
+
   /** Exact brute-force top-k for queries `vec_id < nQueries`. */
   def bruteForceTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
     val c = corpus(emb)
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val w = Window.partitionBy("q_id")
-      .orderBy(round(col("cos"), 9).desc, col("vec_id").asc)
-    c.crossJoin(broadcast(q))
+    val pairs = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 6).as("cosine"))
+    rerank(pairs, k)
   }
 
   /** Random-hyperplane LSH ANN with `nTables` independent hash tables
     * (the standard recall amplifier: a true neighbor is missed only if
-    * it hashes apart in EVERY table). Each vector lands in one bucket
-    * per table; candidates are the union over tables, deduped before
-    * the exact re-rank. The shuffle key is (table, bucket) — never
-    * all-pairs.
+    * it hashes apart in EVERY table) plus distance-1 multiprobe on the
+    * query side (each query also probes the `nPlanes` buckets that
+    * differ by one projection sign — the neighbors most likely to hold
+    * near misses). Buckets come from the native codegen'd
+    * [[graft.functions.HyperplaneBucketsExpr]]; candidates are deduped
+    * across tables before the exact re-rank. The shuffle key is
+    * (table, bucket) — never all-pairs.
     */
   def lshTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
-      nPlanes: Int = 4, nTables: Int = 4): DataFrame = {
-    val base = corpus(emb)
-    // per-table bucket: table t uses planes [t*nPlanes, (t+1)*nPlanes)
-    // via the deterministic plane hash, so tables are independent
-    val c = base.withColumn("buckets", array((0 until nTables).map { t =>
-      val planes = transform(sequence(lit(t * nPlanes), lit((t + 1) * nPlanes - 1)), p => {
-        val proj = aggregate(
-          zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
-            (x, d) => x * graft.functions.VectorFunctions.planeComponent(p.cast("long"), d.cast("long"))),
-          lit(0.0), _ + _)
-        when(proj >= 0, 1).otherwise(0)
-      })
-      xxhash64(planes, lit(t))
-    }: _*)).cache()
+      nPlanes: Int = 6, nTables: Int = 8): DataFrame = {
+    val c = corpus(emb)
+      .withColumn("buckets",
+        NativeTextExpressions.hyperplaneBuckets(col("v"), nPlanes, nTables))
     val buckets = c.select(col("vec_id"), col("v"), col("nrm"),
       posexplode(col("buckets")).as(Seq("table", "bucket")))
-    val qBuckets = buckets
-      .filter(col("vec_id") < nQueries)
+    // query side: home bucket + one-bit flips (multiprobe); the query
+    // set is tiny so the probe expansion is broadcast, not shuffled
+    val qProbes = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
-        col("table").as("qtable"), col("bucket").as("qbucket"))
-    val w = Window.partitionBy("q_id")
-      .orderBy(round(col("cos"), 9).desc, col("vec_id").asc)
-    buckets.join(broadcast(qBuckets),
-        col("table") === col("qtable") && col("bucket") === col("qbucket"))
+        posexplode(col("buckets")).as(Seq("qtable", "qbucket")))
+      .select(col("q_id"), col("qv"), col("qn"), col("qtable"),
+        explode(concat(array(col("qbucket")),
+          transform(array((0 until nPlanes).map(j => lit(1L << j)): _*),
+            m => col("qbucket").bitwiseXOR(m)))).as("qprobe"))
+    val pairs = buckets.join(broadcast(qProbes),
+        col("table") === col("qtable") && col("bucket") === col("qprobe"))
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id", "v", "nrm", "qv", "qn")
-      // union candidates across tables, once each (payload columns are
-      // functionally determined by the pair key)
+      // union candidates across tables/probes, once each (payload
+      // columns are functionally determined by the pair key)
       .dropDuplicates("q_id", "vec_id")
       .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 6).as("cosine"))
+    rerank(pairs, k)
   }
 
   /** Deterministic seeded k-means (the IVF coarse codebook): init =
     * the first `k` vectors by id, then `iters` rounds of
     * assign-to-nearest + element-wise mean. Every step is a
-    * distributed DataFrame op (assignment broadcast, means via
-    * posexplode-groupBy); fully deterministic — no RNG.
+    * distributed DataFrame op; fully deterministic — no RNG.
+    *
+    * Assignment is a `max_by` hash aggregate (argmax centroid per
+    * vector with the same (round(cos,9) desc, c_id asc) tie-break the
+    * old window used) — partial aggregation instead of a per-vector
+    * window sort.
     */
   def kmeansCentroids(c: DataFrame, k: Int, iters: Int): DataFrame = {
     var centroids = c.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
       .withColumn("cn", norm(col("cv")))
     for (_ <- 1 to iters) {
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(round(col("ccos"), 9).desc, col("c_id").asc)
-      val assigned = c.crossJoin(broadcast(centroids))
-        .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-        .withColumn("crk", row_number().over(wAssign))
-        .filter(col("crk") === 1)
-        .select(col("c_id"), col("v"))
+      val assigned = assignToCentroids(c, centroids)
       centroids = assigned.select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("c_id", "pos").agg(avg("x").as("cx"))
         .groupBy("c_id")
@@ -112,6 +119,18 @@ object Similarity {
     centroids
   }
 
+  /** Nearest-centroid assignment: broadcast the codebook, take the
+    * argmax by (round(cos,9) desc, c_id asc) per vector. `first(v)` is
+    * exact — every row in a vec_id group carries the same vector.
+    */
+  private def assignToCentroids(c: DataFrame, centroids: DataFrame): DataFrame =
+    c.crossJoin(broadcast(centroids))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("c_id"), struct(round(col("ccos"), 9), -col("c_id"))).as("c_id"),
+        first("label").as("label"), first("v").as("v"), first("nrm").as("nrm"))
+
   /** IVF ANN: coarse centroids from seeded k-means; assign every
     * vector to its nearest centroid, probe the `nprobe` nearest lists
     * per query.
@@ -119,31 +138,23 @@ object Similarity {
   def ivfTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10, nprobe: Int = 3): DataFrame = {
     val c = corpus(emb)
     val centroids = kmeansCentroids(c, k = 10, iters = 2)
-    // assign corpus vectors to nearest centroid
-    val wAssign = Window.partitionBy("vec_id").orderBy(round(col("ccos"), 9).desc, col("c_id").asc)
-    val assigned = c.crossJoin(broadcast(centroids))
-      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") === 1)
+    val assigned = assignToCentroids(c, centroids)
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("c_id").as("list_id"))
-    // queries probe their nprobe nearest lists
-    val wProbe = Window.partitionBy("q_id").orderBy(round(col("ccos"), 9).desc, col("c_id").asc)
+    // queries probe their nprobe nearest lists: bounded-heap top-nprobe
+    // per query over the broadcast codebook
     val probes = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       .crossJoin(broadcast(centroids))
       .withColumn("ccos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("crk", row_number().over(wProbe))
-      .filter(col("crk") <= nprobe)
-      .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("list_id"))
-    val w = Window.partitionBy("q_id")
-      .orderBy(round(col("cos"), 9).desc, col("vec_id").asc)
-    assigned.join(broadcast(probes), Seq("list_id"))
+      .groupBy("q_id")
+      .agg(topkByScore(round(col("ccos"), 9), col("c_id").cast("double"), col("c_id"), nprobe).as("tk"),
+        first("qv").as("qv"), first("qn").as("qn"))
+      .select(col("q_id"), col("qv"), col("qn"), explode(col("tk")).as("t"))
+      .select(col("q_id"), col("qv"), col("qn"), col("t.id").as("list_id"))
+    val pairs = assigned.join(broadcast(probes), Seq("list_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 6).as("cosine"))
+    rerank(pairs, k)
   }
 }
 

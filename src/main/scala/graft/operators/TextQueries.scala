@@ -81,8 +81,7 @@ object TextQueries {
         .select(
           col("doc_id"),
           size(col("toks")).as("n_ws_tokens"),
-          expr("aggregate(transform(toks, t -> CAST((length(t) + 3) div 4 AS BIGINT)), 0L, (a, x) -> a + x)")
-            .as("n_subword_est"),
+          subwordEstimate(col("toks")).as("n_subword_est"),
           expr("CAST(regexp_count(text, '[aeiou]+') AS BIGINT)").as("n_vowel_runs"),
           expr("CAST(regexp_count(text, '[bcdfghjklmnpqrstvwxyz]+') AS BIGINT)").as("n_consonant_runs"))
     }),
