@@ -174,6 +174,45 @@ object NativeTextExpressions {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Engine-independent pseudo-random hyperplane component in [-1, 1):
+    * a 31-bit LCG over the (plane, dimension) pair, pure integer
+    * arithmetic + a power-of-two division — every step is exact in
+    * both engines, so a DuckDB oracle reproduces the buckets
+    * bit-for-bit (unlike xxhash64, which DuckDB lacks).
+    */
+  def lcgPlaneComponent(p: Long, d: Long): Double = {
+    val m = (1103515245L * (p * 131L + d) + 12345L) % 2147483648L
+    m.toDouble / 1073741824.0 - 1.0
+  }
+
+  /** LCG-hyperplane LSH buckets, one per table — the oracle-
+    * reproducible twin of [[hyperplaneBucketsCompute]], used where the
+    * result feeds an exact-match DuckDB oracle (d5 near-dup blocking).
+    */
+  def lcgBucketsCompute(vec: ArrayData, nPlanes: Int, nTables: Int): ArrayData = {
+    val dim = vec.numElements()
+    val v = new Array[Double](dim)
+    var d = 0
+    while (d < dim) { v(d) = vec.getDouble(d); d += 1 }
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bits = 0L
+      var pi = 0
+      while (pi < nPlanes) {
+        val p = (t * nPlanes + pi).toLong
+        var proj = 0.0
+        d = 0
+        while (d < dim) { proj += v(d) * lcgPlaneComponent(p, d.toLong); d += 1 }
+        if (proj >= 0) bits |= (1L << pi)
+        pi += 1
+      }
+      out(t) = bits
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   // ---- Column API ----
 
   def fingerprint64(text: Column): Column =
@@ -194,6 +233,10 @@ object NativeTextExpressions {
 
   def hyperplaneBuckets(vec: Column, nPlanes: Int, nTables: Int): Column =
     GraftColumnBridge.column(HyperplaneBucketsExpr(
+      GraftColumnBridge.expression(vec), nPlanes, nTables))
+
+  def lcgBuckets(vec: Column, nPlanes: Int, nTables: Int): Column =
+    GraftColumnBridge.column(LcgBucketsExpr(
       GraftColumnBridge.expression(vec), nPlanes, nTables))
 }
 
@@ -259,6 +302,21 @@ case class SigMatchFracExpr(left: Expression, right: Expression) extends BinaryE
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SigMatchFracExpr =
     copy(left = newLeft, right = newRight)
+}
+
+case class LcgBucketsExpr(child: Expression, nPlanes: Int, nTables: Int)
+    extends UnaryExpression {
+  require(nPlanes >= 1 && nPlanes <= 63, "nPlanes must fit a long's bits")
+  require(nTables >= 1, "need at least one table")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lcg_buckets"
+  override def nullSafeEval(a: Any): Any =
+    NativeTextExpressions.lcgBucketsCompute(a.asInstanceOf[ArrayData], nPlanes, nTables)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.NativeTextExpressions.lcgBucketsCompute($a, $nPlanes, $nTables);")
+  override protected def withNewChildInternal(newChild: Expression): LcgBucketsExpr =
+    copy(child = newChild)
 }
 
 case class HyperplaneBucketsExpr(child: Expression, nPlanes: Int, nTables: Int)

@@ -16,10 +16,12 @@ import graft.functions.VectorFunctions._
   *   hash buckets (shuffle on band key, self-join per bucket) — the
   *   classic sub-quadratic near-dup pipeline.
   * - n-gram Jaccard: exact verification, but only over blocked
-  *   candidate pairs (here lang + length blocking; at 100 TB the
-  *   blocking key would be the LSH band).
-  * - embedding near-dup: label-blocked exact cosine (at 100 TB the
-  *   block is an LSH/IVF bucket, see [[SimilarityQueries]]).
+  *   candidate pairs — equi-keyed on (lang, length band) so the
+  *   shuffle key cardinality scales with the data, not with the
+  *   handful of languages.
+  * - embedding near-dup: LCG-hyperplane LSH blocking (oracle-
+  *   reproducible arithmetic), label + cosine threshold as verify
+  *   filters.
   */
 object Dedup {
 
@@ -114,15 +116,33 @@ object Dedup {
       .withColumn("n_near", coalesce(col("n_near"), lit(0L)))
   }
 
-  /** Exact word-bigram Jaccard over blocked candidate pairs. */
+  /** Exact word-bigram Jaccard over blocked candidate pairs.
+    *
+    * The equi-join key is (lang, length band): bands are
+    * `maxLenDiff + 1` chars wide, so every qualifying pair
+    * (|Δlen| ≤ maxLenDiff) sits in the same or an adjacent band — the
+    * left side probes its own band ±1 and the exact |Δlen| predicate
+    * filters inside the block. The result set is IDENTICAL to a plain
+    * (lang, |Δlen|) blocking, but the shuffle key has
+    * O(langs × distinct-lengths/band) cardinality instead of ~4 — the
+    * difference between a balanced shuffle and every row landing on a
+    * handful of keys at 100 TB. Exactly one probe band matches per
+    * pair (a band step of ±1 covers |Δlen| ≤ band width - 1), so no
+    * dedup pass is needed.
+    */
   def ngramJaccard(docs: DataFrame, maxLenDiff: Int = 3): DataFrame = {
+    val bandWidth = maxLenDiff + 1
     // cached: both sides of the blocked self-join read it
     val t = docs
       .withColumn("shingles", array_distinct(wordNgrams(tokens(lower(col("text"))), 2)))
-      .select("doc_id", "lang", "n_chars", "shingles")
+      .withColumn("band", floor(col("n_chars") / bandWidth))
+      .select("doc_id", "lang", "n_chars", "band", "shingles")
       .cache()
-    t.as("a").join(t.as("b"),
+    val probes = t.withColumn("jband",
+      explode(array(col("band") - 1, col("band"), col("band") + 1)))
+    probes.as("a").join(t.as("b"),
         col("a.lang") === col("b.lang") &&
+        col("a.jband") === col("b.band") &&
         abs(col("a.n_chars") - col("b.n_chars")) <= maxLenDiff &&
         col("a.doc_id") < col("b.doc_id"))
       .select(
@@ -189,16 +209,40 @@ object Dedup {
     connectedComponents(docs, pairs)
   }
 
-  /** Label-blocked embedding cosine near-dup pairs. */
-  def embeddingNearDup(emb: DataFrame, threshold: Double = 0.25): DataFrame = {
+  /** Embedding cosine near-dup pairs, blocked on LCG-hyperplane LSH
+    * buckets (`nTables` independent tables of `nPlanes` sign bits):
+    * candidates share a (table, bucket) key; the label equality and the
+    * cosine threshold are verify-time FILTERS, not blocking keys. The
+    * shuffle key has nTables × 2^nPlanes cardinality — the round-1
+    * label-only blocking collapsed the entire table onto a handful of
+    * keys, an all-pairs quadratic block at 100 TB.
+    *
+    * The hyperplanes are integer-LCG arithmetic + power-of-two division
+    * ([[graft.functions.NativeTextExpressions.lcgPlaneComponent]]) —
+    * exact in both engines, so the DuckDB oracle rebuilds identical
+    * buckets and the driver check stays an exact hash match.
+    */
+  def embeddingNearDup(emb: DataFrame, threshold: Double = 0.25,
+      nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
     val e = emb.select(col("vec_id"), col("label"),
       asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
-      .filter(col("cos") >= threshold)
+      .withColumn("buckets",
+        graft.functions.NativeTextExpressions.lcgBuckets(col("v"), nPlanes, nTables))
+      .cache()
+    val buckets = e.select(col("vec_id"), col("label"), col("v"), col("nrm"),
+      posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(col("a.label") === col("b.label"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(col("cos"), 6).as("cosine"))
+        col("a.v").as("va"), col("a.nrm").as("na"),
+        col("b.v").as("vb"), col("b.nrm").as("nb"))
+      // a pair can collide in several tables — count it once
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
   }
 }

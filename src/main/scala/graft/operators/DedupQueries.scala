@@ -42,6 +42,10 @@ object DedupQueries {
                  len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
          FROM t a JOIN t b
            ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 3 AND a.doc_id < b.doc_id""",
+    // mirrors Dedup.embeddingNearDup's LCG-hyperplane LSH blocking
+    // (8 tables x 4 planes): the plane components are integer-LCG +
+    // power-of-two division — exact in both engines, so the candidate
+    // sets (and hence the verified pairs) are identical
     "d5_embedding_neardup" ->
       """WITH e AS (
            SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -49,12 +53,27 @@ object DedupQueries {
          n AS (
            SELECT vec_id, label, v,
              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-           FROM e)
-         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_sum(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]))
-                 / (a.nrm * b.nrm), 6) AS cosine
-         FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-         WHERE list_sum(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]))
-               / (a.nrm * b.nrm) >= 0.25"""
+           FROM e),
+         b AS (
+           SELECT vec_id, label, t.t AS tbl,
+             list_sum(list_transform(range(0, 4), p ->
+               CASE WHEN list_sum(list_transform(range(0, len(v)), d ->
+                      v[d + 1] * (((1103515245 * ((t.t * 4 + p) * 131 + d) + 12345)
+                                   % 2147483648) / 1073741824.0 - 1.0))) >= 0
+                    THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS bucket
+           FROM n, (SELECT unnest(range(0, 8)) AS t) t),
+         pairs AS (
+           SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+           FROM b a JOIN b b2
+             ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+           WHERE a.label = b2.label)
+         SELECT p.vec_a, p.vec_b,
+           ROUND(list_sum(list_transform(list_zip(x.v, y.v), s -> s[1] * s[2]))
+                 / (x.nrm * y.nrm), 6) AS cosine
+         FROM pairs p
+         JOIN n x ON p.vec_a = x.vec_id
+         JOIN n y ON p.vec_b = y.vec_id
+         WHERE list_sum(list_transform(list_zip(x.v, y.v), s -> s[1] * s[2]))
+               / (x.nrm * y.nrm) >= 0.25"""
   )
 }

@@ -127,19 +127,24 @@ object HierarchyAgg {
     * node with `lpad`-indented labels, aggregate
     * sum/sum/distinct-count/count, order by DFS sort order.
     *
-    * Scale shape: `aggDim` is broadcast (dim-sized closure), so the
-    * 100 TB fact side never shuffles for the join; the groupBy keys
-    * have |nodes| cardinality → partial aggregation collapses nearly
-    * everything map-side. `distinct_customer_count` is the one
-    * genuinely shuffle-heavy term (exact distinct per the reference).
+    * Scale shape, in order:
+    * 1. facts are pre-aggregated to (leaf, customer) grain — ONE
+    *    shuffle of the giant side, with map-side partial aggregation
+    *    collapsing it to the distinct-pair cardinality. This is the
+    *    only point where 100 TB of rows move.
+    * 2. the closure join is broadcast (dim-sized), so the pre-agg
+    *    stream expands ×depth without shuffling.
+    * 3. the ancestor groupBy (|nodes| cardinality keys) computes the
+    *    sums/counts additively from the pre-agg partials and the exact
+    *    `countDistinct(customer_id)` over distinct pairs — the Expand
+    *    for the mixed distinct/non-distinct aggregate runs over the
+    *    pair grain, not the raw fact stream (round-1 h5/h6 cost).
+    * 4. string labels join onto the nodes-sized aggregate on the
+    *    numeric sort order — the expanded stream never hashes strings.
     */
   def hierarchicalRollup(facts: DataFrame, aggDim: DataFrame,
       factKey: String = "leaf_key"): DataFrame = {
     val indent = expr("lpad('-', (ancestor_level_number - 1) * 7, '-')")
-    // the fact-side shuffle/groupBy key is the numeric sort order
-    // (1:1 with nodes) — the string labels join back onto the
-    // nodes-sized aggregate, so the wide expanded fact stream never
-    // hashes or shuffles strings
     val joinDim = aggDim.select(
       col("descendant_node_natural_key"),
       col("ancestor_node_sort_order"))
@@ -153,14 +158,20 @@ object HierarchyAgg {
       col("ancestor_node_sort_order"),
       concat(indent, col("ancestor_node_name")).as("product_node_name"),
       concat(indent, col("ancestor_level_name")).as("product_level_name"))
-    facts
+    val pairAgg = facts
+      .groupBy(col(factKey), col("customer_id"))
+      .agg(
+        sum(col("sales_amount")).as("__sales"),
+        sum(col("unit_quantity")).as("__qty"),
+        count(lit(1)).as("__n"))
+    pairAgg
       .join(broadcast(joinDim), col(factKey) === col("descendant_node_natural_key"))
       .groupBy("ancestor_node_sort_order")
       .agg(
-        round(sum(col("sales_amount")), 2).as("sum_sales_amount"),
-        round(sum(col("unit_quantity")), 2).as("sum_unit_quantity"),
+        round(sum(col("__sales")), 2).as("sum_sales_amount"),
+        round(sum(col("__qty")), 2).as("sum_unit_quantity"),
         countDistinct(col("customer_id")).as("distinct_customer_count"),
-        count(lit(1)).as("count_of_fact_records"))
+        sum(col("__n")).as("count_of_fact_records"))
       .join(broadcast(labels), Seq("ancestor_node_sort_order"))
       .orderBy("ancestor_node_sort_order")
       .select("product_node_name", "product_level_name", "sum_sales_amount",
