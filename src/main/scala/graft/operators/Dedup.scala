@@ -202,10 +202,24 @@ object Dedup {
   }
 
   /** Near-dup clusters: minhash-LSH candidate pairs filtered by
-    * estimated Jaccard, grouped into components.
+    * estimated Jaccard, grouped into components. The sub-quadratic
+    * 100 TB path (candidates only from band buckets).
     */
   def dupClusters(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame = {
     val pairs = minhashPairs(docs).filter(col("est_jaccard") >= minEstJaccard)
+    connectedComponents(docs, pairs)
+  }
+
+  /** Similarity clusters over EXACT blocked n-gram Jaccard edges —
+    * engine-independent (no xxhash), so a DuckDB recursive CTE
+    * reproduces the components bit-for-bit and the driver check is an
+    * exact hash match. Same component algebra as [[dupClusters]];
+    * candidate generation is the (lang, length-band) blocking of
+    * [[ngramJaccard]] rather than minhash bands.
+    */
+  def jaccardClusters(docs: DataFrame, minJaccard: Double = 0.5,
+      maxLenDiff: Int = 3): DataFrame = {
+    val pairs = ngramJaccard(docs, maxLenDiff).filter(col("jaccard") >= minJaccard)
     connectedComponents(docs, pairs)
   }
 

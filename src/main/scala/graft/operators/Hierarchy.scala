@@ -27,8 +27,8 @@ import org.apache.spark.sql.functions._
   * @param levelFields node attribute columns carried into the path
   *                    structs and flattened per level
   * @param levelColumns how many `level_{i}_*` column families to emit
-  *                    (reference hardcodes 10; we default lower, the
-  *                    testdata hierarchies are depth ≤ 4)
+  *                    (10, matching the reference's hardcoded width —
+  *                    levels beyond the hierarchy depth are null)
   * @param maxDepth    safety bound on the BFS loop (cycles / bad data)
   * @param knownDepth  exact hierarchy depth if the caller knows it
   *                    (> 0): the BFS loop then runs a fixed number of
@@ -40,7 +40,7 @@ class HierarchyDimension(
     nodeIdCol: String = "node_id",
     parentIdCol: String = "parent_node_id",
     levelFields: Seq[String] = Seq("node_id", "node_natural_key", "node_name", "level_name"),
-    levelColumns: Int = 4,
+    levelColumns: Int = 10,
     maxDepth: Int = 16,
     knownDepth: Int = -1) {
 
@@ -95,17 +95,21 @@ class HierarchyDimension(
       if (knownDepth <= 0 && frontier.isEmpty) done = true
       else { acc = acc.unionByName(frontier); depth += 1 }
     }
-    // DFS ordering: row_number over the lexicographic root-path key.
-    // (reference: hierarchy_dimension_table.py:139-144 orders by the
-    // stringified node_json_path). Dim-sized single-partition window.
-    val pathKey = array_join(expr(s"transform(path, x -> x.$nodeIdCol)"), "/")
+    // DFS ordering: row_number over the lexicographic root-path key,
+    // stringifying each path struct as its JSON (reference:
+    // hierarchy_dimension_table.py:136-144 orders by the stringified
+    // node_json path — the JSON form also fixes the sibling tie-break:
+    // the closing quote after a short node_id sorts before any longer
+    // id sharing the prefix). Dim-sized single-partition window.
+    val pathKey = array_join(expr("transform(path, x -> to_json(x))"), "/")
     acc.withColumn("node_sort_order",
       row_number().over(Window.orderBy(pathKey)).cast("long"))
       .cache()
   }
 
-  /** Reporting dimension: `level_number`, DFS `node_sort_order`, and
-    * flattened `level_{i}_<field>` columns
+  /** Reporting dimension: `level_number`, DFS `node_sort_order`, the
+    * per-node `node_json` struct-as-JSON column, and flattened
+    * `level_{i}_<field>` columns
     * (reference: hierarchy_dimension_table.py:109-171).
     */
   lazy val reportingDim: DataFrame = {
@@ -117,7 +121,9 @@ class HierarchyDimension(
             expr(s"try_element_at(path, $i).$f"))
         }
     }
-    withLevels.drop("path")
+    withLevels
+      .withColumn("node_json", to_json(pathStruct))
+      .drop("path")
   }
 
   /** Columns carried into the ancestor_ / descendant_ families —

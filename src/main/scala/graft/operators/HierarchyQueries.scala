@@ -124,7 +124,7 @@ rec AS (
   FROM flagged f JOIN rec r ON f.parent_node_id = r.node_id
 ),
 rdim AS (
-  SELECT *, CAST(row_number() OVER (ORDER BY array_to_string(list_transform(path, x -> x.node_id), '/')) AS BIGINT) AS node_sort_order
+  SELECT *, CAST(row_number() OVER (ORDER BY array_to_string(list_transform(path, x -> CAST(to_json(x) AS VARCHAR)), '/')) AS BIGINT) AS node_sort_order
   FROM rec
 ),
 adim AS (
@@ -143,7 +143,7 @@ adim AS (
   }
 
   private def levelCols: String =
-    (1 to 4).flatMap { i =>
+    (1 to 10).flatMap { i =>
       Seq("node_id", "node_natural_key", "node_name", "level_name").map { f =>
         s"path[$i].$f AS level_${i}_$f"
       }
@@ -183,7 +183,10 @@ SELECT node_id, node_natural_key, node_name, level_name, parent_node_id, is_root
     "h2_reporting_dim" ->
       s"""${prelude(false)}
 SELECT node_id, node_natural_key, node_name, level_name, parent_node_id, is_root, is_leaf,
-       level_number, node_sort_order, $levelCols
+       level_number, node_sort_order,
+       CAST(to_json(struct_pack(node_id := node_id, node_natural_key := node_natural_key,
+         node_name := node_name, level_name := level_name)) AS VARCHAR) AS node_json,
+       $levelCols
 FROM rdim""",
     "h3_aggregation_dim" ->
       s"""${prelude(false)}

@@ -123,9 +123,43 @@ object StreamingOps {
 
 object StreamingQueries {
 
+  /** Drive a Structured Streaming query over the events parquet to
+    * completion and return the (batch) result: the file is exposed
+    * through a temp-dir symlink (FileStreamSource wants a directory),
+    * read with `readStream`, written to a uniquely-named memory sink in
+    * complete mode, and `processAllAvailable()` blocks until the stream
+    * has consumed everything. The registered streaming forms run
+    * through the SAME driver gate as every batch query — st3 shares
+    * st1's oracle (watermarked streaming agg ≡ batch agg), st4 has a
+    * session-identity oracle.
+    */
+  private def runStream(spark: SparkSession, sfDir: String)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(dir.toString)
+    // normalize the TIMESTAMP(NANOS) long as Tables.events does
+    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val qname = "graft_stream_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = build(ev).writeStream
+      .outputMode("complete").format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(qname)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_windowed_agg" -> ((s, d) => StreamingOps.windowedAgg(Tables.events(s, d))),
-    "st2_sessionize" -> ((s, d) => StreamingOps.sessionize(Tables.events(s, d)))
+    "st2_sessionize" -> ((s, d) => StreamingOps.sessionize(Tables.events(s, d))),
+    // streaming-native forms, driven to completion on the same data
+    "st3_windowed_agg_stream" -> ((s, d) =>
+      runStream(s, d)(StreamingOps.windowedAggStream)),
+    "st4_session_window_stream" -> ((s, d) =>
+      runStream(s, d)(ev =>
+        StreamingOps.sessionWindowAgg(ev.withWatermark("ts", "1 hour"))))
   )
 
   val oracles: Map[String, String] = Map(
@@ -146,6 +180,30 @@ object StreamingQueries {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
            FROM flagged)
          SELECT user_id, sess_idx,
+           strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+         FROM sessions GROUP BY user_id, sess_idx""",
+    // identical semantics to st1: a watermarked streaming agg over a
+    // bounded input converges to the batch aggregate
+    "st3_windowed_agg_stream" ->
+      """SELECT strftime(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS window_start,
+           event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+         FROM events GROUP BY 1, 2""",
+    // st2's sessions keyed by (user, session start) instead of the
+    // running index — session_window carries no per-user ordinal
+    "st4_session_window_stream" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR (epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP))) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         sessions AS (
+           SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
+           FROM flagged)
+         SELECT user_id,
            strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
            COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
          FROM sessions GROUP BY user_id, sess_idx"""
