@@ -152,53 +152,118 @@ object Dedup {
           size(array_union(col("a.shingles"), col("b.shingles"))), 6).as("jaccard"))
   }
 
-  /** Connected components over candidate-pair edges by iterative
-    * minimum-label propagation: each node adopts the smallest label in
-    * its neighborhood (self included) until fixpoint. Converges in
-    * O(component diameter) rounds — near-dup clusters are shallow, so
-    * a handful of distributed join+agg rounds; `maxIter` bounds
-    * pathological chains.
+  /** Connected components over candidate-pair edges via alternating
+    * LARGE-STAR / SMALL-STAR rounds (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") — each round rewires every
+    * edge toward the minimum of its endpoint's neighborhood, so the
+    * edge set converges to stars centered at each component's minimum
+    * id in O(log²) rounds REGARDLESS of component diameter. (The
+    * previous min-label propagation was O(diameter): a 1320-node
+    * chain-shaped component at sf0.1 needed 29 rounds; this converges
+    * in a handful.) Labels then read directly off the final stars:
+    * component_id(u) = min(u, min neighbor).
+    *
+    * Engineering notes, each load-bearing:
+    * - every round's edge set is eagerly localCheckpoint'ed — an
+    *   uncheckpointed loop's plan contains the previous round's plan
+    *   several times over and grows exponentially;
+    * - the checkpointed frame is rebuilt with default stats
+    *   ([[org.apache.spark.sql.GraftColumnBridge.freshStats]]):
+    *   `localCheckpoint` carries the source plan's size estimate, and
+    *   multiplying those through each round's joins grows the
+    *   `sizeInBytes` BigInt geometrically until the driver spends
+    *   minutes per round in BigInteger math;
+    * - AQE is disabled for the loop (restored after): its
+    *   stage-materialization queue has been observed to wait forever
+    *   on reused self-join exchanges over stat-less checkpoint frames.
     *
     * This is the step that turns pairwise near-dup hits into dedup
     * GROUPS (keep min doc_id per component, drop the rest).
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       idCol: String = "doc_id", srcCol: String = "doc_a",
-      dstCol: String = "doc_b", maxIter: Int = 10): DataFrame = {
-    // symmetrized edge list — CACHED: the loop reads it every round,
-    // and recomputing an LSH-candidate pipeline per round would
-    // dominate the whole algorithm
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .cache()
-    // component label = min id of the component, in the id's own type
-    // (a cast-to-long here would null out non-numeric ids)
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("component_id"))
+      dstCol: String = "doc_b", maxIter: Int = 30): DataFrame = {
+    val spark = nodes.sparkSession
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsWas = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try connectedComponentsLoop(nodes, edges, idCol, srcCol, dstCol, maxIter)
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", partsWas)
+    }
+  }
+
+  /** Materialize + truncate lineage + reset carried statistics. */
+  private def materialized(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftColumnBridge.freshStats(df.localCheckpoint(true))
+
+  /** One star round: for every node u with neighborhood Γ(u) (from the
+    * symmetrized edge list) and m(u) = min(Γ(u) ∪ {u}), emit edges
+    * (v, m(u)) for the larger neighbors (large star: v > u) or the
+    * smaller-or-equal ones (small star: v ≤ u, plus u itself so star
+    * centers keep their own minimum). Self-loops drop; `distinct`
+    * keeps the edge set from inflating.
+    */
+  private def starRound(e: DataFrame, large: Boolean): DataFrame = {
+    val symE = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val m = symE.groupBy("src")
+      .agg(min("dst").as("__mn"))
+      .select(col("src").as("__u"), least(col("src"), col("__mn")).as("__m"))
+    val rewired = symE.join(m, col("src") === col("__u"))
+      .filter(if (large) col("dst") > col("src") else col("dst") <= col("src"))
+      .select(col("dst").as("src"), col("__m").as("dst"))
+    // small star also re-links every center to its own minimum so star
+    // centers don't lose their component edge
+    val withCenters =
+      if (large) rewired
+      else rewired.unionAll(m.select(col("__u").as("src"), col("__m").as("dst")))
+    withCenters.filter(col("src") =!= col("dst")).distinct()
+  }
+
+  private def connectedComponentsLoop(nodes: DataFrame, edges: DataFrame,
+      idCol: String, srcCol: String, dstCol: String, maxIter: Int): DataFrame = {
+    val spark = nodes.sparkSession
+    var e = materialized(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct())
+    // fixpoint signature: set equality via (count, order-independent
+    // hash-XOR). bit_xor, not sum: summing 64-bit hashes overflows (an
+    // error under ANSI mode), xor is overflow-free and commutative.
+    val sig = (d: DataFrame) => d.agg(
+      count(lit(1)), bit_xor(xxhash64(col("src"), col("dst")))).head()
+    var eSig = sig(e)
+    // with AQE off nothing coalesces the loop's shuffles, so size them
+    // to the edge set (~100k edges per partition, floor 8) instead of
+    // running every tiny stage at the session's fact-scale setting
+    val loopParts = math.max(8L, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong,
+      eSig.getLong(0) / 100000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
     var iter = 0
-    // count() (not isEmpty) so the cache is FULLY materialized before
-    // the loop — isEmpty stops at one partition and the rest would be
-    // recomputed every round
-    var converged = sym.count() == 0
+    var converged = eSig.getLong(0) == 0L
     while (!converged && iter < maxIter) {
-      val neighborMin = sym
-        .join(labels, col("dst") === col("id"))
-        .groupBy(col("src").as("nid"))
-        .agg(min("component_id").as("nbr_min"))
-      val updated = labels
-        .join(neighborMin, col("id") === col("nid"), "left")
-        .select(col("id"),
-          least(col("component_id"), coalesce(col("nbr_min"), col("component_id")))
-            .as("component_id"))
-        .cache()
-      val changed = updated.as("u").join(labels.as("l"), col("u.id") === col("l.id"))
-        .filter(col("u.component_id") =!= col("l.component_id")).limit(1).count()
-      if (iter > 0) labels.unpersist(blocking = false)
-      labels = updated
-      converged = changed == 0
+      val next = materialized(starRound(starRound(e, large = true), large = false))
+      val nextSig = sig(next)
+      converged = nextSig == eSig
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $iter edges=${nextSig.getLong(0)} " +
+          s"t=${System.nanoTime() / 1000000}ms")
+      e = next
+      eSig = nextSig
       iter += 1
     }
-    sym.unpersist(blocking = false)
-    labels.select(col("id").as(idCol), col("component_id"))
+    // converged edge set = stars around component minima:
+    // component_id(u) = min(u, min neighbor); isolated nodes label
+    // themselves. Labels stay in the id's own type (a cast-to-long
+    // would null out non-numeric ids).
+    val symE = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val minNbr = symE.groupBy(col("src").as("__u")).agg(min("dst").as("__mn"))
+    nodes.select(col(idCol))
+      .join(minNbr, col(idCol) === col("__u"), "left")
+      .select(col(idCol),
+        least(col(idCol), coalesce(col("__mn"), col(idCol))).as("component_id"))
   }
 
   /** Near-dup clusters: minhash-LSH candidate pairs filtered by

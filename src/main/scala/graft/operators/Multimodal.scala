@@ -38,25 +38,59 @@ object Multimodal {
       (pmod(col("doc_id"), lit(64)) * 16 + 64).cast("int").as("width"),
       (pmod(col("doc_id"), lit(48)) * 16 + 64).cast("int").as("height"))
 
-  /** STUB decode: in production this would be a codec call per payload
-    * (e.g. JPEG → pixel tensor). Deterministic fake: byte statistics +
-    * two derived "features". Runs partition-batched over the typed
-    * Dataset — the real pipeline shape.
+  /** Pluggable decode interface. A codec is constructed on the driver,
+    * serialized to executors, and gets a per-partition lifecycle:
+    * `open()` once before the partition's rows (codec/model/JNI
+    * handles), `decode` per row, `close()` after the last row. The
+    * feature contract is a fixed-width vector:
+    * `[n_bytes, byte_sum, mean_byte, feat_0, feat_1]`.
     */
-  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+  trait MediaCodec extends Serializable {
+    def open(): Unit = ()
+    def decode(row: MediaRow): Array[Double]
+    def close(): Unit = ()
+  }
+
+  /** Default codec — a deterministic byte-statistics decode (the
+    * image/audio codec libraries are not in this container; a real
+    * deployment drops in a JPEG/WAV-backed MediaCodec without touching
+    * the pipeline). Byte stats + two metadata-conditioned projections
+    * stand in for the pixel tensor → embedding step.
+    */
+  final class ByteStatsCodec extends MediaCodec {
+    override def decode(r: MediaRow): Array[Double] = {
+      val bytes = r.payload
+      var sum = 0L
+      var i = 0
+      while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+      val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
+      Array(bytes.length.toDouble, sum.toDouble, mean,
+        math.round(mean * r.width / 256.0 * 1e6) / 1e6,
+        math.round(sum.toDouble / (r.height + 1) * 1e6) / 1e6)
+    }
+  }
+
+  /** Partition-batched decode over the typed Dataset: payloads stay on
+    * executors, the codec opens once per partition and closes when the
+    * partition is drained.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+      codec: MediaCodec = new ByteStatsCodec): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // per-partition init would go here (codec/model handle)
-      rows.map { r =>
-        val bytes = r.payload
-        var sum = 0L
-        var i = 0
-        while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
-        val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
-        MediaFeatures(r.doc_id, r.media_type, bytes.length.toLong, sum, mean,
-          // stubbed "embedding" features: deterministic projections
-          math.round(mean * r.width / 256.0 * 1e6) / 1e6,
-          math.round(sum.toDouble / (r.height + 1) * 1e6) / 1e6)
+      codec.open()
+      val mapped = rows.map { r =>
+        val f = codec.decode(r)
+        MediaFeatures(r.doc_id, r.media_type,
+          f(0).toLong, f(1).toLong, f(2), f(3), f(4))
+      }
+      new Iterator[MediaFeatures] {
+        override def hasNext: Boolean = {
+          val h = mapped.hasNext
+          if (!h) codec.close()
+          h
+        }
+        override def next(): MediaFeatures = mapped.next()
       }
     }
   }

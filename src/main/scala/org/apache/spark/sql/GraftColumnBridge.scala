@@ -27,4 +27,25 @@ object GraftColumnBridge {
   def dataFrame(spark: SparkSession,
       plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Rebuild a materialized Dataset as a bare `LogicalRDD` with
+    * DEFAULT statistics.
+    *
+    * `Dataset.localCheckpoint` truncates lineage but CARRIES OVER the
+    * source plan's statistics into the checkpoint's `LogicalRDD`
+    * (`originStats`). In an iterative algorithm whose round output
+    * feeds the next round's joins, those estimates get multiplied
+    * every round (Catalyst's size-only join estimate is
+    * left × right), so the `sizeInBytes` BigInt's bit-length grows
+    * geometrically and the driver ends up in million-bit
+    * `BigInteger.multiply` calls during planning — rounds that take
+    * 0.7s at first take minutes by round 12. Dropping the carried
+    * stats resets the estimate to the session default each round.
+    */
+  def freshStats(df: Dataset[_]): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    classic.Dataset.ofRows(spark,
+      execution.LogicalRDD(df.queryExecution.analyzed.output,
+        df.queryExecution.toRdd)(spark))
+  }
 }

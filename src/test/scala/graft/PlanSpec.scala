@@ -49,6 +49,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ReadSchema: struct<doc_id:bigint,text"), p)
   }
 
+  // AQE wraps the executed plan (AdaptiveSparkPlanExec has no public
+  // children), so the join equi-keys are asserted on the plan STRING's
+  // join lines — e.g. "SortMergeJoin [lang#1, jband#2L], ..." — which
+  // print identically whatever join strategy the optimizer picks.
+  private def joinLines(name: String): Seq[String] =
+    plan(name).linesIterator.filter(_.contains("Join")).toSeq
+
+  test("d4: blocked self-join keys on (lang, length band), not lang alone") {
+    val joins = joinLines("d4_ngram_jaccard")
+    // the equi-join must include the band key — a lang-only key has
+    // ~4 values and degenerates to all-pairs at scale
+    assert(joins.nonEmpty, "expected a self-join in the d4 plan")
+    assert(joins.exists(l => l.contains("band") && l.contains("lang")),
+      s"join keys lack the length band: $joins")
+  }
+
+  test("d5: blocked self-join keys include the LSH (table, bucket)") {
+    val joins = joinLines("d5_embedding_neardup")
+    assert(joins.nonEmpty, "expected a self-join in the d5 plan")
+    // Catalyst may additionally pull the label-equality filter into the
+    // equi-key set — (label, table, bucket) is FINER partitioning than
+    // (table, bucket), which is fine; the failure mode being guarded
+    // against is a label-ONLY key (~10 values → all-pairs per key).
+    val pairJoin = joins.filter(_.contains("bucket"))
+    assert(pairJoin.nonEmpty, s"join keys lack the LSH bucket: $joins")
+  }
+
+  test("s1: re-rank is a partial topk aggregate, not a window sort") {
+    val df = SparkEntry.queries("s1_knn_brute")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("topk_by_score"), p.take(2000))
+    assert(!p.contains("Window"), "expected no window operator in s1's plan")
+  }
+
   test("q1: aggregation runs inside whole-stage codegen") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     // AQE's pre-execution plan string hides codegen stages; ask for

@@ -55,4 +55,16 @@ class TextMultimodalSpec extends SparkSpec {
     assert(f.count() == 500)
     assert(f.filter(col("n_bytes") <= 0).count() == 0)
   }
+
+  test("multimodal decode is pluggable: a custom codec replaces the default") {
+    val docs = Seq((7L, "abc", "en", "s", 3L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val constCodec = new Multimodal.MediaCodec {
+      override def decode(r: Multimodal.MediaRow): Array[Double] =
+        Array(1.0, 2.0, 3.0, 4.0, 5.0)
+    }
+    val got = Multimodal.extractFeatures(spark,
+      Multimodal.mediaTable(docs), constCodec).collect().head
+    assert(got.n_bytes == 1L && got.byte_sum == 2L &&
+      got.mean_byte == 3.0 && got.feat_0 == 4.0 && got.feat_1 == 5.0)
+  }
 }
