@@ -129,4 +129,20 @@ class HierarchySpec extends SparkSpec {
     assert(math.abs(s(regions) - root.getAs[Double]("sum_sales_amount")) < 1e-4)
     assert(math.abs(s(nations) - root.getAs[Double]("sum_sales_amount")) < 1e-4)
   }
+
+  test("quickstart: the reference's grocery demo rolls up to its published totals") {
+    val rows = Quickstart.rollup(spark).collect()
+    val byName = rows.map(r =>
+      r.getAs[String]("product_node_name").replaceAll("^-+", "") -> r).toMap
+    assert(rows.length == 7)
+    assert(byName("All Products").getAs[Double]("sum_sales_amount") == 31.5)
+    assert(byName("All Products").getAs[Long]("distinct_customer_count") == 5L)
+    assert(byName("Spinach").getAs[Double]("sum_sales_amount") == 6.5)
+    assert(byName("Candy").getAs[Long]("count_of_fact_records") == 3L)
+    // DFS order: root first, each category directly before its UPCs
+    val names = rows.map(_.getAs[String]("product_node_name").replaceAll("^-+", ""))
+    assert(names.head == "All Products")
+    assert(names.indexOf("Produce") < names.indexOf("Spinach"))
+    assert(names.indexOf("Candy") < names.indexOf("Hershey Bar"))
+  }
 }
