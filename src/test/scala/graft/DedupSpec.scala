@@ -71,6 +71,47 @@ class DedupSpec extends SparkSpec {
     assert(comp(3L) == 3L) // unrelated stays alone
   }
 
+  test("connected components match a union-find oracle on random graphs") {
+    // the r1 bug class: propagation truncated on high-diameter
+    // components *silently* — so stress exactly that: long chains,
+    // stars, cycles, and random sparse graphs, seeded/deterministic
+    val rnd = new scala.util.Random(42)
+    val cases: Seq[(Seq[Long], Seq[(Long, Long)])] = Seq(
+      // 200-node chain with shuffled ids (worst case for propagation)
+      {
+        val perm = rnd.shuffle((0L until 200L).toVector)
+        (perm, perm.sliding(2).map(p => (p(0), p(1))).toSeq)
+      },
+      // two cycles + isolated nodes
+      ((0L until 60L).toSeq,
+        (0L until 25L).map(i => (i, (i + 1) % 25)) ++
+          (30L until 50L).map(i => (i, if (i == 49L) 30L else i + 1))),
+      // random sparse graph
+      ((0L until 300L).toSeq,
+        Seq.fill(150)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+          .filter(p => p._1 != p._2))
+    )
+    cases.zipWithIndex.foreach { case ((ids, edges), ci) =>
+      // in-test union-find oracle
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val byRoot = ids.groupBy(find)
+      val truth = ids.map(i => i -> byRoot(find(i)).min).toMap
+      val got = Dedup.connectedComponents(
+          ids.toDF("doc_id"), edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == truth, s"case $ci: CC labels diverge from union-find")
+    }
+  }
+
   test("embedding near-dup finds planted high-cosine pair on testdata") {
     val out = Dedup.embeddingNearDup(Tables.embeddings(spark, sf), threshold = 0.25)
     val rows = out.collect()
