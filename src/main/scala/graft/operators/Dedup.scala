@@ -244,7 +244,12 @@ object Dedup {
     var iter = 0
     var converged = eSig.getLong(0) == 0L
     while (!converged && iter < maxIter) {
-      val next = materialized(starRound(starRound(e, large = true), large = false))
+      // materialize BETWEEN the stars too: the small star's plan
+      // references the large star's output several times (symmetrize +
+      // min-agg + rewire), and Spark recomputes unmaterialized
+      // subplans per reference
+      val next = materialized(
+        starRound(materialized(starRound(e, large = true)), large = false))
       val nextSig = sig(next)
       converged = nextSig == eSig
       if (sys.env.contains("GRAFT_CC_DEBUG"))
