@@ -42,6 +42,21 @@ object Graft {
   def nearDupClusters(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame =
     Dedup.dupClusters(docs, minEstJaccard)
 
+  /** Similarity clusters over EXACT blocked n-gram Jaccard edges —
+    * deterministic and engine-independent (DuckDB-reproducible), where
+    * [[nearDupClusters]] uses hash-sketch candidates.
+    */
+  def jaccardClusters(docs: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    Dedup.jaccardClusters(docs, minJaccard)
+
+  /** Connected components over an arbitrary edge list — exact at any
+    * component diameter (alternating large-star/small-star rounds).
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      idCol: String = "doc_id", srcCol: String = "doc_a",
+      dstCol: String = "doc_b"): DataFrame =
+    Dedup.connectedComponents(nodes, edges, idCol, srcCol, dstCol)
+
   /** Exact cosine top-k neighbors for the query set `vec_id < nQueries`. */
   def cosineTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame =
     Similarity.bruteForceTopK(embeddings, k, nQueries)
@@ -64,8 +79,19 @@ object Graft {
   def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame =
     graft.streaming.StreamingOps.sessionize(events, gapSeconds)
 
-  /** One-pass column profile. */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = Profile.profile(df, cols)
+  /** Column profile: single-pass approx-distinct by default (the
+    * 100 TB mode); `exactDistinct = true` for per-column exact counts.
+    */
+  def profile(df: DataFrame, cols: Seq[String],
+      exactDistinct: Boolean = false): DataFrame =
+    Profile.profile(df, cols, exactDistinct)
+
+  /** Batched multimodal decode with a pluggable per-partition codec
+    * (see [[graft.operators.Multimodal.MediaCodec]]).
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+      codec: Multimodal.MediaCodec = new Multimodal.ByteStatsCodec) =
+    Multimodal.extractFeatures(spark, media, codec)
 
   /** Register graft's SQL functions + optimizer rule on a session. */
   def install(spark: SparkSession): Unit = GraftFunctions.register(spark)
