@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import graft.functions.{DotProductExpr, NormSquaredExpr}
+import graft.functions.{DotProductExpr, Fingerprint64Expr, MinHashSigExpr, NormSquaredExpr, SigMatchFracExpr, SimHash64Expr, SubwordEstExpr, WordNgramsExpr}
 
 /** Optimizer rule: `vector_dot(x, x)` → `norm_sq(x)` — one array
   * traversal instead of two. The (c)-tier `Rule[LogicalPlan]`
@@ -26,10 +26,10 @@ object OptimizeSelfDot extends Rule[LogicalPlan] {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("vector_dot"),
-      new ExpressionInfo(classOf[DotProductExpr].getName, "vector_dot"),
-      GraftExtensions.vectorDotBuilder))
+    GraftExtensions.sqlFunctions.foreach { case (name, clazz, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name), new ExpressionInfo(clazz, name), builder))
+    }
     e.injectOptimizerRule(_ => OptimizeSelfDot)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
@@ -42,22 +42,57 @@ object GraftExtensions {
   /** Arity-checked builder: wrong argument counts surface as an
     * analysis error, not an IndexOutOfBoundsException.
     */
-  val vectorDotBuilder: Seq[Expression] => Expression = { exprs =>
-    if (exprs.length != 2) {
+  private def arity(name: String, n: Int)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != n) {
       throw new org.apache.spark.sql.AnalysisException(
         errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-        messageParameters = Map("functionName" -> "`vector_dot`",
-          "expectedNum" -> "2", "actualNum" -> exprs.length.toString,
+        messageParameters = Map("functionName" -> s"`$name`",
+          "expectedNum" -> n.toString, "actualNum" -> exprs.length.toString,
           "docroot" -> "https://spark.apache.org/docs/latest"))
     }
-    DotProductExpr(exprs.head, exprs(1))
+    f(exprs)
   }
+
+  /** Literal-int parameter (signature widths, n-gram sizes): these
+    * parameterize the generated code, so they must be foldable.
+    */
+  private def litInt(name: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+        org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal INT parameter, got: ${other.sql}")
+  }
+
+  val vectorDotBuilder: Seq[Expression] => Expression =
+    arity("vector_dot", 2)(e => DotProductExpr(e.head, e(1)))
+
+  /** Every graft native expression, SQL-callable: name, doc class,
+    * arity-checked builder.
+    */
+  val sqlFunctions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("vector_dot", classOf[DotProductExpr].getName, vectorDotBuilder),
+    ("simhash64", classOf[SimHash64Expr].getName,
+      arity("simhash64", 1)(e => SimHash64Expr(e.head))),
+    ("fingerprint64", classOf[Fingerprint64Expr].getName,
+      arity("fingerprint64", 1)(e => Fingerprint64Expr(e.head))),
+    ("subword_estimate", classOf[SubwordEstExpr].getName,
+      arity("subword_estimate", 1)(e => SubwordEstExpr(e.head))),
+    ("sig_match_frac", classOf[SigMatchFracExpr].getName,
+      arity("sig_match_frac", 2)(e => SigMatchFracExpr(e.head, e(1)))),
+    ("word_ngrams", classOf[WordNgramsExpr].getName,
+      arity("word_ngrams", 2)(e =>
+        WordNgramsExpr(e.head, litInt("word_ngrams", e(1))))),
+    ("minhash_sig", classOf[MinHashSigExpr].getName,
+      arity("minhash_sig", 2)(e =>
+        MinHashSigExpr(e.head, litInt("minhash_sig", e(1))))))
 }
 
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
-    org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, "vector_dot",
-      GraftExtensions.vectorDotBuilder)
+    GraftExtensions.sqlFunctions.foreach { case (name, _, builder) =>
+      org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, name, builder)
+    }
     if (!spark.experimental.extraOptimizations.contains(OptimizeSelfDot)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ OptimizeSelfDot

@@ -68,6 +68,31 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(got == 11.0)
   }
 
+  test("round-2 native expressions are callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT fingerprint64('ab c') AS fp,
+                subword_estimate(array('hello', 'hi')) AS sub,
+                word_ngrams(array('a', 'b', 'c'), 2) AS ng,
+                sig_match_frac(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 8L)) AS frac
+      """).head()
+    assert(r.getAs[Long]("fp") == 785L)
+    assert(r.getAs[Long]("sub") == 3L) // ceil(5/4) + ceil(2/4)
+    assert(r.getAs[scala.collection.Seq[String]]("ng").toSeq == Seq("a b", "b c"))
+    assert(r.getAs[Double]("frac") == 0.5)
+    // literal-parameter guard: a non-literal width is an analysis error
+    intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array('x'), CAST(rand() * 4 AS INT))").head()
+    }
+  }
+
+  test("fingerprint64 counts codepoints, not bytes (unicode parity with ord())") {
+    GraftFunctions.register(spark)
+    // h=104 é=233 l=108 l=108 o=111 → 104 + 466 + 324 + 432 + 555
+    val got = spark.sql("SELECT fingerprint64('héllo') AS fp").head().getLong(0)
+    assert(got == 1881L)
+  }
+
   test("vector_dot via SparkSessionExtensions-built session") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]").withExtensions(new GraftExtensions)
