@@ -81,6 +81,22 @@ class HierarchySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("rollup: orphan facts (no hierarchy leaf) drop; null customers don't count") {
+    val facts = Seq(
+      (11L, Some(1L), 2.0, 10.0),
+      (999L, Some(2L), 1.0, 5.0), // leaf_key not in the hierarchy
+      (21L, None: Option[Long], 4.0, 20.0) // null customer
+    ).toDF("leaf_key", "customer_id", "unit_quantity", "sales_amount")
+    val out = HierarchyAgg.hierarchicalRollup(facts, dim.aggregationDim).collect()
+    val root = out.head
+    // orphan 999 excluded everywhere (inner closure join — the
+    // reference's facts⨝adim semantics)
+    assert(root.getAs[Double]("sum_sales_amount") == 30.0)
+    assert(root.getAs[Long]("count_of_fact_records") == 2L)
+    // COUNT(DISTINCT customer_id) ignores the null, matching SQL
+    assert(root.getAs[Long]("distinct_customer_count") == 1L)
+  }
+
   test("forest: multiple roots each get their own subtree and closure") {
     val forest = Seq(
       ("r1", 1L, "R1", "Total", null.asInstanceOf[String]),
