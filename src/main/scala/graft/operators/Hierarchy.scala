@@ -30,6 +30,12 @@ import org.apache.spark.sql.functions._
   *                    (10, matching the reference's hardcoded width —
   *                    levels beyond the hierarchy depth are null)
   * @param maxDepth    safety bound on the BFS loop (cycles / bad data)
+  * @param maxNodes    guard on the dimension size: every derivation
+  *                    here is deliberately dim-sized (single-partition
+  *                    DFS window, broadcast closure), which is correct
+  *                    for hierarchies but would silently serialize a
+  *                    fact-sized input through one task — fail fast
+  *                    instead
   * @param knownDepth  exact hierarchy depth if the caller knows it
   *                    (> 0): the BFS loop then runs a fixed number of
   *                    joins with NO per-level `isEmpty` action — on a
@@ -42,7 +48,8 @@ class HierarchyDimension(
     levelFields: Seq[String] = Seq("node_id", "node_natural_key", "node_name", "level_name"),
     levelColumns: Int = 10,
     maxDepth: Int = 16,
-    knownDepth: Int = -1) {
+    knownDepth: Int = -1,
+    maxNodes: Long = 10_000_000L) {
 
   /** Nodes + `is_root` / `is_leaf` flags
     * (reference: classes/hierarchy_dimension_table.py:96-107).
@@ -73,6 +80,14 @@ class HierarchyDimension(
     */
   lazy val reportingDimWithPath: DataFrame = {
     val flagged = flaggedNodes.cache()
+    // materializes the cache AND enforces the dim-sized contract
+    // before the single-partition window below can silently become
+    // the bottleneck on a mistakenly fact-sized node table
+    val n = flagged.count()
+    require(n <= maxNodes,
+      s"hierarchy node table has $n rows (> maxNodes=$maxNodes); " +
+        "the reporting-dim derivation is designed for dimension-sized " +
+        "inputs — raise maxNodes explicitly if this is intentional")
     var frontier = flagged
       .filter(col("is_root"))
       .withColumn("level_number", lit(1))

@@ -81,6 +81,16 @@ class HierarchySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("maxNodes guard: a fact-sized node table fails fast, not silently") {
+    val big = spark.range(100).selectExpr("CAST(id AS STRING) AS node_id",
+      "id AS node_natural_key", "'n' AS node_name", "'L' AS level_name",
+      "CAST(NULL AS STRING) AS parent_node_id")
+    val e = intercept[IllegalArgumentException] {
+      new HierarchyDimension(big, maxNodes = 10L).reportingDim.count()
+    }
+    assert(e.getMessage.contains("maxNodes"))
+  }
+
   test("rollup: orphan facts (no hierarchy leaf) drop; null customers don't count") {
     val facts = Seq(
       (11L, Some(1L), 2.0, 10.0),
