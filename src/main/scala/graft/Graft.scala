@@ -30,8 +30,8 @@ object Graft {
     * keyed by `factKey` aggregated to every node of the hierarchy.
     */
   def hierarchicalRollup(facts: DataFrame, dim: HierarchyDimension,
-      factKey: String = "leaf_key"): DataFrame =
-    HierarchyAgg.hierarchicalRollup(facts, dim.aggregationDim, factKey)
+      factKey: String = "leaf_key", approxDistinct: Boolean = false): DataFrame =
+    HierarchyAgg.hierarchicalRollup(facts, dim.aggregationDim, factKey, approxDistinct)
 
   /** Exact dedup groups on normalized text. */
   def exactDedup(docs: DataFrame): DataFrame = Dedup.exactDedup(docs)

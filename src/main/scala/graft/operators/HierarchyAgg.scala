@@ -143,7 +143,8 @@ object HierarchyAgg {
     *    numeric sort order — the expanded stream never hashes strings.
     */
   def hierarchicalRollup(facts: DataFrame, aggDim: DataFrame,
-      factKey: String = "leaf_key"): DataFrame = {
+      factKey: String = "leaf_key",
+      approxDistinct: Boolean = false): DataFrame = {
     val indent = expr("lpad('-', (ancestor_level_number - 1) * 7, '-')")
     val joinDim = aggDim.select(
       col("descendant_node_natural_key"),
@@ -170,7 +171,11 @@ object HierarchyAgg {
       .agg(
         round(sum(col("__sales")), 2).as("sum_sales_amount"),
         round(sum(col("__qty")), 2).as("sum_unit_quantity"),
-        countDistinct(col("customer_id")).as("distinct_customer_count"),
+        // exact distinct is the reference's semantics (and the
+        // registry/oracle form); approx (HLL++, mergeable, no Expand)
+        // is the opt-in for 100 TB profiling-grade rollups
+        (if (approxDistinct) approx_count_distinct(col("customer_id"))
+         else countDistinct(col("customer_id"))).as("distinct_customer_count"),
         sum(col("__n")).as("count_of_fact_records"))
       .join(broadcast(labels), Seq("ancestor_node_sort_order"))
       .orderBy("ancestor_node_sort_order")

@@ -91,6 +91,21 @@ class HierarchySpec extends SparkSpec {
     assert(e.getMessage.contains("maxNodes"))
   }
 
+  test("rollup approxDistinct: same sums/counts, distinct within HLL error") {
+    val facts = Seq((11L, 1L, 2.0, 10.0), (12L, 2L, 1.0, 5.0), (21L, 1L, 4.0, 20.0))
+      .toDF("leaf_key", "customer_id", "unit_quantity", "sales_amount")
+    val exact = HierarchyAgg.hierarchicalRollup(facts, dim.aggregationDim).collect()
+    val approx = HierarchyAgg.hierarchicalRollup(facts, dim.aggregationDim,
+      approxDistinct = true).collect()
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(e.getAs[Double]("sum_sales_amount") == a.getAs[Double]("sum_sales_amount"))
+      assert(e.getAs[Long]("count_of_fact_records") == a.getAs[Long]("count_of_fact_records"))
+      val (de, da) = (e.getAs[Long]("distinct_customer_count"),
+        a.getAs[Long]("distinct_customer_count"))
+      assert(math.abs(de - da) <= math.max(1L, (de * 0.1).toLong))
+    }
+  }
+
   test("rollup: orphan facts (no hierarchy leaf) drop; null customers don't count") {
     val facts = Seq(
       (11L, Some(1L), 2.0, 10.0),
