@@ -86,6 +86,61 @@ object TextQueries {
           expr("CAST(regexp_count(text, '[bcdfghjklmnpqrstvwxyz]+') AS BIGINT)").as("n_consonant_runs"))
     }),
 
+    // Gopher/C4-style quality FILTER with reasons: every rule in exact
+    // integer arithmetic (token counts, 100×-scaled mean token length,
+    // stopword count) so the keep/drop decision is bit-identical in
+    // the oracle. First failing rule wins; `keep` ⇔ no rule failed.
+    "t7_quality_filter" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", tokens(lower(col("text"))))
+        .withColumn("n_toks", size(col("toks")))
+        // Σ token lengths = non-whitespace char count (no per-token loop)
+        .withColumn("sum_len", length(regexp_replace(col("text"), "\\s", "")))
+        .withColumn("n_stop", markerCount(col("toks"), enMarkers))
+        .withColumn("reason",
+          when(col("n_toks") < 30, "too_short")
+            .when(col("n_toks") > 10000, "too_long")
+            .when(col("sum_len") < col("n_toks") * 3, "short_words")
+            .when(col("sum_len") > col("n_toks") * 10, "long_words")
+            .when(col("n_stop") < 2, "low_stopword")
+            .otherwise(lit(null).cast("string")))
+        .select(
+          col("doc_id"),
+          col("n_toks").as("n_tokens"),
+          expr("CAST((100 * sum_len) div n_toks AS BIGINT)").as("mean_tok_len_x100"),
+          col("n_stop").cast("long").as("n_stop"),
+          col("reason").isNull.as("keep"),
+          col("reason"))
+    }),
+
+    // Repetition / boilerplate signals (the Gopher repetition rules):
+    // duplicate-word fraction, the most-repeated bigram's count, and
+    // duplicate 5-gram fraction. The per-doc bigram histogram is an
+    // explode + two-level aggregation — the shape that scales (the
+    // array-local alternative would be an interpreted lambda).
+    "t8_repetition" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .withColumn("toks", tokens(lower(col("text"))))
+        .withColumn("grams5", wordNgrams(col("toks"), 5))
+        .select(col("doc_id"), col("toks"), col("grams5"))
+      val topBigram = base
+        .select(col("doc_id"), explode(wordNgrams(col("toks"), 2)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_bigram_freq"))
+      base
+        .join(topBigram, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
+          round(lit(1.0) - size(array_distinct(col("toks"))).cast("double")
+            / size(col("toks")), 6).as("dup_word_frac"),
+          coalesce(col("top_bigram_freq"), lit(0L)).as("top_bigram_freq"),
+          when(size(col("grams5")) > 0,
+            round(lit(1.0) - size(array_distinct(col("grams5"))).cast("double")
+              / size(col("grams5")), 6)).otherwise(0.0).as("dup_5gram_frac"))
+    }),
+
     // Top word-bigrams by frequency (global n-gram statistics).
     "t5_ngram_stats" -> ((s, d) => {
       Tables.documents(s, d)
@@ -162,6 +217,60 @@ object TextQueries {
            CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_vowel_runs,
            CAST(len(regexp_extract_all(text, '[bcdfghjklmnpqrstvwxyz]+')) AS BIGINT) AS n_consonant_runs
          FROM t""",
+    "t7_quality_filter" ->
+      raw"""WITH t AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+             length(regexp_replace(text, '\s', '', 'g')) AS sum_len
+           FROM documents),
+         m AS (
+           SELECT doc_id, len(toks) AS n_toks, sum_len,
+             len(list_filter(toks, x -> x IN $enL)) AS n_stop
+           FROM t),
+         r AS (
+           SELECT *,
+             CASE WHEN n_toks < 30 THEN 'too_short'
+                  WHEN n_toks > 10000 THEN 'too_long'
+                  WHEN sum_len < n_toks * 3 THEN 'short_words'
+                  WHEN sum_len > n_toks * 10 THEN 'long_words'
+                  WHEN n_stop < 2 THEN 'low_stopword'
+                  ELSE NULL END AS reason
+           FROM m)
+         SELECT doc_id, n_toks AS n_tokens,
+           CAST((100 * sum_len) // n_toks AS BIGINT) AS mean_tok_len_x100,
+           CAST(n_stop AS BIGINT) AS n_stop,
+           (reason IS NULL) AS keep, reason
+         FROM r""",
+    "t8_repetition" ->
+      raw"""WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 5 THEN list_transform(range(1, len(toks) - 3),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                    toks[i+3] || ' ' || toks[i+4])
+             ELSE [] END AS grams5
+           FROM t),
+         bg AS (
+           SELECT doc_id, bigram, COUNT(*) AS c
+           FROM (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+                   list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                 ELSE [] END) AS bigram
+                 FROM t)
+           GROUP BY doc_id, bigram),
+         tb AS (SELECT doc_id, MAX(c) AS top_bigram_freq FROM bg GROUP BY doc_id)
+         SELECT g.doc_id,
+           CAST(len(g.toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(g.toks)) AS BIGINT) AS n_distinct_tokens,
+           ROUND(1.0 - CAST(len(list_distinct(g.toks)) AS DOUBLE) / len(g.toks), 6)
+             AS dup_word_frac,
+           COALESCE(tb.top_bigram_freq, 0) AS top_bigram_freq,
+           CASE WHEN len(g.grams5) > 0
+                THEN ROUND(1.0 - CAST(len(list_distinct(g.grams5)) AS DOUBLE)
+                     / len(g.grams5), 6)
+                ELSE 0.0 END AS dup_5gram_frac
+         FROM g LEFT JOIN tb ON g.doc_id = tb.doc_id""",
     "t5_ngram_stats" ->
       raw"""WITH t AS (
            SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),

@@ -40,6 +40,61 @@ class TextMultimodalSpec extends SparkSpec {
     got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
   }
 
+  test("quality filter: first failing rule wins; clean docs keep") {
+    val mk = (id: Long, text: String) => (id, text, "en", "s", text.length.toLong)
+    val docs = Seq(
+      mk(0L, "only five tokens right here"),                       // 5 → too_short
+      mk(1L, Seq.fill(35)("x").mkString(" ")),                     // 1-char words
+      mk(2L, ("the quick brown fox jumps " * 8).trim)              // 40 toks, stopwords
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val res = {
+      // the operator body, applied to the synthetic frame
+      import graft.functions.TextFunctions._
+      docs.withColumn("toks", tokens(lower(col("text"))))
+        .withColumn("n_toks", size(col("toks")))
+        .withColumn("sum_len", length(regexp_replace(col("text"), "\\s", "")))
+        .withColumn("n_stop", markerCount(col("toks"), enMarkers))
+        .withColumn("reason",
+          when(col("n_toks") < 30, "too_short")
+            .when(col("n_toks") > 10000, "too_long")
+            .when(col("sum_len") < col("n_toks") * 3, "short_words")
+            .when(col("sum_len") > col("n_toks") * 10, "long_words")
+            .when(col("n_stop") < 2, "low_stopword")
+            .otherwise(lit(null).cast("string")))
+        .select(col("doc_id"), col("reason")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    assert(res(0L) == "too_short")
+    assert(res(1L) == "short_words")
+    assert(res(2L) == null)
+  }
+
+  test("repetition signals: dup word/bigram/5-gram fractions hand-computed") {
+    // "x x x x x x": 6 tokens, 1 distinct; bigram "x x" ×5; 5-grams ×2, 1 distinct
+    import graft.functions.TextFunctions._
+    val toks = Seq("x x x x x x").toDF("text")
+      .select(tokens(col("text")).as("toks"))
+    val row = toks.select(
+      size(col("toks")).as("n"),
+      size(array_distinct(col("toks"))).as("nd"),
+      size(wordNgrams(col("toks"), 5)).as("g5"),
+      size(array_distinct(wordNgrams(col("toks"), 5))).as("g5d")).head()
+    assert(row.getAs[Int]("n") == 6 && row.getAs[Int]("nd") == 1)
+    assert(row.getAs[Int]("g5") == 2 && row.getAs[Int]("g5d") == 1)
+  }
+
+  test("sequence packing: contiguous bins fill to capacity, spill allowed") {
+    val docs = (0L until 5L).map(i => (i, "t t t", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.Packing.sequencePack(docs, capacity = 6)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("bin_id"), r.getAs[Long]("bin_fill"), r.getAs[Long]("n_docs_in_bin"))).toMap
+    // 3 tokens each; offsets 0,3,6,9,12 → bins 0,0,1,1,2
+    assert(out(0L) == (0L, 6L, 2L) && out(1L) == (0L, 6L, 2L))
+    assert(out(2L) == (1L, 6L, 2L) && out(3L) == (1L, 6L, 2L))
+    assert(out(4L) == (2L, 3L, 1L))
+  }
+
   test("multimodal feature extraction: byte stats match hand computation") {
     val docs = Seq((0L, "abc", "en", "s", 3L)).toDF("doc_id", "text", "lang", "source", "n_chars")
     val feats = Multimodal.extractFeatures(spark, Multimodal.mediaTable(docs)).collect().head
