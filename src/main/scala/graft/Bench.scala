@@ -19,10 +19,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup so the first measured query isn't charged
-    // for session + JIT startup; best-effort (never aborts the bench)
-    try SparkEntry.entry(spark).count()
-    catch { case e: Throwable => System.err.println(s"[bench] warmup skipped: ${e.getMessage}") }
+    // JVM/codegen warmup: run every query once at the smallest SF so
+    // measured times reflect steady state (codegen compiled, JIT warm)
+    // rather than first-call compilation; best-effort per query (never
+    // aborts the bench)
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, warmDir).queryExecution.toRdd.count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name skipped: ${e.getMessage}") }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count forces full evaluation of the final projection —
