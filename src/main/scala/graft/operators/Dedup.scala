@@ -221,6 +221,61 @@ object Dedup {
     withCenters.filter(col("src") =!= col("dst")).distinct()
   }
 
+  /** Single-task exact union-find over a small edge frame (both
+    * columns of `e` share `idType`): returns (__id, __comp) for every
+    * node that appears in an edge, component = min id by the column
+    * type's own ordering (so numeric ids compare numerically, strings
+    * lexically — identical semantics to the distributed path).
+    */
+  private def localUnionFind(e: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(idType)
+    val out = e.coalesce(1).queryExecution.toRdd.mapPartitions { rows =>
+      val parent = new java.util.HashMap[Any, Any]()
+      def copyOf(v: Any): Any = v match {
+        // values extracted from reused UnsafeRow buffers must be copied
+        case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+        case other => other
+      }
+      def findRoot(x: Any): Any = {
+        var r = x
+        while (parent.get(r) != r) {
+          parent.put(r, parent.get(parent.get(r)))
+          r = parent.get(r)
+        }
+        r
+      }
+      rows.foreach { row =>
+        val a = copyOf(row.get(0, idType))
+        val b = copyOf(row.get(1, idType))
+        if (a != null && b != null) {
+          parent.putIfAbsent(a, a)
+          parent.putIfAbsent(b, b)
+          val (ra, rb) = (findRoot(a), findRoot(b))
+          if (ra != rb) {
+            if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+      }
+      val it = parent.keySet().iterator()
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = it.hasNext
+        override def next(): InternalRow = {
+          val id = it.next()
+          InternalRow.fromSeq(Seq(id, findRoot(id)))
+        }
+      }
+    }
+    org.apache.spark.sql.GraftColumnBridge.dataFrameFromInternalRows(
+      e.sparkSession,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__id", idType),
+        org.apache.spark.sql.types.StructField("__comp", idType))),
+      out)
+  }
+
   private def connectedComponentsLoop(nodes: DataFrame, edges: DataFrame,
       idCol: String, srcCol: String, dstCol: String, maxIter: Int): DataFrame = {
     val spark = nodes.sparkSession
@@ -241,6 +296,22 @@ object Dedup {
       spark.conf.get("spark.sql.shuffle.partitions").toLong,
       eSig.getLong(0) / 100000L + 1L))
     spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    // Adaptive: an edge set that comfortably fits ONE task is solved
+    // exactly by a single-pass union-find (one job, no rounds) — at
+    // dedup-pipeline scales the edge list is a tiny fraction of the
+    // corpus, so this is the common case; the star rounds below are
+    // the arbitrarily-large fallback. The payload never touches the
+    // driver: coalesce(1) + a partition-local algorithm.
+    val localThreshold = spark.conf
+      .get("spark.graft.cc.localEdgeThreshold", "2000000").toLong
+    if (eSig.getLong(0) > 0 && eSig.getLong(0) <= localThreshold) {
+      val idType = e.schema("src").dataType
+      val labeled = localUnionFind(e, idType)
+      return nodes.select(col(idCol))
+        .join(labeled, col(idCol) === col("__id"), "left")
+        .select(col(idCol),
+          coalesce(col("__comp"), col(idCol)).as("component_id"))
+    }
     var iter = 0
     var converged = eSig.getLong(0) == 0L
     while (!converged && iter < maxIter) {

@@ -48,4 +48,17 @@ object GraftColumnBridge {
       execution.LogicalRDD(df.queryExecution.analyzed.output,
         df.queryExecution.toRdd)(spark))
   }
+
+  /** DataFrame over an InternalRow RDD with an explicit schema — the
+    * return path for operators that drop to the internal-row level
+    * (e.g. the single-task union-find in
+    * [[graft.operators.Dedup.connectedComponents]]).
+    */
+  def dataFrameFromInternalRows(spark: SparkSession,
+      schema: types.StructType,
+      rdd: org.apache.spark.rdd.RDD[catalyst.InternalRow]): DataFrame = {
+    val s = spark.asInstanceOf[classic.SparkSession]
+    classic.Dataset.ofRows(s, execution.LogicalRDD(
+      catalyst.types.DataTypeUtils.toAttributes(schema), rdd)(s))
+  }
 }
