@@ -165,18 +165,37 @@ object HierarchyAgg {
         sum(col("sales_amount")).as("__sales"),
         sum(col("unit_quantity")).as("__qty"),
         count(lit(1)).as("__n"))
-    pairAgg
+    val expanded = pairAgg
       .join(broadcast(joinDim), col(factKey) === col("descendant_node_natural_key"))
-      .groupBy("ancestor_node_sort_order")
-      .agg(
-        round(sum(col("__sales")), 2).as("sum_sales_amount"),
-        round(sum(col("__qty")), 2).as("sum_unit_quantity"),
-        // exact distinct is the reference's semantics (and the
-        // registry/oracle form); approx (HLL++, mergeable, no Expand)
-        // is the opt-in for 100 TB profiling-grade rollups
-        (if (approxDistinct) approx_count_distinct(col("customer_id"))
-         else countDistinct(col("customer_id"))).as("distinct_customer_count"),
-        sum(col("__n")).as("count_of_fact_records"))
+    // exact distinct is the reference's semantics (and the registry/
+    // oracle form), computed as an EXPLICIT two-level aggregation:
+    // level 1 groups by (node, customer) — partial aggregation
+    // collapses it map-side — and level 2 counts the non-null-customer
+    // groups. Same result as countDistinct, but no Expand doubling the
+    // expanded fact stream (the round-1 h5/h6 cost). The approx mode
+    // (HLL++, mergeable) is the opt-in for profiling-grade rollups.
+    val aggregated =
+      if (approxDistinct)
+        expanded.groupBy("ancestor_node_sort_order")
+          .agg(
+            round(sum(col("__sales")), 2).as("sum_sales_amount"),
+            round(sum(col("__qty")), 2).as("sum_unit_quantity"),
+            approx_count_distinct(col("customer_id")).as("distinct_customer_count"),
+            sum(col("__n")).as("count_of_fact_records"))
+      else
+        expanded
+          .groupBy(col("ancestor_node_sort_order"), col("customer_id"))
+          .agg(
+            sum(col("__sales")).as("__s2"),
+            sum(col("__qty")).as("__q2"),
+            sum(col("__n")).as("__n2"))
+          .groupBy("ancestor_node_sort_order")
+          .agg(
+            round(sum(col("__s2")), 2).as("sum_sales_amount"),
+            round(sum(col("__q2")), 2).as("sum_unit_quantity"),
+            count(col("customer_id")).as("distinct_customer_count"),
+            sum(col("__n2")).as("count_of_fact_records"))
+    aggregated
       .join(broadcast(labels), Seq("ancestor_node_sort_order"))
       .orderBy("ancestor_node_sort_order")
       .select("product_node_name", "product_level_name", "sum_sales_amount",
