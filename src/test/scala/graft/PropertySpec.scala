@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.rng.Seed
+import graft.functions.TextFunctions
+import graft.functions.TopKAggregate.topkByScore
+
+/** Property-based checks (scalacheck generators, fixed seed so runs
+  * are reproducible): the native expressions and the bounded-heap
+  * aggregate each verified against a straightforward Scala reference
+  * implementation on randomized inputs — the class of edge case
+  * (empty strings, unicode, ties, k > group size) hand-written
+  * fixtures tend to miss.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.iterate((Seed(42L), Option.empty[A])) { case (s, _) =>
+      val r = g.doPureApply(Gen.Parameters.default, s)
+      (r.seed.next, Some(r.retrieve.get))
+    }.drop(1).take(n).flatMap(_._2).toSeq
+
+  test("fingerprint64 equals the positional-codepoint reference on random strings") {
+    val strGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.const(' '), Gen.oneOf('é', 'ß', 'λ', '中')))
+      .map(_.mkString)
+    val inputs = samples(strGen, 200)
+    def reference(s: String): Long = {
+      var (sum, pos, i) = (0L, 1L, 0)
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        sum += pos * cp; i += Character.charCount(cp); pos += 1
+      }
+      sum
+    }
+    val got = inputs.toDF("t")
+      .select(TextFunctions.fingerprint(col("t"))).as[Long].collect()
+    inputs.zip(got).foreach { case (s, g) =>
+      assert(g == reference(s), s"fingerprint mismatch for ${s.take(40)}")
+    }
+  }
+
+  test("wordNgrams(n) equals sliding-window reference on random token arrays") {
+    val toksGen = Gen.listOf(Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString))
+    val inputs = samples(toksGen, 150)
+    for (n <- Seq(2, 3, 5)) {
+      val got = inputs.toDF("toks")
+        .select(TextFunctions.wordNgrams(col("toks"), n)).as[Seq[String]].collect()
+      inputs.zip(got).foreach { case (toks, g) =>
+        val ref = if (toks.length < n) Seq.empty
+          else toks.sliding(n).map(_.mkString(" ")).toSeq
+        assert(g == ref, s"ngrams($n) mismatch for $toks")
+      }
+    }
+  }
+
+  test("topkByScore equals sort-take reference for random groups and k") {
+    val rowGen = for {
+      grp <- Gen.choose(0, 4)
+      score <- Gen.oneOf(Gen.choose(-100, 100).map(_.toDouble / 10),
+        Gen.const(1.5)) // forced ties
+      id <- Gen.choose(0L, 50L)
+    } yield (grp, score, id)
+    val rows = samples(rowGen, 400)
+    for (k <- Seq(1, 3, 7)) {
+      val got = rows.toDF("g", "score", "id")
+        .groupBy("g").agg(topkByScore(col("score"), col("id"), k).as("tk"))
+        .select(col("g"), col("tk"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(t => (t.getDouble(0), t.getLong(1))))
+        .toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        // reference: distinct (score, id) ranking is NOT deduped — the
+        // aggregate keeps duplicates like a window would
+        val ref = rs.map(t => (t._2, t._3)).sortBy(t => (-t._1, t._2)).take(k)
+        assert(got(g) == ref, s"group $g k=$k: ${got(g)} vs $ref")
+      }
+    }
+  }
+}
