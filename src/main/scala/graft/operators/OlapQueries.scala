@@ -338,6 +338,23 @@ object OlapQueries {
         .select("o_orderpriority", "o_orderkey", "quartile", "pr", "cd", "drnk")
     }),
 
+    // Correlated LATERAL subquery: per-customer top-2 orders by price
+    // — the "top-n per row without a window over everything" SQL
+    // surface. Spark decorrelates the ORDER BY + LIMIT lateral into a
+    // ranked join; `parquet.`-literal tables keep the query
+    // self-contained (no temp-view registration).
+    "q28_lateral" -> ((s, d) => {
+      s.sql(
+        s"""SELECT c.c_custkey, t.o_orderkey AS top_orderkey,
+                   t.o_totalprice AS top_totalprice
+            FROM parquet.`$d/customer.parquet` c,
+            LATERAL (SELECT o_orderkey, o_totalprice
+                     FROM parquet.`$d/orders.parquet` o
+                     WHERE o.o_custkey = c.c_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+            WHERE c.c_mktsegment = 'BUILDING'""")
+    }),
+
     // Nested aggregation: per-group collected set, emitted as a
     // canonical joined string (cross-engine-stable representation).
     "q26_nested_agg" -> ((s, d) => {
@@ -529,6 +546,15 @@ object OlapQueries {
          CAST(dense_rank() OVER w AS BIGINT) AS drnk
          FROM orders WHERE o_custkey < 300
          WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)""",
+    "q28_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey AS top_orderkey,
+                t.o_totalprice AS top_totalprice
+         FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice
+                  FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         WHERE c.c_mktsegment = 'BUILDING'""",
     "q26_nested_agg" ->
       """SELECT l_returnflag,
          array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,

@@ -93,6 +93,23 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(got == 1881L)
   }
 
+  test("q28 lateral top-2 equals the window-function top-2") {
+    import org.apache.spark.sql.expressions.Window
+    val lateral = SparkEntry.queries("q28_lateral")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val windowed = Tables.orders(spark, sf)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .join(Tables.customer(spark, sf)
+        .filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lateral == windowed && lateral.nonEmpty)
+  }
+
   test("vector_dot via SparkSessionExtensions-built session") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]").withExtensions(new GraftExtensions)
