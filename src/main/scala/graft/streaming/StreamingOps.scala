@@ -159,7 +159,15 @@ object StreamingQueries {
       runStream(s, d)(StreamingOps.windowedAggStream)),
     "st4_session_window_stream" -> ((s, d) =>
       runStream(s, d)(ev =>
-        StreamingOps.sessionWindowAgg(ev.withWatermark("ts", "1 hour"))))
+        StreamingOps.sessionWindowAgg(ev.withWatermark("ts", "1 hour")))),
+    // streaming exact dedup: state-store-backed dropDuplicates on the
+    // event stream (the streaming twin of d1's batch dedup shape) —
+    // per event type, events surviving dedup on (user, type)
+    "st5_stream_dedup" -> ((s, d) =>
+      runStream(s, d)(ev =>
+        ev.dropDuplicates("user_id", "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_unique_users"))))
   )
 
   val oracles: Map[String, String] = Map(
@@ -206,6 +214,10 @@ object StreamingQueries {
          SELECT user_id,
            strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
            COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
-         FROM sessions GROUP BY user_id, sess_idx"""
+         FROM sessions GROUP BY user_id, sess_idx""",
+    // streaming dedup on (user, type) converges to the batch distinct
+    "st5_stream_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
+         FROM events GROUP BY event_type"""
   )
 }
