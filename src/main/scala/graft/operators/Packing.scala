@@ -56,9 +56,9 @@ object Packing {
            SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
            FROM t),
-         b AS (SELECT *, tokens_before // 512 AS bin_id FROM c)
+         b AS (SELECT *, CAST(tokens_before // 512 AS BIGINT) AS bin_id FROM c)
          SELECT doc_id, lang, n_tokens, bin_id,
-           SUM(n_tokens) OVER (PARTITION BY lang, bin_id) AS bin_fill,
+           CAST(SUM(n_tokens) OVER (PARTITION BY lang, bin_id) AS BIGINT) AS bin_fill,
            COUNT(*) OVER (PARTITION BY lang, bin_id) AS n_docs_in_bin
          FROM b"""
   )
