@@ -57,6 +57,15 @@ object Graft {
       dstCol: String = "doc_b"): DataFrame =
     Dedup.connectedComponents(nodes, edges, idCol, srcCol, dstCol)
 
+  /** Embedding-cosine near-duplicate pairs. LSH-blocked and therefore
+    * APPROXIMATE (a pair hashing apart in all tables is missed —
+    * ~1e-3 at the defaults); pass `nPlanes = 0` for the exhaustive
+    * label-blocked exact contract on small inputs.
+    */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.25,
+      nPlanes: Int = 4, nTables: Int = 8): DataFrame =
+    Dedup.embeddingNearDup(embeddings, threshold, nPlanes, nTables)
+
   /** Exact cosine top-k neighbors for the query set `vec_id < nQueries`. */
   def cosineTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame =
     Similarity.bruteForceTopK(embeddings, k, nQueries)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, UnsafeArrayData, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -120,7 +120,9 @@ object NativeTextExpressions {
     * (the minhash Jaccard estimate).
     */
   def sigMatchFracCompute(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    // Differing lengths (caller error — signatures from different k)
+    // compare only the shared prefix instead of reading past the end.
+    val n = math.min(a.numElements(), b.numElements())
     if (n == 0) return 0.0
     var eq = 0
     var i = 0
@@ -240,7 +242,9 @@ object NativeTextExpressions {
       GraftColumnBridge.expression(vec), nPlanes, nTables))
 }
 
-case class Fingerprint64Expr(child: Expression) extends UnaryExpression {
+case class Fingerprint64Expr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "fingerprint64"
   override def nullSafeEval(a: Any): Any =
@@ -252,8 +256,10 @@ case class Fingerprint64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression
+    with ExpectsInputTypes {
   require(n >= 2, "n-grams need n >= 2")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType)
   override def prettyName: String = "word_ngrams"
   override def nullSafeEval(a: Any): Any =
@@ -265,7 +271,9 @@ case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
-case class SubwordEstExpr(child: Expression) extends UnaryExpression {
+case class SubwordEstExpr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def prettyName: String = "subword_estimate"
   override def nullSafeEval(a: Any): Any =
@@ -277,8 +285,10 @@ case class SubwordEstExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
+case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression
+    with ExpectsInputTypes {
   require(k > 0, "signature length must be positive")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
   override def nullSafeEval(a: Any): Any =
@@ -290,7 +300,10 @@ case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
-case class SigMatchFracExpr(left: Expression, right: Expression) extends BinaryExpression {
+case class SigMatchFracExpr(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sig_match_frac"
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -305,9 +318,10 @@ case class SigMatchFracExpr(left: Expression, right: Expression) extends BinaryE
 }
 
 case class LcgBucketsExpr(child: Expression, nPlanes: Int, nTables: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   require(nPlanes >= 1 && nPlanes <= 63, "nPlanes must fit a long's bits")
   require(nTables >= 1, "need at least one table")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "lcg_buckets"
   override def nullSafeEval(a: Any): Any =
@@ -320,9 +334,10 @@ case class LcgBucketsExpr(child: Expression, nPlanes: Int, nTables: Int)
 }
 
 case class HyperplaneBucketsExpr(child: Expression, nPlanes: Int, nTables: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   require(nPlanes >= 1 && nPlanes <= 63, "nPlanes must fit a long's bits")
   require(nTables >= 1, "need at least one table")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_buckets"
   override def nullSafeEval(a: Any): Any =

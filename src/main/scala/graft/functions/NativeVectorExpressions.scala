@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 
 /** Native Catalyst expression for the embedding hot path.
   *
@@ -21,8 +21,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * the DuckDB oracle's `list_sum` semantics for FP parity.
   */
 case class DotProductExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vector_dot"
 
@@ -61,8 +63,10 @@ case class DotProductExpr(left: Expression, right: Expression)
   * [[graft.OptimizeSelfDot]] rewriting `vector_dot(x, x)`.
   */
 case class NormSquaredExpr(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
 
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "norm_sq"
 
@@ -103,8 +107,10 @@ case class NormSquaredExpr(child: Expression)
   * per-element lambda interpretation.
   */
 case class SimHash64Expr(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
 
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "simhash64"
 

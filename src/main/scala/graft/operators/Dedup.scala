@@ -330,6 +330,14 @@ object Dedup {
       eSig = nextSig
       iter += 1
     }
+    // Star rounds converge in O(log² n); maxIter=30 covers any
+    // realistic input. If the cap is ever hit anyway, labeling the
+    // non-converged edge set would silently SPLIT components (the
+    // round-1 truncation bug class) — fail loudly instead.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: star rounds did not converge in $maxIter " +
+          s"iterations (edge sig $eSig); raise maxIter")
     // converged edge set = stars around component minima:
     // component_id(u) = min(u, min neighbor); isolated nodes label
     // themselves. Labels stay in the id's own type (a cast-to-long
@@ -376,16 +384,35 @@ object Dedup {
     * ([[graft.functions.NativeTextExpressions.lcgPlaneComponent]]) —
     * exact in both engines, so the DuckDB oracle rebuilds identical
     * buckets and the driver check stays an exact hash match.
+    *
+    * RECALL CONTRACT: with LSH blocking the result is approximate — a
+    * true near-dup pair that hashes apart in all `nTables` tables is
+    * missed (probability (1-(1-θ/π)^nPlanes)^nTables for angle θ;
+    * ~1e-3 at the defaults for cosine ≥ 0.25 pairs). Pass
+    * `nPlanes = 0` to restore the exhaustive label-blocked contract
+    * (complete within each label, quadratic per label — small inputs
+    * or high-cardinality labels only; never the 100 TB path).
     */
   def embeddingNearDup(emb: DataFrame, threshold: Double = 0.25,
       nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
     val e = emb.select(col("vec_id"), col("label"),
       asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
+    if (nPlanes <= 0) {
+      // exhaustive: every same-label pair compared exactly once
+      return e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+        .filter(col("cos") >= threshold)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+    }
+    val eb = e
       .withColumn("buckets",
         graft.functions.NativeTextExpressions.lcgBuckets(col("v"), nPlanes, nTables))
       .cache()
-    val buckets = e.select(col("vec_id"), col("label"), col("v"), col("nrm"),
+    val buckets = eb.select(col("vec_id"), col("label"), col("v"), col("nrm"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     buckets.as("a").join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&

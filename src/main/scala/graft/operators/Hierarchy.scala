@@ -116,7 +116,11 @@ class HierarchyDimension(
     // node_json path — the JSON form also fixes the sibling tie-break:
     // the closing quote after a short node_id sorts before any longer
     // id sharing the prefix). Dim-sized single-partition window.
-    val pathKey = array_join(expr("transform(path, x -> to_json(x))"), "/")
+    // ignoreNullFields=false: DuckDB's to_json emits "field":null, Spark
+    // by default omits the field — a null levelField would change both
+    // the sort key and node_json vs the oracle/reference otherwise.
+    val pathKey = array_join(
+      expr("transform(path, x -> to_json(x, map('ignoreNullFields','false')))"), "/")
     acc.withColumn("node_sort_order",
       row_number().over(Window.orderBy(pathKey)).cast("long"))
       .cache()
@@ -137,7 +141,8 @@ class HierarchyDimension(
         }
     }
     withLevels
-      .withColumn("node_json", to_json(pathStruct))
+      .withColumn("node_json",
+        to_json(pathStruct, Map("ignoreNullFields" -> "false")))
       .drop("path")
   }
 

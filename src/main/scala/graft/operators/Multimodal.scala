@@ -79,6 +79,16 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       codec.open()
+      // Close on task completion (fires on success, failure AND early
+      // termination e.g. limit) — piggybacking on iterator exhaustion
+      // would leak the codec handle on any non-drained partition, and
+      // completion listeners run exactly once so there is no
+      // double-close. Belt-and-braces guard for non-task callers (unit
+      // tests driving the closure directly).
+      val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def closeOnce(): Unit = if (closed.compareAndSet(false, true)) codec.close()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
       val mapped = rows.map { r =>
         val f = codec.decode(r)
         MediaFeatures(r.doc_id, r.media_type,
@@ -87,7 +97,7 @@ object Multimodal {
       new Iterator[MediaFeatures] {
         override def hasNext: Boolean = {
           val h = mapped.hasNext
-          if (!h) codec.close()
+          if (!h) closeOnce()
           h
         }
         override def next(): MediaFeatures = mapped.next()
