@@ -37,6 +37,40 @@ object Dedup {
         (col("doc_id") =!= col("canonical_id")).as("is_dup"))
   }
 
+  /** Incremental exact dedup: a NEW batch of documents deduplicated
+    * against an already-ingested corpus — the steady-state shape of a
+    * production ingest (the corpus is 100 TB and static per run; only
+    * the batch is new). Per batch doc:
+    *  - `dup_of_corpus`: content hash already in the corpus
+    *    (canonical = the corpus's canonical doc),
+    *  - `dup_in_batch`: first seen in this batch but not by this doc
+    *    (canonical = min batch doc_id for the hash),
+    *  - `new`: this doc IS the hash's first occurrence anywhere.
+    *
+    * Scale shape: the corpus side collapses to one row per distinct
+    * hash BEFORE the join (in production that pre-aggregated hash
+    * index is a persisted artifact, so the 100 TB corpus is never
+    * rescanned); both joins are equi on the content hash — shuffle key
+    * cardinality = distinct contents.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val ck = corpus
+      .select(sha2(lower(trim(col("text"))), 256).as("__key"), col("doc_id"))
+      .groupBy("__key").agg(min("doc_id").as("corpus_canonical"))
+    val bk = batch.select(col("doc_id"),
+      sha2(lower(trim(col("text"))), 256).as("__key"))
+    val bmin = bk.groupBy("__key").agg(min("doc_id").as("batch_min"))
+    bk.join(bmin, "__key")
+      .join(ck, Seq("__key"), "left")
+      .select(col("doc_id"),
+        when(col("corpus_canonical").isNotNull, lit("dup_of_corpus"))
+          .when(col("doc_id") > col("batch_min"), lit("dup_in_batch"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("corpus_canonical"),
+          when(col("doc_id") > col("batch_min"), col("batch_min"))
+            .otherwise(col("doc_id"))).as("canonical_id"))
+  }
+
   /** Per-doc minhash signature + banded LSH keys + candidate count.
     * `sigCols` exposes band keys so the result is inspectable; the
     * candidate count comes from the bucket self-join.

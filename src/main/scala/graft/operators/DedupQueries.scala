@@ -23,10 +23,37 @@ object DedupQueries {
     // dupClusters stays the API/serving path (spec-tested on planted
     // duplicates).
     "d6_dup_clusters" -> ((s, d) =>
-      Dedup.jaccardClusters(Tables.documents(s, d), minJaccard = 0.05))
+      Dedup.jaccardClusters(Tables.documents(s, d), minJaccard = 0.05)),
+    // incremental ingest: every 5th doc plays the "new batch", the
+    // rest the already-ingested corpus
+    "d7_incremental_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalDedup(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+    })
   )
 
   val oracles: Map[String, String] = Map(
+    "d7_incremental_dedup" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+         batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+         ck AS (SELECT sha256(lower(trim(text))) AS key,
+                  MIN(doc_id) AS corpus_canonical
+                FROM corpus GROUP BY 1),
+         bk AS (SELECT doc_id, sha256(lower(trim(text))) AS key FROM batch),
+         bmin AS (SELECT key, MIN(doc_id) AS batch_min FROM bk GROUP BY key)
+         SELECT b.doc_id,
+           CASE WHEN ck.corpus_canonical IS NOT NULL THEN 'dup_of_corpus'
+                WHEN b.doc_id > bmin.batch_min THEN 'dup_in_batch'
+                ELSE 'new' END AS status,
+           COALESCE(ck.corpus_canonical,
+             CASE WHEN b.doc_id > bmin.batch_min THEN bmin.batch_min
+                  ELSE b.doc_id END) AS canonical_id
+         FROM bk b
+         JOIN bmin ON b.key = bmin.key
+         LEFT JOIN ck ON b.key = ck.key""",
     "d1_exact_dedup" ->
       """WITH keyed AS (
            SELECT doc_id, sha256(lower(trim(text))) AS key FROM documents),

@@ -355,6 +355,43 @@ object OlapQueries {
             WHERE c.c_mktsegment = 'BUILDING'""")
     }),
 
+    // UNPIVOT / melt: wide per-flag measures back to long
+    // (measure, value) rows — the inverse surface of q15_pivot.
+    // Narrow per-row transform after a tiny aggregate; no extra
+    // shuffle beyond the groupBy.
+    "q29_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(sum("l_discount"), 2).as("sum_disc"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "measure", "value")
+    }),
+
+    // Non-equi BAND join: facts against a tiny literal range dimension
+    // (quantity bands). Plans as a broadcast nested-loop join — with a
+    // broadcast side of 4 rows each fact row evaluates ≤4 range
+    // predicates, the right 100 TB shape for static band tables (for
+    // large interval dims you bucket the ranges instead; see
+    // Olap.asofJoin for the ordered variant).
+    "q30_band_join" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq(
+        ("q00_10", 0.0, 10.0), ("q10_25", 10.0, 25.0),
+        ("q25_40", 25.0, 40.0), ("q40_60", 40.0, 60.0))
+        .toDF("band", "lo", "hi")
+      Tables.lineitem(s, d)
+        .join(broadcast(bands),
+          col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_extendedprice"), 2).as("revenue"))
+    }),
+
     // Nested aggregation: per-group collected set, emitted as a
     // canonical joined string (cross-engine-stable representation).
     "q26_nested_agg" -> ((s, d) => {
@@ -555,6 +592,27 @@ object OlapQueries {
                   WHERE o.o_custkey = c.c_custkey
                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
          WHERE c.c_mktsegment = 'BUILDING'""",
+    "q29_unpivot" ->
+      """WITH a AS (
+           SELECT l_returnflag,
+             ROUND(SUM(l_quantity), 2) AS sum_qty,
+             ROUND(SUM(l_extendedprice), 2) AS sum_price,
+             ROUND(SUM(l_discount), 2) AS sum_disc
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+         UNION ALL
+         SELECT l_returnflag, 'sum_price', sum_price FROM a
+         UNION ALL
+         SELECT l_returnflag, 'sum_disc', sum_disc FROM a""",
+    "q30_band_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+           ('q00_10', 0.0, 10.0), ('q10_25', 10.0, 25.0),
+           ('q25_40', 25.0, 40.0), ('q40_60', 40.0, 60.0))
+         SELECT band, COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+         FROM lineitem JOIN bands
+           ON l_quantity >= lo AND l_quantity < hi
+         GROUP BY band""",
     "q26_nested_agg" ->
       """SELECT l_returnflag,
          array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,

@@ -42,8 +42,60 @@ object Packing {
         count(lit(1)).over(perBin).as("n_docs_in_bin"))
   }
 
+  /** Deterministic stratified sampling: per-stratum keep rates applied
+    * via an arithmetic hash of the row id (31-bit LCG), NOT `rand()` —
+    * the sample is stable under reruns, retries and repartitioning
+    * (a non-negotiable property for reproducible training corpora; a
+    * rand()-based sample changes under speculative re-execution).
+    * Pure integer arithmetic → bit-identical in any engine.
+    *
+    * Scale shape: a narrow per-row filter, no shuffle at all; the rate
+    * lookup is a literal CASE over the stratum column.
+    */
+  def stratifiedSample(docs: DataFrame,
+      rates: Map[String, Int] = Map("en" -> 30),
+      defaultRate: Int = 60, stratumCol: String = "lang"): DataFrame = {
+    val pct = pmod(col("doc_id") * 1103515245L + 12345L, lit(2147483648L)) % 100
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(stratumCol) === k, r).otherwise(acc)
+    }
+    docs.filter(pct < rate)
+      .select(col("doc_id"), col(stratumCol), col("source"), col("n_chars"))
+  }
+
+  /** Corpus mixture plan — the data-mixing step of a training
+    * pipeline: given per-language token counts and target mixture
+    * shares, compute each stratum's sampling rate against a global
+    * token budget (here budget = half the corpus) and the token count
+    * it will contribute. Two tiny aggregates + a broadcast of the
+    * 1-row total; nothing fact-sized moves.
+    */
+  def mixturePlan(docs: DataFrame, budgetFrac: Double = 0.5,
+      shares: Map[String, Double] = Map("en" -> 0.4),
+      defaultShare: Double = 0.15): DataFrame = {
+    val perLang = docs
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("lang_tokens"))
+    val total = perLang.agg(sum("lang_tokens").as("total_tokens"))
+    val share = shares.foldLeft(lit(defaultShare)) { case (acc, (k, v)) =>
+      when(col("lang") === k, v).otherwise(acc)
+    }
+    perLang.crossJoin(broadcast(total))
+      .withColumn("share", share)
+      .withColumn("rate", round(
+        least(lit(1.0),
+          col("total_tokens") * budgetFrac * col("share") / col("lang_tokens")),
+        6))
+      .withColumn("planned_tokens",
+        floor(col("rate") * col("lang_tokens")).cast("long"))
+      .select("lang", "n_docs", "lang_tokens", "share", "rate", "planned_tokens")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p1_sequence_packing" -> ((s, d) => sequencePack(Tables.documents(s, d)))
+    "p1_sequence_packing" -> ((s, d) => sequencePack(Tables.documents(s, d))),
+    "p2_stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
+    "p3_mixture_plan" -> ((s, d) => mixturePlan(Tables.documents(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -60,6 +112,32 @@ object Packing {
          SELECT doc_id, lang, n_tokens, bin_id,
            CAST(SUM(n_tokens) OVER (PARTITION BY lang, bin_id) AS BIGINT) AS bin_fill,
            COUNT(*) OVER (PARTITION BY lang, bin_id) AS n_docs_in_bin
-         FROM b"""
+         FROM b""",
+    "p2_stratified_sample" ->
+      """SELECT doc_id, lang, source, n_chars
+         FROM documents
+         WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 100
+               < (CASE WHEN lang = 'en' THEN 30 ELSE 60 END)""",
+    "p3_mixture_plan" ->
+      raw"""WITH per_lang AS (
+           SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+               AS lang_tokens
+           FROM documents GROUP BY lang),
+         tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens FROM per_lang),
+         -- all-DOUBLE arithmetic in Spark's association order (DuckDB
+         -- would otherwise compute in exact DECIMAL and the 6th rounded
+         -- digit could differ from IEEE doubles)
+         r AS (
+           SELECT lang, n_docs, lang_tokens,
+             CAST(CASE WHEN lang = 'en' THEN 0.4 ELSE 0.15 END AS DOUBLE) AS share,
+             ROUND(LEAST(1.0,
+               CAST(total_tokens AS DOUBLE) * 0.5
+                 * CAST(CASE WHEN lang = 'en' THEN 0.4 ELSE 0.15 END AS DOUBLE)
+                 / CAST(lang_tokens AS DOUBLE)), 6) AS rate
+           FROM per_lang, tot)
+         SELECT lang, n_docs, lang_tokens, share, rate,
+           CAST(FLOOR(rate * CAST(lang_tokens AS DOUBLE)) AS BIGINT) AS planned_tokens
+         FROM r"""
   )
 }

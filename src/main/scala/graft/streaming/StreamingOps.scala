@@ -167,7 +167,22 @@ object StreamingQueries {
       runStream(s, d)(ev =>
         ev.dropDuplicates("user_id", "event_type")
           .groupBy("event_type")
-          .agg(count(lit(1)).as("n_unique_users"))))
+          .agg(count(lit(1)).as("n_unique_users")))),
+    // stream-static enrichment: the event stream broadcast-joined to a
+    // small static dimension (per-micro-batch broadcast hash join — the
+    // standard streaming enrichment shape; no stream-side shuffle
+    // before the aggregate's own)
+    "st6_stream_static_join" -> ((s, d) => {
+      import s.implicits._
+      val cohorts = Seq((0L, "control"), (1L, "variant_a"),
+        (2L, "variant_b"), (3L, "holdout")).toDF("cohort_key", "cohort")
+      runStream(s, d)(ev =>
+        ev.withColumn("cohort_key", pmod(col("user_id"), lit(4L)))
+          .join(broadcast(cohorts), "cohort_key")
+          .groupBy("cohort", "event_type")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum("value"), 2).as("total_value")))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -218,6 +233,12 @@ object StreamingQueries {
     // streaming dedup on (user, type) converges to the batch distinct
     "st5_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
-         FROM events GROUP BY event_type"""
+         FROM events GROUP BY event_type""",
+    // the bounded stream's enrichment join converges to the batch join
+    "st6_stream_static_join" ->
+      """SELECT (CASE user_id % 4 WHEN 0 THEN 'control' WHEN 1 THEN 'variant_a'
+                 WHEN 2 THEN 'variant_b' ELSE 'holdout' END) AS cohort,
+           event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+         FROM events GROUP BY 1, 2"""
   )
 }

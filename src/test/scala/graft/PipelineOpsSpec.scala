@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Packing}
+
+/** Round-3 pipeline operators: incremental dedup, stratified sampling,
+  * mixture planning.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val corpus = Seq(
+    (0L, "alpha beta gamma", "en", "s0", 16L),
+    (1L, "delta epsilon zeta", "en", "s0", 18L),
+    (2L, "eta theta iota", "de", "s1", 14L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  lazy val batch = Seq(
+    (10L, "alpha beta gamma", "en", "s2", 16L),   // dup of corpus doc 0
+    (11L, "kappa lambda mu", "en", "s2", 15L),    // new
+    (12L, "kappa lambda mu", "en", "s3", 15L),    // dup of 11 within batch
+    (13L, "nu xi omicron", "de", "s3", 13L)       // new
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("incremental dedup classifies batch docs against corpus and batch") {
+    val out = Dedup.incrementalDedup(corpus, batch).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("status"), r.getAs[Long]("canonical_id"))).toMap
+    assert(out(10L) == ("dup_of_corpus", 0L))
+    assert(out(11L) == ("new", 11L))
+    assert(out(12L) == ("dup_in_batch", 11L))
+    assert(out(13L) == ("new", 13L))
+  }
+
+  test("incremental dedup of an empty batch is empty; full-dup batch has no 'new'") {
+    assert(Dedup.incrementalDedup(corpus, batch.limit(0)).count() == 0)
+    val allDup = Dedup.incrementalDedup(corpus,
+      corpus.withColumn("doc_id", col("doc_id") + 100L)).collect()
+    assert(allDup.forall(_.getAs[String]("status") == "dup_of_corpus"))
+  }
+
+  test("stratified sample is deterministic and respects the hash-rate rule") {
+    val docs = (0L until 500L).map(i =>
+      (i, s"doc $i", if (i % 3 == 0) "en" else "de", "s0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = Packing.stratifiedSample(docs).collect().map(_.getAs[Long]("doc_id")).sorted
+    val b = Packing.stratifiedSample(docs).collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(a.sameElements(b), "sample must be stable under re-execution")
+    // every kept row satisfies the arithmetic-hash rule; en downsampled harder
+    val kept = Packing.stratifiedSample(docs)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+    kept.foreach { case (id, lang) =>
+      val pct = ((id * 1103515245L + 12345L) % 2147483648L) % 100
+      val rate = if (lang == "en") 30 else 60
+      assert(pct < rate, s"doc $id (lang $lang) kept with pct $pct >= rate $rate")
+    }
+    // and no qualifying row was dropped
+    val expected = (0L until 500L).count { i =>
+      val pct = ((i * 1103515245L + 12345L) % 2147483648L) % 100
+      pct < (if (i % 3 == 0) 30 else 60)
+    }
+    assert(kept.length == expected)
+  }
+
+  test("mixture plan rates are capped at 1 and budget shares are honored") {
+    val docs = (0L until 300L).map(i =>
+      (i, Seq.fill(10)("w").mkString(" "),
+        if (i < 200) "en" else "zh", "s0", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val plan = Packing.mixturePlan(docs).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("lang_tokens"), r.getAs[Double]("rate"),
+          r.getAs[Long]("planned_tokens"))).toMap
+    // en: 2000 tokens, budget share = 3000*0.5*0.4 = 600 → rate 0.3
+    assert(math.abs(plan("en")._2 - 0.3) < 1e-9)
+    assert(plan("en")._3 == 600L)
+    // zh: 1000 tokens, budget share = 3000*0.5*0.15 = 225 → rate 0.225
+    assert(math.abs(plan("zh")._2 - 0.225) < 1e-9)
+    assert(plan("zh")._3 == 225L)
+    plan.values.foreach { case (toks, rate, planned) =>
+      assert(rate <= 1.0 && planned <= toks)
+    }
+  }
+}
