@@ -392,6 +392,43 @@ object OlapQueries {
           round(sum("l_extendedprice"), 2).as("revenue"))
     }),
 
+    // Ordered funnel: users converting view → click (after the first
+    // view) → purchase (after that click). Each stage is a per-user
+    // min-aggregate then an equi-join on user_id — stage N's frame is
+    // a strict subset of stage N-1's, so the joins shrink monotonically
+    // and everything shuffles on the high-cardinality user key.
+    "q31_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("first_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("first_view"))
+        .groupBy("user_id").agg(min("ts").as("first_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("first_click"))
+        .groupBy("user_id").agg(min("ts").as("first_purchase"))
+      v.select(lit("1_view").as("stage"), col("user_id"))
+        .unionByName(c.select(lit("2_click").as("stage"), col("user_id")))
+        .unionByName(p.select(lit("3_purchase").as("stage"), col("user_id")))
+        .groupBy("stage").agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // Cohort retention: users grouped by first-active day, counted per
+    // day-offset of later activity — the standard retention triangle.
+    // Activity first collapses to distinct (user, day) grain, so the
+    // offset join fans out per active-day not per event.
+    "q32_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val act = ev.distinct()
+      val first = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+      act.join(first, "user_id")
+        .groupBy(
+          date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // Nested aggregation: per-group collected set, emitted as a
     // canonical joined string (cross-engine-stable representation).
     "q26_nested_agg" -> ((s, d) => {
@@ -613,6 +650,37 @@ object OlapQueries {
          FROM lineitem JOIN bands
            ON l_quantity >= lo AND l_quantity < hi
          GROUP BY band""",
+    "q31_funnel" ->
+      """WITH v AS (
+           SELECT user_id, MIN(ts) AS first_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         c AS (
+           SELECT e.user_id, MIN(e.ts) AS first_click
+           FROM events e JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'click' AND e.ts > v.first_view
+           GROUP BY e.user_id),
+         p AS (
+           SELECT e.user_id, MIN(e.ts) AS first_purchase
+           FROM events e JOIN c ON e.user_id = c.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+           GROUP BY e.user_id),
+         stages AS (
+           SELECT '1_view' AS stage, user_id FROM v
+           UNION ALL SELECT '2_click', user_id FROM c
+           UNION ALL SELECT '3_purchase', user_id FROM p)
+         SELECT stage, COUNT(DISTINCT user_id) AS n_users
+         FROM stages GROUP BY stage""",
+    "q32_retention" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+           FROM events),
+         first AS (
+           SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id)
+         SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+         FROM act a JOIN first f ON a.user_id = f.user_id
+         GROUP BY 1, 2""",
     "q26_nested_agg" ->
       """SELECT l_returnflag,
          array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
