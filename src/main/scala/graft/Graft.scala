@@ -57,6 +57,36 @@ object Graft {
       dstCol: String = "doc_b"): DataFrame =
     Dedup.connectedComponents(nodes, edges, idCol, srcCol, dstCol)
 
+  /** Incremental ingest dedup: classify a NEW batch against the
+    * already-ingested corpus (new / dup_of_corpus / dup_in_batch) —
+    * the corpus side is pre-aggregated to its content-hash index so
+    * the full corpus is never rescanned per batch.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame =
+    Dedup.incrementalDedup(corpus, batch)
+
+  /** Deterministic stratified sampling (arithmetic row-id hash —
+    * stable under reruns and retries, unlike rand()).
+    */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Int] = Map("en" -> 30),
+      defaultRate: Int = 60, stratumCol: String = "lang"): DataFrame =
+    Packing.stratifiedSample(docs, rates, defaultRate, stratumCol)
+
+  /** Corpus mixture plan: per-stratum sampling rates against a global
+    * token budget (the data-mixing step of a training pipeline).
+    */
+  def mixturePlan(docs: DataFrame, budgetFrac: Double = 0.5,
+      shares: Map[String, Double] = Map("en" -> 0.4),
+      defaultShare: Double = 0.15): DataFrame =
+    Packing.mixturePlan(docs, budgetFrac, shares, defaultShare)
+
+  /** Contiguous per-group sequence packing into fixed-capacity token
+    * bins (sample packing for training batches).
+    */
+  def sequencePack(docs: DataFrame, capacity: Int = 512,
+      groupCol: String = "lang"): DataFrame =
+    Packing.sequencePack(docs, capacity, groupCol)
+
   /** Embedding-cosine near-duplicate pairs. LSH-blocked and therefore
     * APPROXIMATE (a pair hashing apart in all tables is missed —
     * ~1e-3 at the defaults); pass `nPlanes = 0` for the exhaustive

@@ -429,6 +429,21 @@ object OlapQueries {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // Skew-salted join: the heavy-key fact⨝dim shape where one key
+    // holds a disproportionate share of rows. Salting splits each hot
+    // key across `salts` shuffle partitions (dim side replicated
+    // `salts`×) — the RESULT is identical to the plain join, which is
+    // exactly what the oracle asserts; only the shuffle layout differs.
+    "q33_salted_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val users = ev.select(col("user_id").as("u_id")).distinct()
+        .withColumn("segment", concat(lit("seg"), pmod(col("u_id"), lit(3L))))
+      Olap.saltedJoin(ev, users, "user_id", "u_id", 8, col("event_id"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"))
+    }),
+
     // Nested aggregation: per-group collected set, emitted as a
     // canonical joined string (cross-engine-stable representation).
     "q26_nested_agg" -> ((s, d) => {
@@ -681,6 +696,16 @@ object OlapQueries {
            COUNT(DISTINCT a.user_id) AS n_users
          FROM act a JOIN first f ON a.user_id = f.user_id
          GROUP BY 1, 2""",
+    // the salted join must produce exactly the plain join's result
+    "q33_salted_join" ->
+      """WITH users AS (
+           SELECT DISTINCT user_id AS u_id,
+             'seg' || CAST(user_id % 3 AS VARCHAR) AS segment
+           FROM events)
+         SELECT segment, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+         FROM events e JOIN users u ON e.user_id = u.u_id
+         GROUP BY segment""",
     "q26_nested_agg" ->
       """SELECT l_returnflag,
          array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,

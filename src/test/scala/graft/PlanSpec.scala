@@ -83,6 +83,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "expected no window operator in s1's plan")
   }
 
+  test("q30: band join broadcasts the literal interval dim (no fact shuffle for the join)") {
+    val p = plan("q30_band_join")
+    // a 4-row non-equi dim must go broadcast nested-loop, never a
+    // cartesian/sort-merge over the facts
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("p2: stratified sample is a pure narrow filter — no shuffle anywhere") {
+    val p = plan("p2_stratified_sample")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("d7: incremental dedup joins equi on the content hash, corpus pre-aggregated") {
+    val p = plan("d7_incremental_dedup")
+    // both probe joins key on the sha256 content hash; no nested loop
+    assert(p.contains("__key"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // corpus side collapses to one row per hash before the join
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
   test("q1: aggregation runs inside whole-stage codegen") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     // AQE's pre-execution plan string hides codegen stages; ask for
