@@ -141,6 +141,27 @@ object TextQueries {
               / size(col("grams5")), 6)).otherwise(0.0).as("dup_5gram_frac"))
     }),
 
+    // Corpus-statistics quality scoring: per-doc mean negative
+    // unigram log-probability against the corpus's own vocabulary —
+    // the unigram proxy for LM-perplexity filtering (low = templated/
+    // repetitive, high = rare-token soup). Scale shape: the vocab is
+    // a (word → count) aggregate shuffled on the high-cardinality
+    // word key; the per-doc score is one more word-keyed join + a
+    // doc-keyed aggregate. Nothing driver-side, no broadcast of the
+    // (potentially huge) vocab — only the 1-row total is broadcast.
+    "t9_unigram_logprob" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("w"))
+      val vocab = t.groupBy("w").agg(count(lit(1)).as("wc"))
+      val tot = vocab.agg(sum("wc").as("total"))
+      t.join(vocab, "w")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(-log(col("wc").cast("double") / col("total").cast("double"))), 6)
+            .as("avg_neg_logprob"))
+    }),
+
     // Top word-bigrams by frequency (global n-gram statistics).
     "t5_ngram_stats" -> ((s, d) => {
       Tables.documents(s, d)
@@ -279,6 +300,18 @@ object TextQueries {
              i -> toks[i] || ' ' || toks[i + 1])) AS bigram
            FROM t)
          SELECT bigram, COUNT(*) AS freq FROM b
-         GROUP BY bigram ORDER BY freq DESC, bigram ASC LIMIT 20"""
+         GROUP BY bigram ORDER BY freq DESC, bigram ASC LIMIT 20""",
+    "t9_unigram_logprob" ->
+      raw"""WITH t AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+           FROM documents),
+         vocab AS (SELECT w, COUNT(*) AS wc FROM t GROUP BY w),
+         tot AS (SELECT CAST(SUM(wc) AS BIGINT) AS total FROM vocab)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(-ln(CAST(wc AS DOUBLE) / CAST(total AS DOUBLE))), 6)
+             AS avg_neg_logprob
+         FROM t JOIN vocab USING (w) CROSS JOIN tot
+         GROUP BY doc_id"""
   )
 }
