@@ -133,7 +133,8 @@ object StreamingQueries {
     * st1's oracle (watermarked streaming agg ≡ batch agg), st4 has a
     * session-identity oracle.
     */
-  private def runStream(spark: SparkSession, sfDir: String)(
+  private def runStream(spark: SparkSession, sfDir: String,
+      outputMode: String = "complete")(
       build: DataFrame => DataFrame): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
     java.nio.file.Files.createSymbolicLink(
@@ -146,7 +147,7 @@ object StreamingQueries {
     val qname = "graft_stream_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val q = build(ev).writeStream
-      .outputMode("complete").format("memory").queryName(qname).start()
+      .outputMode(outputMode).format("memory").queryName(qname).start()
     try q.processAllAvailable() finally q.stop()
     spark.table(qname)
   }
@@ -182,7 +183,29 @@ object StreamingQueries {
           .groupBy("cohort", "event_type")
           .agg(count(lit(1)).as("n_events"),
             round(sum("value"), 2).as("total_value")))
-    })
+    }),
+    // stream-STREAM join: clicks joined to same-user purchases within
+    // 30 minutes after the click. Both sides carry watermarks and the
+    // join predicate bounds event-time distance, so the state store
+    // evicts rows once the watermark passes — the state is bounded by
+    // the 30-minute window, never the whole stream. Inner stream-stream
+    // joins emit on match → append mode.
+    "st7_stream_stream_join" -> ((s, d) =>
+      runStream(s, d, outputMode = "append") { ev =>
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"),
+            col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+          .withWatermark("purchase_ts", "1 hour")
+        clicks.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_ts") > col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+          .select(col("user_id"), col("click_id"), col("purchase_id"))
+      })
   )
 
   val oracles: Map[String, String] = Map(
@@ -239,6 +262,14 @@ object StreamingQueries {
       """SELECT (CASE user_id % 4 WHEN 0 THEN 'control' WHEN 1 THEN 'variant_a'
                  WHEN 2 THEN 'variant_b' ELSE 'holdout' END) AS cohort,
            event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+    // the bounded stream-stream join converges to the batch interval join
+    "st7_stream_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts > c.ts
+          AND p.ts <= c.ts + INTERVAL 30 MINUTE"""
   )
 }

@@ -122,4 +122,40 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.n_bytes == 1L && got.byte_sum == 2L &&
       got.mean_byte == 3.0 && got.feat_0 == 4.0 && got.feat_1 == 5.0)
   }
+
+  test("WavPcmCodec decodes a real synthesized RIFF/WAVE payload") {
+    // 8000 Hz mono 16-bit PCM, 800 samples (100 ms) of a square wave
+    // alternating ±8192 → mean |amplitude| = 8192/32768 = 0.25
+    val sampleRate = 8000; val n = 800
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+      .putShort(2).putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(2 * n)
+    (0 until n).foreach(i => bb.putShort(if (i % 2 == 0) 8192 else -8192))
+    val wav = bb.array()
+
+    val media = Seq((1L, wav, "audio/wav", 0, 0))
+      .toDF("doc_id", "payload", "media_type", "width", "height")
+    val f = Multimodal.extractFeatures(spark, media,
+      new Multimodal.WavPcmCodec).collect().head
+    assert(f.n_bytes == (44 + 2 * n).toLong) // payload size
+    assert(f.byte_sum == n.toLong)           // slot 1 = n_samples
+    assert(f.mean_byte == sampleRate.toDouble) // slot 2 = sample rate
+    assert(math.abs(f.feat_0 - 0.25) < 1e-9) // mean |amplitude|
+    assert(math.abs(f.feat_1 - 100.0) < 1e-9) // duration ms
+  }
+
+  test("WavPcmCodec rejects non-WAV payloads loudly") {
+    val junk = Seq((2L, "not a wav".getBytes("UTF-8"), "audio/wav", 0, 0))
+      .toDF("doc_id", "payload", "media_type", "width", "height")
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(spark, junk, new Multimodal.WavPcmCodec).collect()
+    }
+    assert(err.getMessage != null)
+  }
 }
