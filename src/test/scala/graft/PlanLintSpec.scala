@@ -1,0 +1,45 @@
+package graft
+
+/** Engine-wide plan lint: every registry query's physical plan must be
+  * free of the scale-killing operators — an accidental cartesian
+  * product or an unintended nested-loop join anywhere in the registry
+  * is a 100 TB outage, whatever the small-scale result looks like.
+  *
+  * Streaming entries (`st3`+) execute eagerly and return a memory-sink
+  * table, so they are linted by their batch twins (st1/st2/st6/st7
+  * register the equivalent plans) and skipped here.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  // Broadcast nested-loop joins that are DELIBERATE — each broadcasts
+  // a provably tiny side, so the per-fact-row work is O(broadcast):
+  private val nestedLoopAllowed = Set(
+    "q30_band_join",       // 4-row literal band dim, non-equi predicate
+    "q14_subquery",        // scalar subquery (1-row broadcast)
+    "p3_mixture_plan",     // 1-row corpus-total broadcast
+    "t9_unigram_logprob",  // 1-row corpus-total broadcast
+    "s1_knn_brute",        // brute-force baseline broadcasts the query set
+    "s3_knn_ivf",          // broadcast k-means codebook (nlist rows)
+    "h5_hier_agg_deep"     // dim construction: nation × 5-row segment literal
+  )
+
+  private val skipEager = Set(
+    "st3_windowed_agg_stream", "st4_session_window_stream",
+    "st5_stream_dedup", "st6_stream_static_join", "st7_stream_stream_join")
+
+  test("no registry query plans a cartesian product or stray nested-loop join") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skipEager)
+      .flatMap { name =>
+        val p = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString()
+        val cartesian = p.contains("CartesianProduct")
+        val stray = p.contains("BroadcastNestedLoopJoin") &&
+          !nestedLoopAllowed(name)
+        if (cartesian || stray)
+          Some(s"$name: cartesian=$cartesian strayNLJ=$stray")
+        else None
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
