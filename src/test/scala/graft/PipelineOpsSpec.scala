@@ -39,6 +39,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(allDup.forall(_.getAs[String]("status") == "dup_of_corpus"))
   }
 
+  test("incremental dedup agrees with exactDedup over the unioned corpus (randomized)") {
+    // 120 docs drawn from a 40-text pool → guaranteed collisions, both
+    // corpus-vs-batch and batch-internal; seeded for reproducibility
+    val rnd = new scala.util.Random(7)
+    val all = (0L until 120L).map(i =>
+      (i, s"text ${rnd.nextInt(40)}", "en", "s0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = all.filter(col("doc_id") % 3 =!= 0)
+    val batch = all.filter(col("doc_id") % 3 === 0)
+
+    val inc = Dedup.incrementalDedup(corpus, batch).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("status"), r.getAs[Long]("canonical_id"))).toMap
+    val union = Dedup.exactDedup(all).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    val corpusIds = corpus.collect().map(_.getAs[Long]("doc_id")).toSet
+
+    inc.foreach { case (id, (status, canon)) =>
+      val groupIds = union.filter(_._2 == union(id)).keys
+      val corpusGroup = groupIds.filter(corpusIds)
+      status match {
+        case "dup_of_corpus" =>
+          // canonical must be the corpus group's min, and one must exist
+          assert(corpusGroup.nonEmpty && canon == corpusGroup.min, s"doc $id")
+        case "dup_in_batch" =>
+          assert(corpusGroup.isEmpty, s"doc $id: corpus hit should win")
+          assert(canon == groupIds.filterNot(corpusIds).min && canon != id, s"doc $id")
+        case "new" =>
+          assert(corpusGroup.isEmpty && canon == id, s"doc $id")
+          assert(groupIds.filterNot(corpusIds).min == id, s"doc $id")
+      }
+    }
+  }
+
   test("stratified sample is deterministic and respects the hash-rate rule") {
     val docs = (0L until 500L).map(i =>
       (i, s"doc $i", if (i % 3 == 0) "en" else "de", "s0", 10L))
