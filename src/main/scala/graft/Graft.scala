@@ -105,6 +105,23 @@ object Graft {
       nprobe: Int = 3): DataFrame =
     Similarity.ivfTopK(embeddings, k, nQueries, nprobe)
 
+  /** Top-k rows per group (window rank + filter). For additive/score
+    * top-k at fact scale prefer the bounded-heap `topk_by_score`
+    * aggregate (only k-sized buffers cross the shuffle); this is the
+    * generic form that keeps whole rows.
+    */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[String],
+      orderCol: Column, k: Int): DataFrame =
+    operators.Olap.topKPerGroup(df, partitionCols, orderCol, k)
+
+  /** Skew-salted equi-join: hot keys split across `salts` shuffle
+    * partitions, dim side replicated `salts`× (see q33 for the
+    * result-identity guarantee).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, salts: Int, saltSource: Column): DataFrame =
+    operators.Olap.saltedJoin(big, small, bigKey, smallKey, salts, saltSource)
+
   /** Native sort-merge as-of join (see graft.plans.AsOfJoin). */
   def asofJoin(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, leftTime: String, rightTime: String,

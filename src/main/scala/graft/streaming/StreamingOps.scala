@@ -146,9 +146,19 @@ object StreamingQueries {
     val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val qname = "graft_stream_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = build(ev).writeStream
-      .outputMode(outputMode).format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
+    // Stateful streaming allocates one state store PER shuffle
+    // partition per stateful operator (×4 for stream-stream joins);
+    // at bench scale 32 partitions is pure store-setup overhead. The
+    // partition count is a per-query knob in production (it fixes the
+    // state layout for the query's lifetime) — scope it down here and
+    // restore the session setting afterwards.
+    val partsWas = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = build(ev).writeStream
+        .outputMode(outputMode).format("memory").queryName(qname).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", partsWas)
     spark.table(qname)
   }
 

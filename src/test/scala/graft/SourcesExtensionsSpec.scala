@@ -180,6 +180,26 @@ class SourcesExtensionsSpec extends SparkSpec {
     plain.foreach { case (k, v) => assert(math.abs(v - salted(k)) < 1e-6, k) }
   }
 
+  test("topKPerGroup keeps exactly the k best rows per group") {
+    val o = Tables.orders(spark, sf)
+    val got = Olap.topKPerGroup(o, Seq("o_orderpriority"),
+        col("o_totalprice").desc, 3)
+      .select("o_orderpriority", "o_orderkey").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // reference: per-group sort-and-take on the driver (test-only)
+    val want = o.select("o_orderpriority", "o_orderkey", "o_totalprice").collect()
+      .groupBy(_.getString(0)).view.mapValues(
+        _.sortBy(r => (-r.getDouble(2), r.getLong(1))).take(3).map(_.getLong(1)).toSet).toMap
+    assert(got.keySet == want.keySet)
+    // ties on price may pick either order key; compare by price multiset
+    val priceOf = o.collect().map(r =>
+      r.getAs[Long]("o_orderkey") -> r.getAs[Double]("o_totalprice")).toMap
+    got.foreach { case (g, ids) =>
+      assert(ids.size == math.min(3, want(g).size), g)
+      assert(ids.toSeq.map(priceOf).sorted == want(g).toSeq.map(priceOf).sorted, g)
+    }
+  }
+
   test("approx sketches stay within error bounds of exact values") {
     val approx = SparkEntry.queries("q20_approx_sketch")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getAs[Long]("approx_parts"), r.getAs[Double]("approx_median"))).toMap
