@@ -68,6 +68,25 @@ object HierarchyQueries {
       val facts = HierarchyAgg.salesFacts(s, d)
         .withColumn("leaf_key", col("l_partkey").cast("long"))
       HierarchyAgg.hierarchicalRollup(facts, partDimension(s, d).aggregationDim)
+    }),
+    // dimension MAINTENANCE: reparent one node (n8 INDIA moves from
+    // Asia under r0 Africa) and diff the two closures — the
+    // added/removed ancestor–descendant pairs are exactly the rows a
+    // 100 TB rollup cache must invalidate after a hierarchy edit. The
+    // whole computation is dim-sized; facts are never touched.
+    "h7_hierarchy_diff" -> ((s, d) => {
+      val base = HierarchyAgg.regionNationNodes(s, d)
+      val moved = base.withColumn("parent_node_id",
+        when(col("node_id") === "n8", lit("r0"))
+          .otherwise(col("parent_node_id")))
+      def closure(nodes: org.apache.spark.sql.DataFrame) =
+        new HierarchyDimension(nodes, knownDepth = 3).aggregationDim
+          .select(col("ancestor_node_id"), col("descendant_node_id"))
+      val c1 = closure(base)
+      val c2 = closure(moved)
+      c1.exceptAll(c2).withColumn("change", lit("removed"))
+        .unionByName(c2.exceptAll(c1).withColumn("change", lit("added")))
+        .select("change", "ancestor_node_id", "descendant_node_id")
     })
   )
 
@@ -177,6 +196,30 @@ SELECT product_node_name, product_level_name, sum_sales_amount, sum_unit_quantit
 FROM agg ORDER BY ancestor_node_sort_order"""
 
   val oracles: Map[String, String] = Map(
+    // closure diff needs only (ancestor, descendant) pairs, which have
+    // a compact self-inheriting recursive form per node-table version
+    "h7_hierarchy_diff" ->
+      """WITH RECURSIVE n1 AS (
+  SELECT 'root' AS node_id, CAST(NULL AS VARCHAR) AS parent_node_id
+  UNION ALL SELECT 'r' || r_regionkey, 'root' FROM region
+  UNION ALL SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation),
+n2 AS (
+  SELECT node_id,
+         CASE WHEN node_id = 'n8' THEN 'r0' ELSE parent_node_id END AS parent_node_id
+  FROM n1),
+anc1 AS (
+  SELECT node_id, node_id AS anc FROM n1
+  UNION ALL
+  SELECT n.node_id, a.anc FROM n1 n JOIN anc1 a ON n.parent_node_id = a.node_id),
+anc2 AS (
+  SELECT node_id, node_id AS anc FROM n2
+  UNION ALL
+  SELECT n.node_id, a.anc FROM n2 n JOIN anc2 a ON n.parent_node_id = a.node_id)
+SELECT 'removed' AS change, anc AS ancestor_node_id, node_id AS descendant_node_id
+FROM (SELECT node_id, anc FROM anc1 EXCEPT SELECT node_id, anc FROM anc2)
+UNION ALL
+SELECT 'added', anc, node_id
+FROM (SELECT node_id, anc FROM anc2 EXCEPT SELECT node_id, anc FROM anc1)""",
     "h1_nodes" ->
       s"""${prelude(false)}
 SELECT node_id, node_natural_key, node_name, level_name, parent_node_id, is_root, is_leaf FROM flagged""",
