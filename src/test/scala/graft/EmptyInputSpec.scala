@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Degenerate-input hardening: a 100 TB pipeline routinely sees empty
+  * shards/partitions — every operator must return an empty (or
+  * correctly-degenerate) result, not throw.
+  */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val noDocs = Seq.empty[(Long, String, String, String, Long)]
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+  private lazy val noEvents = Tables.events(spark, sf).limit(0)
+  private lazy val noEmb = Tables.embeddings(spark, sf).limit(0)
+
+  test("dedup family returns empty on an empty corpus") {
+    assert(Dedup.exactDedup(noDocs).count() == 0)
+    assert(Dedup.minhashPairs(noDocs).count() == 0)
+    assert(Dedup.ngramJaccard(noDocs).count() == 0)
+    assert(Dedup.incrementalDedup(noDocs, noDocs).count() == 0)
+    assert(Dedup.dupClusters(noDocs).count() == 0)
+  }
+
+  test("packing/sampling/mixture handle empty docs") {
+    assert(Packing.sequencePack(noDocs).count() == 0)
+    assert(Packing.stratifiedSample(noDocs).count() == 0)
+    assert(Packing.mixturePlan(noDocs).count() == 0)
+  }
+
+  test("embedding near-dup and similarity return empty on empty embeddings") {
+    assert(Dedup.embeddingNearDup(noEmb).count() == 0)
+    assert(Dedup.embeddingNearDup(noEmb, nPlanes = 0).count() == 0)
+    assert(Similarity.bruteForceTopK(noEmb).count() == 0)
+  }
+
+  test("streaming batch forms and sessionize handle empty events") {
+    assert(graft.streaming.StreamingOps.windowedAgg(noEvents).count() == 0)
+    assert(graft.streaming.StreamingOps.sessionize(noEvents).count() == 0)
+  }
+
+  test("hierarchical rollup of empty facts still emits zero-count rows per node") {
+    val dim = HierarchyQueries.dimension(spark, sf)
+    val facts = HierarchyAgg.salesFacts(spark, sf).limit(0)
+    val out = HierarchyAgg.hierarchicalRollup(facts, dim.aggregationDim)
+    // no fact rows → no groups survive the inner closure join
+    assert(out.count() == 0)
+  }
+
+  test("connected components with no edges labels every node as itself") {
+    val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
+    val edges = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(nodes, edges).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component_id")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+}
