@@ -56,4 +56,33 @@ object Sources {
     df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(tableName)
+
+  /** Small-file compaction — the steady-state maintenance job of any
+    * long-lived 100 TB table (streaming sinks and per-batch appends
+    * fragment a table until the file listing and per-file open costs
+    * dominate scans). Rewrites `path` as ceil(bytes/targetFileBytes)
+    * files via a size-estimated `repartition`, atomically: writes to a
+    * sibling temp dir, then swaps. Returns the new file count.
+    *
+    * The repartition is a round-robin shuffle of the table — that IS
+    * the cost of compaction; run it per-partition-directory in
+    * production so only fragmented partitions pay.
+    */
+  def compactParquet(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(path)
+    val bytes = Files.walk(dir).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(Files.size).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = Paths.get(path + ".__compact_tmp")
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // swap: remove original, move temp into place
+    Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+    nFiles
+  }
 }

@@ -27,6 +27,25 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(pruned.count() == 5)
   }
 
+  test("compactParquet rewrites a fragmented table into few files, data intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val docs = Tables.documents(spark, sf)
+    docs.repartition(50).write.parquet(dir)
+    def parquetFiles = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .count(p => p.toString.endsWith(".parquet") &&
+          java.nio.file.Files.isRegularFile(p))
+    }
+    val before = parquetFiles
+    assert(before >= 50, s"fragmentation setup failed: $before files")
+    val checksum = docs.agg(sum(col("doc_id")), count(lit(1))).head()
+    graft.sources.Sources.compactParquet(spark, dir)
+    assert(parquetFiles < 5, s"still ${parquetFiles} files after compaction")
+    val after = spark.read.parquet(dir).agg(sum(col("doc_id")), count(lit(1))).head()
+    assert(after == checksum, "compaction changed the data")
+  }
+
   test("bucketed tables join without a shuffle") {
     // in-memory catalog forgets tables across JVMs but leaves files:
     // clear both
