@@ -55,7 +55,13 @@ object Packing {
   def stratifiedSample(docs: DataFrame,
       rates: Map[String, Int] = Map("en" -> 30),
       defaultRate: Int = 60, stratumCol: String = "lang"): DataFrame = {
-    val pct = pmod(col("doc_id") * 1103515245L + 12345L, lit(2147483648L)) % 100
+    // reduce the id below 2^31 BEFORE the LCG multiply: doc_id beyond
+    // ~8.4e9 (a realistic 100 TB corpus) would overflow the Long
+    // product under ANSI mode; the reduced form peaks at 2^31 × a,
+    // safely inside Long range, and is bit-identical for ids < 2^31
+    val pct = pmod(
+      pmod(col("doc_id"), lit(2147483648L)) * 1103515245L + 12345L,
+      lit(2147483648L)) % 100
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
       when(col(stratumCol) === k, r).otherwise(acc)
     }
@@ -116,7 +122,7 @@ object Packing {
     "p2_stratified_sample" ->
       """SELECT doc_id, lang, source, n_chars
          FROM documents
-         WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 100
+         WHERE (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 100
                < (CASE WHEN lang = 'en' THEN 30 ELSE 60 END)""",
     "p3_mixture_plan" ->
       raw"""WITH per_lang AS (

@@ -121,6 +121,27 @@ object StreamingOps {
   }
 }
 
+object StreamingOpsSinks {
+
+  /** Durable streaming sink: append the streaming frame to a parquet
+    * directory with a checkpoint — Spark's file sink commits each
+    * micro-batch's files to a write-ahead manifest, so restarts resume
+    * from the checkpoint and readers never see partial batches
+    * (end-to-end exactly-once for file outputs). Returns once the
+    * currently-available input is fully processed.
+    */
+  def streamToParquet(df: org.apache.spark.sql.DataFrame, outDir: String,
+      checkpointDir: String): Unit = {
+    val q = df.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+}
+
 object StreamingQueries {
 
   /** Drive a Structured Streaming query over the events parquet to

@@ -84,13 +84,13 @@ class PipelineOpsSpec extends SparkSpec {
     val kept = Packing.stratifiedSample(docs)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
     kept.foreach { case (id, lang) =>
-      val pct = ((id * 1103515245L + 12345L) % 2147483648L) % 100
+      val pct = (((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L) % 100
       val rate = if (lang == "en") 30 else 60
       assert(pct < rate, s"doc $id (lang $lang) kept with pct $pct >= rate $rate")
     }
     // and no qualifying row was dropped
     val expected = (0L until 500L).count { i =>
-      val pct = ((i * 1103515245L + 12345L) % 2147483648L) % 100
+      val pct = (((i % 2147483648L) * 1103515245L + 12345L) % 2147483648L) % 100
       pct < (if (i % 3 == 0) 30 else 60)
     }
     assert(kept.length == expected)

@@ -92,4 +92,26 @@ class StreamingSpec extends SparkSpec {
     val cols = Seq("user_id", "session_start", "n_events", "total_value")
     assert(canon(fmgws, cols: _*) == canon(lagForm, cols: _*))
   }
+
+  test("streamToParquet: durable file sink with checkpoint equals the batch filter") {
+    val dir = java.nio.file.Files.createTempDirectory("events_sink_src")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val stream = spark.readStream.schema(
+        spark.read.parquet(s"$sf/events.parquet").schema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+    val out = java.nio.file.Files.createTempDirectory("events_sink_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("events_sink_ckpt").toString
+    graft.streaming.StreamingOpsSinks.streamToParquet(stream, out, ckpt)
+    val sunk = spark.read.parquet(out)
+    val batch = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+    val cols = Seq("event_id", "user_id", "value")
+    assert(canon(sunk, cols: _*) == canon(batch, cols: _*))
+  }
 }
