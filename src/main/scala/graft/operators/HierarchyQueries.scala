@@ -75,15 +75,16 @@ object HierarchyQueries {
     // 100 TB rollup cache must invalidate after a hierarchy edit. The
     // whole computation is dim-sized; facts are never touched.
     "h7_hierarchy_diff" -> ((s, d) => {
-      val base = HierarchyAgg.regionNationNodes(s, d)
-      val moved = base.withColumn("parent_node_id",
-        when(col("node_id") === "n8", lit("r0"))
-          .otherwise(col("parent_node_id")))
-      def closure(nodes: org.apache.spark.sql.DataFrame) =
-        new HierarchyDimension(nodes, knownDepth = 3).aggregationDim
-          .select(col("ancestor_node_id"), col("descendant_node_id"))
-      val c1 = closure(base)
-      val c2 = closure(moved)
+      val moved = HierarchyAgg.regionNationNodes(s, d)
+        .withColumn("parent_node_id",
+          when(col("node_id") === "n8", lit("r0"))
+            .otherwise(col("parent_node_id")))
+      // v1 closure comes from the session-cached base dimension (the
+      // one h1–h4 share); only the edited version derives fresh
+      val c1 = dimension(s, d).aggregationDim
+        .select(col("ancestor_node_id"), col("descendant_node_id"))
+      val c2 = new HierarchyDimension(moved, knownDepth = 3).aggregationDim
+        .select(col("ancestor_node_id"), col("descendant_node_id"))
       c1.exceptAll(c2).withColumn("change", lit("removed"))
         .unionByName(c2.exceptAll(c1).withColumn("change", lit("added")))
         .select("change", "ancestor_node_id", "descendant_node_id")
