@@ -65,6 +65,12 @@ object Graft {
   def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame =
     Dedup.incrementalDedup(corpus, batch)
 
+  /** Decontamination: flag corpus docs sharing any word n-gram with a
+    * held-out benchmark/eval set (keep eval text out of training data).
+    */
+  def decontaminate(corpus: DataFrame, eval: DataFrame, n: Int = 5): DataFrame =
+    Dedup.decontaminate(corpus, eval, n)
+
   /** Deterministic stratified sampling (arithmetic row-id hash —
     * stable under reruns and retries, unlike rand()).
     */

@@ -71,6 +71,28 @@ object Dedup {
             .otherwise(col("doc_id"))).as("canonical_id"))
   }
 
+  /** Decontamination — the pipeline stage that keeps benchmark/eval
+    * text out of the training corpus: flag every corpus document
+    * sharing at least one word `n`-gram with any eval document.
+    * Returns (doc_id, n_shared_grams, n_eval_docs_hit) per flagged doc.
+    *
+    * Scale shape: both sides explode to distinct (doc, gram) and
+    * equi-join on the gram — the shuffle key is the n-gram itself
+    * (cardinality grows with the corpus, never a handful of buckets).
+    * The eval side is benchmark-sized; at 100 TB you'd broadcast its
+    * distinct-gram set (or a bloom filter of it) — Spark's AQE already
+    * picks broadcast when the built side fits.
+    */
+  def decontaminate(corpus: DataFrame, eval: DataFrame, n: Int = 5): DataFrame = {
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(array_distinct(wordNgrams(tokens(lower(col("text"))), n))).as("gram"))
+    grams(corpus)
+      .join(grams(eval).select(col("gram"), col("doc_id").as("eval_id")), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs_hit"))
+  }
+
   /** Per-doc minhash signature + banded LSH keys + candidate count.
     * `sigCols` exposes band keys so the result is inspectable; the
     * candidate count comes from the bucket self-join.

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.Tables
 
 /** Registry for the dedup family (SURVEY.md §2.D). d1/d4/d5 have exact
@@ -32,10 +33,35 @@ object DedupQueries {
       Dedup.incrementalDedup(
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(5)) === 0))
-    })
+    }),
+    // decontamination: every 50th doc plays the held-out benchmark
+    "d8_decontaminate" -> ((s, d) =>
+      Dedup.decontaminate(
+        Tables.documents(s, d).filter(col("doc_id") % 50 =!= 0),
+        Tables.documents(s, d).filter(col("doc_id") % 50 === 0)))
   )
 
   val oracles: Map[String, String] = Map(
+    "d8_decontaminate" ->
+      raw"""WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT DISTINCT doc_id, gram FROM (
+             SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= 5 THEN
+                 list_transform(range(1, len(toks) - 3),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                        toks[i+3] || ' ' || toks[i+4])
+               ELSE [] END) AS gram
+             FROM t)),
+         e AS (SELECT gram, doc_id AS eval_id FROM g WHERE doc_id % 50 = 0),
+         c AS (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0)
+         SELECT c.doc_id,
+           COUNT(DISTINCT c.gram) AS n_shared_grams,
+           COUNT(DISTINCT e.eval_id) AS n_eval_docs_hit
+         FROM c JOIN e ON c.gram = e.gram
+         GROUP BY c.doc_id""",
     "d7_incremental_dedup" ->
       """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
          batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),

@@ -73,6 +73,26 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate flags corpus docs sharing 5-grams with eval docs") {
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog", "en", "e", 40L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpusSet = Seq(
+      // contains "the quick brown fox jumps" → contaminated
+      (0L, "intro words then the quick brown fox jumps away", "en", "s", 40L),
+      // shares words but no 5-gram → clean
+      (1L, "quick dog brown lazy the fox over jumps", "en", "s", 30L),
+      // exact eval copy → contaminated, many shared grams
+      (2L, "the quick brown fox jumps over the lazy dog", "en", "s", 40L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.decontaminate(corpusSet, evalSet).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shared_grams"), r.getAs[Long]("n_eval_docs_hit"))).toMap
+    assert(out.keySet == Set(0L, 2L))
+    assert(out(0L) == (1L, 1L))   // exactly "the quick brown fox jumps"
+    assert(out(2L) == (5L, 1L))   // all 5 of the eval doc's 5-grams
+  }
+
   test("stratified sample is deterministic and respects the hash-rate rule") {
     val docs = (0L until 500L).map(i =>
       (i, s"doc $i", if (i % 3 == 0) "en" else "de", "s0", 10L))
