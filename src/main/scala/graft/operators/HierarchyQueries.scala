@@ -69,6 +69,15 @@ object HierarchyQueries {
         .withColumn("leaf_key", col("l_partkey").cast("long"))
       HierarchyAgg.hierarchicalRollup(facts, partDimension(s, d).aggregationDim)
     }),
+    // the 100 TB rollup mode: approx_count_distinct replaces the exact
+    // distinct (no customer-grain re-shuffle; HLL sketches merge in
+    // the partial aggregate). Sums/counts stay exact — only the
+    // distinct column is approximate → rows-only driver check, with
+    // the HLL-error spec in HierarchySpec as the oracle.
+    "h8_hier_agg_approx" -> ((s, d) =>
+      HierarchyAgg.hierarchicalRollup(
+        HierarchyAgg.salesFacts(s, d),
+        dimension(s, d).aggregationDim, approxDistinct = true)),
     // dimension MAINTENANCE: reparent one node (n8 INDIA moves from
     // Asia under r0 Africa) and diff the two closures — the
     // added/removed ancestor–descendant pairs are exactly the rows a
