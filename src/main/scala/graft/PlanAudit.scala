@@ -9,7 +9,11 @@ object PlanAudit {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = Seq("h4_hier_agg", "q3_join_agg", "d4_ngram_jaccard",
       "d5_embedding_neardup", "s1_knn_brute", "st2_sessionize", "q21_asof_join",
-      "d1_exact_dedup", "q17_time_agg")
+      "d1_exact_dedup", "q17_time_agg",
+      // round-3 additions worth auditing
+      "q30_band_join", "q31_funnel", "q32_retention", "q33_salted_join",
+      "d7_incremental_dedup", "d8_decontaminate", "t9_unigram_logprob",
+      "h7_hierarchy_diff", "h8_hier_agg_approx")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sf).queryExecution.explainString(

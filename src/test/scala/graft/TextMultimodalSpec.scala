@@ -123,6 +123,27 @@ class TextMultimodalSpec extends SparkSpec {
       got.mean_byte == 3.0 && got.feat_0 == 4.0 && got.feat_1 == 5.0)
   }
 
+  test("unigram logprob: hand-computed scores on a 2-doc corpus") {
+    val docs = Seq(
+      (0L, "a a b", "en", "s", 5L),   // vocab: a:2 b:2 c:1, total 5
+      (1L, "b c", "en", "s", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // t9 is table-bound in the registry; rebuild the same plan inline
+    val t = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(lower(col("text")))).as("w"))
+    val vocab = t.groupBy("w").agg(count(lit(1)).as("wc"))
+    val tot = vocab.agg(sum("wc").as("total"))
+    val scores = t.join(vocab, "w").crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(round(avg(-log(col("wc").cast("double") / col("total").cast("double"))), 6)
+        .as("s"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("s")).toMap
+    // doc0: mean of (-ln .4, -ln .4, -ln .4) = -ln 0.4 = 0.916291
+    assert(math.abs(scores(0L) - 0.916291) < 1e-6)
+    // doc1: mean of (-ln .4, -ln .2) = (0.916291 + 1.609438) / 2
+    assert(math.abs(scores(1L) - 1.262864) < 1e-6)
+  }
+
   test("WavPcmCodec decodes a real synthesized RIFF/WAVE payload") {
     // 8000 Hz mono 16-bit PCM, 800 samples (100 ms) of a square wave
     // alternating ±8192 → mean |amplitude| = 8192/32768 = 0.25
