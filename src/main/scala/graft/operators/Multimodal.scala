@@ -98,7 +98,14 @@ object Multimodal {
       var dataOff = -1; var dataLen = 0
       while (off + 8 <= b.length && (dataOff < 0 || sampleRate == 0)) {
         val id = tag(b, off); val len = le32(b, off + 4)
+        // a corrupt/hostile negative length would make the walk
+        // non-advancing (len <= -8 → infinite loop) or step backwards;
+        // fail loudly instead of hanging the executor
+        require(len >= 0,
+          s"doc ${r.doc_id}: corrupt chunk '$id' with negative length $len")
         if (id == "fmt ") {
+          require(off + 24 <= b.length,
+            s"doc ${r.doc_id}: truncated fmt chunk")
           channels = le16(b, off + 10)
           sampleRate = le32(b, off + 12)
           bits = le16(b, off + 22)

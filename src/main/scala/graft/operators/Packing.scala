@@ -65,8 +65,9 @@ object Packing {
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
       when(col(stratumCol) === k, r).otherwise(acc)
     }
+    // keep every input column (the payload is the point of sampling);
+    // callers project if they want a slimmer frame
     docs.filter(pct < rate)
-      .select(col("doc_id"), col(stratumCol), col("source"), col("n_chars"))
   }
 
   /** Corpus mixture plan — the data-mixing step of a training
@@ -100,7 +101,11 @@ object Packing {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_sequence_packing" -> ((s, d) => sequencePack(Tables.documents(s, d))),
-    "p2_stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
+    "p2_stratified_sample" -> ((s, d) =>
+      // the oracle pins this 4-column schema; the operator itself keeps
+      // all input columns
+      stratifiedSample(Tables.documents(s, d))
+        .select("doc_id", "lang", "source", "n_chars")),
     "p3_mixture_plan" -> ((s, d) => mixturePlan(Tables.documents(s, d)))
   )
 

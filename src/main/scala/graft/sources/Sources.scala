@@ -61,8 +61,13 @@ object Sources {
     * long-lived 100 TB table (streaming sinks and per-batch appends
     * fragment a table until the file listing and per-file open costs
     * dominate scans). Rewrites `path` as ceil(bytes/targetFileBytes)
-    * files via a size-estimated `repartition`, atomically: writes to a
-    * sibling temp dir, then swaps. Returns the new file count.
+    * files via a size-estimated `repartition`, crash-safely: writes to
+    * a sibling temp dir, renames the live dir aside, atomically moves
+    * the temp dir into place, then deletes the old data. A crash
+    * between the two renames leaves the table readable at
+    * `path + ".__compact_old"` (never a missing/half-deleted live
+    * path); a leftover `.__compact_old` from a previous crash is
+    * cleared on the next run. Returns the new file count.
     *
     * The repartition is a round-robin shuffle of the table — that IS
     * the cost of compaction; run it per-partition-directory in
@@ -78,11 +83,20 @@ object Sources {
       .map(Files.size).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = Paths.get(path + ".__compact_tmp")
+    val old = Paths.get(path + ".__compact_old")
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    rmTree(old) // leftover from a previous crashed run
     spark.read.parquet(path).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    // swap: remove original, move temp into place
-    Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    // swap: rename live aside, move temp into place, then delete old —
+    // the live path is never absent for longer than the gap between the
+    // two ATOMIC_MOVEs, and a crash anywhere leaves a complete copy at
+    // either `path` or `old`
+    Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+    rmTree(old)
     nFiles
   }
 }

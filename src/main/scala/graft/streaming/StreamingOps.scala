@@ -300,7 +300,7 @@ object StreamingQueries {
          FROM events c JOIN events p
            ON c.user_id = p.user_id
           AND c.event_type = 'click' AND p.event_type = 'purchase'
-          AND p.ts > c.ts
-          AND p.ts <= c.ts + INTERVAL 30 MINUTE"""
+          AND CAST(p.ts AS TIMESTAMP) > CAST(c.ts AS TIMESTAMP)
+          AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE"""
   )
 }
