@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextFunctions._
 
 /** Registry for the dedup family (SURVEY.md §2.D). d1/d4/d5 have exact
   * DuckDB oracles; d2/d3 are xxhash64-based sketches (engine-specific
@@ -38,10 +39,116 @@ object DedupQueries {
     "d8_decontaminate" -> ((s, d) =>
       Dedup.decontaminate(
         Tables.documents(s, d).filter(col("doc_id") % 50 =!= 0),
-        Tables.documents(s, d).filter(col("doc_id") % 50 === 0)))
+        Tables.documents(s, d).filter(col("doc_id") % 50 === 0))),
+    // provenance overlap matrix: for every source pair, how many
+    // distinct word-5-grams they share — the cross-source contamination
+    // view a corpus curator reads before mixing sources. Gram-keyed
+    // equi-join (d8's shape): the shuffle key is the gram, cardinality
+    // O(corpus tokens), never a per-source-pair quadratic block.
+    "d9_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))),
+    // canonical-doc selection: near-dup components (d6's exact-Jaccard
+    // edges) keep their highest-quality member (t3's integer quality
+    // score; min doc_id breaks ties) — the "which copy survives dedup"
+    // policy stage. All joins are component/doc-keyed equi-joins.
+    "d10_canonical_docs" -> ((s, d) =>
+      canonicalDocs(Tables.documents(s, d), minJaccard = 0.05))
   )
 
+  /** Provenance overlap matrix — see the d9 entry. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("source"),
+        explode(wordNgrams(tokens(lower(col("text"))), 5)).as("gram"))
+      .distinct()
+    grams.as("a").join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** Canonical-doc selection over near-dup components — see d10. */
+  def canonicalDocs(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val comp = Dedup.jaccardClusters(docs, minJaccard = minJaccard)
+    val quality = docs
+      .withColumn("toks", tokens(lower(col("text"))))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("n_stop", markerCount(col("toks"), enMarkers))
+      .withColumn("n_long", size(filter(col("toks"), t => length(t) > 5)))
+      .select(col("doc_id"),
+        expr("CAST((300000 * n_stop) div n_toks + (300000 * n_long) div n_toks" +
+          " + 4000 * least(n_toks, 100) AS BIGINT)").as("quality_ppm"))
+    val j = comp.join(quality, "doc_id")
+    val best = j.groupBy("component_id").agg(max("quality_ppm").as("best_q"))
+    val canon = j.join(best, "component_id")
+      .filter(col("quality_ppm") === col("best_q"))
+      .groupBy("component_id").agg(min("doc_id").as("canonical_id"))
+    j.join(canon, "component_id")
+      .select(col("doc_id"), col("component_id"), col("quality_ppm"),
+        col("canonical_id"), (col("doc_id") === col("canonical_id")).as("keep"))
+  }
+
+  private def inList(s: Seq[String]) = s.map(x => s"'$x'").mkString("(", ", ", ")")
+
   val oracles: Map[String, String] = Map(
+    "d9_source_overlap" ->
+      raw"""WITH t AS (
+           SELECT doc_id, source,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT DISTINCT source, gram FROM (
+             SELECT source,
+               unnest(CASE WHEN len(toks) >= 5 THEN
+                 list_transform(range(1, len(toks) - 3),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                        toks[i+3] || ' ' || toks[i+4])
+               ELSE [] END) AS gram
+             FROM t))
+         SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared_grams
+         FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+         GROUP BY 1, 2""",
+    "d10_canonical_docs" ->
+      raw"""WITH RECURSIVE t AS (
+           SELECT doc_id, lang, n_chars,
+             list_distinct(list_transform(
+               range(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')), 1)),
+               i -> regexp_split_to_array(trim(lower(text)), '\s+')[i] || ' ' ||
+                    regexp_split_to_array(trim(lower(text)), '\s+')[i + 1])) AS shingles
+           FROM documents),
+         p AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM t a JOIN t b
+             ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 3 AND a.doc_id < b.doc_id
+           WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= 0.05),
+         e AS (SELECT doc_a AS s, doc_b AS d FROM p
+               UNION SELECT doc_b, doc_a FROM p),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS r FROM documents
+           UNION
+           SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s),
+         comp AS (SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id),
+         q AS (
+           SELECT doc_id,
+             CAST((300000 * len(list_filter(toks, x -> x IN ${inList(graft.functions.TextFunctions.enMarkers)}))) // len(toks)
+                + (300000 * len(list_filter(toks, x -> length(x) > 5))) // len(toks)
+                + 4000 * LEAST(len(toks), 100) AS BIGINT) AS quality_ppm
+           FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                 FROM documents)),
+         j AS (SELECT c.doc_id, c.component_id, q.quality_ppm
+               FROM comp c JOIN q ON c.doc_id = q.doc_id),
+         best AS (SELECT component_id, MAX(quality_ppm) AS best_q
+                  FROM j GROUP BY component_id),
+         canon AS (
+           SELECT j.component_id, MIN(j.doc_id) AS canonical_id
+           FROM j JOIN best ON j.component_id = best.component_id
+                           AND j.quality_ppm = best.best_q
+           GROUP BY j.component_id)
+         SELECT j.doc_id, j.component_id, j.quality_ppm, canon.canonical_id,
+           (j.doc_id = canon.canonical_id) AS keep
+         FROM j JOIN canon ON j.component_id = canon.component_id""",
     "d8_decontaminate" ->
       raw"""WITH t AS (
            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks

@@ -145,20 +145,16 @@ object HierarchyAgg {
   def hierarchicalRollup(facts: DataFrame, aggDim: DataFrame,
       factKey: String = "leaf_key",
       approxDistinct: Boolean = false): DataFrame = {
-    val indent = expr("lpad('-', (ancestor_level_number - 1) * 7, '-')")
-    val joinDim = aggDim.select(
-      col("descendant_node_natural_key"),
-      col("ancestor_node_sort_order"))
-    // CONTRACT: aggDim must come from HierarchyDimension.aggregationDim
-    // (or satisfy the same invariant): ancestor_node_sort_order is a
-    // non-null row_number, unique per node, so it functionally
-    // determines the label pair. The closure's self-pairs
-    // (net_level = 0) are exactly one row per node — labels need no
-    // distinct() shuffle.
-    val labels = aggDim.filter(col("net_level") === 0).select(
-      col("ancestor_node_sort_order"),
-      concat(indent, col("ancestor_node_name")).as("product_node_name"),
-      concat(indent, col("ancestor_level_name")).as("product_level_name"))
+    // exact distinct is the reference's semantics (and the registry/
+    // oracle form), computed as an EXPLICIT two-level aggregation via
+    // the MV grain: level 1 groups by (node, customer) — partial
+    // aggregation collapses it map-side — and level 2 counts the
+    // non-null-customer groups. Same result as countDistinct, but no
+    // Expand doubling the expanded fact stream (the round-1 h5/h6
+    // cost). The approx mode (HLL++, mergeable) is the opt-in for
+    // profiling-grade rollups.
+    if (!approxDistinct)
+      return finalizeRollup(rollupMv(facts, aggDim, factKey), aggDim)
     val pairAgg = facts
       .groupBy(col(factKey), col("customer_id"))
       .agg(
@@ -166,39 +162,99 @@ object HierarchyAgg {
         sum(col("unit_quantity")).as("__qty"),
         count(lit(1)).as("__n"))
     val expanded = pairAgg
-      .join(broadcast(joinDim), col(factKey) === col("descendant_node_natural_key"))
-    // exact distinct is the reference's semantics (and the registry/
-    // oracle form), computed as an EXPLICIT two-level aggregation:
-    // level 1 groups by (node, customer) — partial aggregation
-    // collapses it map-side — and level 2 counts the non-null-customer
-    // groups. Same result as countDistinct, but no Expand doubling the
-    // expanded fact stream (the round-1 h5/h6 cost). The approx mode
-    // (HLL++, mergeable) is the opt-in for profiling-grade rollups.
-    val aggregated =
-      if (approxDistinct)
-        expanded.groupBy("ancestor_node_sort_order")
-          .agg(
-            round(sum(col("__sales")), 2).as("sum_sales_amount"),
-            round(sum(col("__qty")), 2).as("sum_unit_quantity"),
-            approx_count_distinct(col("customer_id")).as("distinct_customer_count"),
-            sum(col("__n")).as("count_of_fact_records"))
-      else
-        expanded
-          .groupBy(col("ancestor_node_sort_order"), col("customer_id"))
-          .agg(
-            sum(col("__sales")).as("__s2"),
-            sum(col("__qty")).as("__q2"),
-            sum(col("__n")).as("__n2"))
-          .groupBy("ancestor_node_sort_order")
-          .agg(
-            round(sum(col("__s2")), 2).as("sum_sales_amount"),
-            round(sum(col("__q2")), 2).as("sum_unit_quantity"),
-            count(col("customer_id")).as("distinct_customer_count"),
-            sum(col("__n2")).as("count_of_fact_records"))
+      .join(broadcast(closureKeys(aggDim)),
+        col(factKey) === col("descendant_node_natural_key"))
+    val aggregated = expanded.groupBy("ancestor_node_sort_order")
+      .agg(
+        round(sum(col("__sales")), 2).as("sum_sales_amount"),
+        round(sum(col("__qty")), 2).as("sum_unit_quantity"),
+        approx_count_distinct(col("customer_id")).as("distinct_customer_count"),
+        sum(col("__n")).as("count_of_fact_records"))
+    withLabels(aggregated, aggDim)
+  }
+
+  private def closureKeys(aggDim: DataFrame): DataFrame =
+    aggDim.select(
+      col("descendant_node_natural_key"),
+      col("ancestor_node_sort_order"))
+
+  /** Label join + final DFS ordering.
+    * CONTRACT: aggDim must come from HierarchyDimension.aggregationDim
+    * (or satisfy the same invariant): ancestor_node_sort_order is a
+    * non-null row_number, unique per node, so it functionally
+    * determines the label pair. The closure's self-pairs
+    * (net_level = 0) are exactly one row per node — labels need no
+    * distinct() shuffle.
+    */
+  private def withLabels(aggregated: DataFrame, aggDim: DataFrame): DataFrame = {
+    val indent = expr("lpad('-', (ancestor_level_number - 1) * 7, '-')")
+    val labels = aggDim.filter(col("net_level") === 0).select(
+      col("ancestor_node_sort_order"),
+      concat(indent, col("ancestor_node_name")).as("product_node_name"),
+      concat(indent, col("ancestor_level_name")).as("product_level_name"))
     aggregated
       .join(broadcast(labels), Seq("ancestor_node_sort_order"))
       .orderBy("ancestor_node_sort_order")
       .select("product_node_name", "product_level_name", "sum_sales_amount",
         "sum_unit_quantity", "distinct_customer_count", "count_of_fact_records")
+  }
+
+  /** Rollup MATERIALIZED VIEW at (ancestor node, customer) grain — the
+    * incrementally-maintainable form of the exact rollup: sums/counts
+    * are additive partials, and the exact distinct-customer count
+    * reads off the grain itself (rows per node). The fact stream pays
+    * ONE shuffle (the (leaf, customer) pre-agg with map-side combine),
+    * expands ×depth through the broadcast closure join, then lands on
+    * MV grain.
+    */
+  def rollupMv(facts: DataFrame, aggDim: DataFrame,
+      factKey: String = "leaf_key"): DataFrame =
+    facts
+      .groupBy(col(factKey), col("customer_id"))
+      .agg(
+        sum(col("sales_amount")).as("mv_sales"),
+        sum(col("unit_quantity")).as("mv_qty"),
+        count(lit(1)).as("mv_n"))
+      .join(broadcast(closureKeys(aggDim)),
+        col(factKey) === col("descendant_node_natural_key"))
+      .groupBy(col("ancestor_node_sort_order"), col("customer_id"))
+      .agg(
+        sum(col("mv_sales")).as("mv_sales"),
+        sum(col("mv_qty")).as("mv_qty"),
+        sum(col("mv_n")).as("mv_n"))
+
+  /** INCREMENTAL MAINTENANCE: fold a delta fact batch into an existing
+    * MV. Only the delta pays the fact-side shuffle; the stored MV
+    * re-aggregates at its own (≤ |nodes| × |customers|) grain — at
+    * 100 TB that is the difference between shuffling a day's ingest
+    * and recomputing the historical table. Deletions/corrections fold
+    * in the same way with negated measures.
+    */
+  def mergeRollupMv(mv: DataFrame, deltaFacts: DataFrame, aggDim: DataFrame,
+      factKey: String = "leaf_key"): DataFrame =
+    mv.unionByName(rollupMv(deltaFacts, aggDim, factKey))
+      .groupBy(col("ancestor_node_sort_order"), col("customer_id"))
+      .agg(
+        sum(col("mv_sales")).as("mv_sales"),
+        sum(col("mv_qty")).as("mv_qty"),
+        sum(col("mv_n")).as("mv_n"))
+      // a retraction can zero out a (node, customer) pair; keeping the
+      // empty row would overcount the distinct-customer read-off
+      .filter(col("mv_n") =!= 0)
+
+  /** Serve the reference-shaped rollup from the MV: a |nodes|-sized
+    * aggregate (distinct customers = count of MV rows per node) plus
+    * the broadcast label join. Identical output to the exact
+    * [[hierarchicalRollup]] — h9's oracle is the full-recompute SQL.
+    */
+  def finalizeRollup(mv: DataFrame, aggDim: DataFrame): DataFrame = {
+    val aggregated = mv
+      .groupBy("ancestor_node_sort_order")
+      .agg(
+        round(sum(col("mv_sales")), 2).as("sum_sales_amount"),
+        round(sum(col("mv_qty")), 2).as("sum_unit_quantity"),
+        count(col("customer_id")).as("distinct_customer_count"),
+        sum(col("mv_n")).as("count_of_fact_records"))
+    withLabels(aggregated, aggDim)
   }
 }

@@ -78,6 +78,21 @@ object HierarchyQueries {
       HierarchyAgg.hierarchicalRollup(
         HierarchyAgg.salesFacts(s, d),
         dimension(s, d).aggregationDim, approxDistinct = true)),
+    // INCREMENTAL rollup maintenance: the first ~6/7 of the facts play
+    // the historical corpus materialized to the (node, customer) MV
+    // grain; the rest arrive as the delta batch and are folded in —
+    // only the delta pays a fact-side shuffle. The oracle is the FULL
+    // recompute (h4's SQL): incremental maintenance must be
+    // result-identical to recomputing from scratch.
+    "h9_incremental_rollup" -> ((s, d) => {
+      val facts = HierarchyAgg.salesFacts(s, d)
+      val dim = dimension(s, d).aggregationDim
+      val mv = HierarchyAgg.rollupMv(
+        facts.filter(pmod(col("l_partkey"), lit(7)) =!= 0), dim)
+      val merged = HierarchyAgg.mergeRollupMv(
+        mv, facts.filter(pmod(col("l_partkey"), lit(7)) === 0), dim)
+      HierarchyAgg.finalizeRollup(merged, dim)
+    }),
     // dimension MAINTENANCE: reparent one node (n8 INDIA moves from
     // Asia under r0 Africa) and diff the two closures — the
     // added/removed ancestor–descendant pairs are exactly the rows a
@@ -245,6 +260,8 @@ FROM rdim""",
       s"""${prelude(false)}
 SELECT * FROM adim""",
     "h4_hier_agg" -> rollupSql(deep = false, "c.c_nationkey"),
+    // incremental maintenance ≡ full recompute (same SQL as h4)
+    "h9_incremental_rollup" -> rollupSql(deep = false, "c.c_nationkey"),
     "h6_hier_agg_parts" -> rollupSqlWith(partPrelude, "l.l_partkey"),
     "h5_hier_agg_deep" -> rollupSql(deep = true,
       """1000 + c.c_nationkey * 8 +

@@ -9,9 +9,67 @@ import graft.functions.TextFunctions._
   * table. Pure narrow per-row transforms — no shuffle except the final
   * aggregations — with exact DuckDB oracles (arithmetic-only hashing).
   */
+/** Scrub patterns shared between the Spark query and the generated
+  * oracle SQL — one definition, both engines. All patterns are in the
+  * RE2-compatible subset of Java regex (no backrefs/lookaround), so
+  * Spark (java.util.regex) and DuckDB (RE2) match identically.
+  */
+object PiiPatterns {
+  /** (pattern, replacement), applied in this order. */
+  val ordered: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^\\s]+" -> "<URL>",
+    "\\b[0-9]{6,}\\b" -> "<ID>",
+    "\\b(customer|vector|stream)\\b" -> "<TERM>")
+  /** (output column, pattern) counted against the original text. */
+  val counted: Seq[(String, String)] =
+    Seq("n_email", "n_url", "n_id_number", "n_denylist").zip(ordered.map(_._1))
+}
+
 object TextQueries {
 
   private def inList(s: Seq[String]) = s.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  /** PII / denylist scrub over a documents frame — see the t10 entry. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val scrubbed = PiiPatterns.ordered.foldLeft(col("text")) {
+      case (c, (pat, repl)) => regexp_replace(c, lit(pat), lit(repl))
+    }
+    docs.select(
+      (Seq(col("doc_id")) ++
+        PiiPatterns.counted.map { case (name, pat) =>
+          regexp_count(col("text"), lit(pat)).cast("long").as(name)
+        } ++ Seq(
+          fingerprint(scrubbed).as("scrubbed_fingerprint"),
+          length(scrubbed).cast("long").as("scrubbed_len"))): _*)
+  }
+
+  /** The scrubbed text itself (for specs / downstream pipelines; the
+    * registry entry ships the fingerprint instead of the payload). */
+  def scrubText(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    PiiPatterns.ordered.foldLeft(text) {
+      case (c, (pat, repl)) => regexp_replace(c, lit(pat), lit(repl))
+    }
+
+  /** Per-doc top-k TF-IDF terms — see the t11 entry. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(round(col("score"), 9).desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("score"), 6).as("tfidf"), col("rnk"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -162,6 +220,24 @@ object TextQueries {
             .as("avg_neg_logprob"))
     }),
 
+    // PII / denylist scrubbing — the redaction stage of a corpus
+    // pipeline: emails, URLs and long digit runs are replaced with
+    // typed placeholder tokens, a denylist of terms with a generic
+    // one. Counts are measured on the ORIGINAL text; the scrubbed
+    // string is verified via its rolling-hash fingerprint (full-string
+    // parity without shipping the text through the compare). A pure
+    // narrow per-row map — no shuffle, codegen'd regex.
+    "t10_pii_scrub" -> ((s, d) => piiScrub(Tables.documents(s, d))),
+
+    // Per-doc top TF-IDF terms — corpus keyword extraction. The
+    // document-frequency table shuffles on the (high-cardinality) term
+    // key and only the 1-row corpus size is broadcast; the per-doc
+    // top-k window partitions on doc_id (cardinality = corpus size, so
+    // the sort is per-doc-local at any scale). Rank key is the score
+    // rounded to 9 dp (FP association margin) with the term as total
+    // tie-break — deterministic across engines.
+    "t11_tfidf" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
+
     // Top word-bigrams by frequency (global n-gram statistics).
     "t5_ngram_stats" -> ((s, d) => {
       Tables.documents(s, d)
@@ -301,6 +377,46 @@ object TextQueries {
            FROM t)
          SELECT bigram, COUNT(*) AS freq FROM b
          GROUP BY bigram ORDER BY freq DESC, bigram ASC LIMIT 20""",
+    "t10_pii_scrub" -> {
+      // build the scrubbed-string expression from the SAME pattern list
+      // the Spark side uses; DuckDB needs the 'g' flag for global
+      // replacement (Spark's regexp_replace is global by default)
+      val scrubbed = PiiPatterns.ordered.foldLeft("text") {
+        case (e, (pat, repl)) => s"regexp_replace($e, '$pat', '$repl', 'g')"
+      }
+      val counts = PiiPatterns.counted.map { case (name, pat) =>
+        s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS $name"
+      }.mkString(",\n           ")
+      raw"""WITH s AS (
+           SELECT doc_id,
+           $counts,
+           $scrubbed AS scrubbed
+           FROM documents)
+         SELECT doc_id, n_email, n_url, n_id_number, n_denylist,
+           CAST(COALESCE(list_sum(list_transform(range(1, length(scrubbed) + 1),
+             i -> i * ord(substring(scrubbed, CAST(i AS INT), 1)))), 0) AS BIGINT)
+             AS scrubbed_fingerprint,
+           CAST(length(scrubbed) AS BIGINT) AS scrubbed_len
+         FROM s"""
+    },
+    "t11_tfidf" ->
+      raw"""WITH t AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+         df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         s AS (
+           SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df) AS score
+           FROM tf JOIN df USING (term) CROSS JOIN n),
+         r AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY round(score, 9) DESC, term ASC) AS BIGINT) AS rnk
+           FROM s)
+         SELECT doc_id, term, tf, df, ROUND(score, 6) AS tfidf, rnk
+         FROM r WHERE rnk <= 3""",
     "t9_unigram_logprob" ->
       raw"""WITH t AS (
            SELECT doc_id,

@@ -41,6 +41,26 @@ object StreamingOps {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** SLIDING windows (30-minute length, 15-minute slide): each event
+    * lands in length/slide = 2 overlapping windows. Batch form — the
+    * streaming twin adds the watermark. State in the streaming form is
+    * (windows in the watermark horizon × event types), same bound as
+    * tumbling ×(length/slide).
+    */
+  def slidingWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "30 minutes", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Streaming twin of [[slidingWindowAgg]]. */
+  def slidingWindowAggStream(events: DataFrame): DataFrame =
+    slidingWindowAgg(events.withWatermark("ts", "1 hour"))
+
   /** Gap-based sessionization (30-minute inactivity gap), batch form:
     * classic lag → new-session flag → running session index.
     */
@@ -215,6 +235,11 @@ object StreamingQueries {
           .agg(count(lit(1)).as("n_events"),
             round(sum("value"), 2).as("total_value")))
     }),
+    // STREAMING-NATIVE sliding-window aggregation: 30-minute windows
+    // every 15 minutes — each event contributes to 2 overlapping
+    // windows; watermarked, driven to completion
+    "st8_sliding_window_stream" -> ((s, d) =>
+      runStream(s, d)(StreamingOps.slidingWindowAggStream)),
     // stream-STREAM join: clicks joined to same-user purchases within
     // 30 minutes after the click. Both sides carry watermarks and the
     // join predicate bounds event-time distance, so the state store
@@ -288,6 +313,20 @@ object StreamingQueries {
     "st5_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
          FROM events GROUP BY event_type""",
+    // sliding windows = union of the two 15-minute-offset tumbling
+    // families: an event at t belongs to the windows starting at
+    // floor15(t) and floor15(t) - 15min
+    "st8_sliding_window_stream" ->
+      """WITH e AS (
+           SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+         w AS (
+           SELECT time_bucket(INTERVAL '15 minutes', ts)
+                    - o.o * INTERVAL '15 minutes' AS wstart,
+             event_type, value
+           FROM e CROSS JOIN (SELECT unnest([0, 1]) AS o) o)
+         SELECT strftime(wstart, '%Y-%m-%d %H:%M') AS window_start, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+         FROM w GROUP BY 1, 2""",
     // the bounded stream's enrichment join converges to the batch join
     "st6_stream_static_join" ->
       """SELECT (CASE user_id % 4 WHEN 0 THEN 'control' WHEN 1 THEN 'variant_a'

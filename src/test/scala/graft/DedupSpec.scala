@@ -71,6 +71,41 @@ class DedupSpec extends SparkSpec {
     assert(comp(3L) == 3L) // unrelated stays alone
   }
 
+  test("source overlap: distinct shared 5-grams per source pair") {
+    import graft.operators.DedupQueries
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over it", "en", "s1", 0L),
+      (2L, "the quick brown fox jumps again", "en", "s2", 0L),
+      // same shared gram AGAIN within s1 — distinct keeps the count at 1
+      (4L, "the quick brown fox jumps onward", "en", "s1", 0L),
+      (3L, "totally different words here now", "en", "s3", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = DedupQueries.sourceOverlap(corpus).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Long]("n_shared_grams")).toMap
+    assert(out == Map(("s1", "s2") -> 1L)) // "the quick brown fox jumps"
+  }
+
+  test("canonical docs: each component keeps its highest-quality member") {
+    import graft.operators.DedupQueries
+    val rows = DedupQueries.canonicalDocs(docs, minJaccard = 0.5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("component_id"), r.getAs[Long]("quality_ppm"),
+          r.getAs[Long]("canonical_id"), r.getAs[Boolean]("keep"))).toMap
+    // 0/1 exact dups and 2 near-dup of 0 → one component {0,1,2}; 3 alone
+    assert(Set(0L, 1L, 2L).map(rows(_)._1).size == 1)
+    assert(rows(3L)._1 != rows(0L)._1)
+    // the canonical member has max quality (ties → min doc_id), keep ⇔ canonical
+    val comp = Set(0L, 1L, 2L)
+    val bestQ = comp.map(rows(_)._2).max
+    val expectedCanon = comp.filter(rows(_)._2 == bestQ).min
+    comp.foreach { id =>
+      assert(rows(id)._3 == expectedCanon)
+      assert(rows(id)._4 == (id == expectedCanon))
+    }
+    assert(rows(3L)._4 && rows(3L)._3 == 3L) // singleton keeps itself
+  }
+
   test("connected components match a union-find oracle on random graphs") {
     // the r1 bug class: propagation truncated on high-diameter
     // components *silently* — so stress exactly that: long chains,

@@ -77,6 +77,56 @@ class HierarchySpec extends SparkSpec {
     assert(byName("--------------B1").getAs[Double]("sum_sales_amount") == 20.0)
   }
 
+  test("incremental rollup MV: base + delta merge equals full recompute") {
+    val facts = HierarchyAgg.salesFacts(spark, sf)
+    val adim = HierarchyQueries.dimension(spark, sf).aggregationDim
+    val full = HierarchyAgg.hierarchicalRollup(facts, adim)
+      .collect().map(_.mkString("|")).toSeq
+    val mv = HierarchyAgg.rollupMv(
+      facts.filter(pmod(col("l_partkey"), lit(7)) =!= 0), adim)
+    val merged = HierarchyAgg.mergeRollupMv(
+      mv, facts.filter(pmod(col("l_partkey"), lit(7)) === 0), adim)
+    val inc = HierarchyAgg.finalizeRollup(merged, adim)
+      .collect().map(_.mkString("|")).toSeq
+    assert(inc == full)
+  }
+
+  test("incremental rollup MV: a negated delta retracts its batch exactly") {
+    val facts = HierarchyAgg.salesFacts(spark, sf)
+    val adim = HierarchyQueries.dimension(spark, sf).aggregationDim
+    val batch = facts.filter(pmod(col("l_partkey"), lit(7)) === 0)
+    val negated = batch
+      .withColumn("sales_amount", -col("sales_amount"))
+      .withColumn("unit_quantity", -col("unit_quantity"))
+    // retraction folds in through the same merge, with mv_n negated via
+    // a count-negating trick: union the batch twice with negative
+    // measures is NOT the same as negative counts, so negate explicitly
+    val negMv = HierarchyAgg.rollupMv(negated, adim)
+      .withColumn("mv_n", -col("mv_n"))
+    val retracted = HierarchyAgg.rollupMv(facts, adim)
+      .unionByName(negMv)
+      .groupBy(col("ancestor_node_sort_order"), col("customer_id"))
+      .agg(sum(col("mv_sales")).as("mv_sales"),
+        sum(col("mv_qty")).as("mv_qty"),
+        sum(col("mv_n")).as("mv_n"))
+      .filter(col("mv_n") =!= 0)
+    // FP caveat: sum(all) + sum(-batch) ≡ sum(base) only mathematically;
+    // compare sums with a tolerance, exact-integer columns exactly
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[String]("product_node_name"),
+        r.getAs[Long]("distinct_customer_count"),
+        r.getAs[Long]("count_of_fact_records"),
+        r.getAs[Double]("sum_sales_amount"),
+        r.getAs[Double]("sum_unit_quantity"))).toSeq
+    val got = rows(HierarchyAgg.finalizeRollup(retracted, adim))
+    val expected = rows(HierarchyAgg.hierarchicalRollup(
+      facts.filter(pmod(col("l_partkey"), lit(7)) =!= 0), adim))
+    assert(got.map(t => (t._1, t._2, t._3)) == expected.map(t => (t._1, t._2, t._3)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) < 1e-4 && math.abs(g._5 - e._5) < 1e-4, s"$g vs $e")
+    }
+  }
+
   test("entry: flagship query returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

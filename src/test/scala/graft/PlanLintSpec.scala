@@ -20,12 +20,14 @@ class PlanLintSpec extends SparkSpec {
     "t9_unigram_logprob",  // 1-row corpus-total broadcast
     "s1_knn_brute",        // brute-force baseline broadcasts the query set
     "s3_knn_ivf",          // broadcast k-means codebook (nlist rows)
-    "h5_hier_agg_deep"     // dim construction: nation × 5-row segment literal
+    "h5_hier_agg_deep",    // dim construction: nation × 5-row segment literal
+    "t11_tfidf"            // 1-row corpus-size broadcast
   )
 
   private val skipEager = Set(
     "st3_windowed_agg_stream", "st4_session_window_stream",
-    "st5_stream_dedup", "st6_stream_static_join", "st7_stream_stream_join")
+    "st5_stream_dedup", "st6_stream_static_join", "st7_stream_stream_join",
+    "st8_sliding_window_stream")
 
   test("no registry query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

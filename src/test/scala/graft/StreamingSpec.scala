@@ -31,6 +31,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows: every event lands in exactly 2 windows; stream equals batch") {
+    val ev = Tables.events(spark, sf)
+    val batch = StreamingOps.slidingWindowAgg(ev)
+    // 30-min window / 15-min slide → each event counted exactly twice
+    val total = batch.agg(sum("n_events")).collect().head.getLong(0)
+    assert(total == 2 * ev.count())
+    val dir = java.nio.file.Files.createTempDirectory("events_slide")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val stream = spark.readStream.schema(
+        spark.read.parquet(s"$sf/events.parquet").schema)
+      .parquet(dir.toString)
+    val streamTs = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = StreamingOps.slidingWindowAggStream(streamTs)
+      .writeStream.outputMode("complete").format("memory").queryName("st8_out").start()
+    try {
+      q.processAllAvailable()
+      val cols = Seq("window_start", "event_type", "n_events", "total_value")
+      assert(canon(spark.table("st8_out"), cols: _*) == canon(batch, cols: _*))
+    } finally q.stop()
+  }
+
   test("stream-static join: streaming events enrich against a static dim") {
     val dir = java.nio.file.Files.createTempDirectory("events_ssj")
     java.nio.file.Files.createSymbolicLink(

@@ -123,6 +123,46 @@ class TextMultimodalSpec extends SparkSpec {
       got.mean_byte == 3.0 && got.feat_0 == 4.0 && got.feat_1 == 5.0)
   }
 
+  test("pii scrub: emails, urls, ids and denylist terms replaced; counts on original") {
+    import graft.operators.TextQueries
+    val docs = Seq(
+      (1L, "mail bob@example.com or http://x.io/a?b=1 ref 1234567 customer data", "en", "s", 0L),
+      (2L, "vector of values for a customer stream", "en", "s", 0L),
+      (3L, "clean words only", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextQueries.piiScrub(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_email") == 1)
+    assert(out(1L).getAs[Long]("n_url") == 1)
+    assert(out(1L).getAs[Long]("n_id_number") == 1)
+    assert(out(1L).getAs[Long]("n_denylist") == 1)
+    assert(out(2L).getAs[Long]("n_denylist") == 3) // vector, customer, stream
+    assert(out(3L).getAs[Long]("n_email") == 0 &&
+      out(3L).getAs[Long]("scrubbed_len") == "clean words only".length)
+    val scrubbed = docs.filter(col("doc_id") === 1L)
+      .select(TextQueries.scrubText(col("text"))).as[String].head()
+    assert(scrubbed == "mail <EMAIL> or <URL> ref <ID> <TERM> data")
+  }
+
+  test("tfidf: hand-computed top terms, deterministic tie-break on term") {
+    import graft.operators.TextQueries
+    val docs = Seq(
+      (1L, "apple banana apple", "en", "s", 0L),
+      (2L, "banana cherry", "en", "s", 0L),
+      (3L, "cherry durian cherry cherry", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextQueries.tfidfTopTerms(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rnk")) ->
+        (r.getAs[String]("term"), r.getAs[Double]("tfidf"))).toMap
+    // N=3; df: apple 1, banana 2, cherry 2, durian 1
+    assert(out((1L, 1L))._1 == "apple")
+    assert(math.abs(out((1L, 1L))._2 - 2 * math.log(3.0)) < 1e-5)
+    // doc 2: banana and cherry tie on score (tf=1, df=2) → term asc
+    assert(out((2L, 1L))._1 == "banana" && out((2L, 2L))._1 == "cherry")
+    // doc 3: cherry 3*ln(1.5)=1.216 beats durian ln(3)=1.099
+    assert(out((3L, 1L))._1 == "cherry" && out((3L, 2L))._1 == "durian")
+  }
+
   test("unigram logprob: hand-computed scores on a 2-doc corpus") {
     val docs = Seq(
       (0L, "a a b", "en", "s", 5L),   // vocab: a:2 b:2 c:1, total 5
