@@ -48,6 +48,20 @@ class EmptyInputSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("round-4 operators handle empty inputs") {
+    assert(TextQueries.piiScrub(noDocs).count() == 0)
+    assert(TextQueries.tfidfTopTerms(noDocs).count() == 0)
+    assert(DedupQueries.sourceOverlap(noDocs).count() == 0)
+    assert(DedupQueries.canonicalDocs(noDocs, minJaccard = 0.5).count() == 0)
+    assert(graft.streaming.StreamingOps.slidingWindowAgg(noEvents).count() == 0)
+    val adim = HierarchyQueries.dimension(spark, sf).aggregationDim
+    val noFacts = HierarchyAgg.salesFacts(spark, sf).limit(0)
+    // empty MV + empty delta → empty rollup, not a throw
+    assert(HierarchyAgg.finalizeRollup(
+      HierarchyAgg.mergeRollupMv(
+        HierarchyAgg.rollupMv(noFacts, adim), noFacts, adim), adim).count() == 0)
+  }
+
   test("connected components with no edges labels every node as itself") {
     val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
     val edges = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")

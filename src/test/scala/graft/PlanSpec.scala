@@ -56,6 +56,26 @@ class PlanSpec extends SparkSpec {
   private def joinLines(name: String): Seq[String] =
     plan(name).linesIterator.filter(_.contains("Join")).toSeq
 
+  test("d9: source overlap joins equi on the gram key (cardinality scales with corpus)") {
+    val joins = joinLines("d9_source_overlap")
+    assert(joins.exists(l => l.contains("gram")), joins.mkString("\n"))
+    val p = plan("d9_source_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("h9: incremental finalize has no Expand; closure joins broadcast") {
+    val p = plan("h9_incremental_rollup")
+    assert(!p.contains("Expand"), "distinct must read off the MV grain, not Expand: " + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("t11: DF join shuffles on the term key; corpus size is a 1-row broadcast") {
+    val p = plan("t11_tfidf")
+    assert(!p.contains("CartesianProduct"), p)
+    val joins = joinLines("t11_tfidf")
+    assert(joins.exists(_.contains("term")), joins.mkString("\n"))
+  }
+
   test("d4: blocked self-join keys on (lang, length band), not lang alone") {
     val joins = joinLines("d4_ngram_jaccard")
     // the equi-join must include the band key — a lang-only key has
