@@ -31,6 +31,19 @@ object TextFunctions {
   val esMarkers = Seq("el", "los", "y", "que", "de")
   val deMarkers = Seq("der", "die", "das", "und", "ist")
 
+  /** Composite quality score in exact integer parts-per-million —
+    * shared by t3_quality_score and d10_canonical_docs. Expects
+    * `n_stop` / `n_long` / `n_toks` columns in scope. Computed in
+    * 64-bit: `size()` yields INT and `300000 * n_stop` wraps past
+    * ~7158 matching tokens in 32-bit arithmetic (a ~70k-token web doc
+    * is routine at corpus scale), while the DuckDB oracle's `len()` is
+    * already BIGINT — the casts keep both engines exact and identical.
+    */
+  val qualityPpm: Column =
+    expr("(300000 * CAST(n_stop AS BIGINT)) div n_toks" +
+      " + (300000 * CAST(n_long AS BIGINT)) div n_toks" +
+      " + 4000 * CAST(least(n_toks, 100) AS BIGINT)")
+
   /** Argmax language pick with a fixed tie-break order (en>fr>es>de) —
     * mirrored exactly in the DuckDB oracle.
     */

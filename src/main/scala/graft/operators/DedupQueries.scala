@@ -75,9 +75,7 @@ object DedupQueries {
       .withColumn("n_toks", size(col("toks")))
       .withColumn("n_stop", markerCount(col("toks"), enMarkers))
       .withColumn("n_long", size(filter(col("toks"), t => length(t) > 5)))
-      .select(col("doc_id"),
-        expr("CAST((300000 * n_stop) div n_toks + (300000 * n_long) div n_toks" +
-          " + 4000 * least(n_toks, 100) AS BIGINT)").as("quality_ppm"))
+      .select(col("doc_id"), qualityPpm.as("quality_ppm"))
     val j = comp.join(quality, "doc_id")
     val best = j.groupBy("component_id").agg(max("quality_ppm").as("best_q"))
     val canon = j.join(best, "component_id")

@@ -208,13 +208,17 @@ object HierarchyAgg {
     * MV grain.
     */
   def rollupMv(facts: DataFrame, aggDim: DataFrame,
-      factKey: String = "leaf_key"): DataFrame =
+      factKey: String = "leaf_key", weight: Column = lit(1L)): DataFrame =
     facts
       .groupBy(col(factKey), col("customer_id"))
       .agg(
-        sum(col("sales_amount")).as("mv_sales"),
-        sum(col("unit_quantity")).as("mv_qty"),
-        count(lit(1)).as("mv_n"))
+        sum(col("sales_amount") * weight).as("mv_sales"),
+        sum(col("unit_quantity") * weight).as("mv_qty"),
+        // signed row weight, not count(): a retraction batch
+        // (weight = -1) must SUBTRACT from the fact-record count, or
+        // mv_n drifts upward and the mv_n != 0 zero-pair drop — which
+        // keeps the distinct-customer read-off exact — never fires
+        sum(weight).as("mv_n"))
       .join(broadcast(closureKeys(aggDim)),
         col(factKey) === col("descendant_node_natural_key"))
       .groupBy(col("ancestor_node_sort_order"), col("customer_id"))
@@ -228,11 +232,14 @@ object HierarchyAgg {
     * re-aggregates at its own (≤ |nodes| × |customers|) grain — at
     * 100 TB that is the difference between shuffling a day's ingest
     * and recomputing the historical table. Deletions/corrections fold
-    * in the same way with negated measures.
+    * in through `weight = lit(-1L)` with the ORIGINAL (un-negated)
+    * fact rows: the weight signs sales, quantity AND the row count, so
+    * a full retraction cancels its batch exactly (pairs zeroed on
+    * every measure are dropped below).
     */
   def mergeRollupMv(mv: DataFrame, deltaFacts: DataFrame, aggDim: DataFrame,
-      factKey: String = "leaf_key"): DataFrame =
-    mv.unionByName(rollupMv(deltaFacts, aggDim, factKey))
+      factKey: String = "leaf_key", weight: Column = lit(1L)): DataFrame =
+    mv.unionByName(rollupMv(deltaFacts, aggDim, factKey, weight))
       .groupBy(col("ancestor_node_sort_order"), col("customer_id"))
       .agg(
         sum(col("mv_sales")).as("mv_sales"),

@@ -114,11 +114,10 @@ object TextQueries {
           round(col("n_stop").cast("double") / col("n_toks"), 6).as("stop_ratio"),
           round(col("n_long").cast("double") / col("n_toks"), 6).as("long_frac"),
           round(least(col("n_toks").cast("double") / 100.0, lit(1.0)), 6).as("len_score"),
-          // composite score in exact integer arithmetic (parts-per-
-          // million) — a float composite lands on round-half
-          // boundaries and diverges across engines
-          expr("CAST((300000 * n_stop) div n_toks + (300000 * n_long) div n_toks" +
-            " + 4000 * least(n_toks, 100) AS BIGINT)").as("quality_ppm"))
+          // exact integer composite (a float composite lands on
+          // round-half boundaries and diverges across engines); 64-bit
+          // per the shared definition
+          qualityPpm.as("quality_ppm"))
     }),
 
     // Position-weighted rolling-hash fingerprint (engine-independent

@@ -78,15 +78,29 @@ object Sources {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     val dir = Paths.get(path)
-    val bytes = Files.walk(dir).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .map(Files.size).sum
-    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = Paths.get(path + ".__compact_tmp")
     val old = Paths.get(path + ".__compact_old")
     def rmTree(p: java.nio.file.Path): Unit =
       if (Files.exists(p))
         Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    // Self-heal the crash window between the two ATOMIC_MOVEs below: if
+    // a previous run died there, the live path is absent but a complete
+    // copy exists — the compacted tmp (committed iff _SUCCESS was
+    // written) or the renamed-aside old. Restore one atomically before
+    // touching anything else, so recovery needs no manual step.
+    if (!Files.exists(dir)) {
+      if (Files.exists(tmp.resolve("_SUCCESS"))) {
+        Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE) // finish the swap
+      } else if (Files.exists(old)) {
+        Files.move(old, dir, StandardCopyOption.ATOMIC_MOVE) // roll back
+      } else {
+        throw new java.nio.file.NoSuchFileException(path)
+      }
+    }
+    val bytes = Files.walk(dir).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(Files.size).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     rmTree(old) // leftover from a previous crashed run
     spark.read.parquet(path).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)

@@ -95,21 +95,10 @@ class HierarchySpec extends SparkSpec {
     val facts = HierarchyAgg.salesFacts(spark, sf)
     val adim = HierarchyQueries.dimension(spark, sf).aggregationDim
     val batch = facts.filter(pmod(col("l_partkey"), lit(7)) === 0)
-    val negated = batch
-      .withColumn("sales_amount", -col("sales_amount"))
-      .withColumn("unit_quantity", -col("unit_quantity"))
-    // retraction folds in through the same merge, with mv_n negated via
-    // a count-negating trick: union the batch twice with negative
-    // measures is NOT the same as negative counts, so negate explicitly
-    val negMv = HierarchyAgg.rollupMv(negated, adim)
-      .withColumn("mv_n", -col("mv_n"))
-    val retracted = HierarchyAgg.rollupMv(facts, adim)
-      .unionByName(negMv)
-      .groupBy(col("ancestor_node_sort_order"), col("customer_id"))
-      .agg(sum(col("mv_sales")).as("mv_sales"),
-        sum(col("mv_qty")).as("mv_qty"),
-        sum(col("mv_n")).as("mv_n"))
-      .filter(col("mv_n") =!= 0)
+    // retraction = the documented API path: merge the ORIGINAL batch
+    // rows with weight -1 (the weight signs sales, quantity and mv_n)
+    val retracted = HierarchyAgg.mergeRollupMv(
+      HierarchyAgg.rollupMv(facts, adim), batch, adim, weight = lit(-1L))
     // FP caveat: sum(all) + sum(-batch) ≡ sum(base) only mathematically;
     // compare sums with a tolerance, exact-integer columns exactly
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>

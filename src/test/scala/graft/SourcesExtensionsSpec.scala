@@ -46,6 +46,29 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(after == checksum, "compaction changed the data")
   }
 
+  test("compactParquet self-heals both halves of the swap crash window") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = java.nio.file.Files.createTempDirectory("graft_heal").toString + "/t"
+    val docs = Tables.documents(spark, sf).limit(50)
+    docs.write.parquet(dir)
+    val checksum = spark.read.parquet(dir).agg(sum(col("doc_id")), count(lit(1))).head()
+    // crash after rename-aside, before the tmp move: live dir absent,
+    // old holds the only complete copy → next run must roll back
+    Files.move(Paths.get(dir), Paths.get(dir + ".__compact_old"),
+      StandardCopyOption.ATOMIC_MOVE)
+    graft.sources.Sources.compactParquet(spark, dir)
+    assert(spark.read.parquet(dir).agg(sum(col("doc_id")), count(lit(1))).head()
+      == checksum, "old-copy recovery changed the data")
+    assert(!Files.exists(Paths.get(dir + ".__compact_old")))
+    // crash after the compacted tmp was fully committed (_SUCCESS) but
+    // before it was moved live → next run must finish the swap
+    Files.move(Paths.get(dir), Paths.get(dir + ".__compact_tmp"),
+      StandardCopyOption.ATOMIC_MOVE)
+    graft.sources.Sources.compactParquet(spark, dir)
+    assert(spark.read.parquet(dir).agg(sum(col("doc_id")), count(lit(1))).head()
+      == checksum, "tmp-copy recovery changed the data")
+  }
+
   test("bucketed tables join without a shuffle") {
     // in-memory catalog forgets tables across JVMs but leaves files:
     // clear both
