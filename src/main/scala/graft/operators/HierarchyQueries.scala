@@ -93,6 +93,43 @@ object HierarchyQueries {
         mv, facts.filter(pmod(col("l_partkey"), lit(7)) === 0), dim)
       HierarchyAgg.finalizeRollup(merged, dim)
     }),
+    // MULTI-HIERARCHY rollup: ONE fact stream rolled up through TWO
+    // independent closures at once (geography × product brand) — the
+    // generalized form of the reference's single-hierarchy flagship,
+    // i.e. a cross-hierarchy subtotal lattice. Scale shape: facts
+    // pre-aggregate to the (geo leaf, part leaf) grain — one shuffle
+    // with map-side combine, cardinality bounded by the dim cross
+    // product, not the fact count — then BOTH closures join broadcast
+    // and the final groupBy lands on ancestor-pair keys. The brand
+    // closure keeps ancestors at Brand level and up (leaf-grain output
+    // belongs to h6); sums/counts only — a cross-hierarchy exact
+    // distinct would need customer grain (h4's pre-agg) per pair.
+    "h10_multi_hier_agg" -> ((s, d) => {
+      val geo = dimension(s, d).aggregationDim.select(
+        col("ancestor_node_id").as("geo_node_id"),
+        col("ancestor_node_name").as("geo_node_name"),
+        col("ancestor_level_number").cast("long").as("geo_level"),
+        col("descendant_node_natural_key").as("geo_desc_key"))
+      val brand = partDimension(s, d).aggregationDim
+        .filter(col("ancestor_level_number") <= 2)
+        .select(col("ancestor_node_id").as("brand_node_id"),
+          col("ancestor_node_name").as("brand_node_name"),
+          col("ancestor_level_number").cast("long").as("brand_level"),
+          col("descendant_node_natural_key").as("part_desc_key"))
+      val pre = HierarchyAgg.salesFacts(s, d)
+        .groupBy(col("leaf_key"), col("l_partkey"))
+        .agg(sum("sales_amount").as("s"), sum("unit_quantity").as("q"),
+          count(lit(1)).as("n"))
+      pre
+        .join(broadcast(geo), col("leaf_key") === col("geo_desc_key"))
+        .join(broadcast(brand),
+          col("l_partkey").cast("long") === col("part_desc_key"))
+        .groupBy("geo_node_id", "geo_node_name", "geo_level",
+          "brand_node_id", "brand_node_name", "brand_level")
+        .agg(round(sum("s"), 2).as("sum_sales_amount"),
+          round(sum("q"), 2).as("sum_unit_quantity"),
+          sum("n").as("count_of_fact_records"))
+    }),
     // dimension MAINTENANCE: reparent one node (n8 INDIA moves from
     // Asia under r0 Africa) and diff the two closures — the
     // added/removed ancestor–descendant pairs are exactly the rows a
@@ -267,6 +304,56 @@ SELECT * FROM adim""",
       """1000 + c.c_nationkey * 8 +
          CASE c.c_mktsegment WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1
               WHEN 'FURNITURE' THEN 2 WHEN 'HOUSEHOLD' THEN 3
-              WHEN 'MACHINERY' THEN 4 ELSE 7 END""")
+              WHEN 'MACHINERY' THEN 4 ELSE 7 END"""),
+    // two independent closures (compact anc-pair recursion per
+    // hierarchy) joined to the same fact stream
+    "h10_multi_hier_agg" ->
+      raw"""WITH RECURSIVE gn AS (
+  SELECT 'root' AS node_id, CAST(-1 AS BIGINT) AS k, 'All Regions' AS name,
+         CAST(NULL AS VARCHAR) AS parent
+  UNION ALL SELECT 'r' || r_regionkey, CAST(100 + r_regionkey AS BIGINT), r_name, 'root' FROM region
+  UNION ALL SELECT 'n' || n_nationkey, CAST(n_nationkey AS BIGINT), n_name, 'r' || n_regionkey FROM nation),
+glev AS (
+  SELECT node_id, name, 1 AS lev FROM gn WHERE parent IS NULL
+  UNION ALL SELECT c.node_id, c.name, p.lev + 1 FROM gn c JOIN glev p ON c.parent = p.node_id),
+ganc AS (
+  SELECT node_id, node_id AS anc FROM gn
+  UNION ALL SELECT n.node_id, a.anc FROM gn n JOIN ganc a ON n.parent = a.node_id),
+gclo AS (
+  SELECT a.anc AS geo_node_id, gn.k AS desc_key FROM ganc a JOIN gn ON gn.node_id = a.node_id),
+pn AS (
+  SELECT 'root' AS node_id, CAST(-1 AS BIGINT) AS k, 'All Parts' AS name,
+         CAST(NULL AS VARCHAR) AS parent
+  UNION ALL
+  SELECT 'b' || p_brand, CAST(1000000 + CAST(regexp_extract(p_brand, '\d+') AS BIGINT) AS BIGINT),
+         p_brand, 'root'
+  FROM (SELECT DISTINCT p_brand FROM part)
+  UNION ALL
+  SELECT 'p' || p_partkey, CAST(p_partkey AS BIGINT), p_name, 'b' || p_brand FROM part),
+plev AS (
+  SELECT node_id, name, 1 AS lev FROM pn WHERE parent IS NULL
+  UNION ALL SELECT c.node_id, c.name, p.lev + 1 FROM pn c JOIN plev p ON c.parent = p.node_id),
+panc AS (
+  SELECT node_id, node_id AS anc FROM pn
+  UNION ALL SELECT n.node_id, a.anc FROM pn n JOIN panc a ON n.parent = a.node_id),
+pclo AS (
+  SELECT a.anc AS brand_node_id, pn.k AS desc_key FROM panc a JOIN pn ON pn.node_id = a.node_id),
+facts AS (
+  SELECT c.c_nationkey AS geo_leaf, l.l_partkey AS part_leaf,
+         l.l_extendedprice AS s, l.l_quantity AS q
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey)
+SELECT g.geo_node_id, gm.name AS geo_node_name, CAST(gm.lev AS BIGINT) AS geo_level,
+       p.brand_node_id, pm.name AS brand_node_name, CAST(pm.lev AS BIGINT) AS brand_level,
+       ROUND(SUM(f.s), 2) AS sum_sales_amount,
+       ROUND(SUM(f.q), 2) AS sum_unit_quantity,
+       COUNT(*) AS count_of_fact_records
+FROM facts f
+JOIN gclo g ON g.desc_key = f.geo_leaf
+JOIN pclo p ON p.desc_key = f.part_leaf
+JOIN glev gm ON gm.node_id = g.geo_node_id
+JOIN plev pm ON pm.node_id = p.brand_node_id
+WHERE pm.lev <= 2
+GROUP BY 1, 2, 3, 4, 5, 6"""
   )
 }

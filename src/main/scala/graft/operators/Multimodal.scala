@@ -133,6 +133,87 @@ object Multimodal {
     }
   }
 
+  /** Deterministic 24-bpp BMP synthesizer (the ingest stand-in for
+    * real image files — the container has no image libraries, so the
+    * PAYLOAD is synthesized, but the decode below is a real parser).
+    * Pixel bytes cycle through `src` (the doc's text bytes); rows are
+    * 4-byte aligned per the BMP spec.
+    */
+  def synthBmp(width: Int, height: Int, src: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val stride = ((width * 3 + 3) / 4) * 4
+    val b = new Array[Byte](54 + stride * height)
+    def le16(off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def le32(off: Int, v: Int): Unit = {
+      le16(off, v & 0xffff); le16(off + 2, (v >> 16) & 0xffff)
+    }
+    b(0) = 'B'; b(1) = 'M'
+    le32(2, b.length); le32(10, 54)
+    le32(14, 40); le32(18, width); le32(22, height)
+    le16(26, 1); le16(28, 24); le32(30, 0); le32(34, stride * height)
+    var row = 0
+    var j = 0
+    while (row < height) {
+      var x = 0
+      while (x < width * 3) {
+        b(54 + row * stride + x) =
+          if (src.isEmpty) ((j * 31) & 0xff).toByte else src(j % src.length)
+        x += 1; j += 1
+      }
+      row += 1
+    }
+    b
+  }
+
+  /** A second REAL no-external-libs codec: uncompressed 24-bpp BMP
+    * (BITMAPFILEHEADER + BITMAPINFOHEADER + padded pixel rows). Emits
+    * `[n_bytes, n_pixels, mean_pixel, width, height]` in the
+    * fixed-width feature contract (slots 1/3/4 carry codec-specific
+    * meaning, as the contract allows — see [[WavPcmCodec]]). Fails
+    * loudly on non-BMP, compressed, non-24-bpp or truncated payloads.
+    */
+  final class BmpCodec extends MediaCodec {
+    private def le16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], off: Int): Int =
+      le16(b, off) | (le16(b, off + 2) << 16)
+
+    override def decode(r: MediaRow): Array[Double] = {
+      val b = r.payload
+      require(b.length >= 54 && b(0) == 'B' && b(1) == 'M',
+        s"doc ${r.doc_id}: not a BMP payload")
+      val pixelOff = le32(b, 10)
+      val headerSize = le32(b, 14)
+      require(headerSize >= 40, s"doc ${r.doc_id}: pre-BITMAPINFOHEADER BMP")
+      val w = le32(b, 18)
+      // negative height = top-down row order; irrelevant for the stats
+      val h = math.abs(le32(b, 22))
+      val bpp = le16(b, 28)
+      val compression = le32(b, 30)
+      require(w > 0 && h > 0, s"doc ${r.doc_id}: degenerate dimensions $w x $h")
+      require(bpp == 24, s"doc ${r.doc_id}: only 24-bpp supported, got $bpp")
+      require(compression == 0, s"doc ${r.doc_id}: compressed BMP unsupported")
+      val stride = ((w * 3 + 3) / 4) * 4
+      require(pixelOff >= 54 && pixelOff.toLong + stride.toLong * h <= b.length,
+        s"doc ${r.doc_id}: truncated pixel array")
+      var sum = 0L
+      var row = 0
+      while (row < h) {
+        var x = 0
+        while (x < w * 3) { // channel bytes only — skip the row padding
+          sum += (b(pixelOff + row * stride + x) & 0xff)
+          x += 1
+        }
+        row += 1
+      }
+      val mean = sum.toDouble / (w.toLong * h * 3)
+      Array(b.length.toDouble, (w.toLong * h).toDouble,
+        math.round(mean * 1e6) / 1e6, w.toDouble, h.toDouble)
+    }
+  }
+
   /** Partition-batched decode over the typed Dataset: payloads stay on
     * executors, the codec opens once per partition and closes when the
     * partition is drained.
@@ -182,7 +263,24 @@ object MultimodalQueries {
         length(col("payload")).as("payload_bytes"))
     }),
     "m2_feature_extract" -> ((s, d) =>
-      Multimodal.extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, d))).toDF())
+      Multimodal.extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, d))).toDF()),
+    // image-metadata extraction through a REAL parser: payloads are
+    // deterministic synthesized 24-bpp BMPs (dims from doc_id, pixels
+    // from the text bytes), decoded by the no-libs BmpCodec. The
+    // emitted width/height re-derive the dimensions FROM THE BYTES —
+    // the spec asserts they match the metadata the synth used. Binary
+    // plumbing → rows-only driver check, exactness in the spec.
+    "m3_image_meta" -> ((s, d) => {
+      import s.implicits._
+      val rows = Multimodal.mediaTable(Tables.documents(s, d))
+        .as[Multimodal.MediaRow].map { r =>
+          val w = (2 + (r.doc_id % 6)).toInt
+          val h = (2 + (r.doc_id % 4)).toInt
+          Multimodal.MediaRow(r.doc_id,
+            Multimodal.synthBmp(w, h, r.payload), "image/bmp", w, h)
+        }
+      Multimodal.extractFeatures(s, rows.toDF(), new Multimodal.BmpCodec).toDF()
+    })
   )
 
   val oracles: Map[String, String] = Map(

@@ -99,6 +99,31 @@ object Packing {
       .select("lang", "n_docs", "lang_tokens", "share", "rate", "planned_tokens")
   }
 
+  /** Leakage-aware train/validation/test split + shard assignment. The
+    * split key is the CONTENT fingerprint, not the row id: byte-identical
+    * documents always land in the same split, so exact duplicates can
+    * never straddle train and eval — the classic contamination leak of
+    * id-hashed splits. Two independent 31-bit LCG streams on the reduced
+    * fingerprint drive the 80/10/10 split and the shard (mod `nShards`);
+    * pure integer arithmetic → stable under reruns/retries/speculative
+    * re-execution and bit-identical in any engine. Narrow per-row map,
+    * no shuffle at any scale.
+    */
+  def splitShards(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    // reduce the (possibly Long-wrapped) fingerprint below 2^31 before
+    // the LCG multiplies — products then peak at 2^31 × 1103515245,
+    // safely inside Long under ANSI mode
+    val fp = pmod(fingerprint(trim(lower(col("text")))), lit(2147483648L))
+    val h1 = pmod(fp * 1103515245L + 12345L, lit(2147483648L)) % 100
+    val h2 = pmod(fp * 1664525L + 1013904223L, lit(2147483648L)) % nShards
+    docs.select(
+      col("doc_id"),
+      when(h1 < 80, "train").when(h1 < 90, "validation")
+        .otherwise("test").as("split"),
+      h2.cast("long").as("shard_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_sequence_packing" -> ((s, d) => sequencePack(Tables.documents(s, d))),
     "p2_stratified_sample" -> ((s, d) =>
@@ -106,7 +131,8 @@ object Packing {
       // all input columns
       stratifiedSample(Tables.documents(s, d))
         .select("doc_id", "lang", "source", "n_chars")),
-    "p3_mixture_plan" -> ((s, d) => mixturePlan(Tables.documents(s, d)))
+    "p3_mixture_plan" -> ((s, d) => mixturePlan(Tables.documents(s, d))),
+    "p4_split_shards" -> ((s, d) => splitShards(Tables.documents(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -149,6 +175,23 @@ object Packing {
            FROM per_lang, tot)
          SELECT lang, n_docs, lang_tokens, share, rate,
            CAST(FLOOR(rate * CAST(lang_tokens AS DOUBLE)) AS BIGINT) AS planned_tokens
-         FROM r"""
+         FROM r""",
+    "p4_split_shards" ->
+      raw"""WITH f AS (
+           SELECT doc_id, text,
+             CAST(COALESCE(list_sum(list_transform(range(1, length(t) + 1),
+               i -> i * ord(substring(t, CAST(i AS INT), 1)))), 0) AS BIGINT) AS fp0
+           FROM (SELECT doc_id, text, trim(lower(text)) AS t FROM documents)),
+         h AS (
+           SELECT doc_id, text,
+             ((fp0 % 2147483648) + 2147483648) % 2147483648 AS fp
+           FROM f)
+         SELECT doc_id,
+           CASE WHEN ((fp * 1103515245 + 12345) % 2147483648) % 100 < 80 THEN 'train'
+                WHEN ((fp * 1103515245 + 12345) % 2147483648) % 100 < 90 THEN 'validation'
+                ELSE 'test' END AS split,
+           CAST(((fp * 1664525 + 1013904223) % 2147483648) % 8 AS BIGINT) AS shard_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+         FROM h"""
   )
 }

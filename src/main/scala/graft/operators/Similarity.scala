@@ -93,6 +93,28 @@ object Similarity {
     rerank(pairs, k)
   }
 
+  /** Exact cosine RANGE search: every corpus vector with
+    * `cos >= tau` per query — the thresholded counterpart of top-k
+    * (radius query), the primitive behind "pull everything similar
+    * enough to this contamination probe / centroid / exemplar".
+    * Same scale shape as [[bruteForceTopK]]: the query set is
+    * broadcast, the corpus side is one narrow codegen'd map (dot +
+    * norm via native expressions) with a selective filter — no
+    * shuffle at all until the (tiny) result. The threshold compares
+    * `round(cos, 9)` so the cut is bit-identical cross-engine.
+    */
+  def rangeSearch(emb: DataFrame, tau: Double = 0.3, nQueries: Int = 10): DataFrame = {
+    val c = corpus(emb)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .filter(round(col("cos"), 9) >= tau)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   /** Deterministic seeded k-means (the IVF coarse codebook): init =
     * the first `k` vectors by id, then `iters` rounds of
     * assign-to-nearest + element-wise mean. Every step is a
@@ -167,7 +189,8 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "s2_knn_lsh" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
-    "s3_knn_ivf" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d)))
+    "s3_knn_ivf" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+    "s4_range_search" -> ((s, d) => Similarity.rangeSearch(Tables.embeddings(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -188,6 +211,19 @@ object SimilarityQueries {
                ORDER BY ROUND(cos, 9) DESC, neighbor_id ASC) AS BIGINT) AS rank
            FROM pairs)
          SELECT q_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
-         FROM ranked WHERE rank <= 5"""
+         FROM ranked WHERE rank <= 5""",
+    "s4_range_search" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         pairs AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(c.v, q.v), s -> s[1] * s[2]))
+               / (c.nrm * q.nrm) AS cos
+           FROM n c JOIN n q ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+         SELECT q_id, neighbor_id, ROUND(cos, 6) AS cosine
+         FROM pairs WHERE ROUND(cos, 9) >= 0.3"""
   )
 }

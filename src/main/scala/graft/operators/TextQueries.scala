@@ -237,6 +237,32 @@ object TextQueries {
     // tie-break — deterministic across engines.
     "t11_tfidf" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
 
+    // Document CHUNKING: overlapping fixed-size token windows (64
+    // tokens, stride 48 → 16-token overlap) — the text → context-window
+    // segmentation step of a RAG / pretraining pipeline. Pure per-row
+    // narrow map (sequence + explode + slice), no shuffle at any scale;
+    // chunk identity is (doc, start), and the chunk text is carried as
+    // its rolling-hash fingerprint so the oracle verifies CONTENT, not
+    // just boundaries, without hashing megabytes of strings in the
+    // comparator.
+    "t12_doc_chunks" -> ((s, d) => {
+      val size64 = 64; val stride = 48
+      Tables.documents(s, d)
+        .withColumn("toks", tokens(lower(col("text"))))
+        .withColumn("n_toks", size(col("toks")))
+        .select(col("doc_id"), col("toks"), col("n_toks"),
+          explode(sequence(lit(1), greatest(col("n_toks"), lit(1)),
+            lit(stride))).as("start_tok"))
+        .select(
+          col("doc_id"),
+          ((col("start_tok") - 1) / stride).cast("long").as("chunk_idx"),
+          col("start_tok").cast("long").as("start_tok"),
+          least(lit(size64), col("n_toks") - col("start_tok") + 1)
+            .cast("long").as("chunk_toks"),
+          fingerprint(array_join(
+            slice(col("toks"), col("start_tok"), lit(size64)), " ")).as("chunk_fp"))
+    }),
+
     // Top word-bigrams by frequency (global n-gram statistics).
     "t5_ngram_stats" -> ((s, d) => {
       Tables.documents(s, d)
@@ -427,6 +453,28 @@ object TextQueries {
            ROUND(AVG(-ln(CAST(wc AS DOUBLE) / CAST(total AS DOUBLE))), 6)
              AS avg_neg_logprob
          FROM t JOIN vocab USING (w) CROSS JOIN tot
-         GROUP BY doc_id"""
+         GROUP BY doc_id""",
+    "t12_doc_chunks" ->
+      raw"""WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         n AS (SELECT doc_id, toks, len(toks) AS n_toks FROM t),
+         s AS (
+           SELECT doc_id, toks, n_toks,
+             unnest(range(1, greatest(n_toks, 1) + 1, 48)) AS start_tok
+           FROM n),
+         c AS (
+           SELECT doc_id,
+             CAST((start_tok - 1) // 48 AS BIGINT) AS chunk_idx,
+             CAST(start_tok AS BIGINT) AS start_tok,
+             CAST(LEAST(64, n_toks - start_tok + 1) AS BIGINT) AS chunk_toks,
+             array_to_string(list_slice(toks, start_tok,
+               LEAST(start_tok + 63, n_toks)), ' ') AS chunk
+           FROM s)
+         SELECT doc_id, chunk_idx, start_tok, chunk_toks,
+           CAST(COALESCE(list_sum(list_transform(range(1, length(chunk) + 1),
+             i -> i * ord(substring(chunk, CAST(i AS INT), 1)))), 0) AS BIGINT)
+             AS chunk_fp
+         FROM c"""
   )
 }

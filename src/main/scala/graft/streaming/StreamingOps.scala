@@ -240,6 +240,40 @@ object StreamingQueries {
     // windows; watermarked, driven to completion
     "st8_sliding_window_stream" -> ((s, d) =>
       runStream(s, d)(StreamingOps.slidingWindowAggStream)),
+    // STREAMING INCREMENTAL ROLLUP MAINTENANCE: the h9 materialized
+    // view maintained by a stream — the fact table arrives as 4
+    // micro-batches (maxFilesPerTrigger=1 over a 4-file source) and
+    // foreachBatch folds each into the (node, customer) MV through
+    // mergeRollupMv; only the arriving batch ever pays a fact-side
+    // shuffle, exactly the 100 TB continuous-ingest story. Each merge
+    // is materialized (localCheckpoint) because a micro-batch frame is
+    // only valid inside its own batch. Oracle = the full recompute
+    // (h4's SQL): maintenance must be result-identical to recomputing.
+    "st9_incremental_rollup_stream" -> ((s, d) => {
+      val adim = graft.operators.HierarchyQueries.dimension(s, d).aggregationDim
+      val dir = java.nio.file.Files.createTempDirectory("graft_mv_stream")
+        .resolve("facts").toString
+      graft.operators.HierarchyAgg.salesFacts(s, d)
+        .repartition(4).write.mode("overwrite").parquet(dir)
+      val schema = s.read.parquet(dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      var mv: DataFrame = null
+      val partsWas = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = stream.writeStream.outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val delta = batch.toDF()
+            mv = (if (mv == null) graft.operators.HierarchyAgg.rollupMv(delta, adim)
+                  else graft.operators.HierarchyAgg.mergeRollupMv(mv, delta, adim))
+              .localCheckpoint()
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", partsWas)
+      graft.operators.HierarchyAgg.finalizeRollup(mv, adim)
+    }),
     // stream-STREAM join: clicks joined to same-user purchases within
     // 30 minutes after the click. Both sides carry watermarks and the
     // join predicate bounds event-time distance, so the state store
@@ -265,6 +299,9 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // stream-maintained MV ≡ full recompute (h9's invariant, streamed)
+    "st9_incremental_rollup_stream" ->
+      graft.operators.HierarchyQueries.oracles("h9_incremental_rollup"),
     "st1_windowed_agg" ->
       """SELECT strftime(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS window_start,
            event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value

@@ -62,6 +62,13 @@ class EmptyInputSpec extends SparkSpec {
         HierarchyAgg.rollupMv(noFacts, adim), noFacts, adim), adim).count() == 0)
   }
 
+  test("round-5 operators handle empty inputs") {
+    val noDocs = Tables.documents(spark, sf).limit(0)
+    val noEmb = Tables.embeddings(spark, sf).limit(0)
+    assert(graft.operators.Packing.splitShards(noDocs).count() == 0)
+    assert(graft.operators.Similarity.rangeSearch(noEmb).count() == 0)
+  }
+
   test("connected components with no edges labels every node as itself") {
     val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
     val edges = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")

@@ -116,6 +116,30 @@ class HierarchySpec extends SparkSpec {
     }
   }
 
+  test("multi-hierarchy rollup: the (root, root) cell equals the corpus totals") {
+    val facts = HierarchyAgg.salesFacts(spark, sf)
+    val totals = facts.agg(
+      round(sum("sales_amount"), 2), round(sum("unit_quantity"), 2),
+      count(lit(1))).head()
+    val out = SparkEntry.queries("h10_multi_hier_agg")(spark, sf)
+    val rootRoot = out
+      .filter(col("geo_node_id") === "root" && col("brand_node_id") === "root")
+      .select("sum_sales_amount", "sum_unit_quantity", "count_of_fact_records")
+      .head()
+    assert(rootRoot.getLong(2) == totals.getLong(2))
+    assert(math.abs(rootRoot.getDouble(0) - totals.getDouble(0)) < 1e-2)
+    assert(math.abs(rootRoot.getDouble(1) - totals.getDouble(1)) < 1e-2)
+    // within each geo node, brand-level cells partition the geo total
+    val perGeo = out.filter(col("brand_level") === 2)
+      .groupBy("geo_node_id").agg(sum("count_of_fact_records").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val geoRoot = out
+      .filter(col("brand_node_id") === "root").collect()
+      .map(r => r.getAs[String]("geo_node_id") ->
+        r.getAs[Long]("count_of_fact_records")).toMap
+    assert(perGeo == geoRoot)
+  }
+
   test("entry: flagship query returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

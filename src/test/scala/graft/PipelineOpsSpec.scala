@@ -116,6 +116,54 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept.length == expected)
   }
 
+  test("split shards: content-identical docs land in the same split and shard") {
+    val twins = Seq(
+      (0L, "same exact text", "en", "s0", 15L),
+      (999L, "same exact text", "en", "s1", 15L), // same content, far id
+      (5L, "different text entirely", "en", "s0", 23L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Packing.splitShards(twins).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("split"), r.getAs[Long]("shard_id"))).toMap
+    assert(out(0L) == out(999L), "identical content split apart — leakage")
+    assert(out.values.forall(v =>
+      Set("train", "validation", "test")(v._1) && v._2 >= 0 && v._2 < 8))
+  }
+
+  test("split shards: deterministic across runs and ~80/10/10 on real docs") {
+    val docs = Tables.documents(spark, sf)
+    val a = Packing.splitShards(docs).collect().sortBy(_.getAs[Long]("doc_id"))
+    val b = Packing.splitShards(docs).collect().sortBy(_.getAs[Long]("doc_id"))
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    val frac = a.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.length.toDouble / a.length).toMap
+    assert(math.abs(frac.getOrElse("train", 0.0) - 0.8) < 0.08, frac.toString)
+    assert(math.abs(frac.getOrElse("validation", 0.0) - 0.1) < 0.06, frac.toString)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.1) < 0.06, frac.toString)
+  }
+
+  test("doc chunks: stride/size arithmetic covers every token exactly once per stride") {
+    val out = SparkEntry.queries("t12_doc_chunks")(spark, sf).collect()
+    val nToks = SparkEntry.queries("t1_token_count")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_tokens").toLong).toMap
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, chunks) =>
+      val n = math.max(nToks(id), 1L)
+      // chunk count = ceil(n / 48); starts are 1 + 48k; sizes in [1, 64];
+      // the last chunk ends exactly at the last token
+      assert(chunks.length == ((n + 47) / 48).toInt, s"doc $id")
+      val sorted = chunks.sortBy(_.getAs[Long]("start_tok"))
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getAs[Long]("start_tok") == 1 + 48L * i)
+        assert(c.getAs[Long]("chunk_idx") == i.toLong)
+        val sz = c.getAs[Long]("chunk_toks")
+        assert(sz >= 1 && sz <= 64, s"doc $id chunk $i size $sz")
+      }
+      val last = sorted.last
+      assert(last.getAs[Long]("start_tok") + last.getAs[Long]("chunk_toks") - 1 == n)
+    }
+  }
+
   test("mixture plan rates are capped at 1 and budget shares are honored") {
     val docs = (0L until 300L).map(i =>
       (i, Seq.fill(10)("w").mkString(" "),

@@ -21,13 +21,17 @@ class PlanLintSpec extends SparkSpec {
     "s1_knn_brute",        // brute-force baseline broadcasts the query set
     "s3_knn_ivf",          // broadcast k-means codebook (nlist rows)
     "h5_hier_agg_deep",    // dim construction: nation × 5-row segment literal
-    "t11_tfidf"            // 1-row corpus-size broadcast
+    "t11_tfidf",           // 1-row corpus-size broadcast
+    "s4_range_search"      // range search broadcasts the query set (s1's shape)
   )
 
   private val skipEager = Set(
     "st3_windowed_agg_stream", "st4_session_window_stream",
     "st5_stream_dedup", "st6_stream_static_join", "st7_stream_stream_join",
-    "st8_sliding_window_stream")
+    "st8_sliding_window_stream",
+    // st9 materializes facts + runs the stream on invocation; its MV
+    // merge plan is h9's (linted there)
+    "st9_incremental_rollup_stream")
 
   test("no registry query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -19,6 +19,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("range search: exactly the pairs at/above the threshold, consistent with brute force") {
+    val tau = 0.3
+    val ranged = Similarity.rangeSearch(emb, tau = tau).collect()
+    assert(ranged.forall(r => r.getAs[Double]("cosine") >= tau - 1e-6))
+    assert(ranged.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("q_id")))
+    // every brute-force top-k hit at/above tau must be in the range result
+    val rangedSet = ranged
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    Similarity.bruteForceTopK(emb).collect()
+      .filter(_.getAs[Double]("cosine") >= tau)
+      .foreach { r =>
+        assert(rangedSet.contains(
+          (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))))
+      }
+  }
+
   test("LSH ANN: structurally valid and overlaps brute-force") {
     val rows = Similarity.lshTopK(emb).collect()
     assert(rows.nonEmpty)

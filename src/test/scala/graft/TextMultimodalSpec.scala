@@ -219,4 +219,42 @@ class TextMultimodalSpec extends SparkSpec {
     }
     assert(err.getMessage != null)
   }
+
+  test("BmpCodec decodes a hand-built 24-bpp BMP exactly") {
+    // 2×2, pixels cycle src = [10, 20, 30]: 12 channel bytes →
+    // 10,20,30,10,20,30,... mean = 20. File = 54 + 2 rows × 8-byte
+    // stride (2*3 = 6 pixel bytes + 2 padding).
+    val bmp = Multimodal.synthBmp(2, 2, Array[Byte](10, 20, 30))
+    assert(bmp.length == 54 + 2 * 8)
+    val media = Seq((7L, bmp, "image/bmp", 2, 2))
+      .toDF("doc_id", "payload", "media_type", "width", "height")
+    val f = Multimodal.extractFeatures(spark, media,
+      new Multimodal.BmpCodec).collect().head
+    assert(f.n_bytes == bmp.length.toLong)
+    assert(f.byte_sum == 4L)               // slot 1 = n_pixels
+    assert(math.abs(f.mean_byte - 20.0) < 1e-9) // mean pixel value
+    assert(f.feat_0 == 2.0 && f.feat_1 == 2.0)  // decoded width/height
+  }
+
+  test("m3: decoded BMP dimensions re-derive the synth metadata from bytes") {
+    val out = graft.SparkEntry.queries("m3_image_meta")(spark, sf)
+      .select(col("doc_id"), col("feat_0"), col("feat_1")).collect()
+    assert(out.length > 0)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getDouble(1) == (2 + id % 6).toDouble, s"width mismatch doc $id")
+      assert(r.getDouble(2) == (2 + id % 4).toDouble, s"height mismatch doc $id")
+    }
+  }
+
+  test("BmpCodec rejects truncated and non-BMP payloads loudly") {
+    val bad = Multimodal.synthBmp(4, 4, Array[Byte](1, 2, 3)).dropRight(10)
+    val junk = Seq((1L, "nope".getBytes("UTF-8"), "image/bmp", 0, 0),
+      (2L, bad, "image/bmp", 4, 4))
+      .toDF("doc_id", "payload", "media_type", "width", "height")
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(spark, junk, new Multimodal.BmpCodec).collect()
+    }
+    assert(err.getMessage != null)
+  }
 }
