@@ -13,7 +13,10 @@ object PlanAudit {
       // round-3 additions worth auditing
       "q30_band_join", "q31_funnel", "q32_retention", "q33_salted_join",
       "d7_incremental_dedup", "d8_decontaminate", "t9_unigram_logprob",
-      "h7_hierarchy_diff", "h8_hier_agg_approx")
+      "h7_hierarchy_diff", "h8_hier_agg_approx",
+      // round-5 additions worth auditing
+      "h10_multi_hier_agg", "t12_doc_chunks", "s4_range_search",
+      "p4_split_shards")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sf).queryExecution.explainString(

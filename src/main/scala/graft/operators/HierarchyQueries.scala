@@ -48,6 +48,25 @@ object HierarchyQueries {
     cached(spark, "part", sfDir)(
       new HierarchyDimension(HierarchyAgg.partNodes(spark, sfDir), knownDepth = 3))
 
+  /** RAGGED hierarchy: region→nation leaves at level 3 PLUS a direct
+    * 'Online Direct' channel leaf at level 2 — leaves at different
+    * depths, the shape balanced-only rollup engines mishandle. The
+    * closure derivation is depth-agnostic (explode of the per-node
+    * path), so no special casing is needed; h11 proves it.
+    */
+  def raggedDimension(spark: SparkSession, sfDir: String): HierarchyDimension =
+    cached(spark, "region_nation_online", sfDir) {
+      val online = spark.range(1).select(
+        lit("online").as("node_id"),
+        lit(500L).as("node_natural_key"),
+        lit("Online Direct").as("node_name"),
+        lit("Channel").as("level_name"),
+        lit("root").as("parent_node_id"))
+      new HierarchyDimension(
+        HierarchyAgg.regionNationNodes(spark, sfDir).unionByName(online),
+        knownDepth = 3)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h1_nodes" -> ((s, d) => dimension(s, d).flaggedNodes),
     "h2_reporting_dim" -> ((s, d) => dimension(s, d).reportingDim),
@@ -92,6 +111,18 @@ object HierarchyQueries {
       val merged = HierarchyAgg.mergeRollupMv(
         mv, facts.filter(pmod(col("l_partkey"), lit(7)) === 0), dim)
       HierarchyAgg.finalizeRollup(merged, dim)
+    }),
+    // RAGGED-hierarchy rollup: every 20th customer's facts route to the
+    // level-2 'Online Direct' leaf, the rest to level-3 nation leaves —
+    // an unbalanced tree where subtotal depth varies by branch. Same
+    // engine, same plan shape as h4; only the node table and the leaf
+    // key routing change.
+    "h11_ragged_rollup" -> ((s, d) => {
+      val facts = HierarchyAgg.salesFacts(s, d)
+        .withColumn("leaf_key",
+          when(pmod(col("customer_id"), lit(20L)) === 0, lit(500L))
+            .otherwise(col("c_nationkey").cast("long")))
+      HierarchyAgg.hierarchicalRollup(facts, raggedDimension(s, d).aggregationDim)
     }),
     // MULTI-HIERARCHY rollup: ONE fact stream rolled up through TWO
     // independent closures at once (geography × product brand) — the
@@ -155,6 +186,15 @@ object HierarchyQueries {
   /** Shared DuckDB prelude: nodes → flags → recursive leveling → DFS
     * sort order. Mirrors [[HierarchyDimension]] semantics exactly.
     */
+  private val baseNodesSql: String = """
+  SELECT 'root' AS node_id, CAST(-1 AS BIGINT) AS node_natural_key,
+         'All Regions' AS node_name, 'Total' AS level_name,
+         CAST(NULL AS VARCHAR) AS parent_node_id
+  UNION ALL
+  SELECT 'r' || r_regionkey, CAST(100 + r_regionkey AS BIGINT), r_name, 'Region', 'root' FROM region
+  UNION ALL
+  SELECT 'n' || n_nationkey, CAST(n_nationkey AS BIGINT), n_name, 'Nation', 'r' || n_regionkey FROM nation"""
+
   private def prelude(deep: Boolean): String = {
     val segNodes =
       """
@@ -163,15 +203,12 @@ object HierarchyQueries {
          CAST(1000 + n_nationkey * 8 + s.i AS BIGINT),
          n_name || ' ' || s.seg, 'Segment', 'n' || n_nationkey
   FROM nation, (VALUES ('AUTOMOBILE',0),('BUILDING',1),('FURNITURE',2),('HOUSEHOLD',3),('MACHINERY',4)) s(seg, i)"""
-    preludeWith(s"""
-  SELECT 'root' AS node_id, CAST(-1 AS BIGINT) AS node_natural_key,
-         'All Regions' AS node_name, 'Total' AS level_name,
-         CAST(NULL AS VARCHAR) AS parent_node_id
-  UNION ALL
-  SELECT 'r' || r_regionkey, CAST(100 + r_regionkey AS BIGINT), r_name, 'Region', 'root' FROM region
-  UNION ALL
-  SELECT 'n' || n_nationkey, CAST(n_nationkey AS BIGINT), n_name, 'Nation', 'r' || n_regionkey FROM nation${if (deep) segNodes else ""}""")
+    preludeWith(s"$baseNodesSql${if (deep) segNodes else ""}")
   }
+
+  private def raggedPrelude: String = preludeWith(s"""$baseNodesSql
+  UNION ALL
+  SELECT 'online', CAST(500 AS BIGINT), 'Online Direct', 'Channel', 'root'""")
 
   private def partPrelude: String = preludeWith("""
   SELECT 'root' AS node_id, CAST(-1 AS BIGINT) AS node_natural_key,
@@ -300,6 +337,8 @@ SELECT * FROM adim""",
     // incremental maintenance ≡ full recompute (same SQL as h4)
     "h9_incremental_rollup" -> rollupSql(deep = false, "c.c_nationkey"),
     "h6_hier_agg_parts" -> rollupSqlWith(partPrelude, "l.l_partkey"),
+    "h11_ragged_rollup" -> rollupSqlWith(raggedPrelude,
+      "CASE WHEN c.c_custkey % 20 = 0 THEN 500 ELSE c.c_nationkey END"),
     "h5_hier_agg_deep" -> rollupSql(deep = true,
       """1000 + c.c_nationkey * 8 +
          CASE c.c_mktsegment WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1

@@ -219,6 +219,30 @@ object TextQueries {
             .as("avg_neg_logprob"))
     }),
 
+    // Bigram LM quality scoring — one step up from t9's unigram proxy:
+    // per-doc mean -ln p(w2|w1) with add-one smoothing,
+    // p = (c(w1 w2) + 1) / (c(w1) + |V|). Corpus bigram/unigram counts
+    // are gram-keyed aggregates (d8's scale shape); only the 1-row
+    // vocab size broadcasts. Docs with <2 tokens have no bigrams and
+    // drop out (same convention as wordNgrams).
+    "t13_bigram_logprob" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .withColumn("toks", tokens(lower(col("text"))))
+      val uc = t.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+      val v = uc.agg(count(lit(1)).as("v"))
+      val bi = t.select(col("doc_id"), explode(wordNgrams(col("toks"), 2)).as("bg"))
+      val bc = bi.groupBy("bg").agg(count(lit(1)).as("bc"))
+      bi.join(bc, "bg")
+        .withColumn("w", split(col("bg"), " ").getItem(0))
+        .join(uc, "w")
+        .crossJoin(broadcast(v))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(-log((col("bc") + 1).cast("double") /
+            (col("wc") + col("v")).cast("double"))), 6).as("avg_neg_logprob"))
+    }),
+
     // PII / denylist scrubbing — the redaction stage of a corpus
     // pipeline: emails, URLs and long digit runs are replaced with
     // typed placeholder tokens, a denylist of terms with a generic
@@ -453,6 +477,27 @@ object TextQueries {
            ROUND(AVG(-ln(CAST(wc AS DOUBLE) / CAST(total AS DOUBLE))), 6)
              AS avg_neg_logprob
          FROM t JOIN vocab USING (w) CROSS JOIN tot
+         GROUP BY doc_id""",
+    "t13_bigram_logprob" ->
+      raw"""WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         uc AS (
+           SELECT w, COUNT(*) AS wc
+           FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uc),
+         bi AS (
+           SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+             ELSE [] END) AS bg
+           FROM t),
+         bc AS (SELECT bg, COUNT(*) AS bc FROM bi GROUP BY bg)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(-ln(CAST(b.bc + 1 AS DOUBLE) / CAST(u.wc + v.v AS DOUBLE))), 6)
+             AS avg_neg_logprob
+         FROM bi JOIN bc b USING (bg)
+         JOIN uc u ON u.w = split_part(bi.bg, ' ', 1)
+         CROSS JOIN v
          GROUP BY doc_id""",
     "t12_doc_chunks" ->
       raw"""WITH t AS (

@@ -140,6 +140,23 @@ class HierarchySpec extends SparkSpec {
     assert(perGeo == geoRoot)
   }
 
+  test("ragged rollup: level-2 channel leaf and regions partition the root") {
+    val out = SparkEntry.queries("h11_ragged_rollup")(spark, sf).collect()
+    def n(r: org.apache.spark.sql.Row) = r.getAs[Long]("count_of_fact_records")
+    val facts = HierarchyAgg.salesFacts(spark, sf)
+    val nOnline = facts.filter(pmod(col("customer_id"), lit(20L)) === 0).count()
+    val total = facts.count()
+    val byName = out.map(r =>
+      r.getAs[String]("product_node_name").replaceAll("^-+", "") -> r).toMap
+    assert(n(byName("Online Direct")) == nOnline, "level-2 leaf misrouted")
+    assert(n(byName("All Regions")) == total)
+    // root's direct children (5 regions + the online channel) partition it
+    val level2 = out.filter(
+      _.getAs[String]("product_level_name").matches("-{7}(Region|Channel)"))
+    assert(level2.length == 6)
+    assert(level2.map(n).sum == total)
+  }
+
   test("entry: flagship query returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -184,6 +184,36 @@ class TextMultimodalSpec extends SparkSpec {
     assert(math.abs(scores(1L) - 1.262864) < 1e-6)
   }
 
+  test("bigram logprob: hand-computed add-one-smoothed scores") {
+    val docs = Seq(
+      (0L, "a b a", "en", "s", 5L), // bigrams: "a b", "b a"
+      (1L, "b a", "en", "s", 3L),   // bigram:  "b a"
+      (2L, "x", "en", "s", 1L)      // no bigrams → no output row
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // corpus: c(a)=3 c(b)=2 c(x)=1, V=3; c("a b")=1, c("b a")=2
+    val t = docs.withColumn("toks", TextFunctions.tokens(lower(col("text"))))
+    val uc = t.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val v = uc.agg(count(lit(1)).as("v"))
+    val bi = t.select(col("doc_id"),
+      explode(TextFunctions.wordNgrams(col("toks"), 2)).as("bg"))
+    val bc = bi.groupBy("bg").agg(count(lit(1)).as("bc"))
+    val out = bi.join(bc, "bg")
+      .withColumn("w", split(col("bg"), " ").getItem(0))
+      .join(uc, "w").crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log((col("bc") + 1).cast("double") /
+          (col("wc") + col("v")).cast("double"))), 6).as("s"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("s"))).toMap
+    val ab = -math.log(2.0 / 6.0) // p(b|a) = (1+1)/(3+3)
+    val ba = -math.log(3.0 / 5.0) // p(a|b) = (2+1)/(2+3)
+    assert(out.keySet == Set(0L, 1L))
+    assert(out(0L)._1 == 2L && math.abs(out(0L)._2 - (ab + ba) / 2) < 1e-6)
+    assert(out(1L)._1 == 1L && math.abs(out(1L)._2 - ba) < 1e-6)
+  }
+
   test("WavPcmCodec decodes a real synthesized RIFF/WAVE payload") {
     // 8000 Hz mono 16-bit PCM, 800 samples (100 ms) of a square wave
     // alternating ±8192 → mean |amplitude| = 8192/32768 = 0.25
