@@ -33,6 +33,24 @@ object Graft {
       factKey: String = "leaf_key", approxDistinct: Boolean = false): DataFrame =
     HierarchyAgg.hierarchicalRollup(facts, dim.aggregationDim, factKey, approxDistinct)
 
+  /** Incremental-view-maintenance form of the rollup: materialize once
+    * at (node, customer) grain, then fold delta batches in — only the
+    * delta pays a fact shuffle. Retractions = the ORIGINAL rows with
+    * `weight = functions.lit(-1L)` (the weight signs sales, quantity
+    * and the row count). Serve with [[finalizeRollup]].
+    */
+  def rollupMv(facts: DataFrame, dim: HierarchyDimension,
+      factKey: String = "leaf_key"): DataFrame =
+    HierarchyAgg.rollupMv(facts, dim.aggregationDim, factKey)
+
+  def mergeRollupMv(mv: DataFrame, deltaFacts: DataFrame,
+      dim: HierarchyDimension, factKey: String = "leaf_key",
+      weight: Column = org.apache.spark.sql.functions.lit(1L)): DataFrame =
+    HierarchyAgg.mergeRollupMv(mv, deltaFacts, dim.aggregationDim, factKey, weight)
+
+  def finalizeRollup(mv: DataFrame, dim: HierarchyDimension): DataFrame =
+    HierarchyAgg.finalizeRollup(mv, dim.aggregationDim)
+
   /** Exact dedup groups on normalized text. */
   def exactDedup(docs: DataFrame): DataFrame = Dedup.exactDedup(docs)
 
@@ -102,9 +120,23 @@ object Graft {
       nPlanes: Int = 4, nTables: Int = 8): DataFrame =
     Dedup.embeddingNearDup(embeddings, threshold, nPlanes, nTables)
 
+  /** Leakage-aware train/validation/test split + shard assignment —
+    * keyed on the CONTENT fingerprint so byte-identical docs can never
+    * straddle train and eval; deterministic integer arithmetic.
+    */
+  def splitShards(docs: DataFrame, nShards: Int = 8): DataFrame =
+    Packing.splitShards(docs, nShards)
+
   /** Exact cosine top-k neighbors for the query set `vec_id < nQueries`. */
   def cosineTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame =
     Similarity.bruteForceTopK(embeddings, k, nQueries)
+
+  /** Exact cosine RANGE search: all corpus vectors with `cos >= tau`
+    * per query (radius counterpart of [[cosineTopK]]).
+    */
+  def cosineRangeSearch(embeddings: DataFrame, tau: Double = 0.3,
+      nQueries: Int = 10): DataFrame =
+    Similarity.rangeSearch(embeddings, tau, nQueries)
 
   /** IVF approximate top-k (seeded k-means codebook). */
   def cosineTopKApprox(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
