@@ -444,6 +444,24 @@ object OlapQueries {
           round(sum("value"), 2).as("total_value"))
     }),
 
+    // SCD TYPE-2 dimension build: the event log becomes a
+    // slowly-changing-dimension table — one validity interval per
+    // state change, valid_to = the next change's timestamp (NULL =
+    // current row). One window shuffle on user_id; the standard
+    // warehouse dimension-maintenance derivation (pairs with q21's
+    // as-of join for point-in-time lookups).
+    "q34_scd2_intervals" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("valid_to_ts", lead("ts", 1).over(w))
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("state"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("valid_to_ts").isNull.as("is_current"))
+    }),
+
     // Nested aggregation: per-group collected set, emitted as a
     // canonical joined string (cross-engine-stable representation).
     "q26_nested_agg" -> ((s, d) => {
@@ -716,6 +734,13 @@ object OlapQueries {
       """SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month, event_type,
          COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value,
          COUNT(DISTINCT user_id) AS distinct_users
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+    "q34_scd2_intervals" ->
+      """SELECT user_id, event_id, event_type AS state,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(CAST(ts AS TIMESTAMP)) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"""
   )
 }

@@ -56,6 +56,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("BmpCodec round-trips synthBmp for random dimensions and pixel sources") {
+    import graft.operators.Multimodal
+    val codec = new Multimodal.BmpCodec
+    val gen = for {
+      w <- Gen.choose(1, 13)
+      h <- Gen.choose(1, 9)
+      src <- Gen.listOf(Gen.choose(-128, 127).map(_.toByte))
+    } yield (w, h, src.toArray)
+    samples(gen, 100).foreach { case (w, h, src) =>
+      val bmp = Multimodal.synthBmp(w, h, src)
+      val f = codec.decode(Multimodal.MediaRow(1L, bmp, "image/bmp", w, h))
+      assert(f(0) == bmp.length.toDouble)
+      assert(f(1) == (w.toLong * h).toDouble)
+      assert(f(3) == w.toDouble && f(4) == h.toDouble,
+        s"dims lost in round-trip: $w x $h -> ${f(3)} x ${f(4)}")
+      // mean over the cycled channel bytes, padding excluded
+      val n = w * 3 * h
+      val ref = (0 until n).map(j =>
+        if (src.isEmpty) (j * 31) & 0xff else src(j % src.length) & 0xff)
+        .sum.toDouble / n
+      assert(math.abs(f(2) - math.round(ref * 1e6) / 1e6) < 1e-9,
+        s"mean mismatch at $w x $h, |src|=${src.length}")
+    }
+  }
+
   test("topkByScore equals sort-take reference for random groups and k") {
     val rowGen = for {
       grp <- Gen.choose(0, 4)
