@@ -208,6 +208,49 @@ object Dedup {
           size(array_union(col("a.shingles"), col("b.shingles"))), 6).as("jaccard"))
   }
 
+  /** Incremental NEAR-dup: classify a NEW batch against the ingested
+    * corpus without ever re-pairing the corpus with itself. The corpus
+    * side is shingled and blocked on the (lang, length-band) key — at
+    * 100 TB that shingled/banded table IS the stored index, re-read
+    * per batch; only batch×corpus candidates inside a block are
+    * verified by exact bigram Jaccard (d4's scale-safe shape, with the
+    * batch side carrying the band±1 probes). Each batch doc emits its
+    * best corpus match (highest Jaccard, min corpus id tie-break on
+    * the 6-dp rounded value) or `new`.
+    */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
+      minJaccard: Double = 0.5, maxLenDiff: Int = 3): DataFrame = {
+    val bandWidth = maxLenDiff + 1
+    def prep(df: DataFrame) = df
+      .withColumn("shingles",
+        array_distinct(wordNgrams(tokens(lower(col("text"))), 2)))
+      .withColumn("band", floor(col("n_chars") / bandWidth))
+      .select("doc_id", "lang", "n_chars", "band", "shingles")
+    val c = prep(corpus)
+    val probes = prep(batch).withColumn("jband",
+      explode(array(col("band") - 1, col("band"), col("band") + 1)))
+    val hits = probes.as("a").join(c.as("b"),
+        col("a.lang") === col("b.lang") &&
+        col("a.jband") === col("b.band") &&
+        abs(col("a.n_chars") - col("b.n_chars")) <= maxLenDiff)
+      .select(col("a.doc_id").as("doc_id"),
+        col("b.doc_id").as("corpus_id"),
+        round(
+          size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
+          size(array_union(col("a.shingles"), col("b.shingles"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .groupBy("doc_id")
+      .agg(max_by(struct(col("corpus_id"), col("jaccard")),
+        struct(col("jaccard"), -col("corpus_id"))).as("m"))
+      .select(col("doc_id"), col("m.corpus_id").as("match_id"),
+        col("m.jaccard").as("match_jaccard"))
+    batch.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("match_id").isNull, "new")
+          .otherwise("near_dup_of_corpus").as("status"),
+        col("match_id"), col("match_jaccard"))
+  }
+
   /** Connected components over candidate-pair edges via alternating
     * LARGE-STAR / SMALL-STAR rounds (Kiveris et al., "Connected
     * Components in MapReduce and Beyond") — each round rewires every

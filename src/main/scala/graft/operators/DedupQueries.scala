@@ -51,7 +51,19 @@ object DedupQueries {
     // score; min doc_id breaks ties) — the "which copy survives dedup"
     // policy stage. All joins are component/doc-keyed equi-joins.
     "d10_canonical_docs" -> ((s, d) =>
-      canonicalDocs(Tables.documents(s, d), minJaccard = 0.05))
+      canonicalDocs(Tables.documents(s, d), minJaccard = 0.05)),
+    // incremental NEAR-dup: d7's ingest split, near-dup semantics —
+    // batch docs classified against the corpus's blocked shingle index
+    // (batch×corpus candidates only, never corpus×corpus). Threshold
+    // 0.05 like d6: the synthetic corpus has no true near-dups, so a
+    // low bar makes real matches flow through the verify + arg-max.
+    "d11_incremental_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalNearDup(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        minJaccard = 0.05)
+    })
   )
 
   /** Provenance overlap matrix — see the d9 entry. */
@@ -232,6 +244,35 @@ object DedupQueries {
            UNION
            SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s)
          SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id""",
+    // batch-vs-corpus best near-match; |Δlen| ≤ 3 is the band±1
+    // blocking's exact semantic (d4's equivalence)
+    "d11_incremental_neardup" ->
+      raw"""WITH t AS (
+           SELECT doc_id, lang, n_chars,
+             list_distinct(list_transform(
+               range(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')), 1)),
+               i -> regexp_split_to_array(trim(lower(text)), '\s+')[i] || ' ' ||
+                    regexp_split_to_array(trim(lower(text)), '\s+')[i + 1])) AS shingles
+           FROM documents),
+         c AS (SELECT * FROM t WHERE doc_id % 5 <> 0),
+         bt AS (SELECT * FROM t WHERE doc_id % 5 = 0),
+         hits AS (
+           SELECT bt.doc_id, c.doc_id AS corpus_id,
+             ROUND(CAST(len(list_intersect(bt.shingles, c.shingles)) AS DOUBLE) /
+                   len(list_distinct(list_concat(bt.shingles, c.shingles))), 6) AS jaccard
+           FROM bt JOIN c ON bt.lang = c.lang AND abs(bt.n_chars - c.n_chars) <= 3),
+         best AS (
+           SELECT doc_id, corpus_id AS match_id, jaccard AS match_jaccard,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY jaccard DESC, corpus_id ASC) AS rn
+           FROM hits WHERE jaccard >= 0.05)
+         SELECT b2.doc_id,
+           CASE WHEN best.match_id IS NULL THEN 'new'
+                ELSE 'near_dup_of_corpus' END AS status,
+           best.match_id, best.match_jaccard
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) b2
+         LEFT JOIN (SELECT doc_id, match_id, match_jaccard FROM best WHERE rn = 1) best
+           USING (doc_id)""",
     // mirrors Dedup.embeddingNearDup's LCG-hyperplane LSH blocking
     // (8 tables x 4 planes): the plane components are integer-LCG +
     // power-of-two division — exact in both engines, so the candidate

@@ -116,6 +116,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept.length == expected)
   }
 
+  test("incremental near-dup classifies a planted near-duplicate and a novel doc") {
+    val c = Seq(
+      (1L, "a b c d e f", "en", "s0", 11L),
+      (2L, "totally different words here", "en", "s0", 28L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b = Seq(
+      (10L, "a b c d e f g", "en", "s1", 13L), // shingle Jaccard 5/6 vs doc 1
+      (11L, "nothing shared at all", "en", "s1", 21L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.incrementalNearDup(c, b).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("status"), Option(r.getAs[java.lang.Long]("match_id")))).toMap
+    assert(out(10L) == ("near_dup_of_corpus", Some(1L)))
+    assert(out(11L)._1 == "new" && out(11L)._2.isEmpty)
+  }
+
   test("split shards: content-identical docs land in the same split and shard") {
     val twins = Seq(
       (0L, "same exact text", "en", "s0", 15L),
