@@ -83,6 +83,14 @@ object Graft {
   def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame =
     Dedup.incrementalDedup(corpus, batch)
 
+  /** Incremental NEAR-dup: classify a new batch against the corpus's
+    * blocked shingle index (batch×corpus candidates only); best corpus
+    * match per batch doc by exact Jaccard, or `new`.
+    */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
+      minJaccard: Double = 0.5): DataFrame =
+    Dedup.incrementalNearDup(corpus, batch, minJaccard)
+
   /** Decontamination: flag corpus docs sharing any word n-gram with a
     * held-out benchmark/eval set (keep eval text out of training data).
     */

@@ -85,6 +85,13 @@ class PlanSpec extends SparkSpec {
       s"join keys lack the length band: $joins")
   }
 
+  test("d11: batch-vs-corpus join keys on (lang, length band), not lang alone") {
+    val joins = joinLines("d11_incremental_neardup")
+    assert(joins.nonEmpty, "expected a batch-corpus join in the d11 plan")
+    assert(joins.exists(l => l.contains("band") && l.contains("lang")),
+      s"join keys lack the length band: $joins")
+  }
+
   test("d5: blocked self-join keys include the LSH (table, bucket)") {
     val joins = joinLines("d5_embedding_neardup")
     assert(joins.nonEmpty, "expected a self-join in the d5 plan")
