@@ -268,6 +268,27 @@ object OlapQueries {
           col("o_totalprice").as("asof_totalprice"))
     }),
 
+    // POINT-IN-TIME lookup — the query side of q34's SCD2 story: each
+    // purchase event reads the user's state as of purchase time (most
+    // recent prior state-change event), on the NATIVE as-of operator.
+    // As-of against the change log ≡ interval join against the SCD2
+    // dim; the as-of form needs no interval materialization.
+    "q35_point_in_time" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      val states = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_id").as("state_event_id"),
+          col("user_id").as("s_user_id"),
+          col("ts").as("state_ts"), col("event_type").as("state"))
+      graft.plans.AsOfJoin.asofJoinNative(purchases, states,
+          "user_id", "s_user_id", "purchase_ts", "state_ts", "state_event_id")
+        .select(col("purchase_id"), col("user_id"),
+          col("state").as("asof_state"),
+          col("state_event_id").as("asof_state_event_id"))
+    }),
+
     // Approximate sketches (HLL distinct + quantile sketch) next to
     // their exact twins — the 100 TB path for q6/q16-style questions.
     // Sketch values are engine-specific → rows-only driver check;
@@ -621,6 +642,22 @@ object OlapQueries {
          SELECT event_id, user_id, o_orderkey AS asof_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS asof_orderdate,
            o_totalprice AS asof_totalprice
+         FROM j WHERE rn = 1""",
+    "q35_point_in_time" ->
+      """WITH p AS (
+           SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase'),
+         s AS (
+           SELECT event_id AS state_event_id, user_id,
+             CAST(ts AS TIMESTAMP) AS ts, event_type AS state
+           FROM events WHERE event_type <> 'purchase'),
+         j AS (
+           SELECT p.purchase_id, p.user_id, s.state, s.state_event_id,
+             row_number() OVER (PARTITION BY p.purchase_id
+               ORDER BY s.ts DESC NULLS LAST, s.state_event_id DESC NULLS LAST) AS rn
+           FROM p LEFT JOIN s ON p.user_id = s.user_id AND s.ts <= p.ts)
+         SELECT purchase_id, user_id, state AS asof_state,
+           state_event_id AS asof_state_event_id
          FROM j WHERE rn = 1""",
     "q23_full_outer" ->
       """WITH c AS (SELECT c_nationkey, COUNT(*) AS n_customers FROM customer GROUP BY c_nationkey),
