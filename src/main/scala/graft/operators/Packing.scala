@@ -124,6 +124,27 @@ object Packing {
       size(tokens(col("text"))).cast("long").as("n_tokens"))
   }
 
+  /** Deterministic EPOCH SHUFFLE: a reproducible training order — each
+    * doc's position is its rank by an LCG permutation hash within its
+    * shard. Same inputs → same order under reruns/retries (a rand()
+    * sort changes under speculative re-execution and is unreproducible
+    * across epochs); varying the constants reshuffles per epoch. One
+    * window per shard — shards are the parallelism unit, never a
+    * global sort.
+    */
+  def epochShuffle(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    val h = pmod(
+      pmod(col("doc_id"), lit(2147483648L)) * 22695477L + 1L,
+      lit(2147483648L))
+    val perShard = Window.partitionBy("shard_id")
+      .orderBy(col("order_key").asc, col("doc_id").asc)
+    docs
+      .withColumn("shard_id", (h % nShards).cast("long"))
+      .withColumn("order_key", h)
+      .withColumn("pos", row_number().over(perShard).cast("long"))
+      .select("doc_id", "shard_id", "order_key", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_sequence_packing" -> ((s, d) => sequencePack(Tables.documents(s, d))),
     "p2_stratified_sample" -> ((s, d) =>
@@ -132,7 +153,8 @@ object Packing {
       stratifiedSample(Tables.documents(s, d))
         .select("doc_id", "lang", "source", "n_chars")),
     "p3_mixture_plan" -> ((s, d) => mixturePlan(Tables.documents(s, d))),
-    "p4_split_shards" -> ((s, d) => splitShards(Tables.documents(s, d)))
+    "p4_split_shards" -> ((s, d) => splitShards(Tables.documents(s, d))),
+    "p5_epoch_shuffle" -> ((s, d) => epochShuffle(Tables.documents(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -192,6 +214,16 @@ object Packing {
                 ELSE 'test' END AS split,
            CAST(((fp * 1664525 + 1013904223) % 2147483648) % 8 AS BIGINT) AS shard_id,
            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+         FROM h""",
+    "p5_epoch_shuffle" ->
+      """WITH h AS (
+           SELECT doc_id,
+             ((doc_id % 2147483648) * 22695477 + 1) % 2147483648 AS hk
+           FROM documents)
+         SELECT doc_id, CAST(hk % 8 AS BIGINT) AS shard_id,
+           CAST(hk AS BIGINT) AS order_key,
+           CAST(row_number() OVER (PARTITION BY hk % 8
+             ORDER BY hk ASC, doc_id ASC) AS BIGINT) AS pos
          FROM h"""
   )
 }

@@ -36,6 +36,30 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("h10: both closures broadcast; fact side pays at most 2 shuffle exchanges") {
+    val p = plan("h10_multi_hier_agg")
+    // geo + brand closure joins and the orders/customer dim joins are
+    // all broadcast — no SortMergeJoin anywhere on the fact path
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the fact STREAM moves at most twice — the (geo leaf, part leaf)
+    // pre-agg and the final ancestor-pair aggregate. Count shuffle
+    // exchanges on the fact spine only: traverse the (pre-AQE)
+    // physical plan, pruning descent at broadcast build sides (the
+    // dim-derivation subtrees live there and their dim-sized shuffles
+    // are not fact-path cost).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    def factShuffles(n: SparkPlan): Int = n match {
+      case _: BroadcastExchangeExec => 0
+      case s: ShuffleExchangeExec => 1 + s.children.map(factShuffles).sum
+      case other => other.children.map(factShuffles).sum
+    }
+    val df = SparkEntry.queries("h10_multi_hier_agg")(spark, sf)
+    val count = factShuffles(df.queryExecution.sparkPlan)
+    assert(count <= 2, s"$count fact-side shuffles:\n$p")
+  }
+
   test("q5: top-k plans as TakeOrderedAndProject (no global sort shuffle)") {
     val p = plan("q5_sort_limit")
     assert(p.contains("TakeOrderedAndProject"), p)
