@@ -3,23 +3,31 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 
 /** Parent-child hierarchy dimension engine.
   *
   * Re-expresses the reference's `HierarchyDimension`
   * (reference: classes/hierarchy_dimension_table.py:47-228) Spark-first.
   * The reference materialises three DuckDB tables via SQLAlchemy
-  * recursive CTEs; Spark has no recursive CTE, so we derive the same
-  * shapes with an iterative breadth-first frontier join — bounded by
-  * hierarchy depth (`maxDepth`), each step a distributed hash join on
-  * the (small) dimension. The ancestor–descendant closure then needs NO
-  * recursion at all: each node's root-path is already an array column,
-  * so the closure is a single `explode` — a narrow, shuffle-free pass.
+  * recursive CTEs; Spark has no recursive CTE. Hierarchy dimensions are
+  * O(nodes) — tiny next to facts even at 100 TB — so the leveling pass
+  * (flags, level numbers, root paths) runs as ONE narrow single-task
+  * `mapPartitions` over the node table: a single Spark job instead of a
+  * per-level join loop whose every action is a full job launch. (Same
+  * rationale as the single-task union-find in
+  * [[Dedup.connectedComponents]]: the payload stays on an executor; the
+  * `maxNodes` guard fails fast if a fact-sized table sneaks in.) The
+  * ancestor–descendant closure then needs NO recursion at all: each
+  * node's root-path is an array column, so the closure is a single
+  * `explode` — a narrow, shuffle-free pass.
   *
-  * Scale: hierarchy dimensions are O(nodes), tiny next to facts. All
-  * derivations happen on the dim side; fact-side queries broadcast the
-  * result (see [[HierarchyAgg]]). The only global operation is the DFS
-  * `node_sort_order` row_number, again dim-sized.
+  * Scale: all derivations happen on the dim side; fact-side queries
+  * broadcast the result (see [[HierarchyAgg]]). The only global
+  * operation is the DFS `node_sort_order` row_number, again dim-sized.
   *
   * @param nodes       parent-child node table; one row per node
   * @param nodeIdCol   primary-key column (reference: node_id)
@@ -29,17 +37,18 @@ import org.apache.spark.sql.functions._
   * @param levelColumns how many `level_{i}_*` column families to emit
   *                    (10, matching the reference's hardcoded width —
   *                    levels beyond the hierarchy depth are null)
-  * @param maxDepth    safety bound on the BFS loop (cycles / bad data)
+  * @param maxDepth    safety bound on hierarchy depth (cycles / bad
+  *                    data): nodes deeper than the bound — or on a
+  *                    parent cycle, or under a missing parent — are
+  *                    dropped from the leveled dim
   * @param maxNodes    guard on the dimension size: every derivation
-  *                    here is deliberately dim-sized (single-partition
-  *                    DFS window, broadcast closure), which is correct
-  *                    for hierarchies but would silently serialize a
-  *                    fact-sized input through one task — fail fast
-  *                    instead
+  *                    here is deliberately dim-sized (single-task
+  *                    leveling, single-partition DFS window, broadcast
+  *                    closure), which is correct for hierarchies but
+  *                    would silently serialize a fact-sized input
+  *                    through one task — fail fast instead
   * @param knownDepth  exact hierarchy depth if the caller knows it
-  *                    (> 0): the BFS loop then runs a fixed number of
-  *                    joins with NO per-level `isEmpty` action — on a
-  *                    cluster each avoided action is a full job launch
+  *                    (> 0): tightens the depth bound below `maxDepth`
   */
 class HierarchyDimension(
     nodes: DataFrame,
@@ -51,78 +60,170 @@ class HierarchyDimension(
     knownDepth: Int = -1,
     maxNodes: Long = 10_000_000L) {
 
+  private val depthBound: Int = if (knownDepth > 0) knownDepth else maxDepth
+
+  /** Nodes + flags + leveling + root-path arrays, in ONE single-task
+    * narrow pass (the node table is collapsed to one partition — the
+    * dim-sized contract). Per node:
+    *   - `is_root`  — parent pointer null
+    *     (reference: hierarchy_dimension_table.py:96-99)
+    *   - `is_leaf`  — never appears as another node's parent
+    *     (reference: hierarchy_dimension_table.py:101-107)
+    *   - `level_number`, `path` — 1-based depth and the root→node
+    *     array of `levelFields` structs (reference's recursive CTE,
+    *     hierarchy_dimension_table.py:109-135); null for nodes dropped
+    *     by the depth bound / cycles / missing parents
+    */
+  private lazy val enriched: DataFrame = {
+    val spark = nodes.sparkSession
+    val inSchema = nodes.schema
+    val nCols = inSchema.length
+    val colTypes = inSchema.fields.map(_.dataType)
+    val idIdx = inSchema.fieldIndex(nodeIdCol)
+    val parentIdx = inSchema.fieldIndex(parentIdCol)
+    val fieldIdxs = levelFields.map(inSchema.fieldIndex).toArray
+    val pathStructType = StructType(
+      fieldIdxs.map(i => StructField(inSchema(i).name, colTypes(i), inSchema(i).nullable)))
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("is_root", BooleanType, nullable = false),
+      StructField("is_leaf", BooleanType, nullable = false),
+      StructField("level_number", IntegerType, nullable = true),
+      StructField("path", ArrayType(pathStructType, containsNull = false), nullable = true)))
+    val (bound, maxN) = (depthBound, maxNodes)
+    val rdd = nodes.coalesce(1).queryExecution.toRdd.mapPartitions { it =>
+      // buffer + copy: UnsafeRow iterators reuse their backing buffer
+      val rows = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+      it.foreach { r =>
+        rows += r.copy()
+        if (rows.length > maxN) throw new IllegalArgumentException(
+          s"hierarchy node table exceeds maxNodes=$maxN; the dimension " +
+            "derivation is designed for dimension-sized inputs — raise " +
+            "maxNodes explicitly if this is intentional")
+      }
+      val n = rows.length
+      val idType = colTypes(idIdx)
+      val parentType = colTypes(parentIdx)
+      val byId = new java.util.HashMap[Any, Integer](n * 2)
+      val parentIds = new java.util.HashSet[Any](n * 2)
+      val parentOf = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val row = rows(i)
+        val id = if (row.isNullAt(idIdx)) null else row.get(idIdx, idType)
+        if (id != null) byId.put(id, i)
+        val p = if (row.isNullAt(parentIdx)) null else row.get(parentIdx, parentType)
+        parentOf(i) = p
+        if (p != null) parentIds.add(p)
+        i += 1
+      }
+      // memoized leveling with cycle detection: 0 = unvisited,
+      // IN_PROGRESS = on the current parent chain, DROPPED = orphan
+      // subtree / cycle, else the 1-based level
+      val IN_PROGRESS = Int.MinValue
+      val DROPPED = -1
+      val level = new Array[Int](n)
+      // walk up pushing unresolved nodes onto `chain` until an anchor
+      // is found: a node with a known level, a root (level 1), a cycle
+      // (IN_PROGRESS re-visit), or a missing parent. The anchor itself
+      // is never on the chain, so chain(j)'s level is anchor + its
+      // distance from the anchor.
+      def resolve(start: Int): Unit = {
+        var cur = start
+        val chain = new scala.collection.mutable.ArrayBuffer[Int]()
+        var anchorLevel = DROPPED
+        var walking = true
+        while (walking) {
+          val l = level(cur)
+          if (l != 0 && l != IN_PROGRESS) { anchorLevel = l; walking = false }
+          else if (l == IN_PROGRESS) { anchorLevel = DROPPED; walking = false } // cycle
+          else if (parentOf(cur) == null) { level(cur) = 1; anchorLevel = 1; walking = false }
+          else {
+            level(cur) = IN_PROGRESS
+            chain += cur
+            val pi = byId.get(parentOf(cur))
+            if (pi == null) { anchorLevel = DROPPED; walking = false } // missing parent
+            else cur = pi.intValue()
+          }
+        }
+        var j = chain.length - 1
+        while (j >= 0) {
+          level(chain(j)) =
+            if (anchorLevel == DROPPED) DROPPED
+            else anchorLevel + (chain.length - j)
+          j -= 1
+        }
+      }
+      i = 0
+      while (i < n) { if (level(i) == 0) resolve(i); i += 1 }
+      def pathOf(idx: Int): GenericArrayData = {
+        val depth = level(idx)
+        val structs = new Array[Any](depth)
+        var cur = idx
+        var d = depth - 1
+        while (d >= 0) {
+          val row = rows(cur)
+          val vals = new Array[Any](fieldIdxs.length)
+          var f = 0
+          while (f < fieldIdxs.length) {
+            val ci = fieldIdxs(f)
+            vals(f) = if (row.isNullAt(ci)) null else row.get(ci, colTypes(ci))
+            f += 1
+          }
+          structs(d) = new GenericInternalRow(vals)
+          if (d > 0) cur = byId.get(parentOf(cur)).intValue()
+          d -= 1
+        }
+        new GenericArrayData(structs)
+      }
+      rows.iterator.zipWithIndex.map { case (row, idx) =>
+        val out = new Array[Any](nCols + 4)
+        var c = 0
+        while (c < nCols) {
+          out(c) = if (row.isNullAt(c)) null else row.get(c, colTypes(c))
+          c += 1
+        }
+        val id = if (row.isNullAt(idIdx)) null else row.get(idIdx, idType)
+        out(nCols) = parentOf(idx) == null                        // is_root
+        out(nCols + 1) = id == null || !parentIds.contains(id)    // is_leaf
+        val kept = level(idx) > 0 && level(idx) <= bound
+        out(nCols + 2) = if (kept) level(idx) else null           // level_number
+        out(nCols + 3) = if (kept) pathOf(idx) else null          // path
+        new GenericInternalRow(out): InternalRow
+      }
+    }
+    org.apache.spark.sql.GraftColumnBridge
+      .dataFrameFromInternalRows(spark, outSchema, rdd)
+      .cache()
+  }
+
   /** Nodes + `is_root` / `is_leaf` flags
     * (reference: classes/hierarchy_dimension_table.py:96-107).
-    * `is_leaf` = node never appears as a parent — a left-anti–style
-    * check done as a broadcast join against the distinct parent set.
     */
-  lazy val flaggedNodes: DataFrame = {
-    // hierarchy dims are small by definition (even with 100 TB facts);
-    // collapsing to one partition makes the whole derivation — BFS
-    // joins, window, closure explode — exchange-free narrow stages
-    val n1 = nodes.coalesce(1)
-    val parents = n1
-      .filter(col(parentIdCol).isNotNull)
-      .select(col(parentIdCol).as("__pid"))
-      .distinct()
-    n1
-      .join(broadcast(parents), col(nodeIdCol) === col("__pid"), "left")
-      .withColumn("is_root", col(parentIdCol).isNull)
-      .withColumn("is_leaf", col("__pid").isNull)
-      .drop("__pid")
-  }
+  lazy val flaggedNodes: DataFrame = enriched.drop("level_number", "path")
 
   private def pathStruct: Column = struct(levelFields.map(col): _*)
 
   /** Reporting dim + the root-path array column `path` (internal).
     * Cached: the closure derivation reads it twice (descendant explode
     * + ancestor attribute join).
+    *
+    * DFS ordering: row_number over the lexicographic root-path key,
+    * stringifying each path struct as its JSON (reference:
+    * hierarchy_dimension_table.py:136-144 orders by the stringified
+    * node_json path — the JSON form also fixes the sibling tie-break:
+    * the closing quote after a short node_id sorts before any longer
+    * id sharing the prefix). Dim-sized single-partition window.
+    * ignoreNullFields=false: DuckDB's to_json emits "field":null, Spark
+    * by default omits the field — a null levelField would change both
+    * the sort key and node_json vs the oracle/reference otherwise.
     */
   lazy val reportingDimWithPath: DataFrame = {
-    val flagged = flaggedNodes.cache()
-    // materializes the cache AND enforces the dim-sized contract
-    // before the single-partition window below can silently become
-    // the bottleneck on a mistakenly fact-sized node table
-    val n = flagged.count()
-    require(n <= maxNodes,
-      s"hierarchy node table has $n rows (> maxNodes=$maxNodes); " +
-        "the reporting-dim derivation is designed for dimension-sized " +
-        "inputs — raise maxNodes explicitly if this is intentional")
-    var frontier = flagged
-      .filter(col("is_root"))
-      .withColumn("level_number", lit(1))
-      .withColumn("path", array(pathStruct))
-    var acc = frontier
-    var depth = 1
-    var done = false
-    while (!done && depth < (if (knownDepth > 0) knownDepth else maxDepth)) {
-      val parents = frontier.select(
-        col(nodeIdCol).as("__parent_id"),
-        col("level_number").as("__parent_level"),
-        col("path").as("__parent_path"))
-      frontier = flagged
-        .join(parents, col(parentIdCol) === col("__parent_id"))
-        .withColumn("level_number", col("__parent_level") + 1)
-        .withColumn("path", array_append(col("__parent_path"), pathStruct))
-        .drop("__parent_id", "__parent_level", "__parent_path")
-      // with a known depth the loop is fixed-length — no isEmpty
-      // action (each one is a whole Spark job) per level
-      if (knownDepth <= 0 && frontier.isEmpty) done = true
-      else { acc = acc.unionByName(frontier); depth += 1 }
-    }
-    // DFS ordering: row_number over the lexicographic root-path key,
-    // stringifying each path struct as its JSON (reference:
-    // hierarchy_dimension_table.py:136-144 orders by the stringified
-    // node_json path — the JSON form also fixes the sibling tie-break:
-    // the closing quote after a short node_id sorts before any longer
-    // id sharing the prefix). Dim-sized single-partition window.
-    // ignoreNullFields=false: DuckDB's to_json emits "field":null, Spark
-    // by default omits the field — a null levelField would change both
-    // the sort key and node_json vs the oracle/reference otherwise.
     val pathKey = array_join(
       expr("transform(path, x -> to_json(x, map('ignoreNullFields','false')))"), "/")
-    acc.withColumn("node_sort_order",
-      row_number().over(Window.orderBy(pathKey)).cast("long"))
+    enriched
+      .filter(col("path").isNotNull)
+      .withColumn("node_sort_order",
+        row_number().over(Window.orderBy(pathKey)).cast("long"))
       .cache()
   }
 

@@ -165,10 +165,14 @@ class HierarchySpec extends SparkSpec {
     val big = spark.range(100).selectExpr("CAST(id AS STRING) AS node_id",
       "id AS node_natural_key", "'n' AS node_name", "'L' AS level_name",
       "CAST(NULL AS STRING) AS parent_node_id")
-    val e = intercept[IllegalArgumentException] {
+    // the guard fires inside the single derivation task, so Spark
+    // surfaces it wrapped — assert on the cause chain's message
+    val e = intercept[Exception] {
       new HierarchyDimension(big, maxNodes = 10L).reportingDim.count()
     }
-    assert(e.getMessage.contains("maxNodes"))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("maxNodes"))
   }
 
   test("rollup approxDistinct: same sums/counts, distinct within HLL error") {
