@@ -114,10 +114,148 @@ case class TopKByScore(
     copy(sortScore = newChildren(0), payload = newChildren(1), id = newChildren(2))
 }
 
+/** Bounded-heap top-k with a STRING tie-break and an arbitrary struct
+  * payload: per group, the k payload rows whose (`sortScore` desc,
+  * `tieId` asc) rank is highest, returned as a rank-ordered
+  * `array<struct>` of the payload. The string-keyed sibling of
+  * [[TopKByScore]] for rankings whose natural tie-break is a term or
+  * name rather than a numeric id (t11's per-doc TF-IDF terms): the
+  * window-function equivalent — `row_number().over(partitionBy(g)
+  * .orderBy(score.desc, term.asc)) <= k` — sorts EVERY row of every
+  * group through a shuffle; these partial buffers never exceed k rows.
+  */
+case class TopKRowsByScore(
+    sortScore: Expression, tieId: Expression, payload: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, org.apache.spark.unsafe.types.UTF8String, InternalRow)]]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  import org.apache.spark.unsafe.types.UTF8String
+
+  require(k > 0, "k must be positive")
+  private def payloadSchema: StructType = payload.dataType.asInstanceOf[StructType]
+
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, StringType, payload.dataType)
+  override def children: Seq[Expression] = Seq(sortScore, tieId, payload)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(payloadSchema)
+  override def prettyName: String = "topk_rows_by_score"
+
+  // dequeue() must remove the WORST tuple: smallest sort key, then
+  // largest tie string (so lexicographically-smaller ties survive)
+  private val evictOrdering: Ordering[(Double, UTF8String, InternalRow)] =
+    new Ordering[(Double, UTF8String, InternalRow)] {
+      override def compare(a: (Double, UTF8String, InternalRow),
+          b: (Double, UTF8String, InternalRow)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else a._2.compareTo(b._2)
+      }
+    }
+
+  private def better(cand: (Double, UTF8String, InternalRow),
+      worst: (Double, UTF8String, InternalRow)): Boolean =
+    cand._1 > worst._1 || (cand._1 == worst._1 && cand._2.compareTo(worst._2) < 0)
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, UTF8String, InternalRow)] =
+    mutable.PriorityQueue.empty(evictOrdering)
+
+  override def update(buf: mutable.PriorityQueue[(Double, UTF8String, InternalRow)],
+      input: InternalRow): mutable.PriorityQueue[(Double, UTF8String, InternalRow)] = {
+    val s = sortScore.eval(input)
+    val t = tieId.eval(input)
+    if (s != null && t != null) {
+      val score = s.asInstanceOf[Double]
+      val tie = t.asInstanceOf[UTF8String]
+      val full = buf.size >= k
+      if (!full || better((score, tie, null), buf.head)) {
+        // copy only survivors: eval results may reuse backing buffers
+        val row = payload.eval(input).asInstanceOf[InternalRow]
+        if (full) buf.dequeue()
+        buf.enqueue((score, tie.clone(), if (row == null) null else row.copy()))
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.PriorityQueue[(Double, UTF8String, InternalRow)],
+      other: mutable.PriorityQueue[(Double, UTF8String, InternalRow)]): mutable.PriorityQueue[(Double, UTF8String, InternalRow)] = {
+    other.foreach { cand =>
+      if (buf.size < k) buf.enqueue(cand)
+      else if (better(cand, buf.head)) { buf.dequeue(); buf.enqueue(cand) }
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Double, UTF8String, InternalRow)]): Any = {
+    val sorted = buf.toSeq.sortWith { (a, b) =>
+      a._1 > b._1 || (a._1 == b._1 && a._2.compareTo(b._2) < 0)
+    }
+    new GenericArrayData(sorted.map(_._3))
+  }
+
+  @transient private lazy val payloadProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(payloadSchema)
+
+  override def serialize(buf: mutable.PriorityQueue[(Double, UTF8String, InternalRow)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (s, t, row) =>
+      out.writeDouble(s)
+      val tb = t.getBytes
+      out.writeInt(tb.length); out.write(tb)
+      if (row == null) out.writeInt(-1)
+      else {
+        val rb = payloadProj(row).getBytes
+        out.writeInt(rb.length); out.write(rb)
+      }
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, UTF8String, InternalRow)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val s = in.readDouble()
+      val tb = new Array[Byte](in.readInt()); in.readFully(tb)
+      val rl = in.readInt()
+      val row = if (rl < 0) null else {
+        val rb = new Array[Byte](rl); in.readFully(rb)
+        val ur = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(payloadSchema.length)
+        ur.pointTo(rb, rl)
+        ur
+      }
+      buf.enqueue((s, UTF8String.fromBytes(tb), row))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKRowsByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKRowsByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKRowsByScore =
+    copy(sortScore = newChildren(0), tieId = newChildren(1), payload = newChildren(2))
+}
+
 object TopKAggregate {
   /** Column API: `topkByScore(cosine, neighborId, 5)` → array<struct>. */
   def topkByScore(score: Column, id: Column, k: Int): Column =
     topkByScore(score, score, id, k)
+
+  /** Rank payload rows by (`sortScore` desc, `tieId` asc); emit the k
+    * best payload structs in rank order. */
+  def topkRows(sortScore: Column, tieId: Column, payload: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      TopKRowsByScore(GraftColumnBridge.expression(sortScore),
+        GraftColumnBridge.expression(tieId),
+        GraftColumnBridge.expression(payload), k).toAggregateExpression())
 
   /** Rank by `sortScore`, emit `payload` as the struct's score field. */
   def topkByScore(sortScore: Column, payload: Column, id: Column, k: Int): Column =

@@ -12,6 +12,31 @@ import graft.functions.TextFunctions._
   */
 object DedupQueries {
 
+  /** Memoized exact-Jaccard components per (session, sfDir, threshold):
+    * d6 and d10 run the same component pipeline (shingle → block →
+    * verify → CC) in one registry pass, so the second consumer reads
+    * the cached frame instead of recomputing the whole loop — the same
+    * contract as [[HierarchyQueries]]'s dim cache. Weak-keyed on the
+    * session so cached plans die with it.
+    */
+  private val compCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, Double), DataFrame]]())
+
+  private def cachedClusters(s: SparkSession, sfDir: String,
+      minJaccard: Double): DataFrame = {
+    val perSession = compCache.synchronized {
+      var m = compCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(String, Double), DataFrame]
+        compCache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((sfDir, minJaccard),
+      Dedup.jaccardClusters(Tables.documents(s, sfDir), minJaccard = minJaccard).cache())
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
@@ -24,8 +49,7 @@ object DedupQueries {
     // exercises cross-engine component parity. The minhash-based
     // dupClusters stays the API/serving path (spec-tested on planted
     // duplicates).
-    "d6_dup_clusters" -> ((s, d) =>
-      Dedup.jaccardClusters(Tables.documents(s, d), minJaccard = 0.05)),
+    "d6_dup_clusters" -> ((s, d) => cachedClusters(s, d, minJaccard = 0.05)),
     // incremental ingest: every 5th doc plays the "new batch", the
     // rest the already-ingested corpus
     "d7_incremental_dedup" -> ((s, d) => {
@@ -51,7 +75,7 @@ object DedupQueries {
     // score; min doc_id breaks ties) — the "which copy survives dedup"
     // policy stage. All joins are component/doc-keyed equi-joins.
     "d10_canonical_docs" -> ((s, d) =>
-      canonicalDocs(Tables.documents(s, d), minJaccard = 0.05)),
+      canonicalDocs(Tables.documents(s, d), cachedClusters(s, d, minJaccard = 0.05))),
     // incremental NEAR-dup: d7's ingest split, near-dup semantics —
     // batch docs classified against the corpus's blocked shingle index
     // (batch×corpus candidates only, never corpus×corpus). Threshold
@@ -80,8 +104,14 @@ object DedupQueries {
   }
 
   /** Canonical-doc selection over near-dup components — see d10. */
-  def canonicalDocs(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val comp = Dedup.jaccardClusters(docs, minJaccard = minJaccard)
+  def canonicalDocs(docs: DataFrame, minJaccard: Double): DataFrame =
+    canonicalDocs(docs, Dedup.jaccardClusters(docs, minJaccard = minJaccard))
+
+  /** Variant over a precomputed component assignment (doc_id →
+    * component_id) — the registry path feeds d6's cached components in
+    * so the CC loop runs once per session, not once per consumer.
+    */
+  def canonicalDocs(docs: DataFrame, comp: DataFrame): DataFrame = {
     val quality = docs
       .withColumn("toks", tokens(lower(col("text"))))
       .withColumn("n_toks", size(col("toks")))

@@ -265,6 +265,19 @@ class HierarchyDimension(
     * no second recursion as in the reference. Ancestor attributes are
     * recovered with a broadcast self-join on the reporting dim.
     */
+  /** Lightweight closure: (ancestor, descendant) node-id pairs only,
+    * straight off the root-path arrays — skips the DFS window and the
+    * ancestor-attribute join that [[aggregationDim]] pays. The right
+    * input for closure DIFFS (h7): a hierarchy edit invalidates pairs,
+    * not attributes.
+    */
+  lazy val closurePairs: DataFrame =
+    enriched
+      .filter(col("path").isNotNull)
+      .select(
+        explode(expr(s"transform(path, x -> x.$nodeIdCol)")).as("ancestor_node_id"),
+        col(nodeIdCol).as("descendant_node_id"))
+
   lazy val aggregationDim: DataFrame = {
     val rd = reportingDim
     val descendants = reportingDimWithPath

@@ -165,7 +165,11 @@ object HierarchyQueries {
     // Asia under r0 Africa) and diff the two closures — the
     // added/removed ancestor–descendant pairs are exactly the rows a
     // 100 TB rollup cache must invalidate after a hierarchy edit. The
-    // whole computation is dim-sized; facts are never touched.
+    // whole computation is dim-sized; facts are never touched. Both
+    // sides use the lightweight pair closure (no DFS window, no
+    // attribute join) and the diff is ONE full-outer join — pairs are
+    // unique per closure, so the null side labels the change — instead
+    // of two exceptAll passes (four shuffles → two).
     "h7_hierarchy_diff" -> ((s, d) => {
       val moved = HierarchyAgg.regionNationNodes(s, d)
         .withColumn("parent_node_id",
@@ -173,13 +177,20 @@ object HierarchyQueries {
             .otherwise(col("parent_node_id")))
       // v1 closure comes from the session-cached base dimension (the
       // one h1–h4 share); only the edited version derives fresh
-      val c1 = dimension(s, d).aggregationDim
-        .select(col("ancestor_node_id"), col("descendant_node_id"))
-      val c2 = new HierarchyDimension(moved, knownDepth = 3).aggregationDim
-        .select(col("ancestor_node_id"), col("descendant_node_id"))
-      c1.exceptAll(c2).withColumn("change", lit("removed"))
-        .unionByName(c2.exceptAll(c1).withColumn("change", lit("added")))
-        .select("change", "ancestor_node_id", "descendant_node_id")
+      val c1 = dimension(s, d).closurePairs.as("a")
+      val c2 = new HierarchyDimension(moved, knownDepth = 3).closurePairs.as("b")
+      c1.join(c2,
+          col("a.ancestor_node_id") === col("b.ancestor_node_id") &&
+            col("a.descendant_node_id") === col("b.descendant_node_id"),
+          "full_outer")
+        .filter(col("a.ancestor_node_id").isNull || col("b.ancestor_node_id").isNull)
+        .select(
+          when(col("b.ancestor_node_id").isNull, lit("removed"))
+            .otherwise(lit("added")).as("change"),
+          coalesce(col("a.ancestor_node_id"), col("b.ancestor_node_id"))
+            .as("ancestor_node_id"),
+          coalesce(col("a.descendant_node_id"), col("b.descendant_node_id"))
+            .as("descendant_node_id"))
     })
   )
 

@@ -51,24 +51,32 @@ object TextQueries {
       case (c, (pat, repl)) => regexp_replace(c, lit(pat), lit(repl))
     }
 
-  /** Per-doc top-k TF-IDF terms — see the t11 entry. */
+  /** Per-doc top-k TF-IDF terms — see the t11 entry.
+    *
+    * Ranked with the bounded-heap
+    * [[graft.functions.TopKRowsByScore]] on (round(score, 9) desc,
+    * term asc) — the same stabilized rank key the old `row_number`
+    * window used, but partial buffers keep at most k rows map-side
+    * instead of shuffling and sorting every (doc, term) pair per doc.
+    */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TopKAggregate.topkRows
     val tf = docs
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(round(col("score"), 9).desc, col("term").asc)
     tf.join(dfreq, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         col("tf") * log(col("n_docs").cast("double") / col("df")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("doc_id"), col("term"), col("tf"), col("df"),
-        round(col("score"), 6).as("tfidf"), col("rnk"))
+      .groupBy("doc_id")
+      .agg(topkRows(round(col("score"), 9), col("term"),
+        struct(col("term"), col("tf"), col("df"), col("score")), k).as("tk"))
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("t.term").as("term"), col("t.tf").as("tf"),
+        col("t.df").as("df"), round(col("t.score"), 6).as("tfidf"),
+        (col("pos") + 1).cast("long").as("rnk"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

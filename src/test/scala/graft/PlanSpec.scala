@@ -98,6 +98,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     val joins = joinLines("t11_tfidf")
     assert(joins.exists(_.contains("term")), joins.mkString("\n"))
+    // ranking is the bounded-heap aggregate, not a per-doc window sort
+    assert(p.contains("topk_rows_by_score"), p.take(2000))
+    assert(!p.contains("Window"), "expected no window operator in t11's plan")
+  }
+
+  test("h7: closure diff is ONE join on the pair key — no exceptAll aggregates") {
+    val p = plan("h7_hierarchy_diff")
+    val joins = joinLines("h7_hierarchy_diff")
+    assert(joins.count(_.contains("FullOuter")) == 1, joins.mkString("\n"))
+    // the old form paid two exceptAll passes = four sort-merge legs;
+    // the single full-outer join is the plan's only shuffle join
+    assert(joins.count(_.contains("Join")) == 1, joins.mkString("\n"))
   }
 
   test("d4: blocked self-join keys on (lang, length band), not lang alone") {
