@@ -292,3 +292,32 @@ class HierarchyDimension(
         col("descendant_level_number") - col("ancestor_level_number"))
   }
 }
+
+/** Persist-and-reload for derived dims. The reference MATERIALIZES its
+  * reporting/aggregation dims as database tables
+  * (reference: classes/hierarchy_dimension_table.py:75-82) and every
+  * query reads the stored tables; the session cache in
+  * [[HierarchyQueries]] covers one JVM, this covers the cluster: derive
+  * once, [[HierarchyDimension.save]], and every later job
+  * [[HierarchyDimension.load]]s the parquet without paying the
+  * derivation. Plain parquet (not bucketed): dims are broadcast-joined
+  * to facts, so co-partitioning buys nothing — small files that every
+  * executor reads whole is exactly right.
+  */
+object HierarchyDimension {
+
+  /** One materialization per derived table, mirroring the reference's
+    * `<name>_reporting_dim` / `<name>_aggregation_dim` table pair. */
+  def save(dim: HierarchyDimension, dir: String): Unit = {
+    graft.sources.Sources.write(dim.reportingDim, s"$dir/reporting_dim")
+    graft.sources.Sources.write(dim.aggregationDim, s"$dir/aggregation_dim")
+  }
+
+  /** Reload both dims. Results are plan-identical inputs for
+    * [[HierarchyAgg.hierarchicalRollup]] (which needs only the
+    * aggregation dim): reload ≡ re-derivation, proven by spec. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    (graft.sources.Sources.read(spark, s"$dir/reporting_dim"),
+      graft.sources.Sources.read(spark, s"$dir/aggregation_dim"))
+}

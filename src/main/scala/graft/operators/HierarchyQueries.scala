@@ -135,32 +135,15 @@ object HierarchyQueries {
     // closure keeps ancestors at Brand level and up (leaf-grain output
     // belongs to h6); sums/counts only — a cross-hierarchy exact
     // distinct would need customer grain (h4's pre-agg) per pair.
-    "h10_multi_hier_agg" -> ((s, d) => {
-      val geo = dimension(s, d).aggregationDim.select(
-        col("ancestor_node_id").as("geo_node_id"),
-        col("ancestor_node_name").as("geo_node_name"),
-        col("ancestor_level_number").cast("long").as("geo_level"),
-        col("descendant_node_natural_key").as("geo_desc_key"))
-      val brand = partDimension(s, d).aggregationDim
-        .filter(col("ancestor_level_number") <= 2)
-        .select(col("ancestor_node_id").as("brand_node_id"),
-          col("ancestor_node_name").as("brand_node_name"),
-          col("ancestor_level_number").cast("long").as("brand_level"),
-          col("descendant_node_natural_key").as("part_desc_key"))
-      val pre = HierarchyAgg.salesFacts(s, d)
-        .groupBy(col("leaf_key"), col("l_partkey"))
-        .agg(sum("sales_amount").as("s"), sum("unit_quantity").as("q"),
-          count(lit(1)).as("n"))
-      pre
-        .join(broadcast(geo), col("leaf_key") === col("geo_desc_key"))
-        .join(broadcast(brand),
-          col("l_partkey").cast("long") === col("part_desc_key"))
-        .groupBy("geo_node_id", "geo_node_name", "geo_level",
-          "brand_node_id", "brand_node_name", "brand_level")
-        .agg(round(sum("s"), 2).as("sum_sales_amount"),
-          round(sum("q"), 2).as("sum_unit_quantity"),
-          sum("n").as("count_of_fact_records"))
-    }),
+    "h10_multi_hier_agg" -> ((s, d) => multiHierRollup(s, d, approxDistinct = false)),
+    // h10 + the reference's nunique measure (main.py:42) generalized to
+    // two hierarchies: an EXACT cross-hierarchy distinct would need a
+    // (leaf pair, customer)-grain pre-agg — the pair-grain MV trick
+    // doesn't cross hierarchies — so the 100 TB form is the mergeable
+    // HLL sketch built once at pre-agg grain and unioned up the
+    // lattice. Engine-specific sketch → rows-only driver check; the
+    // HLL-error-vs-exact spec in HierarchySpec is the oracle.
+    "h12_multi_hier_approx" -> ((s, d) => multiHierRollup(s, d, approxDistinct = true)),
     // dimension MAINTENANCE: reparent one node (n8 INDIA moves from
     // Asia under r0 Africa) and diff the two closures — the
     // added/removed ancestor–descendant pairs are exactly the rows a
@@ -193,6 +176,61 @@ object HierarchyQueries {
             .as("descendant_node_id"))
     })
   )
+
+  /** MULTI-HIERARCHY rollup: ONE fact stream rolled up through TWO
+    * independent closures at once (geography × product brand) — the
+    * generalized form of the reference's single-hierarchy flagship,
+    * i.e. a cross-hierarchy subtotal lattice. Scale shape: facts
+    * pre-aggregate to the (geo leaf, part leaf) grain — one shuffle
+    * with map-side combine, cardinality bounded by the dim cross
+    * product, not the fact count — then BOTH closures join broadcast
+    * and the final groupBy lands on ancestor-pair keys. The brand
+    * closure keeps ancestors at Brand level and up (leaf-grain output
+    * belongs to h6).
+    *
+    * `approxDistinct = true` adds `approx_distinct_customer_count`
+    * via HLL sketches (the reference's `nunique`, main.py:42):
+    * `hll_sketch_agg` at pre-agg grain, `hll_union_agg` up the
+    * lattice — sketches are mergeable, so the fact stream still pays
+    * only the pre-agg shuffle. Exact mode omits the measure: the
+    * customer dimension doesn't survive the pair-grain pre-agg.
+    */
+  def multiHierRollup(s: SparkSession, d: String,
+      approxDistinct: Boolean): DataFrame = {
+    val geo = dimension(s, d).aggregationDim.select(
+      col("ancestor_node_id").as("geo_node_id"),
+      col("ancestor_node_name").as("geo_node_name"),
+      col("ancestor_level_number").cast("long").as("geo_level"),
+      col("descendant_node_natural_key").as("geo_desc_key"))
+    val brand = partDimension(s, d).aggregationDim
+      .filter(col("ancestor_level_number") <= 2)
+      .select(col("ancestor_node_id").as("brand_node_id"),
+        col("ancestor_node_name").as("brand_node_name"),
+        col("ancestor_level_number").cast("long").as("brand_level"),
+        col("descendant_node_natural_key").as("part_desc_key"))
+    val preMeasures = Seq(
+      sum("sales_amount").as("s"), sum("unit_quantity").as("q"),
+      count(lit(1)).as("n")) ++
+      (if (approxDistinct) Seq(hll_sketch_agg(col("customer_id")).as("sk")) else Nil)
+    val pre = HierarchyAgg.salesFacts(s, d)
+      .groupBy(col("leaf_key"), col("l_partkey"))
+      .agg(preMeasures.head, preMeasures.tail: _*)
+    val finalMeasures = Seq(
+      round(sum("s"), 2).as("sum_sales_amount"),
+      round(sum("q"), 2).as("sum_unit_quantity"),
+      sum("n").as("count_of_fact_records")) ++
+      (if (approxDistinct)
+        Seq(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("approx_distinct_customer_count"))
+      else Nil)
+    pre
+      .join(broadcast(geo), col("leaf_key") === col("geo_desc_key"))
+      .join(broadcast(brand),
+        col("l_partkey").cast("long") === col("part_desc_key"))
+      .groupBy("geo_node_id", "geo_node_name", "geo_level",
+        "brand_node_id", "brand_node_name", "brand_level")
+      .agg(finalMeasures.head, finalMeasures.tail: _*)
+  }
 
   /** Shared DuckDB prelude: nodes → flags → recursive leveling → DFS
     * sort order. Mirrors [[HierarchyDimension]] semantics exactly.

@@ -213,6 +213,29 @@ object OlapQueries {
       }
     }),
 
+    // DYNAMIC pivot: the column set is DISCOVERED in a first pass over
+    // the pivot column (the two-pass form users reach for when the
+    // value domain isn't known up front), then pivoted exactly as q15.
+    // The discovery collect is pivot-domain-sized BY DEFINITION — a
+    // pivot's output schema must fit a relation, so the domain is
+    // dim-sized even at 100 TB facts (and the scan reads the one
+    // column, pruned). Values are sorted for a deterministic schema.
+    "q36_dynamic_pivot" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select("o_custkey", "o_orderpriority", "o_totalprice")
+      val prios = o.select("o_orderpriority").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val pivoted = o
+        .join(Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", prios)
+        .agg(round(sum("o_totalprice"), 2))
+      prios.foldLeft(pivoted) { (df, p) =>
+        df.withColumn(p, coalesce(col(s"`$p`"), lit(0.0)))
+      }
+    }),
+
     // Exact interpolated percentiles (= DuckDB quantile_cont). One
     // array-percentile aggregate per column: a scalar call per
     // quantile would build three separate value buffers.
@@ -613,6 +636,17 @@ object OlapQueries {
          COUNT(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD') AS "HOUSEHOLD",
          COUNT(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS "MACHINERY"
          FROM customer GROUP BY c_nationkey""",
+    // the oracle names the values the Spark side discovers — same data,
+    // so the discovered domain IS this list
+    "q36_dynamic_pivot" ->
+      """SELECT c_mktsegment,
+         COALESCE(ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2), 0) AS "1-URGENT",
+         COALESCE(ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '2-HIGH'), 2), 0) AS "2-HIGH",
+         COALESCE(ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '3-MEDIUM'), 2), 0) AS "3-MEDIUM",
+         COALESCE(ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED'), 2), 0) AS "4-NOT SPECIFIED",
+         COALESCE(ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '5-LOW'), 2), 0) AS "5-LOW"
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
     "q16_percentile" ->
       """SELECT l_returnflag,
          ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,

@@ -140,6 +140,43 @@ class HierarchySpec extends SparkSpec {
     assert(perGeo == geoRoot)
   }
 
+  test("h12: approx multi-hier rollup keeps exact cells; HLL distinct tracks exact") {
+    val exact = SparkEntry.queries("h10_multi_hier_agg")(spark, sf).collect()
+      .map(r => (r.getAs[String]("geo_node_id"), r.getAs[String]("brand_node_id")) ->
+        (r.getAs[Double]("sum_sales_amount"), r.getAs[Long]("count_of_fact_records")))
+      .toMap
+    val approx = SparkEntry.queries("h12_multi_hier_approx")(spark, sf).collect()
+    assert(approx.length == exact.size)
+    // exact reference for the distinct measure: customer-grain facts
+    // through both closures (test-only — the engine path must never
+    // pay this cross-hierarchy customer-grain shuffle)
+    val geo = HierarchyQueries.dimension(spark, sf).aggregationDim.select(
+      col("ancestor_node_id").as("geo_node_id"),
+      col("descendant_node_natural_key").as("gk"))
+    val brand = HierarchyQueries.partDimension(spark, sf).aggregationDim
+      .filter(col("ancestor_level_number") <= 2)
+      .select(col("ancestor_node_id").as("brand_node_id"),
+        col("descendant_node_natural_key").as("pk"))
+    val exactDistinct = HierarchyAgg.salesFacts(spark, sf)
+      .join(broadcast(geo), col("leaf_key") === col("gk"))
+      .join(broadcast(brand), col("l_partkey").cast("long") === col("pk"))
+      .groupBy("geo_node_id", "brand_node_id")
+      .agg(countDistinct("customer_id").as("dc"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("dc")).toMap
+    approx.foreach { a =>
+      val key = (a.getAs[String]("geo_node_id"), a.getAs[String]("brand_node_id"))
+      val (s, n) = exact(key)
+      assert(a.getAs[Double]("sum_sales_amount") == s)
+      assert(a.getAs[Long]("count_of_fact_records") == n)
+      val de = exactDistinct(key)
+      val da = a.getAs[Long]("approx_distinct_customer_count")
+      // HLL lgConfigK=12 → ~1.6% stderr; 10% + slack covers small cells
+      assert(math.abs(de - da) <= math.max(2L, (de * 0.1).toLong),
+        s"$key exact=$de approx=$da")
+    }
+  }
+
   test("ragged rollup: level-2 channel leaf and regions partition the root") {
     val out = SparkEntry.queries("h11_ragged_rollup")(spark, sf).collect()
     def n(r: org.apache.spark.sql.Row) = r.getAs[Long]("count_of_fact_records")
@@ -187,6 +224,27 @@ class HierarchySpec extends SparkSpec {
       val (de, da) = (e.getAs[Long]("distinct_customer_count"),
         a.getAs[Long]("distinct_customer_count"))
       assert(math.abs(de - da) <= math.max(1L, (de * 0.1).toLong))
+    }
+  }
+
+  test("persisted dims reload byte-equal to re-derivation and serve the rollup") {
+    val dim = HierarchyQueries.dimension(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dim_").toString
+    try {
+      HierarchyDimension.save(dim, dir)
+      val (rdim, adim) = HierarchyDimension.load(spark, dir)
+      // reload ≡ re-derivation, row for row
+      assert(rdim.collect().toSet == dim.reportingDim.collect().toSet)
+      assert(adim.collect().toSet == dim.aggregationDim.collect().toSet)
+      // and the reloaded closure serves the flagship rollup unchanged
+      val facts = HierarchyAgg.salesFacts(spark, sf)
+      val fromLoaded = HierarchyAgg.hierarchicalRollup(facts, adim).collect()
+      val fromDerived = HierarchyAgg.hierarchicalRollup(facts, dim.aggregationDim).collect()
+      assert(fromLoaded.toSeq == fromDerived.toSeq)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
 
