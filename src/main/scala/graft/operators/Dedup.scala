@@ -203,9 +203,13 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(
+        // fenced: a downstream threshold filter (jaccardClusters) must
+        // test the ONCE-computed value on surviving pairs, not ride
+        // into the join condition ahead of the cheap conjuncts — see
+        // [[graft.functions.OptimizationFence]] (measured 3× on d6)
+        graft.functions.OptimizationFence.fence(round(
           size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
-          size(array_union(col("a.shingles"), col("b.shingles"))), 6).as("jaccard"))
+          size(array_union(col("a.shingles"), col("b.shingles"))), 6)).as("jaccard"))
   }
 
   /** Incremental NEAR-dup: classify a NEW batch against the ingested
@@ -235,9 +239,11 @@ object Dedup {
         abs(col("a.n_chars") - col("b.n_chars")) <= maxLenDiff)
       .select(col("a.doc_id").as("doc_id"),
         col("b.doc_id").as("corpus_id"),
-        round(
+        // fenced like [[ngramJaccard]]: keep the threshold test out of
+        // the join condition (it would run on raw band matches)
+        graft.functions.OptimizationFence.fence(round(
           size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
-          size(array_union(col("a.shingles"), col("b.shingles"))), 6).as("jaccard"))
+          size(array_union(col("a.shingles"), col("b.shingles"))), 6)).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .groupBy("doc_id")
       .agg(max_by(struct(col("corpus_id"), col("jaccard")),
@@ -503,7 +509,8 @@ object Dedup {
           col("a.label") === col("b.label") &&
           col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+          graft.functions.OptimizationFence.fence(
+            dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
         .filter(col("cos") >= threshold)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
     }
@@ -522,7 +529,10 @@ object Dedup {
         col("b.v").as("vb"), col("b.nrm").as("nb"))
       // a pair can collide in several tables — count it once
       .dropDuplicates("vec_a", "vec_b")
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      // fenced: the threshold filter would otherwise inline the dot
+      // product and evaluate it twice (filter + output projection)
+      .withColumn("cos", graft.functions.OptimizationFence.fence(
+        dot(col("va"), col("vb")) / (col("na") * col("nb"))))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
   }

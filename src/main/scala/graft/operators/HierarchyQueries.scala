@@ -197,17 +197,24 @@ object HierarchyQueries {
     */
   def multiHierRollup(s: SparkSession, d: String,
       approxDistinct: Boolean): DataFrame = {
+    // the ×depth²-expanded fact stream carries and hashes ONLY the two
+    // numeric sort-order keys; the six string/level label columns join
+    // broadcast onto the 806-row aggregate afterwards (same trick as
+    // the single-hierarchy engine's withLabels — the sort order is a
+    // unique row_number, so it functionally determines the labels)
     val geo = dimension(s, d).aggregationDim.select(
-      col("ancestor_node_id").as("geo_node_id"),
-      col("ancestor_node_name").as("geo_node_name"),
-      col("ancestor_level_number").cast("long").as("geo_level"),
+      col("ancestor_node_sort_order").as("geo_ord"),
       col("descendant_node_natural_key").as("geo_desc_key"))
     val brand = partDimension(s, d).aggregationDim
       .filter(col("ancestor_level_number") <= 2)
-      .select(col("ancestor_node_id").as("brand_node_id"),
-        col("ancestor_node_name").as("brand_node_name"),
-        col("ancestor_level_number").cast("long").as("brand_level"),
+      .select(col("ancestor_node_sort_order").as("brand_ord"),
         col("descendant_node_natural_key").as("part_desc_key"))
+    def labels(dim: HierarchyDimension, prefix: String, ord: String) =
+      dim.aggregationDim.filter(col("net_level") === 0).select(
+        col("ancestor_node_sort_order").as(ord),
+        col("ancestor_node_id").as(s"${prefix}_node_id"),
+        col("ancestor_node_name").as(s"${prefix}_node_name"),
+        col("ancestor_level_number").cast("long").as(s"${prefix}_level"))
     val preMeasures = Seq(
       sum("sales_amount").as("s"), sum("unit_quantity").as("q"),
       count(lit(1)).as("n")) ++
@@ -227,9 +234,16 @@ object HierarchyQueries {
       .join(broadcast(geo), col("leaf_key") === col("geo_desc_key"))
       .join(broadcast(brand),
         col("l_partkey").cast("long") === col("part_desc_key"))
-      .groupBy("geo_node_id", "geo_node_name", "geo_level",
-        "brand_node_id", "brand_node_name", "brand_level")
+      .groupBy("geo_ord", "brand_ord")
       .agg(finalMeasures.head, finalMeasures.tail: _*)
+      .join(broadcast(labels(dimension(s, d), "geo", "geo_ord")), Seq("geo_ord"))
+      .join(broadcast(labels(partDimension(s, d), "brand", "brand_ord")
+        .filter(col("brand_level") <= 2)), Seq("brand_ord"))
+      .select(Seq("geo_node_id", "geo_node_name", "geo_level",
+        "brand_node_id", "brand_node_name", "brand_level",
+        "sum_sales_amount", "sum_unit_quantity", "count_of_fact_records")
+        .map(col) ++
+        (if (approxDistinct) Seq(col("approx_distinct_customer_count")) else Nil): _*)
   }
 
   /** Shared DuckDB prelude: nodes → flags → recursive leveling → DFS

@@ -109,7 +109,11 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      // fenced: the τ filter would otherwise inline the dot product
+      // and evaluate it twice per (corpus × query) row — see
+      // [[graft.functions.OptimizationFence]]
+      .withColumn("cos", graft.functions.OptimizationFence.fence(
+        dot(col("v"), col("qv")) / (col("nrm") * col("qn"))))
       .filter(round(col("cos"), 9) >= tau)
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 6).as("cosine"))

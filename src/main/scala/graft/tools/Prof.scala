@@ -82,11 +82,60 @@ object Prof {
       HierarchyQueries.queries("h7_hierarchy_diff")(spark, sfDir).queryExecution.toRdd.count()
     }
 
-    // --- dedup d6/d10 ---
-    time("d6 cold") {
+    // --- dedup d6/d10 decomposition ---
+    val docs = graft.Tables.documents(spark, sfDir)
+    locally {
+      import org.apache.spark.sql.functions._
+      import graft.functions.TextFunctions._
+      val t0 = docs
+        .withColumn("shingles", array_distinct(wordNgrams(tokens(lower(col("text"))), 2)))
+        .withColumn("band", floor(col("n_chars") / 4))
+        .select("doc_id", "lang", "n_chars", "band", "shingles")
+      time("d6x shingle only") { t0.queryExecution.toRdd.count() }
+      val t = t0.cache()
+      time("d6x shingle cache build") { t.count() }
+      val probes = t.withColumn("jband",
+        explode(array(col("band") - 1, col("band"), col("band") + 1)))
+      val cand = probes.as("a").join(t.as("b"),
+        col("a.lang") === col("b.lang") &&
+          col("a.jband") === col("b.band") &&
+          abs(col("a.n_chars") - col("b.n_chars")) <= 3 &&
+          col("a.doc_id") < col("b.doc_id"))
+      time("d6x candidates only") {
+        cand.select(col("a.doc_id"), col("b.doc_id")).queryExecution.toRdd.count()
+      }
+      time("d6x candidates + jaccard") {
+        cand.select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          round(size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
+            size(array_union(col("a.shingles"), col("b.shingles"))), 6).as("jaccard"))
+          .queryExecution.toRdd.count()
+      }
+      time("d6x + threshold filter") {
+        cand.select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          round(size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
+            size(array_union(col("a.shingles"), col("b.shingles"))), 6).as("jaccard"))
+          .filter(col("jaccard") >= 0.05)
+          .queryExecution.toRdd.count()
+      }
+      time("d6x ngramJaccard bare") {
+        Dedup.ngramJaccard(docs).queryExecution.toRdd.count()
+      }
+    }
+    time("d6a shingle+block+verify edges") {
+      Dedup.ngramJaccard(docs).filter(org.apache.spark.sql.functions.col("jaccard") >= 0.05)
+        .queryExecution.toRdd.count()
+    }
+    time("d6b edges again (no cache)") {
+      Dedup.ngramJaccard(docs).filter(org.apache.spark.sql.functions.col("jaccard") >= 0.05)
+        .queryExecution.toRdd.count()
+    }
+    time("d6c jaccardClusters full") {
+      Dedup.jaccardClusters(docs, minJaccard = 0.05).queryExecution.toRdd.count()
+    }
+    time("d6 cold (registry, builds cache)") {
       DedupQueries.queries("d6_dup_clusters")(spark, sfDir).queryExecution.toRdd.count()
     }
-    time("d10 cold") {
+    time("d10 cold (reuses cache)") {
       DedupQueries.queries("d10_canonical_docs")(spark, sfDir).queryExecution.toRdd.count()
     }
     spark.stop()

@@ -128,6 +128,20 @@ class PlanSpec extends SparkSpec {
       s"join keys lack the length band: $joins")
   }
 
+  test("d6 edges: the jaccard threshold stays OUT of the join condition (fence)") {
+    val docs = Tables.documents(spark, sf)
+    val p = graft.operators.Dedup.ngramJaccard(docs)
+      .filter(org.apache.spark.sql.functions.col("jaccard") >= 0.05)
+      .queryExecution.executedPlan.toString()
+    // unfenced, pushdown folds the intersect/union math into the join
+    // condition where it runs per raw band match (measured 3× on d6) —
+    // assert every Join line is free of the expensive expressions
+    val joinWithMath = p.linesIterator
+      .filter(_.contains("Join")).filter(_.contains("array_intersect"))
+    assert(joinWithMath.isEmpty, joinWithMath.mkString("\n"))
+    assert(p.contains("array_intersect"), p.take(1500)) // still computed somewhere
+  }
+
   test("d5: blocked self-join keys include the LSH (table, bucket)") {
     val joins = joinLines("d5_embedding_neardup")
     assert(joins.nonEmpty, "expected a self-join in the d5 plan")
