@@ -110,20 +110,29 @@ object DedupQueries {
   /** Variant over a precomputed component assignment (doc_id →
     * component_id) — the registry path feeds d6's cached components in
     * so the CC loop runs once per session, not once per consumer.
+    *
+    * One window pass partitioned by component: best quality and the
+    * min-id-among-best canonical resolve in a single shuffle of the
+    * (doc, component, quality) triple. The old best/canon self-joins
+    * referenced that triple three times, recomputing the quality scan
+    * per reference. Partitions are dup GROUPS — bounded and tiny at
+    * any corpus scale, so the window sort never sees a large
+    * partition (unlike a per-doc ranking, where TopKRowsByScore is
+    * the right tool).
     */
   def canonicalDocs(docs: DataFrame, comp: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val quality = docs
       .withColumn("toks", tokens(lower(col("text"))))
       .withColumn("n_toks", size(col("toks")))
       .withColumn("n_stop", markerCount(col("toks"), enMarkers))
       .withColumn("n_long", size(filter(col("toks"), t => length(t) > 5)))
       .select(col("doc_id"), qualityPpm.as("quality_ppm"))
-    val j = comp.join(quality, "doc_id")
-    val best = j.groupBy("component_id").agg(max("quality_ppm").as("best_q"))
-    val canon = j.join(best, "component_id")
-      .filter(col("quality_ppm") === col("best_q"))
-      .groupBy("component_id").agg(min("doc_id").as("canonical_id"))
-    j.join(canon, "component_id")
+    val w = Window.partitionBy("component_id")
+    comp.join(quality, "doc_id")
+      .withColumn("best_q", max("quality_ppm").over(w))
+      .withColumn("canonical_id",
+        min(when(col("quality_ppm") === col("best_q"), col("doc_id"))).over(w))
       .select(col("doc_id"), col("component_id"), col("quality_ppm"),
         col("canonical_id"), (col("doc_id") === col("canonical_id")).as("keep"))
   }
