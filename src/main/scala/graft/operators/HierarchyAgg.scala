@@ -142,9 +142,21 @@ object HierarchyAgg {
     * 4. string labels join onto the nodes-sized aggregate on the
     *    numeric sort order — the expanded stream never hashes strings.
     */
+  /** Dim-side join strategy: the closure/label frames are broadcast by
+    * default — correct for any dimension that fits an executor (the
+    * normal case; even 20 k leaves ⇒ ~60 k closure rows). For
+    * PATHOLOGICALLY wide hierarchies (closure beyond broadcast limits)
+    * pass `broadcastDim = false`: the joins fall back to the
+    * optimizer's shuffle strategy instead of forcing a driver-side
+    * build that would OOM. Results are identical (spec-asserted).
+    */
+  private def maybeBroadcast(df: DataFrame, broadcastDim: Boolean): DataFrame =
+    if (broadcastDim) broadcast(df) else df
+
   def hierarchicalRollup(facts: DataFrame, aggDim: DataFrame,
       factKey: String = "leaf_key",
-      approxDistinct: Boolean = false): DataFrame = {
+      approxDistinct: Boolean = false,
+      broadcastDim: Boolean = true): DataFrame = {
     // exact distinct is the reference's semantics (and the registry/
     // oracle form), computed as an EXPLICIT two-level aggregation via
     // the MV grain: level 1 groups by (node, customer) — partial
@@ -154,7 +166,9 @@ object HierarchyAgg {
     // cost). The approx mode (HLL++, mergeable) is the opt-in for
     // profiling-grade rollups.
     if (!approxDistinct)
-      return finalizeRollup(rollupMv(facts, aggDim, factKey), aggDim)
+      return finalizeRollup(
+        rollupMv(facts, aggDim, factKey, broadcastDim = broadcastDim),
+        aggDim, broadcastDim)
     val pairAgg = facts
       .groupBy(col(factKey), col("customer_id"))
       .agg(
@@ -162,7 +176,7 @@ object HierarchyAgg {
         sum(col("unit_quantity")).as("__qty"),
         count(lit(1)).as("__n"))
     val expanded = pairAgg
-      .join(broadcast(closureKeys(aggDim)),
+      .join(maybeBroadcast(closureKeys(aggDim), broadcastDim),
         col(factKey) === col("descendant_node_natural_key"))
     val aggregated = expanded.groupBy("ancestor_node_sort_order")
       .agg(
@@ -170,7 +184,7 @@ object HierarchyAgg {
         round(sum(col("__qty")), 2).as("sum_unit_quantity"),
         approx_count_distinct(col("customer_id")).as("distinct_customer_count"),
         sum(col("__n")).as("count_of_fact_records"))
-    withLabels(aggregated, aggDim)
+    withLabels(aggregated, aggDim, broadcastDim)
   }
 
   private def closureKeys(aggDim: DataFrame): DataFrame =
@@ -186,14 +200,15 @@ object HierarchyAgg {
     * (net_level = 0) are exactly one row per node — labels need no
     * distinct() shuffle.
     */
-  private def withLabels(aggregated: DataFrame, aggDim: DataFrame): DataFrame = {
+  private def withLabels(aggregated: DataFrame, aggDim: DataFrame,
+      broadcastDim: Boolean = true): DataFrame = {
     val indent = expr("lpad('-', (ancestor_level_number - 1) * 7, '-')")
     val labels = aggDim.filter(col("net_level") === 0).select(
       col("ancestor_node_sort_order"),
       concat(indent, col("ancestor_node_name")).as("product_node_name"),
       concat(indent, col("ancestor_level_name")).as("product_level_name"))
     aggregated
-      .join(broadcast(labels), Seq("ancestor_node_sort_order"))
+      .join(maybeBroadcast(labels, broadcastDim), Seq("ancestor_node_sort_order"))
       .orderBy("ancestor_node_sort_order")
       .select("product_node_name", "product_level_name", "sum_sales_amount",
         "sum_unit_quantity", "distinct_customer_count", "count_of_fact_records")
@@ -208,7 +223,8 @@ object HierarchyAgg {
     * MV grain.
     */
   def rollupMv(facts: DataFrame, aggDim: DataFrame,
-      factKey: String = "leaf_key", weight: Column = lit(1L)): DataFrame =
+      factKey: String = "leaf_key", weight: Column = lit(1L),
+      broadcastDim: Boolean = true): DataFrame =
     facts
       .groupBy(col(factKey), col("customer_id"))
       .agg(
@@ -219,7 +235,7 @@ object HierarchyAgg {
         // mv_n drifts upward and the mv_n != 0 zero-pair drop — which
         // keeps the distinct-customer read-off exact — never fires
         sum(weight).as("mv_n"))
-      .join(broadcast(closureKeys(aggDim)),
+      .join(maybeBroadcast(closureKeys(aggDim), broadcastDim),
         col(factKey) === col("descendant_node_natural_key"))
       .groupBy(col("ancestor_node_sort_order"), col("customer_id"))
       .agg(
@@ -254,7 +270,8 @@ object HierarchyAgg {
     * the broadcast label join. Identical output to the exact
     * [[hierarchicalRollup]] — h9's oracle is the full-recompute SQL.
     */
-  def finalizeRollup(mv: DataFrame, aggDim: DataFrame): DataFrame = {
+  def finalizeRollup(mv: DataFrame, aggDim: DataFrame,
+      broadcastDim: Boolean = true): DataFrame = {
     val aggregated = mv
       .groupBy("ancestor_node_sort_order")
       .agg(
@@ -262,6 +279,6 @@ object HierarchyAgg {
         round(sum(col("mv_qty")), 2).as("sum_unit_quantity"),
         count(col("customer_id")).as("distinct_customer_count"),
         sum(col("mv_n")).as("count_of_fact_records"))
-    withLabels(aggregated, aggDim)
+    withLabels(aggregated, aggDim, broadcastDim)
   }
 }

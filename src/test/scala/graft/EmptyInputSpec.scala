@@ -69,6 +69,15 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.operators.Similarity.rangeSearch(noEmb).count() == 0)
   }
 
+  test("round-7 operators handle empty inputs") {
+    val noDocs = Tables.documents(spark, sf).limit(0)
+    // fenced-threshold paths: empty edge/pair sets flow through
+    assert(Dedup.jaccardClusters(noDocs, minJaccard = 0.05).count() == 0)
+    assert(graft.operators.DedupQueries.canonicalDocs(noDocs, minJaccard = 0.05).count() == 0)
+    // topk-rows aggregate over an empty frame yields no groups
+    assert(graft.operators.TextQueries.tfidfTopTerms(noDocs).count() == 0)
+  }
+
   test("connected components with no edges labels every node as itself") {
     val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
     val edges = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")

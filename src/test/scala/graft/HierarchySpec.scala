@@ -227,6 +227,23 @@ class HierarchySpec extends SparkSpec {
     }
   }
 
+  test("broadcastDim=false (wide-dim shuffle fallback) is result-identical") {
+    val facts = HierarchyAgg.salesFacts(spark, sf)
+    val dim = HierarchyQueries.dimension(spark, sf).aggregationDim
+    val b = HierarchyAgg.hierarchicalRollup(facts, dim).collect()
+    val s = HierarchyAgg.hierarchicalRollup(facts, dim, broadcastDim = false).collect()
+    assert(b.toSeq == s.toSeq)
+    // broadcastDim=false drops the FORCED hint — the optimizer then
+    // sizes the join itself (it may still auto-broadcast a small dim,
+    // which is exactly the desired behavior; a 100M-node closure
+    // would exceed the threshold and fall back to shuffle)
+    val hints = HierarchyAgg.hierarchicalRollup(facts, dim, broadcastDim = false)
+      .queryExecution.logical.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+      }
+    assert(hints.isEmpty, s"expected no broadcast hints, got $hints")
+  }
+
   test("persisted dims reload byte-equal to re-derivation and serve the rollup") {
     val dim = HierarchyQueries.dimension(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft_dim_").toString

@@ -48,4 +48,42 @@ class TopKAggregateSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString()
     assert(p.contains("partial_topk_by_score") || p.contains("partial_"), p.take(1500))
   }
+
+  test("topk-rows: string tie-break, k truncation, payload carried intact") {
+    import graft.functions.TopKAggregate.topkRows
+    // scores force ties: bb/aa tie at 2.0 (aa wins), dd/cc tie at 1.0
+    val rows = Seq(
+      (1L, "bb", 2.0, 20L), (1L, "aa", 2.0, 10L),
+      (1L, "dd", 1.0, 40L), (1L, "cc", 1.0, 30L),
+      (2L, "zz", 5.0, 99L)
+    ).toDF("g", "term", "score", "payload")
+    val out = rows.groupBy("g")
+      .agg(topkRows(col("score"), col("term"),
+        struct(col("term"), col("payload"), col("score")), 3).as("tk"))
+      .select(col("g"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("g"), col("pos"), col("t.term"), col("t.payload"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    assert(out == Map(
+      (1L, 0) -> ("aa", 10L), (1L, 1) -> ("bb", 20L), (1L, 2) -> ("cc", 30L),
+      (2L, 0) -> ("zz", 99L)))
+  }
+
+  test("topk-rows: merge across many partitions equals single-partition result") {
+    import graft.functions.TopKAggregate.topkRows
+    val n = 5000
+    val df = spark.range(n).select(
+      (col("id") % 7).as("g"),
+      concat(lit("t"), lpad(col("id").cast("string"), 5, "0")).as("term"),
+      (col("id") % 13).cast("double").as("score"))
+    def topk(d: org.apache.spark.sql.DataFrame) = d.groupBy("g")
+      .agg(topkRows(col("score"), col("term"),
+        struct(col("term"), col("score")), 4).as("tk"))
+      .select(col("g"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("g"), col("pos"), col("t.term"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    // 32 partitions exercises serialize/deserialize + merge; 1 does not
+    assert(topk(df.repartition(32)) == topk(df.coalesce(1)))
+  }
 }
