@@ -51,6 +51,36 @@ object Graft {
   def finalizeRollup(mv: DataFrame, dim: HierarchyDimension): DataFrame =
     HierarchyAgg.finalizeRollup(mv, dim.aggregationDim)
 
+  /** Persist derived dims as parquet (the reference materializes its
+    * dims as stored tables, hierarchy_dimension_table.py:75-82);
+    * reload with [[loadDim]] — no re-derivation.
+    */
+  def saveDim(dim: HierarchyDimension, dir: String): Unit =
+    HierarchyDimension.save(dim, dir)
+
+  /** (reportingDim, aggregationDim) reloaded from [[saveDim]] output. */
+  def loadDim(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    HierarchyDimension.load(spark, dir)
+
+  /** Closure diff after a hierarchy edit: the added/removed
+    * (ancestor, descendant) pairs a rollup cache must invalidate.
+    */
+  def hierarchyDiff(before: HierarchyDimension, after: HierarchyDimension): DataFrame =
+    HierarchyDimension.closureDiff(before, after)
+
+  /** Two-pass dynamic pivot: value domain discovered from the data,
+    * then pivoted wide; see [[operators.Olap.dynamicPivot]].
+    */
+  def dynamicPivot(df: DataFrame, groupCols: Seq[String], pivotCol: String,
+      agg: Column, fill: Option[Column] = None): DataFrame =
+    Olap.dynamicPivot(df, groupCols, pivotCol, agg, fill)
+
+  /** Canonical-doc selection: each near-dup component keeps its
+    * highest-quality member (min doc_id tie-break).
+    */
+  def canonicalDocs(docs: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    DedupQueries.canonicalDocs(docs, minJaccard)
+
   /** Exact dedup groups on normalized text. */
   def exactDedup(docs: DataFrame): DataFrame = Dedup.exactDedup(docs)
 

@@ -320,4 +320,29 @@ object HierarchyDimension {
       dir: String): (DataFrame, DataFrame) =
     (graft.sources.Sources.read(spark, s"$dir/reporting_dim"),
       graft.sources.Sources.read(spark, s"$dir/aggregation_dim"))
+
+  /** Diff two versions of a hierarchy: the added/removed
+    * ancestor–descendant pairs — exactly the rows a rollup cache must
+    * invalidate after a hierarchy edit. Both sides use the lightweight
+    * [[HierarchyDimension.closurePairs]] (no DFS window, no attribute
+    * join) and the diff is ONE full-outer join: pairs are unique per
+    * closure, so the null side labels the change. Dim-sized
+    * throughout; facts never move.
+    */
+  def closureDiff(before: HierarchyDimension, after: HierarchyDimension): DataFrame = {
+    val c1 = before.closurePairs.as("a")
+    val c2 = after.closurePairs.as("b")
+    c1.join(c2,
+        col("a.ancestor_node_id") === col("b.ancestor_node_id") &&
+          col("a.descendant_node_id") === col("b.descendant_node_id"),
+        "full_outer")
+      .filter(col("a.ancestor_node_id").isNull || col("b.ancestor_node_id").isNull)
+      .select(
+        when(col("b.ancestor_node_id").isNull, lit("removed"))
+          .otherwise(lit("added")).as("change"),
+        coalesce(col("a.ancestor_node_id"), col("b.ancestor_node_id"))
+          .as("ancestor_node_id"),
+        coalesce(col("a.descendant_node_id"), col("b.descendant_node_id"))
+          .as("descendant_node_id"))
+  }
 }

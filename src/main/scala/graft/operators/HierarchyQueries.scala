@@ -160,20 +160,8 @@ object HierarchyQueries {
             .otherwise(col("parent_node_id")))
       // v1 closure comes from the session-cached base dimension (the
       // one h1–h4 share); only the edited version derives fresh
-      val c1 = dimension(s, d).closurePairs.as("a")
-      val c2 = new HierarchyDimension(moved, knownDepth = 3).closurePairs.as("b")
-      c1.join(c2,
-          col("a.ancestor_node_id") === col("b.ancestor_node_id") &&
-            col("a.descendant_node_id") === col("b.descendant_node_id"),
-          "full_outer")
-        .filter(col("a.ancestor_node_id").isNull || col("b.ancestor_node_id").isNull)
-        .select(
-          when(col("b.ancestor_node_id").isNull, lit("removed"))
-            .otherwise(lit("added")).as("change"),
-          coalesce(col("a.ancestor_node_id"), col("b.ancestor_node_id"))
-            .as("ancestor_node_id"),
-          coalesce(col("a.descendant_node_id"), col("b.descendant_node_id"))
-            .as("descendant_node_id"))
+      HierarchyDimension.closureDiff(
+        dimension(s, d), new HierarchyDimension(moved, knownDepth = 3))
     })
   )
 

@@ -64,4 +64,24 @@ object Olap {
     val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCol)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
   }
+
+  /** TWO-PASS dynamic pivot: the pivot-column value domain is
+    * discovered from the data (a pruned single-column distinct —
+    * domain-sized BY DEFINITION, since a pivot's output schema must
+    * fit a relation, so the collect is dim-sized even over 100 TB of
+    * facts), sorted for a deterministic schema, then pivoted exactly
+    * like the fixed-values form. `fill` replaces the nulls of absent
+    * (group, value) cells.
+    */
+  def dynamicPivot(df: DataFrame, groupCols: Seq[String], pivotCol: String,
+      agg: Column, fill: Option[Column] = None): DataFrame = {
+    val vals = df.select(pivotCol).distinct().collect()
+      .map(_.get(0)).filter(_ != null).map(_.toString).sorted.toSeq
+    val pivoted = df.groupBy(groupCols.map(col): _*).pivot(pivotCol, vals).agg(agg)
+    fill match {
+      case Some(f) =>
+        vals.foldLeft(pivoted)((d, v) => d.withColumn(v, coalesce(col(s"`$v`"), f)))
+      case None => pivoted
+    }
+  }
 }

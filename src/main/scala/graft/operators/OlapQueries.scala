@@ -220,21 +220,13 @@ object OlapQueries {
     // pivot's output schema must fit a relation, so the domain is
     // dim-sized even at 100 TB facts (and the scan reads the one
     // column, pruned). Values are sorted for a deterministic schema.
-    "q36_dynamic_pivot" -> ((s, d) => {
-      val o = Tables.orders(s, d)
-        .select("o_custkey", "o_orderpriority", "o_totalprice")
-      val prios = o.select("o_orderpriority").distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
-      val pivoted = o
-        .join(Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
-          col("o_custkey") === col("c_custkey"))
-        .groupBy("c_mktsegment")
-        .pivot("o_orderpriority", prios)
-        .agg(round(sum("o_totalprice"), 2))
-      prios.foldLeft(pivoted) { (df, p) =>
-        df.withColumn(p, coalesce(col(s"`$p`"), lit(0.0)))
-      }
-    }),
+    "q36_dynamic_pivot" -> ((s, d) =>
+      Olap.dynamicPivot(
+        Tables.orders(s, d).select("o_custkey", "o_orderpriority", "o_totalprice")
+          .join(Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+            col("o_custkey") === col("c_custkey")),
+        groupCols = Seq("c_mktsegment"), pivotCol = "o_orderpriority",
+        agg = round(sum("o_totalprice"), 2), fill = Some(lit(0.0)))),
 
     // Exact interpolated percentiles (= DuckDB quantile_cont). One
     // array-percentile aggregate per column: a scalar call per
