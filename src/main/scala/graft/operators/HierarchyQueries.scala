@@ -203,10 +203,13 @@ object HierarchyQueries {
         col("ancestor_node_id").as(s"${prefix}_node_id"),
         col("ancestor_node_name").as(s"${prefix}_node_name"),
         col("ancestor_level_number").cast("long").as(s"${prefix}_level"))
+    // lgConfigK 11 (stderr ~2.3%, spec floor 10%): the sketches live at
+    // the pre-agg grain, so their size IS the pre-agg shuffle's payload
+    // — half the bytes of the default lgK 12 for accuracy to spare
     val preMeasures = Seq(
       sum("sales_amount").as("s"), sum("unit_quantity").as("q"),
       count(lit(1)).as("n")) ++
-      (if (approxDistinct) Seq(hll_sketch_agg(col("customer_id")).as("sk")) else Nil)
+      (if (approxDistinct) Seq(hll_sketch_agg(col("customer_id"), 11).as("sk")) else Nil)
     val pre = HierarchyAgg.salesFacts(s, d)
       .groupBy(col("leaf_key"), col("l_partkey"))
       .agg(preMeasures.head, preMeasures.tail: _*)

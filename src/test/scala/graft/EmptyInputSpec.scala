@@ -76,6 +76,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.operators.DedupQueries.canonicalDocs(noDocs, minJaccard = 0.05).count() == 0)
     // topk-rows aggregate over an empty frame yields no groups
     assert(graft.operators.TextQueries.tfidfTopTerms(noDocs).count() == 0)
+    // dynamic pivot discovers an empty domain → group cols only, 0 rows
+    val dp = graft.operators.Olap.dynamicPivot(noDocs,
+      Seq("lang"), "source", count(lit(1)), fill = Some(lit(0L)))
+    assert(dp.columns.toSeq == Seq("lang") && dp.count() == 0)
   }
 
   test("connected components with no edges labels every node as itself") {
