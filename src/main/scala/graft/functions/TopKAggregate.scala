@@ -168,10 +168,15 @@ case class TopKRowsByScore(
       val tie = t.asInstanceOf[UTF8String]
       val full = buf.size >= k
       if (!full || better((score, tie, null), buf.head)) {
-        // copy only survivors: eval results may reuse backing buffers
+        // copy only survivors — and deep-copy them: the struct eval
+        // of column references yields rows whose string fields are
+        // slices of the operator's REUSED input buffer (and
+        // GenericInternalRow.copy() is shallow), so project to an
+        // owned UnsafeRow instead
         val row = payload.eval(input).asInstanceOf[InternalRow]
         if (full) buf.dequeue()
-        buf.enqueue((score, tie.clone(), if (row == null) null else row.copy()))
+        buf.enqueue((score, tie.clone(),
+          if (row == null) null else payloadProj(row).copy()))
       }
     }
     buf
@@ -206,7 +211,12 @@ case class TopKRowsByScore(
       out.writeInt(tb.length); out.write(tb)
       if (row == null) out.writeInt(-1)
       else {
-        val rb = payloadProj(row).getBytes
+        // update()/deserialize() store owned UnsafeRows — reuse their
+        // bytes; re-project only a foreign row shape
+        val rb = row match {
+          case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow => u.getBytes
+          case other => payloadProj(other).getBytes
+        }
         out.writeInt(rb.length); out.write(rb)
       }
     }

@@ -75,12 +75,16 @@ object Olap {
     */
   def dynamicPivot(df: DataFrame, groupCols: Seq[String], pivotCol: String,
       agg: Column, fill: Option[Column] = None): DataFrame = {
+    // keep the NATURAL values for the pivot match (a string-coerced
+    // literal would mis-compare against non-string pivot columns);
+    // the rendered form orders the schema and names the fill columns
     val vals = df.select(pivotCol).distinct().collect()
-      .map(_.get(0)).filter(_ != null).map(_.toString).sorted.toSeq
+      .map(_.get(0)).filter(_ != null).sortBy(_.toString).toSeq
     val pivoted = df.groupBy(groupCols.map(col): _*).pivot(pivotCol, vals).agg(agg)
     fill match {
       case Some(f) =>
-        vals.foldLeft(pivoted)((d, v) => d.withColumn(v, coalesce(col(s"`$v`"), f)))
+        vals.map(_.toString).foldLeft(pivoted)(
+          (d, v) => d.withColumn(v, coalesce(col(s"`$v`"), f)))
       case None => pivoted
     }
   }

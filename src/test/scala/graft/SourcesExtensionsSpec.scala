@@ -222,6 +222,18 @@ class SourcesExtensionsSpec extends SparkSpec {
     plain.foreach { case (k, v) => assert(math.abs(v - salted(k)) < 1e-6, k) }
   }
 
+  test("dynamicPivot matches a NUMERIC pivot column with natural-typed values") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 1L, 5.0))
+      .toDF("g", "kind", "v")
+    val out = Olap.dynamicPivot(df, Seq("g"), "kind",
+      sum("v"), fill = Some(lit(0.0)))
+    assert(out.columns.toSeq == Seq("g", "1", "2"))
+    val m = out.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // a string-coerced pivot literal would null these cells out
+    assert(m == Map("a" -> ((10.0, 20.0)), "b" -> ((5.0, 0.0))))
+  }
+
   test("topKPerGroup keeps exactly the k best rows per group") {
     val o = Tables.orders(spark, sf)
     val got = Olap.topKPerGroup(o, Seq("o_orderpriority"),
