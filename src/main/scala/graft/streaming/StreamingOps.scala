@@ -274,6 +274,41 @@ object StreamingQueries {
       } finally s.conf.set("spark.sql.shuffle.partitions", partsWas)
       graft.operators.HierarchyAgg.finalizeRollup(mv, adim)
     }),
+    // STREAMING near-dup ingest: d11's batch side arrives as a stream
+    // of micro-batches, each classified against the STATIC corpus
+    // shingle index with the same batch×corpus blocked verify
+    // (Dedup.incrementalNearDup) and accumulated. Classification of a
+    // doc depends only on (corpus, doc), so micro-batching is
+    // semantics-free: the union over batches is exactly the
+    // single-shot d11 answer — which is the oracle. The production
+    // shape of continuous-ingest dedup: corpus index static per run,
+    // only the day's ingest pays the verify.
+    "st10_stream_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_nd_stream")
+        .resolve("batch").toString
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .repartition(4).write.mode("overwrite").parquet(dir)
+      val schema = s.read.parquet(dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      var acc: DataFrame = null
+      val partsWas = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = stream.writeStream.outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val classified = graft.operators.Dedup
+              .incrementalNearDup(corpus, batch.toDF(), minJaccard = 0.05)
+              .localCheckpoint()
+            acc = if (acc == null) classified else acc.unionByName(classified)
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", partsWas)
+      acc
+    }),
     // stream-STREAM join: clicks joined to same-user purchases within
     // 30 minutes after the click. Both sides carry watermarks and the
     // join predicate bounds event-time distance, so the state store
@@ -302,6 +337,10 @@ object StreamingQueries {
     // stream-maintained MV ≡ full recompute (h9's invariant, streamed)
     "st9_incremental_rollup_stream" ->
       graft.operators.HierarchyQueries.oracles("h9_incremental_rollup"),
+    // streamed classification ≡ the single-shot incremental near-dup
+    // (d11's invariant, streamed)
+    "st10_stream_neardup" ->
+      graft.operators.DedupQueries.oracles("d11_incremental_neardup"),
     "st1_windowed_agg" ->
       """SELECT strftime(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS window_start,
            event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value

@@ -137,4 +137,15 @@ class StreamingSpec extends SparkSpec {
     val cols = Seq("event_id", "user_id", "value")
     assert(canon(sunk, cols: _*) == canon(batch, cols: _*))
   }
+
+  test("st10: streamed near-dup classification equals the single-shot form") {
+    val docs = Tables.documents(spark, sf)
+    val streamed = SparkEntry.queries("st10_stream_neardup")(spark, sf)
+    val singleShot = graft.operators.Dedup.incrementalNearDup(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      minJaccard = 0.05)
+    val cols = Seq("doc_id", "status", "match_id", "match_jaccard")
+    assert(canon(streamed, cols: _*) == canon(singleShot, cols: _*))
+  }
 }
