@@ -85,7 +85,17 @@ object GraftExtensions {
         WordNgramsExpr(e.head, litInt("word_ngrams", e(1))))),
     ("minhash_sig", classOf[MinHashSigExpr].getName,
       arity("minhash_sig", 2)(e =>
-        MinHashSigExpr(e.head, litInt("minhash_sig", e(1))))))
+        MinHashSigExpr(e.head, litInt("minhash_sig", e(1))))),
+    ("opt_fence", classOf[graft.functions.OptimizationFence].getName,
+      arity("opt_fence", 1)(e => graft.functions.OptimizationFence(e.head))),
+    // aggregate builders return the AggregateFunction; the analyzer
+    // wraps it in an AggregateExpression at resolution
+    ("topk_by_score", classOf[graft.functions.TopKByScore].getName,
+      arity("topk_by_score", 4)(e => graft.functions.TopKByScore(
+        e.head, e(1), e(2), litInt("topk_by_score", e(3))))),
+    ("topk_rows_by_score", classOf[graft.functions.TopKRowsByScore].getName,
+      arity("topk_rows_by_score", 4)(e => graft.functions.TopKRowsByScore(
+        e.head, e(1), e(2), litInt("topk_rows_by_score", e(3))))))
 }
 
 object GraftFunctions {

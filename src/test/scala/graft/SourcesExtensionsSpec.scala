@@ -110,6 +110,23 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(got == 11.0)
   }
 
+  test("round-7 functions are callable from SQL: opt_fence and the topk aggregates") {
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT opt_fence(1.5d) AS v").head().getDouble(0) == 1.5)
+    Seq((1L, 3.0, 30L), (1L, 9.0, 90L), (1L, 6.0, 60L))
+      .toDF("g", "s", "id").createOrReplaceTempView("tk_in")
+    val top = spark.sql(
+      "SELECT topk_by_score(s, s, id, 2) AS tk FROM tk_in GROUP BY g")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(top.map(r => (r.getDouble(0), r.getLong(1))) == Seq((9.0, 90L), (6.0, 60L)))
+    val rows = spark.sql(
+      """SELECT topk_rows_by_score(s, CAST(id AS STRING),
+           named_struct('id', id, 's', s), 2) AS tk
+         FROM tk_in GROUP BY g""")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(rows.map(_.getLong(0)) == Seq(90L, 60L))
+  }
+
   test("round-2 native expressions are callable from SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(
