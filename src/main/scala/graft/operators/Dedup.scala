@@ -144,7 +144,10 @@ object Dedup {
       .join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        estJaccard(col("a.sig"), col("b.sig")).as("est_jaccard"))
+        // fenced like [[ngramJaccard]]: dupClusters' threshold filter
+        // must not ride into the bucket join ahead of the cheap keys
+        graft.functions.OptimizationFence.fence(
+          estJaccard(col("a.sig"), col("b.sig"))).as("est_jaccard"))
       .distinct()
   }
 
