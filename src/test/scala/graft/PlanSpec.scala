@@ -60,6 +60,16 @@ class PlanSpec extends SparkSpec {
     assert(count <= 2, s"$count fact-side shuffles:\n$p")
   }
 
+  test("h12: HLL sketches build in the pre-agg; fact path stays broadcast-joined") {
+    val p = plan("h12_multi_hier_approx")
+    // sketches at the (geo leaf, part leaf) grain — a partial
+    // hll_sketch_agg must appear (the sketch IS the shuffle payload),
+    // merged by hll_union_agg at the lattice aggregate
+    assert(p.contains("hll_sketch_agg"), p.take(2000))
+    assert(p.contains("hll_union_agg"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q5: top-k plans as TakeOrderedAndProject (no global sort shuffle)") {
     val p = plan("q5_sort_limit")
     assert(p.contains("TakeOrderedAndProject"), p)
