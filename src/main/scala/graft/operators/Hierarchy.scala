@@ -62,6 +62,25 @@ class HierarchyDimension(
 
   private val depthBound: Int = if (knownDepth > 0) knownDepth else maxDepth
 
+  /** The DFS sort order can fuse into the single-task leveling pass
+    * only when every level field renders to JSON bit-identically to
+    * Spark's `to_json` under this class's own renderer — true for the
+    * string/integral/boolean types hierarchies actually use. Anything
+    * else (floats, nested types) falls back to the legacy
+    * to_json-window derivation, trading one extra dim-sized job for
+    * guaranteed parity.
+    */
+  private val fusedSortable: Boolean = {
+    val inSchema = nodes.schema
+    levelFields.forall { f =>
+      inSchema(inSchema.fieldIndex(f)).dataType match {
+        case StringType | LongType | IntegerType | ShortType | ByteType |
+             BooleanType => true
+        case _ => false
+      }
+    }
+  }
+
   /** Nodes + flags + leveling + root-path arrays, in ONE single-task
     * narrow pass (the node table is collapsed to one partition — the
     * dim-sized contract). Per node:
@@ -88,8 +107,10 @@ class HierarchyDimension(
       StructField("is_root", BooleanType, nullable = false),
       StructField("is_leaf", BooleanType, nullable = false),
       StructField("level_number", IntegerType, nullable = true),
-      StructField("path", ArrayType(pathStructType, containsNull = false), nullable = true)))
-    val (bound, maxN) = (depthBound, maxNodes)
+      StructField("path", ArrayType(pathStructType, containsNull = false), nullable = true),
+      StructField("node_sort_order", LongType, nullable = true)))
+    val (bound, maxN, fused) = (depthBound, maxNodes, fusedSortable)
+    val fieldNames = fieldIdxs.map(i => inSchema(i).name)
     val rdd = nodes.coalesce(1).queryExecution.toRdd.mapPartitions { it =>
       // buffer + copy: UnsafeRow iterators reuse their backing buffer
       val rows = new scala.collection.mutable.ArrayBuffer[InternalRow]()
@@ -175,8 +196,87 @@ class HierarchyDimension(
         }
         new GenericArrayData(structs)
       }
+      // DFS sort order, fused (see fusedSortable): rank kept nodes by
+      // the '/'-joined per-node JSONs of their root path, compared as
+      // UTF-8 BYTES — exactly the sort key of the legacy
+      // `row_number over (order by array_join(transform(path, to_json)))`
+      // window (UTF8String orders binary; DuckDB's VARCHAR collation is
+      // binary too). Stable sort ⇒ equal keys keep input order, same
+      // as the window over the same single-partition input.
+      val sortOrder = new Array[Long](n)
+      if (fused) {
+        val jsonMemo = new Array[String](n)
+        def jsonOf(idx: Int): String = {
+          if (jsonMemo(idx) == null) {
+            val row = rows(idx)
+            val sb = new java.lang.StringBuilder(64)
+            def str(s: String): Unit = {
+              sb.append('"')
+              var i = 0
+              while (i < s.length) {
+                val c = s.charAt(i)
+                c match {
+                  case '"' => sb.append("\\\"")
+                  case '\\' => sb.append("\\\\")
+                  case '\b' => sb.append("\\b")
+                  case '\t' => sb.append("\\t")
+                  case '\n' => sb.append("\\n")
+                  case '\f' => sb.append("\\f")
+                  case '\r' => sb.append("\\r")
+                  case ctl if ctl < 0x20 =>
+                    sb.append("\\u")
+                    sb.append(f"${ctl.toInt}%04X")
+                  case ch => sb.append(ch)
+                }
+                i += 1
+              }
+              sb.append('"')
+            }
+            sb.append('{')
+            var f = 0
+            while (f < fieldIdxs.length) {
+              if (f > 0) sb.append(',')
+              str(fieldNames(f))
+              sb.append(':')
+              val ci = fieldIdxs(f)
+              if (row.isNullAt(ci)) sb.append("null")
+              else colTypes(ci) match {
+                case StringType => str(row.getUTF8String(ci).toString)
+                case LongType => sb.append(row.getLong(ci))
+                case IntegerType => sb.append(row.getInt(ci))
+                case ShortType => sb.append(row.getShort(ci).toInt)
+                case ByteType => sb.append(row.getByte(ci).toInt)
+                case BooleanType => sb.append(row.getBoolean(ci))
+                case other => throw new IllegalStateException(
+                  s"fused sort on unsupported type $other") // unreachable: fusedSortable
+              }
+              f += 1
+            }
+            sb.append('}')
+            jsonMemo(idx) = sb.toString
+          }
+          jsonMemo(idx)
+        }
+        val kept = (0 until n).filter(i => level(i) > 0 && level(i) <= bound)
+        val keys = kept.map { idx =>
+          val parts = new Array[String](level(idx))
+          var cur = idx
+          var d = level(idx) - 1
+          while (d >= 0) {
+            parts(d) = jsonOf(cur)
+            if (d > 0) cur = byId.get(parentOf(cur)).intValue()
+            d -= 1
+          }
+          parts.mkString("/").getBytes(java.nio.charset.StandardCharsets.UTF_8) -> idx
+        }
+        val ranked = keys.sortWith { case ((a, _), (b, _)) =>
+          java.util.Arrays.compareUnsigned(a, b) < 0
+        }
+        var r = 0
+        while (r < ranked.length) { sortOrder(ranked(r)._2) = r + 1L; r += 1 }
+      }
       rows.iterator.zipWithIndex.map { case (row, idx) =>
-        val out = new Array[Any](nCols + 4)
+        val out = new Array[Any](nCols + 5)
         var c = 0
         while (c < nCols) {
           out(c) = if (row.isNullAt(c)) null else row.get(c, colTypes(c))
@@ -188,6 +288,8 @@ class HierarchyDimension(
         val kept = level(idx) > 0 && level(idx) <= bound
         out(nCols + 2) = if (kept) level(idx) else null           // level_number
         out(nCols + 3) = if (kept) pathOf(idx) else null          // path
+        out(nCols + 4) =
+          if (fused && kept) sortOrder(idx) else null             // node_sort_order
         new GenericInternalRow(out): InternalRow
       }
     }
@@ -199,7 +301,8 @@ class HierarchyDimension(
   /** Nodes + `is_root` / `is_leaf` flags
     * (reference: classes/hierarchy_dimension_table.py:96-107).
     */
-  lazy val flaggedNodes: DataFrame = enriched.drop("level_number", "path")
+  lazy val flaggedNodes: DataFrame =
+    enriched.drop("level_number", "path", "node_sort_order")
 
   private def pathStruct: Column = struct(levelFields.map(col): _*)
 
@@ -217,15 +320,20 @@ class HierarchyDimension(
     * by default omits the field — a null levelField would change both
     * the sort key and node_json vs the oracle/reference otherwise.
     */
-  lazy val reportingDimWithPath: DataFrame = {
-    val pathKey = array_join(
-      expr("transform(path, x -> to_json(x, map('ignoreNullFields','false')))"), "/")
-    enriched
-      .filter(col("path").isNotNull)
-      .withColumn("node_sort_order",
-        row_number().over(Window.orderBy(pathKey)).cast("long"))
-      .cache()
-  }
+  lazy val reportingDimWithPath: DataFrame =
+    if (fusedSortable) {
+      // node_sort_order already computed in the single-task pass — no
+      // window job, no second cache (enriched is the cached frame)
+      enriched.filter(col("path").isNotNull)
+    } else {
+      val pathKey = array_join(
+        expr("transform(path, x -> to_json(x, map('ignoreNullFields','false')))"), "/")
+      enriched
+        .filter(col("path").isNotNull)
+        .withColumn("node_sort_order",
+          row_number().over(Window.orderBy(pathKey)).cast("long"))
+        .cache()
+    }
 
   /** Reporting dimension: `level_number`, DFS `node_sort_order`, the
     * per-node `node_json` struct-as-JSON column, and flattened

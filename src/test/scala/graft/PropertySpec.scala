@@ -106,6 +106,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("fused DFS sort order equals the to_json window reference on hostile names") {
+    import org.apache.spark.sql.expressions.Window
+    // names deliberately include JSON-escaping and collation hazards:
+    // quotes, backslashes, control chars, '/', unicode above ASCII
+    val nameGen = Gen.listOfN(6, Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('"', '\\', '\n', '\t', '\u0001', 'é', '文', ' ', '/', '{')))
+      .map(_.mkString)
+    val n = 48
+    val names = samples(nameGen, n)
+    val parentPick = samples(Gen.choose(0, n - 1), n)
+    val rows = (0 until n).map { i =>
+      val parent = if (i == 0) null else s"n${parentPick(i) % i}" // parents earlier → acyclic
+      (s"n$i", i.toLong, names(i), "L", parent)
+    }
+    val df = rows.toDF("node_id", "node_natural_key", "node_name", "level_name", "parent_node_id")
+    val dim = new graft.operators.HierarchyDimension(df)
+    val withRef = dim.reportingDimWithPath.withColumn("ref_order",
+      row_number().over(Window.orderBy(array_join(
+        expr("transform(path, x -> to_json(x, map('ignoreNullFields','false')))"), "/")))
+        .cast("long"))
+    val mismatch = withRef.filter(col("node_sort_order") =!= col("ref_order"))
+    assert(mismatch.count() == 0,
+      mismatch.select("node_id", "node_name", "node_sort_order", "ref_order")
+        .collect().mkString("\n"))
+  }
+
   test("topkRows equals (score desc, term asc) sort-take reference on random data") {
     import graft.functions.TopKAggregate.topkRows
     val rowGen = for {
