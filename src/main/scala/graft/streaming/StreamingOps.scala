@@ -253,7 +253,10 @@ object StreamingQueries {
       val adim = graft.operators.HierarchyQueries.dimension(s, d).aggregationDim
       val dir = java.nio.file.Files.createTempDirectory("graft_mv_stream")
         .resolve("facts").toString
+      // prune to the MV's columns before the temp write: the stream
+      // (and the write) carry only what rollupMv reads
       graft.operators.HierarchyAgg.salesFacts(s, d)
+        .select("leaf_key", "customer_id", "unit_quantity", "sales_amount")
         .repartition(4).write.mode("overwrite").parquet(dir)
       val schema = s.read.parquet(dir).schema
       val stream = s.readStream.schema(schema)
