@@ -386,7 +386,85 @@ class HierarchyDimension(
         explode(expr(s"transform(path, x -> x.$nodeIdCol)")).as("ancestor_node_id"),
         col(nodeIdCol).as("descendant_node_id"))
 
-  lazy val aggregationDim: DataFrame = {
+  /** Fused-mode closure: the cached single-partition `enriched` frame
+    * already holds every node's attributes AND root path, so the
+    * closure generates in ONE narrow pass — buffer the partition,
+    * index by node id, emit (descendant attrs × each path ancestor's
+    * attrs) lazily. Replaces the explode + broadcast-self-join jobs
+    * of the legacy path (kept below for the non-fused fallback);
+    * output rows are identical (h3's oracle hashes the full closure).
+    * Same single-task contract as the leveling pass: dim-sized by the
+    * `maxNodes` guard, emitted as an iterator — never materialized
+    * wholesale in memory.
+    */
+  private def fusedClosure: DataFrame = {
+    val spark = nodes.sparkSession
+    val src = enriched.filter(col("path").isNotNull)
+    val inSchema = src.schema
+    val famIdxs = familyCols.map(inSchema.fieldIndex).toArray
+    val famTypes = famIdxs.map(i => inSchema(i).dataType)
+    val idIdx = inSchema.fieldIndex(nodeIdCol)
+    val idType = inSchema(idIdx).dataType
+    val pathIdx = inSchema.fieldIndex("path")
+    val pathType = inSchema(pathIdx).dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    val pathIdFieldIdx = pathType.fieldIndex(nodeIdCol)
+    val pathIdFieldType = pathType(pathIdFieldIdx).dataType
+    val levelIdx = inSchema.fieldIndex("level_number")
+    val outSchema = StructType(
+      familyCols.map(c => StructField(s"descendant_$c",
+        inSchema(inSchema.fieldIndex(c)).dataType, nullable = true)) ++
+      familyCols.map(c => StructField(s"ancestor_$c",
+        inSchema(inSchema.fieldIndex(c)).dataType, nullable = true)) :+
+      StructField("net_level", IntegerType, nullable = true))
+    val rdd = src.queryExecution.toRdd.mapPartitions { it =>
+      val rows = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+      it.foreach(rows += _.copy())
+      def famOf(r: InternalRow): Array[Any] = {
+        val fam = new Array[Any](famIdxs.length)
+        var f = 0
+        while (f < famIdxs.length) {
+          val ci = famIdxs(f)
+          fam(f) = if (r.isNullAt(ci)) null else r.get(ci, famTypes(f))
+          f += 1
+        }
+        fam
+      }
+      val famById = new java.util.HashMap[Any, (Array[Any], Int)](rows.length * 2)
+      rows.foreach { r =>
+        if (!r.isNullAt(idIdx))
+          famById.put(r.get(idIdx, idType), (famOf(r), r.getInt(levelIdx)))
+      }
+      rows.iterator.flatMap { r =>
+        // descendant attrs come from the row itself (a null-id node is
+        // still a descendant; it just never resolves as an ANCESTOR —
+        // matching the legacy equi-join, where a null ancestor id
+        // never matches and that pair drops)
+        val descFam = famOf(r)
+        val descLevel = r.getInt(levelIdx)
+        val path = r.getArray(pathIdx)
+        (0 until path.numElements()).iterator.flatMap { p =>
+          val ancStruct = path.getStruct(p, pathType.length)
+          val ancId =
+            if (ancStruct.isNullAt(pathIdFieldIdx)) null
+            else ancStruct.get(pathIdFieldIdx, pathIdFieldType)
+          val anc = if (ancId == null) null else famById.get(ancId)
+          if (anc == null) Iterator.empty
+          else {
+            val out = new Array[Any](famIdxs.length * 2 + 1)
+            System.arraycopy(descFam, 0, out, 0, famIdxs.length)
+            System.arraycopy(anc._1, 0, out, famIdxs.length, famIdxs.length)
+            out(famIdxs.length * 2) = descLevel - anc._2
+            Iterator.single(new GenericInternalRow(out): InternalRow)
+          }
+        }
+      }
+    }
+    org.apache.spark.sql.GraftColumnBridge
+      .dataFrameFromInternalRows(spark, outSchema, rdd)
+  }
+
+  lazy val aggregationDim: DataFrame = if (fusedSortable) fusedClosure else {
     val rd = reportingDim
     val descendants = reportingDimWithPath
       .withColumn("__ancestor_id", explode(expr(s"transform(path, x -> x.$nodeIdCol)")))
