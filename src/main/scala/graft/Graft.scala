@@ -68,6 +68,14 @@ object Graft {
   def hierarchyDiff(before: HierarchyDimension, after: HierarchyDimension): DataFrame =
     HierarchyDimension.closureDiff(before, after)
 
+  /** Point-in-time node set of an SCD2-versioned hierarchy — feed the
+    * result to [[hierarchy]] to roll up against the tree as it was on
+    * `asOfDate`.
+    */
+  def hierarchyAsOf(versionedNodes: DataFrame, asOfDate: Column,
+      validFrom: String = "valid_from", validTo: String = "valid_to"): DataFrame =
+    HierarchyDimension.asOf(versionedNodes, asOfDate, validFrom, validTo)
+
   /** Two-pass dynamic pivot: value domain discovered from the data,
     * then pivoted wide; see [[operators.Olap.dynamicPivot]].
     */

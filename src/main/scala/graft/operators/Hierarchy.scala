@@ -507,6 +507,20 @@ object HierarchyDimension {
     (graft.sources.Sources.read(spark, s"$dir/reporting_dim"),
       graft.sources.Sources.read(spark, s"$dir/aggregation_dim"))
 
+  /** Point-in-time node set of a VERSIONED hierarchy: rows carry SCD2
+    * validity windows (`valid_from` ≤ t < `valid_to`); the filter
+    * selects the one version of each node live at `asOf`, yielding a
+    * plain parent-child table ready for dimension derivation — the
+    * "rollup with the hierarchy as it was on date X" workflow
+    * (time-travel twin of [[closureDiff]]'s cache-invalidation view).
+    * Dim-sized: the predicate prunes before any derivation work.
+    */
+  def asOf(versionedNodes: DataFrame, asOfDate: Column,
+      validFrom: String = "valid_from", validTo: String = "valid_to"): DataFrame =
+    versionedNodes
+      .filter(col(validFrom) <= asOfDate && asOfDate < col(validTo))
+      .drop(validFrom, validTo)
+
   /** Diff two versions of a hierarchy: the added/removed
     * ancestor–descendant pairs — exactly the rows a rollup cache must
     * invalidate after a hierarchy edit. Both sides use the lightweight

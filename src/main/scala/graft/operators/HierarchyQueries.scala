@@ -67,7 +67,40 @@ object HierarchyQueries {
         knownDepth = 3)
     }
 
+  /** SCD2-VERSIONED node table: every node valid for all time, except
+    * n8 (INDIA), which has two versions — under Asia until 1996-01-01,
+    * under r0 Africa from then on. Deterministic windows so the oracle
+    * can rebuild the same point-in-time snapshot.
+    */
+  def versionedRegionNationNodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = HierarchyAgg.regionNationNodes(spark, sfDir)
+      .withColumn("valid_from", to_date(lit("1992-01-01")))
+      .withColumn("valid_to", to_date(lit("9999-01-01")))
+    val n8v1 = base.filter(col("node_id") === "n8")
+      .withColumn("valid_to", to_date(lit("1996-01-01")))
+    val n8v2 = base.filter(col("node_id") === "n8")
+      .withColumn("parent_node_id", lit("r0"))
+      .withColumn("valid_from", to_date(lit("1996-01-01")))
+    base.filter(col("node_id") =!= "n8").unionByName(n8v1).unionByName(n8v2)
+  }
+
+  def asOfDimension(spark: SparkSession, sfDir: String, asOf: String): HierarchyDimension =
+    cached(spark, s"region_nation_asof_$asOf", sfDir)(
+      new HierarchyDimension(
+        HierarchyDimension.asOf(
+          versionedRegionNationNodes(spark, sfDir), to_date(lit(asOf))),
+        knownDepth = 3))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TIME-VERSIONED rollup: the flagship aggregation against the
+    // hierarchy AS IT WAS on 1996-06-01 — after n8's reparent, so
+    // India's facts roll up under Africa. SCD2 validity windows on the
+    // node table + a point-in-time filter + the unchanged engine: the
+    // "restate history under the current org tree" workflow inverted.
+    "h13_asof_rollup" -> ((s, d) =>
+      HierarchyAgg.hierarchicalRollup(
+        HierarchyAgg.salesFacts(s, d),
+        asOfDimension(s, d, "1996-06-01").aggregationDim)),
     "h1_nodes" -> ((s, d) => dimension(s, d).flaggedNodes),
     "h2_reporting_dim" -> ((s, d) => dimension(s, d).reportingDim),
     "h3_aggregation_dim" -> ((s, d) => dimension(s, d).aggregationDim),
@@ -264,6 +297,19 @@ object HierarchyQueries {
   UNION ALL
   SELECT 'online', CAST(500 AS BIGINT), 'Online Direct', 'Channel', 'root'""")
 
+  /** The hierarchy as-of 1996-06-01: n8's second SCD2 version is live,
+    * so its parent is r0 (mirrors [[versionedRegionNationNodes]]).
+    */
+  private def movedPrelude: String = preludeWith("""
+  SELECT 'root' AS node_id, CAST(-1 AS BIGINT) AS node_natural_key,
+         'All Regions' AS node_name, 'Total' AS level_name,
+         CAST(NULL AS VARCHAR) AS parent_node_id
+  UNION ALL
+  SELECT 'r' || r_regionkey, CAST(100 + r_regionkey AS BIGINT), r_name, 'Region', 'root' FROM region
+  UNION ALL
+  SELECT 'n' || n_nationkey, CAST(n_nationkey AS BIGINT), n_name, 'Nation',
+         'r' || CASE WHEN n_nationkey = 8 THEN 0 ELSE n_regionkey END FROM nation""")
+
   private def partPrelude: String = preludeWith("""
   SELECT 'root' AS node_id, CAST(-1 AS BIGINT) AS node_natural_key,
          'All Parts' AS node_name, 'Total' AS level_name,
@@ -388,6 +434,8 @@ FROM rdim""",
       s"""${prelude(false)}
 SELECT * FROM adim""",
     "h4_hier_agg" -> rollupSql(deep = false, "c.c_nationkey"),
+    // point-in-time snapshot of the versioned hierarchy (n8 → r0 live)
+    "h13_asof_rollup" -> rollupSqlWith(movedPrelude, "c.c_nationkey"),
     // incremental maintenance ≡ full recompute (same SQL as h4)
     "h9_incremental_rollup" -> rollupSql(deep = false, "c.c_nationkey"),
     "h6_hier_agg_parts" -> rollupSqlWith(partPrelude, "l.l_partkey"),

@@ -227,6 +227,20 @@ class HierarchySpec extends SparkSpec {
     }
   }
 
+  test("h13: as-of selects the point-in-time hierarchy version") {
+    // before the reparent date: snapshot ≡ the base hierarchy
+    val pre = HierarchyQueries.asOfDimension(spark, sf, "1995-06-01")
+    assert(HierarchyDimension.closureDiff(
+      HierarchyQueries.dimension(spark, sf), pre).count() == 0)
+    // after: n8 sits under r0 — the closure carries (r0, n8), not (r2, n8)
+    val post = HierarchyQueries.asOfDimension(spark, sf, "1996-06-01")
+    val pairs = post.closurePairs.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("r0", "n8")) && !pairs.contains(("r2", "n8")))
+    // and the rollup emits one row per node of the snapshot hierarchy
+    assert(SparkEntry.queries("h13_asof_rollup")(spark, sf).count() == 31)
+  }
+
   test("broadcastDim=false (wide-dim shuffle fallback) is result-identical") {
     val facts = HierarchyAgg.salesFacts(spark, sf)
     val dim = HierarchyQueries.dimension(spark, sf).aggregationDim
