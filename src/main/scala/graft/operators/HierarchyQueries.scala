@@ -101,6 +101,45 @@ object HierarchyQueries {
       HierarchyAgg.hierarchicalRollup(
         HierarchyAgg.salesFacts(s, d),
         asOfDimension(s, d, "1996-06-01").aggregationDim)),
+    // HISTORY-CORRECT rollup (the slowly-changing-rollup): every fact
+    // routes through the hierarchy version live AT ITS ORDER DATE —
+    // orders before n8's 1996-01-01 reparent aggregate India under
+    // Asia, later ones under Africa. Scale shape: facts pre-aggregate
+    // to (leaf, order date) grain — one shuffle, map-side combine,
+    // cardinality |leaves| × |dates| — then the date-windowed closure
+    // union (both versions, validity-tagged, dim-sized) joins
+    // broadcast with the window predicate deciding the version.
+    "h14_history_rollup" -> ((s, d) => {
+      val cutoff = "1996-01-01"
+      val c1 = dimension(s, d).closurePairs
+        .withColumn("vf", to_date(lit("1992-01-01")))
+        .withColumn("vt", to_date(lit(cutoff)))
+      val c2 = asOfDimension(s, d, "1996-06-01").closurePairs
+        .withColumn("vf", to_date(lit(cutoff)))
+        .withColumn("vt", to_date(lit("9999-01-01")))
+      val closures = c1.unionByName(c2)
+      val li = graft.Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      val ord = graft.Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val cust = graft.Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val pre = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(
+          concat(lit("n"), col("c_nationkey").cast("string")).as("leaf_node_id"),
+          col("o_orderdate"))
+        .agg(sum("l_extendedprice").as("s"), sum("l_quantity").as("q"),
+          count(lit(1)).as("n"))
+      pre
+        .join(broadcast(closures),
+          col("descendant_node_id") === col("leaf_node_id") &&
+            col("o_orderdate") >= col("vf") && col("o_orderdate") < col("vt"))
+        .groupBy("ancestor_node_id")
+        .agg(round(sum("s"), 2).as("sum_sales_amount"),
+          round(sum("q"), 2).as("sum_unit_quantity"),
+          sum("n").as("count_of_fact_records"))
+    }),
     "h1_nodes" -> ((s, d) => dimension(s, d).flaggedNodes),
     "h2_reporting_dim" -> ((s, d) => dimension(s, d).reportingDim),
     "h3_aggregation_dim" -> ((s, d) => dimension(s, d).aggregationDim),
@@ -436,6 +475,37 @@ SELECT * FROM adim""",
     "h4_hier_agg" -> rollupSql(deep = false, "c.c_nationkey"),
     // point-in-time snapshot of the versioned hierarchy (n8 → r0 live)
     "h13_asof_rollup" -> rollupSqlWith(movedPrelude, "c.c_nationkey"),
+    // facts route through the closure version live at their order date
+    "h14_history_rollup" ->
+      """WITH RECURSIVE n1 AS (
+  SELECT 'root' AS node_id, CAST(NULL AS VARCHAR) AS parent
+  UNION ALL SELECT 'r' || r_regionkey, 'root' FROM region
+  UNION ALL SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation),
+n2 AS (
+  SELECT node_id,
+         CASE WHEN node_id = 'n8' THEN 'r0' ELSE parent END AS parent
+  FROM n1),
+anc1 AS (
+  SELECT node_id, node_id AS anc FROM n1
+  UNION ALL SELECT n.node_id, a.anc FROM n1 n JOIN anc1 a ON n.parent = a.node_id),
+anc2 AS (
+  SELECT node_id, node_id AS anc FROM n2
+  UNION ALL SELECT n.node_id, a.anc FROM n2 n JOIN anc2 a ON n.parent = a.node_id),
+f AS (
+  SELECT 'n' || c.c_nationkey AS leaf, o.o_orderdate AS od,
+         l.l_extendedprice AS s, l.l_quantity AS q
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey),
+routed AS (
+  SELECT a.anc, f.s, f.q FROM f JOIN anc1 a ON a.node_id = f.leaf
+  WHERE f.od < TIMESTAMP '1996-01-01 00:00:00'
+  UNION ALL
+  SELECT a.anc, f.s, f.q FROM f JOIN anc2 a ON a.node_id = f.leaf
+  WHERE f.od >= TIMESTAMP '1996-01-01 00:00:00')
+SELECT anc AS ancestor_node_id, ROUND(SUM(s), 2) AS sum_sales_amount,
+       ROUND(SUM(q), 2) AS sum_unit_quantity,
+       COUNT(*) AS count_of_fact_records
+FROM routed GROUP BY anc""",
     // incremental maintenance ≡ full recompute (same SQL as h4)
     "h9_incremental_rollup" -> rollupSql(deep = false, "c.c_nationkey"),
     "h6_hier_agg_parts" -> rollupSqlWith(partPrelude, "l.l_partkey"),

@@ -241,6 +241,29 @@ class HierarchySpec extends SparkSpec {
     assert(SparkEntry.queries("h13_asof_rollup")(spark, sf).count() == 31)
   }
 
+  test("h14: history rollup splits India across Asia/Africa at the reparent date") {
+    val out = SparkEntry.queries("h14_history_rollup")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("count_of_fact_records")).toMap
+    val li = Tables.lineitem(spark, sf).select("l_orderkey")
+    val ord = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = Tables.customer(spark, sf).select("c_custkey", "c_nationkey")
+    val nat = Tables.nation(spark, sf).select("n_nationkey", "n_regionkey")
+    val facts = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+    def cnt(f: org.apache.spark.sql.DataFrame) = f.count()
+    val n8All = cnt(facts.filter(col("c_nationkey") === 8))
+    val n8Pre = cnt(facts.filter(col("c_nationkey") === 8 &&
+      col("o_orderdate") < to_date(lit("1996-01-01"))))
+    val asiaAll = cnt(facts.filter(col("n_regionkey") === 2))
+    val africaAll = cnt(facts.filter(col("n_regionkey") === 0))
+    assert(out("root") == cnt(facts))
+    assert(out("r2") == asiaAll - n8All + n8Pre, s"r2=${out("r2")}")
+    assert(out("r0") == africaAll + (n8All - n8Pre), s"r0=${out("r0")}")
+    // India itself keeps ALL its facts regardless of which parent
+    assert(out("n8") == n8All)
+  }
+
   test("broadcastDim=false (wide-dim shuffle fallback) is result-identical") {
     val facts = HierarchyAgg.salesFacts(spark, sf)
     val dim = HierarchyQueries.dimension(spark, sf).aggregationDim
