@@ -90,15 +90,32 @@ object DedupQueries {
     })
   )
 
-  /** Provenance overlap matrix — see the d9 entry. */
+  /** Provenance overlap matrix — see the d9 entry.
+    *
+    * Sources are few and bounded (a corpus has dozens of provenance
+    * labels, not millions), so this is an AGGREGATION, not a join:
+    * one shuffle groups the exploded gram stream by gram with a
+    * map-side partial `collect_set(source)` (which also dedups
+    * per-gram repeats, so no upfront distinct is needed), then grams
+    * shared by ≥2 sources explode into ordered source pairs — a
+    * posexplode picks `source_a`, a column-arg `slice` yields every
+    * later element as `source_b` — and a second (tiny, |sources|²-
+    * keyed) shuffle counts per pair. The former distinct-gram
+    * self-join shuffled the full gram stream three times and paid a
+    * join for what the bounded domain makes an aggregation; the join
+    * shape is right only when BOTH sides are unbounded (d8's case).
+    */
   def sourceOverlap(docs: DataFrame): DataFrame = {
-    val grams = docs
+    docs
       .select(col("source"),
         explode(wordNgrams(tokens(lower(col("text"))), 5)).as("gram"))
-      .distinct()
-    grams.as("a").join(grams.as("b"),
-        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
-      .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .groupBy("gram")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(col("srcs"), posexplode(col("srcs")).as(Seq("i", "source_a")))
+      .select(col("source_a"),
+        explode(slice(col("srcs"), col("i") + lit(2), size(col("srcs"))))
+          .as("source_b"))
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_shared_grams"))
   }

@@ -255,11 +255,21 @@ class HierarchySpec extends SparkSpec {
     val n8All = cnt(facts.filter(col("c_nationkey") === 8))
     val n8Pre = cnt(facts.filter(col("c_nationkey") === 8 &&
       col("o_orderdate") < to_date(lit("1996-01-01"))))
-    val asiaAll = cnt(facts.filter(col("n_regionkey") === 2))
+    // n8's pre-reparent parent is whatever region the DATA assigns it
+    // (synthetic testdata need not follow TPC-H geography)
+    val n8Home = nat.filter(col("n_nationkey") === 8)
+      .head.getAs[Number]("n_regionkey").intValue
+    assert(n8Home != 0, "reparent target r0 must differ from n8's home region")
+    val homeAll = cnt(facts.filter(col("n_regionkey") === n8Home))
     val africaAll = cnt(facts.filter(col("n_regionkey") === 0))
     assert(out("root") == cnt(facts))
-    assert(out("r2") == asiaAll - n8All + n8Pre, s"r2=${out("r2")}")
+    // home region keeps only n8's pre-cutoff facts; r0 gains the rest
+    assert(out(s"r$n8Home") == homeAll - n8All + n8Pre,
+      s"r$n8Home=${out(s"r$n8Home")}")
     assert(out("r0") == africaAll + (n8All - n8Pre), s"r0=${out("r0")}")
+    // a region touching neither n8 nor the target is unchanged
+    val other = (1 to 4).find(r => r != n8Home).get
+    assert(out(s"r$other") == cnt(facts.filter(col("n_regionkey") === other)))
     // India itself keeps ALL its facts regardless of which parent
     assert(out("n8") == n8All)
   }
