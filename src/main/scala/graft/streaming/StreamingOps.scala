@@ -241,12 +241,16 @@ object StreamingQueries {
     "st8_sliding_window_stream" -> ((s, d) =>
       runStream(s, d)(StreamingOps.slidingWindowAggStream)),
     // STREAMING INCREMENTAL ROLLUP MAINTENANCE: the h9 materialized
-    // view maintained by a stream — the fact table arrives as 4
-    // micro-batches (maxFilesPerTrigger=1 over a 4-file source) and
+    // view maintained by a stream — the fact table arrives as 2
+    // micro-batches (maxFilesPerTrigger=1 over a 2-file source) and
     // foreachBatch folds each into the (node, customer) MV through
     // mergeRollupMv; only the arriving batch ever pays a fact-side
-    // shuffle, exactly the 100 TB continuous-ingest story. Each merge
-    // is materialized (localCheckpoint) because a micro-batch frame is
+    // shuffle, exactly the 100 TB continuous-ingest story. Two batches
+    // exercise both maintenance paths (MV init, then a merge) while
+    // paying the per-batch fixed cost (job scheduling, localCheckpoint)
+    // the minimum number of times — correctness is batch-count-
+    // invariant, so more batches only buy overhead. Each merge is
+    // materialized (localCheckpoint) because a micro-batch frame is
     // only valid inside its own batch. Oracle = the full recompute
     // (h4's SQL): maintenance must be result-identical to recomputing.
     "st9_incremental_rollup_stream" -> ((s, d) => {
@@ -257,7 +261,7 @@ object StreamingQueries {
       // (and the write) carry only what rollupMv reads
       graft.operators.HierarchyAgg.salesFacts(s, d)
         .select("leaf_key", "customer_id", "unit_quantity", "sales_amount")
-        .repartition(4).write.mode("overwrite").parquet(dir)
+        .repartition(2).write.mode("overwrite").parquet(dir)
       val schema = s.read.parquet(dir).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(dir)
