@@ -521,6 +521,21 @@ object HierarchyDimension {
       .filter(col(validFrom) <= asOfDate && asOfDate < col(validTo))
       .drop(validFrom, validTo)
 
+  /** Version-RANGE companion to [[asOf]]: every node version live at
+    * any point of [start, end), windows clipped to the range — the
+    * validity-tagged node set an h14-style history rollup derives its
+    * per-interval closures from (one dimension per distinct
+    * `valid_from` breakpoint in the result). Dim-sized; the overlap
+    * predicate prunes versions wholly outside the range before any
+    * derivation work.
+    */
+  def asOfRange(versionedNodes: DataFrame, start: Column, end: Column,
+      validFrom: String = "valid_from", validTo: String = "valid_to"): DataFrame =
+    versionedNodes
+      .filter(col(validFrom) < end && start < col(validTo))
+      .withColumn(validFrom, greatest(col(validFrom), start))
+      .withColumn(validTo, least(col(validTo), end))
+
   /** Diff two versions of a hierarchy: the added/removed
     * ancestor–descendant pairs — exactly the rows a rollup cache must
     * invalidate after a hierarchy edit. Both sides use the lightweight

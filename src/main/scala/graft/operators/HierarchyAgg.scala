@@ -265,6 +265,52 @@ object HierarchyAgg {
       // empty row would overcount the distinct-customer read-off
       .filter(col("mv_n") =!= 0)
 
+  /** TARGETED MV REPAIR after a hierarchy edit: recompute ONLY the
+    * ancestors whose descendant set changed, keep every other MV row.
+    * [[HierarchyDimension.closureDiff]] names exactly the invalidated
+    * ancestors (a reparent touches the two affected subtree spines —
+    * not the root, whose descendant set is unchanged); the fact stream
+    * is pre-filtered to leaves under those ancestors in the NEW
+    * closure, so at 100 TB a reparent re-shuffles two regions' facts,
+    * not the table. Kept rows translate (old sort order → node_id →
+    * new sort order) through broadcast dim joins because the DFS
+    * numbering shifts with the edit; their partials are reusable
+    * precisely because a non-invalidated node's descendant set — and
+    * therefore its (customer, partial) rows — is identical under both
+    * versions. Output: an MV valid for `newDim`, result-identical to
+    * `rollupMv(facts, newDim.aggregationDim)` (the h16 oracle is the
+    * full-recompute SQL).
+    */
+  def repairRollupMv(mv: DataFrame, facts: DataFrame,
+      oldDim: HierarchyDimension, newDim: HierarchyDimension,
+      factKey: String = "leaf_key"): DataFrame = {
+    val invalidated = HierarchyDimension.closureDiff(oldDim, newDim)
+      .select("ancestor_node_id").distinct()
+    def idsOf(dim: HierarchyDimension, ordAs: String) =
+      dim.aggregationDim.filter(col("net_level") === 0)
+        .select(col("ancestor_node_sort_order").as(ordAs),
+          col("ancestor_node_id"))
+    // survivors: every MV row whose node is NOT invalidated, re-keyed
+    // to the new DFS numbering (removed nodes drop at the newIds join)
+    val kept = mv
+      .join(broadcast(idsOf(oldDim, "ancestor_node_sort_order")),
+        Seq("ancestor_node_sort_order"))
+      .join(broadcast(invalidated), Seq("ancestor_node_id"), "left_anti")
+      .join(broadcast(idsOf(newDim, "new_ord")), Seq("ancestor_node_id"))
+      .select(col("new_ord").as("ancestor_node_sort_order"),
+        col("customer_id"), col("mv_sales"), col("mv_qty"), col("mv_n"))
+    // recompute: the NEW closure restricted to invalidated ancestors;
+    // only facts landing on their leaves enter the pre-agg shuffle
+    val repairClosure = newDim.aggregationDim
+      .join(broadcast(invalidated), Seq("ancestor_node_id"))
+    val affectedLeaves = repairClosure
+      .select(col("descendant_node_natural_key").as("aff_key")).distinct()
+    val repairFacts = facts
+      .join(broadcast(affectedLeaves), col(factKey) === col("aff_key"))
+      .drop("aff_key")
+    kept.unionByName(rollupMv(repairFacts, repairClosure, factKey))
+  }
+
   /** Serve the reference-shaped rollup from the MV: a |nodes|-sized
     * aggregate (distinct customers = count of MV rows per node) plus
     * the broadcast label join. Identical output to the exact

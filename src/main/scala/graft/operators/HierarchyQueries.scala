@@ -233,6 +233,35 @@ object HierarchyQueries {
     // lattice. Engine-specific sketch → rows-only driver check; the
     // HLL-error-vs-exact spec in HierarchySpec is the oracle.
     "h12_multi_hier_approx" -> ((s, d) => multiHierRollup(s, d, approxDistinct = true)),
+    // h10 + the reference's nunique (main.py:42) EXACT on the
+    // two-hierarchy lattice: the opt-in for users who need the true
+    // distinct, not the HLL estimate. The pair-grain MV trick doesn't
+    // cross hierarchies, so the pre-agg keeps customer as a third key
+    // — (geo leaf, part leaf, customer) grain, still ONE fact shuffle
+    // with map-side combine, cardinality bounded by distinct observed
+    // triples (<< facts) — and the lattice groupBy counts distinct
+    // customers per ancestor pair (Catalyst's two-phase Expand). The
+    // extra (pair, customer)-grain shuffle is the intrinsic cost of
+    // exactness; h12's mergeable sketch remains the 100 TB default.
+    "h15_multi_hier_exact" -> ((s, d) =>
+      multiHierRollup(s, d, approxDistinct = false, exactDistinct = true)),
+    // TARGETED MV REPAIR: the composition h7's diff exists for — after
+    // the n8 reparent, the (node, customer) MV maintained under the
+    // OLD hierarchy is repaired by recomputing ONLY the invalidated
+    // ancestors (the two affected region spines; root's descendant set
+    // is unchanged, so its rows survive untouched) against the NEW
+    // closure, with the fact stream pre-filtered to affected leaves.
+    // At 100 TB a hierarchy edit re-shuffles two subtrees' facts, not
+    // the table. Oracle = the full recompute under the edited
+    // hierarchy (h13's SQL): repair must be result-identical.
+    "h16_targeted_mv_repair" -> ((s, d) => {
+      val facts = HierarchyAgg.salesFacts(s, d)
+      val v1 = dimension(s, d)
+      val v2 = asOfDimension(s, d, "1996-06-01")
+      val mv = HierarchyAgg.rollupMv(facts, v1.aggregationDim)
+      HierarchyAgg.finalizeRollup(
+        HierarchyAgg.repairRollupMv(mv, facts, v1, v2), v2.aggregationDim)
+    }),
     // dimension MAINTENANCE: reparent one node (n8 INDIA moves from
     // Asia under r0 Africa) and diff the two closures — the
     // added/removed ancestor–descendant pairs are exactly the rows a
@@ -269,11 +298,16 @@ object HierarchyQueries {
     * via HLL sketches (the reference's `nunique`, main.py:42):
     * `hll_sketch_agg` at pre-agg grain, `hll_union_agg` up the
     * lattice — sketches are mergeable, so the fact stream still pays
-    * only the pre-agg shuffle. Exact mode omits the measure: the
+    * only the pre-agg shuffle. Plain mode omits the measure: the
     * customer dimension doesn't survive the pair-grain pre-agg.
+    *
+    * `exactDistinct = true` (h15) instead keeps `customer_id` as a
+    * third pre-agg key and emits the EXACT `distinct_customer_count`
+    * per ancestor pair — one more shuffle at (pair, customer) grain,
+    * the intrinsic price of exactness over h12's sketch.
     */
   def multiHierRollup(s: SparkSession, d: String,
-      approxDistinct: Boolean): DataFrame = {
+      approxDistinct: Boolean, exactDistinct: Boolean = false): DataFrame = {
     // the ×depth²-expanded fact stream carries and hashes ONLY the two
     // numeric sort-order keys; the six string/level label columns join
     // broadcast onto the 806-row aggregate afterwards (same trick as
@@ -299,8 +333,10 @@ object HierarchyQueries {
       sum("sales_amount").as("s"), sum("unit_quantity").as("q"),
       count(lit(1)).as("n")) ++
       (if (approxDistinct) Seq(hll_sketch_agg(col("customer_id"), 11).as("sk")) else Nil)
+    val preKeys = Seq(col("leaf_key"), col("l_partkey")) ++
+      (if (exactDistinct) Seq(col("customer_id")) else Nil)
     val pre = HierarchyAgg.salesFacts(s, d)
-      .groupBy(col("leaf_key"), col("l_partkey"))
+      .groupBy(preKeys: _*)
       .agg(preMeasures.head, preMeasures.tail: _*)
     val finalMeasures = Seq(
       round(sum("s"), 2).as("sum_sales_amount"),
@@ -309,6 +345,9 @@ object HierarchyQueries {
       (if (approxDistinct)
         Seq(hll_sketch_estimate(hll_union_agg(col("sk")))
           .as("approx_distinct_customer_count"))
+      else Nil) ++
+      (if (exactDistinct)
+        Seq(count_distinct(col("customer_id")).as("distinct_customer_count"))
       else Nil)
     pre
       .join(broadcast(geo), col("leaf_key") === col("geo_desc_key"))
@@ -323,7 +362,8 @@ object HierarchyQueries {
         "brand_node_id", "brand_node_name", "brand_level",
         "sum_sales_amount", "sum_unit_quantity", "count_of_fact_records")
         .map(col) ++
-        (if (approxDistinct) Seq(col("approx_distinct_customer_count")) else Nil): _*)
+        (if (approxDistinct) Seq(col("approx_distinct_customer_count")) else Nil) ++
+        (if (exactDistinct) Seq(col("distinct_customer_count")) else Nil): _*)
   }
 
   /** Shared DuckDB prelude: nodes → flags → recursive leveling → DFS
@@ -492,6 +532,8 @@ SELECT * FROM adim""",
     "h4_hier_agg" -> rollupSql(deep = false, "c.c_nationkey"),
     // point-in-time snapshot of the versioned hierarchy (n8 → r0 live)
     "h13_asof_rollup" -> rollupSqlWith(movedPrelude, "c.c_nationkey"),
+    // targeted repair ≡ full recompute under the edited hierarchy
+    "h16_targeted_mv_repair" -> rollupSqlWith(movedPrelude, "c.c_nationkey"),
     // facts route through the closure version live at their order date
     "h14_history_rollup" ->
       """WITH RECURSIVE n1 AS (
@@ -535,7 +577,16 @@ FROM routed GROUP BY anc""",
               WHEN 'MACHINERY' THEN 4 ELSE 7 END"""),
     // two independent closures (compact anc-pair recursion per
     // hierarchy) joined to the same fact stream
-    "h10_multi_hier_agg" ->
+    "h10_multi_hier_agg" -> multiHierSql(""),
+    // h10 + the exact cross-hierarchy distinct customer count
+    "h15_multi_hier_exact" -> multiHierSql(
+      ",\n       COUNT(DISTINCT f.cust) AS distinct_customer_count")
+  )
+
+  /** Shared two-hierarchy lattice oracle; `extraMeasure` is appended
+    * to the SELECT measure list (h15's exact distinct).
+    */
+  private def multiHierSql(extraMeasure: String): String =
       raw"""WITH RECURSIVE gn AS (
   SELECT 'root' AS node_id, CAST(-1 AS BIGINT) AS k, 'All Regions' AS name,
          CAST(NULL AS VARCHAR) AS parent
@@ -568,6 +619,7 @@ pclo AS (
   SELECT a.anc AS brand_node_id, pn.k AS desc_key FROM panc a JOIN pn ON pn.node_id = a.node_id),
 facts AS (
   SELECT c.c_nationkey AS geo_leaf, l.l_partkey AS part_leaf,
+         c.c_custkey AS cust,
          l.l_extendedprice AS s, l.l_quantity AS q
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey)
@@ -575,7 +627,7 @@ SELECT g.geo_node_id, gm.name AS geo_node_name, CAST(gm.lev AS BIGINT) AS geo_le
        p.brand_node_id, pm.name AS brand_node_name, CAST(pm.lev AS BIGINT) AS brand_level,
        ROUND(SUM(f.s), 2) AS sum_sales_amount,
        ROUND(SUM(f.q), 2) AS sum_unit_quantity,
-       COUNT(*) AS count_of_fact_records
+       COUNT(*) AS count_of_fact_records$extraMeasure
 FROM facts f
 JOIN gclo g ON g.desc_key = f.geo_leaf
 JOIN pclo p ON p.desc_key = f.part_leaf
@@ -583,5 +635,4 @@ JOIN glev gm ON gm.node_id = g.geo_node_id
 JOIN plev pm ON pm.node_id = p.brand_node_id
 WHERE pm.lev <= 2
 GROUP BY 1, 2, 3, 4, 5, 6"""
-  )
 }

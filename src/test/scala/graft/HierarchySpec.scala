@@ -274,6 +274,41 @@ class HierarchySpec extends SparkSpec {
     assert(out("n8") == n8All)
   }
 
+  test("h16: targeted MV repair equals the full recompute under the new hierarchy") {
+    val facts = HierarchyAgg.salesFacts(spark, sf)
+    val v1 = HierarchyQueries.dimension(spark, sf)
+    val v2 = HierarchyQueries.asOfDimension(spark, sf, "1996-06-01")
+    val repaired = SparkEntry.queries("h16_targeted_mv_repair")(spark, sf).collect()
+    val full = HierarchyAgg.finalizeRollup(
+      HierarchyAgg.rollupMv(facts, v2.aggregationDim), v2.aggregationDim).collect()
+    assert(repaired.toSeq == full.toSeq)
+    // the reparent invalidates only the two affected spines: root's
+    // descendant SET is unchanged, so its MV rows survive the repair
+    val inv = HierarchyDimension.closureDiff(v1, v2)
+      .select("ancestor_node_id").distinct().collect().map(_.getString(0)).toSet
+    assert(!inv.contains("root") && inv.contains("r0"))
+  }
+
+  test("asOfRange clips validity windows and keeps every overlapping version") {
+    val versioned = HierarchyQueries.versionedRegionNationNodes(spark, sf)
+    // a range spanning the 1996-01-01 reparent sees BOTH n8 versions,
+    // each clipped to the range
+    val spanning = HierarchyDimension.asOfRange(versioned,
+      to_date(lit("1995-06-01")), to_date(lit("1996-06-01")))
+    val n8 = spanning.filter(col("node_id") === "n8")
+      .select("parent_node_id", "valid_from", "valid_to").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDate(2).toString)).toSet
+    val home = n8.map(_._1).filterNot(_ == "r0").head
+    assert(n8 == Set(
+      (home, "1995-06-01", "1996-01-01"),
+      ("r0", "1996-01-01", "1996-06-01")))
+    // a range inside one window sees exactly one version per node
+    val inside = HierarchyDimension.asOfRange(versioned,
+      to_date(lit("1997-01-01")), to_date(lit("1998-01-01")))
+    assert(inside.filter(col("node_id") === "n8").count() == 1)
+    assert(inside.groupBy("node_id").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("broadcastDim=false (wide-dim shuffle fallback) is result-identical") {
     val facts = HierarchyAgg.salesFacts(spark, sf)
     val dim = HierarchyQueries.dimension(spark, sf).aggregationDim
