@@ -45,13 +45,27 @@ case class TopKByScore(
     StructField("score", DoubleType), StructField("id", LongType))))
   override def prettyName: String = "topk_by_score"
 
+  // ALL score comparisons go through Double.compare (NaN > +Inf >
+  // ... > -0.0-after-0.0), matching Spark's SQL sort ordering: a raw
+  // `>`/`==` pair is always-false against NaN, so a NaN admitted
+  // while the heap was filling would sit at the head and block every
+  // later finite candidate (`better(cand, NaN)` never true) — a
+  // poisoned heap. Under a total order NaN simply ranks best, exactly
+  // where row_number().over(orderBy(desc)) would put it.
   // dequeue() must remove the WORST tuple: smallest sort key, then
   // largest id (so smaller ids survive score ties)
   private val evictOrdering: Ordering[(Double, Double, Long)] =
-    Ordering.by(t => (-t._1, t._3))
+    new Ordering[(Double, Double, Long)] {
+      override def compare(a: (Double, Double, Long), b: (Double, Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._3, b._3)
+      }
+    }
 
-  private def better(cand: (Double, Double, Long), worst: (Double, Double, Long)): Boolean =
-    cand._1 > worst._1 || (cand._1 == worst._1 && cand._3 < worst._3)
+  private def better(cand: (Double, Double, Long), worst: (Double, Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(cand._1, worst._1)
+    c > 0 || (c == 0 && cand._3 < worst._3)
+  }
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Double, Long)] =
     mutable.PriorityQueue.empty[(Double, Double, Long)](evictOrdering)
@@ -81,7 +95,10 @@ case class TopKByScore(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Double, Long)]): Any = {
-    val sorted = buf.toSeq.sortBy(t => (-t._1, t._3))
+    val sorted = buf.toSeq.sortWith { (a, b) =>
+      val c = java.lang.Double.compare(a._1, b._1)
+      c > 0 || (c == 0 && a._3 < b._3)
+    }
     new GenericArrayData(sorted.map(t => InternalRow(t._2, t._3)))
   }
 
@@ -152,9 +169,14 @@ case class TopKRowsByScore(
       }
     }
 
+  // Double.compare, not raw `>`/`==`: NaN must stay inside the total
+  // order (ranked best, as Spark's desc sort would) or a NaN heap
+  // head blocks every later candidate — see TopKByScore
   private def better(cand: (Double, UTF8String, InternalRow),
-      worst: (Double, UTF8String, InternalRow)): Boolean =
-    cand._1 > worst._1 || (cand._1 == worst._1 && cand._2.compareTo(worst._2) < 0)
+      worst: (Double, UTF8String, InternalRow)): Boolean = {
+    val c = java.lang.Double.compare(cand._1, worst._1)
+    c > 0 || (c == 0 && cand._2.compareTo(worst._2) < 0)
+  }
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Double, UTF8String, InternalRow)] =
     mutable.PriorityQueue.empty(evictOrdering)
@@ -193,7 +215,8 @@ case class TopKRowsByScore(
 
   override def eval(buf: mutable.PriorityQueue[(Double, UTF8String, InternalRow)]): Any = {
     val sorted = buf.toSeq.sortWith { (a, b) =>
-      a._1 > b._1 || (a._1 == b._1 && a._2.compareTo(b._2) < 0)
+      val c = java.lang.Double.compare(a._1, b._1)
+      c > 0 || (c == 0 && a._2.compareTo(b._2) < 0)
     }
     new GenericArrayData(sorted.map(_._3))
   }

@@ -16,26 +16,15 @@ object DedupQueries {
     * d6 and d10 run the same component pipeline (shingle → block →
     * verify → CC) in one registry pass, so the second consumer reads
     * the cached frame instead of recomputing the whole loop — the same
-    * contract as [[HierarchyQueries]]'s dim cache. Weak-keyed on the
-    * session so cached plans die with it.
+    * contract as [[HierarchyQueries]]'s dim cache. Dead sessions are
+    * swept on access (see [[graft.SessionCache]]).
     */
-  private val compCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, Double), DataFrame]]())
+  private val compCache = new graft.SessionCache[(String, Double), DataFrame]
 
   private def cachedClusters(s: SparkSession, sfDir: String,
-      minJaccard: Double): DataFrame = {
-    val perSession = compCache.synchronized {
-      var m = compCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[(String, Double), DataFrame]
-        compCache.put(s, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate((sfDir, minJaccard),
+      minJaccard: Double): DataFrame =
+    compCache(s, (sfDir, minJaccard))(
       Dedup.jaccardClusters(Tables.documents(s, sfDir), minJaccard = minJaccard).cache())
-  }
 
   /** Force the shared exact-Jaccard component derivation at `sfDir` so
     * timed d6/d10 runs read the session cache instead of the first

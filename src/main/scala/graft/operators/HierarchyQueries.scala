@@ -16,25 +16,14 @@ object HierarchyQueries {
     * mirrored here via the instance cache (instances cache their
     * derived DataFrames).
     */
-  // weak-keyed on the session: entries (and their cached dims) die
-  // with the session instead of leaking for the JVM lifetime, and
-  // identity is the session object itself (no hashCode collisions)
-  private val dimCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, String), HierarchyDimension]]())
+  // strong map with dead-session sweeping (see [[graft.SessionCache]]:
+  // a weak-keyed map cannot reclaim entries whose values reach the
+  // session through their plans)
+  private val dimCache = new graft.SessionCache[(String, String), HierarchyDimension]
 
   private def cached(spark: SparkSession, kind: String, sfDir: String)(
-      build: => HierarchyDimension): HierarchyDimension = {
-    val perSession = dimCache.synchronized {
-      var m = dimCache.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[(String, String), HierarchyDimension]
-        dimCache.put(spark, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate((kind, sfDir), build)
-  }
+      build: => HierarchyDimension): HierarchyDimension =
+    dimCache(spark, (kind, sfDir))(build)
 
   def dimension(spark: SparkSession, sfDir: String): HierarchyDimension =
     cached(spark, "region_nation", sfDir)(

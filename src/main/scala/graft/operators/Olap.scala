@@ -83,8 +83,17 @@ object Olap {
     val pivoted = df.groupBy(groupCols.map(col): _*).pivot(pivotCol, vals).agg(agg)
     fill match {
       case Some(f) =>
-        vals.map(_.toString).foldLeft(pivoted)(
-          (d, v) => d.withColumn(v, coalesce(col(s"`$v`"), f)))
+        // pivot column NAMES come from data values: they can contain
+        // backticks (breaking a rendered `name` reference) or collide
+        // with a group column (making name-based col() ambiguous), so
+        // reference the output attributes POSITIONALLY — the pivot
+        // contract puts group columns first, then one column per value
+        val out = org.apache.spark.sql.GraftColumnBridge
+          .analyzedPlan(pivoted).output
+        pivoted.select(out.zipWithIndex.map { case (a, i) =>
+          val c = org.apache.spark.sql.GraftColumnBridge.column(a)
+          if (i < groupCols.length) c else coalesce(c, f).as(a.name)
+        }: _*)
       case None => pivoted
     }
   }

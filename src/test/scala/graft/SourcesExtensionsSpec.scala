@@ -251,6 +251,21 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(m == Map("a" -> ((10.0, 20.0)), "b" -> ((5.0, 0.0))))
   }
 
+  test("dynamicPivot fill survives backtick values and group-column collisions") {
+    import spark.implicits._
+    // pivot NAMES come from data: one value contains a backtick (which
+    // breaks rendered `name` references) and one collides with the
+    // group column itself (which makes name-based col() ambiguous)
+    val df = Seq(("a", "x`y", 1.0), ("a", "g", 2.0), ("b", "g", 3.0))
+      .toDF("g", "kind", "v")
+    val out = Olap.dynamicPivot(df, Seq("g"), "kind",
+      sum("v"), fill = Some(lit(0.0)))
+    assert(out.columns.toSeq == Seq("g", "g", "x`y"))
+    val m = out.collect().map(r => r.getString(0) ->
+      (r.getDouble(1), r.getDouble(2))).toMap
+    assert(m == Map("a" -> ((2.0, 1.0)), "b" -> ((3.0, 0.0))))
+  }
+
   test("topKPerGroup keeps exactly the k best rows per group") {
     val o = Tables.orders(spark, sf)
     val got = Olap.topKPerGroup(o, Seq("o_orderpriority"),

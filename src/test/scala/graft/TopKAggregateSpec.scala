@@ -22,6 +22,35 @@ class TopKAggregateSpec extends SparkSpec {
     assert(out("h") == Seq((7.0, 1L)))
   }
 
+  test("topk: NaN ranks best (Spark desc-sort order) and never poisons the heap") {
+    // NaN arrives FIRST, while the heap is filling — under raw
+    // `>`-comparisons it would sit at the head and reject every later
+    // finite candidate; under the Double.compare total order it simply
+    // ranks above +Inf, like row_number over orderBy(desc)
+    val df = Seq(
+      ("g", Double.NaN, 1L), ("g", 0.5, 2L), ("g", 3.0, 3L),
+      ("g", 2.0, 4L), ("g", 1.0, 5L)
+    ).toDF("grp", "s", "i")
+    val out = df.groupBy("grp").agg(topkByScore(col("s"), col("i"), 3).as("top"))
+      .collect().map(r => r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getDouble(0), x.getLong(1)))).head
+    assert(out.map(_._2) == Seq(1L, 3L, 4L), out.toString)
+    assert(out.head._1.isNaN)
+  }
+
+  test("topk-rows: NaN score outranks finite scores without blocking them") {
+    import graft.functions.TopKAggregate.topkRows
+    val rows = Seq(
+      (1L, "nn", Double.NaN, 0L), (1L, "aa", 2.0, 10L),
+      (1L, "bb", 3.0, 20L), (1L, "cc", 1.0, 30L)
+    ).toDF("g", "term", "score", "payload")
+    val out = rows.groupBy("g")
+      .agg(topkRows(col("score"), col("term"),
+        struct(col("term"), col("payload")), 2).as("top"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))).head
+    assert(out == Seq("nn", "bb"), out.toString)
+  }
+
   test("topk aggregate reproduces the brute-force knn result without a window") {
     val emb = Tables.embeddings(spark, sf)
     val c = Similarity.corpus(emb)
