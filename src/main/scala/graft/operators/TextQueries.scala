@@ -184,23 +184,37 @@ object TextQueries {
     // explode + two-level aggregation — the shape that scales (the
     // array-local alternative would be an interpreted lambda).
     "t8_repetition" -> ((s, d) => {
+      // fully NARROW: every measure — including the top-bigram
+      // frequency — is a function of the row's own token array, so
+      // nothing shuffles at any scale. The mode count reads off the
+      // longest run in the row's SORTED bigram array (an aggregate
+      // fold over prev/run/best), replacing the former
+      // groupBy(doc, bigram) → groupBy(doc) → join-back pipeline
+      // (two shuffles and a join for a per-row quantity).
       val base = Tables.documents(s, d)
         .withColumn("toks", tokens(lower(col("text"))))
         .withColumn("grams5", wordNgrams(col("toks"), 5))
         .select(col("doc_id"), col("toks"), col("grams5"))
-      val topBigram = base
-        .select(col("doc_id"), explode(wordNgrams(col("toks"), 2)).as("bg"))
-        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max("c").as("top_bigram_freq"))
+      val bgs = sort_array(wordNgrams(col("toks"), 2))
+      val topBigram = aggregate(
+        bgs,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"),
+            acc.getField("run") + 1).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
       base
-        .join(topBigram, Seq("doc_id"), "left")
+        .withColumn("top_bigram_freq", topBigram)
         .select(
           col("doc_id"),
           size(col("toks")).cast("long").as("n_tokens"),
           size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
           round(lit(1.0) - size(array_distinct(col("toks"))).cast("double")
             / size(col("toks")), 6).as("dup_word_frac"),
-          coalesce(col("top_bigram_freq"), lit(0L)).as("top_bigram_freq"),
+          col("top_bigram_freq"),
           when(size(col("grams5")) > 0,
             round(lit(1.0) - size(array_distinct(col("grams5"))).cast("double")
               / size(col("grams5")), 6)).otherwise(0.0).as("dup_5gram_frac"))
@@ -241,14 +255,22 @@ object TextQueries {
       val v = uc.agg(count(lit(1)).as("v"))
       val bi = t.select(col("doc_id"), explode(wordNgrams(col("toks"), 2)).as("bg"))
       val bc = bi.groupBy("bg").agg(count(lit(1)).as("bc"))
-      bi.join(bc, "bg")
+      // fold the unigram count and vocab size into the DICTIONARY-
+      // sized bigram table (|distinct bigrams| rows) so the raw bigram
+      // STREAM pays only the one model join — joining uc onto the
+      // stream instead would re-shuffle every token occurrence a
+      // second time for values that are pure functions of the bigram
+      val model = bc
         .withColumn("w", split(col("bg"), " ").getItem(0))
         .join(uc, "w")
         .crossJoin(broadcast(v))
+        .select(col("bg"),
+          (-log((col("bc") + 1).cast("double") /
+            (col("wc") + col("v")).cast("double"))).as("nlp"))
+      bi.join(model, "bg")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
-          round(avg(-log((col("bc") + 1).cast("double") /
-            (col("wc") + col("v")).cast("double"))), 6).as("avg_neg_logprob"))
+          round(avg(col("nlp")), 6).as("avg_neg_logprob"))
     }),
 
     // PII / denylist scrubbing — the redaction stage of a corpus
