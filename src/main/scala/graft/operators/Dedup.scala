@@ -527,15 +527,18 @@ object Dedup {
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
       .filter(col("a.label") === col("b.label"))
+      // compute the cosine BEFORE the pair dedup: a pair colliding in
+      // several tables re-evaluates the (cheap, deterministic) dot
+      // product per collision, but the dedup shuffle then carries only
+      // (id, id, cos) instead of both full embedding vectors — at
+      // scale the shuffle payload, not the arithmetic, is the cost.
+      // Fenced so the threshold filter can't inline the dot product
+      // and evaluate it twice (filter + projection).
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.v").as("va"), col("a.nrm").as("na"),
-        col("b.v").as("vb"), col("b.nrm").as("nb"))
+        graft.functions.OptimizationFence.fence(
+          dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
       // a pair can collide in several tables — count it once
       .dropDuplicates("vec_a", "vec_b")
-      // fenced: the threshold filter would otherwise inline the dot
-      // product and evaluate it twice (filter + output projection)
-      .withColumn("cos", graft.functions.OptimizationFence.fence(
-        dot(col("va"), col("vb")) / (col("na") * col("nb"))))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
   }
