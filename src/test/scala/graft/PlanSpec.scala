@@ -70,6 +70,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("h15: exact lattice distinct keeps closures broadcast; no SortMergeJoin") {
+    val p = plan("h15_multi_hier_exact")
+    // the triple-key pre-agg feeds broadcast closure joins exactly like
+    // h10; the exact distinct is the one extra (pair, customer)-grain
+    // aggregation phase, never a join
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("h16: MV repair fact path broadcasts; only the dim-sized diff sort-merges") {
+    val p = plan("h16_targeted_mv_repair")
+    // the kept-rows translation and the invalidated-ancestor recompute
+    // join dim-sized sides broadcast; the ONLY sort-merge joins allowed
+    // are closureDiff's full-outer pair diffs (full outer cannot
+    // broadcast, and both sides are dim-sized closures keyed on
+    // ancestor_node_id — never the fact stream)
+    val smj = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smj.forall(_.contains("ancestor_node_id")), smj.mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q5: top-k plans as TakeOrderedAndProject (no global sort shuffle)") {
     val p = plan("q5_sort_limit")
     assert(p.contains("TakeOrderedAndProject"), p)
