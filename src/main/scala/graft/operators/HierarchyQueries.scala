@@ -330,10 +330,23 @@ object HierarchyQueries {
     val geo = dimension(s, d).aggregationDim.select(
       col("ancestor_node_sort_order").as("geo_ord"),
       col("descendant_node_natural_key").as("geo_desc_key"))
-    val brand = partDimension(s, d).aggregationDim
-      .filter(col("ancestor_level_number") <= 2)
+    val partDim = partDimension(s, d).aggregationDim
+    // the lattice's brand axis never outputs below Brand (part grain
+    // belongs to h6), so route facts part → brand with a broadcast
+    // map BEFORE the pre-agg: the pre-agg grain collapses from
+    // (geo leaf × 20k parts) to (geo leaf × ~26 brands) — which is
+    // what the shuffle (and h12's per-row HLL sketch payload) carries.
+    // Both this map and the old part-keyed closure are part-dim-sized
+    // broadcasts; the grain of the pre-agg OUTPUT is what changes.
+    val partToBrand = partDim
+      .filter(col("net_level") === 1 && col("ancestor_level_number") === 2)
+      .select(col("descendant_node_natural_key").as("pb_part_key"),
+        col("ancestor_node_natural_key").as("brand_key"))
+    // brand-and-up closure keyed on the BRAND's natural key
+    val brand = partDim
+      .filter(col("descendant_level_number") === 2)
       .select(col("ancestor_node_sort_order").as("brand_ord"),
-        col("descendant_node_natural_key").as("part_desc_key"))
+        col("descendant_node_natural_key").as("brand_desc_key"))
     def labels(dim: HierarchyDimension, prefix: String, ord: String) =
       dim.aggregationDim.filter(col("net_level") === 0).select(
         col("ancestor_node_sort_order").as(ord),
@@ -341,15 +354,18 @@ object HierarchyQueries {
         col("ancestor_node_name").as(s"${prefix}_node_name"),
         col("ancestor_level_number").cast("long").as(s"${prefix}_level"))
     // lgConfigK 11 (stderr ~2.3%, spec floor 10%): the sketches live at
-    // the pre-agg grain, so their size IS the pre-agg shuffle's payload
-    // — half the bytes of the default lgK 12 for accuracy to spare
+    // the (leaf, brand) pre-agg grain, so their size IS the pre-agg
+    // shuffle's payload — half the bytes of the default lgK 12 for
+    // accuracy to spare
     val preMeasures = Seq(
       sum("sales_amount").as("s"), sum("unit_quantity").as("q"),
       count(lit(1)).as("n")) ++
       (if (approxDistinct) Seq(hll_sketch_agg(col("customer_id"), 11).as("sk")) else Nil)
-    val preKeys = Seq(col("leaf_key"), col("l_partkey")) ++
+    val preKeys = Seq(col("leaf_key"), col("brand_key")) ++
       (if (exactDistinct) Seq(col("customer_id")) else Nil)
     val pre = HierarchyAgg.salesFacts(s, d)
+      .join(broadcast(partToBrand),
+        col("l_partkey").cast("long") === col("pb_part_key"))
       .groupBy(preKeys: _*)
       .agg(preMeasures.head, preMeasures.tail: _*)
     val finalMeasures = Seq(
@@ -365,8 +381,7 @@ object HierarchyQueries {
       else Nil)
     pre
       .join(broadcast(geo), col("leaf_key") === col("geo_desc_key"))
-      .join(broadcast(brand),
-        col("l_partkey").cast("long") === col("part_desc_key"))
+      .join(broadcast(brand), col("brand_key") === col("brand_desc_key"))
       .groupBy("geo_ord", "brand_ord")
       .agg(finalMeasures.head, finalMeasures.tail: _*)
       .join(broadcast(labels(dimension(s, d), "geo", "geo_ord")), Seq("geo_ord"))
