@@ -76,6 +76,22 @@ object Graft {
       validFrom: String = "valid_from", validTo: String = "valid_to"): DataFrame =
     HierarchyDimension.asOf(versionedNodes, asOfDate, validFrom, validTo)
 
+  /** Version-range companion to [[hierarchyAsOf]]: every node version
+    * live during [start, end), validity windows clipped to the range.
+    */
+  def hierarchyAsOfRange(versionedNodes: DataFrame, start: Column, end: Column,
+      validFrom: String = "valid_from", validTo: String = "valid_to"): DataFrame =
+    HierarchyDimension.asOfRange(versionedNodes, start, end, validFrom, validTo)
+
+  /** Targeted MV repair after a hierarchy edit: recompute ONLY the
+    * ancestors [[hierarchyDiff]] invalidates, keep every other row of
+    * the (node, customer) MV; see
+    * [[operators.HierarchyAgg.repairRollupMv]].
+    */
+  def repairRollupMv(mv: DataFrame, facts: DataFrame,
+      before: HierarchyDimension, after: HierarchyDimension): DataFrame =
+    HierarchyAgg.repairRollupMv(mv, facts, before, after)
+
   /** Two-pass dynamic pivot: value domain discovered from the data,
     * then pivoted wide; see [[operators.Olap.dynamicPivot]].
     */
