@@ -37,6 +37,7 @@ object Bench {
     try {
       graft.operators.HierarchyQueries.warmDims(spark, sfDir)
       graft.operators.DedupQueries.warmComponents(spark, sfDir)
+      graft.streaming.StreamingQueries.warmFixtures(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] cache pre-warm skipped: ${e.getMessage}") }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -34,6 +34,7 @@ object Prof {
     }
     graft.operators.HierarchyQueries.warmDims(spark, sfDir)
     graft.operators.DedupQueries.warmComponents(spark, sfDir)
+    graft.streaming.StreamingQueries.warmFixtures(spark, sfDir)
     names.foreach { n =>
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
