@@ -211,7 +211,7 @@ object StreamingQueries {
     * session-identity oracle.
     */
   private def runStream(spark: SparkSession, sfDir: String,
-      outputMode: String = "complete")(
+      outputMode: String = "complete", parts: Int = 8)(
       build: DataFrame => DataFrame): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
     java.nio.file.Files.createSymbolicLink(
@@ -230,7 +230,7 @@ object StreamingQueries {
     // state layout for the query's lifetime) — scope it down here and
     // restore the session setting afterwards.
     val partsWas = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {
       val q = build(ev).writeStream
         .outputMode(outputMode).format("memory").queryName(qname).start()
@@ -350,7 +350,11 @@ object StreamingQueries {
     // the 30-minute window, never the whole stream. Inner stream-stream
     // joins emit on match → append mode.
     "st7_stream_stream_join" -> ((s, d) =>
-      runStream(s, d, outputMode = "append") { ev =>
+      // a stream-stream join allocates FOUR state stores per shuffle
+      // partition (left/right × keyed/keyless); at bench scale the
+      // store setup dominates, so scope the join to 4 partitions —
+      // in production this knob is per-query state layout sizing
+      runStream(s, d, outputMode = "append", parts = 4) { ev =>
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("event_id").as("click_id"),
             col("ts").as("click_ts"))
