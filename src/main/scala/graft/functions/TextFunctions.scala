@@ -72,6 +72,23 @@ object TextFunctions {
   def wordNgrams(toks: Column, n: Int): Column =
     NativeTextExpressions.wordNgramsNative(toks, n)
 
+  /** Highest frequency of any word n-gram in the token array (0 when
+    * fewer than n tokens): the mode count read off the longest run in
+    * the SORTED n-gram array via an aggregate fold — a narrow per-row
+    * expression, so per-document repetition stats never shuffle.
+    */
+  def topNgramFreq(toks: Column, n: Int): Column =
+    aggregate(
+      sort_array(wordNgrams(toks, n)),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   /** BPE-ish subword-count estimate: sum over tokens of ceil(len/4)
     * (~4-chars-per-BPE-token rule). Native ([[SubwordEstExpr]]).
     */

@@ -195,19 +195,8 @@ object TextQueries {
         .withColumn("toks", tokens(lower(col("text"))))
         .withColumn("grams5", wordNgrams(col("toks"), 5))
         .select(col("doc_id"), col("toks"), col("grams5"))
-      val bgs = sort_array(wordNgrams(col("toks"), 2))
-      val topBigram = aggregate(
-        bgs,
-        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-        (acc, x) => {
-          val run = when(x === acc.getField("prev"),
-            acc.getField("run") + 1).otherwise(lit(1L))
-          struct(x.as("prev"), run.as("run"),
-            greatest(acc.getField("best"), run).as("best"))
-        },
-        acc => acc.getField("best"))
       base
-        .withColumn("top_bigram_freq", topBigram)
+        .withColumn("top_bigram_freq", topNgramFreq(col("toks"), 2))
         .select(
           col("doc_id"),
           size(col("toks")).cast("long").as("n_tokens"),

@@ -48,6 +48,31 @@ class EmptyInputSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("MV repair with identical dims returns the re-keyed MV unchanged") {
+    val dim = HierarchyQueries.dimension(spark, sf)
+    val facts = HierarchyAgg.salesFacts(spark, sf)
+    val mv = HierarchyAgg.rollupMv(facts, dim.aggregationDim)
+    // nothing invalidated → repair ≡ the original MV (same numbering)
+    val repaired = HierarchyAgg.repairRollupMv(mv, facts, dim, dim)
+    val a = mv.orderBy("ancestor_node_sort_order", "customer_id").collect()
+    val b = repaired.orderBy("ancestor_node_sort_order", "customer_id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("MV repair of an empty-fact MV yields an empty MV") {
+    val v1 = HierarchyQueries.dimension(spark, sf)
+    val v2 = HierarchyQueries.asOfDimension(spark, sf, "1996-06-01")
+    val none = HierarchyAgg.salesFacts(spark, sf).limit(0)
+    val mv = HierarchyAgg.rollupMv(none, v1.aggregationDim)
+    assert(HierarchyAgg.repairRollupMv(mv, none, v1, v2).count() == 0)
+  }
+
+  test("asOfRange on an empty versioned node table returns empty") {
+    val none = HierarchyQueries.versionedRegionNationNodes(spark, sf).limit(0)
+    assert(HierarchyDimension.asOfRange(none,
+      to_date(lit("1995-01-01")), to_date(lit("1997-01-01"))).count() == 0)
+  }
+
   test("round-4 operators handle empty inputs") {
     assert(TextQueries.piiScrub(noDocs).count() == 0)
     assert(TextQueries.tfidfTopTerms(noDocs).count() == 0)

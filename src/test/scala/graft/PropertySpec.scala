@@ -56,6 +56,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("topNgramFreq equals the groupBy-count reference on random token arrays") {
+    // tiny alphabet so repeats (and ties) are common — the shapes the
+    // sorted-run fold must get right
+    val toksGen = Gen.listOf(Gen.oneOf("a", "b", "c", "aa"))
+    val inputs = samples(toksGen, 200)
+    for (n <- Seq(2, 3)) {
+      val got = inputs.toDF("toks")
+        .select(TextFunctions.topNgramFreq(col("toks"), n)).as[Long].collect()
+      inputs.zip(got).foreach { case (toks, g) =>
+        val ref = if (toks.length < n) 0L
+          else toks.sliding(n).map(_.mkString(" ")).toSeq
+            .groupBy(identity).values.map(_.size.toLong).max
+        assert(g == ref, s"topNgramFreq($n) mismatch for $toks: $g != $ref")
+      }
+    }
+  }
+
   test("BmpCodec round-trips synthBmp for random dimensions and pixel sources") {
     import graft.operators.Multimodal
     val codec = new Multimodal.BmpCodec
