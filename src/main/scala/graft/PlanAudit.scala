@@ -16,7 +16,10 @@ object PlanAudit {
       "h7_hierarchy_diff", "h8_hier_agg_approx",
       // round-5 additions worth auditing
       "h10_multi_hier_agg", "t12_doc_chunks", "s4_range_search",
-      "p4_split_shards")
+      "p4_split_shards",
+      // round-9 additions worth auditing
+      "h15_multi_hier_exact", "h16_targeted_mv_repair", "d9_source_overlap",
+      "q16_percentile", "t8_repetition")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sf).queryExecution.explainString(
