@@ -145,6 +145,32 @@ object Packing {
       .select("doc_id", "shard_id", "order_key", "pos")
   }
 
+  /** TOKEN-BUDGET selection — the "fill each source's budget with its
+    * best documents" step of corpus curation: rank a source's docs by
+    * (quality desc, doc_id asc) and keep the prefix whose RUNNING
+    * token total fits the budget. One window per source — sources are
+    * the bounded parallelism unit (dozens of provenance labels, never
+    * documents); everything before the window is a narrow per-row
+    * map. Deterministic: integer quality + id tie-break, stable under
+    * reruns/retries. Greedy-by-quality at a fixed budget is the
+    * deterministic twin of importance sampling.
+    */
+  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long = 800L): DataFrame = {
+    val scored = docs
+      .withColumn("toks", tokens(lower(col("text"))))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("n_stop", markerCount(col("toks"), enMarkers))
+      .withColumn("n_long", size(filter(col("toks"), t => length(t) > 5)))
+      .select(col("doc_id"), col("source"),
+        col("n_toks").cast("long").as("n_tokens"),
+        qualityPpm.as("quality_ppm"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality_ppm").desc, col("doc_id").asc)
+    scored
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_sequence_packing" -> ((s, d) => sequencePack(Tables.documents(s, d))),
     "p2_stratified_sample" -> ((s, d) =>
@@ -154,7 +180,9 @@ object Packing {
         .select("doc_id", "lang", "source", "n_chars")),
     "p3_mixture_plan" -> ((s, d) => mixturePlan(Tables.documents(s, d))),
     "p4_split_shards" -> ((s, d) => splitShards(Tables.documents(s, d))),
-    "p5_epoch_shuffle" -> ((s, d) => epochShuffle(Tables.documents(s, d)))
+    "p5_epoch_shuffle" -> ((s, d) => epochShuffle(Tables.documents(s, d))),
+    "p6_token_budget_sample" -> ((s, d) =>
+      tokenBudgetSample(Tables.documents(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -224,6 +252,30 @@ object Packing {
            CAST(hk AS BIGINT) AS order_key,
            CAST(row_number() OVER (PARTITION BY hk % 8
              ORDER BY hk ASC, doc_id ASC) AS BIGINT) AS pos
-         FROM h"""
+         FROM h""",
+    // same integer quality composite as t3's oracle; the running
+    // per-source token total mirrors the window
+    "p6_token_budget_sample" ->
+      raw"""WITH t AS (
+           SELECT doc_id, source,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST((300000 * len(list_filter(toks, x -> x IN ${inListSql(graft.functions.TextFunctions.enMarkers)}))) // len(toks)
+                + (300000 * len(list_filter(toks, x -> length(x) > 5))) // len(toks)
+                + 4000 * LEAST(len(toks), 100) AS BIGINT) AS quality_ppm
+           FROM t),
+         r AS (
+           SELECT doc_id, source, n_tokens, quality_ppm,
+             SUM(n_tokens) OVER (PARTITION BY source
+               ORDER BY quality_ppm DESC, doc_id ASC) AS cum_tokens
+           FROM m)
+         SELECT doc_id, source, n_tokens, quality_ppm,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+         FROM r WHERE cum_tokens <= 800"""
   )
+
+  private def inListSql(s: Seq[String]) =
+    s.map(x => s"'$x'").mkString("(", ", ", ")")
 }

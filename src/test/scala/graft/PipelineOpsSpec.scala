@@ -199,4 +199,32 @@ class PipelineOpsSpec extends SparkSpec {
       assert(rate <= 1.0 && planned <= toks)
     }
   }
+
+  test("token budget sample keeps the per-source quality prefix within budget") {
+    val docs = Tables.documents(spark, sf)
+    val out = operators.Packing.tokenBudgetSample(docs, budgetTokens = 800L)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("quality_ppm"), r.getAs[Long]("cum_tokens")))
+    assert(out.nonEmpty)
+    // the running total never exceeds the budget in any source
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4).max <= 800L)
+    }
+    // the kept set is a quality PREFIX: every kept doc ranks at least
+    // as high as every dropped doc of the same source
+    val kept = out.map(r => (r._1, r._2)).toSet
+    val ranked = docs.collect().map(r =>
+        r.getAs[String]("source") -> r.getAs[Long]("doc_id"))
+    val worstKept = out.groupBy(_._1).view
+      .mapValues(_.map(r => (-r._3, r._2)).max).toMap
+    operators.Packing.tokenBudgetSample(docs, budgetTokens = Long.MaxValue)
+      .collect().foreach { r =>
+      val (src, id, q) = (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("quality_ppm"))
+      if (!kept((src, id)) && worstKept.contains(src))
+        assert(Ordering[(Long, Long)].gt((-q, id), worstKept(src)),
+          s"dropped $src/$id ranks above a kept doc")
+    }
+    assert(ranked.nonEmpty)
+  }
 }
