@@ -151,6 +151,12 @@ object Graft {
   def decontaminate(corpus: DataFrame, eval: DataFrame, n: Int = 5): DataFrame =
     Dedup.decontaminate(corpus, eval, n)
 
+  /** Per-eval-doc contamination fractions — the graded view whose
+    * binary summary is [[decontaminate]].
+    */
+  def contaminationReport(corpus: DataFrame, eval: DataFrame, n: Int = 5): DataFrame =
+    Dedup.contaminationReport(corpus, eval, n)
+
   /** Deterministic stratified sampling (arithmetic row-id hash —
     * stable under reruns and retries, unlike rand()).
     */

@@ -93,6 +93,37 @@ object Dedup {
         countDistinct(col("eval_id")).as("n_eval_docs_hit"))
   }
 
+  /** Per-EVAL-doc contamination report — the graded view whose binary
+    * summary is [[decontaminate]]: for each held-out doc, what
+    * fraction of its distinct word-n-grams appears ANYWHERE in the
+    * training corpus. The eval-suite owner's side of the
+    * decontamination story. Scale shape: the corpus collapses to its
+    * DISTINCT gram set first (one gram-keyed shuffle with map-side
+    * combine — the set is vocabulary-bounded, far below the token
+    * stream), the eval grams left-semi join it (eval sets are small by
+    * definition, but nothing here requires that), and per-doc totals
+    * come from a narrow per-row `size(array_distinct(...))` — no
+    * second pass over text.
+    */
+  def contaminationReport(corpus: DataFrame, eval: DataFrame, n: Int = 5): DataFrame = {
+    val corpusGrams = corpus
+      .select(explode(array_distinct(
+        wordNgrams(tokens(lower(col("text"))), n))).as("gram"))
+      .distinct()
+    val evalGrams = eval.select(col("doc_id"),
+      explode(array_distinct(wordNgrams(tokens(lower(col("text"))), n))).as("gram"))
+    val hits = evalGrams.join(corpusGrams, Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    eval
+      .select(col("doc_id"), size(array_distinct(
+        wordNgrams(tokens(lower(col("text"))), n))).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          greatest(col("n_grams"), lit(1L)), 6).as("contamination"))
+  }
+
   /** Per-doc minhash signature + banded LSH keys + candidate count.
     * `sigCols` exposes band keys so the result is inspectable; the
     * candidate count comes from the bucket self-join.

@@ -60,6 +60,12 @@ object DedupQueries {
       Dedup.decontaminate(
         Tables.documents(s, d).filter(col("doc_id") % 50 =!= 0),
         Tables.documents(s, d).filter(col("doc_id") % 50 === 0))),
+    // the graded per-eval-doc view of d8: contamination fraction per
+    // held-out doc against the corpus's distinct gram set
+    "d12_contamination_report" -> ((s, d) =>
+      Dedup.contaminationReport(
+        Tables.documents(s, d).filter(col("doc_id") % 50 =!= 0),
+        Tables.documents(s, d).filter(col("doc_id") % 50 === 0))),
     // provenance overlap matrix: for every source pair, how many
     // distinct word-5-grams they share — the cross-source contamination
     // view a corpus curator reads before mixing sources. Gram-keyed
@@ -231,6 +237,35 @@ object DedupQueries {
            COUNT(DISTINCT e.eval_id) AS n_eval_docs_hit
          FROM c JOIN e ON c.gram = e.gram
          GROUP BY c.doc_id""",
+    // one row per EVAL doc (0-gram docs included with contamination 0)
+    "d12_contamination_report" ->
+      raw"""WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT DISTINCT doc_id, gram FROM (
+             SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= 5 THEN
+                 list_transform(range(1, len(toks) - 3),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                        toks[i+3] || ' ' || toks[i+4])
+               ELSE [] END) AS gram
+             FROM t)),
+         cg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 <> 0),
+         e AS (SELECT doc_id, gram FROM g WHERE doc_id % 50 = 0),
+         tot AS (
+           SELECT t.doc_id, CAST(COALESCE(n.cnt, 0) AS BIGINT) AS n_grams
+           FROM t LEFT JOIN (SELECT doc_id, COUNT(*) AS cnt FROM e GROUP BY doc_id) n
+             ON t.doc_id = n.doc_id
+           WHERE t.doc_id % 50 = 0),
+         hit AS (
+           SELECT e.doc_id, COUNT(*) AS n_hit
+           FROM e JOIN cg ON e.gram = cg.gram GROUP BY e.doc_id)
+         SELECT tot.doc_id, tot.n_grams,
+           CAST(COALESCE(hit.n_hit, 0) AS BIGINT) AS n_hit,
+           ROUND(CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) /
+             GREATEST(tot.n_grams, 1), 6) AS contamination
+         FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id""",
     "d7_incremental_dedup" ->
       """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
          batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
