@@ -72,6 +72,22 @@ object TextFunctions {
   def wordNgrams(toks: Column, n: Int): Column =
     NativeTextExpressions.wordNgramsNative(toks, n)
 
+  /** Render a string list as a SQL IN-list — shared by the oracle
+    * builders (TextQueries, DedupQueries, Packing) so the marker-list
+    * quoting exists exactly once.
+    */
+  def sqlInList(s: Seq[String]): String =
+    s.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  /** The t3 integer quality composite as DuckDB SQL over a `toks`
+    * list column — the oracle-side twin of [[qualityPpm]]; one
+    * definition so the Spark and SQL formulas cannot silently diverge.
+    */
+  def qualityPpmSql: String =
+    s"""CAST((300000 * len(list_filter(toks, x -> x IN ${sqlInList(enMarkers)}))) // len(toks)
+                + (300000 * len(list_filter(toks, x -> length(x) > 5))) // len(toks)
+                + 4000 * LEAST(len(toks), 100) AS BIGINT)"""
+
   /** Highest frequency of any word n-gram in the token array (0 when
     * fewer than n tokens): the mode count read off the longest run in
     * the SORTED n-gram array via an aggregate fold — a narrow per-row

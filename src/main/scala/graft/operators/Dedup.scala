@@ -110,17 +110,20 @@ object Dedup {
       .select(explode(array_distinct(
         wordNgrams(tokens(lower(col("text"))), n))).as("gram"))
       .distinct()
-    val evalGrams = eval.select(col("doc_id"),
-      explode(array_distinct(wordNgrams(tokens(lower(col("text"))), n))).as("gram"))
-    val hits = evalGrams.join(corpusGrams, Seq("gram"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    eval
-      .select(col("doc_id"), size(array_distinct(
-        wordNgrams(tokens(lower(col("text"))), n))).cast("long").as("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+    // ONE pass over the eval text: the per-doc total rides along the
+    // exploded gram rows (explode_outer keeps 0-gram docs as a single
+    // null-gram row, which matches nothing and reports 0)
+    val evalRows = eval
+      .select(col("doc_id"), array_distinct(
+        wordNgrams(tokens(lower(col("text"))), n)).as("grams"))
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        explode_outer(col("grams")).as("gram"))
+    evalRows
+      .join(corpusGrams.withColumn("hit", lit(1L)), Seq("gram"), "left")
+      .groupBy("doc_id", "n_grams")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") /
           greatest(col("n_grams"), lit(1L)), 6).as("contamination"))
   }
 

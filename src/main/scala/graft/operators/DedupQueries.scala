@@ -156,7 +156,7 @@ object DedupQueries {
         col("canonical_id"), (col("doc_id") === col("canonical_id")).as("keep"))
   }
 
-  private def inList(s: Seq[String]) = s.map(x => s"'$x'").mkString("(", ", ", ")")
+  private def inList(s: Seq[String]) = graft.functions.TextFunctions.sqlInList(s)
 
   val oracles: Map[String, String] = Map(
     "d9_source_overlap" ->

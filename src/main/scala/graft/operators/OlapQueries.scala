@@ -107,8 +107,12 @@ object OlapQueries {
         .agg(
           countDistinct(col("l_partkey")).as("distinct_parts"),
           countDistinct(col("l_suppkey")).as("distinct_supps"),
-          count(lit(1)).as("distinct_part_supp"),
-          sum("n").as("total_rows"))
+          // count only fully-non-null pairs, like the replaced
+          // countDistinct(a, b) (which skips rows with any null key)
+          count(when(col("l_partkey").isNotNull &&
+            col("l_suppkey").isNotNull, 1)).as("distinct_part_supp"),
+          // COUNT(*) semantics on empty input: 0, never null
+          coalesce(sum("n"), lit(0L)).as("total_rows"))
     }),
 
     // Window functions: ranking, lag, running sum — all over one
@@ -251,16 +255,21 @@ object OlapQueries {
       // values, so its median reads off a frequency-weighted pre-agg
       // (a 150-row percentile input).
       val li = Tables.lineitem(s, d)
+      // percentile() ignores nulls — so must the rank arithmetic:
+      // null prices would otherwise rank first and shift every target
+      // position by the null count
+      val priced = li.filter(col("l_extendedprice").isNotNull)
       val targets = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)
       val bounds = targets.foldLeft(
-          li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))) {
+          priced.groupBy("l_returnflag").agg(count(lit(1)).as("n"))) {
         case (df, (nm, p)) =>
           df.withColumn(s"${nm}_pos", (col("n") - 1) * lit(p))
             .withColumn(s"${nm}_lo", floor(col(s"${nm}_pos")))
             .withColumn(s"${nm}_hi", ceil(col(s"${nm}_pos")))
       }
       val w = Window.partitionBy("l_returnflag").orderBy("v")
-      val ranked = li.select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      val ranked = priced
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
         .withColumn("rn", row_number().over(w).cast("long") - 1)
       val needed = ranked.join(broadcast(bounds), Seq("l_returnflag"))
         .filter(targets.map { case (nm, _) =>
@@ -272,7 +281,8 @@ object OlapQueries {
         round(lo + (hi - lo) * max(col(s"${nm}_pos") - col(s"${nm}_lo")), 6)
           .as(nm)
       }
-      val qty = li.groupBy("l_returnflag", "l_quantity")
+      val qty = li.filter(col("l_quantity").isNotNull)
+        .groupBy("l_returnflag", "l_quantity")
         .agg(count(lit(1)).as("f"))
         .groupBy("l_returnflag")
         .agg(round(expr("percentile(l_quantity, 0.5D, f)"), 6).as("median_qty"))

@@ -262,9 +262,7 @@ object Packing {
            FROM documents),
          m AS (
            SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
-             CAST((300000 * len(list_filter(toks, x -> x IN ${inListSql(graft.functions.TextFunctions.enMarkers)}))) // len(toks)
-                + (300000 * len(list_filter(toks, x -> length(x) > 5))) // len(toks)
-                + 4000 * LEAST(len(toks), 100) AS BIGINT) AS quality_ppm
+             ${graft.functions.TextFunctions.qualityPpmSql} AS quality_ppm
            FROM t),
          r AS (
            SELECT doc_id, source, n_tokens, quality_ppm,
@@ -275,7 +273,4 @@ object Packing {
            CAST(cum_tokens AS BIGINT) AS cum_tokens
          FROM r WHERE cum_tokens <= 800"""
   )
-
-  private def inListSql(s: Seq[String]) =
-    s.map(x => s"'$x'").mkString("(", ", ", ")")
 }

@@ -28,7 +28,7 @@ object PiiPatterns {
 
 object TextQueries {
 
-  private def inList(s: Seq[String]) = s.map(x => s"'$x'").mkString("(", ", ", ")")
+  private def inList(s: Seq[String]) = graft.functions.TextFunctions.sqlInList(s)
 
   /** PII / denylist scrub over a documents frame — see the t10 entry. */
   def piiScrub(docs: DataFrame): DataFrame = {
