@@ -200,9 +200,7 @@ object DedupQueries {
          comp AS (SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id),
          q AS (
            SELECT doc_id,
-             CAST((300000 * len(list_filter(toks, x -> x IN ${inList(graft.functions.TextFunctions.enMarkers)}))) // len(toks)
-                + (300000 * len(list_filter(toks, x -> length(x) > 5))) // len(toks)
-                + 4000 * LEAST(len(toks), 100) AS BIGINT) AS quality_ppm
+             ${graft.functions.TextFunctions.qualityPpmSql} AS quality_ppm
            FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
                  FROM documents)),
          j AS (SELECT c.doc_id, c.component_id, q.quality_ppm
