@@ -211,7 +211,7 @@ object StreamingQueries {
     * session-identity oracle.
     */
   private def runStream(spark: SparkSession, sfDir: String,
-      outputMode: String = "complete", parts: Int = 8)(
+      outputMode: String = "complete", parts: Int = 4)(
       build: DataFrame => DataFrame): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
     java.nio.file.Files.createSymbolicLink(
