@@ -11,33 +11,56 @@ import org.apache.spark.sql.SparkSession
   * weakly reachable, and the "weak" map pins every session (and its
   * cached plans) for the JVM lifetime — the classic WeakHashMap
   * value→key pin. This cache is strong and instead SWEEPS on access:
-  * any cache touch drops every entry whose SparkContext has stopped,
-  * so a dead session's plans unpin at the next use from a live one.
+  * any cache touch drops every entry whose SparkContext has stopped —
+  * from both the map AND the insertion-order queue — so a dead
+  * session's plans unpin at the next use from a live one.
+  *
+  * @param onEvict called once per value when a LIVE session is evicted
+  *                by the session bound (sessions sharing one context);
+  *                use it to `unpersist()` cached DataFrames so eviction
+  *                bounds executor storage, not just the driver map.
+  *                Not called for stopped sessions (their block-manager
+  *                state died with the context).
   */
-final class SessionCache[K, V] {
+final class SessionCache[K, V](onEvict: V => Unit = (_: V) => ()) {
   private val m = new java.util.concurrent.ConcurrentHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[K, V]]()
   // insertion order for the bounded-eviction path below
   private val order = new java.util.concurrent.ConcurrentLinkedQueue[SparkSession]()
   private val maxSessions = 16
 
+  private def safeEvict(v: V): Unit =
+    try onEvict(v) catch { case scala.util.control.NonFatal(_) => () }
+
   def apply(spark: SparkSession, key: K)(build: => V): V = {
     val it = m.keySet.iterator
     while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
-    if (m.get(spark) == null) {
+    order.removeIf(s => s.sparkContext.isStopped)
+    if (!m.containsKey(spark)) {
       // isStopped can't see sessions sharing a live context
       // (newSession()/cloneSession): bound the tracked-session count
       // so a per-request-session service degrades to recompute for
       // the oldest sessions instead of growing the heap forever
-      var oldest = if (m.size >= maxSessions) order.poll() else null
-      while (oldest != null) {
-        if (oldest ne spark) m.remove(oldest)
-        oldest = if (m.size >= maxSessions) order.poll() else null
+      var continue = true
+      while (continue && m.size >= maxSessions) {
+        val oldest = order.poll()
+        if (oldest == null) continue = false
+        else if (oldest eq spark) { order.add(spark); continue = false }
+        else {
+          val evicted = m.remove(oldest)
+          if (evicted != null) evicted.values.foreach(safeEvict)
+        }
       }
-      order.add(spark)
     }
+    // order.add inside the mapping function: ConcurrentHashMap runs it
+    // atomically at most once per key, so a session is enqueued exactly
+    // once (two racing threads can't double-enqueue and trigger a
+    // premature eviction of a live session later)
     m.computeIfAbsent(spark,
-      _ => scala.collection.concurrent.TrieMap.empty[K, V])
+      _ => {
+        order.add(spark)
+        scala.collection.concurrent.TrieMap.empty[K, V]
+      })
       .getOrElseUpdate(key, build)
   }
 }

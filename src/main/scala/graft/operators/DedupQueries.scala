@@ -19,7 +19,8 @@ object DedupQueries {
     * contract as [[HierarchyQueries]]'s dim cache. Dead sessions are
     * swept on access (see [[graft.SessionCache]]).
     */
-  private val compCache = new graft.SessionCache[(String, Double), DataFrame]
+  private val compCache =
+    new graft.SessionCache[(String, Double), DataFrame](_.unpersist())
 
   private def cachedClusters(s: SparkSession, sfDir: String,
       minJaccard: Double): DataFrame =

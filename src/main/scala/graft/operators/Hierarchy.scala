@@ -62,6 +62,21 @@ class HierarchyDimension(
 
   private val depthBound: Int = if (knownDepth > 0) knownDepth else maxDepth
 
+  // every .cache()'d internal frame, so SessionCache eviction can
+  // release the block-manager storage, not just the driver reference
+  private val pinned = new scala.collection.mutable.ArrayBuffer[DataFrame]()
+  private def pin(df: DataFrame): DataFrame = synchronized { pinned += df; df }
+
+  /** Unpersist every cached internal frame. Safe to call on a live
+    * session whose dim was evicted — the lazy vals stay usable, they
+    * just recompute instead of reading cached blocks.
+    */
+  def unpersistAll(): Unit = synchronized {
+    pinned.foreach(df =>
+      try df.unpersist() catch { case scala.util.control.NonFatal(_) => () })
+    pinned.clear()
+  }
+
   /** The DFS sort order can fuse into the single-task leveling pass
     * only when every level field renders to JSON bit-identically to
     * Spark's `to_json` under this class's own renderer — true for the
@@ -293,9 +308,9 @@ class HierarchyDimension(
         new GenericInternalRow(out): InternalRow
       }
     }
-    org.apache.spark.sql.GraftColumnBridge
+    pin(org.apache.spark.sql.GraftColumnBridge
       .dataFrameFromInternalRows(spark, outSchema, rdd)
-      .cache()
+      .cache())
   }
 
   /** Nodes + `is_root` / `is_leaf` flags
@@ -328,11 +343,11 @@ class HierarchyDimension(
     } else {
       val pathKey = array_join(
         expr("transform(path, x -> to_json(x, map('ignoreNullFields','false')))"), "/")
-      enriched
+      pin(enriched
         .filter(col("path").isNotNull)
         .withColumn("node_sort_order",
           row_number().over(Window.orderBy(pathKey)).cast("long"))
-        .cache()
+        .cache())
     }
 
   /** Reporting dimension: `level_number`, DFS `node_sort_order`, the

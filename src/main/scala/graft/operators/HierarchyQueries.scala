@@ -19,7 +19,8 @@ object HierarchyQueries {
   // strong map with dead-session sweeping (see [[graft.SessionCache]]:
   // a weak-keyed map cannot reclaim entries whose values reach the
   // session through their plans)
-  private val dimCache = new graft.SessionCache[(String, String), HierarchyDimension]
+  private val dimCache =
+    new graft.SessionCache[(String, String), HierarchyDimension](_.unpersistAll())
 
   private def cached(spark: SparkSession, kind: String, sfDir: String)(
       build: => HierarchyDimension): HierarchyDimension =
@@ -31,7 +32,7 @@ object HierarchyQueries {
     * so the benched operator is the incremental fold of the arriving
     * batch, not a rebuild of history.
     */
-  private val mvCache = new graft.SessionCache[String, DataFrame]
+  private val mvCache = new graft.SessionCache[String, DataFrame](_.unpersist())
 
   def historicalMv(spark: SparkSession, sfDir: String): DataFrame =
     mvCache(spark, s"hist:$sfDir")(

@@ -245,20 +245,36 @@ object OlapQueries {
     // array-percentile aggregate per column: a scalar call per
     // quantile would build three separate value buffers.
     "q16_percentile" -> ((s, d) => {
-      // EXACT percentiles without the value-map aggregate: Spark's
+      // EXACT percentiles, 100 TB shape. Two rejected forms: Spark's
       // percentile() materializes a per-group map of every distinct
-      // value (~198k doubles per flag here; billions at 100 TB — an
-      // executor-memory cliff). The near-unique price column instead
-      // ranks through a window sort and interpolates at the target
-      // positions (lower + (higher-lower) * frac — percentile's own
-      // formula), which spills gracefully. l_quantity has 50 distinct
-      // values, so its median reads off a frequency-weighted pre-agg
-      // (a 150-row percentile input).
+      // value (billions of doubles per flag at 100 TB — an
+      // executor-memory cliff), and a per-group row_number window
+      // sorts EACH WHOLE GROUP in one task (3 return flags → 3 tasks
+      // owning tens of millions of rows each at scale). Two-phase
+      // range-partitioned rank instead:
+      //   1. approx_percentile splits each group's value range into
+      //      ~equi-depth buckets (splitter array, broadcast);
+      //   2. per-(group, bucket) counts — a dim-sized aggregate —
+      //      locate the bucket holding each target rank and its
+      //      global rank base;
+      //   3. ONLY those buckets are sorted, in a window partitioned
+      //      by (group, bucket): each partition holds ≈ n/nBuckets
+      //      rows, and nBuckets scales with SF to keep the per-task
+      //      sort bounded.
+      // Interpolation at pos = (n-1)*p is percentile's own formula
+      // (= DuckDB quantile_cont). l_quantity has 50 distinct values,
+      // so its median reads off a frequency-weighted pre-agg (a
+      // 150-row percentile input).
       val li = Tables.lineitem(s, d)
+      // the group list comes from ALL lineitems: a group whose every
+      // price is null must still emit a row (quantile_cont → NULL),
+      // so both measure sides LEFT-join onto it
+      val groups = li.select("l_returnflag").distinct()
       // percentile() ignores nulls — so must the rank arithmetic:
       // null prices would otherwise rank first and shift every target
       // position by the null count
       val priced = li.filter(col("l_extendedprice").isNotNull)
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
       val targets = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)
       val bounds = targets.foldLeft(
           priced.groupBy("l_returnflag").agg(count(lit(1)).as("n"))) {
@@ -267,10 +283,42 @@ object OlapQueries {
             .withColumn(s"${nm}_lo", floor(col(s"${nm}_pos")))
             .withColumn(s"${nm}_hi", ceil(col(s"${nm}_pos")))
       }
-      val w = Window.partitionBy("l_returnflag").orderBy("v")
-      val ranked = priced
-        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
-        .withColumn("rn", row_number().over(w).cast("long") - 1)
+      // phase 1: ~equi-depth splitters (rank error ≤ n/accuracy; any
+      // monotone bucketing keeps the EXACT final result — the sketch
+      // only balances bucket sizes)
+      val nBuckets = 32
+      val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+      val splits = priced.groupBy("l_returnflag").agg(
+        expr(s"approx_percentile(v, array(${probs.mkString(", ")}), 10000)")
+          .as("splits"))
+      // bucket = #splitters ≤ v: monotone in v, so equal values share
+      // a bucket and global order = (bucket, within-bucket order)
+      val bucketed = priced.join(broadcast(splits), Seq("l_returnflag"))
+        .withColumn("bucket",
+          expr("aggregate(splits, 0, (acc, sp) -> acc + IF(sp <= CAST(v AS DOUBLE), 1, 0))"))
+        .select(col("l_returnflag"), col("bucket"), col("v"))
+      // phase 2: bucket counts (≤ groups × nBuckets rows — the only
+      // per-group window runs over this dim-sized frame)
+      val wCum = Window.partitionBy("l_returnflag").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = bucketed.groupBy("l_returnflag", "bucket")
+        .agg(count(lit(1)).as("bn"))
+        .withColumn("cum_before", coalesce(sum("bn").over(wCum), lit(0L)))
+      val targetRns = bounds.select(col("l_returnflag"),
+        explode(array(targets.flatMap { case (nm, _) =>
+          Seq(col(s"${nm}_lo"), col(s"${nm}_hi")) }: _*)).as("target_rn"))
+        .distinct()
+      val hot = targetRns.join(cum, Seq("l_returnflag"))
+        .filter(col("target_rn") >= col("cum_before") &&
+          col("target_rn") < col("cum_before") + col("bn"))
+        .select("l_returnflag", "bucket", "cum_before")
+        .distinct()
+      // phase 3: global rank = bucket's rank base + within-bucket
+      // row_number, computed ONLY for the ≤6 hot buckets per group
+      val wLocal = Window.partitionBy("l_returnflag", "bucket").orderBy("v")
+      val ranked = bucketed.join(broadcast(hot), Seq("l_returnflag", "bucket"))
+        .withColumn("rn",
+          col("cum_before") + row_number().over(wLocal).cast("long") - 1)
       val needed = ranked.join(broadcast(bounds), Seq("l_returnflag"))
         .filter(targets.map { case (nm, _) =>
           col("rn") === col(s"${nm}_lo") || col("rn") === col(s"${nm}_hi")
@@ -286,9 +334,10 @@ object OlapQueries {
         .agg(count(lit(1)).as("f"))
         .groupBy("l_returnflag")
         .agg(round(expr("percentile(l_quantity, 0.5D, f)"), 6).as("median_qty"))
-      needed.groupBy("l_returnflag")
-        .agg(pcols.head, pcols.tail: _*)
-        .join(qty, Seq("l_returnflag"))
+      groups
+        .join(needed.groupBy("l_returnflag").agg(pcols.head, pcols.tail: _*),
+          Seq("l_returnflag"), "left")
+        .join(qty, Seq("l_returnflag"), "left")
         .select("l_returnflag", "p25", "p50", "p75", "median_qty")
     }),
 

@@ -148,12 +148,25 @@ object Packing {
   /** TOKEN-BUDGET selection — the "fill each source's budget with its
     * best documents" step of corpus curation: rank a source's docs by
     * (quality desc, doc_id asc) and keep the prefix whose RUNNING
-    * token total fits the budget. One window per source — sources are
-    * the bounded parallelism unit (dozens of provenance labels, never
-    * documents); everything before the window is a narrow per-row
-    * map. Deterministic: integer quality + id tie-break, stable under
-    * reruns/retries. Greedy-by-quality at a fixed budget is the
-    * deterministic twin of importance sampling.
+    * token total fits the budget. Deterministic: integer quality + id
+    * tie-break, stable under reruns/retries. Greedy-by-quality at a
+    * fixed budget is the deterministic twin of importance sampling.
+    *
+    * 100 TB shape: a naive per-source running-sum window puts each
+    * source's WHOLE corpus into one task. Instead the exact window
+    * only ever sees budget-bounded candidates:
+    *   1. approx_percentile splits each source's quality range into
+    *      ~equi-depth buckets (splitter array, broadcast);
+    *   2. per-(source, bucket) token sums — dim-sized — give each
+    *      bucket's cumulative tokens-before in quality-DESC order;
+    *      a doc can fit the budget only if its bucket's cum_before
+    *      is still under it, so every later bucket is pruned;
+    *   3. the exact running total runs over the survivors only —
+    *      ≈ budget tokens' worth of docs plus one boundary bucket
+    *      (n/nBuckets rows; raise nBuckets with SF to bound it).
+    * Equal qualities share a bucket (bucket = #splitters ≤ quality,
+    * monotone), so bucket-level cum is exactly consistent with the
+    * doc-level (quality desc, doc_id) order.
     */
   def tokenBudgetSample(docs: DataFrame, budgetTokens: Long = 800L): DataFrame = {
     val scored = docs
@@ -164,11 +177,30 @@ object Packing {
       .select(col("doc_id"), col("source"),
         col("n_toks").cast("long").as("n_tokens"),
         qualityPpm.as("quality_ppm"))
+    val nBuckets = 32
+    val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val splits = scored.groupBy("source").agg(
+      expr(s"approx_percentile(quality_ppm, array(${probs.mkString(", ")}), 10000)")
+        .as("qsplits"))
+    val bucketed = scored.join(broadcast(splits), Seq("source"))
+      .withColumn("qbucket",
+        expr("aggregate(qsplits, 0, (acc, sp) -> acc + IF(sp <= CAST(quality_ppm AS DOUBLE), 1, 0))"))
+      .drop("qsplits")
+    // dim-sized (≤ sources × nBuckets rows) — the only frame the
+    // per-source cumulative window ever sorts in full
+    val wCum = Window.partitionBy("source").orderBy(col("qbucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val live = bucketed.groupBy("source", "qbucket")
+      .agg(sum("n_tokens").as("btokens"))
+      .withColumn("cum_before", coalesce(sum("btokens").over(wCum), lit(0L)))
+      .filter(col("cum_before") < budgetTokens)
+      .select("source", "qbucket")
     val w = Window.partitionBy("source")
       .orderBy(col("quality_ppm").desc, col("doc_id").asc)
-    scored
+    bucketed.join(broadcast(live), Seq("source", "qbucket"))
       .withColumn("cum_tokens", sum("n_tokens").over(w))
       .filter(col("cum_tokens") <= budgetTokens)
+      .select("doc_id", "source", "n_tokens", "quality_ppm", "cum_tokens")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -196,7 +196,10 @@ object TextQueries {
         .withColumn("grams5", wordNgrams(col("toks"), 5))
         .select(col("doc_id"), col("toks"), col("grams5"))
       base
-        .withColumn("top_bigram_freq", topNgramFreq(col("toks"), 2))
+        // coalesce: a null text yields a null token array, but the
+        // oracle's COALESCE(top_bigram_freq, 0) emits 0 for such docs
+        .withColumn("top_bigram_freq",
+          coalesce(topNgramFreq(col("toks"), 2), lit(0L)))
         .select(
           col("doc_id"),
           size(col("toks")).cast("long").as("n_tokens"),

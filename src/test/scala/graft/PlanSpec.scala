@@ -121,6 +121,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q16: no window sorts a whole return-flag group — value ranks are bucket-partitioned") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q16_percentile")(spark, sf)
+    val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected window operators in q16's plan")
+    // any window that sorts the VALUE column must be partitioned by the
+    // range bucket too — a (group)-only partitioning sorts each whole
+    // group in one task (tens of millions of rows at 100 TB). The only
+    // (group)-partitioned window allowed is the bucket-count cumsum,
+    // whose input is the dim-sized (group × nBuckets) aggregate.
+    wins.foreach { w =>
+      val sortsValues = w.orderSpec.exists(_.child.references.exists(_.name == "v"))
+      if (sortsValues)
+        assert(w.partitionSpec.flatMap(_.references.map(_.name)).contains("bucket"),
+          s"value-sort window not bucket-partitioned:\n$w")
+    }
+  }
+
+  test("p6: the exact running-sum window sees only budget-pruned candidates") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = SparkEntry.queries("p6_token_budget_sample")(spark, sf)
+    val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    val exact = wins.filter(
+      _.orderSpec.exists(_.child.references.exists(_.name == "quality_ppm")))
+    assert(exact.nonEmpty, s"expected the exact quality-ordered window:\n$wins")
+    // the per-source exact window is fine ONLY because the qbucket
+    // prune join below it caps its input at ~budget tokens' worth of
+    // docs — without that join it owns each source's whole corpus
+    exact.foreach { w =>
+      val pruned = w.collectFirst { case j: BroadcastHashJoinExec
+        if (j.leftKeys ++ j.rightKeys).flatMap(_.references.map(_.name))
+          .contains("qbucket") => j }
+      assert(pruned.nonEmpty, s"exact window not above the qbucket prune join:\n$w")
+    }
+  }
+
   test("h9: incremental finalize has no Expand; closure joins broadcast") {
     val p = plan("h9_incremental_rollup")
     assert(!p.contains("Expand"), "distinct must read off the MV grain, not Expand: " + p)
