@@ -551,6 +551,75 @@ object HierarchyDimension {
       .withColumn(validFrom, greatest(col(validFrom), start))
       .withColumn(validTo, least(col(validTo), end))
 
+  /** Validity-tagged closure UNION of a VERSIONED hierarchy — the
+    * broadcast side of a history-correct ("slowly-changing") rollup,
+    * where each fact routes through the tree version live at its own
+    * date: `facts JOIN historyClosure ON descendant = leaf AND
+    * fact_date >= valid_from AND fact_date < valid_to`.
+    *
+    * Generic over ANY SCD2 node table (the stored-dim workflow of
+    * reference: classes/hierarchy_dimension_table.py:75-82 extended
+    * with validity windows): the tree is piecewise-constant between
+    * version BREAKPOINTS — the distinct `valid_from`/`valid_to`
+    * values. One as-of closure is derived per breakpoint interval,
+    * tagged with it, and unioned. Breakpoints are collected to the
+    * driver: the node table is dim-sized by contract (the same
+    * `maxNodes`-guarded bound the leveling pass itself relies on), so
+    * this is versions-many dates, never data.
+    *
+    * Adjacent windows of a pair that SURVIVES a breakpoint are merged
+    * (gaps-and-islands over the dim-sized union), so the broadcast
+    * carries one row per pair-VALIDITY, not per pair-interval: a
+    * mostly-stable tree with many version breaks costs barely more
+    * than an unversioned one. Merging never changes join results —
+    * a fact date falls in exactly one window either way.
+    *
+    * The returned frame is lazy and dim-sized; each slice's internal
+    * caches are released here, so CACHE THE RESULT if it is read more
+    * than once (the registry does, mirroring the reference's stored
+    * dims).
+    */
+  def historyClosure(versionedNodes: DataFrame,
+      validFrom: String = "valid_from", validTo: String = "valid_to",
+      nodeIdCol: String = "node_id", parentIdCol: String = "parent_node_id",
+      levelFields: Seq[String] =
+        Seq("node_id", "node_natural_key", "node_name", "level_name"),
+      knownDepth: Int = -1): DataFrame = {
+    val breaks = versionedNodes
+      .select(explode(array(col(validFrom), col(validTo))).as("b"))
+      .distinct().orderBy("b")
+      .collect().map(_.get(0))
+    require(breaks.length >= 2,
+      s"versioned nodes need at least one [$validFrom, $validTo) window")
+    // strictly increasing by construction (distinct + orderBy)
+    val slices = breaks.sliding(2).map { case Array(s, e) =>
+      val dim = new HierarchyDimension(
+        asOf(versionedNodes, lit(s), validFrom, validTo),
+        nodeIdCol = nodeIdCol, parentIdCol = parentIdCol,
+        levelFields = levelFields, knownDepth = knownDepth)
+      val tagged = dim.closurePairs
+        .withColumn(validFrom, lit(s))
+        .withColumn(validTo, lit(e))
+      (dim, tagged)
+    }.toSeq
+    val unioned = slices.map(_._2).reduce(_ unionByName _)
+    // release each slice's internal caches now: the result is lazy,
+    // and pinning a block-manager entry per interval would leak
+    slices.foreach(_._1.unpersistAll())
+    val w = Window.partitionBy("ancestor_node_id", "descendant_node_id")
+      .orderBy(col(validFrom))
+    unioned
+      .withColumn("__new_island",
+        when(lag(col(validTo), 1).over(w) === col(validFrom), lit(0))
+          .otherwise(lit(1)))
+      .withColumn("__island", sum("__new_island").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("ancestor_node_id"), col("descendant_node_id"),
+        col("__island"))
+      .agg(min(col(validFrom)).as(validFrom), max(col(validTo)).as(validTo))
+      .drop("__island")
+  }
+
   /** Diff two versions of a hierarchy: the added/removed
     * ancestor–descendant pairs — exactly the rows a rollup cache must
     * invalidate after a hierarchy edit. Both sides use the lightweight

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 import graft.Tables
 
 /** Hierarchy node-table builders over the TPC-H-ish testdata, and the
@@ -267,48 +268,140 @@ object HierarchyAgg {
 
   /** TARGETED MV REPAIR after a hierarchy edit: recompute ONLY the
     * ancestors whose descendant set changed, keep every other MV row.
-    * [[HierarchyDimension.closureDiff]] names exactly the invalidated
+    * [[HierarchyDimension.closureDiff]] names the invalidated
     * ancestors (a reparent touches the two affected subtree spines —
-    * not the root, whose descendant set is unchanged); the fact stream
-    * is pre-filtered to leaves under those ancestors in the NEW
-    * closure, so at 100 TB a reparent re-shuffles two regions' facts,
-    * not the table. Kept rows translate (old sort order → node_id →
-    * new sort order) through broadcast dim joins because the DFS
-    * numbering shifts with the edit; their partials are reusable
-    * precisely because a non-invalidated node's descendant set — and
-    * therefore its (customer, partial) rows — is identical under both
-    * versions. Output: an MV valid for `newDim`, result-identical to
+    * not the root, whose descendant set is unchanged); additionally,
+    * a leaf whose NATURAL KEY changed between versions re-routes its
+    * facts even though its node-id closure pairs are identical, so
+    * every ancestor of such a leaf (in either version) is invalidated
+    * too and its old partials are never reused.
+    *
+    * ZERO-FACT repair: the MV's leaf self-pair rows ARE the
+    * (leaf, customer) pre-aggregate, and a hierarchy edit never
+    * changes a surviving leaf's own partials — so invalidated
+    * ancestors re-aggregate from MV LEAF ROWS routed through the new
+    * closure. At 100 TB a reparent touches zero fact rows. Only
+    * affected leaves with no reusable partials (new leaves,
+    * natural-key edits) fall back to a leaf-filtered fact scan —
+    * empty in the common case, where AQE's empty-relation propagation
+    * eliminates the scan at runtime.
+    *
+    * Kept rows translate (old sort order → new sort order) through
+    * one dim-sized broadcast mapping because the DFS numbering shifts
+    * with the edit; their partials are reusable precisely because a
+    * non-invalidated node's descendant set — and therefore its
+    * (customer, partial) rows — is identical under both versions.
+    * Output: an MV valid for `newDim`, result-identical to
     * `rollupMv(facts, newDim.aggregationDim)` (the h16 oracle is the
     * full-recompute SQL).
+    *
+    * PRECONDITION: facts key to LEAF natural keys (of either version)
+    * — the star-schema contract. A fact keyed to a node that is
+    * non-leaf in both versions has no reusable self-pair partial and
+    * is outside this method's repair scope.
     */
   def repairRollupMv(mv: DataFrame, facts: DataFrame,
       oldDim: HierarchyDimension, newDim: HierarchyDimension,
       factKey: String = "leaf_key"): DataFrame = {
-    val invalidated = HierarchyDimension.closureDiff(oldDim, newDim)
-      .select("ancestor_node_id").distinct()
+    def leafKeys(dim: HierarchyDimension) =
+      dim.flaggedNodes.filter(col("is_leaf"))
+        .select(col("node_id"), col("node_natural_key"))
+    // natural-key edits: closure pairs are node-id keyed and blind to
+    // them — invalidate every ancestor of a re-keyed leaf in BOTH
+    // versions (the leaf's self-pair included, dropping its stale row)
+    val keyChanged = leafKeys(oldDim).as("o")
+      .join(broadcast(leafKeys(newDim).as("n")),
+        col("o.node_id") === col("n.node_id"))
+      .filter(col("o.node_natural_key") =!= col("n.node_natural_key"))
+      .select(col("o.node_id").as("descendant_node_id"))
+    val keyChangedAnc = oldDim.closurePairs.unionByName(newDim.closurePairs)
+      .join(broadcast(keyChanged), Seq("descendant_node_id"))
+      .select("ancestor_node_id")
+    // pair diff as ONE aggregation (pairs are unique per closure, so a
+    // pair on one side only has min side = max side) — cheaper than a
+    // full-outer join's two exchange+sort legs for this inline use;
+    // h7's user-facing closureDiff keeps its richer labeled output
+    val sided = oldDim.closurePairs.withColumn("__side", lit(1))
+      .unionByName(newDim.closurePairs.withColumn("__side", lit(2)))
+    val diffAnc = sided.groupBy("ancestor_node_id", "descendant_node_id")
+      .agg(min("__side").as("__mn"), max("__side").as("__mx"))
+      .filter(col("__mn") === col("__mx"))
+      .select("ancestor_node_id")
+    // materialized ONCE as a local relation: the diff feeds three
+    // consumers below, which would otherwise each re-derive it per
+    // plan. Dim-sized control metadata by the node-table contract —
+    // the same driver-side bound as the dynamic-pivot domain, never
+    // data.
+    val invalidatedDerived = diffAnc.unionByName(keyChangedAnc).distinct()
+    val spark = mv.sparkSession
+    val invalidated = spark.createDataFrame(
+      java.util.Arrays.asList(invalidatedDerived.collect(): _*),
+      invalidatedDerived.schema)
     def idsOf(dim: HierarchyDimension, ordAs: String) =
       dim.aggregationDim.filter(col("net_level") === 0)
         .select(col("ancestor_node_sort_order").as(ordAs),
           col("ancestor_node_id"))
     // survivors: every MV row whose node is NOT invalidated, re-keyed
-    // to the new DFS numbering (removed nodes drop at the newIds join)
-    val kept = mv
-      .join(broadcast(idsOf(oldDim, "ancestor_node_sort_order")),
-        Seq("ancestor_node_sort_order"))
-      .join(broadcast(invalidated), Seq("ancestor_node_id"), "left_anti")
+    // to the new DFS numbering through ONE dim-sized broadcast mapping
+    // (removed nodes drop at the new-ids join)
+    val translation = idsOf(oldDim, "ancestor_node_sort_order")
       .join(broadcast(idsOf(newDim, "new_ord")), Seq("ancestor_node_id"))
+      .join(invalidated, Seq("ancestor_node_id"), "left_anti")
+      .select("ancestor_node_sort_order", "new_ord")
+    val kept = mv
+      .join(broadcast(translation), Seq("ancestor_node_sort_order"))
       .select(col("new_ord").as("ancestor_node_sort_order"),
         col("customer_id"), col("mv_sales"), col("mv_qty"), col("mv_n"))
-    // recompute: the NEW closure restricted to invalidated ancestors;
-    // only facts landing on their leaves enter the pre-agg shuffle
+    // the NEW closure restricted to invalidated ancestors
     val repairClosure = newDim.aggregationDim
       .join(broadcast(invalidated), Seq("ancestor_node_id"))
-    val affectedLeaves = repairClosure
+    // reusable leaf partials: the old MV's leaf self-pair rows, keyed
+    // by the leaf's natural key (a re-keyed leaf's OLD key no longer
+    // matches the new closure, so its stale partials self-exclude)
+    val oldLeafMeta = oldDim.aggregationDim
+      .filter(col("net_level") === 0 && col("ancestor_is_leaf"))
+      .select(col("ancestor_node_sort_order"),
+        col("descendant_node_natural_key").as("leaf_key_mv"))
+    val mvLeaf = mv
+      .join(broadcast(oldLeafMeta), Seq("ancestor_node_sort_order"))
+      .select(col("leaf_key_mv"), col("customer_id"),
+        col("mv_sales"), col("mv_qty"), col("mv_n"))
+    val repairedFromMv = mvLeaf
+      .join(broadcast(closureKeys(repairClosure)),
+        col("leaf_key_mv") === col("descendant_node_natural_key"))
+      .groupBy(col("ancestor_node_sort_order"), col("customer_id"))
+      .agg(sum("mv_sales").as("mv_sales"), sum("mv_qty").as("mv_qty"),
+        sum("mv_n").as("mv_n"))
+    // fact fallback ONLY for affected LEAVES absent from the MV grain
+    // (facts key to leaf natural keys — the star-schema contract this
+    // method shares with the MV itself; non-leaf descendant keys never
+    // carry facts, so they must not trigger the fallback). Resolved at
+    // the driver (dim-sized): including an always-empty fact branch in
+    // the plan is not free — AQE schedules the fact scan's leaf stages
+    // concurrently with the broadcast that would prove them
+    // unnecessary.
+    val affectedKeys = repairClosure
+      .filter(col("descendant_is_leaf"))
       .select(col("descendant_node_natural_key").as("aff_key")).distinct()
-    val repairFacts = facts
-      .join(broadcast(affectedLeaves), col(factKey) === col("aff_key"))
-      .drop("aff_key")
-    kept.unionByName(rollupMv(repairFacts, repairClosure, factKey))
+    val missingRows = affectedKeys.join(
+      oldLeafMeta.select(col("leaf_key_mv").as("aff_key")).distinct(),
+      Seq("aff_key"), "left_anti").collect()
+    val repaired = if (missingRows.isEmpty) repairedFromMv else {
+      val missingKeys = spark.createDataFrame(
+        java.util.Arrays.asList(missingRows: _*),
+        StructType(Seq(StructField("aff_key",
+          affectedKeys.schema("aff_key").dataType))))
+      val factsForMissing = facts
+        .join(broadcast(missingKeys), col(factKey) === col("aff_key"))
+        .drop("aff_key")
+      // an ancestor can aggregate both reused and fact-derived leaves
+      // — merge at MV grain (dim × customers sized)
+      repairedFromMv.unionByName(rollupMv(factsForMissing, repairClosure, factKey))
+        .groupBy(col("ancestor_node_sort_order"), col("customer_id"))
+        .agg(sum("mv_sales").as("mv_sales"), sum("mv_qty").as("mv_qty"),
+          sum("mv_n").as("mv_n"))
+    }
+    kept.unionByName(repaired)
   }
 
   /** Serve the reference-shaped rollup from the MV: a |nodes|-sized

@@ -252,15 +252,13 @@ object OlapQueries {
       // sorts EACH WHOLE GROUP in one task (3 return flags → 3 tasks
       // owning tens of millions of rows each at scale). Two-phase
       // range-partitioned rank instead:
-      //   1. approx_percentile splits each group's value range into
-      //      ~equi-depth buckets (splitter array, broadcast);
-      //   2. per-(group, bucket) counts — a dim-sized aggregate —
-      //      locate the bucket holding each target rank and its
-      //      global rank base;
+      //   1. a per-(group, value-bucket) histogram — one distributed
+      //      aggregate over the scan;
+      //   2. cumulative bucket counts (histogram-sized) locate the
+      //      bucket holding each target rank and its global rank base;
       //   3. ONLY those buckets are sorted, in a window partitioned
-      //      by (group, bucket): each partition holds ≈ n/nBuckets
-      //      rows, and nBuckets scales with SF to keep the per-task
-      //      sort bounded.
+      //      by (group, bucket) — each partition is one integer
+      //      price's ties, never a whole group.
       // Interpolation at pos = (n-1)*p is percentile's own formula
       // (= DuckDB quantile_cont). l_quantity has 50 distinct values,
       // so its median reads off a frequency-weighted pre-agg (a
@@ -276,33 +274,29 @@ object OlapQueries {
       val priced = li.filter(col("l_extendedprice").isNotNull)
         .select(col("l_returnflag"), col("l_extendedprice").as("v"))
       val targets = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)
+      // phase 1: an integer-granularity VALUE histogram — bucket =
+      // floor(price). Its cardinality is bounded by the price DOMAIN
+      // (~100k distinct integer prices), not the row count, so the
+      // histogram is a distributed shuffle aggregate whose output
+      // stays dim-sized at any SF. Monotone in v, equal values share
+      // a bucket → global order = (bucket, within-bucket order).
+      // (For a genuinely unbounded domain, swap floor() for
+      // approx_percentile range splitters — same downstream shape.)
+      val bucketed = priced.withColumn("bucket", floor(col("v")).cast("long"))
+      val hist = bucketed.groupBy("l_returnflag", "bucket")
+        .agg(count(lit(1)).as("bn"))
       val bounds = targets.foldLeft(
-          priced.groupBy("l_returnflag").agg(count(lit(1)).as("n"))) {
+          hist.groupBy("l_returnflag").agg(sum("bn").as("n"))) {
         case (df, (nm, p)) =>
           df.withColumn(s"${nm}_pos", (col("n") - 1) * lit(p))
             .withColumn(s"${nm}_lo", floor(col(s"${nm}_pos")))
             .withColumn(s"${nm}_hi", ceil(col(s"${nm}_pos")))
       }
-      // phase 1: ~equi-depth splitters (rank error ≤ n/accuracy; any
-      // monotone bucketing keeps the EXACT final result — the sketch
-      // only balances bucket sizes)
-      val nBuckets = 32
-      val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
-      val splits = priced.groupBy("l_returnflag").agg(
-        expr(s"approx_percentile(v, array(${probs.mkString(", ")}), 10000)")
-          .as("splits"))
-      // bucket = #splitters ≤ v: monotone in v, so equal values share
-      // a bucket and global order = (bucket, within-bucket order)
-      val bucketed = priced.join(broadcast(splits), Seq("l_returnflag"))
-        .withColumn("bucket",
-          expr("aggregate(splits, 0, (acc, sp) -> acc + IF(sp <= CAST(v AS DOUBLE), 1, 0))"))
-        .select(col("l_returnflag"), col("bucket"), col("v"))
-      // phase 2: bucket counts (≤ groups × nBuckets rows — the only
-      // per-group window runs over this dim-sized frame)
+      // phase 2: cumulative counts over the HISTOGRAM (domain-bounded
+      // rows — the only per-group-only window in the plan)
       val wCum = Window.partitionBy("l_returnflag").orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
-      val cum = bucketed.groupBy("l_returnflag", "bucket")
-        .agg(count(lit(1)).as("bn"))
+      val cum = hist
         .withColumn("cum_before", coalesce(sum("bn").over(wCum), lit(0L)))
       val targetRns = bounds.select(col("l_returnflag"),
         explode(array(targets.flatMap { case (nm, _) =>

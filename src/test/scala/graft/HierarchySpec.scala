@@ -289,6 +289,31 @@ class HierarchySpec extends SparkSpec {
     assert(!inv.contains("root") && inv.contains("r0"))
   }
 
+  test("repairRollupMv: a leaf natural-key change invalidates its spine and repairs from facts") {
+    // a2's natural key changes 12 → 13 with NO reparent: the node-id
+    // closure pairs are identical, so the pair diff alone is blind to
+    // the edit — the key guard must invalidate a2's spine, drop its
+    // stale partials, and route the key-13 facts via the fallback
+    val facts = Seq((11L, 1L, 2.0, 10.0), (12L, 2L, 1.0, 5.0),
+      (13L, 3L, 3.0, 7.0), (21L, 1L, 4.0, 20.0))
+      .toDF("leaf_key", "customer_id", "unit_quantity", "sales_amount")
+    val newNodes = toy.withColumn("node_natural_key",
+      when(col("node_id") === "a2", lit(13L)).otherwise(col("node_natural_key")))
+    val newDim = new HierarchyDimension(newNodes)
+    val mv = HierarchyAgg.rollupMv(facts, dim.aggregationDim)
+    val repaired = HierarchyAgg.finalizeRollup(
+      HierarchyAgg.repairRollupMv(mv, facts, dim, newDim),
+      newDim.aggregationDim).collect()
+    val full = HierarchyAgg.finalizeRollup(
+      HierarchyAgg.rollupMv(facts, newDim.aggregationDim),
+      newDim.aggregationDim).collect()
+    assert(repaired.toSeq == full.toSeq)
+    // the old key-12 facts are orphans under the new dim: both paths
+    // must drop them (A2's cell reflects only the key-13 facts)
+    val a2 = repaired.find(_.getAs[String]("product_node_name").endsWith("A2")).get
+    assert(a2.getAs[Double]("sum_sales_amount") == 7.0)
+  }
+
   test("asOfRange clips validity windows and keeps every overlapping version") {
     val versioned = HierarchyQueries.versionedRegionNationNodes(spark, sf)
     // a range spanning the 1996-01-01 reparent sees BOTH n8 versions,
@@ -307,6 +332,87 @@ class HierarchySpec extends SparkSpec {
       to_date(lit("1997-01-01")), to_date(lit("1998-01-01")))
     assert(inside.filter(col("node_id") === "n8").count() == 1)
     assert(inside.groupBy("node_id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("historyClosure: SCD2 union matches per-date as-of closures (2 edited nodes, 3 versions)") {
+    def v(nid: String, key: Long, name: String, lvl: String, parent: String,
+        from: String, to: String) =
+      (nid, key, name, lvl, parent,
+        java.sql.Date.valueOf(from), java.sql.Date.valueOf(to))
+    val versioned = Seq(
+      v("root", 0L, "Root", "Total", null, "1990-01-01", "9999-01-01"),
+      v("a", 1L, "A", "Mid", "root", "1990-01-01", "9999-01-01"),
+      v("b", 2L, "B", "Mid", "root", "1990-01-01", "9999-01-01"),
+      v("a1", 11L, "A1", "Leaf", "a", "1990-01-01", "9999-01-01"),
+      // a2: under a until 2000, then under b
+      v("a2", 12L, "A2", "Leaf", "a", "1990-01-01", "2000-01-01"),
+      v("a2", 12L, "A2", "Leaf", "b", "2000-01-01", "9999-01-01"),
+      // b1: under b until 2010, then under a
+      v("b1", 21L, "B1", "Leaf", "b", "1990-01-01", "2010-01-01"),
+      v("b1", 21L, "B1", "Leaf", "a", "2010-01-01", "9999-01-01")
+    ).toDF("node_id", "node_natural_key", "node_name", "level_name",
+      "parent_node_id", "valid_from", "valid_to")
+    val hc = HierarchyDimension.historyClosure(versioned).cache()
+    def pairsAt(t: String): Set[(String, String)] =
+      new HierarchyDimension(
+        HierarchyDimension.asOf(versioned, to_date(lit(t))))
+        .closurePairs.collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    def hcAt(t: String): Set[(String, String)] = {
+      val d = java.sql.Date.valueOf(t)
+      hc.filter(col("valid_from") <= lit(d) && lit(d) < col("valid_to"))
+        .select("ancestor_node_id", "descendant_node_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    }
+    // probe every breakpoint and a midpoint of every interval: the
+    // point-in-time view of the union must equal the as-of closure
+    for (t <- Seq("1990-01-01", "1995-06-15", "2000-01-01", "2005-03-03",
+        "2010-01-01", "2015-07-07"))
+      assert(hcAt(t) == pairsAt(t), s"mismatch at $t")
+    // pairs surviving a breakpoint merge: (root, a1) holds for all
+    // time and must appear as ONE window, not one row per interval
+    val rootA1 = hc.filter(col("ancestor_node_id") === "root" &&
+      col("descendant_node_id") === "a1").collect()
+    assert(rootA1.length == 1, rootA1.mkString(", "))
+    assert(rootA1.head.getAs[java.sql.Date]("valid_from").toString == "1990-01-01")
+    assert(rootA1.head.getAs[java.sql.Date]("valid_to").toString == "9999-01-01")
+    // a2's ancestry changes at 2000: (a, a2) and (b, a2) each carry
+    // exactly their own validity
+    val aA2 = hc.filter(col("ancestor_node_id") === "a" &&
+      col("descendant_node_id") === "a2").collect()
+    assert(aA2.length == 1 &&
+      aA2.head.getAs[java.sql.Date]("valid_to").toString == "2000-01-01")
+    hc.unpersist()
+  }
+
+  test("asOfRange property: every overlapping version survives, clipped to [start, end)") {
+    val rnd = new scala.util.Random(7)
+    val base = java.time.LocalDate.of(1995, 1, 1)
+    def d(off: Int) = java.sql.Date.valueOf(base.plusDays(off.toLong))
+    // 12 nodes × 1-3 contiguous versions at seeded-random breakpoints
+    val rows = (0 until 12).flatMap { i =>
+      val nv = 1 + rnd.nextInt(3)
+      val mids = Seq.fill(nv - 1)(1 + rnd.nextInt(3650)).sorted.distinct
+      val cuts = Seq(0) ++ mids ++ Seq(4000)
+      cuts.sliding(2).collect { case Seq(f, t) if f < t =>
+        (s"n$i", s"p${i % 3}", d(f), d(t))
+      }
+    }
+    val df = rows.toDF("node_id", "parent_node_id", "valid_from", "valid_to")
+    val (start, end) = (d(900), d(2200))
+    val got = HierarchyDimension.asOfRange(df, lit(start), lit(end))
+      .select("node_id", "valid_from", "valid_to").collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getDate(2))).toSet
+    // brute force: overlap iff vf < end && start < vt; clip both ends
+    val want = rows.collect { case (nid, _, vf, vt)
+        if vf.before(end) && start.before(vt) =>
+      (nid, if (vf.after(start)) vf else start,
+        if (vt.before(end)) vt else end) }.toSet
+    assert(got == want)
+    got.foreach { case (_, vf, vt) =>
+      assert(!vf.before(start) && !vt.after(end) && vf.before(vt),
+        s"window [$vf, $vt) escapes [$start, $end)")
+    }
   }
 
   test("broadcastDim=false (wide-dim shuffle fallback) is result-identical") {
