@@ -214,6 +214,143 @@ object Multimodal {
     }
   }
 
+  /** Deterministic 8-bit truecolor PNG synthesizer (the ingest
+    * stand-in for real image files, like [[synthBmp]]). Emits a fully
+    * valid PNG — signature, IHDR, one deflate-compressed IDAT (all
+    * scanlines filter type 0), IEND, every chunk CRC32'd — using only
+    * JDK zip classes; pixel bytes cycle through `src`.
+    */
+  def synthPng(width: Int, height: Int, src: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val raw = new Array[Byte](height * (1 + width * 3))
+    var j = 0
+    var row = 0
+    while (row < height) {
+      val base = row * (1 + width * 3)
+      raw(base) = 0 // filter: None
+      var x = 0
+      while (x < width * 3) {
+        raw(base + 1 + x) =
+          if (src.isEmpty) ((j * 31) & 0xff).toByte else src(j % src.length)
+        x += 1; j += 1
+      }
+      row += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val idat = out.toByteArray
+    def be32(v: Int): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(kind: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val kb = kind.getBytes("US-ASCII")
+      crc.update(kb); crc.update(data)
+      be32(data.length) ++ kb ++ data ++ be32(crc.getValue.toInt)
+    }
+    val ihdr = be32(width) ++ be32(height) ++
+      Array[Byte](8 /*bit depth*/ , 2 /*truecolor*/ , 0, 0, 0)
+    Array[Byte](137.toByte, 'P', 'N', 'G', 13, 10, 26, 10) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++ chunk("IEND", Array.empty)
+  }
+
+  /** A third REAL no-external-libs codec: 8-bit truecolor PNG. This
+    * is a FULL decode, not a header sniff — IDAT chunks are collected
+    * and inflated (JDK `Inflater`), scanlines un-filtered per the PNG
+    * spec (None/Sub/Up/Average/Paeth), and the stats computed from
+    * reconstructed pixels. Same fixed-width feature contract as
+    * [[BmpCodec]]: `[n_bytes, n_pixels, mean_pixel, width, height]`.
+    * Fails loudly on bad signatures, non-8-bit/truecolor formats,
+    * interlacing, and truncated or corrupt streams.
+    */
+  final class PngCodec extends MediaCodec {
+    private def be32(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+    override def decode(r: MediaRow): Array[Double] = {
+      val b = r.payload
+      require(b.length >= 8 && (b(0) & 0xff) == 137 && b(1) == 'P' &&
+        b(2) == 'N' && b(3) == 'G', s"doc ${r.doc_id}: not a PNG payload")
+      // IHDR must be the first chunk (spec §11.2.2)
+      require(b.length >= 33 && new String(b, 12, 4, "US-ASCII") == "IHDR",
+        s"doc ${r.doc_id}: missing IHDR")
+      val w = be32(b, 16)
+      val h = be32(b, 20)
+      val bitDepth = b(24); val colorType = b(25); val interlace = b(28)
+      require(w > 0 && h > 0, s"doc ${r.doc_id}: degenerate dimensions $w x $h")
+      require(bitDepth == 8 && colorType == 2,
+        s"doc ${r.doc_id}: only 8-bit truecolor supported " +
+          s"(depth=$bitDepth type=$colorType)")
+      require(interlace == 0, s"doc ${r.doc_id}: interlaced PNG unsupported")
+      // walk chunks, concatenating IDAT data
+      val idat = new java.io.ByteArrayOutputStream()
+      var off = 8
+      var sawEnd = false
+      while (!sawEnd) {
+        require(off + 8 <= b.length, s"doc ${r.doc_id}: truncated chunk header")
+        val len = be32(b, off)
+        val kind = new String(b, off + 4, 4, "US-ASCII")
+        require(len >= 0 && off + 12L + len <= b.length,
+          s"doc ${r.doc_id}: truncated $kind chunk")
+        if (kind == "IDAT") idat.write(b, off + 8, len)
+        if (kind == "IEND") sawEnd = true
+        off += 12 + len
+      }
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(idat.toByteArray)
+      val stride = 1 + w * 3
+      val raw = new Array[Byte](stride * h)
+      var got = 0
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        require(n > 0 || !inflater.needsInput(),
+          s"doc ${r.doc_id}: IDAT stream ends early")
+        got += n
+      }
+      inflater.end()
+      require(got == raw.length, s"doc ${r.doc_id}: decoded $got of ${raw.length} bytes")
+      // un-filter scanlines in place (filtered bytes → raw pixels)
+      def paeth(a: Int, bb: Int, c: Int): Int = {
+        val p = a + bb - c
+        val pa = math.abs(p - a); val pb = math.abs(p - bb); val pc = math.abs(p - c)
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
+      }
+      var sum = 0L
+      var row = 0
+      while (row < h) {
+        val base = row * stride
+        val filter = raw(base) & 0xff
+        require(filter <= 4, s"doc ${r.doc_id}: unknown filter $filter")
+        var x = 0
+        while (x < w * 3) {
+          val i = base + 1 + x
+          val left = if (x >= 3) raw(i - 3) & 0xff else 0
+          val up = if (row > 0) raw(i - stride) & 0xff else 0
+          val upLeft = if (row > 0 && x >= 3) raw(i - stride - 3) & 0xff else 0
+          val recon = filter match {
+            case 0 => raw(i) & 0xff
+            case 1 => ((raw(i) & 0xff) + left) & 0xff
+            case 2 => ((raw(i) & 0xff) + up) & 0xff
+            case 3 => ((raw(i) & 0xff) + (left + up) / 2) & 0xff
+            case 4 => ((raw(i) & 0xff) + paeth(left, up, upLeft)) & 0xff
+          }
+          raw(i) = recon.toByte
+          sum += recon
+          x += 1
+        }
+        row += 1
+      }
+      val mean = sum.toDouble / (w.toLong * h * 3)
+      Array(b.length.toDouble, (w.toLong * h).toDouble,
+        math.round(mean * 1e6) / 1e6, w.toDouble, h.toDouble)
+    }
+  }
+
   /** Partition-batched decode over the typed Dataset: payloads stay on
     * executors, the codec opens once per partition and closes when the
     * partition is drained.
@@ -280,6 +417,24 @@ object MultimodalQueries {
             Multimodal.synthBmp(w, h, r.payload), "image/bmp", w, h)
         }
       Multimodal.extractFeatures(s, rows.toDF(), new Multimodal.BmpCodec).toDF()
+    }),
+    // PNG decode through a FULL real parser (chunk walk → Inflater →
+    // per-spec scanline un-filtering), not a header sniff: payloads
+    // are deterministic synthesized truecolor PNGs (dims from doc_id,
+    // pixels from text bytes). The spec asserts the decoded stats
+    // equal the BMP codec's on identical pixel content — two
+    // independent parsers agreeing byte-for-byte on the same image.
+    // Binary plumbing → rows-only driver check, exactness in the spec.
+    "m4_png_decode" -> ((s, d) => {
+      import s.implicits._
+      val rows = Multimodal.mediaTable(Tables.documents(s, d))
+        .as[Multimodal.MediaRow].map { r =>
+          val w = (2 + (r.doc_id % 6)).toInt
+          val h = (2 + (r.doc_id % 4)).toInt
+          Multimodal.MediaRow(r.doc_id,
+            Multimodal.synthPng(w, h, r.payload), "image/png", w, h)
+        }
+      Multimodal.extractFeatures(s, rows.toDF(), new Multimodal.PngCodec).toDF()
     })
   )
 

@@ -287,4 +287,105 @@ class TextMultimodalSpec extends SparkSpec {
     }
     assert(err.getMessage != null)
   }
+
+  test("PngCodec fully decodes a synthesized truecolor PNG (inflate + unfilter)") {
+    // 2×2, pixels cycle [10, 20, 30] with no row padding in PNG, so
+    // 12 channel bytes → mean exactly 20
+    val png = Multimodal.synthPng(2, 2, Array[Byte](10, 20, 30))
+    val media = Seq((7L, png, "image/png", 2, 2))
+      .toDF("doc_id", "payload", "media_type", "width", "height")
+    val f = Multimodal.extractFeatures(spark, media,
+      new Multimodal.PngCodec).collect().head
+    assert(f.n_bytes == png.length.toLong)
+    assert(f.byte_sum == 4L)                    // slot 1 = n_pixels
+    assert(math.abs(f.mean_byte - 20.0) < 1e-9) // mean pixel value
+    assert(f.feat_0 == 2.0 && f.feat_1 == 2.0)  // decoded width/height
+  }
+
+  test("PngCodec reconstructs Sub/Up/Average/Paeth filtered scanlines") {
+    // hand-build a 3×4 PNG whose rows use filters 1..4: apply each
+    // filter FORWARD to known pixels here, deflate, wrap in chunks —
+    // the decoder must invert the filters and recover the exact mean
+    val w = 3; val h = 4
+    val pixels = Array.tabulate(h, w * 3)((r, c) => ((r * 37 + c * 11) % 256))
+    val stride = 1 + w * 3
+    val raw = new Array[Byte](stride * h)
+    for (r <- 0 until h) {
+      val filter = r + 1 // 1=Sub, 2=Up, 3=Average, 4=Paeth
+      raw(r * stride) = filter.toByte
+      def orig(rr: Int, cc: Int) = if (rr < 0 || cc < 0) 0 else pixels(rr)(cc)
+      def paeth(a: Int, b: Int, c: Int): Int = {
+        val p = a + b - c
+        val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+      }
+      for (c <- 0 until w * 3) {
+        val x = orig(r, c); val left = orig(r, c - 3)
+        val up = orig(r - 1, c); val ul = orig(r - 1, c - 3)
+        val filtered = filter match {
+          case 1 => (x - left) & 0xff
+          case 2 => (x - up) & 0xff
+          case 3 => (x - (left + up) / 2) & 0xff
+          case 4 => (x - paeth(left, up, ul)) & 0xff
+        }
+        raw(r * stride + 1 + c) = filtered.toByte
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val bos = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) bos.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    def be32(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(kind: String, data: Array[Byte]) = {
+      val crc = new java.util.zip.CRC32()
+      val kb = kind.getBytes("US-ASCII"); crc.update(kb); crc.update(data)
+      be32(data.length) ++ kb ++ data ++ be32(crc.getValue.toInt)
+    }
+    val png = Array[Byte](137.toByte, 'P', 'N', 'G', 13, 10, 26, 10) ++
+      chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0)) ++
+      chunk("IDAT", bos.toByteArray) ++ chunk("IEND", Array.empty[Byte])
+    val media = Seq((9L, png, "image/png", w, h))
+      .toDF("doc_id", "payload", "media_type", "width", "height")
+    val f = Multimodal.extractFeatures(spark, media,
+      new Multimodal.PngCodec).collect().head
+    val want = pixels.flatten.map(_.toLong).sum.toDouble / (w * h * 3)
+    assert(math.abs(f.mean_byte - math.round(want * 1e6) / 1e6) < 1e-9)
+    assert(f.feat_0 == w.toDouble && f.feat_1 == h.toDouble)
+  }
+
+  test("m4: PNG and BMP codecs agree on identical pixel content") {
+    // same (w, h, src) → same pixel stream through two INDEPENDENT
+    // parsers (zlib+unfilter vs raw strided rows): n_pixels, mean and
+    // dimensions must match exactly
+    for (id <- 0L to 5L) {
+      val w = (2 + id % 6).toInt; val h = (2 + id % 4).toInt
+      val src = s"doc-$id-content".getBytes("UTF-8")
+      val both = Seq(
+        (id, Multimodal.synthPng(w, h, src), "image/png", w, h),
+        (id + 100, Multimodal.synthBmp(w, h, src), "image/bmp", w, h))
+      val png = Multimodal.extractFeatures(spark,
+        Seq(both(0)).toDF("doc_id", "payload", "media_type", "width", "height"),
+        new Multimodal.PngCodec).collect().head
+      val bmp = Multimodal.extractFeatures(spark,
+        Seq(both(1)).toDF("doc_id", "payload", "media_type", "width", "height"),
+        new Multimodal.BmpCodec).collect().head
+      assert(png.byte_sum == bmp.byte_sum, s"n_pixels diverge for doc $id")
+      assert(png.mean_byte == bmp.mean_byte, s"mean diverges for doc $id")
+      assert(png.feat_0 == bmp.feat_0 && png.feat_1 == bmp.feat_1)
+    }
+  }
+
+  test("PngCodec rejects corrupt and non-PNG payloads loudly") {
+    val bad = Multimodal.synthPng(4, 4, Array[Byte](1, 2, 3)).dropRight(16)
+    val junk = Seq((1L, "nope".getBytes("UTF-8"), "image/png", 0, 0),
+      (2L, bad, "image/png", 4, 4))
+      .toDF("doc_id", "payload", "media_type", "width", "height")
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(spark, junk, new Multimodal.PngCodec).collect()
+    }
+    assert(err.getMessage != null)
+  }
 }
