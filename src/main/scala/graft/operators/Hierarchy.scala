@@ -589,8 +589,19 @@ object HierarchyDimension {
       .select(explode(array(col(validFrom), col(validTo))).as("b"))
       .distinct().orderBy("b")
       .collect().map(_.get(0))
-    require(breaks.length >= 2,
-      s"versioned nodes need at least one [$validFrom, $validTo) window")
+    if (breaks.length < 2) {
+      // empty shard / degenerate input: no validity window can exist —
+      // return an empty closure with the contract schema, don't throw
+      val idT = versionedNodes.schema(nodeIdCol).dataType
+      val dateT = versionedNodes.schema(validFrom).dataType
+      return versionedNodes.sparkSession.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("ancestor_node_id", idT),
+          StructField("descendant_node_id", idT),
+          StructField(validFrom, dateT),
+          StructField(validTo, dateT))))
+    }
     // strictly increasing by construction (distinct + orderBy)
     val slices = breaks.sliding(2).map { case Array(s, e) =>
       val dim = new HierarchyDimension(

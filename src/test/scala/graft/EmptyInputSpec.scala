@@ -27,6 +27,18 @@ class EmptyInputSpec extends SparkSpec {
     assert(Packing.sequencePack(noDocs).count() == 0)
     assert(Packing.stratifiedSample(noDocs).count() == 0)
     assert(Packing.mixturePlan(noDocs).count() == 0)
+    assert(Packing.tokenBudgetSample(noDocs).count() == 0)
+  }
+
+  test("historyClosure returns an empty closure for an empty versioned node table") {
+    val noNodes = Seq.empty[(String, Long, String, String, String,
+        java.sql.Date, java.sql.Date)]
+      .toDF("node_id", "node_natural_key", "node_name", "level_name",
+        "parent_node_id", "valid_from", "valid_to")
+    val hc = HierarchyDimension.historyClosure(noNodes)
+    assert(hc.count() == 0)
+    assert(hc.columns.toSeq ==
+      Seq("ancestor_node_id", "descendant_node_id", "valid_from", "valid_to"))
   }
 
   test("embedding near-dup and similarity return empty on empty embeddings") {
