@@ -52,7 +52,8 @@ object Bench {
     // (observed ±50% per-query swings round to round); each query is
     // timed TWICE and reports the min, which tracks fresh uncontended
     // reruns far more closely than a single sample
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def once(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // toRdd.count forces full evaluation of the final projection —
       // a DataFrame count() would let Catalyst prune the computed
@@ -60,11 +61,11 @@ object Bench {
       try { fn(spark, sfDir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
-        System.err.println(s"[bench] failed: ${e.getMessage}"); -1.0 }
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
     }
     val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val r1 = once(fn)
-      val r2 = if (r1 >= 0) once(fn) else -1.0
+      val r1 = once(name, fn)
+      val r2 = if (r1 >= 0) once(name, fn) else -1.0
       (name, r1, r2)
     }
     // failed queries report -1 so they can't masquerade as fast runs

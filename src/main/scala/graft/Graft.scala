@@ -83,6 +83,15 @@ object Graft {
       validFrom: String = "valid_from", validTo: String = "valid_to"): DataFrame =
     HierarchyDimension.asOfRange(versionedNodes, start, end, validFrom, validTo)
 
+  /** Validity-tagged closure union of an SCD2-versioned hierarchy —
+    * the broadcast side of a history-correct rollup (each fact routes
+    * through the tree version live at its own date); see
+    * [[operators.HierarchyDimension.historyClosure]].
+    */
+  def historyClosure(versionedNodes: DataFrame,
+      validFrom: String = "valid_from", validTo: String = "valid_to"): DataFrame =
+    HierarchyDimension.historyClosure(versionedNodes, validFrom, validTo)
+
   /** Targeted MV repair after a hierarchy edit: recompute ONLY the
     * ancestors [[hierarchyDiff]] invalidates, keep every other row of
     * the (node, customer) MV; see

@@ -56,11 +56,32 @@ final class SessionCache[K, V](onEvict: V => Unit = (_: V) => ()) {
     // atomically at most once per key, so a session is enqueued exactly
     // once (two racing threads can't double-enqueue and trigger a
     // premature eviction of a live session later)
-    m.computeIfAbsent(spark,
+    val tm = m.computeIfAbsent(spark,
       _ => {
         order.add(spark)
         scala.collection.concurrent.TrieMap.empty[K, V]
       })
-      .getOrElseUpdate(key, build)
+    val v = tm.getOrElseUpdate(key, build)
+    // eviction race: a concurrent bounded eviction can remove this
+    // session's map while the build above is still running — the fresh
+    // value would then be untracked and its onEvict never fire (the
+    // exact leak this class exists to prevent). Re-publish the map
+    // (the session is demonstrably live; eviction picked the wrong
+    // victim); if a replacement map already won the slot, adopt the
+    // value into it, releasing ours when a racer's build got there
+    // first. If the session was evicted AGAIN in the meantime, release
+    // the value outright — the caller still holds a usable frame, it
+    // just recomputes instead of reading cache.
+    if (m.get(spark) ne tm) {
+      if (m.putIfAbsent(spark, tm) == null) order.add(spark)
+      else m.get(spark) match {
+        case null => safeEvict(v)
+        case cur =>
+          val adopted = cur.getOrElseUpdate(key, v)
+          if (!adopted.asInstanceOf[AnyRef].eq(v.asInstanceOf[AnyRef]))
+            safeEvict(v)
+      }
+    }
+    v
   }
 }

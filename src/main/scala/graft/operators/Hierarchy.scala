@@ -529,11 +529,15 @@ object HierarchyDimension {
     * "rollup with the hierarchy as it was on date X" workflow
     * (time-travel twin of [[closureDiff]]'s cache-invalidation view).
     * Dim-sized: the predicate prunes before any derivation work.
+    * A null `valid_to` is the common SCD2 convention for the OPEN
+    * current version and matches every as-of date ≥ its start;
+    * symmetrically a null `valid_from` is an open beginning.
     */
   def asOf(versionedNodes: DataFrame, asOfDate: Column,
       validFrom: String = "valid_from", validTo: String = "valid_to"): DataFrame =
     versionedNodes
-      .filter(col(validFrom) <= asOfDate && asOfDate < col(validTo))
+      .filter((col(validFrom) <= asOfDate || col(validFrom).isNull) &&
+        (asOfDate < col(validTo) || col(validTo).isNull))
       .drop(validFrom, validTo)
 
   /** Version-RANGE companion to [[asOf]]: every node version live at
@@ -547,7 +551,10 @@ object HierarchyDimension {
   def asOfRange(versionedNodes: DataFrame, start: Column, end: Column,
       validFrom: String = "valid_from", validTo: String = "valid_to"): DataFrame =
     versionedNodes
-      .filter(col(validFrom) < end && start < col(validTo))
+      // null bounds are open ends (SCD2 current-version convention);
+      // greatest/least skip nulls, so clipping closes them to the range
+      .filter((col(validFrom) < end || col(validFrom).isNull) &&
+        (start < col(validTo) || col(validTo).isNull))
       .withColumn(validFrom, greatest(col(validFrom), start))
       .withColumn(validTo, least(col(validTo), end))
 
@@ -585,7 +592,26 @@ object HierarchyDimension {
       levelFields: Seq[String] =
         Seq("node_id", "node_natural_key", "node_name", "level_name"),
       knownDepth: Int = -1): DataFrame = {
-    val breaks = versionedNodes
+    // normalize SCD2 OPEN ends (null valid_from / valid_to — the
+    // common convention for the current version) to typed sentinels,
+    // so the breakpoint walk and the output windows stay total-ordered
+    // and a fact join's `date < valid_to` predicate still fires
+    def sentinel(dt: org.apache.spark.sql.types.DataType,
+        lo: Boolean): Option[Column] = dt match {
+      case DateType => Some(lit(java.sql.Date.valueOf(
+        if (lo) "0001-01-01" else "9999-12-31")))
+      case TimestampType => Some(lit(java.sql.Timestamp.valueOf(
+        if (lo) "0001-01-01 00:00:00" else "9999-12-31 00:00:00")))
+      case _ => None
+    }
+    val nodes = (sentinel(versionedNodes.schema(validFrom).dataType, lo = true),
+        sentinel(versionedNodes.schema(validTo).dataType, lo = false)) match {
+      case (Some(loS), Some(hiS)) => versionedNodes
+        .withColumn(validFrom, coalesce(col(validFrom), loS))
+        .withColumn(validTo, coalesce(col(validTo), hiS))
+      case _ => versionedNodes
+    }
+    val breaks = nodes
       .select(explode(array(col(validFrom), col(validTo))).as("b"))
       .distinct().orderBy("b")
       .collect().map(_.get(0))
@@ -605,7 +631,7 @@ object HierarchyDimension {
     // strictly increasing by construction (distinct + orderBy)
     val slices = breaks.sliding(2).map { case Array(s, e) =>
       val dim = new HierarchyDimension(
-        asOf(versionedNodes, lit(s), validFrom, validTo),
+        asOf(nodes, lit(s), validFrom, validTo),
         nodeIdCol = nodeIdCol, parentIdCol = parentIdCol,
         levelFields = levelFields, knownDepth = knownDepth)
       val tagged = dim.closurePairs

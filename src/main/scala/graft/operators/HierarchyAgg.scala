@@ -312,7 +312,10 @@ object HierarchyAgg {
     val keyChanged = leafKeys(oldDim).as("o")
       .join(broadcast(leafKeys(newDim).as("n")),
         col("o.node_id") === col("n.node_id"))
-      .filter(col("o.node_natural_key") =!= col("n.node_natural_key"))
+      // null-SAFE inequality: a key changing NULL→value (or back)
+      // re-routes facts exactly like any other re-key and must
+      // invalidate; plain =!= evaluates to null and silently drops it
+      .filter(!(col("o.node_natural_key") <=> col("n.node_natural_key")))
       .select(col("o.node_id").as("descendant_node_id"))
     val keyChangedAnc = oldDim.closurePairs.unionByName(newDim.closurePairs)
       .join(broadcast(keyChanged), Seq("descendant_node_id"))

@@ -308,8 +308,12 @@ object Multimodal {
       var got = 0
       while (got < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, got, raw.length - got)
-        require(n > 0 || !inflater.needsInput(),
-          s"doc ${r.doc_id}: IDAT stream ends early")
+        // any zero-progress non-finished state (truncated stream,
+        // FDICT preset-dictionary header, corrupt block) must FAIL,
+        // not spin — a single crafted payload would otherwise hang
+        // the whole decode task
+        require(n > 0 || inflater.finished(),
+          s"doc ${r.doc_id}: IDAT stream stalls at $got/${raw.length} bytes")
         got += n
       }
       inflater.end()

@@ -192,8 +192,12 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, -1)
     val live = bucketed.groupBy("source", "qbucket")
       .agg(sum("n_tokens").as("btokens"))
+      // <= not <: a doc fits iff its running total ≤ budget, and that
+      // total ≥ its bucket's cum_before — so cum_before ≤ budget is
+      // the exact safe prune (strict < would drop a zero-token doc
+      // sitting exactly at the budget boundary)
       .withColumn("cum_before", coalesce(sum("btokens").over(wCum), lit(0L)))
-      .filter(col("cum_before") < budgetTokens)
+      .filter(col("cum_before") <= budgetTokens)
       .select("source", "qbucket")
     val w = Window.partitionBy("source")
       .orderBy(col("quality_ppm").desc, col("doc_id").asc)

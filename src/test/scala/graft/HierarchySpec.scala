@@ -385,6 +385,41 @@ class HierarchySpec extends SparkSpec {
     hc.unpersist()
   }
 
+  test("historyClosure + asOf: null valid_to is the open current version (SCD2 convention)") {
+    def v(nid: String, key: Long, name: String, lvl: String, parent: String,
+        from: String, to: String) =
+      (nid, key, name, lvl, parent, java.sql.Date.valueOf(from),
+        if (to == null) null else java.sql.Date.valueOf(to))
+    val versioned = Seq(
+      v("root", 0L, "Root", "Total", null, "1990-01-01", null),
+      v("a", 1L, "A", "Mid", "root", "1990-01-01", null),
+      v("b", 2L, "B", "Mid", "root", "1990-01-01", null),
+      v("a1", 11L, "A1", "Leaf", "a", "1990-01-01", null),
+      v("a2", 12L, "A2", "Leaf", "a", "1990-01-01", "2000-01-01"),
+      v("a2", 12L, "A2", "Leaf", "b", "2000-01-01", null)
+    ).toDF("node_id", "node_natural_key", "node_name", "level_name",
+      "parent_node_id", "valid_from", "valid_to")
+    // asOf after the reparent must see the open a2-under-b version
+    val at2005 = HierarchyDimension.asOf(versioned, to_date(lit("2005-06-01")))
+    assert(at2005.filter(col("node_id") === "a2")
+      .select("parent_node_id").head().getString(0) == "b")
+    val hc = HierarchyDimension.historyClosure(versioned)
+    def hcAt(t: String): Set[(String, String)] = {
+      val d = java.sql.Date.valueOf(t)
+      hc.filter(col("valid_from") <= lit(d) && lit(d) < col("valid_to"))
+        .select("ancestor_node_id", "descendant_node_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    }
+    // no window may carry a null end — nulls normalize to the sentinel
+    assert(hc.filter(col("valid_to").isNull || col("valid_from").isNull).count() == 0)
+    assert(hcAt("1995-01-01").contains(("a", "a2")))
+    assert(!hcAt("1995-01-01").contains(("b", "a2")))
+    assert(hcAt("2005-01-01").contains(("b", "a2")))
+    assert(!hcAt("2005-01-01").contains(("a", "a2")))
+    // facts dated far beyond the last explicit breakpoint still match
+    assert(hcAt("3000-01-01") == hcAt("2005-01-01"))
+  }
+
   test("asOfRange property: every overlapping version survives, clipped to [start, end)") {
     val rnd = new scala.util.Random(7)
     val base = java.time.LocalDate.of(1995, 1, 1)
