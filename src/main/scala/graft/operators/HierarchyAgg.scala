@@ -324,22 +324,52 @@ object HierarchyAgg {
     // pair on one side only has min side = max side) — cheaper than a
     // full-outer join's two exchange+sort legs for this inline use;
     // h7's user-facing closureDiff keeps its richer labeled output
+    // coalesce(1): both closures are single-partition narrow reads of
+    // the cached leveling pass, and SinglePartition satisfies the
+    // aggregation's distribution — the dim-sized control job runs as
+    // one task instead of paying 32-partition exchanges per stage
     val sided = oldDim.closurePairs.withColumn("__side", lit(1))
       .unionByName(newDim.closurePairs.withColumn("__side", lit(2)))
+      .coalesce(1)
     val diffAnc = sided.groupBy("ancestor_node_id", "descendant_node_id")
       .agg(min("__side").as("__mn"), max("__side").as("__mx"))
       .filter(col("__mn") === col("__mx"))
       .select("ancestor_node_id")
-    // materialized ONCE as a local relation: the diff feeds three
-    // consumers below, which would otherwise each re-derive it per
-    // plan. Dim-sized control metadata by the node-table contract —
-    // the same driver-side bound as the dynamic-pivot domain, never
-    // data.
-    val invalidatedDerived = diffAnc.unionByName(keyChangedAnc).distinct()
+    // ONE driver job computes every control decision below: the
+    // invalidated-ancestor set AND the leaf ids needing the fact
+    // fallback (new nodes, newly-become leaves, re-keyed leaves — any
+    // leaf whose partials cannot live in the old MV grain), as a
+    // tagged union. Materialized as local relations: the diff would
+    // otherwise be re-derived by each consumer plan, and the fallback
+    // decision would cost a second action. Dim-sized control metadata
+    // by the node-table contract — the same driver-side bound as the
+    // dynamic-pivot domain, never data.
+    def leafIds(dim: HierarchyDimension) =
+      dim.flaggedNodes.filter(col("is_leaf")).select(col("node_id"))
+    val newOnlyLeaves = leafIds(newDim)
+      .join(broadcast(leafIds(oldDim)), Seq("node_id"), "left_anti")
+    val control = diffAnc.select(col("ancestor_node_id").as("id"))
+      .withColumn("kind", lit("anc"))
+      .unionByName(keyChangedAnc.select(col("ancestor_node_id").as("id"))
+        .withColumn("kind", lit("anc")))
+      .unionByName(newOnlyLeaves.select(col("node_id").as("id"))
+        .withColumn("kind", lit("missing")))
+      .unionByName(keyChanged.select(col("descendant_node_id").as("id"))
+        .withColumn("kind", lit("missing")))
+      .coalesce(1)
+      .distinct()
+      .collect()
     val spark = mv.sparkSession
-    val invalidated = spark.createDataFrame(
-      java.util.Arrays.asList(invalidatedDerived.collect(): _*),
-      invalidatedDerived.schema)
+    val idType = oldDim.flaggedNodes.schema(
+      oldDim.flaggedNodes.schema.fieldIndex("node_id")).dataType
+    def localIds(ids: Seq[Any], as: String) = spark.createDataFrame(
+      java.util.Arrays.asList(ids.map(org.apache.spark.sql.Row(_)): _*),
+      StructType(Seq(StructField(as, idType))))
+    val invalidated = localIds(
+      control.filter(_.getString(1) == "anc").map(_.get(0)).toSeq,
+      "ancestor_node_id")
+    val missingLeafIds =
+      control.filter(_.getString(1) == "missing").map(_.get(0)).toSeq
     def idsOf(dim: HierarchyDimension, ordAs: String) =
       dim.aggregationDim.filter(col("net_level") === 0)
         .select(col("ancestor_node_sort_order").as(ordAs),
@@ -375,25 +405,21 @@ object HierarchyAgg {
       .groupBy(col("ancestor_node_sort_order"), col("customer_id"))
       .agg(sum("mv_sales").as("mv_sales"), sum("mv_qty").as("mv_qty"),
         sum("mv_n").as("mv_n"))
-    // fact fallback ONLY for affected LEAVES absent from the MV grain
-    // (facts key to leaf natural keys — the star-schema contract this
-    // method shares with the MV itself; non-leaf descendant keys never
-    // carry facts, so they must not trigger the fallback). Resolved at
-    // the driver (dim-sized): including an always-empty fact branch in
-    // the plan is not free — AQE schedules the fact scan's leaf stages
-    // concurrently with the broadcast that would prove them
-    // unnecessary.
-    val affectedKeys = repairClosure
-      .filter(col("descendant_is_leaf"))
-      .select(col("descendant_node_natural_key").as("aff_key")).distinct()
-    val missingRows = affectedKeys.join(
-      oldLeafMeta.select(col("leaf_key_mv").as("aff_key")).distinct(),
-      Seq("aff_key"), "left_anti").collect()
-    val repaired = if (missingRows.isEmpty) repairedFromMv else {
-      val missingKeys = spark.createDataFrame(
-        java.util.Arrays.asList(missingRows: _*),
-        StructType(Seq(StructField("aff_key",
-          affectedKeys.schema("aff_key").dataType))))
+    // fact fallback ONLY for leaves whose partials cannot live in the
+    // old MV grain — decided at the driver from the control job above:
+    // including an always-empty fact branch in the plan is not free
+    // (AQE schedules the fact scan's leaf stages concurrently with the
+    // broadcast that would prove them unnecessary). The key list still
+    // subtracts old-grain keys distributively: after a key SWAP
+    // between two leaves every key retains old partials, and feeding
+    // those keys to the fact scan would double-count against
+    // repairedFromMv.
+    val repaired = if (missingLeafIds.isEmpty) repairedFromMv else {
+      val missingKeys = newDim.flaggedNodes.filter(col("is_leaf"))
+        .join(broadcast(localIds(missingLeafIds, "node_id")), Seq("node_id"))
+        .select(col("node_natural_key").as("aff_key")).distinct()
+        .join(oldLeafMeta.select(col("leaf_key_mv").as("aff_key")).distinct(),
+          Seq("aff_key"), "left_anti")
       val factsForMissing = facts
         .join(broadcast(missingKeys), col(factKey) === col("aff_key"))
         .drop("aff_key")
