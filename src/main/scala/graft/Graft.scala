@@ -92,6 +92,14 @@ object Graft {
       validFrom: String = "valid_from", validTo: String = "valid_to"): DataFrame =
     HierarchyDimension.historyClosure(versionedNodes, validFrom, validTo)
 
+  /** History-correct rollup over a [[historyClosure]]: every fact
+    * routes through the hierarchy version live at its own date; see
+    * [[operators.HierarchyAgg.historyRollup]].
+    */
+  def historyRollup(facts: DataFrame, closures: DataFrame,
+      leafIdCol: String, dateCol: String): DataFrame =
+    HierarchyAgg.historyRollup(facts, closures, leafIdCol, dateCol)
+
   /** Targeted MV repair after a hierarchy edit: recompute ONLY the
     * ancestors [[hierarchyDiff]] invalidates, keep every other row of
     * the (node, customer) MV; see

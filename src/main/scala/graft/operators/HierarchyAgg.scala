@@ -433,6 +433,30 @@ object HierarchyAgg {
     kept.unionByName(repaired)
   }
 
+  /** HISTORY-CORRECT rollup: route every fact through the hierarchy
+    * version live AT ITS OWN DATE — the slowly-changing-rollup.
+    * `closures` is [[HierarchyDimension.historyClosure]] output (one
+    * row per ancestor-descendant pair per validity window). Scale
+    * shape: facts pre-aggregate to (leaf, date) grain — ONE shuffle
+    * with map-side combine, cardinality |leaves| × |dates| — then the
+    * dim-sized closure union joins broadcast, the window predicate
+    * picking each row's version.
+    */
+  def historyRollup(facts: DataFrame, closures: DataFrame,
+      leafIdCol: String, dateCol: String,
+      validFrom: String = "valid_from", validTo: String = "valid_to"): DataFrame =
+    facts
+      .groupBy(col(leafIdCol), col(dateCol))
+      .agg(sum("sales_amount").as("__s"), sum("unit_quantity").as("__q"),
+        count(lit(1)).as("__n"))
+      .join(broadcast(closures),
+        col("descendant_node_id") === col(leafIdCol) &&
+          col(dateCol) >= col(validFrom) && col(dateCol) < col(validTo))
+      .groupBy("ancestor_node_id")
+      .agg(round(sum("__s"), 2).as("sum_sales_amount"),
+        round(sum("__q"), 2).as("sum_unit_quantity"),
+        sum("__n").as("count_of_fact_records"))
+
   /** Serve the reference-shaped rollup from the MV: a |nodes|-sized
     * aggregate (distinct customers = count of MV rows per node) plus
     * the broadcast label join. Identical output to the exact

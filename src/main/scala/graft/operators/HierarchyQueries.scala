@@ -162,30 +162,23 @@ object HierarchyQueries {
     "h14_history_rollup" -> ((s, d) => {
       // the closure union comes off the generic SCD2 derivation — one
       // row per (pair, validity window), merged across breakpoints the
-      // pair survives (HierarchyDimension.historyClosure)
-      val closures = historyClosures(s, d)
+      // pair survives — and the rollup is the reusable API composition
+      // historyClosure × historyRollup
       val li = graft.Tables.lineitem(s, d)
         .select("l_orderkey", "l_quantity", "l_extendedprice")
       val ord = graft.Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_orderdate")
       val cust = graft.Tables.customer(s, d).select("c_custkey", "c_nationkey")
-      val pre = li
+      val facts = li
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
-        .groupBy(
+        .select(
           concat(lit("n"), col("c_nationkey").cast("string")).as("leaf_node_id"),
-          col("o_orderdate"))
-        .agg(sum("l_extendedprice").as("s"), sum("l_quantity").as("q"),
-          count(lit(1)).as("n"))
-      pre
-        .join(broadcast(closures),
-          col("descendant_node_id") === col("leaf_node_id") &&
-            col("o_orderdate") >= col("valid_from") &&
-            col("o_orderdate") < col("valid_to"))
-        .groupBy("ancestor_node_id")
-        .agg(round(sum("s"), 2).as("sum_sales_amount"),
-          round(sum("q"), 2).as("sum_unit_quantity"),
-          sum("n").as("count_of_fact_records"))
+          col("o_orderdate"),
+          col("l_extendedprice").as("sales_amount"),
+          col("l_quantity").as("unit_quantity"))
+      HierarchyAgg.historyRollup(facts, historyClosures(s, d),
+        leafIdCol = "leaf_node_id", dateCol = "o_orderdate")
     }),
     "h1_nodes" -> ((s, d) => dimension(s, d).flaggedNodes),
     "h2_reporting_dim" -> ((s, d) => dimension(s, d).reportingDim),
