@@ -94,11 +94,16 @@ object Graft {
 
   /** History-correct rollup over a [[historyClosure]]: every fact
     * routes through the hierarchy version live at its own date; see
-    * [[operators.HierarchyAgg.historyRollup]].
+    * [[operators.HierarchyAgg.historyRollup]] for the fact/closure
+    * column contracts. `validFrom`/`validTo` must name the same
+    * window columns the closure was built with.
     */
   def historyRollup(facts: DataFrame, closures: DataFrame,
-      leafIdCol: String, dateCol: String): DataFrame =
-    HierarchyAgg.historyRollup(facts, closures, leafIdCol, dateCol)
+      leafIdCol: String, dateCol: String,
+      validFrom: String = "valid_from", validTo: String = "valid_to",
+      broadcastDim: Boolean = true): DataFrame =
+    HierarchyAgg.historyRollup(facts, closures, leafIdCol, dateCol,
+      validFrom, validTo, broadcastDim)
 
   /** Targeted MV repair after a hierarchy edit: recompute ONLY the
     * ancestors [[hierarchyDiff]] invalidates, keep every other row of

@@ -316,9 +316,11 @@ object HierarchyAgg {
       // re-routes facts exactly like any other re-key and must
       // invalidate; plain =!= evaluates to null and silently drops it
       .filter(!(col("o.node_natural_key") <=> col("n.node_natural_key")))
-      .select(col("o.node_id").as("descendant_node_id"))
+      .select(col("o.node_id").as("descendant_node_id"),
+        col("n.node_natural_key").as("new_key"))
     val keyChangedAnc = oldDim.closurePairs.unionByName(newDim.closurePairs)
-      .join(broadcast(keyChanged), Seq("descendant_node_id"))
+      .join(broadcast(keyChanged.select("descendant_node_id")),
+        Seq("descendant_node_id"))
       .select("ancestor_node_id")
     // pair diff as ONE aggregation (pairs are unique per closure, so a
     // pair on one side only has min side = max side) — cheaper than a
@@ -335,41 +337,54 @@ object HierarchyAgg {
       .agg(min("__side").as("__mn"), max("__side").as("__mx"))
       .filter(col("__mn") === col("__mx"))
       .select("ancestor_node_id")
-    // ONE driver job computes every control decision below: the
-    // invalidated-ancestor set AND the leaf ids needing the fact
-    // fallback (new nodes, newly-become leaves, re-keyed leaves — any
-    // leaf whose partials cannot live in the old MV grain), as a
-    // tagged union. Materialized as local relations: the diff would
-    // otherwise be re-derived by each consumer plan, and the fallback
-    // decision would cost a second action. Dim-sized control metadata
-    // by the node-table contract — the same driver-side bound as the
+    // ONE driver job computes every control decision below as a
+    // tagged union: the invalidated-ancestor ids, the NEW natural
+    // keys of fallback-candidate leaves (new nodes, newly-become
+    // leaves, re-keyed leaves — any leaf whose partials cannot live
+    // in the old MV grain), and the old grain's leaf keys — so the
+    // missing-key subtraction happens AT THE DRIVER and an empty
+    // fallback never schedules the fact scan (a key SWAP between two
+    // leaves flags candidates whose keys all retain old partials; the
+    // subtraction must exclude them or the scan both runs for nothing
+    // and would double-count against the reused partials).
+    // Materialized as local relations: the diff would otherwise be
+    // re-derived by each consumer plan. Dim-sized control metadata by
+    // the node-table contract — the same driver-side bound as the
     // dynamic-pivot domain, never data.
-    def leafIds(dim: HierarchyDimension) =
-      dim.flaggedNodes.filter(col("is_leaf")).select(col("node_id"))
-    val newOnlyLeaves = leafIds(newDim)
-      .join(broadcast(leafIds(oldDim)), Seq("node_id"), "left_anti")
-    val control = diffAnc.select(col("ancestor_node_id").as("id"))
-      .withColumn("kind", lit("anc"))
-      .unionByName(keyChangedAnc.select(col("ancestor_node_id").as("id"))
-        .withColumn("kind", lit("anc")))
-      .unionByName(newOnlyLeaves.select(col("node_id").as("id"))
-        .withColumn("kind", lit("missing")))
-      .unionByName(keyChanged.select(col("descendant_node_id").as("id"))
-        .withColumn("kind", lit("missing")))
+    val newOnlyLeaves = leafKeys(newDim)
+      .join(broadcast(leafKeys(oldDim).select("node_id")),
+        Seq("node_id"), "left_anti")
+    def tagged(df: DataFrame, id: Column, key: Column, kind: String) =
+      df.select(id.as("id"), key.as("key"), lit(kind).as("kind"))
+    val nullId = lit(null).cast(
+      oldDim.flaggedNodes.schema("node_id").dataType)
+    val nullKey = lit(null).cast(
+      oldDim.flaggedNodes.schema("node_natural_key").dataType)
+    val control = tagged(diffAnc, col("ancestor_node_id"), nullKey, "anc")
+      .unionByName(tagged(keyChangedAnc, col("ancestor_node_id"), nullKey, "anc"))
+      .unionByName(tagged(newOnlyLeaves, nullId, col("node_natural_key"), "cand"))
+      .unionByName(tagged(keyChanged, nullId, col("new_key"), "cand"))
+      // old-GRAIN keys come from the closure, not flaggedNodes: a
+      // leaf dropped by the depth bound / cycle guard never reached
+      // the MV, so its key must not mask a fallback candidate
+      .unionByName(tagged(
+        oldDim.aggregationDim
+          .filter(col("net_level") === 0 && col("ancestor_is_leaf")),
+        nullId, col("descendant_node_natural_key"), "old"))
       .coalesce(1)
       .distinct()
       .collect()
     val spark = mv.sparkSession
-    val idType = oldDim.flaggedNodes.schema(
-      oldDim.flaggedNodes.schema.fieldIndex("node_id")).dataType
-    def localIds(ids: Seq[Any], as: String) = spark.createDataFrame(
-      java.util.Arrays.asList(ids.map(org.apache.spark.sql.Row(_)): _*),
-      StructType(Seq(StructField(as, idType))))
-    val invalidated = localIds(
-      control.filter(_.getString(1) == "anc").map(_.get(0)).toSeq,
-      "ancestor_node_id")
-    val missingLeafIds =
-      control.filter(_.getString(1) == "missing").map(_.get(0)).toSeq
+    val invalidated = spark.createDataFrame(
+      java.util.Arrays.asList(control.filter(_.getString(2) == "anc")
+        .map(r => org.apache.spark.sql.Row(r.get(0))): _*),
+      StructType(Seq(StructField("ancestor_node_id",
+        oldDim.flaggedNodes.schema("node_id").dataType))))
+    val oldKeys = control.filter(_.getString(2) == "old").map(_.get(1)).toSet
+    // null candidate keys drop: a null natural key can never match a
+    // fact's join key, so scanning for it would be pure waste
+    val missingKeys = control.filter(_.getString(2) == "cand").map(_.get(1))
+      .filter(k => k != null && !oldKeys.contains(k)).toSeq.distinct
     def idsOf(dim: HierarchyDimension, ordAs: String) =
       dim.aggregationDim.filter(col("net_level") === 0)
         .select(col("ancestor_node_sort_order").as(ordAs),
@@ -406,22 +421,19 @@ object HierarchyAgg {
       .agg(sum("mv_sales").as("mv_sales"), sum("mv_qty").as("mv_qty"),
         sum("mv_n").as("mv_n"))
     // fact fallback ONLY for leaves whose partials cannot live in the
-    // old MV grain — decided at the driver from the control job above:
-    // including an always-empty fact branch in the plan is not free
-    // (AQE schedules the fact scan's leaf stages concurrently with the
-    // broadcast that would prove them unnecessary). The key list still
-    // subtracts old-grain keys distributively: after a key SWAP
-    // between two leaves every key retains old partials, and feeding
-    // those keys to the fact scan would double-count against
-    // repairedFromMv.
-    val repaired = if (missingLeafIds.isEmpty) repairedFromMv else {
-      val missingKeys = newDim.flaggedNodes.filter(col("is_leaf"))
-        .join(broadcast(localIds(missingLeafIds, "node_id")), Seq("node_id"))
-        .select(col("node_natural_key").as("aff_key")).distinct()
-        .join(oldLeafMeta.select(col("leaf_key_mv").as("aff_key")).distinct(),
-          Seq("aff_key"), "left_anti")
+    // old MV grain — decided ENTIRELY at the driver by the control
+    // job's key subtraction: including an always-empty fact branch in
+    // the plan is not free (AQE schedules the fact scan's leaf stages
+    // concurrently with the broadcast that would prove them
+    // unnecessary).
+    val repaired = if (missingKeys.isEmpty) repairedFromMv else {
+      val missingKeysLocal = spark.createDataFrame(
+        java.util.Arrays.asList(
+          missingKeys.map(org.apache.spark.sql.Row(_)): _*),
+        StructType(Seq(StructField("aff_key",
+          oldDim.flaggedNodes.schema("node_natural_key").dataType))))
       val factsForMissing = facts
-        .join(broadcast(missingKeys), col(factKey) === col("aff_key"))
+        .join(broadcast(missingKeysLocal), col(factKey) === col("aff_key"))
         .drop("aff_key")
       // an ancestor can aggregate both reused and fact-derived leaves
       // — merge at MV grain (dim × customers sized)
@@ -435,21 +447,33 @@ object HierarchyAgg {
 
   /** HISTORY-CORRECT rollup: route every fact through the hierarchy
     * version live AT ITS OWN DATE — the slowly-changing-rollup.
-    * `closures` is [[HierarchyDimension.historyClosure]] output (one
-    * row per ancestor-descendant pair per validity window). Scale
-    * shape: facts pre-aggregate to (leaf, date) grain — ONE shuffle
-    * with map-side combine, cardinality |leaves| × |dates| — then the
-    * dim-sized closure union joins broadcast, the window predicate
+    *
+    * Input contracts:
+    *   - `facts` carries `leafIdCol` (the leaf NODE ID — distinct
+    *     from [[rollupMv]]'s natural-key contract), `dateCol`, and the
+    *     measure columns `sales_amount` / `unit_quantity`;
+    *   - `closures` is [[HierarchyDimension.historyClosure]] output:
+    *     `ancestor_node_id`, `descendant_node_id`, and the validity
+    *     window columns (one row per pair per validity window).
+    *     `leafIdCol` must differ from "descendant_node_id" or the
+    *     join condition is ambiguous — alias the fact column.
+    *
+    * Scale shape: facts pre-aggregate to (leaf, date) grain — ONE
+    * shuffle with map-side combine, cardinality |leaves| × |dates| —
+    * then the dim-sized closure union joins broadcast (opt out via
+    * `broadcastDim = false` for pathologically wide versioned
+    * hierarchies, as with every rollup here), the window predicate
     * picking each row's version.
     */
   def historyRollup(facts: DataFrame, closures: DataFrame,
       leafIdCol: String, dateCol: String,
-      validFrom: String = "valid_from", validTo: String = "valid_to"): DataFrame =
+      validFrom: String = "valid_from", validTo: String = "valid_to",
+      broadcastDim: Boolean = true): DataFrame =
     facts
       .groupBy(col(leafIdCol), col(dateCol))
       .agg(sum("sales_amount").as("__s"), sum("unit_quantity").as("__q"),
         count(lit(1)).as("__n"))
-      .join(broadcast(closures),
+      .join(maybeBroadcast(closures, broadcastDim),
         col("descendant_node_id") === col(leafIdCol) &&
           col(dateCol) >= col(validFrom) && col(dateCol) < col(validTo))
       .groupBy("ancestor_node_id")
