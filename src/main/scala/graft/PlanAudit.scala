@@ -19,7 +19,10 @@ object PlanAudit {
       "p4_split_shards",
       // round-9 additions worth auditing
       "h15_multi_hier_exact", "h16_targeted_mv_repair", "d9_source_overlap",
-      "q16_percentile", "t8_repetition")
+      "q16_percentile", "t8_repetition",
+      // round-10 additions worth auditing
+      "h14_history_rollup", "p6_token_budget_sample", "h17_contribution",
+      "p7_temperature_mixture")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sf).queryExecution.explainString(

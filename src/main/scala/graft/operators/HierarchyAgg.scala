@@ -244,6 +244,54 @@ object HierarchyAgg {
         sum(col("mv_qty")).as("mv_qty"),
         sum(col("mv_n")).as("mv_n"))
 
+  /** CONTRIBUTION analysis — each node's share of its PARENT's total
+    * and of the grand total: the percent-of-parent / percent-of-total
+    * companion of the flagship rollup, the numbers a drill-down UI
+    * shows next to every subtotal (reference: main.py:27-56 computes
+    * the subtotals; this derives the ratios between adjacent levels).
+    *
+    * Scale shape: facts pre-aggregate to leaf grain — ONE shuffle with
+    * map-side combine, the only point where fact rows move — then the
+    * dim-sized closure join is broadcast and node totals land on
+    * |nodes| cardinality. The parent lookup is a broadcast self-join
+    * of that dim-sized aggregate via the node table's parent pointer
+    * (each node's parent total), and the root total is a 1-row
+    * broadcast. Ratios divide the 2-dp-rounded totals (identical in
+    * any engine) and round to 6 dp; the root's pct_of_parent is null.
+    */
+  def contributionRollup(facts: DataFrame, dim: HierarchyDimension,
+      factKey: String = "leaf_key", broadcastDim: Boolean = true): DataFrame = {
+    val totals = facts
+      .groupBy(col(factKey))
+      .agg(sum(col("sales_amount")).as("__s"))
+      .join(maybeBroadcast(closureIdKeys(dim.aggregationDim), broadcastDim),
+        col(factKey) === col("descendant_node_natural_key"))
+      .groupBy(col("ancestor_node_id"))
+      .agg(round(sum(col("__s")), 2).as("sum_sales_amount"))
+    val meta = dim.flaggedNodes.select(
+      col("node_id"), col("node_name"), col("level_name"),
+      col("parent_node_id"), col("is_root"))
+    val withMeta = totals.join(maybeBroadcast(meta, broadcastDim),
+      col("ancestor_node_id") === col("node_id"))
+    val parents = totals.select(col("ancestor_node_id").as("__pid"),
+      col("sum_sales_amount").as("__psales"))
+    val rootTotal = withMeta.filter(col("is_root"))
+      .select(col("sum_sales_amount").as("__rsales"))
+    withMeta
+      .join(maybeBroadcast(parents, broadcastDim),
+        col("parent_node_id") === col("__pid"), "left")
+      .crossJoin(broadcast(rootTotal))
+      .select(
+        col("node_name"), col("level_name"), col("sum_sales_amount"),
+        round(col("sum_sales_amount") / col("__psales"), 6).as("pct_of_parent"),
+        round(col("sum_sales_amount") / col("__rsales"), 6).as("pct_of_total"))
+  }
+
+  private def closureIdKeys(aggDim: DataFrame): DataFrame =
+    aggDim.select(
+      col("descendant_node_natural_key"),
+      col("ancestor_node_id"))
+
   /** INCREMENTAL MAINTENANCE: fold a delta fact batch into an existing
     * MV. Only the delta pays the fact-side shuffle; the stored MV
     * re-aggregates at its own (≤ |nodes| × |customers|) grain — at

@@ -193,6 +193,18 @@ object HierarchyQueries {
           HierarchyAgg.segmentLeafKey(col("c_nationkey"), col("c_mktsegment")))
       HierarchyAgg.hierarchicalRollup(facts, deepDimension(s, d).aggregationDim)
     }),
+    // CONTRIBUTION analysis on the 4-level hierarchy: every node's
+    // percent-of-parent and percent-of-total next to its subtotal —
+    // the drill-down companion of h5. Node totals are the same
+    // leaf-grain pre-agg + broadcast closure shape as every rollup;
+    // the parent/root ratios are broadcast self-joins of the dim-sized
+    // totals frame (facts are never touched again).
+    "h17_contribution" -> ((s, d) => {
+      val facts = HierarchyAgg.salesFacts(s, d)
+        .withColumn("leaf_key",
+          HierarchyAgg.segmentLeafKey(col("c_nationkey"), col("c_mktsegment")))
+      HierarchyAgg.contributionRollup(facts, deepDimension(s, d))
+    }),
     // wide-dimension rollup: 20k part leaves at sf0.1 — same engine,
     // dimension two orders of magnitude wider than region/nation
     "h6_hier_agg_parts" -> ((s, d) => {
@@ -612,6 +624,37 @@ FROM routed GROUP BY anc""",
          CASE c.c_mktsegment WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1
               WHEN 'FURNITURE' THEN 2 WHEN 'HOUSEHOLD' THEN 3
               WHEN 'MACHINERY' THEN 4 ELSE 7 END"""),
+    // percent-of-parent / percent-of-total: node totals via the same
+    // closure join, ratios via parent-pointer self-join; ratios divide
+    // the 2-dp-rounded totals exactly as the engine does
+    "h17_contribution" ->
+      s"""${prelude(true)},
+facts AS (
+  SELECT 1000 + c.c_nationkey * 8 +
+         CASE c.c_mktsegment WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1
+              WHEN 'FURNITURE' THEN 2 WHEN 'HOUSEHOLD' THEN 3
+              WHEN 'MACHINERY' THEN 4 ELSE 7 END AS leaf_key,
+         l.l_extendedprice AS sales_amount
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey),
+totals AS (
+  SELECT adim.ancestor_node_id AS node_id,
+         ROUND(SUM(f.sales_amount), 2) AS sum_sales_amount
+  FROM facts f
+  JOIN adim ON CAST(f.leaf_key AS BIGINT) = adim.descendant_node_natural_key
+  GROUP BY 1),
+rt AS (
+  SELECT t.sum_sales_amount AS root_sales
+  FROM totals t JOIN flagged fl ON t.node_id = fl.node_id
+  WHERE fl.is_root)
+SELECT fl.node_name, fl.level_name, t.sum_sales_amount,
+       ROUND(t.sum_sales_amount / pt.sum_sales_amount, 6) AS pct_of_parent,
+       ROUND(t.sum_sales_amount / rt.root_sales, 6) AS pct_of_total
+FROM totals t
+JOIN flagged fl ON t.node_id = fl.node_id
+LEFT JOIN totals pt ON fl.parent_node_id = pt.node_id
+CROSS JOIN rt""",
     // two independent closures (compact anc-pair recursion per
     // hierarchy) joined to the same fact stream
     "h10_multi_hier_agg" -> multiHierSql(""),

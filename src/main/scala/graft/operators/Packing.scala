@@ -207,6 +207,49 @@ object Packing {
       .select("doc_id", "source", "n_tokens", "quality_ppm", "cum_tokens")
   }
 
+  /** TEMPERATURE-based mixture selection — the multilingual-sampling
+    * formula (weight ∝ tokens^α, α<1 upsamples small sources relative
+    * to their share) applied per SOURCE, then materialized as a
+    * deterministic per-doc admission decision. Unlike [[mixturePlan]]
+    * (fixed target shares), the shares here are DERIVED from the
+    * corpus itself: w_i = n_i^α / Σ n_j^α, planned_i = budget · w_i,
+    * rate_i = min(1, planned_i / n_i). Doc admission reuses the p2
+    * LCG percentile on the doc id against floor(rate·100) — stable
+    * under reruns/retries, bit-identical in any engine.
+    *
+    * Scale shape: per-source token counts are ONE aggregation with
+    * map-side combine; the weight normalizer is a 1-row broadcast; the
+    * per-doc decision is a broadcast join of the sources-sized rate
+    * table + a narrow filter. Nothing fact-sized shuffles twice.
+    * Weights round to 6 dp BEFORE deriving rates so every downstream
+    * number is a pure function of decimal-exact inputs.
+    */
+  def temperatureMixture(docs: DataFrame, alpha: Double = 0.5,
+      budgetFrac: Double = 0.5): DataFrame = {
+    val scored = docs
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+    val perSource = scored
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("source_tokens"))
+    val tot = perSource.agg(
+      sum(pow(col("source_tokens").cast("double"), alpha)).as("__wtot"),
+      sum(col("source_tokens")).as("__ttot"))
+    val rates = perSource.crossJoin(broadcast(tot))
+      .withColumn("weight",
+        round(pow(col("source_tokens").cast("double"), alpha) / col("__wtot"), 6))
+      .withColumn("rate", round(least(lit(1.0),
+        col("__ttot").cast("double") * budgetFrac * col("weight")
+          / col("source_tokens").cast("double")), 6))
+      .select(col("source"), col("weight"), col("rate"))
+    val pct = pmod(
+      pmod(col("doc_id"), lit(2147483648L)) * 1103515245L + 12345L,
+      lit(2147483648L)) % 100
+    scored
+      .join(broadcast(rates), Seq("source"))
+      .filter(pct < floor(col("rate") * 100).cast("long"))
+      .select("doc_id", "source", "n_tokens", "weight", "rate")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_sequence_packing" -> ((s, d) => sequencePack(Tables.documents(s, d))),
     "p2_stratified_sample" -> ((s, d) =>
@@ -218,7 +261,9 @@ object Packing {
     "p4_split_shards" -> ((s, d) => splitShards(Tables.documents(s, d))),
     "p5_epoch_shuffle" -> ((s, d) => epochShuffle(Tables.documents(s, d))),
     "p6_token_budget_sample" -> ((s, d) =>
-      tokenBudgetSample(Tables.documents(s, d)))
+      tokenBudgetSample(Tables.documents(s, d))),
+    "p7_temperature_mixture" -> ((s, d) =>
+      temperatureMixture(Tables.documents(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -307,6 +352,37 @@ object Packing {
            FROM m)
          SELECT doc_id, source, n_tokens, quality_ppm,
            CAST(cum_tokens AS BIGINT) AS cum_tokens
-         FROM r WHERE cum_tokens <= 800"""
+         FROM r WHERE cum_tokens <= 800""",
+    // temperature weights w ~ tokens^0.5, rates from the ROUNDED
+    // weight, p2's LCG admission — all-DOUBLE arithmetic in Spark's
+    // association order (see p3's note on DuckDB DECIMAL literals)
+    "p7_temperature_mixture" ->
+      raw"""WITH t AS (
+           SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         per_source AS (
+           SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS source_tokens
+           FROM t GROUP BY source),
+         tot AS (
+           SELECT SUM(pow(CAST(source_tokens AS DOUBLE), 0.5)) AS wtot,
+             CAST(SUM(source_tokens) AS BIGINT) AS ttot
+           FROM per_source),
+         r AS (
+           SELECT source,
+             ROUND(pow(CAST(source_tokens AS DOUBLE), 0.5) / wtot, 6) AS weight,
+             source_tokens
+           FROM per_source, tot),
+         rates AS (
+           SELECT source, weight,
+             ROUND(LEAST(1.0,
+               CAST((SELECT ttot FROM tot) AS DOUBLE) * 0.5 * weight
+                 / CAST(source_tokens AS DOUBLE)), 6) AS rate
+           FROM r)
+         SELECT t.doc_id, t.source, t.n_tokens, rates.weight, rates.rate
+         FROM t JOIN rates ON t.source = rates.source
+         WHERE (((t.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 100
+               < CAST(FLOOR(rate * 100) AS BIGINT)"""
   )
 }

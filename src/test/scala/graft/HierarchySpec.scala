@@ -77,6 +77,24 @@ class HierarchySpec extends SparkSpec {
     assert(byName("--------------B1").getAs[Double]("sum_sales_amount") == 20.0)
   }
 
+  test("contribution rollup: ratios partition parents; root pct_of_total is 1") {
+    val facts = Seq((11L, 1L, 2.0, 10.0), (12L, 2L, 1.0, 5.0), (21L, 1L, 4.0, 20.0))
+      .toDF("leaf_key", "customer_id", "unit_quantity", "sales_amount")
+    val out = HierarchyAgg.contributionRollup(facts, dim).collect()
+      .map(r => r.getAs[String]("node_name") -> r).toMap
+    assert(out.size == 6)
+    assert(out("Root").isNullAt(out("Root").fieldIndex("pct_of_parent")))
+    assert(out("Root").getAs[Double]("pct_of_total") == 1.0)
+    assert(out("A").getAs[Double]("sum_sales_amount") == 15.0)
+    assert(math.abs(out("A").getAs[Double]("pct_of_parent") - 15.0 / 35.0) < 1e-6)
+    assert(math.abs(out("A1").getAs[Double]("pct_of_parent") - 10.0 / 15.0) < 1e-6)
+    assert(out("B1").getAs[Double]("pct_of_parent") == 1.0)
+    assert(math.abs(out("B1").getAs[Double]("pct_of_total") - 20.0 / 35.0) < 1e-6)
+    // siblings partition their parent: A + B account for all of Root
+    assert(math.abs(out("A").getAs[Double]("pct_of_parent")
+      + out("B").getAs[Double]("pct_of_parent") - 1.0) < 1e-5)
+  }
+
   test("incremental rollup MV: base + delta merge equals full recompute") {
     val facts = HierarchyAgg.salesFacts(spark, sf)
     val adim = HierarchyQueries.dimension(spark, sf).aggregationDim

@@ -200,6 +200,32 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("temperature mixture: alpha=1 is proportional; alpha<1 upsamples small sources") {
+    val docs = ((0L until 400L).map(i => (i, Seq.fill(20)("w").mkString(" "),
+        "en", "big", 40L)) ++
+      (400L until 420L).map(i => (i, Seq.fill(20)("w").mkString(" "),
+        "de", "small", 40L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // alpha=1: weight_i = tokens_i / total, so rate_i = budgetFrac everywhere
+    val prop = Packing.temperatureMixture(docs, alpha = 1.0, budgetFrac = 0.5)
+      .select("source", "rate").distinct().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("rate")).toMap
+    assert(prop.values.forall(r => math.abs(r - 0.5) < 1e-4))
+    // alpha=0.5: the small source's admission rate exceeds the big one's
+    val temp = Packing.temperatureMixture(docs, alpha = 0.5, budgetFrac = 0.5)
+    val rates = temp.select("source", "weight", "rate").distinct().collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("weight"), r.getAs[Double]("rate"))).toMap
+    assert(rates("small")._2 > rates("big")._2)
+    assert(rates.values.forall(_._2 <= 1.0))
+    assert(math.abs(rates.values.map(_._1).sum - 1.0) < 1e-5)
+    // the admission decision is deterministic: same input, same doc set
+    val first = temp.select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Packing.temperatureMixture(docs, alpha = 0.5, budgetFrac = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(first == again && first.nonEmpty)
+  }
+
   test("token budget sample keeps the per-source quality prefix within budget") {
     val docs = Tables.documents(spark, sf)
     val out = operators.Packing.tokenBudgetSample(docs, budgetTokens = 800L)

@@ -23,7 +23,9 @@ class PlanLintSpec extends SparkSpec {
     "s3_knn_ivf",          // broadcast k-means codebook (nlist rows)
     "h5_hier_agg_deep",    // dim construction: nation × 5-row segment literal
     "t11_tfidf",           // 1-row corpus-size broadcast
-    "s4_range_search"      // range search broadcasts the query set (s1's shape)
+    "s4_range_search",     // range search broadcasts the query set (s1's shape)
+    "h17_contribution",    // 1-row root-total broadcast
+    "p7_temperature_mixture" // 1-row corpus-total broadcast (weight normalizer)
   )
 
   private val skipEager = Set(

@@ -158,6 +158,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("h17: ratios are broadcast self-joins of dim-sized totals; no sort-merge") {
+    val p = plan("h17_contribution")
+    // the fact stream pays ONE leaf-grain pre-agg shuffle; the closure,
+    // node-meta, parent-total and root-total joins are all broadcast
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p)
+  }
+
+  test("p7: temperature mixture has no windows; the rate table joins broadcast") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("p7_temperature_mixture")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(df.queryExecution.sparkPlan.collect {
+      case w: WindowExec => w }.isEmpty, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // per-source token counts partial-aggregate before their shuffle
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("h9: incremental finalize has no Expand; closure joins broadcast") {
     val p = plan("h9_incremental_rollup")
     assert(!p.contains("Expand"), "distinct must read off the MV grain, not Expand: " + p)
