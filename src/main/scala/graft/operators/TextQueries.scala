@@ -79,6 +79,57 @@ object TextQueries {
         (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Per-doc bigram-LM score — mean -ln p(w2|w1) with add-one
+    * smoothing, p = (c(w1 w2) + 1) / (c(w1) + |V|). The t13 scoring
+    * engine, shared with t14's perplexity filter. Corpus bigram /
+    * unigram counts are gram-keyed aggregates; the unigram count and
+    * vocab size fold into the DICTIONARY-sized bigram model so the
+    * raw bigram stream pays exactly one model join. Docs with <2
+    * tokens have no bigrams and drop out (wordNgrams convention).
+    */
+  def bigramNlp(docs: DataFrame): DataFrame = {
+    val t = docs.withColumn("toks", tokens(lower(col("text"))))
+    val uc = t.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val v = uc.agg(count(lit(1)).as("v"))
+    val bi = t.select(col("doc_id"), explode(wordNgrams(col("toks"), 2)).as("bg"))
+    val bc = bi.groupBy("bg").agg(count(lit(1)).as("bc"))
+    val model = bc
+      .withColumn("w", split(col("bg"), " ").getItem(0))
+      .join(uc, "w")
+      .crossJoin(broadcast(v))
+      .select(col("bg"),
+        (-log((col("bc") + 1).cast("double") /
+          (col("wc") + col("v")).cast("double"))).as("nlp"))
+    bi.join(model, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("nlp")), 6).as("avg_neg_logprob"))
+  }
+
+  /** CCNet-style perplexity filter — see the t14 entry. Buckets are
+    * z-score bands around the corpus mean: head (score below
+    * mean − 0.25·stddev: most predictable under the corpus LM),
+    * tail (above mean + 0.25·stddev), middle between. Thresholds are
+    * derived from 6-dp-rounded stats so both engines compare
+    * identical doubles.
+    */
+  def perplexityFilter(docs: DataFrame): DataFrame = {
+    val scores = bigramNlp(docs)
+    val stats = scores.agg(
+      round(avg(col("avg_neg_logprob")), 6).as("__mu"),
+      round(stddev_pop(col("avg_neg_logprob")), 6).as("__sigma"))
+    scores.crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        when(col("avg_neg_logprob") < col("__mu") - lit(0.25) * col("__sigma"),
+          lit("head"))
+          .when(col("avg_neg_logprob") > col("__mu") + lit(0.25) * col("__sigma"),
+            lit("tail"))
+          .otherwise(lit("middle")))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_neg_logprob"),
+        col("bucket"), (col("bucket") =!= "tail").as("keep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Token counting: whitespace tokenization + length stats.
@@ -239,31 +290,17 @@ object TextQueries {
     // are gram-keyed aggregates (d8's scale shape); only the 1-row
     // vocab size broadcasts. Docs with <2 tokens have no bigrams and
     // drop out (same convention as wordNgrams).
-    "t13_bigram_logprob" -> ((s, d) => {
-      val t = Tables.documents(s, d)
-        .withColumn("toks", tokens(lower(col("text"))))
-      val uc = t.select(explode(col("toks")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("wc"))
-      val v = uc.agg(count(lit(1)).as("v"))
-      val bi = t.select(col("doc_id"), explode(wordNgrams(col("toks"), 2)).as("bg"))
-      val bc = bi.groupBy("bg").agg(count(lit(1)).as("bc"))
-      // fold the unigram count and vocab size into the DICTIONARY-
-      // sized bigram table (|distinct bigrams| rows) so the raw bigram
-      // STREAM pays only the one model join — joining uc onto the
-      // stream instead would re-shuffle every token occurrence a
-      // second time for values that are pure functions of the bigram
-      val model = bc
-        .withColumn("w", split(col("bg"), " ").getItem(0))
-        .join(uc, "w")
-        .crossJoin(broadcast(v))
-        .select(col("bg"),
-          (-log((col("bc") + 1).cast("double") /
-            (col("wc") + col("v")).cast("double"))).as("nlp"))
-      bi.join(model, "bg")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(avg(col("nlp")), 6).as("avg_neg_logprob"))
-    }),
+    "t13_bigram_logprob" -> ((s, d) => bigramNlp(Tables.documents(s, d))),
+
+    // PERPLEXITY filtering (CCNet-style): every doc scored under the
+    // corpus's own bigram LM (t13's engine), then bucketed head /
+    // middle / tail by z-score bands around the corpus mean — the
+    // classic "keep the head+middle, drop the tail" pretraining
+    // selection step. Corpus stats are ONE 1-row aggregate broadcast
+    // over the doc-grain scores; the label is a narrow map. Nothing
+    // beyond t13's gram-keyed shuffles at any scale.
+    "t14_perplexity_filter" -> ((s, d) =>
+      perplexityFilter(Tables.documents(s, d))),
 
     // PII / denylist scrubbing — the redaction stage of a corpus
     // pipeline: emails, URLs and long digit runs are replaced with
@@ -521,6 +558,43 @@ object TextQueries {
          JOIN uc u ON u.w = split_part(bi.bg, ' ', 1)
          CROSS JOIN v
          GROUP BY doc_id""",
+    // t13's scoring CTEs + corpus mean/stddev bands; thresholds derive
+    // from 6-dp-rounded stats so both engines compare identical doubles
+    "t14_perplexity_filter" ->
+      raw"""WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         uc AS (
+           SELECT w, COUNT(*) AS wc
+           FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uc),
+         bi AS (
+           SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+             ELSE [] END) AS bg
+           FROM t),
+         bc AS (SELECT bg, COUNT(*) AS bc FROM bi GROUP BY bg),
+         scores AS (
+           SELECT doc_id, COUNT(*) AS n_bigrams,
+             ROUND(AVG(-ln(CAST(b.bc + 1 AS DOUBLE) / CAST(u.wc + v.v AS DOUBLE))), 6)
+               AS avg_neg_logprob
+           FROM bi JOIN bc b USING (bg)
+           JOIN uc u ON u.w = split_part(bi.bg, ' ', 1)
+           CROSS JOIN v
+           GROUP BY doc_id),
+         stats AS (
+           SELECT ROUND(AVG(avg_neg_logprob), 6) AS mu,
+             ROUND(stddev_pop(avg_neg_logprob), 6) AS sigma
+           FROM scores),
+         lab AS (
+           SELECT doc_id, n_bigrams, avg_neg_logprob,
+             CASE WHEN avg_neg_logprob < mu - 0.25 * sigma THEN 'head'
+                  WHEN avg_neg_logprob > mu + 0.25 * sigma THEN 'tail'
+                  ELSE 'middle' END AS bucket
+           FROM scores CROSS JOIN stats)
+         SELECT doc_id, n_bigrams, avg_neg_logprob, bucket,
+           bucket <> 'tail' AS keep
+         FROM lab""",
     "t12_doc_chunks" ->
       raw"""WITH t AS (
            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks

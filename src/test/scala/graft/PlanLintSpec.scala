@@ -19,6 +19,7 @@ class PlanLintSpec extends SparkSpec {
     "p3_mixture_plan",     // 1-row corpus-total broadcast
     "t9_unigram_logprob",  // 1-row corpus-total broadcast
     "t13_bigram_logprob",  // 1-row vocab-size broadcast
+    "t14_perplexity_filter", // t13's vocab broadcast + 1-row stats broadcast
     "s1_knn_brute",        // brute-force baseline broadcasts the query set
     "s3_knn_ivf",          // broadcast k-means codebook (nlist rows)
     "h5_hier_agg_deep",    // dim construction: nation × 5-row segment literal

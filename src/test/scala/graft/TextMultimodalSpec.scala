@@ -214,6 +214,30 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(1L)._1 == 1L && math.abs(out(1L)._2 - ba) < 1e-6)
   }
 
+  test("perplexity filter: buckets band the score distribution; keep drops the tail") {
+    val docs = Tables.documents(spark, sf)
+    val out = operators.TextQueries.perplexityFilter(docs).collect()
+    assert(out.nonEmpty)
+    val byBucket = out.groupBy(_.getAs[String]("bucket"))
+      .view.mapValues(_.map(_.getAs[Double]("avg_neg_logprob"))).toMap
+    assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+    assert(byBucket.contains("middle"))
+    // the bands are ordered: every head score < every middle score
+    // < every tail score (strict by construction of the thresholds)
+    for (h <- byBucket.get("head"); m <- byBucket.get("middle"))
+      assert(h.max < m.min)
+    for (m <- byBucket.get("middle"); t <- byBucket.get("tail"))
+      assert(m.max < t.min)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("keep") == (r.getAs[String]("bucket") != "tail"))
+    }
+    // score set identical to t13's (the filter only labels, never rescales)
+    val t13 = operators.TextQueries.bigramNlp(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_neg_logprob")).toMap
+    assert(out.forall(r =>
+      t13(r.getAs[Long]("doc_id")) == r.getAs[Double]("avg_neg_logprob")))
+  }
+
   test("WavPcmCodec decodes a real synthesized RIFF/WAVE payload") {
     // 8000 Hz mono 16-bit PCM, 800 samples (100 ms) of a square wave
     // alternating ±8192 → mean |amplitude| = 8192/32768 = 0.25
