@@ -114,6 +114,14 @@ object Graft {
       before: HierarchyDimension, after: HierarchyDimension): DataFrame =
     HierarchyAgg.repairRollupMv(mv, facts, before, after)
 
+  /** Contribution analysis over the rollup: every node's
+    * percent-of-parent and percent-of-total next to its subtotal;
+    * see [[operators.HierarchyAgg.contributionRollup]].
+    */
+  def contributionRollup(facts: DataFrame, dim: HierarchyDimension,
+      factKey: String = "leaf_key"): DataFrame =
+    HierarchyAgg.contributionRollup(facts, dim, factKey)
+
   /** Two-pass dynamic pivot: value domain discovered from the data,
     * then pivoted wide; see [[operators.Olap.dynamicPivot]].
     */
@@ -193,6 +201,22 @@ object Graft {
       shares: Map[String, Double] = Map("en" -> 0.4),
       defaultShare: Double = 0.15): DataFrame =
     Packing.mixturePlan(docs, budgetFrac, shares, defaultShare)
+
+  /** Temperature-based mixture selection: per-source shares derived
+    * as tokens^α (α<1 upsamples small sources), admission via the
+    * deterministic LCG percentile; see
+    * [[operators.Packing.temperatureMixture]].
+    */
+  def temperatureMixture(docs: DataFrame, alpha: Double = 0.5,
+      budgetFrac: Double = 0.5): DataFrame =
+    Packing.temperatureMixture(docs, alpha, budgetFrac)
+
+  /** CCNet-style perplexity filter: docs scored under the corpus's
+    * own bigram LM, bucketed head/middle/tail by z-score bands; see
+    * [[operators.TextQueries.perplexityFilter]].
+    */
+  def perplexityFilter(docs: DataFrame): DataFrame =
+    TextQueries.perplexityFilter(docs)
 
   /** Contiguous per-group sequence packing into fixed-capacity token
     * bins (sample packing for training batches).
