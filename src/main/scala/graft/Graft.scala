@@ -234,6 +234,16 @@ object Graft {
       nPlanes: Int = 4, nTables: Int = 8): DataFrame =
     Dedup.embeddingNearDup(embeddings, threshold, nPlanes, nTables)
 
+  /** SemDeDup-style semantic dedup: k-means clusters block the
+    * candidate pairs, a vector with a lower-id cluster-mate at
+    * cosine ≥ tau is labeled a semantic_dup of its lowest-id such
+    * neighbor; see [[operators.Similarity.semanticDedup]]. `k` is
+    * the blocking knob — grow it with the corpus (k ≈ n/1000).
+    */
+  def semanticDedup(embeddings: DataFrame, tau: Double = 0.9,
+      k: Int = 10): DataFrame =
+    Similarity.semanticDedup(embeddings, tau, k)
+
   /** Leakage-aware train/validation/test split + shard assignment —
     * keyed on the CONTENT fingerprint so byte-identical docs can never
     * straddle train and eval; deterministic integer arithmetic.

@@ -90,7 +90,16 @@ object DedupQueries {
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(5)) === 0),
         minJaccard = 0.05)
-    })
+    }),
+    // SemDeDup-style semantic dedup over the embeddings table:
+    // deterministic k-means clusters block the candidate pairs, a
+    // vector with a lower-id cluster-mate at cosine ≥ tau is a
+    // semantic_dup of its lowest-id such neighbor. One label row per
+    // vector. k-means is not SQL-expressible → rows-only driver
+    // check; SimilaritySpec brute-force-verifies the labels on
+    // planted duplicates.
+    "d13_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(Tables.embeddings(s, d), tau = 0.9))
   )
 
   /** Provenance overlap matrix — see the d9 entry.

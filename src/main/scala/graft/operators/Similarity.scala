@@ -182,6 +182,48 @@ object Similarity {
       .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
     rerank(pairs, k)
   }
+
+  /** SemDeDup-style SEMANTIC dedup: cluster the corpus with the
+    * deterministic seeded k-means codebook, then within each cluster
+    * mark every vector that has a lower-id cluster-mate with
+    * cosine ≥ `tau` as a `semantic_dup` of its LOWEST-id such
+    * neighbor; everything else is `kept`. One row per input vector —
+    * the per-doc admission labels a curation pipeline joins back onto
+    * the corpus (where d5 emits near-dup PAIRS, this emits the
+    * cluster-scoped keep/drop decision).
+    *
+    * Scale shape: the codebook is dim-sized and broadcast both for
+    * assignment and probing; candidate pairs are generated ONLY
+    * within a cluster (the self-join shuffles on the cluster id), so
+    * pair count is Σ|cluster|² — `k` is the blocking knob and should
+    * grow with the corpus (k ≈ n/1000 at scale) exactly as SemDeDup
+    * sizes its clusters. Threshold compares use round(cos, 9) for
+    * cross-engine FP-tie parity; fully deterministic, no RNG.
+    */
+  def semanticDedup(emb: DataFrame, tau: Double = 0.9, k: Int = 10,
+      iters: Int = 2): DataFrame = {
+    val c = corpus(emb)
+    val centroids = kmeansCentroids(c, k, iters)
+    val assigned = assignToCentroids(c, centroids)
+      .select(col("vec_id"), col("c_id").as("cluster_id"), col("v"), col("nrm"))
+    val mates = assigned.select(col("cluster_id"), col("vec_id").as("j_id"),
+      col("v").as("jv"), col("nrm").as("jn"))
+    val dups = assigned.join(mates, Seq("cluster_id"))
+      .filter(col("j_id") < col("vec_id"))
+      .withColumn("cos", graft.functions.OptimizationFence.fence(
+        dot(col("v"), col("jv")) / (col("nrm") * col("jn"))))
+      .filter(round(col("cos"), 9) >= tau)
+      .groupBy("vec_id")
+      .agg(min(col("j_id")).as("dup_of"),
+        min_by(col("cos"), col("j_id")).as("dup_cos"))
+    assigned.select(col("vec_id"), col("cluster_id"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        when(col("dup_of").isNull, lit("kept"))
+          .otherwise(lit("semantic_dup")).as("status"),
+        coalesce(col("dup_of"), col("vec_id")).as("canonical_id"),
+        round(col("dup_cos"), 6).as("cos_to_canonical"))
+  }
 }
 
 /** Registry for the similarity family. s1 has an exact DuckDB oracle;

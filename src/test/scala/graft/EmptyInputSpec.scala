@@ -28,6 +28,15 @@ class EmptyInputSpec extends SparkSpec {
     assert(Packing.stratifiedSample(noDocs).count() == 0)
     assert(Packing.mixturePlan(noDocs).count() == 0)
     assert(Packing.tokenBudgetSample(noDocs).count() == 0)
+    assert(Packing.temperatureMixture(noDocs).count() == 0)
+  }
+
+  test("perplexity filter and contribution rollup handle empty inputs") {
+    assert(TextQueries.perplexityFilter(noDocs).count() == 0)
+    val dim = HierarchyQueries.dimension(spark, sf)
+    val facts = HierarchyAgg.salesFacts(spark, sf).limit(0)
+      .withColumn("leaf_key", col("l_partkey"))
+    assert(HierarchyAgg.contributionRollup(facts, dim).count() == 0)
   }
 
   test("historyClosure returns an empty closure for an empty versioned node table") {
@@ -45,6 +54,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.embeddingNearDup(noEmb).count() == 0)
     assert(Dedup.embeddingNearDup(noEmb, nPlanes = 0).count() == 0)
     assert(Similarity.bruteForceTopK(noEmb).count() == 0)
+    assert(Similarity.semanticDedup(noEmb).count() == 0)
   }
 
   test("streaming batch forms and sessionize handle empty events") {

@@ -22,6 +22,7 @@ class PlanLintSpec extends SparkSpec {
     "t14_perplexity_filter", // t13's vocab broadcast + 1-row stats broadcast
     "s1_knn_brute",        // brute-force baseline broadcasts the query set
     "s3_knn_ivf",          // broadcast k-means codebook (nlist rows)
+    "d13_semantic_dedup",  // broadcast k-means codebook (k rows)
     "h5_hier_agg_deep",    // dim construction: nation × 5-row segment literal
     "t11_tfidf",           // 1-row corpus-size broadcast
     "s4_range_search",     // range search broadcasts the query set (s1's shape)

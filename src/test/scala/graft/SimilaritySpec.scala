@@ -65,4 +65,50 @@ class SimilaritySpec extends SparkSpec {
       b.get(k).foreach(c => assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-9))
     }
   }
+
+  test("semantic dedup: labels brute-force-verified; planted duplicates collapse") {
+    val tau = 0.9
+    // plant byte-identical copies of two vectors under new high ids
+    val planted = emb.filter(col("vec_id").isin(3L, 7L))
+      .withColumn("vec_id", col("vec_id") + 1000L)
+    val corpus = emb.unionByName(planted)
+    val out = Similarity.semanticDedup(corpus, tau = tau).collect()
+    assert(out.length == corpus.count())
+    val byId = out.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    // an identical copy always has a qualifying lower-id mate
+    Seq(1003L, 1007L).foreach { id =>
+      assert(byId(id).getAs[String]("status") == "semantic_dup")
+      assert(byId(id).getAs[Long]("canonical_id") < id)
+      assert(byId(id).getAs[Double]("cos_to_canonical") >= tau - 1e-9)
+    }
+    // brute-force every label against the emitted clustering
+    val vecs = corpus.collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray
+    }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val clusterOf = out.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    out.foreach { r =>
+      val i = r.getAs[Long]("vec_id")
+      val qual = clusterOf.keysIterator
+        .filter(j => j < i && clusterOf(j) == clusterOf(i))
+        .filter(j => r9(cos(vecs(i), vecs(j))) >= BigDecimal(tau))
+        .toSeq
+      if (qual.isEmpty) {
+        assert(r.getAs[String]("status") == "kept", s"vec $i")
+        assert(r.getAs[Long]("canonical_id") == i)
+        assert(r.isNullAt(r.fieldIndex("cos_to_canonical")))
+      } else {
+        assert(r.getAs[String]("status") == "semantic_dup", s"vec $i")
+        assert(r.getAs[Long]("canonical_id") == qual.min, s"vec $i")
+      }
+    }
+  }
 }
