@@ -255,9 +255,10 @@ object HierarchyAgg {
     * dim-sized closure join is broadcast and node totals land on
     * |nodes| cardinality. The parent lookup is a broadcast self-join
     * of that dim-sized aggregate via the node table's parent pointer
-    * (each node's parent total), and the root total is a 1-row
-    * broadcast. Ratios divide the 2-dp-rounded totals (identical in
-    * any engine) and round to 6 dp; the root's pct_of_parent is null.
+    * (each node's parent total), and the grand total (the SUM over
+    * roots — forests supported) is a 1-row broadcast. Ratios divide
+    * the 2-dp-rounded totals (identical in any engine) and round to
+    * 6 dp; a root's pct_of_parent is null.
     */
   def contributionRollup(facts: DataFrame, dim: HierarchyDimension,
       factKey: String = "leaf_key", broadcastDim: Boolean = true): DataFrame = {
@@ -275,8 +276,11 @@ object HierarchyAgg {
       col("ancestor_node_id") === col("node_id"))
     val parents = totals.select(col("ancestor_node_id").as("__pid"),
       col("sum_sales_amount").as("__psales"))
+    // forests: the grand total is the SUM over roots (aggregating
+    // keeps this a 1-row broadcast whatever the root count — a bare
+    // select would cross-join-duplicate every row per extra root)
     val rootTotal = withMeta.filter(col("is_root"))
-      .select(col("sum_sales_amount").as("__rsales"))
+      .agg(sum(col("sum_sales_amount")).as("__rsales"))
     withMeta
       .join(maybeBroadcast(parents, broadcastDim),
         col("parent_node_id") === col("__pid"), "left")
@@ -399,19 +403,28 @@ object HierarchyAgg {
     // re-derived by each consumer plan. Dim-sized control metadata by
     // the node-table contract — the same driver-side bound as the
     // dynamic-pivot domain, never data.
-    val newOnlyLeaves = leafKeys(newDim)
-      .join(broadcast(leafKeys(oldDim).select("node_id")),
-        Seq("node_id"), "left_anti")
     def tagged(df: DataFrame, id: Column, key: Column, kind: String) =
       df.select(id.as("id"), key.as("key"), lit(kind).as("kind"))
     val nullId = lit(null).cast(
       oldDim.flaggedNodes.schema("node_id").dataType)
     val nullKey = lit(null).cast(
       oldDim.flaggedNodes.schema("node_natural_key").dataType)
+    // fallback CANDIDATES are the NEW closure's leaf keys — NOT
+    // flaggedNodes: a leaf both versions flag is_leaf but the OLD
+    // closure dropped (depth bound / cycle guard / missing parent)
+    // never reached the MV, so when the new closure includes it its
+    // facts must scan; conversely a leaf the NEW closure dropped has
+    // no pairs to repair and must never schedule the scan. The
+    // driver-side subtraction against the old grain's keys then
+    // leaves exactly the keys with no reusable partials (every such
+    // leaf's spine is invalidated: its pairs are new-side-only in the
+    // diff, or keyChangedAnc covers the re-key case).
     val control = tagged(diffAnc, col("ancestor_node_id"), nullKey, "anc")
       .unionByName(tagged(keyChangedAnc, col("ancestor_node_id"), nullKey, "anc"))
-      .unionByName(tagged(newOnlyLeaves, nullId, col("node_natural_key"), "cand"))
-      .unionByName(tagged(keyChanged, nullId, col("new_key"), "cand"))
+      .unionByName(tagged(
+        newDim.aggregationDim
+          .filter(col("net_level") === 0 && col("ancestor_is_leaf")),
+        nullId, col("descendant_node_natural_key"), "cand"))
       // old-GRAIN keys come from the closure, not flaggedNodes: a
       // leaf dropped by the depth bound / cycle guard never reached
       // the MV, so its key must not mask a fallback candidate

@@ -645,7 +645,7 @@ totals AS (
   JOIN adim ON CAST(f.leaf_key AS BIGINT) = adim.descendant_node_natural_key
   GROUP BY 1),
 rt AS (
-  SELECT t.sum_sales_amount AS root_sales
+  SELECT SUM(t.sum_sales_amount) AS root_sales
   FROM totals t JOIN flagged fl ON t.node_id = fl.node_id
   WHERE fl.is_root)
 SELECT fl.node_name, fl.level_name, t.sum_sales_amount,

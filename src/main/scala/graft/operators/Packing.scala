@@ -42,6 +42,18 @@ object Packing {
         count(lit(1)).over(perBin).as("n_docs_in_bin"))
   }
 
+  /** Shared 31-bit LCG step — the ONE definition of the family's
+    * deterministic sampling arithmetic (mirrored verbatim in each
+    * DuckDB oracle string): reduce `id` below 2^31 BEFORE the
+    * multiply — an id beyond ~8.4e9 (a realistic 100 TB corpus) would
+    * overflow the Long product under ANSI mode; the reduced form
+    * peaks at 2^31 × a, safely inside Long, and is bit-identical to
+    * the unreduced form for ids < 2^31.
+    */
+  private def lcg(id: org.apache.spark.sql.Column, a: Long = 1103515245L,
+      c: Long = 12345L): org.apache.spark.sql.Column =
+    pmod(pmod(id, lit(2147483648L)) * a + c, lit(2147483648L))
+
   /** Deterministic stratified sampling: per-stratum keep rates applied
     * via an arithmetic hash of the row id (31-bit LCG), NOT `rand()` —
     * the sample is stable under reruns, retries and repartitioning
@@ -55,13 +67,7 @@ object Packing {
   def stratifiedSample(docs: DataFrame,
       rates: Map[String, Int] = Map("en" -> 30),
       defaultRate: Int = 60, stratumCol: String = "lang"): DataFrame = {
-    // reduce the id below 2^31 BEFORE the LCG multiply: doc_id beyond
-    // ~8.4e9 (a realistic 100 TB corpus) would overflow the Long
-    // product under ANSI mode; the reduced form peaks at 2^31 × a,
-    // safely inside Long range, and is bit-identical for ids < 2^31
-    val pct = pmod(
-      pmod(col("doc_id"), lit(2147483648L)) * 1103515245L + 12345L,
-      lit(2147483648L)) % 100
+    val pct = lcg(col("doc_id")) % 100
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
       when(col(stratumCol) === k, r).otherwise(acc)
     }
@@ -110,12 +116,9 @@ object Packing {
     * no shuffle at any scale.
     */
   def splitShards(docs: DataFrame, nShards: Int = 8): DataFrame = {
-    // reduce the (possibly Long-wrapped) fingerprint below 2^31 before
-    // the LCG multiplies — products then peak at 2^31 × 1103515245,
-    // safely inside Long under ANSI mode
-    val fp = pmod(fingerprint(trim(lower(col("text")))), lit(2147483648L))
-    val h1 = pmod(fp * 1103515245L + 12345L, lit(2147483648L)) % 100
-    val h2 = pmod(fp * 1664525L + 1013904223L, lit(2147483648L)) % nShards
+    val fp = fingerprint(trim(lower(col("text"))))
+    val h1 = lcg(fp) % 100
+    val h2 = lcg(fp, 1664525L, 1013904223L) % nShards
     docs.select(
       col("doc_id"),
       when(h1 < 80, "train").when(h1 < 90, "validation")
@@ -133,9 +136,7 @@ object Packing {
     * global sort.
     */
   def epochShuffle(docs: DataFrame, nShards: Int = 8): DataFrame = {
-    val h = pmod(
-      pmod(col("doc_id"), lit(2147483648L)) * 22695477L + 1L,
-      lit(2147483648L))
+    val h = lcg(col("doc_id"), 22695477L, 1L)
     val perShard = Window.partitionBy("shard_id")
       .orderBy(col("order_key").asc, col("doc_id").asc)
     docs
@@ -214,8 +215,10 @@ object Packing {
     * (fixed target shares), the shares here are DERIVED from the
     * corpus itself: w_i = n_i^α / Σ n_j^α, planned_i = budget · w_i,
     * rate_i = min(1, planned_i / n_i). Doc admission reuses the p2
-    * LCG percentile on the doc id against floor(rate·100) — stable
-    * under reruns/retries, bit-identical in any engine.
+    * LCG arithmetic on the doc id at PPM granularity (rate·10^6 —
+    * a whole-percent grid would silently zero any source whose rate
+    * lands below 1%) — stable under reruns/retries, bit-identical in
+    * any engine.
     *
     * Scale shape: per-source token counts are ONE aggregation with
     * map-side combine; the weight normalizer is a 1-row broadcast; the
@@ -241,12 +244,12 @@ object Packing {
         col("__ttot").cast("double") * budgetFrac * col("weight")
           / col("source_tokens").cast("double")), 6))
       .select(col("source"), col("weight"), col("rate"))
-    val pct = pmod(
-      pmod(col("doc_id"), lit(2147483648L)) * 1103515245L + 12345L,
-      lit(2147483648L)) % 100
+    // rate is 6-dp-rounded, so rate·10^6 is integral up to FP noise —
+    // round() recovers the exact integer in both engines
+    val ppm = lcg(col("doc_id")) % 1000000
     scored
       .join(broadcast(rates), Seq("source"))
-      .filter(pct < floor(col("rate") * 100).cast("long"))
+      .filter(ppm < round(col("rate") * 1000000).cast("long"))
       .select("doc_id", "source", "n_tokens", "weight", "rate")
   }
 
@@ -382,7 +385,7 @@ object Packing {
            FROM r)
          SELECT t.doc_id, t.source, t.n_tokens, rates.weight, rates.rate
          FROM t JOIN rates ON t.source = rates.source
-         WHERE (((t.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 100
-               < CAST(FLOOR(rate * 100) AS BIGINT)"""
+         WHERE (((t.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 1000000
+               < CAST(ROUND(rate * 1000000) AS BIGINT)"""
   )
 }

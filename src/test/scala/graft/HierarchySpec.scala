@@ -332,6 +332,40 @@ class HierarchySpec extends SparkSpec {
     assert(a2.getAs[Double]("sum_sales_amount") == 7.0)
   }
 
+  test("repairRollupMv: a reconnected orphan leaf (absent from the old closure) repairs from facts") {
+    // leaf 'x' exists in BOTH versions' node tables but its parent is
+    // missing in v1 — the closure drops it, so its facts never reached
+    // the MV. v2 connects it under 'b'. The candidate set must come
+    // from the NEW closure (a flaggedNodes-based candidate set misses
+    // this: x is is_leaf in both versions, key unchanged).
+    val facts = Seq((11L, 1L, 2.0, 10.0), (12L, 2L, 1.0, 5.0),
+      (21L, 1L, 4.0, 20.0), (31L, 3L, 5.0, 9.0))
+      .toDF("leaf_key", "customer_id", "unit_quantity", "sales_amount")
+    val orphan = Seq(("x", 31L, "X", "Leaf", "ghost"))
+      .toDF("node_id", "node_natural_key", "node_name", "level_name", "parent_node_id")
+    val connected = Seq(("x", 31L, "X", "Leaf", "b"))
+      .toDF("node_id", "node_natural_key", "node_name", "level_name", "parent_node_id")
+    val oldDim = new HierarchyDimension(toy.unionByName(orphan))
+    val newDim = new HierarchyDimension(toy.unionByName(connected))
+    // precondition of the scenario: x is a leaf in both node tables
+    // yet absent from the old closure
+    assert(oldDim.flaggedNodes.filter(col("node_id") === "x" && col("is_leaf"))
+      .count() == 1)
+    assert(oldDim.aggregationDim.filter(col("descendant_node_id") === "x")
+      .count() == 0)
+    val mv = HierarchyAgg.rollupMv(facts, oldDim.aggregationDim)
+    val repaired = HierarchyAgg.finalizeRollup(
+      HierarchyAgg.repairRollupMv(mv, facts, oldDim, newDim),
+      newDim.aggregationDim).collect()
+    val full = HierarchyAgg.finalizeRollup(
+      HierarchyAgg.rollupMv(facts, newDim.aggregationDim),
+      newDim.aggregationDim).collect()
+    assert(repaired.toSeq == full.toSeq)
+    // the reconnected leaf's facts surface under its new spine
+    val b = repaired.find(_.getAs[String]("product_node_name").endsWith("-B")).get
+    assert(b.getAs[Double]("sum_sales_amount") == 29.0)
+  }
+
   test("asOfRange clips validity windows and keeps every overlapping version") {
     val versioned = HierarchyQueries.versionedRegionNationNodes(spark, sf)
     // a range spanning the 1996-01-01 reparent sees BOTH n8 versions,
@@ -535,6 +569,26 @@ class HierarchySpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(pairs == Set(("r1", "r1"), ("r2", "r2"), ("r1a", "r1a"), ("r2a", "r2a"),
       ("r1", "r1a"), ("r2", "r2a")), pairs.toString)
+  }
+
+  test("contribution rollup on a forest: pct_of_total shares the grand total across roots") {
+    val forest = Seq(
+      ("r1", 1L, "R1", "Total", null.asInstanceOf[String]),
+      ("r2", 2L, "R2", "Total", null.asInstanceOf[String]),
+      ("r1a", 11L, "R1A", "Leaf", "r1"),
+      ("r2a", 21L, "R2A", "Leaf", "r2")
+    ).toDF("node_id", "node_natural_key", "node_name", "level_name", "parent_node_id")
+    val facts = Seq((11L, 1L, 1.0, 30.0), (21L, 2L, 1.0, 10.0))
+      .toDF("leaf_key", "customer_id", "unit_quantity", "sales_amount")
+    val out = HierarchyAgg.contributionRollup(facts,
+      new operators.HierarchyDimension(forest)).collect()
+      .map(r => r.getAs[String]("node_name") -> r).toMap
+    // one row per node — the grand total must NOT duplicate rows per root
+    assert(out.size == 4)
+    assert(math.abs(out("R1").getAs[Double]("pct_of_total") - 0.75) < 1e-6)
+    assert(math.abs(out("R2").getAs[Double]("pct_of_total") - 0.25) < 1e-6)
+    assert(out("R1").isNullAt(out("R1").fieldIndex("pct_of_parent")))
+    assert(out("R1A").getAs[Double]("pct_of_parent") == 1.0)
   }
 
   test("null keys in native as-of join match nothing") {

@@ -224,6 +224,16 @@ class PipelineOpsSpec extends SparkSpec {
     val again = Packing.temperatureMixture(docs, alpha = 0.5, budgetFrac = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(first == again && first.nonEmpty)
+    // sub-1% rates admit at ppm granularity instead of zeroing the
+    // source (a whole-percent grid would drop rate=0.005 entirely)
+    val many = (0L until 4000L).map(i =>
+      (i, "w w w w", "en", "big", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tiny = Packing.temperatureMixture(many, alpha = 1.0, budgetFrac = 0.005)
+    assert(tiny.count() > 0)
+    val tinyRate = tiny.select("rate").distinct().collect()
+      .map(_.getAs[Double]("rate"))
+    assert(tinyRate.forall(r => math.abs(r - 0.005) < 1e-9))
   }
 
   test("token budget sample keeps the per-source quality prefix within budget") {
