@@ -558,4 +558,56 @@ object HierarchyAgg {
         sum(col("mv_n")).as("count_of_fact_records"))
     withLabels(aggregated, aggDim, broadcastDim)
   }
+
+  /** WHAT-IF delta report for a hierarchy edit: which rollup rows
+    * change, and by how much, if the dimension moves from `oldDim` to
+    * `newDim` — the impact preview an analyst reads BEFORE committing
+    * a reorg. One row per node whose totals differ under the two
+    * versions (old/new/delta sales, plus qty, exact distinct
+    * customers and fact counts); unaffected nodes are absent.
+    *
+    * Both inputs are MVs at (node, customer) grain — the stored view
+    * and its [[repairRollupMv]] what-if repair — so the whole report
+    * aggregates MV-grain rows (|nodes| × |customers| cardinality,
+    * never facts; with the zero-fact repair path the full what-if
+    * touches no fact rows at 100 TB). The node-id join is dim-sized;
+    * the per-side totals land on |nodes| rows before it.
+    */
+  def whatIfDelta(oldMv: DataFrame, newMv: DataFrame,
+      oldDim: HierarchyDimension, newDim: HierarchyDimension,
+      broadcastDim: Boolean = true): DataFrame = {
+    def totals(mv: DataFrame, dim: HierarchyDimension, p: String) = {
+      // sort order → node identity: sort orders are NOT comparable
+      // across versions (the DFS numbering shifts with the edit), so
+      // the delta join is on node_id
+      val nodeMap = dim.aggregationDim.select(
+        col("ancestor_node_sort_order"), col("ancestor_node_id").as("node_id"),
+        col("ancestor_node_name").as(s"__${p}_name")).distinct()
+      mv.groupBy("ancestor_node_sort_order")
+        .agg(round(sum("mv_sales"), 2).as(s"${p}_sales"),
+          round(sum("mv_qty"), 2).as(s"${p}_qty"),
+          count(col("customer_id")).as(s"${p}_customers"),
+          sum("mv_n").as(s"${p}_facts"))
+        .join(maybeBroadcast(nodeMap, broadcastDim),
+          Seq("ancestor_node_sort_order"))
+        .drop("ancestor_node_sort_order")
+    }
+    def z(c: String) = coalesce(col(c), lit(0.0))
+    def zl(c: String) = coalesce(col(c), lit(0L))
+    totals(oldMv, oldDim, "old")
+      .join(totals(newMv, newDim, "new"), Seq("node_id"), "full_outer")
+      .select(
+        col("node_id"),
+        coalesce(col("__new_name"), col("__old_name")).as("node_name"),
+        z("old_sales").as("old_sales"), z("new_sales").as("new_sales"),
+        round(z("new_sales") - z("old_sales"), 2).as("delta_sales"),
+        z("old_qty").as("old_qty"), z("new_qty").as("new_qty"),
+        zl("old_customers").as("old_customers"),
+        zl("new_customers").as("new_customers"),
+        zl("old_facts").as("old_facts"), zl("new_facts").as("new_facts"))
+      .filter(col("old_sales") =!= col("new_sales") ||
+        col("old_qty") =!= col("new_qty") ||
+        col("old_customers") =!= col("new_customers") ||
+        col("old_facts") =!= col("new_facts"))
+  }
 }

@@ -296,6 +296,21 @@ object HierarchyQueries {
           fullMv(s, d), HierarchyAgg.salesFacts(s, d), v1, v2),
         v2.aggregationDim)
     }),
+    // WHAT-IF impact preview: the rollup rows the n8 reparent WOULD
+    // change, with old/new/delta measures — the report an analyst
+    // reads before committing the reorg. Composes the stored MV with
+    // its zero-fact what-if repair: both sides aggregate MV-grain
+    // rows, so the preview touches no fact rows at any scale. Oracle =
+    // two full recomputes full-outer-joined on the node, changed rows
+    // only — the preview must agree with actually running both worlds.
+    "h18_whatif_delta" -> ((s, d) => {
+      val v1 = dimension(s, d)
+      val v2 = asOfDimension(s, d, "1996-06-01")
+      val mv = fullMv(s, d)
+      HierarchyAgg.whatIfDelta(mv,
+        HierarchyAgg.repairRollupMv(mv, HierarchyAgg.salesFacts(s, d), v1, v2),
+        v1, v2)
+    }),
     // dimension MAINTENANCE: reparent one node (n8 INDIA moves from
     // Asia under r0 Africa) and diff the two closures — the
     // added/removed ancestor–descendant pairs are exactly the rows a
@@ -583,6 +598,53 @@ SELECT * FROM adim""",
     "h13_asof_rollup" -> rollupSqlWith(movedPrelude, "c.c_nationkey"),
     // targeted repair ≡ full recompute under the edited hierarchy
     "h16_targeted_mv_repair" -> rollupSqlWith(movedPrelude, "c.c_nationkey"),
+    // the what-if preview must agree with actually running both
+    // worlds: base and edited rollups full-outer-joined on the node,
+    // changed rows only
+    "h18_whatif_delta" ->
+      """WITH RECURSIVE n1 AS (
+  SELECT 'root' AS node_id, CAST(NULL AS VARCHAR) AS parent
+  UNION ALL SELECT 'r' || r_regionkey, 'root' FROM region
+  UNION ALL SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation),
+n2 AS (
+  SELECT node_id, CASE WHEN node_id = 'n8' THEN 'r0' ELSE parent END AS parent
+  FROM n1),
+names AS (
+  SELECT 'root' AS node_id, 'All Regions' AS node_name
+  UNION ALL SELECT 'r' || r_regionkey, r_name FROM region
+  UNION ALL SELECT 'n' || n_nationkey, n_name FROM nation),
+anc1 AS (
+  SELECT node_id, node_id AS anc FROM n1
+  UNION ALL SELECT n.node_id, a.anc FROM n1 n JOIN anc1 a ON n.parent = a.node_id),
+anc2 AS (
+  SELECT node_id, node_id AS anc FROM n2
+  UNION ALL SELECT n.node_id, a.anc FROM n2 n JOIN anc2 a ON n.parent = a.node_id),
+f AS (
+  SELECT 'n' || c.c_nationkey AS leaf, l.l_extendedprice AS s,
+         l.l_quantity AS q, c.c_custkey AS cid
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey),
+a1 AS (
+  SELECT a.anc, ROUND(SUM(s), 2) AS sales, ROUND(SUM(q), 2) AS qty,
+         COUNT(DISTINCT cid) AS customers, COUNT(*) AS facts
+  FROM f JOIN anc1 a ON a.node_id = f.leaf GROUP BY a.anc),
+a2 AS (
+  SELECT a.anc, ROUND(SUM(s), 2) AS sales, ROUND(SUM(q), 2) AS qty,
+         COUNT(DISTINCT cid) AS customers, COUNT(*) AS facts
+  FROM f JOIN anc2 a ON a.node_id = f.leaf GROUP BY a.anc)
+SELECT COALESCE(a1.anc, a2.anc) AS node_id, names.node_name,
+  COALESCE(a1.sales, 0) AS old_sales, COALESCE(a2.sales, 0) AS new_sales,
+  ROUND(COALESCE(a2.sales, 0) - COALESCE(a1.sales, 0), 2) AS delta_sales,
+  COALESCE(a1.qty, 0) AS old_qty, COALESCE(a2.qty, 0) AS new_qty,
+  COALESCE(a1.customers, 0) AS old_customers,
+  COALESCE(a2.customers, 0) AS new_customers,
+  COALESCE(a1.facts, 0) AS old_facts, COALESCE(a2.facts, 0) AS new_facts
+FROM a1 FULL OUTER JOIN a2 ON a1.anc = a2.anc
+JOIN names ON names.node_id = COALESCE(a1.anc, a2.anc)
+WHERE COALESCE(a1.sales, 0) <> COALESCE(a2.sales, 0)
+   OR COALESCE(a1.qty, 0) <> COALESCE(a2.qty, 0)
+   OR COALESCE(a1.customers, 0) <> COALESCE(a2.customers, 0)
+   OR COALESCE(a1.facts, 0) <> COALESCE(a2.facts, 0)""",
     // facts route through the closure version live at their order date
     "h14_history_rollup" ->
       """WITH RECURSIVE n1 AS (

@@ -253,6 +253,41 @@ object Packing {
       .select("doc_id", "source", "n_tokens", "weight", "rate")
   }
 
+  /** END-TO-END corpus preparation — the three cleaning stages a
+    * pretraining pipeline chains before packing, composed as ONE
+    * dataflow (each stage is also a standalone registry operator, so
+    * this entry proves they compose without driver-side glue):
+    *  1. quality filter (t7's exact-integer Gopher/C4 rules),
+    *  2. exact dedup over survivors (d1's content hash; the MIN doc_id
+    *     per hash survives — dedup runs AFTER filtering so a
+    *     high-quality copy can't be shadowed by a filtered-out twin),
+    *  3. deterministic stratified sampling (p2's LCG admission on the
+    *     doc id — en 30%, else 60%).
+    *
+    * Scale shape: stage 1 is a narrow filter (no shuffle); stage 2 is
+    * one hash-keyed aggregate + a hash-keyed join back (d1's shape);
+    * stage 3 is a narrow filter. One fact-sized shuffle total —
+    * composing the stages does NOT multiply the shuffles.
+    */
+  def corpusPrep(docs: DataFrame): DataFrame = {
+    val kept = docs
+      .withColumn("__toks", tokens(lower(col("text"))))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__sl", length(regexp_replace(col("text"), "\\s", "")))
+      .withColumn("__stop", markerCount(col("__toks"), enMarkers))
+      .filter(col("__n") >= 30 && col("__n") <= 10000 &&
+        col("__sl") >= col("__n") * 3 && col("__sl") <= col("__n") * 10 &&
+        col("__stop") >= 2)
+      .withColumn("__key", sha2(lower(trim(col("text"))), 256))
+    val canon = kept.groupBy("__key").agg(min("doc_id").as("__cid"))
+    kept.join(canon, "__key")
+      .filter(col("doc_id") === col("__cid"))
+      .filter(lcg(col("doc_id")) % 100 <
+        when(col("lang") === "en", 30).otherwise(60))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("__n").cast("long").as("n_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_sequence_packing" -> ((s, d) => sequencePack(Tables.documents(s, d))),
     "p2_stratified_sample" -> ((s, d) =>
@@ -266,7 +301,8 @@ object Packing {
     "p6_token_budget_sample" -> ((s, d) =>
       tokenBudgetSample(Tables.documents(s, d))),
     "p7_temperature_mixture" -> ((s, d) =>
-      temperatureMixture(Tables.documents(s, d)))
+      temperatureMixture(Tables.documents(s, d))),
+    "p8_corpus_prep" -> ((s, d) => corpusPrep(Tables.documents(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -386,6 +422,29 @@ object Packing {
          SELECT t.doc_id, t.source, t.n_tokens, rates.weight, rates.rate
          FROM t JOIN rates ON t.source = rates.source
          WHERE (((t.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 1000000
-               < CAST(ROUND(rate * 1000000) AS BIGINT)"""
+               < CAST(ROUND(rate * 1000000) AS BIGINT)""",
+    // t7's keep rule -> d1's min-id-per-hash dedup -> p2's LCG sample,
+    // verbatim compositions of those oracles
+    "p8_corpus_prep" ->
+      raw"""WITH t AS (
+           SELECT doc_id, lang, source, text,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+             length(regexp_replace(text, '\s', '', 'g')) AS sum_len
+           FROM documents),
+         kept AS (
+           SELECT doc_id, lang, source, text, len(toks) AS n_toks
+           FROM t
+           WHERE len(toks) >= 30 AND len(toks) <= 10000
+             AND sum_len >= len(toks) * 3 AND sum_len <= len(toks) * 10
+             AND len(list_filter(toks, x -> x IN ${graft.functions.TextFunctions.sqlInList(enMarkers)})) >= 2),
+         keyed AS (
+           SELECT *, sha256(lower(trim(text))) AS key FROM kept),
+         canon AS (
+           SELECT key, MIN(doc_id) AS cid FROM keyed GROUP BY key)
+         SELECT k.doc_id, k.lang, k.source, CAST(k.n_toks AS BIGINT) AS n_tokens
+         FROM keyed k JOIN canon c ON k.key = c.key
+         WHERE k.doc_id = c.cid
+           AND (((k.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 100
+               < (CASE WHEN k.lang = 'en' THEN 30 ELSE 60 END)"""
   )
 }

@@ -355,8 +355,49 @@ object TextQueries {
         .agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("bigram").asc)
         .limit(20)
-    })
+    }),
+
+    // CROSS-DOCUMENT boilerplate detection (the RefinedWeb-style
+    // "duplicated span" pass — distinct from t8, whose repetition
+    // signals are WITHIN one doc): a word-5-gram occurring in >= 2
+    // distinct documents is corpus boilerplate (nav bars, license
+    // headers, templated spans), and each doc is scored by the
+    // fraction of its gram positions covered by such grams; docs
+    // above 30% coverage are dropped. The keep rule is exact integer
+    // arithmetic (10*boiler < 3*total) so the decision is
+    // bit-identical in the oracle. Scale shape: the gram
+    // document-frequency table is a gram-keyed aggregate (d8's
+    // vocabulary-bounded shuffle) and joins back on the gram key —
+    // never broadcast, never all-pairs; the per-doc score is one more
+    // doc-keyed aggregate. explode_outer keeps sub-5-token docs
+    // (zero grams => boiler_frac 0, keep).
+    "t15_boilerplate" -> ((s, d) => boilerplate(Tables.documents(s, d)))
   )
+
+  /** Cross-document boilerplate scoring — see the t15 entry. `minDf`
+    * is the document-frequency floor above which a gram counts as
+    * corpus boilerplate (2 = "appears anywhere else at all"; raise it
+    * on corpora where organic overlap is expected).
+    */
+  def boilerplate(docs: DataFrame, minDf: Long = 2L): DataFrame = {
+    val pos = docs
+      .select(col("doc_id"),
+        explode_outer(wordNgrams(tokens(lower(col("text"))), 5)).as("gram"))
+    val boiler = pos.filter(col("gram").isNotNull)
+      .select("doc_id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    pos.join(boiler, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("gram")).as("n_grams"),
+        count(col("df")).as("n_boiler_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler_grams"),
+        when(col("n_grams") > 0,
+          round(col("n_boiler_grams").cast("double") / col("n_grams"), 6))
+          .otherwise(0.0).as("boiler_frac"),
+        (col("n_boiler_grams") * 10 < col("n_grams") * 3 ||
+          col("n_grams") === 0).as("keep"))
+  }
 
   private val enL = inList(enMarkers)
   private val frL = inList(frMarkers)
@@ -485,6 +526,30 @@ object TextQueries {
            FROM t)
          SELECT bigram, COUNT(*) AS freq FROM b
          GROUP BY bigram ORDER BY freq DESC, bigram ASC LIMIT 20""",
+    "t15_boilerplate" ->
+      raw"""WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         p AS (
+           SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 5 THEN
+               list_transform(range(1, len(toks) - 3),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                      toks[i+3] || ' ' || toks[i+4])
+             ELSE [NULL] END) AS gram
+           FROM t),
+         f AS (
+           SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM p WHERE gram IS NOT NULL)
+           GROUP BY gram HAVING COUNT(*) >= 2)
+         SELECT p.doc_id,
+           COUNT(p.gram) AS n_grams,
+           COUNT(f.gram) AS n_boiler_grams,
+           CASE WHEN COUNT(p.gram) > 0
+                THEN ROUND(CAST(COUNT(f.gram) AS DOUBLE) / COUNT(p.gram), 6)
+                ELSE 0.0 END AS boiler_frac,
+           (COUNT(f.gram) * 10 < COUNT(p.gram) * 3 OR COUNT(p.gram) = 0) AS keep
+         FROM p LEFT JOIN f ON p.gram = f.gram
+         GROUP BY p.doc_id""",
     "t10_pii_scrub" -> {
       // build the scrubbed-string expression from the SAME pattern list
       // the Spark side uses; DuckDB needs the 'g' flag for global

@@ -366,6 +366,34 @@ class HierarchySpec extends SparkSpec {
     assert(b.getAs[Double]("sum_sales_amount") == 29.0)
   }
 
+  test("whatIfDelta: only changed nodes appear; old/new/delta match the two full rollups") {
+    // what-if: move leaf a2 (key 12) from a to b
+    val moved = toy.withColumn("parent_node_id",
+      when(col("node_id") === "a2", lit("b")).otherwise(col("parent_node_id")))
+    val v2 = new HierarchyDimension(moved)
+    val facts = Seq(
+      (11L, 1L, 1.0, 10.0), (12L, 1L, 2.0, 20.0),
+      (12L, 2L, 1.0, 5.0), (21L, 3L, 1.0, 7.0)
+    ).toDF("leaf_key", "customer_id", "unit_quantity", "sales_amount")
+    val mv = HierarchyAgg.rollupMv(facts, dim.aggregationDim)
+    val repaired = HierarchyAgg.repairRollupMv(mv, facts, dim, v2)
+    val delta = HierarchyAgg.whatIfDelta(mv, repaired, dim, v2).collect()
+      .map(r => r.getAs[String]("node_id") -> r).toMap
+    // a2's subtree moved: only its old and new parents change — root,
+    // the leaves themselves, and b1 keep identical totals and are absent
+    assert(delta.keySet == Set("a", "b"), delta.keySet.toString)
+    val a = delta("a"); val b = delta("b")
+    assert(a.getAs[Double]("old_sales") == 35.0 && a.getAs[Double]("new_sales") == 10.0)
+    assert(a.getAs[Double]("delta_sales") == -25.0)
+    assert(b.getAs[Double]("old_sales") == 7.0 && b.getAs[Double]("new_sales") == 32.0)
+    assert(b.getAs[Double]("delta_sales") == 25.0)
+    assert(a.getAs[Long]("old_customers") == 2L && a.getAs[Long]("new_customers") == 1L)
+    assert(b.getAs[Long]("old_customers") == 1L && b.getAs[Long]("new_customers") == 3L)
+    assert(a.getAs[Long]("old_facts") == 3L && a.getAs[Long]("new_facts") == 1L)
+    assert(b.getAs[Long]("old_facts") == 1L && b.getAs[Long]("new_facts") == 3L)
+    assert(a.getAs[Double]("old_qty") == 4.0 && a.getAs[Double]("new_qty") == 1.0)
+  }
+
   test("asOfRange clips validity windows and keeps every overlapping version") {
     val versioned = HierarchyQueries.versionedRegionNationNodes(spark, sf)
     // a range spanning the 1996-01-01 reparent sees BOTH n8 versions,

@@ -263,4 +263,29 @@ class PipelineOpsSpec extends SparkSpec {
     }
     assert(ranked.nonEmpty)
   }
+
+  test("corpus prep: filter, then dedup, then deterministic sampling — in that order") {
+    // 40 tokens, every token 3-9 chars, 4 stopwords => passes t7's rules
+    def quality(tag: String) =
+      Seq.fill(4)(s"the quick brown fox jumps over lazy dogs near $tag").mkString(" ")
+    // LCG(id) % 100: id0 -> 45, id1 -> 90, id2 -> 87, id3 -> 32,
+    // id4 -> 29, id7 -> 16 (en admits < 30, other langs < 60)
+    val docs = Seq(
+      (0L, quality("riverbank"), "xx", "s0", 0L),  // 45 < 60 => kept
+      (1L, "too short", "xx", "s0", 0L),           // fails quality
+      (2L, quality("mountains"), "xx", "s0", 0L),  // dup canonical, 87 >= 60 => dropped
+      (3L, quality("mountains"), "xx", "s0", 0L),  // dup of 2 => dropped by dedup
+      (4L, quality("waterfall"), "en", "s1", 0L),  // 29 < 30 => kept
+      (7L, quality("grassland"), "en", "s1", 0L)   // 16 < 30 => kept
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = operators.Packing.corpusPrep(docs).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(0L, 4L, 7L))
+    // dedup runs BEFORE sampling: doc 3 would be admitted (32 < 60)
+    // but its canonical twin 2 is not — the pair must vanish, not
+    // resurface through the non-canonical copy
+    assert(out.forall(_.getAs[Long]("n_tokens") == 40L))
+    val again = operators.Packing.corpusPrep(docs).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(again == Set(0L, 4L, 7L))
+  }
 }

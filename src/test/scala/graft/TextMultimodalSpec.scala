@@ -69,6 +69,31 @@ class TextMultimodalSpec extends SparkSpec {
     assert(res(2L) == null)
   }
 
+  test("boilerplate: cross-doc shared 5-grams flagged, within-doc repeats and short docs not") {
+    // docs 1 and 2 share a 10-token prefix => 6 shared 5-grams out of
+    // 10 each (14 tokens apiece); doc 3 is all-unique; doc 4 has <5
+    // tokens (zero grams) and must keep with frac 0
+    val docs = Seq(
+      (1L, "every page has this exact same footer line here plus unique alpha beta gamma"),
+      (2L, "every page has this exact same footer line here plus other delta words epsilon"),
+      (3L, "totally unique content with no shared span at all in this document"),
+      (4L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextQueries.boilerplate(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_grams") == 10L)
+    assert(out(1L).getAs[Long]("n_boiler_grams") == 6L)
+    assert(out(1L).getAs[Double]("boiler_frac") == 0.6)
+    assert(!out(1L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[Long]("n_boiler_grams") == 6L)
+    assert(!out(2L).getAs[Boolean]("keep"))
+    assert(out(3L).getAs[Long]("n_boiler_grams") == 0L)
+    assert(out(3L).getAs[Boolean]("keep"))
+    assert(out(4L).getAs[Long]("n_grams") == 0L)
+    assert(out(4L).getAs[Double]("boiler_frac") == 0.0)
+    assert(out(4L).getAs[Boolean]("keep"))
+  }
+
   test("repetition signals: dup word/bigram/5-gram fractions hand-computed") {
     // "x x x x x x": 6 tokens, 1 distinct; bigram "x x" ×5; 5-grams ×2, 1 distinct
     import graft.functions.TextFunctions._
