@@ -275,6 +275,39 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("t15: boilerplate joins on the gram key; per-doc score is aggregated, not windowed") {
+    val p = plan("t15_boilerplate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), "expected no window operator in t15's plan")
+    val joins = joinLines("t15_boilerplate")
+    // the only join keys on the gram — the vocabulary-bounded shuffle key
+    assert(joins.nonEmpty && joins.forall(_.contains("gram")), joins.mkString("\n"))
+  }
+
+  test("p8: prep pipeline joins equi on the content hash; sampling is a filter, not a shuffle") {
+    val p = plan("p8_corpus_prep")
+    assert(p.contains("__key"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // composing the three stages must not multiply fact-sized
+    // shuffles: the content-hash exchange appears at most twice (join
+    // probe + aggregate build; ReusedExchange collapses them when the
+    // planner notices)
+    assert("hashpartitioning\\(__key".r.findAllIn(p).length <= 2, p)
+  }
+
+  test("h18: the what-if preview aggregates MV rows — the fact fallback branch is absent") {
+    val p = plan("h18_whatif_delta")
+    // both sides (stored MV + zero-fact repair) read the cached MV
+    // (its printed lineage still shows the original fact scans — the
+    // rows come from cache); the LIVE fact branch would announce
+    // itself as the repair's aff_key probe join, and the n8 reparent
+    // must not take it
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    assert(!p.contains("aff_key"), "what-if repair scheduled the fact fallback scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q1: aggregation runs inside whole-stage codegen") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     // AQE's pre-execution plan string hides codegen stages; ask for
