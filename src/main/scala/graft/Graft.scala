@@ -122,6 +122,16 @@ object Graft {
       factKey: String = "leaf_key"): DataFrame =
     HierarchyAgg.contributionRollup(facts, dim, factKey)
 
+  /** What-if impact preview for a hierarchy edit: the rollup rows that
+    * WOULD change (old/new/delta measures) if the dimension moved from
+    * `before` to `after` — typically composed with
+    * [[repairRollupMv]] so the preview touches no fact rows; see
+    * [[operators.HierarchyAgg.whatIfDelta]].
+    */
+  def whatIfDelta(oldMv: DataFrame, newMv: DataFrame,
+      before: HierarchyDimension, after: HierarchyDimension): DataFrame =
+    HierarchyAgg.whatIfDelta(oldMv, newMv, before, after)
+
   /** Two-pass dynamic pivot: value domain discovered from the data,
     * then pivoted wide; see [[operators.Olap.dynamicPivot]].
     */
@@ -217,6 +227,20 @@ object Graft {
     */
   def perplexityFilter(docs: DataFrame): DataFrame =
     TextQueries.perplexityFilter(docs)
+
+  /** Cross-document boilerplate scoring: word-5-grams shared by
+    * `minDf`+ distinct docs are corpus boilerplate, each doc scored
+    * by its coverage fraction; see
+    * [[operators.TextQueries.boilerplate]].
+    */
+  def boilerplate(docs: DataFrame, minDf: Long = 2L): DataFrame =
+    TextQueries.boilerplate(docs, minDf)
+
+  /** End-to-end corpus preparation: quality filter → exact dedup over
+    * survivors → deterministic stratified sampling, composed as one
+    * dataflow; see [[operators.Packing.corpusPrep]].
+    */
+  def corpusPrep(docs: DataFrame): DataFrame = Packing.corpusPrep(docs)
 
   /** Contiguous per-group sequence packing into fixed-capacity token
     * bins (sample packing for training batches).

@@ -39,6 +39,19 @@ class EmptyInputSpec extends SparkSpec {
     assert(HierarchyAgg.contributionRollup(facts, dim).count() == 0)
   }
 
+  test("boilerplate, corpus prep and what-if delta handle empty inputs") {
+    assert(TextQueries.boilerplate(noDocs).count() == 0)
+    assert(Packing.corpusPrep(noDocs).count() == 0)
+    // an empty edit (identical dims) previews zero changed rows
+    val dim = HierarchyQueries.dimension(spark, sf)
+    val facts = HierarchyAgg.salesFacts(spark, sf)
+    val mv = HierarchyAgg.rollupMv(facts, dim.aggregationDim)
+    assert(HierarchyAgg.whatIfDelta(mv, mv, dim, dim).count() == 0)
+    // and an empty MV pair yields an empty preview
+    val noMv = mv.limit(0)
+    assert(HierarchyAgg.whatIfDelta(noMv, noMv, dim, dim).count() == 0)
+  }
+
   test("historyClosure returns an empty closure for an empty versioned node table") {
     val noNodes = Seq.empty[(String, Long, String, String, String,
         java.sql.Date, java.sql.Date)]
