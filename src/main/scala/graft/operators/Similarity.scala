@@ -34,16 +34,17 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
 
   /** Shared top-k re-rank: candidate pairs (q_id, vec_id, cos) →
-    * (q_id, rank, neighbor_id, cosine). Partial aggregation: map-side
-    * buffers hold ≤ k entries each.
+    * (q_id, rank, neighbor_id, `scoreName`). Partial aggregation:
+    * map-side buffers hold ≤ k entries each.
     */
-  private def rerank(pairs: DataFrame, k: Int): DataFrame =
+  private def rerank(pairs: DataFrame, k: Int,
+      scoreName: String = "cosine"): DataFrame =
     pairs
       .groupBy("q_id")
       .agg(topkByScore(round(col("cos"), 9), col("cos"), col("vec_id"), k).as("tk"))
       .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "t")))
       .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("t.id").as("neighbor_id"), round(col("t.score"), 6).as("cosine"))
+        col("t.id").as("neighbor_id"), round(col("t.score"), 6).as(scoreName))
 
   /** Exact brute-force top-k for queries `vec_id < nQueries`. */
   def bruteForceTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
@@ -54,6 +55,28 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
     rerank(pairs, k)
+  }
+
+  /** Exact MAX-INNER-PRODUCT top-k — the recommender-retrieval
+    * objective, where vector MAGNITUDE carries signal (an item's
+    * popularity/confidence scale) and cosine would strip it. Same
+    * scale shape as [[bruteForceTopK]]: queries broadcast, the corpus
+    * is scanned once, the per-query heap is the bounded-capacity
+    * topkByScore partial aggregate (map-side buffers ≤ k entries).
+    * The LSH scale path for MIPS is the standard asymmetric
+    * augmentation (append sqrt(M² − |x|²) to corpus vectors, 0 to
+    * queries, reducing MIPS to cosine over the augmented space —
+    * Shrivastava & Li, NIPS 2014) and then [[lshTopK]] as-is; at the
+    * testdata's corpus sizes the exact scan is the benchmark.
+    */
+  def mipsTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val c = corpus(emb)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val pairs = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("v"), col("qv")))
+    rerank(pairs, k, scoreName = "inner_product")
   }
 
   /** Random-hyperplane LSH ANN with `nTables` independent hash tables
@@ -236,7 +259,8 @@ object SimilarityQueries {
     "s1_knn_brute" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "s2_knn_lsh" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "s3_knn_ivf" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
-    "s4_range_search" -> ((s, d) => Similarity.rangeSearch(Tables.embeddings(s, d)))
+    "s4_range_search" -> ((s, d) => Similarity.rangeSearch(Tables.embeddings(s, d))),
+    "s5_mips" -> ((s, d) => Similarity.mipsTopK(Tables.embeddings(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -270,6 +294,21 @@ object SimilarityQueries {
                / (c.nrm * q.nrm) AS cos
            FROM n c JOIN n q ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
          SELECT q_id, neighbor_id, ROUND(cos, 6) AS cosine
-         FROM pairs WHERE ROUND(cos, 9) >= 0.3"""
+         FROM pairs WHERE ROUND(cos, 9) >= 0.3""",
+    "s5_mips" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         pairs AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(c.v, q.v), s -> s[1] * s[2])) AS ip
+           FROM e c JOIN e q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         ranked AS (
+           SELECT q_id, neighbor_id, ip,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY ROUND(ip, 9) DESC, neighbor_id ASC) AS BIGINT) AS rank
+           FROM pairs)
+         SELECT q_id, rank, neighbor_id, ROUND(ip, 6) AS inner_product
+         FROM ranked WHERE rank <= 5"""
   )
 }

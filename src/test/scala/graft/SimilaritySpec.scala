@@ -35,6 +35,35 @@ class SimilaritySpec extends SparkSpec {
       }
   }
 
+  test("MIPS: magnitude outranks direction; planted vectors hand-checked") {
+    import spark.implicits._
+    // q (id 0) points along e1. Corpus: id 1 is PERFECTLY aligned but
+    // short (ip 1, cos 1); id 2 is misaligned but long (ip 4 > 1,
+    // cos ~0.89); id 3 near-orthogonal (ip 0.2). MIPS must rank
+    // 2 > 1 > 3 while cosine ranks 1 > 2 > 3.
+    val vecs = Seq(
+      (0L, "q", Array(1.0f, 0.0f)),
+      (1L, "short_aligned", Array(1.0f, 0.0f)),
+      (2L, "long_tilted", Array(4.0f, 2.0f)),
+      (3L, "orthogonalish", Array(0.2f, 4.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val mips = Similarity.mipsTopK(vecs, k = 3, nQueries = 1).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(mips.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 1L, 3L))
+    assert(mips.map(_.getAs[Double]("inner_product")).toSeq == Seq(4.0, 1.0, 0.2))
+    val cosRank = Similarity.bruteForceTopK(vecs, k = 3, nQueries = 1).collect()
+      .sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(cosRank == Seq(1L, 2L, 3L))
+    // on the real table: structurally valid, scores descending per query
+    val rows = Similarity.mipsTopK(emb).collect()
+    assert(rows.length == 50)
+    assert(rows.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("q_id")))
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("inner_product"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("LSH ANN: structurally valid and overlaps brute-force") {
     val rows = Similarity.lshTopK(emb).collect()
     assert(rows.nonEmpty)
