@@ -71,6 +71,57 @@ object Dedup {
             .otherwise(col("doc_id"))).as("canonical_id"))
   }
 
+  /** [[incrementalDedup]] with a BLOOM PRE-FILTER on the corpus probe
+    * — the 100 TB ingest shape: a driver-built Bloom filter over the
+    * corpus's 64-bit content fingerprints (a few MB even for
+    * hundreds of millions of distinct contents at 1% fpp; in
+    * production a persisted side-artifact of the hash index,
+    * maintained with it) ships to executors once, and only batch docs
+    * the filter CANNOT rule out join the corpus index. A healthy
+    * ingest is overwhelmingly new content, so the corpus-probe join
+    * input shrinks to ~fpp of the batch — definitely-new docs never
+    * shuffle toward the corpus at all.
+    *
+    * Correctness is bloom-independent: identical normalized text ⇒
+    * identical fingerprint, so a bloom miss PROVES no corpus twin
+    * exists, and false positives just take the exact join and find
+    * nothing. Output ≡ [[incrementalDedup]] (same oracle).
+    */
+  def bloomIncrementalDedup(corpus: DataFrame, batch: DataFrame,
+      expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.BloomFunctions
+    def normed(df: DataFrame) = df.select(col("doc_id"),
+      fingerprint(lower(trim(col("text")))).as("__fp"),
+      sha2(lower(trim(col("text"))), 256).as("__key"))
+    val ck = normed(corpus)
+      .groupBy("__key").agg(min("doc_id").as("corpus_canonical"),
+        first("__fp").as("__fp"))
+    // sizing comes from the persisted index's row count (metadata in
+    // production; a dim-sized count here), not from rescanning text
+    val fps = ck.select("__fp")
+    val expected = if (expectedItems > 0) expectedItems
+      else math.max(1024L, fps.count())
+    val bloomBytes = BloomFunctions.serialize(
+      fps.stat.bloomFilter("__fp", expected, fpp))
+    val probe = BloomFunctions.mightContainBloom(col("__fp"), bloomBytes)
+    val bk = normed(batch)
+    val bmin = bk.groupBy("__key").agg(min("doc_id").as("batch_min"))
+    def classify(df: DataFrame) = df.select(col("doc_id"),
+      when(col("corpus_canonical").isNotNull, lit("dup_of_corpus"))
+        .when(col("doc_id") > col("batch_min"), lit("dup_in_batch"))
+        .otherwise(lit("new")).as("status"),
+      coalesce(col("corpus_canonical"),
+        when(col("doc_id") > col("batch_min"), col("batch_min"))
+          .otherwise(col("doc_id"))).as("canonical_id"))
+    val withMin = bk.join(bmin, "__key")
+    val maybe = withMin.filter(probe)
+      .join(ck.select("__key", "corpus_canonical"), Seq("__key"), "left")
+    val definitelyNew = withMin.filter(!probe)
+      .withColumn("corpus_canonical",
+        lit(null).cast(ck.schema("corpus_canonical").dataType))
+    classify(maybe).unionByName(classify(definitelyNew))
+  }
+
   /** Decontamination — the pipeline stage that keeps benchmark/eval
     * text out of the training corpus: flag every corpus document
     * sharing at least one word `n`-gram with any eval document.

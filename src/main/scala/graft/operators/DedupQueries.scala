@@ -56,6 +56,16 @@ object DedupQueries {
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(5)) === 0))
     }),
+    // d7 with the Bloom pre-filter on the corpus probe: output must be
+    // IDENTICAL (the bloom only prunes provably-new docs from the
+    // join), so the oracle is d7's SQL verbatim
+    "d14_bloom_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val docs = Tables.documents(s, d)
+      Dedup.bloomIncrementalDedup(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+    }),
     // decontamination: every 50th doc plays the held-out benchmark
     "d8_decontaminate" -> ((s, d) =>
       Dedup.decontaminate(
@@ -168,6 +178,25 @@ object DedupQueries {
 
   private def inList(s: Seq[String]) = graft.functions.TextFunctions.sqlInList(s)
 
+  private val incrementalDedupSql =
+    """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+         batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+         ck AS (SELECT sha256(lower(trim(text))) AS key,
+                  MIN(doc_id) AS corpus_canonical
+                FROM corpus GROUP BY 1),
+         bk AS (SELECT doc_id, sha256(lower(trim(text))) AS key FROM batch),
+         bmin AS (SELECT key, MIN(doc_id) AS batch_min FROM bk GROUP BY key)
+         SELECT b.doc_id,
+           CASE WHEN ck.corpus_canonical IS NOT NULL THEN 'dup_of_corpus'
+                WHEN b.doc_id > bmin.batch_min THEN 'dup_in_batch'
+                ELSE 'new' END AS status,
+           COALESCE(ck.corpus_canonical,
+             CASE WHEN b.doc_id > bmin.batch_min THEN bmin.batch_min
+                  ELSE b.doc_id END) AS canonical_id
+         FROM bk b
+         JOIN bmin ON b.key = bmin.key
+         LEFT JOIN ck ON b.key = ck.key"""
+
   val oracles: Map[String, String] = Map(
     "d9_source_overlap" ->
       raw"""WITH t AS (
@@ -274,24 +303,9 @@ object DedupQueries {
            ROUND(CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) /
              GREATEST(tot.n_grams, 1), 6) AS contamination
          FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id""",
-    "d7_incremental_dedup" ->
-      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
-         batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
-         ck AS (SELECT sha256(lower(trim(text))) AS key,
-                  MIN(doc_id) AS corpus_canonical
-                FROM corpus GROUP BY 1),
-         bk AS (SELECT doc_id, sha256(lower(trim(text))) AS key FROM batch),
-         bmin AS (SELECT key, MIN(doc_id) AS batch_min FROM bk GROUP BY key)
-         SELECT b.doc_id,
-           CASE WHEN ck.corpus_canonical IS NOT NULL THEN 'dup_of_corpus'
-                WHEN b.doc_id > bmin.batch_min THEN 'dup_in_batch'
-                ELSE 'new' END AS status,
-           COALESCE(ck.corpus_canonical,
-             CASE WHEN b.doc_id > bmin.batch_min THEN bmin.batch_min
-                  ELSE b.doc_id END) AS canonical_id
-         FROM bk b
-         JOIN bmin ON b.key = bmin.key
-         LEFT JOIN ck ON b.key = ck.key""",
+    "d7_incremental_dedup" -> incrementalDedupSql,
+    // the bloom pre-filter may not change a single output row
+    "d14_bloom_dedup" -> incrementalDedupSql,
     "d1_exact_dedup" ->
       """WITH keyed AS (
            SELECT doc_id, sha256(lower(trim(text))) AS key FROM documents),

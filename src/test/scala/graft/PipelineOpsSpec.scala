@@ -32,6 +32,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(13L) == ("new", 13L))
   }
 
+  test("bloom incremental dedup is row-identical to the unfiltered form") {
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("status"),
+        r.getAs[Long]("canonical_id"))).toSet
+    assert(key(Dedup.bloomIncrementalDedup(corpus, batch).collect()) ==
+      key(Dedup.incrementalDedup(corpus, batch).collect()))
+    // an absurdly small filter (high fpp) still classifies correctly —
+    // false positives only take the exact join and find nothing
+    assert(key(Dedup.bloomIncrementalDedup(corpus, batch,
+      expectedItems = 1L, fpp = 0.5).collect()) ==
+      key(Dedup.incrementalDedup(corpus, batch).collect()))
+    // the definitely-new path (bloom miss skips the corpus join) is
+    // actually exercised: with 3 distinct corpus contents at 1% fpp,
+    // docs 11/12/13's fingerprints are not all false positives
+    val planted = Dedup.bloomIncrementalDedup(corpus, batch).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(planted(10L) == "dup_of_corpus" && planted(13L) == "new")
+  }
+
   test("incremental dedup of an empty batch is empty; full-dup batch has no 'new'") {
     assert(Dedup.incrementalDedup(corpus, batch.limit(0)).count() == 0)
     val allDup = Dedup.incrementalDedup(corpus,

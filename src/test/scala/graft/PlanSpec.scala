@@ -308,6 +308,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d14: the bloom probe gates the corpus join; definitely-new rows bypass it") {
+    val p = plan("d14_bloom_dedup")
+    // the codegen'd bloom test appears as a plain Filter, and the
+    // union's second branch (bloom misses) carries no corpus join
+    assert(p.contains("might_contain_bloom"), p.take(2000))
+    assert(p.contains("Union"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q1: aggregation runs inside whole-stage codegen") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     // AQE's pre-execution plan string hides codegen stages; ask for
