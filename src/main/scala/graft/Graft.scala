@@ -177,6 +177,15 @@ object Graft {
   def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame =
     Dedup.incrementalDedup(corpus, batch)
 
+  /** [[incrementalDedup]] with a Bloom pre-filter on the corpus probe
+    * — definitely-new batch docs never shuffle toward the corpus
+    * index; row-identical output, see
+    * [[operators.Dedup.bloomIncrementalDedup]].
+    */
+  def bloomIncrementalDedup(corpus: DataFrame, batch: DataFrame,
+      expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame =
+    Dedup.bloomIncrementalDedup(corpus, batch, expectedItems, fpp)
+
   /** Incremental NEAR-dup: classify a new batch against the corpus's
     * blocked shingle index (batch×corpus candidates only); best corpus
     * match per batch doc by exact Jaccard, or `new`.
@@ -290,6 +299,13 @@ object Graft {
   def cosineTopKApprox(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
       nprobe: Int = 3): DataFrame =
     Similarity.ivfTopK(embeddings, k, nQueries, nprobe)
+
+  /** Exact max-inner-product top-k — the recommender-retrieval
+    * objective (magnitude carries signal cosine strips); see
+    * [[operators.Similarity.mipsTopK]].
+    */
+  def mipsTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame =
+    Similarity.mipsTopK(embeddings, k, nQueries)
 
   /** Top-k rows per group (window rank + filter). For additive/score
     * top-k at fact scale prefer the bounded-heap `topk_by_score`

@@ -21,6 +21,7 @@ class PlanLintSpec extends SparkSpec {
     "t13_bigram_logprob",  // 1-row vocab-size broadcast
     "t14_perplexity_filter", // t13's vocab broadcast + 1-row stats broadcast
     "s1_knn_brute",        // brute-force baseline broadcasts the query set
+    "s5_mips",             // exact MIPS broadcasts the query set (s1's shape)
     "s3_knn_ivf",          // broadcast k-means codebook (nlist rows)
     "d13_semantic_dedup",  // broadcast k-means codebook (k rows)
     "h5_hier_agg_deep",    // dim construction: nation × 5-row segment literal
