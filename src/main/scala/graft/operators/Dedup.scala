@@ -99,11 +99,15 @@ object Dedup {
     // sizing comes from the persisted index's row count (metadata in
     // production; a dim-sized count here), not from rescanning text
     val fps = ck.select("__fp")
-    val expected = if (expectedItems > 0) expectedItems
-      else math.max(1024L, fps.count())
-    val bloomBytes = BloomFunctions.serialize(
-      fps.stat.bloomFilter("__fp", expected, fpp))
-    val probe = BloomFunctions.mightContainBloom(col("__fp"), bloomBytes)
+    val indexRows = fps.count()
+    // Spark's stat.bloomFilter NPEs on an empty input — and an empty
+    // corpus needs no filter at all: nothing can be a corpus dup
+    val probe = if (indexRows == 0) lit(false) else {
+      val expected =
+        if (expectedItems > 0) expectedItems else math.max(1024L, indexRows)
+      BloomFunctions.mightContainBloom(col("__fp"), BloomFunctions.serialize(
+        fps.stat.bloomFilter("__fp", expected, fpp)))
+    }
     val bk = normed(batch)
     val bmin = bk.groupBy("__key").agg(min("doc_id").as("batch_min"))
     def classify(df: DataFrame) = df.select(col("doc_id"),

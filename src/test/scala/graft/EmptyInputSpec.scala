@@ -21,6 +21,18 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.ngramJaccard(noDocs).count() == 0)
     assert(Dedup.incrementalDedup(noDocs, noDocs).count() == 0)
     assert(Dedup.dupClusters(noDocs).count() == 0)
+    assert(Dedup.bloomIncrementalDedup(noDocs, noDocs).count() == 0)
+    // empty corpus, live batch: nothing can be dup_of_corpus
+    val batch = Seq((1L, "some text here", "en", "s0", 14L),
+      (2L, "some text here", "en", "s0", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val st = Dedup.bloomIncrementalDedup(noDocs, batch).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(st == Map(1L -> "new", 2L -> "dup_in_batch"))
+  }
+
+  test("similarity returns empty on empty embeddings (MIPS included)") {
+    assert(Similarity.mipsTopK(noEmb).count() == 0)
   }
 
   test("packing/sampling/mixture handle empty docs") {
