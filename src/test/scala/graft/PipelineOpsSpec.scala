@@ -51,6 +51,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(planted(10L) == "dup_of_corpus" && planted(13L) == "new")
   }
 
+  test("bloom dedup equals the unfiltered form on a randomized corpus/batch split") {
+    // 160 docs from a 50-text pool (seeded): plenty of corpus dups,
+    // batch dups and genuinely-new texts; exercised at a realistic
+    // fpp AND a tiny over-saturated filter (every probe a maybe)
+    val rnd = new scala.util.Random(13)
+    val pool = (0 until 50).map(i => s"text number $i " + ("pad " * (i % 7)))
+    val all = (0L until 160L).map(i => (i, pool(rnd.nextInt(pool.size)), "en",
+      "s" + (i % 3), 10L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = all.filter(col("doc_id") % 4 =!= 0)
+    val batch = all.filter(col("doc_id") % 4 === 0)
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("status"),
+        r.getAs[Long]("canonical_id"))).toSet
+    val reference = key(Dedup.incrementalDedup(corpus, batch).collect())
+    assert(key(Dedup.bloomIncrementalDedup(corpus, batch).collect()) == reference)
+    assert(key(Dedup.bloomIncrementalDedup(corpus, batch,
+      expectedItems = 2L, fpp = 0.4).collect()) == reference)
+  }
+
   test("incremental dedup of an empty batch is empty; full-dup batch has no 'new'") {
     assert(Dedup.incrementalDedup(corpus, batch.limit(0)).count() == 0)
     val allDup = Dedup.incrementalDedup(corpus,
