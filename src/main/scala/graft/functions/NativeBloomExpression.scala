@@ -43,6 +43,18 @@ case class MightContainBloomExpr(child: Expression, bloomBytes: Array[Byte])
 
   override protected def withNewChildInternal(newChild: Expression): MightContainBloomExpr =
     copy(child = newChild)
+
+  // value equality over the bytes: the default case-class equality
+  // compares Array[Byte] by reference, so two separately-constructed
+  // but identical probes would never canonicalize equal — breaking
+  // CacheManager lookups and ReuseExchange across identical subplans
+  override def equals(other: Any): Boolean = other match {
+    case MightContainBloomExpr(c, b) =>
+      c == child && java.util.Arrays.equals(b, bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
 }
 
 object BloomFunctions {

@@ -23,6 +23,29 @@ object TextFunctions {
   def markerCount(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isin(markers.map(m => m: Any): _*)))
 
+  /** THE Gopher/C4-style quality-rule thresholds — one definition
+    * shared by t7, p8's corpus-prep composition, and (via
+    * interpolation) their oracle SQL, so tuning a rule can't silently
+    * diverge the composed pipeline from the standalone filter.
+    */
+  val qualityMinTokens = 30
+  val qualityMaxTokens = 10000
+  val qualityMinMeanTokLen = 3
+  val qualityMaxMeanTokLen = 10
+  val qualityMinStopwords = 2
+
+  /** First failing quality rule, or null when the doc keeps — exact
+    * integer arithmetic throughout (`sumLen` = non-whitespace char
+    * count = Σ token lengths).
+    */
+  def qualityReason(nToks: Column, sumLen: Column, nStop: Column): Column =
+    when(nToks < qualityMinTokens, "too_short")
+      .when(nToks > qualityMaxTokens, "too_long")
+      .when(sumLen < nToks * qualityMinMeanTokLen, "short_words")
+      .when(sumLen > nToks * qualityMaxMeanTokLen, "long_words")
+      .when(nStop < qualityMinStopwords, "low_stopword")
+      .otherwise(lit(null).cast("string"))
+
   /** Language-marker stopword sets: tiny, deterministic, and
     * reproducible in ANSI SQL for the oracle.
     */

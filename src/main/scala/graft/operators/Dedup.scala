@@ -93,11 +93,15 @@ object Dedup {
     def normed(df: DataFrame) = df.select(col("doc_id"),
       fingerprint(lower(trim(col("text")))).as("__fp"),
       sha2(lower(trim(col("text"))), 256).as("__key"))
+    // localCheckpoint: three consumers follow (the sizing count, the
+    // bloom build, the final probe join) — without it each re-derives
+    // the normalize+hash aggregate from the corpus text. In production
+    // this index is a persisted artifact (see d7); the checkpoint is
+    // the in-session stand-in, one corpus scan total.
     val ck = normed(corpus)
       .groupBy("__key").agg(min("doc_id").as("corpus_canonical"),
         first("__fp").as("__fp"))
-    // sizing comes from the persisted index's row count (metadata in
-    // production; a dim-sized count here), not from rescanning text
+      .localCheckpoint()
     val fps = ck.select("__fp")
     val indexRows = fps.count()
     // Spark's stat.bloomFilter NPEs on an empty input — and an empty

@@ -54,6 +54,23 @@ object Packing {
       c: Long = 12345L): org.apache.spark.sql.Column =
     pmod(pmod(id, lit(2147483648L)) * a + c, lit(2147483648L))
 
+  /** THE default per-stratum keep rates (percent) — shared by p2 and
+    * p8's composition (and mirrored in both oracle strings).
+    */
+  val defaultStratumRates: Map[String, Int] = Map("en" -> 30)
+  val defaultRatePct: Int = 60
+
+  /** p2's admission predicate as one definition: LCG percentile of
+    * the row id against the stratum's keep rate.
+    */
+  def lcgAdmitPct(id: org.apache.spark.sql.Column, rates: Map[String, Int],
+      defaultRate: Int, stratumCol: String): org.apache.spark.sql.Column = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(stratumCol) === k, r).otherwise(acc)
+    }
+    lcg(id) % 100 < rate
+  }
+
   /** Deterministic stratified sampling: per-stratum keep rates applied
     * via an arithmetic hash of the row id (31-bit LCG), NOT `rand()` —
     * the sample is stable under reruns, retries and repartitioning
@@ -65,16 +82,11 @@ object Packing {
     * lookup is a literal CASE over the stratum column.
     */
   def stratifiedSample(docs: DataFrame,
-      rates: Map[String, Int] = Map("en" -> 30),
-      defaultRate: Int = 60, stratumCol: String = "lang"): DataFrame = {
-    val pct = lcg(col("doc_id")) % 100
-    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
-      when(col(stratumCol) === k, r).otherwise(acc)
-    }
+      rates: Map[String, Int] = defaultStratumRates,
+      defaultRate: Int = defaultRatePct, stratumCol: String = "lang"): DataFrame =
     // keep every input column (the payload is the point of sampling);
     // callers project if they want a slimmer frame
-    docs.filter(pct < rate)
-  }
+    docs.filter(lcgAdmitPct(col("doc_id"), rates, defaultRate, stratumCol))
 
   /** Corpus mixture plan — the data-mixing step of a training
     * pipeline: given per-language token counts and target mixture
@@ -275,15 +287,15 @@ object Packing {
       .withColumn("__n", size(col("__toks")))
       .withColumn("__sl", length(regexp_replace(col("text"), "\\s", "")))
       .withColumn("__stop", markerCount(col("__toks"), enMarkers))
-      .filter(col("__n") >= 30 && col("__n") <= 10000 &&
-        col("__sl") >= col("__n") * 3 && col("__sl") <= col("__n") * 10 &&
-        col("__stop") >= 2)
+      // t7's rule set, by THE shared definition — not a restated copy
+      .filter(qualityReason(col("__n"), col("__sl"), col("__stop")).isNull)
       .withColumn("__key", sha2(lower(trim(col("text"))), 256))
     val canon = kept.groupBy("__key").agg(min("doc_id").as("__cid"))
     kept.join(canon, "__key")
       .filter(col("doc_id") === col("__cid"))
-      .filter(lcg(col("doc_id")) % 100 <
-        when(col("lang") === "en", 30).otherwise(60))
+      // p2's admission, by the shared rate table
+      .filter(lcgAdmitPct(col("doc_id"), defaultStratumRates,
+        defaultRatePct, "lang"))
       .select(col("doc_id"), col("lang"), col("source"),
         col("__n").cast("long").as("n_tokens"))
   }
@@ -321,10 +333,11 @@ object Packing {
            COUNT(*) OVER (PARTITION BY lang, bin_id) AS n_docs_in_bin
          FROM b""",
     "p2_stratified_sample" ->
-      """SELECT doc_id, lang, source, n_chars
+      s"""SELECT doc_id, lang, source, n_chars
          FROM documents
          WHERE (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 100
-               < (CASE WHEN lang = 'en' THEN 30 ELSE 60 END)""",
+               < (CASE WHEN lang = 'en' THEN ${defaultStratumRates("en")}
+                       ELSE $defaultRatePct END)""",
     "p3_mixture_plan" ->
       raw"""WITH per_lang AS (
            SELECT lang, COUNT(*) AS n_docs,
@@ -434,9 +447,10 @@ object Packing {
          kept AS (
            SELECT doc_id, lang, source, text, len(toks) AS n_toks
            FROM t
-           WHERE len(toks) >= 30 AND len(toks) <= 10000
-             AND sum_len >= len(toks) * 3 AND sum_len <= len(toks) * 10
-             AND len(list_filter(toks, x -> x IN ${graft.functions.TextFunctions.sqlInList(enMarkers)})) >= 2),
+           WHERE len(toks) >= $qualityMinTokens AND len(toks) <= $qualityMaxTokens
+             AND sum_len >= len(toks) * $qualityMinMeanTokLen
+             AND sum_len <= len(toks) * $qualityMaxMeanTokLen
+             AND len(list_filter(toks, x -> x IN ${graft.functions.TextFunctions.sqlInList(enMarkers)})) >= $qualityMinStopwords),
          keyed AS (
            SELECT *, sha256(lower(trim(text))) AS key FROM kept),
          canon AS (
@@ -445,6 +459,7 @@ object Packing {
          FROM keyed k JOIN canon c ON k.key = c.key
          WHERE k.doc_id = c.cid
            AND (((k.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 100
-               < (CASE WHEN k.lang = 'en' THEN 30 ELSE 60 END)"""
+               < (CASE WHEN k.lang = 'en' THEN ${defaultStratumRates("en")}
+                       ELSE $defaultRatePct END)"""
   )
 }

@@ -214,12 +214,7 @@ object TextQueries {
         .withColumn("sum_len", length(regexp_replace(col("text"), "\\s", "")))
         .withColumn("n_stop", markerCount(col("toks"), enMarkers))
         .withColumn("reason",
-          when(col("n_toks") < 30, "too_short")
-            .when(col("n_toks") > 10000, "too_long")
-            .when(col("sum_len") < col("n_toks") * 3, "short_words")
-            .when(col("sum_len") > col("n_toks") * 10, "long_words")
-            .when(col("n_stop") < 2, "low_stopword")
-            .otherwise(lit(null).cast("string")))
+          qualityReason(col("n_toks"), col("sum_len"), col("n_stop")))
         .select(
           col("doc_id"),
           col("n_toks").as("n_tokens"),
@@ -475,11 +470,11 @@ object TextQueries {
            FROM t),
          r AS (
            SELECT *,
-             CASE WHEN n_toks < 30 THEN 'too_short'
-                  WHEN n_toks > 10000 THEN 'too_long'
-                  WHEN sum_len < n_toks * 3 THEN 'short_words'
-                  WHEN sum_len > n_toks * 10 THEN 'long_words'
-                  WHEN n_stop < 2 THEN 'low_stopword'
+             CASE WHEN n_toks < $qualityMinTokens THEN 'too_short'
+                  WHEN n_toks > $qualityMaxTokens THEN 'too_long'
+                  WHEN sum_len < n_toks * $qualityMinMeanTokLen THEN 'short_words'
+                  WHEN sum_len > n_toks * $qualityMaxMeanTokLen THEN 'long_words'
+                  WHEN n_stop < $qualityMinStopwords THEN 'low_stopword'
                   ELSE NULL END AS reason
            FROM m)
          SELECT doc_id, n_toks AS n_tokens,
