@@ -375,17 +375,23 @@ object TextQueries {
     * on corpora where organic overlap is expected).
     */
   def boilerplate(docs: DataFrame, minDf: Long = 2L): DataFrame = {
-    val pos = docs
+    // pre-aggregate positions to (doc, gram, count) BEFORE the
+    // document-frequency join: map-side combine shrinks the exploded
+    // stream, and a corpus-hot boilerplate gram (a license header in
+    // 10% of all docs) carries one joined row per DOCUMENT instead of
+    // per position — the residual hot key is AQE skew-join territory,
+    // not a single-task position pileup
+    val counts = docs
       .select(col("doc_id"),
         explode_outer(wordNgrams(tokens(lower(col("text"))), 5)).as("gram"))
-    val boiler = pos.filter(col("gram").isNotNull)
-      .select("doc_id", "gram").distinct()
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+    val boiler = counts.filter(col("gram").isNotNull)
       .groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-    pos.join(boiler, Seq("gram"), "left")
+    counts.join(boiler, Seq("gram"), "left")
       .groupBy("doc_id")
-      .agg(count(col("gram")).as("n_grams"),
-        count(col("df")).as("n_boiler_grams"))
+      .agg(sum(when(col("gram").isNotNull, col("c")).otherwise(0L)).as("n_grams"),
+        sum(when(col("df").isNotNull, col("c")).otherwise(0L)).as("n_boiler_grams"))
       .select(col("doc_id"), col("n_grams"), col("n_boiler_grams"),
         when(col("n_grams") > 0,
           round(col("n_boiler_grams").cast("double") / col("n_grams"), 6))
