@@ -366,6 +366,62 @@ class HierarchySpec extends SparkSpec {
     assert(b.getAs[Double]("sum_sales_amount") == 29.0)
   }
 
+  test("rollup equals a brute-force ancestor-walk reference on random trees and facts") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 3) {
+      // random tree, depth-capped at 7: each node parents to a random
+      // earlier node that still has headroom
+      val n = 15 + rnd.nextInt(20)
+      var depth = Map("root" -> 1)
+      val nodes = (1 to n).map { i =>
+        val shallow = depth.filter(_._2 < 7).keys.toSeq.sorted
+        val parent = shallow(rnd.nextInt(shallow.size))
+        depth += (s"nd$i" -> (depth(parent) + 1))
+        (s"nd$i", 100L + i, s"N$i", "L", parent)
+      }
+      val all = Seq(("root", 0L, "Root", "Total",
+        null.asInstanceOf[String])) ++ nodes
+      val dimR = new HierarchyDimension(
+        all.toDF("node_id", "node_natural_key", "node_name", "level_name",
+          "parent_node_id"))
+      val parentOf = all.map(t => t._1 -> t._5).toMap
+      def chain(id: String): List[String] =
+        if (id == null) Nil else id :: chain(parentOf.getOrElse(id, null))
+      val withKids = nodes.map(_._5).toSet
+      val leaves = all.filter(t => !withKids.contains(t._1) && t._1 != "root")
+      val factRows = (1 to 60).map { _ =>
+        val leaf = leaves(rnd.nextInt(leaves.size))
+        (leaf._2, rnd.nextInt(5).toLong, 1.0 + rnd.nextInt(3),
+          rnd.nextInt(100).toDouble)
+      }
+      val out = HierarchyAgg.hierarchicalRollup(
+        factRows.toDF("leaf_key", "customer_id", "unit_quantity", "sales_amount"),
+        dimR.aggregationDim).collect()
+        .map(r => r.getAs[String]("product_node_name").dropWhile(_ == '-') -> r)
+        .toMap
+      // brute force: every fact lands on every ancestor of its leaf
+      val keyToId = all.map(t => t._2 -> t._1).toMap
+      var exp = Map.empty[String, (Double, Double, Set[Long], Long)]
+      factRows.foreach { case (k, cust, q, s) =>
+        chain(keyToId(k)).foreach { node =>
+          val (es, eq, ec, en) = exp.getOrElse(node, (0.0, 0.0, Set.empty[Long], 0L))
+          exp += (node -> (es + s, eq + q, ec + cust, en + 1))
+        }
+      }
+      val nameOf = all.map(t => t._1 -> t._3).toMap
+      assert(out.keySet == exp.keySet.map(nameOf), s"node sets differ (n=$n)")
+      exp.foreach { case (node, (es, eq, ec, en)) =>
+        val r = out(nameOf(node))
+        assert(r.getAs[Double]("sum_sales_amount") ==
+          BigDecimal(es).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, node)
+        assert(r.getAs[Double]("sum_unit_quantity") ==
+          BigDecimal(eq).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, node)
+        assert(r.getAs[Long]("distinct_customer_count") == ec.size.toLong, node)
+        assert(r.getAs[Long]("count_of_fact_records") == en, node)
+      }
+    }
+  }
+
   test("whatIfDelta: only changed nodes appear; old/new/delta match the two full rollups") {
     // what-if: move leaf a2 (key 12) from a to b
     val moved = toy.withColumn("parent_node_id",
