@@ -70,6 +70,39 @@ class PipelineOpsSpec extends SparkSpec {
       expectedItems = 2L, fpp = 0.4).collect()) == reference)
   }
 
+  test("corpus prep equals a plain-Scala stage-by-stage reference on random docs") {
+    val rnd = new scala.util.Random(29)
+    val words = Seq("the", "a", "of", "and", "quick", "brown", "jumps",
+      "spark", "rollup", "verylongtokenpadding", "x", "data", "corpus")
+    val pool = (0 until 30).map { _ =>
+      (5 + rnd.nextInt(60), rnd.nextInt(words.size))
+    }.map { case (len, off) =>
+      (0 until len).map(i => words((i + off) % words.size)).mkString(" ")
+    }
+    val docs = (0L until 120L).map(i => (i, pool(rnd.nextInt(pool.size)),
+      if (i % 3 == 0) "en" else "xx", "s" + (i % 2), 0L))
+    val out = operators.Packing.corpusPrep(
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // stage 1 (t7 rules), stage 2 (min-id per text), stage 3 (LCG) in
+    // plain Scala, applied in the same order
+    val stop = Set("the", "a", "is", "of", "and")
+    val kept = docs.filter { case (_, text, _, _, _) =>
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      val sumLen = text.replaceAll("\\s", "").length
+      toks.size >= 30 && toks.size <= 10000 &&
+        sumLen >= toks.size * 3 && sumLen <= toks.size * 10 &&
+        toks.count(stop) >= 2
+    }
+    val canonical = kept.groupBy(_._2).values.map(_.map(_._1).min).toSet
+    val expected = kept.filter(d => canonical(d._1)).filter { case (id, _, lang, _, _) =>
+      val pct = ((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L % 100L
+      pct < (if (lang == "en") 30 else 60)
+    }.map(_._1).toSet
+    assert(out == expected, s"spark=$out expected=$expected")
+    assert(expected.nonEmpty, "degenerate trial: no doc survived all stages")
+  }
+
   test("incremental dedup of an empty batch is empty; full-dup batch has no 'new'") {
     assert(Dedup.incrementalDedup(corpus, batch.limit(0)).count() == 0)
     val allDup = Dedup.incrementalDedup(corpus,
