@@ -566,86 +566,113 @@ object HierarchyDimension {
     *
     * Generic over ANY SCD2 node table (the stored-dim workflow of
     * reference: classes/hierarchy_dimension_table.py:75-82 extended
-    * with validity windows): the tree is piecewise-constant between
-    * version BREAKPOINTS — the distinct `valid_from`/`valid_to`
-    * values. One as-of closure is derived per breakpoint interval,
-    * tagged with it, and unioned. Breakpoints are collected to the
-    * driver: the node table is dim-sized by contract (the same
-    * `maxNodes`-guarded bound the leveling pass itself relies on), so
-    * this is versions-many dates, never data.
+    * with validity windows). INCREMENTAL derivation: rather than one
+    * full-tree closure per global version breakpoint (cost
+    * O(breakpoints × |tree|) sequential derivations — a production dim
+    * with thousands of scattered edits pays thousands of leveling
+    * passes even when each edit touches one node), each node VERSION's
+    * parent chain is walked toward the root with `depthBound` chained
+    * broadcast self-joins, INTERSECTING validity windows along the
+    * chain. A pair (a, d) is emitted once per maximal interval over
+    * which the whole d→a chain is version-constant; per-node versions
+    * are time-disjoint (the SCD2 contract), so at any instant at most
+    * one chain realizes a pair and the emitted windows never overlap.
+    * Derivation cost is O(depth) dim-sized joins in ONE lazy plan —
+    * independent of the breakpoint count, with no driver-side
+    * coordination at all (the r10 derivation collected breakpoints and
+    * built a `HierarchyDimension` per interval).
+    *
+    * Dropped-node semantics match the leveling pass: a version chain
+    * that hits a missing parent, a cycle, or exceeds `depthBound`
+    * never completes and contributes no pairs for that interval.
     *
     * Adjacent windows of a pair that SURVIVES a breakpoint are merged
-    * (gaps-and-islands over the dim-sized union), so the broadcast
-    * carries one row per pair-VALIDITY, not per pair-interval: a
-    * mostly-stable tree with many version breaks costs barely more
-    * than an unversioned one. Merging never changes join results —
-    * a fact date falls in exactly one window either way.
+    * (gaps-and-islands over the dim-sized pair set) — a reparent's
+    * before/after chains of a surviving pair land time-adjacent and
+    * fuse, so the broadcast carries one row per pair-VALIDITY, not per
+    * version interval: a mostly-stable tree with many version breaks
+    * costs barely more than an unversioned one. Merging never changes
+    * join results — a fact date falls in exactly one window either way.
     *
-    * The returned frame is lazy and dim-sized; each slice's internal
-    * caches are released here, so CACHE THE RESULT if it is read more
-    * than once (the registry does, mirroring the reference's stored
-    * dims).
+    * The returned frame is lazy and dim-sized; CACHE THE RESULT if it
+    * is read more than once (the registry does, mirroring the
+    * reference's stored dims).
     */
   def historyClosure(versionedNodes: DataFrame,
       validFrom: String = "valid_from", validTo: String = "valid_to",
       nodeIdCol: String = "node_id", parentIdCol: String = "parent_node_id",
-      levelFields: Seq[String] =
-        Seq("node_id", "node_natural_key", "node_name", "level_name"),
-      knownDepth: Int = -1): DataFrame = {
+      knownDepth: Int = -1, maxDepth: Int = 16): DataFrame = {
+    val depthBound = if (knownDepth > 0) knownDepth else maxDepth
     // normalize SCD2 OPEN ends (null valid_from / valid_to — the
     // common convention for the current version) to typed sentinels,
-    // so the breakpoint walk and the output windows stay total-ordered
-    // and a fact join's `date < valid_to` predicate still fires
+    // so window intersection stays total-ordered and a fact join's
+    // `date < valid_to` predicate still fires
     def sentinel(dt: org.apache.spark.sql.types.DataType,
         lo: Boolean): Option[Column] = dt match {
       case DateType => Some(lit(java.sql.Date.valueOf(
         if (lo) "0001-01-01" else "9999-12-31")))
       case TimestampType => Some(lit(java.sql.Timestamp.valueOf(
         if (lo) "0001-01-01 00:00:00" else "9999-12-31 00:00:00")))
+      // ISO-8601 date strings (a common SCD2 encoding) order
+      // lexicographically exactly like their dates, so string
+      // sentinels bound them correctly
+      case StringType => Some(lit(if (lo) "0000-01-01" else "9999-12-31"))
       case _ => None
     }
-    val nodes = (sentinel(versionedNodes.schema(validFrom).dataType, lo = true),
-        sentinel(versionedNodes.schema(validTo).dataType, lo = false)) match {
-      case (Some(loS), Some(hiS)) => versionedNodes
-        .withColumn(validFrom, coalesce(col(validFrom), loS))
-        .withColumn(validTo, coalesce(col(validTo), hiS))
-      case _ => versionedNodes
+    def normalized(c: String, lo: Boolean): Column = {
+      val dt = versionedNodes.schema(c).dataType
+      sentinel(dt, lo) match {
+        case Some(s) => coalesce(col(c), s)
+        // unsupported validity type: a null open end would silently
+        // yield empty/wrong windows — fail loudly at execution instead
+        // (raise_error is non-foldable; it fires only on a real null)
+        case None => coalesce(col(c), raise_error(lit(
+          s"historyClosure: null $c of unsupported validity type $dt — " +
+            "use Date/Timestamp/ISO-date-String bounds or close the " +
+            "window explicitly")).cast(dt))
+      }
     }
-    val breaks = nodes
-      .select(explode(array(col(validFrom), col(validTo))).as("b"))
-      .distinct().orderBy("b")
-      .collect().map(_.get(0))
-    if (breaks.length < 2) {
-      // empty shard / degenerate input: no validity window can exist —
-      // return an empty closure with the contract schema, don't throw
-      val idT = versionedNodes.schema(nodeIdCol).dataType
-      val dateT = versionedNodes.schema(validFrom).dataType
-      return versionedNodes.sparkSession.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        StructType(Seq(
-          StructField("ancestor_node_id", idT),
-          StructField("descendant_node_id", idT),
-          StructField(validFrom, dateT),
-          StructField(validTo, dateT))))
+    val versions = versionedNodes.select(
+        col(nodeIdCol).as("__id"), col(parentIdCol).as("__next"),
+        normalized(validFrom, lo = true).as("__vf"),
+        normalized(validTo, lo = false).as("__vt"))
+      // a degenerate window can never match a fact date (and would
+      // break the disjoint-versions invariant the walk relies on)
+      .filter(col("__vf") < col("__vt"))
+    val parents = versions.select(
+      col("__id").as("__pid"), col("__next").as("__pnext"),
+      col("__vf").as("__pvf"), col("__vt").as("__pvt"))
+    // chain state: the ancestors found so far (self first), the next
+    // parent id to resolve, and the intersected validity window. A
+    // chain COMPLETES when its parent pointer is null (reached a
+    // root); depthBound joins bound the walk exactly like the
+    // leveling pass's level bound.
+    var active = versions.select(
+      col("__id").as("descendant_node_id"),
+      array(col("__id")).as("__anc"),
+      col("__next"), col("__vf"), col("__vt"))
+    var completed = active.filter(col("__next").isNull).drop("__next")
+    active = active.filter(col("__next").isNotNull)
+    for (_ <- 2 to depthBound) {
+      val stepped = active.join(broadcast(parents),
+          col("__next") === col("__pid") &&
+            col("__vf") < col("__pvt") && col("__pvf") < col("__vt"))
+        .select(col("descendant_node_id"),
+          concat(col("__anc"), array(col("__pid"))).as("__anc"),
+          col("__pnext").as("__next"),
+          greatest(col("__vf"), col("__pvf")).as("__vf"),
+          least(col("__vt"), col("__pvt")).as("__vt"))
+      completed = completed.unionByName(
+        stepped.filter(col("__next").isNull).drop("__next"))
+      active = stepped.filter(col("__next").isNotNull)
     }
-    // strictly increasing by construction (distinct + orderBy)
-    val slices = breaks.sliding(2).map { case Array(s, e) =>
-      val dim = new HierarchyDimension(
-        asOf(nodes, lit(s), validFrom, validTo),
-        nodeIdCol = nodeIdCol, parentIdCol = parentIdCol,
-        levelFields = levelFields, knownDepth = knownDepth)
-      val tagged = dim.closurePairs
-        .withColumn(validFrom, lit(s))
-        .withColumn(validTo, lit(e))
-      (dim, tagged)
-    }.toSeq
-    val unioned = slices.map(_._2).reduce(_ unionByName _)
-    // release each slice's internal caches now: the result is lazy,
-    // and pinning a block-manager entry per interval would leak
-    slices.foreach(_._1.unpersistAll())
+    val pairs = completed.select(
+      explode(col("__anc")).as("ancestor_node_id"),
+      col("descendant_node_id"),
+      col("__vf").as(validFrom), col("__vt").as(validTo))
     val w = Window.partitionBy("ancestor_node_id", "descendant_node_id")
       .orderBy(col(validFrom))
-    unioned
+    pairs
       .withColumn("__new_island",
         when(lag(col(validTo), 1).over(w) === col(validFrom), lit(0))
           .otherwise(lit(1)))

@@ -556,6 +556,101 @@ class HierarchySpec extends SparkSpec {
     assert(hcAt("3000-01-01") == hcAt("2005-01-01"))
   }
 
+  test("historyClosure property: scattered-edit versions match a brute-force " +
+      "as-of walk; derivation is lazy and never scales with breakpoints") {
+    val rnd = new scala.util.Random(42)
+    val base = java.time.LocalDate.of(1990, 1, 1)
+    def d(off: Int) = java.sql.Date.valueOf(base.plusDays(off.toLong))
+    val HI = 20000
+    // 14 nodes; node i's parent candidates are nodes < i (acyclic by
+    // construction); each node re-rolls its parent at 0-3 scattered
+    // breakpoints — a long-history dim whose edits each touch ONE node
+    case class V(id: String, parent: String, vf: Int, vt: Int)
+    val versions = scala.collection.mutable.ArrayBuffer[V]()
+    versions += V("n0", null, 0, HI)
+    for (i <- 1 until 14) {
+      val cuts = (Seq(0, HI) ++
+        Seq.fill(rnd.nextInt(4))(1 + rnd.nextInt(HI - 2))).distinct.sorted
+      cuts.sliding(2).foreach {
+        case Seq(f, t) => versions += V(s"n$i", s"n${rnd.nextInt(i)}", f, t)
+        case _ => ()
+      }
+    }
+    val breaks = versions.flatMap(v => Seq(v.vf, v.vt)).distinct.sorted
+    assert(breaks.size >= 12, s"fixture too tame: ${breaks.size} breakpoints")
+    val df = versions.toSeq.map(v => (v.id, v.parent, d(v.vf), d(v.vt)))
+      .toDF("node_id", "parent_node_id", "valid_from", "valid_to")
+    // job accounting: the r10 derivation collected breakpoints and built
+    // a full HierarchyDimension per interval — ≥1 job at CONSTRUCTION
+    // and per-breakpoint derivation work. The incremental walk must be
+    // fully lazy (0 jobs to construct) and evaluate in O(depth) jobs,
+    // independent of the breakpoint count.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    def settled(): Int = {
+      var prev = -1; var cur = jobs.get(); var spins = 0
+      while (prev != cur && spins < 50) {
+        Thread.sleep(100); prev = cur; cur = jobs.get(); spins += 1
+      }
+      cur
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got = try {
+      val hc = HierarchyDimension.historyClosure(df, knownDepth = 14)
+      assert(settled() == 0, "historyClosure derivation must be fully lazy")
+      val rows = hc.collect()
+      val evalJobs = settled()
+      assert(evalJobs < breaks.size && evalJobs <= 12,
+        s"evaluation took $evalJobs jobs for ${breaks.size} breakpoints — " +
+          "derivation cost must not scale with the breakpoint count")
+      rows
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // brute-force oracle: at date t, each node's live version walks its
+    // parent chain to the root; pairs = (every chain node, self)
+    def pairsAt(t: Int): Set[(String, String)] = {
+      val par = versions.collect { case v if v.vf <= t && t < v.vt =>
+        v.id -> v.parent }.toMap
+      par.keySet.flatMap { n =>
+        val chain = scala.collection.mutable.ArrayBuffer[String](n)
+        var cur = n
+        var ok = true
+        while (ok && par(cur) != null) {
+          val p = par(cur)
+          if (!par.contains(p) || chain.size > 14) ok = false
+          else { chain += p; cur = p }
+        }
+        if (ok) chain.toSeq.map(a => (a, n)) else Nil
+      }
+    }
+    def hcAt(t: Int): Set[(String, String)] = {
+      val at = d(t)
+      got.filter(r => !r.getAs[java.sql.Date]("valid_from").after(at) &&
+          at.before(r.getAs[java.sql.Date]("valid_to")))
+        .map(r => (r.getAs[String]("ancestor_node_id"),
+          r.getAs[String]("descendant_node_id"))).toSet
+    }
+    // probe every breakpoint AND a midpoint of every interval
+    val mids = (1 until breaks.size)
+      .filter(i => breaks(i) - breaks(i - 1) > 1)
+      .map(i => (breaks(i - 1) + breaks(i)) / 2)
+    val probes = (breaks.dropRight(1).toSeq ++ mids).distinct
+    probes.foreach(t => assert(hcAt(t) == pairsAt(t), s"mismatch at offset $t"))
+    // per pair, windows must be disjoint AND maximal (adjacent merged)
+    got.groupBy(r => (r.getString(0), r.getString(1))).foreach { case (p, rs) =>
+      val ws = rs.map(r => (r.getAs[java.sql.Date]("valid_from").getTime,
+        r.getAs[java.sql.Date]("valid_to").getTime)).sortBy(_._1)
+      (1 until ws.length).foreach { i =>
+        assert(ws(i - 1)._2 < ws(i)._1,
+          s"unmerged or overlapping windows for $p")
+      }
+    }
+  }
+
   test("asOfRange property: every overlapping version survives, clipped to [start, end)") {
     val rnd = new scala.util.Random(7)
     val base = java.time.LocalDate.of(1995, 1, 1)
