@@ -45,8 +45,19 @@ final class SessionCache[K, V](onEvict: V => Unit = (_: V) => ()) {
       while (continue && m.size >= maxSessions) {
         val oldest = order.poll()
         if (oldest == null) continue = false
-        else if (oldest eq spark) { order.add(spark); continue = false }
-        else {
+        else if (oldest eq spark) {
+          // re-enqueue only if no racing computeIfAbsent already put a
+          // copy back: a duplicate queue entry would let a later
+          // eviction pass poll the stale copy and evict (and
+          // unpersist) a live session early
+          if (!order.contains(spark)) order.add(spark)
+          continue = false
+        }
+        else if (order.contains(oldest)) {
+          // stale duplicate: a newer queue entry still tracks this
+          // session — dropping the old copy without evicting keeps
+          // each live session's cache intact
+        } else {
           val evicted = m.remove(oldest)
           if (evicted != null) evicted.values.foreach(safeEvict)
         }

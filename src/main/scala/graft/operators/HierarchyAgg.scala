@@ -252,39 +252,52 @@ object HierarchyAgg {
     *
     * Scale shape: facts pre-aggregate to leaf grain — ONE shuffle with
     * map-side combine, the only point where fact rows move — then the
-    * dim-sized closure join is broadcast and node totals land on
-    * |nodes| cardinality. The parent lookup is a broadcast self-join
-    * of that dim-sized aggregate via the node table's parent pointer
-    * (each node's parent total), and the grand total (the SUM over
-    * roots — forests supported) is a 1-row broadcast. Ratios divide
-    * the 2-dp-rounded totals (identical in any engine) and round to
-    * 6 dp; a root's pct_of_parent is null.
+    * closure (pre-enriched with node metadata, still dim-sized) joins
+    * broadcast and node totals land on |nodes| cardinality WITH their
+    * labels/parent pointers already attached — no second meta join.
+    * The parent lookup is a broadcast self-join of that dim-sized
+    * aggregate via the parent pointer; its shuffle subtree is
+    * byte-identical to the main branch's, so ReuseExchange schedules
+    * the fact pre-agg once. The grand total (the SUM over roots —
+    * forests supported) reads off a single-partition window over the
+    * SAME |nodes|-sized frame instead of a separate aggregate branch
+    * — bounded by the node count, never fact-sized. Ratios divide the
+    * 2-dp-rounded totals (identical in any engine) and round to 6 dp;
+    * a root's pct_of_parent is null.
     */
   def contributionRollup(facts: DataFrame, dim: HierarchyDimension,
       factKey: String = "leaf_key", broadcastDim: Boolean = true): DataFrame = {
-    val totals = facts
-      .groupBy(col(factKey))
-      .agg(sum(col("sales_amount")).as("__s"))
-      .join(maybeBroadcast(closureIdKeys(dim.aggregationDim), broadcastDim),
-        col(factKey) === col("descendant_node_natural_key"))
-      .groupBy(col("ancestor_node_id"))
-      .agg(round(sum(col("__s")), 2).as("sum_sales_amount"))
     val meta = dim.flaggedNodes.select(
       col("node_id"), col("node_name"), col("level_name"),
       col("parent_node_id"), col("is_root"))
-    val withMeta = totals.join(maybeBroadcast(meta, broadcastDim),
-      col("ancestor_node_id") === col("node_id"))
+    // dim × dim enrichment happens on the broadcast build side — the
+    // fact stream sees ONE closure join carrying ids and labels alike
+    // (meta is |nodes|-sized: broadcast it so the enrichment never
+    // sort-merges inside the build branch)
+    val enriched = closureIdKeys(dim.aggregationDim)
+      .join(maybeBroadcast(meta, broadcastDim),
+        col("ancestor_node_id") === col("node_id"))
+    val totals = facts
+      .groupBy(col(factKey))
+      .agg(sum(col("sales_amount")).as("__s"))
+      .join(maybeBroadcast(enriched, broadcastDim),
+        col(factKey) === col("descendant_node_natural_key"))
+      .groupBy(col("ancestor_node_id"), col("node_name"), col("level_name"),
+        col("parent_node_id"), col("is_root"))
+      .agg(round(sum(col("__s")), 2).as("sum_sales_amount"))
     val parents = totals.select(col("ancestor_node_id").as("__pid"),
       col("sum_sales_amount").as("__psales"))
-    // forests: the grand total is the SUM over roots (aggregating
-    // keeps this a 1-row broadcast whatever the root count — a bare
-    // select would cross-join-duplicate every row per extra root)
-    val rootTotal = withMeta.filter(col("is_root"))
-      .agg(sum(col("sum_sales_amount")).as("__rsales"))
-    withMeta
+    // forests: the grand total is the SUM over roots; computed as an
+    // unpartitioned window over the node-sized totals (safe — |nodes|
+    // rows in one task, never facts) so no extra aggregate branch
+    // re-plans the totals subtree
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    totals
       .join(maybeBroadcast(parents, broadcastDim),
         col("parent_node_id") === col("__pid"), "left")
-      .crossJoin(broadcast(rootTotal))
+      .withColumn("__rsales",
+        sum(when(col("is_root"), col("sum_sales_amount"))).over(wAll))
       .select(
         col("node_name"), col("level_name"), col("sum_sales_amount"),
         round(col("sum_sales_amount") / col("__psales"), 6).as("pct_of_parent"),
@@ -570,44 +583,53 @@ object HierarchyAgg {
     * and its [[repairRollupMv]] what-if repair — so the whole report
     * aggregates MV-grain rows (|nodes| × |customers| cardinality,
     * never facts; with the zero-fact repair path the full what-if
-    * touches no fact rows at 100 TB). The node-id join is dim-sized;
-    * the per-side totals land on |nodes| rows before it.
+    * touches no fact rows at 100 TB). Each side translates sort order
+    * → node identity through its own dim-sized broadcast map (sort
+    * orders are NOT comparable across versions — the DFS numbering
+    * shifts with the edit), then BOTH sides union under a version tag
+    * and aggregate ONCE: a single shuffle on node_id with the per-side
+    * measures read off conditionally, instead of two aggregate
+    * branches full-outer-joined.
     */
   def whatIfDelta(oldMv: DataFrame, newMv: DataFrame,
       oldDim: HierarchyDimension, newDim: HierarchyDimension,
       broadcastDim: Boolean = true): DataFrame = {
-    def totals(mv: DataFrame, dim: HierarchyDimension, p: String) = {
-      // sort order → node identity: sort orders are NOT comparable
-      // across versions (the DFS numbering shifts with the edit), so
-      // the delta join is on node_id
+    def tagged(mv: DataFrame, dim: HierarchyDimension, tag: String) = {
       val nodeMap = dim.aggregationDim.select(
         col("ancestor_node_sort_order"), col("ancestor_node_id").as("node_id"),
-        col("ancestor_node_name").as(s"__${p}_name")).distinct()
-      mv.groupBy("ancestor_node_sort_order")
-        .agg(round(sum("mv_sales"), 2).as(s"${p}_sales"),
-          round(sum("mv_qty"), 2).as(s"${p}_qty"),
-          count(col("customer_id")).as(s"${p}_customers"),
-          sum("mv_n").as(s"${p}_facts"))
-        .join(maybeBroadcast(nodeMap, broadcastDim),
+        col("ancestor_node_name").as("__name")).distinct()
+      mv.join(maybeBroadcast(nodeMap, broadcastDim),
           Seq("ancestor_node_sort_order"))
-        .drop("ancestor_node_sort_order")
+        .select(col("node_id"), col("__name"), col("customer_id"),
+          col("mv_sales"), col("mv_qty"), col("mv_n"), lit(tag).as("__v"))
     }
-    def z(c: String) = coalesce(col(c), lit(0.0))
-    def zl(c: String) = coalesce(col(c), lit(0L))
-    totals(oldMv, oldDim, "old")
-      .join(totals(newMv, newDim, "new"), Seq("node_id"), "full_outer")
-      .select(
-        col("node_id"),
-        coalesce(col("__new_name"), col("__old_name")).as("node_name"),
-        z("old_sales").as("old_sales"), z("new_sales").as("new_sales"),
-        round(z("new_sales") - z("old_sales"), 2).as("delta_sales"),
-        z("old_qty").as("old_qty"), z("new_qty").as("new_qty"),
-        zl("old_customers").as("old_customers"),
-        zl("new_customers").as("new_customers"),
-        zl("old_facts").as("old_facts"), zl("new_facts").as("new_facts"))
+    def side(tag: String, c: Column) = when(col("__v") === tag, c)
+    // per-side totals as conditional aggregates over the tagged union:
+    // a node absent on one side aggregates empty → null → coalesced to
+    // zero, exactly the old full-outer-join null semantics
+    def sales(t: String) =
+      coalesce(round(sum(side(t, col("mv_sales"))), 2), lit(0.0))
+    def qty(t: String) =
+      coalesce(round(sum(side(t, col("mv_qty"))), 2), lit(0.0))
+    tagged(oldMv, oldDim, "old")
+      .unionByName(tagged(newMv, newDim, "new"))
+      .groupBy("node_id")
+      .agg(
+        coalesce(max(side("new", col("__name"))),
+          max(side("old", col("__name")))).as("node_name"),
+        sales("old").as("old_sales"), sales("new").as("new_sales"),
+        round(sales("new") - sales("old"), 2).as("delta_sales"),
+        qty("old").as("old_qty"), qty("new").as("new_qty"),
+        count(side("old", col("customer_id"))).as("old_customers"),
+        count(side("new", col("customer_id"))).as("new_customers"),
+        coalesce(sum(side("old", col("mv_n"))), lit(0L)).as("old_facts"),
+        coalesce(sum(side("new", col("mv_n"))), lit(0L)).as("new_facts"))
       .filter(col("old_sales") =!= col("new_sales") ||
         col("old_qty") =!= col("new_qty") ||
         col("old_customers") =!= col("new_customers") ||
         col("old_facts") =!= col("new_facts"))
+      .select("node_id", "node_name", "old_sales", "new_sales",
+        "delta_sales", "old_qty", "new_qty", "old_customers",
+        "new_customers", "old_facts", "new_facts")
   }
 }

@@ -264,10 +264,6 @@ object OlapQueries {
       // so its median reads off a frequency-weighted pre-agg (a
       // 150-row percentile input).
       val li = Tables.lineitem(s, d)
-      // the group list comes from ALL lineitems: a group whose every
-      // price is null must still emit a row (quantile_cont → NULL),
-      // so both measure sides LEFT-join onto it
-      val groups = li.select("l_returnflag").distinct()
       // percentile() ignores nulls — so must the rank arithmetic:
       // null prices would otherwise rank first and shift every target
       // position by the null count
@@ -285,35 +281,40 @@ object OlapQueries {
       val bucketed = priced.withColumn("bucket", floor(col("v")).cast("long"))
       val hist = bucketed.groupBy("l_returnflag", "bucket")
         .agg(count(lit(1)).as("bn"))
-      val bounds = targets.foldLeft(
-          hist.groupBy("l_returnflag").agg(sum("bn").as("n"))) {
+      // phase 2, FUSED: one histogram-sized window stage computes BOTH
+      // the cumulative rank base and the per-group total (same
+      // partitioning, one exchange), so every target position/lo/hi is
+      // derivable per histogram row inline — no separate group-total
+      // aggregate, no exploded target-rank frame, no second broadcast.
+      // These are the only per-group-only windows in the plan, and
+      // they run over domain-bounded histogram rows.
+      val wCum = Window.partitionBy("l_returnflag").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy("l_returnflag")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = targets.foldLeft(
+          hist.withColumn("cum_before",
+              coalesce(sum("bn").over(wCum), lit(0L)))
+            .withColumn("n", sum("bn").over(wAll))) {
         case (df, (nm, p)) =>
           df.withColumn(s"${nm}_pos", (col("n") - 1) * lit(p))
             .withColumn(s"${nm}_lo", floor(col(s"${nm}_pos")))
             .withColumn(s"${nm}_hi", ceil(col(s"${nm}_pos")))
       }
-      // phase 2: cumulative counts over the HISTOGRAM (domain-bounded
-      // rows — the only per-group-only window in the plan)
-      val wCum = Window.partitionBy("l_returnflag").orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val cum = hist
-        .withColumn("cum_before", coalesce(sum("bn").over(wCum), lit(0L)))
-      val targetRns = bounds.select(col("l_returnflag"),
-        explode(array(targets.flatMap { case (nm, _) =>
-          Seq(col(s"${nm}_lo"), col(s"${nm}_hi")) }: _*)).as("target_rn"))
-        .distinct()
-      val hot = targetRns.join(cum, Seq("l_returnflag"))
-        .filter(col("target_rn") >= col("cum_before") &&
-          col("target_rn") < col("cum_before") + col("bn"))
-        .select("l_returnflag", "bucket", "cum_before")
-        .distinct()
+      // a bucket is HOT when any target rank lands inside it; hot rows
+      // carry their rank base AND the group's target positions, so the
+      // fact-side join below needs only THIS one broadcast
+      def inBucket(c: String) =
+        col(c) >= col("cum_before") && col(c) < col("cum_before") + col("bn")
+      val hot = cum.filter(targets.map { case (nm, _) =>
+        inBucket(s"${nm}_lo") || inBucket(s"${nm}_hi") }.reduce(_ || _))
+        .drop("bn", "n")
       // phase 3: global rank = bucket's rank base + within-bucket
       // row_number, computed ONLY for the ≤6 hot buckets per group
       val wLocal = Window.partitionBy("l_returnflag", "bucket").orderBy("v")
-      val ranked = bucketed.join(broadcast(hot), Seq("l_returnflag", "bucket"))
+      val needed = bucketed.join(broadcast(hot), Seq("l_returnflag", "bucket"))
         .withColumn("rn",
           col("cum_before") + row_number().over(wLocal).cast("long") - 1)
-      val needed = ranked.join(broadcast(bounds), Seq("l_returnflag"))
         .filter(targets.map { case (nm, _) =>
           col("rn") === col(s"${nm}_lo") || col("rn") === col(s"${nm}_hi")
         }.reduce(_ || _))
@@ -323,15 +324,20 @@ object OlapQueries {
         round(lo + (hi - lo) * max(col(s"${nm}_pos") - col(s"${nm}_lo")), 6)
           .as(nm)
       }
-      val qty = li.filter(col("l_quantity").isNotNull)
-        .groupBy("l_returnflag", "l_quantity")
-        .agg(count(lit(1)).as("f"))
-        .groupBy("l_returnflag")
-        .agg(round(expr("percentile(l_quantity, 0.5D, f)"), 6).as("median_qty"))
-      groups
+      // qty median: percentile()'s per-group state is a value→count
+      // map bounded by DISTINCT values — l_quantity's 50-value domain
+      // keeps it tiny at any SF, so the direct aggregate (ONE shuffle
+      // of ≤50-entry partial maps with map-side merge) replaces the
+      // old two-shuffle frequency pre-agg. It runs over ALL lineitems
+      // and ignores nulls, so its group list IS the full flag set —
+      // a group whose every price is null still emits a row
+      // (quantile_cont → NULL) via the left join below, with no
+      // separate distinct-groups scan.
+      val qty = li.groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5D)"), 6).as("median_qty"))
+      qty
         .join(needed.groupBy("l_returnflag").agg(pcols.head, pcols.tail: _*),
           Seq("l_returnflag"), "left")
-        .join(qty, Seq("l_returnflag"), "left")
         .select("l_returnflag", "p25", "p50", "p75", "median_qty")
     }),
 

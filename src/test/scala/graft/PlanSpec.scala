@@ -160,11 +160,17 @@ class PlanSpec extends SparkSpec {
 
   test("h17: ratios are broadcast self-joins of dim-sized totals; no sort-merge") {
     val p = plan("h17_contribution")
-    // the fact stream pays ONE leaf-grain pre-agg shuffle; the closure,
-    // node-meta, parent-total and root-total joins are all broadcast
+    // the fact stream pays ONE leaf-grain pre-agg shuffle and sees ONE
+    // broadcast join (the closure pre-enriched with node meta); the
+    // parent lookup is the only other join — a broadcast self-join of
+    // the node-sized totals — and the grand total is a window over the
+    // same frame, so no third aggregate branch re-plans the fact side
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    // the root-total branch is gone: no BroadcastNestedLoopJoin
+    // (the old 1-row crossJoin) anywhere
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("p7: temperature mixture has no windows; the rate table joins broadcast") {
