@@ -79,6 +79,59 @@ object Similarity {
     rerank(pairs, k, scoreName = "inner_product")
   }
 
+  /** ANN MIPS — the 100 TB scale path for [[mipsTopK]]: the asymmetric
+    * augmentation (Shrivastava & Li, NIPS 2014; simple-LSH form of
+    * Neyshabur & Srebro, ICML 2015) reduces max-inner-product to
+    * cosine over an augmented space, then the standard
+    * random-hyperplane bucketing blocks candidates exactly as
+    * [[lshTopK]] does:
+    *
+    *   P(x) = [x / M ; sqrt(1 − |x/M|²)]   (corpus, unit-norm by
+    *                                        construction; M = max |x|)
+    *   Q(q) = [q ; 0]
+    *
+    * cos(Q(q), P(x)) = (q·x) / (M·|q|) — monotone in q·x for a fixed
+    * query, so augmented-cosine ranking IS inner-product ranking.
+    * Buckets hash the AUGMENTED vectors (both sides see the same
+    * d+1-dim hyperplanes — sign-of-projection is scale-invariant, so
+    * the query's zero-padding needs no 1/M rescale); candidates that
+    * share a (table, bucket) re-rank by the EXACT inner product over
+    * the raw vectors. The max-norm M is a 1-row broadcast; the shuffle
+    * key is (table, bucket), never all-pairs.
+    */
+  def mipsLshTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
+      nPlanes: Int = 6, nTables: Int = 8): DataFrame = {
+    val c = corpus(emb)
+    val maxN = c.agg(max(col("nrm")).as("__m"))
+    val aug = c.crossJoin(broadcast(maxN))
+      .withColumn("av", concat(
+        transform(col("v"), x => x / col("__m")),
+        array(sqrt(greatest(lit(0.0),
+          lit(1.0) - (col("nrm") / col("__m")) * (col("nrm") / col("__m")))))))
+      .withColumn("buckets",
+        NativeTextExpressions.hyperplaneBuckets(col("av"), nPlanes, nTables))
+    val buckets = aug.select(col("vec_id"), col("v"),
+      posexplode(col("buckets")).as(Seq("table", "bucket")))
+    // query side: zero-pad, hash with the SAME d+1-dim planes, probe
+    // the home bucket + one-bit flips (multiprobe), broadcast
+    val qProbes = c.filter(col("vec_id") < nQueries)
+      .withColumn("aq", concat(col("v"), array(lit(0.0))))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        posexplode(NativeTextExpressions.hyperplaneBuckets(
+          col("aq"), nPlanes, nTables)).as(Seq("qtable", "qbucket")))
+      .select(col("q_id"), col("qv"), col("qtable"),
+        explode(concat(array(col("qbucket")),
+          transform(array((0 until nPlanes).map(j => lit(1L << j)): _*),
+            m => col("qbucket").bitwiseXOR(m)))).as("qprobe"))
+    val pairs = buckets.join(broadcast(qProbes),
+        col("table") === col("qtable") && col("bucket") === col("qprobe"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id", "v", "qv")
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("cos", dot(col("v"), col("qv")))
+    rerank(pairs, k, scoreName = "inner_product")
+  }
+
   /** Random-hyperplane LSH ANN with `nTables` independent hash tables
     * (the standard recall amplifier: a true neighbor is missed only if
     * it hashes apart in EVERY table) plus distance-1 multiprobe on the
@@ -223,6 +276,28 @@ object Similarity {
     * sizes its clusters. Threshold compares use round(cos, 9) for
     * cross-engine FP-tie parity; fully deterministic, no RNG.
     */
+  /** Blocking-knob policy for [[semanticDedup]]: k ≈ n / target
+    * cluster size (SemDeDup sizes its clusters this way), bounded so
+    * the codebook broadcast stays dim-sized. With k growing linearly
+    * in n, the within-cluster candidate bound Σ|cluster|² stays
+    * ~n × targetClusterSize instead of degrading toward n² as the
+    * corpus outgrows a fixed k.
+    */
+  def autoK(n: Long, targetClusterSize: Int = 1000): Int = {
+    require(targetClusterSize > 0, "targetClusterSize must be positive")
+    math.max(1L, math.min(65536L,
+      (n + targetClusterSize - 1) / targetClusterSize)).toInt
+  }
+
+  /** [[semanticDedup]] with the blocking knob derived from the corpus
+    * size — the no-tuning entry point. Pays ONE corpus count (a
+    * metadata-cheap aggregate) to size k; everything downstream is
+    * identical to [[semanticDedup]].
+    */
+  def semanticDedupAuto(emb: DataFrame, tau: Double = 0.9,
+      targetClusterSize: Int = 1000, iters: Int = 2): DataFrame =
+    semanticDedup(emb, tau, autoK(emb.count(), targetClusterSize), iters)
+
   def semanticDedup(emb: DataFrame, tau: Double = 0.9, k: Int = 10,
       iters: Int = 2): DataFrame = {
     val c = corpus(emb)
@@ -260,7 +335,8 @@ object SimilarityQueries {
     "s2_knn_lsh" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "s3_knn_ivf" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     "s4_range_search" -> ((s, d) => Similarity.rangeSearch(Tables.embeddings(s, d))),
-    "s5_mips" -> ((s, d) => Similarity.mipsTopK(Tables.embeddings(s, d)))
+    "s5_mips" -> ((s, d) => Similarity.mipsTopK(Tables.embeddings(s, d))),
+    "s6_mips_lsh" -> ((s, d) => Similarity.mipsLshTopK(Tables.embeddings(s, d)))
   )
 
   val oracles: Map[String, String] = Map(

@@ -27,7 +27,7 @@ class PlanLintSpec extends SparkSpec {
     "h5_hier_agg_deep",    // dim construction: nation × 5-row segment literal
     "t11_tfidf",           // 1-row corpus-size broadcast
     "s4_range_search",     // range search broadcasts the query set (s1's shape)
-    "h17_contribution",    // 1-row root-total broadcast
+    "s6_mips_lsh",         // 1-row max-norm broadcast (augmentation scale)
     "p7_temperature_mixture" // 1-row corpus-total broadcast (weight normalizer)
   )
 

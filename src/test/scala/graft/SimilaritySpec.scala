@@ -64,6 +64,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("MIPS ANN: asymmetric-LSH recall vs exact MIPS; scores are exact inner products") {
+    val exact = Similarity.mipsTopK(emb).collect()
+    val exactSet = exact
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exactIp = exact.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("inner_product")).toMap
+    val rows = Similarity.mipsLshTopK(emb).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+        .map(_.getAs[Double]("inner_product"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    assert(rows.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("q_id")))
+    // candidates that survive the augmented-space bucketing re-rank by
+    // the EXACT inner product — overlapping pairs must agree with s5
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))
+      exactIp.get(key).foreach(ip =>
+        assert(math.abs(ip - r.getAs[Double]("inner_product")) < 1e-9))
+    }
+    val hits = rows.count(r =>
+      exactSet((r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))))
+    val recall = hits.toDouble / exact.length
+    info(f"MIPS-LSH recall@5 vs exact MIPS: $recall%.2f")
+    assert(recall >= 0.7, f"MIPS-LSH recall too low: $recall%.2f")
+  }
+
   test("LSH ANN: structurally valid and overlaps brute-force") {
     val rows = Similarity.lshTopK(emb).collect()
     assert(rows.nonEmpty)
@@ -93,6 +123,44 @@ class SimilaritySpec extends SparkSpec {
       val k = (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))
       b.get(k).foreach(c => assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-9))
     }
+  }
+
+  test("semantic dedup auto-k: blocking grows with the corpus; planted dups still collapse") {
+    // policy math: k tracks n / targetClusterSize within the bounds
+    assert(Similarity.autoK(0, 1000) == 1)
+    assert(Similarity.autoK(999, 1000) == 1)
+    assert(Similarity.autoK(10_000, 1000) == 10)
+    assert(Similarity.autoK(10_001, 1000) == 11)
+    assert(Similarity.autoK(1_000_000_000L, 1000) == 65536) // broadcast bound
+    // end-to-end at TWO corpus sizes: the doubled corpus gets double
+    // the clusters, keeping the mean cluster width at the target
+    val small = emb
+    val big = emb.unionByName(
+      emb.withColumn("vec_id", col("vec_id") + 100000L))
+    val n = small.count()
+    val target = math.max(1, (n / 10).toInt)
+    for ((corpus, cn) <- Seq((small, n), (big, 2 * n))) {
+      val k = Similarity.autoK(cn, target)
+      assert(k == ((cn + target - 1) / target).toInt)
+      val out = Similarity.semanticDedupAuto(corpus, tau = 0.9,
+        targetClusterSize = target).collect()
+      assert(out.length == cn)
+      val sizes = out.groupBy(_.getAs[Long]("cluster_id")).values.map(_.length)
+      // k-means is unbalanced but bounded-on-average: the mean width
+      // must stay near the target as the corpus doubles (the fixed-k
+      // failure mode is mean width doubling with n)
+      val mean = sizes.sum.toDouble / sizes.size
+      assert(mean <= 4.0 * target,
+        f"mean cluster width $mean%.1f vs target $target (k=$k, n=$cn)")
+    }
+    // planted byte-identical copy still collapses under auto-k
+    val planted = emb.filter(col("vec_id") === 3L)
+      .withColumn("vec_id", col("vec_id") + 1000L)
+    val out = Similarity.semanticDedupAuto(emb.unionByName(planted),
+      tau = 0.9, targetClusterSize = target).collect()
+    val row = out.find(_.getAs[Long]("vec_id") == 1003L).get
+    assert(row.getAs[String]("status") == "semantic_dup")
+    assert(row.getAs[Long]("canonical_id") < 1003L)
   }
 
   test("semantic dedup: labels brute-force-verified; planted duplicates collapse") {
