@@ -160,6 +160,55 @@ object StreamingOpsSinks {
       .start()
     try q.processAllAvailable() finally q.stop()
   }
+
+  /** EXACTLY-ONCE continuous near-dup ingest: each arriving
+    * micro-batch of documents is classified against the STATIC corpus
+    * (st10's `Dedup.incrementalNearDup` classification) and landed
+    * durably in parquet — the end of the continuous-ingest story: a
+    * corpus label table that survives restarts with no duplicates and
+    * no losses.
+    *
+    * Why not the native file sink: the classification needs a
+    * batch-side argmax aggregate (best corpus match per doc), which a
+    * watermark-free document stream cannot express in append mode —
+    * so the write goes through `foreachBatch` and is made IDEMPOTENT
+    * instead: every micro-batch overwrites exactly its own
+    * `batch_id=N` partition (dynamic partition overwrite). The
+    * classification is deterministic in (corpus, batch), so a batch
+    * REPLAYED after a crash (checkpoint WAL says uncommitted)
+    * rewrites byte-identical content over itself rather than
+    * appending duplicates. Checkpoint WAL + deterministic transform +
+    * idempotent partition write = end-to-end exactly-once for the
+    * sink directory; readers see only whole partitions.
+    *
+    * Scale shape is st10's: the corpus index is static per run; only
+    * the arriving batch pays the shingle/verify work.
+    */
+  def streamNearDupToParquet(spark: SparkSession, corpus: DataFrame,
+      streamDir: String, schema: org.apache.spark.sql.types.StructType,
+      outDir: String, checkpointDir: String,
+      minJaccard: Double = 0.5, maxFilesPerTrigger: Int = 1): Unit = {
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamDir)
+    val q = stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          graft.operators.Dedup
+            .incrementalNearDup(corpus, batch.toDF(), minJaccard = minJaccard)
+            .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
+          ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
 }
 
 object StreamingQueries {
@@ -343,6 +392,32 @@ object StreamingQueries {
       } finally s.conf.set("spark.sql.shuffle.partitions", partsWas)
       acc
     }),
+    // st10's classification landed through the EXACTLY-ONCE durable
+    // sink: foreachBatch + idempotent batch_id-partition overwrite
+    // (see [[StreamingOpsSinks.streamNearDupToParquet]]). The
+    // registered form runs the full stream → sink → read-back cycle
+    // on fresh out/checkpoint dirs; the result is the sink CONTENTS,
+    // so the oracle (d11's single-shot SQL) checks durability and
+    // classification together. The restart/replay path is proven in
+    // StreamingSpec by deleting the last checkpoint commit and
+    // re-running — the replayed batch must not duplicate rows.
+    "st11_stream_neardup_sink" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val dir = ndStreamDir(s, d)
+      val schema = s.read.parquet(dir).schema
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_nd_sink").resolve("out").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_nd_ckpt").toString
+      val partsWas = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try StreamingOpsSinks.streamNearDupToParquet(
+        s, corpus, dir, schema, out, ckpt, minJaccard = 0.05)
+      finally s.conf.set("spark.sql.shuffle.partitions", partsWas)
+      s.read.parquet(out)
+        .select("doc_id", "status", "match_id", "match_jaccard")
+    }),
     // stream-STREAM join: clicks joined to same-user purchases within
     // 30 minutes after the click. Both sides carry watermarks and the
     // join predicate bounds event-time distance, so the state store
@@ -378,6 +453,9 @@ object StreamingQueries {
     // streamed classification ≡ the single-shot incremental near-dup
     // (d11's invariant, streamed)
     "st10_stream_neardup" ->
+      graft.operators.DedupQueries.oracles("d11_incremental_neardup"),
+    // durable sink contents ≡ the single-shot incremental near-dup
+    "st11_stream_neardup_sink" ->
       graft.operators.DedupQueries.oracles("d11_incremental_neardup"),
     "st1_windowed_agg" ->
       """SELECT strftime(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS window_start,

@@ -37,7 +37,10 @@ class PlanLintSpec extends SparkSpec {
     "st8_sliding_window_stream",
     // st9 materializes facts + runs the stream on invocation; its MV
     // merge plan is h9's (linted there)
-    "st9_incremental_rollup_stream")
+    "st9_incremental_rollup_stream",
+    // st11 runs the stream + durable sink on invocation; its
+    // classification plan is d11's (linted there)
+    "st11_stream_neardup_sink")
 
   test("no registry query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

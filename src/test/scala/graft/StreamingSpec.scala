@@ -138,6 +138,53 @@ class StreamingSpec extends SparkSpec {
     assert(canon(sunk, cols: _*) == canon(batch, cols: _*))
   }
 
+  test("st11: exactly-once near-dup sink survives a mid-stream crash replay") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val batchSide = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val srcDir = java.nio.file.Files.createTempDirectory("nd_x1_src").toString
+    val out = java.nio.file.Files.createTempDirectory("nd_x1_out")
+      .resolve("out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("nd_x1_ckpt").toString
+    // batchSide docs have doc_id ≡ 0 (mod 5): quarter them by mod 20
+    // into four arrival files (two per phase)
+    def quarter(r: Int) = batchSide.filter(pmod(col("doc_id"), lit(20)) === r)
+    // phase 1: two files land (two micro-batches at maxFilesPerTrigger=1)
+    quarter(0).repartition(1).write.mode("append").parquet(srcDir)
+    quarter(5).repartition(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    graft.streaming.StreamingOpsSinks.streamNearDupToParquet(
+      spark, corpus, srcDir, schema, out, ckpt, minJaccard = 0.05)
+    // CRASH SIMULATION: the engine wrote the last batch's output but
+    // died before committing it — delete the newest commit marker, so
+    // the restart MUST replay that batch (the sink write runs twice)
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.length >= 2)
+    val victim = commits.last
+    // the local checksum FS keeps a hidden .N.crc sibling; leaving it
+    // behind makes the replay's rewrite fail with FileAlreadyExists
+    // (which Spark reports as concurrent checkpoint use)
+    val crc = new java.io.File(victim.getParentFile, s".${victim.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    assert(victim.delete())
+    // phase 2: two more files land; restart from the same checkpoint
+    quarter(10).repartition(1).write.mode("append").parquet(srcDir)
+    quarter(15).repartition(1).write.mode("append").parquet(srcDir)
+    graft.streaming.StreamingOpsSinks.streamNearDupToParquet(
+      spark, corpus, srcDir, schema, out, ckpt, minJaccard = 0.05)
+    val sunk = spark.read.parquet(out)
+      .select("doc_id", "status", "match_id", "match_jaccard")
+    // replayed batch overwrote itself: one row per doc, no duplicates
+    assert(sunk.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
+    // sink ≡ single-shot classification of everything that arrived
+    val arrived = spark.read.parquet(srcDir)
+    val oracle = graft.operators.Dedup.incrementalNearDup(
+      corpus, arrived, minJaccard = 0.05)
+    val cols = Seq("doc_id", "status", "match_id", "match_jaccard")
+    assert(canon(sunk, cols: _*) == canon(oracle, cols: _*))
+  }
+
   test("st10: streamed near-dup classification equals the single-shot form") {
     val docs = Tables.documents(spark, sf)
     val streamed = SparkEntry.queries("st10_stream_neardup")(spark, sf)
