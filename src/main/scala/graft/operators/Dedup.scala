@@ -353,6 +353,40 @@ object Dedup {
         col("match_id"), col("match_jaccard"))
   }
 
+  /** EXACT long-span substring dedup — the "deduplicating training
+    * data makes language models better" (Lee et al., ACL 2022)
+    * doc-level decision: a doc sharing ANY exact `n`-token span with
+    * a LOWER-id doc is a `span_dup` of the lowest such doc; spans
+    * this long (default 10 tokens) essentially never collide
+    * organically, so sharing one is memorization-grade duplication.
+    *
+    * Scale shape: NO pairwise comparison anywhere. The exploded
+    * per-doc distinct gram stream partitions by gram ONCE; the
+    * per-gram minimum owner, the join back to each doc's grams, and
+    * the per-doc minimum-owner aggregate all reuse that partitioning
+    * (t15's one-gram-exchange trick), then one doc-keyed aggregate
+    * lands the verdicts. A corpus-hot span (license boilerplate)
+    * costs one row per carrying doc, never a pair blowup; the doc
+    * decision is `min` all the way down, so it is associative,
+    * partial-aggregable, and bit-identical in the oracle.
+    */
+  def substringDedup(docs: DataFrame, n: Int = 10): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        explode_outer(array_distinct(
+          wordNgrams(tokens(lower(col("text"))), n))).as("gram"))
+      .repartition(col("gram"))
+    val owner = grams.filter(col("gram").isNotNull)
+      .groupBy("gram").agg(min("doc_id").as("__own"))
+    grams.join(owner, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(min(when(col("__own") < col("doc_id"), col("__own"))).as("dup_of"))
+      .select(col("doc_id"),
+        when(col("dup_of").isNull, lit("kept"))
+          .otherwise(lit("span_dup")).as("status"),
+        col("dup_of"))
+  }
+
   /** Connected components over candidate-pair edges via alternating
     * LARGE-STAR / SMALL-STAR rounds (Kiveris et al., "Connected
     * Components in MapReduce and Beyond") — each round rewires every

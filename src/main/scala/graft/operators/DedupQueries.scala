@@ -109,7 +109,13 @@ object DedupQueries {
     // check; SimilaritySpec brute-force-verifies the labels on
     // planted duplicates.
     "d13_semantic_dedup" -> ((s, d) =>
-      Similarity.semanticDedup(Tables.embeddings(s, d), tau = 0.9))
+      Similarity.semanticDedup(Tables.embeddings(s, d), tau = 0.9)),
+    // exact long-span substring dedup (Lee et al. doc-level verdict):
+    // any shared exact 10-token span with a lower-id doc marks the
+    // doc span_dup of the lowest such owner. Gram-keyed aggregates
+    // only — no pairwise join anywhere.
+    "d15_substring_dedup" -> ((s, d) =>
+      Dedup.substringDedup(Tables.documents(s, d)))
   )
 
   /** Provenance overlap matrix — see the d9 entry.
@@ -414,6 +420,30 @@ object DedupQueries {
          JOIN n x ON p.vec_a = x.vec_id
          JOIN n y ON p.vec_b = y.vec_id
          WHERE list_sum(list_transform(list_zip(x.v, y.v), s -> s[1] * s[2]))
-               / (x.nrm * y.nrm) >= 0.25"""
+               / (x.nrm * y.nrm) >= 0.25""",
+    // doc-level exact 10-token-span sharing; min owner all the way down
+    "d15_substring_dedup" ->
+      raw"""WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         p AS (
+           SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 10 THEN
+               list_distinct(list_transform(range(1, len(toks) - 8),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                      toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+                      toks[i+6] || ' ' || toks[i+7] || ' ' || toks[i+8] || ' ' ||
+                      toks[i+9]))
+             ELSE [NULL] END) AS gram
+           FROM t),
+         g AS (
+           SELECT gram, MIN(doc_id) AS own FROM p
+           WHERE gram IS NOT NULL GROUP BY gram)
+         SELECT p.doc_id,
+           CASE WHEN MIN(CASE WHEN g.own < p.doc_id THEN g.own END) IS NULL
+                THEN 'kept' ELSE 'span_dup' END AS status,
+           MIN(CASE WHEN g.own < p.doc_id THEN g.own END) AS dup_of
+         FROM p LEFT JOIN g ON p.gram = g.gram
+         GROUP BY p.doc_id"""
   )
 }

@@ -615,6 +615,30 @@ object OlapQueries {
         .agg(count(lit(1)).as("n_events"),
           round(sum("value"), 4).as("total_value"),
           countDistinct(col("user_id")).as("distinct_users"))
+    }),
+
+    // TOP-K PER GROUP as a bounded-heap partial aggregate — the scale
+    // companion of q27's window ranks. A row_number window sorts EACH
+    // WHOLE GROUP in one task (3 return flags → 3 tasks owning the
+    // full table at 100 TB); the TopKRowsByScore heap keeps ≤ k rows
+    // per map-side buffer, so only nTasks × k candidate rows ever
+    // cross the shuffle. Tie-break on a zero-padded (orderkey, line)
+    // string so the heap's lexicographic order IS the oracle's sort.
+    "q37_topk_per_group" -> ((s, d) => {
+      import graft.functions.TopKAggregate.topkRows
+      val li = Tables.lineitem(s, d)
+      val tie = concat(
+        lpad(col("l_orderkey").cast("string"), 12, "0"), lit("-"),
+        lpad(col("l_linenumber").cast("string"), 2, "0"))
+      li.groupBy("l_returnflag")
+        .agg(topkRows(round(col("l_extendedprice"), 9), tie,
+          struct(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice")), 3).as("tk"))
+        .select(col("l_returnflag"), posexplode(col("tk")).as(Seq("pos", "t")))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("rnk"),
+          col("t.l_orderkey").as("l_orderkey"),
+          col("t.l_linenumber").cast("long").as("l_linenumber"),
+          col("t.l_extendedprice").as("l_extendedprice"))
     })
   )
 
@@ -901,6 +925,19 @@ object OlapQueries {
            strftime(lead(CAST(ts AS TIMESTAMP)) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
            (lead(ts) OVER w IS NULL) AS is_current
          FROM events
-         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"""
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""",
+    // the window form IS the oracle for the heap aggregate: identical
+    // sort key (rounded score desc, zero-padded tie asc)
+    "q37_topk_per_group" ->
+      """SELECT l_returnflag, CAST(rnk AS BIGINT) AS rnk, l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+         FROM (
+           SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY ROUND(l_extendedprice, 9) DESC,
+                 lpad(CAST(l_orderkey AS VARCHAR), 12, '0') || '-' ||
+                 lpad(CAST(l_linenumber AS VARCHAR), 2, '0') ASC) AS rnk
+           FROM lineitem)
+         WHERE rnk <= 3"""
   )
 }

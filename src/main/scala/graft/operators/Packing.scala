@@ -300,6 +300,34 @@ object Packing {
         col("__n").cast("long").as("n_tokens"))
   }
 
+  /** CURRICULUM staging: each doc gets a training PHASE from fixed
+    * thresholds on the shared quality_ppm composite (phase 1 =
+    * highest quality, trained first) plus a deterministic
+    * within-phase order key from the family's LCG stream. Pure
+    * per-row arithmetic — no shuffle, no window, no global sort: at
+    * 100 TB every executor stamps its partition independently and the
+    * epoch writer sorts within output shards by (phase, order_key),
+    * never globally. Thresholds are FIXED cut points, not quantiles,
+    * on purpose: quantile phases need a corpus-wide rank pass (p6's
+    * machinery) and silently re-assign every doc when the corpus
+    * grows; fixed cuts keep phase membership reproducible row-locally
+    * across refreshes.
+    */
+  def curriculumPhases(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", tokens(lower(col("text"))))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("n_stop", markerCount(col("toks"), enMarkers))
+      .withColumn("n_long", size(filter(col("toks"), t => length(t) > 5)))
+      .select(col("doc_id"), qualityPpm.as("quality_ppm"))
+      .withColumn("phase",
+        when(col("quality_ppm") >= 700000L, 1L)
+          .when(col("quality_ppm") >= 500000L, 2L)
+          .when(col("quality_ppm") >= 300000L, 3L)
+          .otherwise(4L))
+      .withColumn("order_key", lcg(col("doc_id")))
+      .select("doc_id", "quality_ppm", "phase", "order_key")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_sequence_packing" -> ((s, d) => sequencePack(Tables.documents(s, d))),
     "p2_stratified_sample" -> ((s, d) =>
@@ -314,7 +342,9 @@ object Packing {
       tokenBudgetSample(Tables.documents(s, d))),
     "p7_temperature_mixture" -> ((s, d) =>
       temperatureMixture(Tables.documents(s, d))),
-    "p8_corpus_prep" -> ((s, d) => corpusPrep(Tables.documents(s, d)))
+    "p8_corpus_prep" -> ((s, d) => corpusPrep(Tables.documents(s, d))),
+    "p9_curriculum_phases" -> ((s, d) =>
+      curriculumPhases(Tables.documents(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -460,6 +490,22 @@ object Packing {
          WHERE k.doc_id = c.cid
            AND (((k.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 100
                < (CASE WHEN k.lang = 'en' THEN ${defaultStratumRates("en")}
-                       ELSE $defaultRatePct END)"""
+                       ELSE $defaultRatePct END)""",
+    // fixed quality_ppm cut points + the shared LCG stream, verbatim
+    "p9_curriculum_phases" ->
+      raw"""WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             ${graft.functions.TextFunctions.qualityPpmSql} AS quality_ppm
+           FROM t)
+         SELECT doc_id, quality_ppm,
+           CAST(CASE WHEN quality_ppm >= 700000 THEN 1
+                     WHEN quality_ppm >= 500000 THEN 2
+                     WHEN quality_ppm >= 300000 THEN 3
+                     ELSE 4 END AS BIGINT) AS phase,
+           ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS order_key
+         FROM m"""
   )
 }

@@ -375,16 +375,22 @@ object TextQueries {
     * on corpora where organic overlap is expected).
     */
   def boilerplate(docs: DataFrame, minDf: Long = 2L): DataFrame = {
-    // pre-aggregate positions to (doc, gram, count) BEFORE the
-    // document-frequency join: map-side combine shrinks the exploded
-    // stream, and a corpus-hot boilerplate gram (a license header in
-    // 10% of all docs) carries one joined row per DOCUMENT instead of
-    // per position — the residual hot key is AQE skew-join territory,
-    // not a single-task position pileup
-    val counts = docs
+    // ONE gram-keyed exchange feeds everything on the gram side: the
+    // exploded stream repartitions by gram, and because a hash
+    // partitioning on a SUBSET of the grouping keys satisfies the
+    // (doc, gram) clustering, the per-doc gram counts, the document-
+    // frequency aggregate above them, AND the df join all reuse that
+    // same exchange — the previous shape paid three gram-side
+    // exchanges ((doc,gram) pre-agg, df build, join probe). Post-agg
+    // join input still means a corpus-hot boilerplate gram (a license
+    // header in 10% of all docs) carries one joined row per DOCUMENT
+    // instead of per position — the residual hot key is AQE skew-join
+    // territory, not a single-task position pileup
+    val byGram = docs
       .select(col("doc_id"),
         explode_outer(wordNgrams(tokens(lower(col("text"))), 5)).as("gram"))
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .repartition(col("gram"))
+    val counts = byGram.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
     val boiler = counts.filter(col("gram").isNotNull)
       .groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)

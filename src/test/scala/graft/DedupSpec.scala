@@ -53,6 +53,31 @@ class DedupSpec extends SparkSpec {
     assert(out((0L, 3L)) < 0.1)
   }
 
+  test("substring dedup: an exact 10-token span marks span_dup of the lowest owner") {
+    val planted = docs.unionByName(Seq(
+      // grafts tokens 1-10 of doc 0 into fresh surrounding text
+      (9001L, "totally novel preamble the quick brown fox jumps over the lazy dog and some closing words", "en", "s9", 60L),
+      // same length scale, zero 10-token overlap
+      (9002L, "nothing here matches any other document in this tiny corpus at all honestly speaking", "en", "s9", 60L),
+      // sub-10-token doc: no grams at all → kept
+      (9003L, "too short to carry any span", "en", "s9", 27L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Dedup.substringDedup(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("status"),
+          Option(r.getAs[java.lang.Long]("dup_of")))).toMap
+    assert(out(0L) == (("kept", None)))
+    // doc 1 is byte-identical to 0: every span's owner is 0
+    assert(out(1L) == (("span_dup", Some(0L))))
+    // doc 2 changed one token INSIDE every 10-gram of its 14-token
+    // text, so it shares no span with anyone
+    assert(out(2L) == (("kept", None)))
+    assert(out(3L) == (("kept", None)))
+    assert(out(9001L) == (("span_dup", Some(0L))))
+    assert(out(9002L) == (("kept", None)))
+    assert(out(9003L) == (("kept", None)))
+  }
+
   test("connected components merge chained near-dup pairs into one cluster") {
     import spark.implicits._
     val nodes = Seq(0L, 1L, 2L, 3L, 4L).toDF("doc_id")

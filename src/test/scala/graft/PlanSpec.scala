@@ -185,6 +185,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("p9: curriculum staging is pure per-row arithmetic — no exchange anywhere") {
+    val p = plan("p9_curriculum_phases")
+    // fixed cut points + LCG order key: every executor stamps its
+    // partition independently; a quantile-phase design would show a
+    // rank shuffle here
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Sort"), p)
+  }
+
+  test("q37: per-group top-k is a heap aggregate, not a window sort") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q37_topk_per_group")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(df.queryExecution.sparkPlan.collect {
+      case w: WindowExec => w }.isEmpty, p)
+    // the bounded heap rides the aggregate path (map-side partials ≤ k
+    // rows each), so only nTasks × k candidates cross the shuffle
+    assert(p.contains("topk_rows_by_score"), p)
+    assert(p.contains("partial_topk_rows_by_score"), p)
+  }
+
+  test("d15: substring dedup pays ONE gram exchange plus the doc aggregate") {
+    val p = plan("d15_substring_dedup")
+    // the owner lookup is a gram-keyed EQUI join (at test SF the tiny
+    // owner side broadcasts; at scale both sides reuse the single
+    // gram repartition) — never a pairwise doc×doc comparison
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Join \\[gram".r.findAllIn(p).nonEmpty ||
+      "HashJoin \\[gram".r.findAllIn(p).nonEmpty, p)
+    // the verdict lands as a doc-keyed min aggregate, partials first
+    assert(p.contains("partial_min"), p)
+  }
+
   test("h9: incremental finalize has no Expand; closure joins broadcast") {
     val p = plan("h9_incremental_rollup")
     assert(!p.contains("Expand"), "distinct must read off the MV grain, not Expand: " + p)
