@@ -387,6 +387,40 @@ object Dedup {
         col("dup_of"))
   }
 
+  /** FREQUENCY-CAPPED exact dedup — the CommonCrawl-style "keep at
+    * most N copies" policy (full dedup can HURT model quality on
+    * naturally-frequent text; capping keeps duplication bounded
+    * instead of eliminated). Copies that survive are picked by the
+    * family's deterministic LCG stream (not min-id: capping wants an
+    * id-unbiased pick so the kept copies aren't skewed toward the
+    * oldest crawl), tie-broken on doc_id.
+    *
+    * Scale shape: one shuffle on the content hash; the per-cluster
+    * pick rides [[graft.functions.TopKRowsByScore]], so each map-side
+    * buffer holds ≤ maxCopies rows and a pathological million-copy
+    * cluster never sorts — the window row_number() form would sort
+    * every cluster in full.
+    */
+  def copyCap(docs: DataFrame, maxCopies: Int = 2): DataFrame = {
+    import graft.functions.TopKAggregate.topkRows
+    val lcgCol = pmod(
+      pmod(col("doc_id"), lit(2147483648L)) * 1103515245L + 12345L,
+      lit(2147483648L))
+    val tie = concat(lpad(lcgCol.cast("string"), 10, "0"), lit("-"),
+      lpad(col("doc_id").cast("string"), 12, "0"))
+    docs
+      .select(col("doc_id"),
+        sha2(lower(trim(col("text"))), 256).as("__key"), tie.as("__tie"))
+      .groupBy("__key")
+      .agg(count(lit(1)).as("n_copies"),
+        topkRows(lit(0.0), col("__tie"), struct(col("doc_id")),
+          maxCopies).as("__tk"))
+      .select(col("n_copies"), posexplode(col("__tk")).as(Seq("pos", "t")))
+      .select(col("t.doc_id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("copy_rank"),
+        col("n_copies"))
+  }
+
   /** Connected components over candidate-pair edges via alternating
     * LARGE-STAR / SMALL-STAR rounds (Kiveris et al., "Connected
     * Components in MapReduce and Beyond") — each round rewires every

@@ -115,7 +115,10 @@ object DedupQueries {
     // doc span_dup of the lowest such owner. Gram-keyed aggregates
     // only — no pairwise join anywhere.
     "d15_substring_dedup" -> ((s, d) =>
-      Dedup.substringDedup(Tables.documents(s, d)))
+      Dedup.substringDedup(Tables.documents(s, d))),
+    // frequency-capped exact dedup: keep ≤2 copies per content
+    // cluster, LCG-picked (id-unbiased); heap aggregate, no window
+    "d16_copy_cap" -> ((s, d) => Dedup.copyCap(Tables.documents(s, d)))
   )
 
   /** Provenance overlap matrix — see the d9 entry.
@@ -444,6 +447,22 @@ object DedupQueries {
                 THEN 'kept' ELSE 'span_dup' END AS status,
            MIN(CASE WHEN g.own < p.doc_id THEN g.own END) AS dup_of
          FROM p LEFT JOIN g ON p.gram = g.gram
-         GROUP BY p.doc_id"""
+         GROUP BY p.doc_id""",
+    // the window form IS the oracle for the capped heap pick:
+    // identical (lcg, doc_id) order, rn ≤ 2 keeps
+    "d16_copy_cap" ->
+      """WITH keyed AS (
+           SELECT doc_id, sha256(lower(trim(text))) AS key,
+             lpad(CAST(((doc_id % 2147483648) * 1103515245 + 12345)
+                       % 2147483648 AS VARCHAR), 10, '0')
+               || '-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS tie
+           FROM documents),
+         g AS (SELECT key, COUNT(*) AS n_copies FROM keyed GROUP BY key),
+         r AS (SELECT doc_id, key,
+                 row_number() OVER (PARTITION BY key ORDER BY tie ASC) AS rn
+               FROM keyed)
+         SELECT r.doc_id, CAST(r.rn AS BIGINT) AS copy_rank, g.n_copies
+         FROM r JOIN g ON r.key = g.key
+         WHERE r.rn <= 2"""
   )
 }

@@ -639,6 +639,70 @@ object OlapQueries {
           col("t.l_orderkey").as("l_orderkey"),
           col("t.l_linenumber").cast("long").as("l_linenumber"),
           col("t.l_extendedprice").as("l_extendedprice"))
+    }),
+
+    // DATA-QUALITY AUDIT: referential-integrity + constraint checks
+    // over the star schema as ONE query (the dbt-test shape, engine-
+    // side). The whole lineitem side is a SINGLE pass: the orders
+    // lookup shuffles on the join key (both fact-sized at 100 TB),
+    // part/supplier lookups broadcast, and all five verdicts land as
+    // conditional aggregates of that one joined stream, unpivoted via
+    // stack. Orphan-direction checks are left-anti counts on the same
+    // keys; the dup-PK check is a keyed count — every shape is
+    // key-partitioned, nothing quadratic, nothing collected.
+    "q38_integrity_audit" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val pt = Tables.part(s, d)
+      val su = Tables.supplier(s, d)
+      val liPass = li
+        .join(o.select(col("o_orderkey").as("l_orderkey"),
+          lit(1L).as("__has_o")), Seq("l_orderkey"), "left")
+        .join(broadcast(pt.select(col("p_partkey").as("l_partkey"),
+          lit(1L).as("__has_p"))), Seq("l_partkey"), "left")
+        .join(broadcast(su.select(col("s_suppkey").as("l_suppkey"),
+          lit(1L).as("__has_s"))), Seq("l_suppkey"), "left")
+        .agg(
+          sum(when(col("__has_o").isNull, 1L).otherwise(0L)).as("v1"),
+          sum(when(col("__has_p").isNull, 1L).otherwise(0L)).as("v2"),
+          sum(when(col("__has_s").isNull, 1L).otherwise(0L)).as("v3"),
+          sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("v4"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+            .otherwise(0L)).as("v5"))
+        .selectExpr("""stack(5,
+            'lineitem_orphan_order', v1,
+            'lineitem_orphan_part', v2,
+            'lineitem_orphan_supplier', v3,
+            'lineitem_nonpositive_qty', v4,
+            'lineitem_discount_range', v5) AS (check_name, n_violations)""")
+      val oPass = o
+        .join(c.select(col("c_custkey").as("o_custkey"),
+          lit(1L).as("__has_c")), Seq("o_custkey"), "left")
+        .agg(
+          sum(when(col("__has_c").isNull, 1L).otherwise(0L)).as("v1"),
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v2"))
+        .selectExpr("""stack(2,
+            'orders_orphan_customer', v1,
+            'orders_nonpositive_total', v2) AS (check_name, n_violations)""")
+      val dupPk = li.groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+        .agg(coalesce(sum(col("cnt") - 1), lit(0L)).as("n_violations"))
+        .select(lit("lineitem_dup_pk").as("check_name"), col("n_violations"))
+      val custNoOrders = c
+        .join(o.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("customer_no_orders").as("check_name"),
+          col("n_violations"))
+      val ordNoLines = o
+        .join(li.select(col("l_orderkey").as("o_orderkey")), Seq("o_orderkey"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("orders_no_lineitem").as("check_name"),
+          col("n_violations"))
+      liPass.unionByName(oPass).unionByName(dupPk)
+        .unionByName(custNoOrders).unionByName(ordNoLines)
     })
   )
 
@@ -938,6 +1002,37 @@ object OlapQueries {
                  lpad(CAST(l_orderkey AS VARCHAR), 12, '0') || '-' ||
                  lpad(CAST(l_linenumber AS VARCHAR), 2, '0') ASC) AS rnk
            FROM lineitem)
-         WHERE rnk <= 3"""
+         WHERE rnk <= 3""",
+    // scalar-subquery-per-check audit; SUM cast for BIGINT parity
+    "q38_integrity_audit" ->
+      """SELECT 'lineitem_orphan_order' AS check_name,
+           (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL) AS n_violations
+         UNION ALL SELECT 'lineitem_orphan_part',
+           (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p
+              ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)
+         UNION ALL SELECT 'lineitem_orphan_supplier',
+           (SELECT COUNT(*) FROM lineitem l LEFT JOIN supplier s
+              ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL)
+         UNION ALL SELECT 'lineitem_nonpositive_qty',
+           (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+         UNION ALL SELECT 'lineitem_discount_range',
+           (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+         UNION ALL SELECT 'orders_orphan_customer',
+           (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+              ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+         UNION ALL SELECT 'orders_nonpositive_total',
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+         UNION ALL SELECT 'lineitem_dup_pk',
+           (SELECT CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) FROM
+             (SELECT COUNT(*) AS cnt FROM lineitem
+              GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
+         UNION ALL SELECT 'customer_no_orders',
+           (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+         UNION ALL SELECT 'orders_no_lineitem',
+           (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+             (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))"""
   )
 }

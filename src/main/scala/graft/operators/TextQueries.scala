@@ -366,7 +366,10 @@ object TextQueries {
     // never broadcast, never all-pairs; the per-doc score is one more
     // doc-keyed aggregate. explode_outer keeps sub-5-token docs
     // (zero grams => boiler_frac 0, keep).
-    "t15_boilerplate" -> ((s, d) => boilerplate(Tables.documents(s, d)))
+    "t15_boilerplate" -> ((s, d) => boilerplate(Tables.documents(s, d))),
+    // per-doc first-occurrence novelty over distinct 5-grams (d15's
+    // gram-keyed min-owner shape; integer-ppm verdict)
+    "t16_novelty" -> ((s, d) => noveltyScore(Tables.documents(s, d)))
   )
 
   /** Cross-document boilerplate scoring — see the t15 entry. `minDf`
@@ -404,6 +407,39 @@ object TextQueries {
           .otherwise(0.0).as("boiler_frac"),
         (col("n_boiler_grams") * 10 < col("n_grams") * 3 ||
           col("n_grams") === 0).as("keep"))
+  }
+
+  /** Per-doc NOVELTY scoring — the data-curation counterpart of t15:
+    * how much of this document's 5-gram vocabulary appears here FIRST
+    * (first = lowest doc_id carrying the gram, the deterministic
+    * stand-in for crawl order)? Low-novelty docs are re-paste-heavy
+    * and add little to a training mix; the signal drives source
+    * weighting (p3/p7) and incremental-crawl triage.
+    *
+    * Scale shape = d15's: distinct grams per doc explode once,
+    * repartition by gram ONCE, and the first-owner aggregate plus the
+    * join back both reuse that partitioning; the verdict is a
+    * doc-keyed sum/count. `novelty_ppm` is integer arithmetic
+    * (truncating div) for cross-engine bit-parity.
+    */
+  def noveltyScore(docs: DataFrame, n: Int = 5): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        explode_outer(array_distinct(
+          wordNgrams(tokens(lower(col("text"))), n))).as("gram"))
+      .repartition(col("gram"))
+    val first = grams.filter(col("gram").isNotNull)
+      .groupBy("gram").agg(min("doc_id").as("__first"))
+    grams.join(first, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("gram")).as("n_grams"),
+        sum(when(col("__first") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_grams") > 0,
+          expr("n_novel * 1000000 div n_grams")).cast("long")
+          .as("novelty_ppm"))
   }
 
   private val enL = inList(enMarkers)
@@ -555,6 +591,32 @@ object TextQueries {
                 THEN ROUND(CAST(COUNT(f.gram) AS DOUBLE) / COUNT(p.gram), 6)
                 ELSE 0.0 END AS boiler_frac,
            (COUNT(f.gram) * 10 < COUNT(p.gram) * 3 OR COUNT(p.gram) = 0) AS keep
+         FROM p LEFT JOIN f ON p.gram = f.gram
+         GROUP BY p.doc_id""",
+    // distinct 5-grams per doc, min-doc_id first owner, truncating
+    // integer ppm (DuckDB // ≡ Spark div on non-negative operands)
+    "t16_novelty" ->
+      raw"""WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         p AS (
+           SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 5 THEN
+               list_distinct(list_transform(range(1, len(toks) - 3),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                      toks[i+3] || ' ' || toks[i+4]))
+             ELSE [NULL] END) AS gram
+           FROM t),
+         f AS (
+           SELECT gram, MIN(doc_id) AS first_id FROM p
+           WHERE gram IS NOT NULL GROUP BY gram)
+         SELECT p.doc_id,
+           COUNT(p.gram) AS n_grams,
+           CAST(COALESCE(SUM(CASE WHEN f.first_id = p.doc_id THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_novel,
+           CASE WHEN COUNT(p.gram) > 0 THEN
+             CAST(SUM(CASE WHEN f.first_id = p.doc_id THEN 1 ELSE 0 END)
+                  * 1000000 // COUNT(p.gram) AS BIGINT)
+           END AS novelty_ppm
          FROM p LEFT JOIN f ON p.gram = f.gram
          GROUP BY p.doc_id""",
     "t10_pii_scrub" -> {

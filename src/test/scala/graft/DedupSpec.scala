@@ -78,6 +78,46 @@ class DedupSpec extends SparkSpec {
     assert(out(9003L) == (("kept", None)))
   }
 
+  test("copy cap keeps at most N copies per cluster, LCG-deterministic pick") {
+    // a 5-copy cluster on top of the 2-copy (0,1) cluster
+    val five = Seq(100L, 101L, 102L, 103L, 104L).map(id =>
+      (id, "five copies of exactly this sentence live in the corpus", "en", s"s$id", 54L))
+    val planted = docs.unionByName(five.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Dedup.copyCap(planted, maxCopies = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("copy_rank"), r.getAs[Long]("n_copies"))).toMap
+    // singletons kept at rank 1
+    assert(out(2L) == ((1L, 1L))); assert(out(3L) == ((1L, 1L)))
+    // the 2-copy cluster keeps both
+    assert(out.contains(0L) && out.contains(1L))
+    assert(Seq(out(0L), out(1L)).map(_._1).sorted == Seq(1L, 2L))
+    // the 5-copy cluster keeps exactly the 2 smallest-LCG members
+    val keptOfFive = five.map(_._1).filter(out.contains)
+    assert(keptOfFive.size == 2, s"expected 2 of 5 kept: $out")
+    def lcg(id: Long) = ((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L
+    val expected = five.map(_._1).sortBy(id => (lcg(id), id)).take(2).toSet
+    assert(keptOfFive.toSet == expected,
+      s"LCG pick mismatch: kept=$keptOfFive expected=$expected")
+    keptOfFive.foreach(id => assert(out(id)._2 == 5L))
+  }
+
+  test("novelty: a doc of entirely re-pasted grams scores 0, fresh text 1e6") {
+    import graft.operators.TextQueries
+    // 9001 re-pastes doc 0's text verbatim (0 owns every gram first);
+    // 9002 is all-fresh text of the same shape
+    val planted = docs.unionByName(Seq(
+      (9001L, "the quick brown fox jumps over the lazy dog and runs far away home", "en", "s9", 60L),
+      (9002L, "zebras gallop beneath violet skies while distant thunder rolls across empty plains", "en", "s9", 60L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = TextQueries.noveltyScore(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), Option(r.getAs[java.lang.Long]("novelty_ppm")))).toMap
+    assert(out(0L)._2 == Some(1000000L), s"doc 0 owns its grams first: $out")
+    assert(out(9001L)._2 == Some(0L), s"re-paste must score 0: $out")
+    assert(out(9002L)._2 == Some(1000000L), s"fresh text must score 1e6: $out")
+    assert(out(0L)._1 > 0)
+  }
+
   test("connected components merge chained near-dup pairs into one cluster") {
     import spark.implicits._
     val nodes = Seq(0L, 1L, 2L, 3L, 4L).toDF("doc_id")

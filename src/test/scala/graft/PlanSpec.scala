@@ -218,6 +218,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min"), p)
   }
 
+  test("d16: copy cap is a heap aggregate on the content key — no window sort") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("d16_copy_cap")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(df.queryExecution.sparkPlan.collect {
+      case w: WindowExec => w }.isEmpty, p)
+    // map-side partial heaps: a million-copy cluster ships ≤ k rows
+    // per task, never a full sorted cluster
+    assert(p.contains("partial_topk_rows_by_score"), p)
+  }
+
+  test("t16: novelty reuses one gram exchange; verdict is a doc-keyed aggregate") {
+    val p = plan("t16_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    // the first-owner aggregate lands as partial min on the gram key
+    assert(p.contains("partial_min"), p)
+  }
+
+  test("q38: audit broadcasts the true dims; nothing quadratic anywhere") {
+    val p = plan("q38_integrity_audit")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // part/supplier parent lookups ride broadcast hash joins
+    assert(p.contains("BroadcastHashJoin"), p)
+    // conditional verdicts partial-aggregate map-side
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("h9: incremental finalize has no Expand; closure joins broadcast") {
     val p = plan("h9_incremental_rollup")
     assert(!p.contains("Expand"), "distinct must read off the MV grain, not Expand: " + p)
