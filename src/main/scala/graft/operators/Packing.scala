@@ -328,6 +328,35 @@ object Packing {
       .withColumn("order_key", lcg(col("doc_id")))
       .select("doc_id", "quality_ppm", "phase", "order_key")
 
+  /** LENGTH-BUCKETED batch assembly — sequence bucketing: docs group
+    * into power-of-2 token-length buckets (pad-to-longest waste is
+    * bounded at 50% inside a bucket), then spread across the bucket's
+    * batches deterministically. The bucket id is INTEGER arithmetic
+    * (`length(bin(n)) - 1`, i.e. floor(log2) with no float log that
+    * could round differently across engines); batch count per bucket
+    * comes from a #buckets-row broadcast aggregate (≤ ~40 rows for
+    * any real corpus — token counts fit in 40 bits); assignment is
+    * the family's LCG stream mod the bucket's batch count. No window,
+    * no sort, no fact-sized shuffle beyond the bucket-count
+    * aggregate: at 100 TB every executor stamps rows against the
+    * broadcast count table. Exact-`batchSize` packing is a
+    * shard-local concern at write time (sort within output shards by
+    * (bucket, batch_id)); this operator fixes the REPRODUCIBLE
+    * grouping decision.
+    */
+  def lengthBatches(docs: DataFrame, batchSize: Int = 8): DataFrame = {
+    val bucketed = docs
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("bucket", (length(bin(col("n_tokens"))) - 1).cast("long"))
+    val counts = bucketed.groupBy("bucket").agg(count(lit(1)).as("__n"))
+    bucketed.join(broadcast(counts), Seq("bucket"))
+      .select(col("doc_id"), col("n_tokens"), col("bucket"),
+        pmod(lcg(col("doc_id")),
+          expr(s"(__n + ${batchSize - 1}) div $batchSize"))
+          .cast("long").as("batch_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_sequence_packing" -> ((s, d) => sequencePack(Tables.documents(s, d))),
     "p2_stratified_sample" -> ((s, d) =>
@@ -344,7 +373,9 @@ object Packing {
       temperatureMixture(Tables.documents(s, d))),
     "p8_corpus_prep" -> ((s, d) => corpusPrep(Tables.documents(s, d))),
     "p9_curriculum_phases" -> ((s, d) =>
-      curriculumPhases(Tables.documents(s, d)))
+      curriculumPhases(Tables.documents(s, d))),
+    "p10_length_batches" -> ((s, d) =>
+      lengthBatches(Tables.documents(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -506,6 +537,22 @@ object Packing {
                      WHEN quality_ppm >= 300000 THEN 3
                      ELSE 4 END AS BIGINT) AS phase,
            ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS order_key
-         FROM m"""
+         FROM m""",
+    // integer-exact pow2 bucket (length(bin(n))-1, no float log2),
+    // batch = LCG mod per-bucket batch count ((n+7)//8)
+    "p10_length_batches" ->
+      raw"""WITH t AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         b AS (
+           SELECT doc_id, n_tokens,
+             CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket
+           FROM t),
+         c AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket)
+         SELECT b.doc_id, b.n_tokens, b.bucket,
+           CAST((((b.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648)
+                % ((c.n + 7) // 8) AS BIGINT) AS batch_id
+         FROM b JOIN c ON b.bucket = c.bucket"""
   )
 }

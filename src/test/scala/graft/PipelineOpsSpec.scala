@@ -251,6 +251,34 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("length batches: pow2 bucket bounds hold; batch ids stay under the bucket's count") {
+    import graft.operators.Packing
+    val docs = (0L until 200L).map { i =>
+      val n = 1 + (i % 37).toInt  // token counts 1..37 across buckets 0..5
+      (i, Seq.fill(n)("w").mkString(" "), "en", "s0", n.toLong * 2)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Packing.lengthBatches(docs, batchSize = 8).collect()
+    assert(out.length == 200)
+    val perBucket = out.groupBy(_.getAs[Long]("bucket"))
+    perBucket.foreach { case (b, rows) =>
+      rows.foreach { r =>
+        val n = r.getAs[Long]("n_tokens")
+        // pad-to-longest waste inside a bucket is bounded: 2^b <= n < 2^(b+1)
+        assert(n >= (1L << b) && n < (1L << (b + 1)),
+          s"n_tokens $n outside bucket $b bounds")
+      }
+      val nBatches = (rows.length + 7) / 8
+      val ids = rows.map(_.getAs[Long]("batch_id"))
+      assert(ids.forall(id => id >= 0 && id < nBatches),
+        s"batch_id out of range for bucket $b: ${ids.max} vs $nBatches")
+    }
+    // deterministic across runs
+    val again = Packing.lengthBatches(docs, batchSize = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("batch_id")).toMap
+    out.foreach(r => assert(
+      again(r.getAs[Long]("doc_id")) == r.getAs[Long]("batch_id")))
+  }
+
   test("mixture plan rates are capped at 1 and budget shares are honored") {
     val docs = (0L until 300L).map(i =>
       (i, Seq.fill(10)("w").mkString(" "),

@@ -246,6 +246,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("p10: length batches join the broadcast bucket counts — no window, no sort-merge") {
+    val p = plan("p10_length_batches")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the #buckets-row count table broadcasts; the fact side only
+    // pays the map-side-combined bucket-count aggregate
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("h9: incremental finalize has no Expand; closure joins broadcast") {
     val p = plan("h9_incremental_rollup")
     assert(!p.contains("Expand"), "distinct must read off the MV grain, not Expand: " + p)
