@@ -43,6 +43,14 @@ class EmptyInputSpec extends SparkSpec {
     assert(Packing.temperatureMixture(noDocs).count() == 0)
   }
 
+  test("round-11 operators handle empty docs") {
+    assert(Dedup.substringDedup(noDocs).count() == 0)
+    assert(Dedup.copyCap(noDocs).count() == 0)
+    assert(TextQueries.noveltyScore(noDocs).count() == 0)
+    assert(Packing.curriculumPhases(noDocs).count() == 0)
+    assert(Packing.lengthBatches(noDocs).count() == 0)
+  }
+
   test("perplexity filter and contribution rollup handle empty inputs") {
     assert(TextQueries.perplexityFilter(noDocs).count() == 0)
     val dim = HierarchyQueries.dimension(spark, sf)
