@@ -492,6 +492,31 @@ class HierarchyDimension(
       .withColumn("net_level",
         col("descendant_level_number") - col("ancestor_level_number"))
   }
+
+  /** Celko NESTED-SET interval encoding of the tree, derived from
+    * frames the dim already computes (no extra recursion): lft =
+    * 2·dfs_rank − depth, rgt = lft + 2·subtree_size − 1, where
+    * dfs_rank is `node_sort_order` (DFS preorder by construction —
+    * a parent's path string strictly prefixes its descendants') and
+    * subtree_size counts the node's closure descendants, self
+    * included. Subtree membership becomes a RANGE predicate
+    * (`d.lft BETWEEN a.lft AND a.rgt`) — the encoding that turns
+    * recursive subtree tests into broadcastable interval joins.
+    * Everything here is dim-sized; the closure count broadcasts.
+    */
+  lazy val nestedSets: DataFrame = {
+    val sizes = aggregationDim
+      .groupBy(col("ancestor_node_id").as("node_id"))
+      .agg(count(lit(1)).as("subtree_size"))
+    val lftCol = col("node_sort_order") * 2 - col("level_number")
+    reportingDim
+      .join(broadcast(sizes), Seq("node_id"))
+      .select(col("node_id"), col("node_natural_key"), col("node_name"),
+        col("level_number").cast("long").as("level_number"),
+        col("node_sort_order"),
+        lftCol.cast("long").as("lft"),
+        (lftCol + col("subtree_size") * 2 - 1).cast("long").as("rgt"))
+  }
 }
 
 /** Persist-and-reload for derived dims. The reference MATERIALIZES its

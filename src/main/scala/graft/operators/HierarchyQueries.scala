@@ -311,6 +311,12 @@ object HierarchyQueries {
         HierarchyAgg.repairRollupMv(mv, HierarchyAgg.salesFacts(s, d), v1, v2),
         v1, v2)
     }),
+    // NESTED-SET interval encoding of the base hierarchy: subtree
+    // membership as a range predicate (lft/rgt), derived arithmetic-
+    // only from the DFS numbering + closure sizes the dim already
+    // holds — the alternative tree representation serving engines use
+    // for broadcastable interval subtree joins
+    "h19_nested_sets" -> ((s, d) => dimension(s, d).nestedSets),
     // dimension MAINTENANCE: reparent one node (n8 INDIA moves from
     // Asia under r0 Africa) and diff the two closures — the
     // added/removed ancestor–descendant pairs are exactly the rows a
@@ -598,6 +604,18 @@ SELECT * FROM adim""",
     "h13_asof_rollup" -> rollupSqlWith(movedPrelude, "c.c_nationkey"),
     // targeted repair ≡ full recompute under the edited hierarchy
     "h16_targeted_mv_repair" -> rollupSqlWith(movedPrelude, "c.c_nationkey"),
+    // nested-set formula over the prelude's rdim/adim: lft = 2·rank −
+    // depth, rgt = lft + 2·subtree − 1 (preorder rank = node_sort_order)
+    "h19_nested_sets" ->
+      s"""${prelude(false)},
+sizes AS (
+  SELECT ancestor_node_id AS node_id, COUNT(*) AS subtree_size
+  FROM adim GROUP BY 1)
+SELECT r.node_id, r.node_natural_key, r.node_name,
+  CAST(r.level_number AS BIGINT) AS level_number, r.node_sort_order,
+  CAST(r.node_sort_order * 2 - r.level_number AS BIGINT) AS lft,
+  CAST(r.node_sort_order * 2 - r.level_number + s.subtree_size * 2 - 1 AS BIGINT) AS rgt
+FROM rdim r JOIN sizes s ON r.node_id = s.node_id""",
     // the what-if preview must agree with actually running both
     // worlds: base and edited rollups full-outer-joined on the node,
     // changed rows only

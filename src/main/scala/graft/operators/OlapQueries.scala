@@ -703,7 +703,22 @@ object OlapQueries {
           col("n_violations"))
       liPass.unionByName(oPass).unionByName(dupPk)
         .unionByName(custNoOrders).unionByName(ordNoLines)
-    })
+    }),
+
+    // FIXED-WIDTH histogram — the chart-distribution aggregate: the
+    // bucket is pure per-row arithmetic (floor of a constant-width
+    // divide — no min/max pre-pass, no sort, no sketch), so the whole
+    // query is ONE map-side-combined aggregation whose key cardinality
+    // is bounded by the value domain / width, not by row count. The
+    // data-derived-bounds variant is q16's histogram machinery; this
+    // is the streaming-friendly fixed-grid form.
+    "q39_histogram" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"),
+          floor(col("l_extendedprice") / 5000.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_extendedprice"), 4).as("sum_price"),
+          round(avg("l_quantity"), 6).as("avg_qty")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1033,6 +1048,13 @@ object OlapQueries {
              (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
          UNION ALL SELECT 'orders_no_lineitem',
            (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
-             (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))"""
+             (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))""",
+    "q39_histogram" ->
+      """SELECT l_returnflag,
+           CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice), 4) AS sum_price,
+           ROUND(AVG(l_quantity), 6) AS avg_qty
+         FROM lineitem GROUP BY 1, 2"""
   )
 }

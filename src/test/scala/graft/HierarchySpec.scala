@@ -770,6 +770,27 @@ class HierarchySpec extends SparkSpec {
     assert(out("R1A").getAs[Double]("pct_of_parent") == 1.0)
   }
 
+  test("nested sets: intervals nest exactly per the closure, disjoint otherwise") {
+    val dim = HierarchyQueries.dimension(spark, sf)
+    val ns = dim.nestedSets.collect()
+      .map(r => r.getAs[String]("node_id") ->
+        (r.getAs[Long]("lft"), r.getAs[Long]("rgt"))).toMap
+    val pairs = dim.aggregationDim
+      .select("ancestor_node_id", "descendant_node_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // 2n numbering: every interval inside [1, 2n], root spans it all
+    val n = ns.size
+    assert(ns.values.forall { case (l, r) => l >= 1 && r <= 2L * n && l < r })
+    for ((a, (al, ar)) <- ns; (d, (dl, dr)) <- ns) {
+      val contained = al <= dl && dr <= ar
+      assert(contained == pairs.contains((a, d)),
+        s"interval containment must equal closure membership for ($a,$d)")
+      // intervals never partially overlap
+      assert(contained || (dl <= al && ar <= dr) || ar < dl || dr < al,
+        s"partial overlap between $a and $d")
+    }
+  }
+
   test("null keys in native as-of join match nothing") {
     val left = Seq((1L, Option(10L), "2024-01-10 00:00:00"), (2L, Option.empty[Long], "2024-01-10 00:00:00"))
       .toDF("id", "k", "t").withColumn("t", to_timestamp(col("t")))

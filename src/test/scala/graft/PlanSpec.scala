@@ -256,6 +256,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q39: fixed-width histogram is one map-side-combined aggregation") {
+    val p = plan("q39_histogram")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert(p.contains("partial_count"), p)
+    // exactly one shuffle: the final aggregate's
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
   test("h9: incremental finalize has no Expand; closure joins broadcast") {
     val p = plan("h9_incremental_rollup")
     assert(!p.contains("Expand"), "distinct must read off the MV grain, not Expand: " + p)
