@@ -371,14 +371,26 @@ object Dedup {
     * partial-aggregable, and bit-identical in the oracle.
     */
   def substringDedup(docs: DataFrame, n: Int = 10): DataFrame = {
+    require(n >= 2, "substringDedup needs n >= 2 (sentinel no-collision)")
+    // a gram-less (short) doc must still emit its verdict row, but a
+    // NULL gram from explode_outer would hash every short doc into ONE
+    // partition of the gram repartition (single-task pileup at scale).
+    // Instead each short doc carries a PER-DOC sentinel gram: it
+    // STARTS with a space, which no real gram can (grams are
+    // nonempty whitespace-split tokens joined by single spaces), it
+    // spreads uniformly, and its min owner is the doc itself — which
+    // the `__own < doc_id` verdict ignores, so the doc comes out
+    // `kept` with no special-casing downstream.
     val grams = docs
       .select(col("doc_id"),
         explode_outer(array_distinct(
-          wordNgrams(tokens(lower(col("text"))), n))).as("gram"))
+          wordNgrams(tokens(lower(col("text"))), n))).as("__g"))
+      .select(col("doc_id"),
+        coalesce(col("__g"),
+          concat(lit(" "), col("doc_id").cast("string"))).as("gram"))
       .repartition(col("gram"))
-    val owner = grams.filter(col("gram").isNotNull)
-      .groupBy("gram").agg(min("doc_id").as("__own"))
-    grams.join(owner, Seq("gram"), "left")
+    val owner = grams.groupBy("gram").agg(min("doc_id").as("__own"))
+    grams.join(owner, Seq("gram"))
       .groupBy("doc_id")
       .agg(min(when(col("__own") < col("doc_id"), col("__own"))).as("dup_of"))
       .select(col("doc_id"),

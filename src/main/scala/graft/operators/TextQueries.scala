@@ -389,17 +389,25 @@ object TextQueries {
     // header in 10% of all docs) carries one joined row per DOCUMENT
     // instead of per position — the residual hot key is AQE skew-join
     // territory, not a single-task position pileup
+    // gram-less docs ride a per-doc leading-space sentinel instead of
+    // a NULL gram (all nulls would hash to ONE task of the gram
+    // repartition); no real gram can start with a space, so sentinels
+    // can't reach the df table and are excluded from the counts
     val byGram = docs
       .select(col("doc_id"),
-        explode_outer(wordNgrams(tokens(lower(col("text"))), 5)).as("gram"))
+        explode_outer(wordNgrams(tokens(lower(col("text"))), 5)).as("__g"))
+      .select(col("doc_id"),
+        coalesce(col("__g"),
+          concat(lit(" "), col("doc_id").cast("string"))).as("gram"))
       .repartition(col("gram"))
+    val real = not(col("gram").startsWith(" "))
     val counts = byGram.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-    val boiler = counts.filter(col("gram").isNotNull)
+    val boiler = counts.filter(real)
       .groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
     counts.join(boiler, Seq("gram"), "left")
       .groupBy("doc_id")
-      .agg(sum(when(col("gram").isNotNull, col("c")).otherwise(0L)).as("n_grams"),
+      .agg(sum(when(real, col("c")).otherwise(0L)).as("n_grams"),
         sum(when(col("df").isNotNull, col("c")).otherwise(0L)).as("n_boiler_grams"))
       .select(col("doc_id"), col("n_grams"), col("n_boiler_grams"),
         when(col("n_grams") > 0,
@@ -423,20 +431,30 @@ object TextQueries {
     * (truncating div) for cross-engine bit-parity.
     */
   def noveltyScore(docs: DataFrame, n: Int = 5): DataFrame = {
+    require(n >= 2, "noveltyScore needs n >= 2 (sentinel no-collision)")
+    // gram-less (short) docs ride a PER-DOC sentinel gram instead of
+    // a NULL (all nulls would hash into ONE partition of the gram
+    // repartition — a single-task pileup when short docs are common).
+    // The sentinel starts with a space, which no real gram can
+    // (nonempty tokens joined by single spaces), so it can't pollute
+    // a real gram's first-owner; sentinel rows are excluded from the
+    // gram counts by the same leading-space test.
     val grams = docs
       .select(col("doc_id"),
         explode_outer(array_distinct(
-          wordNgrams(tokens(lower(col("text"))), n))).as("gram"))
+          wordNgrams(tokens(lower(col("text"))), n))).as("__g"))
+      .select(col("doc_id"),
+        coalesce(col("__g"),
+          concat(lit(" "), col("doc_id").cast("string"))).as("gram"))
       .repartition(col("gram"))
-    val first = grams.filter(col("gram").isNotNull)
-      .groupBy("gram").agg(min("doc_id").as("__first"))
-    grams.join(first, Seq("gram"), "left")
+    val real = not(col("gram").startsWith(" "))
+    val first = grams.groupBy("gram").agg(min("doc_id").as("__first"))
+    grams.join(first, Seq("gram"))
       .groupBy("doc_id")
-      .agg(count(col("gram")).as("n_grams"),
-        sum(when(col("__first") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+      .agg(sum(when(real, 1L).otherwise(0L)).as("n_grams"),
+        sum(when(real && col("__first") === col("doc_id"), 1L)
+          .otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
         when(col("n_grams") > 0,
           expr("n_novel * 1000000 div n_grams")).cast("long")
           .as("novelty_ppm"))
