@@ -387,7 +387,7 @@ object Dedup {
           wordNgrams(tokens(lower(col("text"))), n))).as("__g"))
       .select(col("doc_id"),
         coalesce(col("__g"),
-          concat(lit(" "), col("doc_id").cast("string"))).as("gram"))
+          concat(lit(" "), col("doc_id").cast("string"))).as("gram"))
       .repartition(col("gram"))
     val owner = grams.groupBy("gram").agg(min("doc_id").as("__own"))
     grams.join(owner, Seq("gram"))
