@@ -251,6 +251,39 @@ object Graft {
     */
   def corpusPrep(docs: DataFrame): DataFrame = Packing.corpusPrep(docs)
 
+  /** Exact long-span substring dedup (doc-level Lee et al. verdict):
+    * sharing any exact `n`-token span with a lower-id doc marks the
+    * doc a span_dup; see [[operators.Dedup.substringDedup]].
+    */
+  def substringDedup(docs: DataFrame, n: Int = 10): DataFrame =
+    Dedup.substringDedup(docs, n)
+
+  /** Frequency-capped exact dedup: keep at most `maxCopies` copies
+    * per identical-content cluster, picked deterministically;
+    * see [[operators.Dedup.copyCap]].
+    */
+  def copyCap(docs: DataFrame, maxCopies: Int = 2): DataFrame =
+    Dedup.copyCap(docs, maxCopies)
+
+  /** Per-doc first-occurrence n-gram novelty (ppm);
+    * see [[operators.TextQueries.noveltyScore]].
+    */
+  def noveltyScore(docs: DataFrame, n: Int = 5): DataFrame =
+    TextQueries.noveltyScore(docs, n)
+
+  /** Curriculum staging from fixed quality cut points with a
+    * deterministic within-phase order key;
+    * see [[operators.Packing.curriculumPhases]].
+    */
+  def curriculumPhases(docs: DataFrame): DataFrame =
+    Packing.curriculumPhases(docs)
+
+  /** Length-bucketed training-batch assembly (sequence bucketing);
+    * see [[operators.Packing.lengthBatches]].
+    */
+  def lengthBatches(docs: DataFrame, batchSize: Int = 8): DataFrame =
+    Packing.lengthBatches(docs, batchSize)
+
   /** Contiguous per-group sequence packing into fixed-capacity token
     * bins (sample packing for training batches).
     */

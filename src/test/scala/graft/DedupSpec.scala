@@ -78,6 +78,33 @@ class DedupSpec extends SparkSpec {
     assert(out(9003L) == (("kept", None)))
   }
 
+  test("substring dedup agrees with a brute-force span walk on random docs") {
+    val rnd = new scala.util.Random(7)
+    // 2-symbol vocab → 2^10 possible spans, ~1200 drawn → real overlap
+    val raw = (0L until 80L).map { i =>
+      val n = 5 + rnd.nextInt(20) // some below 10 tokens → gram-less
+      (i, Seq.fill(n)(if (rnd.nextBoolean()) "a" else "b").mkString(" "),
+        "en", "s0", n.toLong)
+    }
+    val out = Dedup.substringDedup(
+        raw.toDF("doc_id", "text", "lang", "source", "n_chars")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[java.lang.Long]("dup_of")).map(Long.unbox)).toMap
+    def gramsOf(t: String): Set[String] =
+      t.toLowerCase.trim.split("\\s+").toSeq.sliding(10)
+        .filter(_.size == 10).map(_.mkString(" ")).toSet
+    val gsets = raw.map { case (id, t, _, _, _) => id -> gramsOf(t) }.toMap
+    val firstOwner = gsets.toSeq
+      .flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupMapReduce(_._1)(_._2)(math.min)
+    assert(out.size == raw.size)
+    raw.foreach { case (id, _, _, _, _) =>
+      val expected = gsets(id).map(firstOwner).filter(_ < id)
+        .minOption
+      assert(out(id) == expected, s"doc $id: got ${out(id)} want $expected")
+    }
+  }
+
   test("copy cap keeps at most N copies per cluster, LCG-deterministic pick") {
     // a 5-copy cluster on top of the 2-copy (0,1) cluster
     val five = Seq(100L, 101L, 102L, 103L, 104L).map(id =>
