@@ -41,6 +41,27 @@ object StreamingOps {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** STREAMING fixed-width HISTOGRAM — q39's distribution aggregate
+    * over the live stream (the monitoring shape: "what does the value
+    * distribution look like per window right now"). The bucket is
+    * per-row arithmetic, so state is (windows in the watermark
+    * horizon × value buckets) — bounded by the value domain / width,
+    * never by event count; in production append mode emits each
+    * window's histogram once the watermark closes it (the memory-sink
+    * harness drives it in complete mode so trailing windows are
+    * captured for the batch-oracle comparison).
+    */
+  def histogramStream(events: DataFrame, width: Double = 50.0): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "15 minutes").as("w"),
+        floor(col("value") / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("bucket"), col("n_events"), col("sum_value"))
+
   /** SLIDING windows (30-minute length, 15-minute slide): each event
     * lands in length/slide = 2 overlapping windows. Batch form — the
     * streaming twin adds the watermark. State in the streaming form is
@@ -297,6 +318,11 @@ object StreamingQueries {
     "st4_session_window_stream" -> ((s, d) =>
       runStream(s, d)(ev =>
         StreamingOps.sessionWindowAgg(ev.withWatermark("ts", "1 hour")))),
+    // STREAMING fixed-width histogram (q39 streamed): watermarked
+    // windows × arithmetic value buckets — state bounded by
+    // domain/width × horizon, never event count
+    "st12_stream_histogram" -> ((s, d) =>
+      runStream(s, d)(ev => StreamingOps.histogramStream(ev))),
     // streaming exact dedup: state-store-backed dropDuplicates on the
     // event stream (the streaming twin of d1's batch dedup shape) —
     // per event type, events surviving dedup on (user, type)
@@ -482,6 +508,12 @@ object StreamingQueries {
     "st3_windowed_agg_stream" ->
       """SELECT strftime(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS window_start,
            event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+         FROM events GROUP BY 1, 2""",
+    // the streamed histogram must equal the batch fixed-width form
+    "st12_stream_histogram" ->
+      """SELECT strftime(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS window_start,
+           CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
          FROM events GROUP BY 1, 2""",
     // st2's sessions keyed by (user, session start) instead of the
     // running index — session_window carries no per-user ordinal
