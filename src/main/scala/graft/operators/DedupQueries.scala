@@ -107,9 +107,11 @@ object DedupQueries {
     // semantic_dup of its lowest-id such neighbor. One label row per
     // vector. k-means is not SQL-expressible → rows-only driver
     // check; SimilaritySpec brute-force-verifies the labels on
-    // planted duplicates.
+    // planted duplicates. The AUTO variant is the registered path:
+    // k grows with the corpus (k ≈ n/targetClusterSize) so the
+    // Σ|cluster|² candidate-pair bound stays linear without tuning.
     "d13_semantic_dedup" -> ((s, d) =>
-      Similarity.semanticDedup(Tables.embeddings(s, d), tau = 0.9)),
+      Similarity.semanticDedupAuto(Tables.embeddings(s, d), tau = 0.9)),
     // exact long-span substring dedup (Lee et al. doc-level verdict):
     // any shared exact 10-token span with a lower-id doc marks the
     // doc span_dup of the lowest such owner. Gram-keyed aggregates
