@@ -10,6 +10,8 @@ object Prof {
   private val TARGETS = Seq(
     "q6_distinct", "q16_percentile", "h9_incremental_rollup",
     "h14_history_rollup", "h15_multi_hier_exact", "h16_targeted_mv_repair",
+    "h17_contribution", "h18_whatif_delta", "t15_boilerplate",
+    "d15_substring_dedup", "q37_topk_per_group", "q38_integrity_audit",
     "q22_profile", "t11_tfidf", "d9_source_overlap")
 
   def main(args: Array[String]): Unit = {
