@@ -57,6 +57,27 @@ object Sources {
       .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(tableName)
 
+  /** SORTED layout: range-partition by `sortCol`, sort within each
+    * file. Parquet stamps min/max stats per row group, so point/range
+    * predicates on `sortCol` skip everything outside their value
+    * range at READ time — on a random layout every row group's
+    * [min,max] spans the whole domain and nothing skips. This is the
+    * "sort your fact table by its filter column" rule: at 100 TB the
+    * difference between scanning one row group and scanning the table.
+    * (Hive partitioning prunes at directory granularity for LOW-
+    * cardinality columns; sorting prunes at row-group granularity for
+    * high-cardinality ones — they compose: partition by date, sort by
+    * the secondary key.)
+    */
+  def writeSorted(df: DataFrame, path: String, sortCol: String,
+      numFiles: Int = 0): Unit = {
+    val ranged = if (numFiles > 0)
+      df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(sortCol))
+    else df.repartitionByRange(org.apache.spark.sql.functions.col(sortCol))
+    ranged.sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Small-file compaction — the steady-state maintenance job of any
     * long-lived 100 TB table (streaming sinks and per-batch appends
     * fragment a table until the file listing and per-file open costs

@@ -27,6 +27,36 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(pruned.count() == 5)
   }
 
+  test("sorted layout prunes row groups: range scan surfaces far fewer rows") {
+    val dir = java.nio.file.Files.createTempDirectory("src_sorted").toString
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
+    Sources.writeSorted(li, s"$dir/sorted", "l_extendedprice", numFiles = 8)
+    li.repartition(8).write.mode("overwrite").parquet(s"$dir/random")
+    // rows SURFACED by the scan operator (post parquet stat-skip,
+    // pre Spark filter): sorted files have disjoint [min,max] ranges
+    // so only matching files/row-groups decode; random files all span
+    // the whole domain and decode in full
+    def scanSurfaced(path: String): (Long, Long) = {
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val df = spark.read.parquet(path)
+        .filter(col("l_extendedprice") < 1000.0)
+      val n = df.collect().length.toLong // executes THIS queryExecution
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scanned = finalPlan.collectLeaves()
+        .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+      (n, scanned)
+    }
+    val (nSorted, scanSorted) = scanSurfaced(s"$dir/sorted")
+    val (nRandom, scanRandom) = scanSurfaced(s"$dir/random")
+    assert(nSorted == nRandom, "layout must not change results")
+    assert(scanRandom > 0, "metric plumbing broke")
+    assert(scanSorted < scanRandom / 2,
+      s"sorted scan surfaced $scanSorted rows vs random $scanRandom — no pruning")
+  }
+
   test("compactParquet rewrites a fragmented table into few files, data intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
     val docs = Tables.documents(spark, sf)
