@@ -656,53 +656,65 @@ object OlapQueries {
       val c = Tables.customer(s, d)
       val pt = Tables.part(s, d)
       val su = Tables.supplier(s, d)
-      val liPass = li
-        .join(o.select(col("o_orderkey").as("l_orderkey"),
-          lit(1L).as("__has_o")), Seq("l_orderkey"), "left")
+      // The lineitem side PRE-AGGREGATES before ever meeting orders:
+      // per-row verdicts (part/supplier broadcasts, qty/discount
+      // rules) roll to (orderkey, linenumber) grain — which also
+      // yields the dup-PK count as sum(n−1) — then to orderkey grain,
+      // both with map-side combine, and only that order-grain summary
+      // full-outer joins orders (both orphan directions in one join).
+      // At 100 TB the fact table never shuffles raw: the join input
+      // is |orders|-sized. The whole audit is 2 jobs: this pipeline
+      // and the o⟗c pass.
+      val g1 = li
         .join(broadcast(pt.select(col("p_partkey").as("l_partkey"),
           lit(1L).as("__has_p"))), Seq("l_partkey"), "left")
         .join(broadcast(su.select(col("s_suppkey").as("l_suppkey"),
           lit(1L).as("__has_s"))), Seq("l_suppkey"), "left")
-        .agg(
-          sum(when(col("__has_o").isNull, 1L).otherwise(0L)).as("v1"),
-          sum(when(col("__has_p").isNull, 1L).otherwise(0L)).as("v2"),
-          sum(when(col("__has_s").isNull, 1L).otherwise(0L)).as("v3"),
-          sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("v4"),
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__has_p").isNull, 1L).otherwise(0L)).as("p2"),
+          sum(when(col("__has_s").isNull, 1L).otherwise(0L)).as("p3"),
+          sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("p4"),
           sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
-            .otherwise(0L)).as("v5"))
-        .selectExpr("""stack(5,
+            .otherwise(0L)).as("p5"))
+      val g2 = g1.groupBy("l_orderkey")
+        .agg(sum("n").as("n_rows"), sum(col("n") - 1).as("dup"),
+          sum("p2").as("p2"), sum("p3").as("p3"),
+          sum("p4").as("p4"), sum("p5").as("p5"))
+      val liPass = g2
+        .join(o.select(col("o_orderkey").as("l_orderkey"),
+          lit(1L).as("__has_o")), Seq("l_orderkey"), "full_outer")
+        .agg(
+          sum(when(col("__has_o").isNull, col("n_rows"))
+            .otherwise(0L)).as("v1"),
+          sum(coalesce(col("p2"), lit(0L))).as("v2"),
+          sum(coalesce(col("p3"), lit(0L))).as("v3"),
+          sum(coalesce(col("p4"), lit(0L))).as("v4"),
+          sum(coalesce(col("p5"), lit(0L))).as("v5"),
+          // an order-side row with no lineitem summary = no lineitems
+          count(when(col("n_rows").isNull, lit(1))).as("v6"),
+          sum(coalesce(col("dup"), lit(0L))).as("v7"))
+        .selectExpr("""stack(7,
             'lineitem_orphan_order', v1,
             'lineitem_orphan_part', v2,
             'lineitem_orphan_supplier', v3,
             'lineitem_nonpositive_qty', v4,
-            'lineitem_discount_range', v5) AS (check_name, n_violations)""")
+            'lineitem_discount_range', v5,
+            'orders_no_lineitem', v6,
+            'lineitem_dup_pk', v7) AS (check_name, n_violations)""")
       val oPass = o
         .join(c.select(col("c_custkey").as("o_custkey"),
-          lit(1L).as("__has_c")), Seq("o_custkey"), "left")
+          lit(1L).as("__has_c")), Seq("o_custkey"), "full_outer")
         .agg(
-          sum(when(col("__has_c").isNull, 1L).otherwise(0L)).as("v1"),
-          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v2"))
-        .selectExpr("""stack(2,
+          sum(when(col("o_orderkey").isNotNull && col("__has_c").isNull,
+            1L).otherwise(0L)).as("v1"),
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v2"),
+          count(when(col("o_orderkey").isNull, lit(1))).as("v3"))
+        .selectExpr("""stack(3,
             'orders_orphan_customer', v1,
-            'orders_nonpositive_total', v2) AS (check_name, n_violations)""")
-      val dupPk = li.groupBy("l_orderkey", "l_linenumber")
-        .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
-        .agg(coalesce(sum(col("cnt") - 1), lit(0L)).as("n_violations"))
-        .select(lit("lineitem_dup_pk").as("check_name"), col("n_violations"))
-      val custNoOrders = c
-        .join(o.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"),
-          "left_anti")
-        .agg(count(lit(1)).as("n_violations"))
-        .select(lit("customer_no_orders").as("check_name"),
-          col("n_violations"))
-      val ordNoLines = o
-        .join(li.select(col("l_orderkey").as("o_orderkey")), Seq("o_orderkey"),
-          "left_anti")
-        .agg(count(lit(1)).as("n_violations"))
-        .select(lit("orders_no_lineitem").as("check_name"),
-          col("n_violations"))
-      liPass.unionByName(oPass).unionByName(dupPk)
-        .unionByName(custNoOrders).unionByName(ordNoLines)
+            'orders_nonpositive_total', v2,
+            'customer_no_orders', v3) AS (check_name, n_violations)""")
+      liPass.unionByName(oPass)
     }),
 
     // FIXED-WIDTH histogram — the chart-distribution aggregate: the
