@@ -128,6 +128,29 @@ class DedupSpec extends SparkSpec {
     keptOfFive.foreach(id => assert(out(id)._2 == 5L))
   }
 
+  test("copy cap equals a brute-force capped pick on randomized clusters") {
+    val rnd = new scala.util.Random(11)
+    val texts = (0 until 12).map(i => s"cluster text number $i with some shared words")
+    val raw = (0L until 150L).map(i =>
+      (i, texts(rnd.nextInt(texts.size)), "en", "s0", 40L))
+    val out = Dedup.copyCap(
+        raw.toDF("doc_id", "text", "lang", "source", "n_chars"), maxCopies = 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("copy_rank"), r.getAs[Long]("n_copies"))).toMap
+    def lcg(id: Long) = ((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L
+    raw.groupBy(_._2).foreach { case (_, members) =>
+      val ids = members.map(_._1)
+      val expected = ids.sortBy(id => (lcg(id), id)).take(3)
+      expected.zipWithIndex.foreach { case (id, i) =>
+        assert(out.get(id).contains((i + 1L, ids.size.toLong)),
+          s"doc $id should be kept at rank ${i + 1} of ${ids.size}")
+      }
+      ids.diff(expected).foreach(id =>
+        assert(!out.contains(id), s"doc $id beyond the cap must drop"))
+    }
+  }
+
   test("novelty: a doc of entirely re-pasted grams scores 0, fresh text 1e6") {
     import graft.operators.TextQueries
     // 9001 re-pastes doc 0's text verbatim (0 owns every gram first);
@@ -143,6 +166,31 @@ class DedupSpec extends SparkSpec {
     assert(out(9001L)._2 == Some(0L), s"re-paste must score 0: $out")
     assert(out(9002L)._2 == Some(1000000L), s"fresh text must score 1e6: $out")
     assert(out(0L)._1 > 0)
+  }
+
+  test("novelty equals a brute-force first-owner count on random docs") {
+    import graft.operators.TextQueries
+    val rnd = new scala.util.Random(13)
+    val raw = (0L until 60L).map { i =>
+      val n = 3 + rnd.nextInt(12) // some below 5 tokens → gram-less
+      (i, Seq.fill(n)(if (rnd.nextInt(3) == 0) "x" else "y").mkString(" "),
+        "en", "s0", n.toLong)
+    }
+    val out = TextQueries.noveltyScore(
+        raw.toDF("doc_id", "text", "lang", "source", "n_chars")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"))).toMap
+    def gramsOf(t: String): Set[String] =
+      t.split(" ").toSeq.sliding(5).filter(_.size == 5).map(_.mkString(" ")).toSet
+    val gsets = raw.map { case (id, t, _, _, _) => id -> gramsOf(t) }.toMap
+    val firstOwner = gsets.toSeq
+      .flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupMapReduce(_._1)(_._2)(math.min)
+    raw.foreach { case (id, _, _, _, _) =>
+      val gs = gsets(id)
+      val expected = (gs.size.toLong, gs.count(firstOwner(_) == id).toLong)
+      assert(out(id) == expected, s"doc $id: got ${out(id)} want $expected")
+    }
   }
 
   test("connected components merge chained near-dup pairs into one cluster") {
