@@ -80,49 +80,75 @@ object Multimodal {
     * TextMultimodalSpec, which synthesizes a valid WAV and checks the
     * recovered sample rate / amplitude / duration.
     */
-  final class WavPcmCodec extends MediaCodec {
-    private def le16(b: Array[Byte], off: Int): Int =
-      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
-    private def le32(b: Array[Byte], off: Int): Int =
-      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
-        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
-    private def tag(b: Array[Byte], off: Int): String =
+  /** Shared RIFF/WAVE 16-bit-PCM parse (chunk walk + sample decode):
+    * (sampleRate, channels, samples). Used by [[WavPcmCodec]] and
+    * [[FrameSampleCodec]].
+    */
+  private[operators] def wavPcm16(b: Array[Byte],
+      docId: Long): (Int, Int, Array[Short]) = {
+    def le16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
+    def tag(off: Int): String =
       new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    require(b.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"doc $docId: not a RIFF/WAVE payload")
+    var off = 12
+    var sampleRate = 0; var channels = 1; var bits = 16
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= b.length && (dataOff < 0 || sampleRate == 0)) {
+      val id = tag(off); val len = le32(off + 4)
+      // a corrupt/hostile negative length would make the walk
+      // non-advancing (len <= -8 → infinite loop) or step backwards;
+      // fail loudly instead of hanging the executor
+      require(len >= 0,
+        s"doc $docId: corrupt chunk '$id' with negative length $len")
+      if (id == "fmt ") {
+        require(off + 24 <= b.length, s"doc $docId: truncated fmt chunk")
+        channels = le16(off + 10)
+        sampleRate = le32(off + 12)
+        bits = le16(off + 22)
+      } else if (id == "data") {
+        dataOff = off + 8
+        dataLen = math.min(len, b.length - dataOff)
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    require(sampleRate > 0 && dataOff >= 0,
+      s"doc $docId: missing fmt/data chunk")
+    require(bits == 16, s"doc $docId: only 16-bit PCM supported, got $bits")
+    val n = dataLen / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) { out(i) = le16(dataOff + 2 * i).toShort; i += 1 }
+    (sampleRate, channels, out)
+  }
 
+  /** Deterministic RIFF/WAVE 16-bit mono PCM synthesizer — the audio
+    * twin of [[synthBmp]]/[[synthPng]] (no audio libs in the
+    * container; the payload is synthesized, the decoders are real).
+    */
+  def synthWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val n = samples.length
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(2 * n)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  final class WavPcmCodec extends MediaCodec {
     override def decode(r: MediaRow): Array[Double] = {
       val b = r.payload
-      require(b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE",
-        s"doc ${r.doc_id}: not a RIFF/WAVE payload")
-      var off = 12
-      var sampleRate = 0; var channels = 1; var bits = 16
-      var dataOff = -1; var dataLen = 0
-      while (off + 8 <= b.length && (dataOff < 0 || sampleRate == 0)) {
-        val id = tag(b, off); val len = le32(b, off + 4)
-        // a corrupt/hostile negative length would make the walk
-        // non-advancing (len <= -8 → infinite loop) or step backwards;
-        // fail loudly instead of hanging the executor
-        require(len >= 0,
-          s"doc ${r.doc_id}: corrupt chunk '$id' with negative length $len")
-        if (id == "fmt ") {
-          require(off + 24 <= b.length,
-            s"doc ${r.doc_id}: truncated fmt chunk")
-          channels = le16(b, off + 10)
-          sampleRate = le32(b, off + 12)
-          bits = le16(b, off + 22)
-        } else if (id == "data") {
-          dataOff = off + 8
-          dataLen = math.min(len, b.length - dataOff)
-        }
-        off += 8 + len + (len & 1) // chunks are word-aligned
-      }
-      require(sampleRate > 0 && dataOff >= 0,
-        s"doc ${r.doc_id}: missing fmt/data chunk")
-      require(bits == 16, s"doc ${r.doc_id}: only 16-bit PCM supported, got $bits")
-      val nSamples = dataLen / 2
+      val (sampleRate, channels, samples) = wavPcm16(b, r.doc_id)
+      val nSamples = samples.length
       var i = 0; var sumAbs = 0.0
       while (i < nSamples) {
-        val s = le16(b, dataOff + 2 * i).toShort
-        sumAbs += math.abs(s / 32768.0)
+        sumAbs += math.abs(samples(i) / 32768.0)
         i += 1
       }
       val meanAbs = if (nSamples == 0) 0.0 else sumAbs / nSamples
@@ -130,6 +156,86 @@ object Multimodal {
         nSamples.toDouble / math.max(channels, 1) / sampleRate * 1000.0
       Array(b.length.toDouble, nSamples.toDouble, sampleRate.toDouble,
         math.round(meanAbs * 1e6) / 1e6, math.round(durationMs * 1e3) / 1e3)
+    }
+  }
+
+  /** FRAME SAMPLING — the "every k-th frame" decimation step of a
+    * video/audio ingest (decode cost at 100 TB is dominated by frames
+    * nobody needs; sampling happens AT the codec so skipped frames
+    * are never featurized). Frames are fixed blocks of `frameLen`
+    * samples; every `stride`-th frame (first, first+stride, …) is
+    * scored. Emits [payload_bytes, n_frames_sampled, mean_abs over
+    * sampled frames, n_frames_total, sample_rate].
+    */
+  final class FrameSampleCodec(frameLen: Int = 64,
+      stride: Int = 4) extends MediaCodec {
+    require(frameLen > 0 && stride > 0)
+    override def decode(r: MediaRow): Array[Double] = {
+      val (sampleRate, _, samples) = wavPcm16(r.payload, r.doc_id)
+      val nFrames = (samples.length + frameLen - 1) / frameLen
+      var f = 0; var sampled = 0; var sumAbs = 0.0; var n = 0L
+      while (f < nFrames) {
+        if (f % stride == 0) {
+          sampled += 1
+          var i = f * frameLen
+          val end = math.min(samples.length, i + frameLen)
+          while (i < end) { sumAbs += math.abs(samples(i) / 32768.0); n += 1; i += 1 }
+        }
+        f += 1
+      }
+      val meanAbs = if (n == 0) 0.0 else sumAbs / n
+      Array(r.payload.length.toDouble, sampled.toDouble,
+        math.round(meanAbs * 1e6) / 1e6, nFrames.toDouble,
+        sampleRate.toDouble)
+    }
+  }
+
+  /** Nearest-neighbor RESIZE at the codec — the thumbnail/downscale
+    * step of an image ingest, running where the pixels already are
+    * (decode + resize per partition; full-resolution pixels never
+    * leave the task). Parses the 24-bpp BMP, samples the source pixel
+    * nearest to each target cell, and emits [payload_bytes,
+    * thumb_pixels, thumb mean luminance, top-left luminance,
+    * bottom-right luminance].
+    */
+  final class BmpThumbCodec(tw: Int = 4, th: Int = 4) extends MediaCodec {
+    require(tw > 0 && th > 0)
+    override def decode(r: MediaRow): Array[Double] = {
+      val b = r.payload
+      def le16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+      def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
+      require(b.length >= 54 && b(0) == 'B' && b(1) == 'M',
+        s"doc ${r.doc_id}: not a BMP payload")
+      val pixelOff = le32(10)
+      val w = le32(18)
+      val h = math.abs(le32(22))
+      require(w > 0 && h > 0 && le16(28) == 24 && le32(30) == 0,
+        s"doc ${r.doc_id}: unsupported BMP variant")
+      val stride = ((w * 3 + 3) / 4) * 4
+      require(pixelOff >= 54 && pixelOff.toLong + stride.toLong * h <= b.length,
+        s"doc ${r.doc_id}: truncated pixel array")
+      def lum(x: Int, y: Int): Double = {
+        val p = pixelOff + y * stride + x * 3
+        ((b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)) / 3.0
+      }
+      var sum = 0.0
+      var ty = 0
+      while (ty < th) {
+        var tx = 0
+        while (tx < tw) {
+          // nearest-neighbor: center of the target cell mapped back
+          sum += lum((tx * w + w / 2) / tw min (w - 1),
+            (ty * h + h / 2) / th min (h - 1))
+          tx += 1
+        }
+        ty += 1
+      }
+      val tl = lum((w / 2) / tw min (w - 1), (h / 2) / th min (h - 1))
+      val br = lum(((tw - 1) * w + w / 2) / tw min (w - 1),
+        ((th - 1) * h + h / 2) / th min (h - 1))
+      Array(b.length.toDouble, (tw * th).toDouble,
+        math.round(sum / (tw * th) * 1e6) / 1e6,
+        math.round(tl * 1e6) / 1e6, math.round(br * 1e6) / 1e6)
     }
   }
 
@@ -439,6 +545,40 @@ object MultimodalQueries {
             Multimodal.synthPng(w, h, r.payload), "image/png", w, h)
         }
       Multimodal.extractFeatures(s, rows.toDF(), new Multimodal.PngCodec).toDF()
+    }),
+    // nearest-neighbor RESIZE at the codec: full-res pixels never
+    // leave the task, only thumbnail stats do (the downscale step of
+    // an image ingest). Binary plumbing → rows-only, exactness in the
+    // spec (known-pattern thumbs + constant-image invariance).
+    "m5_resize" -> ((s, d) => {
+      import s.implicits._
+      val rows = Multimodal.mediaTable(Tables.documents(s, d))
+        .as[Multimodal.MediaRow].map { r =>
+          val w = (4 + (r.doc_id % 6)).toInt
+          val h = (4 + (r.doc_id % 4)).toInt
+          Multimodal.MediaRow(r.doc_id,
+            Multimodal.synthBmp(w, h, r.payload), "image/bmp", w, h)
+        }
+      Multimodal.extractFeatures(s, rows.toDF(),
+        new Multimodal.BmpThumbCodec(2, 2)).toDF()
+    }),
+    // FRAME SAMPLING at the codec: every 4th 64-sample frame of the
+    // synthesized PCM is scored, the rest are never featurized (the
+    // decimation step of a video/audio ingest). Rows-only; the spec
+    // hand-computes sampled frame stats and proves stride=1 ≡ full.
+    "m6_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val rows = Multimodal.mediaTable(Tables.documents(s, d))
+        .as[Multimodal.MediaRow].map { r =>
+          val src = if (r.payload.isEmpty) Array[Byte](0) else r.payload
+          val n = math.min(1024, math.max(64, src.length * 2))
+          val samples = Array.tabulate[Short](n)(i =>
+            (((src(i % src.length) & 0xff) - 128) * 128).toShort)
+          Multimodal.MediaRow(r.doc_id,
+            Multimodal.synthWav(8000, samples), "audio/wav", 0, 0)
+        }
+      Multimodal.extractFeatures(s, rows.toDF(),
+        new Multimodal.FrameSampleCodec(64, 4)).toDF()
     })
   )
 

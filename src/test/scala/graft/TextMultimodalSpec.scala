@@ -290,6 +290,53 @@ class TextMultimodalSpec extends SparkSpec {
     assert(math.abs(f.feat_1 - 100.0) < 1e-9) // duration ms
   }
 
+  test("BmpThumbCodec: known half/half pattern resizes to the expected thumb") {
+    // 4×2 image, left half black, right half white → 2×2 thumb:
+    // left column luminance 0, right column 255
+    val w = 4; val h = 2
+    val stride = ((w * 3 + 3) / 4) * 4
+    val bmp = Multimodal.synthBmp(w, h, Array.fill[Byte](stride * h)(0))
+    val pixelOff = (bmp(10) & 0xff) | ((bmp(11) & 0xff) << 8)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      bmp(pixelOff + y * stride + x * 3 + c) =
+        if (x < w / 2) 0.toByte else 255.toByte
+    val media = Seq((1L, bmp, "image/bmp", w, h))
+      .toDF("doc_id", "payload", "media_type", "width", "height")
+    val f = Multimodal.extractFeatures(spark, media,
+      new Multimodal.BmpThumbCodec(2, 2)).collect().head
+    assert(f.byte_sum == 4L)                    // thumb pixel count
+    assert(math.abs(f.mean_byte - 127.5) < 1e-6) // half black, half white
+    assert(f.feat_0 == 0.0)                     // top-left lum
+    assert(f.feat_1 == 255.0)                   // bottom-right lum
+    // constant-color invariance: resize preserves the mean exactly
+    val flat = Multimodal.synthBmp(5, 3, Array.fill[Byte](64)(100.toByte))
+    val f2 = Multimodal.extractFeatures(spark,
+      Seq((2L, flat, "image/bmp", 5, 3))
+        .toDF("doc_id", "payload", "media_type", "width", "height"),
+      new Multimodal.BmpThumbCodec(2, 2)).collect().head
+    assert(math.abs(f2.mean_byte - 100.0) < 1e-6)
+  }
+
+  test("FrameSampleCodec: sampled frames match hand-computed stats; stride 1 = full") {
+    // 256 samples = 4 frames of 64; frames alternate amplitude
+    // 8192 / 16384 / 8192 / 16384; stride 2 samples frames 0 and 2
+    val samples = Array.tabulate[Short](256)(i =>
+      (if ((i / 64) % 2 == 0) 8192 else 16384).toShort)
+    val wav = Multimodal.synthWav(8000, samples)
+    val media = Seq((1L, wav, "audio/wav", 0, 0))
+      .toDF("doc_id", "payload", "media_type", "width", "height")
+    val f = Multimodal.extractFeatures(spark, media,
+      new Multimodal.FrameSampleCodec(64, 2)).collect().head
+    assert(f.byte_sum == 2L)        // frames sampled
+    assert(f.feat_0 == 4.0)         // frames total
+    assert(f.feat_1 == 8000.0)      // sample rate
+    assert(math.abs(f.mean_byte - 0.25) < 1e-6) // both sampled frames at 8192
+    val full = Multimodal.extractFeatures(spark, media,
+      new Multimodal.FrameSampleCodec(64, 1)).collect().head
+    assert(full.byte_sum == 4L)
+    assert(math.abs(full.mean_byte - 0.375) < 1e-6) // (0.25 + 0.5) / 2
+  }
+
   test("WavPcmCodec rejects non-WAV payloads loudly") {
     val junk = Seq((2L, "not a wav".getBytes("UTF-8"), "audio/wav", 0, 0))
       .toDF("doc_id", "payload", "media_type", "width", "height")
