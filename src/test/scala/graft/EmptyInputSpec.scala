@@ -49,6 +49,11 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextQueries.noveltyScore(noDocs).count() == 0)
     assert(Packing.curriculumPhases(noDocs).count() == 0)
     assert(Packing.lengthBatches(noDocs).count() == 0)
+    val noMedia = Multimodal.mediaTable(noDocs)
+    assert(Multimodal.extractFeatures(spark, noMedia,
+      new Multimodal.BmpThumbCodec(2, 2)).count() == 0)
+    assert(Multimodal.extractFeatures(spark, noMedia,
+      new Multimodal.FrameSampleCodec()).count() == 0)
   }
 
   test("perplexity filter and contribution rollup handle empty inputs") {
