@@ -357,6 +357,57 @@ object Graft {
       smallKey: String, salts: Int, saltSource: Column): DataFrame =
     operators.Olap.saltedJoin(big, small, bigKey, smallKey, salts, saltSource)
 
+  /** Shuffle/plan-shape audit of a query BEFORE running it — the
+    * question every 100 TB user asks first ("how many shuffles will
+    * this do, and did my dim broadcast?") as a first-class API
+    * instead of eyeballing `explain`. Counts physical-plan shapes on
+    * the optimized (pre-AQE-execution) plan; one row per metric.
+    * CartesianProduct or BroadcastNestedLoopJoin above 0 is almost
+    * always a bug at scale.
+    */
+  def planSummary(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.{SortExec, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins._
+    import org.apache.spark.sql.execution.window.WindowExec
+    // AQE hides structure behind LEAF wrappers: AdaptiveSparkPlanExec
+    // wraps the whole plan, and after execution each completed stage
+    // sits behind a leaf QueryStageExec. Walk through all of them so
+    // the audit sees the real operators pre- AND post-execution.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def walk(p: SparkPlan): Iterator[SparkPlan] = {
+      val inner: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      Iterator(p) ++ inner.iterator.flatMap(walk)
+    }
+    val nodes = walk(df.queryExecution.executedPlan).toSeq
+    def count(f: PartialFunction[SparkPlan, Int]): Long =
+      nodes.collect(f).sum.toLong
+    val metrics = Seq(
+      "shuffle_exchanges" -> count { case _: ShuffleExchangeExec => 1 },
+      "broadcast_exchanges" -> count { case _: BroadcastExchangeExec => 1 },
+      "broadcast_hash_joins" -> count { case _: BroadcastHashJoinExec => 1 },
+      "sort_merge_joins" -> count { case _: SortMergeJoinExec => 1 },
+      "shuffled_hash_joins" -> count { case _: ShuffledHashJoinExec => 1 },
+      "broadcast_nested_loop_joins" ->
+        count { case _: BroadcastNestedLoopJoinExec => 1 },
+      "cartesian_products" -> count { case _: CartesianProductExec => 1 },
+      "windows" -> count { case _: WindowExec => 1 },
+      "sorts" -> count { case _: SortExec => 1 },
+      "scans" -> count { case s if s.children.isEmpty &&
+        s.nodeName.toLowerCase.contains("scan") => 1 },
+      "codegen_spans" -> count { case _: WholeStageCodegenExec => 1 })
+    val spark = df.sparkSession
+    import spark.implicits._
+    metrics.toDF("metric", "n")
+  }
+
   /** Native sort-merge as-of join (see graft.plans.AsOfJoin). */
   def asofJoin(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, leftTime: String, rightTime: String,

@@ -27,6 +27,30 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(pruned.count() == 5)
   }
 
+  test("planSummary counts the plan shapes a scale audit cares about") {
+    val li = Tables.lineitem(spark, sf)
+    val agg = li.groupBy("l_returnflag").agg(sum("l_quantity"))
+    val m1 = Graft.planSummary(agg).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m1("shuffle_exchanges") == 1, m1)
+    assert(m1("windows") == 0 && m1("cartesian_products") == 0, m1)
+    assert(m1("scans") >= 1, m1)
+    // under AQE codegen stages materialize at execution; after running
+    // the query the summary reads the final adaptive plan
+    agg.collect()
+    val m1b = Graft.planSummary(agg).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m1b("codegen_spans") >= 1, m1b)
+    val part = Tables.part(spark, sf)
+    val joined = li.join(
+      org.apache.spark.sql.functions.broadcast(part),
+      li("l_partkey") === part("p_partkey"))
+    val m2 = Graft.planSummary(joined).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m2("broadcast_hash_joins") == 1, m2)
+    assert(m2("sort_merge_joins") == 0, m2)
+  }
+
   test("sorted layout prunes row groups: range scan surfaces far fewer rows") {
     val dir = java.nio.file.Files.createTempDirectory("src_sorted").toString
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
