@@ -116,6 +116,49 @@ object NativeTextExpressions {
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
+  /** Deterministic FEATURE-HASHING text embedding: every char
+    * trigram's codepoints mix through a splitmix64-style finalizer,
+    * the hash picks a dimension and a ±1 sign, and the accumulated
+    * vector L2-normalizes — the classic hashing-trick stand-in for a
+    * learned embedding model (no model weights in this container; a
+    * real deployment swaps the kernel, the Spark plumbing and every
+    * consumer — semantic dedup, ANN, MIPS — is unchanged). Texts
+    * shorter than 3 codepoints embed as the zero vector.
+    */
+  def featureHashEmbedCompute(s: UTF8String, dim: Int): ArrayData = {
+    val str = s.toString
+    val acc = new Array[Double](dim)
+    val n = str.length
+    if (n >= 3) {
+      var i = 0
+      var c0 = 0; var c1 = 0; var c2 = 0
+      var seen = 0
+      while (i < n) {
+        val cp = str.codePointAt(i)
+        c0 = c1; c1 = c2; c2 = cp
+        seen += 1
+        if (seen >= 3) {
+          var h = c0 * 0x9E3779B97F4A7C15L + c1 * 0xC2B2AE3D27D4EB4FL + c2
+          h ^= h >>> 30; h *= 0xBF58476D1CE4E5B9L
+          h ^= h >>> 27; h *= 0x94D049BB133111EBL
+          h ^= h >>> 31
+          val idx = ((h >>> 1) % dim).toInt
+          acc(idx) += (if ((h & 1L) == 0L) 1.0 else -1.0)
+        }
+        i += Character.charCount(cp)
+      }
+    }
+    var ss = 0.0
+    var j = 0
+    while (j < dim) { ss += acc(j) * acc(j); j += 1 }
+    if (ss > 0) {
+      val inv = 1.0 / math.sqrt(ss)
+      j = 0
+      while (j < dim) { acc(j) *= inv; j += 1 }
+    }
+    UnsafeArrayData.fromPrimitiveArray(acc)
+  }
+
   /** Fraction of equal components between two equal-length signatures
     * (the minhash Jaccard estimate).
     */
@@ -229,6 +272,10 @@ object NativeTextExpressions {
   def minhashSig(shingles: Column, k: Int): Column =
     GraftColumnBridge.column(MinHashSigExpr(GraftColumnBridge.expression(shingles), k))
 
+  def featureHashEmbed(text: Column, dim: Int = 64): Column =
+    GraftColumnBridge.column(FeatureHashEmbedExpr(
+      GraftColumnBridge.expression(text), dim))
+
   def sigMatchFrac(a: Column, b: Column): Column =
     GraftColumnBridge.column(SigMatchFracExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
@@ -297,6 +344,21 @@ case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.NativeTextExpressions.minhashSigCompute($a, $k);")
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+case class FeatureHashEmbedExpr(child: Expression, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(dim > 0, "embedding dimension must be positive")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "feature_hash_embed"
+  override def nullSafeEval(a: Any): Any =
+    NativeTextExpressions.featureHashEmbedCompute(a.asInstanceOf[UTF8String], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.NativeTextExpressions.featureHashEmbedCompute($a, $dim);")
+  override protected def withNewChildInternal(newChild: Expression): FeatureHashEmbedExpr =
     copy(child = newChild)
 }
 

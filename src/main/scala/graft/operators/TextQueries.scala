@@ -369,7 +369,23 @@ object TextQueries {
     "t15_boilerplate" -> ((s, d) => boilerplate(Tables.documents(s, d))),
     // per-doc first-occurrence novelty over distinct 5-grams (d15's
     // gram-keyed min-owner shape; integer-ppm verdict)
-    "t16_novelty" -> ((s, d) => noveltyScore(Tables.documents(s, d)))
+    "t16_novelty" -> ((s, d) => noveltyScore(Tables.documents(s, d))),
+    // the documents→embeddings BRIDGE: deterministic feature-hashing
+    // embedding (char-trigram hashing trick, codegen'd native
+    // expression, unit-norm) so the similarity/semantic-dedup family
+    // can run without a pre-built embeddings table. Engine-specific
+    // arithmetic → rows-only; determinism/norm/near-dup-cosine in the
+    // spec. A narrow per-row map — no shuffle at any scale.
+    "t17_embed" -> ((s, d) => {
+      import graft.functions.NativeTextExpressions.featureHashEmbed
+      Tables.documents(s, d).select(col("doc_id"),
+        featureHashEmbed(lower(col("text")), 64).as("v"))
+        .withColumn("dim", size(col("v")).cast("long"))
+        .withColumn("norm_sq",
+          round(aggregate(transform(col("v"), x => x * x), lit(0.0d),
+            (a, x) => a + x), 6))
+        .select("doc_id", "dim", "norm_sq", "v")
+    })
   )
 
   /** Cross-document boilerplate scoring — see the t15 entry. `minDf`

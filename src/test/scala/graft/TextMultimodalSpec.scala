@@ -263,6 +263,27 @@ class TextMultimodalSpec extends SparkSpec {
       t13(r.getAs[Long]("doc_id")) == r.getAs[Double]("avg_neg_logprob")))
   }
 
+  test("feature-hash embedding: deterministic, unit-norm, near-dups closer than strangers") {
+    import graft.functions.NativeTextExpressions.featureHashEmbed
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (1L, "the quick brown fox jumps over the lazy cat near the river bank"),
+      (2L, "completely unrelated text about distributed query engines and shuffles"),
+      (3L, "ab") // below trigram length → zero vector
+    ).toDF("doc_id", "text")
+    def vecs() = docs.select(col("doc_id"), featureHashEmbed(col("text"), 64).as("v"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Double](1)).toMap
+    val v = vecs()
+    assert(v == vecs(), "embedding must be deterministic")
+    def dot(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot(v(0L), v(0L)) - 1.0) < 1e-9, "unit norm")
+    assert(v(3L).forall(_ == 0.0), "sub-trigram text embeds as zero")
+    val near = dot(v(0L), v(1L))
+    val far = dot(v(0L), v(2L))
+    assert(near > 0.8, s"one-word edit should stay close, cos=$near")
+    assert(near > far + 0.3, s"near=$near must beat unrelated=$far clearly")
+  }
+
   test("WavPcmCodec decodes a real synthesized RIFF/WAVE payload") {
     // 8000 Hz mono 16-bit PCM, 800 samples (100 ms) of a square wave
     // alternating ±8192 → mean |amplitude| = 8192/32768 = 0.25
