@@ -163,6 +163,28 @@ class SimilaritySpec extends SparkSpec {
     assert(row.getAs[Long]("canonical_id") < 1003L)
   }
 
+  test("t17 embeddings feed semantic dedup end-to-end: text dups collapse") {
+    import graft.functions.NativeTextExpressions.featureHashEmbed
+    import spark.implicits._
+    // 0 and 7 are byte-identical texts; the rest are distinct
+    val texts = (0L until 8L).map { i =>
+      val body = if (i == 7L) "the same exact duplicated sentence body"
+        else if (i == 0L) "the same exact duplicated sentence body"
+        else s"unique document number $i talking about topic ${"abcdefg" (i.toInt)}"
+      (i, body)
+    }
+    val emb = texts.toDF("vec_id", "text")
+      .select(col("vec_id"), lit("doc").as("label"),
+        featureHashEmbed(lower(col("text")), 64).as("embedding"))
+    val out = Similarity.semanticDedup(emb, tau = 0.95, k = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[String]("status"), r.getAs[Long]("canonical_id"))).toMap
+    assert(out(7L) == (("semantic_dup", 0L)),
+      s"identical text must collapse through the embedding bridge: $out")
+    assert(out(0L)._1 == "kept")
+    (1L until 7L).foreach(i => assert(out(i)._1 == "kept", s"doc $i: $out"))
+  }
+
   test("semantic dedup: labels brute-force-verified; planted duplicates collapse") {
     val tau = 0.9
     // plant byte-identical copies of two vectors under new high ids
