@@ -54,6 +54,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st12 append mode: emitted histograms are exactly the watermark-closed windows") {
+    // production path: append emits each window's histogram once the
+    // watermark passes it; every emitted row must equal its batch twin
+    // and nothing may emit twice
+    val dir = java.nio.file.Files.createTempDirectory("events_hist")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val stream = spark.readStream.schema(
+        spark.read.parquet(s"$sf/events.parquet").schema)
+      .parquet(dir.toString)
+    val streamTs = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = StreamingOps.histogramStream(streamTs)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st12_append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("st12_append")
+      val cols = Seq("window_start", "bucket", "n_events", "sum_value")
+      val batch = Tables.events(spark, sf)
+        .groupBy(window(col("ts"), "15 minutes").as("w"),
+          floor(col("value") / 50.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+          col("bucket"), col("n_events"), col("sum_value"))
+      val gotSet = canon(got, cols: _*)
+      val batchSet = canon(batch, cols: _*)
+      // closed windows only → a subset of the batch result, row-exact
+      assert(gotSet.subsetOf(batchSet),
+        s"append rows must match batch exactly; extras: ${gotSet -- batchSet}")
+      // no duplicate emission
+      assert(got.count() == gotSet.size)
+      // the watermark closes everything except the trailing horizon:
+      // all but the last hour's windows must have emitted
+      val lastStart = batch.agg(max("window_start")).collect().head.getString(0)
+      val missing = batchSet.filterNot(gotSet)
+        .map(_.split("\\|").head)
+      assert(missing.forall(_ >= lastStart.substring(0, 10)),
+        s"only trailing-horizon windows may be unemitted, missing: $missing")
+      assert(gotSet.nonEmpty, "append mode emitted nothing")
+    } finally q.stop()
+  }
+
   test("stream-static join: streaming events enrich against a static dim") {
     val dir = java.nio.file.Files.createTempDirectory("events_ssj")
     java.nio.file.Files.createSymbolicLink(
