@@ -23,21 +23,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects unless `spark.sql.legacy.parquet.nanosAsLong`
-    * is set (it then surfaces as a long). Normalize back to a proper
-    * timestamp column (microsecond precision) so downstream operators
-    * are type-uniform.
+  /** SCHEMA-DRIFT GUARD for event time: the driver has shipped `ts`
+    * under three physical encodings so far — TIMESTAMP(NANOS) (surfacing
+    * as a long under `spark.sql.legacy.parquet.nanosAsLong`),
+    * `timestamp[us]` without a timezone (surfacing as TIMESTAMP_NTZ),
+    * and plain TIMESTAMP. Every consumer (batch, streaming source,
+    * spec harness) MUST see exactly one logical type, TimestampType,
+    * or gap arithmetic / watermarking breaks at analysis time on the
+    * next regeneration. This is the single normalization point; never
+    * re-derive the ts type downstream.
+    *
+    * The NTZ→TIMESTAMP cast is instant-preserving because every graft
+    * session pins `spark.sql.session.timeZone=UTC` (GraftSession).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-      case _ => raw
+  def normalizeTs(df: DataFrame, col: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(col).dataType match {
+      case LongType =>          // legacy nanos-as-long encoding
+        df.withColumn(col, timestamp_micros(expr(s"$col div 1000")))
+      case TimestampNTZType =>  // timestamp[us] with no zone; session is UTC
+        df.withColumn(col, c(col).cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.$col arrived as unsupported type $other — extend Tables.normalizeTs")
     }
   }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(load(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -89,9 +89,13 @@ object StreamingOps {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
     events
       .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      // gap arithmetic via unix_micros: legal on TimestampType under
+      // ANSI (a direct timestamp→double cast is not NTZ-safe; ts is
+      // already normalized by Tables.normalizeTs, this keeps the
+      // expression valid even if a caller passes a raw frame)
       .withColumn("new_sess",
         when(col("prev_ts").isNull ||
-          (col("ts").cast("double") - col("prev_ts").cast("double")) > gapSeconds, 1L)
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > gapSeconds * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("sess_idx", sum("new_sess").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -289,8 +293,11 @@ object StreamingQueries {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val raw = spark.readStream.schema(schema).parquet(dir.toString)
-    // normalize the TIMESTAMP(NANOS) long as Tables.events does
-    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // ONE ts normalization for batch and stream: Tables.normalizeTs
+    // branches on the physical encoding (nanos-long / NTZ / timestamp),
+    // so a driver-side re-encode of events.parquet can't silently
+    // diverge the two paths again
+    val ev = Tables.normalizeTs(raw)
     val qname = "graft_stream_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     // Stateful streaming allocates one state store PER shuffle

@@ -19,8 +19,8 @@ class StreamingSpec extends SparkSpec {
     val stream = spark.readStream.schema(
         spark.read.parquet(s"$sf/events.parquet").schema)
       .parquet(dir.toString)
-    // normalize nanos->timestamp as Tables.events does
-    val streamTs = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // same single normalization point as Tables.events / runStream
+    val streamTs = Tables.normalizeTs(stream)
     val q = StreamingOps.windowedAggStream(streamTs)
       .writeStream.outputMode("complete").format("memory").queryName("st1_out").start()
     try {
@@ -44,7 +44,7 @@ class StreamingSpec extends SparkSpec {
     val stream = spark.readStream.schema(
         spark.read.parquet(s"$sf/events.parquet").schema)
       .parquet(dir.toString)
-    val streamTs = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val streamTs = Tables.normalizeTs(stream)
     val q = StreamingOps.slidingWindowAggStream(streamTs)
       .writeStream.outputMode("complete").format("memory").queryName("st8_out").start()
     try {
@@ -65,7 +65,7 @@ class StreamingSpec extends SparkSpec {
     val stream = spark.readStream.schema(
         spark.read.parquet(s"$sf/events.parquet").schema)
       .parquet(dir.toString)
-    val streamTs = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val streamTs = Tables.normalizeTs(stream)
     val q = StreamingOps.histogramStream(streamTs)
       .writeStream.outputMode("append").format("memory")
       .queryName("st12_append").start()
@@ -167,7 +167,6 @@ class StreamingSpec extends SparkSpec {
     val stream = spark.readStream.schema(
         spark.read.parquet(s"$sf/events.parquet").schema)
       .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "value")
     val out = java.nio.file.Files.createTempDirectory("events_sink_out").toString
