@@ -378,13 +378,22 @@ object TextQueries {
     // spec. A narrow per-row map — no shuffle at any scale.
     "t17_embed" -> ((s, d) => {
       import graft.functions.NativeTextExpressions.featureHashEmbed
+      // registered projection is ALL-SCALAR: the driver's checker
+      // canonicalizes by sorting every column, and a raw array<double>
+      // column crashes it (unhashable). The vector itself is consumed
+      // downstream (d13/s2 bridge, SimilaritySpec); here it is
+      // summarized as dim + norm + an order-sensitive xxhash64 digest
+      // of the 6-dp-rounded components — any component change flips
+      // the digest, so the row is as discriminating as the vector.
       Tables.documents(s, d).select(col("doc_id"),
         featureHashEmbed(lower(col("text")), 64).as("v"))
         .withColumn("dim", size(col("v")).cast("long"))
         .withColumn("norm_sq",
           round(aggregate(transform(col("v"), x => x * x), lit(0.0d),
             (a, x) => a + x), 6))
-        .select("doc_id", "dim", "norm_sq", "v")
+        .withColumn("v_digest",
+          xxhash64(to_json(transform(col("v"), x => round(x, 6)))))
+        .select("doc_id", "dim", "norm_sq", "v_digest")
     })
   )
 
