@@ -107,7 +107,11 @@ object Bench {
     val suspect = runs.collect { case (name, r1, r2)
       if r1 > 0 && r2 > 0 && committedMin.get(name)
         .exists(b => b > 0 && r1 > 3 * b && r2 > 3 * b) => name }
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // failures are EXCLUDED from the total (counting their -1 sentinel
+    // would make a failing round read FASTER) and listed explicitly so
+    // the driver can gate on failed.nonEmpty
+    val failed = results.collect { case (name, v) if v < 0 => name }
+    val total = results.map(_._2).filter(_ >= 0).sum
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     // The harness keeps only the tail of stdout (~2000 chars) — an
@@ -123,9 +127,10 @@ object Bench {
       val om = if (omitted.isEmpty) ""
         else s""","omitted":${omitted.size},"omitted_sec":${fmt(omitted.map(_._2).sum)}"""
       val sus = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":2,""" +
         s""""warm_ok":$warmOk,"warm_sec":${fmt(warmSec)},"load_avg":${fmt(loadAvg)},""" +
-        s""""suspect":$sus,"queries":$m$om,"sf":"$sfDir"}"""
+        s""""failed":$fl,"suspect":$sus,"queries":$m$om,"sf":"$sfDir"}"""
     }
     // drop order: fastest first; failures sort as slowest so they stay
     val bySlow = results.sortBy(r => -(if (r._2 < 0) Double.MaxValue else r._2))
@@ -139,6 +144,7 @@ object Bench {
         .mkString(
           s"""{"total":$total,"sf":"$sfDir","cpus":$cpus,"runs":2,""" +
             s""""warm_ok":$warmOk,"warm_sec":$warmSec,"load_avg":$loadAvg,""" +
+            s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
             s""""suspect":${suspect.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
             """"queries":{""", ",", "},") +
         runs.sortBy(_._1).map { case (k, r1, r2) => s"""\"$k\":[$r1,$r2]""" }
