@@ -21,8 +21,10 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame =
+    normalizeNtz(load(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    normalizeNtz(load(s, d, "lineitem"), "l_shipdate")
   /** SCHEMA-DRIFT GUARD for event time: the driver has shipped `ts`
     * under three physical encodings so far — TIMESTAMP(NANOS) (surfacing
     * as a long under `spark.sql.legacy.parquet.nanosAsLong`),
@@ -47,6 +49,27 @@ object Tables {
       case TimestampType => df
       case other => throw new IllegalStateException(
         s"events.$col arrived as unsupported type $other — extend Tables.normalizeTs")
+    }
+  }
+
+  /** Same drift guard for the date-like columns whose ESTABLISHED
+    * surface type is TIMESTAMP_NTZ (orders.o_orderdate,
+    * lineitem.l_shipdate — every oracle was written against NTZ
+    * semantics, so unlike events.ts these normalize TOWARD NTZ): a
+    * re-encode to nanos-long or tz-aware timestamp folds back to the
+    * same wall-clock NTZ value (session pinned UTC).
+    */
+  def normalizeNtz(df: DataFrame, col: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(col).dataType match {
+      case LongType =>
+        df.withColumn(col,
+          timestamp_micros(expr(s"$col div 1000")).cast(TimestampNTZType))
+      case TimestampType => df.withColumn(col, c(col).cast(TimestampNTZType))
+      case TimestampNTZType => df
+      case other => throw new IllegalStateException(
+        s"$col arrived as unsupported type $other — extend Tables.normalizeNtz")
     }
   }
 
