@@ -221,17 +221,27 @@ object Similarity {
     centroids
   }
 
-  /** Nearest-centroid assignment: broadcast the codebook, take the
-    * argmax by (round(cos,9) desc, c_id asc) per vector. `first(v)` is
-    * exact — every row in a vec_id group carries the same vector.
+  /** Nearest-centroid assignment: the codebook (bounded at 65,536 by
+    * [[autoK]]) is collected once — a dim-sized control read like
+    * h16's, not a data-plane collect — and the per-vector argmax by
+    * (round(cos,9) desc, c_id asc) runs inside
+    * [[graft.functions.NearestCentroidExpr]]: a codegen'd primitive
+    * loop, ONE ROW OUT PER VECTOR. The previous crossJoin + max_by
+    * plan fed n×k rows into a partial aggregate and re-shuffled the
+    * whole corpus on vec_id; this is a narrow map — no join, no
+    * exchange, and every input column rides along untouched.
     */
-  private def assignToCentroids(c: DataFrame, centroids: DataFrame): DataFrame =
-    c.crossJoin(broadcast(centroids))
-      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .groupBy("vec_id")
-      .agg(
-        max_by(col("c_id"), struct(round(col("ccos"), 9), -col("c_id"))).as("c_id"),
-        first("label").as("label"), first("v").as("v"), first("nrm").as("nrm"))
+  private def assignToCentroids(c: DataFrame, centroids: DataFrame): DataFrame = {
+    val cb = centroids.select(col("c_id"), col("cv"), col("cn"))
+      .collect()
+      .sortBy(_.getLong(0))
+    val ids = cb.map(_.getLong(0))
+    val vecs = cb.map(_.getSeq[Double](1).toArray)
+    val norms = cb.map(_.getDouble(2))
+    c.withColumn("c_id", graft.functions.NearestCentroidExpr
+        .nearestCentroid(col("v"), col("nrm"), ids, vecs, norms))
+      .select(col("vec_id"), col("c_id"), col("label"), col("v"), col("nrm"))
+  }
 
   /** IVF ANN: coarse centroids from seeded k-means; assign every
     * vector to its nearest centroid, probe the `nprobe` nearest lists

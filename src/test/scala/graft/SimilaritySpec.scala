@@ -19,6 +19,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("nearest-centroid expression: assignments identical to the crossJoin+max_by plan") {
+    import graft.operators.Similarity.corpus
+    val c = corpus(emb)
+    val centroids = Similarity.kmeansCentroids(c, k = 10, iters = 2)
+    // the OLD assignment plan, verbatim: n×k crossJoin into a max_by
+    // hash aggregate with the (round(cos,9) desc, c_id asc) tie-break
+    val oldPlan = c.crossJoin(broadcast(centroids))
+      .withColumn("ccos",
+        graft.functions.VectorFunctions.dot(col("v"), col("cv")) /
+          (col("nrm") * col("cn")))
+      .groupBy("vec_id")
+      .agg(max_by(col("c_id"), struct(round(col("ccos"), 9), -col("c_id"))).as("c_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the NEW plan: codegen'd argmax over the collected codebook
+    val cb = centroids.select(col("c_id"), col("cv"), col("cn"))
+      .collect().sortBy(_.getLong(0))
+    val newPlan = c.withColumn("c_id",
+        graft.functions.NearestCentroidExpr.nearestCentroid(
+          col("v"), col("nrm"), cb.map(_.getLong(0)),
+          cb.map(_.getSeq[Double](1).toArray), cb.map(_.getDouble(2))))
+      .select("vec_id", "c_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(newPlan.size == oldPlan.size)
+    val diff = oldPlan.collect { case (id, cid) if newPlan(id) != cid =>
+      (id, cid, newPlan(id)) }
+    assert(diff.isEmpty, s"assignment divergence: ${diff.take(5)}")
+    // and the operator plan is exchange/join-free: a narrow map
+    val assignedPlan = Similarity.semanticDedup(emb, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!assignedPlan.contains("CartesianProduct"))
+  }
+
   test("range search: exactly the pairs at/above the threshold, consistent with brute force") {
     val tau = 0.3
     val ranged = Similarity.rangeSearch(emb, tau = tau).collect()
