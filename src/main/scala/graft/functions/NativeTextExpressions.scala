@@ -258,6 +258,45 @@ object NativeTextExpressions {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Second embedding KERNEL behind the same bridge: word-unigram
+    * feature hashing (whitespace tokens, xxhash64 seed 42 → dimension
+    * + ±1 sign, L2-normalized). Exists to prove the "swap the kernel,
+    * consumers unchanged" contract — semantic dedup / ANN / MIPS take
+    * any unit-norm array<double>, so switching char-trigram →
+    * word-unigram (→ a real model) is a one-line change at the embed
+    * site, never in the consumers. Token-free texts embed as the zero
+    * vector, same as the trigram kernel.
+    */
+  def unigramHashEmbedCompute(s: UTF8String, dim: Int): ArrayData = {
+    val str = s.toString
+    val acc = new Array[Double](dim)
+    val n = str.length
+    var i = 0
+    var start = -1
+    def feed(lo: Int, hi: Int): Unit = {
+      val h = XxHash64Function.hash(
+        UTF8String.fromString(str.substring(lo, hi)), StringType, 42L)
+      val idx = ((h >>> 1) % dim).toInt
+      acc(idx) += (if ((h & 1L) == 0L) 1.0 else -1.0)
+    }
+    while (i < n) {
+      val ws = Character.isWhitespace(str.charAt(i))
+      if (!ws && start < 0) start = i
+      if (ws && start >= 0) { feed(start, i); start = -1 }
+      i += 1
+    }
+    if (start >= 0) feed(start, n)
+    var ss = 0.0
+    var j = 0
+    while (j < dim) { ss += acc(j) * acc(j); j += 1 }
+    if (ss > 0) {
+      val inv = 1.0 / math.sqrt(ss)
+      j = 0
+      while (j < dim) { acc(j) *= inv; j += 1 }
+    }
+    UnsafeArrayData.fromPrimitiveArray(acc)
+  }
+
   // ---- Column API ----
 
   def fingerprint64(text: Column): Column =
@@ -274,6 +313,10 @@ object NativeTextExpressions {
 
   def featureHashEmbed(text: Column, dim: Int = 64): Column =
     GraftColumnBridge.column(FeatureHashEmbedExpr(
+      GraftColumnBridge.expression(text), dim))
+
+  def unigramHashEmbed(text: Column, dim: Int = 64): Column =
+    GraftColumnBridge.column(UnigramHashEmbedExpr(
       GraftColumnBridge.expression(text), dim))
 
   def sigMatchFrac(a: Column, b: Column): Column =
@@ -359,6 +402,21 @@ case class FeatureHashEmbedExpr(child: Expression, dim: Int)
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.NativeTextExpressions.featureHashEmbedCompute($a, $dim);")
   override protected def withNewChildInternal(newChild: Expression): FeatureHashEmbedExpr =
+    copy(child = newChild)
+}
+
+case class UnigramHashEmbedExpr(child: Expression, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(dim > 0, "embedding dimension must be positive")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "unigram_hash_embed"
+  override def nullSafeEval(a: Any): Any =
+    NativeTextExpressions.unigramHashEmbedCompute(a.asInstanceOf[UTF8String], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.NativeTextExpressions.unigramHashEmbedCompute($a, $dim);")
+  override protected def withNewChildInternal(newChild: Expression): UnigramHashEmbedExpr =
     copy(child = newChild)
 }
 

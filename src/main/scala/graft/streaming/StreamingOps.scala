@@ -330,6 +330,17 @@ object StreamingQueries {
     // domain/width × horizon, never event count
     "st12_stream_histogram" -> ((s, d) =>
       runStream(s, d)(ev => StreamingOps.histogramStream(ev))),
+    // st12 in TRUE APPEND MODE — the production monitoring contract:
+    // each window's histogram is emitted EXACTLY ONCE, when the
+    // watermark (max event time − 1 h) passes its end. The bounded
+    // source arrives as one micro-batch, then the no-data batch
+    // finalizes every window whose end ≤ watermark — so the result is
+    // deterministic: the batch histogram restricted to closed windows,
+    // which is exactly what the oracle computes. Complete mode (st12)
+    // re-emits everything per trigger; append is what a downstream
+    // alerting sink can actually consume.
+    "st13_stream_histogram_append" -> ((s, d) =>
+      runStream(s, d, outputMode = "append")(ev => StreamingOps.histogramStream(ev))),
     // streaming exact dedup: state-store-backed dropDuplicates on the
     // event stream (the streaming twin of d1's batch dedup shape) —
     // per event type, events surviving dedup on (user, type)
@@ -516,6 +527,20 @@ object StreamingQueries {
       """SELECT strftime(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS window_start,
            event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
          FROM events GROUP BY 1, 2""",
+    // append mode emits exactly the watermark-closed windows: the
+    // batch histogram restricted to windows whose end precedes
+    // max(ts) − 1 hour
+    "st13_stream_histogram_append" ->
+      """WITH b AS (
+           SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS wstart,
+             CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+             COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+           FROM events GROUP BY 1, 2)
+         SELECT strftime(wstart, '%Y-%m-%d %H:%M') AS window_start,
+           bucket, n_events, sum_value
+         FROM b
+         WHERE wstart + INTERVAL 15 MINUTE
+           <= (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR FROM events)""",
     // the streamed histogram must equal the batch fixed-width form
     "st12_stream_histogram" ->
       """SELECT strftime(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS window_start,

@@ -217,6 +217,36 @@ class SimilaritySpec extends SparkSpec {
     (1L until 7L).foreach(i => assert(out(i)._1 == "kept", s"doc $i: $out"))
   }
 
+  test("kernel swap: unigram-hash embeddings drive semantic dedup + LSH unchanged") {
+    import graft.functions.NativeTextExpressions.unigramHashEmbed
+    import spark.implicits._
+    // same fixture as the t17 end-to-end test, new kernel: 0 and 7 are
+    // byte-identical texts, everything else distinct
+    val texts = (0L until 8L).map { i =>
+      val body = if (i == 7L || i == 0L) "the same exact duplicated sentence body"
+        else s"unique document number $i talking about topic ${"abcdefg" (i.toInt)}"
+      (i, body)
+    }
+    val emb2 = texts.toDF("vec_id", "text")
+      .select(col("vec_id"), lit("doc").as("label"),
+        unigramHashEmbed(lower(col("text")), 64).as("embedding"))
+    // d13's core consumes the new kernel with no changes
+    val out = Similarity.semanticDedup(emb2, tau = 0.95, k = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[String]("status"), r.getAs[Long]("canonical_id"))).toMap
+    assert(out(7L) == (("semantic_dup", 0L)), s"kernel swap broke dedup: $out")
+    (0L until 7L).foreach(i => assert(out(i)._1 == "kept", s"doc $i: $out"))
+    // s2's core consumes it too: structurally valid ranked neighbors
+    val lsh = Similarity.lshTopK(emb2, k = 2, nQueries = 3).collect()
+    assert(lsh.nonEmpty)
+    assert(lsh.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("q_id")))
+    // the identical pair is each other's top LSH hit at cosine 1
+    val hit = lsh.find(r => r.getAs[Long]("q_id") == 0L &&
+      r.getAs[Long]("neighbor_id") == 7L)
+    assert(hit.exists(r => math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-9),
+      s"identical texts must be cosine-1 LSH neighbors: ${lsh.mkString(",")}")
+  }
+
   test("semantic dedup: labels brute-force-verified; planted duplicates collapse") {
     val tau = 0.9
     // plant byte-identical copies of two vectors under new high ids
