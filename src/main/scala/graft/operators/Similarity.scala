@@ -235,6 +235,12 @@ object Similarity {
     val cb = centroids.select(col("c_id"), col("cv"), col("cn"))
       .collect()
       .sortBy(_.getLong(0))
+    // empty corpus → empty codebook: preserve the old crossJoin plan's
+    // degenerate result (zero rows, same schema) instead of requiring
+    // a non-empty codebook
+    if (cb.isEmpty)
+      return c.select(col("vec_id"), lit(null).cast("long").as("c_id"),
+        col("label"), col("v"), col("nrm")).where(lit(false))
     val ids = cb.map(_.getLong(0))
     val vecs = cb.map(_.getSeq[Double](1).toArray)
     val norms = cb.map(_.getDouble(2))

@@ -341,6 +341,16 @@ object StreamingQueries {
     // alerting sink can actually consume.
     "st13_stream_histogram_append" -> ((s, d) =>
       runStream(s, d, outputMode = "append")(ev => StreamingOps.histogramStream(ev))),
+    // st4's session windows in TRUE APPEND MODE: a session is emitted
+    // exactly once, when the watermark passes its end (last event +
+    // gap). On the bounded source that's deterministic — the batch
+    // sessionization restricted to sessions closed before
+    // max(ts) − 1 h — so the continuous-sessionization production
+    // contract (emit a user's session when it's provably over, never
+    // re-emit) gets a DuckDB oracle, not just a spec.
+    "st14_session_window_append" -> ((s, d) =>
+      runStream(s, d, outputMode = "append")(ev =>
+        StreamingOps.sessionWindowAgg(ev.withWatermark("ts", "1 hour")))),
     // streaming exact dedup: state-store-backed dropDuplicates on the
     // event stream (the streaming twin of d1's batch dedup shape) —
     // per event type, events surviving dedup on (user, type)
@@ -527,6 +537,31 @@ object StreamingQueries {
       """SELECT strftime(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS window_start,
            event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
          FROM events GROUP BY 1, 2""",
+    // append emits exactly the sessions CLOSED by the watermark: the
+    // batch sessionization restricted to sessions whose end (last
+    // event + 30-minute gap) precedes max(ts) − 1 hour
+    "st14_session_window_append" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR (epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP))) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         sessions AS (
+           SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
+           FROM flagged),
+         agg AS (
+           SELECT user_id,
+             strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
+             MAX(CAST(ts AS TIMESTAMP)) AS session_last,
+             COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+           FROM sessions GROUP BY user_id, sess_idx)
+         SELECT user_id, session_start, n_events, total_value
+         FROM agg
+         WHERE session_last + INTERVAL 30 MINUTE
+           <= (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR FROM events)""",
     // append mode emits exactly the watermark-closed windows: the
     // batch histogram restricted to windows whose end precedes
     // max(ts) − 1 hour
