@@ -82,14 +82,18 @@ object Bench {
     // minima are host noise, not regressions.
     val committedMin: Map[String, Double] = {
       def parse(txt: String): Map[String, Double] = {
-        // baselines only compare within the same scale factor
-        if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+        // baselines only compare within the same scale factor;
+        // whitespace-tolerant so a pretty-printed baseline still parses
+        val sfOk = ("\"sf\"\\s*:\\s*\"" + java.util.regex.Pattern.quote(sfDir) + "\"").r
+          .findFirstIn(txt).isDefined
+        if (!sfOk) Map.empty
         else {
-          val qs = txt.indexOf("\"queries\":{")
-          if (qs < 0) Map.empty
-          else "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r
-            .findAllMatchIn(txt.substring(qs + 11, txt.indexOf('}', qs)))
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val qs = "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(txt)
+          qs.map { m =>
+            "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r
+              .findAllMatchIn(txt.substring(m.end, txt.indexOf('}', m.end)))
+              .map(g => g.group(1) -> g.group(2).toDouble).toMap
+          }.getOrElse(Map.empty)
         }
       }
       val fromGit =

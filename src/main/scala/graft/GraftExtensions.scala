@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import graft.functions.{DotProductExpr, FeatureHashEmbedExpr, Fingerprint64Expr, MinHashSigExpr, NormSquaredExpr, SigMatchFracExpr, SimHash64Expr, SubwordEstExpr, WordNgramsExpr}
+import graft.functions.{DotProductExpr, FeatureHashEmbedExpr, Fingerprint64Expr, MinHashSigExpr, NormSquaredExpr, SigMatchFracExpr, SimHash64Expr, SubwordEstExpr, UnigramHashEmbedExpr, WordNgramsExpr}
 
 /** Optimizer rule: `vector_dot(x, x)` → `norm_sq(x)` — one array
   * traversal instead of two. The (c)-tier `Rule[LogicalPlan]`
@@ -89,6 +89,9 @@ object GraftExtensions {
     ("feature_hash_embed", classOf[FeatureHashEmbedExpr].getName,
       arity("feature_hash_embed", 2)(e =>
         FeatureHashEmbedExpr(e.head, litInt("feature_hash_embed", e(1))))),
+    ("unigram_hash_embed", classOf[UnigramHashEmbedExpr].getName,
+      arity("unigram_hash_embed", 2)(e =>
+        UnigramHashEmbedExpr(e.head, litInt("unigram_hash_embed", e(1))))),
     ("opt_fence", classOf[graft.functions.OptimizationFence].getName,
       arity("opt_fence", 1)(e => graft.functions.OptimizationFence(e.head))),
     // aggregate builders return the AggregateFunction; the analyzer

@@ -40,7 +40,11 @@ class PlanLintSpec extends SparkSpec {
     "st9_incremental_rollup_stream",
     // st11 runs the stream + durable sink on invocation; its
     // classification plan is d11's (linted there)
-    "st11_stream_neardup_sink")
+    "st11_stream_neardup_sink",
+    // st12/st13 drive the full stream on invocation; the histogram agg
+    // plan is q39's (linted there); st14's session agg is st4's
+    "st12_stream_histogram", "st13_stream_histogram_append",
+    "st14_session_window_append")
 
   test("no registry query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

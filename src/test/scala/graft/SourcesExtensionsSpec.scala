@@ -164,6 +164,16 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(got == 11.0)
   }
 
+  test("embedding kernels are callable from SQL and unit-norm") {
+    GraftFunctions.register(spark)
+    Seq("feature_hash_embed", "unigram_hash_embed").foreach { fn =>
+      val v = spark.sql(
+        s"SELECT $fn('the quick brown fox', 16) AS v").head().getSeq[Double](0)
+      assert(v.length == 16, fn)
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, s"$fn not unit-norm")
+    }
+  }
+
   test("round-7 functions are callable from SQL: opt_fence and the topk aggregates") {
     GraftFunctions.register(spark)
     assert(spark.sql("SELECT opt_fence(1.5d) AS v").head().getDouble(0) == 1.5)
