@@ -211,11 +211,13 @@ object Similarity {
       .withColumn("cn", norm(col("cv")))
     for (_ <- 1 to iters) {
       val assigned = assignToCentroids(c, centroids)
-      centroids = assigned.select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("c_id", "pos").agg(avg("x").as("cx"))
-        .groupBy("c_id")
-        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pcs"))
-        .select(col("c_id"), expr("transform(pcs, p -> p.cx)").as("cv"))
+      // centroid update = ONE array-valued aggregation
+      // ([[graft.functions.VectorMeanAgg]]): the old compositional
+      // plan (posexplode → avg by (c_id, pos) → collect_list +
+      // array_sort) amplified every vector into dim position-rows and
+      // paid a second shuffle just to re-assemble arrays
+      centroids = assigned.groupBy("c_id")
+        .agg(graft.functions.VectorMeanAgg.vectorMean(col("v")).as("cv"))
         .withColumn("cn", norm(col("cv")))
     }
     centroids

@@ -51,6 +51,27 @@ class SimilaritySpec extends SparkSpec {
     assert(!assignedPlan.contains("CartesianProduct"))
   }
 
+  test("vector_mean aggregate equals the posexplode/avg reference plan") {
+    import graft.functions.VectorMeanAgg.vectorMean
+    import graft.operators.Similarity.corpus
+    val c = corpus(emb)
+    val centroids = Similarity.kmeansCentroids(c, k = 10, iters = 1)
+    val assigned = c.withColumn("c_id", lit(0L)) // one group: the global mean
+    val got = assigned.groupBy("c_id").agg(vectorMean(col("v")).as("cv"))
+      .head().getSeq[Double](1)
+    val ref = assigned.select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("c_id", "pos").agg(avg("x").as("cx"))
+      .orderBy("pos").collect().map(_.getDouble(2))
+    assert(got.length == ref.length)
+    got.zip(ref).foreach { case (g, r) =>
+      assert(math.abs(g - r) < 1e-12, s"$g vs $r") }
+    // and the full kmeans pipeline stays deterministic run-to-run
+    val again = Similarity.kmeansCentroids(c, k = 10, iters = 1)
+    val a = centroids.orderBy("c_id").collect().map(_.getSeq[Double](1))
+    val b = again.orderBy("c_id").collect().map(_.getSeq[Double](1))
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
   test("range search: exactly the pairs at/above the threshold, consistent with brute force") {
     val tau = 0.3
     val ranged = Similarity.rangeSearch(emb, tau = tau).collect()
