@@ -632,4 +632,41 @@ object HierarchyAgg {
         "delta_sales", "old_qty", "new_qty", "old_customers",
         "new_customers", "old_facts", "new_facts")
   }
+
+  /** LOWEST COMMON ANCESTOR of every leaf pair, from the closure —
+    * the hierarchy-distance lookup every "how related are these two
+    * things" analysis needs (org units, product categories,
+    * geo rollups). Two leaves' common ancestors form a chain, so the
+    * LCA is simply their shared ancestor with the maximum level:
+    * self-join the leaf rows of the closure ON THE ANCESTOR KEY and
+    * take the per-pair max-level row — closure algebra only, no tree
+    * walk, no recursion.
+    *
+    * Scale shape: this is a DIMENSION-side op. The join is keyed on
+    * ancestor_node_id; fanout is Σ_anc |leaves(anc)|² — quadratic in
+    * leaves-under-root, fine for dimension tables (10⁴ nodes), never
+    * to be pointed at facts. Fact pairs join their leaf keys to THIS
+    * result instead (it is exactly the leaf-pair → LCA lookup).
+    * Ancestors-per-leaf is depth-bounded, so the pre-join frame is
+    * |leaves| × depth.
+    */
+  def lcaPairs(aggDim: DataFrame): DataFrame = {
+    val leaves = aggDim.filter(col("descendant_is_leaf"))
+      .select(col("descendant_node_id").as("leaf"),
+        col("ancestor_node_id").as("anc"),
+        col("ancestor_node_name").as("aname"),
+        col("ancestor_level_number").as("alvl"))
+    val a = leaves.select(col("leaf").as("leaf_a"), col("anc"),
+      col("aname"), col("alvl"))
+    val b = leaves.select(col("leaf").as("leaf_b"), col("anc"))
+    a.join(b, Seq("anc"))
+      .filter(col("leaf_a") < col("leaf_b"))
+      .groupBy("leaf_a", "leaf_b")
+      // common ancestors are a chain: max level IS the LCA, no ties
+      .agg(
+        max_by(col("anc"), col("alvl")).as("lca_node_id"),
+        max_by(col("aname"), col("alvl")).as("lca_node_name"),
+        max(col("alvl")).cast("long").as("lca_level"))
+      .select("leaf_a", "leaf_b", "lca_node_id", "lca_node_name", "lca_level")
+  }
 }

@@ -317,6 +317,12 @@ object HierarchyQueries {
     // holds — the alternative tree representation serving engines use
     // for broadcastable interval subtree joins
     "h19_nested_sets" -> ((s, d) => dimension(s, d).nestedSets),
+    // LOWEST COMMON ANCESTOR of every leaf pair on the 4-level
+    // hierarchy — closure algebra only (ancestor-keyed self-join +
+    // per-pair max level); the leaf-pair → LCA lookup fact pairs
+    // join against. Dimension-sized by design.
+    "h20_lca" -> ((s, d) =>
+      HierarchyAgg.lcaPairs(deepDimension(s, d).aggregationDim)),
     // dimension MAINTENANCE: reparent one node (n8 INDIA moves from
     // Asia under r0 Africa) and diff the two closures — the
     // added/removed ancestor–descendant pairs are exactly the rows a
@@ -616,6 +622,21 @@ SELECT r.node_id, r.node_natural_key, r.node_name,
   CAST(r.node_sort_order * 2 - r.level_number AS BIGINT) AS lft,
   CAST(r.node_sort_order * 2 - r.level_number + s.subtree_size * 2 - 1 AS BIGINT) AS rgt
 FROM rdim r JOIN sizes s ON r.node_id = s.node_id""",
+    // LCA = the shared ancestor at max level (common ancestors form
+    // a chain, so max level is unique per pair — no tie-break needed)
+    "h20_lca" ->
+      s"""${prelude(true)},
+leaves AS (
+  SELECT descendant_node_id AS leaf, ancestor_node_id AS anc,
+         ancestor_node_name AS aname, ancestor_level_number AS alvl
+  FROM adim WHERE descendant_is_leaf),
+pairs AS (
+  SELECT a.leaf AS leaf_a, b.leaf AS leaf_b, a.anc, a.aname, a.alvl
+  FROM leaves a JOIN leaves b ON a.anc = b.anc AND a.leaf < b.leaf)
+SELECT leaf_a, leaf_b, arg_max(anc, alvl) AS lca_node_id,
+  arg_max(aname, alvl) AS lca_node_name,
+  CAST(MAX(alvl) AS BIGINT) AS lca_level
+FROM pairs GROUP BY 1, 2""",
     // the what-if preview must agree with actually running both
     // worlds: base and edited rollups full-outer-joined on the node,
     // changed rows only

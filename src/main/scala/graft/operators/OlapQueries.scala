@@ -730,7 +730,29 @@ object OlapQueries {
           floor(col("l_extendedprice") / 5000.0).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n_items"),
           round(sum("l_extendedprice"), 4).as("sum_price"),
-          round(avg("l_quantity"), 6).as("avg_qty")))
+          round(avg("l_quantity"), 6).as("avg_qty"))),
+    // TIME-WEIGHTED average per user — the LOCF integral (each value
+    // holds until the next observation; weight = its holding time),
+    // the financial/metrics-rollup aggregate a plain AVG silently
+    // fakes on irregular series. One user-keyed window (lead) feeding
+    // one user-keyed aggregate — same exchange, no second shuffle;
+    // time deltas in exact integer microseconds via unix_micros. The
+    // last observation carries no weight; single-event users have no
+    // interval and are excluded.
+    "q40_time_weighted_avg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("next_us", lead("us", 1).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value") * (col("next_us") - col("us"))) /
+            (max("us") - min("us")), 4).as("twa"))
+        .filter(col("n_events") >= 2)
+        .select("user_id", "n_events", "twa")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -1067,6 +1089,19 @@ object OlapQueries {
            COUNT(*) AS n_items,
            ROUND(SUM(l_extendedprice), 4) AS sum_price,
            ROUND(AVG(l_quantity), 6) AS avg_qty
-         FROM lineitem GROUP BY 1, 2"""
+         FROM lineitem GROUP BY 1, 2""",
+    // LOCF integral: value_i weighted by its holding time, normalized
+    // by the user's observed span; last observation unweighted
+    "q40_time_weighted_avg" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         w AS (
+           SELECT user_id, value, us,
+             lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_us
+           FROM e)
+         SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value * (next_us - us)) / (MAX(us) - MIN(us)), 4) AS twa
+         FROM w GROUP BY user_id HAVING COUNT(*) >= 2"""
   )
 }

@@ -351,6 +351,23 @@ object StreamingQueries {
     "st14_session_window_append" -> ((s, d) =>
       runStream(s, d, outputMode = "append")(ev =>
         StreamingOps.sessionWindowAgg(ev.withWatermark("ts", "1 hour")))),
+    // STREAMING windowed TOP-K: the bounded-heap TopKByScore aggregate
+    // running INSIDE the streaming state store — per 15-minute window,
+    // the 3 highest-value events. State per window is the k-entry
+    // heap (serialized into the store row), never the window's event
+    // list; the same "only nTasks × k tuples cross the shuffle" shape
+    // as q37, now incremental. Proves the custom TypedImperative
+    // aggregates compose with Structured Streaming unchanged.
+    "st15_windowed_topk" -> ((s, d) =>
+      runStream(s, d)(ev =>
+        ev.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "15 minutes").as("w"))
+          .agg(graft.functions.TopKAggregate.topkByScore(
+            round(col("value"), 9), col("value"), col("event_id"), 3).as("tk"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+            posexplode(col("tk")).as(Seq("pos", "t")))
+          .select(col("window_start"), (col("pos") + 1).cast("long").as("rank"),
+            col("t.id").as("event_id"), round(col("t.score"), 6).as("value")))),
     // streaming exact dedup: state-store-backed dropDuplicates on the
     // event stream (the streaming twin of d1's batch dedup shape) —
     // per event type, events surviving dedup on (user, type)
@@ -537,6 +554,19 @@ object StreamingQueries {
       """SELECT strftime(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS window_start,
            event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
          FROM events GROUP BY 1, 2""",
+    // streamed windowed top-k converges to the batch rank: top 3 by
+    // (round(value,9) desc, event_id asc) per tumbling window
+    "st15_windowed_topk" ->
+      """WITH w AS (
+           SELECT strftime(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS window_start,
+             event_id, value,
+             row_number() OVER (
+               PARTITION BY time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+               ORDER BY round(value, 9) DESC, event_id ASC) AS rn
+           FROM events)
+         SELECT window_start, CAST(rn AS BIGINT) AS rank, event_id,
+           ROUND(value, 6) AS value
+         FROM w WHERE rn <= 3""",
     // append emits exactly the sessions CLOSED by the watermark: the
     // batch sessionization restricted to sessions whose end (last
     // event + 30-minute gap) precedes max(ts) − 1 hour

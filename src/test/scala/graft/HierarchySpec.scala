@@ -825,6 +825,29 @@ class HierarchySpec extends SparkSpec {
     assert(math.abs(s(nations) - root.getAs[Double]("sum_sales_amount")) < 1e-4)
   }
 
+  test("LCA pairs: same-nation segments meet at the nation, cross-region at root") {
+    val adim = HierarchyQueries.deepDimension(spark, sf).aggregationDim
+    val lca = graft.operators.HierarchyAgg.lcaPairs(adim).collect()
+      .map(r => (r.getAs[String]("leaf_a"), r.getAs[String]("leaf_b")) ->
+        (r.getAs[String]("lca_node_id"), r.getAs[Long]("lca_level"))).toMap
+    // 125 segment leaves → C(125,2) pairs, every pair present exactly once
+    assert(lca.size == 125 * 124 / 2)
+    // two segments of nation 3: LCA is the nation (level 3 of 4)
+    assert(lca(("s3_AUTOMOBILE", "s3_BUILDING")) == (("n3", 3L)))
+    // nation 0 (region 0) × nation 1 (region 1): cross-region → root
+    assert(lca(("s0_AUTOMOBILE", "s1_AUTOMOBILE")) == (("root", 1L)))
+    // same region, different nations → the region
+    val nations = graft.Tables.nation(spark, sf).collect()
+      .map(r => r.getAs[Int]("n_nationkey") -> r.getAs[Int]("n_regionkey")).toMap
+    val sameRegionPair = (0 to 24).combinations(2)
+      .find { case Seq(a, b) => nations(a) == nations(b) }.get
+    val Seq(na, nb) = sameRegionPair.toSeq
+    // pair key order is lexicographic on node id, not numeric
+    val k1 = s"s${na}_AUTOMOBILE"; val k2 = s"s${nb}_AUTOMOBILE"
+    val (got, lvl) = lca.getOrElse((k1, k2), lca((k2, k1)))
+    assert(got == s"r${nations(na)}" && lvl == 2L, s"$na,$nb -> $got")
+  }
+
   test("quickstart: the reference's grocery demo rolls up to its published totals") {
     val rows = Quickstart.rollup(spark).collect()
     val byName = rows.map(r =>

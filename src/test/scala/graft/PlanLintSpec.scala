@@ -44,7 +44,10 @@ class PlanLintSpec extends SparkSpec {
     // st12/st13 drive the full stream on invocation; the histogram agg
     // plan is q39's (linted there); st14's session agg is st4's
     "st12_stream_histogram", "st13_stream_histogram_append",
-    "st14_session_window_append")
+    "st14_session_window_append",
+    // st15 drives the stream on invocation; its top-k agg is q37's
+    // bounded heap (linted there)
+    "st15_windowed_topk")
 
   test("no registry query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -123,6 +123,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q40 time-weighted average equals the hand-computed LOCF integral") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // user 1: 10 held 10s, 30 held 20s over a 30s span → (100+600)/30
+    // user 2: single event → excluded
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val ev = Seq(
+      (1L, 1L, at(0), 10.0), (2L, 1L, at(10), 30.0), (3L, 1L, at(30), 50.0),
+      (4L, 2L, at(5), 99.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val out = ev.select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("next_us", lead("us", 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value") * (col("next_us") - col("us"))) /
+          (max("us") - min("us")), 4).as("twa"))
+      .filter(col("n_events") >= 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out == Map(1L -> 23.3333), out.toString)
+  }
+
   test("fused DFS sort order equals the to_json window reference on hostile names") {
     import org.apache.spark.sql.expressions.Window
     // names deliberately include JSON-escaping and collation hazards:
