@@ -333,6 +333,20 @@ object Graft {
       nprobe: Int = 3): DataFrame =
     Similarity.ivfTopK(embeddings, k, nQueries, nprobe)
 
+  /** ALL-CORPUS kNN join: top-k ANN neighbors for every vector (LSH
+    * bucket self-join + multiprobe); see
+    * [[operators.Similarity.knnJoin]].
+    */
+  def knnJoin(embeddings: DataFrame, k: Int = 3): DataFrame =
+    Similarity.knnJoin(embeddings, k)
+
+  /** Lowest common ancestor of every leaf pair of a hierarchy
+    * dimension — the leaf-pair relatedness lookup; see
+    * [[operators.HierarchyAgg.lcaPairs]].
+    */
+  def lcaPairs(dim: operators.HierarchyDimension): DataFrame =
+    operators.HierarchyAgg.lcaPairs(dim.aggregationDim)
+
   /** Exact max-inner-product top-k — the recommender-retrieval
     * objective (magnitude carries signal cosine strips); see
     * [[operators.Similarity.mipsTopK]].

@@ -752,6 +752,26 @@ object OlapQueries {
             (max("us") - min("us")), 4).as("twa"))
         .filter(col("n_events") >= 2)
         .select("user_id", "n_events", "twa")
+    }),
+    // MARKOV TRANSITION MATRIX over per-user event sequences: count of
+    // each (prev_type → type) step plus the row-normalized transition
+    // probability — the path-analysis primitive behind "what do users
+    // do next". One user-keyed window (lag) then a type-pair
+    // aggregate; the probability window runs over the AGGREGATED
+    // frame (|types|² rows), so the second window is free at any
+    // scale.
+    "q41_transition_matrix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_type", lag("event_type", 1).over(byUser))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("n_transitions"))
+        .withColumn("p", round(
+          col("n_transitions").cast("double") /
+            sum("n_transitions").over(Window.partitionBy("prev_type")), 6))
+        .select("prev_type", "event_type", "n_transitions", "p")
     })
   )
 
@@ -1102,6 +1122,19 @@ object OlapQueries {
            FROM e)
          SELECT user_id, COUNT(*) AS n_events,
            ROUND(SUM(value * (next_us - us)) / (MAX(us) - MIN(us)), 4) AS twa
-         FROM w GROUP BY user_id HAVING COUNT(*) >= 2"""
+         FROM w GROUP BY user_id HAVING COUNT(*) >= 2""",
+    // per-user lag pairs → pair counts → row-normalized probabilities
+    "q41_transition_matrix" ->
+      """WITH w AS (
+           SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         t AS (
+           SELECT prev_type, event_type, COUNT(*) AS n_transitions
+           FROM w WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, event_type, n_transitions,
+           ROUND(CAST(n_transitions AS DOUBLE) /
+             SUM(CAST(n_transitions AS DOUBLE)) OVER (PARTITION BY prev_type), 6) AS p
+         FROM t"""
   )
 }

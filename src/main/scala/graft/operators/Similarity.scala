@@ -169,6 +169,55 @@ object Similarity {
     rerank(pairs, k)
   }
 
+  /** ALL-CORPUS kNN JOIN: top-k cosine neighbors for EVERY vector —
+    * the embedding-pipeline workhorse (near-dup graphs, diversity
+    * sampling, cluster seeding run this over the whole corpus, not a
+    * query set). [[lshTopK]] broadcasts its tiny query side; here both
+    * sides are the corpus, so candidates come from a (table, bucket)
+    * EQUI-JOIN of the LSH buckets against themselves: the shuffle key
+    * is the bucket, pair count is Σ|bucket|² per table — never the
+    * all-pairs n². Each unordered pair is generated once (id <) and
+    * mirrored, so the dot product is computed once per pair; the
+    * per-vector top-k is the bounded heap (map-side buffers ≤ k).
+    * ANN recall is hash-dependent → rows-only; the recall spec
+    * measures against the exact join on the fixture.
+    */
+  def knnJoin(emb: DataFrame, k: Int = 3,
+      nPlanes: Int = 6, nTables: Int = 8): DataFrame = {
+    val c = corpus(emb)
+      .withColumn("buckets",
+        NativeTextExpressions.hyperplaneBuckets(col("v"), nPlanes, nTables))
+    val buckets = c.select(col("vec_id"), col("v"), col("nrm"),
+      posexplode(col("buckets")).as(Seq("table", "bucket")))
+    // distance-1 multiprobe on ONE side only: a pair whose buckets
+    // differ by ≤1 projection bit is found from whichever endpoint
+    // carries the flip (XOR is symmetric), so probing both sides
+    // would only duplicate candidates. Probe stream is
+    // n × tables × (planes+1) rows — linear, the recall knob.
+    val right = buckets
+      .select(col("table"), col("vec_id").as("j_id"), col("v").as("jv"),
+        col("nrm").as("jn"),
+        explode(concat(array(col("bucket")),
+          transform(array((0 until nPlanes).map(j => lit(1L << j)): _*),
+            m => col("bucket").bitwiseXOR(m)))).as("bucket"))
+    val pairsOnce = buckets.join(right, Seq("table", "bucket"))
+      .filter(col("vec_id") < col("j_id"))
+      .select("vec_id", "j_id", "v", "nrm", "jv", "jn")
+      .dropDuplicates("vec_id", "j_id")
+      .withColumn("cos", graft.functions.OptimizationFence.fence(
+        dot(col("v"), col("jv")) / (col("nrm") * col("jn"))))
+      .select("vec_id", "j_id", "cos")
+    // mirror so both endpoints rank the pair, then per-vector top-k
+    val pairs = pairsOnce.unionByName(pairsOnce.select(
+      col("j_id").as("vec_id"), col("vec_id").as("j_id"), col("cos")))
+    pairs
+      .groupBy("vec_id")
+      .agg(topkByScore(round(col("cos"), 9), col("cos"), col("j_id"), k).as("tk"))
+      .select(col("vec_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("neighbor_id"), round(col("t.score"), 6).as("cosine"))
+  }
+
   /** Exact cosine RANGE search: every corpus vector with
     * `cos >= tau` per query — the thresholded counterpart of top-k
     * (radius query), the primitive behind "pull everything similar
@@ -354,7 +403,10 @@ object SimilarityQueries {
     "s3_knn_ivf" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     "s4_range_search" -> ((s, d) => Similarity.rangeSearch(Tables.embeddings(s, d))),
     "s5_mips" -> ((s, d) => Similarity.mipsTopK(Tables.embeddings(s, d))),
-    "s6_mips_lsh" -> ((s, d) => Similarity.mipsLshTopK(Tables.embeddings(s, d)))
+    "s6_mips_lsh" -> ((s, d) => Similarity.mipsLshTopK(Tables.embeddings(s, d))),
+    // all-corpus kNN join: every vector's top-3 ANN neighbors via the
+    // bucket self-join (rows-only: recall spec vs the exact join)
+    "s7_knn_join" -> ((s, d) => Similarity.knnJoin(Tables.embeddings(s, d)))
   )
 
   val oracles: Map[String, String] = Map(

@@ -238,6 +238,40 @@ class SimilaritySpec extends SparkSpec {
     (1L until 7L).foreach(i => assert(out(i)._1 == "kept", s"doc $i: $out"))
   }
 
+  test("kNN join: every vector ranked, recall vs the exact all-pairs join") {
+    val k = 3
+    val rows = Similarity.knnJoin(emb, k = k).collect()
+    assert(rows.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("vec_id")))
+    // ≤ k ranked neighbors per vector, cosine descending
+    rows.groupBy(_.getAs[Long]("vec_id")).foreach { case (_, rs) =>
+      assert(rs.length <= k)
+      val byRank = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cosine"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // exact reference: brute-force top-k for EVERY vector
+    import graft.operators.Similarity.corpus
+    val c = corpus(emb).select("vec_id", "v", "nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val exact = c.flatMap { case (i, vi, ni) =>
+      c.filter(_._1 != i).map { case (j, vj, nj) =>
+        val dot = vi.zip(vj).map { case (a, b) => a * b }.sum
+        (i, j, dot / (ni * nj))
+      }.sortBy { case (_, j, cos) => (-cos, j) }.take(k)
+    }.map { case (i, j, _) => (i, j) }.toSet
+    val got = rows.map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    info(f"kNN-join recall@$k vs exact: $recall%.2f")
+    assert(recall >= 0.6, f"kNN join recall too low: $recall%.2f")
+    // pair symmetry of the candidate generation: if (a,b) is in the
+    // result and b ranks a's bucket, the mirrored pair carries the
+    // same cosine
+    val cosByPair = rows.map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
+    cosByPair.foreach { case ((a, b), cab) =>
+      cosByPair.get((b, a)).foreach(cba => assert(cab == cba)) }
+  }
+
   test("kernel swap: unigram-hash embeddings drive semantic dedup + LSH unchanged") {
     import graft.functions.NativeTextExpressions.unigramHashEmbed
     import spark.implicits._
