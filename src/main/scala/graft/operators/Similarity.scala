@@ -183,10 +183,21 @@ object Similarity {
     * measures against the exact join on the fixture.
     */
   def knnJoin(emb: DataFrame, k: Int = 3,
-      nPlanes: Int = 6, nTables: Int = 8): DataFrame = {
+      nPlanes: Int = 0, nTables: Int = 8,
+      targetBucketSize: Int = 8): DataFrame = {
+    // nPlanes ≤ 0 → AUTO: planes ≈ log2(n / targetBucketSize), the
+    // same grow-the-blocking-knob-with-the-corpus policy as [[autoK]].
+    // At fixed planes the Σ|bucket|² candidate bound degrades toward
+    // n² as the corpus grows; holding the expected bucket SIZE fixed
+    // keeps it ~n × targetBucketSize × tables × (planes+1). One
+    // metadata-cheap count sizes it.
+    val planes = if (nPlanes > 0) nPlanes
+      else math.min(20, math.max(4,
+        (math.log(math.max(1.0, emb.count().toDouble / targetBucketSize)) /
+          math.log(2.0)).ceil.toInt))
     val c = corpus(emb)
       .withColumn("buckets",
-        NativeTextExpressions.hyperplaneBuckets(col("v"), nPlanes, nTables))
+        NativeTextExpressions.hyperplaneBuckets(col("v"), planes, nTables))
     val buckets = c.select(col("vec_id"), col("v"), col("nrm"),
       posexplode(col("buckets")).as(Seq("table", "bucket")))
     // distance-1 multiprobe on ONE side only: a pair whose buckets
@@ -198,7 +209,7 @@ object Similarity {
       .select(col("table"), col("vec_id").as("j_id"), col("v").as("jv"),
         col("nrm").as("jn"),
         explode(concat(array(col("bucket")),
-          transform(array((0 until nPlanes).map(j => lit(1L << j)): _*),
+          transform(array((0 until planes).map(j => lit(1L << j)): _*),
             m => col("bucket").bitwiseXOR(m)))).as("bucket"))
     val pairsOnce = buckets.join(right, Seq("table", "bucket"))
       .filter(col("vec_id") < col("j_id"))

@@ -402,6 +402,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("s7: kNN join blocks on buckets, ranks on the heap — no window, no cartesian") {
+    val p = plan("s7_knn_join")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // per-vector ranking is the bounded-heap aggregate, not a window
+    // sort over every candidate pair
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("topk_by_score"), p.take(2000))
+    // candidates come from the bucket equi-join: every join line keys
+    // on (table, bucket)
+    val joins = joinLines("s7_knn_join")
+    assert(joins.nonEmpty && joins.forall(l =>
+      l.contains("table") && l.contains("bucket")), joins.mkString("\n"))
+  }
+
   test("q1: aggregation runs inside whole-stage codegen") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     // AQE's pre-execution plan string hides codegen stages; ask for
