@@ -123,6 +123,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("LCA pairs equal the root-path reference on random trees") {
+    import graft.operators.{HierarchyAgg, HierarchyDimension}
+    // random forests-as-trees: node i's parent is uniform over [0, i)
+    val treeGen = for {
+      n <- Gen.choose(5, 30)
+      parents <- Gen.sequence[Seq[Int], Int](
+        (1 until n).map(i => Gen.choose(0, i - 1)))
+    } yield parents
+    samples(treeGen, 6).foreach { parents =>
+      val n = parents.size + 1
+      val rows = (0 until n).map { i =>
+        (s"v$i", i.toLong, s"node $i", "L",
+          if (i == 0) null else s"v${parents(i - 1)}")
+      }
+      val nodes = rows.toDF("node_id", "node_natural_key", "node_name",
+        "level_name", "parent_node_id")
+      val dim = new HierarchyDimension(nodes, knownDepth = n)
+      val got = HierarchyAgg.lcaPairs(dim.aggregationDim).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+      // reference: deepest common node of the two root paths
+      def path(i: Int): List[Int] =
+        if (i == 0) List(0) else path(parents(i - 1)) :+ i
+      val children = parents.zipWithIndex.map { case (p, i) => p }.toSet
+      val leaves = (0 until n).filterNot(children.contains)
+      val expected = (for {
+        a <- leaves; b <- leaves if s"v$a" < s"v$b"
+      } yield {
+        val (pa, pb) = (path(a), path(b))
+        val lca = pa.zip(pb).takeWhile { case (x, y) => x == y }.last._1
+        (s"v$a", s"v$b") -> s"v$lca"
+      }).toMap
+      assert(got == expected,
+        s"n=$n parents=$parents\n got=$got\n want=$expected")
+    }
+  }
+
   test("q40 time-weighted average equals the hand-computed LOCF integral") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
