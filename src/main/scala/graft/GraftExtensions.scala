@@ -92,6 +92,9 @@ object GraftExtensions {
     ("unigram_hash_embed", classOf[UnigramHashEmbedExpr].getName,
       arity("unigram_hash_embed", 2)(e =>
         UnigramHashEmbedExpr(e.head, litInt("unigram_hash_embed", e(1))))),
+    ("interleave_bits", classOf[graft.functions.InterleaveBitsExpr].getName,
+      arity("interleave_bits", 2)(e =>
+        graft.functions.InterleaveBitsExpr(e.head, e(1)))),
     ("opt_fence", classOf[graft.functions.OptimizationFence].getName,
       arity("opt_fence", 1)(e => graft.functions.OptimizationFence(e.head))),
     // aggregate builders return the AggregateFunction; the analyzer

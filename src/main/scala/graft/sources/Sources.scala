@@ -134,4 +134,39 @@ object Sources {
     rmTree(old)
     nFiles
   }
+
+  /** Z-ORDERED layout: Morton-interleave two numeric columns and
+    * range-partition + sort on the z-value, so every output file
+    * covers a small RECTANGLE of (colA, colB) space — parquet min/max
+    * footer stats then prune scans filtered on EITHER column (the
+    * multi-column generalization of [[writeSorted]], which prunes only
+    * its own sort column; the idea behind Delta/Iceberg's OPTIMIZE
+    * ZORDER). Columns are linearly min/max-scaled to `bits` bits from
+    * one metadata-cheap aggregate; linear scaling is the right choice
+    * for roughly uniform keys — heavily skewed keys would want
+    * quantile scaling, which costs a sort and is out of scope here.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int = 0, bits: Int = 20): Unit = {
+    import org.apache.spark.sql.functions._
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val b = df.agg(
+      min(col(colA)).cast("double").as("minA"), max(col(colA)).cast("double").as("maxA"),
+      min(col(colB)).cast("double").as("minB"), max(col(colB)).cast("double").as("maxB"))
+      .head()
+    val (minA, maxA, minB, maxB) =
+      (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
+    val hi = (1L << bits) - 1
+    def scaled(c: String, lo: Double, hiV: Double) =
+      if (hiV <= lo) lit(0L)
+      else least(lit(hi), greatest(lit(0L),
+        floor((col(c).cast("double") - lit(lo)) / lit(hiV - lo) * hi).cast("long")))
+    val z = df.withColumn("__z", graft.functions.InterleaveBitsExpr
+      .interleaveBits(scaled(colA, minA, maxA), scaled(colB, minB, maxB)))
+    val ranged = if (numFiles > 0)
+      z.repartitionByRange(numFiles, col("__z"))
+    else z.repartitionByRange(col("__z"))
+    ranged.sortWithinPartitions("__z").drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -164,6 +164,42 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(got == 11.0)
   }
 
+  test("z-ordered layout bounds per-file spans on BOTH columns; plain sort only on its own") {
+    import graft.functions.InterleaveBitsExpr
+    // interleave unit checks: bit i of a → 2i, of b → 2i+1
+    assert(InterleaveBitsExpr.compute(0L, 0L) == 0L)
+    assert(InterleaveBitsExpr.compute(3L, 0L) == 5L)    // 0b11 → 0b0101
+    assert(InterleaveBitsExpr.compute(0L, 3L) == 10L)   // 0b11 → 0b1010
+    assert(InterleaveBitsExpr.compute(3L, 3L) == 15L)
+    assert(InterleaveBitsExpr.compute((1L << 31) - 1, 0L) == 0x1555555555555555L)
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT interleave_bits(3L, 3L) AS z").head().getLong(0) == 15L)
+
+    val li = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey")
+    def spans(path: String): (Double, Double) = {
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("l_partkey") - min("l_partkey")).cast("double").as("sa"),
+          (max("l_suppkey") - min("l_suppkey")).cast("double").as("sb"))
+        .agg(avg("sa"), avg("sb")).head()
+      val g = li.agg((max("l_partkey") - min("l_partkey")).cast("double"),
+        (max("l_suppkey") - min("l_suppkey")).cast("double")).head()
+      (perFile.getDouble(0) / g.getDouble(0), perFile.getDouble(1) / g.getDouble(1))
+    }
+    val zDir = java.nio.file.Files.createTempDirectory("zorder").resolve("t").toString
+    Sources.writeZOrdered(li, zDir, "l_partkey", "l_suppkey", numFiles = 16)
+    val (za, zb) = spans(zDir)
+    // every file covers a small rectangle: BOTH spans well under global
+    assert(za < 0.6 && zb < 0.6, f"z-order spans: $za%.2f / $zb%.2f")
+    // contrast: single-column sort bounds its own span, not the other's
+    val sDir = java.nio.file.Files.createTempDirectory("sorted").resolve("t").toString
+    Sources.writeSorted(li, sDir, "l_partkey", numFiles = 16)
+    val (sa, sb) = spans(sDir)
+    assert(sa < 0.3, f"sorted file span on its own column: $sa%.2f")
+    assert(sb > 0.8, f"plain sort should NOT bound the other column: $sb%.2f")
+    assert(za < sb, "z-order must beat single-column sort on the second column")
+  }
+
   test("embedding kernels are callable from SQL and unit-norm") {
     GraftFunctions.register(spark)
     Seq("feature_hash_embed", "unigram_hash_embed").foreach { fn =>
