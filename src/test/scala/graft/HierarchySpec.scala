@@ -825,6 +825,26 @@ class HierarchySpec extends SparkSpec {
     assert(math.abs(s(nations) - root.getAs[Double]("sum_sales_amount")) < 1e-4)
   }
 
+  test("flagship rollup invariants hold at every sf dir") {
+    // the driver gates at sf0.01 and benches at sf0.1; this guards
+    // SF-dependent regressions (partition-count effects, data-shape
+    // assumptions) at all three generated scales in one smoke
+    val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1").filter(d => new java.io.File(d).exists())
+    sfs.foreach { d =>
+      val out = HierarchyQueries.queries("h4_hier_agg")(spark, d).collect()
+      val root = out.head
+      val regions = out.filter(_.getAs[String]("product_level_name") == "-------Region")
+      val nations = out.filter(_.getAs[String]("product_level_name").endsWith("Nation"))
+      assert(regions.length == 5 && nations.length == 25, d)
+      def s(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(_.getAs[Double]("sum_sales_amount")).sum
+      val tot = root.getAs[Double]("sum_sales_amount")
+      assert(math.abs(s(regions) - tot) < 1e-3, s"$d regions ${s(regions)} vs $tot")
+      assert(math.abs(s(nations) - tot) < 1e-3, s"$d nations ${s(nations)} vs $tot")
+    }
+  }
+
   test("LCA pairs: same-nation segments meet at the nation, cross-region at root") {
     val adim = HierarchyQueries.deepDimension(spark, sf).aggregationDim
     val lca = graft.operators.HierarchyAgg.lcaPairs(adim).collect()
