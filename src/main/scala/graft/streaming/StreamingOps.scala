@@ -351,6 +351,34 @@ object StreamingQueries {
     "st14_session_window_append" -> ((s, d) =>
       runStream(s, d, outputMode = "append")(ev =>
         StreamingOps.sessionWindowAgg(ev.withWatermark("ts", "1 hour")))),
+    // st13's append histogram landed through the DURABLE FILE SINK and
+    // read back — the complete production monitoring pipeline in one
+    // verified entry: watermarked agg (append emits each window once,
+    // on close) → parquet file sink (manifest-committed micro-batches,
+    // exactly-once files) → the sink CONTENTS are the result, so the
+    // oracle (st13's closed-window SQL) checks windowing, emission
+    // and durability together.
+    "st16_stream_histogram_sink" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_hist_src")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_hist_sink").resolve("out").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_hist_ckpt").toString
+      val partsWas = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val ev = Tables.normalizeTs(
+          s.readStream.schema(schema).parquet(dir.toString))
+        StreamingOpsSinks.streamToParquet(
+          StreamingOps.histogramStream(ev), out, ckpt)
+      } finally s.conf.set("spark.sql.shuffle.partitions", partsWas)
+      s.read.parquet(out)
+        .select("window_start", "bucket", "n_events", "sum_value")
+    }),
     // STREAMING windowed TOP-K: the bounded-heap TopKByScore aggregate
     // running INSIDE the streaming state store — per 15-minute window,
     // the 3 highest-value events. State per window is the k-entry
@@ -591,6 +619,18 @@ object StreamingQueries {
          SELECT user_id, session_start, n_events, total_value
          FROM agg
          WHERE session_last + INTERVAL 30 MINUTE
+           <= (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR FROM events)""",
+    // sink contents ≡ the append emission: exactly the closed windows
+    "st16_stream_histogram_sink" ->
+      """WITH b AS (
+           SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS wstart,
+             CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+             COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+           FROM events GROUP BY 1, 2)
+         SELECT strftime(wstart, '%Y-%m-%d %H:%M') AS window_start,
+           bucket, n_events, sum_value
+         FROM b
+         WHERE wstart + INTERVAL 15 MINUTE
            <= (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR FROM events)""",
     // append mode emits exactly the watermark-closed windows: the
     // batch histogram restricted to windows whose end precedes

@@ -47,7 +47,10 @@ class PlanLintSpec extends SparkSpec {
     "st14_session_window_append",
     // st15 drives the stream on invocation; its top-k agg is q37's
     // bounded heap (linted there)
-    "st15_windowed_topk")
+    "st15_windowed_topk",
+    // st16 runs the stream + durable sink on invocation; its agg plan
+    // is st13's (q39's histogram, linted there)
+    "st16_stream_histogram_sink")
 
   test("no registry query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
