@@ -218,6 +218,24 @@ object Dedup {
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"): _*)
   }
 
+  /** BANDING TUNER for minhash LSH: pick (bands, rows) so the
+    * S-curve's 50%-detection point (1/b)^(1/r) sits closest to the
+    * target Jaccard (Leskovec-Rajaraman-Ullman, MMDS ch. 3). More
+    * bands → catches lower similarity (more candidates, more verify
+    * cost); fewer bands → tighter threshold. This makes the
+    * cost/recall trade a NUMBER the caller states ("find pairs above
+    * 0.5") instead of a hash-layout detail they must derive; pass the
+    * result's bands straight into [[minhashPairs]]/[[minhashLsh]].
+    */
+  def lshBandsFor(targetJaccard: Double, k: Int = 16): Int = {
+    require(targetJaccard > 0 && targetJaccard < 1, "target must be in (0,1)")
+    val divisors = (1 to k).filter(k % _ == 0)
+    divisors.minBy { b =>
+      val threshold = math.pow(1.0 / b, b.toDouble / k) // (1/b)^(1/r)
+      math.abs(threshold - targetJaccard)
+    }
+  }
+
   /** Candidate near-dup pairs from minhash LSH with estimated Jaccard
     * (used by specs; at sf the testdata has no near-dups, so the
     * per-doc summary above is the registered query).

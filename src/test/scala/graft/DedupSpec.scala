@@ -37,6 +37,38 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L), s"false candidate with doc 3: $pairs")
   }
 
+
+  test("LSH banding tuner: S-curve thresholds, detection rates on controlled-overlap pairs") {
+    import graft.operators.Dedup
+    // (1/b)^(1/r) closest to the target among divisors of k=16
+    assert(Dedup.lshBandsFor(0.9) == 2)   // threshold 0.917
+    assert(Dedup.lshBandsFor(0.7) == 4)   // threshold 0.707
+    assert(Dedup.lshBandsFor(0.5) == 8)   // threshold 0.354
+    assert(Dedup.lshBandsFor(0.05) == 16) // threshold 0.0625
+    // controlled-overlap corpus: pair i shares exactly c leading
+    // bigram shingles of S=20 per doc -> J = c/(2S-c); 30 pairs at
+    // J~0.90 (c=19) and 30 at J~0.05 (c=2), disjoint vocabularies
+    def doc(pair: Int, side: Int, c: Int): String = {
+      val shared = (0 to c).map(t => s"p${pair}w$t")
+      val unique = (0 until (20 - c)).map(t => s"p${pair}s${side}u$t")
+      (shared ++ unique).mkString(" ")
+    }
+    val rows =
+      (0 until 30).flatMap(i => Seq(
+        (2000L + 2 * i, doc(i, 0, 19)), (2001L + 2 * i, doc(i, 1, 19)))) ++
+      (0 until 30).flatMap(i => Seq(
+        (3000L + 2 * i, doc(100 + i, 0, 2)), (3001L + 2 * i, doc(100 + i, 1, 2))))
+    val corpus = rows.toDF("doc_id", "text")
+    val bands = Dedup.lshBandsFor(0.5)
+    val found = Dedup.minhashPairs(corpus, k = 16, bands = bands).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hiHit = (0 until 30).count(i => found((2000L + 2 * i, 2001L + 2 * i)))
+    val loHit = (0 until 30).count(i => found((3000L + 2 * i, 3001L + 2 * i)))
+    // with b=8, r=2: P(detect) ~ 1-(1-J^2)^8 -> ~1.0 at J=.9, ~.02 at J=.05
+    assert(hiHit >= 27, s"high-J pairs detected: $hiHit/30")
+    assert(loHit <= 6, s"low-J pairs should mostly be skipped: $loHit/30")
+  }
+
   test("simhash marks near-dups within hamming radius") {
     val out = Dedup.simhashDedup(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_near")).toMap
