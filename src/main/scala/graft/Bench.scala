@@ -108,9 +108,13 @@ object Bench {
         java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8"))
       catch { case _: Throwable => Map.empty }
     }
+    // floors under 0.2 s are scheduling-noise-dominated (3× of 15 ms
+    // trips on any contended tick) and contribute nothing to the
+    // total — only flag queries whose floor is big enough that a 3×
+    // exceedance means real contention or a real regression
     val suspect = runs.collect { case (name, r1, r2)
       if r1 > 0 && r2 > 0 && committedMin.get(name)
-        .exists(b => b > 0 && r1 > 3 * b && r2 > 3 * b) => name }
+        .exists(b => b >= 0.2 && r1 > 3 * b && r2 > 3 * b) => name }
     // failures are EXCLUDED from the total (counting their -1 sentinel
     // would make a failing round read FASTER) and listed explicitly so
     // the driver can gate on failed.nonEmpty
