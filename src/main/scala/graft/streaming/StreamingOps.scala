@@ -379,6 +379,14 @@ object StreamingQueries {
       s.read.parquet(out)
         .select("window_start", "bucket", "n_events", "sum_value")
     }),
+    // the CUSTOM-STATE sessionization path (KeyValueGroupedDataset.
+    // flatMapGroupsWithState) registered against the same
+    // session-identity oracle as st4: per user the state is the open
+    // session, emitted on the gap timeout — the API every
+    // beyond-session_window stateful operator uses, now driver-gated
+    // rather than spec-only
+    "st17_fmgws_sessionize" -> ((s, d) =>
+      StreamingOps.sessionizeFMGWS(s, Tables.events(s, d)).toDF()),
     // STREAMING windowed TOP-K: the bounded-heap TopKByScore aggregate
     // running INSIDE the streaming state store — per 15-minute window,
     // the 3 highest-value events. State per window is the k-entry
@@ -652,6 +660,23 @@ object StreamingQueries {
            CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
            COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
          FROM events GROUP BY 1, 2""",
+    // the FMGWS path must produce the identical session set
+    "st17_fmgws_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR (epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP))) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         sessions AS (
+           SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
+           FROM flagged)
+         SELECT user_id,
+           strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+         FROM sessions GROUP BY user_id, sess_idx""",
     // st2's sessions keyed by (user, session start) instead of the
     // running index — session_window carries no per-user ordinal
     "st4_session_window_stream" ->
