@@ -159,6 +159,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q41 transition counts equal the plain-Scala reference on random sequences") {
+    import org.apache.spark.sql.expressions.Window
+    val gen = for {
+      n <- Gen.choose(20, 80)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(0L, 4L)
+        t <- Gen.oneOf("view", "click", "purchase")
+        us <- Gen.choose(0L, 1000000L)
+      } yield (u, t, us))
+    } yield rows.zipWithIndex.map { case ((u, t, us), i) => (i.toLong, u, t, us) }
+    samples(gen, 5).foreach { rows =>
+      val df = rows.toDF("event_id", "user_id", "event_type", "us")
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val got = df.withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val ref = rows.groupBy(_._2).values.flatMap { evs =>
+        val sorted = evs.sortBy(e => (e._4, e._1)).map(_._3)
+        sorted.zip(sorted.drop(1))
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(got == ref, s"\n got=$got\n ref=$ref")
+    }
+  }
+
   test("q40 time-weighted average equals the hand-computed LOCF integral") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

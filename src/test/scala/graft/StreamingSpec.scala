@@ -97,6 +97,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append histogram across TWO micro-batches: each window emits exactly once") {
+    // the cross-batch invariant the single-file tests can't see: a
+    // window closed by batch 1's watermark must not re-emit when
+    // batch 2 arrives. Split events at the median ts into two files,
+    // stream with maxFilesPerTrigger=1 (file order = write order, so
+    // batch 1 = the earlier half and batch 2 carries no late data).
+    val ev = Tables.events(spark, sf)
+    val med = ev.select(percentile_approx(
+      unix_micros(col("ts")), lit(0.5), lit(10000)).as("m")).head().getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("events_2batch").toString
+    ev.filter(unix_micros(col("ts")) <= med)
+      .coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100) // distinct modification times fix the file order
+    ev.filter(unix_micros(col("ts")) > med)
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stream = Tables.normalizeTs(spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir))
+    val q = StreamingOps.histogramStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hist_2batch").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hist_2batch")
+      val cols = Seq("window_start", "bucket", "n_events", "sum_value")
+      val gotSet = canon(got, cols: _*)
+      // exactly-once across batches: no duplicate (window, bucket) rows
+      assert(got.count() == gotSet.size, "a closed window re-emitted")
+      // emitted rows == the batch histogram restricted to windows the
+      // final watermark (max ts − 1 h) closed — nothing more, nothing
+      // less (batch 2 has no late data, so nothing was dropped)
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val closed = ev
+        .groupBy(window(col("ts"), "15 minutes").as("w"),
+          floor(col("value") / 50.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .filter(unix_micros(col("w.end")) <= maxUs - 3600L * 1000000L)
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+          col("bucket"), col("n_events"), col("sum_value"))
+      assert(gotSet == canon(closed, cols: _*),
+        s"append across 2 batches diverged from the closed-window set")
+      assert(gotSet.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-static join: streaming events enrich against a static dim") {
     val dir = java.nio.file.Files.createTempDirectory("events_ssj")
     java.nio.file.Files.createSymbolicLink(
