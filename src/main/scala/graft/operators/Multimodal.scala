@@ -273,6 +273,67 @@ object Multimodal {
     b
   }
 
+  /** Deterministic binary (P5) PGM synthesizer: `P5\n{w} {h}\n255\n`
+    * + w×h gray bytes derived from `src` (cycled), the grayscale
+    * sibling of [[synthBmp]].
+    */
+  def synthPgm(width: Int, height: Int, src: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val header = s"P5\n$width $height\n255\n".getBytes("US-ASCII")
+    val b = new Array[Byte](header.length + width * height)
+    System.arraycopy(header, 0, b, 0, header.length)
+    var j = 0
+    while (j < width * height) {
+      b(header.length + j) =
+        if (src.isEmpty) ((j * 31) & 0xff).toByte else src(j % src.length)
+      j += 1
+    }
+    b
+  }
+
+  /** A fourth REAL no-external-libs codec: binary PGM (Netpbm P5) —
+    * grayscale, the simplest real interchange format still in use for
+    * scientific/ML image dumps. Parses the whitespace-token header
+    * (magic, width, height, maxval; `#` comments allowed, as the spec
+    * permits), then reads w×h gray bytes. Emits the same feature
+    * contract as [[BmpCodec]]: `[n_bytes, n_pixels, mean_pixel,
+    * width, height]`, where width/height are RE-DERIVED from the
+    * bytes.
+    */
+  final class PgmCodec extends MediaCodec {
+    override def decode(r: MediaRow): Array[Double] = {
+      val b = r.payload
+      require(b.length >= 2 && b(0) == 'P' && b(1) == '5',
+        s"doc ${r.doc_id}: not a binary PGM payload")
+      var i = 2
+      // read 3 whitespace-separated integer tokens, skipping # comments
+      def nextInt(): Int = {
+        while (i < b.length &&
+          (b(i).toChar.isWhitespace || b(i) == '#')) {
+          if (b(i) == '#') while (i < b.length && b(i) != '\n') i += 1
+          else i += 1
+        }
+        var v = 0
+        require(i < b.length && b(i) >= '0' && b(i) <= '9',
+          s"doc ${r.doc_id}: malformed PGM header")
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+          v = v * 10 + (b(i) - '0'); i += 1
+        }
+        v
+      }
+      val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+      require(maxval > 0 && maxval < 256,
+        s"doc ${r.doc_id}: 16-bit PGM unsupported (maxval $maxval)")
+      i += 1 // exactly one whitespace byte separates header and raster
+      require(b.length - i >= w * h, s"doc ${r.doc_id}: truncated PGM raster")
+      var sum = 0.0
+      var j = 0
+      while (j < w * h) { sum += (b(i + j) & 0xff); j += 1 }
+      Array(b.length.toDouble, (w * h).toDouble,
+        if (w * h > 0) sum / (w * h) else 0.0, w.toDouble, h.toDouble)
+    }
+  }
+
   /** A second REAL no-external-libs codec: uncompressed 24-bpp BMP
     * (BITMAPFILEHEADER + BITMAPINFOHEADER + padded pixel rows). Emits
     * `[n_bytes, n_pixels, mean_pixel, width, height]` in the
@@ -545,6 +606,22 @@ object MultimodalQueries {
             Multimodal.synthPng(w, h, r.payload), "image/png", w, h)
         }
       Multimodal.extractFeatures(s, rows.toDF(), new Multimodal.PngCodec).toDF()
+    }),
+    // binary-PGM decode through the real Netpbm parser (header token
+    // walk with comment handling + raster stats): payloads are
+    // deterministic synthesized P5 images (dims from doc_id, grays
+    // from text bytes); width/height re-derived from the bytes.
+    // Binary plumbing → rows-only, exactness in the spec.
+    "m7_pgm_decode" -> ((s, d) => {
+      import s.implicits._
+      val rows = Multimodal.mediaTable(Tables.documents(s, d))
+        .as[Multimodal.MediaRow].map { r =>
+          val w = (2 + (r.doc_id % 6)).toInt
+          val h = (2 + (r.doc_id % 4)).toInt
+          Multimodal.MediaRow(r.doc_id,
+            Multimodal.synthPgm(w, h, r.payload), "image/x-pgm", w, h)
+        }
+      Multimodal.extractFeatures(s, rows.toDF(), new Multimodal.PgmCodec).toDF()
     }),
     // nearest-neighbor RESIZE at the codec: full-res pixels never
     // leave the task, only thumbnail stats do (the downscale step of

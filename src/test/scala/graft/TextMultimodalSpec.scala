@@ -394,6 +394,51 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PgmCodec decodes synthesized and comment-laden P5 images exactly") {
+    // 2×3 grays cycling [10, 20, 30]: mean = 20, dims re-derived
+    val pgm = Multimodal.synthPgm(2, 3, Array[Byte](10, 20, 30))
+    val media = Seq((7L, pgm, "image/x-pgm", 2, 3))
+      .toDF("doc_id", "payload", "media_type", "width", "height")
+    val f = Multimodal.extractFeatures(spark, media,
+      new Multimodal.PgmCodec).collect().head
+    assert(f.n_bytes == pgm.length.toLong)
+    assert(f.byte_sum == 6L)                    // n_pixels
+    assert(math.abs(f.mean_byte - 20.0) < 1e-9) // mean gray
+    assert(f.feat_0 == 2.0 && f.feat_1 == 3.0)  // decoded dims
+    // header comments (Netpbm allows them anywhere in the header)
+    val commented = ("P5\n# made by graft\n2 2\n# maxval next\n255\n"
+      .getBytes("US-ASCII")) ++ Array[Byte](40, 40, 40, 40)
+    val f2 = Multimodal.extractFeatures(spark,
+      Seq((8L, commented, "image/x-pgm", 2, 2))
+        .toDF("doc_id", "payload", "media_type", "width", "height"),
+      new Multimodal.PgmCodec).collect().head
+    assert(f2.byte_sum == 4L && math.abs(f2.mean_byte - 40.0) < 1e-9)
+    // loud failures: wrong magic, truncated raster, 16-bit maxval
+    Seq("P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4),
+      Multimodal.synthPgm(4, 4, Array[Byte](1)).dropRight(8),
+      "P5\n2 2\n65535\n".getBytes("US-ASCII") ++ new Array[Byte](8))
+      .zipWithIndex.foreach { case (bad, i) =>
+        val e = intercept[org.apache.spark.SparkException] {
+          Multimodal.extractFeatures(spark,
+            Seq(((100 + i).toLong, bad, "image/x-pgm", 0, 0))
+              .toDF("doc_id", "payload", "media_type", "width", "height"),
+            new Multimodal.PgmCodec).collect()
+        }
+        assert(e.getMessage != null)
+      }
+  }
+
+  test("m7: decoded PGM dimensions re-derive the synth metadata from bytes") {
+    val out = graft.SparkEntry.queries("m7_pgm_decode")(spark, sf)
+      .select(col("doc_id"), col("feat_0"), col("feat_1")).collect()
+    assert(out.length > 0)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getDouble(1) == (2 + id % 6).toDouble, s"width mismatch doc $id")
+      assert(r.getDouble(2) == (2 + id % 4).toDouble, s"height mismatch doc $id")
+    }
+  }
+
   test("BmpCodec rejects truncated and non-BMP payloads loudly") {
     val bad = Multimodal.synthBmp(4, 4, Array[Byte](1, 2, 3)).dropRight(10)
     val junk = Seq((1L, "nope".getBytes("UTF-8"), "image/bmp", 0, 0),
