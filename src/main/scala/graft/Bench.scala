@@ -80,34 +80,35 @@ object Bench {
     // is overwritten by every bench run — file fallback) and list
     // queries whose both runs exceed 3× it, so the reader knows those
     // minima are host noise, not regressions.
-    val committedMin: Map[String, Double] = {
-      def parse(txt: String): Map[String, Double] = {
-        // baselines only compare within the same scale factor;
-        // whitespace-tolerant so a pretty-printed baseline still parses
-        val sfOk = ("\"sf\"\\s*:\\s*\"" + java.util.regex.Pattern.quote(sfDir) + "\"").r
-          .findFirstIn(txt).isDefined
-        if (!sfOk) Map.empty
-        else {
-          val qs = "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(txt)
-          qs.map { m =>
-            "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r
-              .findAllMatchIn(txt.substring(m.end, txt.indexOf('}', m.end)))
-              .map(g => g.group(1) -> g.group(2).toDouble).toMap
-          }.getOrElse(Map.empty)
-        }
-      }
+    // Committed baseline = (sf it was recorded at, per-query floors).
+    // Read git HEAD first (the working copy may hold an unmerged fold),
+    // file fallback; whitespace-tolerant so a pretty-printed baseline
+    // still parses. The sf travels with the floors so both the suspect
+    // detector and the minima fold can refuse cross-SF comparisons.
+    val committedBaseline: Option[(String, Map[String, Double])] = {
+      def parse(txt: String): Option[(String, Map[String, Double])] =
+        for {
+          sfm <- "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
+          qm <- "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(txt)
+        } yield sfm.group(1) ->
+          "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r
+            .findAllMatchIn(txt.substring(qm.end, txt.indexOf('}', qm.end)))
+            .map(g => g.group(1) -> g.group(2).toDouble).toMap
       val fromGit =
         try {
           val p = new ProcessBuilder("git", "show", "HEAD:BENCH_FULL.json")
             .redirectErrorStream(false).start()
           val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-          if (p.waitFor() == 0) parse(out) else Map.empty[String, Double]
-        } catch { case _: Throwable => Map.empty[String, Double] }
-      if (fromGit.nonEmpty) fromGit
-      else try parse(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8"))
-      catch { case _: Throwable => Map.empty }
+          if (p.waitFor() == 0) parse(out) else None
+        } catch { case _: Throwable => None }
+      fromGit.orElse(
+        try parse(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8"))
+        catch { case _: Throwable => None })
     }
+    val committedMin: Map[String, Double] =
+      committedBaseline.collect { case (sf, qs) if sf == sfDir => qs }
+        .getOrElse(Map.empty)
     // floors under 0.2 s are scheduling-noise-dominated (3× of 15 ms
     // trips on any contended tick) and contribute nothing to the
     // total — only flag queries whose floor is big enough that a 3×
@@ -146,8 +147,14 @@ object Bench {
     while (keep > 1 && line(bySlow.take(keep), bySlow.drop(keep)).length > 1800)
       keep -= 1
     // full-precision per-query dump for offline analysis (cwd = repo);
-    // both raw runs preserved so snapshots are self-describing
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    // both raw runs preserved so snapshots are self-describing.
+    // Raw runs go to BENCH_LAST.json — NEVER to BENCH_FULL.json: the
+    // committed BENCH_FULL is the per-query green-minima baseline the
+    // 2×-total gate and the 3× suspect detector key off, and a raw
+    // (possibly contended) run committed over it would silently raise
+    // every floor (this happened in round 12: a `commit -a` replaced
+    // the 75.02 s minima file with an 87.05 s contended run).
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (results.sortBy(_._1).map { case (k, v) => s"\"$k\":$v" }
         .mkString(
           s"""{"total":$total,"sf":"$sfDir","cpus":$cpus,"runs":2,""" +
@@ -159,6 +166,33 @@ object Bench {
           .mkString(""""raw_runs":{""", ",", "}}\n"))
         .getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    // BENCH_FULL.json = explicit minima fold: floor(q) = min(committed
+    // floor, this run's green result). min() makes the fold monotone —
+    // a contended run can only lower floors it genuinely beat, so the
+    // file is safe to auto-commit. Failed queries (-1) never fold in;
+    // queries new to the registry enter at this run's time (their
+    // first observed floor). A run at a DIFFERENT sf than the committed
+    // baseline (local sf0.001 iteration) must not touch the file — its
+    // numbers are incomparable and would replace the floors wholesale.
+    if (committedBaseline.forall(_._1 == sfDir)) try {
+      val green = results.filter(_._2 >= 0).toMap
+      val merged = (committedMin.keySet ++ green.keySet).toSeq.sorted.map { q =>
+        q -> ((committedMin.get(q), green.get(q)) match {
+          case (Some(b), Some(v)) => math.min(b, v)
+          case (Some(b), None)    => b
+          case (None, Some(v))    => v
+          case (None, None)       => -1.0 // unreachable
+        })
+      }
+      val mergedTotal = merged.map(_._2).sum
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (merged.map { case (k, v) => s"\"$k\":$v" }
+          .mkString(
+            s"""{"total":$mergedTotal,"sf":"$sfDir",""" +
+              """"note":"baseline: per-query green minima, auto-folded by Bench (raw runs in BENCH_LAST.json)",""" +
+              """"queries":{""", ",", "}}\n"))
+          .getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     println(line(bySlow.take(keep), bySlow.drop(keep)))
     spark.stop()
   }
