@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -19,8 +19,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * `bits` bits); 2 × 31 bits fits a positive long. The loop is a tight
   * codegen'd primitive — no lambda, no allocation.
   */
+// ImplicitCastInputTypes (not bare ExpectsInputTypes) so SQL calls
+// with INT literals — `interleave_bits(3, 3)` — analyze: the sibling
+// numeric expressions accept int inputs, and without the implicit
+// cast only 3L literals resolved
 case class InterleaveBitsExpr(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
   override def dataType: DataType = LongType

@@ -70,8 +70,9 @@ object NearestCentroidExpr {
 
   def compute(v: ArrayData, nrm: Double, ids: Array[Long],
       vecs: Array[Array[Double]], norms: Array[Double]): Long = {
-    var bestId = Long.MinValue
-    var bestCos = Double.NegativeInfinity
+    if (ids.length == 0) return Long.MinValue
+    var bestId = 0L
+    var bestCos = 0.0
     var c = 0
     while (c < ids.length) {
       val cv = vecs(c)
@@ -80,9 +81,17 @@ object NearestCentroidExpr {
       var i = 0
       while (i < n) { s += v.getDouble(i) * cv(i); i += 1 }
       val cos = round9(s / (nrm * norms(c)))
-      // maximize (cos DESC, c_id ASC) — same order as the old
-      // max_by(c_id, struct(round(ccos, 9), -c_id)) aggregate
-      if (cos > bestCos || (cos == bestCos && ids(c) < bestId)) {
+      // maximize (cos DESC, c_id ASC) under SPARK's double ordering —
+      // Double.compare ranks NaN above every value and NaN == NaN, the
+      // same total order the old max_by(c_id, struct(round(ccos, 9),
+      // -c_id)) aggregate used. A zero-norm vector (the embed kernels
+      // emit one for token-free text) makes every cosine 0/0 = NaN, and
+      // this order assigns it the smallest c_id — the old plan's
+      // behavior — instead of leaking a phantom Long.MinValue cluster.
+      // Seeding from c = 0 (not a -Infinity sentinel) keeps a genuine
+      // -Infinity cosine at the first centroid selectable.
+      val cmp = if (c == 0) 1 else java.lang.Double.compare(cos, bestCos)
+      if (cmp > 0 || (cmp == 0 && ids(c) < bestId)) {
         bestCos = cos
         bestId = ids(c)
       }

@@ -313,24 +313,36 @@ object Multimodal {
           if (b(i) == '#') while (i < b.length && b(i) != '\n') i += 1
           else i += 1
         }
-        var v = 0
+        // Long accumulator + bound check: a >10-digit token would wrap
+        // an Int accumulator to an arbitrary (possibly small positive)
+        // value and defeat the raster-size validation downstream
+        var v = 0L
         require(i < b.length && b(i) >= '0' && b(i) <= '9',
           s"doc ${r.doc_id}: malformed PGM header")
         while (i < b.length && b(i) >= '0' && b(i) <= '9') {
-          v = v * 10 + (b(i) - '0'); i += 1
+          v = v * 10 + (b(i) - '0')
+          require(v <= Int.MaxValue, s"doc ${r.doc_id}: PGM header token overflow")
+          i += 1
         }
-        v
+        v.toInt
       }
       val w = nextInt(); val h = nextInt(); val maxval = nextInt()
       require(maxval > 0 && maxval < 256,
         s"doc ${r.doc_id}: 16-bit PGM unsupported (maxval $maxval)")
+      // raster size in LONG arithmetic: an adversarial header like
+      // "65535 65535" overflows Int (w*h < 0), which would slip past a
+      // `length - i >= w*h` check and silently return nonsense features
+      require(w > 0 && h > 0, s"doc ${r.doc_id}: non-positive PGM dims ${w}x$h")
+      val raster = w.toLong * h.toLong
+      require(raster <= Int.MaxValue,
+        s"doc ${r.doc_id}: PGM raster ${w}x$h overflows")
+      val px = raster.toInt
       i += 1 // exactly one whitespace byte separates header and raster
-      require(b.length - i >= w * h, s"doc ${r.doc_id}: truncated PGM raster")
+      require(b.length - i >= px, s"doc ${r.doc_id}: truncated PGM raster")
       var sum = 0.0
       var j = 0
-      while (j < w * h) { sum += (b(i + j) & 0xff); j += 1 }
-      Array(b.length.toDouble, (w * h).toDouble,
-        if (w * h > 0) sum / (w * h) else 0.0, w.toDouble, h.toDouble)
+      while (j < px) { sum += (b(i + j) & 0xff); j += 1 }
+      Array(b.length.toDouble, px.toDouble, sum / px, w.toDouble, h.toDouble)
     }
   }
 

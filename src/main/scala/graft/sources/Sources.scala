@@ -154,6 +154,14 @@ object Sources {
       min(col(colA)).cast("double").as("minA"), max(col(colA)).cast("double").as("maxA"),
       min(col(colB)).cast("double").as("minB"), max(col(colB)).cast("double").as("maxB"))
       .head()
+    // empty input or an all-null key column yields null min/max; there
+    // is no z-order to compute, so write the frame as-is (an empty or
+    // single-extent layout is already "sorted") instead of NPE-ing on
+    // getDouble
+    if (b.anyNull) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val (minA, maxA, minB, maxB) =
       (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
     val hi = (1L << bits) - 1

@@ -151,8 +151,13 @@ object StreamingOps {
           def emit(lo: Int, hi: Int): Unit = {
             val slice = evs.slice(lo, hi)
             val total = slice.map(_.value).sum
+            // round exactly as Spark's round(sum, 2) does (BigDecimal
+            // .valueOf + HALF_UP) — the batch sessionize path and st4
+            // use that, and math.round's binary floor(x*100+0.5)/100
+            // diverges on decimal half boundaries like 2.675
             sessions += SessOut(uid, fmt.format(slice.head.ts), slice.size.toLong,
-              math.round(total * 100.0) / 100.0)
+              java.math.BigDecimal.valueOf(total)
+                .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
           }
           while (i < evs.size) {
             if ((micros(evs(i).ts) - micros(evs(i - 1).ts)) / 1.0e6 > gapSeconds) {

@@ -51,6 +51,43 @@ class SimilaritySpec extends SparkSpec {
     assert(!assignedPlan.contains("CartesianProduct"))
   }
 
+  test("nearest-centroid expression: zero-norm vector matches the old plan (NaN ordering)") {
+    import spark.implicits._
+    // the embed kernels emit an all-zero vector for token-free text:
+    // nrm = 0 makes every cosine 0/0 = NaN. The old max_by plan ranked
+    // NaN as the largest double and tie-broke to the SMALLEST c_id —
+    // the expression must do the same, not leak a Long.MinValue id.
+    val dim = 4
+    val vecs = Seq(
+      (1L, Array.fill(dim)(0.0), 0.0),             // zero vector
+      (2L, Array(1.0, 0.0, 0.0, 0.0), 1.0))        // sanity: a real one
+      .toDF("vec_id", "v", "nrm")
+    val cb = Seq(
+      (7L, Array(0.0, 1.0, 0.0, 0.0), 1.0),
+      (3L, Array(1.0, 0.0, 0.0, 0.0), 1.0),
+      (9L, Array(0.0, 0.0, 1.0, 0.0), 1.0)).sortBy(_._1)
+    // cosine as dot × (nrm·cn)^-1 instead of a / division: ANSI mode
+    // (Spark 4 default) throws on 0/0, while 0 × Infinity = NaN — the
+    // non-ANSI NaN the old plan's ordering contract is defined over
+    val oldPlan = vecs.crossJoin(broadcast(
+        cb.toDF("c_id", "cv", "cn")))
+      .withColumn("ccos",
+        graft.functions.VectorFunctions.dot(col("v"), col("cv")) *
+          pow(col("nrm") * col("cn"), -1.0))
+      .groupBy("vec_id")
+      .agg(max_by(col("c_id"), struct(round(col("ccos"), 9), -col("c_id"))).as("c_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val newPlan = vecs.withColumn("c_id",
+        graft.functions.NearestCentroidExpr.nearestCentroid(
+          col("v"), col("nrm"), cb.map(_._1).toArray,
+          cb.map(_._2).toArray, cb.map(_._3).toArray))
+      .select("vec_id", "c_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oldPlan == newPlan, s"old $oldPlan vs new $newPlan")
+    assert(newPlan(1L) == 3L) // NaN everywhere -> smallest c_id
+    assert(newPlan(2L) == 3L) // genuine best match
+  }
+
   test("vector_mean aggregate equals the posexplode/avg reference plan") {
     import graft.functions.VectorMeanAgg.vectorMean
     import graft.operators.Similarity.corpus

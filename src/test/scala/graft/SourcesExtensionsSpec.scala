@@ -174,6 +174,9 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(InterleaveBitsExpr.compute((1L << 31) - 1, 0L) == 0x1555555555555555L)
     GraftFunctions.register(spark)
     assert(spark.sql("SELECT interleave_bits(3L, 3L) AS z").head().getLong(0) == 15L)
+    // INT literals must analyze too (ImplicitCastInputTypes) — the
+    // sibling numeric expressions accept int inputs
+    assert(spark.sql("SELECT interleave_bits(3, 3) AS z").head().getLong(0) == 15L)
 
     val li = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey")
     def spans(path: String): (Double, Double) = {
@@ -198,6 +201,22 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(sa < 0.3, f"sorted file span on its own column: $sa%.2f")
     assert(sb > 0.8, f"plain sort should NOT bound the other column: $sb%.2f")
     assert(za < sb, "z-order must beat single-column sort on the second column")
+  }
+
+  test("writeZOrdered: empty input and all-null key columns degrade to a plain write") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("zorder-degenerate")
+    // empty frame: min/max aggregate returns nulls — must not NPE
+    val empty = Seq.empty[(Long, Long, String)].toDF("a", "b", "s")
+    Sources.writeZOrdered(empty, base.resolve("empty").toString, "a", "b")
+    assert(spark.read.parquet(base.resolve("empty").toString).count() == 0)
+    // all-null key column: same degenerate aggregate shape
+    val nullKey = Seq((1L, "x"), (2L, "y")).toDF("a", "s")
+      .withColumn("b", lit(null).cast("long"))
+    Sources.writeZOrdered(nullKey, base.resolve("nullkey").toString, "a", "b")
+    val back = spark.read.parquet(base.resolve("nullkey").toString)
+    assert(back.count() == 2)
+    assert(back.columns.sorted.toSeq == Seq("a", "b", "s"))
   }
 
   test("embedding kernels are callable from SQL and unit-norm") {

@@ -204,6 +204,26 @@ class StreamingSpec extends SparkSpec {
     assert(canon(fmgws, cols: _*) == canon(lagForm, cols: _*))
   }
 
+  test("flatMapGroupsWithState rounds decimal half boundaries like Spark's round(sum, 2)") {
+    import spark.implicits._
+    // 2.675 as a binary double is 2.67499999...: math.round(x*100)/100
+    // floors it to 2.67, Spark's round (BigDecimal.valueOf + HALF_UP)
+    // carries to 2.68 — the session totals must agree on such sums
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 5L, 2.675),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 5L, 0.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 6L, 1.0),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 6L, 1.675))
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = StreamingOps.sessionizeFMGWS(spark, ev).toDF()
+      .select("user_id", "total_value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = ev.groupBy("user_id").agg(round(sum("value"), 2).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want, s"fmgws $got vs round(sum,2) $want")
+    assert(got(5L) == 2.68) // HALF_UP at the boundary, not binary floor
+  }
+
   test("streamToParquet: durable file sink with checkpoint equals the batch filter") {
     val dir = java.nio.file.Files.createTempDirectory("events_sink_src")
     java.nio.file.Files.createSymbolicLink(

@@ -413,10 +413,16 @@ class TextMultimodalSpec extends SparkSpec {
         .toDF("doc_id", "payload", "media_type", "width", "height"),
       new Multimodal.PgmCodec).collect().head
     assert(f2.byte_sum == 4L && math.abs(f2.mean_byte - 40.0) < 1e-9)
-    // loud failures: wrong magic, truncated raster, 16-bit maxval
+    // loud failures: wrong magic, truncated raster, 16-bit maxval,
+    // Int-overflowing dims (65535×65535 wraps w*h negative — must not
+    // slip past the raster check), a >10-digit header token (wraps the
+    // accumulator itself), and a zero dimension
     Seq("P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4),
       Multimodal.synthPgm(4, 4, Array[Byte](1)).dropRight(8),
-      "P5\n2 2\n65535\n".getBytes("US-ASCII") ++ new Array[Byte](8))
+      "P5\n2 2\n65535\n".getBytes("US-ASCII") ++ new Array[Byte](8),
+      "P5\n65535 65535\n255\n".getBytes("US-ASCII") ++ new Array[Byte](16),
+      "P5\n42949672970 2\n255\n".getBytes("US-ASCII") ++ new Array[Byte](16),
+      "P5\n0 2\n255\n".getBytes("US-ASCII") ++ new Array[Byte](8))
       .zipWithIndex.foreach { case (bad, i) =>
         val e = intercept[org.apache.spark.SparkException] {
           Multimodal.extractFeatures(spark,
