@@ -176,9 +176,12 @@ object Similarity {
     * sides are the corpus, so candidates come from a (table, bucket)
     * EQUI-JOIN of the LSH buckets against themselves: the shuffle key
     * is the bucket, pair count is Σ|bucket|² per table — never the
-    * all-pairs n². Each unordered pair is generated once (id <) and
-    * mirrored, so the dot product is computed once per pair; the
-    * per-vector top-k is the bounded heap (map-side buffers ≤ k).
+    * all-pairs n². Each unordered pair is generated once (id <); the
+    * dot product is evaluated bucket-locally and multiprobe/table
+    * duplicates collapse in a min-by-pair aggregate whose exchange
+    * carries only (id, id, cos) — embedding arrays never ride a
+    * pair-keyed shuffle. The per-vector top-k is the bounded heap
+    * (map-side buffers ≤ k).
     * ANN recall is hash-dependent → rows-only; the recall spec
     * measures against the exact join on the fixture.
     */
@@ -211,13 +214,22 @@ object Similarity {
         explode(concat(array(col("bucket")),
           transform(array((0 until planes).map(j => lit(1L << j)): _*),
             m => col("bucket").bitwiseXOR(m)))).as("bucket"))
+    // The cosine is computed BUCKET-LOCALLY, in the join's own output
+    // partition, so the embedding arrays never ride a pair-keyed
+    // exchange: the old shape deduped rows still carrying v/jv — at
+    // 768-d production embeddings that is ~12 KB of shuffle payload
+    // per candidate × the multiprobe duplication factor. Collapsing
+    // duplicates with a min-by-pair aggregate instead ships 24-byte
+    // (long, long, double) rows, and partial aggregation folds
+    // same-partition duplicates before the exchange. min() is exact:
+    // every occurrence of a pair computes the identical dot (same
+    // summation order), so the aggregate only picks the one value.
     val pairsOnce = buckets.join(right, Seq("table", "bucket"))
       .filter(col("vec_id") < col("j_id"))
-      .select("vec_id", "j_id", "v", "nrm", "jv", "jn")
-      .dropDuplicates("vec_id", "j_id")
       .withColumn("cos", graft.functions.OptimizationFence.fence(
         dot(col("v"), col("jv")) / (col("nrm") * col("jn"))))
       .select("vec_id", "j_id", "cos")
+      .groupBy("vec_id", "j_id").agg(min("cos").as("cos"))
     // mirror so both endpoints rank the pair, then per-vector top-k
     val pairs = pairsOnce.unionByName(pairsOnce.select(
       col("j_id").as("vec_id"), col("vec_id").as("j_id"), col("cos")))

@@ -414,6 +414,20 @@ class PlanSpec extends SparkSpec {
     val joins = joinLines("s7_knn_join")
     assert(joins.nonEmpty && joins.forall(l =>
       l.contains("table") && l.contains("bucket")), joins.mkString("\n"))
+    // pair-keyed exchanges ship bare (vec_id, j_id, cos) rows: the
+    // embedding arrays stay in the bucket-local join — at 768-d they
+    // would otherwise cost ~12 KB of shuffle payload per candidate
+    val fmt = SparkEntry.queries("s7_knn_join")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val nodes = fmt.split("\\(\\d+\\) ").toSeq
+    val pairExchanges = nodes.filter(n => n.startsWith("Exchange") &&
+      n.contains("hashpartitioning(vec_id") && n.contains("j_id"))
+    assert(pairExchanges.nonEmpty, fmt.take(3000))
+    pairExchanges.foreach { n =>
+      val input = n.linesIterator.find(_.trim.startsWith("Input")).getOrElse("")
+      assert(!"\\b(v|jv|qv|buckets)#".r.unanchored.matches(input),
+        s"array column rides the pair-dedup exchange: $input")
+    }
   }
 
   test("q1: aggregation runs inside whole-stage codegen") {
