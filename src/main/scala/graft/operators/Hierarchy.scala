@@ -41,12 +41,15 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
   *                    data): nodes deeper than the bound — or on a
   *                    parent cycle, or under a missing parent — are
   *                    dropped from the leveled dim
-  * @param maxNodes    guard on the dimension size: every derivation
-  *                    here is deliberately dim-sized (single-task
-  *                    leveling, single-partition DFS window, broadcast
-  *                    closure), which is correct for hierarchies but
-  *                    would silently serialize a fact-sized input
-  *                    through one task — fail fast instead
+  * @param maxNodes    strategy threshold on the dimension size: at or
+  *                    under it every derivation is deliberately
+  *                    dim-sized (single-task leveling, broadcast
+  *                    closure) — the fast path for real hierarchies;
+  *                    above it the engine auto-switches to the
+  *                    distributed BFS leveling + shuffle-join closure
+  *                    (see [[enrichedDistributed]]), so a 100M-node
+  *                    hierarchy levels cluster-parallel instead of
+  *                    serializing through one task
   * @param knownDepth  exact hierarchy depth if the caller knows it
   *                    (> 0): tightens the depth bound below `maxDepth`
   */
@@ -108,7 +111,20 @@ class HierarchyDimension(
     *     hierarchy_dimension_table.py:109-135); null for nodes dropped
     *     by the depth bound / cycles / missing parents
     */
-  private lazy val enriched: DataFrame = {
+  /** Strategy switch: ONE dim-sized count decides the leveling path.
+    * At or under `maxNodes` the single-task pass wins (one narrow job,
+    * no per-level scheduling); above it — a 100M-node customer
+    * hierarchy — the same derivation runs as a distributed BFS join
+    * loop ([[enrichedDistributed]]) instead of failing fast. The count
+    * is paid once per dimension instance (lazy), and dims are
+    * session-cached by the registry.
+    */
+  private lazy val useDistributedLeveling: Boolean = nodes.count() > maxNodes
+
+  private lazy val enriched: DataFrame =
+    if (useDistributedLeveling) enrichedDistributed else enrichedSingleTask
+
+  private lazy val enrichedSingleTask: DataFrame = {
     val spark = nodes.sparkSession
     val inSchema = nodes.schema
     val nCols = inSchema.length
@@ -313,6 +329,98 @@ class HierarchyDimension(
       .cache())
   }
 
+  /** Distributed leveling for hierarchies ABOVE `maxNodes`: the same
+    * output contract as [[enrichedSingleTask]], derived with
+    * cluster-parallel primitives only — no single task ever holds the
+    * node table.
+    *
+    *   - flags: `is_root` from the parent pointer, `is_leaf` from a
+    *     left join against the distinct parent set
+    *   - leveling: BFS frontier join loop — level L+1 = nodes whose
+    *     parent sits in the level-L frontier, root paths grown by
+    *     array concat. Each frontier is `localCheckpoint`ed: the
+    *     per-level emptiness probe stays O(level), not O(level²)
+    *     recompute, and lineage stays bounded. Cycles, orphan
+    *     subtrees and nodes deeper than `depthBound` are simply never
+    *     reached — the same dropped set the single-task pass computes.
+    *   - DFS `node_sort_order`: global rank over the '/'-joined
+    *     per-node `to_json` path key (the exact key both other
+    *     derivations sort by), as range-partition + local sort +
+    *     `zipWithIndex` — the scalable row_number. The key is unique
+    *     whenever `levelFields` carries the node id (the default), so
+    *     the rank is deterministic.
+    *
+    * Per-level scheduling costs `depth` jobs — the price of not
+    * owning the whole table in one task; at >10M nodes that is the
+    * right trade (SURVEY §4's original design).
+    */
+  private lazy val enrichedDistributed: DataFrame = {
+    val spark = nodes.sparkSession
+    val inSchema = nodes.schema
+    val pathStructType = StructType(levelFields.map { f =>
+      val sf = inSchema(inSchema.fieldIndex(f))
+      StructField(sf.name, sf.dataType, sf.nullable)
+    })
+    val pathType = ArrayType(pathStructType, containsNull = false)
+    val nodeStruct = struct(levelFields.map(col): _*)
+    val parents = nodes.select(col(parentIdCol).as("__gp"))
+      .where(col("__gp").isNotNull).distinct()
+    // __rid: surrogate row key, frozen by the checkpoint, so dropped
+    // rows are recoverable by anti-join even when node ids are null
+    val base = nodes
+      .withColumn("is_root", col(parentIdCol).isNull)
+      .join(parents, col(nodeIdCol) === col("__gp"), "left")
+      .withColumn("is_leaf", col("__gp").isNull)
+      .drop("__gp")
+      .withColumn("__rid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    var frontier = base.where(col("is_root"))
+      .withColumn("level_number", lit(1).cast(IntegerType))
+      .withColumn("path", array(nodeStruct))
+      .localCheckpoint(true)
+    val frames = scala.collection.mutable.ArrayBuffer(frontier)
+    var depth = 1
+    while (depth < depthBound && frontier.take(1).nonEmpty) {
+      val parentSide = frontier
+        .where(col(nodeIdCol).isNotNull)
+        .select(col(nodeIdCol).as("__fpid"), col("path").as("__ppath"),
+          col("level_number").as("__plev"))
+      val next = base.join(parentSide, col(parentIdCol) === col("__fpid"))
+        .withColumn("level_number", (col("__plev") + 1).cast(IntegerType))
+        .withColumn("path", concat(col("__ppath"), array(nodeStruct)))
+        .drop("__fpid", "__ppath", "__plev")
+        .localCheckpoint(true)
+      frames += next
+      frontier = next
+      depth += 1
+    }
+    val leveled = frames.reduce(_ unionByName _)
+    // scalable row_number: globally ordered range partitions, sorted
+    // within, contiguous indices from zipWithIndex's per-partition
+    // offset job
+    val pathKey = array_join(
+      expr("transform(path, x -> to_json(x, map('ignoreNullFields','false')))"), "/")
+    val sorted = leveled.withColumn("__key", pathKey)
+      .repartitionByRange(col("__key"))
+      .sortWithinPartitions("__key")
+    val sortedSchema = sorted.schema
+    val rankedRdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    val ranked = spark.createDataFrame(rankedRdd,
+        StructType(sortedSchema.fields :+
+          StructField("node_sort_order", LongType, nullable = true)))
+      .drop("__key")
+    val dropped = base
+      .join(leveled.select(col("__rid")), Seq("__rid"), "left_anti")
+      .withColumn("level_number", lit(null).cast(IntegerType))
+      .withColumn("path", lit(null).cast(pathType))
+      .withColumn("node_sort_order", lit(null).cast(LongType))
+    val outCols = (inSchema.fieldNames.toSeq ++
+      Seq("is_root", "is_leaf", "level_number", "path", "node_sort_order")).map(col)
+    pin(ranked.unionByName(dropped).select(outCols: _*).cache())
+  }
+
   /** Nodes + `is_root` / `is_leaf` flags
     * (reference: classes/hierarchy_dimension_table.py:96-107).
     */
@@ -336,9 +444,11 @@ class HierarchyDimension(
     * the sort key and node_json vs the oracle/reference otherwise.
     */
   lazy val reportingDimWithPath: DataFrame =
-    if (fusedSortable) {
-      // node_sort_order already computed in the single-task pass — no
-      // window job, no second cache (enriched is the cached frame)
+    if (fusedSortable || useDistributedLeveling) {
+      // node_sort_order already computed in the leveling pass (fused
+      // single-task, or the distributed rank — which uses to_json
+      // itself, so it is exact for EVERY field type) — no window job,
+      // no second cache (enriched is the cached frame)
       enriched.filter(col("path").isNotNull)
     } else {
       val pathKey = array_join(
@@ -479,14 +589,24 @@ class HierarchyDimension(
       .dataFrameFromInternalRows(spark, outSchema, rdd)
   }
 
-  lazy val aggregationDim: DataFrame = if (fusedSortable) fusedClosure else {
+  lazy val aggregationDim: DataFrame =
+    // fusedClosure buffers the dim in ONE partition — only valid on the
+    // single-task path; the distributed dim uses the explode+join shape
+    // with a plain shuffle join (a >maxNodes ancestor side must not
+    // broadcast)
+    if (useDistributedLeveling) closureViaJoin(broadcastAncestors = false)
+    else if (fusedSortable) fusedClosure
+    else closureViaJoin(broadcastAncestors = true)
+
+  private def closureViaJoin(broadcastAncestors: Boolean): DataFrame = {
     val rd = reportingDim
     val descendants = reportingDimWithPath
       .withColumn("__ancestor_id", explode(expr(s"transform(path, x -> x.$nodeIdCol)")))
       .select(col("__ancestor_id") +: familyCols.map(c => col(c).as(s"descendant_$c")): _*)
-    val ancestors = rd.select(familyCols.map(c => col(c).as(s"ancestor_$c")): _*)
+    val ancestors0 = rd.select(familyCols.map(c => col(c).as(s"ancestor_$c")): _*)
+    val ancestors = if (broadcastAncestors) broadcast(ancestors0) else ancestors0
     descendants
-      .join(broadcast(ancestors),
+      .join(ancestors,
         col("__ancestor_id") === col(s"ancestor_$nodeIdCol"))
       .drop("__ancestor_id")
       .withColumn("net_level",

@@ -216,18 +216,52 @@ class HierarchySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("maxNodes guard: a fact-sized node table fails fast, not silently") {
+  test("above maxNodes the dim auto-switches to distributed BFS leveling") {
+    // 100 roots > maxNodes=10: the old behavior failed fast; now the
+    // derivation runs cluster-parallel and must match the single-task
+    // result exactly
     val big = spark.range(100).selectExpr("CAST(id AS STRING) AS node_id",
       "id AS node_natural_key", "'n' AS node_name", "'L' AS level_name",
       "CAST(NULL AS STRING) AS parent_node_id")
-    // the guard fires inside the single derivation task, so Spark
-    // surfaces it wrapped — assert on the cause chain's message
-    val e = intercept[Exception] {
-      new HierarchyDimension(big, maxNodes = 10L).reportingDim.count()
+    val dist = new HierarchyDimension(big, maxNodes = 10L)
+    val single = new HierarchyDimension(big)
+    assert(dist.reportingDim.count() == 100)
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      val cols = df.columns.sorted
+      df.selectExpr(cols: _*).collect().map(_.toString).toSet
     }
-    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
-    assert(msgs.contains("maxNodes"))
+    assert(canon(dist.reportingDim) == canon(single.reportingDim))
+  }
+
+  test("distributed BFS leveling: reporting + aggregation dims identical to single-task") {
+    // ~300-node binary tree (depth 9) plus the degenerate cases the
+    // single-task pass handles: a 2-cycle, a missing-parent orphan,
+    // and a node hanging under the cycle — all must drop identically
+    val rows = (1L to 300L).map { id =>
+      val parent = if (id == 1L) null else (id / 2).toString
+      (id.toString, id, s"Node $id", s"L${64 - java.lang.Long.numberOfLeadingZeros(id)}", parent)
+    } ++ Seq(
+      ("c1", 401L, "Cycle 1", "LX", "c2"),
+      ("c2", 402L, "Cycle 2", "LX", "c1"),
+      ("orphan", 403L, "Orphan", "LX", "nope"),
+      ("under_cycle", 404L, "Under cycle", "LX", "c1"))
+    val nodes = rows.toDF("node_id", "node_natural_key", "node_name", "level_name", "parent_node_id")
+    val dist = new HierarchyDimension(nodes, maxNodes = 100L)   // 304 > 100 → BFS
+    val single = new HierarchyDimension(nodes)                  // default → single-task
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted
+      df.selectExpr(cols: _*).collect().map(_.toString).sorted.toSeq
+    }
+    // flags incl. dropped rows
+    assert(canon(dist.flaggedNodes) == canon(single.flaggedNodes))
+    // full reporting dim: levels, paths, DFS sort order, level_{i}_*
+    assert(canon(dist.reportingDim) == canon(single.reportingDim))
+    assert(dist.reportingDim.count() == 300) // the 4 degenerates dropped
+    // closure with ancestor/descendant attribute families + net_level
+    assert(canon(dist.aggregationDim) == canon(single.aggregationDim))
+    // and the distributed plan really is distributed: no coalesce(1)
+    val plan = dist.reportingDim.queryExecution.executedPlan.toString
+    assert(!plan.contains("Coalesce 1"), plan.take(1500))
   }
 
   test("rollup approxDistinct: same sums/counts, distinct within HLL error") {
