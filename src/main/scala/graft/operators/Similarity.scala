@@ -349,6 +349,107 @@ object Similarity {
     rerank(pairs, k)
   }
 
+  /** IVF-PQ index build — the memory-scale path for [[ivfTopK]]: at
+    * 100 TB of 768-d embeddings the raw vectors (6 KB/row) cannot live
+    * in executor memory, so the index stores PRODUCT-QUANTIZED codes:
+    * the vector splits into `m` subspaces, each subspace trains its own
+    * `nCodes`-entry codebook (the existing seeded k-means +
+    * [[graft.functions.VectorMeanAgg]] — deterministic, no RNG), and a
+    * vector is stored as m byte codes + its reconstructed norm. At
+    * dim=64, m=8 that is 8 bytes of codes against 512 bytes of raw
+    * doubles — 64× — and the ratio grows with dim.
+    *
+    * Spark shape: codebook training is m dim-sliced k-means runs
+    * (dim-sized collects, like [[assignToCentroids]]'s control read);
+    * ENCODING is one narrow codegen'd map over builtins — per
+    * subspace an L2-argmin (`zip_with` squared-diff fold +
+    * `array_position` of `array_min`; ties take the lowest code, so
+    * encoding is deterministic) — no join, no shuffle, no UDF.
+    * Returns (index, codebooks, coarse centroids): the index carries
+    * only (vec_id, list_id, codes, rnrm).
+    */
+  def ivfpqIndex(emb: DataFrame, m: Int = 8, nCodes: Int = 16,
+      kCoarse: Int = 10, iters: Int = 2): (DataFrame, Seq[Seq[Seq[Double]]], DataFrame) = {
+    require(nCodes >= 1 && nCodes <= 256, "nCodes must be in [1, 256] (byte-packed)")
+    val c = corpus(emb)
+    val dim = c.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val centroids = kmeansCentroids(c, kCoarse, iters)
+    val assigned = assignToCentroids(c, centroids)
+      .select(col("vec_id"), col("v"), col("c_id").as("list_id"))
+    val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+      val subC = c.select(col("vec_id"), col("label"),
+          slice(col("v"), j * sub + 1, sub).as("v"))
+        .withColumn("nrm", norm(col("v")))
+      kmeansCentroids(subC, nCodes, iters)
+        .select(col("c_id"), col("cv")).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toSeq).toSeq
+    }
+    val cbLit = typedLit(codebooks)
+    val codeCols = (0 until m).map { j =>
+      val sv = slice(col("v"), j * sub + 1, sub)
+      val scores = transform(element_at(cbLit, j + 1),
+        cb => aggregate(zip_with(sv, cb, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      (array_position(scores, array_min(scores)) - 1).cast("int")
+    }
+    val index = assigned
+      .withColumn("codes0", array(codeCols: _*))
+      .withColumn("rnrm", norm(flatten(transform(col("codes0"),
+        (cd, j) => element_at(element_at(cbLit, j + 1), cd + 1)))))
+      // byte-pack: 0-based code − 128 spans 0..255 inside a signed
+      // tinyint — the production 256-code layout
+      .withColumn("codes", transform(col("codes0"), cd => (cd - 128).cast("byte")))
+      .select("vec_id", "list_id", "codes", "rnrm")
+    (index, codebooks, centroids)
+  }
+
+  /** IVF-PQ ANN query: probe `nprobe` coarse lists exactly as
+    * [[ivfTopK]], score candidates by ASYMMETRIC DISTANCE — raw query
+    * against the candidate's quantized reconstruction, read from the
+    * compressed index only — shortlist `refine × k` per query on the
+    * bounded heap, then re-rank the shortlist EXACTLY by re-attaching
+    * raw vectors via an id-keyed join (the s7 payload-diet shape: the
+    * scan side touches codes + norms only; raw vectors surface for
+    * refine×k×queries rows). Production note: a per-query LUT
+    * (subspace × code → partial dot) would turn each ADC into m table
+    * lookups; here the reconstruction is inlined — same bandwidth
+    * win, simpler plan.
+    */
+  def ivfpqTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10, nprobe: Int = 3,
+      m: Int = 8, nCodes: Int = 16, refine: Int = 8): DataFrame = {
+    val c = corpus(emb)
+    val (index, codebooks, centroids) = ivfpqIndex(emb, m, nCodes)
+    val cbLit = typedLit(codebooks)
+    val probes = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .groupBy("q_id")
+      .agg(topkByScore(round(col("ccos"), 9), col("c_id").cast("double"), col("c_id"), nprobe).as("tk"),
+        first("qv").as("qv"), first("qn").as("qn"))
+      .select(col("q_id"), col("qv"), col("qn"), explode(col("tk")).as("t"))
+      .select(col("q_id"), col("qv"), col("qn"), col("t.id").as("list_id"))
+    // unpack byte code cd → 1-based codebook position cd + 129
+    val reconCol = flatten(transform(col("codes"),
+      (cd, j) => element_at(element_at(cbLit, j + 1), cd.cast("int") + 129)))
+    val shortlist = index.join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", graft.functions.OptimizationFence.fence(
+        dot(col("qv"), reconCol) / (col("qn") * col("rnrm"))))
+      .groupBy("q_id")
+      .agg(topkByScore(round(col("adc"), 9), col("adc"), col("vec_id"), refine * k).as("tk"),
+        first("qv").as("qv"), first("qn").as("qn"))
+      .select(col("q_id"), col("qv"), col("qn"), explode(col("tk")).as("t"))
+      .select(col("q_id"), col("qv"), col("qn"), col("t.id").as("vec_id"))
+    val pairs = shortlist
+      .join(c.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+    rerank(pairs, k)
+  }
+
   /** SemDeDup-style SEMANTIC dedup: cluster the corpus with the
     * deterministic seeded k-means codebook, then within each cluster
     * mark every vector that has a lower-id cluster-mate with
@@ -429,7 +530,10 @@ object SimilarityQueries {
     "s6_mips_lsh" -> ((s, d) => Similarity.mipsLshTopK(Tables.embeddings(s, d))),
     // all-corpus kNN join: every vector's top-3 ANN neighbors via the
     // bucket self-join (rows-only: recall spec vs the exact join)
-    "s7_knn_join" -> ((s, d) => Similarity.knnJoin(Tables.embeddings(s, d)))
+    "s7_knn_join" -> ((s, d) => Similarity.knnJoin(Tables.embeddings(s, d))),
+    // IVF-PQ: product-quantized index + ADC shortlist + exact refine
+    // (rows-only: recall + compression specs)
+    "s8_knn_ivfpq" -> ((s, d) => Similarity.ivfpqTopK(Tables.embeddings(s, d)))
   )
 
   val oracles: Map[String, String] = Map(

@@ -205,6 +205,55 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, f"IVF recall collapsed: $recall%.2f")
   }
 
+  test("IVF-PQ: byte-packed index is dim×8/m smaller than raw vectors") {
+    val (index, codebooks, _) = Similarity.ivfpqIndex(emb)
+    // codebooks: m=8 subspaces × nCodes=16 codes × sub=8 dims
+    assert(codebooks.length == 8)
+    assert(codebooks.forall(_.length == 16))
+    assert(codebooks.forall(_.forall(_.length == 8)))
+    // index schema: codes are BYTES (the 256-code production layout)
+    val ct = index.schema("codes").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    assert(ct.elementType == org.apache.spark.sql.types.ByteType, ct)
+    val rows = index.collect()
+    assert(rows.length == 500) // one code row per corpus vector
+    rows.foreach { r =>
+      assert(r.getSeq[Byte](r.fieldIndex("codes")).length == 8)
+      assert(r.getAs[Double]("rnrm") > 0.0)
+    }
+    // the compression claim, computed: dim doubles vs m code bytes
+    val rawBytes = 64 * 8
+    val codeBytes = 8
+    assert(rawBytes / codeBytes == 64)
+    // and the reconstruction is faithful enough to order neighbors:
+    // rnrm within 50% of the true norm for every vector (a loose
+    // sanity bound — the recall spec is the real quality gate)
+    val trueNrm = Similarity.corpus(emb).select(col("vec_id"), col("nrm"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val recNrm = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("rnrm")).toMap
+    recNrm.foreach { case (id, rn) =>
+      assert(math.abs(rn - trueNrm(id)) / trueNrm(id) < 0.5, s"vec $id: $rn vs ${trueNrm(id)}")
+    }
+  }
+
+  test("IVF-PQ ANN: recall vs brute force; emitted cosines are exact (refine step)") {
+    val rows = Similarity.ivfpqTopK(emb).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) => assert(rs.length <= 5) }
+    val hits = rows.count(r => brute((r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))))
+    val recall = hits.toDouble / 50
+    info(f"IVF-PQ recall@5 vs brute force: $recall%.2f")
+    assert(recall >= 0.6, f"IVF-PQ recall too low: $recall%.2f")
+    // the final re-rank is exact, so overlapping pairs carry the
+    // brute-force cosine bit-for-bit
+    val b = Similarity.bruteForceTopK(emb).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))
+      b.get(key).foreach(c => assert(c == r.getAs[Double]("cosine"), key))
+    }
+  }
+
   test("ANN cosines agree with brute-force for overlapping pairs") {
     val b = Similarity.bruteForceTopK(emb).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
