@@ -258,6 +258,109 @@ object NativeTextExpressions {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Engine-independent polynomial string hash: fold over codepoints
+    * h = (h*131 + cp) mod P with P = 2^31−1 (prime). Every step fits a
+    * 64-bit integer exactly (h < 2^31, ×131 < 2^39), so a DuckDB
+    * `list_reduce` over `unicode(s[i])` reproduces it bit-for-bit —
+    * the string-valued sibling of [[lcgPlaneComponent]], used where a
+    * minhash/simhash result feeds an exact-match oracle (d2/d3).
+    */
+  final val POLY_P = 2147483647L
+
+  def polyHashCompute(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      h = (h * 131L + cp) % POLY_P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Oracle-reproducible minhash signature: component c = min over
+    * shingles of (A_c·polyhash + B_c) mod P, an affine universal-hash
+    * family with LCG-derived coefficients. Empty shingle sets emit the
+    * P sentinel (no hash can reach it, and both engines agree on it).
+    */
+  def polyMinhashSigCompute(arr: ArrayData, k: Int): ArrayData = {
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, POLY_P)
+    val num = arr.numElements()
+    var i = 0
+    while (i < num) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val h = polyHashCompute(s)
+        var c = 0
+        while (c < k) {
+          val a = (1103515245L * (c + 1) + 12345L) % POLY_P
+          val b = (69069L * (c + 1) + 1L) % POLY_P
+          val hc = (a * h + b) % POLY_P
+          if (hc < mins(c)) mins(c) = hc
+          c += 1
+        }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  /** LSH band keys over a poly-minhash signature: band b folds its
+    * `rows` components through (acc·131 + comp) mod P, seeded with
+    * b+1 so distinct bands virtually never collide. Same fold both
+    * engines → exact-match oracle.
+    */
+  def polyBandKeysCompute(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = (b + 1).toLong
+      var r = 0
+      while (r < rows) {
+        acc = (acc * 131L + sig.getLong(b * rows + r)) % POLY_P
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Oracle-reproducible 32-bit simhash: per token the affine rehash
+    * (A_b·polyhash + B_b) mod P votes bit b by its parity (+1 odd /
+    * −1 even); bit b of the result is set iff its vote sum is
+    * strictly positive. Token-free docs hash to 0.
+    */
+  def polySimhash32Compute(toks: ArrayData): Long = {
+    val votes = new Array[Int](32)
+    val num = toks.numElements()
+    var i = 0
+    while (i < num) {
+      val s = toks.getUTF8String(i)
+      if (s != null) {
+        val h = polyHashCompute(s)
+        var b = 0
+        while (b < 32) {
+          val a = (2654435761L * (b + 1) + 101L) % POLY_P
+          val bb = (40503L * (b + 1) + 7L) % POLY_P
+          if (((a * h + bb) % POLY_P) % 2L == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) sim |= (1L << b)
+      b += 1
+    }
+    sim
+  }
+
   /** Second embedding KERNEL behind the same bridge: word-unigram
     * feature hashing (whitespace tokens, xxhash64 seed 42 → dimension
     * + ±1 sign, L2-normalized). Exists to prove the "swap the kernel,
@@ -310,6 +413,15 @@ object NativeTextExpressions {
 
   def minhashSig(shingles: Column, k: Int): Column =
     GraftColumnBridge.column(MinHashSigExpr(GraftColumnBridge.expression(shingles), k))
+
+  def polyMinhashSig(shingles: Column, k: Int): Column =
+    GraftColumnBridge.column(PolyMinhashSigExpr(GraftColumnBridge.expression(shingles), k))
+
+  def polyBandKeys(sig: Column, bands: Int, rows: Int): Column =
+    GraftColumnBridge.column(PolyBandKeysExpr(GraftColumnBridge.expression(sig), bands, rows))
+
+  def polySimhash32(toks: Column): Column =
+    GraftColumnBridge.column(PolySimhash32Expr(GraftColumnBridge.expression(toks)))
 
   def featureHashEmbed(text: Column, dim: Int = 64): Column =
     GraftColumnBridge.column(FeatureHashEmbedExpr(
@@ -387,6 +499,50 @@ case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.NativeTextExpressions.minhashSigCompute($a, $k);")
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+case class PolyMinhashSigExpr(child: Expression, k: Int) extends UnaryExpression
+    with ExpectsInputTypes {
+  require(k > 0, "signature length must be positive")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "poly_minhash_sig"
+  override def nullSafeEval(a: Any): Any =
+    NativeTextExpressions.polyMinhashSigCompute(a.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.NativeTextExpressions.polyMinhashSigCompute($a, $k);")
+  override protected def withNewChildInternal(newChild: Expression): PolyMinhashSigExpr =
+    copy(child = newChild)
+}
+
+case class PolyBandKeysExpr(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(bands > 0 && rows > 0, "bands and rows must be positive")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "poly_band_keys"
+  override def nullSafeEval(a: Any): Any =
+    NativeTextExpressions.polyBandKeysCompute(a.asInstanceOf[ArrayData], bands, rows)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.NativeTextExpressions.polyBandKeysCompute($a, $bands, $rows);")
+  override protected def withNewChildInternal(newChild: Expression): PolyBandKeysExpr =
+    copy(child = newChild)
+}
+
+case class PolySimhash32Expr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_simhash32"
+  override def nullSafeEval(a: Any): Any =
+    NativeTextExpressions.polySimhash32Compute(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.NativeTextExpressions.polySimhash32Compute($a);")
+  override protected def withNewChildInternal(newChild: Expression): PolySimhash32Expr =
     copy(child = newChild)
 }
 

@@ -189,8 +189,18 @@ object Dedup {
   /** Per-doc minhash signature + banded LSH keys + candidate count.
     * `sigCols` exposes band keys so the result is inspectable; the
     * candidate count comes from the bucket self-join.
+    *
+    * The hashing is ENGINE-INDEPENDENT arithmetic (d5's pattern): a
+    * codepoint-fold polynomial hash mod 2^31−1 per shingle, an affine
+    * universal-hash family per signature component, and a seeded fold
+    * per band key ([[graft.functions.NativeTextExpressions]]). Every
+    * step is exact 64-bit integer math in both engines, so the DuckDB
+    * oracle reproduces signatures, band keys AND candidate counts
+    * bit-for-bit — an exact hash-match driver check, where the old
+    * xxhash64 form could only be rows-checked.
     */
   def minhashLsh(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    import graft.functions.NativeTextExpressions.{polyMinhashSig, polyBandKeys}
     require(k % bands == 0, s"k ($k) must be a multiple of bands ($bands)")
     val rows = k / bands
     // cached: read by both sides of the bucket self-join, and caching
@@ -198,14 +208,16 @@ object Dedup {
     val sigs = docs
       .withColumn("toks", tokens(lower(col("text"))))
       .withColumn("shingles", array_distinct(wordNgrams(col("toks"), 2)))
-      .withColumn("sig", minhashSignature(col("shingles"), k))
-      .withColumn("bandkeys", bandKeys(col("sig"), bands, rows))
+      .withColumn("sig", polyMinhashSig(col("shingles"), k))
+      .withColumn("bandkeys", polyBandKeys(col("sig"), bands, rows))
       .select("doc_id", "sig", "bandkeys")
       .cache()
-    val buckets = sigs.select(col("doc_id"), explode(col("bandkeys")).as("bucket"))
-    // candidate pairs: same band bucket, a < b, deduped across bands
+    val buckets = sigs.select(col("doc_id"),
+      posexplode(col("bandkeys")).as(Seq("band", "bucket")))
+    // candidate pairs: same (band, bucket), a < b, deduped across bands
     val pairs = buckets.as("a")
       .join(buckets.as("b"),
+        col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -241,18 +253,21 @@ object Dedup {
     * per-doc summary above is the registered query).
     */
   def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    import graft.functions.NativeTextExpressions.{polyMinhashSig, polyBandKeys}
     require(k % bands == 0, s"k ($k) must be a multiple of bands ($bands)")
     val rows = k / bands
     val sigs = docs
       .withColumn("toks", tokens(lower(col("text"))))
       .withColumn("shingles", array_distinct(wordNgrams(col("toks"), 2)))
-      .withColumn("sig", minhashSignature(col("shingles"), k))
-      .withColumn("bandkeys", bandKeys(col("sig"), bands, rows))
+      .withColumn("sig", polyMinhashSig(col("shingles"), k))
+      .withColumn("bandkeys", polyBandKeys(col("sig"), bands, rows))
       .select("doc_id", "sig", "bandkeys")
       .cache()
-    val buckets = sigs.select(col("doc_id"), col("sig"), explode(col("bandkeys")).as("bucket"))
+    val buckets = sigs.select(col("doc_id"), col("sig"),
+      posexplode(col("bandkeys")).as(Seq("band", "bucket")))
     buckets.as("a")
       .join(buckets.as("b"),
+        col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         // fenced like [[ngramJaccard]]: dupClusters' threshold filter
@@ -264,18 +279,28 @@ object Dedup {
 
   /** Per-doc simhash (as 4 band keys) + count of near neighbors within
     * `maxHamming` found via band-bucket candidates.
+    *
+    * Like [[minhashLsh]], the hash is engine-independent: a 32-bit
+    * simhash whose per-bit votes come from the parity of an affine
+    * rehash of each token's polynomial codepoint hash
+    * ([[graft.functions.NativeTextExpressions.polySimhash32Compute]]).
+    * Bands are the four 8-bit slices. DuckDB reproduces the votes, the
+    * band buckets and the hamming counts exactly (`xor` + `bit_count`
+    * exist in both engines) → exact-match oracle.
     */
   def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import graft.functions.NativeTextExpressions.polySimhash32
     val sigs = docs
       .withColumn("toks", tokens(lower(col("text"))))
-      .withColumn("sim", simhash64(col("toks")))
+      .withColumn("sim", polySimhash32(col("toks")))
       .select(Seq(col("doc_id"), col("sim")) ++
-        (0 until 4).map(k => simhashBand64(col("sim"), k).as(s"sb_$k")): _*)
+        (0 until 4).map(k => shiftright(col("sim"), 8 * k).bitwiseAND(lit(255L)).as(s"sb_$k")): _*)
       .cache()
     val buckets = sigs.select(col("doc_id"), col("sim"),
-        explode(array((0 until 4).map(k => col(s"sb_$k")): _*)).as("bucket"))
+        posexplode(array((0 until 4).map(k => col(s"sb_$k")): _*)).as(Seq("band", "bucket")))
     val near = buckets.as("a")
       .join(buckets.as("b"),
+        col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("doc_b"),
         hamming64(col("a.sim"), col("b.sim")).as("hd"))

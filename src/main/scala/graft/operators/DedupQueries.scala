@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
 
-/** Registry for the dedup family (SURVEY.md §2.D). d1/d4/d5 have exact
-  * DuckDB oracles; d2/d3 are xxhash64-based sketches (engine-specific
-  * hash) → rows-only driver check + ScalaTest oracles on synthetic
-  * near-duplicates.
+/** Registry for the dedup family (SURVEY.md §2.D). Every entry carries
+  * an exact DuckDB oracle except d13 (iterative k-means is not
+  * SQL-expressible → rows-only + spec). d2/d3 use the d5 pattern:
+  * engine-independent integer arithmetic (polynomial codepoint hash
+  * mod 2^31−1, affine rehash per component/bit) that DuckDB re-derives
+  * bit-for-bit, so even the LSH sketches are exact-hash-checked.
   */
 object DedupQueries {
 
@@ -209,6 +211,99 @@ object DedupQueries {
          LEFT JOIN ck ON b.key = ck.key"""
 
   val oracles: Map[String, String] = Map(
+    // re-derives the poly-minhash arithmetic exactly: polynomial
+    // codepoint hash mod P=2^31−1 per bigram shingle, affine rehash
+    // (A_c·h+B_c) mod P per signature component (min over shingles,
+    // sentinel P when a doc has no shingles), seeded fold per band
+    // key, then the (band, key) bucket self-join counts candidates —
+    // every step exact 64-bit integer math in both engines
+    "d2_minhash_lsh" ->
+      raw"""WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(toks), 1)),
+             i -> toks[i] || ' ' || toks[i + 1])) AS shingles
+           FROM t),
+         hs AS (
+           SELECT doc_id, list_transform(shingles, s ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, len(s) + 1),
+                   i -> CAST(unicode(s[i]) AS BIGINT))),
+               (x, y) -> (x * 131 + y) % 2147483647)) AS hs
+           FROM sh),
+         sig AS (
+           SELECT doc_id, list_transform(range(0, 16), c ->
+             CASE WHEN len(hs) = 0 THEN 2147483647
+                  ELSE list_min(list_transform(hs, h ->
+                    (((1103515245 * (c + 1) + 12345) % 2147483647) * h
+                     + (69069 * (c + 1) + 1) % 2147483647) % 2147483647))
+             END) AS sig
+           FROM hs),
+         bandk AS (
+           SELECT doc_id, list_transform(range(0, 4), b ->
+             list_reduce(list_prepend(b + 1, sig[b * 4 + 1 : b * 4 + 4]),
+               (x, y) -> (x * 131 + y) % 2147483647)) AS bk
+           FROM sig),
+         buckets AS (
+           SELECT doc_id, bb.b AS band, bk[bb.b + 1] AS key
+           FROM bandk, (SELECT unnest(range(0, 4)) AS b) bb),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+           FROM buckets a JOIN buckets b2
+             ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id),
+         cand AS (
+           SELECT doc_id, COUNT(*) AS n FROM (
+             SELECT doc_a AS doc_id FROM pairs
+             UNION ALL SELECT doc_b FROM pairs)
+           GROUP BY doc_id)
+         SELECT s.doc_id, s.bk[1] AS band_0, s.bk[2] AS band_1,
+           s.bk[3] AS band_2, s.bk[4] AS band_3,
+           CAST(COALESCE(cand.n, 0) AS BIGINT) AS n_candidates
+         FROM bandk s LEFT JOIN cand ON s.doc_id = cand.doc_id""",
+    // 32-bit simhash: per token the affine rehash's parity votes each
+    // bit (+1 odd / −1 even), bit set iff vote sum > 0; bands are the
+    // four 8-bit slices, near neighbors counted within (band, key)
+    // buckets at hamming ≤ 3 via xor + bit_count — all reproduced
+    // exactly in DuckDB
+    "d3_simhash" ->
+      raw"""WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         hs AS (
+           SELECT doc_id, list_transform(toks, s ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, len(s) + 1),
+                   i -> CAST(unicode(s[i]) AS BIGINT))),
+               (x, y) -> (x * 131 + y) % 2147483647)) AS hs
+           FROM t),
+         sims AS (
+           SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), b ->
+             CASE WHEN list_sum(list_transform(hs, h ->
+                    CASE WHEN ((((2654435761 * (b + 1) + 101) % 2147483647) * h
+                               + (40503 * (b + 1) + 7) % 2147483647)
+                               % 2147483647) % 2 = 1
+                         THEN 1 ELSE -1 END)) > 0
+                  THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS sim
+           FROM hs),
+         buckets AS (
+           SELECT doc_id, sim, kk.k AS band,
+             (sim >> (8 * CAST(kk.k AS INT))) & 255 AS key
+           FROM sims, (SELECT unnest(range(0, 4)) AS k) kk),
+         near AS (
+           SELECT DISTINCT a.doc_id, b2.doc_id AS doc_b,
+             bit_count(xor(a.sim, b2.sim)) AS hd
+           FROM buckets a JOIN buckets b2
+             ON a.band = b2.band AND a.key = b2.key AND a.doc_id <> b2.doc_id),
+         nn AS (
+           SELECT doc_id, COUNT(*) AS n_near FROM near
+           WHERE hd <= 3 GROUP BY doc_id)
+         SELECT s.doc_id, s.sim,
+           (s.sim >> 0) & 255 AS sb_0, (s.sim >> 8) & 255 AS sb_1,
+           (s.sim >> 16) & 255 AS sb_2, (s.sim >> 24) & 255 AS sb_3,
+           CAST(COALESCE(nn.n_near, 0) AS BIGINT) AS n_near
+         FROM sims s LEFT JOIN nn ON s.doc_id = nn.doc_id""",
     "d9_source_overlap" ->
       raw"""WITH t AS (
            SELECT doc_id, source,
