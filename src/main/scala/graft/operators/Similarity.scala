@@ -278,7 +278,11 @@ object Similarity {
     * window sort.
     */
   def kmeansCentroids(c: DataFrame, k: Int, iters: Int): DataFrame = {
-    var centroids = c.filter(col("vec_id") < k)
+    // init = the k SMALLEST-id vectors (bounded top-k sort), not
+    // `vec_id < k`: a filtered corpus (st18's ingest split) has id
+    // gaps and would seed fewer than k — or zero — centroids; on a
+    // contiguous full table the two forms are identical.
+    var centroids = c.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
       .withColumn("cn", norm(col("cv")))
     for (_ <- 1 to iters) {
@@ -512,6 +516,71 @@ object Similarity {
           .otherwise(lit("semantic_dup")).as("status"),
         coalesce(col("dup_of"), col("vec_id")).as("canonical_id"),
         round(col("dup_cos"), 6).as("cos_to_canonical"))
+  }
+
+  /** STATIC semantic-dedup index over an ingested corpus — the
+    * embedding-path twin of d7's content-hash index: the seeded
+    * k-means codebook (trained on the CORPUS only, [[autoK]]-sized so
+    * cluster population stays ~targetClusterSize as the corpus grows)
+    * plus the corpus's cluster assignment. In production both are
+    * persisted artifacts maintained with the corpus; per arriving
+    * batch neither is recomputed. Returns (centroids, corpusIndex)
+    * where corpusIndex = (cluster_id, corpus_id, cv, cn).
+    */
+  def semanticIndex(corpusEmb: DataFrame, targetClusterSize: Int = 1000,
+      iters: Int = 2): (DataFrame, DataFrame) = {
+    val c = corpus(corpusEmb)
+    val k = autoK(c.count(), targetClusterSize)
+    val centroids = kmeansCentroids(c, k, iters)
+    val idx = assignToCentroids(c, centroids)
+      .select(col("c_id").as("cluster_id"), col("vec_id").as("corpus_id"),
+        col("v").as("cv"), col("nrm").as("cn"))
+    (centroids, idx)
+  }
+
+  /** Classify a NEW batch of embeddings against a prebuilt
+    * [[semanticIndex]]: assign each batch vector to its nearest
+    * centroid (the codegen'd narrow-map argmax — no join), then
+    * compare it ONLY against corpus members of that cluster
+    * (batch×corpus within a cluster; never corpus×corpus, never
+    * all-pairs). A batch vector with a corpus-mate at
+    * round(cos,9) ≥ tau is `semantic_dup_of_corpus` of its best such
+    * match (max cos, min corpus id tie-break); otherwise `new`.
+    * Deterministic in (index, row) — so micro-batching is
+    * semantics-free and a replayed batch rewrites identical bytes.
+    */
+  def classifyAgainstIndex(centroids: DataFrame, corpusIndex: DataFrame,
+      batchEmb: DataFrame, tau: Double = 0.9): DataFrame = {
+    val assigned = assignToCentroids(corpus(batchEmb), centroids)
+      .select(col("vec_id"), col("c_id").as("cluster_id"), col("v"), col("nrm"))
+    val hits = assigned.join(corpusIndex, Seq("cluster_id"))
+      .withColumn("cos", graft.functions.OptimizationFence.fence(
+        dot(col("v"), col("cv")) / (col("nrm") * col("cn"))))
+      .filter(round(col("cos"), 9) >= tau)
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("corpus_id"), col("cos")),
+        struct(round(col("cos"), 9), -col("corpus_id"))).as("m"))
+      .select(col("vec_id"), col("m.corpus_id").as("match_id"),
+        col("m.cos").as("match_cos"))
+    assigned.select(col("vec_id"), col("cluster_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        when(col("match_id").isNull, lit("new"))
+          .otherwise(lit("semantic_dup_of_corpus")).as("status"),
+        col("match_id"), round(col("match_cos"), 6).as("match_cos"))
+  }
+
+  /** Single-shot incremental semantic dedup — [[semanticIndex]] +
+    * [[classifyAgainstIndex]] in one call. This is the batch oracle
+    * for the streaming form (st18): classification depends only on
+    * (corpus, row), so the union over any micro-batching of `batchEmb`
+    * equals this result exactly.
+    */
+  def incrementalSemanticDedup(corpusEmb: DataFrame, batchEmb: DataFrame,
+      tau: Double = 0.9, targetClusterSize: Int = 1000,
+      iters: Int = 2): DataFrame = {
+    val (centroids, idx) = semanticIndex(corpusEmb, targetClusterSize, iters)
+    classifyAgainstIndex(centroids, idx, batchEmb, tau)
   }
 }
 

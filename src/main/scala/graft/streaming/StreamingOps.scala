@@ -239,6 +239,49 @@ object StreamingOpsSinks {
       .start()
     try q.processAllAvailable() finally q.stop()
   }
+
+  /** EXACTLY-ONCE continuous SEMANTIC-dedup ingest — st11's durable
+    * sink contract on the embedding path (the streaming twin of d13
+    * against a static corpus): the k-means codebook and the corpus's
+    * cluster index are built ONCE before the stream starts
+    * (localCheckpoint'ed — in production both are persisted artifacts
+    * maintained with the corpus), then each arriving micro-batch of
+    * embeddings is assigned to its nearest centroid (narrow codegen'd
+    * map), verified against ONLY its cluster's corpus members, and
+    * landed via the idempotent `batch_id`-partition overwrite.
+    * Classification is deterministic in (index, row) — seeded k-means,
+    * no RNG — so a crash-replayed batch rewrites byte-identical
+    * content: checkpoint WAL + deterministic transform + idempotent
+    * partition write = end-to-end exactly-once.
+    */
+  def streamSemanticDedupToParquet(spark: SparkSession, corpusEmb: DataFrame,
+      streamDir: String, schema: org.apache.spark.sql.types.StructType,
+      outDir: String, checkpointDir: String, tau: Double = 0.9,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val (centroids, idx) = graft.operators.Similarity.semanticIndex(corpusEmb)
+    val cent = centroids.localCheckpoint()
+    val index = idx.localCheckpoint()
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamDir)
+    val q = stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          graft.operators.Similarity
+            .classifyAgainstIndex(cent, index, batch.toDF(), tau)
+            .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
+          ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
 }
 
 object StreamingQueries {
@@ -272,11 +315,20 @@ object StreamingQueries {
       dir
     }
 
+  private def embStreamDir(s: SparkSession, d: String): String =
+    fixtureCache(s, s"emb:$d") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_emb_stream")
+        .resolve("batch").toString
+      Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(5)) === 0)
+        .repartition(4).write.mode("overwrite").parquet(dir)
+      dir
+    }
+
   /** Bench pre-warm hook: build the stream source fixtures for the
     * timed SF before the clock starts.
     */
   def warmFixtures(s: SparkSession, d: String): Unit = {
-    mvStreamDir(s, d); ndStreamDir(s, d); ()
+    mvStreamDir(s, d); ndStreamDir(s, d); embStreamDir(s, d); ()
   }
 
   /** Drive a Structured Streaming query over the events parquet to
@@ -529,6 +581,30 @@ object StreamingQueries {
       finally s.conf.set("spark.sql.shuffle.partitions", partsWas)
       s.read.parquet(out)
         .select("doc_id", "status", "match_id", "match_jaccard")
+    }),
+    // STREAMING SEMANTIC-dedup ingest — the embedding-path twin of
+    // st11: the batch fifth of the embeddings table arrives as 4
+    // micro-batches, each assigned to the static corpus's k-means
+    // codebook and verified only within its cluster, landed through
+    // the exactly-once idempotent sink and read back. k-means → no
+    // SQL oracle (rows-only); StreamingSpec proves streamed ≡
+    // single-shot incrementalSemanticDedup and planted-dup labels.
+    "st18_stream_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpusEmb = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val dir = embStreamDir(s, d)
+      val schema = s.read.parquet(dir).schema
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_sem_sink").resolve("out").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_sem_ckpt").toString
+      val partsWas = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try StreamingOpsSinks.streamSemanticDedupToParquet(
+        s, corpusEmb, dir, schema, out, ckpt, tau = 0.9)
+      finally s.conf.set("spark.sql.shuffle.partitions", partsWas)
+      s.read.parquet(out)
+        .select("vec_id", "cluster_id", "status", "match_id", "match_cos")
     }),
     // stream-STREAM join: clicks joined to same-user purchases within
     // 30 minutes after the click. Both sides carry watermarks and the

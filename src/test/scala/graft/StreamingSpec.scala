@@ -292,6 +292,29 @@ class StreamingSpec extends SparkSpec {
     assert(canon(sunk, cols: _*) == canon(oracle, cols: _*))
   }
 
+  test("st18: streamed semantic dedup equals single-shot; planted dup labeled") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpusEmb = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    // streamed-vs-single-shot parity through the full registry path
+    // (fixture write → 4 micro-batches → exactly-once sink → read-back)
+    val streamed = SparkEntry.queries("st18_stream_semantic_dedup")(spark, sf)
+    val singleShot = graft.operators.Similarity.incrementalSemanticDedup(
+      corpusEmb, emb.filter(pmod(col("vec_id"), lit(5)) === 0), tau = 0.9)
+    val cols = Seq("vec_id", "cluster_id", "status", "match_id", "match_cos")
+    assert(canon(streamed, cols: _*) == canon(singleShot, cols: _*))
+    // planted duplicate: a batch vector that IS a corpus vector must
+    // come back semantic_dup_of_corpus of that vector at cos 1.0
+    val donorId = corpusEmb.select(min("vec_id")).head().getLong(0)
+    val planted = corpusEmb.filter(col("vec_id") === donorId)
+      .withColumn("vec_id", lit(999999L))
+    val out = graft.operators.Similarity.incrementalSemanticDedup(
+        corpusEmb, planted, tau = 0.9).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("status") == "semantic_dup_of_corpus")
+    assert(out.head.getAs[Long]("match_id") == donorId)
+    assert(out.head.getAs[Double]("match_cos") == 1.0)
+  }
+
   test("st10: streamed near-dup classification equals the single-shot form") {
     val docs = Tables.documents(spark, sf)
     val streamed = SparkEntry.queries("st10_stream_neardup")(spark, sf)
