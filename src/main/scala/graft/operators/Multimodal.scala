@@ -635,6 +635,26 @@ object MultimodalQueries {
         }
       Multimodal.extractFeatures(s, rows.toDF(), new Multimodal.PgmCodec).toDF()
     }),
+    // baseline-JPEG decode through the REAL Huffman+IDCT decoder
+    // (marker walk → DHT canonical Huffman → dequant → de-zigzag →
+    // separable IDCT): payloads are deterministic synthesized baseline
+    // JPEGs (dims from doc_id, gray pixels from text bytes, flat q=1
+    // so DC-only content round-trips exactly); width/height re-derived
+    // from the bytes. Binary plumbing → rows-only, exactness +
+    // loud-failure contracts in the spec.
+    "m8_jpeg_decode" -> ((s, d) => {
+      import s.implicits._
+      val rows = Multimodal.mediaTable(Tables.documents(s, d))
+        .as[Multimodal.MediaRow].map { r =>
+          val w = (8 + (r.doc_id % 9)).toInt
+          val h = (8 + (r.doc_id % 7)).toInt
+          val src = if (r.payload.isEmpty) Array[Byte](61) else r.payload
+          val px = Array.tabulate[Byte](w * h)(i => src(i % src.length))
+          Multimodal.MediaRow(r.doc_id,
+            Jpeg.synth(w, h, px), "image/jpeg", w, h)
+        }
+      Multimodal.extractFeatures(s, rows.toDF(), new Jpeg.JpegCodec).toDF()
+    }),
     // nearest-neighbor RESIZE at the codec: full-res pixels never
     // leave the task, only thumbnail stats do (the downscale step of
     // an image ingest). Binary plumbing → rows-only, exactness in the

@@ -556,4 +556,80 @@ class TextMultimodalSpec extends SparkSpec {
     }
     assert(err.getMessage != null)
   }
+
+  import graft.operators.Jpeg
+
+  test("Jpeg: constant-gray image round-trips EXACTLY through encode+decode") {
+    // constant 200 → every block is DC-only; with flat q=1 the DC
+    // coefficient ((200−128)·8 = 576) quantizes losslessly, so decode
+    // must reproduce the exact pixel value everywhere
+    val img = Jpeg.decode(Jpeg.synth(16, 8, Array.fill[Byte](16 * 8)(200.toByte)))
+    assert(img.width == 16 && img.height == 8 && img.nComponents == 1)
+    assert(img.luma.forall(_ == 200), s"distinct values: ${img.luma.distinct.toSeq}")
+  }
+
+  test("Jpeg: patterned grayscale mean luma survives within quantization error") {
+    val w = 24; val h = 16
+    val src = Array.tabulate[Byte](w * h)(i => ((i * 7 + 13) % 251).toByte)
+    val img = Jpeg.decode(Jpeg.synth(w, h, src))
+    assert(img.width == w && img.height == h)
+    val srcMean = src.map(_ & 0xff).sum.toDouble / (w * h)
+    val decMean = img.luma.sum.toDouble / (w * h)
+    assert(math.abs(decMean - srcMean) < 1.5,
+      s"mean drifted: src $srcMean dec $decMean")
+    // per-pixel reconstruction, not just the mean: flat q=1 bounds the
+    // coefficient error, so every pixel lands within a few counts
+    val maxErr = img.luma.indices.map(i =>
+      math.abs(img.luma(i) - (src(i) & 0xff))).max
+    assert(maxErr <= 3, s"max per-pixel error $maxErr")
+  }
+
+  test("Jpeg: 4:4:4 color encode/decode reconstructs the Y plane") {
+    val w = 8; val h = 8
+    val rgb = Array.tabulate[Byte](w * h * 3)(i => ((i * 11 + 5) % 256).toByte)
+    val img = Jpeg.decode(Jpeg.synth(w, h, rgb, planes = 3))
+    assert(img.nComponents == 3 && img.width == w && img.height == h)
+    val yMean = (0 until w * h).map { p =>
+      0.299 * (rgb(3 * p) & 0xff) + 0.587 * (rgb(3 * p + 1) & 0xff) +
+        0.114 * (rgb(3 * p + 2) & 0xff)
+    }.sum / (w * h)
+    val decMean = img.luma.sum.toDouble / (w * h)
+    assert(math.abs(decMean - yMean) < 1.5, s"Y mean: src $yMean dec $decMean")
+  }
+
+  test("Jpeg: restart markers (DRI/RSTn) decode identically to the plain stream") {
+    val w = 32; val h = 16 // 4×2 MCUs → RSTs fire at interval 2
+    val src = Array.tabulate[Byte](w * h)(i => ((i * 3 + 101) % 256).toByte)
+    val plain = Jpeg.decode(Jpeg.synth(w, h, src))
+    val restarted = Jpeg.decode(Jpeg.synth(w, h, src, restartInterval = 2))
+    assert(plain.luma.toSeq == restarted.luma.toSeq)
+  }
+
+  test("Jpeg: progressive, subsampled, truncated and junk payloads fail loudly") {
+    val good = Jpeg.synth(8, 8, Array.fill[Byte](64)(90))
+    // flip SOF0 (0xffc0) → SOF2 (progressive)
+    val sofAt = (0 until good.length - 1).find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
+    val prog = good.clone(); prog(sofAt + 1) = 0xc2.toByte
+    val e1 = intercept[IllegalArgumentException](Jpeg.decode(prog))
+    assert(e1.getMessage.contains("progressive"))
+    // patch the sampling byte (SOF0 payload: len2 prec1 h2 w2 nc1 id1 SAMP)
+    val sub = good.clone(); sub(sofAt + 11) = 0x22.toByte
+    val e2 = intercept[IllegalArgumentException](Jpeg.decode(sub))
+    assert(e2.getMessage.contains("subsampling"))
+    intercept[IllegalArgumentException](Jpeg.decode(good.dropRight(20)))
+    intercept[IllegalArgumentException](Jpeg.decode("nope".getBytes("UTF-8")))
+  }
+
+  test("m8: decoded JPEG dimensions re-derive the synth metadata from bytes") {
+    val out = SparkEntry.queries("m8_jpeg_decode")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Double]("feat_0") == (8 + id % 9).toDouble, s"doc $id width")
+      assert(r.getAs[Double]("feat_1") == (8 + id % 7).toDouble, s"doc $id height")
+      val mean = r.getAs[Double]("mean_byte")
+      assert(mean >= 0.0 && mean <= 255.0)
+    }
+  }
 }
