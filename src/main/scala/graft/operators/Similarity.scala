@@ -109,7 +109,7 @@ object Similarity {
         array(sqrt(greatest(lit(0.0),
           lit(1.0) - (col("nrm") / col("__m")) * (col("nrm") / col("__m")))))))
       .withColumn("buckets",
-        NativeTextExpressions.hyperplaneBuckets(col("av"), nPlanes, nTables))
+        NativeTextExpressions.lcgBuckets(col("av"), nPlanes, nTables))
     val buckets = aug.select(col("vec_id"), col("v"),
       posexplode(col("buckets")).as(Seq("table", "bucket")))
     // query side: zero-pad, hash with the SAME d+1-dim planes, probe
@@ -117,7 +117,7 @@ object Similarity {
     val qProbes = c.filter(col("vec_id") < nQueries)
       .withColumn("aq", concat(col("v"), array(lit(0.0))))
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        posexplode(NativeTextExpressions.hyperplaneBuckets(
+        posexplode(NativeTextExpressions.lcgBuckets(
           col("aq"), nPlanes, nTables)).as(Seq("qtable", "qbucket")))
       .select(col("q_id"), col("qv"), col("qtable"),
         explode(concat(array(col("qbucket")),
@@ -138,7 +138,10 @@ object Similarity {
     * query side (each query also probes the `nPlanes` buckets that
     * differ by one projection sign — the neighbors most likely to hold
     * near misses). Buckets come from the native codegen'd
-    * [[graft.functions.HyperplaneBucketsExpr]]; candidates are deduped
+    * [[graft.functions.LcgBucketsExpr]] — engine-independent integer
+    * arithmetic, so the DuckDB oracle re-derives the identical
+    * candidate sets (the d5 pattern; the result is approximate but
+    * deterministic and exact-hash-checked). Candidates are deduped
     * across tables before the exact re-rank. The shuffle key is
     * (table, bucket) — never all-pairs.
     */
@@ -146,7 +149,7 @@ object Similarity {
       nPlanes: Int = 6, nTables: Int = 8): DataFrame = {
     val c = corpus(emb)
       .withColumn("buckets",
-        NativeTextExpressions.hyperplaneBuckets(col("v"), nPlanes, nTables))
+        NativeTextExpressions.lcgBuckets(col("v"), nPlanes, nTables))
     val buckets = c.select(col("vec_id"), col("v"), col("nrm"),
       posexplode(col("buckets")).as(Seq("table", "bucket")))
     // query side: home bucket + one-bit flips (multiprobe); the query
@@ -200,7 +203,7 @@ object Similarity {
           math.log(2.0)).ceil.toInt))
     val c = corpus(emb)
       .withColumn("buckets",
-        NativeTextExpressions.hyperplaneBuckets(col("v"), planes, nTables))
+        NativeTextExpressions.lcgBuckets(col("v"), planes, nTables))
     val buckets = c.select(col("vec_id"), col("v"), col("nrm"),
       posexplode(col("buckets")).as(Seq("table", "bucket")))
     // distance-1 multiprobe on ONE side only: a pair whose buckets
@@ -584,9 +587,15 @@ object Similarity {
   }
 }
 
-/** Registry for the similarity family. s1 has an exact DuckDB oracle;
-  * s2/s3 are recall-tested against s1 in specs (approximate results
-  * are hash-engine-specific → rows-only driver check).
+/** Registry for the similarity family. s1/s4/s5 are exact with DuckDB
+  * oracles. s2/s6/s7 are LSH-approximate but STILL exact-hash-checked:
+  * their hyperplanes are the LCG integer arithmetic
+  * ([[graft.functions.NativeTextExpressions.lcgBuckets]], d5's
+  * pattern), so the DuckDB oracle re-derives the identical candidate
+  * sets and re-ranks them — the approximation is deterministic and
+  * cross-engine reproducible, and recall specs still measure it
+  * against the exact baselines. s3/s8 (k-means codebooks) stay
+  * rows-only + recall specs.
   */
 object SimilarityQueries {
 
@@ -598,7 +607,8 @@ object SimilarityQueries {
     "s5_mips" -> ((s, d) => Similarity.mipsTopK(Tables.embeddings(s, d))),
     "s6_mips_lsh" -> ((s, d) => Similarity.mipsLshTopK(Tables.embeddings(s, d))),
     // all-corpus kNN join: every vector's top-3 ANN neighbors via the
-    // bucket self-join (rows-only: recall spec vs the exact join)
+    // bucket self-join (oracle re-derives buckets + probes in SQL;
+    // recall spec vs the exact join)
     "s7_knn_join" -> ((s, d) => Similarity.knnJoin(Tables.embeddings(s, d))),
     // IVF-PQ: product-quantized index + ADC shortlist + exact refine
     // (rows-only: recall + compression specs)
@@ -651,6 +661,157 @@ object SimilarityQueries {
                ORDER BY ROUND(ip, 9) DESC, neighbor_id ASC) AS BIGINT) AS rank
            FROM pairs)
          SELECT q_id, rank, neighbor_id, ROUND(ip, 6) AS inner_product
-         FROM ranked WHERE rank <= 5"""
+         FROM ranked WHERE rank <= 5""",
+    // full-pipeline LSH ANN oracle (the d5 pattern scaled up): LCG
+    // hyperplane buckets (8 tables × 6 planes, exact integer
+    // arithmetic + power-of-two division), query-side distance-1
+    // multiprobe (home bucket + one-bit XOR flips), candidate dedup,
+    // exact cosine re-rank — DuckDB re-derives the IDENTICAL candidate
+    // sets, so even the approximate result hash-matches
+    "s2_knn_lsh" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+           FROM e),
+         b AS (
+           SELECT vec_id, t.t AS tbl,
+             CAST(list_sum(list_transform(range(0, 6), p ->
+               CASE WHEN list_sum(list_transform(range(0, len(v)), d ->
+                      v[d + 1] * (((1103515245 * ((t.t * 6 + p) * 131 + d) + 12345)
+                                   % 2147483648) / 1073741824.0 - 1.0))) >= 0
+                    THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+           FROM n, (SELECT unnest(range(0, 8)) AS t) t),
+         probes AS (
+           SELECT vec_id AS q_id, tbl,
+             CASE WHEN j.j = -1 THEN bucket
+                  ELSE xor(bucket, CAST(power(2, j.j) AS BIGINT)) END AS probe
+           FROM b, (SELECT unnest(range(-1, 6)) AS j) j
+           WHERE vec_id < 10),
+         cand AS (
+           SELECT DISTINCT p.q_id, c.vec_id
+           FROM probes p JOIN b c ON c.tbl = p.tbl AND c.bucket = p.probe
+           WHERE c.vec_id <> p.q_id),
+         pairs AS (
+           SELECT cand.q_id, cand.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(c.v, q.v), s -> s[1] * s[2]))
+               / (c.nrm * q.nrm) AS cos
+           FROM cand JOIN n c ON cand.vec_id = c.vec_id
+                     JOIN n q ON cand.q_id = q.vec_id),
+         ranked AS (
+           SELECT q_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY ROUND(cos, 9) DESC, neighbor_id ASC) AS BIGINT) AS rank
+           FROM pairs)
+         SELECT q_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+         FROM ranked WHERE rank <= 5""",
+    // s6: the Shrivastava-Li augmentation reproduced step-for-step —
+    // corpus vectors scale by the global max norm and append the
+    // sqrt(1−|x/M|²) completion coordinate, queries zero-pad, the
+    // SAME d+1-dim LCG planes bucket both sides, exact inner-product
+    // re-rank over the raw vectors
+    "s6_mips_lsh" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+           FROM e),
+         m AS (SELECT MAX(nrm) AS mx FROM n),
+         aug AS (
+           SELECT vec_id, v, nrm,
+             list_append(list_transform(v, x -> x / m.mx),
+               sqrt(greatest(0.0, 1.0 - (nrm / m.mx) * (nrm / m.mx)))) AS av
+           FROM n, m),
+         qaug AS (
+           SELECT vec_id, v, list_append(v, 0.0) AS av
+           FROM n WHERE vec_id < 10),
+         b AS (
+           SELECT vec_id, t.t AS tbl,
+             CAST(list_sum(list_transform(range(0, 6), p ->
+               CASE WHEN list_sum(list_transform(range(0, len(av)), d ->
+                      av[d + 1] * (((1103515245 * ((t.t * 6 + p) * 131 + d) + 12345)
+                                    % 2147483648) / 1073741824.0 - 1.0))) >= 0
+                    THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+           FROM aug, (SELECT unnest(range(0, 8)) AS t) t),
+         qb AS (
+           SELECT vec_id, t.t AS tbl,
+             CAST(list_sum(list_transform(range(0, 6), p ->
+               CASE WHEN list_sum(list_transform(range(0, len(av)), d ->
+                      av[d + 1] * (((1103515245 * ((t.t * 6 + p) * 131 + d) + 12345)
+                                    % 2147483648) / 1073741824.0 - 1.0))) >= 0
+                    THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+           FROM qaug, (SELECT unnest(range(0, 8)) AS t) t),
+         probes AS (
+           SELECT vec_id AS q_id, tbl,
+             CASE WHEN j.j = -1 THEN bucket
+                  ELSE xor(bucket, CAST(power(2, j.j) AS BIGINT)) END AS probe
+           FROM qb, (SELECT unnest(range(-1, 6)) AS j) j),
+         cand AS (
+           SELECT DISTINCT p.q_id, c.vec_id
+           FROM probes p JOIN b c ON c.tbl = p.tbl AND c.bucket = p.probe
+           WHERE c.vec_id <> p.q_id),
+         pairs AS (
+           SELECT cand.q_id, cand.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(c.v, q.v), s -> s[1] * s[2])) AS ip
+           FROM cand JOIN n c ON cand.vec_id = c.vec_id
+                     JOIN n q ON cand.q_id = q.vec_id),
+         ranked AS (
+           SELECT q_id, neighbor_id, ip,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY ROUND(ip, 9) DESC, neighbor_id ASC) AS BIGINT) AS rank
+           FROM pairs)
+         SELECT q_id, rank, neighbor_id, ROUND(ip, 6) AS inner_product
+         FROM ranked WHERE rank <= 5""",
+    // s7: the all-corpus kNN join — corpus buckets self-joined against
+    // the one-sided distance-1 probe stream with AUTO-SIZED plane
+    // count (np = clamp(ceil(log2(n/8)), 4, 20), re-derived in SQL
+    // from the corpus count), per-pair min over duplicate probes,
+    // mirrored, per-vector top-3 by (round(cos,9) desc, id)
+    "s7_knn_join" ->
+      """WITH params AS (
+           SELECT LEAST(20, GREATEST(4,
+             CAST(ceil(log2(GREATEST(COUNT(*) / 8.0, 1.0))) AS INT))) AS np
+           FROM embeddings),
+         e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+           FROM e),
+         b AS (
+           SELECT vec_id, t.t AS tbl,
+             CAST(list_sum(list_transform(range(0, params.np), p ->
+               CASE WHEN list_sum(list_transform(range(0, len(v)), d ->
+                      v[d + 1] * (((1103515245 * ((t.t * params.np + p) * 131 + d) + 12345)
+                                   % 2147483648) / 1073741824.0 - 1.0))) >= 0
+                    THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+           FROM n, params, (SELECT unnest(range(0, 8)) AS t) t),
+         probe AS (
+           SELECT vec_id AS j_id, tbl,
+             CASE WHEN j.j = -1 THEN bucket
+                  ELSE xor(bucket, CAST(power(2, j.j) AS BIGINT)) END AS bucket
+           FROM b, params, (SELECT unnest(range(-1, 20)) AS j) j
+           WHERE j.j < params.np),
+         once AS (
+           SELECT a.vec_id, p.j_id,
+             MIN(list_sum(list_transform(list_zip(x.v, y.v), s -> s[1] * s[2]))
+                 / (x.nrm * y.nrm)) AS cos
+           FROM b a JOIN probe p ON a.tbl = p.tbl AND a.bucket = p.bucket
+                    AND a.vec_id < p.j_id
+           JOIN n x ON a.vec_id = x.vec_id
+           JOIN n y ON p.j_id = y.vec_id
+           GROUP BY a.vec_id, p.j_id),
+         pairs AS (
+           SELECT vec_id, j_id, cos FROM once
+           UNION ALL SELECT j_id, vec_id, cos FROM once),
+         ranked AS (
+           SELECT vec_id, j_id, cos,
+             CAST(row_number() OVER (PARTITION BY vec_id
+               ORDER BY ROUND(cos, 9) DESC, j_id ASC) AS BIGINT) AS rank
+           FROM pairs)
+         SELECT vec_id, rank, j_id AS neighbor_id, ROUND(cos, 6) AS cosine
+         FROM ranked WHERE rank <= 3"""
   )
 }

@@ -23,6 +23,7 @@ class PlanLintSpec extends SparkSpec {
     "s1_knn_brute",        // brute-force baseline broadcasts the query set
     "s5_mips",             // exact MIPS broadcasts the query set (s1's shape)
     "s3_knn_ivf",          // broadcast k-means codebook (nlist rows)
+    "s8_knn_ivfpq",        // broadcast coarse codebook for probe selection (s3's shape)
     "d13_semantic_dedup",  // broadcast k-means codebook (k rows)
     "h5_hier_agg_deep",    // dim construction: nation × 5-row segment literal
     "t11_tfidf",           // 1-row corpus-size broadcast

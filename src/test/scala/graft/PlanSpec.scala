@@ -430,6 +430,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d2: minhash candidates come from the (band, bucket) equi-join — no window, no cartesian") {
+    val p = plan("d2_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    // the bucket self-join keys on BOTH the band index and the band
+    // key, so the shuffle key cardinality is bands × distinct keys
+    val candJoins = joinLines("d2_minhash_lsh").filter(_.contains("bucket"))
+    assert(candJoins.nonEmpty && candJoins.forall(_.contains("band")),
+      candJoins.mkString("\n"))
+  }
+
+  test("st18 classify: centroid assignment is a narrow map, verify joins on the cluster id") {
+    // the batch function behind the streaming entry (the stream adds
+    // only foreachBatch + the idempotent sink around this exact plan)
+    val emb = Tables.embeddings(spark, sf)
+    val df = graft.operators.Similarity.incrementalSemanticDedup(
+      emb.filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.lit(5L)) =!= 0),
+      emb.filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.lit(5L)) === 0))
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    // assignment is the codegen'd argmax expression — one row per
+    // vector, no codebook join
+    assert(p.contains("nearest_centroid"), p.take(2000))
+    // batch×corpus candidates pair only within a cluster
+    val joins = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joins.exists(_.contains("cluster_id")), joins.mkString("\n"))
+  }
+
   test("q1: aggregation runs inside whole-stage codegen") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     // AQE's pre-execution plan string hides codegen stages; ask for
