@@ -288,17 +288,26 @@ object NativeTextExpressions {
   def polyMinhashSigCompute(arr: ArrayData, k: Int): ArrayData = {
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, POLY_P)
+    // hoist the affine coefficients out of the shingle loop: they
+    // depend only on the component index, and the %-heavy recompute
+    // per (shingle × component) dominated the kernel
+    val as = new Array[Long](k)
+    val bs = new Array[Long](k)
+    var c = 0
+    while (c < k) {
+      as(c) = (1103515245L * (c + 1) + 12345L) % POLY_P
+      bs(c) = (69069L * (c + 1) + 1L) % POLY_P
+      c += 1
+    }
     val num = arr.numElements()
     var i = 0
     while (i < num) {
       val s = arr.getUTF8String(i)
       if (s != null) {
         val h = polyHashCompute(s)
-        var c = 0
+        c = 0
         while (c < k) {
-          val a = (1103515245L * (c + 1) + 12345L) % POLY_P
-          val b = (69069L * (c + 1) + 1L) % POLY_P
-          val hc = (a * h + b) % POLY_P
+          val hc = (as(c) * h + bs(c)) % POLY_P
           if (hc < mins(c)) mins(c) = hc
           c += 1
         }
@@ -329,13 +338,25 @@ object NativeTextExpressions {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
-  /** Oracle-reproducible 32-bit simhash: per token the affine rehash
+  /** Oracle-reproducible 60-bit simhash: per token the affine rehash
     * (A_b·polyhash + B_b) mod P votes bit b by its parity (+1 odd /
     * −1 even); bit b of the result is set iff its vote sum is
-    * strictly positive. Token-free docs hash to 0.
+    * strictly positive. Token-free docs hash to 0. 60 bits (not 64)
+    * keeps every derived value — the hash, 2^b terms, band slices —
+    * inside a signed 64-bit integer in BOTH engines, so the DuckDB
+    * oracle stays exact; four 15-bit bands give 32768 buckets per
+    * band, the candidate-blocking cardinality a 100 TB corpus needs
+    * (an 8-bit band would cap at 256 buckets → quadratic buckets).
     */
+  // simhash affine coefficients are bit-indexed constants — computed
+  // once, not per (token × bit)
+  private val SimA: Array[Long] =
+    Array.tabulate(60)(b => (2654435761L * (b + 1) + 101L) % POLY_P)
+  private val SimB: Array[Long] =
+    Array.tabulate(60)(b => (40503L * (b + 1) + 7L) % POLY_P)
+
   def polySimhash32Compute(toks: ArrayData): Long = {
-    val votes = new Array[Int](32)
+    val votes = new Array[Int](60)
     val num = toks.numElements()
     var i = 0
     while (i < num) {
@@ -343,10 +364,9 @@ object NativeTextExpressions {
       if (s != null) {
         val h = polyHashCompute(s)
         var b = 0
-        while (b < 32) {
-          val a = (2654435761L * (b + 1) + 101L) % POLY_P
-          val bb = (40503L * (b + 1) + 7L) % POLY_P
-          if (((a * h + bb) % POLY_P) % 2L == 1L) votes(b) += 1 else votes(b) -= 1
+        while (b < 60) {
+          if (((SimA(b) * h + SimB(b)) % POLY_P) % 2L == 1L) votes(b) += 1
+          else votes(b) -= 1
           b += 1
         }
       }
@@ -354,7 +374,7 @@ object NativeTextExpressions {
     }
     var sim = 0L
     var b = 0
-    while (b < 32) {
+    while (b < 60) {
       if (votes(b) > 0) sim |= (1L << b)
       b += 1
     }

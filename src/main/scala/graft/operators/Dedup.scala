@@ -280,13 +280,18 @@ object Dedup {
   /** Per-doc simhash (as 4 band keys) + count of near neighbors within
     * `maxHamming` found via band-bucket candidates.
     *
-    * Like [[minhashLsh]], the hash is engine-independent: a 32-bit
+    * Like [[minhashLsh]], the hash is engine-independent: a 60-BIT
     * simhash whose per-bit votes come from the parity of an affine
     * rehash of each token's polynomial codepoint hash
-    * ([[graft.functions.NativeTextExpressions.polySimhash32Compute]]).
-    * Bands are the four 8-bit slices. DuckDB reproduces the votes, the
-    * band buckets and the hamming counts exactly (`xor` + `bit_count`
-    * exist in both engines) → exact-match oracle.
+    * ([[graft.functions.NativeTextExpressions.polySimhash32Compute]];
+    * 60 bits keeps every derived value signed-64-bit-exact in DuckDB).
+    * Bands are the four 15-bit slices — 32768 buckets per band, so the
+    * blocking cardinality scales to a large corpus (8-bit bands would
+    * cap at 256 buckets and go quadratic inside them); 4 bands still
+    * pigeonhole-guarantee that any pair within hamming ≤ 3 shares an
+    * exact band. DuckDB reproduces the votes, the band buckets and the
+    * hamming counts exactly (`xor` + `bit_count` exist in both
+    * engines) → exact-match oracle.
     */
   def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     import graft.functions.NativeTextExpressions.polySimhash32
@@ -294,7 +299,7 @@ object Dedup {
       .withColumn("toks", tokens(lower(col("text"))))
       .withColumn("sim", polySimhash32(col("toks")))
       .select(Seq(col("doc_id"), col("sim")) ++
-        (0 until 4).map(k => shiftright(col("sim"), 8 * k).bitwiseAND(lit(255L)).as(s"sb_$k")): _*)
+        (0 until 4).map(k => shiftright(col("sim"), 15 * k).bitwiseAND(lit(32767L)).as(s"sb_$k")): _*)
       .cache()
     val buckets = sigs.select(col("doc_id"), col("sim"),
         posexplode(array((0 until 4).map(k => col(s"sb_$k")): _*)).as(Seq("band", "bucket")))

@@ -262,11 +262,11 @@ object DedupQueries {
            s.bk[3] AS band_2, s.bk[4] AS band_3,
            CAST(COALESCE(cand.n, 0) AS BIGINT) AS n_candidates
          FROM bandk s LEFT JOIN cand ON s.doc_id = cand.doc_id""",
-    // 32-bit simhash: per token the affine rehash's parity votes each
+    // 60-bit simhash: per token the affine rehash's parity votes each
     // bit (+1 odd / −1 even), bit set iff vote sum > 0; bands are the
-    // four 8-bit slices, near neighbors counted within (band, key)
+    // four 15-bit slices, near neighbors counted within (band, key)
     // buckets at hamming ≤ 3 via xor + bit_count — all reproduced
-    // exactly in DuckDB
+    // exactly in DuckDB (60 bits keeps 2^b and the hash signed-64-bit)
     "d3_simhash" ->
       raw"""WITH t AS (
            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
@@ -279,7 +279,7 @@ object DedupQueries {
                (x, y) -> (x * 131 + y) % 2147483647)) AS hs
            FROM t),
          sims AS (
-           SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), b ->
+           SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
              CASE WHEN list_sum(list_transform(hs, h ->
                     CASE WHEN ((((2654435761 * (b + 1) + 101) % 2147483647) * h
                                + (40503 * (b + 1) + 7) % 2147483647)
@@ -289,7 +289,7 @@ object DedupQueries {
            FROM hs),
          buckets AS (
            SELECT doc_id, sim, kk.k AS band,
-             (sim >> (8 * CAST(kk.k AS INT))) & 255 AS key
+             (sim >> (15 * CAST(kk.k AS INT))) & 32767 AS key
            FROM sims, (SELECT unnest(range(0, 4)) AS k) kk),
          near AS (
            SELECT DISTINCT a.doc_id, b2.doc_id AS doc_b,
@@ -300,8 +300,8 @@ object DedupQueries {
            SELECT doc_id, COUNT(*) AS n_near FROM near
            WHERE hd <= 3 GROUP BY doc_id)
          SELECT s.doc_id, s.sim,
-           (s.sim >> 0) & 255 AS sb_0, (s.sim >> 8) & 255 AS sb_1,
-           (s.sim >> 16) & 255 AS sb_2, (s.sim >> 24) & 255 AS sb_3,
+           (s.sim >> 0) & 32767 AS sb_0, (s.sim >> 15) & 32767 AS sb_1,
+           (s.sim >> 30) & 32767 AS sb_2, (s.sim >> 45) & 32767 AS sb_3,
            CAST(COALESCE(nn.n_near, 0) AS BIGINT) AS n_near
          FROM sims s LEFT JOIN nn ON s.doc_id = nn.doc_id""",
     "d9_source_overlap" ->

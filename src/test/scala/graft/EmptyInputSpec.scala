@@ -174,4 +174,18 @@ class EmptyInputSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component_id")).toMap
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
+
+  test("round-13 operators handle empty inputs") {
+    // poly-arithmetic sketches on an empty corpus
+    assert(Dedup.minhashLsh(noDocs).count() == 0)
+    assert(Dedup.simhashDedup(noDocs).count() == 0)
+    // empty corpus → empty codebook → every batch row unclassifiable;
+    // an empty BATCH against a live corpus returns empty, not a throw
+    val emb = Tables.embeddings(spark, sf)
+    assert(Similarity.incrementalSemanticDedup(noEmb, noEmb).count() == 0)
+    assert(Similarity.incrementalSemanticDedup(emb, noEmb).count() == 0)
+    // JPEG codec over an empty media table
+    assert(Multimodal.extractFeatures(spark, Multimodal.mediaTable(noDocs),
+      new Jpeg.JpegCodec).count() == 0)
+  }
 }
