@@ -172,6 +172,63 @@ object Similarity {
     rerank(pairs, k)
   }
 
+  /** FILTERED ANN: top-k cosine neighbors per query AMONG CORPUS
+    * VECTORS SHARING THE QUERY'S LABEL — the vector-store "filtered
+    * search" primitive (predicate + vector in one request: nearest
+    * docs in MY language / MY tenant / MY shard). Post-filtering a
+    * plain top-k is wrong at low selectivity (the k survivors of an
+    * unfiltered heap can all fail the predicate, returning fewer than
+    * k or nothing); the predicate must constrain CANDIDATE GENERATION.
+    * Two pushdowns do that here:
+    *  1. the corpus is semi-joined down to the labels the query set
+    *     actually carries BEFORE bucketing — at 100 TB, with the table
+    *     partitioned/bucketed by the filter column, that predicate
+    *     reaches the scan as partition pruning and non-matching data
+    *     is never read, let alone hashed;
+    *  2. the label rides the bucket equi-join KEY (table, bucket,
+    *     label), so a popular bucket never mixes tenants and the
+    *     candidate count is Σ per-label bucket sizes, not global ones.
+    * Buckets are the LCG integer arithmetic ([[lshTopK]]'s), so the
+    * DuckDB oracle re-derives the identical candidate sets and the
+    * entry is exact-hash-checked despite being approximate.
+    */
+  def filteredLshTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
+      nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
+    // default nPlanes is 2 fewer than lshTopK's 6: the predicate cuts
+    // the candidate population to ~1/|labels| of the corpus, so the
+    // same-recall bucket count shrinks by ~log2(|labels|). At scale,
+    // size planes off the expected PER-PREDICATE population (the
+    // [[knnJoin]] auto policy applied to n / |labels|), not the table.
+    val all = corpus(emb)
+    val q = all.filter(col("vec_id") < nQueries)
+    // distinct predicate values of the query set: tiny → broadcast
+    // semi-join; the corpus prune happens before any bucketing work
+    val qLabels = q.select("label").distinct()
+    val c = all.join(broadcast(qLabels), Seq("label"), "leftsemi")
+      .withColumn("buckets",
+        NativeTextExpressions.lcgBuckets(col("v"), nPlanes, nTables))
+    val buckets = c.select(col("vec_id"), col("label"), col("v"), col("nrm"),
+      posexplode(col("buckets")).as(Seq("table", "bucket")))
+    val qProbes = q
+      .withColumn("buckets",
+        NativeTextExpressions.lcgBuckets(col("v"), nPlanes, nTables))
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"),
+        posexplode(col("buckets")).as(Seq("qtable", "qbucket")))
+      .select(col("q_id"), col("q_label"), col("qv"), col("qn"), col("qtable"),
+        explode(concat(array(col("qbucket")),
+          transform(array((0 until nPlanes).map(j => lit(1L << j)): _*),
+            m => col("qbucket").bitwiseXOR(m)))).as("qprobe"))
+    val pairs = buckets.join(broadcast(qProbes),
+        col("table") === col("qtable") && col("bucket") === col("qprobe") &&
+          col("label") === col("q_label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id", "v", "nrm", "qv", "qn")
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+    rerank(pairs, k)
+  }
+
   /** ALL-CORPUS kNN JOIN: top-k cosine neighbors for EVERY vector —
     * the embedding-pipeline workhorse (near-dup graphs, diversity
     * sampling, cluster seeding run this over the whole corpus, not a
@@ -612,7 +669,10 @@ object SimilarityQueries {
     "s7_knn_join" -> ((s, d) => Similarity.knnJoin(Tables.embeddings(s, d))),
     // IVF-PQ: product-quantized index + ADC shortlist + exact refine
     // (rows-only: recall + compression specs)
-    "s8_knn_ivfpq" -> ((s, d) => Similarity.ivfpqTopK(Tables.embeddings(s, d)))
+    "s8_knn_ivfpq" -> ((s, d) => Similarity.ivfpqTopK(Tables.embeddings(s, d))),
+    // filtered ANN: predicate (label equality) pushed into candidate
+    // generation — semi-join corpus prune + label on the bucket key
+    "s9_filtered_knn" -> ((s, d) => Similarity.filteredLshTopK(Tables.embeddings(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -812,6 +872,52 @@ object SimilarityQueries {
                ORDER BY ROUND(cos, 9) DESC, j_id ASC) AS BIGINT) AS rank
            FROM pairs)
          SELECT vec_id, rank, j_id AS neighbor_id, ROUND(cos, 6) AS cosine
-         FROM ranked WHERE rank <= 3"""
+         FROM ranked WHERE rank <= 3""",
+    // s9: filtered ANN — the s2 pipeline with the label predicate
+    // applied at BOTH pushdown points (semi-join corpus prune via the
+    // ql CTE, label equality on the candidate join), re-derived
+    // exactly so the approximate result still hash-matches
+    "s9_filtered_knn" ->
+      """WITH e AS (
+           SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, label, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+           FROM e),
+         ql AS (SELECT DISTINCT label FROM n WHERE vec_id < 10),
+         f AS (SELECT n.* FROM n JOIN ql ON n.label = ql.label),
+         b AS (
+           SELECT vec_id, label, t.t AS tbl,
+             CAST(list_sum(list_transform(range(0, 4), p ->
+               CASE WHEN list_sum(list_transform(range(0, len(v)), d ->
+                      v[d + 1] * (((1103515245 * ((t.t * 4 + p) * 131 + d) + 12345)
+                                   % 2147483648) / 1073741824.0 - 1.0))) >= 0
+                    THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+           FROM f, (SELECT unnest(range(0, 8)) AS t) t),
+         probes AS (
+           SELECT vec_id AS q_id, label AS q_label, tbl,
+             CASE WHEN j.j = -1 THEN bucket
+                  ELSE xor(bucket, CAST(power(2, j.j) AS BIGINT)) END AS probe
+           FROM b, (SELECT unnest(range(-1, 4)) AS j) j
+           WHERE vec_id < 10),
+         cand AS (
+           SELECT DISTINCT p.q_id, c.vec_id
+           FROM probes p JOIN b c ON c.tbl = p.tbl AND c.bucket = p.probe
+                                 AND c.label = p.q_label
+           WHERE c.vec_id <> p.q_id),
+         pairs AS (
+           SELECT cand.q_id, cand.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(c.v, q.v), s -> s[1] * s[2]))
+               / (c.nrm * q.nrm) AS cos
+           FROM cand JOIN n c ON cand.vec_id = c.vec_id
+                     JOIN n q ON cand.q_id = q.vec_id),
+         ranked AS (
+           SELECT q_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY ROUND(cos, 9) DESC, neighbor_id ASC) AS BIGINT) AS rank
+           FROM pairs)
+         SELECT q_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+         FROM ranked WHERE rank <= 5"""
   )
 }

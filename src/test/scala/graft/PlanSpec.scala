@@ -430,6 +430,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("s9: filtered ANN prunes the corpus by semi-join and keys candidates on (table, bucket, label)") {
+    val p = plan("s9_filtered_knn")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("topk_by_score"), p.take(2000))
+    // the predicate prune is a broadcast LeftSemi against the distinct
+    // query labels — the corpus never buckets non-matching rows
+    assert(p.contains("LeftSemi"), p.take(3000))
+    // the candidate join carries the label in its equi-key set: a
+    // popular bucket never mixes labels/tenants
+    val candJoins = joinLines("s9_filtered_knn").filter(_.contains("bucket"))
+    assert(candJoins.nonEmpty && candJoins.forall(l =>
+      l.contains("table") && l.contains("label")), candJoins.mkString("\n"))
+  }
+
   test("d2: minhash candidates come from the (band, bucket) equi-join — no window, no cartesian") {
     val p = plan("d2_minhash_lsh")
     assert(!p.contains("CartesianProduct"), p.take(2000))

@@ -196,6 +196,41 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, f"LSH recall too low: $recall%.2f")
   }
 
+  test("filtered ANN: neighbors share the query's label; recall vs exact filtered top-k") {
+    val rows = Similarity.filteredLshTopK(emb).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) => assert(rs.length <= 5) }
+    val labels = Similarity.corpus(emb).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    // predicate correctness: the filter constrains the RESULT, not
+    // just the ranking — every emitted neighbor matches the predicate
+    rows.foreach { r =>
+      assert(labels(r.getAs[Long]("neighbor_id")) == labels(r.getAs[Long]("q_id")),
+        s"cross-label neighbor: $r")
+    }
+    // exact filtered ground truth: label-constrained brute force
+    val c = Similarity.corpus(emb)
+    val q = c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val exact = c.join(broadcast(q),
+        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", graft.functions.VectorFunctions.dot(col("v"), col("qv")) /
+        (col("nrm") * col("qn")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(round(col("cos"), 9).desc, col("vec_id").asc)))
+      .filter(col("rk") <= 5)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val exactSet = exact.toSet
+    val hits = rows.count(r => exactSet((r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))))
+    val recall = hits.toDouble / exact.length
+    info(f"filtered-ANN recall@5 vs exact filtered: $recall%.2f")
+    // deterministic for this data+hash: 0.76 at sf0.001, 0.94 at sf0.01
+    assert(recall >= 0.7, f"filtered recall too low: $recall%.2f")
+  }
+
   test("IVF ANN: structurally valid and overlaps brute-force") {
     val rows = Similarity.ivfTopK(emb).collect()
     assert(rows.nonEmpty)
