@@ -17,7 +17,7 @@ object SparkEntry {
     HierarchyQueries.queries ++ OlapQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
       MultimodalQueries.queries ++ graft.streaming.StreamingQueries.queries ++
-      Profile.queries ++ Packing.queries
+      Profile.queries ++ Packing.queries ++ RetrievalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +25,5 @@ object SparkEntry {
     HierarchyQueries.oracles ++ OlapQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++
       MultimodalQueries.oracles ++ graft.streaming.StreamingQueries.oracles ++
-      Profile.oracles ++ Packing.oracles
+      Profile.oracles ++ Packing.oracles ++ RetrievalQueries.oracles
 }

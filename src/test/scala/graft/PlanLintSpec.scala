@@ -29,7 +29,9 @@ class PlanLintSpec extends SparkSpec {
     "t11_tfidf",           // 1-row corpus-size broadcast
     "s4_range_search",     // range search broadcasts the query set (s1's shape)
     "s6_mips_lsh",         // 1-row max-norm broadcast (augmentation scale)
-    "p7_temperature_mixture" // 1-row corpus-total broadcast (weight normalizer)
+    "p7_temperature_mixture", // 1-row corpus-total broadcast (weight normalizer)
+    "t18_bm25_topk",       // 1-row corpus-stats broadcast (N, avgdl)
+    "s10_hybrid_rrf"       // t18's stats broadcast + s1's query-set broadcast
   )
 
   private val skipEager = Set(
