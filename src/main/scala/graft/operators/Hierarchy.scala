@@ -837,6 +837,51 @@ object HierarchyDimension {
     * closure, so the null side labels the change. Dim-sized
     * throughout; facts never move.
     */
+  /** INCREMENTAL closure maintenance for a subtree MOVE — the
+    * hierarchy-edit fast path: reparenting `nodeId` under
+    * `newParentId` touches exactly (strict-ancestors × subtree) pairs,
+    * so the new closure is derivable from the OLD closure alone:
+    *
+    *   new = old − strictAnc(X) × desc(X)  ∪  anc(newParent) × desc(X)
+    *
+    * (desc includes X itself; anc(newParent) includes newParent's
+    * self-pair, which supplies the new parent edge). No re-leveling,
+    * no recursion, no second dimension build — [[closureDiff]] builds
+    * BOTH dims to find the invalidation set; this never builds the new
+    * one. At 100 TB dims the delta is |path| × |subtree| rows while a
+    * rebuild re-levels the world; the DuckDB oracle IS the from-scratch
+    * recursive rebuild, so the hash-match proves incremental ≡ rebuild.
+    *
+    * Scale shape: the three slices are dim-bounded selections of the
+    * closure; the two crosses are path-sized × subtree-sized with the
+    * path side broadcast; the only fact... there are no facts — the
+    * whole operator is dim-sized, and the anti-join keys on the
+    * (ancestor, descendant) pair.
+    */
+  def moveSubtreeClosure(closure: DataFrame, nodeId: String,
+      newParentId: String): DataFrame = {
+    // cycle guard: the new parent must lie OUTSIDE the moved subtree
+    // (moving a node under its own descendant — or under itself —
+    // would orphan the subtree into a cycle). Dim-sized probe.
+    require(closure.filter(col("ancestor_node_id") === nodeId &&
+        col("descendant_node_id") === newParentId).isEmpty,
+      s"cannot move $nodeId under its own descendant $newParentId")
+    val descX = closure.filter(col("ancestor_node_id") === nodeId)
+      .select(col("descendant_node_id").as("d"))
+    val strictAncX = closure.filter(col("descendant_node_id") === nodeId &&
+        col("ancestor_node_id") =!= nodeId)
+      .select(col("ancestor_node_id").as("a"))
+    val ancNew = closure.filter(col("descendant_node_id") === newParentId)
+      .select(col("ancestor_node_id").as("a"))
+    val removed = broadcast(strictAncX).crossJoin(descX)
+    val added = broadcast(ancNew).crossJoin(descX)
+      .select(col("a").as("ancestor_node_id"), col("d").as("descendant_node_id"))
+    closure.join(removed,
+        col("ancestor_node_id") === col("a") &&
+          col("descendant_node_id") === col("d"), "left_anti")
+      .unionByName(added)
+  }
+
   def closureDiff(before: HierarchyDimension, after: HierarchyDimension): DataFrame = {
     val c1 = before.closurePairs.as("a")
     val c2 = after.closurePairs.as("b")

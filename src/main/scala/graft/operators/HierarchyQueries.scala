@@ -341,7 +341,16 @@ object HierarchyQueries {
       // one h1–h4 share); only the edited version derives fresh
       HierarchyDimension.closureDiff(
         dimension(s, d), new HierarchyDimension(moved, knownDepth = 3))
-    })
+    }),
+    // INCREMENTAL closure maintenance: the same n8→r0 reparent, but
+    // the new closure is computed from the OLD closure alone
+    // (− strictAnc×subtree ∪ newAnc×subtree) — no second dimension
+    // build, no re-leveling. The oracle rebuilds the moved tree's
+    // closure from scratch with WITH RECURSIVE: the hash-match proves
+    // incremental ≡ rebuild across engines.
+    "h21_closure_move" -> ((s, d) =>
+      HierarchyDimension.moveSubtreeClosure(
+        dimension(s, d).closurePairs, "n8", "r0"))
   )
 
   /** MULTI-HIERARCHY rollup: ONE fact stream rolled up through TWO
@@ -591,6 +600,22 @@ FROM (SELECT node_id, anc FROM anc1 EXCEPT SELECT node_id, anc FROM anc2)
 UNION ALL
 SELECT 'added', anc, node_id
 FROM (SELECT node_id, anc FROM anc2 EXCEPT SELECT node_id, anc FROM anc1)""",
+    // from-scratch recursive rebuild of the MOVED tree's closure —
+    // the ground truth the incremental maintenance must reproduce
+    "h21_closure_move" ->
+      """WITH RECURSIVE n1 AS (
+  SELECT 'root' AS node_id, CAST(NULL AS VARCHAR) AS parent_node_id
+  UNION ALL SELECT 'r' || r_regionkey, 'root' FROM region
+  UNION ALL SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation),
+n2 AS (
+  SELECT node_id,
+         CASE WHEN node_id = 'n8' THEN 'r0' ELSE parent_node_id END AS parent_node_id
+  FROM n1),
+anc2 AS (
+  SELECT node_id, node_id AS anc FROM n2
+  UNION ALL
+  SELECT n.node_id, a.anc FROM n2 n JOIN anc2 a ON n.parent_node_id = a.node_id)
+SELECT anc AS ancestor_node_id, node_id AS descendant_node_id FROM anc2""",
     "h1_nodes" ->
       s"""${prelude(false)}
 SELECT node_id, node_natural_key, node_name, level_name, parent_node_id, is_root, is_leaf FROM flagged""",

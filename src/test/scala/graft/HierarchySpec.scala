@@ -293,6 +293,44 @@ class HierarchySpec extends SparkSpec {
     assert(SparkEntry.queries("h13_asof_rollup")(spark, sf).count() == 31)
   }
 
+  test("h21: incremental closure move equals the full rebuild; guards reject cycles") {
+    val dim = HierarchyQueries.dimension(spark, sf)
+    val incremental = HierarchyDimension
+      .moveSubtreeClosure(dim.closurePairs, "n8", "r0").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // full rebuild: re-derive the dimension from the edited node table
+    val moved = HierarchyAgg.regionNationNodes(spark, sf)
+      .withColumn("parent_node_id",
+        when(col("node_id") === "n8", lit("r0")).otherwise(col("parent_node_id")))
+    val rebuilt = new HierarchyDimension(moved, knownDepth = 3)
+      .closurePairs.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(incremental.sorted.toSeq == rebuilt.sorted.toSeq)
+    // pairs stay unique (removed ∩ added overlap — shared ancestors
+    // like root — must not duplicate)
+    assert(incremental.length == incremental.distinct.length)
+    // a move to the node's own parent is the identity
+    val parent = dim.closurePairs.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val noop = HierarchyDimension
+      .moveSubtreeClosure(dim.closurePairs, "n8", "r2").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // n8's home parent in the synthetic data: whichever region holds it
+    val home = parent.collect {
+      case (a, "n8") if a != "root" && a.startsWith("r") => a }.head
+    val noopHome = HierarchyDimension
+      .moveSubtreeClosure(dim.closurePairs, "n8", home).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(noopHome == parent)
+    assert(noop != parent || home == "r2")
+    // cycle guard: a node cannot move under its own descendant or itself
+    intercept[IllegalArgumentException] {
+      HierarchyDimension.moveSubtreeClosure(dim.closurePairs, "root", "n3")
+    }
+    intercept[IllegalArgumentException] {
+      HierarchyDimension.moveSubtreeClosure(dim.closurePairs, "r1", "r1")
+    }
+  }
+
   test("h14: history rollup splits India across Asia/Africa at the reparent date") {
     val out = SparkEntry.queries("h14_history_rollup")(spark, sf).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("count_of_fact_records")).toMap

@@ -31,7 +31,8 @@ class PlanLintSpec extends SparkSpec {
     "s6_mips_lsh",         // 1-row max-norm broadcast (augmentation scale)
     "p7_temperature_mixture", // 1-row corpus-total broadcast (weight normalizer)
     "t18_bm25_topk",       // 1-row corpus-stats broadcast (N, avgdl)
-    "s10_hybrid_rrf"       // t18's stats broadcast + s1's query-set broadcast
+    "s10_hybrid_rrf",      // t18's stats broadcast + s1's query-set broadcast
+    "h21_closure_move"     // path-sized × subtree-sized closure-delta crosses
   )
 
   private val skipEager = Set(
