@@ -435,22 +435,52 @@ object Similarity {
   def ivfpqIndex(emb: DataFrame, m: Int = 8, nCodes: Int = 16,
       kCoarse: Int = 10, iters: Int = 2): (DataFrame, Seq[Seq[Seq[Double]]], DataFrame) = {
     require(nCodes >= 1 && nCodes <= 256, "nCodes must be in [1, 256] (byte-packed)")
-    val c = corpus(emb)
+    // the index BUILD makes ~(iters+1) passes for the coarse codebook
+    // plus iters joint passes for the PQ codebooks — cache the parsed
+    // corpus so each pass is a memory scan, not a parquet re-read.
+    // (Production builds train on a SAMPLE and persist the index; the
+    // cache models the "read once, train, encode" offline job.)
+    val c = corpus(emb).cache()
     val dim = c.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
     val centroids = kmeansCentroids(c, kCoarse, iters)
     val assigned = assignToCentroids(c, centroids)
       .select(col("vec_id"), col("v"), col("c_id").as("list_id"))
-    val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
-      val subC = c.select(col("vec_id"), col("label"),
-          slice(col("v"), j * sub + 1, sub).as("v"))
-        .withColumn("nrm", norm(col("v")))
-      kmeansCentroids(subC, nCodes, iters)
-        .select(col("c_id"), col("cv")).collect()
-        .sortBy(_.getLong(0))
-        .map(_.getSeq[Double](1).toSeq).toSeq
+    // JOINT subspace training: all m codebooks advance in ONE
+    // distributed pass per iteration over exploded (vec, subspace)
+    // rows — m separate per-subspace k-means would launch m × iters
+    // jobs over the corpus for the identical total data volume.
+    // Assignment is L2 argmin (k-means proper, and the SAME metric the
+    // encoder below uses — training and encoding must agree on the
+    // metric or cells drift from their assignment regions); seeds are
+    // the k smallest-id vectors' slices, the kmeansCentroids policy.
+    val subRows = c.select(col("vec_id"), col("v"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"))
+      .select(col("j"), slice(col("v"), col("j") * sub + 1, lit(sub)).as("sv"))
+    val seeds = c.orderBy("vec_id").limit(nCodes)
+      .select(col("vec_id"), col("v")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    var books: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
+      seeds.toSeq.map(full => full.slice(j * sub, (j + 1) * sub).toSeq))
+    for (_ <- 1 to iters) {
+      val bl = typedLit(books)
+      val means = subRows
+        .withColumn("scores", transform(element_at(bl, col("j") + 1),
+          cb => aggregate(zip_with(col("sv"), cb, (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x)))
+        .withColumn("code",
+          (array_position(col("scores"), array_min(col("scores"))) - 1).cast("int"))
+        .groupBy("j", "code")
+        .agg(graft.functions.VectorMeanAgg.vectorMean(col("sv")).as("cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq).toMap
+      // empty (subspace, code) cells keep their previous centroid —
+      // the codebook must stay nCodes wide for byte-stable encoding
+      books = (0 until m).map(j => (0 until nCodes).map(cd =>
+        means.getOrElse((j, cd), books(j)(cd))))
     }
+    val codebooks: Seq[Seq[Seq[Double]]] = books
     val cbLit = typedLit(codebooks)
     val codeCols = (0 until m).map { j =>
       val sv = slice(col("v"), j * sub + 1, sub)
