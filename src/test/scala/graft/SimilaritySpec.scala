@@ -231,6 +231,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, f"filtered recall too low: $recall%.2f")
   }
 
+  test("filtered ANN on a label-partitioned corpus: the predicate prunes partitions dynamically") {
+    // the 100 TB claim behind s9's semi-join prune, plan-proven: when
+    // the corpus table is PARTITIONED by the filter column, Spark's
+    // dynamic partition pruning turns the broadcast semi-join into a
+    // runtime PartitionFilter on the scan — non-matching label
+    // partitions are never read, let alone bucketed
+    val dir = java.nio.file.Files.createTempDirectory("emb_part").toString + "/t"
+    emb.write.partitionBy("label").parquet(dir)
+    val part = spark.read.parquet(dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val out = Similarity.filteredLshTopK(part, nQueries = 3)
+    val p = out.queryExecution.executedPlan.toString()
+    assert(p.contains("dynamicpruning"), p.take(3000))
+    // and the pruned-table result is the plain-table result
+    val plain = Similarity.filteredLshTopK(emb, nQueries = 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).sorted
+    val pruned = out.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).sorted
+    assert(pruned.toSeq == plain.toSeq)
+  }
+
   test("IVF ANN: structurally valid and overlaps brute-force") {
     val rows = Similarity.ivfTopK(emb).collect()
     assert(rows.nonEmpty)
