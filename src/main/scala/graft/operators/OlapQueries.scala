@@ -772,7 +772,27 @@ object OlapQueries {
           col("n_transitions").cast("double") /
             sum("n_transitions").over(Window.partitionBy("prev_type")), 6))
         .select("prev_type", "event_type", "n_transitions", "p")
-    })
+    }),
+
+    // HEAVY HITTERS: top sources by document count through the
+    // bounded-memory SpaceSaving aggregate
+    // ([[graft.functions.FrequentItems]]) — partial buffers hold ≤
+    // `capacity` items whatever the key domain's size, the shape an
+    // exact groupBy can't give on a quasi-unbounded column (domains,
+    // tokens, user agents at 100 TB). Run with capacity ≥ the
+    // column's distinct count the summary is provably EXACT and
+    // merge-order-independent (every err = 0), which is what lets
+    // DuckDB oracle this entry with a plain GROUP BY; the spec
+    // exercises the approximate regime on a skewed fixture.
+    "q42_heavy_hitters" -> ((s, d) =>
+      Tables.documents(s, d)
+        .agg(graft.functions.FrequentItemsAggregate
+          .frequentItems(col("source"), 32).as("hh"))
+        .select(posexplode(col("hh")).as(Seq("pos", "h")))
+        .filter(col("pos") < 10)
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("h.item").as("source"), col("h.count").as("cnt"),
+          col("h.err").as("err")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1135,6 +1155,14 @@ object OlapQueries {
          SELECT prev_type, event_type, n_transitions,
            ROUND(CAST(n_transitions AS DOUBLE) /
              SUM(CAST(n_transitions AS DOUBLE)) OVER (PARTITION BY prev_type), 6) AS p
-         FROM t"""
+         FROM t""",
+    // capacity ≥ distinct sources → the SpaceSaving summary is exact
+    // with zero errors; ground truth is the plain frequency ranking
+    "q42_heavy_hitters" ->
+      """SELECT CAST(row_number() OVER
+           (ORDER BY COUNT(*) DESC, source ASC) AS BIGINT) AS rank,
+         source, COUNT(*) AS cnt, CAST(0 AS BIGINT) AS err
+         FROM documents GROUP BY source
+         QUALIFY rank <= 10"""
   )
 }
