@@ -461,6 +461,26 @@ object StreamingQueries {
             posexplode(col("tk")).as(Seq("pos", "t")))
           .select(col("window_start"), (col("pos") + 1).cast("long").as("rank"),
             col("t.id").as("event_id"), round(col("t.score"), 6).as("value")))),
+    // STREAMING HEAVY HITTERS: the SpaceSaving frequent-items
+    // aggregate (q42's) running inside the streaming state store —
+    // per 15-minute window, the most frequent event types with error
+    // bounds. State per window is the ≤capacity-entry summary
+    // (serialized into the store row), never the window's event list —
+    // the monitoring shape for "top URLs/agents this window" over a
+    // quasi-unbounded key domain. event_type's 5-value domain keeps
+    // capacity 16 in the EXACT regime, so the bounded stream converges
+    // to the batch frequency ranking and DuckDB oracles it directly.
+    "st19_stream_heavy_hitters" -> ((s, d) =>
+      runStream(s, d)(ev =>
+        ev.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "15 minutes").as("w"))
+          .agg(graft.functions.FrequentItemsAggregate
+            .frequentItems(col("event_type"), 16).as("hh"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+            posexplode(col("hh")).as(Seq("pos", "h")))
+          .select(col("window_start"), (col("pos") + 1).cast("long").as("rank"),
+            col("h.item").as("event_type"), col("h.count").as("cnt"),
+            col("h.err").as("err")))),
     // streaming exact dedup: state-store-backed dropDuplicates on the
     // event stream (the streaming twin of d1's batch dedup shape) —
     // per event type, events surviving dedup on (user, type)
@@ -684,6 +704,18 @@ object StreamingQueries {
          SELECT window_start, CAST(rn AS BIGINT) AS rank, event_id,
            ROUND(value, 6) AS value
          FROM w WHERE rn <= 3""",
+    // exact-regime SpaceSaving converges to the plain windowed
+    // frequency ranking with zero errors
+    "st19_stream_heavy_hitters" ->
+      """WITH w AS (
+           SELECT strftime(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS window_start,
+             event_type, COUNT(*) AS cnt
+           FROM events GROUP BY 1, 2)
+         SELECT window_start,
+           CAST(row_number() OVER (PARTITION BY window_start
+             ORDER BY cnt DESC, event_type ASC) AS BIGINT) AS rank,
+           event_type, cnt, CAST(0 AS BIGINT) AS err
+         FROM w""",
     // append emits exactly the sessions CLOSED by the watermark: the
     // batch sessionization restricted to sessions whose end (last
     // event + 30-minute gap) precedes max(ts) − 1 hour

@@ -54,7 +54,10 @@ class PlanLintSpec extends SparkSpec {
     "st15_windowed_topk",
     // st16 runs the stream + durable sink on invocation; its agg plan
     // is st13's (q39's histogram, linted there)
-    "st16_stream_histogram_sink")
+    "st16_stream_histogram_sink",
+    // st19 drives the stream on invocation; its frequent-items agg
+    // plan is q42's (linted there)
+    "st19_stream_heavy_hitters")
 
   test("no registry query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
