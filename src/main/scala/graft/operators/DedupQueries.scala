@@ -560,6 +560,38 @@ object DedupQueries {
                FROM keyed)
          SELECT r.doc_id, CAST(r.rn AS BIGINT) AS copy_rank, g.n_copies
          FROM r JOIN g ON r.key = g.key
-         WHERE r.rn <= 2"""
+         WHERE r.rn <= 2""",
+    // d13 at the gate's corpus size runs in the SINGLE-CLUSTER regime
+    // (autoK(n≤1000, 1000) = 1): one cluster means the k-means
+    // codebook provably cannot affect membership — every vector is a
+    // cluster-mate of every other — so the labeling reduces to "dup of
+    // the lowest-id vector with round(cos,9) ≥ τ, else kept", exactly
+    // computable in SQL. cluster_id is the seed's id = MIN(vec_id)
+    // (the kmeansCentroids seeding convention). At k > 1 the blocking
+    // becomes hash-engine-dependent and the ScalaTest specs take over
+    // (assignment parity, planted-dup collapse).
+    "d13_semantic_dedup" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+           FROM e),
+         pairs AS (
+           SELECT a.vec_id, b.vec_id AS j_id,
+             list_sum(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]))
+               / (a.nrm * b.nrm) AS cos
+           FROM n a JOIN n b ON b.vec_id < a.vec_id),
+         d AS (
+           SELECT vec_id, MIN(j_id) AS dup_of, arg_min(cos, j_id) AS dup_cos
+           FROM pairs WHERE ROUND(cos, 9) >= 0.9 GROUP BY vec_id),
+         seed AS (SELECT MIN(vec_id) AS cid FROM embeddings)
+         SELECT n.vec_id, seed.cid AS cluster_id,
+           CASE WHEN d.dup_of IS NULL THEN 'kept'
+                ELSE 'semantic_dup' END AS status,
+           COALESCE(d.dup_of, n.vec_id) AS canonical_id,
+           ROUND(d.dup_cos, 6) AS cos_to_canonical
+         FROM n LEFT JOIN d ON n.vec_id = d.vec_id CROSS JOIN seed"""
   )
 }
