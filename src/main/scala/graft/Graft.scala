@@ -449,6 +449,43 @@ object Graft {
       codec: Multimodal.MediaCodec = new Multimodal.ByteStatsCodec) =
     Multimodal.extractFeatures(spark, media, codec)
 
+  /** Predicate-filtered ANN: top-k cosine among corpus vectors
+    * sharing each query's label — the filter constrains candidate
+    * generation (semi-join corpus prune + label on the bucket key),
+    * never post-ranking (see [[operators.Similarity.filteredLshTopK]]).
+    */
+  def filteredKnn(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame =
+    operators.Similarity.filteredLshTopK(embeddings, k, nQueries)
+
+  /** Okapi BM25 full-text top-k with the corpus's own docs as
+    * queries (see [[operators.Retrieval.bm25TopK]]). */
+  def bm25TopK(docs: DataFrame, k: Int = 5, nQueries: Int = 5): DataFrame =
+    operators.Retrieval.bm25TopK(docs, k, nQueries)
+
+  /** Hybrid lexical+semantic retrieval: reciprocal-rank fusion of the
+    * BM25 and exact-cosine lists (see [[operators.Retrieval.hybridRrf]]). */
+  def hybridSearch(docs: DataFrame, embeddings: DataFrame, k: Int = 5,
+      depth: Int = 20, nQueries: Int = 5): DataFrame =
+    operators.Retrieval.hybridRrf(docs, embeddings, k, depth, nQueries)
+
+  /** Incremental closure maintenance for a subtree reparent — the new
+    * closure from the old closure alone, no dimension rebuild
+    * (see [[operators.HierarchyDimension.moveSubtreeClosure]]). */
+  def moveSubtreeClosure(closure: DataFrame, nodeId: String,
+      newParentId: String): DataFrame =
+    operators.HierarchyDimension.moveSubtreeClosure(closure, nodeId, newParentId)
+
+  /** Bounded-memory heavy hitters over a string column: SpaceSaving
+    * summary with count−err ≤ true ≤ count bounds; ≤ `capacity` items
+    * per partial buffer whatever the key domain's size
+    * (see [[functions.FrequentItems]]). */
+  def heavyHitters(df: DataFrame, itemCol: String, capacity: Int = 64): DataFrame =
+    df.agg(functions.FrequentItemsAggregate
+        .frequentItems(org.apache.spark.sql.functions.col(itemCol), capacity).as("hh"))
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("hh")).as("h"))
+      .select("h.item", "h.count", "h.err")
+
   /** Register graft's SQL functions + optimizer rule on a session. */
   def install(spark: SparkSession): Unit = GraftFunctions.register(spark)
 }
