@@ -774,6 +774,45 @@ object OlapQueries {
         .select("prev_type", "event_type", "n_transitions", "p")
     }),
 
+    // GAP-FILL / RESAMPLE to a regular grid with LOCF — the
+    // time_bucket_gapfill / WITH FILL primitive: per user an HOURLY
+    // grid spanning that user's own [first, last] event hours, each
+    // grid point carrying the hour's event count (0 on gaps) and the
+    // last-observation-carried-forward value. Scale shape: the grid is
+    // entities × horizon hours (domain-bounded, NOT event-bounded —
+    // generated per entity by `sequence`, no driver loop); the
+    // last-in-hour pick and the LOCF are user-keyed windows, so one
+    // user-keyed exchange covers grid generation, join and carry.
+    // Determinism: last-in-hour breaks ts ties by event_id; LOCF's
+    // frame is rows-unbounded-preceding (grid hours are unique per
+    // user, so range ≡ rows cross-engine).
+    "q43_resample_locf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("hr", date_trunc("hour", col("ts")))
+      val hourAgg = ev
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "hr")
+            .orderBy(col("ts").desc, col("event_id").desc)))
+        .groupBy("user_id", "hr")
+        .agg(count(lit(1)).as("n_events"),
+          max(when(col("rn") === 1, col("value"))).as("last_v"))
+      val grid = ev.groupBy("user_id")
+        .agg(min("hr").as("h0"), max("hr").as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("interval 1 hour"))).as("hr"))
+      grid.join(hourAgg, Seq("user_id", "hr"), "left")
+        .withColumn("locf_value", last(col("last_v"), ignoreNulls = true)
+          .over(Window.partitionBy("user_id").orderBy("hr")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"),
+          date_format(col("hr"), "yyyy-MM-dd HH:mm").as("grid_hour"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          round(col("locf_value"), 6).as("locf_value"))
+    }),
+
     // HEAVY HITTERS: top sources by document count through the
     // bounded-memory SpaceSaving aggregate
     // ([[graft.functions.FrequentItems]]) — partial buffers hold ≤
@@ -1156,6 +1195,35 @@ object OlapQueries {
            ROUND(CAST(n_transitions AS DOUBLE) /
              SUM(CAST(n_transitions AS DOUBLE)) OVER (PARTITION BY prev_type), 6) AS p
          FROM t""",
+    // grid via generate_series per user; last-in-hour by (ts,
+    // event_id) desc; LOCF via last_value IGNORE NULLS
+    "q43_resample_locf" ->
+      """WITH e AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr
+           FROM events),
+         h AS (
+           SELECT user_id, hr, value,
+             row_number() OVER (PARTITION BY user_id, hr
+               ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, hr) AS n_events
+           FROM e),
+         ha AS (SELECT user_id, hr, CAST(n_events AS BIGINT) AS n_events,
+                  value AS last_v FROM h WHERE rn = 1),
+         spans AS (
+           SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM e GROUP BY user_id),
+         grid AS (
+           SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+           FROM spans),
+         j AS (
+           SELECT g.user_id, g.hr, COALESCE(ha.n_events, 0) AS n_events,
+             last_value(ha.last_v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+           FROM grid g LEFT JOIN ha ON g.user_id = ha.user_id AND g.hr = ha.hr)
+         SELECT user_id, strftime(hr, '%Y-%m-%d %H:%M') AS grid_hour,
+           n_events, ROUND(locf, 6) AS locf_value
+         FROM j""",
     // capacity ≥ distinct sources → the SpaceSaving summary is exact
     // with zero errors; ground truth is the plain frequency ranking
     "q42_heavy_hitters" ->

@@ -56,6 +56,19 @@ class EmptyInputSpec extends SparkSpec {
       new Multimodal.FrameSampleCodec()).count() == 0)
   }
 
+  test("round-13 retrieval/ANN/closure operators handle empty inputs") {
+    assert(Retrieval.bm25TopK(noDocs).count() == 0)
+    assert(Retrieval.hybridRrf(noDocs, noEmb).count() == 0)
+    assert(Similarity.filteredLshTopK(noEmb).count() == 0)
+    assert(noDocs.agg(graft.functions.FrequentItemsAggregate
+      .frequentItems(col("source"), 8).as("hh"))
+      .select(explode(col("hh"))).count() == 0)
+    // an empty closure has no subtree to move — the cycle guard
+    // passes vacuously and the result is empty
+    val noClosure = HierarchyQueries.dimension(spark, sf).closurePairs.limit(0)
+    assert(HierarchyDimension.moveSubtreeClosure(noClosure, "x", "y").count() == 0)
+  }
+
   test("perplexity filter and contribution rollup handle empty inputs") {
     assert(TextQueries.perplexityFilter(noDocs).count() == 0)
     val dim = HierarchyQueries.dimension(spark, sf)
