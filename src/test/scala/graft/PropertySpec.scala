@@ -159,6 +159,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental closure move equals the rebuilt closure on random trees and moves") {
+    import graft.operators.HierarchyDimension
+    val caseGen = for {
+      n <- Gen.choose(6, 25)
+      parents <- Gen.sequence[Seq[Int], Int](
+        (1 until n).map(i => Gen.choose(0, i - 1)))
+      moved <- Gen.choose(1, n - 1) // never the root
+      target <- Gen.choose(0, n - 1)
+    } yield (parents, moved, target)
+    samples(caseGen, 8).foreach { case (parents, moved, target) =>
+      val n = parents.size + 1
+      def nodesDf(par: Int => Option[Int]) = (0 until n).map { i =>
+        (s"v$i", i.toLong, s"node $i", "L", par(i).map(p => s"v$p").orNull)
+      }.toDF("node_id", "node_natural_key", "node_name",
+        "level_name", "parent_node_id")
+      def parentOf(i: Int): Option[Int] =
+        if (i == 0) None else Some(parents(i - 1))
+      // target inside the moved subtree (or = moved) ⇒ invalid move
+      def inSubtree(x: Int): Boolean =
+        x == moved || parentOf(x).exists(inSubtree)
+      val base = new HierarchyDimension(nodesDf(parentOf), knownDepth = n)
+      if (inSubtree(target)) {
+        intercept[IllegalArgumentException] {
+          HierarchyDimension.moveSubtreeClosure(
+            base.closurePairs, s"v$moved", s"v$target")
+        }
+      } else {
+        val got = HierarchyDimension.moveSubtreeClosure(
+            base.closurePairs, s"v$moved", s"v$target")
+          .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+        def movedParent(i: Int): Option[Int] =
+          if (i == moved) Some(target) else parentOf(i)
+        val rebuilt = new HierarchyDimension(nodesDf(movedParent), knownDepth = n)
+          .closurePairs.collect()
+          .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+        assert(got == rebuilt,
+          s"n=$n parents=$parents move v$moved -> v$target")
+      }
+    }
+  }
+
   test("q41 transition counts equal the plain-Scala reference on random sequences") {
     import org.apache.spark.sql.expressions.Window
     val gen = for {
