@@ -774,6 +774,37 @@ object OlapQueries {
         .select("prev_type", "event_type", "n_transitions", "p")
     }),
 
+    // FIRST/LAST-TOUCH ATTRIBUTION: every 'purchase' conversion
+    // credited to the user's first and most recent PRECEDING
+    // non-conversion touchpoints ('direct' when none precede it) —
+    // the marketing-attribution primitive q31's funnel doesn't give
+    // (funnel asks "did the sequence complete", attribution asks
+    // "which touch gets the credit"). One user-keyed window whose
+    // frame ends at 1 PRECEDING (the conversion never credits
+    // itself), conditional columns + first/last ignoreNulls — no
+    // joins, no second shuffle; determinism from the (ts, event_id)
+    // order key.
+    "q44_attribution" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("touch_id",
+          when(col("event_type") =!= "purchase", col("event_id")))
+        .withColumn("touch_type",
+          when(col("event_type") =!= "purchase", col("event_type")))
+        .withColumn("ft_id", first(col("touch_id"), ignoreNulls = true).over(w))
+        .withColumn("ft_type", first(col("touch_type"), ignoreNulls = true).over(w))
+        .withColumn("lt_id", last(col("touch_id"), ignoreNulls = true).over(w))
+        .withColumn("lt_type", last(col("touch_type"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("conversion_id"),
+          coalesce(col("ft_id"), lit(-1L)).as("first_touch_id"),
+          coalesce(col("ft_type"), lit("direct")).as("first_touch_type"),
+          coalesce(col("lt_id"), lit(-1L)).as("last_touch_id"),
+          coalesce(col("lt_type"), lit("direct")).as("last_touch_type"))
+    }),
+
     // GAP-FILL / RESAMPLE to a regular grid with LOCF — the
     // time_bucket_gapfill / WITH FILL primitive: per user an HOURLY
     // grid spanning that user's own [first, last] event hours, each
@@ -1195,6 +1226,27 @@ object OlapQueries {
            ROUND(CAST(n_transitions AS DOUBLE) /
              SUM(CAST(n_transitions AS DOUBLE)) OVER (PARTITION BY prev_type), 6) AS p
          FROM t""",
+    // the same 1-PRECEDING frame + IGNORE NULLS first/last pair
+    "q44_attribution" ->
+      """WITH w AS (
+           SELECT user_id, event_id, event_type,
+             first_value(CASE WHEN event_type <> 'purchase' THEN event_id END
+               IGNORE NULLS) OVER win AS ft_id,
+             first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS) OVER win AS ft_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_id END
+               IGNORE NULLS) OVER win AS lt_id,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS) OVER win AS lt_type
+           FROM events
+           WINDOW win AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT user_id, event_id AS conversion_id,
+           COALESCE(ft_id, -1) AS first_touch_id,
+           COALESCE(ft_type, 'direct') AS first_touch_type,
+           COALESCE(lt_id, -1) AS last_touch_id,
+           COALESCE(lt_type, 'direct') AS last_touch_type
+         FROM w WHERE event_type = 'purchase'""",
     // grid via generate_series per user; last-in-hour by (ts,
     // event_id) desc; LOCF via last_value IGNORE NULLS
     "q43_resample_locf" ->

@@ -37,4 +37,32 @@ class ResampleSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).toSeq ==
       Seq((2L, "2024-03-01 09:00", 1L, 3.25)))
   }
+
+  test("q44 on a journey fixture: first/last touch per conversion; bare conversions are direct") {
+    import spark.implicits._
+    // user 1: view → click → PURCHASE → error → PURCHASE;
+    // user 2: PURCHASE with no preceding touch
+    val ev = Seq(
+      (1L, "2024-03-01 10:00:00", 1L, "view"),
+      (1L, "2024-03-01 10:05:00", 2L, "click"),
+      (1L, "2024-03-01 10:10:00", 3L, "purchase"),
+      (1L, "2024-03-01 10:15:00", 4L, "error"),
+      (1L, "2024-03-01 10:20:00", 5L, "purchase"),
+      (2L, "2024-03-01 11:00:00", 6L, "purchase")
+    ).toDF("user_id", "ts_s", "event_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .withColumn("value", lit(1.0))
+    val dir = java.nio.file.Files.createTempDirectory("attrib").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q44_attribution")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("conversion_id") ->
+        ((r.getAs[Long]("first_touch_id"), r.getAs[String]("first_touch_type"),
+          r.getAs[Long]("last_touch_id"), r.getAs[String]("last_touch_type"))))
+      .toMap
+    assert(out(3L) == ((1L, "view", 2L, "click")))
+    // the first conversion is NOT a touch for the second; error is
+    assert(out(5L) == ((1L, "view", 4L, "error")))
+    assert(out(6L) == ((-1L, "direct", -1L, "direct")))
+  }
 }
