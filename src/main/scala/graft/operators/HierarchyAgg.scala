@@ -331,6 +331,57 @@ object HierarchyAgg {
       // empty row would overcount the distinct-customer read-off
       .filter(col("mv_n") =!= 0)
 
+  /** MOVE-DRIVEN MV REPAIR with ZERO dimension rebuild — the h21 ∘
+    * h16 composition: after a subtree reparent the invalidated
+    * ancestors are derivable from the OLD closure alone (the
+    * SYMMETRIC DIFFERENCE of the moved node's strict ancestors and
+    * the new parent's ancestors — shared ancestors keep their
+    * descendant sets and their MV rows), the new routing comes from
+    * [[HierarchyDimension.moveSubtreeClosure]], and the recompute
+    * reads the MV's own LEAF self-pair rows (a reparent never changes
+    * a leaf's own partials), so neither the new dimension nor the
+    * fact table is ever touched. `mv` must be id-grain with leaf
+    * self-pairs present (the [[rollupMv]] closure shape) and carry
+    * RAW (unrounded) partial sums — rounding happens at read-off,
+    * never in stored partials, or re-aggregated cells drift from a
+    * full recompute by accumulated rounding.
+    *
+    * Scale: three dim-sized closure slices, one dim-sized symmetric
+    * difference, broadcast routing joins against the (dim-bounded) MV
+    * — the 100 TB cost of a hierarchy edit is zero fact I/O.
+    */
+  def moveMvRepair(mv: DataFrame, closure: DataFrame,
+      nodeId: String, newParentId: String,
+      measures: Seq[String] = Seq("sum_raw", "count_of_fact_records")): DataFrame = {
+    val strictAnc = closure.filter(col("descendant_node_id") === nodeId &&
+        col("ancestor_node_id") =!= nodeId).select("ancestor_node_id")
+    val ancNew = closure.filter(col("descendant_node_id") === newParentId)
+      .select("ancestor_node_id")
+    val sided = strictAnc.withColumn("__s", lit(1))
+      .unionByName(ancNew.withColumn("__s", lit(2)))
+    val invalidated = sided.groupBy("ancestor_node_id")
+      .agg(min("__s").as("__mn"), max("__s").as("__mx"))
+      .filter(col("__mn") === col("__mx"))
+      .select("ancestor_node_id")
+    // leaves = closure nodes ancestoring nothing but themselves
+    val leafIds = closure.groupBy("ancestor_node_id")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") === 1)
+      .select(col("ancestor_node_id").as("__leaf"))
+    val leafRows = mv.join(broadcast(leafIds),
+        col("ancestor_node_id") === col("__leaf"))
+      .drop("__leaf").withColumnRenamed("ancestor_node_id", "__leaf_id")
+    val routes = HierarchyDimension
+      .moveSubtreeClosure(closure, nodeId, newParentId)
+      .join(broadcast(invalidated), Seq("ancestor_node_id"))
+    val fresh = leafRows.join(broadcast(routes),
+        col("__leaf_id") === col("descendant_node_id"))
+      .groupBy("ancestor_node_id")
+      .agg(measures.map(m => sum(m).as(m)).head,
+        measures.map(m => sum(m).as(m)).tail: _*)
+    mv.join(broadcast(invalidated), Seq("ancestor_node_id"), "left_anti")
+      .unionByName(fresh)
+  }
+
   /** TARGETED MV REPAIR after a hierarchy edit: recompute ONLY the
     * ancestors whose descendant set changed, keep every other MV row.
     * [[HierarchyDimension.closureDiff]] names the invalidated

@@ -350,7 +350,36 @@ object HierarchyQueries {
     // incremental ≡ rebuild across engines.
     "h21_closure_move" -> ((s, d) =>
       HierarchyDimension.moveSubtreeClosure(
-        dimension(s, d).closurePairs, "n8", "r0"))
+        dimension(s, d).closurePairs, "n8", "r0")),
+    // the h21 ∘ h16 composition: the same n8→r0 reparent repairs the
+    // id-grain rollup MV with ZERO dimension rebuild and ZERO fact
+    // I/O — invalidation and routing from the old closure alone,
+    // recompute from the MV's own leaf self-pair partials. Oracle =
+    // full recompute from facts under the MOVED tree's recursive
+    // closure, so the hash-match proves delta-repair ≡ rebuild.
+    "h22_move_mv_repair" -> ((s, d) => {
+      val dim = dimension(s, d)
+      val closure = dim.closurePairs
+      val leaves = dim.flaggedNodes.filter(col("is_leaf"))
+        .select(col("node_id").as("leaf_node_id"),
+          col("node_natural_key").as("leaf_nk"))
+      // ONE fact exchange: facts collapse to leaf grain, then the MV
+      // is leaf-partials routed through the broadcast closure
+      val leafAgg = HierarchyAgg.salesFacts(s, d)
+        .join(broadcast(leaves), col("leaf_key") === col("leaf_nk"))
+        .groupBy("leaf_node_id")
+        .agg(sum("sales_amount").as("sum_raw"),
+          count(lit(1)).as("count_of_fact_records"))
+      val mv = leafAgg.join(broadcast(closure),
+          col("leaf_node_id") === col("descendant_node_id"))
+        .groupBy("ancestor_node_id")
+        .agg(sum("sum_raw").as("sum_raw"),
+          sum("count_of_fact_records").as("count_of_fact_records"))
+      HierarchyAgg.moveMvRepair(mv, closure, "n8", "r0")
+        .select(col("ancestor_node_id"),
+          round(col("sum_raw"), 2).as("sum_sales_amount"),
+          col("count_of_fact_records"))
+    })
   )
 
   /** MULTI-HIERARCHY rollup: ONE fact stream rolled up through TWO
@@ -616,6 +645,31 @@ anc2 AS (
   UNION ALL
   SELECT n.node_id, a.anc FROM n2 n JOIN anc2 a ON n.parent_node_id = a.node_id)
 SELECT anc AS ancestor_node_id, node_id AS descendant_node_id FROM anc2""",
+    // ground truth for the delta-repair: full recompute from FACTS
+    // under the moved tree's closure
+    "h22_move_mv_repair" ->
+      """WITH RECURSIVE n1 AS (
+  SELECT 'root' AS node_id, CAST(NULL AS VARCHAR) AS parent_node_id
+  UNION ALL SELECT 'r' || r_regionkey, 'root' FROM region
+  UNION ALL SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation),
+n2 AS (
+  SELECT node_id,
+         CASE WHEN node_id = 'n8' THEN 'r0' ELSE parent_node_id END AS parent_node_id
+  FROM n1),
+anc2 AS (
+  SELECT node_id, node_id AS anc FROM n2
+  UNION ALL
+  SELECT n.node_id, a.anc FROM n2 n JOIN anc2 a ON n.parent_node_id = a.node_id),
+facts AS (
+  SELECT 'n' || c.c_nationkey AS leaf_node_id, l.l_extendedprice AS sales_amount
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey)
+SELECT anc2.anc AS ancestor_node_id,
+  ROUND(SUM(f.sales_amount), 2) AS sum_sales_amount,
+  COUNT(*) AS count_of_fact_records
+FROM facts f JOIN anc2 ON f.leaf_node_id = anc2.node_id
+GROUP BY 1""",
     "h1_nodes" ->
       s"""${prelude(false)}
 SELECT node_id, node_natural_key, node_name, level_name, parent_node_id, is_root, is_leaf FROM flagged""",

@@ -331,6 +331,41 @@ class HierarchySpec extends SparkSpec {
     }
   }
 
+  test("h22: move-driven MV repair recomputes only the two spines, never the shared ancestors") {
+    val dim = HierarchyQueries.dimension(spark, sf)
+    val out = SparkEntry.queries("h22_move_mv_repair")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Double]("sum_sales_amount"), r.getAs[Long]("count_of_fact_records")))).toMap
+    // full recompute under the rebuilt moved dimension for comparison
+    val moved = HierarchyAgg.regionNationNodes(spark, sf)
+      .withColumn("parent_node_id",
+        when(col("node_id") === "n8", lit("r0")).otherwise(col("parent_node_id")))
+    val newDim = new HierarchyDimension(moved, knownDepth = 3)
+    val leaves = newDim.flaggedNodes.filter(col("is_leaf"))
+      .select(col("node_id").as("leaf_node_id"),
+        col("node_natural_key").as("leaf_nk"))
+    val full = HierarchyAgg.salesFacts(spark, sf)
+      .join(broadcast(leaves), col("leaf_key") === col("leaf_nk"))
+      .join(broadcast(newDim.closurePairs),
+        col("leaf_node_id") === col("descendant_node_id"))
+      .groupBy("ancestor_node_id")
+      .agg(round(sum("sales_amount"), 2).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(out == full)
+    // the invalidation set is exactly the two spines below the shared
+    // ancestors: n8's home region and r0 — root's row must SURVIVE
+    // (its descendant set is unchanged), i.e. equal the pre-move MV's
+    val preMoveRoot = HierarchyAgg.salesFacts(spark, sf)
+      .agg(round(sum("sales_amount"), 2).as("s"), count(lit(1)).as("n"))
+      .head()
+    assert(out("root") == ((preMoveRoot.getDouble(0), preMoveRoot.getLong(1))))
+    // and the moved leaf's own row is untouched by the repair
+    val n8Own = HierarchyAgg.salesFacts(spark, sf)
+      .filter(col("c_nationkey") === 8)
+      .agg(round(sum("sales_amount"), 2).as("s"), count(lit(1)).as("n")).head()
+    assert(out("n8") == ((n8Own.getDouble(0), n8Own.getLong(1))))
+  }
+
   test("h14: history rollup splits India across Asia/Africa at the reparent date") {
     val out = SparkEntry.queries("h14_history_rollup")(spark, sf).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("count_of_fact_records")).toMap
