@@ -122,6 +122,10 @@ object StreamingOps {
   /** Streaming sessionization state for flatMapGroupsWithState. */
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
   case class SessOut(user_id: Long, session_start: String, n_events: Long, total_value: Double)
+  case class EvT(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String)
+  case class AttrOut(user_id: Long, conversion_id: Long,
+    first_touch_id: Long, first_touch_type: String,
+    last_touch_id: Long, last_touch_type: String)
 
   /** Custom-state sessionization via flatMapGroupsWithState — the
     * KeyValueGroupedDataset stateful-processing path. Per user, events
@@ -167,6 +171,45 @@ object StreamingOps {
           }
           if (evs.nonEmpty) emit(start, evs.size)
           sessions.iterator
+      }
+  }
+
+  /** STREAMING first/last-touch attribution through the custom-state
+    * API (q44's streaming twin, st17's shape): per user the state is
+    * the pair of (first, latest) non-conversion touchpoints — two
+    * fixed-size slots however long the journey, the state-store
+    * bound a per-user event log can't give — and every 'purchase'
+    * emits its credit row exactly once, with 'direct' when nothing
+    * precedes it. Event order inside a group is (event-time,
+    * event_id), the q44 window's sort key, so on the bounded source
+    * the emission converges to the batch attribution and q44's
+    * oracle SQL checks it directly.
+    */
+  def attributionFMGWS(spark: SparkSession,
+      events: DataFrame): org.apache.spark.sql.Dataset[AttrOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.select(col("event_id"), col("ts"), col("user_id"), col("event_type")).as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, String, Long, String), AttrOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EvT], state: GroupState[(Long, String, Long, String)]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000
+          val evs = it.toIndexedSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var (ftId, ftTy, ltId, ltTy) =
+            state.getOption.getOrElse((-1L, "direct", -1L, "direct"))
+          val out = scala.collection.mutable.Buffer[AttrOut]()
+          evs.foreach { e =>
+            if (e.event_type == "purchase")
+              out += AttrOut(uid, e.event_id, ftId, ftTy, ltId, ltTy)
+            else {
+              if (ftId == -1L) { ftId = e.event_id; ftTy = e.event_type }
+              ltId = e.event_id; ltTy = e.event_type
+            }
+          }
+          state.update((ftId, ftTy, ltId, ltTy))
+          out.iterator
       }
   }
 }
@@ -444,6 +487,11 @@ object StreamingQueries {
     // rather than spec-only
     "st17_fmgws_sessionize" -> ((s, d) =>
       StreamingOps.sessionizeFMGWS(s, Tables.events(s, d)).toDF()),
+    // custom-state ATTRIBUTION (q44 streamed): per-user state is two
+    // fixed-size touch slots; each purchase emits its credit exactly
+    // once — checked against q44's own oracle SQL
+    "st20_stream_attribution" -> ((s, d) =>
+      StreamingOps.attributionFMGWS(s, Tables.events(s, d)).toDF()),
     // STREAMING windowed TOP-K: the bounded-heap TopKByScore aggregate
     // running INSIDE the streaming state store — per 15-minute window,
     // the 3 highest-value events. State per window is the k-entry
@@ -774,6 +822,10 @@ object StreamingQueries {
            COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
          FROM events GROUP BY 1, 2""",
     // the FMGWS path must produce the identical session set
+    // the streamed attribution converges to the batch q44 on the
+    // bounded source — same oracle SQL, verbatim
+    "st20_stream_attribution" ->
+      graft.operators.OlapQueries.oracles("q44_attribution"),
     "st17_fmgws_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, event_id, ts, value,

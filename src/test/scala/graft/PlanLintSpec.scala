@@ -58,7 +58,10 @@ class PlanLintSpec extends SparkSpec {
     "st16_stream_histogram_sink",
     // st19 drives the stream on invocation; its frequent-items agg
     // plan is q42's (linted there)
-    "st19_stream_heavy_hitters")
+    "st19_stream_heavy_hitters",
+    // st20 is the custom-state (fMGWS) path, executed eagerly like
+    // st17; its batch twin q44 is linted above
+    "st20_stream_attribution")
 
   test("no registry query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
