@@ -367,6 +367,28 @@ object Dedup {
     * the 6-dp rounded value) or `new`.
     */
   def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
+      minJaccard: Double = 0.5, maxLenDiff: Int = 3): DataFrame =
+    incrementalNearDupPrepped(
+      prepNearDupIndex(corpus, maxLenDiff), batch, minJaccard, maxLenDiff)
+
+  /** The stored corpus side of [[incrementalNearDup]]: shingled and
+    * banded ONCE. In production this is a persisted artifact
+    * maintained with the corpus; a steady-state ingest (st10/st11)
+    * builds it once and classifies every micro-batch against it —
+    * re-shingling the corpus per batch is the index-rebuild
+    * anti-pattern the split exists to prevent.
+    */
+  def prepNearDupIndex(corpus: DataFrame, maxLenDiff: Int = 3): DataFrame = {
+    val bandWidth = maxLenDiff + 1
+    corpus
+      .withColumn("shingles",
+        array_distinct(wordNgrams(tokens(lower(col("text"))), 2)))
+      .withColumn("band", floor(col("n_chars") / bandWidth))
+      .select("doc_id", "lang", "n_chars", "band", "shingles")
+  }
+
+  /** [[incrementalNearDup]] against a pre-built [[prepNearDupIndex]]. */
+  def incrementalNearDupPrepped(index: DataFrame, batch: DataFrame,
       minJaccard: Double = 0.5, maxLenDiff: Int = 3): DataFrame = {
     val bandWidth = maxLenDiff + 1
     def prep(df: DataFrame) = df
@@ -374,7 +396,7 @@ object Dedup {
         array_distinct(wordNgrams(tokens(lower(col("text"))), 2)))
       .withColumn("band", floor(col("n_chars") / bandWidth))
       .select("doc_id", "lang", "n_chars", "band", "shingles")
-    val c = prep(corpus)
+    val c = index
     val probes = prep(batch).withColumn("jband",
       explode(array(col("band") - 1, col("band"), col("band") + 1)))
     val hits = probes.as("a").join(c.as("b"),

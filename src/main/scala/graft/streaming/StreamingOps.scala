@@ -264,6 +264,10 @@ object StreamingOpsSinks {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(streamDir)
+    // shingle/band the corpus ONCE for the stream's lifetime — the
+    // persisted-index contract (st18's codebook shape); per batch
+    // only the arriving docs pay the shingle work
+    val index = graft.operators.Dedup.prepNearDupIndex(corpus).cache()
     val q = stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
@@ -271,7 +275,7 @@ object StreamingOpsSinks {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             batchId: Long) =>
           graft.operators.Dedup
-            .incrementalNearDup(corpus, batch.toDF(), minJaccard = minJaccard)
+            .incrementalNearDupPrepped(index, batch.toDF(), minJaccard = minJaccard)
             .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -280,7 +284,7 @@ object StreamingOpsSinks {
           ()
       }
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally { q.stop(); index.unpersist() }
   }
 
   /** EXACTLY-ONCE continuous SEMANTIC-dedup ingest — st11's durable
@@ -611,17 +615,23 @@ object StreamingQueries {
       var acc: DataFrame = null
       val partsWas = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
+      // corpus index built once for the stream (the persisted-index
+      // contract); per batch only the arriving docs shingle
+      val index = graft.operators.Dedup.prepNearDupIndex(corpus).cache()
       try {
         val q = stream.writeStream.outputMode("update")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             val classified = graft.operators.Dedup
-              .incrementalNearDup(corpus, batch.toDF(), minJaccard = 0.05)
+              .incrementalNearDupPrepped(index, batch.toDF(), minJaccard = 0.05)
               .localCheckpoint()
             acc = if (acc == null) classified else acc.unionByName(classified)
             ()
           }.start()
         try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", partsWas)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", partsWas)
+        index.unpersist()
+      }
       acc
     }),
     // st10's classification landed through the EXACTLY-ONCE durable
