@@ -200,6 +200,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("attribution equals the plain-Scala journey walk on random event sequences") {
+    val seqGen = for {
+      n <- Gen.choose(1, 40)
+      types <- Gen.listOfN(n, Gen.oneOf("view", "click", "purchase", "error"))
+    } yield types
+    samples(seqGen, 6).zipWithIndex.foreach { case (types, caseIdx) =>
+      val base = java.sql.Timestamp.valueOf("2024-05-01 00:00:00")
+      val rows = types.zipWithIndex.map { case (t, i) =>
+        (1L, new java.sql.Timestamp(base.getTime + i * 60000L),
+          (caseIdx * 1000 + i).toLong, t, 1.0)
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"attr_prop").toString
+      rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+        .write.parquet(s"$dir/events.parquet")
+      val got = SparkEntry.queries("q44_attribution")(spark, dir)
+        .collect().map(r => r.getAs[Long]("conversion_id") ->
+          ((r.getAs[Long]("first_touch_id"), r.getAs[String]("first_touch_type"),
+            r.getAs[Long]("last_touch_id"), r.getAs[String]("last_touch_type"))))
+        .toMap
+      // reference: linear walk carrying (first, last) touch slots
+      var ft = (-1L, "direct"); var lt = (-1L, "direct")
+      val want = scala.collection.mutable.Map[Long, (Long, String, Long, String)]()
+      rows.foreach { case (_, _, id, t, _) =>
+        if (t == "purchase") want(id) = (ft._1, ft._2, lt._1, lt._2)
+        else { if (ft._1 == -1L) ft = (id, t); lt = (id, t) }
+      }
+      assert(got == want.toMap, s"case $caseIdx types=$types")
+    }
+  }
+
   test("q41 transition counts equal the plain-Scala reference on random sequences") {
     import org.apache.spark.sql.expressions.Window
     val gen = for {
