@@ -774,6 +774,47 @@ object OlapQueries {
         .select("prev_type", "event_type", "n_transitions", "p")
     }),
 
+    // INCREMENTAL SCD2 MERGE (warehouse apply-changes): a stored SCD2
+    // interval table (q34's shape, built from pre-cutoff events) plus
+    // a late-arriving batch merge WITHOUT re-windowing history —
+    // closed intervals pass through UNTOUCHED (never joined, never
+    // shuffled), each user's single OPEN interval closes at that
+    // user's first batch event, and the batch chains internally. The
+    // h21/h22 contract on the dimension plane: merge cost is O(open
+    // intervals + batch), the oracle is the FULL REBUILD over all
+    // events (q34's SQL verbatim), and the hash-match proves
+    // increment ≡ rebuild.
+    "q45_scd2_merge" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      def intervals(df: DataFrame) = df
+        .withColumn("valid_to_ts", lead("ts", 1).over(w))
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("state"), col("ts").as("from_ts"),
+          col("valid_to_ts"))
+      val cutoff = to_timestamp(lit("2024-01-15 00:00:00"))
+      val ev = Tables.events(s, d)
+      val existing = intervals(ev.filter(col("ts") < cutoff))
+      val batch = ev.filter(col("ts") >= cutoff)
+      // per-user first batch event: the close timestamp for the
+      // stored table's open interval
+      val bridge = batch.groupBy("user_id")
+        .agg(min(struct(col("ts"), col("event_id"))).as("f"))
+        .select(col("user_id"), col("f.ts").as("bridge_ts"))
+      val closedRows = existing.filter(col("valid_to_ts").isNotNull)
+      val openPatched = existing.filter(col("valid_to_ts").isNull)
+        .drop("valid_to_ts")
+        .join(bridge, Seq("user_id"), "left")
+        .withColumn("valid_to_ts", col("bridge_ts")).drop("bridge_ts")
+      closedRows.unionByName(openPatched)
+        .unionByName(intervals(batch))
+        .select(col("user_id"), col("event_id"), col("state"),
+          date_format(col("from_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("valid_to_ts").isNull.as("is_current"))
+    }),
+
     // FIRST/LAST-TOUCH ATTRIBUTION: every 'purchase' conversion
     // credited to the user's first and most recent PRECEDING
     // non-conversion touchpoints ('direct' when none precede it) —
@@ -1226,6 +1267,15 @@ object OlapQueries {
            ROUND(CAST(n_transitions AS DOUBLE) /
              SUM(CAST(n_transitions AS DOUBLE)) OVER (PARTITION BY prev_type), 6) AS p
          FROM t""",
+    // the incremental merge must reproduce the full rebuild: q34's
+    // SQL over ALL events, verbatim
+    "q45_scd2_merge" ->
+      """SELECT user_id, event_id, event_type AS state,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(CAST(ts AS TIMESTAMP)) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""",
     // the same 1-PRECEDING frame + IGNORE NULLS first/last pair
     "q44_attribution" ->
       """WITH w AS (

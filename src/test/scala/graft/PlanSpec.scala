@@ -445,6 +445,17 @@ class PlanSpec extends SparkSpec {
       l.contains("table") && l.contains("label")), candJoins.mkString("\n"))
   }
 
+  test("q45: the SCD2 merge joins ONLY the open intervals — closed history passes through join-free") {
+    val p = plan("q45_scd2_merge")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // exactly one join in the whole merge: the per-user bridge onto
+    // the open intervals; the closed-rows branch and the batch chain
+    // carry no join at all
+    val joins = joinLines("q45_scd2_merge")
+    assert(joins.length == 1 && joins.head.contains("user_id"), joins.mkString("\n"))
+    assert(p.contains("Union"), p.take(2000))
+  }
+
   test("d2: minhash candidates come from the (band, bucket) equi-join — no window, no cartesian") {
     val p = plan("d2_minhash_lsh")
     assert(!p.contains("CartesianProduct"), p.take(2000))
