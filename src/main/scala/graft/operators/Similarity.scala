@@ -514,8 +514,50 @@ object Similarity {
     */
   def ivfpqTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10, nprobe: Int = 3,
       m: Int = 8, nCodes: Int = 16, refine: Int = 8): DataFrame = {
-    val c = corpus(emb)
     val (index, codebooks, centroids) = ivfpqIndex(emb, m, nCodes)
+    ivfpqQuery(emb, index, codebooks, centroids, k, nQueries, nprobe, refine)
+  }
+
+  /** PERSIST an IVF-PQ index (the offline build → online serve
+    * boundary): code rows and coarse centroids as parquet, codebooks
+    * as one (subspace, code, cv) table. At 100 TB the index is a
+    * maintained artifact; queries load it and never see raw corpus
+    * vectors except for their own refine rows.
+    */
+  def savePqIndex(dir: String, index: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]], centroids: DataFrame): Unit = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    index.write.mode("overwrite").parquet(s"$dir/index")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cv, code) => (j, code, cv) }
+    }.toDF("j", "code", "cv").write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Load a [[savePqIndex]] artifact; the codebook table is dim-sized
+    * (m × nCodes rows) — a driver-side control read, like the
+    * assignment codebooks. */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, Seq[Seq[Seq[Double]]], DataFrame) = {
+    val index = spark.read.parquet(s"$dir/index")
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val rows = spark.read.parquet(s"$dir/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+    val m = rows.map(_._1).max + 1
+    val codebooks = (0 until m).map { j =>
+      rows.filter(_._1 == j).sortBy(_._2).map(_._3).toSeq
+    }
+    (index, codebooks, centroids)
+  }
+
+  /** IVF-PQ query against a prebuilt (or [[loadPqIndex]]-loaded)
+    * index — the serving-path half of [[ivfpqTopK]]. */
+  def ivfpqQuery(emb: DataFrame, index: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]], centroids: DataFrame,
+      k: Int = 5, nQueries: Int = 10, nprobe: Int = 3,
+      refine: Int = 8): DataFrame = {
+    val c = corpus(emb)
     val cbLit = typedLit(codebooks)
     val probes = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))

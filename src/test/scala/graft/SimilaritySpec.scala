@@ -312,6 +312,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ index round-trips through parquet: loaded-index queries equal in-memory") {
+    val (index, codebooks, centroids) = Similarity.ivfpqIndex(emb)
+    val dir = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    Similarity.savePqIndex(dir, index, codebooks, centroids)
+    val (li, lcb, lc) = Similarity.loadPqIndex(spark, dir)
+    assert(lcb == codebooks, "codebooks drifted through the round-trip")
+    val direct = Similarity.ivfpqQuery(emb, index, codebooks, centroids)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).sorted
+    val loaded = Similarity.ivfpqQuery(emb, li, lcb, lc)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).sorted
+    assert(direct.toSeq == loaded.toSeq)
+  }
+
   test("ANN cosines agree with brute-force for overlapping pairs") {
     val b = Similarity.bruteForceTopK(emb).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
