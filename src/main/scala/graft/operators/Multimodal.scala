@@ -655,6 +655,24 @@ object MultimodalQueries {
         }
       Multimodal.extractFeatures(s, rows.toDF(), new Jpeg.JpegCodec).toDF()
     }),
+    // GIF87a decode through the REAL from-scratch LZW decoder
+    // (variable-width 3–12-bit codes, LSB-first packing, sub-block
+    // unchaining, palette luma resolve): payloads are deterministic
+    // synthesized GIFs (dims from doc_id, pixel indices from text
+    // bytes). LZW is LOSSLESS, so decoded indices equal the source
+    // bytes EXACTLY (spec-asserted). Binary plumbing → rows-only.
+    "m9_gif_decode" -> ((s, d) => {
+      import s.implicits._
+      val rows = Multimodal.mediaTable(Tables.documents(s, d))
+        .as[Multimodal.MediaRow].map { r =>
+          val w = (3 + (r.doc_id % 8)).toInt
+          val h = (3 + (r.doc_id % 5)).toInt
+          val src = if (r.payload.isEmpty) Array[Byte](42) else r.payload
+          val px = Array.tabulate[Byte](w * h)(i => src(i % src.length))
+          Multimodal.MediaRow(r.doc_id, Gif.synth(w, h, px), "image/gif", w, h)
+        }
+      Multimodal.extractFeatures(s, rows.toDF(), new Gif.GifCodec).toDF()
+    }),
     // nearest-neighbor RESIZE at the codec: full-res pixels never
     // leave the task, only thumbnail stats do (the downscale step of
     // an image ingest). Binary plumbing → rows-only, exactness in the

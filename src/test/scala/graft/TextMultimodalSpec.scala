@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.Multimodal
+import graft.operators.{Gif, Multimodal}
 
 class TextMultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -619,6 +619,54 @@ class TextMultimodalSpec extends SparkSpec {
     assert(e2.getMessage.contains("subsampling"))
     intercept[IllegalArgumentException](Jpeg.decode(good.dropRight(20)))
     intercept[IllegalArgumentException](Jpeg.decode("nope".getBytes("UTF-8")))
+  }
+
+  test("Gif: LZW round-trips are byte-exact, including code-width boundary rasters") {
+    // LZW is lossless: decoded indices must EQUAL the source bytes
+    for ((w, h) <- Seq((1, 1), (3, 5), (16, 16), (40, 25), (64, 64))) {
+      val src = Array.tabulate[Byte](w * h)(i => ((i * 7 + 13) % 256).toByte)
+      val d = Gif.decode(Gif.synth(w, h, src), 0L)
+      assert(d.width == w && d.height == h)
+      assert(d.gray.toSeq == src.toSeq, s"$w x $h raster drifted")
+    }
+    // constant image (maximally compressible) and a high-entropy one
+    // large enough to push the code width past 9 and 10 bits
+    val const = Array.fill[Byte](50 * 40)(77)
+    assert(Gif.decode(Gif.synth(50, 40, const), 0L).gray.toSeq == const.toSeq)
+    val rnd = new scala.util.Random(7)
+    val noisy = Array.fill[Byte](120 * 90)(rnd.nextInt(256).toByte)
+    assert(Gif.decode(Gif.synth(120, 90, noisy), 0L).gray.toSeq == noisy.toSeq)
+  }
+
+  test("Gif: interlace, truncation, junk and extension handling") {
+    val good = Gif.synth(8, 8, Array.tabulate[Byte](64)(_.toByte))
+    // image descriptor flags byte: header 13 + palette 768 + 9 → +9
+    val descAt = 13 + 768
+    assert((good(descAt) & 0xff) == 0x2c, "fixture drifted")
+    val inter = good.clone(); inter(descAt + 9) = 0x40.toByte
+    val e1 = intercept[IllegalArgumentException](Gif.decode(inter, 1L))
+    assert(e1.getMessage.contains("interlaced"))
+    intercept[IllegalArgumentException](Gif.decode(good.dropRight(12), 2L))
+    intercept[IllegalArgumentException](Gif.decode("GIF99a junk".getBytes("US-ASCII"), 3L))
+    // a GIF89a graphic-control extension before the descriptor is
+    // SKIPPED, not fatal
+    val ext = Array[Byte](0x21, 0xf9.toByte, 4, 0, 0, 0, 0, 0)
+    val withExt = good.take(descAt) ++ ext ++ good.drop(descAt)
+    withExt(4) = '9'.toByte // GIF89a... version bytes are 3..5
+    val patched = withExt.clone(); patched(3) = '8'; patched(4) = '9'
+    assert(Gif.decode(patched, 4L).gray.length == 64)
+  }
+
+  test("m9: decoded GIF dimensions re-derive the synth metadata; mean equals the exact source mean") {
+    val out = SparkEntry.queries("m9_gif_decode")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Double]("feat_0") == (3 + id % 8).toDouble, s"doc $id width")
+      assert(r.getAs[Double]("feat_1") == (3 + id % 5).toDouble, s"doc $id height")
+      val mean = r.getAs[Double]("mean_byte")
+      assert(mean >= 0.0 && mean <= 255.0)
+    }
   }
 
   test("m8: decoded JPEG dimensions re-derive the synth metadata from bytes") {
