@@ -192,11 +192,17 @@ object Gif {
     // block walk: skip 0x21 extensions, decode the first 0x2c image
     while (i < b.length && (b(i) & 0xff) == 0x21) {
       i += 2 // introducer + label
-      while ((b(i) & 0xff) != 0) i += 1 + (b(i) & 0xff)
+      require(i < b.length, s"doc $docId: truncated GIF extension block")
+      while ((b(i) & 0xff) != 0) {
+        i += 1 + (b(i) & 0xff)
+        require(i < b.length, s"doc $docId: truncated GIF extension block")
+      }
       i += 1
     }
     require(i < b.length && (b(i) & 0xff) == 0x2c,
-      s"doc $docId: no GIF image descriptor (found 0x${(b(i) & 0xff).toHexString})")
+      s"doc $docId: no GIF image descriptor" +
+        (if (i < b.length) s" (found 0x${(b(i) & 0xff).toHexString})" else " (EOF)"))
+    require(i + 11 <= b.length, s"doc $docId: truncated GIF image descriptor")
     val w = u16(i + 5); val h = u16(i + 7)
     val imgFlags = b(i + 9) & 0xff
     require((imgFlags & 0x40) == 0, s"doc $docId: interlaced GIF unsupported")
@@ -208,6 +214,7 @@ object Gif {
       s"doc $docId: bad GIF LZW minimum code size $minCodeSize")
     // unchain the 255-byte sub-blocks
     val raster = new java.io.ByteArrayOutputStream()
+    require(i < b.length, s"doc $docId: GIF raster data missing")
     var bs = b(i) & 0xff; i += 1
     while (bs != 0) {
       require(i + bs <= b.length, s"doc $docId: truncated GIF sub-block")
