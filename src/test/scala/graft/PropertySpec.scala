@@ -200,6 +200,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("SCD2 merge equals the all-events rebuild for random streams and cutoffs") {
+    val caseGen = for {
+      n <- Gen.choose(2, 30)
+      users <- Gen.listOfN(n, Gen.choose(1L, 4L))
+      cutFrac <- Gen.choose(0, 10)
+    } yield (users, cutFrac)
+    samples(caseGen, 5).zipWithIndex.foreach { case ((users, cutFrac), ci) =>
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val rows = users.zipWithIndex.map { case (u, i) =>
+        (u, new java.sql.Timestamp(base.getTime + i * 3600000L),
+          (ci * 1000 + i).toLong, s"s${i % 3}", 1.0)
+      }
+      val dir = java.nio.file.Files.createTempDirectory("scd2_prop").toString
+      rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+        .write.parquet(s"$dir/events.parquet")
+      // q45's entry hard-codes its cutoff; replicate its merge with a
+      // random cutoff against the q34 rebuild on the same data
+      val cutTs = new java.sql.Timestamp(
+        base.getTime + (users.size * cutFrac / 10) * 3600000L)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      def intervals(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("valid_to_ts", lead("ts", 1).over(w))
+        .select(col("user_id"), col("event_id"), col("event_type").as("state"),
+          col("ts").as("from_ts"), col("valid_to_ts"))
+      val ev = Tables.events(spark, dir)
+      val existing = intervals(ev.filter(col("ts") < lit(cutTs)))
+      val batch = ev.filter(col("ts") >= lit(cutTs))
+      val bridge = batch.groupBy("user_id")
+        .agg(min(struct(col("ts"), col("event_id"))).as("f"))
+        .select(col("user_id"), col("f.ts").as("bridge_ts"))
+      val merged = existing.filter(col("valid_to_ts").isNotNull)
+        .unionByName(existing.filter(col("valid_to_ts").isNull)
+          .drop("valid_to_ts").join(bridge, Seq("user_id"), "left")
+          .withColumn("valid_to_ts", col("bridge_ts")).drop("bridge_ts"))
+        .unionByName(intervals(batch))
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("user_id"), col("event_id"), col("state"),
+          col("from_ts").cast("string"), col("valid_to_ts").cast("string"))
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val rebuilt = intervals(ev)
+      assert(canon(merged).toSeq == canon(rebuilt).toSeq,
+        s"case $ci cutFrac=$cutFrac users=$users")
+    }
+  }
+
   test("attribution equals the plain-Scala journey walk on random event sequences") {
     val seqGen = for {
       n <- Gen.choose(1, 40)
