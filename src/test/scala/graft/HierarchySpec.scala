@@ -366,6 +366,30 @@ class HierarchySpec extends SparkSpec {
     assert(out("n8") == ((n8Own.getDouble(0), n8Own.getLong(1))))
   }
 
+  test("moveMvRepair plans ZERO fact I/O: the repair reads only the MV and the closure") {
+    val dim = HierarchyQueries.dimension(spark, sf)
+    val closure = dim.closurePairs
+    val leaves = dim.flaggedNodes.filter(col("is_leaf"))
+      .select(col("node_id").as("leaf_node_id"),
+        col("node_natural_key").as("leaf_nk"))
+    // materialize the stored MV so its lineage (which does scan facts)
+    // is cut — exactly the production state where the MV is a table
+    val mv = HierarchyAgg.salesFacts(spark, sf)
+      .join(broadcast(leaves), col("leaf_key") === col("leaf_nk"))
+      .groupBy("leaf_node_id")
+      .agg(sum("sales_amount").as("sum_raw"), count(lit(1)).as("count_of_fact_records"))
+      .join(broadcast(closure), col("leaf_node_id") === col("descendant_node_id"))
+      .groupBy("ancestor_node_id")
+      .agg(sum("sum_raw").as("sum_raw"),
+        sum("count_of_fact_records").as("count_of_fact_records"))
+      .localCheckpoint()
+    val repaired = HierarchyAgg.moveMvRepair(mv, closure, "n8", "r0")
+    val p = repaired.queryExecution.executedPlan.toString()
+    assert(!p.contains("lineitem") && !p.contains("orders") &&
+      !p.contains("customer"), "the repair scheduled a fact scan:\n" + p.take(3000))
+    assert(repaired.count() > 0)
+  }
+
   test("h14: history rollup splits India across Asia/Africa at the reparent date") {
     val out = SparkEntry.queries("h14_history_rollup")(spark, sf).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("count_of_fact_records")).toMap
