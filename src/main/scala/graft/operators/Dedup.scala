@@ -356,6 +356,49 @@ object Dedup {
           size(array_union(col("a.shingles"), col("b.shingles"))), 6)).as("jaccard"))
   }
 
+  /** ASYMMETRIC CONTAINMENT: ordered pairs (a, b) where most of doc
+    * a's 5-gram set appears inside doc b — the quote/subset detector
+    * symmetric Jaccard (d4) structurally misses: a short doc quoted
+    * verbatim inside a long one has tiny Jaccard (union is the long
+    * doc) but containment ≈ 1. The length-band blocking of the d4
+    * family is exactly WRONG here (containment targets
+    * length-mismatched pairs), so candidates come from SHARED RARE
+    * 5-GRAMS instead: a gram-keyed equi-join (d8's shape) over grams
+    * with 2 ≤ df ≤ `maxDf` — a 5-token span essentially never
+    * collides organically (d15's argument), the df floor drops
+    * pair-less grams, and the df cap is the boilerplate guard
+    * (corpus-hot spans are t15's business, and without the cap one
+    * hot gram contributes df² candidate pairs). Exact containment
+    * |g(a) ∩ g(b)| / |g(a)| verifies each candidate; docs with < 5
+    * tokens have no 5-grams and drop out (the wordNgrams convention).
+    */
+  def containment(docs: DataFrame, tau: Double = 0.5,
+      maxDf: Int = 50): DataFrame = {
+    val t = docs
+      .withColumn("grams",
+        array_distinct(wordNgrams(tokens(lower(col("text"))), 5)))
+      .select("doc_id", "grams")
+      .filter(size(col("grams")) > 0)
+      .cache()
+    val ex = t.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val kept = ex.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("gram")
+    val owners = ex.join(kept, Seq("gram"))
+    val cand = owners.as("x").join(owners.as("y"), Seq("gram"))
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(t.select(col("doc_id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
+      .join(t.select(col("doc_id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
+      .withColumn("containment", graft.functions.OptimizationFence.fence(
+        round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(col("ga")), 6)))
+      .filter(col("containment") >= tau)
+      .select("doc_a", "doc_b", "containment")
+  }
+
   /** Incremental NEAR-dup: classify a NEW batch against the ingested
     * corpus without ever re-pairing the corpus with itself. The corpus
     * side is shingled and blocked on the (lang, length-band) key — at

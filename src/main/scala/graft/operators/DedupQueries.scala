@@ -122,7 +122,10 @@ object DedupQueries {
       Dedup.substringDedup(Tables.documents(s, d))),
     // frequency-capped exact dedup: keep ≤2 copies per content
     // cluster, LCG-picked (id-unbiased); heap aggregate, no window
-    "d16_copy_cap" -> ((s, d) => Dedup.copyCap(Tables.documents(s, d)))
+    "d16_copy_cap" -> ((s, d) => Dedup.copyCap(Tables.documents(s, d))),
+    // asymmetric containment (quote/subset detection): candidates
+    // from shared rare 5-grams (2 ≤ df ≤ 50), exact |∩|/|A| verify
+    "d17_containment" -> ((s, d) => Dedup.containment(Tables.documents(s, d)))
   )
 
   /** Provenance overlap matrix — see the d9 entry.
@@ -561,6 +564,33 @@ object DedupQueries {
          SELECT r.doc_id, CAST(r.rn AS BIGINT) AS copy_rank, g.n_copies
          FROM r JOIN g ON r.key = g.key
          WHERE r.rn <= 2""",
+    // shared-rare-5-gram candidates + exact asymmetric containment,
+    // re-derived step for step
+    "d17_containment" ->
+      raw"""WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+           FROM documents),
+         t AS (
+           SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(tk) - 3, 1)),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                    tk[i+3] || ' ' || tk[i+4])) AS grams
+           FROM toks),
+         tt AS (SELECT * FROM t WHERE len(grams) > 0),
+         ex AS (SELECT doc_id, unnest(grams) AS gram FROM tt),
+         kept AS (SELECT gram FROM ex GROUP BY gram
+                  HAVING COUNT(*) BETWEEN 2 AND 50),
+         own AS (SELECT ex.doc_id, ex.gram FROM ex JOIN kept USING (gram)),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM own x JOIN own y ON x.gram = y.gram AND x.doc_id <> y.doc_id),
+         sc AS (
+           SELECT c.doc_a, c.doc_b,
+             ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(a.grams), 6) AS containment
+           FROM cand c JOIN tt a ON c.doc_a = a.doc_id
+                       JOIN tt b ON c.doc_b = b.doc_id)
+         SELECT doc_a, doc_b, containment FROM sc WHERE containment >= 0.5""",
     // d13 at the gate's corpus size runs in the SINGLE-CLUSTER regime
     // (autoK(n≤1000, 1000) = 1): one cluster means the k-means
     // codebook provably cannot affect membership — every vector is a

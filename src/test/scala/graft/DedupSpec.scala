@@ -85,6 +85,34 @@ class DedupSpec extends SparkSpec {
     assert(out((0L, 3L)) < 0.1)
   }
 
+  test("containment catches the quote Jaccard misses; direction and threshold are honored") {
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = ("lots of framing words before the quoted passage " + quote +
+      " and a very large amount of unrelated trailing material about engines " +
+      "pipelines shuffles partitions executors and storage formats at scale")
+    val d = Seq(
+      (10L, quote, "en", "s0", quote.length.toLong),
+      (11L, long, "en", "s1", long.length.toLong),
+      (12L, "entirely disjoint content with no shared five gram spans here at all plus extra padding words", "en", "s2", 90L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.containment(d).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("containment")).toMap
+    // every 5-gram of the quote appears in the long doc → 1.0
+    assert(out((10L, 11L)) == 1.0, out.toString)
+    // the reverse direction is far below the threshold and absent
+    assert(!out.contains((11L, 10L)))
+    assert(!out.keys.exists(k => k._1 == 12L || k._2 == 12L))
+    // and symmetric Jaccard on the same pair is tiny — the case d4
+    // structurally misses even before its length-band blocking
+    // (which would have excluded this length-mismatched pair anyway)
+    val quoteGrams = quote.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    val longGrams = long.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    val jac = quoteGrams.intersect(longGrams).size.toDouble /
+      quoteGrams.union(longGrams).size
+    assert(jac < 0.3, f"fixture not length-mismatched enough: $jac%.2f")
+  }
+
   test("substring dedup: an exact 10-token span marks span_dup of the lowest owner") {
     val planted = docs.unionByName(Seq(
       // grafts tokens 1-10 of doc 0 into fresh surrounding text
