@@ -399,6 +399,50 @@ object Dedup {
       .select("doc_a", "doc_b", "containment")
   }
 
+  /** FUZZY NAME MATCHING at the VALUE-DICTIONARY grain — the pairing
+    * stage of entity resolution (near-identical product/vendor/entity
+    * names that exact grouping treats as distinct). The decisive scale
+    * move: collapse the fact table to its distinct-name dictionary
+    * FIRST (one fact-sized aggregate carrying the per-name row count),
+    * then do all pairing on the dictionary. Name dictionaries are
+    * vocabulary-bounded — they grow with the entity domain, not the
+    * corpus — so at 100 TB the pairwise stage runs on thousands of
+    * rows however many billions of facts fed it; a row-grain fuzzy
+    * join would be Σ df(token)² in FACT rows and is exactly the
+    * blowup this shape avoids.
+    *
+    * Candidates come from a shared-token equi-join on the dictionary
+    * (two names within edit distance of each other almost always
+    * share a full token; names sharing none are not worth a
+    * levenshtein call), verified by exact Levenshtein ≤ `maxDist`.
+    * For unbounded dictionaries (user-generated strings) add
+    * [[containment]]'s df cap on the blocking token; with an
+    * entity-domain dictionary it is unnecessary.
+    *
+    * Output: one row per matched unordered pair (`name_a` < `name_b`)
+    * with the edit distance and each side's fact-row count — the
+    * "how many rows would a merge re-label" impact a curator reads.
+    */
+  def fuzzyNames(parts: DataFrame, maxDist: Int = 2): DataFrame = {
+    val names = parts.groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+    val tok = names.select(col("p_name"), explode(split(col("p_name"), " ")).as("w"))
+    val cand = tok.as("a")
+      .join(tok.as("b"),
+        col("a.w") === col("b.w") && col("a.p_name") < col("b.p_name"))
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+    cand
+      .join(broadcast(names.select(col("p_name").as("name_a"),
+        col("n_parts").as("n_parts_a"))), Seq("name_a"))
+      .join(broadcast(names.select(col("p_name").as("name_b"),
+        col("n_parts").as("n_parts_b"))), Seq("name_b"))
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("n_parts_a"), col("n_parts_b"))
+  }
+
   /** Incremental NEAR-dup: classify a NEW batch against the ingested
     * corpus without ever re-pairing the corpus with itself. The corpus
     * side is shingled and blocked on the (lang, length-band) key — at

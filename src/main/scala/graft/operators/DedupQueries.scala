@@ -125,7 +125,11 @@ object DedupQueries {
     "d16_copy_cap" -> ((s, d) => Dedup.copyCap(Tables.documents(s, d))),
     // asymmetric containment (quote/subset detection): candidates
     // from shared rare 5-grams (2 ≤ df ≤ 50), exact |∩|/|A| verify
-    "d17_containment" -> ((s, d) => Dedup.containment(Tables.documents(s, d)))
+    "d17_containment" -> ((s, d) => Dedup.containment(Tables.documents(s, d))),
+    // fuzzy entity-name matching at the value-dictionary grain:
+    // distinct-name dictionary first, shared-token blocking, exact
+    // Levenshtein ≤ 2 verify (see Dedup.fuzzyNames)
+    "d18_fuzzy_names" -> ((s, d) => Dedup.fuzzyNames(Tables.part(s, d)))
   )
 
   /** Provenance overlap matrix — see the d9 entry.
@@ -591,6 +595,27 @@ object DedupQueries {
            FROM cand c JOIN tt a ON c.doc_a = a.doc_id
                        JOIN tt b ON c.doc_b = b.doc_id)
          SELECT doc_a, doc_b, containment FROM sc WHERE containment >= 0.5""",
+    // dictionary-grain fuzzy matching re-derived verbatim: distinct
+    // names + per-name row counts, shared-token candidates, exact
+    // levenshtein ≤ 2 (both engines implement unit-cost edit distance)
+    "d18_fuzzy_names" ->
+      """WITH names AS (
+           SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name),
+         tok AS (
+           SELECT p_name, unnest(string_split(p_name, ' ')) AS w FROM names),
+         cand AS (
+           SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+           FROM tok a JOIN tok b ON a.w = b.w AND a.p_name < b.p_name),
+         sc AS (
+           SELECT name_a, name_b,
+             CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+           FROM cand)
+         SELECT s.name_a, s.name_b, s.dist,
+           na.n_parts AS n_parts_a, nb.n_parts AS n_parts_b
+         FROM sc s
+         JOIN names na ON s.name_a = na.p_name
+         JOIN names nb ON s.name_b = nb.p_name
+         WHERE s.dist <= 2""",
     // d13 at the gate's corpus size runs in the SINGLE-CLUSTER regime
     // (autoK(n≤1000, 1000) = 1): one cluster means the k-means
     // codebook provably cannot affect membership — every vector is a

@@ -903,7 +903,74 @@ object OlapQueries {
         .filter(col("pos") < 10)
         .select((col("pos") + 1).cast("long").as("rank"),
           col("h.item").as("source"), col("h.count").as("cnt"),
-          col("h.err").as("err")))
+          col("h.err").as("err"))),
+
+    // MARKET-BASKET ANALYSIS at category grain: brand pairs
+    // co-purchased within an order, with support and lift — the
+    // association-mining read a merchandiser runs. Scale shape: the
+    // only fact-sized exchange is the (orderkey, brand) DISTINCT; the
+    // pair stream explodes ordered pairs from each order's sorted
+    // brand set, so its size is ≤ C(items-per-order, 2) per order —
+    // LINEAR in orders (basket sizes are domain-bounded), never
+    // brands × facts. Brand marginals (|brands| rows) broadcast onto
+    // the pair counts; the order total rides a 1-row broadcast.
+    // Lift in DOUBLE from the first multiply — pair_cnt × n_orders as
+    // int64 would overflow at warehouse scale.
+    "q46_market_basket" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val pt = Tables.part(s, d)
+      val ob = li
+        .join(broadcast(pt.select(col("p_partkey").as("l_partkey"),
+          col("p_brand"))), Seq("l_partkey"))
+        .select(col("l_orderkey"), col("p_brand"))
+        .distinct()
+      val nOrders = ob.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      val brandCnt = ob.groupBy("p_brand").agg(count(lit(1)).as("cnt"))
+      val pairs = ob.groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+        .select(posexplode(col("bs")).as(Seq("i", "brand_a")), col("bs"))
+        .select(col("brand_a"),
+          explode(expr("slice(bs, i + 2, size(bs))")).as("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(count(lit(1)).as("pair_cnt"))
+      pairs
+        .join(broadcast(brandCnt.select(col("p_brand").as("brand_a"),
+          col("cnt").as("cnt_a"))), Seq("brand_a"))
+        .join(broadcast(brandCnt.select(col("p_brand").as("brand_b"),
+          col("cnt").as("cnt_b"))), Seq("brand_b"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("brand_a"), col("brand_b"), col("pair_cnt"),
+          round(col("pair_cnt").cast("double") / col("n_orders"), 6)
+            .as("support"),
+          round(col("pair_cnt").cast("double") * col("n_orders") /
+            (col("cnt_a") * col("cnt_b")), 6).as("lift"))
+    }),
+
+    // PATH ANALYSIS: top opening journeys — each user's first three
+    // event types in (ts, event_id) order joined into a path string,
+    // ranked by how many users open that way. The row_number filter
+    // caps the per-user carry at 3 rows BEFORE the collect (a raw
+    // collect_list per user is unbounded under power users — the
+    // funnel-family trap); window and groupBy share the user-keyed
+    // exchange. The path-frequency table is ≤ |event_type|³ rows
+    // (vocab-bounded), so the final global rank sorts a tiny frame.
+    "q47_path_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val firstN = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+        .filter(col("rn") <= 3)
+      val paths = firstN.groupBy("user_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+      paths.groupBy("path").agg(count(lit(1)).as("n_users"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n_users").desc, col("path"))).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("path"), col("n_users"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -1333,6 +1400,45 @@ object OlapQueries {
            (ORDER BY COUNT(*) DESC, source ASC) AS BIGINT) AS rank,
          source, COUNT(*) AS cnt, CAST(0 AS BIGINT) AS err
          FROM documents GROUP BY source
-         QUALIFY rank <= 10"""
+         QUALIFY rank <= 10""",
+    // ordered brand pairs per order via a self-join (the oracle may be
+    // quadratic-in-basket; the engine's sorted-set explode is the
+    // scale shape); lift/support in double from the first operation
+    "q46_market_basket" ->
+      """WITH ob AS (
+           SELECT DISTINCT l_orderkey, p_brand
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob),
+         bc AS (SELECT p_brand, COUNT(*) AS cnt FROM ob GROUP BY p_brand),
+         pr AS (
+           SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             COUNT(*) AS pair_cnt
+           FROM ob a JOIN ob b
+             ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+           GROUP BY 1, 2)
+         SELECT brand_a, brand_b, pair_cnt,
+           ROUND(CAST(pair_cnt AS DOUBLE) / n_orders, 6) AS support,
+           ROUND(CAST(pair_cnt AS DOUBLE) * n_orders
+             / (ca.cnt * cb.cnt), 6) AS lift
+         FROM pr
+         JOIN bc ca ON pr.brand_a = ca.p_brand
+         JOIN bc cb ON pr.brand_b = cb.p_brand
+         CROSS JOIN n""",
+    // first-3 path per user by the same (ts, event_id) order key;
+    // deterministic global rank ties on the path string
+    "q47_path_topk" ->
+      """WITH seq AS (
+           SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+           FROM events),
+         p AS (
+           SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+           FROM seq WHERE rn <= 3 GROUP BY user_id),
+         c AS (SELECT path, COUNT(*) AS n_users FROM p GROUP BY path)
+         SELECT CAST(row_number() OVER
+             (ORDER BY n_users DESC, path) AS BIGINT) AS rank,
+           path, n_users
+         FROM c QUALIFY rank <= 20"""
   )
 }

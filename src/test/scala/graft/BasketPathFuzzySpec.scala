@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Fixture oracles for the round-13 session additions: q46 market
+  * basket, q47 path analysis, d18 dictionary-grain fuzzy names. Each
+  * test writes a hand-computable star-schema slice and drives the
+  * registry entry itself, so the spec exercises exactly the query the
+  * driver runs.
+  */
+class BasketPathFuzzySpec extends SparkSpec {
+
+  test("q46 on a four-order fixture: pair counts, support and lift match hand math") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("basket").toString
+    Seq((1L, "A"), (2L, "B"), (3L, "B"), (4L, "C"))
+      .toDF("p_partkey", "p_brand")
+      .write.parquet(s"$dir/part.parquet")
+    // baskets: o1={A,B} o2={A,B} o3={A,C} o4={B}; p1/p3 in o2 both map
+    // to distinct brands, and o4's single-brand basket emits no pair
+    Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+      .withColumn("l_shipdate", to_timestamp(lit("1997-01-01 00:00:00")))
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q46_market_basket")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("brand_a"), r.getAs[String]("brand_b")) ->
+        ((r.getAs[Long]("pair_cnt"), r.getAs[Double]("support"),
+          r.getAs[Double]("lift"))))
+      .toMap
+    assert(out.keySet == Set(("A", "B"), ("A", "C")))
+    // n_orders=4, cnt(A)=3, cnt(B)=3, cnt(C)=1; lift rounds to 6 dp
+    assert(out(("A", "B")) == ((2L, 0.5, 0.888889)))
+    assert(out(("A", "C")) == ((1L, 0.25, 1.333333)))
+  }
+
+  test("q47 on a journey fixture: first-3 paths, short journeys kept, deterministic rank") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("paths").toString
+    Seq(
+      (1L, "2024-03-01 10:00:00", 1L, "view"),
+      (1L, "2024-03-01 10:01:00", 2L, "click"),
+      (1L, "2024-03-01 10:02:00", 3L, "purchase"),
+      (1L, "2024-03-01 10:03:00", 4L, "error"), // 4th event never in path
+      (2L, "2024-03-01 11:00:00", 5L, "view"),
+      (2L, "2024-03-01 11:01:00", 6L, "click"),
+      (2L, "2024-03-01 11:02:00", 7L, "purchase"),
+      (3L, "2024-03-01 12:01:00", 9L, "view"), // ts order, not id order
+      (3L, "2024-03-01 12:00:00", 8L, "click")
+    ).toDF("user_id", "ts_s", "event_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .withColumn("value", lit(1.0))
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q47_path_topk")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("path"),
+        r.getAs[Long]("n_users")))
+      .sortBy(_._1)
+      .toSeq
+    assert(out == Seq(
+      (1L, "view>click>purchase", 2L),
+      (2L, "click>view", 1L)))
+  }
+
+  test("d18 on a name fixture: shared-token candidates within distance; row counts attach") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fuzzy").toString
+    Seq(
+      (1L, "acme corp"),  // twice: n_parts must aggregate
+      (2L, "acme corp"),
+      (3L, "acme corpp"), // dist 1 to "acme corp", shares "acme"
+      (4L, "beta labs"),
+      (5L, "zeta labs"),  // dist 1 to "beta labs", shares "labs"
+      (6L, "gamma inc"),
+      (7L, "delta inc")   // shares "inc" but dist("gamma","delta")=4 → cut
+    ).toDF("p_partkey", "p_name")
+      .withColumn("p_brand", lit("X"))
+      .write.parquet(s"$dir/part.parquet")
+    val out = SparkEntry.queries("d18_fuzzy_names")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("name_a"), r.getAs[String]("name_b"),
+        r.getAs[Long]("dist"), r.getAs[Long]("n_parts_a"),
+        r.getAs[Long]("n_parts_b")))
+      .sortBy(_._1)
+      .toSeq
+    assert(out == Seq(
+      ("acme corp", "acme corpp", 1L, 2L, 1L),
+      ("beta labs", "zeta labs", 1L, 1L, 1L)))
+  }
+}

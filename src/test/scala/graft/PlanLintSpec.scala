@@ -33,7 +33,8 @@ class PlanLintSpec extends SparkSpec {
     "t18_bm25_topk",       // 1-row corpus-stats broadcast (N, avgdl)
     "s10_hybrid_rrf",      // t18's stats broadcast + s1's query-set broadcast
     "h21_closure_move",    // path-sized × subtree-sized closure-delta crosses
-    "h22_move_mv_repair"   // h21's closure-delta crosses inside the repair
+    "h22_move_mv_repair",  // h21's closure-delta crosses inside the repair
+    "q46_market_basket"    // 1-row order-total broadcast (lift normalizer)
   )
 
   private val skipEager = Set(
