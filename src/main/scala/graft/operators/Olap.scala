@@ -97,4 +97,52 @@ object Olap {
       case None => pivoted
     }
   }
+
+  /** EXACT per-group median at 100 TB — q16's range-partitioned rank
+    * shape, factored for reuse (robust statistics want medians as a
+    * building block). Neither of Spark's own routes survives scale:
+    * `percentile()` materializes a per-group value→count map and a
+    * whole-group window sort puts each group in one task. Instead:
+    * (1) an integer-bucket histogram (domain-bounded output) over one
+    * distributed aggregate; (2) histogram-sized windows find the ≤2
+    * hot buckets holding ranks floor/ceil((n−1)/2) and their rank
+    * base; (3) only hot-bucket rows get a within-bucket row_number —
+    * a partition is one integer bucket's ties, never a group.
+    * Interpolation lo + (hi−lo)·frac is quantile_cont's formula
+    * (cross-engine parity proven by q16's hash-green oracle).
+    *
+    * Returns one row per group: (`groupCol`, `med`). Nulls in
+    * `valueCol` are ignored (percentile semantics); empty groups
+    * vanish. Median is NOT rounded here — callers derive (MAD,
+    * z-scores) from it and round at emit.
+    */
+  def exactMedianByGroup(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val bucketed = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).as("__v"))
+      .withColumn("__bucket", floor(col("__v")).cast("long"))
+    val hist = bucketed.groupBy(groupCol, "__bucket")
+      .agg(count(lit(1)).as("__bn"))
+    val wCum = Window.partitionBy(groupCol).orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(groupCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("__cum", coalesce(sum("__bn").over(wCum), lit(0L)))
+      .withColumn("__pos", (sum("__bn").over(wAll) - 1) * lit(0.5))
+      .withColumn("__lo", floor(col("__pos")))
+      .withColumn("__hi", ceil(col("__pos")))
+    def inB(c: String) =
+      col(c) >= col("__cum") && col(c) < col("__cum") + col("__bn")
+    val hot = cum.filter(inB("__lo") || inB("__hi")).drop("__bn")
+    val wLocal = Window.partitionBy(groupCol, "__bucket").orderBy("__v")
+    val loV = max(when(col("__rn") === col("__lo"), col("__v")))
+    val hiV = max(when(col("__rn") === col("__hi"), col("__v")))
+    bucketed.join(broadcast(hot), Seq(groupCol, "__bucket"))
+      .withColumn("__rn",
+        col("__cum") + row_number().over(wLocal).cast("long") - 1)
+      .filter(col("__rn") === col("__lo") || col("__rn") === col("__hi"))
+      .groupBy(groupCol)
+      .agg((loV + (hiV - loV) * max(col("__pos") - col("__lo"))).as("med"))
+  }
 }

@@ -970,6 +970,34 @@ object OlapQueries {
           Window.orderBy(col("n_users").desc, col("path"))).cast("long"))
         .filter(col("rank") <= 20)
         .select(col("rank"), col("path"), col("n_users"))
+    }),
+
+    // ROBUST OUTLIER DETECTION (data-quality gate): per-event-type
+    // modified z-scores from MEDIAN and MAD — the Iglewicz–Hoaglin
+    // 0.6745·(x−med)/MAD statistic with the recommended 3.5 cutoff.
+    // Mean/stddev outlier rules break exactly when needed most (the
+    // outliers inflate the stddev that is supposed to expose them);
+    // median/MAD have a 50% breakdown point. Both medians run through
+    // Olap.exactMedianByGroup (q16's histogram-rank shape: no
+    // per-group value maps, no whole-group sorts), group stats
+    // broadcast back onto facts, and the boundary compare rounds to
+    // 9 dp so a last-ulp divergence cannot flip membership
+    // cross-engine.
+    "q48_outliers_mad" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val med = Olap.exactMedianByGroup(ev, "event_type", "value")
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = Olap.exactMedianByGroup(
+        dev.select(col("event_type"), col("adev")), "event_type", "adev")
+        .withColumnRenamed("med", "mad")
+      dev.join(broadcast(mad), Seq("event_type"))
+        .withColumn("rz",
+          lit(0.6745) * (col("value") - col("med")) / col("mad"))
+        .filter(round(abs(col("rz")), 9) > 3.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("rz"), 6).as("robust_z"))
     })
   )
 
@@ -1439,6 +1467,23 @@ object OlapQueries {
          SELECT CAST(row_number() OVER
              (ORDER BY n_users DESC, path) AS BIGINT) AS rank,
            path, n_users
-         FROM c QUALIFY rank <= 20"""
+         FROM c QUALIFY rank <= 20""",
+    // medians via quantile_cont (q16's proven interpolation parity);
+    // the 9-dp rounded boundary compare matches the engine exactly
+    "q48_outliers_mad" ->
+      """WITH med AS (
+           SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY event_type),
+         dev AS (
+           SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+           FROM events e JOIN med m USING (event_type)),
+         mad AS (
+           SELECT event_type, quantile_cont(adev, 0.5) AS mad
+           FROM dev GROUP BY event_type)
+         SELECT d.event_id, d.event_type, d.value,
+           ROUND(0.6745 * (d.value - d.med) / m.mad, 6) AS robust_z
+         FROM dev d JOIN mad m USING (event_type)
+         WHERE ROUND(abs(0.6745 * (d.value - d.med) / m.mad), 9) > 3.5"""
   )
 }
