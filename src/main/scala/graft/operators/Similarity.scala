@@ -481,6 +481,29 @@ object Similarity {
         means.getOrElse((j, cd), books(j)(cd))))
     }
     val codebooks: Seq[Seq[Seq[Double]]] = books
+    val index = encodePqAssigned(assigned, codebooks)
+    (index, codebooks, centroids)
+  }
+
+  /** Encode parsed corpus rows against FROZEN coarse centroids + PQ
+    * codebooks — the deterministic half of the index build, factored
+    * so incremental maintenance ([[upsertPqIndex]]) reuses byte-for-
+    * byte the same encoding the full build produces. Given the same
+    * codebooks, encoding a vector yields the same (list_id, codes,
+    * rnrm) whether it arrives in the original build or a later batch
+    * — that determinism is what makes increment ≡ rebuild provable.
+    */
+  def encodePq(c: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+      centroids: DataFrame): DataFrame =
+    encodePqAssigned(
+      assignToCentroids(c, centroids)
+        .select(col("vec_id"), col("v"), col("c_id").as("list_id")),
+      codebooks)
+
+  private def encodePqAssigned(assigned: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
     val cbLit = typedLit(codebooks)
     val codeCols = (0 until m).map { j =>
       val sv = slice(col("v"), j * sub + 1, sub)
@@ -489,7 +512,7 @@ object Similarity {
           lit(0.0), (acc, x) => acc + x))
       (array_position(scores, array_min(scores)) - 1).cast("int")
     }
-    val index = assigned
+    assigned
       .withColumn("codes0", array(codeCols: _*))
       .withColumn("rnrm", norm(flatten(transform(col("codes0"),
         (cd, j) => element_at(element_at(cbLit, j + 1), cd + 1)))))
@@ -497,7 +520,27 @@ object Similarity {
       // tinyint — the production 256-code layout
       .withColumn("codes", transform(col("codes0"), cd => (cd - 128).cast("byte")))
       .select("vec_id", "list_id", "codes", "rnrm")
-    (index, codebooks, centroids)
+  }
+
+  /** INCREMENTAL IVF-PQ MAINTENANCE: fold a batch of new/updated
+    * vectors into a stored index WITHOUT retraining — encode the
+    * batch against the frozen coarse centroids + codebooks
+    * ([[encodePq]]), drop any stored rows the batch replaces (an
+    * id-keyed left-anti join; the batch side is broadcast-sized in
+    * steady-state ingest), and union. Cost is O(batch), never
+    * O(corpus): the stored code rows are untouched bytes. Because
+    * encoding is deterministic under frozen codebooks, the upserted
+    * index is PROVABLY identical to rebuilding from (corpus∖batch ∪
+    * batch) with the same codebooks — the h21/q45 increment≡rebuild
+    * contract on the ANN plane (spec-asserted row-for-row). Codebook
+    * drift under distribution shift is handled by periodic full
+    * retrains, exactly as in production IVF-PQ deployments.
+    */
+  def upsertPqIndex(index: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+      centroids: DataFrame, batchEmb: DataFrame): DataFrame = {
+    val enc = encodePq(corpus(batchEmb), codebooks, centroids)
+    index.join(enc.select("vec_id"), Seq("vec_id"), "left_anti")
+      .unionByName(enc)
   }
 
   /** IVF-PQ ANN query: probe `nprobe` coarse lists exactly as
@@ -744,7 +787,20 @@ object SimilarityQueries {
     "s8_knn_ivfpq" -> ((s, d) => Similarity.ivfpqTopK(Tables.embeddings(s, d))),
     // filtered ANN: predicate (label equality) pushed into candidate
     // generation — semi-join corpus prune + label on the bucket key
-    "s9_filtered_knn" -> ((s, d) => Similarity.filteredLshTopK(Tables.embeddings(s, d)))
+    "s9_filtered_knn" -> ((s, d) => Similarity.filteredLshTopK(Tables.embeddings(s, d))),
+    // incremental IVF-PQ maintenance: train on 80% of the corpus,
+    // upsert the held-out 20% as a batch (frozen codebooks, O(batch)
+    // cost), query the grown index. Rows-only (k-means codebook FP);
+    // the spec proves upsert ≡ frozen-codebook rebuild row-for-row
+    // and a recall floor on the grown index.
+    "s11_pq_upsert" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val (index, books, cents) = Similarity.ivfpqIndex(base)
+      val grown = Similarity.upsertPqIndex(index, books, cents, batch)
+      Similarity.ivfpqQuery(emb, grown, books, cents)
+    })
   )
 
   val oracles: Map[String, String] = Map(

@@ -34,7 +34,8 @@ class PlanLintSpec extends SparkSpec {
     "s10_hybrid_rrf",      // t18's stats broadcast + s1's query-set broadcast
     "h21_closure_move",    // path-sized × subtree-sized closure-delta crosses
     "h22_move_mv_repair",  // h21's closure-delta crosses inside the repair
-    "q46_market_basket"    // 1-row order-total broadcast (lift normalizer)
+    "q46_market_basket",   // 1-row order-total broadcast (lift normalizer)
+    "s11_pq_upsert"        // s8's coarse-codebook broadcast on the grown index
   )
 
   private val skipEager = Set(

@@ -327,6 +327,34 @@ class SimilaritySpec extends SparkSpec {
     assert(direct.toSeq == loaded.toSeq)
   }
 
+  test("IVF-PQ upsert: increment ≡ frozen-codebook rebuild; replace semantics; grown-index recall") {
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val (index, books, cents) = Similarity.ivfpqIndex(base)
+    val grown = Similarity.upsertPqIndex(index, books, cents, batch)
+    // row-for-row identical to encoding the WHOLE corpus against the
+    // same frozen codebooks — encoding determinism makes the
+    // increment≡rebuild contract exact, not approximate
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("list_id"),
+        r.getSeq[Byte](r.fieldIndex("codes")).toList, r.getAs[Double]("rnrm")))
+      .sortBy(_._1).toSeq
+    val rebuilt = Similarity.encodePq(Similarity.corpus(emb), books, cents)
+    assert(canon(grown) == canon(rebuilt))
+    // UPSERT, not append: re-sending the batch replaces, never dups
+    val again = Similarity.upsertPqIndex(grown, books, cents, batch)
+    assert(again.groupBy("vec_id").count()
+      .filter(col("count") > 1).count() == 0)
+    assert(again.count() == emb.count())
+    // the grown index serves queries at the s8 recall floor
+    val rows = Similarity.ivfpqQuery(emb, grown, books, cents).collect()
+    val hits = rows.count(r =>
+      brute((r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))))
+    val recall = hits.toDouble / 50
+    info(f"upserted-index IVF-PQ recall@5 vs brute force: $recall%.2f")
+    assert(recall >= 0.6, f"upserted-index recall too low: $recall%.2f")
+  }
+
   test("ANN cosines agree with brute-force for overlapping pairs") {
     val b = Similarity.bruteForceTopK(emb).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
