@@ -126,6 +126,8 @@ object StreamingOps {
   case class AttrOut(user_id: Long, conversion_id: Long,
     first_touch_id: Long, first_touch_type: String,
     last_touch_id: Long, last_touch_type: String)
+  case class Scd2Out(user_id: Long, event_id: Long, state: String,
+    valid_from: String, valid_to: String)
 
   /** Custom-state sessionization via flatMapGroupsWithState — the
     * KeyValueGroupedDataset stateful-processing path. Per user, events
@@ -209,6 +211,58 @@ object StreamingOps {
             }
           }
           state.update((ftId, ftTy, ltId, ltTy))
+          out.iterator
+      }
+  }
+
+  /** STREAMING SCD2 (q45's merge as a continuous process): per user
+    * the state is the single OPEN interval — a fixed-size slot
+    * however long the history, never an event log — and each arriving
+    * event closes it, emitting the CLOSED interval exactly once with
+    * `valid_to` = the closer's event time. Closed intervals are
+    * immutable the moment they are emitted (the SCD2 append-only
+    * contract), so the emission stream IS the dimension's history
+    * feed; the still-open interval stays in state (a production
+    * pipeline reads "current state" from the store or flushes it on
+    * timeout). Group order is (event-time, event_id) = q34's window
+    * sort key, so on a bounded source the emitted set equals the
+    * batch rebuild's closed rows and q34's oracle (filtered to
+    * closed) checks it verbatim — including intervals whose open and
+    * close arrive in DIFFERENT micro-batches (spec-proven via
+    * MemoryStream).
+    */
+  def scd2FMGWS(spark: SparkSession,
+      events: DataFrame): org.apache.spark.sql.Dataset[Scd2Out] =
+    scd2FMGWSTyped(spark,
+      events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type")))
+
+  /** [[scd2FMGWS]] on an already-projected frame — the form a
+    * MemoryStream-backed streaming Dataset can enter directly. */
+  def scd2FMGWSTyped(spark: SparkSession,
+      events: DataFrame): org.apache.spark.sql.Dataset[Scd2Out] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    events.as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, String, String), Scd2Out](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EvT], state: GroupState[(Long, String, String)]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000
+          val evs = it.toIndexedSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val out = scala.collection.mutable.Buffer[Scd2Out]()
+          var open: Option[(Long, String, String)] = state.getOption
+          evs.foreach { e =>
+            val at = fmt.format(e.ts)
+            open.foreach { case (oid, oty, ofrom) =>
+              out += Scd2Out(uid, oid, oty, ofrom, at)
+            }
+            open = Some((e.event_id, e.event_type, at))
+          }
+          open.foreach(state.update)
           out.iterator
       }
   }
@@ -496,6 +550,12 @@ object StreamingQueries {
     // once — checked against q44's own oracle SQL
     "st20_stream_attribution" -> ((s, d) =>
       StreamingOps.attributionFMGWS(s, Tables.events(s, d)).toDF()),
+    // custom-state SCD2 (q45 as a continuous process): per-user state
+    // is the single open interval; each event closes it, emitting the
+    // closed row exactly once — checked against q34's rebuild SQL
+    // filtered to closed intervals
+    "st21_stream_scd2" -> ((s, d) =>
+      StreamingOps.scd2FMGWS(s, Tables.events(s, d)).toDF()),
     // STREAMING windowed TOP-K: the bounded-heap TopKByScore aggregate
     // running INSIDE the streaming state store — per 15-minute window,
     // the 3 highest-value events. State per window is the k-entry
@@ -836,6 +896,17 @@ object StreamingQueries {
     // bounded source — same oracle SQL, verbatim
     "st20_stream_attribution" ->
       graft.operators.OlapQueries.oracles("q44_attribution"),
+    // the streamed SCD2 emits exactly the batch rebuild's CLOSED
+    // intervals (open intervals live in state, not the output)
+    "st21_stream_scd2" ->
+      """WITH iv AS (
+           SELECT user_id, event_id, event_type AS state,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS valid_from,
+             strftime(lead(CAST(ts AS TIMESTAMP)) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+         SELECT user_id, event_id, state, valid_from, valid_to
+         FROM iv WHERE valid_to IS NOT NULL""",
     "st17_fmgws_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, event_id, ts, value,

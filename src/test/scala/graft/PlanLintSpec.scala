@@ -61,9 +61,9 @@ class PlanLintSpec extends SparkSpec {
     // st19 drives the stream on invocation; its frequent-items agg
     // plan is q42's (linted there)
     "st19_stream_heavy_hitters",
-    // st20 is the custom-state (fMGWS) path, executed eagerly like
-    // st17; its batch twin q44 is linted above
-    "st20_stream_attribution")
+    // st20/st21 are the custom-state (fMGWS) paths, executed eagerly
+    // like st17; their batch twins q44/q34 are linted above
+    "st20_stream_attribution", "st21_stream_scd2")
 
   test("no registry query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

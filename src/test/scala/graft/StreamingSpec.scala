@@ -224,6 +224,44 @@ class StreamingSpec extends SparkSpec {
     assert(got(5L) == 2.68) // HALF_UP at the boundary, not binary floor
   }
 
+  test("flatMapGroupsWithState SCD2: streamed ≡ batch rebuild's closed set; cross-batch intervals emit once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    // batch expectation: q34's interval rebuild, closed rows only
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val want = ev
+      .withColumn("valid_from", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("valid_to",
+        date_format(lead(col("ts"), 1).over(w), "yyyy-MM-dd HH:mm:ss"))
+      .filter(col("valid_to").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type").as("state"),
+        col("valid_from"), col("valid_to"))
+    // a REAL two-micro-batch stream split at the median event time:
+    // per-user intervals open in batch 1 and close in batch 2, so the
+    // state slot must carry the open interval across the boundary and
+    // the closed row must appear exactly once
+    val rows = ev.as[StreamingOps.EvT].collect().sortBy(_.ts.getTime)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[StreamingOps.EvT]
+    val q = StreamingOps.scd2FMGWSTyped(spark, ms.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scd2_out").start()
+    try {
+      ms.addData(b1.toIndexedSeq); q.processAllAvailable()
+      val afterB1 = spark.table("scd2_out").count()
+      ms.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("scd2_out")
+      val cols = Seq("user_id", "event_id", "state", "valid_from", "valid_to")
+      assert(canon(got, cols: _*) == canon(want, cols: _*))
+      // both batches contributed (the boundary genuinely split work)
+      assert(afterB1 > 0 && afterB1 < got.count())
+    } finally q.stop()
+  }
+
   test("streamToParquet: durable file sink with checkpoint equals the batch filter") {
     val dir = java.nio.file.Files.createTempDirectory("events_sink_src")
     java.nio.file.Files.createSymbolicLink(
