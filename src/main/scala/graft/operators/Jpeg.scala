@@ -10,14 +10,18 @@ package graft.operators
   *    flat quantization, canonical-Huffman entropy coding (a single
   *    all-9-bit table — legal per the spec, and it forces the decoder
   *    through the generic DHT machinery rather than hard-coded Annex K
-  *    tables), optional restart markers, grayscale or 4:4:4 YCbCr.
+  *    tables), optional restart markers, grayscale, 4:4:4 or 4:2:0
+  *    YCbCr (2×2 box-filtered chroma).
   *  - [[Jpeg.decode]]: a full decoder for the supported subset —
   *    marker walk (DQT/SOF0/DHT/DRI/SOS, APPn/COM skipped), canonical
   *    Huffman decode with byte-stuffing and restart handling, DC
   *    prediction, dequantize + de-zigzag + separable float IDCT, level
-  *    shift and clamp. FAILS LOUDLY on progressive (SOF2) and every
-  *    other non-baseline frame type, arithmetic coding, 12-bit
-  *    precision, subsampling ≠ 4:4:4, and truncated/corrupt streams.
+  *    shift and clamp; full-res-luma subsampled layouts (4:2:0,
+  *    4:2:2, 4:4:0) reconstruct luma from the h0·v0 interleaved
+  *    blocks per MCU (T.81 A.2.3). FAILS LOUDLY on progressive (SOF2)
+  *    and every other non-baseline frame type, arithmetic coding,
+  *    12-bit precision, subsampled-luma layouts, and
+  *    truncated/corrupt streams.
   *
   * Decode quality is spec-proven round-trip: a constant-gray image
   * survives encode→decode EXACTLY (DC-only blocks, flat q=1), and
@@ -183,17 +187,20 @@ object Jpeg {
 
   /** Deterministic baseline JPEG encoder. `planes` is 1 (grayscale,
     * `gray(y*w+x)`) or 3 (RGB interleaved `rgb(3*(y*w+x)+c)`, encoded
-    * as 4:4:4 YCbCr). `q` is the flat quantization step (1 =
+    * as YCbCr — 4:4:4, or 4:2:0 with `chromaSub = 2`). `q` is the
+    * flat quantization step (1 =
     * near-lossless, bigger = lossier). `restartInterval` > 0 emits DRI
     * + RSTn markers every that many MCUs. Edge pixels replicate into
     * partial blocks, per the usual practice.
     */
   def synth(width: Int, height: Int, pixels: Array[Byte], planes: Int = 1,
-      q: Int = 1, restartInterval: Int = 0): Array[Byte] = {
+      q: Int = 1, restartInterval: Int = 0, chromaSub: Int = 1): Array[Byte] = {
     require(width > 0 && height > 0, "degenerate dimensions")
     require(planes == 1 || planes == 3, "1 (gray) or 3 (RGB) planes")
     require(q >= 1 && q <= 255, "flat quant step in [1, 255]")
     require(pixels.length >= width * height * planes, "short pixel array")
+    require(chromaSub == 1 || (chromaSub == 2 && planes == 3),
+      "chromaSub 1 (4:4:4) or 2 (4:2:0, RGB only)")
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
@@ -204,7 +211,11 @@ object Jpeg {
     (0 until 64).foreach(_ => u8(q))
     marker(0xc0) // SOF0: baseline
     u16(8 + 3 * planes); u8(8); u16(height); u16(width); u8(planes)
-    (1 to planes).foreach { id => u8(id); u8(0x11); u8(0) }
+    (1 to planes).foreach { id =>
+      u8(id)
+      u8(if (id == 1 && chromaSub == 2) 0x22 else 0x11)
+      u8(0)
+    }
     def dht(cls: Int, syms: Array[Int]): Unit = {
       marker(0xc4)
       u16(2 + 1 + 16 + syms.length); u8(cls << 4)
@@ -218,8 +229,6 @@ object Jpeg {
     (1 to planes).foreach { id => u8(id); u8(0x00) }
     u8(0); u8(63); u8(0)
     // component planes, level-shifted, edge-replicated to block grid
-    val mcusX = (width + 7) / 8
-    val mcusY = (height + 7) / 8
     def sample(comp: Int, x: Int, y: Int): Double = {
       val cx = math.min(x, width - 1)
       val cy = math.min(y, height - 1)
@@ -240,10 +249,19 @@ object Jpeg {
     val prevDc = new Array[Int](planes)
     var rstCount = 0
     var mcu = 0
+    // 4:2:0 MCUs span 16×16 pixels: 4 full-res luma blocks in raster
+    // (by, bx) order, then one Cb and one Cr block whose samples are
+    // the 2×2 box average of the full-res chroma plane (the standard
+    // downsampling filter); 4:4:4 degenerates to the 8×8 single-block
+    // MCU. Grids below re-derive from the luma factor so both layouts
+    // share one loop.
+    val lh = if (chromaSub == 2) 2 else 1
+    val subX = (width + 8 * lh - 1) / (8 * lh)
+    val subY = (height + 8 * lh - 1) / (8 * lh)
     var my = 0
-    while (my < mcusY) {
+    while (my < subY) {
       var mx = 0
-      while (mx < mcusX) {
+      while (mx < subX) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           bw.flushAligned()
           marker(0xd0 + (rstCount % 8))
@@ -252,17 +270,34 @@ object Jpeg {
         }
         var comp = 0
         while (comp < planes) {
-          val block = new Array[Double](64)
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              block(y * 8 + x) = sample(comp, mx * 8 + x, my * 8 + y)
-              x += 1
+          val nBlk = if (comp == 0) lh * lh else 1
+          var blk = 0
+          while (blk < nBlk) {
+            val bx = blk % lh
+            val by = blk / lh
+            val block = new Array[Double](64)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                block(y * 8 + x) =
+                  if (comp == 0)
+                    sample(comp, (mx * lh + bx) * 8 + x, (my * lh + by) * 8 + y)
+                  else if (lh == 1)
+                    sample(comp, mx * 8 + x, my * 8 + y)
+                  else {
+                    val px = mx * 16 + 2 * x
+                    val py = my * 16 + 2 * y
+                    (sample(comp, px, py) + sample(comp, px + 1, py) +
+                      sample(comp, px, py + 1) + sample(comp, px + 1, py + 1)) / 4.0
+                  }
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            prevDc(comp) = encodeBlock(bw, block, q, prevDc(comp))
+            blk += 1
           }
-          prevDc(comp) = encodeBlock(bw, block, q, prevDc(comp))
           comp += 1
         }
         mcu += 1
@@ -380,6 +415,7 @@ object Jpeg {
     var height = 0
     var nComp = 0
     var compQ: Array[Int] = null // per-component quant table id
+    var compHV: Array[Int] = null // per-component sampling byte (h<<4|v)
     var dri = 0
     var scanComp: Array[(Int, Int)] = null // (dcTab, acTab) in scan order
     var scanStart = -1
@@ -406,13 +442,28 @@ object Jpeg {
           require(nComp == 1 || nComp == 3,
             s"doc $docId: $nComp components unsupported")
           compQ = new Array[Int](nComp)
+          compHV = new Array[Int](nComp)
           var i = 0
           while (i < nComp) {
             u8() // component id (we rely on declaration order)
-            require(u8() == 0x11,
-              s"doc $docId: chroma subsampling unsupported (4:4:4 only)")
+            compHV(i) = u8()
             compQ(i) = u8()
             i += 1
+          }
+          // supported sampling layouts: grayscale 1×1; color 4:4:4
+          // (all 1×1); color with FULL-RES luma + 1×1 chroma — 4:2:0
+          // (luma 2×2), 4:2:2 (2×1), 4:4:0 (1×2). Anything else
+          // (subsampled luma, >2 factors) fails loudly.
+          if (nComp == 1)
+            require(compHV(0) == 0x11,
+              s"doc $docId: grayscale subsampling unsupported (1x1 only)")
+          else {
+            val h0 = compHV(0) >> 4; val v0 = compHV(0) & 0x0f
+            require(h0 >= 1 && h0 <= 2 && v0 >= 1 && v0 <= 2,
+              s"doc $docId: luma sampling ${h0}x$v0 unsupported")
+            require(compHV(1) == 0x11 && compHV(2) == 0x11,
+              s"doc $docId: subsampled-chroma-only layouts supported " +
+                "(chroma factors must be 1x1)")
           }
         case 0xc4 => // DHT (may hold several tables)
           val end = pos + u16() - 2
@@ -456,8 +507,14 @@ object Jpeg {
       }
     }
     require(width > 0, s"doc $docId: SOS before SOF0")
-    val mcusX = (width + 7) / 8
-    val mcusY = (height + 7) / 8
+    // the MCU spans 8·hmax × 8·vmax pixels; with 1×1 chroma enforced
+    // above, hmax/vmax are the luma factors, so the luma plane
+    // reconstructs at full resolution from h0·v0 blocks per MCU in
+    // raster (by, bx) order — T.81 A.2.3 interleaving
+    val h0 = if (compHV == null) 1 else compHV(0) >> 4
+    val v0 = if (compHV == null) 1 else compHV(0) & 0x0f
+    val mcusX = (width + 8 * h0 - 1) / (8 * h0)
+    val mcusY = (height + 8 * v0 - 1) / (8 * v0)
     val luma = new Array[Int](width * height)
     val br = new BitReader(b, scanStart)
     val prevDc = new Array[Int](nComp)
@@ -480,54 +537,63 @@ object Jpeg {
           val qt = qtabs(compQ(comp))
           require(dcTab != null && acTab != null && qt != null,
             s"doc $docId: scan references an undefined table")
-          val coef = new Array[Double](64)
-          val c = dcTab.decode(br, docId)
-          require(c <= 11, s"doc $docId: invalid DC category $c")
-          var v = 0
-          var i = 0
-          while (i < c) { v = (v << 1) | br.nextBit(docId); i += 1 }
-          prevDc(comp) += (if (c == 0) 0 else extend(v, c))
-          coef(0) = prevDc(comp).toDouble * qt(0)
-          var zi = 1
-          var eob = false
-          while (zi < 64 && !eob) {
-            val sym = acTab.decode(br, docId)
-            if (sym == 0x00) eob = true
-            else if (sym == 0xf0) zi += 16
-            else {
-              zi += sym >> 4
-              val ac = sym & 0x0f
-              require(zi < 64, s"doc $docId: AC run past block end")
-              var av = 0
-              var j = 0
-              while (j < ac) { av = (av << 1) | br.nextBit(docId); j += 1 }
-              coef(Zigzag(zi)) = extend(av, ac).toDouble * qt(zi)
-              zi += 1
-            }
-          }
-          if (comp == 0) { // only luma is featurized
-            val px = idct(coef)
-            var y = 0
-            while (y < 8) {
-              val iy = my * 8 + y
-              if (iy < height) {
-                var x = 0
-                while (x < 8) {
-                  val ix = mx * 8 + x
-                  if (ix < width) {
-                    val p = math.round(px(y * 8 + x) + 128.0).toInt
-                    luma(iy * width + ix) = math.max(0, math.min(255, p))
-                  }
-                  x += 1
-                }
+          val ch = if (comp == 0) h0 else 1
+          val cv = if (comp == 0) v0 else 1
+          var blk = 0
+          while (blk < ch * cv) {
+            val bx = blk % ch
+            val by = blk / ch
+            val coef = new Array[Double](64)
+            val c = dcTab.decode(br, docId)
+            require(c <= 11, s"doc $docId: invalid DC category $c")
+            var v = 0
+            var i = 0
+            while (i < c) { v = (v << 1) | br.nextBit(docId); i += 1 }
+            prevDc(comp) += (if (c == 0) 0 else extend(v, c))
+            coef(0) = prevDc(comp).toDouble * qt(0)
+            var zi = 1
+            var eob = false
+            while (zi < 64 && !eob) {
+              val sym = acTab.decode(br, docId)
+              if (sym == 0x00) eob = true
+              else if (sym == 0xf0) zi += 16
+              else {
+                zi += sym >> 4
+                val ac = sym & 0x0f
+                require(zi < 64, s"doc $docId: AC run past block end")
+                var av = 0
+                var j = 0
+                while (j < ac) { av = (av << 1) | br.nextBit(docId); j += 1 }
+                coef(Zigzag(zi)) = extend(av, ac).toDouble * qt(zi)
+                zi += 1
               }
-              y += 1
             }
+            if (comp == 0) { // only luma is featurized
+              val px = idct(coef)
+              var y = 0
+              while (y < 8) {
+                val iy = (my * v0 + by) * 8 + y
+                if (iy < height) {
+                  var x = 0
+                  while (x < 8) {
+                    val ix = (mx * h0 + bx) * 8 + x
+                    if (ix < width) {
+                      val p = math.round(px(y * 8 + x) + 128.0).toInt
+                      luma(iy * width + ix) = math.max(0, math.min(255, p))
+                    }
+                    x += 1
+                  }
+                }
+                y += 1
+              }
+            }
+            // chroma blocks MUST be entropy-decoded (the stream is
+            // sequential — their bits interleave with the next
+            // block's), which happened above; only the luma plane is
+            // reconstructed since the feature contract reads luma
+            // alone.
+            blk += 1
           }
-          // chroma blocks MUST be entropy-decoded (the stream is
-          // sequential — their bits interleave with the next block's),
-          // which happened above; only the luma plane is reconstructed
-          // since the feature contract reads luma alone.
           comp += 1
         }
         mcu += 1

@@ -673,6 +673,27 @@ object MultimodalQueries {
         }
       Multimodal.extractFeatures(s, rows.toDF(), new Gif.GifCodec).toDF()
     }),
+    // 4:2:0 CHROMA-SUBSAMPLED JPEG — the layout virtually every
+    // camera/web JPEG ships. MCUs are 16×16 (4 luma + Cb + Cr blocks,
+    // T.81 A.2.3 interleaving); dims are chosen to cross the 16-px
+    // MCU boundary so partial-MCU edge handling is exercised on every
+    // row batch. The decoded LUMA plane is bit-identical to the
+    // 4:4:4 encode of the same pixels (spec-proven) — subsampling
+    // touches only chroma. Binary plumbing → rows-only.
+    "m10_jpeg420_decode" -> ((s, d) => {
+      import s.implicits._
+      val rows = Multimodal.mediaTable(Tables.documents(s, d))
+        .as[Multimodal.MediaRow].map { r =>
+          val w = (9 + (r.doc_id % 14)).toInt
+          val h = (9 + (r.doc_id % 11)).toInt
+          val src = if (r.payload.isEmpty) Array[Byte](61) else r.payload
+          val px = Array.tabulate[Byte](w * h * 3)(i => src(i % src.length))
+          Multimodal.MediaRow(r.doc_id,
+            Jpeg.synth(w, h, px, planes = 3, chromaSub = 2),
+            "image/jpeg", w, h)
+        }
+      Multimodal.extractFeatures(s, rows.toDF(), new Jpeg.JpegCodec).toDF()
+    }),
     // nearest-neighbor RESIZE at the codec: full-res pixels never
     // leave the task, only thumbnail stats do (the downscale step of
     // an image ingest). Binary plumbing → rows-only, exactness in the

@@ -605,6 +605,45 @@ class TextMultimodalSpec extends SparkSpec {
     assert(plain.luma.toSeq == restarted.luma.toSeq)
   }
 
+  test("Jpeg 4:2:0: decoded luma is bit-identical to the 4:4:4 encode of the same pixels") {
+    // subsampling touches only chroma: the luma blocks, their order
+    // within the 16×16 MCU, their content (same edge replication) and
+    // the flat quantization are all identical — so the reconstructed
+    // Y planes must match EXACTLY, including partial-MCU edges
+    for ((w, h) <- Seq((16, 16), (20, 12), (9, 23), (33, 17))) {
+      val rgb = Array.tabulate[Byte](w * h * 3)(i => ((i * 5 + 37) % 256).toByte)
+      val full = Jpeg.decode(Jpeg.synth(w, h, rgb, planes = 3))
+      val sub = Jpeg.decode(Jpeg.synth(w, h, rgb, planes = 3, chromaSub = 2))
+      assert(sub.width == w && sub.height == h)
+      assert(full.luma.toSeq == sub.luma.toSeq, s"$w x $h luma drifted")
+    }
+  }
+
+  test("Jpeg 4:2:0: restart markers and constant images behave as in 4:4:4") {
+    val w = 40; val h = 18 // 3×2 MCUs of 16×16, both edges partial
+    val rgb = Array.tabulate[Byte](w * h * 3)(i => ((i * 11 + 3) % 256).toByte)
+    val plain = Jpeg.decode(Jpeg.synth(w, h, rgb, planes = 3, chromaSub = 2))
+    val restarted = Jpeg.decode(
+      Jpeg.synth(w, h, rgb, planes = 3, restartInterval = 2, chromaSub = 2))
+    assert(plain.luma.toSeq == restarted.luma.toSeq)
+    // constant gray: DC-only luma blocks at q=1 reconstruct exactly
+    val const = Jpeg.decode(Jpeg.synth(w, h,
+      Array.fill[Byte](w * h * 3)(180.toByte), planes = 3, chromaSub = 2))
+    assert(const.luma.forall(_ == 180), const.luma.distinct.toSeq.toString)
+  }
+
+  test("Jpeg: subsampled-CHROMA-factor streams (chroma != 1x1) fail loudly") {
+    val good = Jpeg.synth(16, 16,
+      Array.fill[Byte](16 * 16 * 3)(90), planes = 3, chromaSub = 2)
+    val sofAt = (0 until good.length - 1).find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
+    // SOF0 payload: len2 prec1 h2 w2 nc1, then (id samp qtab) triples —
+    // comp2's sampling byte sits at +14; patch it to 2×1
+    val bad = good.clone(); bad(sofAt + 14) = 0x21.toByte
+    val e = intercept[IllegalArgumentException](Jpeg.decode(bad))
+    assert(e.getMessage.contains("chroma factors"))
+  }
+
   test("Jpeg: progressive, subsampled, truncated and junk payloads fail loudly") {
     val good = Jpeg.synth(8, 8, Array.fill[Byte](64)(90))
     // flip SOF0 (0xffc0) → SOF2 (progressive)
@@ -676,6 +715,18 @@ class TextMultimodalSpec extends SparkSpec {
       val id = r.getAs[Long]("doc_id")
       assert(r.getAs[Double]("feat_0") == (8 + id % 9).toDouble, s"doc $id width")
       assert(r.getAs[Double]("feat_1") == (8 + id % 7).toDouble, s"doc $id height")
+      val mean = r.getAs[Double]("mean_byte")
+      assert(mean >= 0.0 && mean <= 255.0)
+    }
+  }
+
+  test("m10: decoded 4:2:0 JPEG dimensions re-derive the synth metadata from bytes") {
+    val out = SparkEntry.queries("m10_jpeg420_decode")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Double]("feat_0") == (9 + id % 14).toDouble, s"doc $id width")
+      assert(r.getAs[Double]("feat_1") == (9 + id % 11).toDouble, s"doc $id height")
       val mean = r.getAs[Double]("mean_byte")
       assert(mean >= 0.0 && mean <= 255.0)
     }
