@@ -998,6 +998,42 @@ object OlapQueries {
         .filter(round(abs(col("rz")), 9) > 3.5)
         .select(col("event_id"), col("event_type"), col("value"),
           round(col("rz"), 6).as("robust_z"))
+    }),
+
+    // TIME-CONSTRAINED WINDOW FUNNEL (the windowFunnel primitive):
+    // per user, the deepest view→click→purchase chain where the
+    // whole chain fits inside a 6-hour window anchored at the
+    // chain's FIRST event — the product-analytics question q31's
+    // unconstrained eventual funnel can't answer. EXISTS-chain
+    // semantics computed exactly by CASCADED RUNNING MAXES: vmax =
+    // latest view strictly before each row; cvmax = max over
+    // preceding clicks of THEIR vmax (the best chain-start any
+    // completed view→click prefix offers); a purchase completes
+    // level 3 iff t − cvmax ≤ W. Both windows and the final
+    // aggregate share ONE user-keyed exchange, per-row state is
+    // O(1) — no per-user event buffering, no self-joins, exact at
+    // any scale.
+    "q49_window_funnel" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val W = 21600L // 6 hours
+      val wPrev = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("t"))
+        .withColumn("vmax",
+          max(when(col("event_type") === "view", col("t"))).over(wPrev))
+        .withColumn("cvmax",
+          max(when(col("event_type") === "click", col("vmax"))).over(wPrev))
+        .groupBy("user_id")
+        .agg(max(
+          when(col("event_type") === "purchase" && col("cvmax").isNotNull &&
+            col("t") - col("cvmax") <= W, 3)
+            .when(col("event_type") === "click" && col("vmax").isNotNull &&
+              col("t") - col("vmax") <= W, 2)
+            .when(col("event_type") === "view", 1)
+            .otherwise(0)).cast("long").as("funnel_level"))
     })
   )
 
@@ -1484,6 +1520,31 @@ object OlapQueries {
          SELECT d.event_id, d.event_type, d.value,
            ROUND(0.6745 * (d.value - d.med) / m.mad, 6) AS robust_z
          FROM dev d JOIN mad m USING (event_type)
-         WHERE ROUND(abs(0.6745 * (d.value - d.med) / m.mad), 9) > 3.5"""
+         WHERE ROUND(abs(0.6745 * (d.value - d.med) / m.mad), 9) > 3.5""",
+    // the same cascaded running-max construction, re-derived; epoch()
+    // on a second-granularity ts matches unix_timestamp exactly
+    "q49_window_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+             epoch(CAST(ts AS TIMESTAMP)) AS t
+           FROM events),
+         w1 AS (
+           SELECT *, MAX(CASE WHEN event_type = 'view' THEN t END) OVER
+             (PARTITION BY user_id ORDER BY t, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vmax
+           FROM e),
+         w2 AS (
+           SELECT *, MAX(CASE WHEN event_type = 'click' THEN vmax END) OVER
+             (PARTITION BY user_id ORDER BY t, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cvmax
+           FROM w1)
+         SELECT user_id, CAST(MAX(CASE
+             WHEN event_type = 'purchase' AND cvmax IS NOT NULL
+               AND t - cvmax <= 21600 THEN 3
+             WHEN event_type = 'click' AND vmax IS NOT NULL
+               AND t - vmax <= 21600 THEN 2
+             WHEN event_type = 'view' THEN 1
+             ELSE 0 END) AS BIGINT) AS funnel_level
+         FROM w2 GROUP BY user_id"""
   )
 }

@@ -3,10 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Fixture oracles for the round-13 session additions: q46 market
-  * basket, q47 path analysis, d18 dictionary-grain fuzzy names. Each
-  * test writes a hand-computable star-schema slice and drives the
-  * registry entry itself, so the spec exercises exactly the query the
-  * driver runs.
+  * basket, q47 path analysis, d18 dictionary-grain fuzzy names, q49
+  * window funnel. Each test writes a hand-computable star-schema
+  * slice and drives the registry entry itself, so the spec exercises
+  * exactly the query the driver runs.
   */
 class BasketPathFuzzySpec extends SparkSpec {
 
@@ -60,6 +60,40 @@ class BasketPathFuzzySpec extends SparkSpec {
     assert(out == Seq(
       (1L, "view>click>purchase", 2L),
       (2L, "click>view", 1L)))
+  }
+
+  test("q49 on a journey fixture: the 6h window gates the chain; later views restart it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wfunnel").toString
+    Seq(
+      // user 1: view→click inside the window, purchase 7h after the
+      // only view — level 2, not 3
+      (1L, "2024-03-01 00:00:00", 1L, "view"),
+      (1L, "2024-03-01 00:10:00", 2L, "click"),
+      (1L, "2024-03-01 07:00:00", 3L, "purchase"),
+      // user 2: the first view→click pair is stale, but a LATER view
+      // restarts the chain (view 05:00 → click 05:10 → purchase
+      // 06:30 fits in 6h) — level 3. A greedy anchor at the first
+      // view would miss this; the cascaded running max must not.
+      (2L, "2024-03-01 00:00:00", 4L, "view"),
+      (2L, "2024-03-01 00:10:00", 5L, "click"),
+      (2L, "2024-03-01 05:00:00", 6L, "view"),
+      (2L, "2024-03-01 05:10:00", 7L, "click"),
+      (2L, "2024-03-01 06:30:00", 8L, "purchase"),
+      // user 3: click BEFORE any view never starts a chain — level 1
+      (3L, "2024-03-01 00:00:00", 9L, "click"),
+      (3L, "2024-03-01 01:00:00", 10L, "view"),
+      // user 4: purchase with no prefix at all — level 0
+      (4L, "2024-03-01 00:00:00", 11L, "purchase")
+    ).toDF("user_id", "ts_s", "event_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .withColumn("value", lit(1.0))
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q49_window_funnel")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("funnel_level"))
+      .toMap
+    assert(out == Map(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 0L))
   }
 
   test("d18 on a name fixture: shared-token candidates within distance; row counts attach") {
