@@ -117,7 +117,25 @@ object Olap {
     * z-scores) from it and round at emit.
     */
   def exactMedianByGroup(df: DataFrame, groupCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String): DataFrame =
+    exactPercentilesByGroup(df, groupCol, valueCol, Seq(0.5))
+      .select(col(groupCol), element_at(col("pcts"), 1).as("med"))
+
+  /** EXACT per-group percentiles at arbitrary target fractions — the
+    * generalized form of [[exactMedianByGroup]] (one histogram pass
+    * locates ALL targets' hot buckets; the within-bucket rank runs
+    * once over their union). Returns one row per group:
+    * (`groupCol`, `pcts`) with `pcts(i)` = the `ps(i)` percentile,
+    * interpolated as quantile_cont does. Used where a whole-relation
+    * sort or a per-group value map would break at scale: quantile
+    * thresholds for scoring (q50's RFM quintile cuts), robust stats,
+    * SLA percentiles.
+    */
+  def exactPercentilesByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"target fractions must lie in [0, 1]: $ps")
+    val names = ps.indices.map(i => s"__t$i")
     val bucketed = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol), col(valueCol).as("__v"))
       .withColumn("__bucket", floor(col("__v")).cast("long"))
@@ -127,22 +145,32 @@ object Olap {
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy(groupCol)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = hist
-      .withColumn("__cum", coalesce(sum("__bn").over(wCum), lit(0L)))
-      .withColumn("__pos", (sum("__bn").over(wAll) - 1) * lit(0.5))
-      .withColumn("__lo", floor(col("__pos")))
-      .withColumn("__hi", ceil(col("__pos")))
+    val cum = names.zip(ps).foldLeft(
+        hist.withColumn("__cum", coalesce(sum("__bn").over(wCum), lit(0L)))
+          .withColumn("__n", sum("__bn").over(wAll))) {
+      case (d, (nm, p)) =>
+        d.withColumn(s"${nm}_pos", (col("__n") - 1) * lit(p))
+          .withColumn(s"${nm}_lo", floor(col(s"${nm}_pos")))
+          .withColumn(s"${nm}_hi", ceil(col(s"${nm}_pos")))
+    }
     def inB(c: String) =
       col(c) >= col("__cum") && col(c) < col("__cum") + col("__bn")
-    val hot = cum.filter(inB("__lo") || inB("__hi")).drop("__bn")
+    val hot = cum.filter(names.map(nm =>
+      inB(s"${nm}_lo") || inB(s"${nm}_hi")).reduce(_ || _))
+      .drop("__bn", "__n")
     val wLocal = Window.partitionBy(groupCol, "__bucket").orderBy("__v")
-    val loV = max(when(col("__rn") === col("__lo"), col("__v")))
-    val hiV = max(when(col("__rn") === col("__hi"), col("__v")))
+    val pcols = names.map { nm =>
+      val loV = max(when(col("__rn") === col(s"${nm}_lo"), col("__v")))
+      val hiV = max(when(col("__rn") === col(s"${nm}_hi"), col("__v")))
+      loV + (hiV - loV) * max(col(s"${nm}_pos") - col(s"${nm}_lo"))
+    }
     bucketed.join(broadcast(hot), Seq(groupCol, "__bucket"))
       .withColumn("__rn",
         col("__cum") + row_number().over(wLocal).cast("long") - 1)
-      .filter(col("__rn") === col("__lo") || col("__rn") === col("__hi"))
+      .filter(names.map(nm =>
+        col("__rn") === col(s"${nm}_lo") || col("__rn") === col(s"${nm}_hi"))
+        .reduce(_ || _))
       .groupBy(groupCol)
-      .agg((loV + (hiV - loV) * max(col("__pos") - col("__lo"))).as("med"))
+      .agg(array(pcols: _*).as("pcts"))
   }
 }

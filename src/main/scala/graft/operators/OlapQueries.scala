@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -1034,6 +1034,51 @@ object OlapQueries {
               col("t") - col("vmax") <= W, 2)
             .when(col("event_type") === "view", 1)
             .otherwise(0)).cast("long").as("funnel_level"))
+    }),
+
+    // RFM CUSTOMER SCORING (recency / frequency / monetary quintiles
+    // — the classic marketing segmentation). The scale discipline is
+    // in HOW the quintiles are cut: a global ntile() would sort the
+    // whole customer relation in ONE task; instead the four cut
+    // points per metric come from Olap.exactPercentilesByGroup
+    // (histogram-rank, quantile_cont interpolation — q16's proven
+    // parity) and broadcast back as 1-row frames, so scores are a
+    // narrow map over the customer grain. Threshold compares round
+    // to 9 dp (the rank-key discipline) so an interpolation ulp
+    // can't flip a bucket cross-engine. Recency scores DESCEND
+    // (smaller gap = better), frequency/monetary ASCEND.
+    "q50_rfm" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cust = o.groupBy("o_custkey").agg(
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        round(sum("o_totalprice"), 2).as("monetary"))
+      val anchor = o.agg(max(col("o_orderdate")).as("anchor"))
+      val c2 = cust.crossJoin(broadcast(anchor))
+        .withColumn("recency_days",
+          datediff(col("anchor"), col("last_order")).cast("long"))
+        .drop("anchor", "last_order")
+      def cuts(vcol: String, as: String) = broadcast(
+        Olap.exactPercentilesByGroup(
+          c2.withColumn("__g", lit(1)).select(col("__g"), col(vcol)),
+          "__g", vcol, Seq(0.2, 0.4, 0.6, 0.8))
+          .select(col("pcts").as(as)))
+      def up(v: Column, arr: Column): Column =
+        (1 to 4).map(k => when(v > round(element_at(arr, k), 9), 1L)
+          .otherwise(0L)).reduce(_ + _) + 1L
+      def down(v: Column, arr: Column): Column =
+        (1 to 4).map(k => when(v < round(element_at(arr, k), 9), 1L)
+          .otherwise(0L)).reduce(_ + _) + 1L
+      c2.crossJoin(cuts("recency_days", "rp"))
+        .crossJoin(cuts("frequency", "fp"))
+        .crossJoin(cuts("monetary", "mp"))
+        .withColumn("r_score", down(col("recency_days"), col("rp")))
+        .withColumn("f_score", up(col("frequency"), col("fp")))
+        .withColumn("m_score", up(col("monetary"), col("mp")))
+        .select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+          concat(col("r_score"), col("f_score"), col("m_score"))
+            .as("segment"))
     })
   )
 
@@ -1545,6 +1590,45 @@ object OlapQueries {
                AND t - vmax <= 21600 THEN 2
              WHEN event_type = 'view' THEN 1
              ELSE 0 END) AS BIGINT) AS funnel_level
-         FROM w2 GROUP BY user_id"""
+         FROM w2 GROUP BY user_id""",
+    // quintile cuts via quantile_cont (q16 parity), 9-dp rounded
+    // boundary compares; date_diff('day') = Spark's datediff
+    "q50_rfm" ->
+      """WITH cust AS (
+           SELECT o_custkey, MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             ROUND(SUM(o_totalprice), 2) AS monetary
+           FROM orders GROUP BY o_custkey),
+         a AS (SELECT MAX(o_orderdate) AS anchor FROM orders),
+         c2 AS (
+           SELECT o_custkey, frequency, monetary,
+             CAST(date_diff('day', CAST(last_order AS TIMESTAMP),
+               CAST(anchor AS TIMESTAMP)) AS BIGINT) AS recency_days
+           FROM cust CROSS JOIN a),
+         th AS (SELECT
+           quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rp,
+           quantile_cont(frequency,    [0.2, 0.4, 0.6, 0.8]) AS fp,
+           quantile_cont(monetary,     [0.2, 0.4, 0.6, 0.8]) AS mp
+           FROM c2),
+         sc AS (
+           SELECT c2.*,
+             CAST(1 + (recency_days < ROUND(rp[1], 9))::INT
+                    + (recency_days < ROUND(rp[2], 9))::INT
+                    + (recency_days < ROUND(rp[3], 9))::INT
+                    + (recency_days < ROUND(rp[4], 9))::INT AS BIGINT) AS r_score,
+             CAST(1 + (frequency > ROUND(fp[1], 9))::INT
+                    + (frequency > ROUND(fp[2], 9))::INT
+                    + (frequency > ROUND(fp[3], 9))::INT
+                    + (frequency > ROUND(fp[4], 9))::INT AS BIGINT) AS f_score,
+             CAST(1 + (monetary > ROUND(mp[1], 9))::INT
+                    + (monetary > ROUND(mp[2], 9))::INT
+                    + (monetary > ROUND(mp[3], 9))::INT
+                    + (monetary > ROUND(mp[4], 9))::INT AS BIGINT) AS m_score
+           FROM c2 CROSS JOIN th)
+         SELECT o_custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+         FROM sc"""
   )
 }

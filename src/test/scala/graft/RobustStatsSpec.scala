@@ -34,6 +34,28 @@ class RobustStatsSpec extends SparkSpec {
       assert(math.abs(got(g) - m) < 1e-9, s"group $g: ${got(g)} vs $m")
   }
 
+  test("exactPercentilesByGroup equals percentile(ps) at quintile cuts on random data") {
+    import spark.implicits._
+    val rows = {
+      var x = 7L
+      (1 to 3001).map { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ("g" + (math.floorMod(x, 4) + 1),
+          math.floorMod(x >> 13, 40000).toDouble / 50.0)
+      }
+    }
+    val df = rows.toDF("grp", "v")
+    val ps = Seq(0.2, 0.4, 0.6, 0.8)
+    val got = Olap.exactPercentilesByGroup(df, "grp", "v", ps)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val want = df.groupBy("grp")
+      .agg(expr("percentile(v, array(0.2D, 0.4D, 0.6D, 0.8D))").as("m"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got.keySet == want.keySet)
+    for ((g, ws) <- want; (w, i) <- ws.zipWithIndex)
+      assert(math.abs(got(g)(i) - w) < 1e-9, s"group $g p=${ps(i)}")
+  }
+
   test("q48 flags exactly the planted corruption, with the hand-computed z") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mad").toString
