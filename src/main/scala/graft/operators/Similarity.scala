@@ -57,6 +57,44 @@ object Similarity {
     rerank(pairs, k)
   }
 
+  /** kNN CLASSIFICATION: predict each query vector's label by
+    * MAJORITY VOTE among its k exact nearest neighbors in the labeled
+    * train split — the embedding-space labeler a curation pipeline
+    * uses to propagate sparse labels (quality tiers, topics,
+    * languages) onto unlabeled vectors. Same scale shape as
+    * [[bruteForceTopK]] (queries broadcast, one corpus scan, bounded
+    * per-query heap); neighbor labels attach by an id-keyed join
+    * AFTER the heap so the shuffle carries (q_id, id, cos) only.
+    * Determinism: neighbor rank ties on (round(cos, 9) desc, id asc),
+    * vote ties break to the SMALLEST label. Swap the exact scan for
+    * [[lshTopK]]'s bucketed candidates at corpus scale — the vote
+    * stage is identical.
+    */
+  def knnClassify(emb: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val c = corpus(emb)
+    val train = c.filter(col("vec_id") >= nQueries)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = train
+      .crossJoin(broadcast(q.select(col("q_id"), col("qv"), col("qn"))))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .select(col("q_id"), col("vec_id"), col("cos"))
+    val voted = rerank(pairs, k)
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("label").cast("long").as("label")), Seq("neighbor_id"))
+      .groupBy("q_id", "label").agg(count(lit(1)).as("votes"))
+      .groupBy("q_id")
+      .agg(max_by(struct(col("label"), col("votes")),
+        struct(col("votes"), -col("label"))).as("b"))
+      .select(col("q_id"), col("b.label").as("predicted_label"),
+        col("b.votes").as("votes"))
+    voted
+      .join(q.select(col("q_id"),
+        col("true_label").cast("long").as("true_label")), Seq("q_id"))
+      .withColumn("correct", col("predicted_label") === col("true_label"))
+  }
+
   /** Exact MAX-INNER-PRODUCT top-k — the recommender-retrieval
     * objective, where vector MAGNITUDE carries signal (an item's
     * popularity/confidence scale) and cosine would strip it. Same
@@ -800,7 +838,11 @@ object SimilarityQueries {
       val (index, books, cents) = Similarity.ivfpqIndex(base)
       val grown = Similarity.upsertPqIndex(index, books, cents, batch)
       Similarity.ivfpqQuery(emb, grown, books, cents)
-    })
+    }),
+    // kNN label propagation: majority vote over the 5 exact nearest
+    // train-split neighbors; ties to the smallest label
+    "s12_knn_classify" -> ((s, d) =>
+      Similarity.knnClassify(Tables.embeddings(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -835,6 +877,38 @@ object SimilarityQueries {
            FROM n c JOIN n q ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
          SELECT q_id, neighbor_id, ROUND(cos, 6) AS cosine
          FROM pairs WHERE ROUND(cos, 9) >= 0.3""",
+    // s1's exact ranking against the train split, then the majority
+    // vote with the same deterministic tie-breaks
+    "s12_knn_classify" ->
+      """WITH e AS (
+           SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, label, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         pairs AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS nid,
+             CAST(c.label AS BIGINT) AS clab,
+             list_sum(list_transform(list_zip(c.v, q.v), s -> s[1] * s[2]))
+               / (c.nrm * q.nrm) AS cos
+           FROM n c JOIN n q ON q.vec_id < 10 AND c.vec_id >= 10),
+         ranked AS (
+           SELECT q_id, clab, row_number() OVER (PARTITION BY q_id
+             ORDER BY ROUND(cos, 9) DESC, nid ASC) AS rnk
+           FROM pairs),
+         votes AS (
+           SELECT q_id, clab AS predicted_label, COUNT(*) AS votes
+           FROM ranked WHERE rnk <= 5 GROUP BY q_id, clab),
+         best AS (
+           SELECT q_id, predicted_label, votes,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY votes DESC, predicted_label ASC) AS rr
+           FROM votes)
+         SELECT b.q_id, b.predicted_label, b.votes,
+           CAST(q.label AS BIGINT) AS true_label,
+           (b.predicted_label = CAST(q.label AS BIGINT)) AS correct
+         FROM best b JOIN n q ON b.q_id = q.vec_id WHERE rr = 1""",
     "s5_mips" ->
       """WITH e AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -36,7 +36,8 @@ class PlanLintSpec extends SparkSpec {
     "h22_move_mv_repair",  // h21's closure-delta crosses inside the repair
     "q46_market_basket",   // 1-row order-total broadcast (lift normalizer)
     "s11_pq_upsert",       // s8's coarse-codebook broadcast on the grown index
-    "q50_rfm"              // 1-row anchor + three 1-row quintile-cut broadcasts
+    "q50_rfm",             // 1-row anchor + three 1-row quintile-cut broadcasts
+    "s12_knn_classify"     // brute-force baseline broadcasts the query set (s1)
   )
 
   private val skipEager = Set(

@@ -355,6 +355,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, f"upserted-index recall too low: $recall%.2f")
   }
 
+  test("kNN classify: planted clusters vote correctly; ties break to the smallest label") {
+    import spark.implicits._
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val rows = Seq(
+      (0L, v(1, 0.01), 1), // query inside cluster 1
+      (1L, v(0.01, 1), 2), // query inside cluster 2
+      (10L, v(1, 0), 1), (11L, v(0.99, 0.05), 1), (12L, v(0.98, -0.03), 1),
+      (13L, v(0, 1), 2), (14L, v(0.05, 0.99), 2), (15L, v(-0.03, 0.98), 2))
+      .toDF("vec_id", "embedding", "label")
+    // k=5 over 3+3 train vectors: the home cluster out-votes 3:2
+    val out = Similarity.knnClassify(rows, k = 5, nQueries = 2).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        ((r.getAs[Long]("predicted_label"), r.getAs[Long]("votes"),
+          r.getAs[Boolean]("correct")))).toMap
+    assert(out == Map(0L -> ((1L, 3L, true)), 1L -> ((2L, 3L, true))))
+    // k=6 ties every vote 3:3 — both queries fall to the SMALLEST label
+    val tie = Similarity.knnClassify(rows, k = 6, nQueries = 2).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("predicted_label")).toMap
+    assert(tie == Map(0L -> 1L, 1L -> 1L))
+  }
+
   test("ANN cosines agree with brute-force for overlapping pairs") {
     val b = Similarity.bruteForceTopK(emb).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
