@@ -486,6 +486,34 @@ object Graft {
         org.apache.spark.sql.functions.col("hh")).as("h"))
       .select("h.item", "h.count", "h.err")
 
+  /** Exact per-group percentiles at arbitrary fractions without
+    * whole-group sorts or per-group value maps — the histogram-rank
+    * primitive behind q16/q48/q50 (see
+    * [[operators.Olap.exactPercentilesByGroup]]). */
+  def exactPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double]): DataFrame =
+    operators.Olap.exactPercentilesByGroup(df, groupCol, valueCol, ps)
+
+  /** kNN label propagation: majority vote over the k exact nearest
+    * labeled neighbors, deterministic tie-breaks (see
+    * [[operators.Similarity.knnClassify]]). */
+  def knnClassify(embeddings: DataFrame, k: Int = 5,
+      nQueries: Int = 10): DataFrame =
+    operators.Similarity.knnClassify(embeddings, k, nQueries)
+
+  /** Fold a vector batch into a stored IVF-PQ index WITHOUT
+    * retraining — provably identical to a frozen-codebook rebuild
+    * (see [[operators.Similarity.upsertPqIndex]]). */
+  def upsertPqIndex(index: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+      centroids: DataFrame, batchEmb: DataFrame): DataFrame =
+    operators.Similarity.upsertPqIndex(index, codebooks, centroids, batchEmb)
+
+  /** Dictionary-grain fuzzy entity-name matching: distinct-name
+    * dictionary first, shared-token blocking, exact Levenshtein
+    * verify (see [[operators.Dedup.fuzzyNames]]). */
+  def fuzzyNames(named: DataFrame, maxDist: Int = 2): DataFrame =
+    operators.Dedup.fuzzyNames(named, maxDist)
+
   /** Register graft's SQL functions + optimizer rule on a session. */
   def install(spark: SparkSession): Unit = GraftFunctions.register(spark)
 }

@@ -489,6 +489,42 @@ class PlanSpec extends SparkSpec {
     assert(joins.exists(_.contains("cluster_id")), joins.mkString("\n"))
   }
 
+  test("q49: both funnel windows and the final aggregate share ONE fact shuffle") {
+    // the cascaded running maxes and the per-user max all key on
+    // user_id — a second exchange would mean the window chain broke
+    // the shared partitioning (string-count: AQE wrapping hides
+    // children from plan.collect)
+    val p = plan("q49_window_funnel")
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n == 1, s"expected 1 exchange, got $n:\n$p")
+  }
+
+  test("q48/q50: percentile machinery never sorts values in a group-only window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the q16 rule applied to the factored primitive's consumers: any
+    // window ordering the raw value column must be partitioned by the
+    // range bucket — group-only windows may only order bucket ids
+    // (histogram-sized input)
+    for (name <- Seq("q48_outliers_mad", "q50_rfm")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, s"$name: expected windows from the percentile primitive")
+      wins.foreach { w =>
+        val sortsValues = w.orderSpec.exists(_.child.references.exists(_.name == "__v"))
+        if (sortsValues)
+          assert(w.partitionSpec.flatMap(_.references.map(_.name)).contains("__bucket"),
+            s"$name: value-sort window not bucket-partitioned:\n$w")
+      }
+    }
+  }
+
+  test("s12: classification votes ride heap + hash aggregates — no window sorts") {
+    val p = plan("s12_knn_classify")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("topk_by_score") || p.contains("TopKByScore") ||
+      p.contains("ObjectHashAggregate"), p.take(2000))
+  }
+
   test("q1: aggregation runs inside whole-stage codegen") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     // AQE's pre-execution plan string hides codegen stages; ask for
