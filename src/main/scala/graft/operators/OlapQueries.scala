@@ -1079,7 +1079,24 @@ object OlapQueries {
           col("monetary"), col("r_score"), col("f_score"), col("m_score"),
           concat(col("r_score"), col("f_score"), col("m_score"))
             .as("segment"))
-    })
+    }),
+
+    // EXACT DISTINCT over a bounded key dictionary as a BITMAP
+    // aggregate (graft.functions.BitmapDistinct): count(distinct)
+    // forces a second fact-sized exchange at (group, key) grain just
+    // to dedup; when the key is a dictionary id (customers, products,
+    // users — domains that grow with the business, not event volume)
+    // the bitmap turns dedup into bit-OR — partials merge word-wise,
+    // map-side combine works, ONE aggregation pass, zero error. The
+    // bounded-domain exact twin of h8's HLL. Merge-order-independent
+    // → plain COUNT(DISTINCT) oracle.
+    "q51_bitmap_distinct" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(graft.functions.BitmapDistinctAggregate
+          .bitmapDistinct(col("o_custkey"), 1 << 21)
+          .as("distinct_customers"),
+          count(lit(1)).as("n_orders")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1629,6 +1646,13 @@ object OlapQueries {
            r_score, f_score, m_score,
            CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
              || CAST(m_score AS VARCHAR) AS segment
-         FROM sc"""
+         FROM sc""",
+    // the bitmap OR is merge-order-independent and exact, so the
+    // ground truth is the plain two-phase distinct
+    "q51_bitmap_distinct" ->
+      """SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS distinct_customers,
+           COUNT(*) AS n_orders
+         FROM orders GROUP BY o_orderpriority"""
   )
 }
