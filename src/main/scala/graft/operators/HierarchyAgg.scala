@@ -188,6 +188,36 @@ object HierarchyAgg {
     withLabels(aggregated, aggDim, broadcastDim)
   }
 
+  /** The THIRD distinct mode of the rollup: EXACT distinct customers
+    * through the [[graft.functions.BitmapDistinct]] aggregate — ONE
+    * node-grain exchange like h8's HLL, but with ZERO error. The
+    * exact two-phase path ([[hierarchicalRollup]]) must first
+    * collapse facts to (node, customer) grain — a customer-grain
+    * shuffle whose only purpose is dedup; the bitmap dedups inside
+    * the aggregation buffer (word-wise OR, map-side combinable), so
+    * the expanded fact stream aggregates straight to node grain in
+    * one pass. Applicable whenever the customer key is a bounded
+    * dictionary id (`maxCustomer` sizes the bitmap; ≤ 2^26). Result
+    * is bit-identical to the exact mode — the registry checks it
+    * against h4's own oracle SQL.
+    */
+  def hierarchicalRollupBitmap(facts: DataFrame, aggDim: DataFrame,
+      maxCustomer: Int, factKey: String = "leaf_key",
+      broadcastDim: Boolean = true): DataFrame = {
+    val expanded = facts
+      .join(maybeBroadcast(closureKeys(aggDim), broadcastDim),
+        col(factKey) === col("descendant_node_natural_key"))
+    val aggregated = expanded.groupBy("ancestor_node_sort_order")
+      .agg(
+        round(sum(col("sales_amount")), 2).as("sum_sales_amount"),
+        round(sum(col("unit_quantity")), 2).as("sum_unit_quantity"),
+        graft.functions.BitmapDistinctAggregate
+          .bitmapDistinct(col("customer_id"), maxCustomer)
+          .as("distinct_customer_count"),
+        count(lit(1)).as("count_of_fact_records"))
+    withLabels(aggregated, aggDim, broadcastDim)
+  }
+
   private def closureKeys(aggDim: DataFrame): DataFrame =
     aggDim.select(
       col("descendant_node_natural_key"),

@@ -221,6 +221,14 @@ object HierarchyQueries {
       HierarchyAgg.hierarchicalRollup(
         HierarchyAgg.salesFacts(s, d),
         dimension(s, d).aggregationDim, approxDistinct = true)),
+    // the THIRD distinct mode: bitmap-EXACT distinct customers at ONE
+    // node-grain exchange (h8's shuffle shape, zero error) — the
+    // bounded-dictionary case where q51's aggregate replaces the
+    // customer-grain dedup shuffle. Result ≡ h4 → h4's oracle verbatim.
+    "h23_hier_agg_bitmap" -> ((s, d) =>
+      HierarchyAgg.hierarchicalRollupBitmap(
+        HierarchyAgg.salesFacts(s, d),
+        dimension(s, d).aggregationDim, maxCustomer = 1 << 21)),
     // INCREMENTAL rollup maintenance: the first ~6/7 of the facts play
     // the historical corpus materialized to the (node, customer) MV
     // grain; the rest arrive as the delta batch and are folded in —
@@ -685,6 +693,8 @@ FROM rdim""",
       s"""${prelude(false)}
 SELECT * FROM adim""",
     "h4_hier_agg" -> rollupSql(deep = false, "c.c_nationkey"),
+    // the bitmap mode must be RESULT-IDENTICAL to the exact rollup
+    "h23_hier_agg_bitmap" -> rollupSql(deep = false, "c.c_nationkey"),
     // point-in-time snapshot of the versioned hierarchy (n8 → r0 live)
     "h13_asof_rollup" -> rollupSqlWith(movedPrelude, "c.c_nationkey"),
     // targeted repair ≡ full recompute under the edited hierarchy

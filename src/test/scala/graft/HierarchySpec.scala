@@ -77,6 +77,21 @@ class HierarchySpec extends SparkSpec {
     assert(byName("--------------B1").getAs[Double]("sum_sales_amount") == 20.0)
   }
 
+  test("bitmap rollup is row-identical to the exact two-phase rollup") {
+    val facts = Seq((11L, 1L, 2.0, 10.0), (12L, 2L, 1.0, 5.0), (21L, 1L, 4.0, 20.0),
+      (11L, 2L, 1.0, 7.5), (21L, 3L, 2.0, 2.25))
+      .toDF("leaf_key", "customer_id", "unit_quantity", "sales_amount")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("product_node_name"),
+        r.getAs[Double]("sum_sales_amount"), r.getAs[Double]("sum_unit_quantity"),
+        r.getAs[Long]("distinct_customer_count"),
+        r.getAs[Long]("count_of_fact_records"))).toSeq
+    val exact = canon(HierarchyAgg.hierarchicalRollup(facts, dim.aggregationDim))
+    val bitmap = canon(HierarchyAgg.hierarchicalRollupBitmap(
+      facts, dim.aggregationDim, maxCustomer = 64))
+    assert(bitmap == exact)
+  }
+
   test("contribution rollup: ratios partition parents; root pct_of_total is 1") {
     val facts = Seq((11L, 1L, 2.0, 10.0), (12L, 2L, 1.0, 5.0), (21L, 1L, 4.0, 20.0))
       .toDF("leaf_key", "customer_id", "unit_quantity", "sales_amount")

@@ -525,6 +525,18 @@ class PlanSpec extends SparkSpec {
       p.contains("ObjectHashAggregate"), p.take(2000))
   }
 
+  test("h23: bitmap rollup never shuffles at customer grain; closure stays broadcast") {
+    val p = plan("h23_hier_agg_bitmap")
+    // the exact two-phase path needs a (node, customer) exchange just
+    // to dedup; the bitmap dedups inside the aggregation buffer, so NO
+    // exchange may partition on the customer key
+    val badEx = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("customer_id"))
+    assert(badEx.isEmpty, badEx.mkString("\n"))
+    assert(p.contains("bitmap_distinct"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
   test("q1: aggregation runs inside whole-stage codegen") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     // AQE's pre-execution plan string hides codegen stages; ask for
