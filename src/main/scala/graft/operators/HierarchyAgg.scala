@@ -218,6 +218,46 @@ object HierarchyAgg {
     withLabels(aggregated, aggDim, broadcastDim)
   }
 
+  /** INCREMENTAL EXACT DISTINCT via a stored bitmap MV — the
+    * classically-impossible MV: a distinct COUNT cannot fold a delta
+    * (counts don't decompose over set union), which is why h9's
+    * incremental rollup stores the (node, customer) grain and q51's
+    * one-shot bitmap still needs the fact scan. A stored per-node
+    * BITMAP decomposes perfectly: `new = old OR delta`. The MV is
+    * node-grain (|nodes| rows × domain/8 bytes sparse-encoded), a
+    * delta batch costs ONE delta-sized pass + a node-grain merge, and
+    * the read-off count is always EXACT — no retraction bookkeeping,
+    * because set union is idempotent and monotone (deletes need the
+    * h9 signed-grain path; bitmaps cover the append-only ingest that
+    * dominates at 100 TB).
+    */
+  def distinctMv(facts: DataFrame, aggDim: DataFrame, maxCustomer: Int,
+      factKey: String = "leaf_key", broadcastDim: Boolean = true): DataFrame =
+    facts
+      .join(maybeBroadcast(closureKeys(aggDim), broadcastDim),
+        col(factKey) === col("descendant_node_natural_key"))
+      .groupBy("ancestor_node_sort_order")
+      .agg(graft.functions.BitmapDistinctAggregate
+        .bitmapBuild(col("customer_id"), maxCustomer).as("customer_bitmap"))
+
+  /** Fold a delta batch into a stored distinct MV: build the delta's
+    * node-grain bitmaps, union with the store, OR-merge per node. */
+  def mergeDistinctMv(mv: DataFrame, deltaFacts: DataFrame, aggDim: DataFrame,
+      maxCustomer: Int, factKey: String = "leaf_key",
+      broadcastDim: Boolean = true): DataFrame =
+    mv.unionByName(
+        distinctMv(deltaFacts, aggDim, maxCustomer, factKey, broadcastDim))
+      .groupBy("ancestor_node_sort_order")
+      .agg(graft.functions.BitmapDistinctAggregate
+        .bitmapMerge(col("customer_bitmap"), maxCustomer).as("customer_bitmap"))
+
+  /** Read the exact distinct counts off a stored distinct MV. */
+  def readDistinctMv(mv: DataFrame): DataFrame =
+    mv.select(col("ancestor_node_sort_order"),
+      graft.functions.BitmapDistinctAggregate
+        .bitmapCardinality(col("customer_bitmap"))
+        .as("distinct_customer_count"))
+
   private def closureKeys(aggDim: DataFrame): DataFrame =
     aggDim.select(
       col("descendant_node_natural_key"),

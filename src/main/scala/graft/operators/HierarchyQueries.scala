@@ -229,6 +229,22 @@ object HierarchyQueries {
       HierarchyAgg.hierarchicalRollupBitmap(
         HierarchyAgg.salesFacts(s, d),
         dimension(s, d).aggregationDim, maxCustomer = 1 << 21)),
+    // INCREMENTAL EXACT DISTINCT via the stored bitmap MV — the MV a
+    // distinct COUNT can't be (counts don't decompose over set
+    // union; bitmaps do: new = old OR delta). h9's ingest split: the
+    // delta folds into the stored node-grain bitmaps at O(delta)
+    // cost, and the read-off must equal the full recompute.
+    "h24_incremental_distinct" -> ((s, d) => {
+      val dim = dimension(s, d).aggregationDim
+      val facts = HierarchyAgg.salesFacts(s, d)
+      val mv = HierarchyAgg.distinctMv(
+        facts.filter(pmod(col("l_partkey"), lit(7)) =!= 0), dim,
+        maxCustomer = 1 << 21)
+      HierarchyAgg.readDistinctMv(
+        HierarchyAgg.mergeDistinctMv(mv,
+          facts.filter(pmod(col("l_partkey"), lit(7)) === 0), dim,
+          maxCustomer = 1 << 21))
+    }),
     // INCREMENTAL rollup maintenance: the first ~6/7 of the facts play
     // the historical corpus materialized to the (node, customer) MV
     // grain; the rest arrive as the delta batch and are folded in —
@@ -695,6 +711,20 @@ SELECT * FROM adim""",
     "h4_hier_agg" -> rollupSql(deep = false, "c.c_nationkey"),
     // the bitmap mode must be RESULT-IDENTICAL to the exact rollup
     "h23_hier_agg_bitmap" -> rollupSql(deep = false, "c.c_nationkey"),
+    // the incrementally-maintained bitmap MV must read off the SAME
+    // distinct counts as a full recompute over all facts
+    "h24_incremental_distinct" ->
+      s"""${prelude(deep = false)},
+facts AS (
+  SELECT c.c_nationkey AS leaf_key, c.c_custkey AS customer_id
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT ancestor_node_sort_order,
+       COUNT(DISTINCT customer_id) AS distinct_customer_count
+FROM facts f JOIN adim ON CAST(f.leaf_key AS BIGINT) = adim.descendant_node_natural_key
+GROUP BY ancestor_node_sort_order""",
     // point-in-time snapshot of the versioned hierarchy (n8 → r0 live)
     "h13_asof_rollup" -> rollupSqlWith(movedPrelude, "c.c_nationkey"),
     // targeted repair ≡ full recompute under the edited hierarchy

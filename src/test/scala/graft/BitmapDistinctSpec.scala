@@ -39,6 +39,39 @@ class BitmapDistinctSpec extends SparkSpec {
     assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 3L)))
   }
 
+  test("distinct MV: bitmap values survive parquet; repeated delta folds equal the recompute") {
+    import spark.implicits._
+    import graft.operators.{HierarchyAgg, HierarchyDimension}
+    val nodes = Seq(
+      ("root", 1L, "Root", "All", null.asInstanceOf[String]),
+      ("a", 11L, "A", "Leaf", "root"),
+      ("b", 21L, "B", "Leaf", "root"))
+      .toDF("node_id", "node_natural_key", "node_name", "level_name", "parent_node_id")
+    val dim = new HierarchyDimension(nodes).aggregationDim
+    def facts(rows: (Long, Long)*) = rows.toSeq
+      .toDF("leaf_key", "customer_id")
+      .withColumn("unit_quantity", lit(1.0))
+      .withColumn("sales_amount", lit(1.0))
+    // batch 1 → store to parquet (the binary column must survive),
+    // fold batch 2 from the LOADED store, fold batch 3 from that
+    val dir = java.nio.file.Files.createTempDirectory("dmv").toString
+    HierarchyAgg.distinctMv(facts((11L, 1L), (21L, 2L)), dim, 64)
+      .write.parquet(s"$dir/mv1")
+    val mv2 = HierarchyAgg.mergeDistinctMv(
+      spark.read.parquet(s"$dir/mv1"), facts((11L, 2L), (11L, 1L)), dim, 64)
+    mv2.write.parquet(s"$dir/mv2")
+    val mv3 = HierarchyAgg.mergeDistinctMv(
+      spark.read.parquet(s"$dir/mv2"), facts((21L, 3L)), dim, 64)
+    val got = HierarchyAgg.readDistinctMv(mv3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = HierarchyAgg.readDistinctMv(HierarchyAgg.distinctMv(
+      facts((11L, 1L), (21L, 2L), (11L, 2L), (11L, 1L), (21L, 3L)), dim, 64))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // root sees all 3 customers; leaf a sees {1,2}; leaf b sees {2,3}
+    assert(want.values.toSeq.sorted == Seq(2L, 2L, 3L))
+  }
+
   test("nulls are ignored; out-of-domain keys fail loudly") {
     import spark.implicits._
     val withNulls = Seq(Some(1L), None, Some(2L), Some(1L))
