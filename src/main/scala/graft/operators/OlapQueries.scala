@@ -1096,7 +1096,41 @@ object OlapQueries {
         .agg(graft.functions.BitmapDistinctAggregate
           .bitmapDistinct(col("o_custkey"), 1 << 21)
           .as("distinct_customers"),
-          count(lit(1)).as("n_orders")))
+          count(lit(1)).as("n_orders"))),
+
+    // SEQUENCE PATTERN MATCHING (the MATCH_RECOGNIZE surface): find
+    // (user, day) event sequences matching the regex 'vc+p' — a view,
+    // one-or-more clicks, then a purchase, CONTIGUOUSLY (q49's funnel
+    // allows interleaved noise; pattern matching demands adjacency —
+    // the stricter journey question). Each (user, day) sequence
+    // renders as an initial-letter string in (ts, event_id) order and
+    // the regex engine does the matching — regex quantifiers give the
+    // full MATCH_RECOGNIZE pattern algebra for free. Scale shape: the
+    // sequence grain is (user, DAY), so the collected string is
+    // bounded by a day's events, not the user's lifetime (a
+    // production unbounded variant runs the NFA in fMGWS state);
+    // matches are non-overlapping greedy scans in both engines.
+    "q52_pattern_match" -> ((s, d) => {
+      val initial = when(col("event_type") === "view", "v")
+        .when(col("event_type") === "click", "c")
+        .when(col("event_type") === "purchase", "p")
+        .when(col("event_type") === "signup", "s")
+        .otherwise("e")
+      Tables.events(s, d)
+        .select(col("user_id"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          col("ts"), col("event_id"), initial.as("ch"))
+        .groupBy("user_id", "day")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("ch")))),
+          x => x.getField("ch")), "").as("seq"))
+        .withColumn("n_matches",
+          size(expr("regexp_extract_all(seq, 'vc+p', 0)")).cast("long"))
+        .filter(col("n_matches") > 0)
+        .withColumn("first_match", regexp_extract(col("seq"), "vc+p", 0))
+        .select(col("user_id"), col("day"), col("seq"),
+          col("n_matches"), col("first_match"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -1653,6 +1687,21 @@ object OlapQueries {
       """SELECT o_orderpriority,
            COUNT(DISTINCT o_custkey) AS distinct_customers,
            COUNT(*) AS n_orders
-         FROM orders GROUP BY o_orderpriority"""
+         FROM orders GROUP BY o_orderpriority""",
+    // same sequence render, same regex; both engines scan greedy
+    // non-overlapping
+    "q52_pattern_match" ->
+      """WITH seq AS (
+           SELECT user_id,
+             strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+             string_agg(CASE event_type WHEN 'view' THEN 'v'
+               WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+               WHEN 'signup' THEN 's' ELSE 'e' END, ''
+               ORDER BY ts, event_id) AS seq
+           FROM events GROUP BY 1, 2)
+         SELECT user_id, day, seq,
+           CAST(len(regexp_extract_all(seq, 'vc+p')) AS BIGINT) AS n_matches,
+           regexp_extract(seq, 'vc+p') AS first_match
+         FROM seq WHERE len(regexp_extract_all(seq, 'vc+p')) > 0"""
   )
 }

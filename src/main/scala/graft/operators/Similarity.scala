@@ -581,6 +581,17 @@ object Similarity {
       .unionByName(enc)
   }
 
+  /** DELETE vectors from a stored IVF-PQ index: an id-keyed left-anti
+    * join drops the code rows — O(index scan), no retraining, no
+    * tombstones (the dropped rows simply stop being candidates).
+    * `deletes` is any frame with a `vec_id` column. Together with
+    * [[upsertPqIndex]] this completes the index's CRUD lifecycle
+    * under frozen codebooks; heavy churn eventually warrants a
+    * retrain, exactly like production IVF deployments.
+    */
+  def deleteFromPqIndex(index: DataFrame, deletes: DataFrame): DataFrame =
+    index.join(deletes.select("vec_id"), Seq("vec_id"), "left_anti")
+
   /** IVF-PQ ANN query: probe `nprobe` coarse lists exactly as
     * [[ivfTopK]], score candidates by ASYMMETRIC DISTANCE — raw query
     * against the candidate's quantized reconstruction, read from the

@@ -593,6 +593,24 @@ object StreamingQueries {
           .select(col("window_start"), (col("pos") + 1).cast("long").as("rank"),
             col("h.item").as("event_type"), col("h.count").as("cnt"),
             col("h.err").as("err")))),
+    // STREAMING EXACT DISTINCT: q51's bitmap aggregate inside the
+    // streaming state store — per 15-minute window, the exact count
+    // of distinct active users. The streaming-native alternatives
+    // both break: approx_count_distinct is approximate, and a
+    // dropDuplicates→count chain needs TWO stateful operators (its
+    // dedup state is per (window, user) — key-grain); the bitmap's
+    // state per window is ONE sparse-encoded buffer, merges are
+    // word-OR (exactly the incremental fold streaming needs), and
+    // the count is always exact → windowed COUNT(DISTINCT) oracle.
+    "st22_stream_distinct" -> ((s, d) =>
+      runStream(s, d)(ev =>
+        ev.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "15 minutes").as("w"))
+          .agg(graft.functions.BitmapDistinctAggregate
+            .bitmapDistinct(col("user_id"), 1 << 21).as("distinct_users"),
+            count(lit(1)).as("n_events"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+            col("distinct_users"), col("n_events")))),
     // streaming exact dedup: state-store-backed dropDuplicates on the
     // event stream (the streaming twin of d1's batch dedup shape) —
     // per event type, events surviving dedup on (user, type)
@@ -834,6 +852,13 @@ object StreamingQueries {
              ORDER BY cnt DESC, event_type ASC) AS BIGINT) AS rank,
            event_type, cnt, CAST(0 AS BIGINT) AS err
          FROM w""",
+    // the bitmap is exact at any merge order, so the streamed windows
+    // converge to the plain windowed distinct
+    "st22_stream_distinct" ->
+      """SELECT strftime(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS window_start,
+           COUNT(DISTINCT user_id) AS distinct_users,
+           COUNT(*) AS n_events
+         FROM events GROUP BY 1""",
     // append emits exactly the sessions CLOSED by the watermark: the
     // batch sessionization restricted to sessions whose end (last
     // event + 30-minute gap) precedes max(ts) − 1 hour

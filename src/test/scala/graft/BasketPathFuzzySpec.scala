@@ -96,6 +96,34 @@ class BasketPathFuzzySpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 0L))
   }
 
+  test("q52 on a sequence fixture: adjacency required, multi-match counted, noise rejected") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("patmatch").toString
+    def ev(u: Long, i: Int, ty: String) =
+      (u, f"2024-03-01 10:${i}%02d:00", u * 100 + i, ty)
+    (Seq(
+      // user 1: v c c p — one match spanning both clicks (greedy c+)
+      ev(1, 0, "view"), ev(1, 1, "click"), ev(1, 2, "click"), ev(1, 3, "purchase"),
+      // user 2: v e c p — the error BREAKS adjacency: pattern
+      // matching rejects what q49's windowed funnel would accept
+      ev(2, 0, "view"), ev(2, 1, "error"), ev(2, 2, "click"), ev(2, 3, "purchase"),
+      // user 3: two complete chains in one day → two matches
+      ev(3, 0, "view"), ev(3, 1, "click"), ev(3, 2, "purchase"),
+      ev(3, 3, "view"), ev(3, 4, "click"), ev(3, 5, "purchase")))
+      .toDF("user_id", "ts_s", "event_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .withColumn("value", lit(1.0))
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q52_pattern_match")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[String]("seq"), r.getAs[Long]("n_matches"),
+          r.getAs[String]("first_match")))).toMap
+    assert(out == Map(
+      1L -> (("vccp", 1L, "vccp")),
+      3L -> (("vcpvcp", 2L, "vcp"))))
+  }
+
   test("d18 on a name fixture: shared-token candidates within distance; row counts attach") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("fuzzy").toString

@@ -63,6 +63,9 @@ class PlanLintSpec extends SparkSpec {
     // st19 drives the stream on invocation; its frequent-items agg
     // plan is q42's (linted there)
     "st19_stream_heavy_hitters",
+    // st22 drives the stream on invocation; its bitmap agg plan is
+    // q51's (linted there)
+    "st22_stream_distinct",
     // st20/st21 are the custom-state (fMGWS) paths, executed eagerly
     // like st17; their batch twins q44/q34 are linted above
     "st20_stream_attribution", "st21_stream_scd2")

@@ -353,6 +353,13 @@ class SimilaritySpec extends SparkSpec {
     val recall = hits.toDouble / 50
     info(f"upserted-index IVF-PQ recall@5 vs brute force: $recall%.2f")
     assert(recall >= 0.6, f"upserted-index recall too low: $recall%.2f")
+    // DELETE completes the CRUD cycle: dropped ids leave the index
+    // entirely and never surface as neighbors again
+    val shrunk = Similarity.deleteFromPqIndex(grown, batch.select("vec_id"))
+    assert(canon(shrunk) == canon(index), "delete(upsert(batch)) != original")
+    val afterDel = Similarity.ivfpqQuery(emb, shrunk, books, cents).collect()
+    val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(afterDel.forall(r => !batchIds(r.getAs[Long]("neighbor_id"))))
   }
 
   test("kNN classify: planted clusters vote correctly; ties break to the smallest label") {
