@@ -129,7 +129,25 @@ object DedupQueries {
     // fuzzy entity-name matching at the value-dictionary grain:
     // distinct-name dictionary first, shared-token blocking, exact
     // Levenshtein ≤ 2 verify (see Dedup.fuzzyNames)
-    "d18_fuzzy_names" -> ((s, d) => Dedup.fuzzyNames(Tables.part(s, d)))
+    "d18_fuzzy_names" -> ((s, d) => Dedup.fuzzyNames(Tables.part(s, d))),
+    // LEAKAGE-FREE train/validation/test SPLIT: assignment at the
+    // NEAR-DUP COMPONENT grain, not the document grain — p4's
+    // content-hash split sends two near-duplicate documents to
+    // DIFFERENT sides whenever their (non-identical) texts hash
+    // apart, which leaks test data into training. Here the d6
+    // component id (already memoized for d6/d10) seeds the LCG, so
+    // every member of a near-dup cluster lands on the SAME side by
+    // construction. The split is one narrow map over the component
+    // table — no new shuffles beyond the component derivation the
+    // dedup pass already paid.
+    "d19_leakfree_split" -> ((s, d) => {
+      val h = pmod(pmod(col("component_id"), lit(2147483648L))
+        * 1103515245L + 12345L, lit(2147483648L)) % 100
+      cachedClusters(s, d, minJaccard = 0.05)
+        .select(col("doc_id"), col("component_id"),
+          when(h < 80, "train").when(h < 90, "validation")
+            .otherwise("test").as("split"))
+    })
   )
 
   /** Provenance overlap matrix — see the d9 entry.
@@ -466,6 +484,36 @@ object DedupQueries {
            UNION
            SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s)
          SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id""",
+    // d6's component derivation + the p4 LCG arithmetic seeded by the
+    // COMPONENT id — same engine-independent integer math
+    "d19_leakfree_split" ->
+      raw"""WITH RECURSIVE t AS (
+           SELECT doc_id, lang, n_chars,
+             list_distinct(list_transform(
+               range(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')), 1)),
+               i -> regexp_split_to_array(trim(lower(text)), '\s+')[i] || ' ' ||
+                    regexp_split_to_array(trim(lower(text)), '\s+')[i + 1])) AS shingles
+           FROM documents),
+         p AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM t a JOIN t b
+             ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 3 AND a.doc_id < b.doc_id
+           WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= 0.05),
+         e AS (SELECT doc_a AS s, doc_b AS d FROM p
+               UNION SELECT doc_b, doc_a FROM p),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS r FROM documents
+           UNION
+           SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s),
+         comp AS (SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id)
+         SELECT doc_id, component_id,
+           CASE WHEN ((component_id % 2147483648) * 1103515245 + 12345)
+                  % 2147483648 % 100 < 80 THEN 'train'
+                WHEN ((component_id % 2147483648) * 1103515245 + 12345)
+                  % 2147483648 % 100 < 90 THEN 'validation'
+                ELSE 'test' END AS split
+         FROM comp""",
     // batch-vs-corpus best near-match; |Δlen| ≤ 3 is the band±1
     // blocking's exact semantic (d4's equivalence)
     "d11_incremental_neardup" ->

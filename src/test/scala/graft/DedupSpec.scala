@@ -271,6 +271,32 @@ class DedupSpec extends SparkSpec {
     assert(comp(3L) == 3L) // unrelated stays alone
   }
 
+  test("leak-free split: every near-dup component lands on ONE side; docs all covered") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("leaksplit").toString
+    // two heavily-overlapping docs (a near-dup pair) + two unrelated
+    val near1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val near2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    Seq(
+      (0L, near1, "en", "web", near1.length.toLong),
+      (1L, near2, "en", "web", near2.length.toLong),
+      (2L, "completely different text about database engines and storage", "en", "web", 61L),
+      (3L, "another unrelated snippet mentioning sailing ships and tides", "en", "web", 61L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("d19_leakfree_split")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component_id"),
+        r.getAs[String]("split")))
+    assert(out.map(_._1).sorted.toSeq == Seq(0L, 1L, 2L, 3L)) // total coverage
+    // the planted pair shares a component AND therefore a side — the
+    // guarantee a content-hash split cannot give
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(0L)._2 == byId(1L)._2)
+    assert(byId(0L)._3 == byId(1L)._3)
+    // invariant on the full output: one split value per component
+    assert(out.groupBy(_._2).forall(_._2.map(_._3).distinct.length == 1))
+  }
+
   test("source overlap: distinct shared 5-grams per source pair") {
     import graft.operators.DedupQueries
     val corpus = Seq(
