@@ -674,6 +674,39 @@ object StreamingQueries {
       } finally s.conf.set("spark.sql.shuffle.partitions", partsWas)
       graft.operators.HierarchyAgg.finalizeRollup(mv, adim)
     }),
+    // STREAMING EXACT-DISTINCT MV (h24 as a continuous process): each
+    // micro-batch folds into the stored per-node bitmaps — new = old
+    // OR delta, the only fold exact distinct admits — so the store
+    // answers "exact distinct customers per node" at every point in
+    // the ingest with no fact re-scan. The bitmap's idempotent union
+    // also makes REPLAYED batches harmless (at-least-once delivery
+    // still yields exact counts — a property no count-based MV has).
+    // Oracle: the read-off after the full stream must equal h24's
+    // full recompute.
+    "st23_stream_distinct_mv" -> ((s, d) => {
+      val adim = graft.operators.HierarchyQueries.dimension(s, d).aggregationDim
+      val dir = mvStreamDir(s, d)
+      val schema = s.read.parquet(dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      var mv: DataFrame = null
+      val partsWas = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = stream.writeStream.outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val delta = batch.toDF()
+            mv = (if (mv == null)
+                    graft.operators.HierarchyAgg.distinctMv(delta, adim, 1 << 21)
+                  else
+                    graft.operators.HierarchyAgg.mergeDistinctMv(mv, delta, adim, 1 << 21))
+              .localCheckpoint()
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", partsWas)
+      graft.operators.HierarchyAgg.readDistinctMv(mv)
+    }),
     // STREAMING near-dup ingest: d11's batch side arrives as a stream
     // of micro-batches, each classified against the STATIC corpus
     // shingle index with the same batch×corpus blocked verify
@@ -794,6 +827,10 @@ object StreamingQueries {
     // stream-maintained MV ≡ full recompute (h9's invariant, streamed)
     "st9_incremental_rollup_stream" ->
       graft.operators.HierarchyQueries.oracles("h9_incremental_rollup"),
+    // stream-maintained bitmap MV ≡ full distinct recompute (h24's
+    // invariant, streamed)
+    "st23_stream_distinct_mv" ->
+      graft.operators.HierarchyQueries.oracles("h24_incremental_distinct"),
     // streamed classification ≡ the single-shot incremental near-dup
     // (d11's invariant, streamed)
     "st10_stream_neardup" ->

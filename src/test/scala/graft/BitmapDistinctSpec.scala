@@ -70,6 +70,12 @@ class BitmapDistinctSpec extends SparkSpec {
     assert(got == want)
     // root sees all 3 customers; leaf a sees {1,2}; leaf b sees {2,3}
     assert(want.values.toSeq.sorted == Seq(2L, 2L, 3L))
+    // REPLAY idempotence (at-least-once delivery still exact): folding
+    // the same delta again changes nothing — set union is idempotent
+    val replayed = HierarchyAgg.readDistinctMv(
+      HierarchyAgg.mergeDistinctMv(mv3, facts((21L, 3L)), dim, 64))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(replayed == want)
   }
 
   test("nulls are ignored; out-of-domain keys fail loudly") {

@@ -47,6 +47,8 @@ class PlanLintSpec extends SparkSpec {
     // st9 materializes facts + runs the stream on invocation; its MV
     // merge plan is h9's (linted there)
     "st9_incremental_rollup_stream",
+    // st23 likewise; its bitmap-MV fold plan is h24's (linted there)
+    "st23_stream_distinct_mv",
     // st11 runs the stream + durable sink on invocation; its
     // classification plan is d11's (linted there)
     "st11_stream_neardup_sink",
