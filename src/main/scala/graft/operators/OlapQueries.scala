@@ -1058,20 +1058,27 @@ object OlapQueries {
         .withColumn("recency_days",
           datediff(col("anchor"), col("last_order")).cast("long"))
         .drop("anchor", "last_order")
-      def cuts(vcol: String, as: String) = broadcast(
-        Olap.exactPercentilesByGroup(
-          c2.withColumn("__g", lit(1)).select(col("__g"), col(vcol)),
-          "__g", vcol, Seq(0.2, 0.4, 0.6, 0.8))
-          .select(col("pcts").as(as)))
+      // ONE percentile pipeline for all three metrics: stack to
+      // (metric, value) rows and let the metric name be the GROUP of
+      // the histogram-rank primitive — 3× fewer jobs than a
+      // per-metric threshold pass, and the cut table is still 3 rows
+      val stacked = c2.selectExpr(
+        """stack(3, 'r', CAST(recency_days AS DOUBLE),
+                    'f', CAST(frequency AS DOUBLE),
+                    'm', monetary) AS (metric, v)""")
+      val cutRows = Olap.exactPercentilesByGroup(stacked, "metric", "v",
+        Seq(0.2, 0.4, 0.6, 0.8))
+      val cuts = broadcast(cutRows.agg(
+        max(when(col("metric") === "r", col("pcts"))).as("rp"),
+        max(when(col("metric") === "f", col("pcts"))).as("fp"),
+        max(when(col("metric") === "m", col("pcts"))).as("mp")))
       def up(v: Column, arr: Column): Column =
         (1 to 4).map(k => when(v > round(element_at(arr, k), 9), 1L)
           .otherwise(0L)).reduce(_ + _) + 1L
       def down(v: Column, arr: Column): Column =
         (1 to 4).map(k => when(v < round(element_at(arr, k), 9), 1L)
           .otherwise(0L)).reduce(_ + _) + 1L
-      c2.crossJoin(cuts("recency_days", "rp"))
-        .crossJoin(cuts("frequency", "fp"))
-        .crossJoin(cuts("monetary", "mp"))
+      c2.crossJoin(cuts)
         .withColumn("r_score", down(col("recency_days"), col("rp")))
         .withColumn("f_score", up(col("frequency"), col("fp")))
         .withColumn("m_score", up(col("monetary"), col("mp")))
