@@ -245,6 +245,10 @@ object HierarchyQueries {
           facts.filter(pmod(col("l_partkey"), lit(7)) === 0), dim,
           maxCustomer = 1 << 21))
     }),
+    // WEIGHTED-DAG rollup: multi-parent dimension with fractional
+    // edge weights (70/30 ownership split) — Σ-over-paths Π-weight
+    // closure, facts broadcast-joined and aggregated once
+    "h25_weighted_dag" -> ((s, d) => WeightedDag.demoRollup(s, d)),
     // INCREMENTAL rollup maintenance: the first ~6/7 of the facts play
     // the historical corpus materialized to the (node, customer) MV
     // grain; the rest arrive as the delta batch and are folded in —
@@ -711,6 +715,35 @@ SELECT * FROM adim""",
     "h4_hier_agg" -> rollupSql(deep = false, "c.c_nationkey"),
     // the bitmap mode must be RESULT-IDENTICAL to the exact rollup
     "h23_hier_agg_bitmap" -> rollupSql(deep = false, "c.c_nationkey"),
+    // Σ-over-paths Π-weight closure re-derived recursively; identical
+    // weight literals → identical doubles → identical products
+    "h25_weighted_dag" ->
+      """WITH RECURSIVE edges AS (
+  SELECT 'r' || r_regionkey AS child, 'root' AS parent,
+         CAST(1.0 AS DOUBLE) AS w FROM region
+  UNION ALL
+  SELECT 'n' || n_nationkey, 'r' || n_regionkey,
+         CAST(CASE WHEN n_nationkey % 2 = 1 THEN 0.7 ELSE 1.0 END AS DOUBLE)
+  FROM nation
+  UNION ALL
+  SELECT 'n' || n_nationkey, 'r' || ((n_regionkey + 1) % 5),
+         CAST(0.3 AS DOUBLE)
+  FROM nation WHERE n_nationkey % 2 = 1),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT child AS node FROM edges UNION ALL SELECT parent FROM edges)),
+paths AS (
+  SELECT node, node AS anc, CAST(1.0 AS DOUBLE) AS w FROM nodes
+  UNION ALL
+  SELECT p.node, e.parent, p.w * e.w FROM paths p JOIN edges e ON p.anc = e.child),
+closure AS (SELECT node, anc, SUM(w) AS w FROM paths GROUP BY 1, 2),
+facts AS (
+  SELECT 'n' || c.c_nationkey AS node, l.l_extendedprice AS sales
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey)
+SELECT anc AS node_id, ROUND(SUM(sales * w), 2) AS weighted_sales
+FROM facts f JOIN closure cl ON f.node = cl.node
+GROUP BY anc""",
     // the incrementally-maintained bitmap MV must read off the SAME
     // distinct counts as a full recompute over all facts
     "h24_incremental_distinct" ->

@@ -92,6 +92,31 @@ class HierarchySpec extends SparkSpec {
     assert(bitmap == exact)
   }
 
+  test("weighted DAG: multi-parent split, conservation at the root, cycle guard") {
+    import graft.operators.WeightedDag
+    // diamond: d reports 70% to a, 30% to b; both roll to root
+    val edges = Seq(("a", "root", 1.0), ("b", "root", 1.0),
+      ("d", "a", 0.7), ("d", "b", 0.3)).toDF("child", "parent", "w")
+    val closure = WeightedDag.weightedClosure(edges)
+    val cm = closure.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(cm(("d", "a")) == 0.7 && cm(("d", "b")) == 0.3)
+    // both paths d→root sum to the full unit: conservation's source
+    assert(math.abs(cm(("d", "root")) - 1.0) < 1e-12)
+    val facts = Seq(("d", 100.0), ("a", 50.0)).toDF("node", "sales")
+    val out = WeightedDag.weightedRollup(facts, closure).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("root") == 150.0) // conservation: root = grand total
+    assert(out("a") == 120.0)    // 50 own + 70% of d
+    assert(out("b") == 30.0)     // 30% of d
+    assert(out("d") == 100.0)
+    // a cycle never drains the frontier — the depth bound fires
+    val cyc = Seq(("x", "y", 1.0), ("y", "x", 1.0)).toDF("child", "parent", "w")
+    val e = intercept[IllegalArgumentException](
+      WeightedDag.weightedClosure(cyc, maxDepth = 4))
+    assert(e.getMessage.contains("maxDepth"))
+  }
+
   test("contribution rollup: ratios partition parents; root pct_of_total is 1") {
     val facts = Seq((11L, 1L, 2.0, 10.0), (12L, 2L, 1.0, 5.0), (21L, 1L, 4.0, 20.0))
       .toDF("leaf_key", "customer_id", "unit_quantity", "sales_amount")
