@@ -820,6 +820,33 @@ object StreamingQueries {
             col("purchase_ts") > col("click_ts") &&
             col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
           .select(col("user_id"), col("click_id"), col("purchase_id"))
+      }),
+    // LEFT-OUTER stream-stream join — the delivery contract st7's
+    // inner join can't give: a click with NO purchase inside its
+    // 30-minute window still emits (purchase_id NULL) once the
+    // WATERMARK proves no match can arrive — the state-eviction
+    // rule, made observable. Unmatched clicks too close to the end
+    // of the bounded input (expiry not yet passed by the final
+    // watermark = max event time − 1 h delay) stay IN STATE and do
+    // not emit — the oracle encodes exactly that cutoff, so the
+    // entry pins Spark's outer-emission semantics, not just the
+    // join rows.
+    "st24_stream_left_join" -> ((s, d) =>
+      runStream(s, d, outputMode = "append", parts = 4) { ev =>
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"),
+            col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+          .withWatermark("purchase_ts", "1 hour")
+        clicks.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_ts") > col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+          .select(col("user_id"), col("click_id"), col("purchase_id"))
       })
   )
 
@@ -1034,6 +1061,38 @@ object StreamingQueries {
            ON c.user_id = p.user_id
           AND c.event_type = 'click' AND p.event_type = 'purchase'
           AND CAST(p.ts AS TIMESTAMP) > CAST(c.ts AS TIMESTAMP)
-          AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE"""
+          AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE""",
+    // the left-outer contract INCLUDING the watermark cutoff: each
+    // withWatermark node tracks ITS OWN column, the join's global
+    // watermark is the MIN of the two, and an unmatched click emits
+    // its null row iff the global watermark strictly passed the
+    // click's 30-minute match window (state-eviction semantics,
+    // empirically pinned at both gate SFs). Clicks whose window the
+    // final watermark has not passed stay in state and must NOT
+    // appear.
+    "st24_stream_left_join" ->
+      """WITH c AS (
+           SELECT user_id, event_id AS click_id,
+             CAST(ts AS TIMESTAMP) AS cts
+           FROM events WHERE event_type = 'click'),
+         p AS (
+           SELECT user_id, event_id AS purchase_id,
+             CAST(ts AS TIMESTAMP) AS pts
+           FROM events WHERE event_type = 'purchase'),
+         wm AS (
+           SELECT LEAST((SELECT MAX(cts) FROM c), (SELECT MAX(pts) FROM p))
+             - INTERVAL 1 HOUR AS w),
+         matched AS (
+           SELECT c.user_id, c.click_id, p.purchase_id
+           FROM c JOIN p ON c.user_id = p.user_id
+             AND p.pts > c.cts AND p.pts <= c.cts + INTERVAL 30 MINUTE),
+         unmatched AS (
+           SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id
+           FROM c CROSS JOIN wm
+           WHERE NOT EXISTS (
+               SELECT 1 FROM p WHERE p.user_id = c.user_id
+                 AND p.pts > c.cts AND p.pts <= c.cts + INTERVAL 30 MINUTE)
+             AND c.cts + INTERVAL 30 MINUTE < w)
+         SELECT * FROM matched UNION ALL SELECT * FROM unmatched"""
   )
 }

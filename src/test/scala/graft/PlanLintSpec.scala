@@ -43,6 +43,7 @@ class PlanLintSpec extends SparkSpec {
   private val skipEager = Set(
     "st3_windowed_agg_stream", "st4_session_window_stream",
     "st5_stream_dedup", "st6_stream_static_join", "st7_stream_stream_join",
+    "st24_stream_left_join",
     "st8_sliding_window_stream",
     // st9 materializes facts + runs the stream on invocation; its MV
     // merge plan is h9's (linted there)
