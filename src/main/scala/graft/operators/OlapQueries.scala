@@ -1137,6 +1137,46 @@ object OlapQueries {
         .withColumn("first_match", regexp_extract(col("seq"), "vc+p", 0))
         .select(col("user_id"), col("day"), col("seq"),
           col("n_matches"), col("first_match"))
+    }),
+
+    // CUSUM DRIFT DETECTION (monitoring/changepoint family): per
+    // event type, the one-sided cumulative-sum statistic over DAILY
+    // volumes — cus_t = max(0, cus_{t−1} + c_t − 1.1·μ), alarming
+    // when the accumulated excess tops 0.5·μ. CUSUM accumulates
+    // small persistent shifts a per-day threshold misses; the
+    // recurrence is NOT window-expressible (each step clamps at 0),
+    // so it runs as the `aggregate` higher-order fold over each
+    // type's day-ordered series — the series is (type, DAY) grain,
+    // horizon-bounded at any fact scale, so the per-group array is a
+    // few hundred elements however big the corpus. Identical
+    // operand order keeps the fold FP-reproducible cross-engine
+    // (DuckDB re-derives it as a recursive CTE).
+    "q53_cusum" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).cast("double").as("c"))
+      val st = daily.groupBy("event_type").agg(avg("c").as("mu"))
+      val series = daily.join(broadcast(st), Seq("event_type"))
+        .groupBy("event_type", "mu")
+        .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("xs"))
+      series
+        .withColumn("cus_arr", expr(
+          """aggregate(xs,
+               named_struct('cus', CAST(0.0 AS DOUBLE),
+                            'acc', CAST(array() AS ARRAY<DOUBLE>)),
+               (st, x) -> named_struct(
+                 'cus', greatest(CAST(0.0 AS DOUBLE),
+                                 st.cus + x.c - mu * 1.1D),
+                 'acc', concat(st.acc, array(greatest(CAST(0.0 AS DOUBLE),
+                                 st.cus + x.c - mu * 1.1D)))),
+               st -> st.acc)"""))
+        .select(col("event_type"), col("mu"),
+          explode(arrays_zip(col("xs"), col("cus_arr"))).as("z"))
+        .select(col("event_type"),
+          date_format(col("z.xs.d"), "yyyy-MM-dd").as("day"),
+          col("z.xs.c").cast("long").as("n_events"),
+          round(col("z.cus_arr"), 6).as("cusum"),
+          (round(col("z.cus_arr"), 9) > col("mu") * 0.5).as("alarm"))
     })
   )
 
@@ -1709,6 +1749,33 @@ object OlapQueries {
          SELECT user_id, day, seq,
            CAST(len(regexp_extract_all(seq, 'vc+p')) AS BIGINT) AS n_matches,
            regexp_extract(seq, 'vc+p') AS first_match
-         FROM seq WHERE len(regexp_extract_all(seq, 'vc+p')) > 0"""
+         FROM seq WHERE len(regexp_extract_all(seq, 'vc+p')) > 0""",
+    // the clamped recurrence as a recursive CTE, same operand order
+    // as the engine's aggregate fold (FP-reproducible)
+    "q53_cusum" ->
+      """WITH RECURSIVE daily AS (
+           SELECT event_type,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS c
+           FROM events GROUP BY 1, 2),
+         stats AS (SELECT event_type, AVG(c) AS mu FROM daily GROUP BY 1),
+         idx AS (
+           SELECT daily.*, row_number() OVER
+             (PARTITION BY event_type ORDER BY d) AS rn
+           FROM daily),
+         rec AS (
+           SELECT i.event_type, i.rn, i.d, i.c, s.mu,
+             GREATEST(CAST(0 AS DOUBLE), i.c - s.mu * 1.1) AS cus
+           FROM idx i JOIN stats s USING (event_type) WHERE i.rn = 1
+           UNION ALL
+           SELECT i.event_type, i.rn, i.d, i.c, r.mu,
+             GREATEST(CAST(0 AS DOUBLE), r.cus + i.c - r.mu * 1.1)
+           FROM rec r JOIN idx i
+             ON i.event_type = r.event_type AND i.rn = r.rn + 1)
+         SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           CAST(c AS BIGINT) AS n_events,
+           ROUND(cus, 6) AS cusum,
+           (ROUND(cus, 9) > mu * 0.5) AS alarm
+         FROM rec"""
   )
 }

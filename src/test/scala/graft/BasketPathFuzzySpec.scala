@@ -124,6 +124,43 @@ class BasketPathFuzzySpec extends SparkSpec {
       3L -> (("vcpvcp", 2L, "vcp"))))
   }
 
+  test("q53 on a planted level shift: clamp holds pre-shift, alarm fires post-shift") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cusum").toString
+    // 10 quiet days at 10 events, then 5 shifted days at 30 events
+    val rows = for {
+      day <- 1 to 15
+      n = if (day <= 10) 10 else 30
+      i <- 1 to n
+    } yield (1000L * day + i, f"2024-03-$day%02d 10:00:${i % 60}%02d",
+      (day * 100 + i).toLong, "view")
+    rows.toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .withColumn("value", lit(1.0))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q53_cusum")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("day") ->
+        ((r.getAs[Double]("cusum"), r.getAs[Boolean]("alarm"))))
+      .toMap
+    // mu = (10*10 + 5*30)/15 = 16.667; pre-shift slack is negative so
+    // the clamp pins cusum to 0 and nothing alarms
+    (1 to 10).foreach { d =>
+      val (c, a) = out(f"2024-03-$d%02d")
+      assert(c == 0.0 && !a, s"day $d: $c $a")
+    }
+    // post-shift the statistic ramps by 30 − 1.1·mu ≈ 11.67/day and
+    // crosses the 0.5·mu ≈ 8.33 alarm line on the FIRST shifted day
+    (11 to 15).foreach { d =>
+      val (c, a) = out(f"2024-03-$d%02d")
+      assert(c > 8.33 && a, s"day $d: $c $a")
+    }
+    // monotone ramp while the shift persists
+    assert(out("2024-03-15")._1 > out("2024-03-11")._1)
+  }
+
   test("d18 on a name fixture: shared-token candidates within distance; row counts attach") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("fuzzy").toString
