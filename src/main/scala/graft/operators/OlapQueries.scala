@@ -919,15 +919,22 @@ object OlapQueries {
     "q46_market_basket" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val pt = Tables.part(s, d)
-      val ob = li
+      // ONE fact exchange: collect_set dedups brands inside the
+      // per-order group (no separate DISTINCT pass), and the cached
+      // basket table feeds the pair stream, the brand marginals AND
+      // the order total — at 100 TB the basket table is the persisted
+      // intermediate, |orders|-sized
+      val baskets = li
         .join(broadcast(pt.select(col("p_partkey").as("l_partkey"),
           col("p_brand"))), Seq("l_partkey"))
-        .select(col("l_orderkey"), col("p_brand"))
-        .distinct()
-      val nOrders = ob.agg(countDistinct(col("l_orderkey")).as("n_orders"))
-      val brandCnt = ob.groupBy("p_brand").agg(count(lit(1)).as("cnt"))
-      val pairs = ob.groupBy("l_orderkey")
+        .groupBy("l_orderkey")
         .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+        .cache()
+      val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+      val brandCnt = baskets
+        .select(explode(col("bs")).as("p_brand"))
+        .groupBy("p_brand").agg(count(lit(1)).as("cnt"))
+      val pairs = baskets
         .select(posexplode(col("bs")).as(Seq("i", "brand_a")), col("bs"))
         .select(col("brand_a"),
           explode(expr("slice(bs, i + 2, size(bs))")).as("brand_b"))

@@ -537,6 +537,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
 
+  test("h24/h25: MV fold and DAG rollup keep facts off key-grain shuffles") {
+    // h24: the bitmap MV aggregates straight to node grain — no
+    // exchange may partition on the customer key (h23's rule)
+    val p24 = plan("h24_incremental_distinct")
+    val bad24 = p24.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("customer_id"))
+    assert(bad24.isEmpty, bad24.mkString("\n"))
+    assert(p24.contains("bitmap_"), p24.take(1500))
+    // h25: the weighted closure joins facts by BROADCAST (the h4
+    // discipline) — no sort-merge join anywhere
+    val p25 = plan("h25_weighted_dag")
+    assert(p25.contains("BroadcastHashJoin"), p25.take(1500))
+    assert(!p25.contains("SortMergeJoin"), p25.take(1500))
+  }
+
+  test("q46: the basket table is built once (cached) and all three consumers reuse it") {
+    val p = plan("q46_market_basket")
+    // pairs, brand marginals and the order total must all read the
+    // CACHED basket table — three InMemoryTableScans — so the fact
+    // exchange that builds it runs once, not per consumer (the plan
+    // string repeats the cached subtree per consumer; the scans are
+    // the reuse evidence)
+    val scans = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(scans >= 3, s"expected >=3 cached-basket scans, got $scans:\n${p.take(1500)}")
+  }
+
   test("q1: aggregation runs inside whole-stage codegen") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     // AQE's pre-execution plan string hides codegen stages; ask for
