@@ -394,6 +394,43 @@ object TextQueries {
         .withColumn("v_digest",
           xxhash64(to_json(transform(col("v"), x => round(x, 6)))))
         .select("doc_id", "dim", "norm_sq", "v_digest")
+    }),
+
+    // ZIPF / VOCABULARY STATISTICS per language — the corpus-health
+    // fingerprint (a natural corpus fits ln f ≈ −α·ln r with α near
+    // 1; template/spam floods flatten or steepen it, so α drift is a
+    // cheap corpus-mix alarm). Pipeline: (lang, term) frequency
+    // aggregate (vocab-bounded exchange, t9's shape) → top-100
+    // frequency terms per language through the BOUNDED-HEAP
+    // `topkRows` (a row_number window would sort each language's
+    // whole freq≥2 vocabulary in one task — at web scale that is
+    // 10⁸ terms; the heap ships ≤100 rows per map-side buffer) →
+    // log–log OLS on [[Olap.olsByGroup]]'s sufficient statistics.
+    // Rank assignment among equal-frequency terms is engine-
+    // dependent, but tied terms share ln(freq), so the fitted
+    // (x, y) multiset — and therefore the fit — is tie-invariant;
+    // that is what makes an exact DuckDB oracle possible.
+    "t19_zipf_vocab" -> ((s, d) => {
+      import graft.functions.TopKAggregate.topkRows
+      val tf = Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(lower(col("text")))).as("term"))
+        .groupBy("lang", "term").agg(count(lit(1)).as("freq"))
+      val stats = tf.groupBy("lang").agg(
+        count(lit(1)).as("vocab_size"), sum("freq").as("total_tokens"))
+      val pts = tf.filter(col("freq") >= 2)
+        .groupBy("lang")
+        .agg(topkRows(col("freq").cast("double"), col("term"),
+          struct(col("freq")), 100).as("tk"))
+        .select(col("lang"), posexplode(col("tk")).as(Seq("pos", "t")))
+        .select(col("lang"),
+          log((col("pos") + 1).cast("double")).as("lx"),
+          log(col("t.freq").cast("double")).as("ly"))
+      Olap.olsByGroup(pts, Seq("lang"), col("lx"), col("ly"))
+        .join(stats, Seq("lang"))
+        .select(col("lang"), col("vocab_size"), col("total_tokens"),
+          col("n").as("fitted_terms"),
+          round(-col("slope"), 6).as("zipf_alpha"),
+          round(col("r2"), 6).as("fit_r2"))
     })
   )
 
@@ -793,6 +830,42 @@ object TextQueries {
            CAST(COALESCE(list_sum(list_transform(range(1, length(chunk) + 1),
              i -> i * ord(substring(chunk, CAST(i AS INT), 1)))), 0) AS BIGINT)
              AS chunk_fp
-         FROM c"""
+         FROM c""",
+    "t19_zipf_vocab" ->
+      raw"""WITH toks AS (
+           SELECT lang,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (
+           SELECT lang, term, COUNT(*) AS freq FROM toks GROUP BY 1, 2),
+         stats AS (
+           SELECT lang, COUNT(*) AS vocab_size,
+             CAST(SUM(freq) AS BIGINT) AS total_tokens
+           FROM tf GROUP BY 1),
+         ranked AS (
+           SELECT lang, freq, row_number() OVER
+             (PARTITION BY lang ORDER BY freq DESC, term ASC) AS rnk
+           FROM tf WHERE freq >= 2),
+         pts AS (
+           SELECT lang, ln(CAST(rnk AS DOUBLE)) AS x,
+             ln(CAST(freq AS DOUBLE)) AS y
+           FROM ranked WHERE rnk <= 100),
+         suff AS (
+           SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+           FROM pts GROUP BY 1),
+         fit AS (
+           SELECT lang, n,
+             n * sxy - sx * sy AS dx,
+             n * sxx - sx * sx AS vx,
+             n * syy - sy * sy AS vy
+           FROM suff)
+         SELECT fit.lang, stats.vocab_size, stats.total_tokens,
+           CAST(n AS BIGINT) AS fitted_terms,
+           ROUND(CASE WHEN vx <> 0 THEN -(dx / vx) END, 6) AS zipf_alpha,
+           ROUND(CASE WHEN vx <> 0 AND vy <> 0
+             THEN (dx * dx) / (vx * vy) END, 6) AS fit_r2
+         FROM fit JOIN stats ON fit.lang = stats.lang"""
   )
 }

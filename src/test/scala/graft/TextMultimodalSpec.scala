@@ -731,4 +731,45 @@ class TextMultimodalSpec extends SparkSpec {
       assert(mean >= 0.0 && mean <= 255.0)
     }
   }
+
+  test("t19: heap-ranked zipf fit equals a window-ranked recount across a tied cutoff") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 5 head terms (freqs 64..4) + 150 terms ALL at freq 2: the
+    // top-100 cutoff lands inside the tie block, so WHICH tied terms
+    // the bounded heap keeps is engine-dependent — the fit must not
+    // care (tied terms share ln(freq)). The independent recount uses
+    // a row_number window (the implementation t19 deliberately
+    // avoids) over the same frequency table.
+    val dir = java.nio.file.Files.createTempDirectory("zipf").toString
+    val head = Seq("alpha" -> 64, "beta" -> 32, "gamma" -> 16,
+      "delta" -> 8, "eps" -> 4)
+    val tied = (1 to 150).map(i => f"tied$i%03d" -> 2)
+    val words = (head ++ tied).flatMap { case (w, n) => Seq.fill(n)(w) }
+    // spread words over docs so per-doc texts stay short
+    val docs = words.grouped(25).zipWithIndex.map { case (ws, i) =>
+      (i.toLong, ws.mkString(" "), "en", "fixture", ws.mkString(" ").length.toLong)
+    }.toSeq
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t19_zipf_vocab")(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[Long]("vocab_size") == 155)
+    assert(r.getAs[Long]("total_tokens") == words.length.toLong)
+    assert(r.getAs[Long]("fitted_terms") == 100)
+    // independent recount: window rank → log–log OLS via olsByGroup
+    val tf = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy("lang").orderBy(col("freq").desc, col("term").asc)
+    val pts = tf.filter(col("freq") >= 2)
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 100)
+      .select(col("lang"), log(col("rnk").cast("double")).as("lx"),
+        log(col("freq").cast("double")).as("ly"))
+    val want = graft.operators.Olap
+      .olsByGroup(pts, Seq("lang"), col("lx"), col("ly")).collect()(0)
+    assert(math.abs(r.getAs[Double]("zipf_alpha") - (-want.getAs[Double]("slope"))) < 1e-6)
+    assert(math.abs(r.getAs[Double]("fit_r2") - want.getAs[Double]("r2")) < 1e-6)
+  }
 }
