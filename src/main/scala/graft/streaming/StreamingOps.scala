@@ -126,6 +126,8 @@ object StreamingOps {
   case class AttrOut(user_id: Long, conversion_id: Long,
     first_touch_id: Long, first_touch_type: String,
     last_touch_id: Long, last_touch_type: String)
+  case class EwmaOut(event_type: String, day: String, n_events: Long,
+    ewma: Double, resid: Double)
   case class Scd2Out(user_id: Long, event_id: Long, state: String,
     valid_from: String, valid_to: String)
 
@@ -263,6 +265,63 @@ object StreamingOps {
             open = Some((e.event_id, e.event_type, at))
           }
           open.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** STREAMING EWMA CONTROL CHART (q54 as a continuous process): per
+    * event type the state is FOUR SCALARS — the open day, its running
+    * count, the EWMA, and a seeded flag — never a day list or event
+    * log. A day's chart point (count, EWMA, one-step-ahead residual)
+    * is emitted EXACTLY ONCE, when a later-day event proves the day
+    * closed — the st21 contract moved from intervals to control
+    * charts. α = 0.25 (dyadic) and HALF_UP rounding at emit keep the
+    * recurrence bit-identical to q54's batch fold, so on a bounded
+    * source the emitted set equals the batch chart restricted to
+    * CLOSED days (every day but each type's last) and q54's oracle —
+    * minus the σ band, which needs the full horizon a stream hasn't
+    * seen — checks it verbatim, including days whose events straddle
+    * micro-batches (spec-proven via MemoryStream). Events for an
+    * already-closed day (below-watermark stragglers in production)
+    * are dropped, matching what a watermarked window would do.
+    */
+  def ewmaFMGWS(spark: SparkSession,
+      events: DataFrame): org.apache.spark.sql.Dataset[EwmaOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val dayFmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    dayFmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    events.select(col("event_id"), col("ts"), lit(0L).as("user_id"),
+        col("event_type")).as[EvT]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Long, Long, Double, Boolean), EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (ty: String, it: Iterator[EvT], state: GroupState[(Long, Long, Double, Boolean)]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000
+          val evs = it.toIndexedSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var (curDay, cnt, ew, seeded) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0.0, false))
+          val out = scala.collection.mutable.Buffer[EwmaOut]()
+          def closeDay(): Unit = {
+            val c = cnt.toDouble
+            val resid = if (seeded) c - ew else 0.0
+            ew = if (seeded) 0.25 * c + 0.75 * ew else c
+            seeded = true
+            out += EwmaOut(ty, dayFmt.format(new java.util.Date(curDay * 86400000L)),
+              cnt, round6(ew), round6(resid))
+          }
+          evs.foreach { e =>
+            val d = Math.floorDiv(micros(e.ts), 86400000000L)
+            if (curDay == Long.MinValue) { curDay = d; cnt = 1L }
+            else if (d == curDay) cnt += 1L
+            else if (d > curDay) { closeDay(); curDay = d; cnt = 1L }
+            // d < curDay: below-watermark straggler — dropped
+          }
+          state.update((curDay, cnt, ew, seeded))
           out.iterator
       }
   }
@@ -556,6 +615,15 @@ object StreamingQueries {
     // filtered to closed intervals
     "st21_stream_scd2" -> ((s, d) =>
       StreamingOps.scd2FMGWS(s, Tables.events(s, d)).toDF()),
+    // custom-state EWMA CONTROL CHART (q54 streamed): per-type state
+    // is four scalars (open day, count, EWMA, seeded flag); each
+    // day's chart point emits exactly once when a later-day event
+    // closes it — checked against q54's recursive-CTE oracle
+    // restricted to closed days (σ needs the full horizon, so the
+    // online chart emits count/EWMA/residual; banding is the
+    // consumer's choice of control limits)
+    "st25_stream_ewma" -> ((s, d) =>
+      StreamingOps.ewmaFMGWS(s, Tables.events(s, d)).toDF()),
     // STREAMING windowed TOP-K: the bounded-heap TopKByScore aggregate
     // running INSIDE the streaming state store — per 15-minute window,
     // the 3 highest-value events. State per window is the k-entry
@@ -996,6 +1064,33 @@ object StreamingQueries {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
          SELECT user_id, event_id, state, valid_from, valid_to
          FROM iv WHERE valid_to IS NOT NULL""",
+    "st25_stream_ewma" ->
+      """WITH RECURSIVE daily AS (
+           SELECT event_type,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS c
+           FROM events GROUP BY 1, 2),
+         idx AS (
+           SELECT daily.*, row_number() OVER
+             (PARTITION BY event_type ORDER BY d) AS rn
+           FROM daily),
+         maxrn AS (SELECT event_type, MAX(rn) AS mx FROM idx GROUP BY 1),
+         rec AS (
+           SELECT i.event_type, i.rn, i.d, i.c,
+             i.c AS ew, CAST(0.0 AS DOUBLE) AS res
+           FROM idx i WHERE i.rn = 1
+           UNION ALL
+           SELECT i.event_type, i.rn, i.d, i.c,
+             0.25 * i.c + 0.75 * r.ew,
+             i.c - r.ew
+           FROM rec r JOIN idx i
+             ON i.event_type = r.event_type AND i.rn = r.rn + 1)
+         SELECT rec.event_type, strftime(rec.d, '%Y-%m-%d') AS day,
+           CAST(rec.c AS BIGINT) AS n_events,
+           ROUND(rec.ew, 6) AS ewma,
+           ROUND(rec.res, 6) AS resid
+         FROM rec JOIN maxrn ON rec.event_type = maxrn.event_type
+         WHERE rec.rn < maxrn.mx""",
     "st17_fmgws_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, event_id, ts, value,

@@ -262,6 +262,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState EWMA: streamed ≡ batch chart's closed days; straddled days count once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // independent expectation: the BATCH chart (q54's collect_list
+    // fold, a different mechanism than the state machine) restricted
+    // to each type's closed days, with the σ/alarm columns the online
+    // chart can't know dropped
+    val batch = SparkEntry.queries("q54_ewma_control")(spark, sf)
+    val wMax = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    val want = batch.withColumn("mx", max("day").over(wMax))
+      .filter(col("day") < col("mx"))
+      .select("event_type", "day", "n_events", "ewma", "resid")
+    // two micro-batches split at the median event: the median DAY's
+    // events straddle the boundary, so its count must accumulate
+    // across batches in state and emit exactly once
+    val rows = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[StreamingOps.EvT].collect().sortBy(_.ts.getTime)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[StreamingOps.EvT]
+    val q = StreamingOps.ewmaFMGWS(spark, ms.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ewma_out").start()
+    try {
+      ms.addData(b1.toIndexedSeq); q.processAllAvailable()
+      val afterB1 = spark.table("ewma_out").count()
+      ms.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("ewma_out")
+      val cols = Seq("event_type", "day", "n_events", "ewma", "resid")
+      assert(canon(got, cols: _*) == canon(want, cols: _*))
+      assert(afterB1 > 0 && afterB1 < got.count())
+    } finally q.stop()
+  }
+
   test("streamToParquet: durable file sink with checkpoint equals the batch filter") {
     val dir = java.nio.file.Files.createTempDirectory("events_sink_src")
     java.nio.file.Files.createSymbolicLink(
