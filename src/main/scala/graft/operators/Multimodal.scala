@@ -190,6 +190,98 @@ object Multimodal {
     }
   }
 
+  /** From-scratch DSP kernels (no signal-processing libs in the
+    * container; unlike the synth payloads, this math is the real
+    * thing — verified against a naive O(n²) DFT in the spec).
+    */
+  object Dsp {
+    /** In-place iterative radix-2 Cooley–Tukey FFT over (re, im).
+      * Length must be a power of two; sign convention e^{−2πik/n}
+      * (the analysis transform).
+      */
+    def fft(re: Array[Double], im: Array[Double]): Unit = {
+      val n = re.length
+      require(n > 0 && (n & (n - 1)) == 0, s"FFT length must be a power of two: $n")
+      require(im.length == n, "re/im length mismatch")
+      var i = 1; var j = 0
+      while (i < n) {
+        var bit = n >> 1
+        while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+        j |= bit
+        if (i < j) {
+          val tr = re(i); re(i) = re(j); re(j) = tr
+          val ti = im(i); im(i) = im(j); im(j) = ti
+        }
+        i += 1
+      }
+      var len = 2
+      while (len <= n) {
+        val ang = -2.0 * math.Pi / len
+        val wr = math.cos(ang); val wi = math.sin(ang)
+        var base = 0
+        while (base < n) {
+          var cr = 1.0; var ci = 0.0
+          var k = 0
+          while (k < len / 2) {
+            val ur = re(base + k); val ui = im(base + k)
+            val vr0 = re(base + k + len / 2); val vi0 = im(base + k + len / 2)
+            val vr = vr0 * cr - vi0 * ci
+            val vi = vr0 * ci + vi0 * cr
+            re(base + k) = ur + vr; im(base + k) = ui + vi
+            re(base + k + len / 2) = ur - vr; im(base + k + len / 2) = ui - vi
+            val ncr = cr * wr - ci * wi; ci = cr * wi + ci * wr; cr = ncr
+            k += 1
+          }
+          base += len
+        }
+        len <<= 1
+      }
+    }
+  }
+
+  /** SPECTRAL FEATURE EXTRACTION — the audio-embedding stand-in that
+    * is real math end-to-end: the first `nFft` PCM samples run
+    * through the from-scratch radix-2 FFT and reduce to [payload
+    * bytes, peak bin, spectral centroid Hz, peak frequency Hz, RMS].
+    * Rectangular window (a bin-aligned tone concentrates into exactly
+    * one bin — what the spec exploits); frames shorter than `nFft`
+    * zero-pad. Runs where the samples already are (per-partition
+    * codec lifecycle); the spectrum never leaves the task, only the
+    * 5-feature row does.
+    */
+  final class SpectrumCodec(nFft: Int = 1024) extends MediaCodec {
+    require(nFft >= 2 && (nFft & (nFft - 1)) == 0,
+      s"nFft must be a power of two: $nFft")
+    override def decode(r: MediaRow): Array[Double] = {
+      val (sampleRate, _, samples) = wavPcm16(r.payload, r.doc_id)
+      val re = new Array[Double](nFft)
+      val im = new Array[Double](nFft)
+      val n = math.min(nFft, samples.length)
+      var i = 0; var sumSq = 0.0
+      while (i < n) {
+        val v = samples(i) / 32768.0
+        re(i) = v; sumSq += v * v; i += 1
+      }
+      Dsp.fft(re, im)
+      // DC (k=0) excluded: offset is not pitch content
+      var peak = 1; var peakMag = -1.0; var sumMag = 0.0; var sumFm = 0.0
+      var k = 1
+      while (k <= nFft / 2) {
+        val mag = math.sqrt(re(k) * re(k) + im(k) * im(k))
+        val fHz = k.toDouble * sampleRate / nFft
+        sumMag += mag; sumFm += fHz * mag
+        if (mag > peakMag) { peakMag = mag; peak = k }
+        k += 1
+      }
+      val centroid = if (sumMag > 0) sumFm / sumMag else 0.0
+      val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+      Array(r.payload.length.toDouble, peak.toDouble,
+        math.round(centroid * 1e3) / 1e3,
+        peak.toDouble * sampleRate / nFft,
+        math.round(rms * 1e6) / 1e6)
+    }
+  }
+
   /** Nearest-neighbor RESIZE at the codec — the thumbnail/downscale
     * step of an image ingest, running where the pixels already are
     * (decode + resize per partition; full-resolution pixels never
@@ -727,6 +819,32 @@ object MultimodalQueries {
         }
       Multimodal.extractFeatures(s, rows.toDF(),
         new Multimodal.FrameSampleCodec(64, 4)).toDF()
+    }),
+    // SPECTRAL features through the REAL from-scratch radix-2 FFT
+    // (verified against a naive DFT and Parseval in the spec):
+    // payloads are deterministic synthesized WAVs whose samples mix
+    // two doc_id-keyed tones, decoded and reduced to peak bin /
+    // spectral centroid / peak Hz / RMS at the codec — the audio
+    // analysis stage of a multimodal ingest. Binary plumbing →
+    // rows-only, exactness in the spec.
+    "m11_audio_spectrum" -> ((s, d) => {
+      import s.implicits._
+      val rows = Multimodal.mediaTable(Tables.documents(s, d))
+        .as[Multimodal.MediaRow].map { r =>
+          // two bin-aligned tones with doc-dependent bins/amplitudes
+          val b1 = (3 + r.doc_id % 200).toInt
+          val b2 = (7 + r.doc_id % 97).toInt
+          val a1 = 0.30 + (r.doc_id % 5) * 0.08
+          val a2 = 0.10 + (r.doc_id % 3) * 0.05
+          val samples = Array.tabulate[Short](1024) { i =>
+            val t = 2.0 * math.Pi * i / 1024.0
+            ((a1 * math.sin(b1 * t) + a2 * math.sin(b2 * t)) * 32767.0 / 2).toShort
+          }
+          Multimodal.MediaRow(r.doc_id,
+            Multimodal.synthWav(8000, samples), "audio/wav", 0, 0)
+        }
+      Multimodal.extractFeatures(s, rows.toDF(),
+        new Multimodal.SpectrumCodec(1024)).toDF()
     })
   )
 

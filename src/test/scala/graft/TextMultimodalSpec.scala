@@ -732,6 +732,55 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("Dsp.fft matches a naive O(n^2) DFT and satisfies Parseval on random signals") {
+    import graft.operators.Multimodal.Dsp
+    val n = 64
+    // deterministic LCG signal
+    var x = 1234567L
+    val re = Array.fill(n) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      ((x >>> 16) % 2000).toDouble / 1000.0 - 1.0
+    }
+    val im = new Array[Double](n)
+    val (fr, fi) = (re.clone(), im.clone())
+    Dsp.fft(fr, fi)
+    // gold standard: direct DFT
+    for (k <- 0 until n) {
+      var sr = 0.0; var si = 0.0
+      for (t <- 0 until n) {
+        val ang = -2.0 * math.Pi * k * t / n
+        sr += re(t) * math.cos(ang); si += re(t) * math.sin(ang)
+      }
+      assert(math.abs(fr(k) - sr) < 1e-9 && math.abs(fi(k) - si) < 1e-9,
+        s"bin $k: (${fr(k)},${fi(k)}) vs ($sr,$si)")
+    }
+    // Parseval: sum |x|^2 = (1/n) sum |X|^2
+    val tEnergy = re.map(v => v * v).sum
+    val fEnergy = (0 until n).map(k => fr(k) * fr(k) + fi(k) * fi(k)).sum / n
+    assert(math.abs(tEnergy - fEnergy) < 1e-9)
+  }
+
+  test("SpectrumCodec: bin-aligned tone lands on its exact bin with sine RMS") {
+    import graft.operators.Multimodal
+    val nFft = 1024
+    val bin = 37
+    val amp = 0.5
+    val samples = Array.tabulate[Short](nFft)(i =>
+      (amp * 32767.0 * math.sin(2.0 * math.Pi * bin * i / nFft)).toShort)
+    val wav = Multimodal.synthWav(8000, samples)
+    val f = new Multimodal.SpectrumCodec(nFft)
+      .decode(Multimodal.MediaRow(1L, wav, "audio/wav", 0, 0))
+    assert(f(1) == bin.toDouble, s"peak bin ${f(1)} != $bin")
+    assert(math.abs(f(3) - bin * 8000.0 / nFft) < 1e-9, "peak Hz")
+    // pure sine RMS = amp/sqrt(2) (quantization gives ~1e-4 slack)
+    assert(math.abs(f(4) - amp / math.sqrt(2.0)) < 1e-3, s"rms ${f(4)}")
+    // zero leakage for a bin-aligned tone → centroid ≈ the tone; the
+    // residual ~0.6 Hz comes from 16-bit PCM quantization noise
+    // (flat ~3e-5/bin, magnitude-weighted toward the band center),
+    // not the transform — the naive-DFT test above pins the math
+    assert(math.abs(f(2) - bin * 8000.0 / nFft) < 1.0, s"centroid ${f(2)}")
+  }
+
   test("t19: heap-ranked zipf fit equals a window-ranked recount across a tied cutoff") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
