@@ -147,7 +147,19 @@ object DedupQueries {
         .select(col("doc_id"), col("component_id"),
           when(h < 80, "train").when(h < 90, "validation")
             .otherwise("test").as("split"))
-    })
+    }),
+    // IMAGE NEAR-DUP via DCT perceptual hash (the multimodal member
+    // of the dedup family): each doc's synthesized image enters at
+    // full AND half resolution — "the same photo ingested twice at
+    // different sizes" — and the 4×16-bit banded self-join finds
+    // pairs within Hamming 3 EXACTLY (pigeonhole: ≤3 flipped bits
+    // cannot corrupt all four bands, so recall is complete, not
+    // heuristic — brute-force-recount spec). Candidate generation is
+    // d3's banded shape; the pair-dedup exchange carries bare
+    // (id, id, hash) rows. Hash upstream is a binary codec →
+    // rows-only, exactness in the spec.
+    "d20_phash_neardup" -> ((s, d) =>
+      Phash.phashPairs(Phash.hashedVariants(s, Tables.documents(s, d)), 3))
   )
 
   /** Provenance overlap matrix — see the d9 entry.

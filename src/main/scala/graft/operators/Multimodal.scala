@@ -845,6 +845,26 @@ object MultimodalQueries {
         }
       Multimodal.extractFeatures(s, rows.toDF(),
         new Multimodal.SpectrumCodec(1024)).toDF()
+    }),
+    // PERCEPTUAL IMAGE HASH (DCT pHash) at the codec: synthesized
+    // BMPs (dims from doc_id, pixels from text bytes) decode and
+    // reduce to a 64-bit signature — 8 bytes per image leave the
+    // task, the structure d20's banded near-dup join keys on. The
+    // spec pins the DCT (constant → DC-only, planted cosine mode →
+    // its exact coefficient), brightness invariance, and the ~half
+    // bit balance the median threshold guarantees. Binary plumbing →
+    // rows-only.
+    "m12_image_phash" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.mediaTable(Tables.documents(s, d))
+        .as[Multimodal.MediaRow].map { r =>
+          val w = (16 + r.doc_id % 17).toInt
+          val h = (16 + r.doc_id % 13).toInt
+          val src = if (r.payload.isEmpty) Array[Byte](7) else r.payload
+          val ph = Phash.phashBmp(Multimodal.synthBmp(w, h, src), r.doc_id)
+          (r.doc_id, w.toLong, h.toLong, ph,
+            java.lang.Long.bitCount(ph).toLong)
+        }.toDF("doc_id", "width", "height", "phash", "n_bits")
     })
   )
 

@@ -781,6 +781,97 @@ class TextMultimodalSpec extends SparkSpec {
     assert(math.abs(f(2) - bin * 8000.0 / nFft) < 1.0, s"centroid ${f(2)}")
   }
 
+  test("Phash DCT: constant image is DC-only; a planted cosine mode hits exactly its coefficient") {
+    import graft.operators.Phash
+    val n = 16
+    val flat = Array.fill(n * n)(100.0)
+    val df = Phash.dct2d(flat, n, n)
+    assert(math.abs(df(0) - 100.0 * n * n) < 1e-6)
+    for (i <- 1 until n * n) assert(math.abs(df(i)) < 1e-9, s"coeff $i leaked")
+    // planted mode (u,v) = (3,2): only that coefficient fires
+    val g = Array.tabulate(n * n) { i =>
+      val x = i % n; val y = i / n
+      math.cos(math.Pi * (x + 0.5) * 3 / n) * math.cos(math.Pi * (y + 0.5) * 2 / n)
+    }
+    val dg = Phash.dct2d(g, n, n)
+    for (u <- 0 until n; v <- 0 until n) {
+      val c = dg(v * n + u)
+      if (u == 3 && v == 2) assert(math.abs(c - n * n / 4.0) < 1e-9)
+      else assert(math.abs(c) < 1e-9, s"coeff ($u,$v) = $c leaked")
+    }
+  }
+
+  test("Phash: brightness-invariant, ~half bits set, and rescale-stable on smooth images") {
+    import graft.operators.Phash
+    val w = 29; val h = 23
+    val src = Array.tabulate[Byte](97)(i => ((i * 37 + 11) & 0xff).toByte)
+    val bmp = Phash.synthSmoothBmp(w, h, src)
+    val (luma, _, _) = Phash.bmpLuma(bmp, 1L)
+    val p = Phash.phashFromLuma(luma, w, h)
+    // brightness shift moves only the DC coefficient — hash unchanged
+    val brighter = luma.map(v => math.min(255.0, v + 20.0))
+    assert(Phash.phashFromLuma(brighter, w, h) == p, "brightness changed the hash")
+    // median threshold ⇒ 31 of 63 AC bits set exactly
+    assert(java.lang.Long.bitCount(p) == 31)
+    // rescale stability on photograph-like (decaying-spectrum) content
+    var within = 0; var minCross = 64
+    val hashes = (0 until 30).map { id =>
+      // fully-mixed bytes (a linear i·a + id·b pattern leaves doc
+      // sign grids correlated → spurious cross-doc collisions)
+      val s2 = Array.tabulate[Byte](80) { i =>
+        var z = i.toLong * 1000003L + id.toLong * 0x9E3779B97F4A7C15L
+        z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
+        z ^= z >>> 27; z *= 0x94D049BB133111EBL; z ^= z >>> 31
+        (z & 0xff).toByte
+      }
+      val ww = 16 + id % 17; val hh = 16 + id % 13
+      val (l2, _, _) = Phash.bmpLuma(Phash.synthSmoothBmp(ww, hh, s2), id.toLong)
+      val half = Phash.boxResize(l2, ww, hh, ww / 2, hh / 2)
+      val p1 = Phash.phashFromLuma(l2, ww, hh)
+      val p2 = Phash.phashFromLuma(half, ww / 2, hh / 2)
+      if (java.lang.Long.bitCount(p1 ^ p2) <= 3) within += 1
+      p1
+    }
+    for (i <- hashes.indices; j <- i + 1 until hashes.length)
+      minCross = math.min(minCross, java.lang.Long.bitCount(hashes(i) ^ hashes(j)))
+    assert(within >= 27, s"only $within/30 rescale pairs within Hamming 3")
+    assert(minCross > 3, s"distinct docs collided at Hamming $minCross")
+  }
+
+  test("phashPairs: banded join equals the brute-force recount (exact for Hamming <= 3)") {
+    import spark.implicits._
+    import graft.operators.Phash
+    // planted corpus: 60 base hashes, each with variants at 0–5 bit
+    // flips — the operator must find exactly the ≤3 pairs, including
+    // flips spread across three different bands, and exclude 4/5
+    var x = 99L
+    def lcg(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+    val rows = scala.collection.mutable.Buffer[(Long, Long)]()
+    var id = 0L
+    (0 until 60).foreach { _ =>
+      val base = lcg()
+      rows += ((id, base)); id += 1
+      (1 to 5).foreach { k =>
+        // k flips in k DISTINCT bands (worst case for banding)
+        val flipped = (0 until k).foldLeft(base)((b, i) =>
+          b ^ (1L << ((i % 4) * 16 + ((lcg() >>> 33) % 16).toInt)))
+        rows += ((id, flipped)); id += 1
+      }
+    }
+    val hashed = rows.toSeq.toDF("doc_id", "phash")
+    val got = Phash.phashPairs(hashed, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val arr = rows.toArray
+    val want = (for {
+      i <- arr.indices; j <- i + 1 until arr.length
+      d = java.lang.Long.bitCount(arr(i)._2 ^ arr(j)._2)
+      if d <= 3
+    } yield (math.min(arr(i)._1, arr(j)._1), math.max(arr(i)._1, arr(j)._1),
+      d.toLong)).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    assert(want.nonEmpty)
+  }
+
   test("t19: heap-ranked zipf fit equals a window-ranked recount across a tied cutoff") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
