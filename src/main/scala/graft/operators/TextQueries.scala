@@ -382,18 +382,28 @@ object TextQueries {
       // canonicalizes by sorting every column, and a raw array<double>
       // column crashes it (unhashable). The vector itself is consumed
       // downstream (d13/s2 bridge, SimilaritySpec); here it is
-      // summarized as dim + norm + an order-sensitive xxhash64 digest
-      // of the 6-dp-rounded components — any component change flips
-      // the digest, so the row is as discriminating as the vector.
+      // summarized as nnz + norm + two dimension-weighted moment
+      // digests Σ vᵢ·(i+1) and Σ vᵢ·(i+1)² — order-INdependent sums,
+      // which is what makes this entry ORACLE-checkable: the embed
+      // kernel is ±1 integer accumulation (exact in doubles) through
+      // a splitmix64 finalizer, and DuckDB re-derives the 64-bit
+      // wrapping multiplies in HUGEINT limb arithmetic (see the
+      // oracle), normalization included — acc·(1/√ss) is two IEEE
+      // roundings both engines perform identically. Any component
+      // change moves the moments, so the row stays as discriminating
+      // as the old xxhash64 digest without being engine-specific.
       Tables.documents(s, d).select(col("doc_id"),
         featureHashEmbed(lower(col("text")), 64).as("v"))
-        .withColumn("dim", size(col("v")).cast("long"))
-        .withColumn("norm_sq",
-          round(aggregate(transform(col("v"), x => x * x), lit(0.0d),
-            (a, x) => a + x), 6))
-        .withColumn("v_digest",
-          xxhash64(to_json(transform(col("v"), x => round(x, 6)))))
-        .select("doc_id", "dim", "norm_sq", "v_digest")
+        .select(col("doc_id"), lit(64L).as("dim"),
+          expr("CAST(size(filter(v, x -> x != 0D)) AS BIGINT)").as("nnz"),
+          round(expr("aggregate(v, 0D, (a, x) -> a + x * x)"), 6)
+            .as("norm_sq"),
+          round(expr(
+            "aggregate(zip_with(v, sequence(1, 64), (x, i) -> x * i)," +
+              " 0D, (a, x) -> a + x)"), 6).as("d1"),
+          round(expr(
+            "aggregate(zip_with(v, sequence(1, 64), (x, i) -> (x * i) * i)," +
+              " 0D, (a, x) -> a + x)"), 6).as("d2"))
     }),
 
     // ZIPF / VOCABULARY STATISTICS per language — the corpus-health
@@ -831,6 +841,82 @@ object TextQueries {
              i -> i * ord(substring(chunk, CAST(i AS INT), 1)))), 0) AS BIGINT)
              AS chunk_fp
          FROM c""",
+    // t17's embed re-derived ENTIRELY in SQL: the splitmix64 finalizer
+    // runs in HUGEINT limb arithmetic — a·b mod 2⁶⁴ splits a into
+    // 32-bit halves ((a%2³²)·b + ((a//2³²)·b % 2³²)·2³², all < 2⁹⁷,
+    // inside HUGEINT range), x ^= x >>> s round-trips through signed
+    // BIGINT for the xor (shift = integer division of the nonnegative
+    // u64 form). ±1 accumulation is exact in doubles; normalization
+    // acc·(1.0/sqrt(ss)) is the kernel's own two IEEE roundings; the
+    // moment digests are order-independent sums inside the checker's
+    // tolerance.
+    "t17_embed" ->
+      raw"""WITH docs AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '(?s).') AS cs
+           FROM documents),
+         tri AS (
+           SELECT doc_id,
+             CAST(unicode(cs[i]) AS HUGEINT) AS c0,
+             CAST(unicode(cs[i+1]) AS HUGEINT) AS c1,
+             CAST(unicode(cs[i+2]) AS HUGEINT) AS c2
+           FROM docs, UNNEST(range(1, len(cs) - 1)) AS t(i)
+           WHERE len(cs) >= 3),
+         s1 AS (SELECT doc_id,
+           (c0 * 11400714819323198485::HUGEINT
+            + c1 * 14029467366897019727::HUGEINT + c2)
+             % 18446744073709551616::HUGEINT AS h0 FROM tri),
+         s2 AS (SELECT doc_id,
+           CASE WHEN x2 < 0 THEN CAST(x2 AS HUGEINT) + 18446744073709551616::HUGEINT
+                ELSE CAST(x2 AS HUGEINT) END AS h1
+           FROM (SELECT doc_id, xor(
+             CAST(CASE WHEN h0 >= 9223372036854775808::HUGEINT
+                  THEN h0 - 18446744073709551616::HUGEINT ELSE h0 END AS BIGINT),
+             CAST(h0 // 1073741824 AS BIGINT)) AS x2 FROM s1)),
+         s3 AS (SELECT doc_id,
+           (((h1 % 4294967296) * 13787848793156543929::HUGEINT)
+            + (((h1 // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296)
+              * 4294967296)
+            % 18446744073709551616::HUGEINT AS h2 FROM s2),
+         s4 AS (SELECT doc_id,
+           CASE WHEN x4 < 0 THEN CAST(x4 AS HUGEINT) + 18446744073709551616::HUGEINT
+                ELSE CAST(x4 AS HUGEINT) END AS h3
+           FROM (SELECT doc_id, xor(
+             CAST(CASE WHEN h2 >= 9223372036854775808::HUGEINT
+                  THEN h2 - 18446744073709551616::HUGEINT ELSE h2 END AS BIGINT),
+             CAST(h2 // 134217728 AS BIGINT)) AS x4 FROM s3)),
+         s5 AS (SELECT doc_id,
+           (((h3 % 4294967296) * 10723151780598845931::HUGEINT)
+            + (((h3 // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296)
+              * 4294967296)
+            % 18446744073709551616::HUGEINT AS h4 FROM s4),
+         s6 AS (SELECT doc_id,
+           CASE WHEN x6 < 0 THEN CAST(x6 AS HUGEINT) + 18446744073709551616::HUGEINT
+                ELSE CAST(x6 AS HUGEINT) END AS h5
+           FROM (SELECT doc_id, xor(
+             CAST(CASE WHEN h4 >= 9223372036854775808::HUGEINT
+                  THEN h4 - 18446744073709551616::HUGEINT ELSE h4 END AS BIGINT),
+             CAST(h4 // 2147483648 AS BIGINT)) AS x6 FROM s5)),
+         feats AS (SELECT doc_id,
+           CAST((h5 // 2) % 64 AS INT) AS idx,
+           CASE WHEN h5 % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM s6),
+         acc AS (SELECT doc_id, idx, CAST(SUM(sgn) AS DOUBLE) AS a
+                 FROM feats GROUP BY 1, 2),
+         nz AS (SELECT doc_id, idx, a FROM acc WHERE a <> 0),
+         ss AS (SELECT doc_id, SUM(a * a) AS raw_ss, COUNT(*) AS nnz
+                FROM nz GROUP BY 1),
+         dig AS (SELECT nz.doc_id,
+             SUM((nz.a * (1.0 / sqrt(ss.raw_ss))) * (nz.idx + 1)) AS d1,
+             SUM(((nz.a * (1.0 / sqrt(ss.raw_ss))) * (nz.idx + 1)) * (nz.idx + 1)) AS d2
+           FROM nz JOIN ss ON nz.doc_id = ss.doc_id GROUP BY 1)
+         SELECT d.doc_id, CAST(64 AS BIGINT) AS dim,
+           COALESCE(ss.nnz, 0) AS nnz,
+           CAST(CASE WHEN ss.doc_id IS NULL THEN 0.0 ELSE 1.0 END AS DOUBLE)
+             AS norm_sq,
+           ROUND(CAST(COALESCE(dig.d1, 0.0) AS DOUBLE), 6) AS d1,
+           ROUND(CAST(COALESCE(dig.d2, 0.0) AS DOUBLE), 6) AS d2
+         FROM docs d
+         LEFT JOIN ss ON d.doc_id = ss.doc_id
+         LEFT JOIN dig ON d.doc_id = dig.doc_id""",
     "t19_zipf_vocab" ->
       raw"""WITH toks AS (
            SELECT lang,
