@@ -1302,6 +1302,59 @@ object OlapQueries {
         .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
           col("n_orders"), col("active_today"), col("active_7d"),
           col("new_customers"), col("cum_customers"))
+    }),
+
+    // TEMPORAL INTERVAL ALIGNMENT (the bitemporal join surface):
+    // overlay two per-user interval sets — SCD2 state intervals
+    // (q34's shape, closed rows only) × activity sessions (st2's
+    // 30-minute-gap shape) — emitting each intersected segment with
+    // its exact microsecond overlap: "which states did the user hold
+    // during each session, and for how long". The join is user-keyed
+    // EQUI (both interval derivations and the align reuse the same
+    // user exchange); the overlap predicate filters within a user,
+    // where interval counts are event-bounded — per-user pair cost is
+    // states×sessions of ONE user, never cross-user. Unbounded
+    // per-key interval sets would move to q30's banded time-bucket
+    // join; at this grain the equi-key carries it. Overlap bounds:
+    // state intervals are half-open [from, to), sessions closed
+    // [start, end]; a session point INSIDE a state yields the
+    // zero-length segment (overlap_us = 0), which is kept — "the
+    // state held when the user appeared" is the question asked.
+    "q57_interval_align" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val wUser = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val states = ev
+        .withColumn("to_ts", lead("ts", 1).over(wUser))
+        .filter(col("to_ts").isNotNull)
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("s_from"), col("to_ts").as("s_to"))
+      val flagged = ev
+        .withColumn("prev_ts", lag("ts", 1).over(wUser))
+        // micros gap arithmetic — the sessionize convention (a
+        // seconds-truncating unix_timestamp would round boundary
+        // gaps differently than the oracle's epoch_us)
+        .withColumn("new_sess",
+          (col("prev_ts").isNull ||
+            (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) >
+              1800L * 1000000L).cast("long"))
+      val sessions = flagged
+        .withColumn("sess_idx", sum("new_sess").over(
+          wUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_idx")
+        .agg(min("ts").as("b_start"), max("ts").as("b_end"))
+      states.join(sessions, Seq("user_id"))
+        .filter(col("s_from") <= col("b_end") && col("b_start") < col("s_to"))
+        .withColumn("o_start", greatest(col("s_from"), col("b_start")))
+        .withColumn("o_end", least(col("s_to"), col("b_end")))
+        .filter(col("o_start") <= col("o_end"))
+        .select(col("user_id"), col("state"),
+          date_format(col("s_from"), "yyyy-MM-dd HH:mm:ss").as("state_from"),
+          date_format(col("b_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("o_start"), "yyyy-MM-dd HH:mm:ss").as("overlap_from"),
+          date_format(col("o_end"), "yyyy-MM-dd HH:mm:ss").as("overlap_to"),
+          (unix_micros(col("o_end")) - unix_micros(col("o_start")))
+            .as("overlap_us"))
     })
   )
 
@@ -1990,6 +2043,46 @@ object OlapQueries {
              OVER (ORDER BY daily.d) AS BIGINT) AS cum_customers
          FROM daily
          JOIN wau ON daily.d = wau.d
-         LEFT JOIN news ON daily.d = news.d"""
+         LEFT JOIN news ON daily.d = news.d""",
+    "q57_interval_align" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type,
+             CAST(ts AS TIMESTAMP) AS ts
+           FROM events),
+         states AS (
+           SELECT user_id, event_type AS state, ts AS s_from,
+             lead(ts) OVER w AS s_to
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         cs AS (SELECT * FROM states WHERE s_to IS NOT NULL),
+         flagged AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         sess AS (
+           SELECT user_id, sess_idx,
+             MIN(ts) AS b_start, MAX(ts) AS b_end
+           FROM (
+             SELECT *, SUM(new_sess) OVER
+               (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+             FROM flagged)
+           GROUP BY 1, 2),
+         al AS (
+           SELECT c.user_id, c.state, c.s_from, s.b_start,
+             GREATEST(c.s_from, s.b_start) AS o_start,
+             LEAST(c.s_to, s.b_end) AS o_end
+           FROM cs c JOIN sess s ON c.user_id = s.user_id
+           WHERE c.s_from <= s.b_end AND s.b_start < c.s_to)
+         SELECT user_id, state,
+           strftime(s_from, '%Y-%m-%d %H:%M:%S') AS state_from,
+           strftime(b_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(o_start, '%Y-%m-%d %H:%M:%S') AS overlap_from,
+           strftime(o_end, '%Y-%m-%d %H:%M:%S') AS overlap_to,
+           epoch_us(o_end) - epoch_us(o_start) AS overlap_us
+         FROM al WHERE o_start <= o_end"""
   )
 }

@@ -201,4 +201,20 @@ class EmptyInputSpec extends SparkSpec {
     assert(Multimodal.extractFeatures(spark, Multimodal.mediaTable(noDocs),
       new Jpeg.JpegCodec).count() == 0)
   }
+
+  test("third-session operators handle empty inputs") {
+    // OLS on nothing → no groups; on a single point → degenerate nulls
+    assert(Olap.olsByGroup(noDocs.select(col("lang"),
+      col("n_chars").as("x"), col("n_chars").as("y")),
+      Seq("lang"), col("x"), col("y")).count() == 0)
+    // phash variants / pairs over an empty corpus
+    assert(Phash.hashedVariants(spark, noDocs).count() == 0)
+    assert(Phash.phashPairs(
+      Seq.empty[(Long, Long)].toDF("doc_id", "phash")).count() == 0)
+    // streaming EWMA state machine over an empty event table
+    assert(graft.streaming.StreamingOps.ewmaFMGWS(spark, noEvents).count() == 0)
+    // spectrum codec over an empty media table
+    assert(Multimodal.extractFeatures(spark, Multimodal.mediaTable(noDocs),
+      new Multimodal.SpectrumCodec(64)).count() == 0)
+  }
 }

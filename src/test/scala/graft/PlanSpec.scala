@@ -563,6 +563,37 @@ class PlanSpec extends SparkSpec {
     assert(scans >= 3, s"expected >=3 cached-basket scans, got $scans:\n${p.take(1500)}")
   }
 
+  test("t19/q55: fits ride bounded heaps and sufficient statistics — no vocab sorts, no fact windows") {
+    // t19: top-100 terms come from the topkRows heap, never a
+    // vocabulary-wide row_number window (one task per language owning
+    // the whole freq≥2 vocab at web scale)
+    val p19 = plan("t19_zipf_vocab")
+    assert(!p19.contains("Window"), p19.take(2000))
+    assert(p19.contains("ObjectHashAggregate"), p19.take(2000))
+    // q55: dims broadcast into the one OLS sufficient-stats
+    // aggregate; nothing sorts, nothing windows
+    val p55 = plan("q55_ols_trend")
+    assert(p55.contains("BroadcastHashJoin"), p55.take(2000))
+    assert(!p55.contains("SortMergeJoin"), p55.take(2000))
+    assert(!p55.contains("Window"), p55.take(2000))
+  }
+
+  test("q56/d20: day-grain bitmap windows and id-keyed phash pair dedup") {
+    // q56: facts collapse to day-grain bitmap partials BEFORE any
+    // window — the bitmap aggregate (ObjectHashAggregate) is the only
+    // fact-sized operator
+    val p56 = plan("q56_rolling_distinct")
+    assert(p56.contains("ObjectHashAggregate"), p56.take(2000))
+    assert(p56.contains("bitmap_build"), p56.take(2000))
+    // d20: candidates from the (band_idx, band_val) equi-join; the
+    // pair-dedup exchange partitions on bare ids; hamming is the
+    // codegen'd bit_count
+    val p20 = plan("d20_phash_neardup")
+    assert(p20.contains("bit_count"), p20.take(2000))
+    assert(p20.contains("hashpartitioning(doc_a"), p20.take(2000))
+    assert(!p20.contains("CartesianProduct"), p20.take(2000))
+  }
+
   test("q1: aggregation runs inside whole-stage codegen") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     // AQE's pre-execution plan string hides codegen stages; ask for
