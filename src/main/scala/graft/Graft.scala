@@ -514,6 +514,24 @@ object Graft {
   def fuzzyNames(named: DataFrame, maxDist: Int = 2): DataFrame =
     operators.Dedup.fuzzyNames(named, maxDist)
 
+  /** Per-group OLS (slope/intercept/r²) from one sufficient-statistics
+    * aggregate — trend detection at fact scale (see
+    * [[operators.Olap.olsByGroup]]). */
+  def olsByGroup(df: DataFrame, groupCols: Seq[String],
+      x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): DataFrame =
+    operators.Olap.olsByGroup(df, groupCols, x, y)
+
+  /** All image pairs within `maxHamming` (≤ 3 — provably complete
+    * via 4×16-bit banding) of DCT-pHash distance (see
+    * [[operators.Phash.phashPairs]]). `hashed`: (doc_id, phash). */
+  def phashPairs(hashed: DataFrame, maxHamming: Int = 3): DataFrame =
+    operators.Phash.phashPairs(hashed, maxHamming)
+
+  /** 64-bit DCT perceptual hash of a 24-bpp BMP payload (see
+    * [[operators.Phash.phashBmp]]). */
+  def phashBmp(payload: Array[Byte], docId: Long = -1L): Long =
+    operators.Phash.phashBmp(payload, docId)
+
   /** Register graft's SQL functions + optimizer rule on a session. */
   def install(spark: SparkSession): Unit = GraftFunctions.register(spark)
 }

@@ -26,18 +26,31 @@ import org.apache.spark.sql.functions._
   */
 object Phash {
 
+  // cos(π(i+½)k/N) tables, one per transform length, computed once
+  // per JVM: the transform is O(n²) multiplies either way, but a
+  // cos() in the inner loop made it O(n²) LIBM CALLS per image —
+  // 650M trig evaluations across a 10k-image corpus, 25 s of the
+  // bench. The table turns that into pure fused multiply-adds.
+  private val cosCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+  private def cosTable(n: Int): Array[Array[Double]] =
+    cosCache.computeIfAbsent(n, m =>
+      Array.tabulate(m, m)((k, i) => math.cos(math.Pi * (i + 0.5) * k / m)))
+
   /** DCT-II of one row: X_k = Σ_n x_n · cos(π(n+½)k/N). Unnormalized —
     * the median threshold downstream is scale-invariant.
     */
   def dct1d(x: Array[Double]): Array[Double] = {
     val n = x.length
+    val t = cosTable(n)
     val out = new Array[Double](n)
     var k = 0
     while (k < n) {
+      val tk = t(k)
       var s = 0.0
       var i = 0
       while (i < n) {
-        s += x(i) * math.cos(math.Pi * (i + 0.5) * k / n)
+        s += x(i) * tk(i)
         i += 1
       }
       out(k) = s
