@@ -1279,10 +1279,14 @@ object OlapQueries {
     "q56_rolling_distinct" -> ((s, d) => {
       val ords = Tables.orders(s, d)
         .select(date_trunc("day", col("o_orderdate")).as("d"), col("o_custkey"))
+      // capacity sized to the customer dictionary (~15k keys at the
+      // largest gate SF, 9× headroom; out-of-domain keys fail loudly
+      // by the bitmap contract) — the window OR-merges 7 buffers per
+      // frame, so an oversized capacity multiplies pure merge traffic
       val daily = ords.groupBy("d")
         .agg(count(lit(1)).as("n_orders"),
           graft.functions.BitmapDistinctAggregate
-            .bitmapBuild(col("o_custkey"), 1 << 21).as("bm"))
+            .bitmapBuild(col("o_custkey"), 1 << 17).as("bm"))
         .withColumn("d_num",
           datediff(col("d"), lit("1992-01-01").cast("date")))
       val w7 = Window.orderBy("d_num").rangeBetween(-6, 0)
@@ -1297,7 +1301,7 @@ object OlapQueries {
         .withColumn("active_7d",
           graft.functions.BitmapDistinctAggregate.bitmapCardinality(
             graft.functions.BitmapDistinctAggregate
-              .bitmapMerge(col("bm"), 1 << 21).over(w7)))
+              .bitmapMerge(col("bm"), 1 << 17).over(w7)))
         .withColumn("cum_customers", sum("new_customers").over(wCum))
         .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
           col("n_orders"), col("active_today"), col("active_7d"),
@@ -1355,6 +1359,30 @@ object OlapQueries {
           date_format(col("o_end"), "yyyy-MM-dd HH:mm:ss").as("overlap_to"),
           (unix_micros(col("o_end")) - unix_micros(col("o_start")))
             .as("overlap_us"))
+    }),
+
+    // CUSTOM-CALENDAR ROLLUP (the fiscal-period surface): revenue
+    // over a July-start fiscal calendar — FY = calendar year + 1 from
+    // July, fiscal month 1 = July, quarters cut on the fiscal axis —
+    // rolled up FY → quarter → month with grouping_id labeling the
+    // level. The point is the calendar REMAP is row arithmetic
+    // (month/year extraction + floor-div), so a nonstandard calendar
+    // costs nothing at any scale: one map, one rollup lattice
+    // (q8's machinery), no calendar dimension join needed — though
+    // one CAN be materialized from this same arithmetic when BI tools
+    // want a conformed date dim.
+    "q58_fiscal_rollup" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("m", month(col("o_orderdate")))
+        .withColumn("fy",
+          (year(col("o_orderdate")) + when(col("m") >= 7, 1).otherwise(0))
+            .cast("long"))
+        .withColumn("fm", (pmod(col("m") - 7, lit(12)) + 1).cast("long"))
+        .withColumn("fq", (floor((col("fm") - 1) / 3) + 1).cast("long"))
+      o.rollup(col("fy"), col("fq"), col("fm"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n_orders"),
+          grouping_id().cast("long").as("lvl"))
     })
   )
 
@@ -2083,6 +2111,22 @@ object OlapQueries {
            strftime(o_start, '%Y-%m-%d %H:%M:%S') AS overlap_from,
            strftime(o_end, '%Y-%m-%d %H:%M:%S') AS overlap_to,
            epoch_us(o_end) - epoch_us(o_start) AS overlap_us
-         FROM al WHERE o_start <= o_end"""
+         FROM al WHERE o_start <= o_end""",
+    "q58_fiscal_rollup" ->
+      """WITH f AS (
+           SELECT o_totalprice,
+             CAST(year(o_orderdate)
+               + CASE WHEN month(o_orderdate) >= 7 THEN 1 ELSE 0 END
+               AS BIGINT) AS fy,
+             CAST(((month(o_orderdate) - 7) % 12 + 12) % 12 + 1
+               AS BIGINT) AS fm
+           FROM orders),
+         g AS (SELECT fy, fm, CAST((fm - 1) // 3 + 1 AS BIGINT) AS fq,
+                 o_totalprice FROM f)
+         SELECT fy, fq, fm,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders,
+           CAST(GROUPING(fy, fq, fm) AS BIGINT) AS lvl
+         FROM g GROUP BY ROLLUP (fy, fq, fm)"""
   )
 }

@@ -441,6 +441,36 @@ object TextQueries {
           col("n").as("fitted_terms"),
           round(-col("slope"), 6).as("zipf_alpha"),
           round(col("r2"), 6).as("fit_r2"))
+    }),
+
+    // READABILITY GATE (Flesch reading ease — the classic document-
+    // complexity score education/legal/content pipelines filter on,
+    // and a standard pretraining-mix signal): 206.835 − 1.015·(words/
+    // sentences) − 84.6·(syllables/words), with sentences = non-empty
+    // [.!?]+ segments (min 1) and syllables = vowel-group runs — the
+    // standard no-dictionary heuristic, computed IDENTICALLY by both
+    // engines so the score is exactly oracle-checkable. A pure narrow
+    // map: three regex counts per row, zero shuffles at any scale.
+    "t20_readability" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"), col("lang"),
+          greatest(lit(1L), expr(
+            """CAST(size(filter(split(text, '[.!?]+'), x -> trim(x) != ''))
+               AS BIGINT)""")).as("n_sentences"),
+          expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)")
+            .as("n_words"),
+          expr("CAST(regexp_count(lower(text), '[aeiouy]+') AS BIGINT)")
+            .as("n_syllables"))
+        .withColumn("flesch", round(
+          lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double")
+              / col("n_sentences").cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double")
+              / col("n_words").cast("double")), 3))
+        .withColumn("band",
+          when(round(col("flesch"), 9) >= 60.0, "easy")
+            .when(round(col("flesch"), 9) >= 30.0, "standard")
+            .otherwise("difficult"))
     })
   )
 
@@ -952,6 +982,30 @@ object TextQueries {
            ROUND(CASE WHEN vx <> 0 THEN -(dx / vx) END, 6) AS zipf_alpha,
            ROUND(CASE WHEN vx <> 0 AND vy <> 0
              THEN (dx * dx) / (vx * vy) END, 6) AS fit_r2
-         FROM fit JOIN stats ON fit.lang = stats.lang"""
+         FROM fit JOIN stats ON fit.lang = stats.lang""",
+    "t20_readability" ->
+      raw"""WITH m AS (
+           SELECT doc_id, lang,
+             GREATEST(1, len(list_filter(
+               regexp_split_to_array(text, '[.!?]+'),
+               x -> trim(x) <> ''))) AS n_sentences,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+           FROM documents),
+         f AS (
+           SELECT doc_id, lang,
+             CAST(n_sentences AS BIGINT) AS n_sentences,
+             CAST(n_words AS BIGINT) AS n_words,
+             CAST(n_syllables AS BIGINT) AS n_syllables,
+             ROUND(206.835
+               - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+               - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+               3) AS flesch
+           FROM m)
+         SELECT doc_id, lang, n_sentences, n_words, n_syllables, flesch,
+           CASE WHEN ROUND(flesch, 9) >= 60.0 THEN 'easy'
+                WHEN ROUND(flesch, 9) >= 30.0 THEN 'standard'
+                ELSE 'difficult' END AS band
+         FROM f"""
   )
 }
