@@ -831,6 +831,50 @@ object Dedup {
     * (complete within each label, quadratic per label — small inputs
     * or high-cardinality labels only; never the 100 TB path).
     */
+  /** SEMANTIC DECONTAMINATION: corpus documents whose embedding is
+    * within cosine `threshold` of ANY eval/benchmark vector — the
+    * embedding-space twin of [[decontaminate]]'s exact-gram screen
+    * (paraphrased leakage shares no 10-gram but lands nearby in
+    * embedding space). Same LCG-hyperplane blocking as
+    * [[embeddingNearDup]] but ASYMMETRIC (corpus × eval, no label
+    * restriction — leakage crosses tenants) and the eval side is
+    * benchmark-sized, so the bucket join probes a small set; the
+    * pair-dedup exchange carries bare (ids, cos). Emits the
+    * contamination REPORT at pair grain: (corpus_id, eval_id,
+    * cosine) — the drop list is `SELECT DISTINCT corpus_id`.
+    * Recall contract = embeddingNearDup's (LSH-approximate;
+    * exhaustive variant via nPlanes = 0).
+    */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      threshold: Double = 0.25, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
+    def prep(df: DataFrame) = df.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val c = prep(corpus)
+    val q = prep(evalSet)
+    if (nPlanes <= 0) {
+      return c.as("a").join(q.as("b"), lit(true))
+        .select(col("a.vec_id").as("corpus_id"), col("b.vec_id").as("eval_id"),
+          graft.functions.OptimizationFence.fence(
+            dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+        .filter(col("cos") >= threshold)
+        .select(col("corpus_id"), col("eval_id"), round(col("cos"), 6).as("cosine"))
+    }
+    def bucketed(df: DataFrame) = df
+      .withColumn("buckets",
+        graft.functions.NativeTextExpressions.lcgBuckets(col("v"), nPlanes, nTables))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    bucketed(c).as("a").join(bucketed(q).as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.vec_id").as("corpus_id"), col("b.vec_id").as("eval_id"),
+        graft.functions.OptimizationFence.fence(
+          dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .dropDuplicates("corpus_id", "eval_id")
+      .filter(col("cos") >= threshold)
+      .select(col("corpus_id"), col("eval_id"), round(col("cos"), 6).as("cosine"))
+  }
+
   def embeddingNearDup(emb: DataFrame, threshold: Double = 0.25,
       nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
     val e = emb.select(col("vec_id"), col("label"),

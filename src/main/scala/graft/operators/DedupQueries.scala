@@ -159,7 +159,21 @@ object DedupQueries {
     // (id, id, hash) rows. Hash upstream is a binary codec →
     // rows-only, exactness in the spec.
     "d20_phash_neardup" -> ((s, d) =>
-      Phash.phashPairs(Phash.hashedVariants(s, Tables.documents(s, d)), 3))
+      Phash.phashPairs(Phash.hashedVariants(s, Tables.documents(s, d)), 3)),
+    // SEMANTIC DECONTAMINATION: every 20th embedding plays the eval/
+    // benchmark set; corpus vectors within cosine 0.25 of any eval
+    // vector are reported at (corpus, eval) pair grain — the
+    // embedding-space twin of d8's exact-gram screen (paraphrased
+    // leakage shares no 10-gram but lands nearby in embedding space).
+    // d5's LCG-hyperplane blocking, asymmetric and cross-label; the
+    // integer-LCG planes are engine-independent, so DuckDB rebuilds
+    // identical buckets and the check is an exact hash match.
+    "d21_semantic_decontam" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Dedup.semanticDecontaminate(
+        emb.filter(pmod(col("vec_id"), lit(20)) =!= 0),
+        emb.filter(pmod(col("vec_id"), lit(20)) === 0))
+    })
   )
 
   /** Provenance overlap matrix — see the d9 entry.
@@ -586,6 +600,35 @@ object DedupQueries {
          FROM pairs p
          JOIN n x ON p.vec_a = x.vec_id
          JOIN n y ON p.vec_b = y.vec_id
+         WHERE list_sum(list_transform(list_zip(x.v, y.v), s -> s[1] * s[2]))
+               / (x.nrm * y.nrm) >= 0.25""",
+    "d21_semantic_decontam" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+           FROM e),
+         b AS (
+           SELECT vec_id, t.t AS tbl,
+             list_sum(list_transform(range(0, 4), p ->
+               CASE WHEN list_sum(list_transform(range(0, len(v)), d ->
+                      v[d + 1] * (((1103515245 * ((t.t * 4 + p) * 131 + d) + 12345)
+                                   % 2147483648) / 1073741824.0 - 1.0))) >= 0
+                    THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS bucket
+           FROM n, (SELECT unnest(range(0, 8)) AS t) t),
+         pairs AS (
+           SELECT DISTINCT a.vec_id AS corpus_id, b2.vec_id AS eval_id
+           FROM b a JOIN b b2
+             ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+           WHERE a.vec_id % 20 <> 0 AND b2.vec_id % 20 = 0)
+         SELECT p.corpus_id, p.eval_id,
+           ROUND(list_sum(list_transform(list_zip(x.v, y.v), s -> s[1] * s[2]))
+                 / (x.nrm * y.nrm), 6) AS cosine
+         FROM pairs p
+         JOIN n x ON p.corpus_id = x.vec_id
+         JOIN n y ON p.eval_id = y.vec_id
          WHERE list_sum(list_transform(list_zip(x.v, y.v), s -> s[1] * s[2]))
                / (x.nrm * y.nrm) >= 0.25""",
     // doc-level exact 10-token-span sharing; min owner all the way down

@@ -1064,6 +1064,44 @@ object StreamingQueries {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
          SELECT user_id, event_id, state, valid_from, valid_to
          FROM iv WHERE valid_to IS NOT NULL""",
+    // st18 in the gate's SINGLE-CLUSTER regime (d13's argument,
+    // streamed): the 400-vector corpus gives autoK = 1, where the
+    // k-means codebook provably cannot affect membership — every
+    // batch vector lands in the one cluster (id = min corpus vec_id)
+    // and classification is the exact argmax over the whole corpus,
+    // SQL-computable with d5's proven cosine parity. k > 1 blocking
+    // stays spec-covered; the exactly-once sink replay is spec-proven.
+    "st18_stream_semantic_dedup" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+           FROM e),
+         corpus AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+         batch AS (SELECT * FROM n WHERE vec_id % 5 = 0),
+         cid AS (SELECT MIN(vec_id) AS cluster_id FROM corpus),
+         pairs AS (
+           SELECT b.vec_id, c.vec_id AS corpus_id,
+             list_sum(list_transform(list_zip(b.v, c.v), s -> s[1] * s[2]))
+               / (b.nrm * c.nrm) AS cos
+           FROM batch b CROSS JOIN corpus c),
+         hits AS (
+           SELECT vec_id, corpus_id, cos, row_number() OVER
+             (PARTITION BY vec_id
+              ORDER BY ROUND(cos, 9) DESC, corpus_id ASC) AS rn
+           FROM pairs WHERE ROUND(cos, 9) >= 0.9),
+         best AS (
+           SELECT vec_id, corpus_id AS match_id, cos AS match_cos
+           FROM hits WHERE rn = 1)
+         SELECT b.vec_id, cid.cluster_id,
+           CASE WHEN best.match_id IS NULL THEN 'new'
+                ELSE 'semantic_dup_of_corpus' END AS status,
+           best.match_id,
+           ROUND(best.match_cos, 6) AS match_cos
+         FROM batch b CROSS JOIN cid
+         LEFT JOIN best ON b.vec_id = best.vec_id""",
     "st25_stream_ewma" ->
       """WITH RECURSIVE daily AS (
            SELECT event_type,
