@@ -845,31 +845,51 @@ object Dedup {
     * Recall contract = embeddingNearDup's (LSH-approximate;
     * exhaustive variant via nPlanes = 0).
     */
+  /** Shared LSH-cosine core for [[semanticDecontaminate]] and
+    * [[embeddingNearDup]]: (vec_id, v, nrm [, extras]) prep, the
+    * LCG-plane bucket explosion, and the FENCED cosine (computed
+    * before pair dedup so the dedup shuffle carries (id, id, cos),
+    * never two embedding arrays — the payload-diet discipline). The
+    * join topology and pair filters stay with each operator: they ARE
+    * the semantic difference (symmetric same-label self-join vs
+    * asymmetric corpus × eval).
+    */
+  private def prepVec(df: DataFrame, extras: Seq[String] = Nil): DataFrame =
+    df.select((Seq(col("vec_id")) ++ extras.map(col) :+
+      asDouble(col("embedding")).as("v")): _*)
+      .withColumn("nrm", norm(col("v")))
+
+  private def lshBucketed(prepped: DataFrame, nPlanes: Int, nTables: Int,
+      extras: Seq[String] = Nil): DataFrame =
+    prepped
+      .withColumn("buckets",
+        graft.functions.NativeTextExpressions.lcgBuckets(col("v"), nPlanes, nTables))
+      .select((Seq(col("vec_id")) ++ extras.map(col) ++
+        Seq(col("v"), col("nrm"),
+          posexplode(col("buckets")).as(Seq("tbl", "bucket")))): _*)
+
+  private def fencedCos(a: String, b: String): org.apache.spark.sql.Column =
+    graft.functions.OptimizationFence.fence(
+      dot(col(s"$a.v"), col(s"$b.v")) / (col(s"$a.nrm") * col(s"$b.nrm")))
+
   def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
       threshold: Double = 0.25, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
-    def prep(df: DataFrame) = df.select(col("vec_id"),
-      asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
-    val c = prep(corpus)
-    val q = prep(evalSet)
+    val c = prepVec(corpus)
+    val q = prepVec(evalSet)
     if (nPlanes <= 0) {
+      // exhaustive: benchmark-sized eval side → a legitimate
+      // broadcast nested loop; never the 100 TB path
       return c.as("a").join(q.as("b"), lit(true))
         .select(col("a.vec_id").as("corpus_id"), col("b.vec_id").as("eval_id"),
-          graft.functions.OptimizationFence.fence(
-            dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+          fencedCos("a", "b").as("cos"))
         .filter(col("cos") >= threshold)
         .select(col("corpus_id"), col("eval_id"), round(col("cos"), 6).as("cosine"))
     }
-    def bucketed(df: DataFrame) = df
-      .withColumn("buckets",
-        graft.functions.NativeTextExpressions.lcgBuckets(col("v"), nPlanes, nTables))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        posexplode(col("buckets")).as(Seq("tbl", "bucket")))
-    bucketed(c).as("a").join(bucketed(q).as("b"),
+    lshBucketed(c, nPlanes, nTables).as("a")
+      .join(lshBucketed(q, nPlanes, nTables).as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket"))
       .select(col("a.vec_id").as("corpus_id"), col("b.vec_id").as("eval_id"),
-        graft.functions.OptimizationFence.fence(
-          dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+        fencedCos("a", "b").as("cos"))
       .dropDuplicates("corpus_id", "eval_id")
       .filter(col("cos") >= threshold)
       .select(col("corpus_id"), col("eval_id"), round(col("cos"), 6).as("cosine"))
@@ -877,40 +897,28 @@ object Dedup {
 
   def embeddingNearDup(emb: DataFrame, threshold: Double = 0.25,
       nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
-    val e = emb.select(col("vec_id"), col("label"),
-      asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+    val e = prepVec(emb, extras = Seq("label"))
     if (nPlanes <= 0) {
       // exhaustive: every same-label pair compared exactly once
       return e.as("a").join(e.as("b"),
           col("a.label") === col("b.label") &&
           col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          graft.functions.OptimizationFence.fence(
-            dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+          fencedCos("a", "b").as("cos"))
         .filter(col("cos") >= threshold)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
     }
-    val eb = e
-      .withColumn("buckets",
-        graft.functions.NativeTextExpressions.lcgBuckets(col("v"), nPlanes, nTables))
-      .cache()
-    val buckets = eb.select(col("vec_id"), col("label"), col("v"), col("nrm"),
-      posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val buckets =
+      lshBucketed(e.cache(), nPlanes, nTables, extras = Seq("label"))
     buckets.as("a").join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
       .filter(col("a.label") === col("b.label"))
-      // compute the cosine BEFORE the pair dedup: a pair colliding in
-      // several tables re-evaluates the (cheap, deterministic) dot
-      // product per collision, but the dedup shuffle then carries only
-      // (id, id, cos) instead of both full embedding vectors — at
-      // scale the shuffle payload, not the arithmetic, is the cost.
-      // Fenced so the threshold filter can't inline the dot product
-      // and evaluate it twice (filter + projection).
+      // cosine BEFORE the pair dedup (see the shared-core note): the
+      // dedup shuffle carries (id, id, cos), never two arrays; fenced
+      // so the threshold filter can't inline + double-evaluate it
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        graft.functions.OptimizationFence.fence(
-          dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+        fencedCos("a", "b").as("cos"))
       // a pair can collide in several tables — count it once
       .dropDuplicates("vec_a", "vec_b")
       .filter(col("cos") >= threshold)

@@ -253,13 +253,17 @@ object Multimodal {
     require(nFft >= 2 && (nFft & (nFft - 1)) == 0,
       s"nFft must be a power of two: $nFft")
     override def decode(r: MediaRow): Array[Double] = {
-      val (sampleRate, _, samples) = wavPcm16(r.payload, r.doc_id)
+      val (sampleRate, channels, samples) = wavPcm16(r.payload, r.doc_id)
       val re = new Array[Double](nFft)
       val im = new Array[Double](nFft)
-      val n = math.min(nFft, samples.length)
+      // analyze channel 0 only: FFT-ing interleaved stereo as mono
+      // halves every tone's apparent frequency and mirrors it at
+      // Nyquist — silently wrong peaks (spec-pinned on stereo)
+      val step = math.max(1, channels)
+      val n = math.min(nFft, samples.length / step)
       var i = 0; var sumSq = 0.0
       while (i < n) {
-        val v = samples(i) / 32768.0
+        val v = samples(i * step) / 32768.0
         re(i) = v; sumSq += v * v; i += 1
       }
       Dsp.fft(re, im)

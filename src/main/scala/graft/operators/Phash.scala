@@ -127,7 +127,13 @@ object Phash {
     phashFromLuma(luma, w, h)
   }
 
-  /** Luma grid of a 24-bpp BMP payload (row-major, with dims). */
+  /** Luma grid of a 24-bpp BMP payload, row 0 = the TOP image row
+    * regardless of storage order (positive biHeight stores bottom-up,
+    * negative stores top-down). pHash is NOT flip-invariant, so
+    * normalizing orientation here is what makes the same image hash
+    * identically across the two encodings — a stats codec can abs()
+    * the height and ignore order; a perceptual hash cannot.
+    */
   def bmpLuma(b: Array[Byte], docId: Long): (Array[Double], Int, Int) = {
     def le16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
     def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
@@ -135,7 +141,9 @@ object Phash {
       s"doc $docId: not a BMP payload")
     val pixelOff = le32(10)
     val w = le32(18)
-    val h = math.abs(le32(22))
+    val rawH = le32(22)
+    val h = math.abs(rawH)
+    val topDown = rawH < 0
     require(w > 0 && h > 0 && le16(28) == 24 && le32(30) == 0,
       s"doc $docId: unsupported BMP variant")
     val stride = ((w * 3 + 3) / 4) * 4
@@ -144,9 +152,10 @@ object Phash {
     val luma = new Array[Double](w * h)
     var y = 0
     while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
       var x = 0
       while (x < w) {
-        val p = pixelOff + y * stride + x * 3
+        val p = pixelOff + srcRow * stride + x * 3
         luma(y * w + x) =
           ((b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)) / 3.0
         x += 1

@@ -281,9 +281,21 @@ object StreamingOps {
     * CLOSED days (every day but each type's last) and q54's oracle —
     * minus the σ band, which needs the full horizon a stream hasn't
     * seen — checks it verbatim, including days whose events straddle
-    * micro-batches (spec-proven via MemoryStream). Events for an
-    * already-closed day (below-watermark stragglers in production)
-    * are dropped, matching what a watermarked window would do.
+    * micro-batches (spec-proven via MemoryStream).
+    *
+    * LATENESS CONTRACT — ZERO allowed lateness across batches: a day
+    * closes the moment a later-day event for its type arrives, and
+    * any event for an already-closed day is DROPPED (spec-pinned).
+    * That is stricter than a watermarked window, which holds a window
+    * open for its configured delay — here a seconds-late arrival that
+    * crosses both a day and a micro-batch boundary undercounts its
+    * day. Within one batch the per-key sort makes arrival order
+    * irrelevant, so a bounded source in a single batch is exact. A
+    * production deployment feeds this from a WATERMARKED day-grain
+    * pre-aggregation (st12's shape) so ordering is guaranteed before
+    * the recurrence sees the counts; the state machine is
+    * deliberately order-strict rather than pretending to a tolerance
+    * four scalars cannot honor without buffering.
     */
   def ewmaFMGWS(spark: SparkSession,
       events: DataFrame): org.apache.spark.sql.Dataset[EwmaOut] = {
@@ -417,8 +429,9 @@ object StreamingOpsSinks {
   def streamSemanticDedupToParquet(spark: SparkSession, corpusEmb: DataFrame,
       streamDir: String, schema: org.apache.spark.sql.types.StructType,
       outDir: String, checkpointDir: String, tau: Double = 0.9,
-      maxFilesPerTrigger: Int = 1): Unit = {
-    val (centroids, idx) = graft.operators.Similarity.semanticIndex(corpusEmb)
+      maxFilesPerTrigger: Int = 1, targetClusterSize: Int = 1000): Unit = {
+    val (centroids, idx) =
+      graft.operators.Similarity.semanticIndex(corpusEmb, targetClusterSize)
     val cent = centroids.localCheckpoint()
     val index = idx.localCheckpoint()
     val stream = spark.readStream.schema(schema)
@@ -857,8 +870,14 @@ object StreamingQueries {
         .createTempDirectory("graft_sem_ckpt").toString
       val partsWas = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
+      // targetClusterSize pins the SINGLE-CLUSTER regime (autoK = 1)
+      // at every gate SF BY CONFIGURATION, not by corpus-size
+      // accident — the exact-oracle argument below requires it, and
+      // sf0.1's 1600-vector corpus would otherwise tip to k = 2.
+      // k > 1 blocking stays spec-covered in SimilaritySpec.
       try StreamingOpsSinks.streamSemanticDedupToParquet(
-        s, corpusEmb, dir, schema, out, ckpt, tau = 0.9)
+        s, corpusEmb, dir, schema, out, ckpt, tau = 0.9,
+        targetClusterSize = 100000)
       finally s.conf.set("spark.sql.shuffle.partitions", partsWas)
       s.read.parquet(out)
         .select("vec_id", "cluster_id", "status", "match_id", "match_cos")

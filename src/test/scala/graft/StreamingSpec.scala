@@ -297,6 +297,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState EWMA: zero-lateness contract — a cross-batch late event for a closed day drops") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ev(id: Long, ts: String) = StreamingOps.EvT(
+      id, java.sql.Timestamp.from(java.time.Instant.parse(ts)), 1L, "click")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[StreamingOps.EvT]
+    val q = StreamingOps.ewmaFMGWS(spark, ms.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ewma_late").start()
+    try {
+      // batch 1 ends inside day 2; batch 2 opens with a seconds-late
+      // day-1 straggler (must DROP — day 1 closed at the first day-2
+      // event) then finishes day 2 and opens day 3
+      ms.addData(Seq(ev(1, "2024-03-01T10:00:00Z"), ev(2, "2024-03-01T11:00:00Z"),
+        ev(3, "2024-03-02T00:00:05Z")))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(4, "2024-03-01T23:59:59Z"), // late: dropped
+        ev(5, "2024-03-02T12:00:00Z"), ev(6, "2024-03-03T01:00:00Z")))
+      q.processAllAvailable()
+      val got = spark.table("ewma_late").collect()
+        .map(r => r.getAs[String]("day") -> r.getAs[Long]("n_events")).toMap
+      // day 1 emitted with its PRE-close count (2, not 3); day 2
+      // counted across batches (events 3 and 5)
+      assert(got == Map("2024-03-01" -> 2L, "2024-03-02" -> 2L), got.toString)
+    } finally q.stop()
+  }
+
   test("streamToParquet: durable file sink with checkpoint equals the batch filter") {
     val dir = java.nio.file.Files.createTempDirectory("events_sink_src")
     java.nio.file.Files.createSymbolicLink(

@@ -872,6 +872,56 @@ class TextMultimodalSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("Phash: top-down and bottom-up encodings of the same image hash identically") {
+    import graft.operators.Phash
+    // synthSmoothBmp emits positive-height (bottom-up) BMPs; build
+    // the top-down twin by negating biHeight and reversing row order
+    val w = 21; val h = 17
+    val src = Array.tabulate[Byte](64)(i => ((i * 89 + 5) & 0xff).toByte)
+    val up = Phash.synthSmoothBmp(w, h, src)
+    val down = up.clone()
+    // biHeight := -h (little-endian int32 at offset 22)
+    val neg = -h
+    down(22) = (neg & 0xff).toByte; down(23) = ((neg >> 8) & 0xff).toByte
+    down(24) = ((neg >> 16) & 0xff).toByte; down(25) = ((neg >> 24) & 0xff).toByte
+    val stride = ((w * 3 + 3) / 4) * 4
+    for (y <- 0 until h)
+      System.arraycopy(up, 54 + (h - 1 - y) * stride, down, 54 + y * stride, stride)
+    assert(Phash.phashBmp(up, 1L) == Phash.phashBmp(down, 2L),
+      "orientation must be normalized — pHash is not flip-invariant")
+    // and the grids themselves agree, row for row
+    val (lu, _, _) = Phash.bmpLuma(up, 1L)
+    val (ld, _, _) = Phash.bmpLuma(down, 2L)
+    assert(lu.sameElements(ld))
+  }
+
+  test("SpectrumCodec: stereo payloads analyze channel 0, not interleaved mono") {
+    import graft.operators.Multimodal
+    val nFft = 512
+    val bin = 25
+    // stereo: L = bin-aligned tone, R = silence; interleave manually
+    val mono = Array.tabulate[Short](nFft)(i =>
+      (0.5 * 32767.0 * math.sin(2.0 * math.Pi * bin * i / nFft)).toShort)
+    val stereo = new Array[Short](nFft * 2)
+    for (i <- 0 until nFft) stereo(i * 2) = mono(i)
+    // hand-build a 2-channel RIFF header (synthWav is mono-only)
+    val n = stereo.length
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(8000)
+      .putInt(8000 * 4).putShort(4).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(2 * n)
+    stereo.foreach(bb.putShort)
+    val f = new Multimodal.SpectrumCodec(nFft)
+      .decode(Multimodal.MediaRow(1L, bb.array(), "audio/wav", 0, 0))
+    // interleaved-as-mono would halve the apparent frequency; channel-0
+    // analysis sees the true bin
+    assert(f(1) == bin.toDouble, s"peak bin ${f(1)} != $bin")
+  }
+
   test("t19: heap-ranked zipf fit equals a window-ranked recount across a tied cutoff") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
