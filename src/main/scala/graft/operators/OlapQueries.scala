@@ -1383,6 +1383,52 @@ object OlapQueries {
         .agg(round(sum("o_totalprice"), 2).as("revenue"),
           count(lit(1)).as("n_orders"),
           grouping_id().cast("long").as("lvl"))
+    }),
+
+    // A/B TEST ANALYSIS (the experimentation surface): users split
+    // into variants by a DETERMINISTIC LCG assignment hash (the p2
+    // discipline — rand() re-rolls under retries and is engine-
+    // specific; integer arithmetic is neither), conversion = the user
+    // ever purchased, and the readout is the two-proportion z-test
+    // with the pooled-variance denominator. Scale shape: one
+    // user-grain aggregate (conversion flags fold with max), one
+    // 2-row variant aggregate, and the z arithmetic runs on a
+    // 1-row × 1-row broadcast cross — nothing fact-sized past the
+    // first exchange at any scale.
+    "q59_ab_test" -> ((s, d) => {
+      // conversion = a high-value purchase (≥ 180), not "any
+      // purchase" — on this corpus every user purchases, and a
+      // degenerate pooled rate of 1 has no variance to test
+      val users = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") >= 180.0, 1L).otherwise(0L))
+          .as("converted"))
+        .withColumn("variant",
+          when((col("user_id") * 1103515245L + 12345L) % 2147483648L % 2 === 0,
+            "A").otherwise("B"))
+      val v = users.groupBy("variant")
+        .agg(count(lit(1)).as("n_users"), sum("converted").as("conversions"))
+      val a = v.filter(col("variant") === "A")
+        .select(col("n_users").as("n_a"), col("conversions").as("c_a"))
+      val b = v.filter(col("variant") === "B")
+        .select(col("n_users").as("n_b"), col("conversions").as("c_b"))
+      a.crossJoin(b)
+        .withColumn("rate_a", col("c_a").cast("double") / col("n_a"))
+        .withColumn("rate_b", col("c_b").cast("double") / col("n_b"))
+        .withColumn("p_pool",
+          (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b")))
+        .withColumn("z_stat",
+          when(col("p_pool") > 0.0 && col("p_pool") < 1.0,
+            (col("rate_a") - col("rate_b")) /
+              sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+                (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))))
+        .select(col("n_a"), col("c_a"), round(col("rate_a"), 6).as("rate_a"),
+          col("n_b"), col("c_b"), round(col("rate_b"), 6).as("rate_b"),
+          round(col("rate_a") - col("rate_b"), 6).as("lift"),
+          round(col("z_stat"), 6).as("z_stat"),
+          coalesce(round(abs(col("z_stat")), 9) > 1.96, lit(false))
+            .as("significant"))
     })
   )
 
@@ -2127,6 +2173,40 @@ object OlapQueries {
            ROUND(SUM(o_totalprice), 2) AS revenue,
            COUNT(*) AS n_orders,
            CAST(GROUPING(fy, fq, fm) AS BIGINT) AS lvl
-         FROM g GROUP BY ROLLUP (fy, fq, fm)"""
+         FROM g GROUP BY ROLLUP (fy, fq, fm)""",
+    "q59_ab_test" ->
+      """WITH u AS (
+           SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 180.0
+                      THEN 1 ELSE 0 END) AS converted,
+             CASE WHEN (user_id * 1103515245 + 12345) % 2147483648 % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant
+           FROM events GROUP BY user_id),
+         v AS (
+           SELECT variant, COUNT(*) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS conversions
+           FROM u GROUP BY variant),
+         a AS (SELECT n_users AS n_a, conversions AS c_a
+               FROM v WHERE variant = 'A'),
+         b AS (SELECT n_users AS n_b, conversions AS c_b
+               FROM v WHERE variant = 'B'),
+         j AS (
+           SELECT n_a, c_a, n_b, c_b,
+             CAST(c_a AS DOUBLE) / n_a AS rate_a,
+             CAST(c_b AS DOUBLE) / n_b AS rate_b,
+             CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) AS p_pool
+           FROM a CROSS JOIN b),
+         z AS (
+           SELECT *, CASE WHEN p_pool > 0.0 AND p_pool < 1.0 THEN
+             (rate_a - rate_b) /
+               sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_a + 1.0 / n_b))
+             END AS z_stat
+           FROM j)
+         SELECT n_a, c_a, ROUND(rate_a, 6) AS rate_a,
+           n_b, c_b, ROUND(rate_b, 6) AS rate_b,
+           ROUND(rate_a - rate_b, 6) AS lift,
+           ROUND(z_stat, 6) AS z_stat,
+           COALESCE(ROUND(ABS(z_stat), 9) > 1.96, false) AS significant
+         FROM z"""
   )
 }
