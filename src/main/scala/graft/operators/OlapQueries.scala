@@ -1429,6 +1429,37 @@ object OlapQueries {
           round(col("z_stat"), 6).as("z_stat"),
           coalesce(round(abs(col("z_stat")), 9) > 1.96, lit(false))
             .as("significant"))
+    }),
+
+    // PERIOD-OVER-PERIOD GROWTH (the MoM/YoY board metric): monthly
+    // revenue per region with month-over-month and year-over-year
+    // percent change via lag windows AT MONTH GRAIN — the windows run
+    // over regions × months rows (domain-bounded at any fact scale;
+    // the only fact-sized operator is the first aggregate). YoY lags
+    // 12 ROWS within a region, valid because the month grid is dense
+    // per region here; a gappy calendar would join on (region,
+    // month − 12) instead — the q56 range-vs-rows lesson.
+    "q60_pop_growth" -> ((s, d) => {
+      val monthly = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
+            .as("month"))
+        .agg(sum("o_totalprice").as("rev"))
+      val w = Window.partitionBy("r_name").orderBy("month")
+      monthly
+        .withColumn("prev_m", lag("rev", 1).over(w))
+        .withColumn("prev_y", lag("rev", 12).over(w))
+        .select(col("r_name"), col("month"), round(col("rev"), 2).as("revenue"),
+          round((col("rev") - col("prev_m")) / col("prev_m") * 100.0, 4)
+            .as("mom_pct"),
+          round((col("rev") - col("prev_y")) / col("prev_y") * 100.0, 4)
+            .as("yoy_pct"))
     })
   )
 
@@ -2207,6 +2238,26 @@ object OlapQueries {
            ROUND(rate_a - rate_b, 6) AS lift,
            ROUND(z_stat, 6) AS z_stat,
            COALESCE(ROUND(ABS(z_stat), 9) > 1.96, false) AS significant
-         FROM z"""
+         FROM z""",
+    "q60_pop_growth" ->
+      """WITH monthly AS (
+           SELECT r_name, strftime(date_trunc('month', o_orderdate), '%Y-%m')
+               AS month,
+             SUM(o_totalprice) AS rev
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY 1, 2),
+         lagged AS (
+           SELECT r_name, month, rev,
+             lag(rev, 1) OVER w AS prev_m,
+             lag(rev, 12) OVER w AS prev_y
+           FROM monthly
+           WINDOW w AS (PARTITION BY r_name ORDER BY month))
+         SELECT r_name, month, ROUND(rev, 2) AS revenue,
+           ROUND((rev - prev_m) / prev_m * 100.0, 4) AS mom_pct,
+           ROUND((rev - prev_y) / prev_y * 100.0, 4) AS yoy_pct
+         FROM lagged"""
   )
 }
