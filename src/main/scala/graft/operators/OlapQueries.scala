@@ -1460,6 +1460,67 @@ object OlapQueries {
             .as("mom_pct"),
           round((col("rev") - col("prev_y")) / col("prev_y") * 100.0, 4)
             .as("yoy_pct"))
+    }),
+
+    // HOLT LINEAR-TREND FORECASTING — the third member of the
+    // monitoring triad (q53 CUSUM detects drift, q54 EWMA tracks
+    // level; Holt adds a TREND state so the one-step-ahead forecast
+    // anticipates a ramp instead of trailing it): per event type over
+    // daily volumes, level_t = α·c_t + (1−α)·(level + trend),
+    // trend_t = β·(level_t − level_{t−1}) + (1−β)·trend, forecast for
+    // t+1 = level_t + trend_t. α = 0.5, β = 0.25 (dyadic) keep the
+    // double recurrence bit-reproducible against the recursive-CTE
+    // oracle; seeding is level₁ = c₁ with the trend seeded from the
+    // first level change (level₂ − level₁) inside the first real
+    // step. Same (type, DAY) grain fold as q53/q54 — horizon-bounded
+    // at any fact scale; day 1 has no forecast and is not emitted.
+    "q61_holt_forecast" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).cast("double").as("c"))
+      val series = daily
+        .groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("xs"))
+      val folded = series.withColumn("fold", expr(
+        """aggregate(slice(xs, 2, size(xs) - 1),
+             named_struct(
+               'lv', CAST(element_at(xs, 1).c AS DOUBLE),
+               'tr', CAST(0.0 AS DOUBLE), 'fst', true,
+               'lvs', CAST(array() AS ARRAY<DOUBLE>),
+               'trs', CAST(array() AS ARRAY<DOUBLE>),
+               'fcs', CAST(array() AS ARRAY<DOUBLE>)),
+             (st, x) -> named_struct(
+               'lv', CASE WHEN st.fst THEN 0.5D * x.c + 0.5D * st.lv
+                     ELSE 0.5D * x.c + 0.5D * (st.lv + st.tr) END,
+               'tr', CASE WHEN st.fst
+                     THEN (0.5D * x.c + 0.5D * st.lv) - st.lv
+                     ELSE 0.25D * ((0.5D * x.c + 0.5D * (st.lv + st.tr))
+                                   - st.lv) + 0.75D * st.tr END,
+               'fst', false,
+               'lvs', concat(st.lvs, array(
+                 CASE WHEN st.fst THEN 0.5D * x.c + 0.5D * st.lv
+                 ELSE 0.5D * x.c + 0.5D * (st.lv + st.tr) END)),
+               'trs', concat(st.trs, array(
+                 CASE WHEN st.fst
+                 THEN (0.5D * x.c + 0.5D * st.lv) - st.lv
+                 ELSE 0.25D * ((0.5D * x.c + 0.5D * (st.lv + st.tr))
+                               - st.lv) + 0.75D * st.tr END)),
+               'fcs', concat(st.fcs, array(st.lv + st.tr))),
+             st -> st)"""))
+        .select(col("event_type"), col("xs"),
+          col("fold.lvs").as("lvs"), col("fold.trs").as("trs"),
+          col("fold.fcs").as("fcs"))
+      folded
+        .select(col("event_type"),
+          explode(arrays_zip(expr("slice(xs, 2, size(xs) - 1)").as("xs"),
+            col("lvs"), col("trs"), col("fcs"))).as("z"))
+        .select(col("event_type"),
+          date_format(col("z.xs.d"), "yyyy-MM-dd").as("day"),
+          col("z.xs.c").cast("long").as("n_events"),
+          round(col("z.lvs"), 6).as("level"),
+          round(col("z.trs"), 6).as("trend"),
+          round(col("z.fcs"), 6).as("forecast"),
+          round(col("z.xs.c") - col("z.fcs"), 6).as("forecast_err"))
     })
   )
 
@@ -2258,6 +2319,39 @@ object OlapQueries {
          SELECT r_name, month, ROUND(rev, 2) AS revenue,
            ROUND((rev - prev_m) / prev_m * 100.0, 4) AS mom_pct,
            ROUND((rev - prev_y) / prev_y * 100.0, 4) AS yoy_pct
-         FROM lagged"""
+         FROM lagged""",
+    "q61_holt_forecast" ->
+      """WITH RECURSIVE daily AS (
+           SELECT event_type,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS c
+           FROM events GROUP BY 1, 2),
+         idx AS (
+           SELECT daily.*, row_number() OVER
+             (PARTITION BY event_type ORDER BY d) AS rn
+           FROM daily),
+         rec AS (
+           SELECT i.event_type, i.rn, i.d, i.c,
+             i.c AS lv, CAST(0.0 AS DOUBLE) AS tr,
+             CAST(NULL AS DOUBLE) AS fc, true AS fst
+           FROM idx i WHERE i.rn = 1
+           UNION ALL
+           SELECT i.event_type, i.rn, i.d, i.c,
+             CASE WHEN r.fst THEN 0.5 * i.c + 0.5 * r.lv
+                  ELSE 0.5 * i.c + 0.5 * (r.lv + r.tr) END,
+             CASE WHEN r.fst THEN (0.5 * i.c + 0.5 * r.lv) - r.lv
+                  ELSE 0.25 * ((0.5 * i.c + 0.5 * (r.lv + r.tr)) - r.lv)
+                       + 0.75 * r.tr END,
+             r.lv + r.tr,
+             false
+           FROM rec r JOIN idx i
+             ON i.event_type = r.event_type AND i.rn = r.rn + 1)
+         SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           CAST(c AS BIGINT) AS n_events,
+           ROUND(lv, 6) AS level,
+           ROUND(tr, 6) AS trend,
+           ROUND(fc, 6) AS forecast,
+           ROUND(c - fc, 6) AS forecast_err
+         FROM rec WHERE rn >= 2"""
   )
 }

@@ -161,6 +161,36 @@ class BasketPathFuzzySpec extends SparkSpec {
     assert(out("2024-03-15")._1 > out("2024-03-11")._1)
   }
 
+  test("q61 on a planted linear ramp: level/trend/forecast match hand-folded Holt exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("holt").toString
+    // daily counts 10, 12, 14, 16 — a clean +2/day ramp
+    val counts = Seq(10, 12, 14, 16)
+    val rows = for {
+      (n, di) <- counts.zipWithIndex
+      i <- 1 to n
+    } yield (1000L * (di + 1) + i, f"2024-04-${di + 1}%02d 09:00:${i % 60}%02d",
+      i.toLong, "click")
+    rows.toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .withColumn("value", lit(1.0))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q61_holt_forecast")(spark, dir)
+      .collect().map(r => r.getAs[String]("day") ->
+        ((r.getAs[Double]("level"), r.getAs[Double]("trend"),
+          r.getAs[Double]("forecast"), r.getAs[Double]("forecast_err")))).toMap
+    // hand fold (α=.5, β=.25): l₁=10, tr seeds from level change
+    // day2: lv=11, tr=1, fc=10, err=2
+    // day3: lv=.5·14+.5·12=13, tr=.25·2+.75·1=1.25, fc=12, err=2
+    // day4: lv=.5·16+.5·14.25=15.125, tr=.25·2.125+.75·1.25=1.46875,
+    //       fc=14.25, err=1.75
+    assert(out("2024-04-02") == ((11.0, 1.0, 10.0, 2.0)))
+    assert(out("2024-04-03") == ((13.0, 1.25, 12.0, 2.0)))
+    assert(out("2024-04-04") == ((15.125, 1.46875, 14.25, 1.75)))
+    assert(!out.contains("2024-04-01"), "day 1 has no forecast")
+  }
+
   test("d18 on a name fixture: shared-token candidates within distance; row counts attach") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("fuzzy").toString
