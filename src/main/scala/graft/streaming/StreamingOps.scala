@@ -128,6 +128,8 @@ object StreamingOps {
     last_touch_id: Long, last_touch_type: String)
   case class EwmaOut(event_type: String, day: String, n_events: Long,
     ewma: Double, resid: Double)
+  case class HoltOut(event_type: String, day: String, n_events: Long,
+    level: Double, trend: Double, forecast: Double, forecast_err: Double)
   case class Scd2Out(user_id: Long, event_id: Long, state: String,
     valid_from: String, valid_to: String)
 
@@ -334,6 +336,70 @@ object StreamingOps {
             // d < curDay: below-watermark straggler — dropped
           }
           state.update((curDay, cnt, ew, seeded))
+          out.iterator
+      }
+  }
+
+  /** STREAMING HOLT FORECAST (q61 as a continuous process): st25's
+    * day-close state machine carrying the level+trend DOUBLE
+    * recurrence — per event type the state is SIX scalars (open day,
+    * count, level, trend, phase, —) and a day's point (level, trend,
+    * the forecast made for it, forecast error) emits exactly once
+    * when a later-day event closes it. Seeding mirrors q61: the first
+    * closed day only seeds the level (q61 emits nothing for day 1),
+    * the second seeds the trend from the first level change. Same
+    * ZERO-lateness contract as [[ewmaFMGWS]] (see its scaladoc); the
+    * oracle is q61's recursive CTE restricted to closed days.
+    */
+  def holtFMGWS(spark: SparkSession,
+      events: DataFrame): org.apache.spark.sql.Dataset[HoltOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val dayFmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    dayFmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    events.select(col("event_id"), col("ts"), lit(0L).as("user_id"),
+        col("event_type")).as[EvT]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Long, Long, Double, Double, Int), HoltOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (ty: String, it: Iterator[EvT],
+            state: GroupState[(Long, Long, Double, Double, Int)]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000
+          val evs = it.toIndexedSeq.sortBy(e => (micros(e.ts), e.event_id))
+          // phase: 0 = nothing closed, 1 = level seeded, 2 = trend live
+          var (curDay, cnt, lv, tr, phase) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0.0, 0.0, 0))
+          val out = scala.collection.mutable.Buffer[HoltOut]()
+          def closeDay(): Unit = {
+            val c = cnt.toDouble
+            if (phase == 0) { lv = c; tr = 0.0; phase = 1 }
+            else {
+              val fc = lv + tr
+              val newLv =
+                if (phase == 1) 0.5 * c + 0.5 * lv
+                else 0.5 * c + 0.5 * (lv + tr)
+              tr =
+                if (phase == 1) newLv - lv
+                else 0.25 * (newLv - lv) + 0.75 * tr
+              lv = newLv
+              phase = 2
+              out += HoltOut(ty,
+                dayFmt.format(new java.util.Date(curDay * 86400000L)),
+                cnt, round6(lv), round6(tr), round6(fc), round6(c - fc))
+            }
+          }
+          evs.foreach { e =>
+            val d = Math.floorDiv(micros(e.ts), 86400000000L)
+            if (curDay == Long.MinValue) { curDay = d; cnt = 1L }
+            else if (d == curDay) cnt += 1L
+            else if (d > curDay) { closeDay(); curDay = d; cnt = 1L }
+            // d < curDay: below the zero-lateness contract — dropped
+          }
+          state.update((curDay, cnt, lv, tr, phase))
           out.iterator
       }
   }
@@ -637,6 +703,12 @@ object StreamingQueries {
     // consumer's choice of control limits)
     "st25_stream_ewma" -> ((s, d) =>
       StreamingOps.ewmaFMGWS(s, Tables.events(s, d)).toDF()),
+    // custom-state HOLT FORECAST (q61 streamed): st25's day-close
+    // machine carrying the level+trend double recurrence; each closed
+    // day's point emits exactly once — checked against q61's
+    // recursive-CTE oracle restricted to closed days
+    "st26_stream_holt" -> ((s, d) =>
+      StreamingOps.holtFMGWS(s, Tables.events(s, d)).toDF()),
     // STREAMING windowed TOP-K: the bounded-heap TopKByScore aggregate
     // running INSIDE the streaming state store — per 15-minute window,
     // the 3 highest-value events. State per window is the k-entry
@@ -1121,6 +1193,41 @@ object StreamingQueries {
            ROUND(best.match_cos, 6) AS match_cos
          FROM batch b CROSS JOIN cid
          LEFT JOIN best ON b.vec_id = best.vec_id""",
+    "st26_stream_holt" ->
+      """WITH RECURSIVE daily AS (
+           SELECT event_type,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS c
+           FROM events GROUP BY 1, 2),
+         idx AS (
+           SELECT daily.*, row_number() OVER
+             (PARTITION BY event_type ORDER BY d) AS rn
+           FROM daily),
+         maxrn AS (SELECT event_type, MAX(rn) AS mx FROM idx GROUP BY 1),
+         rec AS (
+           SELECT i.event_type, i.rn, i.d, i.c,
+             i.c AS lv, CAST(0.0 AS DOUBLE) AS tr,
+             CAST(NULL AS DOUBLE) AS fc, true AS fst
+           FROM idx i WHERE i.rn = 1
+           UNION ALL
+           SELECT i.event_type, i.rn, i.d, i.c,
+             CASE WHEN r.fst THEN 0.5 * i.c + 0.5 * r.lv
+                  ELSE 0.5 * i.c + 0.5 * (r.lv + r.tr) END,
+             CASE WHEN r.fst THEN (0.5 * i.c + 0.5 * r.lv) - r.lv
+                  ELSE 0.25 * ((0.5 * i.c + 0.5 * (r.lv + r.tr)) - r.lv)
+                       + 0.75 * r.tr END,
+             r.lv + r.tr,
+             false
+           FROM rec r JOIN idx i
+             ON i.event_type = r.event_type AND i.rn = r.rn + 1)
+         SELECT rec.event_type, strftime(rec.d, '%Y-%m-%d') AS day,
+           CAST(rec.c AS BIGINT) AS n_events,
+           ROUND(rec.lv, 6) AS level,
+           ROUND(rec.tr, 6) AS trend,
+           ROUND(rec.fc, 6) AS forecast,
+           ROUND(rec.c - rec.fc, 6) AS forecast_err
+         FROM rec JOIN maxrn ON rec.event_type = maxrn.event_type
+         WHERE rec.rn >= 2 AND rec.rn < maxrn.mx""",
     "st25_stream_ewma" ->
       """WITH RECURSIVE daily AS (
            SELECT event_type,

@@ -297,6 +297,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState Holt: streamed ≡ batch forecast's closed days across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val batch = SparkEntry.queries("q61_holt_forecast")(spark, sf)
+    val wMax = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    val want = batch.withColumn("mx", max("day").over(wMax))
+      .filter(col("day") < col("mx"))
+      .select("event_type", "day", "n_events", "level", "trend",
+        "forecast", "forecast_err")
+    val rows = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[StreamingOps.EvT].collect().sortBy(_.ts.getTime)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[StreamingOps.EvT]
+    val q = StreamingOps.holtFMGWS(spark, ms.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("holt_out").start()
+    try {
+      ms.addData(b1.toIndexedSeq); q.processAllAvailable()
+      val afterB1 = spark.table("holt_out").count()
+      ms.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("holt_out")
+      val cols = Seq("event_type", "day", "n_events", "level", "trend",
+        "forecast", "forecast_err")
+      assert(canon(got, cols: _*) == canon(want, cols: _*))
+      assert(afterB1 > 0 && afterB1 < got.count())
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState EWMA: zero-lateness contract — a cross-batch late event for a closed day drops") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
