@@ -1391,10 +1391,10 @@ object OlapQueries {
     // specific; integer arithmetic is neither), conversion = the user
     // ever purchased, and the readout is the two-proportion z-test
     // with the pooled-variance denominator. Scale shape: one
-    // user-grain aggregate (conversion flags fold with max), one
-    // 2-row variant aggregate, and the z arithmetic runs on a
-    // 1-row × 1-row broadcast cross — nothing fact-sized past the
-    // first exchange at any scale.
+    // user-grain aggregate (conversion flags fold with max), then ONE
+    // conditional aggregation lands both variants' counts on a single
+    // row — no filter-and-rejoin of the variant table, no nested-loop
+    // cross, nothing fact-sized past the first exchange at any scale.
     "q59_ab_test" -> ((s, d) => {
       // conversion = a high-value purchase (≥ 180), not "any
       // purchase" — on this corpus every user purchases, and a
@@ -1407,13 +1407,13 @@ object OlapQueries {
         .withColumn("variant",
           when((col("user_id") * 1103515245L + 12345L) % 2147483648L % 2 === 0,
             "A").otherwise("B"))
-      val v = users.groupBy("variant")
-        .agg(count(lit(1)).as("n_users"), sum("converted").as("conversions"))
-      val a = v.filter(col("variant") === "A")
-        .select(col("n_users").as("n_a"), col("conversions").as("c_a"))
-      val b = v.filter(col("variant") === "B")
-        .select(col("n_users").as("n_b"), col("conversions").as("c_b"))
-      a.crossJoin(b)
+      users.agg(
+          sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === "A", col("converted")).otherwise(0L))
+            .as("c_a"),
+          sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("variant") === "B", col("converted")).otherwise(0L))
+            .as("c_b"))
         .withColumn("rate_a", col("c_a").cast("double") / col("n_a"))
         .withColumn("rate_b", col("c_b").cast("double") / col("n_b"))
         .withColumn("p_pool",
@@ -1433,12 +1433,15 @@ object OlapQueries {
 
     // PERIOD-OVER-PERIOD GROWTH (the MoM/YoY board metric): monthly
     // revenue per region with month-over-month and year-over-year
-    // percent change via lag windows AT MONTH GRAIN — the windows run
-    // over regions × months rows (domain-bounded at any fact scale;
-    // the only fact-sized operator is the first aggregate). YoY lags
-    // 12 ROWS within a region, valid because the month grid is dense
-    // per region here; a gappy calendar would join on (region,
-    // month − 12) instead — the q56 range-vs-rows lesson.
+    // percent change. The comparisons are CALENDAR JOINS on a month
+    // index (region, month − 1) / (region, month − 12), NOT row lags:
+    // the per-region month grid has real gaps in the gate data, and a
+    // row-based lag(12) silently compares against whatever month
+    // happens to sit 12 rows back — q56's range-vs-rows lesson on the
+    // calendar axis. A month with no prior-period row emits null
+    // growth (honest, not misaligned). Everything past the first
+    // aggregate is regions × months grain — domain-bounded at any
+    // fact scale.
     "q60_pop_growth" -> ((s, d) => {
       val monthly = Tables.orders(s, d)
         .join(broadcast(Tables.customer(s, d)),
@@ -1451,10 +1454,16 @@ object OlapQueries {
           date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
             .as("month"))
         .agg(sum("o_totalprice").as("rev"))
-      val w = Window.partitionBy("r_name").orderBy("month")
+        .withColumn("mi",
+          expr("CAST(substring(month, 1, 4) AS INT) * 12" +
+            " + CAST(substring(month, 6, 2) AS INT)"))
+      val pm = monthly.select(col("r_name"), (col("mi") + 1).as("mi"),
+        col("rev").as("prev_m"))
+      val py = monthly.select(col("r_name"), (col("mi") + 12).as("mi"),
+        col("rev").as("prev_y"))
       monthly
-        .withColumn("prev_m", lag("rev", 1).over(w))
-        .withColumn("prev_y", lag("rev", 12).over(w))
+        .join(pm, Seq("r_name", "mi"), "left")
+        .join(py, Seq("r_name", "mi"), "left")
         .select(col("r_name"), col("month"), round(col("rev"), 2).as("revenue"),
           round((col("rev") - col("prev_m")) / col("prev_m") * 100.0, 4)
             .as("mom_pct"),
@@ -2275,19 +2284,22 @@ object OlapQueries {
                   THEN 'A' ELSE 'B' END AS variant
            FROM events GROUP BY user_id),
          v AS (
-           SELECT variant, COUNT(*) AS n_users,
-             CAST(SUM(converted) AS BIGINT) AS conversions
-           FROM u GROUP BY variant),
-         a AS (SELECT n_users AS n_a, conversions AS c_a
-               FROM v WHERE variant = 'A'),
-         b AS (SELECT n_users AS n_b, conversions AS c_b
-               FROM v WHERE variant = 'B'),
+           SELECT
+             CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN variant = 'A' THEN converted ELSE 0 END)
+               AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN variant = 'B' THEN converted ELSE 0 END)
+               AS BIGINT) AS c_b
+           FROM u),
          j AS (
            SELECT n_a, c_a, n_b, c_b,
              CAST(c_a AS DOUBLE) / n_a AS rate_a,
              CAST(c_b AS DOUBLE) / n_b AS rate_b,
              CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) AS p_pool
-           FROM a CROSS JOIN b),
+           FROM v),
          z AS (
            SELECT *, CASE WHEN p_pool > 0.0 AND p_pool < 1.0 THEN
              (rate_a - rate_b) /
@@ -2310,16 +2322,17 @@ object OlapQueries {
            JOIN nation ON c_nationkey = n_nationkey
            JOIN region ON n_regionkey = r_regionkey
            GROUP BY 1, 2),
-         lagged AS (
+         mi AS (
            SELECT r_name, month, rev,
-             lag(rev, 1) OVER w AS prev_m,
-             lag(rev, 12) OVER w AS prev_y
-           FROM monthly
-           WINDOW w AS (PARTITION BY r_name ORDER BY month))
-         SELECT r_name, month, ROUND(rev, 2) AS revenue,
-           ROUND((rev - prev_m) / prev_m * 100.0, 4) AS mom_pct,
-           ROUND((rev - prev_y) / prev_y * 100.0, 4) AS yoy_pct
-         FROM lagged""",
+             CAST(substring(month, 1, 4) AS INT) * 12
+               + CAST(substring(month, 6, 2) AS INT) AS mi
+           FROM monthly)
+         SELECT m.r_name, m.month, ROUND(m.rev, 2) AS revenue,
+           ROUND((m.rev - pm.rev) / pm.rev * 100.0, 4) AS mom_pct,
+           ROUND((m.rev - py.rev) / py.rev * 100.0, 4) AS yoy_pct
+         FROM mi m
+         LEFT JOIN mi pm ON m.r_name = pm.r_name AND m.mi = pm.mi + 1
+         LEFT JOIN mi py ON m.r_name = py.r_name AND m.mi = py.mi + 12""",
     "q61_holt_forecast" ->
       """WITH RECURSIVE daily AS (
            SELECT event_type,

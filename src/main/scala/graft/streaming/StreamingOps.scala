@@ -342,8 +342,8 @@ object StreamingOps {
 
   /** STREAMING HOLT FORECAST (q61 as a continuous process): st25's
     * day-close state machine carrying the level+trend DOUBLE
-    * recurrence — per event type the state is SIX scalars (open day,
-    * count, level, trend, phase, —) and a day's point (level, trend,
+    * recurrence — per event type the state is FIVE scalars (open day,
+    * count, level, trend, phase) and a day's point (level, trend,
     * the forecast made for it, forecast error) emits exactly once
     * when a later-day event closes it. Seeding mirrors q61: the first
     * closed day only seeds the level (q61 emits nothing for day 1),

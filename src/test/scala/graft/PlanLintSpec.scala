@@ -37,8 +37,7 @@ class PlanLintSpec extends SparkSpec {
     "q46_market_basket",   // 1-row order-total broadcast (lift normalizer)
     "s11_pq_upsert",       // s8's coarse-codebook broadcast on the grown index
     "q50_rfm",             // 1-row anchor + three 1-row quintile-cut broadcasts
-    "s12_knn_classify",    // brute-force baseline broadcasts the query set (s1)
-    "q59_ab_test"          // 1-row variant-A × 1-row variant-B z-test cross
+    "s12_knn_classify"     // brute-force baseline broadcasts the query set (s1)
   )
 
   private val skipEager = Set(
