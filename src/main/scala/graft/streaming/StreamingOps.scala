@@ -709,6 +709,49 @@ object StreamingQueries {
     // recursive-CTE oracle restricted to closed days
     "st26_stream_holt" -> ((s, d) =>
       StreamingOps.holtFMGWS(s, Tables.events(s, d)).toDF()),
+    // the PRODUCTION chart pipeline st25's zero-lateness scaladoc
+    // prescribes: a WATERMARKED 1-day tumbling aggregation in append
+    // mode finalizes each (type, day) count exactly once — events up
+    // to 1 h late land in the still-open window and are COUNTED, the
+    // tolerance the bare fMGWS day-close machine cannot offer — and
+    // the EWMA recurrence then folds over the finalized day rows
+    // (day grain, q54's fold verbatim minus the σ band). Oracle =
+    // the daily-count EWMA recursion restricted to watermark-closed
+    // days (st13's cutoff convention).
+    "st27_stream_chart_pipeline" -> ((s, d) => {
+      val finalized = runStream(s, d, outputMode = "append")(ev =>
+        ev.withWatermark("ts", "1 hour")
+          .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
+          .agg(count(lit(1)).cast("double").as("c"))
+          .select(col("event_type"), col("w.start").as("d"), col("c")))
+      val series = finalized.groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("xs"))
+      series.withColumn("fold", expr(
+        """aggregate(xs,
+             named_struct('ew', CAST(0.0 AS DOUBLE), 'fst', true,
+                          'ews', CAST(array() AS ARRAY<DOUBLE>),
+                          'res', CAST(array() AS ARRAY<DOUBLE>)),
+             (st, x) -> named_struct(
+               'ew', CASE WHEN st.fst THEN x.c
+                          ELSE 0.25D * x.c + 0.75D * st.ew END,
+               'fst', false,
+               'ews', concat(st.ews, array(
+                 CASE WHEN st.fst THEN x.c
+                      ELSE 0.25D * x.c + 0.75D * st.ew END)),
+               'res', concat(st.res, array(
+                 CASE WHEN st.fst THEN CAST(0.0 AS DOUBLE)
+                      ELSE x.c - st.ew END))),
+             st -> st)"""))
+        .select(col("event_type"), col("xs"),
+          col("fold.ews").as("ews"), col("fold.res").as("res"))
+        .select(col("event_type"),
+          explode(arrays_zip(col("xs"), col("ews"), col("res"))).as("z"))
+        .select(col("event_type"),
+          date_format(col("z.xs.d"), "yyyy-MM-dd").as("day"),
+          col("z.xs.c").cast("long").as("n_events"),
+          round(col("z.ews"), 6).as("ewma"),
+          round(col("z.res"), 6).as("resid"))
+    }),
     // STREAMING windowed TOP-K: the bounded-heap TopKByScore aggregate
     // running INSIDE the streaming state store — per 15-minute window,
     // the 3 highest-value events. State per window is the k-entry
@@ -1193,6 +1236,36 @@ object StreamingQueries {
            ROUND(best.match_cos, 6) AS match_cos
          FROM batch b CROSS JOIN cid
          LEFT JOIN best ON b.vec_id = best.vec_id""",
+    "st27_stream_chart_pipeline" ->
+      """WITH RECURSIVE daily AS (
+           SELECT event_type,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS c
+           FROM events GROUP BY 1, 2),
+         fin AS (
+           SELECT daily.* FROM daily
+           WHERE d + INTERVAL 1 DAY <=
+             (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR
+              FROM events)),
+         idx AS (
+           SELECT fin.*, row_number() OVER
+             (PARTITION BY event_type ORDER BY d) AS rn
+           FROM fin),
+         rec AS (
+           SELECT i.event_type, i.rn, i.d, i.c,
+             i.c AS ew, CAST(0.0 AS DOUBLE) AS res
+           FROM idx i WHERE i.rn = 1
+           UNION ALL
+           SELECT i.event_type, i.rn, i.d, i.c,
+             0.25 * i.c + 0.75 * r.ew,
+             i.c - r.ew
+           FROM rec r JOIN idx i
+             ON i.event_type = r.event_type AND i.rn = r.rn + 1)
+         SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           CAST(c AS BIGINT) AS n_events,
+           ROUND(ew, 6) AS ewma,
+           ROUND(res, 6) AS resid
+         FROM rec""",
     "st26_stream_holt" ->
       """WITH RECURSIVE daily AS (
            SELECT event_type,

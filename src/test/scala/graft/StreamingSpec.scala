@@ -355,6 +355,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st27's watermarked day window COUNTS the late event the bare fMGWS machine drops") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ev(id: Long, ts: String) = StreamingOps.EvT(
+      id, java.sql.Timestamp.from(java.time.Instant.parse(ts)), 1L, "click")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[StreamingOps.EvT]
+    val q = ms.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("event_type"),
+        window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"),
+        date_format(col("w.start"), "yyyy-MM-dd").as("day"), col("c"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wm_day").start()
+    try {
+      // batch 1 ends just inside day 2: watermark = 00:30 − 1 h =
+      // day 1 23:30, so day 1 is still OPEN
+      ms.addData(Seq(ev(1, "2024-03-01T10:00:00Z"), ev(2, "2024-03-01T11:00:00Z"),
+        ev(3, "2024-03-02T00:30:00Z")))
+      q.processAllAvailable()
+      // batch 2 delivers a day-1 event ABOVE the 23:30 watermark —
+      // the exact arrival st25's zero-lateness state machine drops —
+      // then advances the watermark past day 1's end to finalize it
+      ms.addData(Seq(ev(4, "2024-03-01T23:45:00Z"), ev(5, "2024-03-02T02:00:00Z")))
+      q.processAllAvailable()
+      val got = spark.table("wm_day").collect()
+        .map(r => r.getAs[String]("day") -> r.getAs[Long]("c")).toMap
+      assert(got.get("2024-03-01").contains(3L),
+        s"late day-1 event must be counted: $got")
+      assert(!got.contains("2024-03-02"), "day 2 is still open")
+    } finally q.stop()
+  }
+
   test("streamToParquet: durable file sink with checkpoint equals the batch filter") {
     val dir = java.nio.file.Files.createTempDirectory("events_sink_src")
     java.nio.file.Files.createSymbolicLink(
