@@ -10,8 +10,8 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
-/** Element-wise MEAN of an `array<double>` column — the k-means
-  * centroid-update aggregate.
+/** Element-wise FIXED-POINT MEAN of an `array<double>` column — the
+  * k-means centroid-update aggregate.
   *
   * The compositional plan for a per-cluster mean vector is
   * `posexplode(v)` → `avg` by (cluster, position) → `collect_list` +
@@ -23,6 +23,21 @@ import org.apache.spark.sql.types._
   * sums/count. Map-side partials mean the exchange carries one
   * (cluster, dim-array) row per task per cluster — no position rows,
   * no re-assembly, no sort.
+  *
+  * FIXED-POINT, not float: each element is quantized to integer
+  * MICROS (`floor(x·1e6 + 0.5)` — floor-based so both engines and
+  * both signs agree) and summed as a Long. Integer addition commutes,
+  * so the centroid is BIT-IDENTICAL at any partitioning — a float
+  * buffer made centroid bits depend on Spark's partial-aggregation
+  * order, i.e. on cluster size and task scheduling, which (a) broke
+  * run-to-run determinism at scale and (b) made the k-means regime
+  * impossible for an external SQL oracle to re-derive. The result is
+  * `(Σ micros) / count / 1e6` (two IEEE divisions in fixed order);
+  * the ≤5e-7 per-element quantization offset is far below any
+  * k-means assignment scale and is exactly re-derivable in DuckDB —
+  * what flips s3/s8/s11 from rows-only to exact oracles. Overflow
+  * headroom: |x| < 9e12 fits 2⁶³ micros even summed over 1e6 rows;
+  * embedding components are O(1).
   *
   * Mixed-dimension input follows the compositional plan's semantics:
   * each position averages over the vectors that HAVE that position
@@ -61,7 +76,7 @@ case class VectorMeanAgg(child: Expression,
     val d = if (buf.sums == null) 0 else buf.sums.length
     out.writeInt(d)
     var i = 0
-    while (i < d) { out.writeDouble(buf.sums(i)); out.writeLong(buf.counts(i)); i += 1 }
+    while (i < d) { out.writeLong(buf.sums(i)); out.writeLong(buf.counts(i)); i += 1 }
     out.flush()
     bos.toByteArray
   }
@@ -71,10 +86,10 @@ case class VectorMeanAgg(child: Expression,
     val d = in.readInt()
     val buf = new VectorMeanAgg.Buf
     if (d > 0) {
-      buf.sums = new Array[Double](d)
+      buf.sums = new Array[Long](d)
       buf.counts = new Array[Long](d)
       var i = 0
-      while (i < d) { buf.sums(i) = in.readDouble(); buf.counts(i) = in.readLong(); i += 1 }
+      while (i < d) { buf.sums(i) = in.readLong(); buf.counts(i) = in.readLong(); i += 1 }
     }
     buf
   }
@@ -90,17 +105,23 @@ case class VectorMeanAgg(child: Expression,
 
 object VectorMeanAgg {
 
-  /** Running (per-position sum, per-position count). `sums` stays null
-    * until the first non-null vector fixes the dimension; a longer
-    * vector later grows the buffer (positions it alone carries average
-    * over count 1 — the posexplode semantics).
+  /** Quantize one element to integer micros — floor-based half-up so
+    * Scala and any SQL engine agree for BOTH signs (Scala's
+    * `math.round`/SQL `ROUND` half-up conventions diverge on
+    * negatives; `floor(x·1e6 + 0.5)` does not). */
+  @inline def micros(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+
+  /** Running (per-position micro sum, per-position count). `sums`
+    * stays null until the first non-null vector fixes the dimension; a
+    * longer vector later grows the buffer (positions it alone carries
+    * average over count 1 — the posexplode semantics).
     */
   final class Buf {
-    var sums: Array[Double] = _
+    var sums: Array[Long] = _
     var counts: Array[Long] = _
 
     private def grow(d: Int): Unit = {
-      if (sums == null) { sums = new Array[Double](d); counts = new Array[Long](d) }
+      if (sums == null) { sums = new Array[Long](d); counts = new Array[Long](d) }
       else if (d > sums.length) {
         sums = java.util.Arrays.copyOf(sums, d)
         counts = java.util.Arrays.copyOf(counts, d)
@@ -112,7 +133,7 @@ object VectorMeanAgg {
       grow(d)
       var i = 0
       while (i < d) {
-        if (!a.isNullAt(i)) { sums(i) += a.getDouble(i); counts(i) += 1L }
+        if (!a.isNullAt(i)) { sums(i) += micros(a.getDouble(i)); counts(i) += 1L }
         i += 1
       }
     }
@@ -131,7 +152,7 @@ object VectorMeanAgg {
         val out = new Array[Double](sums.length)
         var i = 0
         while (i < sums.length) {
-          out(i) = if (counts(i) > 0) sums(i) / counts(i) else 0.0
+          out(i) = if (counts(i) > 0) sums(i).toDouble / counts(i) / 1e6 else 0.0
           i += 1
         }
         new GenericArrayData(out)
@@ -139,7 +160,8 @@ object VectorMeanAgg {
     }
   }
 
-  /** Column facade (aggregate): element-wise mean of `array<double>`. */
+  /** Column facade (aggregate): element-wise fixed-point mean of
+    * `array<double>`. */
   def vectorMean(v: Column): Column = GraftColumnBridge.column(
     VectorMeanAgg(GraftColumnBridge.expression(v)).toAggregateExpression())
 }

@@ -411,12 +411,19 @@ object Dedup {
     * join would be Σ df(token)² in FACT rows and is exactly the
     * blowup this shape avoids.
     *
-    * Candidates come from a shared-token equi-join on the dictionary
-    * (two names within edit distance of each other almost always
-    * share a full token; names sharing none are not worth a
-    * levenshtein call), verified by exact Levenshtein ≤ `maxDist`.
+    * Candidates come from TWO blocking channels, unioned before the
+    * exact Levenshtein ≤ `maxDist` verify: (1) a shared-token
+    * equi-join on the dictionary — two MULTI-token names within edit
+    * distance almost always still share one full unedited token; and
+    * (2) for SINGLE-token names, where one in-word edit leaves no
+    * shared full token ('widget'/'widgit'), a character-3-gram
+    * equi-join — an edit destroys at most 3·maxDist of a name's
+    * length−2 trigrams, so single-token pairs ≥ 9 chars within
+    * distance 2 are guaranteed a shared blocking trigram (shorter
+    * ones almost always share one too; sub-3-char names are skipped,
+    * having no trigrams). Both channels stay dictionary-sized.
     * For unbounded dictionaries (user-generated strings) add
-    * [[containment]]'s df cap on the blocking token; with an
+    * [[containment]]'s df cap on the blocking key; with an
     * entity-domain dictionary it is unnecessary.
     *
     * Output: one row per matched unordered pair (`name_a` < `name_b`)
@@ -426,10 +433,19 @@ object Dedup {
   def fuzzyNames(parts: DataFrame, maxDist: Int = 2): DataFrame = {
     val names = parts.groupBy("p_name").agg(count(lit(1)).as("n_parts"))
     val tok = names.select(col("p_name"), explode(split(col("p_name"), " ")).as("w"))
-    val cand = tok.as("a")
+    val tokCand = tok.as("a")
       .join(tok.as("b"),
         col("a.w") === col("b.w") && col("a.p_name") < col("b.p_name"))
       .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
+    val single = names
+      .filter(!col("p_name").contains(" ") && length(col("p_name")) >= 3)
+    val gram = single.select(col("p_name"), explode(expr(
+      "transform(sequence(1, length(p_name) - 2), i -> substr(p_name, i, 3))")).as("g"))
+    val gramCand = gram.as("a")
+      .join(gram.as("b"),
+        col("a.g") === col("b.g") && col("a.p_name") < col("b.p_name"))
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
+    val cand = tokCand.union(gramCand)
       .distinct()
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b")).cast("long"))

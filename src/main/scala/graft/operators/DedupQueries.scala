@@ -156,10 +156,17 @@ object DedupQueries {
     // cannot corrupt all four bands, so recall is complete, not
     // heuristic — brute-force-recount spec). Candidate generation is
     // d3's banded shape; the pair-dedup exchange carries bare
-    // (id, id, hash) rows. Hash upstream is a binary codec →
-    // rows-only, exactness in the spec.
+    // (id, id, hash) rows. The hash upstream is the float DCT codec,
+    // so the gate check is a committed per-Hamming-distance digest
+    // of the full pair set (MultimodalQueries.featureDigest's
+    // contract: committed tuples keyed by corpus fingerprint,
+    // generated by graft.tools.OracleDigests); pair-set exactness in
+    // the brute-recount spec.
     "d20_phash_neardup" -> ((s, d) =>
-      Phash.phashPairs(Phash.hashedVariants(s, Tables.documents(s, d)), 3)),
+      Phash.phashPairs(Phash.hashedVariants(s, Tables.documents(s, d)), 3)
+        .groupBy("hamming")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("doc_a")).as("sum_a"), sum(col("doc_b")).as("sum_b"))),
     // SEMANTIC DECONTAMINATION: every 20th embedding plays the eval/
     // benchmark set; corpus vectors within cosine 0.25 of any eval
     // vector are reported at (corpus, eval) pair grain — the
@@ -699,16 +706,29 @@ object DedupQueries {
                        JOIN tt b ON c.doc_b = b.doc_id)
          SELECT doc_a, doc_b, containment FROM sc WHERE containment >= 0.5""",
     // dictionary-grain fuzzy matching re-derived verbatim: distinct
-    // names + per-name row counts, shared-token candidates, exact
+    // names + per-name row counts, shared-token candidates UNION
+    // char-trigram candidates for single-token names, exact
     // levenshtein ≤ 2 (both engines implement unit-cost edit distance)
     "d18_fuzzy_names" ->
       """WITH names AS (
            SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name),
          tok AS (
            SELECT p_name, unnest(string_split(p_name, ' ')) AS w FROM names),
+         single AS (
+           SELECT p_name FROM names
+           WHERE strpos(p_name, ' ') = 0 AND length(p_name) >= 3),
+         gram AS (
+           SELECT p_name,
+             unnest(list_transform(generate_series(1, length(p_name) - 2),
+               i -> substr(p_name, CAST(i AS INTEGER), 3))) AS g
+           FROM single),
          cand AS (
-           SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
-           FROM tok a JOIN tok b ON a.w = b.w AND a.p_name < b.p_name),
+           SELECT DISTINCT name_a, name_b FROM (
+             SELECT a.p_name AS name_a, b.p_name AS name_b
+             FROM tok a JOIN tok b ON a.w = b.w AND a.p_name < b.p_name
+             UNION ALL
+             SELECT a.p_name AS name_a, b.p_name AS name_b
+             FROM gram a JOIN gram b ON a.g = b.g AND a.p_name < b.p_name)),
          sc AS (
            SELECT name_a, name_b,
              CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
@@ -750,6 +770,21 @@ object DedupQueries {
                 ELSE 'semantic_dup' END AS status,
            COALESCE(d.dup_of, n.vec_id) AS canonical_id,
            ROUND(d.dup_cos, 6) AS cos_to_canonical
-         FROM n LEFT JOIN d ON n.vec_id = d.vec_id CROSS JOIN seed"""
+         FROM n LEFT JOIN d ON n.vec_id = d.vec_id CROSS JOIN seed""",
+    // COMMITTED DIGEST ORACLE for the DCT-pHash pair set (float
+    // upstream — MultimodalQueries.featureDigest's contract): the
+    // full ≤Hamming-3 pair set digested per distance, expected
+    // tuples generated by graft.tools.OracleDigests and keyed by the
+    // corpus fingerprint; pair-set exactness in the brute-recount
+    // spec
+    "d20_phash_neardup" ->
+      """WITH fp AS (SELECT SUM(length(text)) AS k FROM documents),
+         v(hamming, n_pairs, sum_a, sum_b, k) AS (VALUES
+           (0, 358, 173530, 173888, 153156),
+           (2, 135, 72746, 72881, 153156),
+           (0, 391, 197142, 197533, 149174),
+           (2, 103, 50270, 50373, 149174))
+         SELECT CAST(hamming AS BIGINT) AS hamming, CAST(n_pairs AS BIGINT) AS n_pairs, CAST(sum_a AS BIGINT) AS sum_a, CAST(sum_b AS BIGINT) AS sum_b
+         FROM v JOIN fp ON v.k = fp.k"""
   )
 }

@@ -672,6 +672,28 @@ object Multimodal {
   */
 object MultimodalQueries {
 
+  /** Corpus digest for the LOSSY/float decoders (JPEG, FFT): 16
+    * doc_id-keyed buckets of exact-integer aggregates over the
+    * per-doc features (micros for the 6-dp-rounded float slots). The
+    * decode still runs per-doc underneath — the digest only reshapes
+    * what crosses the gate — and any single per-doc change moves its
+    * bucket's sums. The DuckDB oracle carries COMMITTED expected
+    * tuples (generated once by [[graft.tools.OracleDigests]], keyed
+    * by a corpus fingerprint so each gate SF selects its own block):
+    * a determinism/stability pin the driver can check, with per-doc
+    * EXACTNESS still owned by the byte-exact ScalaTest specs — the
+    * committed values are machine-pinned (same JVM libm), which is
+    * exactly the driver's situation.
+    */
+  private def featureDigest(df: DataFrame): DataFrame =
+    df.groupBy((col("doc_id") % 16).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("sum_bytes"),
+        sum(col("byte_sum")).as("sum_units"),
+        sum(round(col("mean_byte") * 1e6).cast("long")).as("sum_mean_micro"),
+        sum(round(col("feat_0") * 1e6).cast("long")).as("sum_f0_micro"),
+        sum(round(col("feat_1") * 1e6).cast("long")).as("sum_f1_micro"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_ingest" -> ((s, d) => {
       val m = Multimodal.mediaTable(Tables.documents(s, d))
@@ -703,7 +725,13 @@ object MultimodalQueries {
     // pixels from text bytes). The spec asserts the decoded stats
     // equal the BMP codec's on identical pixel content — two
     // independent parsers agreeing byte-for-byte on the same image.
-    // Binary plumbing → rows-only driver check, exactness in the spec.
+    // DRIVER-CHECKED from first principles: the decoded pixel stream
+    // is the doc's text bytes cycled, so the DuckDB oracle re-derives
+    // every decoded stat from the raw text — a real cross-engine
+    // oracle over the decoder's OUTPUT. Only the deflate-compressed
+    // payload length is not SQL-derivable, so that one column stays
+    // out of the registry projection (it remains in the
+    // extractFeatures API and the specs).
     "m4_png_decode" -> ((s, d) => {
       import s.implicits._
       val rows = Multimodal.mediaTable(Tables.documents(s, d))
@@ -713,7 +741,8 @@ object MultimodalQueries {
           Multimodal.MediaRow(r.doc_id,
             Multimodal.synthPng(w, h, r.payload), "image/png", w, h)
         }
-      Multimodal.extractFeatures(s, rows.toDF(), new Multimodal.PngCodec).toDF()
+      Multimodal.extractFeatures(s, rows.toDF(), new Multimodal.PngCodec)
+        .toDF().drop("n_bytes")
     }),
     // binary-PGM decode through the real Netpbm parser (header token
     // walk with comment handling + raster stats): payloads are
@@ -736,27 +765,22 @@ object MultimodalQueries {
     // separable IDCT): payloads are deterministic synthesized baseline
     // JPEGs (dims from doc_id, gray pixels from text bytes, flat q=1
     // so DC-only content round-trips exactly); width/height re-derived
-    // from the bytes. Binary plumbing → rows-only, exactness +
-    // loud-failure contracts in the spec.
-    "m8_jpeg_decode" -> ((s, d) => {
-      import s.implicits._
-      val rows = Multimodal.mediaTable(Tables.documents(s, d))
-        .as[Multimodal.MediaRow].map { r =>
-          val w = (8 + (r.doc_id % 9)).toInt
-          val h = (8 + (r.doc_id % 7)).toInt
-          val src = if (r.payload.isEmpty) Array[Byte](61) else r.payload
-          val px = Array.tabulate[Byte](w * h)(i => src(i % src.length))
-          Multimodal.MediaRow(r.doc_id,
-            Jpeg.synth(w, h, px), "image/jpeg", w, h)
-        }
-      Multimodal.extractFeatures(s, rows.toDF(), new Jpeg.JpegCodec).toDF()
-    }),
+    // from the bytes. JPEG is lossy (only constant blocks round-trip
+    // bit-exactly), so the decoded stats are NOT SQL-re-derivable —
+    // the gate check is the committed 16-bucket digest (featureDigest
+    // scaladoc); per-pixel exactness + loud-failure contracts in the
+    // spec.
+    "m8_jpeg_decode" -> ((s, d) => featureDigest(jpegFeatures(s, d))),
     // GIF87a decode through the REAL from-scratch LZW decoder
     // (variable-width 3–12-bit codes, LSB-first packing, sub-block
     // unchaining, palette luma resolve): payloads are deterministic
     // synthesized GIFs (dims from doc_id, pixel indices from text
     // bytes). LZW is LOSSLESS, so decoded indices equal the source
-    // bytes EXACTLY (spec-asserted). Binary plumbing → rows-only.
+    // bytes EXACTLY (spec-asserted) — which makes the decoded stats
+    // re-derivable from the raw text in DuckDB: a real cross-engine
+    // oracle over the decoder's output. Only the LZW-compressed
+    // payload length is not SQL-derivable, so that column stays out
+    // of the registry projection (still in the API and specs).
     "m9_gif_decode" -> ((s, d) => {
       import s.implicits._
       val rows = Multimodal.mediaTable(Tables.documents(s, d))
@@ -767,7 +791,8 @@ object MultimodalQueries {
           val px = Array.tabulate[Byte](w * h)(i => src(i % src.length))
           Multimodal.MediaRow(r.doc_id, Gif.synth(w, h, px), "image/gif", w, h)
         }
-      Multimodal.extractFeatures(s, rows.toDF(), new Gif.GifCodec).toDF()
+      Multimodal.extractFeatures(s, rows.toDF(), new Gif.GifCodec)
+        .toDF().drop("n_bytes")
     }),
     // 4:2:0 CHROMA-SUBSAMPLED JPEG — the layout virtually every
     // camera/web JPEG ships. MCUs are 16×16 (4 luma + Cb + Cr blocks,
@@ -775,21 +800,9 @@ object MultimodalQueries {
     // MCU boundary so partial-MCU edge handling is exercised on every
     // row batch. The decoded LUMA plane is bit-identical to the
     // 4:4:4 encode of the same pixels (spec-proven) — subsampling
-    // touches only chroma. Binary plumbing → rows-only.
-    "m10_jpeg420_decode" -> ((s, d) => {
-      import s.implicits._
-      val rows = Multimodal.mediaTable(Tables.documents(s, d))
-        .as[Multimodal.MediaRow].map { r =>
-          val w = (9 + (r.doc_id % 14)).toInt
-          val h = (9 + (r.doc_id % 11)).toInt
-          val src = if (r.payload.isEmpty) Array[Byte](61) else r.payload
-          val px = Array.tabulate[Byte](w * h * 3)(i => src(i % src.length))
-          Multimodal.MediaRow(r.doc_id,
-            Jpeg.synth(w, h, px, planes = 3, chromaSub = 2),
-            "image/jpeg", w, h)
-        }
-      Multimodal.extractFeatures(s, rows.toDF(), new Jpeg.JpegCodec).toDF()
-    }),
+    // touches only chroma. Lossy → committed-digest gate check
+    // (featureDigest scaladoc), exactness in the spec.
+    "m10_jpeg420_decode" -> ((s, d) => featureDigest(jpeg420Features(s, d))),
     // nearest-neighbor RESIZE at the codec: full-res pixels never
     // leave the task, only thumbnail stats do (the downscale step of
     // an image ingest). Binary plumbing → rows-only, exactness in the
@@ -829,49 +842,116 @@ object MultimodalQueries {
     // payloads are deterministic synthesized WAVs whose samples mix
     // two doc_id-keyed tones, decoded and reduced to peak bin /
     // spectral centroid / peak Hz / RMS at the codec — the audio
-    // analysis stage of a multimodal ingest. Binary plumbing →
-    // rows-only, exactness in the spec.
-    "m11_audio_spectrum" -> ((s, d) => {
-      import s.implicits._
-      val rows = Multimodal.mediaTable(Tables.documents(s, d))
-        .as[Multimodal.MediaRow].map { r =>
-          // two bin-aligned tones with doc-dependent bins/amplitudes
-          val b1 = (3 + r.doc_id % 200).toInt
-          val b2 = (7 + r.doc_id % 97).toInt
-          val a1 = 0.30 + (r.doc_id % 5) * 0.08
-          val a2 = 0.10 + (r.doc_id % 3) * 0.05
-          val samples = Array.tabulate[Short](1024) { i =>
-            val t = 2.0 * math.Pi * i / 1024.0
-            ((a1 * math.sin(b1 * t) + a2 * math.sin(b2 * t)) * 32767.0 / 2).toShort
-          }
-          Multimodal.MediaRow(r.doc_id,
-            Multimodal.synthWav(8000, samples), "audio/wav", 0, 0)
-        }
-      Multimodal.extractFeatures(s, rows.toDF(),
-        new Multimodal.SpectrumCodec(1024)).toDF()
-    }),
+    // analysis stage of a multimodal ingest. FFT magnitudes are
+    // genuinely floating-point (libm-order dependent), so the gate
+    // check is the committed 16-bucket digest (featureDigest
+    // scaladoc); DFT/Parseval exactness in the spec.
+    "m11_audio_spectrum" -> ((s, d) => featureDigest(spectrumFeatures(s, d))),
     // PERCEPTUAL IMAGE HASH (DCT pHash) at the codec: synthesized
     // BMPs (dims from doc_id, pixels from text bytes) decode and
     // reduce to a 64-bit signature — 8 bytes per image leave the
     // task, the structure d20's banded near-dup join keys on. The
     // spec pins the DCT (constant → DC-only, planted cosine mode →
     // its exact coefficient), brightness invariance, and the ~half
-    // bit balance the median threshold guarantees. Binary plumbing →
-    // rows-only.
-    "m12_image_phash" -> ((s, d) => {
-      import s.implicits._
-      Multimodal.mediaTable(Tables.documents(s, d))
-        .as[Multimodal.MediaRow].map { r =>
-          val w = (16 + r.doc_id % 17).toInt
-          val h = (16 + r.doc_id % 13).toInt
-          val src = if (r.payload.isEmpty) Array[Byte](7) else r.payload
-          val ph = Phash.phashBmp(Multimodal.synthBmp(w, h, src), r.doc_id)
-          (r.doc_id, w.toLong, h.toLong, ph,
-            java.lang.Long.bitCount(ph).toLong)
-        }.toDF("doc_id", "width", "height", "phash", "n_bits")
-    })
+    // bit balance the median threshold guarantees. DCT is float →
+    // committed-digest gate check (bit_xor of all 64-bit signatures
+    // per bucket; featureDigest scaladoc has the contract).
+    "m12_image_phash" -> ((s, d) =>
+      // hash digest (see featureDigest's contract note): bit_xor
+      // folds every 64-bit signature into its bucket — a single
+      // flipped bit anywhere flips the digest
+      phashFeatures(s, d)
+        .groupBy((col("doc_id") % 16).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("width")).as("sum_w"), sum(col("height")).as("sum_h"),
+          expr("bit_xor(phash)").as("xor_phash"),
+          sum(col("n_bits")).as("sum_bits")))
   )
 
+  /** Per-doc decoded features of the lossy/float family — the API
+    * surface and the specs' per-row target; the registry entries wrap
+    * these in [[featureDigest]] for the gate. Payload construction is
+    * unchanged from the pre-digest registry entries (synth dims from
+    * doc_id, content from text bytes).
+    */
+  def jpegFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = Multimodal.mediaTable(Tables.documents(s, d))
+      .as[Multimodal.MediaRow].map { r =>
+        val w = (8 + (r.doc_id % 9)).toInt
+        val h = (8 + (r.doc_id % 7)).toInt
+        val src = if (r.payload.isEmpty) Array[Byte](61) else r.payload
+        val px = Array.tabulate[Byte](w * h)(i => src(i % src.length))
+        Multimodal.MediaRow(r.doc_id,
+          Jpeg.synth(w, h, px), "image/jpeg", w, h)
+      }
+    Multimodal.extractFeatures(s, rows.toDF(), new Jpeg.JpegCodec).toDF()
+  }
+
+  def jpeg420Features(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = Multimodal.mediaTable(Tables.documents(s, d))
+      .as[Multimodal.MediaRow].map { r =>
+        val w = (9 + (r.doc_id % 14)).toInt
+        val h = (9 + (r.doc_id % 11)).toInt
+        val src = if (r.payload.isEmpty) Array[Byte](61) else r.payload
+        val px = Array.tabulate[Byte](w * h * 3)(i => src(i % src.length))
+        Multimodal.MediaRow(r.doc_id,
+          Jpeg.synth(w, h, px, planes = 3, chromaSub = 2),
+          "image/jpeg", w, h)
+      }
+    Multimodal.extractFeatures(s, rows.toDF(), new Jpeg.JpegCodec).toDF()
+  }
+
+  def spectrumFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = Multimodal.mediaTable(Tables.documents(s, d))
+      .as[Multimodal.MediaRow].map { r =>
+        // two bin-aligned tones with doc-dependent bins/amplitudes
+        val b1 = (3 + r.doc_id % 200).toInt
+        val b2 = (7 + r.doc_id % 97).toInt
+        val a1 = 0.30 + (r.doc_id % 5) * 0.08
+        val a2 = 0.10 + (r.doc_id % 3) * 0.05
+        val samples = Array.tabulate[Short](1024) { i =>
+          val t = 2.0 * math.Pi * i / 1024.0
+          ((a1 * math.sin(b1 * t) + a2 * math.sin(b2 * t)) * 32767.0 / 2).toShort
+        }
+        Multimodal.MediaRow(r.doc_id,
+          Multimodal.synthWav(8000, samples), "audio/wav", 0, 0)
+      }
+    Multimodal.extractFeatures(s, rows.toDF(),
+      new Multimodal.SpectrumCodec(1024)).toDF()
+  }
+
+  def phashFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.mediaTable(Tables.documents(s, d))
+      .as[Multimodal.MediaRow].map { r =>
+        val w = (16 + r.doc_id % 17).toInt
+        val h = (16 + r.doc_id % 13).toInt
+        val src = if (r.payload.isEmpty) Array[Byte](7) else r.payload
+        val ph = Phash.phashBmp(Multimodal.synthBmp(w, h, src), r.doc_id)
+        (r.doc_id, w.toLong, h.toLong, ph,
+          java.lang.Long.bitCount(ph).toLong)
+      }.toDF("doc_id", "width", "height", "phash", "n_bits")
+  }
+
+  /** DRIVER-VISIBLE ORACLES FOR THE CODEC FAMILY — the r13 verdict's
+    * item #2. Every payload here is synthesized from the doc's text
+    * bytes, and every decoder in the lossless family (byte stats,
+    * BMP, PNG, PGM, GIF-LZW, NN-resize, PCM frame sampling) provably
+    * reconstructs that byte stream — so DuckDB can re-derive the
+    * decoded statistics FROM FIRST PRINCIPLES (ord() over text
+    * positions, the synth's cyclic indexing, the codec's exact FP
+    * operation order incl. `floor(x*1e6+0.5)/1e6` for Scala's
+    * `math.round`). These are REAL cross-engine oracles over decoder
+    * OUTPUT, not committed self-digests. The deflate/LZW-compressed
+    * payload LENGTHS are the one thing SQL cannot re-derive, so
+    * m4/m9 drop `n_bytes` from the registry projection (the column
+    * stays in the extractFeatures API and the byte-exact specs).
+    * The lossy/float family (JPEG m8/m10, FFT m11, DCT pHash
+    * m12/d20) is digest-checked instead — see the entries below.
+    */
   val oracles: Map[String, String] = Map(
     // m1 is actually SQL-expressible (payload = utf8 text bytes):
     "m1_binary_ingest" ->
@@ -880,6 +960,312 @@ object MultimodalQueries {
            CAST((doc_id % 64) * 16 + 64 AS INT) AS width,
            CAST((doc_id % 48) * 16 + 64 AS INT) AS height,
            CAST(octet_length(encode(text)) AS INT) AS payload_bytes
-         FROM documents"""
+         FROM documents""",
+    // ByteStatsCodec: byte stats over the raw utf8 payload (pure
+    // ASCII at the gate, so ord(substr) = byte), plus the two
+    // metadata-conditioned projections in the codec's exact FP order
+    "m2_feature_extract" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS len,
+             CAST((doc_id % 64) * 16 + 64 AS INT) AS w,
+             CAST((doc_id % 48) * 16 + 64 AS INT) AS h
+           FROM documents),
+         s AS (
+           SELECT d.doc_id, SUM(ord(substr(d.text, CAST(j.j AS INT), 1))) AS bsum
+           FROM d, LATERAL (SELECT unnest(generate_series(1, d.len)) AS j) j
+           GROUP BY d.doc_id)
+         SELECT d.doc_id,
+           CASE d.doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg' ELSE 'audio/wav' END AS media_type,
+           CAST(d.len AS BIGINT) AS n_bytes,
+           CAST(s.bsum AS BIGINT) AS byte_sum,
+           CAST(s.bsum AS DOUBLE) / d.len AS mean_byte,
+           FLOOR(CAST(s.bsum AS DOUBLE) / d.len * d.w / 256.0 * 1e6 + 0.5) / 1e6 AS feat_0,
+           FLOOR(CAST(s.bsum AS DOUBLE) / (d.h + 1) * 1e6 + 0.5) / 1e6 AS feat_1
+         FROM d JOIN s USING (doc_id)""",
+    // BmpCodec on synthBmp: pixel bytes are text bytes cycled over
+    // h*w*3 channel positions (row padding never enters the sum);
+    // n_bytes = 54-byte headers + 4-aligned rows
+    "m3_image_meta" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS len,
+             CAST(2 + doc_id % 6 AS INT) AS w, CAST(2 + doc_id % 4 AS INT) AS h
+           FROM documents),
+         s AS (
+           SELECT d.doc_id,
+             SUM(ord(substr(d.text, CAST(1 + (j.j % d.len) AS INT), 1))) AS bsum
+           FROM d, LATERAL (SELECT unnest(generate_series(0, d.w * d.h * 3 - 1)) AS j) j
+           GROUP BY d.doc_id)
+         SELECT d.doc_id, 'image/bmp' AS media_type,
+           CAST(54 + ((d.w * 3 + 3) // 4) * 4 * d.h AS BIGINT) AS n_bytes,
+           CAST(d.w * d.h AS BIGINT) AS byte_sum,
+           FLOOR(CAST(s.bsum AS DOUBLE) / (d.w * d.h * 3) * 1e6 + 0.5) / 1e6 AS mean_byte,
+           CAST(d.w AS DOUBLE) AS feat_0, CAST(d.h AS DOUBLE) AS feat_1
+         FROM d JOIN s USING (doc_id)""",
+    // PngCodec: filter-0 scanlines reconstruct to exactly the cyclic
+    // text bytes (spec: PNG ≡ BMP stats on identical content), so the
+    // decoded stats re-derive like m3's; compressed length dropped
+    "m4_png_decode" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS len,
+             CAST(2 + doc_id % 6 AS INT) AS w, CAST(2 + doc_id % 4 AS INT) AS h
+           FROM documents),
+         s AS (
+           SELECT d.doc_id,
+             SUM(ord(substr(d.text, CAST(1 + (j.j % d.len) AS INT), 1))) AS bsum
+           FROM d, LATERAL (SELECT unnest(generate_series(0, d.w * d.h * 3 - 1)) AS j) j
+           GROUP BY d.doc_id)
+         SELECT d.doc_id, 'image/png' AS media_type,
+           CAST(d.w * d.h AS BIGINT) AS byte_sum,
+           FLOOR(CAST(s.bsum AS DOUBLE) / (d.w * d.h * 3) * 1e6 + 0.5) / 1e6 AS mean_byte,
+           CAST(d.w AS DOUBLE) AS feat_0, CAST(d.h AS DOUBLE) AS feat_1
+         FROM d JOIN s USING (doc_id)""",
+    // PgmCodec: P5 header length is 9 + digits(w) + digits(h); the
+    // raster is w*h cyclic text bytes; mean is UNROUNDED (sum/px)
+    "m7_pgm_decode" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS len,
+             CAST(2 + doc_id % 6 AS INT) AS w, CAST(2 + doc_id % 4 AS INT) AS h
+           FROM documents),
+         s AS (
+           SELECT d.doc_id,
+             SUM(ord(substr(d.text, CAST(1 + (j.j % d.len) AS INT), 1))) AS bsum
+           FROM d, LATERAL (SELECT unnest(generate_series(0, d.w * d.h - 1)) AS j) j
+           GROUP BY d.doc_id)
+         SELECT d.doc_id, 'image/x-pgm' AS media_type,
+           CAST(9 + length(CAST(d.w AS VARCHAR)) + length(CAST(d.h AS VARCHAR))
+             + d.w * d.h AS BIGINT) AS n_bytes,
+           CAST(d.w * d.h AS BIGINT) AS byte_sum,
+           CAST(s.bsum AS DOUBLE) / (d.w * d.h) AS mean_byte,
+           CAST(d.w AS DOUBLE) AS feat_0, CAST(d.h AS DOUBLE) AS feat_1
+         FROM d JOIN s USING (doc_id)""",
+    // GifCodec: LZW round-trips byte-exactly and the synth palette is
+    // grayscale identity (index i → luma i), so decoded grays are the
+    // cyclic text bytes; compressed length dropped
+    "m9_gif_decode" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS len,
+             CAST(3 + doc_id % 8 AS INT) AS w, CAST(3 + doc_id % 5 AS INT) AS h
+           FROM documents),
+         s AS (
+           SELECT d.doc_id,
+             SUM(ord(substr(d.text, CAST(1 + (j.j % d.len) AS INT), 1))) AS bsum
+           FROM d, LATERAL (SELECT unnest(generate_series(0, d.w * d.h - 1)) AS j) j
+           GROUP BY d.doc_id)
+         SELECT d.doc_id, 'image/gif' AS media_type,
+           CAST(d.w * d.h AS BIGINT) AS byte_sum,
+           FLOOR(CAST(s.bsum AS DOUBLE) / (d.w * d.h) * 1e6 + 0.5) / 1e6 AS mean_byte,
+           CAST(d.w AS DOUBLE) AS feat_0, CAST(d.h AS DOUBLE) AS feat_1
+         FROM d JOIN s USING (doc_id)""",
+    // BmpThumbCodec(2,2): the four sampled luminances re-derived at
+    // the codec's exact integer-division sample positions and FP
+    // accumulation order ((l00 + l10) + l01) + l11
+    "m5_resize" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS len,
+             CAST(4 + doc_id % 6 AS INT) AS w, CAST(4 + doc_id % 4 AS INT) AS h
+           FROM documents),
+         p AS (
+           SELECT *,
+             LEAST((w // 2) // 2, w - 1) AS sx0, LEAST((w + (w // 2)) // 2, w - 1) AS sx1,
+             LEAST((h // 2) // 2, h - 1) AS sy0, LEAST((h + (h // 2)) // 2, h - 1) AS sy1
+           FROM d),
+         l AS (
+           SELECT doc_id, w, h,
+             (ord(substr(text, CAST(1 + ((sy0*w*3 + sx0*3    ) % len) AS INT), 1))
+            + ord(substr(text, CAST(1 + ((sy0*w*3 + sx0*3 + 1) % len) AS INT), 1))
+            + ord(substr(text, CAST(1 + ((sy0*w*3 + sx0*3 + 2) % len) AS INT), 1))) / 3.0 AS l00,
+             (ord(substr(text, CAST(1 + ((sy0*w*3 + sx1*3    ) % len) AS INT), 1))
+            + ord(substr(text, CAST(1 + ((sy0*w*3 + sx1*3 + 1) % len) AS INT), 1))
+            + ord(substr(text, CAST(1 + ((sy0*w*3 + sx1*3 + 2) % len) AS INT), 1))) / 3.0 AS l10,
+             (ord(substr(text, CAST(1 + ((sy1*w*3 + sx0*3    ) % len) AS INT), 1))
+            + ord(substr(text, CAST(1 + ((sy1*w*3 + sx0*3 + 1) % len) AS INT), 1))
+            + ord(substr(text, CAST(1 + ((sy1*w*3 + sx0*3 + 2) % len) AS INT), 1))) / 3.0 AS l01,
+             (ord(substr(text, CAST(1 + ((sy1*w*3 + sx1*3    ) % len) AS INT), 1))
+            + ord(substr(text, CAST(1 + ((sy1*w*3 + sx1*3 + 1) % len) AS INT), 1))
+            + ord(substr(text, CAST(1 + ((sy1*w*3 + sx1*3 + 2) % len) AS INT), 1))) / 3.0 AS l11
+           FROM p)
+         SELECT doc_id, 'image/bmp' AS media_type,
+           CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+           CAST(4 AS BIGINT) AS byte_sum,
+           FLOOR((((l00 + l10) + l01) + l11) / 4.0 * 1e6 + 0.5) / 1e6 AS mean_byte,
+           FLOOR(l00 * 1e6 + 0.5) / 1e6 AS feat_0,
+           FLOOR(l11 * 1e6 + 0.5) / 1e6 AS feat_1
+         FROM l""",
+    // FrameSampleCodec(64,4): samples are ((byte-128)*128)/32768 =
+    // (byte-128)/256 — dyadic, so the partial sums are exact and the
+    // mean reduces to (Σ|byte-128| / 256) / n over frames ≡ 0 mod 4
+    "m6_frame_sample" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS len,
+             LEAST(1024, GREATEST(64, 2 * length(text))) AS n
+           FROM documents),
+         s AS (
+           SELECT d.doc_id,
+             SUM(ABS(ord(substr(d.text, CAST(1 + (j.j % d.len) AS INT), 1)) - 128)) AS k,
+             COUNT(*) AS cnt
+           FROM d, LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS j) j
+           WHERE (j.j // 64) % 4 = 0
+           GROUP BY d.doc_id)
+         SELECT d.doc_id, 'audio/wav' AS media_type,
+           CAST(44 + 2 * d.n AS BIGINT) AS n_bytes,
+           CAST(((d.n + 63) // 64 + 3) // 4 AS BIGINT) AS byte_sum,
+           FLOOR((CAST(s.k AS DOUBLE) / 256) / s.cnt * 1e6 + 0.5) / 1e6 AS mean_byte,
+           CAST((d.n + 63) // 64 AS DOUBLE) AS feat_0,
+           CAST(8000 AS DOUBLE) AS feat_1
+         FROM d JOIN s USING (doc_id)""",
+    // COMMITTED DIGEST ORACLES (lossy/float decoders — see
+    // featureDigest's contract note): expected 16-bucket digests
+    // generated by graft.tools.OracleDigests, keyed by the corpus
+    // fingerprint SUM(length(text)) so one oracle string serves both
+    // gate SFs. Machine-pinned determinism check; per-doc exactness
+    // stays with the byte-exact specs.
+    "m8_jpeg_decode" ->
+      """WITH fp AS (SELECT SUM(length(text)) AS k FROM documents),
+         v(bucket, n_docs, sum_bytes, sum_units, sum_mean_micro, sum_f0_micro, sum_f1_micro, k) AS (VALUES
+           (0, 32, 20458, 4174, 3038329110, 380000000, 352000000, 153156),
+           (1, 32, 20318, 4184, 3029320839, 385000000, 349000000, 153156),
+           (10, 31, 19924, 4126, 2925604299, 375000000, 340000000, 153156),
+           (11, 31, 19895, 4110, 2917663259, 370000000, 343000000, 153156),
+           (12, 31, 19902, 4106, 2935019685, 374000000, 339000000, 153156),
+           (13, 31, 19973, 4084, 2931779754, 369000000, 342000000, 153156),
+           (14, 31, 19806, 4082, 2935617616, 373000000, 338000000, 153156),
+           (15, 31, 19868, 4054, 2927635368, 368000000, 341000000, 153156),
+           (2, 32, 20419, 4190, 3031347736, 381000000, 353000000, 153156),
+           (3, 32, 20380, 4206, 3027080368, 386000000, 350000000, 153156),
+           (4, 31, 19791, 4067, 2927842287, 369000000, 343000000, 153156),
+           (5, 31, 19757, 4064, 2944508760, 373000000, 339000000, 153156),
+           (6, 31, 19740, 4039, 2917813786, 368000000, 342000000, 153156),
+           (7, 31, 19749, 4038, 2926633794, 372000000, 338000000, 153156),
+           (8, 31, 19934, 4142, 2937553456, 376000000, 341000000, 153156),
+           (9, 31, 20025, 4132, 2929507837, 371000000, 344000000, 153156),
+           (0, 32, 20363, 4174, 3021606999, 380000000, 352000000, 149174),
+           (1, 32, 20328, 4184, 3034439070, 385000000, 349000000, 149174),
+           (10, 31, 19906, 4126, 2920646886, 375000000, 340000000, 149174),
+           (11, 31, 19974, 4110, 2932420355, 370000000, 343000000, 149174),
+           (12, 31, 19968, 4106, 2930635475, 374000000, 339000000, 149174),
+           (13, 31, 19925, 4084, 2929706207, 369000000, 342000000, 149174),
+           (14, 31, 19867, 4082, 2941462039, 373000000, 338000000, 149174),
+           (15, 31, 19779, 4054, 2932380097, 368000000, 341000000, 149174),
+           (2, 32, 20536, 4190, 3036590593, 381000000, 353000000, 149174),
+           (3, 32, 20402, 4206, 3025049138, 386000000, 350000000, 149174),
+           (4, 31, 19615, 4067, 2934952380, 369000000, 343000000, 149174),
+           (5, 31, 19745, 4064, 2937230625, 373000000, 339000000, 149174),
+           (6, 31, 19742, 4039, 2937576189, 368000000, 342000000, 149174),
+           (7, 31, 19675, 4038, 2931634034, 372000000, 338000000, 149174),
+           (8, 31, 19886, 4142, 2941764666, 376000000, 341000000, 149174),
+           (9, 31, 19989, 4132, 2929746061, 371000000, 344000000, 149174))
+         SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_docs AS BIGINT) AS n_docs, CAST(sum_bytes AS BIGINT) AS sum_bytes, CAST(sum_units AS BIGINT) AS sum_units, CAST(sum_mean_micro AS BIGINT) AS sum_mean_micro, CAST(sum_f0_micro AS BIGINT) AS sum_f0_micro, CAST(sum_f1_micro AS BIGINT) AS sum_f1_micro
+         FROM v JOIN fp ON v.k = fp.k""",
+    "m10_jpeg420_decode" ->
+      """WITH fp AS (SELECT SUM(length(text)) AS k FROM documents),
+         v(bucket, n_docs, sum_bytes, sum_units, sum_mean_micro, sum_f0_micro, sum_f1_micro, k) AS (VALUES
+           (0, 32, 34599, 6591, 3026474974, 468000000, 447000000, 153156),
+           (1, 32, 36722, 6966, 3029096982, 500000000, 446000000, 153156),
+           (10, 31, 34738, 6669, 2926476502, 469000000, 439000000, 153156),
+           (11, 31, 36333, 6992, 2925234388, 500000000, 437000000, 153156),
+           (12, 31, 33911, 6465, 2926790246, 461000000, 435000000, 153156),
+           (13, 31, 35998, 6908, 2930312331, 492000000, 433000000, 153156),
+           (14, 31, 32989, 6249, 2931173779, 453000000, 431000000, 153156),
+           (15, 31, 34698, 6658, 2935023417, 484000000, 429000000, 153156),
+           (2, 32, 34165, 6591, 3028942608, 476000000, 445000000, 153156),
+           (3, 32, 36490, 7104, 3018936431, 508000000, 444000000, 153156),
+           (4, 31, 33121, 6461, 2934157349, 465000000, 429000000, 153156),
+           (5, 31, 36398, 7012, 2929292206, 496000000, 438000000, 153156),
+           (6, 31, 34132, 6564, 2921628187, 471000000, 436000000, 153156),
+           (7, 31, 36045, 6974, 2938290163, 502000000, 434000000, 153156),
+           (8, 31, 34365, 6674, 2928053344, 477000000, 432000000, 153156),
+           (9, 31, 36387, 7064, 2932838610, 508000000, 430000000, 153156),
+           (0, 32, 34556, 6591, 3016573353, 468000000, 447000000, 149174),
+           (1, 32, 36545, 6966, 3030867539, 500000000, 446000000, 149174),
+           (10, 31, 33768, 6669, 2917459182, 469000000, 439000000, 149174),
+           (11, 31, 36240, 6992, 2933347855, 500000000, 437000000, 149174),
+           (12, 31, 33613, 6465, 2930895131, 461000000, 435000000, 149174),
+           (13, 31, 36172, 6908, 2929761135, 492000000, 433000000, 149174),
+           (14, 31, 32730, 6249, 2922461021, 453000000, 431000000, 149174),
+           (15, 31, 34743, 6658, 2937947004, 484000000, 429000000, 149174),
+           (2, 32, 34210, 6591, 3024267559, 476000000, 445000000, 149174),
+           (3, 32, 36350, 7104, 3027048879, 508000000, 444000000, 149174),
+           (4, 31, 33201, 6461, 2934997535, 465000000, 429000000, 149174),
+           (5, 31, 36245, 7012, 2931901597, 496000000, 438000000, 149174),
+           (6, 31, 33991, 6564, 2932422724, 471000000, 436000000, 149174),
+           (7, 31, 36253, 6974, 2921596529, 502000000, 434000000, 149174),
+           (8, 31, 34237, 6674, 2949555239, 477000000, 432000000, 149174),
+           (9, 31, 36528, 7064, 2927606705, 508000000, 430000000, 149174))
+         SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_docs AS BIGINT) AS n_docs, CAST(sum_bytes AS BIGINT) AS sum_bytes, CAST(sum_units AS BIGINT) AS sum_units, CAST(sum_mean_micro AS BIGINT) AS sum_mean_micro, CAST(sum_f0_micro AS BIGINT) AS sum_f0_micro, CAST(sum_f1_micro AS BIGINT) AS sum_f1_micro
+         FROM v JOIN fp ON v.k = fp.k""",
+    "m11_audio_spectrum" ->
+      """WITH fp AS (SELECT SUM(length(text)) AS k FROM documents),
+         v(bucket, n_docs, sum_bytes, sum_units, sum_mean_micro, sum_f0_micro, sum_f1_micro, k) AS (VALUES
+           (0, 32, 66944, 2832, 20253707000, 22125000000, 5419014, 153156),
+           (1, 32, 66944, 2864, 20218016000, 22375000000, 5484553, 153156),
+           (10, 31, 64852, 2843, 19965273000, 22210937500, 5281378, 153156),
+           (11, 31, 64852, 2874, 19930963000, 22453125000, 5314605, 153156),
+           (12, 31, 64852, 2905, 20488580000, 22695312500, 5329216, 153156),
+           (13, 31, 64852, 2936, 20687365000, 22937500000, 5360934, 153156),
+           (14, 31, 64852, 2967, 20796084000, 23179687500, 5393108, 153156),
+           (15, 31, 64852, 2998, 21297253000, 23421875000, 5274599, 153156),
+           (2, 32, 66944, 2896, 20425445000, 22625000000, 5534273, 153156),
+           (3, 32, 66944, 2928, 20512798000, 22875000000, 5582463, 153156),
+           (4, 31, 64852, 2857, 19774002000, 22320312500, 5388305, 153156),
+           (5, 31, 64852, 2888, 19715799000, 22562500000, 5290268, 153156),
+           (6, 31, 64852, 2919, 20368115000, 22804687500, 5301712, 153156),
+           (7, 31, 64852, 2950, 20404017000, 23046875000, 5333851, 153156),
+           (8, 31, 64852, 2781, 19400909000, 21726562500, 5366382, 153156),
+           (9, 31, 64852, 2812, 19856548000, 21968750000, 5384825, 153156),
+           (0, 32, 66944, 2832, 20253707000, 22125000000, 5419014, 149174),
+           (1, 32, 66944, 2864, 20218016000, 22375000000, 5484553, 149174),
+           (10, 31, 64852, 2843, 19965273000, 22210937500, 5281378, 149174),
+           (11, 31, 64852, 2874, 19930963000, 22453125000, 5314605, 149174),
+           (12, 31, 64852, 2905, 20488580000, 22695312500, 5329216, 149174),
+           (13, 31, 64852, 2936, 20687365000, 22937500000, 5360934, 149174),
+           (14, 31, 64852, 2967, 20796084000, 23179687500, 5393108, 149174),
+           (15, 31, 64852, 2998, 21297253000, 23421875000, 5274599, 149174),
+           (2, 32, 66944, 2896, 20425445000, 22625000000, 5534273, 149174),
+           (3, 32, 66944, 2928, 20512798000, 22875000000, 5582463, 149174),
+           (4, 31, 64852, 2857, 19774002000, 22320312500, 5388305, 149174),
+           (5, 31, 64852, 2888, 19715799000, 22562500000, 5290268, 149174),
+           (6, 31, 64852, 2919, 20368115000, 22804687500, 5301712, 149174),
+           (7, 31, 64852, 2950, 20404017000, 23046875000, 5333851, 149174),
+           (8, 31, 64852, 2781, 19400909000, 21726562500, 5366382, 149174),
+           (9, 31, 64852, 2812, 19856548000, 21968750000, 5384825, 149174))
+         SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_docs AS BIGINT) AS n_docs, CAST(sum_bytes AS BIGINT) AS sum_bytes, CAST(sum_units AS BIGINT) AS sum_units, CAST(sum_mean_micro AS BIGINT) AS sum_mean_micro, CAST(sum_f0_micro AS BIGINT) AS sum_f0_micro, CAST(sum_f1_micro AS BIGINT) AS sum_f1_micro
+         FROM v JOIN fp ON v.k = fp.k""",
+    "m12_image_phash" ->
+      """WITH fp AS (SELECT SUM(length(text)) AS k FROM documents),
+         v(bucket, n_docs, sum_w, sum_h, xor_phash, sum_bits, k) AS (VALUES
+           (0, 32, 781, 700, 4504649489923455517, 992, 153156),
+           (1, 32, 779, 693, 8372511633265733053, 992, 153156),
+           (10, 31, 732, 680, 5320925391068800537, 961, 153156),
+           (11, 31, 729, 685, 4610181678380730796, 961, 153156),
+           (12, 31, 726, 690, 1267835014238787678, 961, 153156),
+           (13, 31, 723, 682, 7239438149866708476, 961, 153156),
+           (14, 31, 737, 674, 8306011210986992597, 961, 153156),
+           (15, 31, 751, 679, 7339161915374315605, 961, 153156),
+           (2, 32, 777, 699, 2604600966698529418, 992, 153156),
+           (3, 32, 775, 705, 9006594440763814072, 991, 153156),
+           (4, 31, 750, 676, 3229879713965471237, 961, 153156),
+           (5, 31, 747, 681, 2829156844247106563, 961, 153156),
+           (6, 31, 744, 686, 8546122216208588241, 961, 153156),
+           (7, 31, 741, 678, 1748789128115486733, 961, 153156),
+           (8, 31, 738, 683, 6568315830582298389, 961, 153156),
+           (9, 31, 735, 688, 3658793566617844485, 961, 153156),
+           (0, 32, 781, 700, 9074731352537714611, 992, 149174),
+           (1, 32, 779, 693, 3357823023331404914, 992, 149174),
+           (10, 31, 732, 680, 2094835319270951519, 961, 149174),
+           (11, 31, 729, 685, 8760779477601817091, 961, 149174),
+           (12, 31, 726, 690, 238691086516336282, 961, 149174),
+           (13, 31, 723, 682, 3467522369657687787, 961, 149174),
+           (14, 31, 737, 674, 4935694494873926561, 961, 149174),
+           (15, 31, 751, 679, 2597594346771737903, 961, 149174),
+           (2, 32, 777, 699, 6984112994200268692, 992, 149174),
+           (3, 32, 775, 705, 6163997842730851337, 992, 149174),
+           (4, 31, 750, 676, 8327842199664524093, 961, 149174),
+           (5, 31, 747, 681, 6385091799106511133, 961, 149174),
+           (6, 31, 744, 686, 2418526604226280309, 961, 149174),
+           (7, 31, 741, 678, 2852324947092884573, 961, 149174),
+           (8, 31, 738, 683, 3764788120098474341, 961, 149174),
+           (9, 31, 735, 688, 2884300640272744552, 961, 149174))
+         SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_docs AS BIGINT) AS n_docs, CAST(sum_w AS BIGINT) AS sum_w, CAST(sum_h AS BIGINT) AS sum_h, CAST(xor_phash AS BIGINT) AS xor_phash, CAST(sum_bits AS BIGINT) AS sum_bits
+         FROM v JOIN fp ON v.k = fp.k"""
   )
 }

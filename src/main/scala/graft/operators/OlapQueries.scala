@@ -999,7 +999,12 @@ object OlapQueries {
       val mad = Olap.exactMedianByGroup(
         dev.select(col("event_type"), col("adev")), "event_type", "adev")
         .withColumnRenamed("med", "mad")
+      // mad = 0 (a group >50% identical values) would make robust_z
+      // ±Inf/NaN and hand membership to the engines' IEEE-division
+      // conventions — degenerate groups are skipped outright, the
+      // same convention as olsByGroup's n < 2 guard
       dev.join(broadcast(mad), Seq("event_type"))
+        .filter(col("mad") =!= 0)
         .withColumn("rz",
           lit(0.6745) * (col("value") - col("med")) / col("mad"))
         .filter(round(abs(col("rz")), 9) > 3.5)
@@ -2016,7 +2021,8 @@ object OlapQueries {
          SELECT d.event_id, d.event_type, d.value,
            ROUND(0.6745 * (d.value - d.med) / m.mad, 6) AS robust_z
          FROM dev d JOIN mad m USING (event_type)
-         WHERE ROUND(abs(0.6745 * (d.value - d.med) / m.mad), 9) > 3.5""",
+         WHERE m.mad <> 0
+           AND ROUND(abs(0.6745 * (d.value - d.med) / m.mad), 9) > 3.5""",
     // the same cascaded running-max construction, re-derived; epoch()
     // on a second-granularity ts matches unix_timestamp exactly
     "q49_window_funnel" ->

@@ -367,8 +367,12 @@ object Similarity {
 
   /** Deterministic seeded k-means (the IVF coarse codebook): init =
     * the first `k` vectors by id, then `iters` rounds of
-    * assign-to-nearest + element-wise mean. Every step is a
-    * distributed DataFrame op; fully deterministic — no RNG.
+    * assign-to-nearest + element-wise FIXED-POINT mean
+    * ([[graft.functions.VectorMeanAgg]]: micro-quantized integer
+    * sums, so centroid bits are partitioning-independent AND
+    * re-derivable by the DuckDB oracle — the s3/s8/s11 exact-oracle
+    * flip). Every step is a distributed DataFrame op; fully
+    * deterministic — no RNG.
     *
     * Assignment is a `max_by` hash aggregate (argmax centroid per
     * vector with the same (round(cos,9) desc, c_id asc) tie-break the
@@ -499,6 +503,11 @@ object Similarity {
     val seeds = c.orderBy("vec_id").limit(nCodes)
       .select(col("vec_id"), col("v")).collect()
       .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    // loud contract error instead of an opaque books(j)(cd) IOOBE
+    // deep inside the first training iteration
+    require(seeds.length == nCodes,
+      s"training corpus has only ${seeds.length} vectors; nCodes=$nCodes " +
+        "PQ codebooks need at least nCodes distinct seed vectors")
     var books: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
       seeds.toSeq.map(full => full.slice(j * sub, (j + 1) * sub).toSeq))
     for (_ <- 1 to iters) {

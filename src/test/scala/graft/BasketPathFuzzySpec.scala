@@ -201,7 +201,9 @@ class BasketPathFuzzySpec extends SparkSpec {
       (4L, "beta labs"),
       (5L, "zeta labs"),  // dist 1 to "beta labs", shares "labs"
       (6L, "gamma inc"),
-      (7L, "delta inc")   // shares "inc" but dist("gamma","delta")=4 → cut
+      (7L, "delta inc"),  // shares "inc" but dist("gamma","delta")=4 → cut
+      (8L, "widget"),
+      (9L, "widgit")      // single-token, NO shared token — trigram channel
     ).toDF("p_partkey", "p_name")
       .withColumn("p_brand", lit("X"))
       .write.parquet(s"$dir/part.parquet")
@@ -214,6 +216,7 @@ class BasketPathFuzzySpec extends SparkSpec {
       .toSeq
     assert(out == Seq(
       ("acme corp", "acme corpp", 1L, 2L, 1L),
-      ("beta labs", "zeta labs", 1L, 1L, 1L)))
+      ("beta labs", "zeta labs", 1L, 1L, 1L),
+      ("widget", "widgit", 1L, 1L, 1L)))
   }
 }

@@ -71,7 +71,10 @@ class PlanLintSpec extends SparkSpec {
     "st22_stream_distinct",
     // st20/st21 are the custom-state (fMGWS) paths, executed eagerly
     // like st17; their batch twins q44/q34 are linted above
-    "st20_stream_attribution", "st21_stream_scd2")
+    "st20_stream_attribution", "st21_stream_scd2",
+    // st27 drives the full watermarked stream on invocation; its EWMA
+    // fold plan is q54's (linted there)
+    "st27_stream_chart_pipeline")
 
   test("no registry query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -64,7 +64,12 @@ class RobustStatsSpec extends SparkSpec {
     val clean = (1 to 21).map { i =>
       (i.toLong, "click", 10.0 + ((i % 5) - 2).toDouble / 2.0)
     }
-    val ev = (clean :+ (99L, "click", 40.0))
+    // a degenerate group: >50% identical values → MAD 0 → every
+    // off-median row would be ±Inf; the mad<>0 guard must drop the
+    // whole group, never emit Inf/NaN rows
+    val flat = (1 to 9).map(i => (200L + i, "view", 5.0)) :+
+      (250L, "view", 500.0)
+    val ev = (clean ++ flat :+ (99L, "click", 40.0))
       .toDF("event_id", "event_type", "value")
       .withColumn("ts", to_timestamp(lit("2024-03-01 10:00:00")))
       .withColumn("user_id", lit(1L))
@@ -73,7 +78,7 @@ class RobustStatsSpec extends SparkSpec {
       .collect()
       .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value"),
         r.getAs[Double]("robust_z")))
-    assert(out.length == 1)
+    assert(out.length == 1, s"MAD=0 'view' group must be skipped: ${out.toSeq}")
     assert(out(0)._1 == 99L && out(0)._2 == 40.0)
     assert(math.abs(out(0)._3 - 40.47) < 1e-9)
   }

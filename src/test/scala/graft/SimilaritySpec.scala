@@ -88,7 +88,7 @@ class SimilaritySpec extends SparkSpec {
     assert(newPlan(2L) == 3L) // genuine best match
   }
 
-  test("vector_mean aggregate equals the posexplode/avg reference plan") {
+  test("vector_mean aggregate equals the fixed-point posexplode reference plan") {
     import graft.functions.VectorMeanAgg.vectorMean
     import graft.operators.Similarity.corpus
     val c = corpus(emb)
@@ -96,12 +96,24 @@ class SimilaritySpec extends SparkSpec {
     val assigned = c.withColumn("c_id", lit(0L)) // one group: the global mean
     val got = assigned.groupBy("c_id").agg(vectorMean(col("v")).as("cv"))
       .head().getSeq[Double](1)
-    val ref = assigned.select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("c_id", "pos").agg(avg("x").as("cx"))
+    // reference: micro-quantized integer sums / count / 1e6 — the
+    // aggregate's committed fixed-point contract, BIT-exact (no
+    // tolerance): partitioning cannot move an integer sum
+    val ref = assigned
+      .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("c_id", "pos")
+      .agg((sum(floor(col("x") * 1e6 + 0.5).cast("long")).cast("double")
+        / count(lit(1)) / 1e6).as("cx"))
       .orderBy("pos").collect().map(_.getDouble(2))
     assert(got.length == ref.length)
     got.zip(ref).foreach { case (g, r) =>
-      assert(math.abs(g - r) < 1e-12, s"$g vs $r") }
+      assert(g == r, s"$g vs $r") }
+    // and the true float mean stays within the 5e-7 quantization bound
+    val fl = assigned.select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("c_id", "pos").agg(avg("x").as("cx"))
+      .orderBy("pos").collect().map(_.getDouble(2))
+    got.zip(fl).foreach { case (g, r) =>
+      assert(math.abs(g - r) < 5e-7, s"$g vs $r") }
     // and the full kmeans pipeline stays deterministic run-to-run
     val again = Similarity.kmeansCentroids(c, k = 10, iters = 1)
     val a = centroids.orderBy("c_id").collect().map(_.getSeq[Double](1))

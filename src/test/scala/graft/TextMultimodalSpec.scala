@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.{Gif, Multimodal}
+import graft.operators.{Gif, Multimodal, MultimodalQueries}
 
 class TextMultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -709,7 +709,7 @@ class TextMultimodalSpec extends SparkSpec {
   }
 
   test("m8: decoded JPEG dimensions re-derive the synth metadata from bytes") {
-    val out = SparkEntry.queries("m8_jpeg_decode")(spark, sf).collect()
+    val out = MultimodalQueries.jpegFeatures(spark, sf).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
       val id = r.getAs[Long]("doc_id")
@@ -721,7 +721,7 @@ class TextMultimodalSpec extends SparkSpec {
   }
 
   test("m10: decoded 4:2:0 JPEG dimensions re-derive the synth metadata from bytes") {
-    val out = SparkEntry.queries("m10_jpeg420_decode")(spark, sf).collect()
+    val out = MultimodalQueries.jpeg420Features(spark, sf).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
       val id = r.getAs[Long]("doc_id")
