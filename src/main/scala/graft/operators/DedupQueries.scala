@@ -6,11 +6,14 @@ import graft.Tables
 import graft.functions.TextFunctions._
 
 /** Registry for the dedup family (SURVEY.md §2.D). Every entry carries
-  * an exact DuckDB oracle except d13 (iterative k-means is not
-  * SQL-expressible → rows-only + spec). d2/d3 use the d5 pattern:
-  * engine-independent integer arithmetic (polynomial codepoint hash
-  * mod 2^31−1, affine rehash per component/bit) that DuckDB re-derives
-  * bit-for-bit, so even the LSH sketches are exact-hash-checked.
+  * an exact DuckDB oracle except d20, whose float-DCT pHash upstream
+  * is digest-checked (committed per-Hamming digest of the full pair
+  * set) with pair-set exactness in the brute-recount spec. d2/d3 use
+  * the d5 pattern: engine-independent integer arithmetic (polynomial
+  * codepoint hash mod 2^31−1, affine rehash per component/bit) that
+  * DuckDB re-derives bit-for-bit, so even the LSH sketches are
+  * exact-hash-checked; d13's single-cluster gate regime makes even
+  * the k-means-blocked path SQL-expressible.
   */
 object DedupQueries {
 
@@ -107,9 +110,10 @@ object DedupQueries {
     // deterministic k-means clusters block the candidate pairs, a
     // vector with a lower-id cluster-mate at cosine ≥ tau is a
     // semantic_dup of its lowest-id such neighbor. One label row per
-    // vector. k-means is not SQL-expressible → rows-only driver
-    // check; SimilaritySpec brute-force-verifies the labels on
-    // planted duplicates. The AUTO variant is the registered path:
+    // vector. At the gate's corpus size autoK pins the single-cluster
+    // regime, so the oracle is exact SQL (see the d13 oracle comment);
+    // SimilaritySpec brute-force-verifies the labels on planted
+    // duplicates at k > 1. The AUTO variant is the registered path:
     // k grows with the corpus (k ≈ n/targetClusterSize) so the
     // Σ|cluster|² candidate-pair bound stays linear without tuning.
     "d13_semantic_dedup" -> ((s, d) =>

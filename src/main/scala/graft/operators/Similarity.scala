@@ -824,8 +824,12 @@ object Similarity {
   * pattern), so the DuckDB oracle re-derives the identical candidate
   * sets and re-ranks them — the approximation is deterministic and
   * cross-engine reproducible, and recall specs still measure it
-  * against the exact baselines. s3/s8 (k-means codebooks) stay
-  * rows-only + recall specs.
+  * against the exact baselines. s3/s8/s11 (k-means codebooks) became
+  * exact-hash-checked when [[graft.functions.VectorMeanAgg]] went
+  * FIXED-POINT: centroid updates are micro-quantized integer sums, so
+  * the oracle re-derives BOTH k-means iterations (and the joint PQ
+  * subspace training, encoding, ADC shortlist and exact refine)
+  * bit-for-bit in SQL — see [[SimilarityQueries.ivfCoarseCtes]].
   */
 object SimilarityQueries {
 
@@ -841,16 +845,18 @@ object SimilarityQueries {
     // recall spec vs the exact join)
     "s7_knn_join" -> ((s, d) => Similarity.knnJoin(Tables.embeddings(s, d))),
     // IVF-PQ: product-quantized index + ADC shortlist + exact refine
-    // (rows-only: recall + compression specs)
+    // (exact oracle: the full pipeline re-derived in SQL — see the
+    // object scaladoc; recall + compression specs besides)
     "s8_knn_ivfpq" -> ((s, d) => Similarity.ivfpqTopK(Tables.embeddings(s, d))),
     // filtered ANN: predicate (label equality) pushed into candidate
     // generation — semi-join corpus prune + label on the bucket key
     "s9_filtered_knn" -> ((s, d) => Similarity.filteredLshTopK(Tables.embeddings(s, d))),
     // incremental IVF-PQ maintenance: train on 80% of the corpus,
     // upsert the held-out 20% as a batch (frozen codebooks, O(batch)
-    // cost), query the grown index. Rows-only (k-means codebook FP);
-    // the spec proves upsert ≡ frozen-codebook rebuild row-for-row
-    // and a recall floor on the grown index.
+    // cost), query the grown index. Exact oracle: s8's SQL with the
+    // training CTEs restricted to the base split; the spec proves
+    // upsert ≡ frozen-codebook rebuild row-for-row and a recall
+    // floor on the grown index.
     "s11_pq_upsert" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
@@ -1140,6 +1146,212 @@ object SimilarityQueries {
                ORDER BY ROUND(cos, 9) DESC, neighbor_id ASC) AS BIGINT) AS rank
            FROM pairs)
          SELECT q_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
-         FROM ranked WHERE rank <= 5"""
+         FROM ranked WHERE rank <= 5""",
+    // IVF-FAMILY EXACT ORACLES (s3/s8/s11): both fixed-point k-means
+    // iterations re-derived in SQL (micro-quantized integer centroid
+    // sums — VectorMeanAgg's committed contract — make the training
+    // regime engine-independent), then nprobe probing and the exact
+    // re-rank; s8/s11 add the joint PQ subspace training, encoding,
+    // reconstruction-based ADC shortlist and exact refine. s11 is
+    // s8 with the training corpus restricted to the base split
+    // (upsert ≡ frozen-codebook rebuild, so encoding the full corpus
+    // against base-trained codebooks IS the grown index).
+    "s3_knn_ivf" -> ("WITH " + ivfCoarseCtes("") + "," + ivfExactTail),
+    "s8_knn_ivfpq" -> ("WITH " + ivfCoarseCtes("") + "," + pqCtes + "," + adcTail),
+    "s11_pq_upsert" ->
+      ("WITH " + ivfCoarseCtes("WHERE vec_id % 5 <> 0") + "," + pqCtes + "," + adcTail)
   )
+
+  /** Coarse fixed-point k-means CTE block shared by the s3/s8/s11
+    * oracles: corpus parse, `trainWhere`-filtered training split,
+    * 10 smallest-id seeds, two assign/update iterations (assignment =
+    * argmax round(cos, 9) with smallest-c_id ties, exactly
+    * NearestCentroidExpr's order; update = per-position
+    * floor(x·1e6+0.5) BIGINT sums / count / 1e6, exactly
+    * VectorMeanAgg's fixed-point contract), and the final full-corpus
+    * assignment a3.
+    */
+  private def ivfCoarseCtes(trainWhere: String): String = s"""
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+tr AS (SELECT * FROM n $trainWhere),
+seed AS (
+  SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM tr ORDER BY vec_id LIMIT 10),
+a1 AS (
+  SELECT vec_id, c_id FROM (
+    SELECT nn.vec_id, s.c_id,
+      row_number() OVER (PARTITION BY nn.vec_id ORDER BY
+        ROUND(list_sum(list_transform(list_zip(nn.v, s.cv), z -> z[1] * z[2]))
+          / (nn.nrm * s.cn), 9) DESC, s.c_id ASC) AS rn
+    FROM tr nn, seed s) WHERE rn = 1),
+c1 AS (
+  SELECT c_id, list(cx ORDER BY pos) AS cv FROM (
+    SELECT a1.c_id, t.pos,
+      CAST(SUM(CAST(FLOOR(tr.v[t.pos] * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+        / COUNT(*) / 1e6 AS cx
+    FROM a1 JOIN tr USING (vec_id),
+      LATERAL (SELECT unnest(generate_series(1, len(tr.v))) AS pos) t
+    GROUP BY a1.c_id, t.pos)
+  GROUP BY c_id),
+c1n AS (
+  SELECT c_id, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn FROM c1),
+a2 AS (
+  SELECT vec_id, c_id FROM (
+    SELECT nn.vec_id, s.c_id,
+      row_number() OVER (PARTITION BY nn.vec_id ORDER BY
+        ROUND(list_sum(list_transform(list_zip(nn.v, s.cv), z -> z[1] * z[2]))
+          / (nn.nrm * s.cn), 9) DESC, s.c_id ASC) AS rn
+    FROM tr nn, c1n s) WHERE rn = 1),
+c2 AS (
+  SELECT c_id, list(cx ORDER BY pos) AS cv FROM (
+    SELECT a2.c_id, t.pos,
+      CAST(SUM(CAST(FLOOR(tr.v[t.pos] * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+        / COUNT(*) / 1e6 AS cx
+    FROM a2 JOIN tr USING (vec_id),
+      LATERAL (SELECT unnest(generate_series(1, len(tr.v))) AS pos) t
+    GROUP BY a2.c_id, t.pos)
+  GROUP BY c_id),
+c2n AS (
+  SELECT c_id, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn FROM c2),
+a3 AS (
+  SELECT vec_id, c_id AS list_id FROM (
+    SELECT nn.vec_id, s.c_id,
+      row_number() OVER (PARTITION BY nn.vec_id ORDER BY
+        ROUND(list_sum(list_transform(list_zip(nn.v, s.cv), z -> z[1] * z[2]))
+          / (nn.nrm * s.cn), 9) DESC, s.c_id ASC) AS rn
+    FROM n nn, c2n s) WHERE rn = 1)"""
+
+  /** s3's tail: nprobe=3 probe lists per query, candidates from the
+    * probed lists, exact cosine re-rank to k=5. */
+  private def ivfExactTail: String = """
+pr AS (
+  SELECT q_id, c_id AS list_id FROM (
+    SELECT q.vec_id AS q_id, s.c_id,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        ROUND(list_sum(list_transform(list_zip(q.v, s.cv), z -> z[1] * z[2]))
+          / (q.nrm * s.cn), 9) DESC, s.c_id ASC) AS rn
+    FROM n q, c2n s WHERE q.vec_id < 10) WHERE rn <= 3),
+cand AS (
+  SELECT p.q_id, a3.vec_id
+  FROM pr p JOIN a3 USING (list_id) WHERE a3.vec_id <> p.q_id),
+scored AS (
+  SELECT c.q_id, c.vec_id AS neighbor_id,
+    list_sum(list_transform(list_zip(cv.v, qv.v), z -> z[1] * z[2]))
+      / (cv.nrm * qv.nrm) AS cos
+  FROM cand c
+  JOIN n cv ON cv.vec_id = c.vec_id
+  JOIN n qv ON qv.vec_id = c.q_id),
+ranked AS (
+  SELECT q_id, neighbor_id, cos,
+    CAST(row_number() OVER (PARTITION BY q_id
+      ORDER BY ROUND(cos, 9) DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored)
+SELECT q_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+  /** The PQ half of the s8/s11 oracles: 8 subspaces × 16-code joint
+    * training (two iterations, empty cells keep the previous code
+    * vector), full-corpus encoding, reconstruction + rnrm — the
+    * compressed index rows. */
+  private def pqCtes: String = """
+jj AS (SELECT unnest(generate_series(0, 7)) AS j),
+b0 AS (
+  SELECT jj.j, s.code, s.v[jj.j*8+1 : jj.j*8+8] AS bv
+  FROM (SELECT vec_id, v,
+      CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+    FROM tr ORDER BY vec_id LIMIT 16) s, jj),
+sub AS (
+  SELECT t.vec_id, jj.j, t.v[jj.j*8+1 : jj.j*8+8] AS sv FROM tr t, jj),
+pa1 AS (
+  SELECT vec_id, j, code, sv FROM (
+    SELECT sub.vec_id, sub.j, b.code, sub.sv,
+      row_number() OVER (PARTITION BY sub.vec_id, sub.j ORDER BY
+        list_sum(list_transform(list_zip(sub.sv, b.bv),
+          z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, b.code ASC) AS rn
+    FROM sub JOIN b0 b ON b.j = sub.j) WHERE rn = 1),
+pm1 AS (
+  SELECT j, code, list(cx ORDER BY pos) AS bv FROM (
+    SELECT pa1.j, pa1.code, t.pos,
+      CAST(SUM(CAST(FLOOR(pa1.sv[t.pos] * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+        / COUNT(*) / 1e6 AS cx
+    FROM pa1, LATERAL (SELECT unnest(generate_series(1, len(pa1.sv))) AS pos) t
+    GROUP BY pa1.j, pa1.code, t.pos)
+  GROUP BY j, code),
+b1 AS (
+  SELECT b0.j, b0.code, COALESCE(pm1.bv, b0.bv) AS bv
+  FROM b0 LEFT JOIN pm1 ON pm1.j = b0.j AND pm1.code = b0.code),
+pa2 AS (
+  SELECT vec_id, j, code, sv FROM (
+    SELECT sub.vec_id, sub.j, b.code, sub.sv,
+      row_number() OVER (PARTITION BY sub.vec_id, sub.j ORDER BY
+        list_sum(list_transform(list_zip(sub.sv, b.bv),
+          z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, b.code ASC) AS rn
+    FROM sub JOIN b1 b ON b.j = sub.j) WHERE rn = 1),
+pm2 AS (
+  SELECT j, code, list(cx ORDER BY pos) AS bv FROM (
+    SELECT pa2.j, pa2.code, t.pos,
+      CAST(SUM(CAST(FLOOR(pa2.sv[t.pos] * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+        / COUNT(*) / 1e6 AS cx
+    FROM pa2, LATERAL (SELECT unnest(generate_series(1, len(pa2.sv))) AS pos) t
+    GROUP BY pa2.j, pa2.code, t.pos)
+  GROUP BY j, code),
+b2 AS (
+  SELECT b1.j, b1.code, COALESCE(pm2.bv, b1.bv) AS bv
+  FROM b1 LEFT JOIN pm2 ON pm2.j = b1.j AND pm2.code = b1.code),
+enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT s.vec_id, s.j, b.code,
+      row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+        list_sum(list_transform(list_zip(s.sv, b.bv),
+          z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, b.code ASC) AS rn
+    FROM (SELECT t.vec_id, jj.j, t.v[jj.j*8+1 : jj.j*8+8] AS sv FROM n t, jj) s
+    JOIN b2 b ON b.j = s.j) WHERE rn = 1),
+recon AS (
+  SELECT e.vec_id, flatten(list(b.bv ORDER BY e.j)) AS rv
+  FROM enc e JOIN b2 b ON b.j = e.j AND b.code = e.code
+  GROUP BY e.vec_id),
+idx AS (
+  SELECT r.vec_id, a3.list_id, r.rv,
+    sqrt(list_sum(list_transform(r.rv, x -> x * x))) AS rnrm
+  FROM recon r JOIN a3 USING (vec_id))"""
+
+  /** ADC tail: probe lists, asymmetric-distance shortlist of
+    * refine×k=40 against reconstructions only, exact refine to k=5. */
+  private def adcTail: String = """
+pr AS (
+  SELECT q_id, c_id AS list_id FROM (
+    SELECT q.vec_id AS q_id, s.c_id,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        ROUND(list_sum(list_transform(list_zip(q.v, s.cv), z -> z[1] * z[2]))
+          / (q.nrm * s.cn), 9) DESC, s.c_id ASC) AS rn
+    FROM n q, c2n s WHERE q.vec_id < 10) WHERE rn <= 3),
+short AS (
+  SELECT q_id, vec_id FROM (
+    SELECT p.q_id, i.vec_id,
+      row_number() OVER (PARTITION BY p.q_id ORDER BY
+        ROUND(list_sum(list_transform(list_zip(qn.v, i.rv), z -> z[1] * z[2]))
+          / (qn.nrm * i.rnrm), 9) DESC, i.vec_id ASC) AS rn
+    FROM pr p
+    JOIN idx i USING (list_id)
+    JOIN n qn ON qn.vec_id = p.q_id
+    WHERE i.vec_id <> p.q_id) WHERE rn <= 40),
+scored AS (
+  SELECT s.q_id, s.vec_id AS neighbor_id,
+    list_sum(list_transform(list_zip(cv.v, qv.v), z -> z[1] * z[2]))
+      / (cv.nrm * qv.nrm) AS cos
+  FROM short s
+  JOIN n cv ON cv.vec_id = s.vec_id
+  JOIN n qv ON qv.vec_id = s.q_id),
+ranked AS (
+  SELECT q_id, neighbor_id, cos,
+    CAST(row_number() OVER (PARTITION BY q_id
+      ORDER BY ROUND(cos, 9) DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored)
+SELECT q_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
 }
