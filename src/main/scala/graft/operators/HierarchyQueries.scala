@@ -632,7 +632,108 @@ SELECT product_node_name, product_level_name, sum_sales_amount, sum_unit_quantit
        distinct_customer_count, count_of_fact_records
 FROM agg ORDER BY ancestor_node_sort_order"""
 
+  /** h8's oracle: the h4 rollup derivation verbatim for the exact
+    * columns (sums, fact counts, DFS order), with the HLL
+    * `distinct_customer_count` joined from COMMITTED per-node values
+    * keyed by corpus size — sound because Spark's HLL registers are
+    * merge-order-independent maxima over a fixed hash, so the
+    * estimate is a pure function of the input set (the codec-digest
+    * argument). Regenerate the tuples with `graft.tools.OracleDigests`
+    * if the testdata changes.
+    */
+  private def approxRollupSql: String =
+    s"""${prelude(false)},
+facts AS (
+  SELECT c.c_nationkey AS leaf_key, l.l_quantity AS unit_quantity,
+         l.l_extendedprice AS sales_amount
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+),
+agg AS (
+  SELECT lpad('-', (ancestor_level_number - 1) * 7, '-') || ancestor_node_name AS product_node_name,
+         lpad('-', (ancestor_level_number - 1) * 7, '-') || ancestor_level_name AS product_level_name,
+         ancestor_node_sort_order,
+         ROUND(SUM(sales_amount), 2) AS sum_sales_amount,
+         ROUND(SUM(unit_quantity), 2) AS sum_unit_quantity,
+         COUNT(*) AS count_of_fact_records
+  FROM facts f JOIN adim ON CAST(f.leaf_key AS BIGINT) = adim.descendant_node_natural_key
+  GROUP BY 1, 2, 3
+),
+fp AS (SELECT COUNT(*) AS k FROM lineitem),
+hll(product_node_name, approx, k) AS (VALUES
+           ('--------------NATION_0', 4, 6000),
+           ('--------------NATION_1', 6, 6000),
+           ('--------------NATION_10', 9, 6000),
+           ('--------------NATION_11', 10, 6000),
+           ('--------------NATION_12', 4, 6000),
+           ('--------------NATION_13', 7, 6000),
+           ('--------------NATION_14', 5, 6000),
+           ('--------------NATION_15', 5, 6000),
+           ('--------------NATION_16', 7, 6000),
+           ('--------------NATION_17', 8, 6000),
+           ('--------------NATION_18', 5, 6000),
+           ('--------------NATION_19', 13, 6000),
+           ('--------------NATION_2', 7, 6000),
+           ('--------------NATION_20', 9, 6000),
+           ('--------------NATION_21', 5, 6000),
+           ('--------------NATION_22', 4, 6000),
+           ('--------------NATION_23', 3, 6000),
+           ('--------------NATION_24', 5, 6000),
+           ('--------------NATION_3', 5, 6000),
+           ('--------------NATION_4', 6, 6000),
+           ('--------------NATION_5', 6, 6000),
+           ('--------------NATION_6', 4, 6000),
+           ('--------------NATION_7', 3, 6000),
+           ('--------------NATION_8', 4, 6000),
+           ('--------------NATION_9', 5, 6000),
+           ('-------AFRICA', 32, 6000),
+           ('-------AMERICA', 32, 6000),
+           ('-------ASIA', 27, 6000),
+           ('-------EUROPE', 22, 6000),
+           ('-------MIDDLE EAST', 35, 6000),
+           ('All Regions', 151, 6000),
+           ('--------------NATION_0', 54, 60000),
+           ('--------------NATION_1', 54, 60000),
+           ('--------------NATION_10', 72, 60000),
+           ('--------------NATION_11', 73, 60000),
+           ('--------------NATION_12', 63, 60000),
+           ('--------------NATION_13', 66, 60000),
+           ('--------------NATION_14', 56, 60000),
+           ('--------------NATION_15', 57, 60000),
+           ('--------------NATION_16', 56, 60000),
+           ('--------------NATION_17', 49, 60000),
+           ('--------------NATION_18', 62, 60000),
+           ('--------------NATION_19', 73, 60000),
+           ('--------------NATION_2', 74, 60000),
+           ('--------------NATION_20', 60, 60000),
+           ('--------------NATION_21', 66, 60000),
+           ('--------------NATION_22', 50, 60000),
+           ('--------------NATION_23', 64, 60000),
+           ('--------------NATION_24', 64, 60000),
+           ('--------------NATION_3', 67, 60000),
+           ('--------------NATION_4', 56, 60000),
+           ('--------------NATION_5', 42, 60000),
+           ('--------------NATION_6', 53, 60000),
+           ('--------------NATION_7', 74, 60000),
+           ('--------------NATION_8', 44, 60000),
+           ('--------------NATION_9', 48, 60000),
+           ('-------AFRICA', 286, 60000),
+           ('-------AMERICA', 309, 60000),
+           ('-------ASIA', 313, 60000),
+           ('-------EUROPE', 295, 60000),
+           ('-------MIDDLE EAST', 300, 60000),
+           ('All Regions', 1400, 60000))
+SELECT a.product_node_name, a.product_level_name, a.sum_sales_amount,
+       a.sum_unit_quantity, CAST(h.approx AS BIGINT) AS distinct_customer_count,
+       a.count_of_fact_records
+FROM agg a
+JOIN hll h ON h.product_node_name = a.product_node_name
+JOIN fp ON h.k = fp.k
+ORDER BY a.ancestor_node_sort_order"""
+
   val oracles: Map[String, String] = Map(
+    "h8_hier_agg_approx" -> approxRollupSql,
     // closure diff needs only (ancestor, descendant) pairs, which have
     // a compact self-inheriting recursive form per node-table version
     "h7_hierarchy_diff" ->

@@ -403,14 +403,22 @@ object OlapQueries {
 
     // Approximate sketches (HLL distinct + quantile sketch) next to
     // their exact twins — the 100 TB path for q6/q16-style questions.
-    // Sketch values are engine-specific → rows-only driver check;
-    // error bounds asserted in specs.
+    // DRIVER-CHECKED via the q42 regime-pin pattern: accuracy 10⁶ ≥
+    // any gate group size makes the GK summary's rank error
+    // n/accuracy < 1 — the sketch returns EXACTLY its target-rank
+    // element, independent of partial-merge order, so the quantile
+    // column has a real SQL oracle. (At 10⁰⁰-row scale you'd dial
+    // accuracy back down and accept the documented rank error — the
+    // operator is the same code path either way.) The HLL distinct
+    // count has no exact regime but IS merge-order-independent
+    // (register maxima commute over a fixed hash), so its three
+    // values are committed-digest-checked like the codec family.
     "q20_approx_sketch" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000000)).as("approx_median"))
         // exact twins live in q6/q16; specs assert the error bounds
     }),
 
@@ -1675,6 +1683,24 @@ object OlapQueries {
          MAX(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS max_k,
          MIN(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS min_k
          FROM events GROUP BY event_type""",
+    // q20's exact-regime oracle: accuracy 10⁶ ≥ every gate group size
+    // pins the GK quantile to its exact target-rank element, which
+    // empirically IS DuckDB's quantile_disc (the floor(0.5·(n−1))+1
+    // rank) at both gate SFs; the HLL distinct counts are committed
+    // values keyed by corpus size (merge-order-independent register
+    // maxima over a fixed hash — the codec-digest pattern)
+    "q20_approx_sketch" ->
+      """WITH fp AS (SELECT COUNT(*) AS k FROM lineitem),
+         hll(l_returnflag, approx_parts, k) AS (VALUES
+           ('A', 195, 6000), ('N', 195, 6000), ('R', 195, 6000),
+           ('A', 1947, 60000), ('N', 1947, 60000), ('R', 1947, 60000)),
+         med AS (
+           SELECT l_returnflag,
+             quantile_disc(l_extendedprice, 0.5) AS approx_median
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT h.l_returnflag, CAST(h.approx_parts AS BIGINT) AS approx_parts,
+           m.approx_median
+         FROM hll h JOIN fp ON h.k = fp.k JOIN med m USING (l_returnflag)""",
     "q21_asof_join" ->
       """WITH j AS (
            SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
