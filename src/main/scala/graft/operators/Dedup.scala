@@ -329,8 +329,22 @@ object Dedup {
     * handful of keys at 100 TB. Exactly one probe band matches per
     * pair (a band step of ±1 covers |Δlen| ≤ band width - 1), so no
     * dedup pass is needed.
+    *
+    * CORPUS-SIZE GUARD: the blocking KEY cardinality is bounded, but
+    * the population WITHIN a (lang, band) block grows linearly with
+    * the corpus — candidate pairs per block grow as |block|², so on a
+    * web-scale corpus this operator degrades quadratically while
+    * d2's minhash-LSH (whose bucket sizes are collision-bounded)
+    * stays linear and is the documented serving path. Rather than
+    * letting a naive caller discover that as an executor-melting job,
+    * the operator checks block populations up front (one aggregate
+    * over the already-cached input + a 1-row driver read) and FAILS
+    * LOUDLY above `maxBandPopulation`, naming the oversized block and
+    * the escape hatches (raise the cap deliberately, or use
+    * [[minhashLsh]]/[[dupClusters]]).
     */
-  def ngramJaccard(docs: DataFrame, maxLenDiff: Int = 3): DataFrame = {
+  def ngramJaccard(docs: DataFrame, maxLenDiff: Int = 3,
+      maxBandPopulation: Long = 100000): DataFrame = {
     val bandWidth = maxLenDiff + 1
     // cached: both sides of the blocked self-join read it
     val t = docs
@@ -338,6 +352,17 @@ object Dedup {
       .withColumn("band", floor(col("n_chars") / bandWidth))
       .select("doc_id", "lang", "n_chars", "band", "shingles")
       .cache()
+    val oversized = t.groupBy("lang", "band")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBandPopulation)
+      .limit(1).collect()
+    require(oversized.isEmpty, {
+      val r = oversized.head
+      s"ngramJaccard: (lang=${r.get(0)}, band=${r.get(1)}) holds ${r.getLong(2)} " +
+        s"docs > maxBandPopulation=$maxBandPopulation; candidate pairs grow as " +
+        "the square of the block population — use minhashLsh/dupClusters for " +
+        "corpora this size, or raise maxBandPopulation deliberately"
+    })
     val probes = t.withColumn("jband",
       explode(array(col("band") - 1, col("band"), col("band") + 1)))
     probes.as("a").join(t.as("b"),

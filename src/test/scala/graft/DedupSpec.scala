@@ -85,6 +85,22 @@ class DedupSpec extends SparkSpec {
     assert(out((0L, 3L)) < 0.1)
   }
 
+  test("ngram jaccard guard: an oversized (lang, band) block fails loudly, not quadratically") {
+    import spark.implicits._
+    // five same-language docs of identical length land in ONE band
+    val flood = (0 until 5).map(i =>
+      (100L + i, s"flood doc number $i with same length", "en", "s0", 33L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccard(flood, maxBandPopulation = 3).collect()
+    }
+    assert(e.getMessage.contains("maxBandPopulation"), e.getMessage)
+    assert(e.getMessage.contains("minhashLsh"), e.getMessage)
+    // the same corpus passes when the cap is raised deliberately
+    assert(Dedup.ngramJaccard(flood, maxBandPopulation = 5).collect()
+      .nonEmpty)
+  }
+
   test("containment catches the quote Jaccard misses; direction and threshold are honored") {
     val quote = "alpha beta gamma delta epsilon zeta eta theta"
     val long = ("lots of framing words before the quoted passage " + quote +
