@@ -612,6 +612,57 @@ object StreamingQueries {
     spark.table(qname)
   }
 
+  /** q61's Holt level+trend fold over a FINALIZED (event_type, d, c)
+    * day frame — the batch half of st28, factored so the spec can
+    * drive it over a MemoryStream-finalized fixture. Day 1 of each
+    * series seeds the level and is not emitted (no forecast exists
+    * for it); coefficients are q61's dyadic α=1/2, β=1/4 so the fold
+    * is bit-reproducible against the recursive-CTE oracle.
+    */
+  private[graft] def holtOverFinalized(finalized: DataFrame): DataFrame = {
+    val series = finalized.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("xs"))
+    series.withColumn("fold", expr(
+      """aggregate(slice(xs, 2, size(xs) - 1),
+           named_struct(
+             'lv', CAST(element_at(xs, 1).c AS DOUBLE),
+             'tr', CAST(0.0 AS DOUBLE), 'fst', true,
+             'lvs', CAST(array() AS ARRAY<DOUBLE>),
+             'trs', CAST(array() AS ARRAY<DOUBLE>),
+             'fcs', CAST(array() AS ARRAY<DOUBLE>)),
+           (st, x) -> named_struct(
+             'lv', CASE WHEN st.fst THEN 0.5D * x.c + 0.5D * st.lv
+                   ELSE 0.5D * x.c + 0.5D * (st.lv + st.tr) END,
+             'tr', CASE WHEN st.fst
+                   THEN (0.5D * x.c + 0.5D * st.lv) - st.lv
+                   ELSE 0.25D * ((0.5D * x.c + 0.5D * (st.lv + st.tr))
+                                 - st.lv) + 0.75D * st.tr END,
+             'fst', false,
+             'lvs', concat(st.lvs, array(
+               CASE WHEN st.fst THEN 0.5D * x.c + 0.5D * st.lv
+               ELSE 0.5D * x.c + 0.5D * (st.lv + st.tr) END)),
+             'trs', concat(st.trs, array(
+               CASE WHEN st.fst
+               THEN (0.5D * x.c + 0.5D * st.lv) - st.lv
+               ELSE 0.25D * ((0.5D * x.c + 0.5D * (st.lv + st.tr))
+                             - st.lv) + 0.75D * st.tr END)),
+             'fcs', concat(st.fcs, array(st.lv + st.tr))),
+           st -> st)"""))
+      .select(col("event_type"), col("xs"),
+        col("fold.lvs").as("lvs"), col("fold.trs").as("trs"),
+        col("fold.fcs").as("fcs"))
+      .select(col("event_type"),
+        explode(arrays_zip(expr("slice(xs, 2, size(xs) - 1)").as("xs"),
+          col("lvs"), col("trs"), col("fcs"))).as("z"))
+      .select(col("event_type"),
+        date_format(col("z.xs.d"), "yyyy-MM-dd").as("day"),
+        col("z.xs.c").cast("long").as("n_events"),
+        round(col("z.lvs"), 6).as("level"),
+        round(col("z.trs"), 6).as("trend"),
+        round(col("z.fcs"), 6).as("forecast"),
+        round(col("z.xs.c") - col("z.fcs"), 6).as("forecast_err"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_windowed_agg" -> ((s, d) => StreamingOps.windowedAgg(Tables.events(s, d))),
     "st2_sessionize" -> ((s, d) => StreamingOps.sessionize(Tables.events(s, d))),
@@ -752,6 +803,20 @@ object StreamingQueries {
           round(col("z.ews"), 6).as("ewma"),
           round(col("z.res"), 6).as("resid"))
     }),
+    // st27's production lateness tolerance for the HOLT forecast
+    // (closing st26's zero-lateness caveat the way st27 closed
+    // st25's): the watermarked 1-day tumbling aggregation finalizes
+    // each (type, day) count exactly once — events up to 1 h late are
+    // COUNTED — and q61's level+trend double recurrence folds over
+    // the finalized day rows (dyadic coefficients, day 1 seeds and is
+    // not emitted). Oracle = q61's recursive CTE restricted to
+    // watermark-closed days (st27's cutoff convention).
+    "st28_stream_holt_pipeline" -> ((s, d) =>
+      holtOverFinalized(runStream(s, d, outputMode = "append")(ev =>
+        ev.withWatermark("ts", "1 hour")
+          .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
+          .agg(count(lit(1)).cast("double").as("c"))
+          .select(col("event_type"), col("w.start").as("d"), col("c"))))),
     // STREAMING windowed TOP-K: the bounded-heap TopKByScore aggregate
     // running INSIDE the streaming state store — per 15-minute window,
     // the 3 highest-value events. State per window is the k-entry
@@ -1266,6 +1331,47 @@ object StreamingQueries {
            ROUND(ew, 6) AS ewma,
            ROUND(res, 6) AS resid
          FROM rec""",
+    // q61's Holt recursion over watermark-closed days only (st27's
+    // cutoff convention); day 1 of the finalized series seeds the
+    // level and is not emitted
+    "st28_stream_holt_pipeline" ->
+      """WITH RECURSIVE daily AS (
+           SELECT event_type,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS c
+           FROM events GROUP BY 1, 2),
+         fin AS (
+           SELECT daily.* FROM daily
+           WHERE d + INTERVAL 1 DAY <=
+             (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR
+              FROM events)),
+         idx AS (
+           SELECT fin.*, row_number() OVER
+             (PARTITION BY event_type ORDER BY d) AS rn
+           FROM fin),
+         rec AS (
+           SELECT i.event_type, i.rn, i.d, i.c,
+             i.c AS lv, CAST(0.0 AS DOUBLE) AS tr,
+             CAST(NULL AS DOUBLE) AS fc, true AS fst
+           FROM idx i WHERE i.rn = 1
+           UNION ALL
+           SELECT i.event_type, i.rn, i.d, i.c,
+             CASE WHEN r.fst THEN 0.5 * i.c + 0.5 * r.lv
+                  ELSE 0.5 * i.c + 0.5 * (r.lv + r.tr) END,
+             CASE WHEN r.fst THEN (0.5 * i.c + 0.5 * r.lv) - r.lv
+                  ELSE 0.25 * ((0.5 * i.c + 0.5 * (r.lv + r.tr)) - r.lv)
+                       + 0.75 * r.tr END,
+             r.lv + r.tr,
+             false
+           FROM rec r JOIN idx i
+             ON i.event_type = r.event_type AND i.rn = r.rn + 1)
+         SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           CAST(c AS BIGINT) AS n_events,
+           ROUND(lv, 6) AS level,
+           ROUND(tr, 6) AS trend,
+           ROUND(fc, 6) AS forecast,
+           ROUND(c - fc, 6) AS forecast_err
+         FROM rec WHERE rn >= 2""",
     "st26_stream_holt" ->
       """WITH RECURSIVE daily AS (
            SELECT event_type,

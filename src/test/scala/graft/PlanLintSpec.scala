@@ -72,9 +72,9 @@ class PlanLintSpec extends SparkSpec {
     // st20/st21 are the custom-state (fMGWS) paths, executed eagerly
     // like st17; their batch twins q44/q34 are linted above
     "st20_stream_attribution", "st21_stream_scd2",
-    // st27 drives the full watermarked stream on invocation; its EWMA
-    // fold plan is q54's (linted there)
-    "st27_stream_chart_pipeline")
+    // st27/st28 drive the full watermarked stream on invocation;
+    // their EWMA/Holt fold plans are q54's/q61's (linted there)
+    "st27_stream_chart_pipeline", "st28_stream_holt_pipeline")
 
   test("no registry query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -390,6 +390,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st28: Holt fold over watermark-finalized days counts the late event, hand-checked") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ev(id: Long, ts: String) = StreamingOps.EvT(
+      id, java.sql.Timestamp.from(java.time.Instant.parse(ts)), 1L, "click")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[StreamingOps.EvT]
+    val q = ms.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .select(col("event_type"), col("w.start").as("d"), col("c"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st28_fin").start()
+    try {
+      // day 1 gets 2 on-time events; days 2-4 arrive in batch 2 along
+      // with a LATE day-1 event (23:45 against a 23:30 watermark at
+      // the time) that MUST be counted; the 01:30 day-4 event pushes
+      // the watermark past day 3's end so days 1-3 finalize
+      ms.addData(Seq(ev(1, "2024-03-01T10:00:00Z"), ev(2, "2024-03-01T11:00:00Z"),
+        ev(3, "2024-03-02T00:30:00Z")))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(4, "2024-03-01T23:45:00Z"), ev(5, "2024-03-02T02:00:00Z"),
+        ev(6, "2024-03-03T05:00:00Z"), ev(7, "2024-03-03T06:00:00Z"),
+        ev(8, "2024-03-03T07:00:00Z"), ev(9, "2024-03-03T08:00:00Z"),
+        ev(10, "2024-03-04T01:30:00Z")))
+      q.processAllAvailable()
+      // finalized counts: day1 = 3 (incl. the late event), day2 = 2,
+      // day3 = 4; day 4 is still open. Hand Holt (α=1/2, β=1/4),
+      // seed lv=3 tr=0:
+      //   day2: lv=.5·2+.5·3=2.5, tr=2.5−3=−0.5, fc=3, err=−1
+      //   day3: lv=.5·4+.5·(2.5−0.5)=3, tr=.25·(3−2.5)+.75·(−0.5)
+      //         =−0.25, fc=2.5−0.5=2, err=2
+      val out = graft.streaming.StreamingQueries
+        .holtOverFinalized(spark.table("st28_fin"))
+        .collect()
+        .map(r => r.getAs[String]("day") ->
+          ((r.getAs[Long]("n_events"), r.getAs[Double]("level"),
+            r.getAs[Double]("trend"), r.getAs[Double]("forecast"),
+            r.getAs[Double]("forecast_err"))))
+        .toMap
+      assert(out.keySet == Set("2024-03-02", "2024-03-03"),
+        s"day 1 seeds, day 4 is open: $out")
+      assert(out("2024-03-02") == ((2L, 2.5, -0.5, 3.0, -1.0)), out.toString)
+      assert(out("2024-03-03") == ((4L, 3.0, -0.25, 2.0, 2.0)), out.toString)
+    } finally q.stop()
+  }
+
   test("streamToParquet: durable file sink with checkpoint equals the batch filter") {
     val dir = java.nio.file.Files.createTempDirectory("events_sink_src")
     java.nio.file.Files.createSymbolicLink(
