@@ -471,7 +471,14 @@ object TextQueries {
           when(round(col("flesch"), 9) >= 60.0, "easy")
             .when(round(col("flesch"), 9) >= 30.0, "standard")
             .otherwise("difficult"))
-    })
+    }),
+    // REAL corpus-trained BPE tokenizer (the upgrade t6's estimator
+    // stood in for): 16 deterministic merges on integer pair counts
+    // (count desc, lexicographic tie-break), greedy left-to-right
+    // application; per-doc exact subword counts for token budgeting.
+    // Training and application both re-derived in the DuckDB oracle —
+    // see [[Bpe]].
+    "t21_bpe_tokens" -> ((s, d) => Bpe.bpeTokens(Tables.documents(s, d)))
   )
 
   /** Cross-document boilerplate scoring — see the t15 entry. `minDf`
@@ -1006,6 +1013,8 @@ object TextQueries {
            CASE WHEN ROUND(flesch, 9) >= 60.0 THEN 'easy'
                 WHEN ROUND(flesch, 9) >= 30.0 THEN 'standard'
                 ELSE 'difficult' END AS band
-         FROM f"""
+         FROM f""",
+    // merge training unrolled in SQL — generated by Bpe.bpeOracleSql
+    "t21_bpe_tokens" -> Bpe.bpeOracleSql(16)
   )
 }

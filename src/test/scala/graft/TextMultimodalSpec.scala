@@ -732,6 +732,44 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("t21 BPE: hand-derived merges, tie-breaks, greedy application and doc counts") {
+    import spark.implicits._
+    // dictionary: low×6, lower×2, lowest×1, new×3, newer×4. Weighted
+    // pair counts round 1: l-o 9, o-w 9 (tie → ('l','o') wins the
+    // lexicographic tie-break), then (lo,w) 9, then e-w vs n-e tie at
+    // 7 → ('e','w'), then (n,ew) 7. Final tokens: low=1,
+    // lower=[low,e,r]=3, lowest=[low,e,s,t]=4, new=1, newer=[new,e,r]=3.
+    val (merges, ntok) = graft.operators.Bpe.trainMerges(
+      Seq("low" -> 6L, "lower" -> 2L, "lowest" -> 1L,
+        "new" -> 3L, "newer" -> 4L), nMerges = 4)
+    assert(merges == Seq(("l", "o"), ("lo", "w"), ("e", "w"), ("n", "ew")),
+      merges.toString)
+    assert(ntok == Map("low" -> 1, "lower" -> 3, "lowest" -> 4,
+      "new" -> 1, "newer" -> 3), ntok.toString)
+    // greedy left-to-right non-overlap: "aaa" + (a,a) -> [aa, a]
+    assert(graft.operators.Bpe.applyMerge(Vector("a", "a", "a"), "a", "a")
+      == Vector("aa", "a"))
+    assert(graft.operators.Bpe.applyMerge(Vector("a", "a", "a", "a"), "a", "a")
+      == Vector("aa", "aa"))
+    // end-to-end doc counts over the same corpus
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    Seq(
+      (1L, "low low low low low low lower lower lowest"),
+      (2L, "new new new newer newer newer newer")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Bpe.bpeTokens(
+        Tables.documents(spark, dir), nMerges = 4)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens")))).toMap
+    // doc 1: 9 words, 6·1 + 2·3 + 1·4 = 16 subword tokens
+    // doc 2: 7 words, 3·1 + 4·3 = 15
+    assert(out == Map(1L -> ((9L, 16L)), 2L -> ((7L, 15L))), out.toString)
+  }
+
   test("Dsp.fft matches a naive O(n^2) DFT and satisfies Parseval on random signals") {
     import graft.operators.Multimodal.Dsp
     val n = 64
