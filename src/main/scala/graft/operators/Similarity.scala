@@ -339,6 +339,94 @@ object Similarity {
         col("t.id").as("neighbor_id"), round(col("t.score"), 6).as("cosine"))
   }
 
+  /** GRAPH ANN (s13): greedy BEAM SEARCH over the k-NN graph — the
+    * NSW/HNSW-class navigable-graph idea in a deterministic,
+    * oracle-expressible form. The graph is [[knnJoin]]'s per-vector
+    * top-`degree` edge set, SYMMETRIZED (an undirected k-NN graph is
+    * the standard NSW base layer); search starts at the smallest
+    * corpus id (≠ the query itself) and runs `hops` rounds of
+    * expand-score-prune: candidates = frontier ∪ frontier's
+    * neighbors, scored by exact cosine against the query, pruned to
+    * the `beam` best by (round(cos,9) DESC, id ASC). The answer is
+    * the top-k over every node VISITED across all hops — monotone in
+    * hops, exact on anything the walk reaches.
+    *
+    * Where IVF/LSH cover recall via bucket geometry, the graph walk
+    * covers it via connectivity — the structure that wins at high
+    * dimension under filters. Every step is deterministic (no RNG, a
+    * total-order tie-break at the prune), so the DuckDB oracle
+    * re-derives the WHOLE search: the s7 bucket arithmetic builds the
+    * same edges, and the hops unroll as CTE blocks exactly like
+    * the k-means iterations.
+    *
+    * Scale shape: the frontier is (queries × beam) rows — broadcast
+    * against the edge table (one hash join per hop, edge side never
+    * re-shuffled) and against the corpus for scoring (point-lookup
+    * joins; a serving deployment holds graph + vectors in an index
+    * service, here each hop is a broadcast hash join). The expensive
+    * part is the one-time graph BUILD, which is s7's bucket-blocked
+    * kNN join — never all-pairs.
+    */
+  def graphSearch(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
+      degree: Int = 8, beam: Int = 8, hops: Int = 8,
+      nEntries: Int = 8): DataFrame = {
+    val c = corpus(emb)
+    val edges0 = knnJoin(emb, k = degree)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val edges = edges0.unionByName(
+        edges0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .cache() // read once per hop
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    // ENTRY POINTS: the nEntries smallest corpus ids not equal to the
+    // query — ids are uncorrelated with embedding geometry, so these
+    // are a deterministic random-ish spread standing in for HNSW's
+    // upper-layer descent (a single entry on a pure k-NN graph has no
+    // long-range links to cross the space with). A bounded control
+    // read (the codebook-collect convention).
+    val firstIds = c.select("vec_id").orderBy("vec_id").limit(nEntries + 1)
+      .collect().map(_.getLong(0))
+    require(firstIds.length >= 2, "graphSearch needs at least 2 corpus vectors")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var frontier = q.select(col("q_id"))
+      .crossJoin(broadcast(firstIds.toSeq.toDF("vec_id")))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id")
+      .agg(slice(sort_array(collect_list(col("vec_id"))), 1, nEntries).as("vs"))
+      .select(col("q_id"), explode(col("vs")).as("vec_id"))
+    var visited: DataFrame = null
+    for (_ <- 1 to hops) {
+      val cand = frontier
+        .unionByName(edges.join(broadcast(frontier),
+            edges("src") === frontier("vec_id"))
+          .select(col("q_id"), col("dst").as("vec_id")))
+        .filter(col("vec_id") =!= col("q_id"))
+        .distinct()
+      // MATERIALIZE each hop (lineage cut): scored feeds BOTH the
+      // visited union and the next frontier, so a lazy loop doubles
+      // the plan per hop — 2^hops analysis/execution blowup. The
+      // frame is (queries × visited-this-hop) rows — tiny; the walk
+      // is inherently sequential, exactly like an iterative graph
+      // algorithm's per-superstep materialization.
+      val scored = c.select(col("vec_id"), col("v"), col("nrm"))
+        .join(broadcast(cand), Seq("vec_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+        .select("q_id", "vec_id", "cos")
+        .localCheckpoint()
+      visited = if (visited == null) scored else visited.unionByName(scored)
+      frontier = scored.groupBy("q_id")
+        .agg(topkByScore(round(col("cos"), 9), col("cos"), col("vec_id"), beam).as("tk"))
+        .select(col("q_id"), explode(col("tk")).as("t"))
+        .select(col("q_id"), col("t.id").as("vec_id"))
+    }
+    // a node revisited across hops scores identically — MIN is dedup
+    val dedup = visited.groupBy("q_id", "vec_id").agg(min("cos").as("cos"))
+    rerank(dedup.select(col("q_id"), col("vec_id").as("vec_id"), col("cos")), k)
+  }
+
   /** Exact cosine RANGE search: every corpus vector with
     * `cos >= tau` per query — the thresholded counterpart of top-k
     * (radius query), the primitive behind "pull everything similar
@@ -868,7 +956,14 @@ object SimilarityQueries {
     // kNN label propagation: majority vote over the 5 exact nearest
     // train-split neighbors; ties to the smallest label
     "s12_knn_classify" -> ((s, d) =>
-      Similarity.knnClassify(Tables.embeddings(s, d)))
+      Similarity.knnClassify(Tables.embeddings(s, d))),
+    // GRAPH ANN: greedy beam search over the symmetrized s7 k-NN
+    // graph (NSW-style navigable graph, deterministic walk, 4 spread
+    // entry points standing in for HNSW's upper-layer descent); the
+    // oracle re-derives the graph (s7's buckets at rank <= 8) AND
+    // all eight unrolled hops
+    "s13_knn_graph" -> ((s, d) =>
+      Similarity.graphSearch(Tables.embeddings(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1159,8 +1254,109 @@ object SimilarityQueries {
     "s3_knn_ivf" -> ("WITH " + ivfCoarseCtes("") + "," + ivfExactTail),
     "s8_knn_ivfpq" -> ("WITH " + ivfCoarseCtes("") + "," + pqCtes + "," + adcTail),
     "s11_pq_upsert" ->
-      ("WITH " + ivfCoarseCtes("WHERE vec_id % 5 <> 0") + "," + pqCtes + "," + adcTail)
+      ("WITH " + ivfCoarseCtes("WHERE vec_id % 5 <> 0") + "," + pqCtes + "," + adcTail),
+    // s13: the s7 bucket arithmetic rebuilds the identical k-NN edge
+    // set (rank ≤ 8, symmetrized), then the greedy beam walk unrolls
+    // hop by hop — candidates = frontier ∪ neighbors minus the query,
+    // exact cosine scoring, beam-8 prune by (round(cos,9) DESC, id
+    // ASC) — and the answer ranks every node visited across the walk
+    "s13_knn_graph" -> graphSearchOracle
   )
+
+  /** The s13 oracle: s7's edge derivation + `hops` unrolled
+    * expand-score-prune blocks (the k-means-unroll pattern). */
+  private def graphSearchOracle: String = {
+    val hops = 8
+    val hopBlocks = (1 to hops).map { h =>
+      val p = h - 1
+      s"""
+c$h AS MATERIALIZED (
+  SELECT DISTINCT q_id, vid FROM (
+    SELECT q_id, vid FROM f$p
+    UNION ALL
+    SELECT f.q_id, ed.dst AS vid FROM f$p f JOIN ed ON ed.src = f.vid)
+  WHERE vid <> q_id),
+s$h AS MATERIALIZED (
+  SELECT c.q_id, c.vid,
+    list_sum(list_transform(list_zip(x.v, qq.v), z -> z[1] * z[2]))
+      / (x.nrm * qq.nrm) AS cos
+  FROM c$h c JOIN n x ON x.vec_id = c.vid
+             JOIN n qq ON qq.vec_id = c.q_id),
+f$h AS MATERIALIZED (
+  SELECT q_id, vid FROM (
+    SELECT q_id, vid, row_number() OVER (PARTITION BY q_id
+      ORDER BY ROUND(cos, 9) DESC, vid ASC) AS rn FROM s$h)
+  WHERE rn <= 8)"""
+    }.mkString(",")
+    """WITH params AS (
+           SELECT LEAST(20, GREATEST(4,
+             CAST(ceil(log2(GREATEST(COUNT(*) / 8.0, 1.0))) AS INT))) AS np
+           FROM embeddings),
+         e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+           FROM e),
+         b AS (
+           SELECT vec_id, t.t AS tbl,
+             CAST(list_sum(list_transform(range(0, params.np), p ->
+               CASE WHEN list_sum(list_transform(range(0, len(v)), d ->
+                      v[d + 1] * (((1103515245 * ((t.t * params.np + p) * 131 + d) + 12345)
+                                   % 2147483648) / 1073741824.0 - 1.0))) >= 0
+                    THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+           FROM n, params, (SELECT unnest(range(0, 8)) AS t) t),
+         probe AS (
+           SELECT vec_id AS j_id, tbl,
+             CASE WHEN j.j = -1 THEN bucket
+                  ELSE xor(bucket, CAST(power(2, j.j) AS BIGINT)) END AS bucket
+           FROM b, params, (SELECT unnest(range(-1, 20)) AS j) j
+           WHERE j.j < params.np),
+         once AS (
+           SELECT a.vec_id, p.j_id,
+             MIN(list_sum(list_transform(list_zip(x.v, y.v), s -> s[1] * s[2]))
+                 / (x.nrm * y.nrm)) AS cos
+           FROM b a JOIN probe p ON a.tbl = p.tbl AND a.bucket = p.bucket
+                    AND a.vec_id < p.j_id
+           JOIN n x ON a.vec_id = x.vec_id
+           JOIN n y ON p.j_id = y.vec_id
+           GROUP BY a.vec_id, p.j_id),
+         epairs AS (
+           SELECT vec_id, j_id, cos FROM once
+           UNION ALL SELECT j_id, vec_id, cos FROM once),
+         rke AS (
+           SELECT vec_id, j_id,
+             CAST(row_number() OVER (PARTITION BY vec_id
+               ORDER BY ROUND(cos, 9) DESC, j_id ASC) AS BIGINT) AS rank
+           FROM epairs),
+         ed0 AS (SELECT vec_id AS src, j_id AS dst FROM rke WHERE rank <= 8),
+         ed AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT src, dst FROM ed0
+             UNION ALL SELECT dst AS src, src AS dst FROM ed0)),
+         f0 AS (
+           SELECT q_id, vid FROM (
+             SELECT q.vec_id AS q_id, m.vec_id AS vid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY m.vec_id ASC) AS rn
+             FROM n q, (SELECT vec_id FROM n ORDER BY vec_id LIMIT 9) m
+             WHERE q.vec_id < 10 AND m.vec_id <> q.vec_id)
+           WHERE rn <= 8),""" + hopBlocks + s""",
+         vis AS (
+           SELECT q_id, vid, MIN(cos) AS cos FROM (
+             SELECT * FROM s1 UNION ALL SELECT * FROM s2
+             UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+             UNION ALL SELECT * FROM s5 UNION ALL SELECT * FROM s6
+             UNION ALL SELECT * FROM s7 UNION ALL SELECT * FROM s8)
+           GROUP BY q_id, vid),
+         rkg AS (
+           SELECT q_id, vid, cos,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY ROUND(cos, 9) DESC, vid ASC) AS BIGINT) AS rank
+           FROM vis)
+         SELECT q_id, rank, vid AS neighbor_id, ROUND(cos, 6) AS cosine
+         FROM rkg WHERE rank <= 5"""
+  }
 
   /** Coarse fixed-point k-means CTE block shared by the s3/s8/s11
     * oracles: corpus parse, `trainWhere`-filtered training split,

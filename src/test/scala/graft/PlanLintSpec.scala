@@ -37,7 +37,8 @@ class PlanLintSpec extends SparkSpec {
     "q46_market_basket",   // 1-row order-total broadcast (lift normalizer)
     "s11_pq_upsert",       // s8's coarse-codebook broadcast on the grown index
     "q50_rfm",             // 1-row anchor + three 1-row quintile-cut broadcasts
-    "s12_knn_classify"     // brute-force baseline broadcasts the query set (s1)
+    "s12_knn_classify",    // brute-force baseline broadcasts the query set (s1)
+    "s13_knn_graph"        // 9-row entry-point literal crossed onto the 10-row query set
   )
 
   private val skipEager = Set(

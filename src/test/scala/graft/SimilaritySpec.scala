@@ -208,6 +208,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, f"LSH recall too low: $recall%.2f")
   }
 
+  test("graph ANN: beam walk over the kNN graph; recall vs brute force; monotone in hops") {
+    val rows = Similarity.graphSearch(emb).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      // ranks are 1..k dense and neighbors never include the query
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    rows.foreach(r =>
+      assert(r.getAs[Long]("neighbor_id") != r.getAs[Long]("q_id")))
+    val hits = rows.count(r =>
+      brute((r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))))
+    val recall = hits.toDouble / 50
+    info(f"graph-ANN recall@5 vs brute force: $recall%.2f")
+    assert(recall >= 0.5, f"graph recall too low: $recall%.2f")
+    // visited set only grows with hops → recall is monotone
+    val more = Similarity.graphSearch(emb, hops = 5).collect()
+    val hits5 = more.count(r =>
+      brute((r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))))
+    info(f"graph-ANN recall@5 at 5 hops: ${hits5.toDouble / 50}%.2f")
+    assert(hits5 >= hits, s"recall must not drop with more hops: $hits5 < $hits")
+  }
+
   test("filtered ANN: neighbors share the query's label; recall vs exact filtered top-k") {
     val rows = Similarity.filteredLshTopK(emb).collect()
     assert(rows.nonEmpty)
