@@ -119,8 +119,17 @@ object Bpe {
     * round (corpus fully merged) degrades to a no-op, matching the
     * trainer's early stop.
     */
-  def bpeOracleSql(nMerges: Int = 16): String = {
-    val head = raw"""WITH words AS MATERIALIZED (
+  def bpeOracleSql(nMerges: Int = 16): String =
+    "WITH " + bpeOracleCtes(nMerges) + raw"""
+SELECT d.doc_id, COUNT(*) AS n_words, CAST(SUM(t.n_tok) AS BIGINT) AS n_bpe_tokens
+FROM docw d JOIN tok t ON t.word = d.w GROUP BY d.doc_id"""
+
+  /** The reusable CTE body of [[bpeOracleSql]] — training unroll +
+    * `tok` (per-word token count) + `docw` (exploded doc words) —
+    * so consumers of exact BPE counts (t21, p11) share one
+    * derivation. */
+  def bpeOracleCtes(nMerges: Int = 16): String = {
+    val head = raw"""words AS MATERIALIZED (
   SELECT w AS word, COUNT(*) AS cnt FROM (
     SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
     FROM documents) GROUP BY w),
@@ -163,9 +172,7 @@ sym$i AS MATERIALIZED (
 tok AS (SELECT word, COUNT(*) AS n_tok FROM sym$nMerges GROUP BY word),
 docw AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
-  FROM documents)
-SELECT d.doc_id, COUNT(*) AS n_words, CAST(SUM(t.n_tok) AS BIGINT) AS n_bpe_tokens
-FROM docw d JOIN tok t ON t.word = d.w GROUP BY d.doc_id"""
+  FROM documents)"""
     head + "," + blocks + "," + tail
   }
 }

@@ -181,8 +181,30 @@ object Packing {
     * monotone), so bucket-level cum is exactly consistent with the
     * doc-level (quality desc, doc_id) order.
     */
-  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long = 800L): DataFrame = {
-    val scored = docs
+  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long = 800L): DataFrame =
+    budgetAdmit(qualityScored(docs), budgetTokens)
+
+  /** p11: [[tokenBudgetSample]] with the budget measured in EXACT
+    * corpus-trained BPE subword tokens ([[Bpe.bpeTokens]]) instead of
+    * whitespace words — the unit a training-run token budget is
+    * actually denominated in. Same quality-ranked greedy admission,
+    * same bucket-pruned two-phase shape; only the count column (and
+    * so the cut point) changes.
+    */
+  def bpeBudgetSample(docs: DataFrame, budgetTokens: Long = 4000L,
+      nMerges: Int = 16): DataFrame = {
+    val counts = Bpe.bpeTokens(docs, nMerges)
+      .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
+    val scored = qualityScored(docs).drop("n_tokens")
+      .join(counts, Seq("doc_id"))
+      .select("doc_id", "source", "n_tokens", "quality_ppm")
+    budgetAdmit(scored, budgetTokens)
+  }
+
+  /** Shared p6/p11 quality scoring: (doc_id, source, whitespace
+    * n_tokens, quality_ppm). */
+  private def qualityScored(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", tokens(lower(col("text"))))
       .withColumn("n_toks", size(col("toks")))
       .withColumn("n_stop", markerCount(col("toks"), enMarkers))
@@ -190,6 +212,13 @@ object Packing {
       .select(col("doc_id"), col("source"),
         col("n_toks").cast("long").as("n_tokens"),
         qualityPpm.as("quality_ppm"))
+
+  /** Shared p6/p11 greedy budget admission over a
+    * (doc_id, source, n_tokens, quality_ppm) frame — the bucket-pruned
+    * two-phase shape (see the p6 scaladoc above for the scale
+    * argument).
+    */
+  private def budgetAdmit(scored: DataFrame, budgetTokens: Long): DataFrame = {
     val nBuckets = 32
     val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
     val splits = scored.groupBy("source").agg(
@@ -375,7 +404,12 @@ object Packing {
     "p9_curriculum_phases" -> ((s, d) =>
       curriculumPhases(Tables.documents(s, d))),
     "p10_length_batches" -> ((s, d) =>
-      lengthBatches(Tables.documents(s, d)))
+      lengthBatches(Tables.documents(s, d))),
+    // p6's greedy quality-ranked budget with the budget denominated
+    // in EXACT corpus-trained BPE subword tokens (t21's tokenizer) —
+    // the unit a real training-run budget is measured in
+    "p11_bpe_budget_sample" -> ((s, d) =>
+      bpeBudgetSample(Tables.documents(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -466,6 +500,29 @@ object Packing {
          SELECT doc_id, source, n_tokens, quality_ppm,
            CAST(cum_tokens AS BIGINT) AS cum_tokens
          FROM r WHERE cum_tokens <= 800""",
+    // p6's admission window with exact BPE counts from the shared t21
+    // training unroll (Bpe.bpeOracleCtes)
+    "p11_bpe_budget_sample" ->
+      ("WITH " + graft.operators.Bpe.bpeOracleCtes(16) + raw""",
+         bc AS (
+           SELECT d.doc_id, CAST(SUM(t.n_tok) AS BIGINT) AS n_tokens
+           FROM docw d JOIN tok t ON t.word = d.w GROUP BY d.doc_id),
+         t2 AS (
+           SELECT doc_id, source,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         m AS (
+           SELECT t2.doc_id, t2.source, bc.n_tokens,
+             ${graft.functions.TextFunctions.qualityPpmSql} AS quality_ppm
+           FROM t2 JOIN bc ON bc.doc_id = t2.doc_id),
+         r AS (
+           SELECT doc_id, source, n_tokens, quality_ppm,
+             SUM(n_tokens) OVER (PARTITION BY source
+               ORDER BY quality_ppm DESC, doc_id ASC) AS cum_tokens
+           FROM m)
+         SELECT doc_id, source, n_tokens, quality_ppm,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+         FROM r WHERE cum_tokens <= 4000"""),
     // temperature weights w ~ tokens^0.5, rates from the ROUNDED
     // weight, p2's LCG admission — all-DOUBLE arithmetic in Spark's
     // association order (see p3's note on DuckDB DECIMAL literals)
