@@ -377,6 +377,9 @@ object Similarity {
         edges0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .cache() // read once per hop
+    // the scoring side re-scans per hop too — cache the bare
+    // (id, v, nrm) projection so hops 2..H are memory reads
+    val cScore = c.select(col("vec_id"), col("v"), col("nrm")).cache()
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     // ENTRY POINTS: the nEntries smallest corpus ids not equal to the
@@ -410,7 +413,7 @@ object Similarity {
       // frame is (queries × visited-this-hop) rows — tiny; the walk
       // is inherently sequential, exactly like an iterative graph
       // algorithm's per-superstep materialization.
-      val scored = c.select(col("vec_id"), col("v"), col("nrm"))
+      val scored = cScore
         .join(broadcast(cand), Seq("vec_id"))
         .join(broadcast(q), Seq("q_id"))
         .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
