@@ -13,7 +13,10 @@ import org.apache.spark.sql.SparkSession
   */
 object OracleDigests {
   private val TARGETS = Seq("m8_jpeg_decode", "m10_jpeg420_decode",
-    "m11_audio_spectrum", "m12_image_phash", "d20_phash_neardup")
+    "m11_audio_spectrum", "m12_image_phash", "d20_phash_neardup",
+    // committed-value consumers beyond the codec family: q20's HLL
+    // counts and h8's per-node HLL values (paste only those columns)
+    "q20_approx_sketch", "h8_hier_agg_approx")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = if (args.nonEmpty) args.toSeq
