@@ -141,6 +141,80 @@ object Multimodal {
     bb.array()
   }
 
+  /** Deterministic raw-video synthesizer (GRV1: a minimal header +
+    * gray frame rasters — the video twin of [[synthBmp]]; no video
+    * libs in the container, the parser below is real). Layout:
+    * `GRV1`, LE u16 width, LE u16 height, LE u16 nFrames, then
+    * nFrames × (w·h) gray bytes.
+    */
+  def synthGrv(width: Int, height: Int, frames: Array[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && frames.nonEmpty)
+    require(frames.forall(_.length == width * height),
+      s"synthGrv: every frame must be ${width * height} bytes")
+    val out = new Array[Byte](10 + frames.length * width * height)
+    out(0) = 'G'; out(1) = 'R'; out(2) = 'V'; out(3) = '1'
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    le16(4, width); le16(6, height); le16(8, frames.length)
+    var f = 0
+    while (f < frames.length) {
+      System.arraycopy(frames(f), 0, out, 10 + f * width * height, width * height)
+      f += 1
+    }
+    out
+  }
+
+  /** SCENE-CHANGE DETECTION at the codec — the keyframe-selection
+    * stage of a video ingest (a training pipeline samples around
+    * cuts, not uniformly). Parses the GRV1 container (real header
+    * walk + raster bounds checks, loud failures on bad magic /
+    * truncation / zero frames), computes per-frame-transition mean
+    * absolute pixel difference, and counts CUTS: transitions whose
+    * mean |Δ| exceeds `tau` (slow luma drift stays under it, a shot
+    * change jumps over it). Pixels never leave the task — only
+    * [n_bytes, n_frames, round6(mean transition diff), n_cuts,
+    * first cut frame (or -1)] does.
+    */
+  final class GrvSceneCodec(tau: Double = 16.0) extends MediaCodec {
+    override def decode(r: MediaRow): Array[Double] = {
+      val b = r.payload
+      require(b.length >= 10 && b(0) == 'G' && b(1) == 'R' && b(2) == 'V' &&
+        b(3) == '1', s"doc ${r.doc_id}: not a GRV1 payload")
+      def le16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+      val w = le16(4); val h = le16(6); val nf = le16(8)
+      require(w > 0 && h > 0 && nf > 0,
+        s"doc ${r.doc_id}: degenerate GRV1 geometry ${w}x$h x$nf")
+      val fs = w * h
+      require(b.length - 10 >= nf.toLong * fs,
+        s"doc ${r.doc_id}: truncated GRV1 raster")
+      // INTEGER-first accumulation: the aggregate diff stays a Long
+      // until one final double division chain, so an external oracle's
+      // (order-free) integer SUM reproduces it bit-for-bit — a
+      // sequential sum of per-transition double means would be
+      // summation-order-dependent
+      var totDiff = 0L
+      var nCuts = 0L
+      var firstCut = -1L
+      var f = 1
+      while (f < nf) {
+        var s = 0L
+        var j = 0
+        val p = 10 + (f - 1) * fs
+        val c = 10 + f * fs
+        while (j < fs) {
+          s += math.abs((b(c + j) & 0xff) - (b(p + j) & 0xff)); j += 1
+        }
+        totDiff += s
+        if (s.toDouble / fs > tau) { nCuts += 1; if (firstCut < 0) firstCut = f }
+        f += 1
+      }
+      val meanDiff = if (nf > 1) totDiff.toDouble / fs / (nf - 1) else 0.0
+      Array(b.length.toDouble, nf.toDouble,
+        math.round(meanDiff * 1e6) / 1e6, nCuts.toDouble, firstCut.toDouble)
+    }
+  }
+
   final class WavPcmCodec extends MediaCodec {
     override def decode(r: MediaRow): Array[Double] = {
       val b = r.payload
@@ -856,6 +930,35 @@ object MultimodalQueries {
     // bit balance the median threshold guarantees. DCT is float →
     // committed-digest gate check (bit_xor of all 64-bit signatures
     // per bucket; featureDigest scaladoc has the contract).
+    // SCENE-CHANGE DETECTION over a raw video container (the
+    // keyframe-selection stage of a video ingest): synthesized GRV1
+    // clips — 8 gray frames per doc, two STATIC SHOTS cut at a
+    // doc_id-keyed frame, plus a per-frame +1 luma drift so the
+    // detector must separate drift (mean |Δ| = 1) from the cut —
+    // parsed and scored by the real GrvSceneCodec. DRIVER-CHECKED
+    // from first principles: frames are text-byte slices plus the
+    // drift term, so DuckDB re-derives every transition's integer
+    // diff sum, the cut tests and the aggregate exactly.
+    "m13_scene_detect" -> ((s, d) => {
+      import s.implicits._
+      val rows = Multimodal.mediaTable(Tables.documents(s, d))
+        .as[Multimodal.MediaRow].map { r =>
+          val w = (6 + (r.doc_id % 5)).toInt
+          val h = (4 + (r.doc_id % 4)).toInt
+          val cut = (3 + (r.doc_id % 4)).toInt
+          val fs = w * h
+          val src = if (r.payload.isEmpty) Array[Byte](7) else r.payload
+          val frames = Array.tabulate(8) { f =>
+            val scene = if (f < cut) 0 else 1
+            Array.tabulate[Byte](fs)(j =>
+              (((src((scene * fs + j) % src.length) & 0xff) + f) & 0xff).toByte)
+          }
+          Multimodal.MediaRow(r.doc_id,
+            Multimodal.synthGrv(w, h, frames), "video/x-grv", w, h)
+        }
+      Multimodal.extractFeatures(s, rows.toDF(),
+        new Multimodal.GrvSceneCodec).toDF()
+    }),
     "m12_image_phash" -> ((s, d) =>
       // hash digest (see featureDigest's contract note): bit_xor
       // folds every 64-bit signature into its bucket — a single
@@ -1113,6 +1216,40 @@ object MultimodalQueries {
            CAST((d.n + 63) // 64 AS DOUBLE) AS feat_0,
            CAST(8000 AS DOUBLE) AS feat_1
          FROM d JOIN s USING (doc_id)""",
+    // GrvSceneCodec: frame f's pixel j is text byte ((scene_f·fs + j)
+    // mod len) + f (drift), scenes split at the doc_id-keyed cut —
+    // every transition's integer |Δ| sum, the per-transition cut test
+    // (mean |Δ| > 16) and the aggregate re-derived exactly
+    "m13_scene_detect" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS len,
+             CAST(6 + doc_id % 5 AS INT) AS w, CAST(4 + doc_id % 4 AS INT) AS h,
+             CAST(3 + doc_id % 4 AS INT) AS cut
+           FROM documents),
+         g AS (SELECT d.*, w * h AS fs FROM d),
+         tr AS (
+           SELECT g.doc_id, g.fs, f.f,
+             SUM(ABS(
+               (ord(substr(g.text, CAST(1 + (((CASE WHEN f.f < g.cut THEN 0 ELSE 1 END) * g.fs + j.j) % g.len) AS INT), 1)) + f.f)
+               - (ord(substr(g.text, CAST(1 + (((CASE WHEN f.f - 1 < g.cut THEN 0 ELSE 1 END) * g.fs + j.j) % g.len) AS INT), 1)) + f.f - 1)
+             )) AS s
+           FROM g,
+             LATERAL (SELECT unnest(generate_series(1, 7)) AS f) f,
+             LATERAL (SELECT unnest(generate_series(0, g.fs - 1)) AS j) j
+           GROUP BY g.doc_id, g.fs, f.f),
+         agg AS (
+           SELECT doc_id, fs,
+             SUM(s) AS tot,
+             COUNT(*) FILTER (CAST(s AS DOUBLE) / fs > 16.0) AS n_cuts,
+             MIN(f) FILTER (CAST(s AS DOUBLE) / fs > 16.0) AS first_cut
+           FROM tr GROUP BY doc_id, fs)
+         SELECT a.doc_id, 'video/x-grv' AS media_type,
+           CAST(10 + 8 * a.fs AS BIGINT) AS n_bytes,
+           CAST(8 AS BIGINT) AS byte_sum,
+           FLOOR(CAST(a.tot AS DOUBLE) / a.fs / 7 * 1e6 + 0.5) / 1e6 AS mean_byte,
+           CAST(a.n_cuts AS DOUBLE) AS feat_0,
+           CAST(COALESCE(a.first_cut, -1) AS DOUBLE) AS feat_1
+         FROM agg a""",
     // COMMITTED DIGEST ORACLES (lossy/float decoders — see
     // featureDigest's contract note): expected 16-bucket digests
     // generated by graft.tools.OracleDigests, keyed by the corpus

@@ -770,6 +770,43 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out == Map(1L -> ((9L, 16L)), 2L -> ((7L, 15L))), out.toString)
   }
 
+  test("m13 GrvSceneCodec: planted cut found, drift rejected, loud failures") {
+    import graft.operators.Multimodal
+    val w = 4; val h = 3; val fs = w * h
+    // two static shots of constant gray (10 then 90) with a +1 drift
+    // per frame; the cut sits between frames 3 and 4
+    val frames = Array.tabulate(8) { f =>
+      val base = if (f < 4) 10 else 90
+      Array.fill[Byte](fs)((base + f).toByte)
+    }
+    val clip = Multimodal.synthGrv(w, h, frames)
+    val out = new Multimodal.GrvSceneCodec().decode(
+      Multimodal.MediaRow(1L, clip, "video/x-grv", w, h))
+    assert(out(0) == clip.length.toDouble)
+    assert(out(1) == 8.0)
+    // transitions: six drift steps of mean 1 and one cut of mean 80
+    // (|90+4 − (10+3)| = 81? no: prev frame 3 = 10+3, cur frame 4 =
+    // 90+4 → |94 − 13| = 81) → meanDiff = (6·1 + 81)/7
+    assert(out(2) == math.round((6.0 * 1 + 81) / 7 * 1e6) / 1e6, out(2).toString)
+    assert(out(3) == 1.0, s"exactly one cut: ${out(3)}")
+    assert(out(4) == 4.0, s"cut at frame 4: ${out(4)}")
+    // pure drift (no cut) → zero cuts, first-cut sentinel -1
+    val calm = Array.tabulate(8)(f => Array.fill[Byte](fs)((10 + f).toByte))
+    val calmOut = new Multimodal.GrvSceneCodec().decode(
+      Multimodal.MediaRow(2L, Multimodal.synthGrv(w, h, calm), "video/x-grv", w, h))
+    assert(calmOut(3) == 0.0 && calmOut(4) == -1.0)
+    // loud failures: bad magic and truncated raster
+    val bad = clip.clone(); bad(0) = 'X'
+    intercept[IllegalArgumentException] {
+      new Multimodal.GrvSceneCodec().decode(
+        Multimodal.MediaRow(3L, bad, "video/x-grv", w, h))
+    }
+    intercept[IllegalArgumentException] {
+      new Multimodal.GrvSceneCodec().decode(
+        Multimodal.MediaRow(4L, clip.take(20), "video/x-grv", w, h))
+    }
+  }
+
   test("Dsp.fft matches a naive O(n^2) DFT and satisfies Parseval on random signals") {
     import graft.operators.Multimodal.Dsp
     val n = 64
