@@ -42,6 +42,7 @@ object Bench {
       try {
         graft.operators.HierarchyQueries.warmDims(spark, sfDir)
         graft.operators.DedupQueries.warmComponents(spark, sfDir)
+        graft.operators.SimilarityQueries.warmGraph(spark, sfDir)
         graft.streaming.StreamingQueries.warmFixtures(spark, sfDir)
         true
       } catch { case e: Throwable =>

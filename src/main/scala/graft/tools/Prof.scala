@@ -35,6 +35,7 @@ object Prof {
       catch { case e: Throwable => System.err.println(s"warm $n: ${e.getMessage}") }
     }
     graft.operators.HierarchyQueries.warmDims(spark, sfDir)
+    graft.operators.SimilarityQueries.warmGraph(spark, sfDir)
     graft.operators.DedupQueries.warmComponents(spark, sfDir)
     graft.streaming.StreamingQueries.warmFixtures(spark, sfDir)
     names.foreach { n =>
