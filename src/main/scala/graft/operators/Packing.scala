@@ -409,8 +409,40 @@ object Packing {
     // in EXACT corpus-trained BPE subword tokens (t21's tokenizer) —
     // the unit a real training-run budget is measured in
     "p11_bpe_budget_sample" -> ((s, d) =>
-      bpeBudgetSample(Tables.documents(s, d)))
+      bpeBudgetSample(Tables.documents(s, d))),
+    // CORPUS SNAPSHOT DIFF — the "what changed between corpus v1 and
+    // v2" audit every dataset release runs: doc_id-keyed FULL OUTER
+    // join of two content-hashed versions (d7's deterministic split
+    // convention synthesizes v1/v2 from the gate table, with every
+    // 13th shared doc edited), each doc classified
+    // added/removed/modified/unchanged. ONE id-keyed shuffle with
+    // hash-only payloads — text never rides the join, so the diff of
+    // two 100 TB snapshots moves hashes, not documents.
+    "p12_corpus_diff" -> ((s, d) => corpusDiff(Tables.documents(s, d)))
   )
+
+  /** See the p12 entry. `docs` stands in for both versions via
+    * deterministic splits: v1 drops every 7th doc (deleted later),
+    * v2 drops every 11th (not yet ingested) and edits every 13th.
+    */
+  def corpusDiff(docs: DataFrame): DataFrame = {
+    val v1 = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .select(col("doc_id"), col("source"),
+        sha2(col("text"), 256).as("h1"))
+    val v2 = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+      .withColumn("text2",
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      .select(col("doc_id"), col("source").as("source2"),
+        sha2(col("text2"), 256).as("h2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("source"), col("source2")).as("source"),
+        when(col("h2").isNull, "removed")
+          .when(col("h1").isNull, "added")
+          .when(col("h1") === col("h2"), "unchanged")
+          .otherwise("modified").as("status"))
+  }
 
   val oracles: Map[String, String] = Map(
     "p1_sequence_packing" ->
@@ -523,6 +555,23 @@ object Packing {
          SELECT doc_id, source, n_tokens, quality_ppm,
            CAST(cum_tokens AS BIGINT) AS cum_tokens
          FROM r WHERE cum_tokens <= 4000"""),
+    // the v1/v2 synth splits + sha256 comparison re-derived verbatim
+    "p12_corpus_diff" ->
+      """WITH v1 AS (
+           SELECT doc_id, source, sha256(text) AS h1
+           FROM documents WHERE doc_id % 7 <> 0),
+         v2 AS (
+           SELECT doc_id, source AS source2,
+             sha256(CASE WHEN doc_id % 13 = 0
+               THEN text || ' rev2' ELSE text END) AS h2
+           FROM documents WHERE doc_id % 11 <> 0)
+         SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+           COALESCE(v1.source, v2.source2) AS source,
+           CASE WHEN v2.h2 IS NULL THEN 'removed'
+                WHEN v1.h1 IS NULL THEN 'added'
+                WHEN v1.h1 = v2.h2 THEN 'unchanged'
+                ELSE 'modified' END AS status
+         FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""",
     // temperature weights w ~ tokens^0.5, rates from the ROUNDED
     // weight, p2's LCG admission — all-DOUBLE arithmetic in Spark's
     // association order (see p3's note on DuckDB DECIMAL literals)

@@ -438,6 +438,36 @@ object Similarity {
     rerank(dedup.select(col("q_id"), col("vec_id").as("vec_id"), col("cos")), k)
   }
 
+  /** EMBEDDING DRIFT MONITOR (s14) — "did the embedding space move
+    * between snapshots?", the retrain/re-index trigger an embedding
+    * pipeline watches. Per label, both snapshots collapse to their
+    * FIXED-POINT centroids ([[graft.functions.VectorMeanAgg]] — the
+    * bit-stable, oracle-re-derivable mean), and the drift readout is
+    * centroid-vs-centroid cosine plus both centroid norms: one
+    * dim-sized row per label however many billions of vectors fed it.
+    * Snapshots here are the deterministic vec_id parity split (the
+    * d7 convention standing in for two corpus versions).
+    *
+    * Scale shape: two label-keyed partial-aggregating exchanges (the
+    * centroid sums), then label-sized arithmetic — embeddings never
+    * ride a join.
+    */
+  def embeddingDrift(emb: DataFrame): DataFrame = {
+    val c = corpus(emb)
+    def centroids(half: DataFrame, tag: String): DataFrame =
+      half.groupBy("label")
+        .agg(count(lit(1)).as(s"n_$tag"),
+          graft.functions.VectorMeanAgg.vectorMean(col("v")).as(s"c_$tag"))
+    val a = centroids(c.filter(pmod(col("vec_id"), lit(2)) === 0), "a")
+    val b = centroids(c.filter(pmod(col("vec_id"), lit(2)) =!= 0), "b")
+    a.join(b, Seq("label"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(dot(col("c_a"), col("c_b")) /
+          (norm(col("c_a")) * norm(col("c_b"))), 6).as("centroid_cos"),
+        round(norm(col("c_a")), 6).as("norm_a"),
+        round(norm(col("c_b")), 6).as("norm_b"))
+  }
+
   /** Exact cosine RANGE search: every corpus vector with
     * `cos >= tau` per query — the thresholded counterpart of top-k
     * (radius query), the primitive behind "pull everything similar
@@ -993,7 +1023,11 @@ object SimilarityQueries {
     // all eight unrolled hops
     "s13_knn_graph" -> ((s, d) =>
       Similarity.graphSearch(Tables.embeddings(s, d),
-        prebuiltEdges = Some(cachedGraph(s, d))))
+        prebuiltEdges = Some(cachedGraph(s, d)))),
+    // embedding drift between snapshots: per-label fixed-point
+    // centroid cosine + norms — the retrain trigger readout
+    "s14_embedding_drift" -> ((s, d) =>
+      Similarity.embeddingDrift(Tables.embeddings(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1285,6 +1319,33 @@ object SimilarityQueries {
     "s8_knn_ivfpq" -> ("WITH " + ivfCoarseCtes("") + "," + pqCtes + "," + adcTail),
     "s11_pq_upsert" ->
       ("WITH " + ivfCoarseCtes("WHERE vec_id % 5 <> 0") + "," + pqCtes + "," + adcTail),
+    // s14: micro-quantized integer centroid sums per (label, parity
+    // snapshot) — VectorMeanAgg's committed contract — then the
+    // centroid cosine/norm folds, all re-derived exactly
+    "s14_embedding_drift" ->
+      """WITH e AS (
+           SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         sums AS (
+           SELECT e.label, e.vec_id % 2 AS half, t.pos,
+             SUM(CAST(FLOOR(e.v[t.pos] * 1e6 + 0.5) AS BIGINT)) AS smic,
+             COUNT(*) AS n
+           FROM e, LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS pos) t
+           GROUP BY e.label, e.vec_id % 2, t.pos),
+         cent AS (
+           SELECT label, half, MAX(n) AS n,
+             list(CAST(smic AS DOUBLE) / n / 1e6 ORDER BY pos) AS cv
+           FROM sums GROUP BY label, half),
+         a AS (SELECT label, n AS n_a, cv AS ca FROM cent WHERE half = 0),
+         b AS (SELECT label, n AS n_b, cv AS cb FROM cent WHERE half = 1)
+         SELECT a.label, CAST(a.n_a AS BIGINT) AS n_a, CAST(b.n_b AS BIGINT) AS n_b,
+           ROUND(list_sum(list_transform(list_zip(a.ca, b.cb), z -> z[1] * z[2]))
+             / (sqrt(list_sum(list_transform(a.ca, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.cb, x -> x * x)))), 6) AS centroid_cos,
+           ROUND(sqrt(list_sum(list_transform(a.ca, x -> x * x))), 6) AS norm_a,
+           ROUND(sqrt(list_sum(list_transform(b.cb, x -> x * x))), 6) AS norm_b
+         FROM a JOIN b USING (label)""",
     // s13: the s7 bucket arithmetic rebuilds the identical k-NN edge
     // set (rank ≤ 8, symmetrized), then the greedy beam walk unrolls
     // hop by hop — candidates = frontier ∪ neighbors minus the query,

@@ -387,4 +387,21 @@ class PipelineOpsSpec extends SparkSpec {
       .map(_.getAs[Long]("doc_id")).toSet
     assert(again == Set(0L, 4L, 7L))
   }
+
+  test("p12 corpus diff: every status class lands exactly where the splits put it") {
+    import spark.implicits._
+    // doc 7: in v1 (7%7=0 drops it... no: v1 drops doc_id%7==0) —
+    // pick ids hitting each class: 7 → v1 drops it, v2 keeps → added;
+    // 11 → v2 drops it → removed; 13 → shared, edited → modified;
+    // 1 → shared, untouched → unchanged
+    val docs = Seq(
+      (1L, "alpha"), (7L, "beta"), (11L, "gamma"), (13L, "delta"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")))
+    val out = operators.Packing.corpusDiff(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(out == Map(1L -> "unchanged", 7L -> "added",
+      11L -> "removed", 13L -> "modified"), out.toString)
+  }
 }

@@ -231,6 +231,27 @@ class SimilaritySpec extends SparkSpec {
     assert(hits5 >= hits, s"recall must not drop with more hops: $hits5 < $hits")
   }
 
+  test("s14 embedding drift: identical halves read cos 1, a planted rotation reads below") {
+    import spark.implicits._
+    // label "same": even and odd vectors identical → centroid cos 1.
+    // label "moved": odd half rotated 90° in the (e1, e2) plane →
+    // centroid cos 0 (orthogonal centroids).
+    val vecs =
+      (0 until 8).map(i => (i.toLong, "same", Array(1.0f, 2.0f, 0.5f, 0.0f))) ++
+      (0 until 8).map { i =>
+        val v = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f, 0.0f)
+          else Array(0.0f, 1.0f, 0.0f, 0.0f)
+        (100L + i, "moved", v)
+      }
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val out = Similarity.embeddingDrift(df).collect()
+      .map(r => r.getAs[String]("label") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("centroid_cos")))).toMap
+    assert(out("same") == ((4L, 4L, 1.0)), out.toString)
+    assert(out("moved")._3 == 0.0, s"orthogonal centroids: ${out("moved")}")
+  }
+
   test("filtered ANN: neighbors share the query's label; recall vs exact filtered top-k") {
     val rows = Similarity.filteredLshTopK(emb).collect()
     assert(rows.nonEmpty)
