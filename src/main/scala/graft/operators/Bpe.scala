@@ -77,16 +77,22 @@ object Bpe {
     (merges.result(), seqs.map { case (w, syms, _) => w -> syms.length }.toMap)
   }
 
+  /** The (word, count) dictionary — a vocabulary-bounded control
+    * read (the k-means-codebook convention), shared by
+    * [[bpeTokens]] and [[mergeTable]] so the tokenization convention
+    * cannot drift between them. */
+  private def wordCounts(docs: DataFrame): Seq[(String, Long)] =
+    docs.select(explode(tokens(lower(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+
   /** t21: per-doc word and BPE-token counts under a corpus-trained
     * `nMerges`-merge vocabulary. */
   def bpeTokens(docs: DataFrame, nMerges: Int = 16): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val wc = docs.select(explode(tokens(lower(col("text")))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .collect()                         // vocabulary-bounded control read
-      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
-    val (_, tokCount) = trainMerges(wc, nMerges)
+    val (_, tokCount) = trainMerges(wordCounts(docs), nMerges)
     val dict = tokCount.toSeq.toDF("w", "n_tok")
     docs.select(col("doc_id"), explode(tokens(lower(col("text")))).as("w"))
       .join(broadcast(dict), Seq("w"))
@@ -96,14 +102,12 @@ object Bpe {
   }
 
   /** The learned merge table as a DataFrame (rank, left, right) — the
-    * persistable artifact a serving tokenizer loads. */
+    * persistable artifact a serving tokenizer loads (spec-exercised
+    * against the hand-derived fixture merges). */
   def mergeTable(docs: DataFrame, nMerges: Int = 16): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val wc = docs.select(explode(tokens(lower(col("text")))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
-    val (merges, _) = trainMerges(wc, nMerges)
+    val (merges, _) = trainMerges(wordCounts(docs), nMerges)
     merges.zipWithIndex
       .map { case ((l, r), i) => (i + 1, l, r) }.toDF("rank", "left", "right")
   }
@@ -120,9 +124,15 @@ object Bpe {
     * trainer's early stop.
     */
   def bpeOracleSql(nMerges: Int = 16): String =
+    // LEFT JOIN + COALESCE: the degenerate empty word (a
+    // whitespace-only doc) has zero symbols so it never reaches `tok`,
+    // but the engine's dictionary carries it with n_tok = 0 — the
+    // outer join keeps both engines at (n_words = 1, n_bpe_tokens = 0)
+    // instead of the oracle silently dropping the doc's row
     "WITH " + bpeOracleCtes(nMerges) + raw"""
-SELECT d.doc_id, COUNT(*) AS n_words, CAST(SUM(t.n_tok) AS BIGINT) AS n_bpe_tokens
-FROM docw d JOIN tok t ON t.word = d.w GROUP BY d.doc_id"""
+SELECT d.doc_id, COUNT(*) AS n_words,
+  CAST(SUM(COALESCE(t.n_tok, 0)) AS BIGINT) AS n_bpe_tokens
+FROM docw d LEFT JOIN tok t ON t.word = d.w GROUP BY d.doc_id"""
 
   /** The reusable CTE body of [[bpeOracleSql]] — training unroll +
     * `tok` (per-word token count) + `docw` (exploded doc words) —

@@ -341,7 +341,13 @@ object Dedup {
     * over the already-cached input + a 1-row driver read) and FAILS
     * LOUDLY above `maxBandPopulation`, naming the oversized block and
     * the escape hatches (raise the cap deliberately, or use
-    * [[minhashLsh]]/[[dupClusters]]).
+    * [[minhashLsh]]/[[dupClusters]]). The precheck is DELIBERATELY
+    * eager at operator-construction time: the whole point is to fail
+    * before the quadratic join can be launched (or even planned into
+    * a larger job), and the cost — one aggregate that also populates
+    * the cache both join sides read — is paid by plan-only consumers
+    * too (PlanLintSpec lints d4 at the smallest SF), a trade the
+    * fail-fast contract makes on purpose.
     */
   def ngramJaccard(docs: DataFrame, maxLenDiff: Int = 3,
       maxBandPopulation: Long = 100000): DataFrame = {

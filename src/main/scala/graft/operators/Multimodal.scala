@@ -185,9 +185,14 @@ object Multimodal {
       val w = le16(4); val h = le16(6); val nf = le16(8)
       require(w > 0 && h > 0 && nf > 0,
         s"doc ${r.doc_id}: degenerate GRV1 geometry ${w}x$h x$nf")
-      val fs = w * h
-      require(b.length - 10 >= nf.toLong * fs,
-        s"doc ${r.doc_id}: truncated GRV1 raster")
+      // frame size in LONG arithmetic (PgmCodec's convention): a
+      // crafted 46341×46341 header overflows an Int frame size to a
+      // NEGATIVE value, which would make the truncation guard below
+      // trivially pass and both pixel loops silently no-op
+      val fsL = w.toLong * h.toLong
+      require(fsL * nf <= b.length - 10,
+        s"doc ${r.doc_id}: truncated GRV1 raster (${w}x$h x$nf for ${b.length} bytes)")
+      val fs = fsL.toInt
       // INTEGER-first accumulation: the aggregate diff stays a Long
       // until one final double division chain, so an external oracle's
       // (order-free) integer SUM reproduces it bit-for-bit — a

@@ -537,8 +537,8 @@ object Packing {
     "p11_bpe_budget_sample" ->
       ("WITH " + graft.operators.Bpe.bpeOracleCtes(16) + raw""",
          bc AS (
-           SELECT d.doc_id, CAST(SUM(t.n_tok) AS BIGINT) AS n_tokens
-           FROM docw d JOIN tok t ON t.word = d.w GROUP BY d.doc_id),
+           SELECT d.doc_id, CAST(SUM(COALESCE(t.n_tok, 0)) AS BIGINT) AS n_tokens
+           FROM docw d LEFT JOIN tok t ON t.word = d.w GROUP BY d.doc_id),
          t2 AS (
            SELECT doc_id, source,
              regexp_split_to_array(trim(lower(text)), '\s+') AS toks

@@ -1017,7 +1017,7 @@ object SimilarityQueries {
     "s12_knn_classify" -> ((s, d) =>
       Similarity.knnClassify(Tables.embeddings(s, d))),
     // GRAPH ANN: greedy beam search over the symmetrized s7 k-NN
-    // graph (NSW-style navigable graph, deterministic walk, 4 spread
+    // graph (NSW-style navigable graph, deterministic walk, 8 spread
     // entry points standing in for HNSW's upper-layer descent); the
     // oracle re-derives the graph (s7's buckets at rank <= 8) AND
     // all eight unrolled hops
@@ -1217,39 +1217,7 @@ object SimilarityQueries {
     // from the corpus count), per-pair min over duplicate probes,
     // mirrored, per-vector top-3 by (round(cos,9) desc, id)
     "s7_knn_join" ->
-      """WITH params AS (
-           SELECT LEAST(20, GREATEST(4,
-             CAST(ceil(log2(GREATEST(COUNT(*) / 8.0, 1.0))) AS INT))) AS np
-           FROM embeddings),
-         e AS (
-           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
-         n AS (
-           SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-           FROM e),
-         b AS (
-           SELECT vec_id, t.t AS tbl,
-             CAST(list_sum(list_transform(range(0, params.np), p ->
-               CASE WHEN list_sum(list_transform(range(0, len(v)), d ->
-                      v[d + 1] * (((1103515245 * ((t.t * params.np + p) * 131 + d) + 12345)
-                                   % 2147483648) / 1073741824.0 - 1.0))) >= 0
-                    THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
-           FROM n, params, (SELECT unnest(range(0, 8)) AS t) t),
-         probe AS (
-           SELECT vec_id AS j_id, tbl,
-             CASE WHEN j.j = -1 THEN bucket
-                  ELSE xor(bucket, CAST(power(2, j.j) AS BIGINT)) END AS bucket
-           FROM b, params, (SELECT unnest(range(-1, 20)) AS j) j
-           WHERE j.j < params.np),
-         once AS (
-           SELECT a.vec_id, p.j_id,
-             MIN(list_sum(list_transform(list_zip(x.v, y.v), s -> s[1] * s[2]))
-                 / (x.nrm * y.nrm)) AS cos
-           FROM b a JOIN probe p ON a.tbl = p.tbl AND a.bucket = p.bucket
-                    AND a.vec_id < p.j_id
-           JOIN n x ON a.vec_id = x.vec_id
-           JOIN n y ON p.j_id = y.vec_id
-           GROUP BY a.vec_id, p.j_id),
+      ("WITH " + lshPairCtes + """,
          pairs AS (
            SELECT vec_id, j_id, cos FROM once
            UNION ALL SELECT j_id, vec_id, cos FROM once),
@@ -1259,7 +1227,7 @@ object SimilarityQueries {
                ORDER BY ROUND(cos, 9) DESC, j_id ASC) AS BIGINT) AS rank
            FROM pairs)
          SELECT vec_id, rank, j_id AS neighbor_id, ROUND(cos, 6) AS cosine
-         FROM ranked WHERE rank <= 3""",
+         FROM ranked WHERE rank <= 3"""),
     // s9: filtered ANN — the s2 pipeline with the label predicate
     // applied at BOTH pushdown points (semi-join corpus prune via the
     // ql CTE, label equality on the candidate join), re-derived
@@ -1354,32 +1322,12 @@ object SimilarityQueries {
     "s13_knn_graph" -> graphSearchOracle
   )
 
-  /** The s13 oracle: s7's edge derivation + `hops` unrolled
-    * expand-score-prune blocks (the k-means-unroll pattern). */
-  private def graphSearchOracle: String = {
-    val hops = 8
-    val hopBlocks = (1 to hops).map { h =>
-      val p = h - 1
-      s"""
-c$h AS MATERIALIZED (
-  SELECT DISTINCT q_id, vid FROM (
-    SELECT q_id, vid FROM f$p
-    UNION ALL
-    SELECT f.q_id, ed.dst AS vid FROM f$p f JOIN ed ON ed.src = f.vid)
-  WHERE vid <> q_id),
-s$h AS MATERIALIZED (
-  SELECT c.q_id, c.vid,
-    list_sum(list_transform(list_zip(x.v, qq.v), z -> z[1] * z[2]))
-      / (x.nrm * qq.nrm) AS cos
-  FROM c$h c JOIN n x ON x.vec_id = c.vid
-             JOIN n qq ON qq.vec_id = c.q_id),
-f$h AS MATERIALIZED (
-  SELECT q_id, vid FROM (
-    SELECT q_id, vid, row_number() OVER (PARTITION BY q_id
-      ORDER BY ROUND(cos, 9) DESC, vid ASC) AS rn FROM s$h)
-  WHERE rn <= 8)"""
-    }.mkString(",")
-    """WITH params AS (
+  /** The LCG-bucketed candidate-pair derivation shared VERBATIM by
+    * the s7 and s13 oracles (params/e/n/b/probe/once CTEs): one copy
+    * of the bucket arithmetic that must stay bit-identical to
+    * NativeTextExpressions.lcgBuckets, so a future plane/probe policy
+    * change cannot silently fork the two oracles' edge sets. */
+  private def lshPairCtes: String = """params AS (
            SELECT LEAST(20, GREATEST(4,
              CAST(ceil(log2(GREATEST(COUNT(*) / 8.0, 1.0))) AS INT))) AS np
            FROM embeddings),
@@ -1411,7 +1359,34 @@ f$h AS MATERIALIZED (
                     AND a.vec_id < p.j_id
            JOIN n x ON a.vec_id = x.vec_id
            JOIN n y ON p.j_id = y.vec_id
-           GROUP BY a.vec_id, p.j_id),
+           GROUP BY a.vec_id, p.j_id)"""
+
+  /** The s13 oracle: s7's edge derivation + `hops` unrolled
+    * expand-score-prune blocks (the k-means-unroll pattern). */
+  private def graphSearchOracle: String = {
+    val hops = 8
+    val hopBlocks = (1 to hops).map { h =>
+      val p = h - 1
+      s"""
+c$h AS MATERIALIZED (
+  SELECT DISTINCT q_id, vid FROM (
+    SELECT q_id, vid FROM f$p
+    UNION ALL
+    SELECT f.q_id, ed.dst AS vid FROM f$p f JOIN ed ON ed.src = f.vid)
+  WHERE vid <> q_id),
+s$h AS MATERIALIZED (
+  SELECT c.q_id, c.vid,
+    list_sum(list_transform(list_zip(x.v, qq.v), z -> z[1] * z[2]))
+      / (x.nrm * qq.nrm) AS cos
+  FROM c$h c JOIN n x ON x.vec_id = c.vid
+             JOIN n qq ON qq.vec_id = c.q_id),
+f$h AS MATERIALIZED (
+  SELECT q_id, vid FROM (
+    SELECT q_id, vid, row_number() OVER (PARTITION BY q_id
+      ORDER BY ROUND(cos, 9) DESC, vid ASC) AS rn FROM s$h)
+  WHERE rn <= 8)"""
+    }.mkString(",")
+    "WITH " + lshPairCtes + """,
          epairs AS (
            SELECT vec_id, j_id, cos FROM once
            UNION ALL SELECT j_id, vec_id, cos FROM once),

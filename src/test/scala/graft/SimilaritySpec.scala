@@ -223,12 +223,13 @@ class SimilaritySpec extends SparkSpec {
     val recall = hits.toDouble / 50
     info(f"graph-ANN recall@5 vs brute force: $recall%.2f")
     assert(recall >= 0.5, f"graph recall too low: $recall%.2f")
-    // visited set only grows with hops → recall is monotone
-    val more = Similarity.graphSearch(emb, hops = 5).collect()
-    val hits5 = more.count(r =>
+    // visited set only grows with hops → recall is monotone: the
+    // default 8-hop walk must find at least what the 5-hop walk does
+    val fewer = Similarity.graphSearch(emb, hops = 5).collect()
+    val hits5 = fewer.count(r =>
       brute((r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))))
     info(f"graph-ANN recall@5 at 5 hops: ${hits5.toDouble / 50}%.2f")
-    assert(hits5 >= hits, s"recall must not drop with more hops: $hits5 < $hits")
+    assert(hits >= hits5, s"recall must not drop with more hops: $hits < $hits5")
   }
 
   test("s14 embedding drift: identical halves read cos 1, a planted rotation reads below") {

@@ -768,6 +768,13 @@ class TextMultimodalSpec extends SparkSpec {
     // doc 1: 9 words, 6·1 + 2·3 + 1·4 = 16 subword tokens
     // doc 2: 7 words, 3·1 + 4·3 = 15
     assert(out == Map(1L -> ((9L, 16L)), 2L -> ((7L, 15L))), out.toString)
+    // the persistable merge-table artifact carries the same merges in
+    // rank order
+    val mt = graft.operators.Bpe.mergeTable(Tables.documents(spark, dir), 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    assert(mt == Seq(("l", "o"), ("lo", "w"), ("e", "w"), ("n", "ew")),
+      mt.toString)
   }
 
   test("m13 GrvSceneCodec: planted cut found, drift rejected, loud failures") {
