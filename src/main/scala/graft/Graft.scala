@@ -532,6 +532,44 @@ object Graft {
   def phashBmp(payload: Array[Byte], docId: Long = -1L): Long =
     operators.Phash.phashBmp(payload, docId)
 
+  /** Graph ANN: greedy beam search over the symmetrized k-NN graph —
+    * the NSW/HNSW-class navigable-graph search, deterministic walk
+    * (see [[operators.Similarity.graphSearch]]). Build the graph once
+    * with [[knnGraphEdges]] and pass it via `prebuiltEdges` to serve
+    * many queries against a stored index. */
+  def graphSearch(embeddings: DataFrame, k: Int = 5,
+      prebuiltEdges: Option[DataFrame] = None): DataFrame =
+    operators.Similarity.graphSearch(embeddings, k, prebuiltEdges = prebuiltEdges)
+
+  /** The s13 graph build: symmetrized top-`degree` k-NN edges (see
+    * [[operators.Similarity.knnGraphEdges]]). */
+  def knnGraphEdges(embeddings: DataFrame, degree: Int = 8): DataFrame =
+    operators.Similarity.knnGraphEdges(embeddings, degree)
+
+  /** Embedding drift between snapshots: per-label fixed-point
+    * centroid cosine + norms — the retrain/re-index trigger readout
+    * (see [[operators.Similarity.embeddingDrift]]). */
+  def embeddingDrift(embeddings: DataFrame): DataFrame =
+    operators.Similarity.embeddingDrift(embeddings)
+
+  /** Corpus snapshot diff: every doc classified added / removed /
+    * modified / unchanged via an id-keyed full outer join of content
+    * hashes (see [[operators.Packing.corpusDiff]]). */
+  def corpusDiff(docs: DataFrame): DataFrame =
+    operators.Packing.corpusDiff(docs)
+
+  /** Per-doc exact BPE subword counts under a corpus-trained
+    * deterministic-merge vocabulary (see
+    * [[operators.Bpe.bpeTokens]]). */
+  def bpeTokens(docs: DataFrame, nMerges: Int = 16): DataFrame =
+    operators.Bpe.bpeTokens(docs, nMerges)
+
+  /** The learned BPE merge table (rank, left, right) — the
+    * persistable serving-tokenizer artifact (see
+    * [[operators.Bpe.mergeTable]]). */
+  def bpeMergeTable(docs: DataFrame, nMerges: Int = 16): DataFrame =
+    operators.Bpe.mergeTable(docs, nMerges)
+
   /** Register graft's SQL functions + optimizer rule on a session. */
   def install(spark: SparkSession): Unit = GraftFunctions.register(spark)
 }
