@@ -290,10 +290,14 @@ object HierarchyQueries {
     // h10 + the reference's nunique measure (main.py:42) generalized to
     // two hierarchies: an EXACT cross-hierarchy distinct would need a
     // (leaf pair, customer)-grain pre-agg — the pair-grain MV trick
-    // doesn't cross hierarchies — so the 100 TB form is the mergeable
-    // HLL sketch built once at pre-agg grain and unioned up the
-    // lattice. Engine-specific sketch → rows-only driver check; the
-    // HLL-error-vs-exact spec in HierarchySpec is the oracle.
+    // doesn't cross hierarchies — so the 100 TB form is a mergeable
+    // sketch built once at pre-agg grain and unioned up the lattice.
+    // The sketch is KMV (bottom-k, graft.functions.KmvSketch), whose
+    // union is order-free and whose hash is plain integer arithmetic
+    // — so unlike HLL's engine-private registers the DuckDB oracle
+    // re-derives the ESTIMATE ITSELF from scratch and the entry is
+    // exact-hash-checked; the KMV-error-vs-exact spec in
+    // HierarchySpec guards estimator quality.
     "h12_multi_hier_approx" -> ((s, d) => multiHierRollup(s, d, approxDistinct = true)),
     // h10 + the reference's nunique (main.py:42) EXACT on the
     // two-hierarchy lattice: the opt-in for users who need the true
@@ -422,11 +426,15 @@ object HierarchyQueries {
     * belongs to h6).
     *
     * `approxDistinct = true` adds `approx_distinct_customer_count`
-    * via HLL sketches (the reference's `nunique`, main.py:42):
-    * `hll_sketch_agg` at pre-agg grain, `hll_union_agg` up the
-    * lattice — sketches are mergeable, so the fact stream still pays
-    * only the pre-agg shuffle. Plain mode omits the measure: the
-    * customer dimension doesn't survive the pair-grain pre-agg.
+    * via KMV (bottom-k) sketches ([[graft.functions.KmvSketch]], the
+    * reference's `nunique` at sketch scale): `kmvSketch` at pre-agg
+    * grain, `kmvUnion` up the lattice — mergeable exactly like the
+    * HLL pair h8 uses, so the fact stream still pays only the
+    * pre-agg shuffle, but DETERMINISTIC and SQL-re-derivable
+    * (bottom-k of a union is order-free), which is what gives h12 an
+    * exact DuckDB oracle where HLL's register layout is
+    * engine-private. Plain mode omits the measure: the customer
+    * dimension doesn't survive the pair-grain pre-agg.
     *
     * `exactDistinct = true` (h15) instead keeps `customer_id` as a
     * third pre-agg key and emits the EXACT `distinct_customer_count`
@@ -466,14 +474,16 @@ object HierarchyQueries {
         col("ancestor_node_id").as(s"${prefix}_node_id"),
         col("ancestor_node_name").as(s"${prefix}_node_name"),
         col("ancestor_level_number").cast("long").as(s"${prefix}_level"))
-    // lgConfigK 11 (stderr ~2.3%, spec floor 10%): the sketches live at
-    // the (leaf, brand) pre-agg grain, so their size IS the pre-agg
-    // shuffle's payload — half the bytes of the default lgK 12 for
-    // accuracy to spare
+    // k=64 (stderr ~12.5%, spec floor 35%; cells under 64 distinct
+    // are EXACT): the sketches live at the (leaf, brand) pre-agg
+    // grain, so their ≤8·64-byte state IS the pre-agg shuffle's
+    // payload
     val preMeasures = Seq(
       sum("sales_amount").as("s"), sum("unit_quantity").as("q"),
       count(lit(1)).as("n")) ++
-      (if (approxDistinct) Seq(hll_sketch_agg(col("customer_id"), 11).as("sk")) else Nil)
+      (if (approxDistinct) Seq(graft.functions.KmvSketch.kmvSketch(
+        graft.functions.KmvSketch.kmvHash(col("customer_id").cast("long")), 64)
+        .as("sk")) else Nil)
     val preKeys = Seq(col("leaf_key"), col("brand_key")) ++
       (if (exactDistinct) Seq(col("customer_id")) else Nil)
     val pre = HierarchyAgg.salesFacts(s, d)
@@ -486,7 +496,8 @@ object HierarchyQueries {
       round(sum("q"), 2).as("sum_unit_quantity"),
       sum("n").as("count_of_fact_records")) ++
       (if (approxDistinct)
-        Seq(hll_sketch_estimate(hll_union_agg(col("sk")))
+        Seq(graft.functions.KmvSketch.kmvEstimate(
+          graft.functions.KmvSketch.kmvUnion(col("sk"), 64), 64)
           .as("approx_distinct_customer_count"))
       else Nil) ++
       (if (exactDistinct)
@@ -1014,13 +1025,32 @@ CROSS JOIN rt""",
     "h10_multi_hier_agg" -> multiHierSql(""),
     // h10 + the exact cross-hierarchy distinct customer count
     "h15_multi_hier_exact" -> multiHierSql(
-      ",\n       COUNT(DISTINCT f.cust) AS distinct_customer_count")
+      ",\n       COUNT(DISTINCT f.cust) AS distinct_customer_count"),
+    // h10 + the KMV approximate distinct RE-DERIVED FROM SCRATCH:
+    // bottom-k of a union is order-free, so the oracle hashes each
+    // cell's distinct customers with the same LCG∘xorshift∘LCG
+    // bijection, takes the 64th smallest, and applies the (k−1)·M/h_k
+    // estimator (exact count below k) — no committed values, a real
+    // cross-engine check of a SKETCHED measure
+    "h12_multi_hier_approx" -> multiHierSql(
+      """,
+       CASE WHEN COUNT(DISTINCT f.cust) < 64 THEN COUNT(DISTINCT f.cust)
+            ELSE CAST(FLOOR(63.0 * 2147483648 /
+              (list_sort(list_distinct(list(f.h))))[64] + 0.5) AS BIGINT)
+       END AS approx_distinct_customer_count""",
+      extraFact = """,
+         (1103515245 * xor((1103515245 * CAST(c.c_custkey AS BIGINT) + 12345) % 2147483648,
+                           ((1103515245 * CAST(c.c_custkey AS BIGINT) + 12345) % 2147483648) // 8192)
+          + 12345) % 2147483648 AS h""")
   )
 
   /** Shared two-hierarchy lattice oracle; `extraMeasure` is appended
-    * to the SELECT measure list (h15's exact distinct).
+    * to the SELECT measure list (h15's exact distinct, h12's KMV
+    * estimator) and `extraFact` to the facts CTE's column list
+    * (h12's hash).
     */
-  private def multiHierSql(extraMeasure: String): String =
+  private def multiHierSql(extraMeasure: String,
+      extraFact: String = ""): String =
       raw"""WITH RECURSIVE gn AS (
   SELECT 'root' AS node_id, CAST(-1 AS BIGINT) AS k, 'All Regions' AS name,
          CAST(NULL AS VARCHAR) AS parent
@@ -1054,7 +1084,7 @@ pclo AS (
 facts AS (
   SELECT c.c_nationkey AS geo_leaf, l.l_partkey AS part_leaf,
          c.c_custkey AS cust,
-         l.l_extendedprice AS s, l.l_quantity AS q
+         l.l_extendedprice AS s, l.l_quantity AS q$extraFact
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey)
 SELECT g.geo_node_id, gm.name AS geo_node_name, CAST(gm.lev AS BIGINT) AS geo_level,

@@ -60,13 +60,13 @@ class PlanSpec extends SparkSpec {
     assert(count <= 2, s"$count fact-side shuffles:\n$p")
   }
 
-  test("h12: HLL sketches build in the pre-agg; fact path stays broadcast-joined") {
+  test("h12: KMV sketches build in the pre-agg; fact path stays broadcast-joined") {
     val p = plan("h12_multi_hier_approx")
-    // sketches at the (geo leaf, part leaf) grain — a partial
-    // hll_sketch_agg must appear (the sketch IS the shuffle payload),
-    // merged by hll_union_agg at the lattice aggregate
-    assert(p.contains("hll_sketch_agg"), p.take(2000))
-    assert(p.contains("hll_union_agg"), p.take(2000))
+    // sketches at the (geo leaf, brand) grain — a partial kmv_sketch
+    // must appear (the bottom-k state IS the shuffle payload), merged
+    // by kmv_union at the lattice aggregate
+    assert(p.contains("kmv_sketch"), p.take(2000))
+    assert(p.contains("kmv_union"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), p)
   }
 
