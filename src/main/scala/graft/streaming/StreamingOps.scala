@@ -872,6 +872,28 @@ object StreamingQueries {
             count(lit(1)).as("n_events"))
           .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
             col("distinct_users"), col("n_events")))),
+    // STREAMING APPROX DISTINCT over an UNBOUNDED key domain: st22's
+    // bitmap is exact but needs a bounded id dictionary; at true
+    // 100 TB stream scale (open-world user ids) the state must be a
+    // sketch. KMV (h12's bottom-k aggregate) runs INSIDE the
+    // streaming state store: per window the state is the 64 smallest
+    // distinct id hashes — fixed 8·64 bytes however many users flow
+    // through — and because the sketch is deterministic and
+    // merge-order-free, the windowed estimate has an EXACT oracle
+    // (the estimator re-derived per window in SQL), not an
+    // error-bound check.
+    "st29_stream_approx_distinct" -> ((s, d) =>
+      runStream(s, d)(ev =>
+        ev.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "15 minutes").as("w"))
+          .agg(graft.functions.KmvSketch.kmvSketch(
+              graft.functions.KmvSketch.kmvHash(col("user_id").cast("long")), 64)
+              .as("sk"),
+            count(lit(1)).as("n_events"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+            graft.functions.KmvSketch.kmvEstimate(col("sk"), 64)
+              .as("approx_distinct_users"),
+            col("n_events")))),
     // streaming exact dedup: state-store-backed dropDuplicates on the
     // event stream (the streaming twin of d1's batch dedup shape) —
     // per event type, events surviving dedup on (user, type)
@@ -1190,6 +1212,24 @@ object StreamingQueries {
            COUNT(DISTINCT user_id) AS distinct_users,
            COUNT(*) AS n_events
          FROM events GROUP BY 1""",
+    // the KMV estimator re-derived per window: hash the window's
+    // distinct users (the h12 LCG∘xorshift∘LCG bijection), exact
+    // count below k=64, else (k−1)·M / 64th-smallest
+    "st29_stream_approx_distinct" ->
+      """WITH e AS (
+           SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS w,
+             user_id,
+             (1103515245 * xor((1103515245 * CAST(user_id AS BIGINT) + 12345) % 2147483648,
+                               ((1103515245 * CAST(user_id AS BIGINT) + 12345) % 2147483648) // 8192)
+              + 12345) % 2147483648 AS h
+           FROM events)
+         SELECT strftime(w, '%Y-%m-%d %H:%M') AS window_start,
+           CASE WHEN COUNT(DISTINCT user_id) < 64 THEN COUNT(DISTINCT user_id)
+                ELSE CAST(FLOOR(63.0 * 2147483648 /
+                  (list_sort(list_distinct(list(h))))[64] + 0.5) AS BIGINT)
+           END AS approx_distinct_users,
+           COUNT(*) AS n_events
+         FROM e GROUP BY w""",
     // append emits exactly the sessions CLOSED by the watermark: the
     // batch sessionization restricted to sessions whose end (last
     // event + 30-minute gap) precedes max(ts) − 1 hour

@@ -70,6 +70,8 @@ class PlanLintSpec extends SparkSpec {
     // st22 drives the stream on invocation; its bitmap agg plan is
     // q51's (linted there)
     "st22_stream_distinct",
+    // st29 likewise; its KMV agg plan is h12's (linted there)
+    "st29_stream_approx_distinct",
     // st20/st21 are the custom-state (fMGWS) paths, executed eagerly
     // like st17; their batch twins q44/q34 are linted above
     "st20_stream_attribution", "st21_stream_scd2",

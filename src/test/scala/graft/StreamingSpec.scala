@@ -390,6 +390,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st29: KMV sketch accumulates across micro-batches; matches the batch estimator") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.KmvSketch
+    def ev(id: Long, user: Long) = StreamingOps.EvT(
+      id, java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T10:05:00Z")),
+      user, "click")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[StreamingOps.EvT]
+    val q = ms.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "15 minutes").as("w"))
+      .agg(KmvSketch.kmvSketch(
+        KmvSketch.kmvHash(col("user_id").cast("long")), 64).as("sk"))
+      .select(KmvSketch.kmvEstimate(col("sk"), 64).as("est"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("st29_kmv").start()
+    try {
+      // batch 1: users 1..70 (already above k=64); batch 2 overlaps
+      // 31..70 and extends to 140 — the state-store sketch must fold
+      // the union, not restart per batch
+      ms.addData((1L to 70L).map(u => ev(u, u)))
+      q.processAllAvailable()
+      ms.addData((31L to 140L).map(u => ev(1000L + u, u)))
+      q.processAllAvailable()
+      val got = spark.table("st29_kmv").head().getLong(0)
+      val want = spark.range(1, 141)
+        .select(KmvSketch.kmvHash(col("id")).as("h"))
+        .agg(KmvSketch.kmvSketch(col("h"), 64).as("sk"))
+        .select(KmvSketch.kmvEstimate(col("sk"), 64).as("est"))
+        .head().getLong(0)
+      assert(got == want, s"streamed $got vs batch $want over users 1..140")
+      assert(math.abs(got - 140) <= 140 * 0.37, s"estimate quality: $got for 140")
+    } finally q.stop()
+  }
+
   test("st28: Holt fold over watermark-finalized days counts the late event, hand-checked") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
