@@ -44,6 +44,7 @@ object Bench {
         graft.operators.DedupQueries.warmComponents(spark, sfDir)
         graft.operators.SimilarityQueries.warmGraph(spark, sfDir)
         graft.streaming.StreamingQueries.warmFixtures(spark, sfDir)
+        graft.operators.GraphQueries.warmEdges(spark, sfDir)
         true
       } catch { case e: Throwable =>
         System.err.println(s"[bench] cache pre-warm skipped: ${e.getMessage}")

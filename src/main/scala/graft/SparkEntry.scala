@@ -17,7 +17,8 @@ object SparkEntry {
     HierarchyQueries.queries ++ OlapQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
       MultimodalQueries.queries ++ graft.streaming.StreamingQueries.queries ++
-      Profile.queries ++ Packing.queries ++ RetrievalQueries.queries
+      Profile.queries ++ Packing.queries ++ RetrievalQueries.queries ++
+      GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
     HierarchyQueries.oracles ++ OlapQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++
       MultimodalQueries.oracles ++ graft.streaming.StreamingQueries.oracles ++
-      Profile.oracles ++ Packing.oracles ++ RetrievalQueries.oracles
+      Profile.oracles ++ Packing.oracles ++ RetrievalQueries.oracles ++
+      GraphQueries.oracles
 }

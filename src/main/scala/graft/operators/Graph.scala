@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the co-purchase graph (SURVEY.md §2 g-family):
+  * the "parts bought together" graph every recommender / market-
+  * structure analysis starts from, plus the classic node-level
+  * algorithms (PageRank, label-propagation communities, triangle
+  * counting, k-core, common-neighbor link prediction) — all expressed
+  * as DataFrame joins/aggregates so Catalyst plans them, and all in
+  * ENGINE-INDEPENDENT integer arithmetic so a SQL oracle re-derives
+  * every number bit-for-bit.
+  *
+  * Graph construction (the scale contract):
+  *  - Baskets come from ONE fact shuffle (`groupBy l_orderkey` +
+  *    `collect_set`), and the pair stream explodes ordered pairs from
+  *    each order's sorted part set — ≤ C(items-per-order, 2) pairs per
+  *    order, LINEAR in orders (q46's shape), never parts × facts.
+  *  - Each node then keeps its `topK` strongest co-purchase neighbors
+  *    (weight desc, id asc tie-break) — a per-node window that bounds
+  *    OUT-degree at any corpus size, the standard k-NN-graph
+  *    sparsification. Symmetrizing unions the two directions, so
+  *    IN-degree is bounded only by popularity: a hub part picked by
+  *    many nodes keeps those edges (max observed degree 200 at
+  *    sf0.1). Wedge-shaped work (triangles, common neighbors) is
+  *    Σ deg² — at web scale you'd additionally threshold on weight or
+  *    keep only RECIPROCAL edges to cap hubs; both are filters on the
+  *    edge table, not plan changes.
+  *  - Every join in the family is an equi-join on a node key; no
+  *    algorithm ever materializes anything denser than the wedge
+  *    stream.
+  *
+  * Determinism: PageRank runs in Long micro-units (see [[pagerank]])
+  * so partial-aggregation order can never move a bit; label
+  * propagation and k-core are min/count/argmax over integers; the only
+  * doubles are final presentation ratios (Jaccard), rounded to 6 dp.
+  */
+object Graph {
+
+  /** Out-degree cap for the sparsified graph. */
+  val topK = 8
+
+  /** PageRank damping as the exact rational 17/20 (= 0.85), applied in
+    * overflow-free Long arithmetic — see [[pagerank]].
+    */
+  val dampNum = 17L
+  val dampDen = 20L
+
+  /** Canonical weighted co-purchase pairs `(pa < pb, w)`: w = number
+    * of orders whose baskets contain both parts. One fact shuffle; the
+    * pair stream is linear in orders (basket sizes are bounded).
+    */
+  def copurchasePairs(lineitem: DataFrame): DataFrame = {
+    val baskets = lineitem
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    baskets
+      .select(posexplode(col("ps")).as(Seq("i", "pa")), col("ps"))
+      .select(col("pa"), explode(expr("slice(ps, i + 2, size(ps))")).as("pb"))
+      .groupBy("pa", "pb")
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** The analytics graph: undirected edges `(a < b, w)` after each
+    * node keeps its `topK` strongest neighbors over the symmetrized
+    * pair view (weight desc, neighbor id asc). An edge survives if
+    * EITHER endpoint ranks it — the union-symmetrization that keeps
+    * the graph navigable; `distinct` collapses the two directions
+    * (the weight is direction-free, so the row is identical).
+    */
+  def knnEdges(pairs: DataFrame): DataFrame = {
+    val dir = pairs
+      .select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+      .unionAll(pairs.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
+    dir
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy(col("w").desc, col("dst"))))
+      .filter(col("rn") <= topK)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .distinct()
+  }
+
+  /** Directed adjacency (both directions) of the undirected edges. */
+  def adjacency(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst"), col("w")))
+
+  /** Integer micro-unit PageRank, `iters` synchronous rounds.
+    *
+    * Semantics (all Long, all floor division, all order-free):
+    *   r0(u)    = 1,000,000
+    *   share(u) = r(u) div outdeg(u)
+    *   r'(v)    = 150,000 + floor(17 · Σ_{u→v} share(u) / 20)
+    * The damped term is computed as
+    * `(s div 20)·17 + ((s mod 20)·17) div 20` — algebraically
+    * floor(17s/20) but never forms `17·s`, so a hub receiving the
+    * whole graph's rank (Σshare ≈ N·10⁶) stays far from Long overflow
+    * even at 10⁹ nodes. Fixed-point keeps the result independent of
+    * partial-aggregation order — the same determinism argument as
+    * [[graft.functions.VectorMeanAgg]]'s fixed-point centroids — and
+    * lets a SQL oracle replay every round exactly.
+    *
+    * Each round is one equi-join (adjacency ⋈ ranks on src) + one
+    * `groupBy dst` sum: 2 bounded shuffles per round over the edge
+    * table; the plan grows linearly in `iters` (each round references
+    * the previous ranks frame once). In the symmetrized graph every
+    * node has outdeg ≥ 1 and indeg ≥ 1, so no dangling-mass term is
+    * needed and the groupBy preserves the node set.
+    */
+  /** Adjacency annotated with the out-degree of `src` — the frame the
+    * iterative algorithms join against every round. Callers should
+    * persist it partitioned by `src` (see
+    * [[GraphQueries.cachedAdjDeg]]): the per-round join on `src` then
+    * reads the cached partitioning with NO exchange, and each round
+    * pays only the `groupBy dst` shuffle.
+    */
+  def withOutDeg(adj: DataFrame): DataFrame =
+    adj.join(adj.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
+
+  def pagerank(adjOd: DataFrame, iters: Int = 8): DataFrame = {
+    var ranks = adjOd.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(1000000L))
+    for (_ <- 1 to iters) {
+      ranks = adjOd
+        .join(ranks, adjOd("src") === ranks("node"))
+        .select(col("dst"), expr("r div odeg").as("share"))
+        .groupBy("dst")
+        .agg(sum("share").as("s"))
+        .select(col("dst").as("node"),
+          expr(s"150000L + (s div $dampDen) * $dampNum" +
+            s" + ((s % $dampDen) * $dampNum) div $dampDen").as("r"))
+    }
+    ranks.select(col("node"), col("r").as("rank_micro"))
+  }
+
+  /** Weighted-majority label propagation, `rounds` synchronous rounds:
+    * every node starts as its own label; each round it adopts the
+    * label with the largest total incident edge weight among its
+    * neighbors (ties to the smallest label). Integer argmax — fully
+    * deterministic and SQL-replayable. Each round is one equi-join +
+    * one (node, label) aggregate + one per-node argmax window; the
+    * candidate stream is edge-sized.
+    */
+  def labelPropagation(adj: DataFrame, rounds: Int = 4): DataFrame = {
+    var lbl = adj.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to rounds) {
+      lbl = adj
+        .join(lbl, adj("src") === lbl("node"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(sum("w").as("wt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("dst").orderBy(col("wt").desc, col("lbl"))))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("lbl"))
+    }
+    lbl
+  }
+
+  /** Per-node triangle counts via the canonical oriented wedge join:
+    * edges are kept as `a < b`, wedges `(x<y, y<z)` probe the closing
+    * edge `(x, z)` — each triangle found exactly once, then exploded
+    * to its three corners. Two equi-joins; the wedge stream is
+    * Σ deg(y)² over middle nodes.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e1 = edges.select(col("a").as("x"), col("b").as("y"))
+    val e2 = edges.select(col("a").as("y2"), col("b").as("z"))
+    val e3 = edges.select(col("a").as("x3"), col("b").as("z3"))
+    val tri = e1.join(e2, col("y") === col("y2"))
+      .join(e3, col("x") === col("x3") && col("z") === col("z3"))
+      .select(col("x"), col("y"), col("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("triangles"))
+  }
+
+  /** `rounds` synchronous peeling rounds of the k-core reduction:
+    * each round drops every edge with an endpoint of current degree
+    * < k. The operator PINS the round count (fixpoint iteration is
+    * the production loop; a fixed unroll keeps the result driver-
+    * checkable — a planted long chain in the spec shows the cascade).
+    * Each round is two window counts over the current edge list —
+    * the frame is referenced ONCE per round, so the plan grows
+    * linearly, not 2^rounds (the degree-recompute-via-join trap).
+    * Returns the surviving directed edge list.
+    */
+  def kcorePeel(adj: DataFrame, k: Int = 3, rounds: Int = 8): DataFrame = {
+    var e = adj.select(col("src"), col("dst"))
+    for (_ <- 1 to rounds) {
+      e = e
+        .withColumn("ds", count(lit(1)).over(Window.partitionBy("src")))
+        .withColumn("dd", count(lit(1)).over(Window.partitionBy("dst")))
+        .filter(col("ds") >= k && col("dd") >= k)
+        .select(col("src"), col("dst"))
+    }
+    e
+  }
+
+  /** Common-neighbor link prediction: non-adjacent pairs ranked by
+    * shared-neighbor count, with the neighborhood Jaccard
+    * `common / (deg(a) + deg(c) − common)` as the presentation score.
+    * The candidate stream is the wedge join (Σ deg² rows); the
+    * anti-join against the edge list removes existing links.
+    */
+  def commonNeighbors(edges: DataFrame, adj: DataFrame): DataFrame = {
+    val a1 = adj.select(col("src").as("via"), col("dst").as("ca"))
+    val a2 = adj.select(col("src").as("via2"), col("dst").as("cc"))
+    val cn = a1.join(a2, col("via") === col("via2") && col("ca") < col("cc"))
+      .groupBy(col("ca"), col("cc"))
+      .agg(count(lit(1)).as("common"))
+    val ex = edges.select(col("a").as("ea"), col("b").as("eb"))
+    val od = adj.groupBy("src").agg(count(lit(1)).as("odeg"))
+    cn.join(ex, col("ca") === col("ea") && col("cc") === col("eb"), "left_anti")
+      .join(od.select(col("src").as("ca"), col("odeg").as("da")), Seq("ca"))
+      .join(od.select(col("src").as("cc"), col("odeg").as("dc")), Seq("cc"))
+      .select(col("ca"), col("cc"), col("common"),
+        round(col("common").cast("double") /
+          (col("da") + col("dc") - col("common")), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,256 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Registry + DuckDB oracles for the graph-analytics family (g1–g6),
+  * all over [[Graph]]'s co-purchase 8-NN graph.
+  *
+  * The edge table is a maintained artifact — built once per
+  * (session, sfDir) and served to every g-query via the session cache
+  * (the s13 / hierarchy-dim / dedup-component convention), so timed
+  * runs measure the ALGORITHM, not five rebuilds of the same graph.
+  *
+  * Every oracle re-derives the graph itself (the `graphCtes` base:
+  * basket pairs → per-node top-8 → symmetrize) and then UNROLLS the
+  * iterative algorithm as generated CTE rounds (the s13/t21 pattern) —
+  * PageRank's 8 damped-sum rounds, label propagation's 4 argmax
+  * rounds, k-core's 8 peels — in the same Long arithmetic the engine
+  * uses, so the gate compares exact integers (the only double is g6's
+  * 6-dp Jaccard). Multiply-referenced CTEs carry `AS MATERIALIZED`
+  * (DuckDB inlines by default; a CTE referenced k times per round
+  * otherwise re-plans k^rounds subtrees).
+  */
+object GraphQueries {
+
+  private val edgeCache =
+    new graft.SessionCache[String, DataFrame](_.unpersist())
+
+  /** The cached co-purchase 8-NN edge table at `sfDir`. */
+  def cachedEdges(s: SparkSession, sfDir: String): DataFrame =
+    edgeCache(s, sfDir)(
+      Graph.knnEdges(Graph.copurchasePairs(Tables.lineitem(s, sfDir))).cache())
+
+  /** Degree-annotated adjacency, persisted PARTITIONED BY `src`: the
+    * second half of the stored graph artifact. The iterative
+    * algorithms (g2/g3/g5) join it on `src` every round — the cached
+    * hash partitioning makes that side exchange-free, so a round
+    * costs one `groupBy` shuffle, not a rebuild of
+    * union+degree+join.
+    */
+  def cachedAdjDeg(s: SparkSession, sfDir: String): DataFrame =
+    edgeCache(s, sfDir + "#adjdeg")(
+      Graph.withOutDeg(Graph.adjacency(cachedEdges(s, sfDir)))
+        .repartition(col("src")).cache())
+
+  /** Force the shared graph build so timed g-runs read the session
+    * cache (the warmDims/warmComponents/warmGraph convention). */
+  def warmEdges(spark: SparkSession, sfDir: String): Unit = {
+    cachedEdges(spark, sfDir).count()
+    cachedAdjDeg(spark, sfDir).count()
+  }
+
+  private def rankedTopK(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+      k: Int, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.withColumn("rank",
+        row_number().over(Window.orderBy(order: _*)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank") +: cols: _*)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the graph build itself: strongest co-purchase edges
+    "g1_copurchase_graph" -> ((s, d) => {
+      val e = cachedEdges(s, d)
+      rankedTopK(e, Seq(col("w").desc, col("a"), col("b")), 50,
+        col("a").as("part_a"), col("b").as("part_b"), col("w"))
+    }),
+    // integer micro-unit PageRank, 8 rounds
+    "g2_pagerank" -> ((s, d) => {
+      val pr = Graph.pagerank(cachedAdjDeg(s, d))
+      rankedTopK(pr, Seq(col("rank_micro").desc, col("node")), 40,
+        col("node").as("part"), col("rank_micro"))
+    }),
+    // weighted-majority label propagation, 4 rounds → community sizes
+    "g3_label_prop" -> ((s, d) => {
+      val lbl = Graph.labelPropagation(cachedAdjDeg(s, d))
+      val sizes = lbl.groupBy("lbl").agg(count(lit(1)).as("n_members"))
+      rankedTopK(sizes, Seq(col("n_members").desc, col("lbl")), 20,
+        col("lbl").as("community"), col("n_members"))
+    }),
+    // per-node triangle participation
+    "g4_triangles" -> ((s, d) => {
+      val t = Graph.triangleCounts(cachedEdges(s, d))
+      rankedTopK(t, Seq(col("triangles").desc, col("node")), 30,
+        col("node").as("part"), col("triangles"))
+    }),
+    // 3-core after 8 peeling rounds: surviving nodes by core degree
+    "g5_kcore" -> ((s, d) => {
+      val core = Graph.kcorePeel(cachedAdjDeg(s, d))
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+      rankedTopK(core, Seq(col("deg").desc, col("src")), 30,
+        col("src").as("part"), col("deg"))
+    }),
+    // common-neighbor link prediction over non-adjacent pairs
+    "g6_link_predict" -> ((s, d) => {
+      val e = cachedEdges(s, d)
+      val cn = Graph.commonNeighbors(e, Graph.adjacency(e))
+      rankedTopK(cn, Seq(col("common").desc, col("ca"), col("cc")), 30,
+        col("ca").as("part_a"), col("cc").as("part_b"),
+        col("common"), col("jaccard"))
+    }))
+
+  /** Shared oracle base: baskets → canonical pairs → per-node top-8 →
+    * undirected edges (+ directed adjacency). Mirrors
+    * [[Graph.copurchasePairs]] / [[Graph.knnEdges]] exactly.
+    */
+  private val graphCtes: String =
+    """WITH op AS MATERIALIZED (
+         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       pr AS MATERIALIZED (
+         SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+           CAST(COUNT(*) AS BIGINT) AS w
+         FROM op a JOIN op b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2),
+       dirx AS (
+         SELECT pa AS src, pb AS dst, w FROM pr
+         UNION ALL SELECT pb, pa, w FROM pr),
+       knn AS (
+         SELECT src, dst, w FROM dirx
+         QUALIFY row_number() OVER (
+           PARTITION BY src ORDER BY w DESC, dst) <= 8),
+       edges AS MATERIALIZED (
+         SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, w
+         FROM knn),
+       adj AS MATERIALIZED (
+         SELECT a AS src, b AS dst, w FROM edges
+         UNION ALL SELECT b, a, w FROM edges)"""
+
+  /** 8 unrolled PageRank rounds in the engine's exact Long arithmetic
+    * (150000 + (s div 20)·17 + ((s mod 20)·17) div 20).
+    */
+  private def pagerankCtes(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "pr0" else s"pr${i - 1}"
+      s""",
+       s$i AS (
+         SELECT a.dst AS node, SUM(p.r // o.odeg) AS s
+         FROM adj a JOIN $prev p ON a.src = p.node
+         JOIN od o ON a.src = o.src
+         GROUP BY a.dst),
+       pr$i AS (
+         SELECT node,
+           150000 + (s // 20) * 17 + ((s % 20) * 17) // 20 AS r
+         FROM s$i)"""
+    }.mkString
+    s""",
+       od AS MATERIALIZED (
+         SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg
+         FROM adj GROUP BY src),
+       pr0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM od)""" +
+      rounds
+  }
+
+  /** 4 unrolled label-propagation rounds (weighted argmax, ties to the
+    * smallest label).
+    */
+  private def labelPropCtes(rounds: Int): String =
+    (1 to rounds).map { i =>
+      val prev = if (i == 1) "lb0" else s"lb${i - 1}"
+      s""",
+       c$i AS (
+         SELECT a.dst AS node, l.lbl, SUM(a.w) AS wt
+         FROM adj a JOIN $prev l ON a.src = l.node
+         GROUP BY a.dst, l.lbl),
+       lb$i AS (
+         SELECT node, lbl FROM c$i
+         QUALIFY row_number() OVER (
+           PARTITION BY node ORDER BY wt DESC, lbl) = 1)"""
+    }.mkString
+
+  /** 8 unrolled k-core peels: each round keeps edges whose endpoints
+    * both still have degree ≥ k.
+    */
+  private def kcoreCtes(k: Int, rounds: Int): String =
+    (1 to rounds).map { i =>
+      val prev = if (i == 1) "adj" else s"k${i - 1}"
+      s""",
+       k$i AS (
+         SELECT src, dst FROM $prev
+         QUALIFY COUNT(*) OVER (PARTITION BY src) >= $k
+           AND COUNT(*) OVER (PARTITION BY dst) >= $k)"""
+    }.mkString
+
+  val oracles: Map[String, String] = Map(
+    "g1_copurchase_graph" -> (graphCtes +
+      """
+       SELECT CAST(row_number() OVER (ORDER BY w DESC, a, b) AS BIGINT)
+           AS rank,
+         a AS part_a, b AS part_b, w
+       FROM edges QUALIFY rank <= 50"""),
+    "g2_pagerank" -> (graphCtes + pagerankCtes(8) +
+      """
+       SELECT CAST(row_number() OVER (ORDER BY r DESC, node) AS BIGINT)
+           AS rank,
+         node AS part, r AS rank_micro
+       FROM pr8 QUALIFY rank <= 40"""),
+    "g3_label_prop" -> (graphCtes +
+      """,
+       lb0 AS (SELECT DISTINCT src AS node, src AS lbl FROM adj)""" +
+      labelPropCtes(4) +
+      """
+       SELECT CAST(row_number() OVER
+           (ORDER BY COUNT(*) DESC, lbl) AS BIGINT) AS rank,
+         lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+       FROM lb4 GROUP BY lbl QUALIFY rank <= 20"""),
+    "g4_triangles" -> (graphCtes +
+      """,
+       tri AS (
+         SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         FROM edges e1
+         JOIN edges e2 ON e2.a = e1.b
+         JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+       tn AS (
+         SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+         FROM (SELECT x AS node FROM tri
+               UNION ALL SELECT y FROM tri
+               UNION ALL SELECT z FROM tri)
+         GROUP BY node)
+       SELECT CAST(row_number() OVER
+           (ORDER BY triangles DESC, node) AS BIGINT) AS rank,
+         node AS part, triangles
+       FROM tn QUALIFY rank <= 30"""),
+    "g5_kcore" -> (graphCtes + kcoreCtes(3, 8) +
+      """
+       SELECT CAST(row_number() OVER (ORDER BY deg DESC, node) AS BIGINT)
+           AS rank,
+         node AS part, deg
+       FROM (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+             FROM k8 GROUP BY src)
+       QUALIFY rank <= 30"""),
+    "g6_link_predict" -> (graphCtes +
+      """,
+       od AS MATERIALIZED (
+         SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg
+         FROM adj GROUP BY src),
+       cn AS (
+         SELECT a1.dst AS a, a2.dst AS c, CAST(COUNT(*) AS BIGINT) AS common
+         FROM adj a1 JOIN adj a2
+           ON a1.src = a2.src AND a1.dst < a2.dst
+         GROUP BY 1, 2),
+       nonadj AS (
+         SELECT cn.a, cn.c, cn.common
+         FROM cn LEFT JOIN edges e ON cn.a = e.a AND cn.c = e.b
+         WHERE e.a IS NULL)
+       SELECT CAST(row_number() OVER
+           (ORDER BY n.common DESC, n.a, n.c) AS BIGINT) AS rank,
+         n.a AS part_a, n.c AS part_b, n.common,
+         ROUND(CAST(n.common AS DOUBLE)
+           / (da.odeg + dc.odeg - n.common), 6) AS jaccard
+       FROM nonadj n
+       JOIN od da ON n.a = da.src
+       JOIN od dc ON n.c = dc.src
+       QUALIFY rank <= 30"""))
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Planted-graph oracles for the g-family algorithms: every algorithm
+  * is checked against a hand-built (or independently re-implemented)
+  * reference on a graph small enough to reason about — the DuckDB gate
+  * then proves the same arithmetic at corpus scale.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairsDF(rows: Seq[(Long, Long, Long)]) =
+    rows.toDF("pa", "pb", "w")
+
+  private def edgesDF(rows: Seq[(Long, Long, Long)]) =
+    rows.toDF("a", "b", "w")
+
+  test("copurchasePairs counts co-ordering orders per canonical pair") {
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (3L, 2L), (3L, 1L), (3L, 1L)).toDF("l_orderkey", "l_partkey")
+    val got = Graph.copurchasePairs(li).as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got === Set((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
+  test("knnEdges keeps an edge iff EITHER endpoint ranks it top-8") {
+    // hub 0 touches leaves 1..10 at weight 1; the leaves form a
+    // weight-5 clique, so every leaf's top-8 is inside the clique and
+    // no leaf ranks the hub — hub edges survive only where the HUB
+    // ranks them: its weight-1 ties break by dst asc → leaves 1..8.
+    val hub = (1L to 10L).map(i => (0L, i, 1L))
+    val clique = for (i <- 1L to 10L; j <- (i + 1) to 10L) yield (i, j, 5L)
+    val edges = Graph.knnEdges(pairsDF(hub ++ clique))
+      .as[(Long, Long, Long)].collect()
+    val hubNbrs = edges.collect { case (0L, b, _) => b }.toSet
+    assert(hubNbrs === (1L to 8L).toSet)
+    // clique edges all survive (each endpoint has ≤ 9 clique
+    // neighbors; dropping needs BOTH endpoints to un-rank the edge,
+    // and only the top-dst neighbor is un-ranked per side)
+    assert(edges.count(_._3 == 5L) === clique.size - 1)
+  }
+
+  /** Reference PageRank: the exact Long recurrence over in-memory
+    * maps, independent of any Spark plumbing.
+    */
+  private def refPagerank(und: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val adj = (und ++ und.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val odeg = adj.view.mapValues(_.size.toLong).toMap
+    var r = adj.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val inflow = adj.toSeq
+        .flatMap { case (u, vs) => vs.map(v => v -> r(u) / odeg(u)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = inflow.map { case (v, s) =>
+        v -> (150000L + (s / 20) * 17 + ((s % 20) * 17) / 20) }
+    }
+    r
+  }
+
+  test("pagerank matches the reference Long recurrence exactly") {
+    // path 1-2-3-4 plus triangle 5-6-7: asymmetric degrees on the
+    // path, a regular component alongside
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (5L, 7L))
+    val adj = Graph.adjacency(edgesDF(und.map { case (a, b) => (a, b, 1L) }))
+    val got = Graph.pagerank(Graph.withOutDeg(adj))
+      .as[(Long, Long)].collect().toMap
+    assert(got === refPagerank(und, 8))
+    // interior path nodes accumulate more rank than endpoints
+    assert(got(2L) > got(1L) && got(3L) > got(4L))
+    // the regular triangle is the fixed point 1,000,000 exactly
+    assert(got(5L) === 1000000L && got(6L) === 1000000L)
+  }
+
+  test("labelPropagation finds the two planted communities") {
+    // two weight-5 triangles bridged by one weight-1 edge: 4 sync
+    // rounds settle each triangle on its minimum member id
+    val e = edgesDF(Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L),
+      (3L, 4L, 1L), (4L, 5L, 5L), (4L, 6L, 5L), (5L, 6L, 5L)))
+    val got = Graph.labelPropagation(Graph.adjacency(e))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L))
+  }
+
+  test("triangleCounts: K4 corners sit in 3 triangles; pendants in none") {
+    val k4 = Seq((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L),
+      (2L, 3L, 1L), (2L, 4L, 1L), (3L, 4L, 1L))
+    val got = Graph.triangleCounts(edgesDF(k4 :+ ((1L, 5L, 1L))))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kcorePeel cascades: a path unravels one layer per round") {
+    // 2-core of square(1-4) + path(10..15): the square is stable, the
+    // path needs THREE peeling rounds (ends first, then inward) — a
+    // 2-round peel would leave survivors, proving rounds cascade
+    val square = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (1L, 4L, 1L))
+    val path = Seq((10L, 11L, 1L), (11L, 12L, 1L), (12L, 13L, 1L),
+      (13L, 14L, 1L), (14L, 15L, 1L))
+    val adj = Graph.adjacency(edgesDF(square ++ path))
+    val after2 = Graph.kcorePeel(adj, k = 2, rounds = 2)
+      .select("src").distinct().as[Long].collect().toSet
+    val after8 = Graph.kcorePeel(adj, k = 2, rounds = 8)
+      .select("src").distinct().as[Long].collect().toSet
+    assert(after8 === Set(1L, 2L, 3L, 4L))
+    assert(after2.exists(_ >= 10L), "round 2 must still hold path middles")
+  }
+
+  test("commonNeighbors scores the square's diagonals at Jaccard 1.0") {
+    val e = edgesDF(Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (1L, 4L, 1L)))
+    val got = Graph.commonNeighbors(e, Graph.adjacency(e))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)))
+  }
+
+  test("g registry entries produce ranked non-empty frames at sf0.001") {
+    for (name <- Seq("g1_copurchase_graph", "g2_pagerank", "g3_label_prop",
+        "g4_triangles", "g5_kcore", "g6_link_predict")) {
+      val out = SparkEntry.queries(name)(spark, sf)
+      assert(out.columns.head === "rank", s"$name leads with rank")
+      val n = out.count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+}
