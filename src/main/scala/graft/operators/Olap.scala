@@ -218,4 +218,59 @@ object Olap {
       .groupBy(groupCol)
       .agg(array(pcols: _*).as("pcts"))
   }
+
+  /** 2-D SKYLINE (Pareto frontier) under (minimize `xCol`, maximize
+    * `yCol`): the rows no other row STRICTLY dominates (x' ≤ x, y' ≥ y,
+    * one strict). The naive formulation is a quadratic self-join; this
+    * is the scalable two-phase shape:
+    *
+    *  1. GRID PRUNE — bucket x into `buckets` fixed-width cells (the
+    *     global min/max ride a 1-row broadcast), take each bucket's
+    *     max y, and prefix-max it over strictly-earlier buckets (a
+    *     ≤ `buckets`-row frame, broadcast back). A point whose y is
+    *     ≤ an earlier bucket's max is dominated by a STRICTLY cheaper
+    *     point (smaller bucket index ⇒ strictly smaller x) and drops.
+    *     One fact-sized filter; no joins between fact-sized frames.
+    *  2. EXACT SWEEP over the survivors: per distinct x the max y
+    *     (same-x dominance), prefix-maxed over strictly smaller x.
+    *     Dominance is transitive, so every dominated point is
+    *     dominated by some skyline point and skyline points are never
+    *     pruned — skyline(survivors) = skyline(all). The sweep's
+    *     global window runs on the PRUNED distinct-x frame (tiny:
+    *     only x-values that beat every cheaper bucket remain).
+    *
+    * Duplicate (x, y) points all survive (no strict dominator),
+    * matching the NOT EXISTS oracle exactly.
+    */
+  def skyline2d(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, buckets: Int = 256): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive: $buckets")
+    // entity-sized and read by four consumers (global stats, bucket
+    // pass, survivor filter, sweep join) — persist once, q46's
+    // inline-cache convention, or the upstream fact aggregate re-runs
+    // per consumer
+    val pts = points.select(col(idCol), col(xCol).cast("double").as("__x"),
+      col(yCol).as("__y")).cache()
+    val stats = pts.agg(min("__x").as("__xmin"), max("__x").as("__xmax"))
+    val b = pts.crossJoin(broadcast(stats))
+      .withColumn("__b",
+        when(col("__xmax") === col("__xmin"), lit(0L))
+          .otherwise(least(floor((col("__x") - col("__xmin")) /
+            ((col("__xmax") - col("__xmin")) / buckets)).cast("long"),
+            lit(buckets - 1L))))
+      .drop("__xmin", "__xmax")
+    val bstats = b.groupBy("__b").agg(max("__y").as("__bymax"))
+      .withColumn("__ylt", max("__bymax").over(Window.orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__b"), col("__ylt"))
+    val survivors = b.join(broadcast(bstats), Seq("__b"))
+      .filter(col("__ylt").isNull || col("__ylt") < col("__y"))
+    val xg = survivors.groupBy("__x").agg(max("__y").as("__yeq"))
+      .withColumn("__plt", max("__yeq").over(Window.orderBy("__x")
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    survivors.join(xg, Seq("__x"))
+      .filter(col("__y") === col("__yeq") &&
+        (col("__plt").isNull || col("__plt") < col("__y")))
+      .select(col(idCol), col("__x").as(xCol), col("__y").as(yCol))
+  }
 }

@@ -1543,6 +1543,26 @@ object OlapQueries {
           round(col("z.trs"), 6).as("trend"),
           round(col("z.fcs"), 6).as("forecast"),
           round(col("z.xs.c") - col("z.fcs"), 6).as("forecast_err"))
+    }),
+
+    // SKYLINE (Pareto frontier): the parts no other part beats on BOTH
+    // price (lower better) and demand (lineitem count, higher better).
+    // Engine = Olap.skyline2d's grid-prune + exact-sweep (one
+    // fact-sized pre-aggregate, a 256-row bucket broadcast, global
+    // windows only on the pruned survivor frame); the oracle is the
+    // definitionally-quadratic NOT EXISTS — an INDEPENDENT derivation
+    // of the same frontier
+    "q62_skyline" -> ((s, d) => {
+      val pop = Tables.part(s, d)
+        .join(Tables.lineitem(s, d).select(col("l_partkey"), col("l_orderkey")),
+          col("p_partkey") === col("l_partkey"), "left")
+        .groupBy(col("p_partkey"), col("p_retailprice"))
+        .agg(count(col("l_orderkey")).as("n_lines"))
+      Olap.skyline2d(pop, "p_partkey", "p_retailprice", "n_lines")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("p_retailprice"), col("p_partkey"))).cast("long"))
+        .select(col("rank"), col("p_partkey").as("part"),
+          col("p_retailprice").as("price"), col("n_lines"))
     })
   )
 
@@ -2397,6 +2417,22 @@ object OlapQueries {
            ROUND(tr, 6) AS trend,
            ROUND(fc, 6) AS forecast,
            ROUND(c - fc, 6) AS forecast_err
-         FROM rec WHERE rn >= 2"""
+         FROM rec WHERE rn >= 2""",
+    // strict-dominance NOT EXISTS — quadratic, fine as an oracle,
+    // derivation-independent of the engine's grid-prune + sweep
+    "q62_skyline" ->
+      """WITH pop AS (
+           SELECT p_partkey, p_retailprice AS price,
+             CAST(COUNT(l_orderkey) AS BIGINT) AS n_lines
+           FROM part LEFT JOIN lineitem ON l_partkey = p_partkey
+           GROUP BY 1, 2)
+         SELECT CAST(row_number() OVER (ORDER BY price, p_partkey)
+             AS BIGINT) AS rank,
+           p_partkey AS part, price, n_lines
+         FROM pop a
+         WHERE NOT EXISTS (
+           SELECT 1 FROM pop b
+           WHERE b.price <= a.price AND b.n_lines >= a.n_lines
+             AND (b.price < a.price OR b.n_lines > a.n_lines))"""
   )
 }

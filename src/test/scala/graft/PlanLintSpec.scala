@@ -38,7 +38,8 @@ class PlanLintSpec extends SparkSpec {
     "s11_pq_upsert",       // s8's coarse-codebook broadcast on the grown index
     "q50_rfm",             // 1-row anchor + three 1-row quintile-cut broadcasts
     "s12_knn_classify",    // brute-force baseline broadcasts the query set (s1)
-    "s13_knn_graph"        // 9-row entry-point literal crossed onto the 10-row query set
+    "s13_knn_graph",       // 9-row entry-point literal crossed onto the 10-row query set
+    "q62_skyline"          // 1-row x-range broadcast (bucket scaling) + 256-row bucket stats
   )
 
   private val skipEager = Set(
