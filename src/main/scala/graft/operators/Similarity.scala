@@ -1027,7 +1027,28 @@ object SimilarityQueries {
     // embedding drift between snapshots: per-label fixed-point
     // centroid cosine + norms — the retrain trigger readout
     "s14_embedding_drift" -> ((s, d) =>
-      Similarity.embeddingDrift(Tables.embeddings(s, d)))
+      Similarity.embeddingDrift(Tables.embeddings(s, d))),
+    // ANN EVALUATION HARNESS: recall@5 of the LSH path (s2) against
+    // the exact path (s1), per query — the readout that gates an
+    // index-parameter change before it ships. Both sides are the
+    // registry's own operators; the join is (query, neighbor)-keyed
+    // over two depth-k×|Q| frames, so the harness costs the two
+    // retrievers and nothing more. Exact oracle: both pipelines
+    // re-derived in SQL (s1's + s2's CTEs share the corpus scan)
+    "s15_recall_eval" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val exact = Similarity.bruteForceTopK(emb)
+        .select(col("q_id"), col("neighbor_id"))
+      val approx = Similarity.lshTopK(emb)
+        .select(col("q_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("q_id", "neighbor_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("h"))
+      exact.groupBy("q_id").agg(count(lit(1)).as("depth"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("h"), lit(0L)).as("hits"),
+          round(coalesce(col("h"), lit(0L)).cast("double") /
+            col("depth").cast("double"), 6).as("recall"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -1319,7 +1340,67 @@ object SimilarityQueries {
     // hop by hop — candidates = frontier ∪ neighbors minus the query,
     // exact cosine scoring, beam-8 prune by (round(cos,9) DESC, id
     // ASC) — and the answer ranks every node visited across the walk
-    "s13_knn_graph" -> graphSearchOracle
+    "s13_knn_graph" -> graphSearchOracle,
+    // s1's exact ranking and s2's full LSH pipeline over ONE corpus
+    // scan, joined on (query, neighbor) at rank ≤ 5 both sides
+    "s15_recall_eval" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+           FROM e),
+         expairs AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(c.v, q.v), s -> s[1] * s[2]))
+               / (c.nrm * q.nrm) AS cos
+           FROM n c JOIN n q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         ex AS (
+           SELECT q_id, neighbor_id FROM (
+             SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY ROUND(cos, 9) DESC, neighbor_id ASC) AS rnk
+             FROM expairs) WHERE rnk <= 5),
+         b AS (
+           SELECT vec_id, t.t AS tbl,
+             CAST(list_sum(list_transform(range(0, 6), p ->
+               CASE WHEN list_sum(list_transform(range(0, len(v)), d ->
+                      v[d + 1] * (((1103515245 * ((t.t * 6 + p) * 131 + d) + 12345)
+                                   % 2147483648) / 1073741824.0 - 1.0))) >= 0
+                    THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+           FROM n, (SELECT unnest(range(0, 8)) AS t) t),
+         probes AS (
+           SELECT vec_id AS q_id, tbl,
+             CASE WHEN j.j = -1 THEN bucket
+                  ELSE xor(bucket, CAST(power(2, j.j) AS BIGINT)) END AS probe
+           FROM b, (SELECT unnest(range(-1, 6)) AS j) j
+           WHERE vec_id < 10),
+         cand AS (
+           SELECT DISTINCT p.q_id, c.vec_id
+           FROM probes p JOIN b c ON c.tbl = p.tbl AND c.bucket = p.probe
+           WHERE c.vec_id <> p.q_id),
+         appairs AS (
+           SELECT cand.q_id, cand.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(c.v, q.v), s -> s[1] * s[2]))
+               / (c.nrm * q.nrm) AS cos
+           FROM cand JOIN n c ON cand.vec_id = c.vec_id
+                     JOIN n q ON cand.q_id = q.vec_id),
+         ap AS (
+           SELECT q_id, neighbor_id FROM (
+             SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY ROUND(cos, 9) DESC, neighbor_id ASC) AS rnk
+             FROM appairs) WHERE rnk <= 5),
+         hits AS (
+           SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS h
+           FROM ex JOIN ap USING (q_id, neighbor_id) GROUP BY ex.q_id),
+         kk AS (
+           SELECT q_id, CAST(COUNT(*) AS BIGINT) AS depth
+           FROM ex GROUP BY q_id)
+         SELECT kk.q_id, COALESCE(h.h, CAST(0 AS BIGINT)) AS hits,
+           ROUND(CAST(COALESCE(h.h, 0) AS DOUBLE)
+             / CAST(kk.depth AS DOUBLE), 6) AS recall
+         FROM kk LEFT JOIN hits h ON kk.q_id = h.q_id"""
   )
 
   /** The LCG-bucketed candidate-pair derivation shared VERBATIM by

@@ -619,4 +619,26 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("s15 recall harness: hits are the exact intersection of s1 and s2") {
+    // independent recompute: collect both retrievers' (q, neighbor)
+    // sets and intersect in plain Scala
+    val out = SparkEntry.queries("s15_recall_eval")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("hits"),
+        r.getAs[Double]("recall"))).toSeq
+    val ex = operators.Similarity.bruteForceTopK(Tables.embeddings(spark, sf))
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val ap = operators.Similarity.lshTopK(Tables.embeddings(spark, sf))
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    assert(out.map(_._1).toSet === ex.map(_._1))
+    out.foreach { case (q, hits, recall) =>
+      val expect = ex.count(p => p._1 == q && ap(p))
+      assert(hits === expect.toLong, s"query $q")
+      val depth = ex.count(_._1 == q)
+      assert(math.abs(recall - hits.toDouble / depth) < 1e-9, s"query $q")
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+  }
 }
