@@ -478,8 +478,51 @@ object TextQueries {
     // application; per-doc exact subword counts for token budgeting.
     // Training and application both re-derived in the DuckDB oracle —
     // see [[Bpe]].
-    "t21_bpe_tokens" -> ((s, d) => Bpe.bpeTokens(Tables.documents(s, d)))
+    "t21_bpe_tokens" -> ((s, d) => Bpe.bpeTokens(Tables.documents(s, d))),
+
+    // COLLOCATION MINING: adjacent-bigram pointwise mutual information
+    // ln(p(w1w2) / (p(w1)·p(w2))) over the corpus, min support 5 — the
+    // multi-word-expression detector (phrase vocabularies, tokenizer
+    // merge seeding). Bigram/unigram counts are gram-keyed aggregates
+    // (t13's scale shape, vocabulary-bounded); the two corpus totals
+    // ride 1-row broadcasts; support filters BEFORE the unigram joins
+    // so only surviving pairs join. Rank key = round(pmi, 9) (the
+    // t11/9-dp convention), ties (w1, w2)
+    "t22_collocations" -> ((s, d) => collocations(Tables.documents(s, d)))
   )
+
+  /** t22's body, factored for planted-corpus specs: PMI-ranked
+    * adjacent bigrams with min support, rank key `round(pmi, 9)`.
+    */
+  def collocations(docs: DataFrame, minSupport: Int = 5,
+      topN: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+    val uc = t.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val nu = uc.agg(sum("wc").as("nu"))
+    val bc = t.select(explode(expr(
+        """CASE WHEN size(toks) >= 2 THEN
+             transform(sequence(1, size(toks) - 1),
+               i -> struct(toks[i - 1] AS w1, toks[i] AS w2))
+           ELSE array() END""")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val nb = bc.agg(sum("n_pair").as("nb"))
+    bc.filter(col("n_pair") >= minSupport)
+      .join(uc.select(col("w").as("w1"), col("wc").as("c1")), Seq("w1"))
+      .join(uc.select(col("w").as("w2"), col("wc").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+      .withColumn("pmi",
+        log((col("n_pair").cast("double") / col("nb")) /
+          ((col("c1").cast("double") / col("nu")) *
+           (col("c2").cast("double") / col("nu")))))
+      .withColumn("rank", row_number().over(Window.orderBy(
+        round(col("pmi"), 9).desc, col("w1"), col("w2"))).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("rank"), col("w1"), col("w2"), col("n_pair"),
+        round(col("pmi"), 6).as("pmi"))
+  }
 
   /** Cross-document boilerplate scoring — see the t15 entry. `minDf`
     * is the document-frequency floor above which a gram counts as
@@ -1015,6 +1058,41 @@ object TextQueries {
                 ELSE 'difficult' END AS band
          FROM f""",
     // merge training unrolled in SQL — generated by Bpe.bpeOracleSql
-    "t21_bpe_tokens" -> Bpe.bpeOracleSql(16)
+    "t21_bpe_tokens" -> Bpe.bpeOracleSql(16),
+    // the engine's exact PMI formula over the same whitespace tokens;
+    // bigrams rebuilt positionally, unigram joins via split_part
+    "t22_collocations" ->
+      raw"""WITH t AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         uc AS (
+           SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+           FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         nu AS (SELECT CAST(SUM(wc) AS BIGINT) AS nu FROM uc),
+         bi AS (
+           SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i + 1])
+             ELSE [] END) AS bg
+           FROM t),
+         bc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS n_pair
+                FROM bi GROUP BY bg),
+         nb AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS nb FROM bc),
+         sc AS (
+           SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+             n_pair,
+             ln((CAST(n_pair AS DOUBLE) / nb)
+               / ((CAST(u1.wc AS DOUBLE) / nu)
+                  * (CAST(u2.wc AS DOUBLE) / nu))) AS pmi
+           FROM bc
+           JOIN uc u1 ON u1.w = split_part(bg, ' ', 1)
+           JOIN uc u2 ON u2.w = split_part(bg, ' ', 2)
+           CROSS JOIN nb CROSS JOIN nu
+           WHERE n_pair >= 5)
+         SELECT CAST(row_number() OVER
+             (ORDER BY ROUND(pmi, 9) DESC, w1, w2) AS BIGINT) AS rank,
+           w1, w2, n_pair, ROUND(pmi, 6) AS pmi
+         FROM sc QUALIFY rank <= 30"""
   )
 }

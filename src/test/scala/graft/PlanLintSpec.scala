@@ -40,7 +40,8 @@ class PlanLintSpec extends SparkSpec {
     "s12_knn_classify",    // brute-force baseline broadcasts the query set (s1)
     "s13_knn_graph",       // 9-row entry-point literal crossed onto the 10-row query set
     "q62_skyline",         // 1-row x-range broadcast (bucket scaling) + 256-row bucket stats
-    "s15_recall_eval"      // composes s1's query-set broadcast (eval harness)
+    "s15_recall_eval",     // composes s1's query-set broadcast (eval harness)
+    "t22_collocations"     // two 1-row corpus-total broadcasts (t9's shape)
   )
 
   private val skipEager = Set(

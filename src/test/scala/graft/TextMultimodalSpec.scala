@@ -1044,4 +1044,24 @@ class TextMultimodalSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("zipf_alpha") - (-want.getAs[Double]("slope"))) < 1e-6)
     assert(math.abs(r.getAs[Double]("fit_r2") - want.getAs[Double]("r2")) < 1e-6)
   }
+
+  test("t22 collocations: planted corpus matches hand-computed PMI") {
+    import spark.implicits._
+    // 5 x "a b" and 5 x "c c": NU=20, NB=10; PMI(a,b)=ln 8, PMI(c,c)=ln 2
+    val docs = ((1 to 5).map(i => (i.toLong, "a b")) ++
+      (6 to 10).map(i => (i.toLong, "c c"))).toDF("doc_id", "text")
+    val got = operators.TextQueries.collocations(docs)
+      .as[(Long, String, String, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, "a", "b", 5L, math.rint(math.log(8.0) * 1e6) / 1e6),
+      (2L, "c", "c", 5L, math.rint(math.log(2.0) * 1e6) / 1e6)))
+  }
+
+  test("t22 collocations: below-support pairs are dropped") {
+    import spark.implicits._
+    val docs = ((1 to 5).map(i => (i.toLong, "a b")) :+ (6L, "x y"))
+      .toDF("doc_id", "text")
+    val got = operators.TextQueries.collocations(docs).collect()
+    assert(got.length === 1 && got.head.getString(1) == "a")
+  }
 }
