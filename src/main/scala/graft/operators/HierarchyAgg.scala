@@ -285,6 +285,47 @@ object HierarchyAgg {
         "sum_unit_quantity", "distinct_customer_count", "count_of_fact_records")
   }
 
+  /** Per-node TOP CONTRIBUTORS (h26): the k customers with the largest
+    * subtree spend under EVERY hierarchy node — the drill-down "who
+    * drives this subtotal" readout next to h17's percent-of-parent.
+    *
+    * Scale shape: the (leaf, customer) pre-agg is the one fact
+    * shuffle (rollupMv's), the closure join broadcasts, the
+    * (node, customer) aggregate lands on MV grain, and the per-node
+    * top-k runs in [[graft.functions.TopKAggregate.topkRows]]'s
+    * bounded heap — ≤ k entries per node cross the final exchange,
+    * never the full customer list. Rank key `round(spend, 9)`
+    * (cross-engine FP-tie convention), ties to the smaller customer.
+    */
+  def subtreeTopCustomers(facts: DataFrame, aggDim: DataFrame, k: Int = 3,
+      factKey: String = "leaf_key", broadcastDim: Boolean = true): DataFrame = {
+    import graft.functions.TopKAggregate.topkRows
+    val pair = facts.groupBy(col(factKey), col("customer_id"))
+      .agg(sum(col("sales_amount")).as("__s"))
+    val nodeCust = pair
+      .join(maybeBroadcast(closureKeys(aggDim), broadcastDim),
+        col(factKey) === col("descendant_node_natural_key"))
+      .groupBy(col("ancestor_node_sort_order"), col("customer_id"))
+      .agg(sum(col("__s")).as("spend"))
+    val top = nodeCust.groupBy("ancestor_node_sort_order")
+      .agg(topkRows(round(col("spend"), 9), col("customer_id"),
+        struct(col("customer_id"), col("spend")), k).as("top"))
+      .select(col("ancestor_node_sort_order"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("ancestor_node_sort_order"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("t.customer_id").as("customer_id"),
+        round(col("t.spend"), 2).as("spend"))
+    val indent = expr("lpad('-', (ancestor_level_number - 1) * 7, '-')")
+    val labels = aggDim.filter(col("net_level") === 0).select(
+      col("ancestor_node_sort_order"),
+      concat(indent, col("ancestor_node_name")).as("product_node_name"))
+    top.join(maybeBroadcast(labels, broadcastDim),
+        Seq("ancestor_node_sort_order"))
+      .select(col("product_node_name"), col("rank"), col("customer_id"),
+        col("spend"))
+  }
+
   /** Rollup MATERIALIZED VIEW at (ancestor node, customer) grain — the
     * incrementally-maintainable form of the exact rollup: sums/counts
     * are additive partials, and the exact distinct-customer count

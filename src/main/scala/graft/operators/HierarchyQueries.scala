@@ -249,6 +249,14 @@ object HierarchyQueries {
     // edge weights (70/30 ownership split) — Σ-over-paths Π-weight
     // closure, facts broadcast-joined and aggregated once
     "h25_weighted_dag" -> ((s, d) => WeightedDag.demoRollup(s, d)),
+    // per-node TOP CONTRIBUTORS: the 3 customers with the largest
+    // subtree spend under every node (h17's drill-down companion) —
+    // one fact pre-agg, broadcast closure, MV-grain aggregate, then
+    // the bounded-heap top-k (≤3 entries per node cross the final
+    // exchange, never the customer list)
+    "h26_subtree_topk" -> ((s, d) =>
+      HierarchyAgg.subtreeTopCustomers(
+        HierarchyAgg.salesFacts(s, d), dimension(s, d).aggregationDim)),
     // INCREMENTAL rollup maintenance: the first ~6/7 of the facts play
     // the historical corpus materialized to the (node, customer) MV
     // grain; the rest arrive as the delta batch and are folded in —
@@ -827,6 +835,31 @@ SELECT * FROM adim""",
     "h4_hier_agg" -> rollupSql(deep = false, "c.c_nationkey"),
     // the bitmap mode must be RESULT-IDENTICAL to the exact rollup
     "h23_hier_agg_bitmap" -> rollupSql(deep = false, "c.c_nationkey"),
+    // per-node top-3 customers by subtree spend: the h4 closure
+    // derivation, (node, customer) sums, rank key ROUND(spend, 9)
+    "h26_subtree_topk" ->
+      s"""${prelude(false)},
+facts AS (
+  SELECT c.c_nationkey AS leaf_key, l.l_extendedprice AS sales_amount,
+         c.c_custkey AS customer_id
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+),
+nc AS (
+  SELECT adim.ancestor_node_sort_order AS so,
+         lpad('-', (ancestor_level_number - 1) * 7, '-')
+           || ancestor_node_name AS product_node_name,
+         f.customer_id, SUM(f.sales_amount) AS spend
+  FROM facts f
+  JOIN adim ON CAST(f.leaf_key AS BIGINT) = adim.descendant_node_natural_key
+  GROUP BY 1, 2, 3
+)
+SELECT product_node_name, CAST(rnk AS BIGINT) AS rank, customer_id,
+       ROUND(spend, 2) AS spend
+FROM (SELECT *, row_number() OVER (PARTITION BY so
+        ORDER BY ROUND(spend, 9) DESC, customer_id) AS rnk FROM nc)
+WHERE rnk <= 3""",
     // Σ-over-paths Π-weight closure re-derived recursively; identical
     // weight literals → identical doubles → identical products
     "h25_weighted_dag" ->

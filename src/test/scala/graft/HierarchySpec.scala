@@ -1056,4 +1056,35 @@ class HierarchySpec extends SparkSpec {
     assert(names.indexOf("Produce") < names.indexOf("Spinach"))
     assert(names.indexOf("Candy") < names.indexOf("Hershey Bar"))
   }
+
+  test("h26 subtree top-k: root ranks equal an independent global recompute") {
+    val out = SparkEntry.queries("h26_subtree_topk")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("rank"),
+        r.getAs[Long]("customer_id"), r.getAs[Double]("spend")))
+    // per node: ranks are 1..n and spend is non-increasing at the
+    // 9-dp rank key, ties broken by the smaller customer id
+    out.groupBy(_._1).foreach { case (node, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, node)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val ka = BigDecimal(a._4).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          val kb = BigDecimal(b._4).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          assert(ka > kb || (ka == kb && a._3 < b._3), node)
+        case _ => ()
+      }
+    }
+    // the root's top 3 = the global top 3 customers, recomputed with
+    // a plain groupBy over the same fact frame
+    val global = operators.HierarchyAgg.salesFacts(spark, sf)
+      .groupBy("customer_id")
+      .agg(org.apache.spark.sql.functions.sum("sales_amount").as("s"))
+      .collect().map(r => (r.getAs[Long]("customer_id"), r.getAs[Double]("s")))
+      .sortBy { case (id, s) =>
+        (-BigDecimal(s).setScale(9, BigDecimal.RoundingMode.HALF_UP), id) }
+      .take(3).map(_._1).toSeq
+    val rootTop = out.filter(r => !r._1.startsWith("-"))
+      .sortBy(_._2).map(_._3).toSeq
+    assert(rootTop == global)
+  }
 }
