@@ -1563,6 +1563,38 @@ object OlapQueries {
           Window.orderBy(col("p_retailprice"), col("p_partkey"))).cast("long"))
         .select(col("rank"), col("p_partkey").as("part"),
           col("p_retailprice").as("price"), col("n_lines"))
+    }),
+
+    // SKETCH SET ALGEBRA: per market segment, KMV (bottom-64)
+    // estimates of two customer cohorts (even-keyed vs odd-keyed
+    // orders), their UNION (pairwise bottom-k merge of the two
+    // sketches — sorted-array slice, no re-scan of the data) and the
+    // inclusion–exclusion INTERSECTION estimate — the audience-overlap
+    // arithmetic a 100 TB segmentation pipeline runs on stored
+    // sketches instead of fact re-scans. The KMV hash/estimate are
+    // pure integer/floor arithmetic (h12's), so even the ESTIMATES
+    // carry an exact oracle that re-derives both sketches in SQL
+    "q63_sketch_setops" -> ((s, d) => {
+      import graft.functions.KmvSketch._
+      val k = 64
+      val oc = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"),
+          (pmod(col("o_orderkey"), lit(2L)) === 0L).as("even"),
+          kmvHash(col("c_custkey")).as("h"))
+      val ska = oc.filter(col("even")).groupBy("c_mktsegment")
+        .agg(kmvSketch(col("h"), k).as("ska"))
+      val skb = oc.filter(!col("even")).groupBy("c_mktsegment")
+        .agg(kmvSketch(col("h"), k).as("skb"))
+      val merged = expr(s"slice(array_sort(array_union(ska, skb)), 1, $k)")
+      ska.join(skb, Seq("c_mktsegment"))
+        .select(col("c_mktsegment"),
+          kmvEstimate(col("ska"), k).as("est_a"),
+          kmvEstimate(col("skb"), k).as("est_b"),
+          kmvEstimate(merged, k).as("est_union"))
+        .withColumn("est_intersect",
+          greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
     })
   )
 
@@ -2433,6 +2465,56 @@ object OlapQueries {
          WHERE NOT EXISTS (
            SELECT 1 FROM pop b
            WHERE b.price <= a.price AND b.n_lines >= a.n_lines
-             AND (b.price < a.price OR b.n_lines > a.n_lines))"""
+             AND (b.price < a.price OR b.n_lines > a.n_lines))""",
+    // both bottom-64 sketches re-derived from the deterministic
+    // 31-bit double-LCG hash; estimate = exact size below k, else
+    // floor((k-1)·2^31 / h_k + 0.5); union = bottom-64 of the merged
+    // distinct hash sets; intersection by inclusion–exclusion
+    "q63_sketch_setops" ->
+      """WITH oc AS (
+           SELECT c.c_mktsegment, (o.o_orderkey % 2 = 0) AS even,
+             c.c_custkey AS cust
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         h1 AS (
+           SELECT DISTINCT c_mktsegment, even,
+             (1103515245 * cust + 12345) % 2147483648 AS h1
+           FROM oc),
+         hh AS (
+           SELECT DISTINCT c_mktsegment, even,
+             (1103515245 * xor(h1, h1 >> 13) + 12345) % 2147483648 AS h
+           FROM h1),
+         ska AS (
+           SELECT c_mktsegment, h,
+             row_number() OVER (PARTITION BY c_mktsegment ORDER BY h) AS rn
+           FROM hh WHERE even),
+         skb AS (
+           SELECT c_mktsegment, h,
+             row_number() OVER (PARTITION BY c_mktsegment ORDER BY h) AS rn
+           FROM hh WHERE NOT even),
+         sku AS (
+           SELECT c_mktsegment, h,
+             row_number() OVER (PARTITION BY c_mktsegment ORDER BY h) AS rn
+           FROM (SELECT DISTINCT c_mktsegment, h FROM hh)),
+         ea AS (
+           SELECT c_mktsegment,
+             CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+               ELSE CAST(FLOOR(63.0 * 2147483648 / MAX(CASE WHEN rn = 64
+                 THEN h END) + 0.5) AS BIGINT) END AS est_a
+           FROM ska WHERE rn <= 64 GROUP BY 1),
+         eb AS (
+           SELECT c_mktsegment,
+             CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+               ELSE CAST(FLOOR(63.0 * 2147483648 / MAX(CASE WHEN rn = 64
+                 THEN h END) + 0.5) AS BIGINT) END AS est_b
+           FROM skb WHERE rn <= 64 GROUP BY 1),
+         eu AS (
+           SELECT c_mktsegment,
+             CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+               ELSE CAST(FLOOR(63.0 * 2147483648 / MAX(CASE WHEN rn = 64
+                 THEN h END) + 0.5) AS BIGINT) END AS est_union
+           FROM sku WHERE rn <= 64 GROUP BY 1)
+         SELECT ea.c_mktsegment, est_a, est_b, est_union,
+           GREATEST(est_a + est_b - est_union, 0) AS est_intersect
+         FROM ea JOIN eb USING (c_mktsegment) JOIN eu USING (c_mktsegment)"""
   )
 }

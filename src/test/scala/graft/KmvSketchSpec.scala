@@ -50,4 +50,28 @@ class KmvSketchSpec extends SparkSpec {
       .head().getLong(0)
     assert(twoPhase == e1, s"union-of-sketches must equal the direct sketch: $twoPhase vs $e1")
   }
+
+  test("q63 sketch set ops: below-k regime is exact; estimates track truth") {
+    val out = SparkEntry.queries("q63_sketch_setops")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // ground truth per segment from a direct distinct count
+    val oc = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .selectExpr("c_mktsegment", "o_orderkey % 2 = 0 AS even", "c_custkey")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+    out.foreach { r =>
+      val seg = r.getString(0)
+      val a = oc.collect { case (s, true, c) if s == seg => c }.toSet
+      val b = oc.collect { case (s, false, c) if s == seg => c }.toSet
+      val (ea, eb, eu, ei) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      def ok(est: Long, truth: Int): Unit =
+        if (truth < 64) assert(est === truth.toLong, seg)
+        else assert(math.abs(est - truth) <= truth * 0.35, s"$seg est=$est truth=$truth")
+      ok(ea, a.size); ok(eb, b.size); ok(eu, (a ++ b).size)
+      // inclusion-exclusion consistency
+      assert(ei === math.max(ea + eb - eu, 0L), seg)
+    }
+  }
 }
