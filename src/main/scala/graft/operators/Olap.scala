@@ -273,4 +273,32 @@ object Olap {
         (col("__plt").isNull || col("__plt") < col("__y")))
       .select(col(idCol), col("__x").as(xCol), col("__y").as(yCol))
   }
+
+  /** ABC / Pareto classification summary (q64): entities ranked by
+    * `revCol` desc (ties by `idCol` asc), classified by 9-dp-rounded
+    * cumulative revenue share — A ≤ `aCut`, B ≤ `bCut`, C the rest —
+    * and summarized per class. The cumulative fold is a global window
+    * at ENTITY grain (dimension-sized, never facts); callers must feed
+    * order-free-deterministic revenues (integer-cent sums) so the fold
+    * sees identical doubles on any engine.
+    */
+  def abcSummary(byEntity: DataFrame, idCol: String, revCol: String,
+      aCut: Double = 0.80, bCut: Double = 0.95): DataFrame = {
+    val w = Window.orderBy(col(revCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col(revCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val classed = byEntity
+      .withColumn("__share",
+        round(sum(revCol).over(w) / sum(revCol).over(wAll), 9))
+      .withColumn("abc_class",
+        when(col("__share") <= aCut, lit("A"))
+          .when(col("__share") <= bCut, lit("B")).otherwise(lit("C")))
+    val tot = classed.agg(round(sum(revCol), 2).as("__tot"))
+    classed.groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"), round(sum(revCol), 2).as("revenue"))
+      .crossJoin(broadcast(tot))
+      .select(col("abc_class"), col("n_parts"), col("revenue"),
+        round(col("revenue") / col("__tot"), 6).as("pct"))
+  }
 }

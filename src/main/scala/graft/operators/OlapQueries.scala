@@ -1595,6 +1595,24 @@ object OlapQueries {
           kmvEstimate(merged, k).as("est_union"))
         .withColumn("est_intersect",
           greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+    }),
+
+    // ABC / PARETO CLASSIFICATION: parts ranked by revenue, classified
+    // by cumulative share (A ≤ 0.80, B ≤ 0.95, C rest) — the inventory
+    // 80/20 readout. FP discipline for cross-engine parity: each LINE
+    // rounds to integer cents first and part revenue is a Long sum
+    // (order-free, exact — a double sum rounded at the part grain
+    // flips on .005 boundaries with aggregation order); the cumulative
+    // fold then runs over identical doubles in the identical
+    // (revenue desc, part) order, and the class compare uses the
+    // 9-dp-rounded share. The global window runs at part grain
+    // (dimension-sized); facts pay one groupBy
+    "q64_abc_pareto" -> ((s, d) => {
+      val byPart = Tables.lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg((sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100.0 + 0.5).cast("long")).cast("double") / 100.0).as("rev"))
+      Olap.abcSummary(byPart, "l_partkey", "rev")
     })
   )
 
@@ -2515,6 +2533,32 @@ object OlapQueries {
            FROM sku WHERE rn <= 64 GROUP BY 1)
          SELECT ea.c_mktsegment, est_a, est_b, est_union,
            GREATEST(est_a + est_b - est_union, 0) AS est_intersect
-         FROM ea JOIN eb USING (c_mktsegment) JOIN eu USING (c_mktsegment)"""
+         FROM ea JOIN eb USING (c_mktsegment) JOIN eu USING (c_mktsegment)""",
+    // identical FP discipline: integer-cent line amounts summed as
+    // BIGINT (order-free), cumulative fold in (rev DESC, part) order,
+    // 9-dp share compare
+    "q64_abc_pareto" ->
+      """WITH bp AS (
+           SELECT l_partkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+               * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS rev
+           FROM lineitem GROUP BY l_partkey),
+         sh AS (
+           SELECT l_partkey, rev,
+             ROUND(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / SUM(rev) OVER (), 9) AS share
+           FROM bp),
+         cl AS (
+           SELECT rev,
+             CASE WHEN share <= 0.80 THEN 'A'
+                  WHEN share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
+           FROM sh),
+         tot AS (SELECT ROUND(SUM(rev), 2) AS tot FROM cl)
+         SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(rev), 2) AS revenue,
+           ROUND(ROUND(SUM(rev), 2) / tot, 6) AS pct
+         FROM cl CROSS JOIN tot
+         GROUP BY abc_class, tot"""
   )
 }

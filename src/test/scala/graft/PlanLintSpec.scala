@@ -41,7 +41,8 @@ class PlanLintSpec extends SparkSpec {
     "s13_knn_graph",       // 9-row entry-point literal crossed onto the 10-row query set
     "q62_skyline",         // 1-row x-range broadcast (bucket scaling) + 256-row bucket stats
     "s15_recall_eval",     // composes s1's query-set broadcast (eval harness)
-    "t22_collocations"     // two 1-row corpus-total broadcasts (t9's shape)
+    "t22_collocations",    // two 1-row corpus-total broadcasts (t9's shape)
+    "q64_abc_pareto"       // 1-row revenue-total broadcast (pct normalizer)
   )
 
   private val skipEager = Set(

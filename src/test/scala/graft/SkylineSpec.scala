@@ -48,4 +48,22 @@ class SkylineSpec extends SparkSpec {
   test("empty input yields an empty frontier") {
     assert(sky(Seq.empty).isEmpty)
   }
+
+  test("abcSummary: planted 80/15/5 classifies exactly one part per class") {
+    import spark.implicits._
+    val byPart = Seq((1L, 80.0), (2L, 15.0), (3L, 5.0)).toDF("id", "rev")
+    val got = Olap.abcSummary(byPart, "id", "rev")
+      .as[(String, Long, Double, Double)].collect().toSet
+    assert(got === Set(("A", 1L, 80.0, 0.8), ("B", 1L, 15.0, 0.15),
+      ("C", 1L, 5.0, 0.05)))
+  }
+
+  test("abcSummary: boundary part (cum share exactly at the cut) stays in the class") {
+    import spark.implicits._
+    // two parts of 40 each reach exactly 0.8 cumulative -> both A
+    val byPart = Seq((1L, 40.0), (2L, 40.0), (3L, 20.0)).toDF("id", "rev")
+    val got = Olap.abcSummary(byPart, "id", "rev").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("A" -> 2L, "C" -> 1L))
+  }
 }
