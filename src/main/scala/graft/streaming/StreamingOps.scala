@@ -894,6 +894,32 @@ object StreamingQueries {
             graft.functions.KmvSketch.kmvEstimate(col("sk"), 64)
               .as("approx_distinct_users"),
             col("n_events")))),
+    // STREAMING SKETCH SET ALGEBRA (q63's audience-overlap arithmetic
+    // maintained continuously): per event type, TWO KMV cohort
+    // sketches (users on even- vs odd-keyed events) built as
+    // CONDITIONAL aggregates inside ONE streaming groupBy — streaming
+    // allows a single stateful aggregation, so the cohort split must
+    // live in the aggregate inputs (the BottomK aggregate null-skips),
+    // not in a second aggregation or a self-join. State per type is
+    // 2×64 longs regardless of traffic; union = pairwise sketch
+    // merge, intersection by inclusion–exclusion — all on the emitted
+    // row, no second pass. Deterministic hash ⇒ exact oracle
+    "st30_stream_sketch_setops" -> ((s, d) =>
+      runStream(s, d)(ev => {
+        import graft.functions.KmvSketch._
+        val even = pmod(col("event_id"), lit(2L)) === 0L
+        ev.groupBy("event_type")
+          .agg(
+            kmvSketch(when(even, kmvHash(col("user_id"))), 64).as("ska"),
+            kmvSketch(when(!even, kmvHash(col("user_id"))), 64).as("skb"))
+          .select(col("event_type"),
+            kmvEstimate(col("ska"), 64).as("est_a"),
+            kmvEstimate(col("skb"), 64).as("est_b"),
+            kmvEstimate(expr("slice(array_sort(array_union(ska, skb)), 1, 64)"),
+              64).as("est_union"))
+          .withColumn("est_intersect",
+            greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+      })),
     // streaming exact dedup: state-store-backed dropDuplicates on the
     // event stream (the streaming twin of d1's batch dedup shape) —
     // per event type, events surviving dedup on (user, type)
@@ -1230,6 +1256,49 @@ object StreamingQueries {
            END AS approx_distinct_users,
            COUNT(*) AS n_events
          FROM e GROUP BY w""",
+    // complete mode processes the whole table, so the oracle is the
+    // batch sketch algebra: per type, bottom-64 of the deterministic
+    // hash per cohort, union over the merged distinct set
+    "st30_stream_sketch_setops" ->
+      """WITH hh AS (
+           SELECT DISTINCT event_type, (event_id % 2 = 0) AS even,
+             (1103515245 * xor((1103515245 * CAST(user_id AS BIGINT) + 12345) % 2147483648,
+                ((1103515245 * CAST(user_id AS BIGINT) + 12345) % 2147483648) // 8192)
+              + 12345) % 2147483648 AS h
+           FROM events),
+         ska AS (
+           SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+           FROM hh WHERE even),
+         skb AS (
+           SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+           FROM hh WHERE NOT even),
+         sku AS (
+           SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+           FROM (SELECT DISTINCT event_type, h FROM hh)),
+         ea AS (
+           SELECT event_type,
+             CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+               ELSE CAST(FLOOR(63.0 * 2147483648 / MAX(CASE WHEN rn = 64
+                 THEN h END) + 0.5) AS BIGINT) END AS est_a
+           FROM ska WHERE rn <= 64 GROUP BY 1),
+         eb AS (
+           SELECT event_type,
+             CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+               ELSE CAST(FLOOR(63.0 * 2147483648 / MAX(CASE WHEN rn = 64
+                 THEN h END) + 0.5) AS BIGINT) END AS est_b
+           FROM skb WHERE rn <= 64 GROUP BY 1),
+         eu AS (
+           SELECT event_type,
+             CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+               ELSE CAST(FLOOR(63.0 * 2147483648 / MAX(CASE WHEN rn = 64
+                 THEN h END) + 0.5) AS BIGINT) END AS est_union
+           FROM sku WHERE rn <= 64 GROUP BY 1)
+         SELECT ea.event_type, est_a, est_b, est_union,
+           GREATEST(est_a + est_b - est_union, 0) AS est_intersect
+         FROM ea JOIN eb USING (event_type) JOIN eu USING (event_type)""",
     // append emits exactly the sessions CLOSED by the watermark: the
     // batch sessionization restricted to sessions whose end (last
     // event + 30-minute gap) precedes max(ts) − 1 hour

@@ -76,6 +76,8 @@ class PlanLintSpec extends SparkSpec {
     "st22_stream_distinct",
     // st29 likewise; its KMV agg plan is h12's (linted there)
     "st29_stream_approx_distinct",
+    // st30 likewise; its conditional-KMV agg shape is q63's
+    "st30_stream_sketch_setops",
     // st20/st21 are the custom-state (fMGWS) paths, executed eagerly
     // like st17; their batch twins q44/q34 are linted above
     "st20_stream_attribution", "st21_stream_scd2",

@@ -575,4 +575,44 @@ class StreamingSpec extends SparkSpec {
     val cols = Seq("doc_id", "status", "match_id", "match_jaccard")
     assert(canon(streamed, cols: _*) == canon(singleShot, cols: _*))
   }
+
+  test("st30: cohort sketches split correctly in-state and match batch set ops") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.KmvSketch
+    def ev(id: Long, user: Long) = StreamingOps.EvT(
+      id, java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T10:05:00Z")),
+      user, "click")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[StreamingOps.EvT]
+    val even = pmod(col("event_id"), lit(2L)) === 0L
+    val q = ms.toDF()
+      .groupBy("event_type")
+      .agg(
+        KmvSketch.kmvSketch(when(even, KmvSketch.kmvHash(col("user_id"))), 64)
+          .as("ska"),
+        KmvSketch.kmvSketch(when(!even, KmvSketch.kmvHash(col("user_id"))), 64)
+          .as("skb"))
+      .select(col("event_type"),
+        KmvSketch.kmvEstimate(col("ska"), 64).as("est_a"),
+        KmvSketch.kmvEstimate(col("skb"), 64).as("est_b"),
+        KmvSketch.kmvEstimate(
+          expr("slice(array_sort(array_union(ska, skb)), 1, 64)"), 64)
+          .as("est_union"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("st30_kmv").start()
+    try {
+      // even event ids carry users 1..30, odd ids users 21..50
+      // (overlap 21..30), split across two micro-batches
+      ms.addData((1L to 30L).map(u => ev(2 * u, u)))
+      q.processAllAvailable()
+      ms.addData((21L to 50L).map(u => ev(2 * u + 1, u)))
+      q.processAllAvailable()
+      val r = spark.table("st30_kmv").head()
+      // all cohorts below k=64: estimates are EXACT counts
+      assert(r.getLong(1) === 30L, "est_a")
+      assert(r.getLong(2) === 30L, "est_b")
+      assert(r.getLong(3) === 50L, "est_union")
+    } finally q.stop()
+  }
 }
