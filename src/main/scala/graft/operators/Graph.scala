@@ -137,6 +137,38 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank_micro"))
   }
 
+  /** PERSONALIZED PageRank: [[pagerank]]'s Long recurrence with the
+    * teleport mass concentrated on a SEED set instead of spread
+    * uniformly — "proximity to these products" for recommendations /
+    * topic-sensitive ranking (Haveliwala, WWW'02). `seeds` is a
+    * (node, tele) frame (tele in micro-units, e.g. 150000·N div |S|
+    * per seed so total teleport mass matches the uniform variant);
+    * non-seeds teleport nothing:
+    *   r0(u)    = 1,000,000
+    *   r'(v)    = tele(v) + floor(17 · Σ share(u) / 20)
+    * Same overflow-free decomposition, same order-free Long sums,
+    * same one-groupBy-per-round plan; the seed join is a broadcast
+    * (seed sets are query-sized by construction).
+    */
+  def personalizedPagerank(adjOd: DataFrame, seeds: DataFrame,
+      iters: Int = 8): DataFrame = {
+    var ranks = adjOd.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(1000000L))
+    for (_ <- 1 to iters) {
+      ranks = adjOd
+        .join(ranks, adjOd("src") === ranks("node"))
+        .select(col("dst"), expr("r div odeg").as("share"))
+        .groupBy("dst")
+        .agg(sum("share").as("s"))
+        .join(broadcast(seeds), col("dst") === seeds("node"), "left")
+        .select(col("dst").as("node"),
+          (coalesce(col("tele"), lit(0L)) +
+            expr(s"(s div $dampDen) * $dampNum" +
+              s" + ((s % $dampDen) * $dampNum) div $dampDen")).as("r"))
+    }
+    ranks.select(col("node"), col("r").as("ppr_micro"))
+  }
+
   /** Weighted-majority label propagation, `rounds` synchronous rounds:
     * every node starts as its own label; each round it adopts the
     * label with the largest total incident edge weight among its

@@ -92,6 +92,31 @@ object GraphQueries {
       rankedTopK(core, Seq(col("deg").desc, col("src")), 30,
         col("src").as("part"), col("deg"))
     }),
+    // personalized PageRank from the 5 highest-demand parts:
+    // "proximity to the bestsellers" for recommendation ranking
+    "g7_personalized_pagerank" -> ((s, d) => {
+      import s.implicits._
+      val adjOd = cachedAdjDeg(s, d)
+      // the seed set is query-sized BY CONSTRUCTION (5 rows) — collect
+      // it into a literal frame (the codebook convention) so the 8
+      // ranking rounds reference a LocalRelation, not 8 re-runs of the
+      // lineitem demand scan
+      val n = adjOd.select(col("src")).distinct()
+        .agg(count(lit(1)).as("n"))
+      val seeds = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("cnt").desc, col("l_partkey"))))
+        .filter(col("rn") <= 5)
+        .crossJoin(broadcast(n))
+        .select(col("l_partkey").as("node"),
+          expr("(150000L * n) div 5").as("tele"))
+        .as[(Long, Long)].collect().toSeq
+        .toDF("node", "tele")
+      val pr = Graph.personalizedPagerank(adjOd, seeds)
+      rankedTopK(pr, Seq(col("ppr_micro").desc, col("node")), 40,
+        col("node").as("part"), col("ppr_micro"))
+    }),
     // common-neighbor link prediction over non-adjacent pairs
     "g6_link_predict" -> ((s, d) => {
       val e = cachedEdges(s, d)
@@ -153,6 +178,39 @@ object GraphQueries {
       rounds
   }
 
+  /** 8 unrolled PERSONALIZED PageRank rounds: pagerank's arithmetic
+    * with the teleport mass left-joined from the seed CTE.
+    */
+  private def pprCtes(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "pp0" else s"pp${i - 1}"
+      s""",
+       ps$i AS (
+         SELECT a.dst AS node, SUM(p.r // o.odeg) AS s
+         FROM adj a JOIN $prev p ON a.src = p.node
+         JOIN od o ON a.src = o.src
+         GROUP BY a.dst),
+       pp$i AS (
+         SELECT t.node,
+           COALESCE(sd.tele, 0)
+             + (s // 20) * 17 + ((s % 20) * 17) // 20 AS r
+         FROM ps$i t LEFT JOIN seeds sd ON t.node = sd.node)"""
+    }.mkString
+    s""",
+       od AS MATERIALIZED (
+         SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg
+         FROM adj GROUP BY src),
+       seeds AS MATERIALIZED (
+         SELECT l_partkey AS node,
+           (150000 * (SELECT COUNT(*) FROM od)) // 5 AS tele
+         FROM (
+           SELECT l_partkey,
+             row_number() OVER (ORDER BY COUNT(*) DESC, l_partkey) AS rn
+           FROM lineitem GROUP BY l_partkey QUALIFY rn <= 5)),
+       pp0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM od)""" +
+      rounds
+  }
+
   /** 4 unrolled label-propagation rounds (weighted argmax, ties to the
     * smallest label).
     */
@@ -196,6 +254,12 @@ object GraphQueries {
            AS rank,
          node AS part, r AS rank_micro
        FROM pr8 QUALIFY rank <= 40"""),
+    "g7_personalized_pagerank" -> (graphCtes + pprCtes(8) +
+      """
+       SELECT CAST(row_number() OVER (ORDER BY r DESC, node) AS BIGINT)
+           AS rank,
+         node AS part, r AS ppr_micro
+       FROM pp8 QUALIFY rank <= 40"""),
     "g3_label_prop" -> (graphCtes +
       """,
        lb0 AS (SELECT DISTINCT src AS node, src AS lbl FROM adj)""" +

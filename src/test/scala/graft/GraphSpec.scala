@@ -119,11 +119,43 @@ class GraphSpec extends SparkSpec {
 
   test("g registry entries produce ranked non-empty frames at sf0.001") {
     for (name <- Seq("g1_copurchase_graph", "g2_pagerank", "g3_label_prop",
-        "g4_triangles", "g5_kcore", "g6_link_predict")) {
+        "g4_triangles", "g5_kcore", "g6_link_predict",
+        "g7_personalized_pagerank")) {
       val out = SparkEntry.queries(name)(spark, sf)
       assert(out.columns.head === "rank", s"$name leads with rank")
       val n = out.count()
       assert(n > 0, s"$name returned no rows")
     }
+  }
+
+  /** Reference personalized PageRank: teleport only to seeds. */
+  private def refPpr(und: Seq[(Long, Long)], seeds: Map[Long, Long],
+      iters: Int): Map[Long, Long] = {
+    val adj = (und ++ und.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val odeg = adj.view.mapValues(_.size.toLong).toMap
+    var r = adj.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val inflow = adj.toSeq
+        .flatMap { case (u, vs) => vs.map(v => v -> r(u) / odeg(u)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = inflow.map { case (v, s) =>
+        v -> (seeds.getOrElse(v, 0L) + (s / 20) * 17 + ((s % 20) * 17) / 20) }
+    }
+    r
+  }
+
+  test("personalizedPagerank matches the reference and concentrates on the seed side") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 with the teleport mass pinned to node 1
+    val und = (1L to 5L).map(i => (i, i + 1))
+    val adjOd = Graph.withOutDeg(
+      Graph.adjacency(edgesDF(und.map { case (a, b) => (a, b, 1L) })))
+    val seeds = Seq((1L, 1800000L)).toDF("node", "tele")
+    val got = Graph.personalizedPagerank(adjOd, seeds)
+      .as[(Long, Long)].collect().toMap
+    assert(got === refPpr(und, Map(1L -> 1800000L), 8))
+    // proximity ordering: rank decays away from the seed's neighborhood
+    assert(got(2L) > got(4L) && got(4L) > got(6L))
   }
 }
