@@ -39,6 +39,12 @@ object DedupQueries {
   def warmComponents(spark: SparkSession, sfDir: String): Unit =
     cachedClusters(spark, sfDir, minJaccard = 0.05).count()
 
+  /** The shared (doc_id, component_id) near-dup components at the
+    * registry threshold — the cross-family handle (p13's soft-dedup
+    * weights read it). */
+  def clusters(spark: SparkSession, sfDir: String): DataFrame =
+    cachedClusters(spark, sfDir, minJaccard = 0.05)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),

@@ -418,8 +418,31 @@ object Packing {
     // added/removed/modified/unchanged. ONE id-keyed shuffle with
     // hash-only payloads — text never rides the join, so the diff of
     // two 100 TB snapshots moves hashes, not documents.
-    "p12_corpus_diff" -> ((s, d) => corpusDiff(Tables.documents(s, d)))
+    "p12_corpus_diff" -> ((s, d) => corpusDiff(Tables.documents(s, d))),
+    // SOFT DEDUP: instead of dropping near-duplicates, keep each doc
+    // with probability 1/|its near-dup cluster| — the corpus-weighting
+    // strategy that preserves content diversity while flattening
+    // over-represented material. Cluster ids come from the SHARED d6
+    // components (session-cached); sampling is the p4 LCG keyed by
+    // doc_id against a per-cluster ppm threshold, so retries/epochs
+    // reproduce the identical subset. Singletons always survive
+    "p13_soft_dedup_sample" -> ((s, d) =>
+      softDedupSample(DedupQueries.clusters(s, d)))
   )
+
+  /** See the p13 entry: `clusters` is (doc_id, component_id); keep a
+    * doc iff its LCG sample key (ppm) falls under 10⁶ div cluster
+    * size. One component-keyed size join; all integer arithmetic.
+    */
+  def softDedupSample(clusters: DataFrame): DataFrame = {
+    val sizes = clusters.groupBy("component_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    clusters.join(sizes, Seq("component_id"))
+      .withColumn("weight_ppm", expr("1000000L div cluster_size"))
+      .filter(pmod(lcg(col("doc_id")), lit(1000000L)) < col("weight_ppm"))
+      .select(col("doc_id"), col("component_id"), col("cluster_size"),
+        col("weight_ppm"))
+  }
 
   /** See the p12 entry. `docs` stands in for both versions via
     * deterministic splits: v1 drops every 7th doc (deleted later),
@@ -659,6 +682,36 @@ object Packing {
          SELECT b.doc_id, b.n_tokens, b.bucket,
            CAST((((b.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648)
                 % ((c.n + 7) // 8) AS BIGINT) AS batch_id
-         FROM b JOIN c ON b.bucket = c.bucket"""
+         FROM b JOIN c ON b.bucket = c.bucket""",
+    // d6's recursive component derivation + per-cluster ppm threshold
+    // + the p4 LCG keep test, all integer arithmetic
+    "p13_soft_dedup_sample" ->
+      raw"""WITH RECURSIVE t AS (
+           SELECT doc_id, lang, n_chars,
+             list_distinct(list_transform(
+               range(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')), 1)),
+               i -> regexp_split_to_array(trim(lower(text)), '\s+')[i] || ' ' ||
+                    regexp_split_to_array(trim(lower(text)), '\s+')[i + 1])) AS shingles
+           FROM documents),
+         p AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM t a JOIN t b
+             ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 3 AND a.doc_id < b.doc_id
+           WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= 0.05),
+         e AS (SELECT doc_a AS s, doc_b AS d FROM p
+               UNION SELECT doc_b, doc_a FROM p),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS r FROM documents
+           UNION
+           SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s),
+         comp AS (SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id),
+         sz AS (SELECT component_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                FROM comp GROUP BY component_id)
+         SELECT c.doc_id, c.component_id, s.cluster_size,
+           CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+         FROM comp c JOIN sz s USING (component_id)
+         WHERE (((c.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648)
+               % 1000000 < 1000000 // s.cluster_size"""
   )
 }

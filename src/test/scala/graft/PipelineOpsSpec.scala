@@ -404,4 +404,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Map(1L -> "unchanged", 7L -> "added",
       11L -> "removed", 13L -> "modified"), out.toString)
   }
+
+  test("p13 soft dedup: singletons always survive; keep rule is the LCG test") {
+    import spark.implicits._
+    // components: {1,2,3,4} (size 4, threshold 250000), {10} and {11}
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 11L)).toDF("doc_id", "component_id")
+    val kept = operators.Packing.softDedupSample(clusters)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(kept.contains(10L) && kept.contains(11L), "singletons survive")
+    assert(kept.get(10L).map(_._2) === Some(1000000L))
+    def lcgPpm(id: Long) =
+      (((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L) % 1000000L
+    (1L to 4L).foreach { id =>
+      assert(kept.contains(id) === (lcgPpm(id) < 250000L), s"doc $id")
+      kept.get(id).foreach { case (size, w) =>
+        assert(size === 4L && w === 250000L)
+      }
+    }
+  }
 }
