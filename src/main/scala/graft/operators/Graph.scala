@@ -169,6 +169,29 @@ object Graph {
     ranks.select(col("node"), col("r").as("ppr_micro"))
   }
 
+  /** Multi-source BFS hop distance: shortest hop count from any seed
+    * node, `rounds` synchronous relaxation rounds. The recurrence
+    * dist'(v) = min(dist(v), min dist(u)+1) references the previous
+    * frontier TWICE (self + neighbors) — the 2^rounds plan-doubling
+    * trap; adding zero-cost SELF-LOOPS to the adjacency folds the
+    * self term into the join, so each round is ONE equi-join + ONE
+    * min-groupBy and the plan grows linearly. Unreached nodes are
+    * simply absent (no ∞ sentinel to carry). Returns (node, hops).
+    */
+  def bfsHops(adj: DataFrame, seeds: DataFrame, rounds: Int = 8): DataFrame = {
+    val adjSelf = adj.select(col("src"), col("dst"), lit(1L).as("hop"))
+      .unionAll(adj.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst"), lit(0L).as("hop")))
+    var dist = seeds.select(col("node"), lit(0L).as("hops"))
+    for (_ <- 1 to rounds) {
+      dist = adjSelf.join(dist, adjSelf("src") === dist("node"))
+        .select(col("dst"), (col("hops") + col("hop")).as("h"))
+        .groupBy("dst").agg(min("h").as("hops"))
+        .select(col("dst").as("node"), col("hops"))
+    }
+    dist
+  }
+
   /** Weighted-majority label propagation, `rounds` synchronous rounds:
     * every node starts as its own label; each round it adopts the
     * label with the largest total incident edge weight among its

@@ -92,6 +92,23 @@ object GraphQueries {
       rankedTopK(core, Seq(col("deg").desc, col("src")), 30,
         col("src").as("part"), col("deg"))
     }),
+    // multi-source BFS: hop distance from the 5 highest-demand parts
+    // over the co-purchase graph, read out as a reachability histogram
+    // ("how far is the catalog from the bestsellers")
+    "g8_bfs_hops" -> ((s, d) => {
+      import s.implicits._
+      val adjOd = cachedAdjDeg(s, d)
+      val seeds = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("cnt").desc, col("l_partkey"))))
+        .filter(col("rn") <= 5)
+        .select(col("l_partkey"))
+        .as[Long].collect().toSeq.toDF("node")
+      Graph.bfsHops(adjOd, seeds)
+        .groupBy("hops").agg(count(lit(1)).as("n_parts"))
+        .orderBy("hops")
+    }),
     // personalized PageRank from the 5 highest-demand parts:
     // "proximity to the bestsellers" for recommendation ranking
     "g7_personalized_pagerank" -> ((s, d) => {
@@ -211,6 +228,33 @@ object GraphQueries {
       rounds
   }
 
+  /** 8 unrolled BFS relaxation rounds over the self-loop-augmented
+    * adjacency (hop 0 self-edges fold the keep-current-distance term
+    * into the one join per round).
+    */
+  private def bfsCtes(rounds: Int): String = {
+    val rs = (1 to rounds).map { i =>
+      val prev = if (i == 1) "b0" else s"b${i - 1}"
+      s""",
+       b$i AS (
+         SELECT a.dst AS node, MIN(p.hops + a.hop) AS hops
+         FROM adjself a JOIN $prev p ON a.src = p.node
+         GROUP BY a.dst)"""
+    }.mkString
+    s""",
+       adjself AS MATERIALIZED (
+         SELECT src, dst, CAST(1 AS BIGINT) AS hop FROM adj
+         UNION ALL
+         SELECT src, src, 0 FROM (SELECT DISTINCT src FROM adj)),
+       bseeds AS (
+         SELECT l_partkey AS node
+         FROM (
+           SELECT l_partkey,
+             row_number() OVER (ORDER BY COUNT(*) DESC, l_partkey) AS rn
+           FROM lineitem GROUP BY l_partkey QUALIFY rn <= 5)),
+       b0 AS (SELECT node, CAST(0 AS BIGINT) AS hops FROM bseeds)""" + rs
+  }
+
   /** 4 unrolled label-propagation rounds (weighted argmax, ties to the
     * smallest label).
     */
@@ -254,6 +298,10 @@ object GraphQueries {
            AS rank,
          node AS part, r AS rank_micro
        FROM pr8 QUALIFY rank <= 40"""),
+    "g8_bfs_hops" -> (graphCtes + bfsCtes(8) +
+      """
+       SELECT hops, CAST(COUNT(*) AS BIGINT) AS n_parts
+       FROM b8 GROUP BY hops"""),
     "g7_personalized_pagerank" -> (graphCtes + pprCtes(8) +
       """
        SELECT CAST(row_number() OVER (ORDER BY r DESC, node) AS BIGINT)

@@ -120,9 +120,10 @@ class GraphSpec extends SparkSpec {
   test("g registry entries produce ranked non-empty frames at sf0.001") {
     for (name <- Seq("g1_copurchase_graph", "g2_pagerank", "g3_label_prop",
         "g4_triangles", "g5_kcore", "g6_link_predict",
-        "g7_personalized_pagerank")) {
+        "g7_personalized_pagerank", "g8_bfs_hops")) {
       val out = SparkEntry.queries(name)(spark, sf)
-      assert(out.columns.head === "rank", s"$name leads with rank")
+      if (name != "g8_bfs_hops") // g8 emits a (hops, n_parts) histogram
+        assert(out.columns.head === "rank", s"$name leads with rank")
       val n = out.count()
       assert(n > 0, s"$name returned no rows")
     }
@@ -143,6 +144,26 @@ class GraphSpec extends SparkSpec {
         v -> (seeds.getOrElse(v, 0L) + (s / 20) * 17 + ((s % 20) * 17) / 20) }
     }
     r
+  }
+
+  test("bfsHops: path distances from the seed; other components unreached") {
+    import spark.implicits._
+    // path 1-2-3-4 seeded at 1, plus a disconnected edge 10-11
+    val adj = Graph.adjacency(edgesDF(Seq((1L, 2L, 1L), (2L, 3L, 1L),
+      (3L, 4L, 1L), (10L, 11L, 1L))))
+    val got = Graph.bfsHops(adj, Seq(1L).toDF("node"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("bfsHops: two seeds take the pointwise minimum distance") {
+    import spark.implicits._
+    val adj = Graph.adjacency(edgesDF(
+      (1L to 6L).sliding(2).map(s => (s(0), s(1), 1L)).toSeq))
+    val got = Graph.bfsHops(adj, Seq(1L, 6L).toDF("node"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L,
+      4L -> 2L, 5L -> 1L, 6L -> 0L))
   }
 
   test("personalizedPagerank matches the reference and concentrates on the seed side") {
