@@ -238,6 +238,41 @@ object Multimodal {
     }
   }
 
+  /** TIME-DOMAIN audio features (m14) — the cheap first-pass audio
+    * triage (silence detection, clipping, voiced/unvoiced heuristics)
+    * that runs BEFORE any spectral work: zero-crossing rate, RMS,
+    * peak, mean |amplitude|, all in one pass over the decoded PCM.
+    * Everything except the RMS is exact integer arithmetic; the RMS
+    * is sqrt of an exact integer ratio (IEEE-correctly-rounded on
+    * both engines) with the `floor(x·1e6+0.5)/1e6` emit — so unlike
+    * the FFT family this decoder carries a FIRST-PRINCIPLES oracle,
+    * not a committed digest. Emits
+    * `[payload_bytes, sum_abs, rms_6dp, peak, zero_crossings]`
+    * (slots 1/3/4 codec-specific, as the contract allows).
+    */
+  final class TimeDomainCodec extends MediaCodec {
+    override def decode(r: MediaRow): Array[Double] = {
+      val (_, _, samples) = wavPcm16(r.payload, r.doc_id)
+      var i = 0; var sumAbs = 0L; var sumSq = 0L; var peak = 0L; var zcr = 0L
+      var prevNonNeg = true
+      while (i < samples.length) {
+        val s = samples(i).toLong
+        val a = math.abs(s)
+        sumAbs += a; sumSq += s * s
+        if (a > peak) peak = a
+        val nonNeg = s >= 0
+        if (i > 0 && nonNeg != prevNonNeg) zcr += 1
+        prevNonNeg = nonNeg
+        i += 1
+      }
+      val rms = if (samples.isEmpty) 0.0
+        else math.floor(math.sqrt(sumSq.toDouble / samples.length) * 1e6
+          + 0.5) / 1e6
+      Array(r.payload.length.toDouble, sumAbs.toDouble, rms,
+        peak.toDouble, zcr.toDouble)
+    }
+  }
+
   /** FRAME SAMPLING — the "every k-th frame" decimation step of a
     * video/audio ingest (decode cost at 100 TB is dominated by frames
     * nobody needs; sampling happens AT the codec so skipped frames
@@ -916,6 +951,24 @@ object MultimodalQueries {
       Multimodal.extractFeatures(s, rows.toDF(),
         new Multimodal.FrameSampleCodec(64, 4)).toDF()
     }),
+    // TIME-DOMAIN audio triage (ZCR / RMS / peak / sum|s|) over m6's
+    // byte-derived PCM synth — the pre-spectral silence/clipping
+    // screen. Integer features + IEEE-sqrt RMS ⇒ a first-principles
+    // oracle (no digest), unlike the FFT family
+    "m14_audio_timedomain" -> ((s, d) => {
+      import s.implicits._
+      val rows = Multimodal.mediaTable(Tables.documents(s, d))
+        .as[Multimodal.MediaRow].map { r =>
+          val src = if (r.payload.isEmpty) Array[Byte](0) else r.payload
+          val n = math.min(1024, math.max(64, src.length * 2))
+          val samples = Array.tabulate[Short](n)(i =>
+            (((src(i % src.length) & 0xff) - 128) * 128).toShort)
+          Multimodal.MediaRow(r.doc_id,
+            Multimodal.synthWav(8000, samples), "audio/wav", 0, 0)
+        }
+      Multimodal.extractFeatures(s, rows.toDF(),
+        new Multimodal.TimeDomainCodec).toDF()
+    }),
     // SPECTRAL features through the REAL from-scratch radix-2 FFT
     // (verified against a naive DFT and Parseval in the spec):
     // payloads are deterministic synthesized WAVs whose samples mix
@@ -1221,6 +1274,34 @@ object MultimodalQueries {
            CAST((d.n + 63) // 64 AS DOUBLE) AS feat_0,
            CAST(8000 AS DOUBLE) AS feat_1
          FROM d JOIN s USING (doc_id)""",
+    // m6's sample synthesis re-derived positionally; ZCR via lag()
+    // sign compare, RMS = IEEE sqrt of the exact integer ratio
+    "m14_audio_timedomain" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS len,
+             LEAST(1024, GREATEST(64, 2 * length(text))) AS n
+           FROM documents),
+         sam AS (
+           SELECT d.doc_id, j.j,
+             CAST((ord(substr(d.text, CAST(1 + (j.j % d.len) AS INT), 1))
+               - 128) * 128 AS BIGINT) AS s
+           FROM d, LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS j) j),
+         ag AS (
+           SELECT doc_id, SUM(ABS(s)) AS sum_abs, SUM(s * s) AS sum_sq,
+             MAX(ABS(s)) AS peak,
+             SUM(CASE WHEN j > 0 AND ((s >= 0) <> (prev >= 0))
+                 THEN 1 ELSE 0 END) AS zcr
+           FROM (SELECT *, lag(s) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+                 FROM sam)
+           GROUP BY doc_id)
+         SELECT d.doc_id, 'audio/wav' AS media_type,
+           CAST(44 + 2 * d.n AS BIGINT) AS n_bytes,
+           CAST(ag.sum_abs AS BIGINT) AS byte_sum,
+           FLOOR(sqrt(CAST(ag.sum_sq AS DOUBLE) / d.n) * 1e6 + 0.5) / 1e6
+             AS mean_byte,
+           CAST(ag.peak AS DOUBLE) AS feat_0,
+           CAST(ag.zcr AS DOUBLE) AS feat_1
+         FROM d JOIN ag USING (doc_id)""",
     // GrvSceneCodec: frame f's pixel j is text byte ((scene_f·fs + j)
     // mod len) + f (drift), scenes split at the doc_id-keyed cut —
     // every transition's integer |Δ| sum, the per-transition cut test

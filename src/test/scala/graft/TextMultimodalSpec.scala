@@ -1064,4 +1064,18 @@ class TextMultimodalSpec extends SparkSpec {
     val got = operators.TextQueries.collocations(docs).collect()
     assert(got.length === 1 && got.head.getString(1) == "a")
   }
+
+  test("m14 time-domain codec: hand-computed ZCR/RMS/peak on a planted WAV") {
+    val samples = Array[Short](100, -100, 100, -100, 0, 200)
+    val wav = operators.Multimodal.synthWav(8000, samples)
+    val f = new operators.Multimodal.TimeDomainCodec().decode(
+      operators.Multimodal.MediaRow(1L, wav, "audio/wav", 0, 0))
+    assert(f(0) === wav.length.toDouble)
+    assert(f(1) === 600.0, "sum of |s|")
+    val rms = math.floor(math.sqrt(80000.0 / 6) * 1e6 + 0.5) / 1e6
+    assert(f(2) === rms, "rms")
+    assert(f(3) === 200.0, "peak")
+    // signs + - + - + + : four crossings (zero counts as non-negative)
+    assert(f(4) === 4.0, "zcr")
+  }
 }
