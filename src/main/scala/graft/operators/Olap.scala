@@ -274,6 +274,25 @@ object Olap {
       .select(col(idCol), col("__x").as(xCol), col("__y").as(yCol))
   }
 
+  /** CDC APPLY (q65): materialize a base snapshot plus a sequenced
+    * change stream into the final table. `changes` carries
+    * (`seq`, `op` ∈ I/U/D, the key, and one `c_<col>` per base payload
+    * column); the LAST change per key wins (row_number over seq desc),
+    * a trailing delete erases the row, and keys with no change keep
+    * their base row. One delta-sized window + one key-grain full-outer
+    * join — the base never re-shuffles per change.
+    */
+  def cdcApply(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    val payload = base.columns.filterNot(_ == key)
+    val last = changes.withColumn("__rn", row_number().over(
+        Window.partitionBy(key).orderBy(col("seq").desc)))
+      .filter(col("__rn") === 1).drop("__rn", "seq")
+    base.join(last, Seq(key), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col(key) +: payload.map(c =>
+        when(col("op").isNotNull, col(s"c_$c")).otherwise(col(c)).as(c)): _*)
+  }
+
   /** ABC / Pareto classification summary (q64): entities ranked by
     * `revCol` desc (ties by `idCol` asc), classified by 9-dp-rounded
     * cumulative revenue share — A ≤ `aCut`, B ≤ `bCut`, C the rest —

@@ -1613,6 +1613,41 @@ object OlapQueries {
         .agg((sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
             * 100.0 + 0.5).cast("long")).cast("double") / 100.0).as("rev"))
       Olap.abcSummary(byPart, "l_partkey", "rev")
+    }),
+
+    // CDC APPLY (the lakehouse MERGE materialization): a base snapshot
+    // plus a SEQUENCED change stream (insert/update/delete) collapse
+    // to the final table — last writer per key wins, a trailing delete
+    // erases the row. The change stream synthesizes deterministically
+    // from orders (p12's versioning convention): seq 1 updates every
+    // 5th key (+10.00), seq 2 deletes every 11th, seq 3 inserts the
+    // keys the base snapshot lacks (key % 7 = 0). Scale shape: ONE
+    // key-grain window picks each key's last change (changes are
+    // delta-sized), ONE full-outer key join applies it to the base —
+    // the fact table never re-shuffles per change. Readout = per
+    // priority (count, revenue in exact integer cents)
+    "q65_cdc_apply" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderpriority"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      val base = o.filter(pmod(col("o_orderkey"), lit(7L)) =!= 0L)
+      val changes =
+        o.filter(pmod(col("o_orderkey"), lit(5L)) === 0L)
+          .select(lit(1L).as("seq"), lit("U").as("op"), col("o_orderkey"),
+            col("o_orderpriority").as("c_o_orderpriority"),
+            (col("cents") + 1000L).as("c_cents"))
+        .unionAll(o.filter(pmod(col("o_orderkey"), lit(11L)) === 0L)
+          .select(lit(2L).as("seq"), lit("D").as("op"), col("o_orderkey"),
+            lit(null).cast("string").as("c_o_orderpriority"),
+            lit(null).cast("long").as("c_cents")))
+        .unionAll(o.filter(pmod(col("o_orderkey"), lit(7L)) === 0L)
+          .select(lit(3L).as("seq"), lit("I").as("op"), col("o_orderkey"),
+            col("o_orderpriority").as("c_o_orderpriority"),
+            col("cents").as("c_cents")))
+      Olap.cdcApply(base, changes, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          (sum("cents").cast("double") / 100.0).as("sum_totalprice"))
     })
   )
 
@@ -2559,6 +2594,40 @@ object OlapQueries {
            ROUND(SUM(rev), 2) AS revenue,
            ROUND(ROUND(SUM(rev), 2) / tot, 6) AS pct
          FROM cl CROSS JOIN tot
-         GROUP BY abc_class, tot"""
+         GROUP BY abc_class, tot""",
+    // the same sequenced-change synthesis, last-writer window and
+    // full-outer apply; money in exact integer cents throughout
+    "q65_cdc_apply" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_orderpriority,
+             CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         base AS (SELECT * FROM o WHERE o_orderkey % 7 <> 0),
+         changes AS (
+           SELECT 1 AS seq, 'U' AS op, o_orderkey,
+             o_orderpriority AS c_prio, cents + 1000 AS c_cents
+           FROM o WHERE o_orderkey % 5 = 0
+           UNION ALL
+           SELECT 2, 'D', o_orderkey, NULL, NULL
+           FROM o WHERE o_orderkey % 11 = 0
+           UNION ALL
+           SELECT 3, 'I', o_orderkey, o_orderpriority, cents
+           FROM o WHERE o_orderkey % 7 = 0),
+         last AS (
+           SELECT op, o_orderkey, c_prio, c_cents FROM (
+             SELECT *, row_number() OVER (PARTITION BY o_orderkey
+               ORDER BY seq DESC) AS rn
+             FROM changes) WHERE rn = 1),
+         applied AS (
+           SELECT
+             CASE WHEN l.op IS NOT NULL THEN l.c_prio
+                  ELSE b.o_orderpriority END AS o_orderpriority,
+             CASE WHEN l.op IS NOT NULL THEN l.c_cents
+                  ELSE b.cents END AS fc
+           FROM base b FULL OUTER JOIN last l USING (o_orderkey)
+           WHERE l.op IS NULL OR l.op <> 'D')
+         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(fc) AS DOUBLE) / 100.0 AS sum_totalprice
+         FROM applied GROUP BY o_orderpriority"""
   )
 }

@@ -66,4 +66,21 @@ class SkylineSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map("A" -> 2L, "C" -> 1L))
   }
+
+  test("cdcApply: update applies, delete erases, re-insert revives, untouched keeps") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "tag", "v")
+    val changes = Seq(
+      (1L, "U", 2L, "b2", 25L),  // update key 2
+      (2L, "D", 3L, null, 0L),   // delete key 3
+      (1L, "D", 4L, null, 0L),   // delete then ...
+      (2L, "I", 4L, "d", 40L),   // ... re-insert key 4
+      (1L, "U", 5L, "e", 50L),   // update then ...
+      (2L, "D", 5L, null, 0L)    // ... delete key 5 -> gone
+    ).toDF("seq", "op", "k", "c_tag", "c_v")
+    val got = operators.Olap.cdcApply(base, changes, "k")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === Set((1L, "a", 10L), (2L, "b2", 25L), (4L, "d", 40L)))
+  }
 }
