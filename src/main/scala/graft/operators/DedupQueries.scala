@@ -190,6 +190,31 @@ object DedupQueries {
       Dedup.semanticDecontaminate(
         emb.filter(pmod(col("vec_id"), lit(20)) =!= 0),
         emb.filter(pmod(col("vec_id"), lit(20)) === 0))
+    }),
+    // BLOCKING-QUALITY EVAL HARNESS (s15's idea for dedup): precision/
+    // recall of minhash-LSH candidate pairs against the exact Jaccard
+    // ground truth at τ = 0.05 — the readout a banding change (d2's
+    // lshBandsFor) is gated on. bands=16/rows=1 puts the S-curve
+    // midpoint at (1/16)^1 ≈ 0.0625, matched to the truth threshold;
+    // the eval costs the two pair generators plus a pair-keyed join
+    "d22_lsh_recall_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.minhashPairs(docs, k = 16, bands = 16)
+        .select("doc_a", "doc_b")
+      val truth = Dedup.ngramJaccard(docs)
+        .filter(col("jaccard") >= 0.05).select("doc_a", "doc_b")
+      val nC = cand.agg(count(lit(1)).as("n_cand"))
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      val nH = cand.join(truth, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_hits"))
+      nT.crossJoin(broadcast(nC)).crossJoin(broadcast(nH))
+        .select(col("n_truth"), col("n_cand"), col("n_hits"),
+          when(col("n_cand") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_hits").cast("double") /
+              col("n_cand").cast("double"), 6)).as("precision"),
+          when(col("n_truth") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_hits").cast("double") /
+              col("n_truth").cast("double"), 6)).as("recall"))
     })
   )
 
@@ -619,6 +644,65 @@ object DedupQueries {
          JOIN n y ON p.vec_b = y.vec_id
          WHERE list_sum(list_transform(list_zip(x.v, y.v), s -> s[1] * s[2]))
                / (x.nrm * y.nrm) >= 0.25""",
+    // d2's minhash derivation at bands=16/rows=1 for the candidates,
+    // d6's exact-Jaccard pair derivation for the truth, metrics on the
+    // pair-keyed intersection
+    "d22_lsh_recall_eval" ->
+      raw"""WITH t AS (
+           SELECT doc_id, lang, n_chars,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, lang, n_chars,
+             list_distinct(list_transform(range(1, greatest(len(toks), 1)),
+               i -> toks[i] || ' ' || toks[i + 1])) AS shingles
+           FROM t),
+         hs AS (
+           SELECT doc_id, list_transform(shingles, s ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, len(s) + 1),
+                   i -> CAST(unicode(s[i]) AS BIGINT))),
+               (x, y) -> (x * 131 + y) % 2147483647)) AS hs
+           FROM sh),
+         sig AS (
+           SELECT doc_id, list_transform(range(0, 16), c ->
+             CASE WHEN len(hs) = 0 THEN 2147483647
+                  ELSE list_min(list_transform(hs, h ->
+                    (((1103515245 * (c + 1) + 12345) % 2147483647) * h
+                     + (69069 * (c + 1) + 1) % 2147483647) % 2147483647))
+             END) AS sig
+           FROM hs),
+         bandk AS (
+           SELECT doc_id, list_transform(range(0, 16), b ->
+             list_reduce(list_prepend(b + 1, sig[b + 1 : b + 1]),
+               (x, y) -> (x * 131 + y) % 2147483647)) AS bk
+           FROM sig),
+         buckets AS (
+           SELECT doc_id, bb.b AS band, bk[bb.b + 1] AS key
+           FROM bandk, (SELECT unnest(range(0, 16)) AS b) bb),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+           FROM buckets a JOIN buckets b2
+             ON a.band = b2.band AND a.key = b2.key
+               AND a.doc_id < b2.doc_id),
+         truth AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sh a JOIN sh b
+             ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 3
+               AND a.doc_id < b.doc_id
+           WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+                 >= 0.05),
+         nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+         nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
+         nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+                FROM cand JOIN truth USING (doc_a, doc_b))
+         SELECT n_truth, n_cand, n_hits,
+           CASE WHEN n_cand = 0 THEN NULL
+                ELSE ROUND(CAST(n_hits AS DOUBLE) / n_cand, 6) END AS precision,
+           CASE WHEN n_truth = 0 THEN NULL
+                ELSE ROUND(CAST(n_hits AS DOUBLE) / n_truth, 6) END AS recall
+         FROM nt CROSS JOIN nc CROSS JOIN nh""",
     "d21_semantic_decontam" ->
       """WITH e AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

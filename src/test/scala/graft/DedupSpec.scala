@@ -405,4 +405,20 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("cosine") >= 0.25))
     assert(rows.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
   }
+
+  test("d22 eval inputs: identical docs are truth pairs AND all-band LSH hits") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "web", 30L),
+      (2L, "alpha beta gamma delta epsilon", "en", "web", 30L),
+      (3L, "totally different words here now", "en", "web", 32L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val truth = operators.Dedup.ngramJaccard(docs)
+      .filter(col("jaccard") >= 0.05)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(truth === Set((1L, 2L)))
+    val cand = operators.Dedup.minhashPairs(docs, k = 16, bands = 16)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)), "identical docs collide in every band")
+  }
 }

@@ -42,7 +42,8 @@ class PlanLintSpec extends SparkSpec {
     "q62_skyline",         // 1-row x-range broadcast (bucket scaling) + 256-row bucket stats
     "s15_recall_eval",     // composes s1's query-set broadcast (eval harness)
     "t22_collocations",    // two 1-row corpus-total broadcasts (t9's shape)
-    "q64_abc_pareto"       // 1-row revenue-total broadcast (pct normalizer)
+    "q64_abc_pareto",      // 1-row revenue-total broadcast (pct normalizer)
+    "d22_lsh_recall_eval"  // three 1-row metric frames crossed (eval readout)
   )
 
   private val skipEager = Set(
