@@ -488,8 +488,68 @@ object TextQueries {
     // ride 1-row broadcasts; support filters BEFORE the unigram joins
     // so only surviving pairs join. Rank key = round(pmi, 9) (the
     // t11/9-dp convention), ties (w1, w2)
-    "t22_collocations" -> ((s, d) => collocations(Tables.documents(s, d)))
+    "t22_collocations" -> ((s, d) => collocations(Tables.documents(s, d))),
+
+    // RAKE keyword extraction: stopword-delimited candidate phrases
+    // scored by Σ degree(w)/freq(w) — see [[rakeKeywords]]
+    "t23_rake_keywords" -> ((s, d) => rakeKeywords(Tables.documents(s, d)))
   )
+
+  /** The fixed stopword inventory shared by t23's engine and oracle
+    * (a literal, so the SQL can inline the identical list).
+    */
+  val rakeStopwords: Seq[String] = Seq("a", "the", "of", "and", "to", "in",
+    "is", "on", "for", "with", "at", "by", "an", "be", "or", "as", "it",
+    "that", "this", "are")
+
+  /** t23: RAKE keyword extraction (Rose et al., 2010). Candidate
+    * phrases are maximal stopword-free token runs (gaps-and-islands
+    * over the stopword flags); each word scores degree/frequency
+    * (degree = Σ phrase length over its occurrences), a phrase scores
+    * the sum of its words' scores, and phrases rank by
+    * (round(score, 9) desc, phrase). Corpus work is gram-keyed and
+    * vocabulary-bounded: one positional explode, one (doc, island)
+    * aggregate, one word-stats aggregate, one score join.
+    */
+  def rakeKeywords(docs: DataFrame, topN: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sw = rakeStopwords
+    val tok = docs.select(col("doc_id"),
+      posexplode(tokens(lower(col("text")))).as(Seq("pos", "w")))
+    val isl = tok
+      .withColumn("stop", col("w").isInCollection(sw))
+      .withColumn("island", sum(when(col("stop"), 1L).otherwise(0L))
+        .over(Window.partitionBy("doc_id").orderBy("pos")))
+    val phrases = isl.filter(!col("stop"))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+        x => x.getField("w")).as("ws"))
+      .select(col("ws"), array_join(col("ws"), " ").as("phrase"),
+        size(col("ws")).as("plen"))
+    val wstats = phrases
+      .select(explode(col("ws")).as("w"), col("plen"))
+      .groupBy("w")
+      .agg(sum("plen").as("degree"), count(lit(1)).as("freq"))
+      .withColumn("wscore",
+        col("degree").cast("double") / col("freq").cast("double"))
+    val scored = phrases
+      .select(col("phrase"), explode(col("ws")).as("w"))
+      .join(wstats.select("w", "wscore"), Seq("w"))
+      .groupBy("phrase")
+      // each phrase INSTANCE contributes its words once; dividing the
+      // total by the occurrence count recovers the per-instance RAKE
+      // score (identical instances score identically)
+      .agg(sum("wscore").as("tot"))
+    val occ = phrases.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"))
+    scored.join(occ, Seq("phrase"))
+      .withColumn("score", col("tot") / col("n_occurrences"))
+      .withColumn("rank", row_number().over(Window.orderBy(
+        round(col("score"), 9).desc, col("phrase"))).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("rank"), col("phrase"), col("n_occurrences"),
+        round(col("score"), 6).as("score"))
+  }
 
   /** t22's body, factored for planted-corpus specs: PMI-ranked
     * adjacent bigrams with min support, rank key `round(pmi, 9)`.
@@ -1093,6 +1153,50 @@ object TextQueries {
          SELECT CAST(row_number() OVER
              (ORDER BY ROUND(pmi, 9) DESC, w1, w2) AS BIGINT) AS rank,
            w1, w2, n_pair, ROUND(pmi, 6) AS pmi
-         FROM sc QUALIFY rank <= 30"""
+         FROM sc QUALIFY rank <= 30""",
+    // gaps-and-islands phrase extraction, the same stopword literal,
+    // degree/freq word scores, per-instance phrase score
+    "t23_rake_keywords" ->
+      raw"""WITH tok AS (
+           SELECT d.doc_id, j.j AS pos, d.toks[j.j + 1] AS w
+           FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                 FROM documents) d,
+             LATERAL (SELECT unnest(range(0, len(d.toks))) AS j) j),
+         fl AS (
+           SELECT doc_id, pos, w,
+             (w IN ('a','the','of','and','to','in','is','on','for','with',
+                    'at','by','an','be','or','as','it','that','this','are'))
+               AS stop
+           FROM tok),
+         isl AS (
+           SELECT *, SUM(CASE WHEN stop THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM fl),
+         ph AS (
+           SELECT doc_id, island,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS plen,
+             list(w ORDER BY pos) AS ws
+           FROM isl WHERE NOT stop GROUP BY doc_id, island),
+         wst AS (
+           SELECT w, CAST(SUM(plen) AS BIGINT) AS degree,
+             CAST(COUNT(*) AS BIGINT) AS freq
+           FROM (SELECT unnest(ws) AS w, plen FROM ph) GROUP BY w),
+         sc AS (
+           SELECT p.phrase, SUM(CAST(s.degree AS DOUBLE) / s.freq) AS tot
+           FROM (SELECT phrase, unnest(ws) AS w FROM ph) p
+           JOIN wst s ON s.w = p.w
+           GROUP BY p.phrase),
+         oc AS (
+           SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+           FROM ph GROUP BY phrase)
+         SELECT CAST(row_number() OVER
+             (ORDER BY ROUND(sc.tot / oc.n_occurrences, 9) DESC, sc.phrase)
+             AS BIGINT) AS rank,
+           sc.phrase, oc.n_occurrences,
+           ROUND(sc.tot / oc.n_occurrences, 6) AS score
+         FROM sc JOIN oc USING (phrase)
+         QUALIFY rank <= 30"""
   )
 }

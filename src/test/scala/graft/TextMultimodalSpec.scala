@@ -1078,4 +1078,19 @@ class TextMultimodalSpec extends SparkSpec {
     // signs + - + - + + : four crossings (zero counts as non-negative)
     assert(f(4) === 4.0, "zcr")
   }
+
+  test("t23 RAKE: hand-computed degree/freq scores on a planted corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "red apple and green apple"), (2L, "apple"))
+      .toDF("doc_id", "text")
+    val got = operators.TextQueries.rakeKeywords(docs)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    // word scores: red 2/1, green 2/1, apple (2+2+1)/3
+    val appleW = 5.0 / 3
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got === Seq(
+      (1L, "green apple", 1L, r6(2.0 + appleW)),
+      (2L, "red apple", 1L, r6(2.0 + appleW)),
+      (3L, "apple", 1L, r6(appleW))))
+  }
 }
