@@ -52,6 +52,24 @@ object GraphQueries {
     cachedAdjDeg(spark, sfDir).count()
   }
 
+  /** The g7/g8 seed set: the `n` highest-demand parts (lineitem count
+    * desc, partkey ties), COLLECTED into a literal frame (codebook
+    * convention) so iterative rounds reference a LocalRelation instead
+    * of re-running the demand scan per round. One definition — the
+    * g7/g8 oracles hard-code the same rule.
+    */
+  private def demandSeeds(s: SparkSession, sfDir: String,
+      n: Int = 5): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, sfDir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("cnt").desc, col("l_partkey"))))
+      .filter(col("rn") <= n)
+      .select(col("l_partkey"))
+      .as[Long].collect().toSeq.toDF("node")
+  }
+
   private def rankedTopK(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
       k: Int, cols: org.apache.spark.sql.Column*): DataFrame =
     df.withColumn("rank",
@@ -95,41 +113,17 @@ object GraphQueries {
     // multi-source BFS: hop distance from the 5 highest-demand parts
     // over the co-purchase graph, read out as a reachability histogram
     // ("how far is the catalog from the bestsellers")
-    "g8_bfs_hops" -> ((s, d) => {
-      import s.implicits._
-      val adjOd = cachedAdjDeg(s, d)
-      val seeds = Tables.lineitem(s, d)
-        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("cnt").desc, col("l_partkey"))))
-        .filter(col("rn") <= 5)
-        .select(col("l_partkey"))
-        .as[Long].collect().toSeq.toDF("node")
-      Graph.bfsHops(adjOd, seeds)
+    "g8_bfs_hops" -> ((s, d) =>
+      Graph.bfsHops(cachedAdjDeg(s, d), demandSeeds(s, d))
         .groupBy("hops").agg(count(lit(1)).as("n_parts"))
-        .orderBy("hops")
-    }),
+        .orderBy("hops")),
     // personalized PageRank from the 5 highest-demand parts:
     // "proximity to the bestsellers" for recommendation ranking
     "g7_personalized_pagerank" -> ((s, d) => {
-      import s.implicits._
       val adjOd = cachedAdjDeg(s, d)
-      // the seed set is query-sized BY CONSTRUCTION (5 rows) — collect
-      // it into a literal frame (the codebook convention) so the 8
-      // ranking rounds reference a LocalRelation, not 8 re-runs of the
-      // lineitem demand scan
-      val n = adjOd.select(col("src")).distinct()
-        .agg(count(lit(1)).as("n"))
-      val seeds = Tables.lineitem(s, d)
-        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("cnt").desc, col("l_partkey"))))
-        .filter(col("rn") <= 5)
-        .crossJoin(broadcast(n))
-        .select(col("l_partkey").as("node"),
-          expr("(150000L * n) div 5").as("tele"))
-        .as[(Long, Long)].collect().toSeq
-        .toDF("node", "tele")
+      val nNodes = adjOd.select(col("src")).distinct().count()
+      val seeds = demandSeeds(s, d)
+        .withColumn("tele", lit(150000L * nNodes / 5L))
       val pr = Graph.personalizedPagerank(adjOd, seeds)
       rankedTopK(pr, Seq(col("ppr_micro").desc, col("node")), 40,
         col("node").as("part"), col("ppr_micro"))

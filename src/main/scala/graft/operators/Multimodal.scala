@@ -123,6 +123,20 @@ object Multimodal {
     (sampleRate, channels, out)
   }
 
+  /** The ONE byte-to-PCM synthesis shared by m6 and m14 (and mirrored
+    * positionally in both oracles): n = min(1024, max(64, 2·len))
+    * samples, sample i = (byte[i mod len] − 128)·128, empty payloads
+    * stand in a single zero byte. Keeping a single definition pins the
+    * engine and BOTH oracles to the same PCM.
+    */
+  def textPcmWav(r: MediaRow, sampleRate: Int = 8000): MediaRow = {
+    val src = if (r.payload.isEmpty) Array[Byte](0) else r.payload
+    val n = math.min(1024, math.max(64, src.length * 2))
+    val samples = Array.tabulate[Short](n)(i =>
+      (((src(i % src.length) & 0xff) - 128) * 128).toShort)
+    MediaRow(r.doc_id, synthWav(sampleRate, samples), "audio/wav", 0, 0)
+  }
+
   /** Deterministic RIFF/WAVE 16-bit mono PCM synthesizer — the audio
     * twin of [[synthBmp]]/[[synthPng]] (no audio libs in the
     * container; the payload is synthesized, the decoders are real).
@@ -940,14 +954,7 @@ object MultimodalQueries {
     "m6_frame_sample" -> ((s, d) => {
       import s.implicits._
       val rows = Multimodal.mediaTable(Tables.documents(s, d))
-        .as[Multimodal.MediaRow].map { r =>
-          val src = if (r.payload.isEmpty) Array[Byte](0) else r.payload
-          val n = math.min(1024, math.max(64, src.length * 2))
-          val samples = Array.tabulate[Short](n)(i =>
-            (((src(i % src.length) & 0xff) - 128) * 128).toShort)
-          Multimodal.MediaRow(r.doc_id,
-            Multimodal.synthWav(8000, samples), "audio/wav", 0, 0)
-        }
+        .as[Multimodal.MediaRow].map(Multimodal.textPcmWav(_))
       Multimodal.extractFeatures(s, rows.toDF(),
         new Multimodal.FrameSampleCodec(64, 4)).toDF()
     }),
@@ -958,14 +965,7 @@ object MultimodalQueries {
     "m14_audio_timedomain" -> ((s, d) => {
       import s.implicits._
       val rows = Multimodal.mediaTable(Tables.documents(s, d))
-        .as[Multimodal.MediaRow].map { r =>
-          val src = if (r.payload.isEmpty) Array[Byte](0) else r.payload
-          val n = math.min(1024, math.max(64, src.length * 2))
-          val samples = Array.tabulate[Short](n)(i =>
-            (((src(i % src.length) & 0xff) - 128) * 128).toShort)
-          Multimodal.MediaRow(r.doc_id,
-            Multimodal.synthWav(8000, samples), "audio/wav", 0, 0)
-        }
+        .as[Multimodal.MediaRow].map(Multimodal.textPcmWav(_))
       Multimodal.extractFeatures(s, rows.toDF(),
         new Multimodal.TimeDomainCodec).toDF()
     }),

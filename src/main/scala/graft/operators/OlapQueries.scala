@@ -1577,18 +1577,19 @@ object OlapQueries {
     "q63_sketch_setops" -> ((s, d) => {
       import graft.functions.KmvSketch._
       val k = 64
-      val oc = Tables.orders(s, d)
-        .join(Tables.customer(s, d),
-          col("o_custkey") === col("c_custkey"))
-        .select(col("c_mktsegment"),
-          (pmod(col("o_orderkey"), lit(2L)) === 0L).as("even"),
-          kmvHash(col("c_custkey")).as("h"))
-      val ska = oc.filter(col("even")).groupBy("c_mktsegment")
-        .agg(kmvSketch(col("h"), k).as("ska"))
-      val skb = oc.filter(!col("even")).groupBy("c_mktsegment")
-        .agg(kmvSketch(col("h"), k).as("skb"))
+      // ONE pass, st30's conditional-aggregate shape: the cohort split
+      // lives in the null-skipping sketch inputs, so the fact frame is
+      // scanned once and no per-segment join can drop a one-cohort
+      // segment
+      val even = pmod(col("o_orderkey"), lit(2L)) === 0L
       val merged = expr(s"slice(array_sort(array_union(ska, skb)), 1, $k)")
-      ska.join(skb, Seq("c_mktsegment"))
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), even.as("even"),
+          kmvHash(col("c_custkey")).as("h"))
+        .groupBy("c_mktsegment")
+        .agg(kmvSketch(when(col("even"), col("h")), k).as("ska"),
+          kmvSketch(when(!col("even"), col("h")), k).as("skb"))
         .select(col("c_mktsegment"),
           kmvEstimate(col("ska"), k).as("est_a"),
           kmvEstimate(col("skb"), k).as("est_b"),
