@@ -216,6 +216,40 @@ object Graph {
     lbl
   }
 
+  /** Per-community MODULARITY decomposition (Newman-Girvan): for a
+    * community c, contribution Q_c = e_c/m − (d_c/2m)² where e_c =
+    * internal edge count, d_c = total degree and m = |E|; the graph's
+    * modularity is Σ Q_c. The readout that decides whether a
+    * community structure is real or noise (Q near 0). One label join
+    * per edge endpoint + two community-grain aggregates; m rides a
+    * 1-row broadcast. All terms are ratios of exact integers.
+    */
+  def communityModularity(edges: DataFrame, adj: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val la = labels.select(col("node").as("a"), col("lbl"))
+    val lb = labels.select(col("node").as("b"), col("lbl").as("lblB"))
+    val internal = edges.join(la, Seq("a")).join(lb, Seq("b"))
+      .filter(col("lbl") === col("lblB"))
+      .groupBy("lbl").agg(count(lit(1)).as("internal_edges"))
+    val degs = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+      .join(labels, col("src") === labels("node"))
+      .groupBy("lbl").agg(sum("deg").as("degree_sum"))
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("n_members"))
+    val m = edges.agg(count(lit(1)).as("m"))
+    sizes
+      .join(internal, Seq("lbl"), "left")
+      .join(degs, Seq("lbl"))
+      .crossJoin(broadcast(m))
+      .select(col("lbl").as("community"), col("n_members"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        col("degree_sum"),
+        round(coalesce(col("internal_edges"), lit(0L)).cast("double")
+            / col("m")
+          - (col("degree_sum").cast("double") / (col("m") * 2))
+            * (col("degree_sum").cast("double") / (col("m") * 2)), 6)
+          .as("contribution"))
+  }
+
   /** Per-node triangle counts via the canonical oriented wedge join:
     * edges are kept as `a < b`, wedges `(x<y, y<z)` probe the closing
     * edge `(x, z)` — each triangle found exactly once, then exploded

@@ -45,11 +45,21 @@ object GraphQueries {
       Graph.withOutDeg(Graph.adjacency(cachedEdges(s, sfDir)))
         .repartition(col("src")).cache())
 
+  /** The label-propagation partition (4 rounds), persisted — read by
+    * g3's size readout and by every consumer of g9's modularity
+    * decomposition (three joins over the labels), which would
+    * otherwise each replay the 4 iterative rounds.
+    */
+  def cachedLabels(s: SparkSession, sfDir: String): DataFrame =
+    edgeCache(s, sfDir + "#labels")(
+      Graph.labelPropagation(cachedAdjDeg(s, sfDir)).cache())
+
   /** Force the shared graph build so timed g-runs read the session
     * cache (the warmDims/warmComponents/warmGraph convention). */
   def warmEdges(spark: SparkSession, sfDir: String): Unit = {
     cachedEdges(spark, sfDir).count()
     cachedAdjDeg(spark, sfDir).count()
+    cachedLabels(spark, sfDir).count()
   }
 
   /** The g7/g8 seed set: the `n` highest-demand parts (lineitem count
@@ -92,7 +102,7 @@ object GraphQueries {
     }),
     // weighted-majority label propagation, 4 rounds → community sizes
     "g3_label_prop" -> ((s, d) => {
-      val lbl = Graph.labelPropagation(cachedAdjDeg(s, d))
+      val lbl = cachedLabels(s, d)
       val sizes = lbl.groupBy("lbl").agg(count(lit(1)).as("n_members"))
       rankedTopK(sizes, Seq(col("n_members").desc, col("lbl")), 20,
         col("lbl").as("community"), col("n_members"))
@@ -127,6 +137,17 @@ object GraphQueries {
       val pr = Graph.personalizedPagerank(adjOd, seeds)
       rankedTopK(pr, Seq(col("ppr_micro").desc, col("node")), 40,
         col("node").as("part"), col("ppr_micro"))
+    }),
+    // community-quality readout: per-community modularity contribution
+    // of g3's label-propagation partition (is the structure real?)
+    "g9_modularity" -> ((s, d) => {
+      val e = cachedEdges(s, d)
+      val adj = Graph.adjacency(e)
+      val q = Graph.communityModularity(e, adj, cachedLabels(s, d))
+      rankedTopK(q,
+        Seq(col("internal_edges").desc, col("community")), 20,
+        col("community"), col("n_members"), col("internal_edges"),
+        col("degree_sum"), col("contribution"))
     }),
     // common-neighbor link prediction over non-adjacent pairs
     "g6_link_predict" -> ((s, d) => {
@@ -311,6 +332,39 @@ object GraphQueries {
            (ORDER BY COUNT(*) DESC, lbl) AS BIGINT) AS rank,
          lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
        FROM lb4 GROUP BY lbl QUALIFY rank <= 20"""),
+    "g9_modularity" -> (graphCtes +
+      """,
+       lb0 AS (SELECT DISTINCT src AS node, src AS lbl FROM adj)""" +
+      labelPropCtes(4) +
+      """,
+       deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+               FROM adj GROUP BY src),
+       internal AS (
+         SELECT la.lbl, CAST(COUNT(*) AS BIGINT) AS internal_edges
+         FROM edges e
+         JOIN lb4 la ON e.a = la.node
+         JOIN lb4 lc ON e.b = lc.node
+         WHERE la.lbl = lc.lbl GROUP BY la.lbl),
+       degsum AS (
+         SELECT l.lbl, CAST(SUM(d.deg) AS BIGINT) AS degree_sum
+         FROM lb4 l JOIN deg d ON l.node = d.src GROUP BY l.lbl),
+       sizes AS (
+         SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_members
+         FROM lb4 GROUP BY lbl),
+       mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges)
+       SELECT CAST(row_number() OVER
+           (ORDER BY COALESCE(internal_edges, 0) DESC, lbl) AS BIGINT)
+           AS rank,
+         lbl AS community, n_members,
+         COALESCE(internal_edges, 0) AS internal_edges, degree_sum,
+         ROUND(CAST(COALESCE(internal_edges, 0) AS DOUBLE) / mm.m
+           - (CAST(degree_sum AS DOUBLE) / (mm.m * 2))
+             * (CAST(degree_sum AS DOUBLE) / (mm.m * 2)), 6) AS contribution
+       FROM sizes
+       LEFT JOIN internal USING (lbl)
+       JOIN degsum USING (lbl)
+       CROSS JOIN mm
+       QUALIFY rank <= 20"""),
     "g4_triangles" -> (graphCtes +
       """,
        tri AS (

@@ -120,7 +120,7 @@ class GraphSpec extends SparkSpec {
   test("g registry entries produce ranked non-empty frames at sf0.001") {
     for (name <- Seq("g1_copurchase_graph", "g2_pagerank", "g3_label_prop",
         "g4_triangles", "g5_kcore", "g6_link_predict",
-        "g7_personalized_pagerank", "g8_bfs_hops")) {
+        "g7_personalized_pagerank", "g8_bfs_hops", "g9_modularity")) {
       val out = SparkEntry.queries(name)(spark, sf)
       if (name != "g8_bfs_hops") // g8 emits a (hops, n_parts) histogram
         assert(out.columns.head === "rank", s"$name leads with rank")
@@ -144,6 +144,20 @@ class GraphSpec extends SparkSpec {
         v -> (seeds.getOrElse(v, 0L) + (s / 20) * 17 + ((s % 20) * 17) / 20) }
     }
     r
+  }
+
+  test("communityModularity: hand-computed contributions on bridged triangles") {
+    // two triangles bridged by one edge (the LPA fixture): each
+    // community has 3 internal edges and degree sum 7 of m = 7 edges
+    // -> contribution 3/7 - (7/14)^2 each
+    val e = edgesDF(Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L),
+      (3L, 4L, 1L), (4L, 5L, 5L), (4L, 6L, 5L), (5L, 6L, 5L)))
+    val adj = Graph.adjacency(e)
+    val labels = Graph.labelPropagation(adj)
+    val got = Graph.communityModularity(e, adj, labels)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val c = math.floor((3.0 / 7 - 0.25) * 1e6 + 0.5) / 1e6
+    assert(got === Set((1L, 3L, 3L, 7L, c), (4L, 3L, 3L, 7L, c)))
   }
 
   test("bfsHops: path distances from the seed; other components unreached") {
