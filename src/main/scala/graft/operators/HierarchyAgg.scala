@@ -326,6 +326,33 @@ object HierarchyAgg {
         col("spend"))
   }
 
+  /** Per-node SUBTREE MEDIAN (h27): the exact median of a fact value
+    * over every node's subtree — the robust central-tendency companion
+    * to h4's sums (a few whale orders move a mean; the median tells
+    * you what a TYPICAL order under this node looks like). Facts
+    * expand through the broadcast closure, then
+    * [[Olap.exactMedianByGroup]]'s histogram-rank pass computes each
+    * node's median without materializing per-node value vectors —
+    * the expanded stream pays group-keyed aggregates only.
+    */
+  def subtreeMedian(facts: DataFrame, aggDim: DataFrame,
+      valueCol: String, factKey: String = "leaf_key",
+      broadcastDim: Boolean = true): DataFrame = {
+    val expanded = facts.join(
+      maybeBroadcast(closureKeys(aggDim), broadcastDim),
+      col(factKey) === col("descendant_node_natural_key"))
+    val med = Olap.exactMedianByGroup(expanded,
+      "ancestor_node_sort_order", valueCol)
+    val indent = expr("lpad('-', (ancestor_level_number - 1) * 7, '-')")
+    val labels = aggDim.filter(col("net_level") === 0).select(
+      col("ancestor_node_sort_order"),
+      concat(indent, col("ancestor_node_name")).as("product_node_name"))
+    med.join(maybeBroadcast(labels, broadcastDim),
+        Seq("ancestor_node_sort_order"))
+      .select(col("product_node_name"),
+        round(col("med"), 6).as("median_value"))
+  }
+
   /** Rollup MATERIALIZED VIEW at (ancestor node, customer) grain — the
     * incrementally-maintainable form of the exact rollup: sums/counts
     * are additive partials, and the exact distinct-customer count

@@ -249,6 +249,19 @@ object HierarchyQueries {
     // edge weights (70/30 ownership split) — Σ-over-paths Π-weight
     // closure, facts broadcast-joined and aggregated once
     "h25_weighted_dag" -> ((s, d) => WeightedDag.demoRollup(s, d)),
+    // per-node SUBTREE MEDIAN order value: the robust companion to
+    // h4's sums (whales move means; the median is the typical order) —
+    // closure expand + the histogram-rank exact median, no per-node
+    // value vectors
+    "h27_subtree_median" -> ((s, d) => {
+      val facts = graft.Tables.orders(s, d)
+        .join(graft.Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").cast("long").as("leaf_key"),
+          col("o_totalprice"))
+      HierarchyAgg.subtreeMedian(facts, dimension(s, d).aggregationDim,
+        "o_totalprice")
+    }),
     // per-node TOP CONTRIBUTORS: the 3 customers with the largest
     // subtree spend under every node (h17's drill-down companion) —
     // one fact pre-agg, broadcast closure, MV-grain aggregate, then
@@ -835,6 +848,20 @@ SELECT * FROM adim""",
     "h4_hier_agg" -> rollupSql(deep = false, "c.c_nationkey"),
     // the bitmap mode must be RESULT-IDENTICAL to the exact rollup
     "h23_hier_agg_bitmap" -> rollupSql(deep = false, "c.c_nationkey"),
+    // the h4 closure derivation + quantile_cont(0.5) (the q48-proven
+    // interpolation parity with the histogram-rank exact median)
+    "h27_subtree_median" ->
+      s"""${prelude(false)},
+facts AS (
+  SELECT c.c_nationkey AS leaf_key, o.o_totalprice
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT lpad('-', (ancestor_level_number - 1) * 7, '-')
+    || ancestor_node_name AS product_node_name,
+  ROUND(quantile_cont(f.o_totalprice, 0.5), 6) AS median_value
+FROM facts f
+JOIN adim ON CAST(f.leaf_key AS BIGINT) = adim.descendant_node_natural_key
+GROUP BY 1""",
     // per-node top-3 customers by subtree spend: the h4 closure
     // derivation, (node, customer) sums, rank key ROUND(spend, 9)
     "h26_subtree_topk" ->

@@ -1087,4 +1087,19 @@ class HierarchySpec extends SparkSpec {
       .sortBy(_._2).map(_._3).toSeq
     assert(rootTop == global)
   }
+
+  test("h27 subtree median: root equals the directly computed corpus median") {
+    import spark.implicits._
+    val out = SparkEntry.queries("h27_subtree_median")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val vals = Tables.orders(spark, sf).select("o_totalprice")
+      .as[Double].collect().sorted
+    val n = vals.length
+    val med = if (n % 2 == 1) vals(n / 2)
+      else (vals(n / 2 - 1) + vals(n / 2)) / 2
+    val root = out.find(!_._1.startsWith("-")).get._2
+    assert(math.abs(root - math.floor(med * 1e6 + 0.5) / 1e6) < 1e-9)
+    // every node's median lies within the corpus value range
+    out.values.foreach(v => assert(v >= vals.head && v <= vals.last))
+  }
 }
