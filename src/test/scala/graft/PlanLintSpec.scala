@@ -43,7 +43,8 @@ class PlanLintSpec extends SparkSpec {
     "s15_recall_eval",     // composes s1's query-set broadcast (eval harness)
     "t22_collocations",    // two 1-row corpus-total broadcasts (t9's shape)
     "q64_abc_pareto",      // 1-row revenue-total broadcast (pct normalizer)
-    "d22_lsh_recall_eval"  // three 1-row metric frames crossed (eval readout)
+    "d22_lsh_recall_eval", // three 1-row metric frames crossed (eval readout)
+    "g9_modularity"        // 1-row edge-count broadcast (modularity normalizer)
   )
 
   private val skipEager = Set(
