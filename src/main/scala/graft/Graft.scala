@@ -570,6 +570,85 @@ object Graft {
   def bpeMergeTable(docs: DataFrame, nMerges: Int = 16): DataFrame =
     operators.Bpe.mergeTable(docs, nMerges)
 
+  /** Co-purchase analytics graph: undirected top-`topK`-per-node
+    * edges (a, b, w) from order baskets (see
+    * [[operators.Graph.copurchasePairs]]/[[operators.Graph.knnEdges]]).
+    */
+  def copurchaseGraph(lineitem: DataFrame): DataFrame =
+    operators.Graph.knnEdges(operators.Graph.copurchasePairs(lineitem))
+
+  /** Integer micro-unit PageRank over a directed adjacency (see
+    * [[operators.Graph.pagerank]]); pass
+    * [[operators.Graph.withOutDeg]] of the adjacency. */
+  def pagerank(edges: DataFrame, iters: Int = 8): DataFrame =
+    operators.Graph.pagerank(
+      operators.Graph.withOutDeg(operators.Graph.adjacency(edges)), iters)
+
+  /** Personalized PageRank from a (node, tele) seed frame (see
+    * [[operators.Graph.personalizedPagerank]]). */
+  def personalizedPagerank(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 8): DataFrame =
+    operators.Graph.personalizedPagerank(
+      operators.Graph.withOutDeg(operators.Graph.adjacency(edges)),
+      seeds, iters)
+
+  /** Weighted-majority label-propagation communities (see
+    * [[operators.Graph.labelPropagation]]). */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame =
+    operators.Graph.labelPropagation(operators.Graph.adjacency(edges), rounds)
+
+  /** Per-node triangle counts (see
+    * [[operators.Graph.triangleCounts]]). */
+  def triangleCounts(edges: DataFrame): DataFrame =
+    operators.Graph.triangleCounts(edges)
+
+  /** Multi-source BFS hop distances from a (node) seed frame (see
+    * [[operators.Graph.bfsHops]]). */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int = 8): DataFrame =
+    operators.Graph.bfsHops(operators.Graph.adjacency(edges), seeds, rounds)
+
+  /** Per-community Newman–Girvan modularity contributions (see
+    * [[operators.Graph.communityModularity]]). */
+  def communityModularity(edges: DataFrame, labels: DataFrame): DataFrame =
+    operators.Graph.communityModularity(edges,
+      operators.Graph.adjacency(edges), labels)
+
+  /** 2-D Pareto frontier under (min x, max y) — grid-prune + exact
+    * sweep (see [[operators.Olap.skyline2d]]). */
+  def skyline2d(points: DataFrame, idCol: String, xCol: String,
+      yCol: String): DataFrame =
+    operators.Olap.skyline2d(points, idCol, xCol, yCol)
+
+  /** ABC / Pareto classification summary (see
+    * [[operators.Olap.abcSummary]]). */
+  def abcSummary(byEntity: DataFrame, idCol: String,
+      revCol: String): DataFrame =
+    operators.Olap.abcSummary(byEntity, idCol, revCol)
+
+  /** Materialize a base snapshot + sequenced I/U/D change stream into
+    * the final table — the lakehouse MERGE shape (see
+    * [[operators.Olap.cdcApply]]). */
+  def cdcApply(base: DataFrame, changes: DataFrame, key: String): DataFrame =
+    operators.Olap.cdcApply(base, changes, key)
+
+  /** PMI-ranked adjacent-bigram collocations (see
+    * [[operators.TextQueries.collocations]]). */
+  def collocations(docs: DataFrame, minSupport: Int = 5,
+      topN: Int = 30): DataFrame =
+    operators.TextQueries.collocations(docs, minSupport, topN)
+
+  /** RAKE keyword extraction over stopword-delimited phrases (see
+    * [[operators.TextQueries.rakeKeywords]]). */
+  def rakeKeywords(docs: DataFrame, topN: Int = 30): DataFrame =
+    operators.TextQueries.rakeKeywords(docs, topN)
+
+  /** Soft dedup: keep each doc with probability 1/|near-dup cluster|
+    * via the deterministic LCG key (see
+    * [[operators.Packing.softDedupSample]]). `clusters`:
+    * (doc_id, component_id). */
+  def softDedupSample(clusters: DataFrame): DataFrame =
+    operators.Packing.softDedupSample(clusters)
+
   /** Register graft's SQL functions + optimizer rule on a session. */
   def install(spark: SparkSession): Unit = GraftFunctions.register(spark)
 }

@@ -117,6 +117,22 @@ class GraphSpec extends SparkSpec {
     assert(got === Set((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)))
   }
 
+  test("Graft facade: the graph-family delegations run end-to-end") {
+    // one 3-item basket -> a triangle in the co-purchase graph
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+    val g = Graft.copurchaseGraph(li)
+    assert(g.count() === 3)
+    assert(Graft.pagerank(g).count() === 3)
+    assert(Graft.labelPropagation(g).count() === 3)
+    assert(Graft.triangleCounts(g).count() === 3)
+    assert(Graft.bfsHops(g, Seq(1L).toDF("node")).count() === 3)
+    // sync LPA can oscillate on a tiny triangle — just prove the
+    // delegation yields a community row per surviving label
+    val q = Graft.communityModularity(g, Graft.labelPropagation(g))
+    assert(q.count() >= 1)
+  }
+
   test("g registry entries produce ranked non-empty frames at sf0.001") {
     for (name <- Seq("g1_copurchase_graph", "g2_pagerank", "g3_label_prop",
         "g4_triangles", "g5_kcore", "g6_link_predict",
