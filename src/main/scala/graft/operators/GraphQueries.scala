@@ -149,6 +149,14 @@ object GraphQueries {
         col("community"), col("n_members"), col("internal_edges"),
         col("degree_sum"), col("contribution"))
     }),
+    // Adamic–Adar link prediction: common neighbors weighted by
+    // selectivity (1/ln deg) — hub co-neighbors count for less
+    "g10_adamic_adar" -> ((s, d) => {
+      val aa = Graph.adamicAdar(cachedEdges(s, d), cachedAdjDeg(s, d))
+      rankedTopK(aa, Seq(col("rank_key").desc, col("ca"), col("cc")), 30,
+        col("ca").as("part_a"), col("cc").as("part_b"),
+        col("common"), col("adamic_adar"))
+    }),
     // common-neighbor link prediction over non-adjacent pairs
     "g6_link_predict" -> ((s, d) => {
       val e = cachedEdges(s, d)
@@ -390,6 +398,28 @@ object GraphQueries {
        FROM (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
              FROM k8 GROUP BY src)
        QUALIFY rank <= 30"""),
+    "g10_adamic_adar" -> (graphCtes +
+      """,
+       od AS MATERIALIZED (
+         SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg
+         FROM adj GROUP BY src),
+       cn AS (
+         SELECT a1.dst AS a, a2.dst AS c,
+           CAST(COUNT(*) AS BIGINT) AS common,
+           SUM(1.0 / ln(CAST(d1.odeg AS DOUBLE))) AS aa
+         FROM adj a1
+         JOIN adj a2 ON a1.src = a2.src AND a1.dst < a2.dst
+         JOIN od d1 ON a1.src = d1.src
+         GROUP BY 1, 2),
+       nonadj AS (
+         SELECT cn.a, cn.c, cn.common, cn.aa
+         FROM cn LEFT JOIN edges e ON cn.a = e.a AND cn.c = e.b
+         WHERE e.a IS NULL)
+       SELECT CAST(row_number() OVER
+           (ORDER BY ROUND(aa, 9) DESC, a, c) AS BIGINT) AS rank,
+         a AS part_a, c AS part_b, common,
+         ROUND(aa, 6) AS adamic_adar
+       FROM nonadj QUALIFY rank <= 30"""),
     "g6_link_predict" -> (graphCtes +
       """,
        od AS MATERIALIZED (

@@ -117,6 +117,25 @@ class GraphSpec extends SparkSpec {
     assert(got === Set((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)))
   }
 
+  test("adamicAdar: hand-computed selectivity weights on a double wedge") {
+    import spark.implicits._
+    // 1 and 3 share neighbors 2 (deg 2) and 4 (deg 3): score =
+    // 1/ln 2 + 1/ln 3; pairs through the hub 4 alone score 1/ln 3,
+    // and (2,4) shares the two deg-2 corners -> 2/ln 2
+    val e = edgesDF(Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 4L, 1L),
+      (3L, 4L, 1L), (4L, 5L, 1L)))
+    val pairs = Graph.adamicAdar(e, Graph.withOutDeg(Graph.adjacency(e)))
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(pairs((1L, 3L)) === ((2L, r6(1 / math.log(2) + 1 / math.log(3)))))
+    assert(pairs((2L, 4L)) === ((2L, r6(2 / math.log(2)))))
+    assert(pairs((1L, 5L)) === ((1L, r6(1 / math.log(3)))))
+    assert(pairs((3L, 5L)) === ((1L, r6(1 / math.log(3)))))
+    assert(pairs.size === 4 && !pairs.contains((1L, 2L)),
+      "adjacent pairs excluded")
+  }
+
   test("Graft facade: the graph-family delegations run end-to-end") {
     // one 3-item basket -> a triangle in the co-purchase graph
     val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L))
@@ -136,7 +155,8 @@ class GraphSpec extends SparkSpec {
   test("g registry entries produce ranked non-empty frames at sf0.001") {
     for (name <- Seq("g1_copurchase_graph", "g2_pagerank", "g3_label_prop",
         "g4_triangles", "g5_kcore", "g6_link_predict",
-        "g7_personalized_pagerank", "g8_bfs_hops", "g9_modularity")) {
+        "g7_personalized_pagerank", "g8_bfs_hops", "g9_modularity",
+        "g10_adamic_adar")) {
       val out = SparkEntry.queries(name)(spark, sf)
       if (name != "g8_bfs_hops") // g8 emits a (hops, n_parts) histogram
         assert(out.columns.head === "rank", s"$name leads with rank")
