@@ -287,6 +287,44 @@ object Multimodal {
     }
   }
 
+  /** VOICE-ACTIVITY-style SEGMENTATION (m15): split the decoded PCM
+    * into fixed frames, mark a frame ACTIVE when its mean |amplitude|
+    * exceeds the threshold, and report the maximal active runs — the
+    * energy-gate segmentation an audio ingest uses to cut silence
+    * before any expensive model sees the samples. All integer
+    * arithmetic (the threshold compare is `Σ|s| > thr·frameCount`, no
+    * division), so the decoder carries a first-principles oracle.
+    * Emits `[payload_bytes, n_segments, mean_segment_frames_6dp,
+    * longest_segment, active_frames]`.
+    */
+  final class VadSegmentCodec(frameLen: Int = 64,
+      meanAbsThreshold: Long = 6000L) extends MediaCodec {
+    require(frameLen > 0 && meanAbsThreshold >= 0)
+    override def decode(r: MediaRow): Array[Double] = {
+      val (_, _, samples) = wavPcm16(r.payload, r.doc_id)
+      val nFrames = (samples.length + frameLen - 1) / frameLen
+      var f = 0; var nSeg = 0L; var active = 0L; var longest = 0L
+      var cur = 0L
+      while (f < nFrames) {
+        var i = f * frameLen
+        val end = math.min(samples.length, i + frameLen)
+        val cnt = end - i
+        var sum = 0L
+        while (i < end) { sum += math.abs(samples(i).toLong); i += 1 }
+        if (sum > meanAbsThreshold * cnt) {
+          if (cur == 0) nSeg += 1
+          cur += 1; active += 1
+          if (cur > longest) longest = cur
+        } else cur = 0
+        f += 1
+      }
+      val meanLen = if (nSeg == 0) 0.0
+        else math.floor(active.toDouble / nSeg * 1e6 + 0.5) / 1e6
+      Array(r.payload.length.toDouble, nSeg.toDouble, meanLen,
+        longest.toDouble, active.toDouble)
+    }
+  }
+
   /** FRAME SAMPLING — the "every k-th frame" decimation step of a
     * video/audio ingest (decode cost at 100 TB is dominated by frames
     * nobody needs; sampling happens AT the codec so skipped frames
@@ -969,6 +1007,16 @@ object MultimodalQueries {
       Multimodal.extractFeatures(s, rows.toDF(),
         new Multimodal.TimeDomainCodec).toDF()
     }),
+    // energy-gate VAD segmentation over m6's byte-derived PCM — the
+    // cut-the-silence stage before expensive models; integer compares
+    // + gaps-and-islands runs ⇒ first-principles oracle
+    "m15_audio_vad" -> ((s, d) => {
+      import s.implicits._
+      val rows = Multimodal.mediaTable(Tables.documents(s, d))
+        .as[Multimodal.MediaRow].map(Multimodal.textPcmWav(_))
+      Multimodal.extractFeatures(s, rows.toDF(),
+        new Multimodal.VadSegmentCodec).toDF()
+    }),
     // SPECTRAL features through the REAL from-scratch radix-2 FFT
     // (verified against a naive DFT and Parseval in the spec):
     // payloads are deterministic synthesized WAVs whose samples mix
@@ -1302,6 +1350,42 @@ object MultimodalQueries {
            CAST(ag.peak AS DOUBLE) AS feat_0,
            CAST(ag.zcr AS DOUBLE) AS feat_1
          FROM d JOIN ag USING (doc_id)""",
+    // frame energies from the positional sample re-derivation, the
+    // integer threshold compare, and the f − row_number island trick
+    // for the active runs; zero-segment docs via LEFT JOIN + COALESCE
+    "m15_audio_vad" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS len,
+             LEAST(1024, GREATEST(64, 2 * length(text))) AS n
+           FROM documents),
+         fr AS (
+           SELECT d.doc_id, j.j // 64 AS f,
+             SUM(ABS((ord(substr(d.text, CAST(1 + (j.j % d.len) AS INT), 1))
+               - 128) * 128)) AS sm,
+             COUNT(*) AS cnt
+           FROM d, LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS j) j
+           GROUP BY d.doc_id, j.j // 64),
+         isl AS (
+           SELECT doc_id, f,
+             f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+           FROM fr WHERE sm > 6000 * cnt),
+         seg AS (
+           SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS slen
+           FROM isl GROUP BY doc_id, grp),
+         agg AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nseg,
+             CAST(SUM(slen) AS BIGINT) AS activef,
+             CAST(MAX(slen) AS BIGINT) AS longest
+           FROM seg GROUP BY doc_id)
+         SELECT d.doc_id, 'audio/wav' AS media_type,
+           CAST(44 + 2 * d.n AS BIGINT) AS n_bytes,
+           COALESCE(a.nseg, 0) AS byte_sum,
+           CASE WHEN a.nseg IS NULL THEN 0.0
+                ELSE FLOOR(CAST(a.activef AS DOUBLE) / a.nseg * 1e6 + 0.5)
+                  / 1e6 END AS mean_byte,
+           CAST(COALESCE(a.longest, 0) AS DOUBLE) AS feat_0,
+           CAST(COALESCE(a.activef, 0) AS DOUBLE) AS feat_1
+         FROM d LEFT JOIN agg a USING (doc_id)""",
     // GrvSceneCodec: frame f's pixel j is text byte ((scene_f·fs + j)
     // mod len) + f (drift), scenes split at the doc_id-keyed cut —
     // every transition's integer |Δ| sum, the per-transition cut test

@@ -1093,4 +1093,22 @@ class TextMultimodalSpec extends SparkSpec {
       (2L, "red apple", 1L, r6(2.0 + appleW)),
       (3L, "apple", 1L, r6(appleW))))
   }
+
+  test("m15 VAD codec: planted loud/quiet frames segment exactly") {
+    // 3 frames of 64 samples: loud(8000), quiet(100), loud(7000) ->
+    // two 1-frame segments; then loud,loud,quiet -> one 2-frame run
+    def wav(frames: Seq[Short]) = operators.Multimodal.synthWav(8000,
+      frames.flatMap(v => Array.fill(64)(v)).toArray)
+    val codec = new operators.Multimodal.VadSegmentCodec()
+    val f1 = codec.decode(operators.Multimodal.MediaRow(
+      1L, wav(Seq(8000, 100, 7000)), "audio/wav", 0, 0))
+    assert(f1(1) === 2.0 && f1(3) === 1.0 && f1(4) === 2.0)
+    assert(f1(2) === 1.0, "mean segment length")
+    val f2 = codec.decode(operators.Multimodal.MediaRow(
+      2L, wav(Seq(8000, 7000, 100)), "audio/wav", 0, 0))
+    assert(f2(1) === 1.0 && f2(3) === 2.0 && f2(4) === 2.0)
+    val silent = codec.decode(operators.Multimodal.MediaRow(
+      3L, wav(Seq(10, 10)), "audio/wav", 0, 0))
+    assert(silent(1) === 0.0 && silent(2) === 0.0 && silent(3) === 0.0)
+  }
 }
