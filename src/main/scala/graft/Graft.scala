@@ -649,6 +649,29 @@ object Graft {
   def softDedupSample(clusters: DataFrame): DataFrame =
     operators.Packing.softDedupSample(clusters)
 
+  /** Per-group pairwise Pearson correlation matrix over exact-Long
+    * measure columns (see [[operators.Olap.pearsonMatrix]]). */
+  def pearsonMatrix(df: DataFrame, groupCols: Seq[String],
+      vars: Seq[String]): DataFrame =
+    operators.Olap.pearsonMatrix(df, groupCols, vars)
+
+  /** Per-group Gini coefficient of an exact integer-cent measure (see
+    * [[operators.Olap.giniByGroup]]). */
+  def giniByGroup(df: DataFrame, groupCol: String, idCol: String,
+      centsCol: String): DataFrame =
+    operators.Olap.giniByGroup(df, groupCol, idCol, centsCol)
+
+  /** Chi-square independence cells over an observed contingency table
+    * (see [[operators.Olap.chi2Cells]]). */
+  def chi2Cells(cells: DataFrame, rowCol: String, colCol: String,
+      obsCol: String): DataFrame =
+    operators.Olap.chi2Cells(cells, rowCol, colCol, obsCol)
+
+  /** Benford first-digit profile of a positive integer amount column
+    * (see [[operators.Olap.benfordProfile]]). */
+  def benfordProfile(df: DataFrame, centsCol: String): DataFrame =
+    operators.Olap.benfordProfile(df, centsCol)
+
   /** Register graft's SQL functions + optimizer rule on a session. */
   def install(spark: SparkSession): Unit = GraftFunctions.register(spark)
 }

@@ -320,4 +320,100 @@ object Olap {
       .select(col("abc_class"), col("n_parts"), col("revenue"),
         round(col("revenue") / col("__tot"), 6).as("pct"))
   }
+
+  /** Pairwise Pearson correlation matrix over integer micro-unit
+    * measure columns, per group — ONE map-side-combinable aggregate
+    * carrying DECIMAL(38,0) sufficient statistics (order-free and
+    * overflow-proof where Long partial sums would wrap), closed-form
+    * double finalization afterwards. Emits one row per group with a
+    * `r_<x>_<y>` column per ordered pair and `n_rows`; degenerate
+    * pairs (zero variance) emit null. `vars` columns must already be
+    * exact Longs (quantize first — determinism depends on it).
+    */
+  def pearsonMatrix(df: DataFrame, groupCols: Seq[String],
+      vars: Seq[String]): DataFrame = {
+    val moments =
+      vars.map(v => sum(col(v).cast("decimal(38,0)")).as(s"s_$v")) ++
+        (for { i <- vars.indices; j <- i until vars.length } yield
+          sum((col(vars(i)) * col(vars(j))).cast("decimal(38,0)"))
+            .as(s"s_${vars(i)}_${vars(j)}"))
+    val g = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), moments: _*)
+    def r(x: String, y: String): Column = {
+      val nd = col("n_rows").cast("double")
+      val sx = col(s"s_$x").cast("double")
+      val sy = col(s"s_$y").cast("double")
+      val vx = nd * col(s"s_${x}_$x").cast("double") - sx * sx
+      val vy = nd * col(s"s_${y}_$y").cast("double") - sy * sy
+      when(vx * vy > 0.0,
+        round((nd * col(s"s_${x}_$y").cast("double") - sx * sy)
+          / sqrt(vx * vy), 6))
+    }
+    val pairs = for { i <- vars.indices; j <- (i + 1) until vars.length }
+      yield r(vars(i), vars(j)).as(s"r_${vars(i)}_${vars(j)}")
+    g.select(groupCols.map(col) ++ (col("n_rows") +: pairs): _*)
+  }
+
+  /** Gini coefficient of `centsCol` (exact integer units) per group:
+    * per-entity ranks from one group-partitioned window over the
+    * ENTITY-grain frame, then the closed form
+    * G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) on DECIMAL(38,0) sums.
+    * `idCol` breaks rank ties deterministically.
+    */
+  def giniByGroup(df: DataFrame, groupCol: String, idCol: String,
+      centsCol: String): DataFrame = {
+    val ranked = df.withColumn("__i",
+      row_number().over(Window.partitionBy(groupCol)
+        .orderBy(col(centsCol), col(idCol))).cast("long"))
+    val g = ranked.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_entities"),
+        sum(col(centsCol).cast("decimal(38,0)")).as("__s"),
+        sum((col("__i") * col(centsCol)).cast("decimal(38,0)")).as("__si"))
+    val nd = col("n_entities").cast("double")
+    val sd = col("__s").cast("double")
+    val sid = col("__si").cast("double")
+    g.select(col(groupCol), col("n_entities"),
+      round(col("__s").cast("double") / 100.0, 2).as("total_revenue"),
+      round((lit(2.0) * sid - (nd + 1.0) * sd) / (nd * sd), 6).as("gini"))
+  }
+
+  /** Chi-square independence cells: expected counts and per-cell
+    * contributions for an observed contingency table. Window sums run
+    * over the CELL frame (|rows|·|cols| — dimension-sized at any fact
+    * scale); all inputs to the double arithmetic are exact integers.
+    */
+  def chi2Cells(cells: DataFrame, rowCol: String, colCol: String,
+      obsCol: String): DataFrame = {
+    val e = sum(obsCol).over(Window.partitionBy(rowCol)).cast("double") *
+      sum(obsCol).over(Window.partitionBy(colCol)).cast("double") /
+      sum(obsCol).over(Window.partitionBy()).cast("double")
+    cells
+      .withColumn("expected", e)
+      .withColumn("__d", col(obsCol).cast("double") - col("expected"))
+      .select(col(rowCol), col(colCol), col(obsCol),
+        round(col("expected"), 6).as("expected"),
+        round(col("__d") * col("__d") / col("expected"), 6)
+          .as("contribution"))
+  }
+
+  /** Benford first-digit profile of a positive exact-integer amount
+    * column: digit shares vs log₁₀(1+1/d). The leading digit is
+    * integer string arithmetic (no float log in the digit path).
+    */
+  def benfordProfile(df: DataFrame, centsCol: String): DataFrame = {
+    val digits = df
+      .select(substring(col(centsCol).cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n_rows"))
+    digits
+      .withColumn("share", col("n_rows").cast("double") /
+        sum("n_rows").over(Window.partitionBy()).cast("double"))
+      .withColumn("benford",
+        log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
+      .select(col("digit"), col("n_rows"),
+        round(col("share"), 6).as("share"),
+        round(col("benford"), 6).as("benford"),
+        round(col("share") - col("benford"), 6).as("delta"))
+  }
 }

@@ -1649,7 +1649,76 @@ object OlapQueries {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"),
           (sum("cents").cast("double") / 100.0).as("sum_totalprice"))
-    })
+    }),
+
+    // CORRELATION MATRIX (the measure-profiling surface): pairwise
+    // Pearson r between the four lineitem measures, per return flag —
+    // "which levers move together". FP discipline: every measure is an
+    // exact integer micro-unit (qty integral, price/discount/tax at
+    // their 2-dp grid), the sufficient statistics are DECIMAL(38,0)
+    // sums of per-row Long products (order-free, overflow-proof to
+    // ~10^38 — Long sums would wrap at ~10^5 × today's fact count),
+    // and only the closed-form finalization runs in doubles, with the
+    // oracle using the IDENTICAL parenthesization. ONE map-side-
+    // combinable groupBy over the facts; no second pass, no window.
+    "q66_corr_matrix" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("qv"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("pv"),
+        floor(col("l_discount") * 100.0 + 0.5).cast("long").as("dv"),
+        floor(col("l_tax") * 100.0 + 0.5).cast("long").as("tv"))
+      Olap.pearsonMatrix(li, Seq("l_returnflag"), Seq("qv", "pv", "dv", "tv"))
+        .select(col("l_returnflag"), col("n_rows"),
+          col("r_qv_pv").as("r_qty_price"), col("r_qv_dv").as("r_qty_disc"),
+          col("r_qv_tv").as("r_qty_tax"), col("r_pv_dv").as("r_price_disc"),
+          col("r_pv_tv").as("r_price_tax"), col("r_dv_tv").as("r_disc_tax"))
+    }),
+
+    // CHI-SQUARE INDEPENDENCE (the mix-shift detector): is market
+    // segment independent of nation? Observed cell counts are exact
+    // integers from ONE dimension-grain aggregate; row/column/grand
+    // totals ride window sums over the CELL frame (≤ |segments|·
+    // |nations| rows at any fact scale — the windows never see
+    // facts). Expected counts and contributions are doubles of exact
+    // integers with oracle-identical shape.
+    "q67_chi2_independence" -> ((s, d) => {
+      val cells = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_mktsegment", "n_name")
+        .agg(count(lit(1)).as("observed"))
+      Olap.chi2Cells(cells, "c_mktsegment", "n_name", "observed")
+    }),
+
+    // GINI CONCENTRATION (the inequality readout): how concentrated
+    // is revenue across customers, per market segment. Per-customer
+    // revenue is an exact integer-cent sum (one fact shuffle); the
+    // rank index is a per-segment window over the CUSTOMER-grain
+    // frame (dimension-sized); the closed form
+    // G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) runs on DECIMAL(38,0)
+    // sums so the only doubles are the final division.
+    "q68_gini" -> ((s, d) => {
+      val byCust = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("cents"))
+        .join(Tables.customer(s, d).select(col("c_custkey"),
+          col("c_mktsegment")), col("o_custkey") === col("c_custkey"))
+      Olap.giniByGroup(byCust, "c_mktsegment", "o_custkey", "cents")
+        .withColumnRenamed("n_entities", "n_customers")
+    }),
+
+    // BENFORD FIRST-DIGIT PROFILE (the anomaly / fraud screen): the
+    // leading significant digit of every order total against Benford's
+    // log₁₀(1+1/d) expectation. The digit is exact integer string
+    // arithmetic on integer cents (scaling by 100 never moves the
+    // leading digit); shares divide exact counts; ONE fact aggregate
+    // to a 9-row frame.
+    "q69_benford" -> ((s, d) =>
+      Olap.benfordProfile(
+        Tables.orders(s, d).select(floor(col("o_totalprice") * 100.0 + 0.5)
+          .cast("long").as("cents")), "cents")
+        .withColumnRenamed("n_rows", "n_orders"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -2629,6 +2698,98 @@ object OlapQueries {
            WHERE l.op IS NULL OR l.op <> 'D')
          SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(SUM(fc) AS DOUBLE) / 100.0 AS sum_totalprice
-         FROM applied GROUP BY o_orderpriority"""
+         FROM applied GROUP BY o_orderpriority""",
+    // identical micro-units, HUGEINT sufficient statistics, and the
+    // engine's exact finalization parenthesization
+    "q66_corr_matrix" -> {
+      val vars = Seq("qv", "pv", "dv", "tv")
+      val sums =
+        vars.map(v => s"SUM(CAST($v AS HUGEINT)) AS s_$v") ++
+          (for { i <- vars.indices; j <- i until vars.length } yield
+            s"SUM(CAST(${vars(i)} * ${vars(j)} AS HUGEINT))" +
+              s" AS s_${vars(i)}_${vars(j)}")
+      def r(x: String, y: String, as: String) = {
+        val nd = "CAST(n_rows AS DOUBLE)"
+        def c(s: String) = s"CAST($s AS DOUBLE)"
+        val vx = s"($nd * ${c(s"s_${x}_$x")} - ${c(s"s_$x")} * ${c(s"s_$x")})"
+        val vy = s"($nd * ${c(s"s_${y}_$y")} - ${c(s"s_$y")} * ${c(s"s_$y")})"
+        s"""CASE WHEN $vx * $vy > 0.0 THEN
+             ROUND(($nd * ${c(s"s_${x}_$y")} - ${c(s"s_$x")} * ${c(s"s_$y")})
+               / sqrt($vx * $vy), 6) END AS $as"""
+      }
+      s"""WITH u AS (
+           SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS qv,
+             CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS pv,
+             CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS dv,
+             CAST(FLOOR(l_tax * 100.0 + 0.5) AS BIGINT) AS tv
+           FROM lineitem),
+         m AS (
+           SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ${sums.mkString(",\n             ")}
+           FROM u GROUP BY l_returnflag)
+         SELECT l_returnflag, n_rows,
+           ${r("qv", "pv", "r_qty_price")},
+           ${r("qv", "dv", "r_qty_disc")},
+           ${r("qv", "tv", "r_qty_tax")},
+           ${r("pv", "dv", "r_price_disc")},
+           ${r("pv", "tv", "r_price_tax")},
+           ${r("dv", "tv", "r_disc_tax")}
+         FROM m"""
+    },
+    "q67_chi2_independence" ->
+      """WITH cells AS (
+           SELECT c_mktsegment, n_name, CAST(COUNT(*) AS BIGINT) AS observed
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2),
+         w AS (
+           SELECT c_mktsegment, n_name, observed,
+             CAST(SUM(observed) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+               * CAST(SUM(observed) OVER (PARTITION BY n_name) AS DOUBLE)
+               / CAST(SUM(observed) OVER () AS DOUBLE) AS expected
+           FROM cells)
+         SELECT c_mktsegment, n_name, observed,
+           ROUND(expected, 6) AS expected,
+           ROUND((CAST(observed AS DOUBLE) - expected)
+             * (CAST(observed AS DOUBLE) - expected) / expected, 6)
+             AS contribution
+         FROM w""",
+    "q68_gini" ->
+      """WITH bc AS (
+           SELECT o_custkey,
+             SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+           FROM orders GROUP BY o_custkey),
+         rk AS (
+           SELECT c_mktsegment, cents,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY cents, o_custkey) AS BIGINT) AS i
+           FROM bc JOIN customer ON o_custkey = c_custkey),
+         g AS (
+           SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             SUM(CAST(cents AS HUGEINT)) AS s,
+             SUM(CAST(i * cents AS HUGEINT)) AS si
+           FROM rk GROUP BY c_mktsegment)
+         SELECT c_mktsegment, n_customers,
+           ROUND(CAST(s AS DOUBLE) / 100.0, 2) AS total_revenue,
+           ROUND((2.0 * CAST(si AS DOUBLE)
+               - (CAST(n_customers AS DOUBLE) + 1.0) * CAST(s AS DOUBLE))
+             / (CAST(n_customers AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS gini
+         FROM g""",
+    "q69_benford" ->
+      """WITH dg AS (
+           SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+               AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY 1),
+         w AS (
+           SELECT digit, n_orders,
+             CAST(n_orders AS DOUBLE) / CAST(SUM(n_orders) OVER () AS DOUBLE)
+               AS share,
+             log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS benford
+           FROM dg)
+         SELECT digit, n_orders, ROUND(share, 6) AS share,
+           ROUND(benford, 6) AS benford,
+           ROUND(share - benford, 6) AS delta
+         FROM w"""
   )
 }
