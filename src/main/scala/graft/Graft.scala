@@ -649,6 +649,19 @@ object Graft {
   def softDedupSample(clusters: DataFrame): DataFrame =
     operators.Packing.softDedupSample(clusters)
 
+  /** Degree assortativity of an edge list (see
+    * [[operators.Graph.assortativity]]): one row, Pearson r between
+    * endpoint degrees. */
+  def assortativity(edges: DataFrame): DataFrame =
+    operators.Graph.assortativity(
+      operators.Graph.withOutDeg(operators.Graph.adjacency(edges)))
+
+  /** Per-node local clustering coefficient (see
+    * [[operators.Graph.clusteringCoeff]]). */
+  def clusteringCoeff(edges: DataFrame): DataFrame =
+    operators.Graph.clusteringCoeff(edges,
+      operators.Graph.withOutDeg(operators.Graph.adjacency(edges)))
+
   /** Per-group pairwise Pearson correlation matrix over exact-Long
     * measure columns (see [[operators.Olap.pearsonMatrix]]). */
   def pearsonMatrix(df: DataFrame, groupCols: Seq[String],

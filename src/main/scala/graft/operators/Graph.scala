@@ -314,6 +314,44 @@ object Graph {
         round(col("aa"), 9).as("rank_key"))
   }
 
+  /** Degree ASSORTATIVITY: Pearson correlation between the endpoint
+    * degrees of every directed edge — do hubs link to hubs (r > 0,
+    * social-network shape) or to the periphery (r < 0, the
+    * hub-and-spoke shape k-NN sparsification tends to produce)?
+    * Both endpoint degrees ride one self-join of the degree table
+    * against the adjacency; the correlation is [[Olap.pearsonMatrix]]
+    * over exact integer degrees — one edge-sized aggregate, one row
+    * out.
+    */
+  def assortativity(adjDeg: DataFrame): DataFrame = {
+    val dd = adjDeg.select(col("src").as("dn"), col("odeg").as("dt"))
+      .distinct()
+    val pairs = adjDeg.select(col("odeg").as("ds"), col("dst"))
+      .join(dd, col("dst") === col("dn"))
+      .select(col("ds"), col("dt"))
+    Olap.pearsonMatrix(pairs, Seq.empty, Seq("ds", "dt"))
+      .select(col("n_rows").as("n_edges"),
+        col("r_ds_dt").as("assortativity"))
+  }
+
+  /** Per-node LOCAL CLUSTERING COEFFICIENT: 2·triangles(v) /
+    * (deg(v)·(deg(v)−1)) — how close each node's neighborhood is to a
+    * clique (the community-tightness readout g4's raw counts don't
+    * normalize). Triangle counts from the oriented wedge join;
+    * degree-1 nodes are excluded (coefficient undefined), triangle-
+    * free nodes coalesce to 0. The only double is the final ratio of
+    * exact integers.
+    */
+  def clusteringCoeff(edges: DataFrame, adjDeg: DataFrame): DataFrame = {
+    val dd = adjDeg.select(col("src").as("node"), col("odeg")).distinct()
+    dd.filter(col("odeg") >= 2)
+      .join(triangleCounts(edges), Seq("node"), "left")
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+      .select(col("node"), col("odeg").as("deg"), col("triangles"),
+        ((lit(2.0) * col("triangles"))
+          / (col("odeg") * (col("odeg") - 1))).as("cc"))
+  }
+
   /** Common-neighbor link prediction: non-adjacent pairs ranked by
     * shared-neighbor count, with the neighborhood Jaccard
     * `common / (deg(a) + deg(c) − common)` as the presentation score.

@@ -157,6 +157,16 @@ object GraphQueries {
         col("ca").as("part_a"), col("cc").as("part_b"),
         col("common"), col("adamic_adar"))
     }),
+    // degree assortativity: do hubs link to hubs? One row out
+    "g11_assortativity" -> ((s, d) =>
+      Graph.assortativity(cachedAdjDeg(s, d))),
+    // per-node local clustering coefficient (normalized triangles)
+    "g12_clustering_coeff" -> ((s, d) => {
+      val cc = Graph.clusteringCoeff(cachedEdges(s, d), cachedAdjDeg(s, d))
+      rankedTopK(cc, Seq(round(col("cc"), 9).desc, col("node")), 30,
+        col("node").as("part"), col("deg"), col("triangles"),
+        round(col("cc"), 6).as("clustering"))
+    }),
     // common-neighbor link prediction over non-adjacent pairs
     "g6_link_predict" -> ((s, d) => {
       val e = cachedEdges(s, d)
@@ -420,6 +430,66 @@ object GraphQueries {
          a AS part_a, c AS part_b, common,
          ROUND(aa, 6) AS adamic_adar
        FROM nonadj QUALIFY rank <= 30"""),
+    // endpoint-degree Pearson in the engine's exact shape: HUGEINT
+    // sufficient statistics, identical double parenthesization
+    "g11_assortativity" -> (graphCtes +
+      """,
+       od AS MATERIALIZED (
+         SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg
+         FROM adj GROUP BY src),
+       ep AS (
+         SELECT d1.odeg AS ds, d2.odeg AS dt
+         FROM adj a
+         JOIN od d1 ON a.src = d1.src
+         JOIN od d2 ON a.dst = d2.src),
+       m AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           SUM(CAST(ds AS HUGEINT)) AS sx, SUM(CAST(dt AS HUGEINT)) AS sy,
+           SUM(CAST(ds * ds AS HUGEINT)) AS sxx,
+           SUM(CAST(dt * dt AS HUGEINT)) AS syy,
+           SUM(CAST(ds * dt AS HUGEINT)) AS sxy
+         FROM ep)
+       SELECT n_edges,
+         CASE WHEN (CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0 THEN
+           ROUND((CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         END AS assortativity
+       FROM m"""),
+    // g4's triangle CTE normalized by deg·(deg−1)/2
+    "g12_clustering_coeff" -> (graphCtes +
+      """,
+       od AS MATERIALIZED (
+         SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg
+         FROM adj GROUP BY src),
+       tri AS (
+         SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         FROM edges e1
+         JOIN edges e2 ON e2.a = e1.b
+         JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+       tn AS (
+         SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+         FROM (SELECT x AS node FROM tri
+               UNION ALL SELECT y FROM tri
+               UNION ALL SELECT z FROM tri)
+         GROUP BY node),
+       cc AS (
+         SELECT od.src AS node, od.odeg AS deg,
+           COALESCE(tn.triangles, 0) AS triangles,
+           (2.0 * COALESCE(tn.triangles, 0))
+             / (od.odeg * (od.odeg - 1)) AS cc
+         FROM od LEFT JOIN tn ON od.src = tn.node
+         WHERE od.odeg >= 2)
+       SELECT CAST(row_number() OVER
+           (ORDER BY ROUND(cc, 9) DESC, node) AS BIGINT) AS rank,
+         node AS part, deg, triangles, ROUND(cc, 6) AS clustering
+       FROM cc QUALIFY rank <= 30"""),
     "g6_link_predict" -> (graphCtes +
       """,
        od AS MATERIALIZED (

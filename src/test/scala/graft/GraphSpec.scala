@@ -110,6 +110,36 @@ class GraphSpec extends SparkSpec {
     assert(after2.exists(_ >= 10L), "round 2 must still hold path middles")
   }
 
+  test("assortativity: −1 on a star, null on a degree-regular graph") {
+    // K1,3: every edge joins deg-3 hub to a deg-1 leaf → perfectly
+    // disassortative
+    val star = edgesDF(Seq((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L)))
+    val r1 = Graph.assortativity(Graph.withOutDeg(Graph.adjacency(star)))
+      .collect().head
+    assert(r1.getAs[Long]("n_edges") == 6L)
+    assert(r1.getAs[Double]("assortativity") == -1.0)
+    // a square is 2-regular: zero degree variance → undefined (null)
+    val square = edgesDF(Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (1L, 4L, 1L)))
+    val r2 = Graph.assortativity(Graph.withOutDeg(Graph.adjacency(square)))
+      .collect().head
+    assert(r2.isNullAt(r2.fieldIndex("assortativity")))
+  }
+
+  test("clusteringCoeff: K4+pendant — hub 0.5, clique corners 1.0, pendant excluded") {
+    val k4p = edgesDF(Seq((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L),
+      (2L, 3L, 1L), (2L, 4L, 1L), (3L, 4L, 1L), (1L, 5L, 1L)))
+    val got = Graph.clusteringCoeff(k4p,
+      Graph.withOutDeg(Graph.adjacency(k4p))).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 3L, 0.5)))
+    assert(got(2L) == ((3L, 3L, 1.0)))
+    assert(got(3L) == ((3L, 3L, 1.0)))
+    assert(got(4L) == ((3L, 3L, 1.0)))
+    assert(!got.contains(5L), "degree-1 node has no defined coefficient")
+  }
+
   test("commonNeighbors scores the square's diagonals at Jaccard 1.0") {
     val e = edgesDF(Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (1L, 4L, 1L)))
     val got = Graph.commonNeighbors(e, Graph.adjacency(e))
