@@ -442,6 +442,50 @@ object HierarchyAgg {
         round(col("sum_sales_amount") / col("__rsales"), 6).as("pct_of_total"))
   }
 
+  /** Per-parent CONCENTRATION: for every internal node, how evenly
+    * its direct children split the subtree measure — child count,
+    * top-child share, and the Herfindahl index Σ(cᵢ/Σc)² (1 = one
+    * child owns everything, 1/n = even split). The "is this rollup
+    * level diversified" readout next to h17's percent-of-parent.
+    *
+    * FP discipline (the q64 convention): `facts` must carry exact
+    * integer `cents` — node totals are then order-free Long sums
+    * through the closure, the squares accumulate in DECIMAL(38,0)
+    * (a region's cents² clears 10²² at sf0.1 — Long partials would
+    * wrap), and the only doubles are the three final ratios, shaped
+    * identically in the oracle. One fact pass; everything after the
+    * closure join is node-grain.
+    */
+  def concentrationByParent(facts: DataFrame, dim: HierarchyDimension,
+      factKey: String = "leaf_key"): DataFrame = {
+    val totals = facts
+      .groupBy(col(factKey)).agg(sum(col("cents")).as("__c"))
+      .join(broadcast(closureIdKeys(dim.aggregationDim)),
+        col(factKey) === col("descendant_node_natural_key"))
+      .groupBy(col("ancestor_node_id")).agg(sum("__c").as("__c"))
+    val meta = dim.flaggedNodes.select(col("node_id"), col("node_name"),
+      col("level_name"), col("parent_node_id"))
+    val kids = totals
+      .join(broadcast(meta), col("ancestor_node_id") === col("node_id"))
+      .filter(col("parent_node_id").isNotNull)
+    val g = kids.groupBy("parent_node_id")
+      .agg(count(lit(1)).as("n_children"),
+        sum(col("__c").cast("decimal(19,0)")).as("__s"),
+        sum(col("__c").cast("decimal(19,0)") * col("__c")).as("__s2"),
+        max(col("__c")).as("__m"))
+    g.join(broadcast(meta.select(col("node_id").as("__pid"),
+        col("node_name").as("parent_name"),
+        col("level_name").as("parent_level"))),
+        col("parent_node_id") === col("__pid"))
+      .select(col("parent_name"), col("parent_level"), col("n_children"),
+        round(col("__s").cast("double") / 100.0, 2).as("total_sales"),
+        round(col("__m").cast("double") / col("__s").cast("double"), 6)
+          .as("top_child_share"),
+        round(col("__s2").cast("double")
+          / (col("__s").cast("double") * col("__s").cast("double")), 6)
+          .as("hhi"))
+  }
+
   private def closureIdKeys(aggDim: DataFrame): DataFrame =
     aggDim.select(
       col("descendant_node_natural_key"),

@@ -262,6 +262,19 @@ object HierarchyQueries {
       HierarchyAgg.subtreeMedian(facts, dimension(s, d).aggregationDim,
         "o_totalprice")
     }),
+    // per-parent CONCENTRATION: child count, top-child share and the
+    // Herfindahl index of every internal node's direct children —
+    // "is this level of the rollup diversified". Exact integer-cent
+    // line quantization (q64's discipline) keeps the shares exact;
+    // one fact pass, node-grain after the closure
+    "h28_concentration" -> ((s, d) => {
+      val facts = HierarchyAgg.salesFacts(s, d)
+        .withColumn("leaf_key",
+          HierarchyAgg.segmentLeafKey(col("c_nationkey"), col("c_mktsegment")))
+        .withColumn("cents",
+          floor(col("sales_amount") * 100.0 + 0.5).cast("long"))
+      HierarchyAgg.concentrationByParent(facts, deepDimension(s, d))
+    }),
     // per-node TOP CONTRIBUTORS: the 3 customers with the largest
     // subtree spend under every node (h17's drill-down companion) —
     // one fact pre-agg, broadcast closure, MV-grain aggregate, then
@@ -1080,6 +1093,41 @@ FROM totals t
 JOIN flagged fl ON t.node_id = fl.node_id
 LEFT JOIN totals pt ON fl.parent_node_id = pt.node_id
 CROSS JOIN rt""",
+    // integer-cent line quantization, HUGEINT squares, and the
+    // engine's exact ratio parenthesization
+    "h28_concentration" ->
+      s"""${prelude(true)},
+facts AS (
+  SELECT 1000 + c.c_nationkey * 8 +
+         CASE c.c_mktsegment WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1
+              WHEN 'FURNITURE' THEN 2 WHEN 'HOUSEHOLD' THEN 3
+              WHEN 'MACHINERY' THEN 4 ELSE 7 END AS leaf_key,
+         CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey),
+totals AS (
+  SELECT adim.ancestor_node_id AS node_id, SUM(f.cents) AS c
+  FROM facts f
+  JOIN adim ON CAST(f.leaf_key AS BIGINT) = adim.descendant_node_natural_key
+  GROUP BY 1),
+kids AS (
+  SELECT fl.parent_node_id AS pid, t.c
+  FROM totals t JOIN flagged fl ON t.node_id = fl.node_id
+  WHERE fl.parent_node_id IS NOT NULL),
+g AS (
+  SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_children,
+         SUM(CAST(c AS HUGEINT)) AS s,
+         SUM(CAST(c AS HUGEINT) * c) AS s2,
+         MAX(c) AS m
+  FROM kids GROUP BY pid)
+SELECT fp.node_name AS parent_name, fp.level_name AS parent_level,
+       g.n_children,
+       ROUND(CAST(s AS DOUBLE) / 100.0, 2) AS total_sales,
+       ROUND(CAST(m AS DOUBLE) / CAST(s AS DOUBLE), 6) AS top_child_share,
+       ROUND(CAST(s2 AS DOUBLE)
+         / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS hhi
+FROM g JOIN flagged fp ON g.pid = fp.node_id""",
     // two independent closures (compact anc-pair recursion per
     // hierarchy) joined to the same fact stream
     "h10_multi_hier_agg" -> multiHierSql(""),

@@ -50,6 +50,22 @@ class HierarchySpec extends SparkSpec {
     assert(a1.getAs[String]("level_4_node_id") == null)
   }
 
+  test("concentrationByParent: hand-computed HHI on the toy tree") {
+    // leaves: a1=100¢, a2=300¢, b1=500¢ → a=400, b=500, root=900
+    val facts = Seq((11L, 100L), (12L, 300L), (21L, 500L))
+      .toDF("leaf_key", "cents")
+    val got = HierarchyAgg.concentrationByParent(facts, dim)
+      .collect().map(r => r.getAs[String]("parent_name") ->
+        ((r.getAs[Long]("n_children"), r.getAs[Double]("total_sales"),
+          r.getAs[Double]("top_child_share"), r.getAs[Double]("hhi")))).toMap
+    // root's children a/b: top 500/900, hhi (400²+500²)/900²
+    assert(got("Root") == ((2L, 9.0, 0.555556, 0.506173)))
+    // a's children 100/300: top 0.75, hhi (100²+300²)/400² = 0.625
+    assert(got("A") == ((2L, 4.0, 0.75, 0.625)))
+    // single child ⇒ degenerate full concentration
+    assert(got("B") == ((1L, 5.0, 1.0, 1.0)))
+  }
+
   test("aggregation dim: closure pairs (self included) + net_level") {
     val pairs = dim.aggregationDim
       .select("ancestor_node_id", "descendant_node_id", "net_level")
