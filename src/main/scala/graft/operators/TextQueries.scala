@@ -492,8 +492,42 @@ object TextQueries {
 
     // RAKE keyword extraction: stopword-delimited candidate phrases
     // scored by Σ degree(w)/freq(w) — see [[rakeKeywords]]
-    "t23_rake_keywords" -> ((s, d) => rakeKeywords(Tables.documents(s, d)))
+    "t23_rake_keywords" -> ((s, d) => rakeKeywords(Tables.documents(s, d))),
+
+    // LEXICAL DIVERSITY per language: corpus-level type/token ratio
+    // and hapax share from exact per-doc integer counts — the
+    // vocabulary-richness profile a data-mixing decision reads next
+    // to t19's Zipf fit. Per-doc type counts are (doc, token)-keyed
+    // aggregates (corpus-linear, the t-family shape); the macro
+    // ratios divide exact Long sums, so cross-doc double
+    // accumulation order can never move a bit
+    "t24_lexical_diversity" -> ((s, d) =>
+      lexicalDiversity(Tables.documents(s, d)))
   )
+
+  /** Corpus-level lexical diversity per language — see the
+    * `t24_lexical_diversity` entry. Exact integer counts throughout;
+    * the macro ratios divide Long sums.
+    */
+  def lexicalDiversity(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "lang")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        sum("n_types").as("total_types"),
+        sum("n_hapax").as("total_hapax"))
+      .select(col("lang"), col("n_docs"), col("total_tokens"),
+        col("total_types"), col("total_hapax"),
+        round(col("total_types").cast("double") / col("total_tokens"), 6)
+          .as("type_token_ratio"),
+        round(col("total_hapax").cast("double") / col("total_types"), 6)
+          .as("hapax_ratio"))
 
   /** The fixed stopword inventory shared by t23's engine and oracle
     * (a literal, so the SQL can inline the identical list).
@@ -1197,6 +1231,28 @@ object TextQueries {
            sc.phrase, oc.n_occurrences,
            ROUND(sc.tot / oc.n_occurrences, 6) AS score
          FROM sc JOIN oc USING (phrase)
-         QUALIFY rank <= 30"""
+         QUALIFY rank <= 30""",
+    // same whitespace tokenizer; ratios divide exact integer sums
+    "t24_lexical_diversity" ->
+      raw"""WITH tok AS (
+           SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         pdt AS (
+           SELECT doc_id, lang, tok, COUNT(*) AS c
+           FROM tok GROUP BY 1, 2, 3),
+         pd AS (
+           SELECT doc_id, lang, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+             SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax
+           FROM pdt GROUP BY 1, 2)
+         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_types) AS BIGINT) AS total_types,
+           CAST(SUM(n_hapax) AS BIGINT) AS total_hapax,
+           ROUND(CAST(SUM(n_types) AS DOUBLE) / SUM(n_tokens), 6)
+             AS type_token_ratio,
+           ROUND(CAST(SUM(n_hapax) AS DOUBLE) / SUM(n_types), 6)
+             AS hapax_ratio
+         FROM pd GROUP BY lang"""
   )
 }

@@ -7,6 +7,20 @@ import graft.operators.{Gif, Multimodal, MultimodalQueries}
 class TextMultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("lexicalDiversity: hand-computed types/hapax over planted docs") {
+    // en: "a a b" (3 tok, 2 types, 1 hapax) + "b c" (2, 2, 2)
+    //   → tokens 5, types 4, hapax 3, ttr 0.8, hapax 0.75
+    // fr: "x x" → 2 tokens, 1 type, 0 hapax
+    val docs = Seq((1L, "a a b", "en"), (2L, "b c", "en"), (3L, "x x", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.operators.TextQueries.lexicalDiversity(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got("en") == ((2L, 5L, 4L, 3L, 0.8, 0.75)))
+    assert(got("fr") == ((1L, 2L, 1L, 0L, 0.5, 0.0)))
+  }
+
   test("fingerprint: position-weighted codepoint sum, hand-computed") {
     // "ab c": 1*97 + 2*98 + 3*32 + 4*99 = 97+196+96+396 = 785
     val got = Seq("ab c").toDF("text")
