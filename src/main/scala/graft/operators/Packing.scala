@@ -427,8 +427,26 @@ object Packing {
     // doc_id against a per-cluster ppm threshold, so retries/epochs
     // reproduce the identical subset. Singletons always survive
     "p13_soft_dedup_sample" -> ((s, d) =>
-      softDedupSample(DedupQueries.clusters(s, d)))
+      softDedupSample(DedupQueries.clusters(s, d))),
+    // PER-SOURCE QUOTA: at most `cap` docs per provider, chosen by
+    // the deterministic LCG permutation — the "no more than N from
+    // source X" mixture contract, reproducible across retries. ONE
+    // source-partitioned window at doc grain
+    "p14_quota_sample" -> ((s, d) => quotaSample(Tables.documents(s, d)))
   )
+
+  /** See the p14 entry: per-source admission by LCG-permutation rank.
+    * A source with fewer than `cap` docs keeps them all; the window
+    * input is doc-grain within a source partition (no global sort).
+    */
+  def quotaSample(docs: DataFrame, cap: Long = 10L): DataFrame =
+    docs.withColumn("__k", lcg(col("doc_id")))
+      .withColumn("quota_rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("__k"), col("doc_id")))
+        .cast("long"))
+      .filter(col("quota_rank") <= cap)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("quota_rank"))
 
   /** See the p13 entry: `clusters` is (doc_id, component_id); keep a
     * doc iff its LCG sample key (ppm) falls under 10⁶ div cluster
@@ -712,6 +730,17 @@ object Packing {
            CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
          FROM comp c JOIN sz s USING (component_id)
          WHERE (((c.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648)
-               % 1000000 < 1000000 // s.cluster_size"""
+               % 1000000 < 1000000 // s.cluster_size""",
+    // the same 31-bit LCG permutation, ranked per source
+    "p14_quota_sample" ->
+      """WITH h AS (
+           SELECT doc_id, source, n_chars,
+             ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS hk
+           FROM documents)
+         SELECT doc_id, source, n_chars, CAST(rn AS BIGINT) AS quota_rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY source
+                 ORDER BY hk, doc_id) AS rn
+               FROM h)
+         WHERE rn <= 10"""
   )
 }

@@ -15,6 +15,26 @@ class PipelineOpsSpec extends SparkSpec {
     (2L, "eta theta iota", "de", "s1", 14L)
   ).toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("quotaSample: caps big sources at the LCG-lowest docs, keeps small ones whole") {
+    // source "big": 15 docs → keep the 10 with the smallest LCG keys;
+    // source "small": 3 docs → all kept, ranks 1..3
+    def key(id: Long): Long =
+      Math.floorMod(Math.floorMod(id, 2147483648L) * 1103515245L + 12345L,
+        2147483648L)
+    val docs = ((1L to 15L).map(i => (i, "big", 10L)) ++
+      (100L to 102L).map(i => (i, "small", 20L)))
+      .toDF("doc_id", "source", "n_chars")
+    val got = graft.operators.Packing.quotaSample(docs, cap = 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    val gotBig = got.filter(_._2 == "big").sortBy(_._3).map(_._1)
+    val wantBig = (1L to 15L).sortBy(i => (key(i), i)).take(10)
+    assert(gotBig.toSeq == wantBig.toSeq, s"$gotBig vs $wantBig")
+    assert(got.filter(_._2 == "small").map(_._1).sorted.toSeq ==
+      Seq(100L, 101L, 102L))
+    assert(got.filter(_._2 == "small").map(_._3).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
   lazy val batch = Seq(
     (10L, "alpha beta gamma", "en", "s2", 16L),   // dup of corpus doc 0
     (11L, "kappa lambda mu", "en", "s2", 15L),    // new
