@@ -649,6 +649,12 @@ object Graft {
   def softDedupSample(clusters: DataFrame): DataFrame =
     operators.Packing.softDedupSample(clusters)
 
+  /** MMR diversified retrieval over an embeddings frame (see
+    * [[operators.Similarity.mmrDiversify]]). */
+  def mmrDiversify(embeddings: DataFrame, k: Int = 5,
+      shortlist: Int = 20, nQueries: Int = 10): DataFrame =
+    operators.Similarity.mmrDiversify(embeddings, k, shortlist, nQueries)
+
   /** Degree assortativity of an edge list (see
     * [[operators.Graph.assortativity]]): one row, Pearson r between
     * endpoint degrees. */

@@ -57,6 +57,79 @@ object Similarity {
     rerank(pairs, k)
   }
 
+  /** MMR DIVERSIFIED RETRIEVAL (Carbonell & Goldstein, SIGIR'98):
+    * greedy re-rank of each query's exact top-`shortlist` cosine
+    * candidates, picking `k` results that maximize
+    * λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) — relevance traded against
+    * redundancy with what's already picked, the search-results /
+    * few-shot-example diversifier. The empty-set penalty is 0 (pick 1
+    * is pure relevance).
+    *
+    * Scale shape: the expensive stage is the shortlist (brute here —
+    * swap [[lshTopK]]'s bucketed candidates at corpus scale; the MMR
+    * stage is identical); everything after is (queries × shortlist)-
+    * sized — pairwise sims and `k` greedy rounds run on frames of
+    * ≤ Q·S² rows, each round ONE anti-join + ONE max-groupBy + ONE
+    * per-query argmax window, plan linear in `k`. Determinism: argmax
+    * on (round(score, 9) desc, id asc); λ and 1−λ are both passed as
+    * exact literals (computing 1−0.7 in doubles would NOT equal the
+    * oracle's 0.3).
+    */
+  def mmrDiversify(emb: DataFrame, k: Int = 5, shortlist: Int = 20,
+      nQueries: Int = 10, lambda: Double = 0.7,
+      lambdaComp: Double = 0.3): DataFrame = {
+    val c = corpus(emb)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+    // rerank's heap, but keeping the RAW score (MMR re-scores it)
+    val short = pairs.groupBy("q_id")
+      .agg(topkByScore(round(col("cos"), 9), col("cos"), col("vec_id"),
+        shortlist).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("t"))
+      .select(col("q_id"), col("t.id").as("id"), col("t.score").as("rel"))
+    val sv = short.join(c.select(col("vec_id").as("id"), col("v"),
+      col("nrm")), Seq("id"))
+    val sa = sv.select(col("q_id"), col("id").as("ia"), col("v").as("va"),
+      col("nrm").as("na"))
+    val sb = sv.select(col("q_id").as("qb"), col("id").as("ib"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val sims = sa.join(sb, col("q_id") === col("qb") && col("ia") =!= col("ib"))
+      .select(col("q_id"), col("ia"), col("ib"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(round(col("score"), 9).desc, col("id"))
+    var selected: DataFrame = null
+    var avail = short
+    for (r <- 1 to k) {
+      val scored =
+        if (r == 1) avail.withColumn("msim", lit(0.0))
+        else avail
+          .join(sims.select(col("q_id").as("sq"), col("ia"), col("ib"),
+            col("sim")), col("q_id") === col("sq") && col("id") === col("ia"))
+          .join(selected.select(col("q_id").as("tq"), col("id").as("tid")),
+            col("sq") === col("tq") && col("ib") === col("tid"))
+          .groupBy(col("q_id"), col("id"), col("rel"))
+          .agg(max("sim").as("msim"))
+      val pick = scored
+        .withColumn("score",
+          lit(lambda) * col("rel") - lit(lambdaComp) * col("msim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("id"), col("rel"), col("score"),
+          lit(r.toLong).as("pick_rank"))
+      selected = if (r == 1) pick else selected.unionByName(pick)
+      avail = avail.join(pick.select(col("q_id").as("pq"),
+        col("id").as("pid")),
+        col("q_id") === col("pq") && col("id") === col("pid"), "left_anti")
+    }
+    selected.select(col("q_id"), col("pick_rank"), col("id").as("vec_id"),
+      round(col("rel"), 6).as("relevance"),
+      round(col("score"), 6).as("mmr_score"))
+  }
+
   /** kNN CLASSIFICATION: predict each query vector's label by
     * MAJORITY VOTE among its k exact nearest neighbors in the labeled
     * train split — the embedding-space labeler a curation pipeline
@@ -1048,7 +1121,11 @@ object SimilarityQueries {
         .select(col("q_id"), coalesce(col("h"), lit(0L)).as("hits"),
           round(coalesce(col("h"), lit(0L)).cast("double") /
             col("depth").cast("double"), 6).as("recall"))
-    })
+    }),
+    // MMR diversified retrieval: greedy λ·rel − (1−λ)·max-sim re-rank
+    // of the exact top-20 shortlist, 5 picks per query
+    "s16_mmr_diversify" -> ((s, d) =>
+      Similarity.mmrDiversify(Tables.embeddings(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1400,8 +1477,74 @@ object SimilarityQueries {
          SELECT kk.q_id, COALESCE(h.h, CAST(0 AS BIGINT)) AS hits,
            ROUND(CAST(COALESCE(h.h, 0) AS DOUBLE)
              / CAST(kk.depth AS DOUBLE), 6) AS recall
-         FROM kk LEFT JOIN hits h ON kk.q_id = h.q_id"""
+         FROM kk LEFT JOIN hits h ON kk.q_id = h.q_id""",
+    // the exact shortlist, pairwise sims among its members, then the
+    // greedy rounds unrolled — identical λ literals and rank keys
+    "s16_mmr_diversify" ->
+      ("""WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+           FROM e),
+         pairs AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS id,
+             list_sum(list_transform(list_zip(c.v, q.v), s -> s[1] * s[2]))
+               / (c.nrm * q.nrm) AS cos
+           FROM n c JOIN n q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         short AS MATERIALIZED (
+           SELECT q_id, id, cos AS rel FROM pairs
+           QUALIFY row_number() OVER (PARTITION BY q_id
+             ORDER BY ROUND(cos, 9) DESC, id ASC) <= 20),
+         sv AS (
+           SELECT s.q_id, s.id, n.v, n.nrm
+           FROM short s JOIN n ON s.id = n.vec_id),
+         sim AS MATERIALIZED (
+           SELECT a.q_id, a.id AS ia, b.id AS ib,
+             list_sum(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]))
+               / (a.nrm * b.nrm) AS sim
+           FROM sv a JOIN sv b ON a.q_id = b.q_id AND a.id <> b.id),
+         pick1 AS (
+           SELECT q_id, id, rel, 0.7 * rel - 0.3 * 0.0 AS score,
+             CAST(1 AS BIGINT) AS pick_rank
+           FROM short
+           QUALIFY row_number() OVER (PARTITION BY q_id
+             ORDER BY ROUND(0.7 * rel - 0.3 * 0.0, 9) DESC, id ASC) = 1),
+         selall1 AS (SELECT * FROM pick1)""" +
+        mmrRounds(5) +
+        """
+         SELECT q_id, pick_rank, id AS vec_id, ROUND(rel, 6) AS relevance,
+           ROUND(score, 6) AS mmr_score
+         FROM selall5""")
   )
+
+  /** Greedy MMR rounds 2..k, unrolled (the pagerankCtes convention):
+    * each round anti-joins the shortlist against the picks so far,
+    * takes the max similarity to any pick, and argmaxes the
+    * penalized score with the engine's exact rank key.
+    */
+  private def mmrRounds(k: Int): String =
+    (2 to k).map { r =>
+      s""",
+         cand$r AS (
+           SELECT s.q_id, s.id, s.rel FROM short s
+           LEFT JOIN selall${r - 1} p ON s.q_id = p.q_id AND s.id = p.id
+           WHERE p.id IS NULL),
+         pen$r AS (
+           SELECT c.q_id, c.id, c.rel, MAX(m.sim) AS msim
+           FROM cand$r c
+           JOIN sim m ON m.q_id = c.q_id AND m.ia = c.id
+           JOIN selall${r - 1} p ON p.q_id = m.q_id AND p.id = m.ib
+           GROUP BY 1, 2, 3),
+         pick$r AS (
+           SELECT q_id, id, rel, 0.7 * rel - 0.3 * msim AS score,
+             CAST($r AS BIGINT) AS pick_rank
+           FROM pen$r
+           QUALIFY row_number() OVER (PARTITION BY q_id
+             ORDER BY ROUND(0.7 * rel - 0.3 * msim, 9) DESC, id ASC) = 1),
+         selall$r AS (
+           SELECT * FROM selall${r - 1} UNION ALL SELECT * FROM pick$r)"""
+    }.mkString
 
   /** The LCG-bucketed candidate-pair derivation shared VERBATIM by
     * the s7 and s13 oracles (params/e/n/b/probe/once CTEs): one copy

@@ -44,7 +44,8 @@ class PlanLintSpec extends SparkSpec {
     "t22_collocations",    // two 1-row corpus-total broadcasts (t9's shape)
     "q64_abc_pareto",      // 1-row revenue-total broadcast (pct normalizer)
     "d22_lsh_recall_eval", // three 1-row metric frames crossed (eval readout)
-    "g9_modularity"        // 1-row edge-count broadcast (modularity normalizer)
+    "g9_modularity",       // 1-row edge-count broadcast (modularity normalizer)
+    "s16_mmr_diversify"    // brute shortlist broadcasts the query set (s1)
   )
 
   private val skipEager = Set(

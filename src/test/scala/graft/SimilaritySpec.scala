@@ -19,6 +19,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mmrDiversify: redundancy penalty flips the pick order on a planted near-dup") {
+    import spark.implicits._
+    // query 0 = (1,0,0); ids 1 and 2 are near-dups of each other
+    // (cos ≈ 0.995, relevance ≈ 0.800 / 0.804 after normalization);
+    // id 3 is slightly less relevant (0.789) but diverse. Pure
+    // relevance ranks 2,1,3 — MMR must pick 2, then DEMOTE the
+    // near-dup 1 below the diverse 3.
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (1L, Array(0.8f, 0.6f, 0f), 0),
+      (2L, Array(0.8f, 0.59f, 0.05f), 0),
+      (3L, Array(0.78f, -0.6f, 0.1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.mmrDiversify(vecs, k = 3, shortlist = 3,
+      nQueries = 1)
+      .collect().sortBy(_.getAs[Long]("pick_rank"))
+      .map(r => (r.getAs[Long]("pick_rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("relevance"), r.getAs[Double]("mmr_score")))
+    assert(got.map(_._2).toSeq == Seq(2L, 3L, 1L),
+      s"expected diversity-flipped order, got ${got.toSeq}")
+    // pure-relevance order would have been 2,1,3
+    assert(got(2)._3 > got(1)._3,
+      "the demoted near-dup must be MORE relevant than the diverse pick")
+    // pick 1 is pure relevance: score = 0.7·rel
+    assert(math.abs(got(0)._4 - 0.7 * got(0)._3) < 1e-5)
+    // the near-dup's penalized score collapses well below the diverse
+    // pick's (sim to pick 1 ≈ 0.995 ⇒ score ≈ 0.7·0.800 − 0.3·0.995)
+    assert(got(1)._4 - got(2)._4 > 0.15,
+      s"penalty too weak: ${got(1)._4} vs ${got(2)._4}")
+  }
+
   test("nearest-centroid expression: assignments identical to the crossJoin+max_by plan") {
     import graft.operators.Similarity.corpus
     val c = corpus(emb)
