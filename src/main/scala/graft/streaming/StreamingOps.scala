@@ -403,6 +403,48 @@ object StreamingOps {
           out.iterator
       }
   }
+
+  /** st31's streaming stage: per (event_type, watermarked 1-day
+    * window), the six Pearson sufficient statistics between the
+    * micro-quantized event value (exact 1e6 grid — per-row squares
+    * stay inside Long for any |value| < ~3000) and its second-of-day.
+    * DECIMAL(38,0) sums: order-free in the streaming partial
+    * aggregates and overflow-proof at any per-cell event count. The
+    * state row per cell is six numbers, never the events.
+    */
+  def corrMomentsStream(ev: DataFrame): DataFrame =
+    ev.withWatermark("ts", "1 hour")
+      .select(col("event_type"), col("ts"),
+        floor(col("value") * 1000000.0 + 0.5).cast("long").as("x"),
+        (unix_timestamp(col("ts")) -
+          unix_timestamp(date_trunc("day", col("ts")))).as("y"))
+      .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+      .select(col("event_type"), col("w.start").as("d"), col("n"),
+        col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"))
+
+  /** st31's closed-form finalization over the finalized moment rows —
+    * q66's exact double parenthesization; zero-variance cells → null.
+    */
+  def corrFinalize(finalized: DataFrame): DataFrame = {
+    val nd = col("n").cast("double")
+    val vx = nd * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = nd * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    finalized.select(col("event_type"),
+      date_format(col("d"), "yyyy-MM-dd").as("day"),
+      col("n").as("n_events"),
+      when(vx * vy > 0.0,
+        round((nd * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double"))
+          / sqrt(vx * vy), 6)).as("corr_value_tod"))
+  }
 }
 
 object StreamingOpsSinks {
@@ -817,6 +859,21 @@ object StreamingQueries {
           .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
           .agg(count(lit(1)).cast("double").as("c"))
           .select(col("event_type"), col("w.start").as("d"), col("c"))))),
+    // STREAMING CORRELATION (q66's moments in the state store): per
+    // (type, watermark-finalized day), Pearson r between the event
+    // value and its second-of-day — "does this metric drift through
+    // the day", maintained incrementally. The six sufficient
+    // statistics are DECIMAL(38,0) sums of exact integers (value
+    // micro-quantized at 1e6 — per-row squares stay inside Long; the
+    // cross-partition sums are overflow-proof and order-free in the
+    // streaming partial aggregates), so the state row per cell is six
+    // numbers, never the events. Closed-form finalization AFTER the
+    // sink, q66's exact parenthesization; zero-variance cells → null.
+    // Oracle = the same moments restricted to watermark-closed days.
+    "st31_stream_corr" -> ((s, d) =>
+      StreamingOps.corrFinalize(
+        runStream(s, d, outputMode = "append")(
+          StreamingOps.corrMomentsStream))),
     // STREAMING windowed TOP-K: the bounded-heap TopKByScore aggregate
     // running INSIDE the streaming state store — per 15-minute window,
     // the 3 highest-value events. State per window is the k-entry
@@ -1410,6 +1467,41 @@ object StreamingQueries {
            ROUND(best.match_cos, 6) AS match_cos
          FROM batch b CROSS JOIN cid
          LEFT JOIN best ON b.vec_id = best.vec_id""",
+    // the same micro-quantized moments, HUGEINT sums, identical
+    // finalization parenthesization, watermark-closed days only
+    "st31_stream_corr" ->
+      """WITH u AS (
+           SELECT event_type,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS x,
+             date_diff('second',
+               date_trunc('day', CAST(ts AS TIMESTAMP)),
+               CAST(ts AS TIMESTAMP)) AS y
+           FROM events),
+         m AS (
+           SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS n_events,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x * y AS HUGEINT)) AS sxy,
+             SUM(CAST(x * x AS HUGEINT)) AS sxx,
+             SUM(CAST(y * y AS HUGEINT)) AS syy
+           FROM u
+           WHERE d + INTERVAL 1 DAY <=
+             (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR
+              FROM events)
+           GROUP BY 1, 2)
+         SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n_events,
+           CASE WHEN (CAST(n_events AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n_events AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0 THEN
+             ROUND((CAST(n_events AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((CAST(n_events AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n_events AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           END AS corr_value_tod
+         FROM m""",
     "st27_stream_chart_pipeline" ->
       """WITH RECURSIVE daily AS (
            SELECT event_type,

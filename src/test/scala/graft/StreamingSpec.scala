@@ -390,6 +390,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st31: planted linear day gives exact r=1; late event folds into the moments") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ev(id: Long, ts: String, v: Double) =
+      (id, java.sql.Timestamp.from(java.time.Instant.parse(ts)), 1L,
+        "click", v)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val q = StreamingOps.corrMomentsStream(
+      ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st31_corr").start()
+    try {
+      // day-1 values exactly proportional to second-of-day
+      // (value = 2e-6·y ⇒ x = 2y on the micro grid ⇒ r = 1), plus a
+      // day-2 probe that holds day 1 open
+      ms.addData(Seq(
+        ev(1, "2024-03-01T00:00:10Z", 0.000020),
+        ev(2, "2024-03-01T06:00:00Z", 0.043200),
+        ev(3, "2024-03-02T00:30:00Z", 9.9)))
+      q.processAllAvailable()
+      // a LATE day-1 event still above the watermark — it must join
+      // the day-1 moments — then advance past day 1 to finalize it
+      ms.addData(Seq(
+        ev(4, "2024-03-01T23:00:00Z", 0.165600),
+        ev(5, "2024-03-02T02:00:00Z", 1.0)))
+      q.processAllAvailable()
+      val got = StreamingOps.corrFinalize(spark.table("st31_corr"))
+        .collect().map(r => r.getAs[String]("day") ->
+          ((r.getAs[Long]("n_events"), r.getAs[Double]("corr_value_tod"))))
+        .toMap
+      assert(got("2024-03-01") == ((3L, 1.0)),
+        s"late event must be in the finalized day-1 moments: $got")
+      assert(!got.contains("2024-03-02"), "day 2 is still open")
+    } finally q.stop()
+  }
+
   test("st29: KMV sketch accumulates across micro-batches; matches the batch estimator") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
