@@ -325,6 +325,47 @@ object Multimodal {
     }
   }
 
+  /** WAVEFORM ENVELOPE (m16): the fixed-bucket peak envelope — the
+    * waveform "thumbnail" an audio browser renders and a loudness
+    * normalizer reads, computed AT the codec so only `nBuckets`
+    * numbers leave the task. Bucket of sample j is `(j·nBuckets) div
+    * n` (balanced integer bounds, every bucket non-empty for
+    * n ≥ nBuckets); per-bucket peak = max |s|. Emits
+    * `[payload_bytes, Σ peaks, mean_peak_6dp, argmax_bucket
+    * (ties → smallest), dynamic_range = max−min peak]` — all integer
+    * arithmetic except the fixed-point mean, so the decoder carries a
+    * first-principles oracle.
+    */
+  final class EnvelopeCodec(nBuckets: Int = 8) extends MediaCodec {
+    require(nBuckets > 0)
+    override def decode(r: MediaRow): Array[Double] = {
+      val (_, _, samples) = wavPcm16(r.payload, r.doc_id)
+      val n = samples.length
+      if (n == 0)
+        return Array(r.payload.length.toDouble, 0.0, 0.0, -1.0, 0.0)
+      val peaks = new Array[Long](nBuckets)
+      var j = 0
+      while (j < n) {
+        val b = (j.toLong * nBuckets / n).toInt
+        val a = math.abs(samples(j).toLong)
+        if (a > peaks(b)) peaks(b) = a
+        j += 1
+      }
+      var sp = 0L; var mx = Long.MinValue; var mn = Long.MaxValue
+      var pb = -1
+      var b = 0
+      while (b < nBuckets) {
+        sp += peaks(b)
+        if (peaks(b) > mx) { mx = peaks(b); pb = b }
+        if (peaks(b) < mn) mn = peaks(b)
+        b += 1
+      }
+      val mean = math.floor(sp.toDouble / nBuckets * 1e6 + 0.5) / 1e6
+      Array(r.payload.length.toDouble, sp.toDouble, mean, pb.toDouble,
+        (mx - mn).toDouble)
+    }
+  }
+
   /** FRAME SAMPLING — the "every k-th frame" decimation step of a
     * video/audio ingest (decode cost at 100 TB is dominated by frames
     * nobody needs; sampling happens AT the codec so skipped frames
@@ -1017,6 +1058,15 @@ object MultimodalQueries {
       Multimodal.extractFeatures(s, rows.toDF(),
         new Multimodal.VadSegmentCodec).toDF()
     }),
+    // fixed-bucket peak envelope (waveform thumbnail) at the codec —
+    // integer bucket bounds + peaks ⇒ first-principles oracle
+    "m16_audio_envelope" -> ((s, d) => {
+      import s.implicits._
+      val rows = Multimodal.mediaTable(Tables.documents(s, d))
+        .as[Multimodal.MediaRow].map(Multimodal.textPcmWav(_))
+      Multimodal.extractFeatures(s, rows.toDF(),
+        new Multimodal.EnvelopeCodec).toDF()
+    }),
     // SPECTRAL features through the REAL from-scratch radix-2 FFT
     // (verified against a naive DFT and Parseval in the spec):
     // payloads are deterministic synthesized WAVs whose samples mix
@@ -1386,6 +1436,37 @@ object MultimodalQueries {
            CAST(COALESCE(a.longest, 0) AS DOUBLE) AS feat_0,
            CAST(COALESCE(a.activef, 0) AS DOUBLE) AS feat_1
          FROM d LEFT JOIN agg a USING (doc_id)""",
+    // integer bucket bounds (j·8 div n), per-bucket MAX |s|, argmax
+    // ties to the smallest bucket, fixed-point mean
+    "m16_audio_envelope" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS len,
+             LEAST(1024, GREATEST(64, 2 * length(text))) AS n
+           FROM documents),
+         sam AS (
+           SELECT d.doc_id, d.n, j.j,
+             ABS(CAST((ord(substr(d.text, CAST(1 + (j.j % d.len) AS INT), 1))
+               - 128) * 128 AS BIGINT)) AS a
+           FROM d, LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS j) j),
+         bk AS (
+           SELECT doc_id, n, (j * 8) // n AS b, MAX(a) AS pk
+           FROM sam GROUP BY 1, 2, 3),
+         ag AS (
+           SELECT doc_id, n, SUM(pk) AS sp, MAX(pk) AS mx, MIN(pk) AS mn,
+             CAST(COUNT(*) AS BIGINT) AS nb
+           FROM bk GROUP BY 1, 2),
+         am AS (
+           SELECT bk.doc_id, MIN(bk.b) AS pb
+           FROM bk JOIN ag ON bk.doc_id = ag.doc_id AND bk.pk = ag.mx
+           GROUP BY 1)
+         SELECT ag.doc_id, 'audio/wav' AS media_type,
+           CAST(44 + 2 * ag.n AS BIGINT) AS n_bytes,
+           CAST(ag.sp AS BIGINT) AS byte_sum,
+           FLOOR(CAST(ag.sp AS DOUBLE) / ag.nb * 1e6 + 0.5) / 1e6
+             AS mean_byte,
+           CAST(am.pb AS DOUBLE) AS feat_0,
+           CAST(ag.mx - ag.mn AS DOUBLE) AS feat_1
+         FROM ag JOIN am USING (doc_id)""",
     // GrvSceneCodec: frame f's pixel j is text byte ((scene_f·fs + j)
     // mod len) + f (drift), scenes split at the doc_id-keyed cut —
     // every transition's integer |Δ| sum, the per-transition cut test

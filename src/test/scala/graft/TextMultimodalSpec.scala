@@ -7,6 +7,26 @@ import graft.operators.{Gif, Multimodal, MultimodalQueries}
 class TextMultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("EnvelopeCodec: bucket peaks, argmax tie-break and range on a planted waveform") {
+    import graft.operators.Multimodal
+    // 16 samples → 8 buckets of 2; peaks per bucket:
+    // [5, 100, 7, 100, 0, 3, 50, 9] → sum 274, max 100 (argmax ties
+    // bucket 1), min 0, range 100, mean 34.25
+    val samples = Array[Short](5, 2, 100, 1, 7, 6, 99, 100, 0, 0, 3, 1,
+      50, 12, 9, -8)
+    val wav = Multimodal.synthWav(8000, samples)
+    val got = new Multimodal.EnvelopeCodec(8).decode(
+      Multimodal.MediaRow(1L, wav, "audio/wav", 0, 0))
+    assert(got.toSeq == Seq(wav.length.toDouble, 274.0, 34.25, 1.0, 100.0),
+      got.toSeq.toString)
+    // degenerate: constant signal → range 0, argmax bucket 0
+    val flat = Array.fill[Short](16)(7)
+    val got2 = new Multimodal.EnvelopeCodec(8).decode(
+      Multimodal.MediaRow(2L, Multimodal.synthWav(8000, flat),
+        "audio/wav", 0, 0))
+    assert(got2(3) == 0.0 && got2(4) == 0.0 && got2(1) == 56.0)
+  }
+
   test("lexicalDiversity: hand-computed types/hapax over planted docs") {
     // en: "a a b" (3 tok, 2 types, 1 hapax) + "b c" (2, 2, 2)
     //   → tokens 5, types 4, hapax 3, ttr 0.8, hapax 0.75
