@@ -691,6 +691,11 @@ object Graft {
   def benfordProfile(df: DataFrame, centsCol: String): DataFrame =
     operators.Olap.benfordProfile(df, centsCol)
 
+  /** Per-join-key skew profile — the pre-shuffle planning readout
+    * (see [[operators.Olap.keySkewProfile]]). */
+  def keySkewProfile(df: DataFrame, keys: Seq[String]): DataFrame =
+    operators.Olap.keySkewProfile(df, keys)
+
   /** Register graft's SQL functions + optimizer rule on a session. */
   def install(spark: SparkSession): Unit = GraftFunctions.register(spark)
 }

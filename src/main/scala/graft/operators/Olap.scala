@@ -396,6 +396,41 @@ object Olap {
           .as("contribution"))
   }
 
+  /** Per-JOIN-KEY SKEW PROFILE: the pre-shuffle planning readout a
+    * 100 TB engine consults before picking salting / AQE skew
+    * thresholds — for each candidate key, the key-count distribution
+    * (cardinality, heaviest key, exact p50/p99 per-key row counts,
+    * max/mean skew ratio). One key-grain aggregate per key; the
+    * percentiles ride [[exactPercentilesByGroup]]'s histogram pass
+    * over the KEY-grain counts (never the facts). All ratios divide
+    * exact integers.
+    */
+  def keySkewProfile(df: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "at least one key column")
+    val profiles = keys.map { k =>
+      val counts = df.groupBy(col(k).as("__key"))
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn("__grp", lit(k))
+      val stats = counts.groupBy("__grp").agg(
+        count(lit(1)).as("n_keys"),
+        sum("__cnt").as("total_rows"),
+        max("__cnt").as("max_per_key"))
+      stats.join(
+        exactPercentilesByGroup(counts, "__grp", "__cnt", Seq(0.5, 0.99)),
+        Seq("__grp"))
+    }
+    profiles.reduce(_.unionByName(_))
+      .select(col("__grp").as("join_key"), col("n_keys"), col("total_rows"),
+        col("max_per_key"),
+        round(col("max_per_key").cast("double") /
+          col("total_rows").cast("double"), 6).as("top1_share"),
+        round(col("pcts")(0), 6).as("p50_per_key"),
+        round(col("pcts")(1), 6).as("p99_per_key"),
+        round(col("max_per_key").cast("double") /
+          (col("total_rows").cast("double") / col("n_keys").cast("double")),
+          6).as("skew_ratio"))
+  }
+
   /** Benford first-digit profile of a positive exact-integer amount
     * column: digit shares vs log₁₀(1+1/d). The leading digit is
     * integer string arithmetic (no float log in the digit path).

@@ -1718,7 +1718,16 @@ object OlapQueries {
       Olap.benfordProfile(
         Tables.orders(s, d).select(floor(col("o_totalprice") * 100.0 + 0.5)
           .cast("long").as("cents")), "cents")
-        .withColumnRenamed("n_rows", "n_orders"))
+        .withColumnRenamed("n_rows", "n_orders")),
+
+    // JOIN-KEY SKEW PROFILE (the shuffle-planning readout): for each
+    // candidate lineitem join key, cardinality / heaviest key / exact
+    // p50+p99 per-key counts / max-over-mean skew — what decides
+    // salting and AQE skew thresholds before a 100 TB join runs. One
+    // key-grain aggregate per key; percentiles over KEY-grain counts
+    "q70_skew_profile" -> ((s, d) =>
+      Olap.keySkewProfile(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_partkey", "l_suppkey")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -2775,6 +2784,38 @@ object OlapQueries {
                - (CAST(n_customers AS DOUBLE) + 1.0) * CAST(s AS DOUBLE))
              / (CAST(n_customers AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS gini
          FROM g""",
+    "q70_skew_profile" ->
+      """WITH ok AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+             FROM lineitem GROUP BY 1),
+         pk AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+             FROM lineitem GROUP BY 1),
+         sk AS (SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+             FROM lineitem GROUP BY 1),
+         pr AS (
+           SELECT 'l_orderkey' AS join_key, CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(c) AS BIGINT) AS total_rows,
+             CAST(MAX(c) AS BIGINT) AS max_per_key,
+             quantile_cont(c, 0.5) AS p50, quantile_cont(c, 0.99) AS p99
+           FROM ok
+           UNION ALL
+           SELECT 'l_partkey', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(c) AS BIGINT), CAST(MAX(c) AS BIGINT),
+             quantile_cont(c, 0.5), quantile_cont(c, 0.99)
+           FROM pk
+           UNION ALL
+           SELECT 'l_suppkey', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(c) AS BIGINT), CAST(MAX(c) AS BIGINT),
+             quantile_cont(c, 0.5), quantile_cont(c, 0.99)
+           FROM sk)
+         SELECT join_key, n_keys, total_rows, max_per_key,
+           ROUND(CAST(max_per_key AS DOUBLE)
+             / CAST(total_rows AS DOUBLE), 6) AS top1_share,
+           ROUND(p50, 6) AS p50_per_key,
+           ROUND(p99, 6) AS p99_per_key,
+           ROUND(CAST(max_per_key AS DOUBLE)
+             / (CAST(total_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6)
+             AS skew_ratio
+         FROM pr""",
     "q69_benford" ->
       """WITH dg AS (
            SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5)

@@ -95,6 +95,28 @@ class StatsQueriesSpec extends SparkSpec {
     assert(out(("b", "y")) == ((42.0, 0.095238)))
   }
 
+  test("keySkewProfile: hand-computed skew stats on a planted hot key") {
+    import spark.implicits._
+    // key 'a': one hot value (6 rows) + 3 singletons → counts
+    // [6,1,1,1]: n=4, total=9, max=6, top1 2/3, mean 2.25, skew 8/3,
+    // p50 = 1 (quantile_cont of [1,1,1,6] at 0.5), p99 = 5.85
+    val df = (Seq.fill(6)(("h", "x")) ++
+      Seq(("k1", "x"), ("k2", "x"), ("k3", "x"))).toDF("a", "b")
+    val r = Olap.keySkewProfile(df, Seq("a")).collect().head
+    assert(r.getAs[String]("join_key") == "a")
+    assert(r.getAs[Long]("n_keys") == 4L)
+    assert(r.getAs[Long]("total_rows") == 9L)
+    assert(r.getAs[Long]("max_per_key") == 6L)
+    assert(r.getAs[Double]("top1_share") == 0.666667)
+    assert(r.getAs[Double]("p50_per_key") == 1.0)
+    assert(math.abs(r.getAs[Double]("p99_per_key") - 5.85) < 1e-9)
+    assert(math.abs(r.getAs[Double]("skew_ratio") - 2.666667) < 1e-9)
+    // a uniform key: skew ratio exactly 1
+    val u = Olap.keySkewProfile(df, Seq("b")).collect().head
+    assert(u.getAs[Double]("skew_ratio") == 1.0 &&
+      u.getAs[Long]("n_keys") == 1L)
+  }
+
   test("benfordProfile: digit extraction and shares on planted amounts") {
     import spark.implicits._
     // leading digits: 1×4, 9×2, 3×2 over 8 rows
