@@ -90,6 +90,7 @@ object Similarity {
         shortlist).as("tk"))
       .select(col("q_id"), explode(col("tk")).as("t"))
       .select(col("q_id"), col("t.id").as("id"), col("t.score").as("rel"))
+      .cache()
     val sv = short.join(c.select(col("vec_id").as("id"), col("v"),
       col("nrm")), Seq("id"))
     val sa = sv.select(col("q_id"), col("id").as("ia"), col("v").as("va"),
@@ -99,35 +100,48 @@ object Similarity {
     val sims = sa.join(sb, col("q_id") === col("qb") && col("ia") =!= col("ib"))
       .select(col("q_id"), col("ia"), col("ib"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-      .orderBy(round(col("score"), 9).desc, col("id"))
-    var selected: DataFrame = null
-    var avail = short
-    for (r <- 1 to k) {
-      val scored =
-        if (r == 1) avail.withColumn("msim", lit(0.0))
-        else avail
-          .join(sims.select(col("q_id").as("sq"), col("ia"), col("ib"),
-            col("sim")), col("q_id") === col("sq") && col("id") === col("ia"))
-          .join(selected.select(col("q_id").as("tq"), col("id").as("tid")),
-            col("sq") === col("tq") && col("ib") === col("tid"))
-          .groupBy(col("q_id"), col("id"), col("rel"))
-          .agg(max("sim").as("msim"))
-      val pick = scored
-        .withColumn("score",
-          lit(lambda) * col("rel") - lit(lambdaComp) * col("msim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("q_id"), col("id"), col("rel"), col("score"),
-          lit(r.toLong).as("pick_rank"))
-      selected = if (r == 1) pick else selected.unionByName(pick)
-      avail = avail.join(pick.select(col("q_id").as("pq"),
-        col("id").as("pid")),
-        col("q_id") === col("pq") && col("id") === col("pid"), "left_anti")
+    // The greedy selection runs on the DRIVER over the collected
+    // shortlist + sims — both provably (nQueries × shortlist)-sized,
+    // the codebook-collect convention. A distributed 5-round
+    // join/window chain here cost 30+ tiny shuffle stages (~8 s at
+    // sf0.1) to rank 200 rows; the corpus-sized work (the shortlist
+    // scan) stays distributed above. Scores/rank keys reproduce the
+    // engine arithmetic bit-for-bit: Double ops in the same order,
+    // HALF_UP 9-dp rank rounding (Spark's `round`).
+    val shortC = short.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val simC = sims.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        r.getDouble(3))).toMap
+    short.unpersist()
+    def key9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val picks = shortC.groupBy(_._1).toSeq.flatMap { case (qid, cand0) =>
+      var cands = cand0.map(t => (t._2, t._3)).toVector
+      var sel = Vector.empty[Long]
+      (1 to k).flatMap { r =>
+        if (cands.isEmpty) None
+        else {
+          val scored = cands.map { case (id, rel) =>
+            val msim =
+              if (sel.isEmpty) 0.0
+              else sel.map(s => simC((qid, id, s))).max
+            (id, rel, lambda * rel - lambdaComp * msim)
+          }
+          val (id, rel, sc0) =
+            scored.minBy { case (i, _, s0) => (-key9(s0), i) }
+          sel :+= id
+          cands = cands.filterNot(_._1 == id)
+          Some((qid, r.toLong, id, rel, sc0))
+        }
+      }
     }
-    selected.select(col("q_id"), col("pick_rank"), col("id").as("vec_id"),
-      round(col("rel"), 6).as("relevance"),
-      round(col("score"), 6).as("mmr_score"))
+    val session = emb.sparkSession
+    import session.implicits._
+    picks.toDF("q_id", "pick_rank", "vec_id", "rel", "score")
+      .select(col("q_id"), col("pick_rank"), col("vec_id"),
+        round(col("rel"), 6).as("relevance"),
+        round(col("score"), 6).as("mmr_score"))
   }
 
   /** kNN CLASSIFICATION: predict each query vector's label by
