@@ -396,6 +396,37 @@ object Olap {
           .as("contribution"))
   }
 
+  /** DECILE LIFT / GAINS TABLE: entities ranked into ntile(10)
+    * deciles by an exact integer-cent measure; per decile the revenue
+    * share, cumulative share, and lift over a uniform 10% slice. The
+    * ntile window carries a TOTAL order (cents desc, id) so the split
+    * is deterministic in both engines; shares divide DECIMAL(38,0)
+    * sums; the window runs at ENTITY grain (dimension-sized — facts
+    * pre-aggregate first, the q64 global-window convention).
+    */
+  def decileLift(byEntity: DataFrame, idCol: String,
+      centsCol: String): DataFrame = {
+    val ranked = byEntity.withColumn("decile",
+      ntile(10).over(Window.orderBy(col(centsCol).desc, col(idCol)))
+        .cast("long"))
+    val g = ranked.groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col(centsCol).cast("decimal(38,0)")).as("__c"))
+    val tot = g.agg(sum("__c").as("__t"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.crossJoin(broadcast(tot))
+      .withColumn("__share",
+        col("__c").cast("double") / col("__t").cast("double"))
+      .withColumn("__cum", sum(col("__c")).over(wCum).cast("double")
+        / col("__t").cast("double"))
+      .select(col("decile"), col("n_customers"),
+        round(col("__c").cast("double") / 100.0, 2).as("revenue"),
+        round(col("__share"), 6).as("share"),
+        round(col("__cum"), 6).as("cum_share"),
+        round(col("__share") * 10.0, 6).as("lift"))
+  }
+
   /** Per-JOIN-KEY SKEW PROFILE: the pre-shuffle planning readout a
     * 100 TB engine consults before picking salting / AQE skew
     * thresholds — for each candidate key, the key-count distribution

@@ -1720,6 +1720,22 @@ object OlapQueries {
           .cast("long").as("cents")), "cents")
         .withColumnRenamed("n_rows", "n_orders")),
 
+    // DECILE LIFT / GAINS TABLE (the campaign-targeting readout):
+    // customers ranked by revenue into ntile(10) deciles; per decile
+    // the revenue share, cumulative share, and lift over a uniform
+    // 10% slice — "how concentrated is the payoff of targeting the
+    // top decile". Revenue is exact integer cents (one fact shuffle
+    // to customer grain); the ntile window runs at CUSTOMER grain
+    // with a total order (rev desc, custkey) so the decile split is
+    // deterministic in both engines; shares divide DECIMAL(38,0)
+    // sums.
+    "q71_decile_lift" -> ((s, d) =>
+      Olap.decileLift(
+        Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+            .as("cents")), "o_custkey", "cents")),
+
     // JOIN-KEY SKEW PROFILE (the shuffle-planning readout): for each
     // candidate lineitem join key, cardinality / heaviest key / exact
     // p50+p99 per-key counts / max-over-mean skew — what decides
@@ -2784,6 +2800,31 @@ object OlapQueries {
                - (CAST(n_customers AS DOUBLE) + 1.0) * CAST(s AS DOUBLE))
              / (CAST(n_customers AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS gini
          FROM g""",
+    "q71_decile_lift" ->
+      """WITH bc AS (
+           SELECT o_custkey,
+             SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1),
+         rk AS (
+           SELECT cents, CAST(ntile(10) OVER
+             (ORDER BY cents DESC, o_custkey) AS BIGINT) AS decile
+           FROM bc),
+         g AS (
+           SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             SUM(CAST(cents AS HUGEINT)) AS c
+           FROM rk GROUP BY 1),
+         t AS (SELECT SUM(c) AS t FROM g),
+         w AS (
+           SELECT decile, n_customers, c,
+             SUM(c) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+           FROM g)
+         SELECT decile, n_customers,
+           ROUND(CAST(c AS DOUBLE) / 100.0, 2) AS revenue,
+           ROUND(CAST(c AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS share,
+           ROUND(CAST(cumc AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS cum_share,
+           ROUND(CAST(c AS DOUBLE) / CAST(t.t AS DOUBLE) * 10.0, 6) AS lift
+         FROM w CROSS JOIN t""",
     "q70_skew_profile" ->
       """WITH ok AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
              FROM lineitem GROUP BY 1),

@@ -95,6 +95,22 @@ class StatsQueriesSpec extends SparkSpec {
     assert(out(("b", "y")) == ((42.0, 0.095238)))
   }
 
+  test("decileLift: hand-computed gains table on 20 planted customers") {
+    import spark.implicits._
+    // ids 1..20 with cents = 100·id ⇒ total 21000; decile 1 holds the
+    // two richest (2000+1900=3900): share 13/70, lift 130/70
+    val df = (1L to 20L).map(i => (i, 100L * i)).toDF("id", "cents")
+    val out = Olap.decileLift(df, "id", "cents")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getAs[Double]("revenue"), r.getAs[Double]("share"),
+          r.getAs[Double]("cum_share"), r.getAs[Double]("lift")))).toMap
+    assert(out.size == 10 && out.values.forall(_._1 == 2L))
+    assert(out(1) == ((2L, 39.0, 0.185714, 0.185714, 1.857143)))
+    assert(out(10) == ((2L, 3.0, 0.014286, 1.0, 0.142857)))
+    // cumulative share half-way: (39+35+31+27+23)/210 = 0.738095…
+    assert(out(5)._4 == 0.738095)
+  }
+
   test("keySkewProfile: hand-computed skew stats on a planted hot key") {
     import spark.implicits._
     // key 'a': one hot value (6 rows) + 3 singletons → counts
