@@ -340,6 +340,41 @@ object StreamingOps {
       }
   }
 
+  case class QuotaOut(event_type: String, event_id: Long, admit_rank: Long)
+
+  /** STREAMING QUOTA ADMISSION (st32): admit at most `cap` events per
+    * type, first-come by (ts, event_id) — the per-source admission
+    * control an ingest gateway applies ("no more than N from this
+    * producer", p14's contract as a continuous process). State per
+    * type is ONE counter; each admitted event emits exactly once with
+    * its admission rank; everything past the quota is dropped at the
+    * gate, paying no downstream cost. Batch-deterministic: events
+    * sort (ts, id) within the group, so the batch run equals the
+    * oracle's global row_number.
+    */
+  def quotaAdmitFMGWS(spark: SparkSession, events: DataFrame,
+      cap: Long = 150L): org.apache.spark.sql.Dataset[QuotaOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.select(col("event_id"), col("ts"), lit(0L).as("user_id"),
+        col("event_type")).as[EvT]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[Long, QuotaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (ty: String, it: Iterator[EvT], state: GroupState[Long]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000
+          val evs = it.toIndexedSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var n = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.Buffer[QuotaOut]()
+          evs.foreach { e =>
+            if (n < cap) { n += 1; out += QuotaOut(ty, e.event_id, n) }
+          }
+          state.update(n)
+          out.iterator
+      }
+  }
+
   /** STREAMING HOLT FORECAST (q61 as a continuous process): st25's
     * day-close state machine carrying the level+trend DOUBLE
     * recurrence — per event type the state is FIVE scalars (open day,
@@ -776,6 +811,11 @@ object StreamingQueries {
     // rather than spec-only
     "st17_fmgws_sessionize" -> ((s, d) =>
       StreamingOps.sessionizeFMGWS(s, Tables.events(s, d)).toDF()),
+    // custom-state QUOTA ADMISSION (p14's per-source cap as a
+    // continuous process): one counter per type, first-come by
+    // (ts, id), over-quota events dropped at the gate
+    "st32_stream_quota" -> ((s, d) =>
+      StreamingOps.quotaAdmitFMGWS(s, Tables.events(s, d)).toDF()),
     // custom-state ATTRIBUTION (q44 streamed): per-user state is two
     // fixed-size touch slots; each purchase emits its credit exactly
     // once — checked against q44's own oracle SQL
@@ -1467,6 +1507,14 @@ object StreamingQueries {
            ROUND(best.match_cos, 6) AS match_cos
          FROM batch b CROSS JOIN cid
          LEFT JOIN best ON b.vec_id = best.vec_id""",
+    // the batch-deterministic admission rule as one global window
+    "st32_stream_quota" ->
+      """SELECT event_type, event_id, CAST(rn AS BIGINT) AS admit_rank
+         FROM (SELECT event_type, event_id,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY ts, event_id) AS rn
+               FROM events)
+         WHERE rn <= 150""",
     // the same micro-quantized moments, HUGEINT sums, identical
     // finalization parenthesization, watermark-closed days only
     "st31_stream_corr" ->

@@ -88,7 +88,9 @@ class PlanLintSpec extends SparkSpec {
     // their EWMA/Holt fold plans are q54's/q61's (linted there)
     "st27_stream_chart_pipeline", "st28_stream_holt_pipeline",
     // st31 likewise; its moment-sum agg shape is q66's (linted there)
-    "st31_stream_corr")
+    "st31_stream_corr",
+    // st32 is a custom-state (fMGWS) path like st17/st20/st21
+    "st32_stream_quota")
 
   test("no registry query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -390,6 +390,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st32: quota counter persists across micro-batches; over-quota events drop at the gate") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ev(id: Long, sec: Int) = StreamingOps.EvT(
+      id, java.sql.Timestamp.from(
+        java.time.Instant.parse(f"2024-03-01T10:00:$sec%02dZ")), 1L, "click")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[StreamingOps.EvT]
+    val q = StreamingOps.quotaAdmitFMGWS(spark, ms.toDF(), cap = 5L).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st32_quota").start()
+    try {
+      // batch 1: 3 admits (out of ts order — the sort normalizes)
+      ms.addData(Seq(ev(3, 30), ev(1, 10), ev(2, 20)))
+      q.processAllAvailable()
+      // batch 2: 4 arrivals but only 2 quota slots remain
+      ms.addData(Seq(ev(4, 40), ev(5, 50), ev(6, 55), ev(7, 59)))
+      q.processAllAvailable()
+      val got = spark.table("st32_quota").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("admit_rank"))
+        .toMap
+      assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L),
+        s"quota must persist across batches: $got")
+    } finally q.stop()
+  }
+
   test("st31: planted linear day gives exact r=1; late event folds into the moments") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
