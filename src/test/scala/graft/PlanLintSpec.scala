@@ -45,7 +45,10 @@ class PlanLintSpec extends SparkSpec {
     "q64_abc_pareto",      // 1-row revenue-total broadcast (pct normalizer)
     "d22_lsh_recall_eval", // three 1-row metric frames crossed (eval readout)
     "g9_modularity",       // 1-row edge-count broadcast (modularity normalizer)
-    "s16_mmr_diversify"    // brute shortlist broadcasts the query set (s1)
+    "s16_mmr_diversify",   // brute shortlist broadcasts the query set (s1)
+    "q70_skew_profile",    // per-key 1-row stats ⨝ 1-row percentiles on a
+                           // literal group key (constant-folded to NLJ)
+    "q71_decile_lift"      // 1-row revenue-total broadcast (share normalizer)
   )
 
   private val skipEager = Set(
