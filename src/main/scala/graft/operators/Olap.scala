@@ -482,4 +482,40 @@ object Olap {
         round(col("benford"), 6).as("benford"),
         round(col("share") - col("benford"), 6).as("delta"))
   }
+
+  /** PRICE–VOLUME–MIX decomposition (the period-over-period revenue
+    * waterfall): per group, ΔRev between two periods split into
+    * price effect (Δprice · q₀), volume effect (Δqty · p₀) and the
+    * joint/mix term (Δprice · Δqty) — the three sum to ΔRev by
+    * construction. Sufficient statistics are exact integers (cents,
+    * unit counts) from ONE conditionally-aggregated fact pass; the
+    * effects are doubles of exact integers with a fixed
+    * parenthesization the oracle mirrors. Groups missing either
+    * period drop (a division by zero units is meaningless, the
+    * new/discontinued lines belong to a separate bridge line).
+    */
+  def priceVolumeMix(df: DataFrame, groupCol: String, periodCol: String,
+      centsCol: String, qtyCol: String, p0: Any, p1: Any): DataFrame = {
+    def tot(p: Any, c: String) =
+      sum(when(col(periodCol) === lit(p), col(c)).otherwise(lit(0L)))
+    val g = df.filter(col(periodCol) === lit(p0) || col(periodCol) === lit(p1))
+      .groupBy(col(groupCol))
+      .agg(tot(p0, centsCol).as("rev0"), tot(p1, centsCol).as("rev1"),
+        tot(p0, qtyCol).as("qty0"), tot(p1, qtyCol).as("qty1"))
+      .filter(col("qty0") > 0L && col("qty1") > 0L)
+    val price0 = col("rev0").cast("double") / col("qty0").cast("double")
+    val price1 = col("rev1").cast("double") / col("qty1").cast("double")
+    g.select(col(groupCol),
+      round(col("rev0").cast("double") / 100.0, 2).as("rev_p0"),
+      round(col("rev1").cast("double") / 100.0, 2).as("rev_p1"),
+      col("qty0"), col("qty1"),
+      round((col("rev1") - col("rev0")).cast("double") / 100.0, 2)
+        .as("delta_rev"),
+      round((price1 - price0) * col("qty0").cast("double") / 100.0, 4)
+        .as("price_effect"),
+      round((col("qty1") - col("qty0")).cast("double") * price0 / 100.0, 4)
+        .as("volume_effect"),
+      round((price1 - price0) *
+        (col("qty1") - col("qty0")).cast("double") / 100.0, 4).as("mix_effect"))
+  }
 }

@@ -1743,7 +1743,77 @@ object OlapQueries {
     // key-grain aggregate per key; percentiles over KEY-grain counts
     "q70_skew_profile" -> ((s, d) =>
       Olap.keySkewProfile(Tables.lineitem(s, d),
-        Seq("l_orderkey", "l_partkey", "l_suppkey")))
+        Seq("l_orderkey", "l_partkey", "l_suppkey"))),
+
+    // PRICE–VOLUME–MIX waterfall (the period-over-period revenue
+    // bridge): per brand, 1996→1997 ΔRev split into price / volume /
+    // joint effects that sum to ΔRev by construction. ONE
+    // conditionally-aggregated fact pass (year rides a CASE, not a
+    // second scan); part→brand is a broadcast dim join; the effects
+    // are doubles of exact integer cents/units with the oracle's
+    // parenthesization. The finance readout behind "did we sell more,
+    // or just at higher prices".
+    "q72_price_volume_mix" -> ((s, d) => {
+      val f = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), year(col("l_shipdate")).as("yr"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100.0 + 0.5).cast("long").as("cents"),
+          col("l_quantity").cast("long").as("qty"))
+      Olap.priceVolumeMix(f, "p_brand", "yr", "cents", "qty", 1996, 1997)
+    }),
+
+    // FUNNEL LATENCY (q31's time dimension): seconds from first view
+    // to the first strictly-later purchase, percentiled per
+    // first-view day-of-week cohort. Latencies are exact integer
+    // seconds; p50/p90 ride the histogram-rank exact-percentile pass
+    // over the per-cohort latency frame (user-grain, never events);
+    // quantile_cont interpolation parity is q16/q48's.
+    "q73_funnel_latency" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("first_view"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id").filter(col("ts") > col("first_view"))
+        .groupBy("user_id").agg(min("ts").as("first_purchase"),
+          min("first_view").as("first_view"))
+      val lat = p.select(
+        dayofweek(col("first_view")).cast("long").as("cohort_dow"),
+        (unix_timestamp(col("first_purchase")) -
+          unix_timestamp(col("first_view"))).as("lat_sec"))
+      lat.groupBy("cohort_dow").agg(count(lit(1)).as("n_converts"))
+        .join(Olap.exactPercentilesByGroup(lat, "cohort_dow", "lat_sec",
+          Seq(0.5, 0.9)), Seq("cohort_dow"))
+        .select(col("cohort_dow"), col("n_converts"),
+          round(col("pcts")(0), 6).as("p50_latency_sec"),
+          round(col("pcts")(1), 6).as("p90_latency_sec"))
+    }),
+
+    // AGING BUCKETS (the receivables/inventory-age report): every
+    // order bucketed by its age at the corpus snapshot (max order
+    // date, a 1-row broadcast anchor — q50's shape), counts and exact
+    // integer-cent totals per (priority, bucket). Bucket assignment
+    // is per-row arithmetic; the aggregate's key cardinality is
+    // |priorities| × 4 whatever the fact count.
+    "q74_aging_buckets" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderpriority"),
+        col("o_orderdate"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      val anchor = o.agg(max("o_orderdate").as("snap"))
+      o.crossJoin(broadcast(anchor))
+        .withColumn("age_days",
+          datediff(col("snap"), col("o_orderdate")).cast("long"))
+        .withColumn("age_bucket",
+          when(col("age_days") <= 30L, "0-30")
+            .when(col("age_days") <= 60L, "31-60")
+            .when(col("age_days") <= 90L, "61-90")
+            .otherwise("91+"))
+        .groupBy("o_orderpriority", "age_bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("cents").cast("double") / 100.0, 2).as("total_value"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -2872,6 +2942,78 @@ object OlapQueries {
          SELECT digit, n_orders, ROUND(share, 6) AS share,
            ROUND(benford, 6) AS benford,
            ROUND(share - benford, 6) AS delta
-         FROM w"""
+         FROM w""",
+    // the same conditional-aggregate sufficient statistics and the
+    // identical effect parenthesization ((p1-p0)*q0, (q1-q0)*p0, joint)
+    "q72_price_volume_mix" ->
+      """WITH f AS (
+           SELECT p.p_brand,
+             CAST(year(l_shipdate) AS BIGINT) AS yr,
+             CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+               AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS qty
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE year(l_shipdate) IN (1996, 1997)),
+         g AS (
+           SELECT p_brand,
+             SUM(CASE WHEN yr = 1996 THEN cents ELSE 0 END) AS rev0,
+             SUM(CASE WHEN yr = 1997 THEN cents ELSE 0 END) AS rev1,
+             SUM(CASE WHEN yr = 1996 THEN qty ELSE 0 END) AS qty0,
+             SUM(CASE WHEN yr = 1997 THEN qty ELSE 0 END) AS qty1
+           FROM f GROUP BY 1
+           HAVING SUM(CASE WHEN yr = 1996 THEN qty ELSE 0 END) > 0
+              AND SUM(CASE WHEN yr = 1997 THEN qty ELSE 0 END) > 0)
+         SELECT p_brand,
+           ROUND(CAST(rev0 AS DOUBLE) / 100.0, 2) AS rev_p0,
+           ROUND(CAST(rev1 AS DOUBLE) / 100.0, 2) AS rev_p1,
+           qty0, qty1,
+           ROUND(CAST(rev1 - rev0 AS DOUBLE) / 100.0, 2) AS delta_rev,
+           ROUND((CAST(rev1 AS DOUBLE) / CAST(qty1 AS DOUBLE)
+                  - CAST(rev0 AS DOUBLE) / CAST(qty0 AS DOUBLE))
+                 * CAST(qty0 AS DOUBLE) / 100.0, 4) AS price_effect,
+           ROUND(CAST(qty1 - qty0 AS DOUBLE)
+                 * (CAST(rev0 AS DOUBLE) / CAST(qty0 AS DOUBLE))
+                 / 100.0, 4) AS volume_effect,
+           ROUND((CAST(rev1 AS DOUBLE) / CAST(qty1 AS DOUBLE)
+                  - CAST(rev0 AS DOUBLE) / CAST(qty0 AS DOUBLE))
+                 * CAST(qty1 - qty0 AS DOUBLE) / 100.0, 4) AS mix_effect
+         FROM g""",
+    // q31's first-view/first-purchase derivation; DuckDB dayofweek is
+    // 0-based Sunday vs Spark's 1-based, hence the +1; date_diff
+    // ('second') truncation ≡ unix_timestamp subtraction
+    "q73_funnel_latency" ->
+      """WITH v AS (
+           SELECT user_id, MIN(ts) AS first_view FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         p AS (
+           SELECT e.user_id, MIN(e.ts) AS first_purchase,
+             MIN(v.first_view) AS first_view
+           FROM events e JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > v.first_view
+           GROUP BY 1),
+         lat AS (
+           SELECT CAST(dayofweek(CAST(first_view AS TIMESTAMP)) + 1
+               AS BIGINT) AS cohort_dow,
+             date_diff('second', CAST(first_view AS TIMESTAMP),
+               CAST(first_purchase AS TIMESTAMP)) AS lat_sec
+           FROM p)
+         SELECT cohort_dow, COUNT(*) AS n_converts,
+           ROUND(quantile_cont(lat_sec, 0.5), 6) AS p50_latency_sec,
+           ROUND(quantile_cont(lat_sec, 0.9), 6) AS p90_latency_sec
+         FROM lat GROUP BY 1""",
+    "q74_aging_buckets" ->
+      """WITH a AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS snap FROM orders),
+         b AS (
+           SELECT o_orderpriority,
+             date_diff('day', CAST(o_orderdate AS DATE), a.snap) AS age_days,
+             CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+           FROM orders, a)
+         SELECT o_orderpriority,
+           CASE WHEN age_days <= 30 THEN '0-30'
+                WHEN age_days <= 60 THEN '31-60'
+                WHEN age_days <= 90 THEN '61-90' ELSE '91+' END AS age_bucket,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(cents) / 100.0, 2) AS total_value
+         FROM b GROUP BY 1, 2"""
   )
 }

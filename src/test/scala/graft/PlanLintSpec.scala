@@ -48,7 +48,8 @@ class PlanLintSpec extends SparkSpec {
     "s16_mmr_diversify",   // brute shortlist broadcasts the query set (s1)
     "q70_skew_profile",    // per-key 1-row stats ⨝ 1-row percentiles on a
                            // literal group key (constant-folded to NLJ)
-    "q71_decile_lift"      // 1-row revenue-total broadcast (share normalizer)
+    "q71_decile_lift",     // 1-row revenue-total broadcast (share normalizer)
+    "q74_aging_buckets"    // 1-row snapshot-date broadcast (q50's anchor)
   )
 
   private val skipEager = Set(

@@ -149,4 +149,45 @@ class StatsQueriesSpec extends SparkSpec {
       .filter(col("digit") === 1).collect().head.getAs[Double]("benford")
     assert(math.abs(b1 - math.log10(2.0)) < 1e-6)
   }
+
+  test("priceVolumeMix: hand-computed waterfall; effects sum to delta") {
+    import spark.implicits._
+    // brand A: p0 = 200c/u × 10u → p1 = 250c/u × 12u
+    //   price effect (0.50)·10 = 5.00, volume 2·2.00 = 4.00, mix 0.50·2 = 1.00
+    // brand B: missing period 1 → dropped
+    val f = Seq(
+      ("A", 1996, 2000L, 10L), ("A", 1997, 3000L, 12L),
+      ("B", 1996, 500L, 5L),
+      ("A", 1995, 99999L, 7L) // out-of-window period must be ignored
+    ).toDF("brand", "yr", "cents", "qty")
+    val out = Olap.priceVolumeMix(f, "brand", "yr", "cents", "qty", 1996, 1997)
+      .collect()
+    assert(out.length == 1 && out.head.getAs[String]("brand") == "A")
+    val r = out.head
+    assert(r.getAs[Double]("rev_p0") == 20.0 && r.getAs[Double]("rev_p1") == 30.0)
+    assert(r.getAs[Double]("delta_rev") == 10.0)
+    assert(r.getAs[Double]("price_effect") == 5.0)
+    assert(r.getAs[Double]("volume_effect") == 4.0)
+    assert(r.getAs[Double]("mix_effect") == 1.0)
+    assert(math.abs(r.getAs[Double]("price_effect") +
+      r.getAs[Double]("volume_effect") + r.getAs[Double]("mix_effect") -
+      r.getAs[Double]("delta_rev")) < 1e-9,
+      "waterfall identity: effects must sum to delta_rev")
+  }
+
+  test("q74 aging bucket edges: 30/31, 60/61, 90/91 land on both sides") {
+    import spark.implicits._
+    // replicate the entry's bucket CASE on planted ages
+    val df = Seq(0L, 30L, 31L, 60L, 61L, 90L, 91L).toDF("age_days")
+      .withColumn("age_bucket",
+        when(col("age_days") <= 30L, "0-30")
+          .when(col("age_days") <= 60L, "31-60")
+          .when(col("age_days") <= 90L, "61-90")
+          .otherwise("91+"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(0L) == "0-30" && m(30L) == "0-30")
+    assert(m(31L) == "31-60" && m(60L) == "31-60")
+    assert(m(61L) == "61-90" && m(90L) == "61-90")
+    assert(m(91L) == "91+")
+  }
 }
