@@ -373,4 +373,42 @@ object Graph {
         round(col("common").cast("double") /
           (col("da") + col("dc") - col("common")), 6).as("jaccard"))
   }
+
+  /** CONNECTED COMPONENTS by min-label propagation WITH POINTER
+    * JUMPING, `rounds` synchronous rounds: every node starts labeled
+    * with its own id; each round it takes the minimum of its own
+    * label, its neighbors' labels, and its label's label (the
+    * Shiloach–Vishkin shortcut — labels are node ids, so a label can
+    * be dereferenced like a parent pointer). Plain neighbor-min needs
+    * diameter rounds; the label-of-label hop contracts label chains
+    * geometrically, so O(log n) rounds suffice on any topology — the
+    * difference between 6 shuffles and hundreds on a 100 TB edge
+    * list. Each round is one edge-sized join + node-grain min, plus
+    * one dim-sized label self-join. Fully integer/deterministic; the
+    * oracle unrolls the identical rounds.
+    */
+  def connectedComponents(adj: DataFrame, rounds: Int = 6): DataFrame = {
+    var lbl = adj.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to rounds) {
+      val nb = adj
+        .join(lbl.select(col("node").as("dst"), col("lbl").as("nl")), "dst")
+        .groupBy("src").agg(min("nl").as("nl"))
+        .select(col("src").as("node"), col("nl"))
+      val gp = lbl.select(col("node").as("g_node"), col("lbl").as("gl"))
+      // The label frame feeds THREE consumers per round (itself, the
+      // neighbor min, the pointer jump); left un-truncated the logical
+      // plan triples per round (3^rounds analysis blow-up). An eager
+      // node-grain checkpoint per round keeps the plan one round deep —
+      // the standard lineage cut for iterative graph algorithms.
+      lbl = lbl
+        .join(nb, Seq("node"), "left")
+        .join(gp, col("lbl") === col("g_node"))
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl")), col("gl"))
+            .as("lbl"))
+        .localCheckpoint()
+    }
+    lbl
+  }
 }

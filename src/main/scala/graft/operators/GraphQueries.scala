@@ -174,6 +174,15 @@ object GraphQueries {
       rankedTopK(cn, Seq(col("common").desc, col("ca"), col("cc")), 30,
         col("ca").as("part_a"), col("cc").as("part_b"),
         col("common"), col("jaccard"))
+    }),
+    // connected components (6 pointer-jumping min-label rounds) →
+    // component sizes; the spec proves round 6 is the fixpoint at the
+    // gate corpus, so the fixed-round labels ARE the true components
+    "g13_connected_components" -> ((s, d) => {
+      val cc = Graph.connectedComponents(cachedAdjDeg(s, d))
+        .groupBy("lbl").agg(count(lit(1)).as("n_members"))
+      rankedTopK(cc, Seq(col("n_members").desc, col("lbl")), 20,
+        col("lbl").as("component"), col("n_members"))
     }))
 
   /** Shared oracle base: baskets → canonical pairs → per-node top-8 →
@@ -512,5 +521,38 @@ object GraphQueries {
        FROM nonadj n
        JOIN od da ON n.a = da.src
        JOIN od dc ON n.c = dc.src
-       QUALIFY rank <= 30"""))
+       QUALIFY rank <= 30"""),
+    "g13_connected_components" -> (graphCtes + ccCtes(6) +
+      """
+       SELECT rank, component, n_members FROM (
+         SELECT lbl AS component, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(row_number() OVER (ORDER BY COUNT(*) DESC, lbl)
+             AS BIGINT) AS rank
+         FROM cc6 GROUP BY lbl)
+       WHERE rank <= 20"""))
+
+  /** The unrolled pointer-jumping min-label rounds of
+    * [[Graph.connectedComponents]]: per round, min over (own label,
+    * neighbor labels, label-of-label). cc${i} is referenced three
+    * times by round i+1 — MATERIALIZED, or DuckDB re-plans the whole
+    * prefix per reference.
+    */
+  private def ccCtes(rounds: Int): String = {
+    val rs = (1 to rounds).map { i =>
+      val prev = s"cc${i - 1}"
+      s""",
+       ccnb$i AS (
+         SELECT a.src AS node, MIN(p.lbl) AS nl
+         FROM adj a JOIN $prev p ON a.dst = p.node
+         GROUP BY 1),
+       cc$i AS MATERIALIZED (
+         SELECT t.node, LEAST(t.lbl, COALESCE(n.nl, t.lbl), g.lbl) AS lbl
+         FROM $prev t
+         LEFT JOIN ccnb$i n ON n.node = t.node
+         JOIN $prev g ON g.node = t.lbl)"""
+    }.mkString
+    """,
+       cc0 AS MATERIALIZED (
+         SELECT DISTINCT src AS node, src AS lbl FROM adj)""" + rs
+  }
 }

@@ -259,4 +259,28 @@ class GraphSpec extends SparkSpec {
     // proximity ordering: rank decays away from the seed's neighborhood
     assert(got(2L) > got(4L) && got(4L) > got(6L))
   }
+
+  test("connectedComponents: planted components get their min ids") {
+    // triangle {1,2,3}, a 5-node path {10..14} (tests multi-hop
+    // label travel), and an isolated edge {20,21}
+    val e = edgesDF(Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L),
+      (10L, 11L, 1L), (11L, 12L, 1L), (12L, 13L, 1L), (13L, 14L, 1L),
+      (20L, 21L, 1L)))
+    val got = Graph.connectedComponents(Graph.adjacency(e))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents: round 6 is the fixpoint on the gate corpus") {
+    // the registry runs 6 pointer-jumping rounds; a 7th round changing
+    // nothing proves the fixed-round labels ARE the true components
+    val adj = graft.operators.GraphQueries.cachedAdjDeg(spark,
+      "/root/testdata/sf0.001")
+    val r6 = Graph.connectedComponents(adj, 6)
+    val r7 = Graph.connectedComponents(adj, 7)
+    assert(r6.exceptAll(r7).isEmpty && r7.exceptAll(r6).isEmpty,
+      "a 7th round must not move any label")
+  }
 }
