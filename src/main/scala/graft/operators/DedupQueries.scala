@@ -215,6 +215,23 @@ object DedupQueries {
           when(col("n_truth") === 0, lit(null).cast("double"))
             .otherwise(round(col("n_hits").cast("double") /
               col("n_truth").cast("double"), 6)).as("recall"))
+    }),
+    // PER-SOURCE DUPLICATE RATE (the provider-quality report): d1's
+    // exact-dedup flags rolled up per source — which provider ships
+    // redundant content. Composes the d1 operator verbatim (one hash
+    // group pass), then a doc-grain source join and a |sources|-row
+    // aggregate; the rate divides exact counts
+    "d23_dup_rate_by_source" -> ((s, d) => {
+      val flags = Dedup.exactDedup(Tables.documents(s, d))
+        .select(col("doc_id"), col("is_dup"))
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(flags, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+        .withColumn("dup_rate",
+          round(col("n_dups").cast("double") /
+            col("n_docs").cast("double"), 6))
     })
   )
 
@@ -879,6 +896,20 @@ object DedupQueries {
            (0, 391, 197142, 197533, 149174),
            (2, 103, 50270, 50373, 149174))
          SELECT CAST(hamming AS BIGINT) AS hamming, CAST(n_pairs AS BIGINT) AS n_pairs, CAST(sum_a AS BIGINT) AS sum_a, CAST(sum_b AS BIGINT) AS sum_b
-         FROM v JOIN fp ON v.k = fp.k"""
+         FROM v JOIN fp ON v.k = fp.k""",
+    // d1's hash groups rolled up per provider
+    "d23_dup_rate_by_source" ->
+      """WITH keyed AS (
+           SELECT doc_id, source, sha256(lower(trim(text))) AS key
+           FROM documents),
+         groups AS (
+           SELECT key, MIN(doc_id) AS canonical_id FROM keyed GROUP BY key)
+         SELECT k.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN k.doc_id <> g.canonical_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dups,
+           ROUND(SUM(CASE WHEN k.doc_id <> g.canonical_id THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+         FROM keyed k JOIN groups g ON k.key = g.key
+         GROUP BY 1"""
   )
 }

@@ -502,7 +502,18 @@ object TextQueries {
     // ratios divide exact Long sums, so cross-doc double
     // accumulation order can never move a bit
     "t24_lexical_diversity" -> ((s, d) =>
-      lexicalDiversity(Tables.documents(s, d)))
+      lexicalDiversity(Tables.documents(s, d))),
+    // CHARACTER-DISTRIBUTION profile per (lang, source) — the
+    // gibberish / machine-noise screen beside t3's word-level quality
+    // score. Per doc over the fixed [a-z0-9 ] alphabet: kept-char
+    // count, distinct symbols, and the COLLISION (repeat) probability
+    // Σc²/n² in exact integer ppm (floor division — no float sum ever
+    // forms); group rows macro-average the exact integers and derive
+    // the Rényi-2 entropy −log₂(avg collision) with ONE libm call per
+    // GROUP row (q69's accepted log-parity surface: ≤ |lang×source|
+    // rows, never per doc)
+    "t25_char_entropy" -> ((s, d) =>
+      charEntropyProfile(Tables.documents(s, d)))
   )
 
   /** Corpus-level lexical diversity per language — see the
@@ -528,6 +539,34 @@ object TextQueries {
           .as("type_token_ratio"),
         round(col("total_hapax").cast("double") / col("total_types"), 6)
           .as("hapax_ratio"))
+
+  /** Per-(lang, source) character-distribution profile — see the
+    * `t25_char_entropy` entry. All per-doc statistics are exact
+    * integers (the collision probability is a ppm FLOOR DIVISION of
+    * exact counts); the only float op is one log₂ per group row.
+    */
+  def charEntropyProfile(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(split(lower(col("text")), "")).as("ch"))
+      .filter(col("ch").rlike("^[a-z0-9 ]$"))
+      .groupBy("doc_id", "lang", "source", "ch")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "lang", "source")
+      .agg(sum("c").as("n"), count(lit(1)).as("k"),
+        sum(col("c") * col("c")).as("c2"))
+      .withColumn("rr_ppm", expr("(c2 * 1000000L) div (n * n)"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("k").as("sum_distinct"), sum("rr_ppm").as("sum_rr"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        round(col("sum_distinct").cast("double") /
+          col("n_docs").cast("double"), 6).as("avg_distinct_chars"),
+        round(col("sum_rr").cast("double") /
+          col("n_docs").cast("double"), 2).as("avg_collision_ppm"),
+        round(-log2(col("sum_rr").cast("double") /
+          (col("n_docs").cast("double") * 1000000.0)), 6)
+          .as("renyi2_entropy_bits"))
 
   /** The fixed stopword inventory shared by t23's engine and oracle
     * (a literal, so the SQL can inline the identical list).
@@ -1253,6 +1292,32 @@ object TextQueries {
              AS type_token_ratio,
            ROUND(CAST(SUM(n_hapax) AS DOUBLE) / SUM(n_types), 6)
              AS hapax_ratio
-         FROM pd GROUP BY lang"""
+         FROM pd GROUP BY lang""",
+    // the same fixed-alphabet filter, exact-integer collision ppm
+    // (floor division) and one log2 per group row
+    "t25_char_entropy" ->
+      raw"""WITH ch AS (
+           SELECT doc_id, lang, source, t.c AS ch
+           FROM documents, UNNEST(string_split(lower(text), '')) AS t(c)
+           WHERE regexp_matches(t.c, '^[a-z0-9 ]$$')),
+         cnt AS (
+           SELECT doc_id, lang, source, ch, CAST(COUNT(*) AS BIGINT) AS c
+           FROM ch GROUP BY 1, 2, 3, 4),
+         doc AS (
+           SELECT doc_id, lang, source, SUM(c) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k, SUM(c * c) AS c2
+           FROM cnt GROUP BY 1, 2, 3),
+         pd AS (
+           SELECT lang, source, k, (c2 * 1000000) // (n * n) AS rr_ppm
+           FROM doc)
+         SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6)
+             AS avg_distinct_chars,
+           ROUND(CAST(SUM(rr_ppm) AS DOUBLE) / COUNT(*), 2)
+             AS avg_collision_ppm,
+           ROUND(-log2(CAST(SUM(rr_ppm) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1000000.0)), 6)
+             AS renyi2_entropy_bits
+         FROM pd GROUP BY 1, 2"""
   )
 }

@@ -421,4 +421,26 @@ class DedupSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(cand.contains((1L, 2L)), "identical docs collide in every band")
   }
+
+  test("d23 dup-rate rollup: canonical owners don't count as dups") {
+    import spark.implicits._
+    // 'web' ships the canonical (1) + two copies (2, 4); 'feed' ships
+    // one copy (3) and one unique doc (5) → web 2/3, feed 1/2
+    val docs = Seq(
+      (1L, "same text", "en", "web", 9L),
+      (2L, "same text", "en", "web", 9L),
+      (3L, "same text", "en", "feed", 9L),
+      (4L, "  SAME TEXT ", "en", "web", 12L), // trim+lower folds in
+      (5L, "unique", "en", "feed", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val flags = operators.Dedup.exactDedup(docs)
+      .select(col("doc_id"), col("is_dup"))
+    val got = docs.select(col("doc_id"), col("source")).join(flags, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("d"))
+      .as[(String, Long, Long)].collect()
+      .map { case (k, n, d) => k -> ((n, d)) }.toMap
+    assert(got("web") === ((3L, 2L)) && got("feed") === ((2L, 1L)))
+  }
 }

@@ -1145,4 +1145,27 @@ class TextMultimodalSpec extends SparkSpec {
       3L, wav(Seq(10, 10)), "audio/wav", 0, 0))
     assert(silent(1) === 0.0 && silent(2) === 0.0 && silent(3) === 0.0)
   }
+
+  test("t25 char profile: hand-computed collision ppm and entropy") {
+    import spark.implicits._
+    // doc 1: "aabb!" → kept n=4 over {a:2, b:2}; collision = 8/16 =
+    //   0.5 → 500000 ppm, distinct 2, Rényi-2 = −log2(0.5) = 1 bit
+    // doc 2: "abcd" → 4/16 = 0.25 → 250000 ppm, distinct 4, 2 bits
+    val docs = Seq(
+      (1L, "aabb!", "en", "web", 5L),
+      (2L, "abcd", "en", "feed", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = operators.TextQueries.charEntropyProfile(docs)
+      .collect().map(r => (r.getAs[String]("source"),
+        (r.getAs[Double]("avg_distinct_chars"),
+         r.getAs[Double]("avg_collision_ppm"),
+         r.getAs[Double]("renyi2_entropy_bits")))).toMap
+    assert(got("web") === ((2.0, 500000.0, 1.0)))
+    assert(got("feed") === ((4.0, 250000.0, 2.0)))
+    // punctuation filtered: a doc of only symbols contributes nothing
+    val empty = operators.TextQueries.charEntropyProfile(
+      Seq((3L, "!!!", "en", "x", 3L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")).count()
+    assert(empty === 0L)
+  }
 }
