@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType}
 import graft.Tables
@@ -490,6 +491,68 @@ object HierarchyAgg {
     aggDim.select(
       col("descendant_node_natural_key"),
       col("ancestor_node_id"))
+
+  /** Per-node SIBLING RANK: every non-root node ranked among its
+    * siblings by exact integer-cent subtree total (ties to the node
+    * name), with its share of the parent's subtotal — h17's
+    * percent-of-parent turned into the "which child leads this level"
+    * ordering. One fact pre-agg + broadcast closure → node-grain
+    * totals; the rank window partitions by parent over the DIM-sized
+    * frame; the parent total is a broadcast self-join of that frame.
+    * Fact-free nodes carry no rows (h17's convention).
+    */
+  def siblingRank(facts: DataFrame, dim: HierarchyDimension,
+      factKey: String = "leaf_key"): DataFrame = {
+    val totals = facts
+      .groupBy(col(factKey)).agg(sum(col("cents")).as("__c"))
+      .join(broadcast(closureIdKeys(dim.aggregationDim)),
+        col(factKey) === col("descendant_node_natural_key"))
+      .groupBy(col("ancestor_node_id")).agg(sum("__c").as("__c"))
+    val meta = dim.flaggedNodes.select(col("node_id"), col("node_name"),
+      col("level_name"), col("parent_node_id"))
+    val kids = totals
+      .join(broadcast(meta), col("ancestor_node_id") === col("node_id"))
+      .filter(col("parent_node_id").isNotNull)
+    val parentTot = totals.select(col("ancestor_node_id").as("__pid"),
+      col("__c").as("__pc"))
+    kids.join(broadcast(parentTot), col("parent_node_id") === col("__pid"))
+      .withColumn("sibling_rank", row_number().over(
+        Window.partitionBy("parent_node_id")
+          .orderBy(col("__c").desc, col("node_name"))).cast("long"))
+      .select(col("node_name"), col("level_name"), col("sibling_rank"),
+        round(col("__c").cast("double") / 100.0, 2).as("subtree_sales"),
+        round(col("__c").cast("double") / col("__pc").cast("double"), 6)
+          .as("share_of_parent"))
+  }
+
+  /** Per-node SUBTREE STDDEV of order value — the dispersion companion
+    * to h27's median (is this node's business uniform or whale-driven).
+    * DECIMAL(38,0) moment sums of exact integer cents (a Long Σx²
+    * wraps at ~10⁴ × today's fact count); the closed-form population
+    * variance (n·Σx² − (Σx)²)/n² runs in doubles of exact decimals at
+    * the oracle's parenthesization, and sqrt is IEEE exact-rounded.
+    * One broadcast-closure expansion, group-keyed aggregates only.
+    */
+  def subtreeStddev(facts: DataFrame, aggDim: DataFrame,
+      factKey: String = "leaf_key"): DataFrame = {
+    val expanded = facts.join(broadcast(closureKeys(aggDim)),
+      col(factKey) === col("descendant_node_natural_key"))
+    val m = expanded.groupBy("ancestor_node_sort_order")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents").cast("decimal(38,0)")).as("sx"),
+        sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("sxx"))
+    val nd = col("n_orders").cast("double")
+    val varCents = (nd * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")) / (nd * nd)
+    val indent = expr("lpad('-', (ancestor_level_number - 1) * 7, '-')")
+    val labels = aggDim.filter(col("net_level") === 0).select(
+      col("ancestor_node_sort_order"),
+      concat(indent, col("ancestor_node_name")).as("product_node_name"))
+    m.join(broadcast(labels), Seq("ancestor_node_sort_order"))
+      .select(col("product_node_name"), col("n_orders"),
+        round(col("sx").cast("double") / nd / 100.0, 6).as("mean_value"),
+        round(sqrt(varCents) / 100.0, 6).as("stddev_value"))
+  }
 
   /** INCREMENTAL MAINTENANCE: fold a delta fact batch into an existing
     * MV. Only the delta pays the fact-side shuffle; the stored MV

@@ -275,6 +275,29 @@ object HierarchyQueries {
           floor(col("sales_amount") * 100.0 + 0.5).cast("long"))
       HierarchyAgg.concentrationByParent(facts, deepDimension(s, d))
     }),
+    // per-node SIBLING RANK: each non-root node ranked among its
+    // siblings by exact integer-cent subtree total, with its share of
+    // the parent — h17's percent-of-parent turned into the "which
+    // child leads this level" ordering; windows run at dim grain
+    "h29_sibling_rank" -> ((s, d) => {
+      val facts = graft.Tables.orders(s, d)
+        .join(graft.Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").cast("long").as("leaf_key"),
+          floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      HierarchyAgg.siblingRank(facts, dimension(s, d))
+    }),
+    // per-node SUBTREE STDDEV of order value (h27's dispersion
+    // companion): DECIMAL(38,0) moments of exact cents, closed-form
+    // population variance, IEEE sqrt; one broadcast-closure expansion
+    "h30_subtree_stddev" -> ((s, d) => {
+      val facts = graft.Tables.orders(s, d)
+        .join(graft.Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").cast("long").as("leaf_key"),
+          floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      HierarchyAgg.subtreeStddev(facts, dimension(s, d).aggregationDim)
+    }),
     // per-node TOP CONTRIBUTORS: the 3 customers with the largest
     // subtree spend under every node (h17's drill-down companion) —
     // one fact pre-agg, broadcast closure, MV-grain aggregate, then
@@ -875,6 +898,58 @@ SELECT lpad('-', (ancestor_level_number - 1) * 7, '-')
 FROM facts f
 JOIN adim ON CAST(f.leaf_key AS BIGINT) = adim.descendant_node_natural_key
 GROUP BY 1""",
+    // node-grain subtree totals, parent self-join, per-parent rank
+    "h29_sibling_rank" ->
+      s"""${prelude(false)},
+facts AS (
+  SELECT c.c_nationkey AS leaf_key,
+    CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+tot AS (
+  SELECT adim.ancestor_node_id AS node_id, SUM(f.cents) AS c
+  FROM facts f
+  JOIN adim ON CAST(f.leaf_key AS BIGINT) = adim.descendant_node_natural_key
+  GROUP BY 1
+),
+kids AS (
+  SELECT m.node_name, m.level_name, m.parent_node_id, t.c
+  FROM tot t JOIN flagged m ON t.node_id = m.node_id
+  WHERE m.parent_node_id IS NOT NULL
+)
+SELECT k.node_name, k.level_name,
+  CAST(row_number() OVER (PARTITION BY k.parent_node_id
+    ORDER BY k.c DESC, k.node_name) AS BIGINT) AS sibling_rank,
+  ROUND(CAST(k.c AS DOUBLE) / 100.0, 2) AS subtree_sales,
+  ROUND(CAST(k.c AS DOUBLE) / CAST(p.c AS DOUBLE), 6) AS share_of_parent
+FROM kids k JOIN tot p ON k.parent_node_id = p.node_id""",
+    // the h27 closure derivation + DECIMAL moment sums and the
+    // identical closed-form population variance
+    "h30_subtree_stddev" ->
+      s"""${prelude(false)},
+facts AS (
+  SELECT c.c_nationkey AS leaf_key,
+    CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+m AS (
+  SELECT lpad('-', (ancestor_level_number - 1) * 7, '-')
+      || ancestor_node_name AS product_node_name,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    SUM(CAST(f.cents AS HUGEINT)) AS sx,
+    SUM(CAST(f.cents * f.cents AS HUGEINT)) AS sxx
+  FROM facts f
+  JOIN adim ON CAST(f.leaf_key AS BIGINT) = adim.descendant_node_natural_key
+  GROUP BY 1
+)
+SELECT product_node_name, n_orders,
+  ROUND(CAST(sx AS DOUBLE) / CAST(n_orders AS DOUBLE) / 100.0, 6)
+    AS mean_value,
+  ROUND(sqrt((CAST(n_orders AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+    / (CAST(n_orders AS DOUBLE) * CAST(n_orders AS DOUBLE))) / 100.0, 6)
+    AS stddev_value
+FROM m""",
     // per-node top-3 customers by subtree spend: the h4 closure
     // derivation, (node, customer) sums, rank key ROUND(spend, 9)
     "h26_subtree_topk" ->

@@ -66,6 +66,35 @@ class HierarchySpec extends SparkSpec {
     assert(got("B") == ((1L, 5.0, 1.0, 1.0)))
   }
 
+  test("siblingRank: per-parent ordering and shares on the toy tree") {
+    // leaves: a1=100¢, a2=300¢, b1=500¢ → a=400, b=500, root=900
+    val facts = Seq((11L, 100L), (12L, 300L), (21L, 500L))
+      .toDF("leaf_key", "cents")
+    val got = HierarchyAgg.siblingRank(facts, dim)
+      .collect().map(r => r.getAs[String]("node_name") ->
+        ((r.getAs[Long]("sibling_rank"), r.getAs[Double]("subtree_sales"),
+          r.getAs[Double]("share_of_parent")))).toMap
+    assert(got("B") == ((1L, 5.0, 0.555556)), "B leads root's children")
+    assert(got("A") == ((2L, 4.0, 0.444444)))
+    assert(got("A2") == ((1L, 3.0, 0.75)) && got("A1") == ((2L, 1.0, 0.25)))
+    assert(got("B1") == ((1L, 5.0, 1.0)), "only child ranks 1 at share 1")
+    assert(!got.contains("Root"), "the root has no siblings")
+  }
+
+  test("subtreeStddev: root moments match a direct computation") {
+    val facts = Seq((11L, 100L), (12L, 300L), (21L, 500L))
+      .toDF("leaf_key", "cents")
+    val got = HierarchyAgg.subtreeStddev(facts, dim.aggregationDim)
+      .collect().map(r => r.getAs[String]("product_node_name") ->
+        ((r.getAs[Long]("n_orders"), r.getAs[Double]("mean_value"),
+          r.getAs[Double]("stddev_value")))).toMap
+    // root: {1, 3, 5} dollars → mean 3, population stddev sqrt(8/3)
+    val rootSd = math.floor(math.sqrt(8.0 / 3.0) * 1e6 + 0.5) / 1e6
+    assert(got("Root") == ((3L, 3.0, rootSd)))
+    // leaf B1: one order → zero dispersion
+    assert(got("--------------B1") == ((1L, 5.0, 0.0)))
+  }
+
   test("aggregation dim: closure pairs (self included) + net_level") {
     val pairs = dim.aggregationDim
       .select("ancestor_node_id", "descendant_node_id", "net_level")
