@@ -432,8 +432,33 @@ object Packing {
     // the deterministic LCG permutation — the "no more than N from
     // source X" mixture contract, reproducible across retries. ONE
     // source-partitioned window at doc grain
-    "p14_quota_sample" -> ((s, d) => quotaSample(Tables.documents(s, d)))
+    "p14_quota_sample" -> ((s, d) => quotaSample(Tables.documents(s, d))),
+    // SOURCE-INTERLEAVED training order: the first `perSource` docs of
+    // each provider (LCG-permuted — p14's admission) woven round-robin
+    // into one deterministic global order, so no provider dominates
+    // any prefix of an epoch. The global position window runs over the
+    // ≤ perSource × |sources| admitted frame, never the corpus
+    "p15_interleave_sources" -> ((s, d) =>
+      interleaveSources(Tables.documents(s, d)))
   )
+
+  /** See the p15 entry: per-source LCG rank admission, then one
+    * bounded global window ((rank, source, doc) lexicographic) that
+    * assigns the interleaved position.
+    */
+  def interleaveSources(docs: DataFrame, perSource: Long = 25L): DataFrame = {
+    val ranked = docs.withColumn("__k", lcg(col("doc_id")))
+      .withColumn("source_rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("__k"), col("doc_id")))
+        .cast("long"))
+      .filter(col("source_rank") <= perSource)
+    ranked
+      .withColumn("position", row_number().over(
+        Window.orderBy(col("source_rank"), col("source"), col("doc_id")))
+        .cast("long"))
+      .select(col("position"), col("doc_id"), col("source"),
+        col("source_rank"))
+  }
 
   /** See the p14 entry: per-source admission by LCG-permutation rank.
     * A source with fewer than `cap` docs keeps them all; the window
@@ -741,6 +766,21 @@ object Packing {
          FROM (SELECT *, row_number() OVER (PARTITION BY source
                  ORDER BY hk, doc_id) AS rn
                FROM h)
-         WHERE rn <= 10"""
+         WHERE rn <= 10""",
+    // the same LCG admission, then the (rank, source, doc) weave
+    "p15_interleave_sources" ->
+      """WITH h AS (
+           SELECT doc_id, source,
+             ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS hk
+           FROM documents),
+         r AS (
+           SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY hk, doc_id) AS BIGINT) AS source_rank
+           FROM h QUALIFY source_rank <= 25)
+         SELECT CAST(row_number() OVER
+             (ORDER BY source_rank, source, doc_id) AS BIGINT) AS position,
+           doc_id, source, source_rank
+         FROM r"""
   )
 }

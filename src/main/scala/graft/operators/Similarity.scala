@@ -182,6 +182,38 @@ object Similarity {
       .withColumn("correct", col("predicted_label") === col("true_label"))
   }
 
+  /** kNN REGRESSION — [[knnClassify]]'s majority vote replaced by an
+    * exact-mean prediction: each query predicts the mean of its 5
+    * nearest train-split neighbors' numeric targets (the integer
+    * label stands in). The mean divides an exact Long sum by the
+    * neighbor count — the only float op, identical in both engines.
+    * Same scale shape as s12: queries broadcast, ONE corpus scan,
+    * bounded-heap top-k partials.
+    */
+  def knnRegress(emb: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val c = corpus(emb)
+    val train = c.filter(col("vec_id") >= nQueries)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
+        col("label").cast("long").as("true_value"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = train
+      .crossJoin(broadcast(q.select(col("q_id"), col("qv"), col("qn"))))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .select(col("q_id"), col("vec_id"), col("cos"))
+    val pred = col("sum_nv").cast("double") / col("k_used").cast("double")
+    rerank(pairs, k)
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("label").cast("long").as("nv")), Seq("neighbor_id"))
+      .groupBy("q_id")
+      .agg(sum("nv").as("sum_nv"), count(lit(1)).as("k_used"))
+      .join(q.select(col("q_id"), col("true_value")), Seq("q_id"))
+      .select(col("q_id"), round(pred, 6).as("predicted_value"),
+        col("true_value"),
+        round(abs(pred - col("true_value").cast("double")), 6)
+          .as("abs_error"))
+  }
+
   /** Exact MAX-INNER-PRODUCT top-k — the recommender-retrieval
     * objective, where vector MAGNITUDE carries signal (an item's
     * popularity/confidence scale) and cosine would strip it. Same
@@ -1139,7 +1171,11 @@ object SimilarityQueries {
     // MMR diversified retrieval: greedy λ·rel − (1−λ)·max-sim re-rank
     // of the exact top-20 shortlist, 5 picks per query
     "s16_mmr_diversify" -> ((s, d) =>
-      Similarity.mmrDiversify(Tables.embeddings(s, d)))
+      Similarity.mmrDiversify(Tables.embeddings(s, d))),
+    // kNN regression: exact mean of the 5 nearest train neighbors'
+    // values (s12's vote → an exact Long-sum mean)
+    "s17_knn_regression" -> ((s, d) =>
+      Similarity.knnRegress(Tables.embeddings(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1206,6 +1242,34 @@ object SimilarityQueries {
            CAST(q.label AS BIGINT) AS true_label,
            (b.predicted_label = CAST(q.label AS BIGINT)) AS correct
          FROM best b JOIN n q ON b.q_id = q.vec_id WHERE rr = 1""",
+    // s12's exact ranking, then the exact Long-sum mean
+    "s17_knn_regression" ->
+      """WITH e AS (
+           SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, label, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         pairs AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS nid,
+             CAST(c.label AS BIGINT) AS nv,
+             list_sum(list_transform(list_zip(c.v, q.v), s -> s[1] * s[2]))
+               / (c.nrm * q.nrm) AS cos
+           FROM n c JOIN n q ON q.vec_id < 10 AND c.vec_id >= 10),
+         ranked AS (
+           SELECT q_id, nv, row_number() OVER (PARTITION BY q_id
+             ORDER BY ROUND(cos, 9) DESC, nid ASC) AS rnk
+           FROM pairs),
+         agg AS (
+           SELECT q_id, SUM(nv) AS s, CAST(COUNT(*) AS BIGINT) AS k
+           FROM ranked WHERE rnk <= 5 GROUP BY 1)
+         SELECT a.q_id,
+           ROUND(CAST(s AS DOUBLE) / CAST(k AS DOUBLE), 6) AS predicted_value,
+           CAST(q.label AS BIGINT) AS true_value,
+           ROUND(abs(CAST(s AS DOUBLE) / CAST(k AS DOUBLE)
+             - CAST(q.label AS DOUBLE)), 6) AS abs_error
+         FROM agg a JOIN n q ON a.q_id = q.vec_id""",
     "s5_mips" ->
       """WITH e AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -443,4 +443,26 @@ class PipelineOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("p15 interleave: strict round-robin while sources last; caps hold") {
+    import spark.implicits._
+    // 3 docs in 'a', 2 in 'b' → positions weave a,b,a,b,a (rank-major)
+    val docs = Seq(
+      (1L, "x", "en", "a", 1L), (2L, "x", "en", "a", 1L),
+      (3L, "x", "en", "a", 1L), (4L, "x", "en", "b", 1L),
+      (5L, "x", "en", "b", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.operators.Packing.interleaveSources(docs)
+      .orderBy("position")
+      .select("position", "source", "source_rank")
+      .as[(Long, String, Long)].collect()
+    assert(got.map(_._2).toSeq ===
+      Seq("a", "b", "a", "b", "a"), "rank-major weave")
+    assert(got.map(_._3).toSeq === Seq(1L, 1L, 2L, 2L, 3L),
+      "every source's rank k precedes any rank k+1")
+    // the per-source cap binds: 30 docs in one source keep only 25
+    val big = (1L to 30L).map(i => (i, "x", "en", "solo", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(graft.operators.Packing.interleaveSources(big).count() === 25L)
+  }
 }

@@ -49,7 +49,8 @@ class PlanLintSpec extends SparkSpec {
     "q70_skew_profile",    // per-key 1-row stats ⨝ 1-row percentiles on a
                            // literal group key (constant-folded to NLJ)
     "q71_decile_lift",     // 1-row revenue-total broadcast (share normalizer)
-    "q74_aging_buckets"    // 1-row snapshot-date broadcast (q50's anchor)
+    "q74_aging_buckets",   // 1-row snapshot-date broadcast (q50's anchor)
+    "s17_knn_regression"   // brute-force scan broadcasts the query set (s12)
   )
 
   private val skipEager = Set(

@@ -672,4 +672,36 @@ class SimilaritySpec extends SparkSpec {
       assert(recall >= 0.0 && recall <= 1.0)
     }
   }
+
+  test("s17 kNN regression: prediction is the exact train-top-5 mean") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf)
+    // independent in-memory reference: train-split cosine ranking with
+    // the engine's tie-break, then a plain-Scala mean of the 5 labels
+    val rows = emb.collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble).toArray
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("label").toLong, v)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.indices.map(i => a(i) * b(i)).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val train = rows.filter(_._1 >= 10)
+    val got = operators.Similarity.knnRegress(emb).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        ((r.getAs[Double]("predicted_value"), r.getAs[Long]("true_value"))))
+      .toMap
+    rows.filter(_._1 < 10).foreach { case (q, qLab, qv) =>
+      val top = train
+        .map { case (id, lab, v) =>
+          (math.floor(cos(qv, v) * 1e9 + 0.5) / 1e9, id, lab) }
+        .sortBy { case (c, id, _) => (-c, id) }.take(5)
+      val mean = top.map(_._3).sum.toDouble / top.length
+      val (pred, trueV) = got(q)
+      assert(math.abs(pred - math.floor(mean * 1e6 + 0.5) / 1e6) < 1e-9,
+        s"query $q")
+      assert(trueV === qLab, s"query $q")
+    }
+  }
 }
