@@ -70,6 +70,45 @@ object Multimodal {
     }
   }
 
+  /** A REAL lossless codec with no external libraries: byte-level
+    * RUN-LENGTH ENCODING — (value, int32 length) pairs, 5 bytes per
+    * run. `decode` encodes the payload, decodes it BACK and verifies
+    * the round-trip byte-for-byte before emitting features, so every
+    * registry row certifies the codec. Feature slots:
+    * `[n_bytes, n_runs, compression_ratio, max_run, mean_run]` —
+    * ratio and mean-run are exact ppm FLOOR DIVISIONS of integers
+    * (ratio > 1 reads "RLE would expand this payload", the honest
+    * pre-flight answer a compression planner needs).
+    */
+  final class RleCodec extends MediaCodec {
+    override def decode(r: MediaRow): Array[Double] = {
+      val b = r.payload
+      require(b.nonEmpty, s"doc ${r.doc_id}: empty payload")
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Byte, Int)]
+      var i = 0
+      while (i < b.length) {
+        var j = i
+        while (j < b.length && b(j) == b(i)) j += 1
+        runs += ((b(i), j - i))
+        i = j
+      }
+      val out = new Array[Byte](b.length)
+      var pos = 0
+      runs.foreach { case (v, n) =>
+        var k = 0
+        while (k < n) { out(pos) = v; pos += 1; k += 1 }
+      }
+      require(pos == b.length && java.util.Arrays.equals(out, b),
+        s"doc ${r.doc_id}: RLE round-trip mismatch")
+      val nRuns = runs.length.toLong
+      val maxRun = runs.iterator.map(_._2).max.toLong
+      val ratioPpm = (5L * nRuns * 1000000L) / b.length
+      val meanRunMicro = (b.length.toLong * 1000000L) / nRuns
+      Array(b.length.toDouble, nRuns.toDouble, ratioPpm / 1e6,
+        maxRun.toDouble, meanRunMicro / 1e6)
+    }
+  }
+
   /** A REAL codec with no external libraries: RIFF/WAVE 16-bit PCM.
     * Walks the chunk list for `fmt ` and `data`, decodes the signed
     * little-endian samples, and emits
@@ -1067,6 +1106,14 @@ object MultimodalQueries {
       Multimodal.extractFeatures(s, rows.toDF(),
         new Multimodal.EnvelopeCodec).toDF()
     }),
+    // self-verifying RLE over the raw payload bytes: every row's
+    // features come from an encode→decode→byte-compare round trip;
+    // run structure re-derived in SQL via gaps-and-islands, ratios
+    // as exact ppm floor divisions
+    "m17_rle_codec" -> ((s, d) =>
+      Multimodal.extractFeatures(s,
+        Multimodal.mediaTable(Tables.documents(s, d)),
+        new Multimodal.RleCodec).toDF()),
     // SPECTRAL features through the REAL from-scratch radix-2 FFT
     // (verified against a naive DFT and Parseval in the spec):
     // payloads are deterministic synthesized WAVs whose samples mix
@@ -1467,6 +1514,43 @@ object MultimodalQueries {
            CAST(am.pb AS DOUBLE) AS feat_0,
            CAST(ag.mx - ag.mn AS DOUBLE) AS feat_1
          FROM ag JOIN am USING (doc_id)""",
+    // RleCodec: run boundaries via lag() IS DISTINCT FROM, run ids by
+    // prefix-summing the breaks, ratio/mean-run as ppm floor divisions
+    "m17_rle_codec" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS len FROM documents),
+         b AS (
+           SELECT d.doc_id, j.j AS pos,
+             ord(substr(d.text, CAST(j.j AS INT), 1)) AS v
+           FROM d, LATERAL (SELECT unnest(generate_series(1, d.len)) AS j) j),
+         m AS (
+           SELECT doc_id, pos,
+             CASE WHEN lag(v) OVER (PARTITION BY doc_id ORDER BY pos)
+                  IS DISTINCT FROM v THEN 1 ELSE 0 END AS brk
+           FROM b),
+         r AS (
+           SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS rid
+           FROM m),
+         runs AS (
+           SELECT doc_id, rid, CAST(COUNT(*) AS BIGINT) AS rl
+           FROM r GROUP BY 1, 2),
+         ag AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+             MAX(rl) AS max_run
+           FROM runs GROUP BY 1)
+         SELECT d.doc_id,
+           CASE d.doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+                ELSE 'audio/wav' END AS media_type,
+           CAST(d.len AS BIGINT) AS n_bytes,
+           ag.n_runs AS byte_sum,
+           CAST((5 * ag.n_runs * 1000000) // d.len AS DOUBLE) / 1000000.0
+             AS mean_byte,
+           CAST(ag.max_run AS DOUBLE) AS feat_0,
+           CAST((d.len * 1000000) // ag.n_runs AS DOUBLE) / 1000000.0
+             AS feat_1
+         FROM d JOIN ag USING (doc_id)""",
     // GrvSceneCodec: frame f's pixel j is text byte ((scene_f·fs + j)
     // mod len) + f (drift), scenes split at the doc_id-keyed cut —
     // every transition's integer |Δ| sum, the per-transition cut test

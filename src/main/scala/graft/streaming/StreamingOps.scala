@@ -463,6 +463,41 @@ object StreamingOps {
       .select(col("event_type"), col("w.start").as("d"), col("n"),
         col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"))
 
+  /** st33's stateful stage: per (watermark-finalized day, leading
+    * digit) counts of positive event values — q69's Benford screen
+    * running INSIDE the state store. The digit is exact integer
+    * string arithmetic on the value's micro-units (scaling by 10⁶
+    * never moves the leading significant digit); state per key is one
+    * counter. Late events within 1 h still count; the append sink
+    * emits a day only when the watermark closes it.
+    */
+  def benfordDigitsStream(ev: DataFrame): DataFrame =
+    ev.withWatermark("ts", "1 hour")
+      .filter(col("value") > 0.0)
+      .select(col("ts"),
+        substring(floor(col("value") * 1000000.0 + 0.5).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("digit"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("d"), col("digit"), col("n_events"))
+
+  /** st33's finalization over the closed (day, digit) rows: shares vs
+    * the log₁₀(1+1/d) Benford expectation — q69's readout shape; the
+    * share window runs over the day×9-row closed frame, never events.
+    */
+  def benfordFinalize(rows: DataFrame): DataFrame =
+    rows
+      .withColumn("share", col("n_events").cast("double") /
+        sum("n_events").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("d"))
+          .cast("double"))
+      .withColumn("benford",
+        log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("digit"),
+        col("n_events"), round(col("share"), 6).as("share"),
+        round(col("benford"), 6).as("benford"),
+        round(col("share") - col("benford"), 6).as("delta"))
+
   /** st31's closed-form finalization over the finalized moment rows —
     * q66's exact double parenthesization; zero-variance cells → null.
     */
@@ -914,6 +949,13 @@ object StreamingQueries {
       StreamingOps.corrFinalize(
         runStream(s, d, outputMode = "append")(
           StreamingOps.corrMomentsStream))),
+    // STREAMING BENFORD: q69's first-digit fraud screen per
+    // watermark-closed day — integer digit extraction inside the
+    // state store, shares finalized over the closed day×9 frame
+    "st33_stream_benford" -> ((s, d) =>
+      StreamingOps.benfordFinalize(
+        runStream(s, d, outputMode = "append")(
+          StreamingOps.benfordDigitsStream))),
     // STREAMING windowed TOP-K: the bounded-heap TopKByScore aggregate
     // running INSIDE the streaming state store — per 15-minute window,
     // the 3 highest-value events. State per window is the k-entry
@@ -1550,6 +1592,31 @@ object StreamingQueries {
                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
            END AS corr_value_tod
          FROM m""",
+    // q69's digit arithmetic restricted to watermark-closed days;
+    // shares divide exact counts over the per-day frame
+    "st33_stream_benford" ->
+      """WITH u AS (
+           SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+             CAST(substr(CAST(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)
+               AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           FROM events
+           WHERE value > 0
+             AND date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL 1 DAY
+               <= (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR
+                   FROM events)),
+         g AS (
+           SELECT d, digit, CAST(COUNT(*) AS BIGINT) AS n_events
+           FROM u GROUP BY 1, 2),
+         w AS (
+           SELECT g.*,
+             CAST(n_events AS DOUBLE)
+               / CAST(SUM(n_events) OVER (PARTITION BY d) AS DOUBLE) AS share,
+             log10(1.0 + 1.0 / digit) AS benford
+           FROM g)
+         SELECT strftime(d, '%Y-%m-%d') AS day, digit, n_events,
+           ROUND(share, 6) AS share, ROUND(benford, 6) AS benford,
+           ROUND(share - benford, 6) AS delta
+         FROM w""",
     "st27_stream_chart_pipeline" ->
       """WITH RECURSIVE daily AS (
            SELECT event_type,

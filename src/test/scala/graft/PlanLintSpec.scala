@@ -94,6 +94,8 @@ class PlanLintSpec extends SparkSpec {
     "st27_stream_chart_pipeline", "st28_stream_holt_pipeline",
     // st31 likewise; its moment-sum agg shape is q66's (linted there)
     "st31_stream_corr",
+    // st33 likewise; its digit-count agg shape is q69's (linted there)
+    "st33_stream_benford",
     // st32 is a custom-state (fMGWS) path like st17/st20/st21
     "st32_stream_quota")
 

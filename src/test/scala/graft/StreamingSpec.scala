@@ -453,6 +453,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st33: digit counts close per day; nonpositive values excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ev(id: Long, ts: String, v: Double) =
+      (id, java.sql.Timestamp.from(java.time.Instant.parse(ts)), 1L,
+        "click", v)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val q = StreamingOps.benfordDigitsStream(
+      ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st33_benford").start()
+    try {
+      // day 1: digits 1 (×2: 1.23, 0.000150 → micro 150), 9 (×1);
+      // a zero value must be dropped; day-2 probes close day 1
+      ms.addData(Seq(
+        ev(1, "2024-03-01T01:00:00Z", 1.23),
+        ev(2, "2024-03-01T02:00:00Z", 0.000150),
+        ev(3, "2024-03-01T03:00:00Z", 9.5),
+        ev(4, "2024-03-01T04:00:00Z", 0.0),
+        ev(5, "2024-03-02T02:00:00Z", 42.0)))
+      q.processAllAvailable()
+      val got = StreamingOps.benfordFinalize(spark.table("st33_benford"))
+        .collect().map(r => (r.getAs[String]("day"), r.getAs[Long]("digit"))
+          -> ((r.getAs[Long]("n_events"), r.getAs[Double]("share"))))
+        .toMap
+      assert(got(("2024-03-01", 1L)) == ((2L, 0.666667)), s"got $got")
+      assert(got(("2024-03-01", 9L)) == ((1L, 0.333333)))
+      assert(got.size == 2, s"zero value dropped, day 2 open: $got")
+    } finally q.stop()
+  }
+
   test("st29: KMV sketch accumulates across micro-batches; matches the batch estimator") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

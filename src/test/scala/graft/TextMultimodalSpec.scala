@@ -1146,6 +1146,24 @@ class TextMultimodalSpec extends SparkSpec {
     assert(silent(1) === 0.0 && silent(2) === 0.0 && silent(3) === 0.0)
   }
 
+  test("m17 RLE codec: hand-computed runs; round-trip self-verifies") {
+    val codec = new operators.Multimodal.RleCodec()
+    def row(s: String) = operators.Multimodal.MediaRow(
+      1L, s.getBytes("UTF-8"), "image/png", 0, 0)
+    // "aaabbc": runs (a,3)(b,2)(c,1) → 3 runs, max 3, encoded 15/6
+    val f = codec.decode(row("aaabbc"))
+    assert(f(0) === 6.0 && f(1) === 3.0 && f(3) === 3.0)
+    assert(f(2) === 2.5, "ratio 15/6 bytes")
+    assert(f(4) === 2.0, "mean run 6/3")
+    // all-distinct payload: RLE expands (ratio 5), max run 1
+    val g = codec.decode(row("abcd"))
+    assert(g(1) === 4.0 && g(2) === 5.0 && g(3) === 1.0 && g(4) === 1.0)
+    // single-run payload: maximal compression for the length
+    val h = codec.decode(row("zzzzzzzz"))
+    assert(h(1) === 1.0 && h(3) === 8.0 && h(4) === 8.0)
+    assert(h(2) === 0.625, "5/8")
+  }
+
   test("t25 char profile: hand-computed collision ppm and entropy") {
     import spark.implicits._
     // doc 1: "aabb!" → kept n=4 over {a:2, b:2}; collision = 8/16 =
