@@ -696,6 +696,47 @@ object Graft {
   def keySkewProfile(df: DataFrame, keys: Seq[String]): DataFrame =
     operators.Olap.keySkewProfile(df, keys)
 
+  /** Price–volume–mix revenue waterfall between two periods
+    * (see [[operators.Olap.priceVolumeMix]]). */
+  def priceVolumeMix(df: DataFrame, groupCol: String, periodCol: String,
+      centsCol: String, qtyCol: String, p0: Any, p1: Any): DataFrame =
+    operators.Olap.priceVolumeMix(df, groupCol, periodCol, centsCol,
+      qtyCol, p0, p1)
+
+  /** Graph connected components by pointer-jumping min-label
+    * propagation over an undirected edge list — the Graph-family
+    * twin of [[connectedComponents]]'s dedup-cluster variant
+    * (see [[operators.Graph.connectedComponents]]). */
+  def graphComponents(edges: DataFrame, rounds: Int = 6): DataFrame =
+    operators.Graph.connectedComponents(
+      operators.Graph.adjacency(edges), rounds)
+
+  /** Per-(lang, source) character-distribution / entropy profile
+    * (see [[operators.TextQueries.charEntropyProfile]]). */
+  def charEntropyProfile(docs: DataFrame): DataFrame =
+    operators.TextQueries.charEntropyProfile(docs)
+
+  /** Sibling rank: each node ranked among siblings by subtree total
+    * (see [[operators.HierarchyAgg.siblingRank]]). */
+  def siblingRank(facts: DataFrame, dim: HierarchyDimension): DataFrame =
+    operators.HierarchyAgg.siblingRank(facts, dim)
+
+  /** Per-node subtree standard deviation
+    * (see [[operators.HierarchyAgg.subtreeStddev]]). */
+  def subtreeStddev(facts: DataFrame, dim: HierarchyDimension): DataFrame =
+    operators.HierarchyAgg.subtreeStddev(facts, dim.aggregationDim)
+
+  /** kNN regression: exact mean of the k nearest neighbors' targets
+    * (see [[operators.Similarity.knnRegress]]). */
+  def knnRegress(embeddings: DataFrame, k: Int = 5,
+      nQueries: Int = 10): DataFrame =
+    operators.Similarity.knnRegress(embeddings, k, nQueries)
+
+  /** Deterministic source-interleaved training order
+    * (see [[operators.Packing.interleaveSources]]). */
+  def interleaveSources(docs: DataFrame, perSource: Long = 25L): DataFrame =
+    operators.Packing.interleaveSources(docs, perSource)
+
   /** Register graft's SQL functions + optimizer rule on a session. */
   def install(spark: SparkSession): Unit = GraftFunctions.register(spark)
 }

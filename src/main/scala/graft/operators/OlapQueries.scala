@@ -1813,6 +1813,98 @@ object OlapQueries {
         .groupBy("o_orderpriority", "age_bucket")
         .agg(count(lit(1)).as("n_orders"),
           round(sum("cents").cast("double") / 100.0, 2).as("total_value"))
+    }),
+
+    // ROLLING OLS TREND (q55's regression over a moving window): the
+    // 7-day trailing revenue slope per order priority — "is this
+    // line's business accelerating, day by day". The fact stream
+    // collapses to a DAY-grain frame first (one shuffle); the rolling
+    // moment sums ride ROWS-frame windows over that frame in
+    // DECIMAL(38,0) (q66's overflow discipline — epoch-day × cents
+    // products wrap Long at scale); the closed-form slope divides
+    // doubles of exact decimals at the oracle's parenthesization;
+    // under-determined head windows (n < 2) → null.
+    "q75_rolling_ols" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("y"))
+        .withColumn("x", datediff(col("day"), lit("1970-01-01")).cast("long"))
+      val w = Window.partitionBy("o_orderpriority").orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,0)")).over(w)
+      val rolled = daily
+        .withColumn("n_days", count(lit(1)).over(w))
+        .withColumn("sx", dsum(col("x"))).withColumn("sy", dsum(col("y")))
+        .withColumn("sxy", dsum(col("x") * col("y")))
+        .withColumn("sxx", dsum(col("x") * col("x")))
+      val nd = col("n_days").cast("double")
+      val den = nd * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      // fixed-point floor rounding, NOT round(): integer moments make
+      // exact .5 decimal boundaries reachable (den | 10^k), where
+      // HALF_UP-on-shortest-decimal and double-arithmetic ROUND
+      // disagree — floor(x·1e6+0.5) is bit-identical in both engines
+      val raw = (nd * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) / den / 100.0
+      rolled.select(col("o_orderpriority"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_days"),
+        when(col("n_days") >= 2L,
+          floor(raw * 1e6 + 0.5) / 1e6).as("slope_per_day"))
+    }),
+
+    // BATCH SESSIONIZATION (st2's gaps-and-islands shape at rest):
+    // per-user sessions split at >30-minute silences — session start,
+    // event count, exact integer duration, micro-quantized value sum
+    // (a raw double SUM's accumulation order is partition-dependent;
+    // the Long micro units are order-free). Both windows are
+    // user-keyed (lag + running sum on ONE user-partitioned exchange);
+    // nothing global at any event scale.
+    "q76_sessions" -> ((s, d) => {
+      val wU = Window.partitionBy("user_id").orderBy("ts")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"),
+          floor(col("value") * 1000000.0 + 0.5).cast("long").as("vm"))
+        .withColumn("gap_sec",
+          unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(wU)))
+        .withColumn("brk",
+          when(col("gap_sec").isNull || col("gap_sec") > 1800L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum("brk").over(
+          wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ev.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (unix_timestamp(max("ts")) - unix_timestamp(min("ts")))
+            .as("duration_sec"),
+          date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          round(sum("vm").cast("double") / 1e6, 6).as("total_value"))
+        .select(col("user_id"), col("session_id"), col("session_start"),
+          col("n_events"), col("duration_sec"), col("total_value"))
+    }),
+
+    // INTER-ORDER GAP percentiles (the repurchase-cadence readout
+    // behind q50's recency score): days between consecutive orders per
+    // customer, percentiled per market segment. Gaps are exact integer
+    // days from ONE customer-keyed lag window; p50/p90 ride the
+    // histogram-rank exact-percentile pass over the gap frame.
+    "q77_order_gaps" -> ((s, d) => {
+      val wC = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+      val gaps = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate"))
+        .withColumn("gap_days",
+          datediff(col("o_orderdate"), lag("o_orderdate", 1).over(wC))
+            .cast("long"))
+        .filter(col("gap_days").isNotNull)
+        .join(Tables.customer(s, d).select(col("c_custkey"),
+          col("c_mktsegment")), col("o_custkey") === col("c_custkey"))
+      gaps.groupBy("c_mktsegment").agg(count(lit(1)).as("n_gaps"))
+        .join(Olap.exactPercentilesByGroup(gaps, "c_mktsegment", "gap_days",
+          Seq(0.5, 0.9)), Seq("c_mktsegment"))
+        .select(col("c_mktsegment"), col("n_gaps"),
+          round(col("pcts")(0), 6).as("p50_gap_days"),
+          round(col("pcts")(1), 6).as("p90_gap_days"))
     })
   )
 
@@ -3014,6 +3106,77 @@ object OlapQueries {
                 WHEN age_days <= 90 THEN '61-90' ELSE '91+' END AS age_bucket,
            COUNT(*) AS n_orders,
            ROUND(SUM(cents) / 100.0, 2) AS total_value
-         FROM b GROUP BY 1, 2"""
+         FROM b GROUP BY 1, 2""",
+    // the same day-grain pre-agg, HUGEINT rolling moments over the
+    // identical 7-row frame, identical closed-form parenthesization
+    "q75_rolling_ols" ->
+      """WITH daily AS (
+           SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS y,
+             CAST(date_diff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS x
+           FROM orders GROUP BY 1, 2, 4),
+         r AS (
+           SELECT o_orderpriority, day,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_days,
+             SUM(CAST(x AS HUGEINT)) OVER w AS sx,
+             SUM(CAST(y AS HUGEINT)) OVER w AS sy,
+             SUM(CAST(x * y AS HUGEINT)) OVER w AS sxy,
+             SUM(CAST(x * x AS HUGEINT)) OVER w AS sxx
+           FROM daily
+           WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT o_orderpriority, strftime(day, '%Y-%m-%d') AS day, n_days,
+           CASE WHEN n_days >= 2 THEN
+             FLOOR((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0
+               * 1e6 + 0.5) / 1e6
+           END AS slope_per_day
+         FROM r""",
+    // identical lag/running-sum windows; micro-quantized value sums
+    "q76_sessions" ->
+      """WITH e AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+           FROM events),
+         g AS (
+           SELECT *, date_diff('second',
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) AS gap
+           FROM e),
+         b AS (
+           SELECT *, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END
+             AS brk
+           FROM g),
+         s AS (
+           SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM b)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+             AS duration_sec,
+           ROUND(CAST(SUM(vm) AS DOUBLE) / 1e6, 6) AS total_value
+         FROM s GROUP BY 1, 2""",
+    // one customer-keyed lag window; quantile_cont interpolation
+    // parity is q16/q48's
+    "q77_order_gaps" ->
+      """WITH g AS (
+           SELECT o_custkey,
+             CAST(date_diff('day',
+               lag(CAST(o_orderdate AS DATE)) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate),
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+           FROM orders),
+         j AS (
+           SELECT c.c_mktsegment, g.gap_days
+           FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+           WHERE g.gap_days IS NOT NULL)
+         SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(quantile_cont(gap_days, 0.5), 6) AS p50_gap_days,
+           ROUND(quantile_cont(gap_days, 0.9), 6) AS p90_gap_days
+         FROM j GROUP BY 1"""
   )
 }

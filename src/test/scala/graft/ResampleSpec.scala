@@ -65,4 +65,78 @@ class ResampleSpec extends SparkSpec {
     assert(out(5L) == ((1L, "view", 4L, "error")))
     assert(out(6L) == ((-1L, "direct", -1L, "direct")))
   }
+
+  test("q75 on a linear fixture: slope is exactly the daily increment") {
+    import spark.implicits._
+    // one priority, 10 days, revenue 100(d+1) dollars on day d →
+    // slope 100 $/day for every window with n >= 2; day 0 is null
+    val rows = (0 until 10).map { d =>
+      (1000L + d, 1L, "O", 100.0 * (d + 1),
+        f"1995-01-${d + 1}%02d 00:00:00", "1-URGENT")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("rolling").toString
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "ts_s", "o_orderpriority")
+      .withColumn("o_orderdate", to_timestamp(col("ts_s"))).drop("ts_s")
+      .write.parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q75_rolling_ols")(spark, dir)
+      .collect().map(r => r.getAs[String]("day") ->
+        ((r.getAs[Long]("n_days"), Option(r.get(3)).map(_ => r.getDouble(3)))))
+      .toMap
+    assert(out("1995-01-01") == ((1L, None)), "n=1 is under-determined")
+    assert(out("1995-01-02") == ((2L, Some(100.0))))
+    assert(out("1995-01-10") == ((7L, Some(100.0))), "frame caps at 7 days")
+  }
+
+  test("q76 sessions split strictly after 30 minutes") {
+    import spark.implicits._
+    // user 1: events at 0s, 1800s (stays), 3601s (splits — gap 1801)
+    val ev = Seq(
+      (1L, "2024-03-01 10:00:00", 1L, "view", 1.5),
+      (2L, "2024-03-01 10:30:00", 1L, "view", 2.25),
+      (3L, "2024-03-01 11:00:01", 1L, "view", 4.0),
+      (4L, "2024-03-01 09:00:00", 2L, "view", 7.0)
+    ).toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val dir = java.nio.file.Files.createTempDirectory("sessions").toString
+    ev.select("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q76_sessions")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("session_id")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("duration_sec"),
+          r.getAs[Double]("total_value")))).toMap
+    assert(out((1L, 1L)) == ((2L, 1800L, 3.75)),
+      "a gap of exactly 1800 s stays in-session")
+    assert(out((1L, 2L)) == ((1L, 0L, 4.0)), "1801 s splits")
+    assert(out((2L, 1L)) == ((1L, 0L, 7.0)))
+    assert(out.size == 3)
+  }
+
+  test("q77 gaps: lag-based day gaps, first order contributes none") {
+    import spark.implicits._
+    // cust 1 (seg X): orders on days 1, 4, 10 → gaps 3, 6
+    // cust 2 (seg X): one order → no gap
+    val orders = Seq(
+      (1L, 1L, "1995-01-01"), (2L, 1L, "1995-01-04"),
+      (3L, 1L, "1995-01-10"), (4L, 2L, "1995-02-01"))
+      .toDF("o_orderkey", "o_custkey", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+      .withColumn("o_totalprice", lit(10.0))
+      .withColumn("o_orderstatus", lit("O"))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+    val cust = Seq((1L, "X"), (2L, "X"))
+      .toDF("c_custkey", "c_mktsegment")
+      .withColumn("c_nationkey", lit(0L)).withColumn("c_name", lit("c"))
+    val dir = java.nio.file.Files.createTempDirectory("gaps").toString
+    orders.write.parquet(s"$dir/orders.parquet")
+    cust.write.parquet(s"$dir/customer.parquet")
+    val r = SparkEntry.queries("q77_order_gaps")(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_gaps") == 2L)
+    assert(r.head.getAs[Double]("p50_gap_days") == 4.5,
+      "interpolated median of {3, 6}")
+    assert(r.head.getAs[Double]("p90_gap_days") == 5.7,
+      "0.9 quantile interpolates 3 + 0.9*(6-3)")
+  }
 }
