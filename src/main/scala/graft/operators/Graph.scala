@@ -387,6 +387,23 @@ object Graph {
     * one dim-sized label self-join. Fully integer/deterministic; the
     * oracle unrolls the identical rounds.
     */
+  /** TWO-HOP REACH: per node, the count of DISTINCT nodes within two
+    * hops (excluding itself) — the neighborhood-size readout behind
+    * influence/coverage ranking. One wedge join (Σ deg² candidates —
+    * bounded by the 8-NN out-degree cap at ANY corpus size) unioned
+    * with the 1-hop edges, deduped, then a node-grain count.
+    */
+  def twoHopReach(adj: DataFrame): DataFrame = {
+    val oneHop = adj.select(col("src"), col("dst").as("r"))
+    val x = adj.select(col("src"), col("dst").as("mid"))
+    val y = adj.select(col("src").as("mid2"), col("dst").as("r"))
+    val twoHop = x.join(y, col("mid") === col("mid2"))
+      .filter(col("src") =!= col("r"))
+      .select(col("src"), col("r"))
+    oneHop.unionAll(twoHop).distinct()
+      .groupBy("src").agg(count(lit(1)).as("reach"))
+  }
+
   def connectedComponents(adj: DataFrame, rounds: Int = 6): DataFrame = {
     var lbl = adj.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))

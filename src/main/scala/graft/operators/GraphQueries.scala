@@ -183,6 +183,12 @@ object GraphQueries {
         .groupBy("lbl").agg(count(lit(1)).as("n_members"))
       rankedTopK(cc, Seq(col("n_members").desc, col("lbl")), 20,
         col("lbl").as("component"), col("n_members"))
+    }),
+    // two-hop neighborhood size (distinct reach, self excluded)
+    "g14_two_hop_reach" -> ((s, d) => {
+      val r = Graph.twoHopReach(cachedAdjDeg(s, d))
+      rankedTopK(r, Seq(col("reach").desc, col("src")), 30,
+        col("src").as("part"), col("reach"))
     }))
 
   /** Shared oracle base: baskets → canonical pairs → per-node top-8 →
@@ -529,7 +535,21 @@ object GraphQueries {
            CAST(row_number() OVER (ORDER BY COUNT(*) DESC, lbl)
              AS BIGINT) AS rank
          FROM cc6 GROUP BY lbl)
-       WHERE rank <= 20"""))
+       WHERE rank <= 20"""),
+    "g14_two_hop_reach" -> (graphCtes +
+      """,
+       reach AS (
+         SELECT src, CAST(COUNT(*) AS BIGINT) AS reach FROM (
+           SELECT src, dst AS r FROM adj
+           UNION
+           SELECT a.src, b.dst AS r
+           FROM adj a JOIN adj b ON a.dst = b.src
+           WHERE a.src <> b.dst)
+         GROUP BY src)
+       SELECT CAST(row_number() OVER (ORDER BY reach DESC, src)
+           AS BIGINT) AS rank,
+         src AS part, reach
+       FROM reach QUALIFY rank <= 30"""))
 
   /** The unrolled pointer-jumping min-label rounds of
     * [[Graph.connectedComponents]]: per round, min over (own label,

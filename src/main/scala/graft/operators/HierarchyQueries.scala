@@ -298,6 +298,23 @@ object HierarchyQueries {
           floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
       HierarchyAgg.subtreeStddev(facts, dimension(s, d).aggregationDim)
     }),
+    // MATERIALIZED PATH LABELS ("Root > Asia > India") derived from
+    // the CLOSURE (ancestors collected per node, level-sorted),
+    // cross-checked against the oracle's RECURSIVE path — the lineage
+    // string serving layers denormalize onto every row. Dim-sized
+    // aggregation; the sort key (level) is unique along a path
+    "h31_path_labels" -> ((s, d) => {
+      val adim = dimension(s, d).aggregationDim
+      adim.groupBy(col("descendant_node_id"))
+        .agg(max(col("descendant_node_name")).as("node_name"),
+          max(col("descendant_level_number")).cast("long")
+            .as("level_number"),
+          array_join(transform(
+            array_sort(collect_list(struct(
+              col("ancestor_level_number").as("l"),
+              col("ancestor_node_name").as("n")))),
+            x => x.getField("n")), " > ").as("path"))
+    }),
     // per-node TOP CONTRIBUTORS: the 3 customers with the largest
     // subtree spend under every node (h17's drill-down companion) —
     // one fact pre-agg, broadcast closure, MV-grain aggregate, then
@@ -950,6 +967,14 @@ SELECT product_node_name, n_orders,
     / (CAST(n_orders AS DOUBLE) * CAST(n_orders AS DOUBLE))) / 100.0, 6)
     AS stddev_value
 FROM m""",
+    // the RECURSIVE path (rdim.path) vs the engine's closure-collected
+    // ancestors — two independent derivations of the same lineage
+    "h31_path_labels" ->
+      s"""${prelude(false)}
+SELECT node_id AS descendant_node_id, node_name,
+  CAST(level_number AS BIGINT) AS level_number,
+  array_to_string(list_transform(path, x -> x.node_name), ' > ') AS path
+FROM rdim""",
     // per-node top-3 customers by subtree spend: the h4 closure
     // derivation, (node, customer) sums, rank key ROUND(spend, 9)
     "h26_subtree_topk" ->

@@ -1905,6 +1905,33 @@ object OlapQueries {
         .select(col("c_mktsegment"), col("n_gaps"),
           round(col("pcts")(0), 6).as("p50_gap_days"),
           round(col("pcts")(1), 6).as("p90_gap_days"))
+    }),
+
+    // DECILE TRANSITION MATRIX (q71's gains table × q41's Markov
+    // shape): customers decile-ranked by 1996 revenue vs their 1997
+    // decile — the churn/migration readout ("do top-decile customers
+    // stay top-decile"). Two entity-grain ntile windows (q71's
+    // total-order determinism), one customer-keyed join of two
+    // customer-grain frames, a ≤100-row transition aggregate; the
+    // row-share window runs over that 100-row frame.
+    "q78_decile_transition" -> ((s, d) => {
+      def deciles(year: Int, out: String) = Tables.orders(s, d)
+        .filter(org.apache.spark.sql.functions.year(col("o_orderdate"))
+          === year)
+        .groupBy("o_custkey")
+        .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("cents"))
+        .withColumn(out, ntile(10).over(
+          Window.orderBy(col("cents").desc, col("o_custkey"))).cast("long"))
+        .select(col("o_custkey"), col(out))
+      val t = deciles(1996, "from_decile")
+        .join(deciles(1997, "to_decile"), "o_custkey")
+        .groupBy("from_decile", "to_decile")
+        .agg(count(lit(1)).as("n_customers"))
+      t.withColumn("row_share",
+        round(col("n_customers").cast("double") /
+          sum("n_customers").over(Window.partitionBy("from_decile"))
+            .cast("double"), 6))
     })
   )
 
@@ -3177,6 +3204,30 @@ object OlapQueries {
          SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_gaps,
            ROUND(quantile_cont(gap_days, 0.5), 6) AS p50_gap_days,
            ROUND(quantile_cont(gap_days, 0.9), 6) AS p90_gap_days
-         FROM j GROUP BY 1"""
+         FROM j GROUP BY 1""",
+    // the same total-ordered ntile windows and the 100-row share frame
+    "q78_decile_transition" ->
+      """WITH d96 AS (
+           SELECT o_custkey, CAST(ntile(10) OVER (ORDER BY
+               SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) DESC,
+               o_custkey) AS BIGINT) AS from_decile
+           FROM orders WHERE year(CAST(o_orderdate AS TIMESTAMP)) = 1996
+           GROUP BY o_custkey),
+         d97 AS (
+           SELECT o_custkey, CAST(ntile(10) OVER (ORDER BY
+               SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) DESC,
+               o_custkey) AS BIGINT) AS to_decile
+           FROM orders WHERE year(CAST(o_orderdate AS TIMESTAMP)) = 1997
+           GROUP BY o_custkey),
+         t AS (
+           SELECT from_decile, to_decile, CAST(COUNT(*) AS BIGINT)
+             AS n_customers
+           FROM d96 JOIN d97 USING (o_custkey)
+           GROUP BY 1, 2)
+         SELECT t.*,
+           ROUND(CAST(n_customers AS DOUBLE)
+             / CAST(SUM(n_customers) OVER (PARTITION BY from_decile)
+               AS DOUBLE), 6) AS row_share
+         FROM t"""
   )
 }

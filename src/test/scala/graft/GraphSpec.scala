@@ -260,6 +260,15 @@ class GraphSpec extends SparkSpec {
     assert(got(2L) > got(4L) && got(4L) > got(6L))
   }
 
+  test("twoHopReach: path graph counts distinct nodes within 2 hops") {
+    // path 1-2-3-4: reach(1)={2,3}, reach(2)={1,3,4}, reach(3)={1,2,4},
+    // reach(4)={2,3}
+    val e = edgesDF(Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L)))
+    val got = Graph.twoHopReach(Graph.adjacency(e))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 3L, 3L -> 3L, 4L -> 2L))
+  }
+
   test("connectedComponents: planted components get their min ids") {
     // triangle {1,2,3}, a 5-node path {10..14} (tests multi-hop
     // label travel), and an isolated edge {20,21}

@@ -95,6 +95,25 @@ class HierarchySpec extends SparkSpec {
     assert(got("--------------B1") == ((1L, 5.0, 0.0)))
   }
 
+  test("h31 path labels: closure-collected lineage matches the tree") {
+    // the registry derivation (ancestors collected from the closure,
+    // level-sorted) on the toy dim
+    import org.apache.spark.sql.functions._
+    val out = dim.aggregationDim.groupBy(col("descendant_node_id"))
+      .agg(max(col("descendant_node_name")).as("node_name"),
+        array_join(transform(
+          array_sort(collect_list(struct(
+            col("ancestor_level_number").as("l"),
+            col("ancestor_node_name").as("n")))),
+          x => x.getField("n")), " > ").as("path"))
+      .collect().map(r => r.getAs[String]("node_name") ->
+        r.getAs[String]("path")).toMap
+    assert(out("Root") === "Root")
+    assert(out("A") === "Root > A")
+    assert(out("A1") === "Root > A > A1")
+    assert(out("B1") === "Root > B > B1")
+  }
+
   test("aggregation dim: closure pairs (self included) + net_level") {
     val pairs = dim.aggregationDim
       .select("ancestor_node_id", "descendant_node_id", "net_level")

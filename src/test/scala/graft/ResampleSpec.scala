@@ -139,4 +139,29 @@ class ResampleSpec extends SparkSpec {
     assert(r.head.getAs[Double]("p90_gap_days") == 5.7,
       "0.9 quantile interpolates 3 + 0.9*(6-3)")
   }
+
+  test("q78 on a reversal fixture: decile i migrates to decile 11-i") {
+    import spark.implicits._
+    // 10 customers; 1996 revenue rank = custkey asc (cust 1 richest),
+    // 1997 reversed → from_decile i maps 1:1 to to_decile 11-i
+    val rows = (1L to 10L).flatMap { c =>
+      Seq((c * 10, c, (11 - c) * 100.0, "1996-06-01"),
+        (c * 10 + 1, c, c * 100.0, "1997-06-01"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("decile").toString
+    rows.toDF("o_orderkey", "o_custkey", "o_totalprice", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+      .withColumn("o_orderstatus", lit("O"))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q78_decile_transition")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("from_decile"),
+        r.getAs[Long]("to_decile")) ->
+        ((r.getAs[Long]("n_customers"), r.getAs[Double]("row_share"))))
+      .toMap
+    assert(out.size === 10)
+    (1L to 10L).foreach { i =>
+      assert(out((i, 11 - i)) == ((1L, 1.0)), s"decile $i")
+    }
+  }
 }
