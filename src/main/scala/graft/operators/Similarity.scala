@@ -587,6 +587,36 @@ object Similarity {
         round(norm(col("c_b")), 6).as("norm_b"))
   }
 
+  /** NEAREST-CENTROID CLASSIFIER (Rocchio): the train split collapses
+    * to ONE fixed-point centroid per label ([[graft.functions.
+    * VectorMeanAgg]] — bit-stable at any partitioning, so the oracle
+    * re-derives the exact centroids), and each query takes the label
+    * whose centroid maximizes cosine (round(cos, 9) rank, ties to the
+    * smaller label). The |labels|-row centroid frame broadcasts onto
+    * the query set; at serving scale this is the O(|labels|)
+    * classifier that screens before a kNN fallback (s12/s17).
+    */
+  def centroidClassify(emb: DataFrame, nQueries: Int = 10): DataFrame = {
+    val c = corpus(emb)
+    val cents = c.filter(col("vec_id") >= nQueries)
+      .groupBy(col("label").cast("long").as("clab"))
+      .agg(graft.functions.VectorMeanAgg.vectorMean(col("v")).as("cv"))
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
+        col("label").cast("long").as("true_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    q.crossJoin(broadcast(cents))
+      .withColumn("cos",
+        dot(col("qv"), col("cv")) / (col("qn") * norm(col("cv"))))
+      .groupBy("q_id")
+      .agg(max_by(struct(col("clab"), col("cos")),
+          struct(round(col("cos"), 9), -col("clab"))).as("b"),
+        max(col("true_label")).as("true_label"))
+      .select(col("q_id"), col("b.clab").as("predicted_label"),
+        round(col("b.cos"), 6).as("centroid_cos"), col("true_label"),
+        (col("b.clab") === col("true_label")).as("correct"))
+  }
+
   /** Exact cosine RANGE search: every corpus vector with
     * `cos >= tau` per query — the thresholded counterpart of top-k
     * (radius query), the primitive behind "pull everything similar
@@ -1175,7 +1205,11 @@ object SimilarityQueries {
     // kNN regression: exact mean of the 5 nearest train neighbors'
     // values (s12's vote → an exact Long-sum mean)
     "s17_knn_regression" -> ((s, d) =>
-      Similarity.knnRegress(Tables.embeddings(s, d)))
+      Similarity.knnRegress(Tables.embeddings(s, d))),
+    // nearest-centroid (Rocchio) classifier over fixed-point label
+    // centroids — the O(|labels|) screen before a kNN fallback
+    "s18_centroid_classify" -> ((s, d) =>
+      Similarity.centroidClassify(Tables.embeddings(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1270,6 +1304,42 @@ object SimilarityQueries {
            ROUND(abs(CAST(s AS DOUBLE) / CAST(k AS DOUBLE)
              - CAST(q.label AS DOUBLE)), 6) AS abs_error
          FROM agg a JOIN n q ON a.q_id = q.vec_id""",
+    // s14's exact fixed-point centroid re-derivation, then the argmax
+    // with the engine's (round(cos,9) DESC, label ASC) tie-break
+    "s18_centroid_classify" ->
+      """WITH e AS (
+           SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         sums AS (
+           SELECT e.label, t.pos,
+             SUM(CAST(FLOOR(e.v[t.pos] * 1e6 + 0.5) AS BIGINT)) AS smic,
+             COUNT(*) AS n
+           FROM e, LATERAL (SELECT unnest(generate_series(1, len(e.v)))
+             AS pos) t
+           WHERE e.vec_id >= 10
+           GROUP BY e.label, t.pos),
+         cent AS (
+           SELECT CAST(label AS BIGINT) AS clab,
+             list(CAST(smic AS DOUBLE) / n / 1e6 ORDER BY pos) AS cv
+           FROM sums GROUP BY label),
+         q AS (
+           SELECT vec_id AS q_id, CAST(label AS BIGINT) AS true_label, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS qn
+           FROM e WHERE vec_id < 10),
+         sc AS (
+           SELECT q.q_id, c.clab, q.true_label,
+             list_sum(list_transform(list_zip(q.v, c.cv), z -> z[1] * z[2]))
+               / (q.qn * sqrt(list_sum(list_transform(c.cv, x -> x * x))))
+               AS cos
+           FROM q CROSS JOIN cent c),
+         best AS (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY ROUND(cos, 9) DESC, clab ASC) AS rr
+           FROM sc)
+         SELECT q_id, clab AS predicted_label, ROUND(cos, 6) AS centroid_cos,
+           true_label, (clab = true_label) AS correct
+         FROM best WHERE rr = 1""",
     "s5_mips" ->
       """WITH e AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -50,7 +50,8 @@ class PlanLintSpec extends SparkSpec {
                            // literal group key (constant-folded to NLJ)
     "q71_decile_lift",     // 1-row revenue-total broadcast (share normalizer)
     "q74_aging_buckets",   // 1-row snapshot-date broadcast (q50's anchor)
-    "s17_knn_regression"   // brute-force scan broadcasts the query set (s12)
+    "s17_knn_regression",  // brute-force scan broadcasts the query set (s12)
+    "s18_centroid_classify" // |labels|-row centroid frame crossed onto queries
   )
 
   private val skipEager = Set(

@@ -704,4 +704,20 @@ class SimilaritySpec extends SparkSpec {
       assert(trueV === qLab, s"query $q")
     }
   }
+
+  test("s18 centroid classifier: planted separable labels classify exactly") {
+    import spark.implicits._
+    // label 0 train vectors cluster on axis-0, label 1 on axis-1;
+    // queries 0/1 sit near their own cluster
+    val rows = Seq(
+      (0L, Array(0.9f, 0.1f), 0), (1L, Array(0.1f, 0.9f), 1),
+      (10L, Array(1.0f, 0.0f), 0), (11L, Array(0.8f, 0.2f), 0),
+      (12L, Array(0.0f, 1.0f), 1), (13L, Array(0.2f, 0.8f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = operators.Similarity.centroidClassify(rows, nQueries = 2)
+      .collect().map(r => r.getAs[Long]("q_id") ->
+        ((r.getAs[Long]("predicted_label"), r.getAs[Boolean]("correct"))))
+      .toMap
+    assert(got(0L) == ((0L, true)) && got(1L) == ((1L, true)))
+  }
 }
