@@ -189,6 +189,21 @@ object GraphQueries {
       val r = Graph.twoHopReach(cachedAdjDeg(s, d))
       rankedTopK(r, Seq(col("reach").desc, col("src")), 30,
         col("src").as("part"), col("reach"))
+    }),
+    // PAGERANK CONVERGENCE EVAL: the integer L1/L∞ movement between
+    // rounds 7 and 8 — the "are 8 rounds enough" readout an iteration
+    // budget is gated on (s15's eval-harness idea for g2). Node-grain
+    // join of two node-grain frames; exact micro-unit integers
+    "g15_pagerank_delta" -> ((s, d) => {
+      val adj = cachedAdjDeg(s, d)
+      val p7 = Graph.pagerank(adj, 7)
+        .select(col("node"), col("rank_micro").as("r7"))
+      val p8 = Graph.pagerank(adj, 8)
+        .select(col("node"), col("rank_micro").as("r8"))
+      p8.join(p7, "node")
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(abs(col("r8") - col("r7"))).as("l1_delta_micro"),
+          max(abs(col("r8") - col("r7"))).as("max_delta_micro"))
     }))
 
   /** Shared oracle base: baskets → canonical pairs → per-node top-8 →
@@ -549,7 +564,15 @@ object GraphQueries {
        SELECT CAST(row_number() OVER (ORDER BY reach DESC, src)
            AS BIGINT) AS rank,
          src AS part, reach
-       FROM reach QUALIFY rank <= 30"""))
+       FROM reach QUALIFY rank <= 30"""),
+    // pagerankCtes(8) materializes every round — pr7 and pr8 are both
+    // in scope for the delta join
+    "g15_pagerank_delta" -> (graphCtes + pagerankCtes(8) +
+      """
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(ABS(a.r - b.r)) AS BIGINT) AS l1_delta_micro,
+         CAST(MAX(ABS(a.r - b.r)) AS BIGINT) AS max_delta_micro
+       FROM pr8 a JOIN pr7 b USING (node)"""))
 
   /** The unrolled pointer-jumping min-label rounds of
     * [[Graph.connectedComponents]]: per round, min over (own label,

@@ -1932,6 +1932,31 @@ object OlapQueries {
         round(col("n_customers").cast("double") /
           sum("n_customers").over(Window.partitionBy("from_decile"))
             .cast("double"), 6))
+    }),
+
+    // WEEKDAY SEASONALITY PROFILE (the calendar-mix readout behind
+    // q75's trend): each day-of-week's average daily revenue indexed
+    // to the overall daily average — "is Monday structurally light or
+    // was this Monday bad". Facts collapse to the day grain once; the
+    // 7-row dow frame and the 1-row total broadcast do the rest; the
+    // index is a ratio of ratios of exact integers at the oracle's
+    // parenthesization.
+    "q79_weekday_profile" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("c"))
+        .withColumn("dow", dayofweek(col("day")).cast("long"))
+      val byDow = daily.groupBy("dow")
+        .agg(count(lit(1)).as("n_days"), sum("c").as("cents"))
+      val tot = byDow.agg(sum("n_days").as("tn"),
+        sum("cents".toString).as("tc"))
+      byDow.crossJoin(broadcast(tot))
+        .select(col("dow"), col("n_days"),
+          round(col("cents").cast("double") / 100.0, 2).as("revenue"),
+          round((col("cents").cast("double") / col("n_days").cast("double"))
+            / (col("tc").cast("double") / col("tn").cast("double")), 6)
+            .as("seasonality_index"))
     })
   )
 
@@ -3228,6 +3253,24 @@ object OlapQueries {
            ROUND(CAST(n_customers AS DOUBLE)
              / CAST(SUM(n_customers) OVER (PARTITION BY from_decile)
                AS DOUBLE), 6) AS row_share
-         FROM t"""
+         FROM t""",
+    // DuckDB dayofweek is 0-based Sunday vs Spark's 1-based (+1);
+    // index = (dow avg) / (overall avg), both ratios of exact ints
+    "q79_weekday_profile" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS c
+           FROM orders GROUP BY 1),
+         byd AS (
+           SELECT CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_days, SUM(c) AS cents
+           FROM daily GROUP BY 1),
+         tot AS (SELECT SUM(n_days) AS tn, SUM(cents) AS tc FROM byd)
+         SELECT dow, n_days,
+           ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+           ROUND((CAST(cents AS DOUBLE) / CAST(n_days AS DOUBLE))
+             / (CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE)), 6)
+             AS seasonality_index
+         FROM byd CROSS JOIN tot"""
   )
 }

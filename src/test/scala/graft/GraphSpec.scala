@@ -260,6 +260,21 @@ class GraphSpec extends SparkSpec {
     assert(got(2L) > got(4L) && got(4L) > got(6L))
   }
 
+  test("pagerank delta between consecutive rounds matches the reference") {
+    // path 1-2-3: engine L1(r8−r7) equals the Long-recurrence reference
+    val und = Seq((1L, 2L), (2L, 3L))
+    val adjOd = Graph.withOutDeg(
+      Graph.adjacency(edgesDF(und.map { case (a, b) => (a, b, 1L) })))
+    val p7 = Graph.pagerank(adjOd, 7).as[(Long, Long)].collect().toMap
+    val p8 = Graph.pagerank(adjOd, 8).as[(Long, Long)].collect().toMap
+    val r7 = refPagerank(und, 7)
+    val r8 = refPagerank(und, 8)
+    assert(p7 === r7 && p8 === r8)
+    val l1 = p7.keys.map(k => math.abs(p8(k) - p7(k))).sum
+    val ref = r7.keys.map(k => math.abs(r8(k) - r7(k))).sum
+    assert(l1 === ref)
+  }
+
   test("twoHopReach: path graph counts distinct nodes within 2 hops") {
     // path 1-2-3-4: reach(1)={2,3}, reach(2)={1,3,4}, reach(3)={1,2,4},
     // reach(4)={2,3}

@@ -51,7 +51,8 @@ class PlanLintSpec extends SparkSpec {
     "q71_decile_lift",     // 1-row revenue-total broadcast (share normalizer)
     "q74_aging_buckets",   // 1-row snapshot-date broadcast (q50's anchor)
     "s17_knn_regression",  // brute-force scan broadcasts the query set (s12)
-    "s18_centroid_classify" // |labels|-row centroid frame crossed onto queries
+    "s18_centroid_classify", // |labels|-row centroid frame crossed onto queries
+    "q79_weekday_profile"  // 1-row overall-average broadcast (q46's shape)
   )
 
   private val skipEager = Set(

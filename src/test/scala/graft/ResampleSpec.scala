@@ -164,4 +164,24 @@ class ResampleSpec extends SparkSpec {
       assert(out((i, 11 - i)) == ((1L, 1.0)), s"decile $i")
     }
   }
+
+  test("q79 on a two-day fixture: indexes 1.5 / 0.5 around the mean") {
+    import spark.implicits._
+    // Mon 2026-08-10 revenue 300, Tue 2026-08-11 revenue 100 →
+    // overall daily avg 200 → Monday 1.5, Tuesday 0.5
+    val rows = Seq(
+      (1L, 1L, 300.0, "2026-08-10"), (2L, 1L, 100.0, "2026-08-11"))
+    val dir = java.nio.file.Files.createTempDirectory("dowprof").toString
+    rows.toDF("o_orderkey", "o_custkey", "o_totalprice", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+      .withColumn("o_orderstatus", lit("O"))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q79_weekday_profile")(spark, dir)
+      .collect().map(r => r.getAs[Long]("dow") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Double]("revenue"),
+          r.getAs[Double]("seasonality_index")))).toMap
+    assert(out(2L) == ((1L, 300.0, 1.5)), "Monday is Spark dow 2")
+    assert(out(3L) == ((1L, 100.0, 0.5)))
+  }
 }
