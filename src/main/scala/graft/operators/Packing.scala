@@ -439,7 +439,29 @@ object Packing {
     // any prefix of an epoch. The global position window runs over the
     // ≤ perSource × |sources| admitted frame, never the corpus
     "p15_interleave_sources" -> ((s, d) =>
-      interleaveSources(Tables.documents(s, d)))
+      interleaveSources(Tables.documents(s, d))),
+    // PACKING-EFFICIENCY EVAL (s15's harness idea for p1): per
+    // language, bin count, exact ppm average fill of the 512-token
+    // capacity (floor division), the ≥90%-full bin share and p50/p90
+    // fills — the wasted-compute readout a packing-parameter change is
+    // gated on. Bins are p1's own output collapsed to bin grain;
+    // percentiles ride the histogram-rank pass over the BIN frame
+    "p16_pack_eval" -> ((s, d) => {
+      val bins = sequencePack(Tables.documents(s, d))
+        .groupBy("lang", "bin_id").agg(max("bin_fill").as("fill"))
+      val agg = bins.groupBy("lang").agg(count(lit(1)).as("n_bins"),
+        sum("fill").as("tot"),
+        sum(when(col("fill") * 10L >= 512L * 9L, 1L).otherwise(0L))
+          .as("n_full"))
+      agg.join(Olap.exactPercentilesByGroup(bins, "lang", "fill",
+          Seq(0.5, 0.9)), Seq("lang"))
+        .select(col("lang"), col("n_bins"),
+          expr("(tot * 1000000L) div (n_bins * 512L)").as("avg_fill_ppm"),
+          round(col("n_full").cast("double") /
+            col("n_bins").cast("double"), 6).as("full_bin_share"),
+          round(col("pcts")(0), 6).as("p50_fill"),
+          round(col("pcts")(1), 6).as("p90_fill"))
+    })
   )
 
   /** See the p15 entry: per-source LCG rank admission, then one
@@ -781,6 +803,39 @@ object Packing {
          SELECT CAST(row_number() OVER
              (ORDER BY source_rank, source, doc_id) AS BIGINT) AS position,
            doc_id, source, source_rank
-         FROM r"""
+         FROM r""",
+    // p1's bin derivation collapsed to bin grain; integer 90% test
+    // (fill·10 ≥ 512·9), ppm floor division, quantile_cont parity
+    "p16_pack_eval" ->
+      raw"""WITH t AS (
+           SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS tokens_before
+           FROM t),
+         b AS (SELECT *, CAST(tokens_before // 512 AS BIGINT) AS bin_id
+           FROM c),
+         bins AS (
+           SELECT lang, bin_id, SUM(n_tokens) AS fill
+           FROM b GROUP BY 1, 2),
+         ag AS (
+           SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_bins,
+             SUM(fill) AS tot,
+             SUM(CASE WHEN fill * 10 >= 512 * 9 THEN 1 ELSE 0 END) AS n_full
+           FROM bins GROUP BY 1)
+         SELECT lang, n_bins,
+           CAST((tot * 1000000) // (n_bins * 512) AS BIGINT) AS avg_fill_ppm,
+           ROUND(CAST(n_full AS DOUBLE) / CAST(n_bins AS DOUBLE), 6)
+             AS full_bin_share,
+           (SELECT ROUND(quantile_cont(fill, 0.5), 6) FROM bins x
+             WHERE x.lang = ag.lang) AS p50_fill,
+           (SELECT ROUND(quantile_cont(fill, 0.9), 6) FROM bins x
+             WHERE x.lang = ag.lang) AS p90_fill
+         FROM ag"""
   )
 }

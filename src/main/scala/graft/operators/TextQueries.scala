@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -513,7 +514,36 @@ object TextQueries {
     // GROUP row (q69's accepted log-parity surface: ≤ |lang×source|
     // rows, never per doc)
     "t25_char_entropy" -> ((s, d) =>
-      charEntropyProfile(Tables.documents(s, d)))
+      charEntropyProfile(Tables.documents(s, d))),
+    // TOKEN BURSTINESS (Fano factor): for the 20 highest-count tokens,
+    // variance-to-mean of per-doc counts (zeros included via the
+    // closed form) — bursty topical terms score ≫ 1, function words
+    // ≈ 1; the content-vs-boilerplate discriminator TF-IDF can't see.
+    // Fano = (N·Σc² − (Σc)²)/(N·Σc): every sufficient statistic is an
+    // exact integer (DECIMAL sums — per-doc squares wrap Long at
+    // corpus scale), doubles only at the final division; the rank
+    // window runs over the vocab-grain frame (t19's convention)
+    "t26_token_burstiness" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val cnt = docs
+        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val byTok = cnt.groupBy("tok")
+        .agg(sum(col("c").cast("decimal(38,0)")).as("sc"),
+          sum((col("c") * col("c")).cast("decimal(38,0)")).as("sc2"),
+          count(lit(1)).as("df"))
+      byTok.withColumn("rank", row_number().over(
+          Window.orderBy(col("sc").desc, col("tok"))).cast("long"))
+        .filter(col("rank") <= 20)
+        .crossJoin(broadcast(nDocs))
+        .select(col("rank"), col("tok").as("token"),
+          col("sc").cast("long").as("total_count"), col("df").as("doc_freq"),
+          round((col("n_docs").cast("double") * col("sc2").cast("double")
+            - col("sc").cast("double") * col("sc").cast("double"))
+            / (col("n_docs").cast("double") * col("sc").cast("double")), 6)
+            .as("fano"))
+    })
   )
 
   /** Corpus-level lexical diversity per language — see the
@@ -1318,6 +1348,31 @@ object TextQueries {
            ROUND(-log2(CAST(SUM(rr_ppm) AS DOUBLE)
              / (CAST(COUNT(*) AS DOUBLE) * 1000000.0)), 6)
              AS renyi2_entropy_bits
-         FROM pd GROUP BY 1, 2"""
+         FROM pd GROUP BY 1, 2""",
+    // t24's tokenization, HUGEINT moments, the identical closed form
+    "t26_token_burstiness" ->
+      raw"""WITH t AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         cnt AS (
+           SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM t GROUP BY 1, 2),
+         byt AS (
+           SELECT tok, SUM(CAST(c AS HUGEINT)) AS sc,
+             SUM(CAST(c * c AS HUGEINT)) AS sc2,
+             CAST(COUNT(*) AS BIGINT) AS df
+           FROM cnt GROUP BY 1),
+         rk AS (
+           SELECT *, CAST(row_number() OVER (ORDER BY sc DESC, tok)
+             AS BIGINT) AS rank
+           FROM byt QUALIFY rank <= 20),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+         SELECT rank, tok AS token, CAST(sc AS BIGINT) AS total_count,
+           df AS doc_freq,
+           ROUND((CAST(n_docs AS DOUBLE) * CAST(sc2 AS DOUBLE)
+             - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+             / (CAST(n_docs AS DOUBLE) * CAST(sc AS DOUBLE)), 6) AS fano
+         FROM rk CROSS JOIN n"""
   )
 }

@@ -465,4 +465,26 @@ class PipelineOpsSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     assert(graft.operators.Packing.interleaveSources(big).count() === 25L)
   }
+
+  test("p16 pack eval: full and underfull bins score as expected") {
+    import spark.implicits._
+    // 'en': three exactly-512-token docs → 3 bins at fill 512
+    // 'fr': one 100-token doc → 1 bin at fill 100
+    val text512 = Seq.fill(512)("w").mkString(" ")
+    val text100 = Seq.fill(100)("w").mkString(" ")
+    val docs = Seq(
+      (1L, text512, "en", "s", 1L), (2L, text512, "en", "s", 1L),
+      (3L, text512, "en", "s", 1L), (4L, text100, "fr", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("packeval").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("p16_pack_eval")(spark, dir)
+      .collect().map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_bins"), r.getAs[Long]("avg_fill_ppm"),
+          r.getAs[Double]("full_bin_share"), r.getAs[Double]("p50_fill"))))
+      .toMap
+    assert(out("en") == ((3L, 1000000L, 1.0, 512.0)))
+    // 100·10⁶ div 512 = 195312 (floor); 100 < 90% of 512
+    assert(out("fr") == ((1L, 195312L, 0.0, 100.0)))
+  }
 }

@@ -27,6 +27,24 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got2(3) == 0.0 && got2(4) == 0.0 && got2(1) == 56.0)
   }
 
+  test("t26 burstiness: bursty token Fano 2, uniform token Fano 0") {
+    import spark.implicits._
+    // 2 docs; 'x' appears 4x in doc 1 only → Fano (2·16−16)/(2·4) = 2;
+    // 'the' appears once in each → variance 0 → Fano 0
+    val docs = Seq(
+      (1L, "the x x x x", "en", "s", 11L),
+      (2L, "the", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("fano").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t26_token_burstiness")(spark, dir)
+      .collect().map(r => r.getAs[String]("token") ->
+        ((r.getAs[Long]("total_count"), r.getAs[Long]("doc_freq"),
+          r.getAs[Double]("fano")))).toMap
+    assert(out("x") == ((4L, 1L, 2.0)))
+    assert(out("the") == ((2L, 2L, 0.0)))
+  }
+
   test("lexicalDiversity: hand-computed types/hapax over planted docs") {
     // en: "a a b" (3 tok, 2 types, 1 hapax) + "b c" (2, 2, 2)
     //   → tokens 5, types 4, hapax 3, ttr 0.8, hapax 0.75
