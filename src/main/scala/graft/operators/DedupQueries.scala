@@ -232,6 +232,21 @@ object DedupQueries {
         .withColumn("dup_rate",
           round(col("n_dups").cast("double") /
             col("n_docs").cast("double"), 6))
+    }),
+    // DUP-CLUSTER SIZE PROFILE: the distribution of d6's near-dup
+    // component sizes (n clusters and docs per size, doc share) —
+    // "how redundant is the corpus and in what shape", the readout
+    // p13's 1/size sampling rate is justified by. Cluster-grain then
+    // size-grain aggregates; the share window runs over the
+    // |distinct sizes| frame
+    "d24_cluster_profile" -> ((s, d) => {
+      val sizes = clusters(s, d)
+        .groupBy("component_id").agg(count(lit(1)).as("cluster_size"))
+      sizes.groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+        .withColumn("doc_share", round(col("n_docs").cast("double") /
+          sum("n_docs").over(org.apache.spark.sql.expressions.Window
+            .partitionBy()).cast("double"), 6))
     })
   )
 
@@ -910,6 +925,40 @@ object DedupQueries {
            ROUND(SUM(CASE WHEN k.doc_id <> g.canonical_id THEN 1 ELSE 0 END)
              / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
          FROM keyed k JOIN groups g ON k.key = g.key
-         GROUP BY 1"""
+         GROUP BY 1""",
+    // d6's recursive component derivation, then the size histogram
+    "d24_cluster_profile" ->
+      raw"""WITH RECURSIVE t AS (
+           SELECT doc_id, lang, n_chars,
+             list_distinct(list_transform(
+               range(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')), 1)),
+               i -> regexp_split_to_array(trim(lower(text)), '\s+')[i] || ' ' ||
+                    regexp_split_to_array(trim(lower(text)), '\s+')[i + 1])) AS shingles
+           FROM documents),
+         p AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM t a JOIN t b
+             ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 3
+               AND a.doc_id < b.doc_id
+           WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= 0.05),
+         e AS (SELECT doc_a AS s, doc_b AS d FROM p
+               UNION SELECT doc_b, doc_a FROM p),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS r FROM documents
+           UNION
+           SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s),
+         comp AS (SELECT id AS doc_id, MIN(r) AS component_id
+                  FROM reach GROUP BY id),
+         sz AS (SELECT component_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                FROM comp GROUP BY component_id),
+         hist AS (
+           SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             cluster_size * CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM sz GROUP BY 1)
+         SELECT cluster_size, n_clusters, n_docs,
+           ROUND(CAST(n_docs AS DOUBLE)
+             / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS doc_share
+         FROM hist"""
   )
 }

@@ -443,4 +443,24 @@ class DedupSpec extends SparkSpec {
       .map { case (k, n, d) => k -> ((n, d)) }.toMap
     assert(got("web") === ((3L, 2L)) && got("feed") === ((2L, 1L)))
   }
+
+  test("d24 profile shape: sizes partition docs; shares sum to 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // the registry aggregation on a planted component table:
+    // one size-3 component + two singletons → doc shares 0.6 / 0.4
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L))
+      .toDF("doc_id", "component_id")
+    val sizes = comp.groupBy("component_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    val hist = sizes.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .withColumn("doc_share", round(col("n_docs").cast("double") /
+        sum("n_docs").over(Window.partitionBy()).cast("double"), 6))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(hist(3L) == ((1L, 3L, 0.6)))
+    assert(hist(1L) == ((2L, 2L, 0.4)))
+  }
 }
