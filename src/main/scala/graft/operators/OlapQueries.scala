@@ -1957,6 +1957,45 @@ object OlapQueries {
           round((col("cents").cast("double") / col("n_days").cast("double"))
             / (col("tc").cast("double") / col("tn").cast("double")), 6)
             .as("seasonality_index"))
+    }),
+
+    // COHORT LTV CURVES (q32's retention triangle with money on it):
+    // customers cohorted by FIRST-ORDER month; per (cohort, month
+    // offset) the active count, exact integer-cent revenue, the
+    // cumulative revenue (window over the cohort×offset frame — never
+    // facts) and cumulative LTV per cohort customer. The month offset
+    // is pure integer arithmetic (y·12+m deltas — months_between's
+    // day-aware fraction is engine-specific); cohort sizes ride a
+    // broadcast of the customer-grain first-order frame.
+    "q80_cohort_ltv" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("ym"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      val first = o.groupBy("o_custkey").agg(min("ym").as("cohort_ym"))
+      val sizes = first.groupBy("cohort_ym")
+        .agg(countDistinct("o_custkey").as("cohort_size"))
+      val cells = o.join(first, "o_custkey")
+        .groupBy(col("cohort_ym"), (col("ym") - col("cohort_ym"))
+          .as("month_offset"))
+        .agg(countDistinct("o_custkey").as("n_active"),
+          sum("cents").as("cents"))
+      val wCum = Window.partitionBy("cohort_ym").orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.join(broadcast(sizes), Seq("cohort_ym"))
+        .withColumn("cum_cents", sum("cents").over(wCum))
+        .select(
+          // (ym−1) div/mod so December reads "y-12", not "(y+1)-00"
+          concat(floor((col("cohort_ym") - 1L) / 12).cast("long"), lit("-"),
+            lpad((pmod(col("cohort_ym") - 1L, lit(12L)) + 1L).cast("string"),
+              2, "0")).as("cohort"),
+          col("month_offset"), col("n_active"), col("cohort_size"),
+          round(col("cents").cast("double") / 100.0, 2).as("revenue"),
+          round(col("cum_cents").cast("double") / 100.0, 2)
+            .as("cum_revenue"),
+          round(col("cum_cents").cast("double") /
+            (col("cohort_size").cast("double") * 100.0), 6)
+            .as("ltv_per_customer"))
     })
   )
 
@@ -3271,6 +3310,41 @@ object OlapQueries {
            ROUND((CAST(cents AS DOUBLE) / CAST(n_days AS DOUBLE))
              / (CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE)), 6)
              AS seasonality_index
-         FROM byd CROSS JOIN tot"""
+         FROM byd CROSS JOIN tot""",
+    // the same integer y*12+m month arithmetic and the identical
+    // cohort×offset cumulative frame
+    "q80_cohort_ltv" ->
+      """WITH o AS (
+           SELECT o_custkey,
+             CAST(year(CAST(o_orderdate AS TIMESTAMP)) * 12
+               + month(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ym,
+             CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         f AS (SELECT o_custkey, MIN(ym) AS cohort_ym FROM o GROUP BY 1),
+         sz AS (SELECT cohort_ym, CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+             AS cohort_size
+           FROM f GROUP BY 1),
+         cells AS (
+           SELECT f.cohort_ym, o.ym - f.cohort_ym AS month_offset,
+             CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+             SUM(o.cents) AS cents
+           FROM o JOIN f ON o.o_custkey = f.o_custkey
+           GROUP BY 1, 2),
+         w AS (
+           SELECT cells.*, sz.cohort_size,
+             SUM(cents) OVER (PARTITION BY cells.cohort_ym
+               ORDER BY month_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_cents
+           FROM cells JOIN sz USING (cohort_ym))
+         SELECT CAST((cohort_ym - 1) // 12 AS BIGINT) || '-'
+             || lpad(CAST((cohort_ym - 1) % 12 + 1 AS VARCHAR), 2, '0')
+             AS cohort,
+           month_offset, n_active, cohort_size,
+           ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+           ROUND(CAST(cum_cents AS DOUBLE) / 100.0, 2) AS cum_revenue,
+           ROUND(CAST(cum_cents AS DOUBLE)
+             / (CAST(cohort_size AS DOUBLE) * 100.0), 6) AS ltv_per_customer
+         FROM w"""
   )
 }

@@ -52,7 +52,8 @@ class PlanLintSpec extends SparkSpec {
     "q74_aging_buckets",   // 1-row snapshot-date broadcast (q50's anchor)
     "s17_knn_regression",  // brute-force scan broadcasts the query set (s12)
     "s18_centroid_classify", // |labels|-row centroid frame crossed onto queries
-    "q79_weekday_profile"  // 1-row overall-average broadcast (q46's shape)
+    "q79_weekday_profile", // 1-row overall-average broadcast (q46's shape)
+    "t26_token_burstiness" // 1-row corpus-size broadcast (t11's shape)
   )
 
   private val skipEager = Set(

@@ -184,4 +184,32 @@ class ResampleSpec extends SparkSpec {
     assert(out(2L) == ((1L, 300.0, 1.5)), "Monday is Spark dow 2")
     assert(out(3L) == ((1L, 100.0, 0.5)))
   }
+
+  test("q80 LTV: cumulative revenue per cohort customer, hand-computed") {
+    import spark.implicits._
+    // cohort 1995-01: cust 1 (orders Jan 10, Mar 30) + cust 2 (Jan 20)
+    // → offsets 0 (30 rev, 2 active) and 2 (30 rev, 1 active),
+    //   cum 30 → 60, ltv 15 → 30 per the 2-customer cohort
+    // cohort 1995-02: cust 3 (Feb 5) → offset 0 only
+    val rows = Seq(
+      (1L, 1L, 10.0, "1995-01-10"), (2L, 2L, 20.0, "1995-01-20"),
+      (3L, 1L, 30.0, "1995-03-15"), (4L, 3L, 40.0, "1995-02-05"))
+    val dir = java.nio.file.Files.createTempDirectory("ltv").toString
+    rows.toDF("o_orderkey", "o_custkey", "o_totalprice", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+      .withColumn("o_orderstatus", lit("O"))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q80_cohort_ltv")(spark, dir)
+      .collect().map(r => (r.getAs[String]("cohort"),
+        r.getAs[Long]("month_offset")) ->
+        ((r.getAs[Long]("n_active"), r.getAs[Long]("cohort_size"),
+          r.getAs[Double]("revenue"), r.getAs[Double]("cum_revenue"),
+          r.getAs[Double]("ltv_per_customer")))).toMap
+    // 1995 ym = 1995*12+1 = 23941 → cohort label "1995-01"
+    assert(out(("1995-01", 0L)) == ((2L, 2L, 30.0, 30.0, 15.0)))
+    assert(out(("1995-01", 2L)) == ((1L, 2L, 30.0, 60.0, 30.0)))
+    assert(out(("1995-02", 0L)) == ((1L, 1L, 40.0, 40.0, 40.0)))
+    assert(out.size === 3)
+  }
 }
