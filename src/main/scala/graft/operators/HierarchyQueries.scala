@@ -298,6 +298,39 @@ object HierarchyQueries {
           floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
       HierarchyAgg.subtreeStddev(facts, dimension(s, d).aggregationDim)
     }),
+    // DIMENSION-QUALITY AUDIT (q38's dbt-style shape for hierarchies):
+    // four invariants as one report — fact leaf keys missing from the
+    // dim's leaves (the silent-data-loss check: a rollup inner join
+    // DROPS such facts), parent pointers to nonexistent nodes, extra
+    // roots, and closure net_level consistency. Anti-joins against
+    // broadcast dim frames + 1-row counts; the fact side collapses to
+    // distinct keys before the anti-join
+    "h32_dim_audit" -> ((s, d) => {
+      val dm = dimension(s, d)
+      val nodes = dm.flaggedNodes
+      val leafKeys = nodes.filter(col("is_leaf"))
+        .select(col("node_natural_key").cast("long").as("k"))
+      val factLeaves = graft.Tables.customer(s, d)
+        .select(col("c_nationkey").cast("long").as("k")).distinct()
+      def report(name: String, n: org.apache.spark.sql.DataFrame) =
+        n.select(lit(name).as("check_name"),
+          col("n").cast("long").as("n_violations"))
+      val orphan = report("orphan_fact_leaves",
+        factLeaves.join(broadcast(leafKeys), Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n")))
+      val dangling = report("dangling_parent",
+        nodes.filter(!col("is_root"))
+          .join(broadcast(nodes.select(col("node_id").as("__p"))),
+            col("parent_node_id") === col("__p"), "left_anti")
+          .agg(count(lit(1)).as("n")))
+      val roots = report("extra_roots",
+        nodes.filter(col("is_root")).agg((count(lit(1)) - 1L).as("n")))
+      val gaps = report("level_gaps",
+        dm.aggregationDim.filter(col("net_level") =!=
+            col("descendant_level_number") - col("ancestor_level_number"))
+          .agg(count(lit(1)).as("n")))
+      orphan.unionByName(dangling).unionByName(roots).unionByName(gaps)
+    }),
     // MATERIALIZED PATH LABELS ("Root > Asia > India") derived from
     // the CLOSURE (ancestors collected per node, level-sorted),
     // cross-checked against the oracle's RECURSIVE path — the lineage
@@ -967,6 +1000,28 @@ SELECT product_node_name, n_orders,
     / (CAST(n_orders AS DOUBLE) * CAST(n_orders AS DOUBLE))) / 100.0, 6)
     AS stddev_value
 FROM m""",
+    // the same four invariants over the prelude's frames
+    "h32_dim_audit" ->
+      s"""${prelude(false)},
+fl AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS k FROM customer),
+lk AS (SELECT node_natural_key AS k FROM flagged WHERE is_leaf),
+checks AS (
+  SELECT 'orphan_fact_leaves' AS check_name,
+    CAST(COUNT(*) AS BIGINT) AS n_violations
+  FROM fl WHERE k NOT IN (SELECT k FROM lk)
+  UNION ALL
+  SELECT 'dangling_parent', CAST(COUNT(*) AS BIGINT) FROM flagged f
+  WHERE NOT f.is_root
+    AND f.node_id NOT IN (
+      SELECT c.node_id FROM flagged c
+      JOIN nodes p ON c.parent_node_id = p.node_id)
+  UNION ALL
+  SELECT 'extra_roots', CAST(COUNT(*) - 1 AS BIGINT)
+  FROM flagged WHERE is_root
+  UNION ALL
+  SELECT 'level_gaps', CAST(COUNT(*) AS BIGINT) FROM adim
+  WHERE net_level <> descendant_level_number - ancestor_level_number)
+SELECT * FROM checks""",
     // the RECURSIVE path (rdim.path) vs the engine's closure-collected
     // ancestors — two independent derivations of the same lineage
     "h31_path_labels" ->

@@ -95,6 +95,30 @@ class HierarchySpec extends SparkSpec {
     assert(got("--------------B1") == ((1L, 5.0, 0.0)))
   }
 
+  test("h32 audit checks fire on planted violations") {
+    import org.apache.spark.sql.functions._
+    // add a dangling-parent node and a second root to the toy table
+    val bad = toy.unionByName(Seq(
+      ("x", 99L, "X", "Mid", "ghost"),
+      ("r2", 98L, "R2", "Total", null.asInstanceOf[String]))
+      .toDF("node_id", "node_natural_key", "node_name", "level_name",
+        "parent_node_id"))
+    val nodes = new HierarchyDimension(bad).flaggedNodes
+    val dangling = nodes.filter(!col("is_root"))
+      .join(broadcast(nodes.select(col("node_id").as("__p"))),
+        col("parent_node_id") === col("__p"), "left_anti")
+      .count()
+    assert(dangling === 1L, "the ghost parent must be flagged")
+    val extraRoots = nodes.filter(col("is_root")).count() - 1
+    assert(extraRoots === 1L)
+    // fact key 99 has no leaf in the TOY dim → one orphan
+    val leafKeys = dim.flaggedNodes.filter(col("is_leaf"))
+      .select(col("node_natural_key").cast("long").as("k"))
+    val facts = Seq(11L, 99L).toDF("k")
+    assert(facts.join(broadcast(leafKeys), Seq("k"), "left_anti")
+      .count() === 1L)
+  }
+
   test("h31 path labels: closure-collected lineage matches the tree") {
     // the registry derivation (ancestors collected from the closure,
     // level-sorted) on the toy dim
