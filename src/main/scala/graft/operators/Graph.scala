@@ -124,18 +124,24 @@ object Graph {
   def pagerank(adjOd: DataFrame, iters: Int = 8): DataFrame = {
     var ranks = adjOd.select(col("src").as("node")).distinct()
       .withColumn("r", lit(1000000L))
-    for (_ <- 1 to iters) {
-      ranks = adjOd
-        .join(ranks, adjOd("src") === ranks("node"))
-        .select(col("dst"), expr("r div odeg").as("share"))
-        .groupBy("dst")
-        .agg(sum("share").as("s"))
-        .select(col("dst").as("node"),
-          expr(s"150000L + (s div $dampDen) * $dampNum" +
-            s" + ((s % $dampDen) * $dampNum) div $dampDen").as("r"))
-    }
+    for (_ <- 1 to iters) ranks = pagerankStep(adjOd, ranks)
     ranks.select(col("node"), col("r").as("rank_micro"))
   }
+
+  /** ONE damped-sum PageRank round over a (node, r) frame — the loop
+    * body of [[pagerank]], exposed so a consumer holding round k can
+    * derive round k+1 without replaying rounds 1..k (g15's
+    * convergence delta costs 8 rounds, not 15).
+    */
+  def pagerankStep(adjOd: DataFrame, ranks: DataFrame): DataFrame =
+    adjOd
+      .join(ranks, adjOd("src") === ranks("node"))
+      .select(col("dst"), expr("r div odeg").as("share"))
+      .groupBy("dst")
+      .agg(sum("share").as("s"))
+      .select(col("dst").as("node"),
+        expr(s"150000L + (s div $dampDen) * $dampNum" +
+          s" + ((s % $dampDen) * $dampNum) div $dampDen").as("r"))
 
   /** PERSONALIZED PageRank: [[pagerank]]'s Long recurrence with the
     * teleport mass concentrated on a SEED set instead of spread
@@ -404,27 +410,45 @@ object Graph {
       .groupBy("src").agg(count(lit(1)).as("reach"))
   }
 
-  def connectedComponents(adj: DataFrame, rounds: Int = 6): DataFrame = {
-    var lbl = adj.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-    for (_ <- 1 to rounds) {
+  def connectedComponents(adj: DataFrame, rounds: Int = 6,
+      verifyFixpoint: Boolean = true): DataFrame = {
+    // One synchronous round: min over (own label, neighbor labels,
+    // label-of-label). The label frame feeds THREE consumers per
+    // round (itself, the neighbor min, the pointer jump); left
+    // un-truncated the logical plan triples per round (3^rounds
+    // analysis blow-up), so the loop cuts lineage with an eager
+    // node-grain checkpoint each round — the standard pattern for
+    // iterative graph algorithms.
+    def step(cur: DataFrame): DataFrame = {
       val nb = adj
-        .join(lbl.select(col("node").as("dst"), col("lbl").as("nl")), "dst")
+        .join(cur.select(col("node").as("dst"), col("lbl").as("nl")), "dst")
         .groupBy("src").agg(min("nl").as("nl"))
         .select(col("src").as("node"), col("nl"))
-      val gp = lbl.select(col("node").as("g_node"), col("lbl").as("gl"))
-      // The label frame feeds THREE consumers per round (itself, the
-      // neighbor min, the pointer jump); left un-truncated the logical
-      // plan triples per round (3^rounds analysis blow-up). An eager
-      // node-grain checkpoint per round keeps the plan one round deep —
-      // the standard lineage cut for iterative graph algorithms.
-      lbl = lbl
+      val gp = cur.select(col("node").as("g_node"), col("lbl").as("gl"))
+      cur
         .join(nb, Seq("node"), "left")
         .join(gp, col("lbl") === col("g_node"))
         .select(col("node"),
           least(col("lbl"), coalesce(col("nl"), col("lbl")), col("gl"))
             .as("lbl"))
-        .localCheckpoint()
+    }
+    var lbl = adj.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to rounds) lbl = step(lbl).localCheckpoint()
+    if (verifyFixpoint) {
+      // A fixed round count is only correct if it REACHED the
+      // fixpoint — on a topology whose label chains outlast the
+      // pointer-jumping contraction the labels would silently split
+      // one true component into several. One extra node-grain round
+      // + an any-label-moved probe fails fast instead (d4's
+      // loud-guard convention).
+      val moved = step(lbl).withColumnRenamed("lbl", "lbl2")
+        .join(lbl, "node")
+        .filter(col("lbl2") =!= col("lbl")).limit(1).count()
+      require(moved == 0L,
+        s"connectedComponents: labels still moving after $rounds " +
+          "rounds — raise `rounds` (pointer jumping converges in " +
+          "O(log n), so one or two more usually suffice)")
     }
     lbl
   }

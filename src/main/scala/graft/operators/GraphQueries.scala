@@ -196,10 +196,15 @@ object GraphQueries {
     // join of two node-grain frames; exact micro-unit integers
     "g15_pagerank_delta" -> ((s, d) => {
       val adj = cachedAdjDeg(s, d)
-      val p7 = Graph.pagerank(adj, 7)
-        .select(col("node"), col("rank_micro").as("r7"))
-      val p8 = Graph.pagerank(adj, 8)
-        .select(col("node"), col("rank_micro").as("r8"))
+      // round 8 derived FROM round 7 via one extra step — 8 rounds
+      // total, not 7 + 8 (the oracle likewise reads pr7 and pr8 off
+      // one unrolled chain). localCheckpoint pins round 7 so the two
+      // consumers (join sides) don't each replay the 7-round lineage.
+      val p7r = Graph.pagerank(adj, 7).localCheckpoint()
+      val p7 = p7r.select(col("node"), col("rank_micro").as("r7"))
+      val p8 = Graph.pagerankStep(adj,
+          p7r.select(col("node"), col("rank_micro").as("r")))
+        .select(col("node"), col("r").as("r8"))
       p8.join(p7, "node")
         .agg(count(lit(1)).as("n_nodes"),
           sum(abs(col("r8") - col("r7"))).as("l1_delta_micro"),

@@ -1779,10 +1779,15 @@ object OlapQueries {
         .join(v, "user_id").filter(col("ts") > col("first_view"))
         .groupBy("user_id").agg(min("ts").as("first_purchase"),
           min("first_view").as("first_view"))
+      // the user-grain latency frame feeds TWO consumers (the count
+      // and the percentile pass, which itself reads its input twice);
+      // Spark has no cross-branch subplan reuse, so pin the small
+      // frame once instead of re-running the events scan per branch
       val lat = p.select(
         dayofweek(col("first_view")).cast("long").as("cohort_dow"),
         (unix_timestamp(col("first_purchase")) -
           unix_timestamp(col("first_view"))).as("lat_sec"))
+        .localCheckpoint()
       lat.groupBy("cohort_dow").agg(count(lit(1)).as("n_converts"))
         .join(Olap.exactPercentilesByGroup(lat, "cohort_dow", "lat_sec",
           Seq(0.5, 0.9)), Seq("cohort_dow"))
@@ -1835,11 +1840,16 @@ object OlapQueries {
         .rowsBetween(-6, Window.currentRow)
       def dsum(c: org.apache.spark.sql.Column) =
         sum(c.cast("decimal(38,0)")).over(w)
+      // the PRODUCTS cast to decimal BEFORE multiplying — a Long×Long
+      // x·y wraps silently at epoch-day × 100 TB-scale daily cents;
+      // the sums alone being decimal would not protect the product
+      val dx = col("x").cast("decimal(38,0)")
+      val dy = col("y").cast("decimal(38,0)")
       val rolled = daily
         .withColumn("n_days", count(lit(1)).over(w))
         .withColumn("sx", dsum(col("x"))).withColumn("sy", dsum(col("y")))
-        .withColumn("sxy", dsum(col("x") * col("y")))
-        .withColumn("sxx", dsum(col("x") * col("x")))
+        .withColumn("sxy", sum(dx * dy).over(w))
+        .withColumn("sxx", sum(dx * dx).over(w))
       val nd = col("n_days").cast("double")
       val den = nd * col("sxx").cast("double") -
         col("sx").cast("double") * col("sx").cast("double")
@@ -1899,6 +1909,9 @@ object OlapQueries {
         .filter(col("gap_days").isNotNull)
         .join(Tables.customer(s, d).select(col("c_custkey"),
           col("c_mktsegment")), col("o_custkey") === col("c_custkey"))
+        // pinned once: the gap frame feeds the count AND the
+        // percentile pass (q73's fan-out note)
+        .localCheckpoint()
       gaps.groupBy("c_mktsegment").agg(count(lit(1)).as("n_gaps"))
         .join(Olap.exactPercentilesByGroup(gaps, "c_mktsegment", "gap_days",
           Seq(0.5, 0.9)), Seq("c_mktsegment"))
@@ -1949,8 +1962,7 @@ object OlapQueries {
         .withColumn("dow", dayofweek(col("day")).cast("long"))
       val byDow = daily.groupBy("dow")
         .agg(count(lit(1)).as("n_days"), sum("c").as("cents"))
-      val tot = byDow.agg(sum("n_days").as("tn"),
-        sum("cents".toString).as("tc"))
+      val tot = byDow.agg(sum("n_days").as("tn"), sum("cents").as("tc"))
       byDow.crossJoin(broadcast(tot))
         .select(col("dow"), col("n_days"),
           round(col("cents").cast("double") / 100.0, 2).as("revenue"),
@@ -1973,8 +1985,10 @@ object OlapQueries {
           .cast("long").as("ym"),
         floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
       val first = o.groupBy("o_custkey").agg(min("ym").as("cohort_ym"))
+      // `first` is customer-grain by construction — a plain count is
+      // the distinct count, without the expand/distinct step
       val sizes = first.groupBy("cohort_ym")
-        .agg(countDistinct("o_custkey").as("cohort_size"))
+        .agg(count(lit(1)).as("cohort_size"))
       val cells = o.join(first, "o_custkey")
         .groupBy(col("cohort_ym"), (col("ym") - col("cohort_ym"))
           .as("month_offset"))
@@ -3212,8 +3226,8 @@ object OlapQueries {
              CAST(COUNT(*) OVER w AS BIGINT) AS n_days,
              SUM(CAST(x AS HUGEINT)) OVER w AS sx,
              SUM(CAST(y AS HUGEINT)) OVER w AS sy,
-             SUM(CAST(x * y AS HUGEINT)) OVER w AS sxy,
-             SUM(CAST(x * x AS HUGEINT)) OVER w AS sxx
+             SUM(CAST(x AS HUGEINT) * y) OVER w AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) OVER w AS sxx
            FROM daily
            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))

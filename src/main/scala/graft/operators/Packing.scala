@@ -447,8 +447,11 @@ object Packing {
     // gated on. Bins are p1's own output collapsed to bin grain;
     // percentiles ride the histogram-rank pass over the BIN frame
     "p16_pack_eval" -> ((s, d) => {
+      // bin-grain frame pinned once — it feeds the aggregate AND the
+      // percentile pass (no cross-branch subplan reuse in Spark)
       val bins = sequencePack(Tables.documents(s, d))
         .groupBy("lang", "bin_id").agg(max("bin_fill").as("fill"))
+        .localCheckpoint()
       val agg = bins.groupBy("lang").agg(count(lit(1)).as("n_bins"),
         sum("fill").as("tot"),
         sum(when(col("fill") * 10L >= 512L * 9L, 1L).otherwise(0L))

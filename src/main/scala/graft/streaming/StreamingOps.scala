@@ -473,7 +473,10 @@ object StreamingOps {
     */
   def benfordDigitsStream(ev: DataFrame): DataFrame =
     ev.withWatermark("ts", "1 hour")
-      .filter(col("value") > 0.0)
+      // filter on the QUANTIZED micro value, not the raw double: a
+      // value in (0, 5e-7) passes value > 0 but rounds to micro 0,
+      // whose "leading digit" would be 0 and poison log10(1 + 1/d)
+      .filter(floor(col("value") * 1000000.0 + 0.5).cast("long") > 0L)
       .select(col("ts"),
         substring(floor(col("value") * 1000000.0 + 0.5).cast("long")
           .cast("string"), 1, 1).cast("long").as("digit"))
@@ -1600,7 +1603,7 @@ object StreamingQueries {
              CAST(substr(CAST(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)
                AS VARCHAR), 1, 1) AS BIGINT) AS digit
            FROM events
-           WHERE value > 0
+           WHERE CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) > 0
              AND date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL 1 DAY
                <= (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR
                    FROM events)),

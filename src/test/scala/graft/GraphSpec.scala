@@ -297,6 +297,20 @@ class GraphSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents: under-budgeted rounds fail loudly") {
+    // a 40-node path cannot converge in 1 round; the fixpoint guard
+    // must throw instead of returning silently split components
+    val path = edgesDF((1L until 40L).map(i => (i, i + 1, 1L)))
+    val ex = intercept[IllegalArgumentException] {
+      Graph.connectedComponents(Graph.adjacency(path), rounds = 1)
+    }
+    assert(ex.getMessage.contains("still moving"))
+    // with the guard off, the fixed-round semantics stand as-is
+    val loose = Graph.connectedComponents(Graph.adjacency(path),
+      rounds = 1, verifyFixpoint = false)
+    assert(loose.count() === 40L)
+  }
+
   test("connectedComponents: round 6 is the fixpoint on the gate corpus") {
     // the registry runs 6 pointer-jumping rounds; a 7th round changing
     // nothing proves the fixed-round labels ARE the true components

@@ -467,12 +467,15 @@ class StreamingSpec extends SparkSpec {
       .queryName("st33_benford").start()
     try {
       // day 1: digits 1 (×2: 1.23, 0.000150 → micro 150), 9 (×1);
-      // a zero value must be dropped; day-2 probes close day 1
+      // a zero value AND a sub-micro positive (2e-7 → micro 0, whose
+      // "digit" would be 0 and poison log10(1+1/d)) must be dropped;
+      // day-2 probes close day 1
       ms.addData(Seq(
         ev(1, "2024-03-01T01:00:00Z", 1.23),
         ev(2, "2024-03-01T02:00:00Z", 0.000150),
         ev(3, "2024-03-01T03:00:00Z", 9.5),
         ev(4, "2024-03-01T04:00:00Z", 0.0),
+        ev(6, "2024-03-01T05:00:00Z", 0.0000002),
         ev(5, "2024-03-02T02:00:00Z", 42.0)))
       q.processAllAvailable()
       val got = StreamingOps.benfordFinalize(spark.table("st33_benford"))
@@ -481,7 +484,8 @@ class StreamingSpec extends SparkSpec {
         .toMap
       assert(got(("2024-03-01", 1L)) == ((2L, 0.666667)), s"got $got")
       assert(got(("2024-03-01", 9L)) == ((1L, 0.333333)))
-      assert(got.size == 2, s"zero value dropped, day 2 open: $got")
+      assert(got.size == 2,
+        s"zero and sub-micro values dropped, day 2 open: $got")
     } finally q.stop()
   }
 
