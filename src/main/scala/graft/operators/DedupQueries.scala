@@ -233,6 +233,37 @@ object DedupQueries {
           round(col("n_dups").cast("double") /
             col("n_docs").cast("double"), 6))
     }),
+    // THRESHOLD SWEEP (d22's harness as a CURVE): LSH-candidate
+    // precision/recall against exact-Jaccard ground truth at THREE
+    // thresholds from one shared pair pass — the operating-point
+    // chart a banding/threshold change is tuned on. The exact pairs
+    // and the candidate set are each computed ONCE; each threshold is
+    // a filter + two 1-row counts over the (tiny) pair frames
+    "d25_threshold_sweep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.minhashPairs(docs, k = 16, bands = 16)
+        .select("doc_a", "doc_b").localCheckpoint()
+      val pairs = Dedup.ngramJaccard(docs)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .localCheckpoint()
+      Seq(0.03, 0.05, 0.08).map { t =>
+        val truth = pairs.filter(col("jaccard") >= t)
+          .select("doc_a", "doc_b")
+        val nT = truth.agg(count(lit(1)).as("n_truth"))
+        val nH = cand.join(truth, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_hits"))
+        val nC = cand.agg(count(lit(1)).as("n_cand"))
+        nT.crossJoin(broadcast(nH)).crossJoin(broadcast(nC))
+          .select(lit(t).as("threshold"), col("n_truth"), col("n_cand"),
+            col("n_hits"),
+            when(col("n_cand") === 0, lit(null).cast("double"))
+              .otherwise(round(col("n_hits").cast("double") /
+                col("n_cand").cast("double"), 6)).as("precision"),
+            when(col("n_truth") === 0, lit(null).cast("double"))
+              .otherwise(round(col("n_hits").cast("double") /
+                col("n_truth").cast("double"), 6)).as("recall"))
+      }.reduce(_.unionByName(_))
+    }),
     // DUP-CLUSTER SIZE PROFILE: the distribution of d6's near-dup
     // component sizes (n clusters and docs per size, doc share) —
     // "how redundant is the corpus and in what shape", the readout
@@ -926,6 +957,74 @@ object DedupQueries {
              / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
          FROM keyed k JOIN groups g ON k.key = g.key
          GROUP BY 1""",
+    // d22's CTE base (signatures, bands, buckets, candidates + the
+    // blocked exact-Jaccard pairs) evaluated ONCE, three thresholds
+    // off a VALUES list via correlated counts
+    "d25_threshold_sweep" ->
+      raw"""WITH t AS (
+           SELECT doc_id, lang, n_chars,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         sh AS MATERIALIZED (
+           SELECT doc_id, lang, n_chars,
+             list_distinct(list_transform(range(1, greatest(len(toks), 1)),
+               i -> toks[i] || ' ' || toks[i + 1])) AS shingles
+           FROM t),
+         hs AS (
+           SELECT doc_id, list_transform(shingles, s ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, len(s) + 1),
+                   i -> CAST(unicode(s[i]) AS BIGINT))),
+               (x, y) -> (x * 131 + y) % 2147483647)) AS hs
+           FROM sh),
+         sig AS (
+           SELECT doc_id, list_transform(range(0, 16), c ->
+             CASE WHEN len(hs) = 0 THEN 2147483647
+                  ELSE list_min(list_transform(hs, h ->
+                    (((1103515245 * (c + 1) + 12345) % 2147483647) * h
+                     + (69069 * (c + 1) + 1) % 2147483647) % 2147483647))
+             END) AS sig
+           FROM hs),
+         bandk AS (
+           SELECT doc_id, list_transform(range(0, 16), b ->
+             list_reduce(list_prepend(b + 1, sig[b + 1 : b + 1]),
+               (x, y) -> (x * 131 + y) % 2147483647)) AS bk
+           FROM sig),
+         buckets AS (
+           SELECT doc_id, bb.b AS band, bk[bb.b + 1] AS key
+           FROM bandk, (SELECT unnest(range(0, 16)) AS b) bb),
+         cand AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+           FROM buckets a JOIN buckets b2
+             ON a.band = b2.band AND a.key = b2.key
+               AND a.doc_id < b2.doc_id),
+         tr AS MATERIALIZED (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ROUND(CAST(len(list_intersect(a.shingles, b.shingles))
+                 AS DOUBLE) /
+               len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+               AS j
+           FROM sh a JOIN sh b
+             ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 3
+               AND a.doc_id < b.doc_id),
+         th AS (SELECT unnest([0.03, 0.05, 0.08]) AS threshold),
+         m AS (
+           SELECT th.threshold,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM tr
+               WHERE j >= th.threshold) AS n_truth,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cand c
+               JOIN tr ON c.doc_a = tr.doc_a AND c.doc_b = tr.doc_b
+               WHERE tr.j >= th.threshold) AS n_hits
+           FROM th)
+         SELECT threshold, n_truth, n_cand, n_hits,
+           CASE WHEN n_cand = 0 THEN NULL
+                ELSE ROUND(CAST(n_hits AS DOUBLE) / n_cand, 6)
+           END AS precision,
+           CASE WHEN n_truth = 0 THEN NULL
+                ELSE ROUND(CAST(n_hits AS DOUBLE) / n_truth, 6)
+           END AS recall
+         FROM m""",
     // d6's recursive component derivation, then the size histogram
     "d24_cluster_profile" ->
       raw"""WITH RECURSIVE t AS (

@@ -444,6 +444,22 @@ class DedupSpec extends SparkSpec {
     assert(got("web") === ((3L, 2L)) && got("feed") === ((2L, 1L)))
   }
 
+  test("d25 sweep: truth/hits monotone in threshold, hits bounded") {
+    val out = SparkEntry.queries("d25_threshold_sweep")(spark,
+      "/root/testdata/sf0.001")
+      .orderBy("threshold").collect()
+      .map(r => (r.getAs[Double]("threshold"), r.getAs[Long]("n_truth"),
+        r.getAs[Long]("n_cand"), r.getAs[Long]("n_hits")))
+    assert(out.map(_._1).toSeq === Seq(0.03, 0.05, 0.08))
+    // a stricter threshold can only shrink the truth set and the hits
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      a._2 >= b._2 && a._4 >= b._4 })
+    // the candidate set is threshold-independent; hits bounded both ways
+    assert(out.map(_._3).distinct.length === 1)
+    out.foreach { case (_, t, c, h) => assert(h <= t && h <= c) }
+    assert(out.head._2 > 0L, "threshold 0.03 must have ground truth")
+  }
+
   test("d24 profile shape: sizes partition docs; shares sum to 1") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
