@@ -364,7 +364,7 @@ object GraphQueries {
       """
        SELECT CAST(row_number() OVER (ORDER BY r DESC, node) AS BIGINT)
            AS rank,
-         node AS part, r AS rank_micro
+         node AS part, CAST(r AS BIGINT) AS rank_micro
        FROM pr8 QUALIFY rank <= 40"""),
     "g8_bfs_hops" -> (graphCtes + bfsCtes(8) +
       """
@@ -374,7 +374,7 @@ object GraphQueries {
       """
        SELECT CAST(row_number() OVER (ORDER BY r DESC, node) AS BIGINT)
            AS rank,
-         node AS part, r AS ppr_micro
+         node AS part, CAST(r AS BIGINT) AS ppr_micro
        FROM pp8 QUALIFY rank <= 40"""),
     "g3_label_prop" -> (graphCtes +
       """,

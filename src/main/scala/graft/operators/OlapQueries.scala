@@ -3163,7 +3163,7 @@ object OlapQueries {
          SELECT p_brand,
            ROUND(CAST(rev0 AS DOUBLE) / 100.0, 2) AS rev_p0,
            ROUND(CAST(rev1 AS DOUBLE) / 100.0, 2) AS rev_p1,
-           qty0, qty1,
+           CAST(qty0 AS BIGINT) AS qty0, CAST(qty1 AS BIGINT) AS qty1,
            ROUND(CAST(rev1 - rev0 AS DOUBLE) / 100.0, 2) AS delta_rev,
            ROUND((CAST(rev1 AS DOUBLE) / CAST(qty1 AS DOUBLE)
                   - CAST(rev0 AS DOUBLE) / CAST(qty0 AS DOUBLE))

@@ -44,6 +44,7 @@ class PlanLintSpec extends SparkSpec {
     "t22_collocations",    // two 1-row corpus-total broadcasts (t9's shape)
     "q64_abc_pareto",      // 1-row revenue-total broadcast (pct normalizer)
     "d22_lsh_recall_eval", // three 1-row metric frames crossed (eval readout)
+    "d25_threshold_sweep", // d22's shape: three 1-row metric frames crossed per threshold
     "g9_modularity",       // 1-row edge-count broadcast (modularity normalizer)
     "s16_mmr_diversify",   // brute shortlist broadcasts the query set (s1)
     "q70_skew_profile",    // per-key 1-row stats ⨝ 1-row percentiles on a

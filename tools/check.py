@@ -70,12 +70,17 @@ def main():
         mismatch = None
         for c in got.columns:
             a, b = got[c], exp[c]
+            # Driver-exact: the driver hashes canonicalized values, so an
+            # int64-vs-float64 promotion (DuckDB HUGEINT -> float64) fails
+            # on dtype ALONE even when values are bit-exact. No tolerance:
+            # the engine's FP discipline guarantees bit-identical doubles.
+            if (pd.api.types.is_float_dtype(a) !=
+                    pd.api.types.is_float_dtype(b)):
+                mismatch = (f"col {c} DTYPE: spark={a.dtype} "
+                            f"duckdb={b.dtype} (driver hash fails on this)")
+                break
             try:
-                if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
-                    ok = ((a.isna() & b.isna()) | (a == b) |
-                          ((a - b).abs() < 1e-9)).all()
-                else:
-                    ok = (a.astype(str) == b.astype(str)).all()
+                ok = (a.astype(str) == b.astype(str)).all()
             except Exception as e:
                 ok = False
             if not ok:
