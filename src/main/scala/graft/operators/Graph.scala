@@ -380,19 +380,6 @@ object Graph {
           (col("da") + col("dc") - col("common")), 6).as("jaccard"))
   }
 
-  /** CONNECTED COMPONENTS by min-label propagation WITH POINTER
-    * JUMPING, `rounds` synchronous rounds: every node starts labeled
-    * with its own id; each round it takes the minimum of its own
-    * label, its neighbors' labels, and its label's label (the
-    * Shiloach–Vishkin shortcut — labels are node ids, so a label can
-    * be dereferenced like a parent pointer). Plain neighbor-min needs
-    * diameter rounds; the label-of-label hop contracts label chains
-    * geometrically, so O(log n) rounds suffice on any topology — the
-    * difference between 6 shuffles and hundreds on a 100 TB edge
-    * list. Each round is one edge-sized join + node-grain min, plus
-    * one dim-sized label self-join. Fully integer/deterministic; the
-    * oracle unrolls the identical rounds.
-    */
   /** TWO-HOP REACH: per node, the count of DISTINCT nodes within two
     * hops (excluding itself) — the neighborhood-size readout behind
     * influence/coverage ranking. One wedge join (Σ deg² candidates —
@@ -410,6 +397,25 @@ object Graph {
       .groupBy("src").agg(count(lit(1)).as("reach"))
   }
 
+  /** CONNECTED COMPONENTS by min-label propagation WITH POINTER
+    * JUMPING, `rounds` synchronous rounds: every node starts labeled
+    * with its own id; each round it takes the minimum of its own
+    * label, its neighbors' labels, and its label's label (the
+    * Shiloach–Vishkin shortcut — labels are node ids, so a label can
+    * be dereferenced like a parent pointer). Plain neighbor-min needs
+    * diameter rounds; the label-of-label hop contracts label chains
+    * geometrically, so O(log n) rounds suffice on any topology — the
+    * difference between 6 shuffles and hundreds on a 100 TB edge
+    * list. Each round is one edge-sized join + node-grain min, plus
+    * one dim-sized label self-join. Fully integer/deterministic; the
+    * oracle unrolls the identical rounds.
+    *
+    * `verifyFixpoint` (default true — the library-safe setting) runs
+    * one extra probe round and fails loudly if any label still moves;
+    * callers that have proven the round count converges on their
+    * corpus (g13's spec does, for the gate corpus) may pass false and
+    * skip the probe's extra shuffle + count.
+    */
   def connectedComponents(adj: DataFrame, rounds: Int = 6,
       verifyFixpoint: Boolean = true): DataFrame = {
     // One synchronous round: min over (own label, neighbor labels,

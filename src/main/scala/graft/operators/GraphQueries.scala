@@ -176,10 +176,13 @@ object GraphQueries {
         col("common"), col("jaccard"))
     }),
     // connected components (6 pointer-jumping min-label rounds) →
-    // component sizes; the spec proves round 6 is the fixpoint at the
+    // component sizes; GraphSpec proves round 6 is the fixpoint at the
     // gate corpus, so the fixed-round labels ARE the true components
+    // and the runtime probe round (verifyFixpoint) is skipped here —
+    // it would re-run every round eagerly on plan-only consumers too.
     "g13_connected_components" -> ((s, d) => {
-      val cc = Graph.connectedComponents(cachedAdjDeg(s, d))
+      val cc = Graph.connectedComponents(cachedAdjDeg(s, d),
+        verifyFixpoint = false)
         .groupBy("lbl").agg(count(lit(1)).as("n_members"))
       rankedTopK(cc, Seq(col("n_members").desc, col("lbl")), 20,
         col("lbl").as("component"), col("n_members"))

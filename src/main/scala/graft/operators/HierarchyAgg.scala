@@ -542,8 +542,12 @@ object HierarchyAgg {
         sum(col("cents").cast("decimal(38,0)")).as("sx"),
         sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("sxx"))
     val nd = col("n_orders").cast("double")
-    val varCents = (nd * col("sxx").cast("double") -
-      col("sx").cast("double") * col("sx").cast("double")) / (nd * nd)
+    // clamp: the closed form can round a zero variance a hair negative
+    // in doubles, and sqrt(-ε) is NaN; the oracle clamps identically
+    val varCents = greatest(
+      (nd * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")) / (nd * nd),
+      lit(0.0))
     val indent = expr("lpad('-', (ancestor_level_number - 1) * 7, '-')")
     val labels = aggDim.filter(col("net_level") === 0).select(
       col("ancestor_node_sort_order"),

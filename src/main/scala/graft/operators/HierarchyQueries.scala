@@ -995,9 +995,9 @@ m AS (
 SELECT product_node_name, n_orders,
   ROUND(CAST(sx AS DOUBLE) / CAST(n_orders AS DOUBLE) / 100.0, 6)
     AS mean_value,
-  ROUND(sqrt((CAST(n_orders AS DOUBLE) * CAST(sxx AS DOUBLE)
+  ROUND(sqrt(greatest((CAST(n_orders AS DOUBLE) * CAST(sxx AS DOUBLE)
       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-    / (CAST(n_orders AS DOUBLE) * CAST(n_orders AS DOUBLE))) / 100.0, 6)
+    / (CAST(n_orders AS DOUBLE) * CAST(n_orders AS DOUBLE)), 0.0)) / 100.0, 6)
     AS stddev_value
 FROM m""",
     // the same four invariants over the prelude's frames
@@ -1008,13 +1008,14 @@ lk AS (SELECT node_natural_key AS k FROM flagged WHERE is_leaf),
 checks AS (
   SELECT 'orphan_fact_leaves' AS check_name,
     CAST(COUNT(*) AS BIGINT) AS n_violations
-  FROM fl WHERE k NOT IN (SELECT k FROM lk)
+  FROM fl WHERE NOT EXISTS (SELECT 1 FROM lk WHERE lk.k = fl.k)
   UNION ALL
   SELECT 'dangling_parent', CAST(COUNT(*) AS BIGINT) FROM flagged f
   WHERE NOT f.is_root
-    AND f.node_id NOT IN (
-      SELECT c.node_id FROM flagged c
-      JOIN nodes p ON c.parent_node_id = p.node_id)
+    AND NOT EXISTS (
+      SELECT 1 FROM flagged c
+      JOIN nodes p ON c.parent_node_id = p.node_id
+      WHERE c.node_id = f.node_id)
   UNION ALL
   SELECT 'extra_roots', CAST(COUNT(*) - 1 AS BIGINT)
   FROM flagged WHERE is_root
