@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StructField, StructType}
 import graft.Tables
 
 /** Hierarchy node-table builders over the TPC-H-ish testdata, and the
@@ -702,63 +701,42 @@ object HierarchyAgg {
       .agg(min("__side").as("__mn"), max("__side").as("__mx"))
       .filter(col("__mn") === col("__mx"))
       .select("ancestor_node_id")
-    // ONE driver job computes every control decision below as a
-    // tagged union: the invalidated-ancestor ids, the NEW natural
-    // keys of fallback-candidate leaves (new nodes, newly-become
-    // leaves, re-keyed leaves — any leaf whose partials cannot live
-    // in the old MV grain), and the old grain's leaf keys — so the
-    // missing-key subtraction happens AT THE DRIVER and an empty
-    // fallback never schedules the fact scan (a key SWAP between two
-    // leaves flags candidates whose keys all retain old partials; the
-    // subtraction must exclude them or the scan both runs for nothing
-    // and would double-count against the reused partials).
-    // Materialized as local relations: the diff would otherwise be
-    // re-derived by each consumer plan. Dim-sized control metadata by
-    // the node-table contract — the same driver-side bound as the
-    // dynamic-pivot domain, never data.
-    def tagged(df: DataFrame, id: Column, key: Column, kind: String) =
-      df.select(id.as("id"), key.as("key"), lit(kind).as("kind"))
-    val nullId = lit(null).cast(
-      oldDim.flaggedNodes.schema("node_id").dataType)
-    val nullKey = lit(null).cast(
-      oldDim.flaggedNodes.schema("node_natural_key").dataType)
+    // Control decisions stay DISTRIBUTED, as dim-grain frames — never
+    // a driver collect: at the 100M-leaf dimension the leveling
+    // fallback is built for, a leaf-grain collect is a driver OOM.
+    // Each control frame is localCheckpoint-pinned because it feeds
+    // more than one consumer plan (Spark has no cross-branch subplan
+    // reuse) and is then broadcast into the repair joins — control
+    // metadata flows executor-to-executor, never through the driver.
+    // The one driver-side decision left is the 1-row isEmpty probe
+    // below, which keeps an always-empty fact branch out of the plan.
+    val invalidated = diffAnc
+      .unionByName(keyChangedAnc)
+      .distinct()
+      .localCheckpoint()
     // fallback CANDIDATES are the NEW closure's leaf keys — NOT
     // flaggedNodes: a leaf both versions flag is_leaf but the OLD
     // closure dropped (depth bound / cycle guard / missing parent)
     // never reached the MV, so when the new closure includes it its
     // facts must scan; conversely a leaf the NEW closure dropped has
-    // no pairs to repair and must never schedule the scan. The
-    // driver-side subtraction against the old grain's keys then
-    // leaves exactly the keys with no reusable partials (every such
-    // leaf's spine is invalidated: its pairs are new-side-only in the
-    // diff, or keyChangedAnc covers the re-key case).
-    val control = tagged(diffAnc, col("ancestor_node_id"), nullKey, "anc")
-      .unionByName(tagged(keyChangedAnc, col("ancestor_node_id"), nullKey, "anc"))
-      .unionByName(tagged(
-        newDim.aggregationDim
-          .filter(col("net_level") === 0 && col("ancestor_is_leaf")),
-        nullId, col("descendant_node_natural_key"), "cand"))
-      // old-GRAIN keys come from the closure, not flaggedNodes: a
-      // leaf dropped by the depth bound / cycle guard never reached
-      // the MV, so its key must not mask a fallback candidate
-      .unionByName(tagged(
-        oldDim.aggregationDim
-          .filter(col("net_level") === 0 && col("ancestor_is_leaf")),
-        nullId, col("descendant_node_natural_key"), "old"))
-      .coalesce(1)
+    // no pairs to repair and must never schedule the scan. Old-GRAIN
+    // keys likewise come from the closure, not flaggedNodes, so a
+    // dropped leaf's key cannot mask a fallback candidate.
+    def grainKeys(dim: HierarchyDimension) = dim.aggregationDim
+      .filter(col("net_level") === 0 && col("ancestor_is_leaf"))
+      .select(col("descendant_node_natural_key").as("aff_key"))
+    // The left-anti against the old grain leaves exactly the keys with
+    // no reusable partials (a key SWAP between two leaves flags
+    // candidates whose keys all retain old partials; the subtraction
+    // must exclude them or the scan both runs for nothing and would
+    // double-count against the reused partials). Null candidate keys
+    // drop first: a null natural key can never match a fact's join
+    // key, so scanning for it would be pure waste.
+    val missingKeysDf = grainKeys(newDim).filter(col("aff_key").isNotNull)
+      .join(grainKeys(oldDim), Seq("aff_key"), "left_anti")
       .distinct()
-      .collect()
-    val spark = mv.sparkSession
-    val invalidated = spark.createDataFrame(
-      java.util.Arrays.asList(control.filter(_.getString(2) == "anc")
-        .map(r => org.apache.spark.sql.Row(r.get(0))): _*),
-      StructType(Seq(StructField("ancestor_node_id",
-        oldDim.flaggedNodes.schema("node_id").dataType))))
-    val oldKeys = control.filter(_.getString(2) == "old").map(_.get(1)).toSet
-    // null candidate keys drop: a null natural key can never match a
-    // fact's join key, so scanning for it would be pure waste
-    val missingKeys = control.filter(_.getString(2) == "cand").map(_.get(1))
-      .filter(k => k != null && !oldKeys.contains(k)).toSeq.distinct
+      .localCheckpoint()
+    val haveMissing = !missingKeysDf.isEmpty
     def idsOf(dim: HierarchyDimension, ordAs: String) =
       dim.aggregationDim.filter(col("net_level") === 0)
         .select(col("ancestor_node_sort_order").as(ordAs),
@@ -768,7 +746,7 @@ object HierarchyAgg {
     // (removed nodes drop at the new-ids join)
     val translation = idsOf(oldDim, "ancestor_node_sort_order")
       .join(broadcast(idsOf(newDim, "new_ord")), Seq("ancestor_node_id"))
-      .join(invalidated, Seq("ancestor_node_id"), "left_anti")
+      .join(broadcast(invalidated), Seq("ancestor_node_id"), "left_anti")
       .select("ancestor_node_sort_order", "new_ord")
     val kept = mv
       .join(broadcast(translation), Seq("ancestor_node_sort_order"))
@@ -795,19 +773,13 @@ object HierarchyAgg {
       .agg(sum("mv_sales").as("mv_sales"), sum("mv_qty").as("mv_qty"),
         sum("mv_n").as("mv_n"))
     // fact fallback ONLY for leaves whose partials cannot live in the
-    // old MV grain — decided ENTIRELY at the driver by the control
-    // job's key subtraction: including an always-empty fact branch in
-    // the plan is not free (AQE schedules the fact scan's leaf stages
-    // concurrently with the broadcast that would prove them
-    // unnecessary).
-    val repaired = if (missingKeys.isEmpty) repairedFromMv else {
-      val missingKeysLocal = spark.createDataFrame(
-        java.util.Arrays.asList(
-          missingKeys.map(org.apache.spark.sql.Row(_)): _*),
-        StructType(Seq(StructField("aff_key",
-          oldDim.flaggedNodes.schema("node_natural_key").dataType))))
+    // old MV grain — gated on the 1-row isEmpty probe: including an
+    // always-empty fact branch in the plan is not free (AQE schedules
+    // the fact scan's leaf stages concurrently with the broadcast that
+    // would prove them unnecessary).
+    val repaired = if (!haveMissing) repairedFromMv else {
       val factsForMissing = facts
-        .join(broadcast(missingKeysLocal), col(factKey) === col("aff_key"))
+        .join(broadcast(missingKeysDf), col(factKey) === col("aff_key"))
         .drop("aff_key")
       // an ancestor can aggregate both reused and fact-derived leaves
       // — merge at MV grain (dim × customers sized)

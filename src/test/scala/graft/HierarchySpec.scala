@@ -568,6 +568,20 @@ class HierarchySpec extends SparkSpec {
     assert(!inv.contains("root") && inv.contains("r0"))
   }
 
+  test("repairRollupMv stays distributed: no driver collect anywhere in HierarchyAgg") {
+    // the repair's control decisions (invalidated ancestors, missing
+    // fallback keys) are dim-grain frames broadcast into joins; a
+    // leaf-grain collect would OOM the driver at the 100M-leaf
+    // dimension the leveling fallback is built for — lint the source
+    // so one can never come back
+    val src = scala.io.Source.fromFile(
+      "src/main/scala/graft/operators/HierarchyAgg.scala", "UTF-8")
+    val text = try src.mkString finally src.close()
+    assert(!text.contains(".collect()"),
+      "HierarchyAgg must not .collect(): route control frames through " +
+        "broadcast joins + a 1-row isEmpty probe instead")
+  }
+
   test("repairRollupMv: a leaf natural-key change invalidates its spine and repairs from facts") {
     // a2's natural key changes 12 → 13 with NO reparent: the node-id
     // closure pairs are identical, so the pair diff alone is blind to
