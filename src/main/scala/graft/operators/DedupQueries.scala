@@ -193,13 +193,21 @@ object DedupQueries {
     }),
     // BLOCKING-QUALITY EVAL HARNESS (s15's idea for dedup): precision/
     // recall of minhash-LSH candidate pairs against the exact Jaccard
-    // ground truth at τ = 0.05 — the readout a banding change (d2's
-    // lshBandsFor) is gated on. bands=16/rows=1 puts the S-curve
-    // midpoint at (1/16)^1 ≈ 0.0625, matched to the truth threshold;
-    // the eval costs the two pair generators plus a pair-keyed join
+    // ground truth at τ = 0.05. THIS HARNESS DROVE A TUNING CHANGE:
+    // the r14 readout (recall 0.69 at precision 0.0016 on k=16/b=16
+    // unblocked) was acted on — candidates now use the truth-aligned
+    // (lang, length) blocking plus the lshBandsFor-tuned k=32 layout,
+    // which moved the curve to recall 0.93 / precision 0.32 at sf0.01.
+    // lshBandsFor(0.05, 32) = 32 bands → rows=1: at τ this low the
+    // S-curve needs (1/τ)^r ≈ 400 bands before rows=2 is even
+    // feasible, and the k=800/b=400 sweep point measured recall 0.70 /
+    // precision 0.43 — dominated by blocking at 25× the hash cost
+    // (see Dedup.minhashPairsBlocked's scaladoc for the full sweep)
     "d22_lsh_recall_eval" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val cand = Dedup.minhashPairs(docs, k = 16, bands = 16)
+      val k = 32
+      val cand = Dedup.minhashPairsBlocked(docs, k = k,
+          bands = Dedup.lshBandsFor(0.05, k))
         .select("doc_a", "doc_b")
       val truth = Dedup.ngramJaccard(docs)
         .filter(col("jaccard") >= 0.05).select("doc_a", "doc_b")
@@ -236,12 +244,16 @@ object DedupQueries {
     // THRESHOLD SWEEP (d22's harness as a CURVE): LSH-candidate
     // precision/recall against exact-Jaccard ground truth at THREE
     // thresholds from one shared pair pass — the operating-point
-    // chart a banding/threshold change is tuned on. The exact pairs
-    // and the candidate set are each computed ONCE; each threshold is
-    // a filter + two 1-row counts over the (tiny) pair frames
+    // chart a banding/threshold change is tuned on (and was: see
+    // d22's comment for the blocked-layout change this curve drove).
+    // The exact pairs and the candidate set are each computed ONCE;
+    // each threshold is a filter + two 1-row counts over the (tiny)
+    // pair frames
     "d25_threshold_sweep" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val cand = Dedup.minhashPairs(docs, k = 16, bands = 16)
+      val k = 32
+      val cand = Dedup.minhashPairsBlocked(docs, k = k,
+          bands = Dedup.lshBandsFor(0.05, k))
         .select("doc_a", "doc_b").localCheckpoint()
       val pairs = Dedup.ngramJaccard(docs)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -707,9 +719,10 @@ object DedupQueries {
          JOIN n y ON p.vec_b = y.vec_id
          WHERE list_sum(list_transform(list_zip(x.v, y.v), s -> s[1] * s[2]))
                / (x.nrm * y.nrm) >= 0.25""",
-    // d2's minhash derivation at bands=16/rows=1 for the candidates,
-    // d6's exact-Jaccard pair derivation for the truth, metrics on the
-    // pair-keyed intersection
+    // d2's minhash derivation at the tuned k=32/bands=32/rows=1
+    // layout for the candidates, with the truth-aligned (lang,
+    // length) blocking on the bucket join; d6's exact-Jaccard pair
+    // derivation for the truth, metrics on the pair-keyed intersection
     "d22_lsh_recall_eval" ->
       raw"""WITH t AS (
            SELECT doc_id, lang, n_chars,
@@ -728,7 +741,7 @@ object DedupQueries {
                (x, y) -> (x * 131 + y) % 2147483647)) AS hs
            FROM sh),
          sig AS (
-           SELECT doc_id, list_transform(range(0, 16), c ->
+           SELECT doc_id, list_transform(range(0, 32), c ->
              CASE WHEN len(hs) = 0 THEN 2147483647
                   ELSE list_min(list_transform(hs, h ->
                     (((1103515245 * (c + 1) + 12345) % 2147483647) * h
@@ -736,18 +749,22 @@ object DedupQueries {
              END) AS sig
            FROM hs),
          bandk AS (
-           SELECT doc_id, list_transform(range(0, 16), b ->
+           SELECT doc_id, list_transform(range(0, 32), b ->
              list_reduce(list_prepend(b + 1, sig[b + 1 : b + 1]),
                (x, y) -> (x * 131 + y) % 2147483647)) AS bk
            FROM sig),
          buckets AS (
            SELECT doc_id, bb.b AS band, bk[bb.b + 1] AS key
-           FROM bandk, (SELECT unnest(range(0, 16)) AS b) bb),
+           FROM bandk, (SELECT unnest(range(0, 32)) AS b) bb),
          cand AS (
            SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
            FROM buckets a JOIN buckets b2
              ON a.band = b2.band AND a.key = b2.key
-               AND a.doc_id < b2.doc_id),
+               AND a.doc_id < b2.doc_id
+           JOIN t da ON da.doc_id = a.doc_id
+           JOIN t db ON db.doc_id = b2.doc_id
+           WHERE da.lang = db.lang
+             AND abs(da.n_chars - db.n_chars) <= 3),
          truth AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
            FROM sh a JOIN sh b
@@ -978,7 +995,7 @@ object DedupQueries {
                (x, y) -> (x * 131 + y) % 2147483647)) AS hs
            FROM sh),
          sig AS (
-           SELECT doc_id, list_transform(range(0, 16), c ->
+           SELECT doc_id, list_transform(range(0, 32), c ->
              CASE WHEN len(hs) = 0 THEN 2147483647
                   ELSE list_min(list_transform(hs, h ->
                     (((1103515245 * (c + 1) + 12345) % 2147483647) * h
@@ -986,18 +1003,22 @@ object DedupQueries {
              END) AS sig
            FROM hs),
          bandk AS (
-           SELECT doc_id, list_transform(range(0, 16), b ->
+           SELECT doc_id, list_transform(range(0, 32), b ->
              list_reduce(list_prepend(b + 1, sig[b + 1 : b + 1]),
                (x, y) -> (x * 131 + y) % 2147483647)) AS bk
            FROM sig),
          buckets AS (
            SELECT doc_id, bb.b AS band, bk[bb.b + 1] AS key
-           FROM bandk, (SELECT unnest(range(0, 16)) AS b) bb),
+           FROM bandk, (SELECT unnest(range(0, 32)) AS b) bb),
          cand AS MATERIALIZED (
            SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
            FROM buckets a JOIN buckets b2
              ON a.band = b2.band AND a.key = b2.key
-               AND a.doc_id < b2.doc_id),
+               AND a.doc_id < b2.doc_id
+           JOIN sh da ON da.doc_id = a.doc_id
+           JOIN sh db ON db.doc_id = b2.doc_id
+           WHERE da.lang = db.lang
+             AND abs(da.n_chars - db.n_chars) <= 3),
          tr AS MATERIALIZED (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              ROUND(CAST(len(list_intersect(a.shingles, b.shingles))

@@ -422,6 +422,22 @@ class DedupSpec extends SparkSpec {
     assert(cand.contains((1L, 2L)), "identical docs collide in every band")
   }
 
+  test("minhashPairsBlocked: identical docs collide; cross-lang and length-gap pairs block out") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "web", 30L),
+      (2L, "alpha beta gamma delta epsilon", "en", "web", 30L),
+      (3L, "alpha beta gamma delta epsilon", "fr", "web", 30L), // lang differs
+      (4L, "alpha beta gamma delta epsilon", "en", "web", 99L)) // > maxLenDiff
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cand = operators.Dedup.minhashPairsBlocked(docs, k = 32, bands = 32)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cand === Set((1L, 2L)),
+      "only the same-lang, same-length identical pair survives blocking")
+    // the tuner's answer for the d22/d25 operating point: rows = 1
+    assert(operators.Dedup.lshBandsFor(0.05, 32) == 32)
+  }
+
   test("d23 dup-rate rollup: canonical owners don't count as dups") {
     import spark.implicits._
     // 'web' ships the canonical (1) + two copies (2, 4); 'feed' ships
