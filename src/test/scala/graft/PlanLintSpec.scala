@@ -103,6 +103,59 @@ class PlanLintSpec extends SparkSpec {
     // st32 is a custom-state (fMGWS) path like st17/st20/st21
     "st32_stream_quota")
 
+  // Unpartitioned windows that are DELIBERATE — each runs over a
+  // provably domain-bounded frame (a grouped/aggregated result whose
+  // cardinality is fixed by a dimension or bucket count, never by the
+  // fact count), so the single-partition sort is O(domain):
+  private val unpartitionedWindowAllowed: Set[String] = Set(
+    "d24_cluster_profile",   // doc-share over the |distinct cluster sizes| histogram
+    "h17_contribution",      // grand-total share over the node-grain rollup (dim-sized)
+    "q56_rolling_distinct",  // 7d/cumulative frames over the DAY-grain frame (calendar-bounded)
+    "q62_skyline",           // rank/cume frames over 256-row bucket stats + 1-row range frames
+    "q64_abc_pareto",        // cumulative revenue share over the |brands| aggregate
+    "q67_chi2_independence", // expected-count frames over the contingency cells (|seg|×|prio|)
+    "q69_benford",           // digit-share frame over the 9 leading digits
+    "q70_skew_profile",      // stat + percentile frames over per-key aggregates on literal key names
+    // global ntile(10) is a TOTAL-ORDER semantic: the decile cut is
+    // defined over the whole customer-DIM-grain frame (never fact
+    // grain). A range-partitioned sort would serve the same semantics
+    // at extreme dim sizes; at the customer-dimension bound the
+    // single sort is the simplest correct plan:
+    "q71_decile_lift",
+    "q78_decile_transition")
+
+  test("every unpartitioned window in a registry plan is limit-bounded or whitelisted domain-bounded") {
+    import org.apache.spark.sql.execution.{GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // the global top-k idiom (filter rank <= k over an ORDER BY-only
+    // window) is scale-safe: the optimizer pushes the limit below the
+    // window, so the single-partition sort sees at most k rows —
+    // recognize it by the bounding operator in the window's subtree
+    def limitBounded(w: WindowExec): Boolean = w.child.collectFirst {
+      case _: TakeOrderedAndProjectExec => ()
+      case _: WindowGroupLimitExec => ()
+      case _: GlobalLimitExec => ()
+    }.nonEmpty
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skipEager)
+      .filterNot(unpartitionedWindowAllowed)
+      .flatMap { name =>
+        val pp: SparkPlan =
+          SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan match {
+            case a: AdaptiveSparkPlanExec => a.inputPlan
+            case p => p
+          }
+        val unbounded = pp.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty && !limitBounded(w) => w
+        }.size
+        if (unbounded > 0)
+          Some(s"$name: $unbounded unbounded unpartitioned Window(s)")
+        else None
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("no registry query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skipEager)
