@@ -710,10 +710,6 @@ object HierarchyAgg {
     // metadata flows executor-to-executor, never through the driver.
     // The one driver-side decision left is the 1-row isEmpty probe
     // below, which keeps an always-empty fact branch out of the plan.
-    val invalidated = diffAnc
-      .unionByName(keyChangedAnc)
-      .distinct()
-      .localCheckpoint()
     // fallback CANDIDATES are the NEW closure's leaf keys — NOT
     // flaggedNodes: a leaf both versions flag is_leaf but the OLD
     // closure dropped (depth bound / cycle guard / missing parent)
@@ -732,10 +728,31 @@ object HierarchyAgg {
     // double-count against the reused partials). Null candidate keys
     // drop first: a null natural key can never match a fact's join
     // key, so scanning for it would be pure waste.
-    val missingKeysDf = grainKeys(newDim).filter(col("aff_key").isNotNull)
+    val missingKeys = grainKeys(newDim).filter(col("aff_key").isNotNull)
       .join(grainKeys(oldDim), Seq("aff_key"), "left_anti")
+    // ONE control frame serves both decisions (each feeds >1 consumer
+    // plan and Spark has no cross-branch subplan reuse without it): a
+    // tagged union, distinct per side, cached — computed once by the
+    // isEmpty probe below, then read back by every consumer plan; the
+    // only eager work is that 1-row probe, the same single control job
+    // the collect-based form paid, minus the collect (cache, like the
+    // sig pins in Dedup: repeat invocations dedupe in the CacheManager)
+    val nullId = lit(null).cast(
+      oldDim.flaggedNodes.schema("node_id").dataType)
+    val nullKey = lit(null).cast(
+      oldDim.flaggedNodes.schema("node_natural_key").dataType)
+    val control = diffAnc.unionByName(keyChangedAnc)
+      .select(col("ancestor_node_id").as("id"), nullKey.as("key"),
+        lit("anc").as("kind"))
+      .unionByName(missingKeys
+        .select(nullId.as("id"), col("aff_key").as("key"),
+          lit("miss").as("kind")))
       .distinct()
-      .localCheckpoint()
+      .cache()
+    val invalidated = control.filter(col("kind") === "anc")
+      .select(col("id").as("ancestor_node_id"))
+    val missingKeysDf = control.filter(col("kind") === "miss")
+      .select(col("key").as("aff_key"))
     val haveMissing = !missingKeysDf.isEmpty
     def idsOf(dim: HierarchyDimension, ordAs: String) =
       dim.aggregationDim.filter(col("net_level") === 0)

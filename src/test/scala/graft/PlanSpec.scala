@@ -83,11 +83,14 @@ class PlanSpec extends SparkSpec {
     val p = plan("h16_targeted_mv_repair")
     // the kept-rows translation and the invalidated-ancestor recompute
     // join dim-sized sides broadcast; the ONLY sort-merge joins allowed
-    // are closureDiff's full-outer pair diffs (full outer cannot
-    // broadcast, and both sides are dim-sized closures keyed on
-    // ancestor_node_id — never the fact stream)
+    // are closureDiff's pair diffs (keyed on ancestor_node_id) and the
+    // control frame's missing-key left-anti (leaf keys vs aff_key) —
+    // both sides dim-sized closures, never the fact stream
     val smj = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
-    assert(smj.forall(_.contains("ancestor_node_id")), smj.mkString("\n"))
+    assert(smj.forall(l =>
+        l.contains("ancestor_node_id") ||
+        (l.contains("aff_key") && l.contains("LeftAnti"))),
+      smj.mkString("\n"))
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -386,10 +389,16 @@ class PlanSpec extends SparkSpec {
     // both sides (stored MV + zero-fact repair) read the cached MV
     // (its printed lineage still shows the original fact scans — the
     // rows come from cache); the LIVE fact branch would announce
-    // itself as the repair's aff_key probe join, and the n8 reparent
-    // must not take it
+    // itself as the repair's INNER aff_key probe join, and the n8
+    // reparent must not take it (the control frame's missing-key
+    // LeftAnti legitimately mentions aff_key — that is the
+    // subtraction that proves the fallback unnecessary, not the scan)
     assert(p.contains("InMemoryTableScan"), p.take(2000))
-    assert(!p.contains("aff_key"), "what-if repair scheduled the fact fallback scan")
+    val affJoins = p.linesIterator
+      .filter(l => l.contains("Join") && l.contains("aff_key")).toSeq
+    assert(affJoins.forall(_.contains("LeftAnti")),
+      "what-if repair scheduled the fact fallback scan:\n" +
+        affJoins.mkString("\n"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
