@@ -282,7 +282,12 @@ object Phash {
   def phashPairs(hashed: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"banded exactness holds only to Hamming 3, got $maxHamming")
-    val bands = hashed.select(col("doc_id"), col("phash"),
+    // cached: both sides of the band-bucket self-join read the hash
+    // frame, and without the pin the per-doc synth+DCT pipeline
+    // upstream runs once PER SIDE (Spark has no cross-branch subplan
+    // reuse — the dominant d20 cost, measured ~2× on the operator)
+    val pinned = hashed.cache()
+    val bands = pinned.select(col("doc_id"), col("phash"),
       explode(sequence(lit(0), lit(3))).as("band_idx"))
       .withColumn("band_val",
         expr("shiftrightunsigned(phash, band_idx * 16)")
@@ -293,11 +298,14 @@ object Phash {
       col("doc_id").as("doc_b"), col("phash").as("ph_b"))
     a.join(b, Seq("band_idx", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "ph_a", "ph_b")
-      .dropDuplicates("doc_a", "doc_b")
+      // hamming BEFORE the pair-dedup exchange: any copy of a pair
+      // carries the same hashes, so the ≤ maxHamming filter is
+      // dedup-invariant — and it shrinks the dedup shuffle from every
+      // bucket co-occurrence down to the qualifying pairs alone
       .withColumn("hamming",
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
       .select("doc_a", "doc_b", "hamming")
   }
 }
