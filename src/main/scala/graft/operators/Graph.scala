@@ -305,19 +305,49 @@ object Graph {
     * middle node's degree riding the adjacency (`adjDeg`), so scoring
     * adds no join.
     */
-  def adamicAdar(edges: DataFrame, adjDeg: DataFrame): DataFrame = {
+  def adamicAdar(edges: DataFrame, adjDeg: DataFrame): DataFrame =
+    adamicAdarFrom(wedgeStats(adjDeg), edges)
+
+  /** Shared WEDGE-JOIN AGGREGATE: per candidate pair (ca < cc), the
+    * common-neighbor count AND the Adamic–Adar sum Σ 1/ln(deg(via)).
+    * The Σ deg² wedge join is the most expensive per-entry graph
+    * derivation, and g6/g10 differ only in which readout column they
+    * rank by — compute it once, read it twice (GraphQueries pins it
+    * in the session cache next to the edge table).
+    */
+  def wedgeStats(adjDeg: DataFrame): DataFrame = {
     val a1 = adjDeg.select(col("src").as("via"), col("dst").as("ca"),
       col("odeg").as("dvia"))
     val a2 = adjDeg.select(col("src").as("via2"), col("dst").as("cc"))
-    val cn = a1.join(a2, col("via") === col("via2") && col("ca") < col("cc"))
+    a1.join(a2, col("via") === col("via2") && col("ca") < col("cc"))
       .groupBy(col("ca"), col("cc"))
       .agg(count(lit(1)).as("common"),
         sum(lit(1.0) / log(col("dvia").cast("double"))).as("aa"))
+  }
+
+  /** [[adamicAdar]]'s readout over a precomputed [[wedgeStats]] frame. */
+  def adamicAdarFrom(wedge: DataFrame, edges: DataFrame): DataFrame = {
     val ex = edges.select(col("a").as("ea"), col("b").as("eb"))
-    cn.join(ex, col("ca") === col("ea") && col("cc") === col("eb"), "left_anti")
+    wedge.join(ex, col("ca") === col("ea") && col("cc") === col("eb"), "left_anti")
       .select(col("ca"), col("cc"), col("common"),
         round(col("aa"), 6).as("adamic_adar"),
         round(col("aa"), 9).as("rank_key"))
+  }
+
+  /** [[commonNeighbors]]' readout over a precomputed [[wedgeStats]]
+    * frame — the out-degrees read off the degree-annotated adjacency
+    * instead of a fresh aggregate.
+    */
+  def commonNeighborsFrom(wedge: DataFrame, edges: DataFrame,
+      adjDeg: DataFrame): DataFrame = {
+    val ex = edges.select(col("a").as("ea"), col("b").as("eb"))
+    val od = adjDeg.select(col("src"), col("odeg")).distinct()
+    wedge.join(ex, col("ca") === col("ea") && col("cc") === col("eb"), "left_anti")
+      .join(od.select(col("src").as("ca"), col("odeg").as("da")), Seq("ca"))
+      .join(od.select(col("src").as("cc"), col("odeg").as("dc")), Seq("cc"))
+      .select(col("ca"), col("cc"), col("common"),
+        round(col("common").cast("double") /
+          (col("da") + col("dc") - col("common")), 6).as("jaccard"))
   }
 
   /** Degree ASSORTATIVITY: Pearson correlation between the endpoint
