@@ -147,6 +147,21 @@ class GraphSpec extends SparkSpec {
     assert(got === Set((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)))
   }
 
+  test("commonNeighborsFrom over wedgeStats matches the direct operator") {
+    // the shared-wedge serving path (g6/g10's session-cached frame)
+    // must agree row-for-row with the independent direct derivation
+    val e = edgesDF(Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (1L, 4L, 1L), (4L, 5L, 1L)))
+    val adjDeg = Graph.withOutDeg(Graph.adjacency(e))
+    val viaWedge = Graph
+      .commonNeighborsFrom(Graph.wedgeStats(adjDeg), e, adjDeg)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val direct = Graph.commonNeighbors(e, Graph.adjacency(e))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaWedge === direct)
+    assert(viaWedge.nonEmpty)
+  }
+
   test("adamicAdar: hand-computed selectivity weights on a double wedge") {
     import spark.implicits._
     // 1 and 3 share neighbors 2 (deg 2) and 4 (deg 3): score =
