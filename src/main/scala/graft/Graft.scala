@@ -161,6 +161,21 @@ object Graft {
   def jaccardClusters(docs: DataFrame, minJaccard: Double = 0.5): DataFrame =
     Dedup.jaccardClusters(docs, minJaccard)
 
+  /** Minhash-LSH candidate pairs with truth-aligned (lang, length)
+    * blocking — the tuned near-dup serving path (see
+    * [[operators.Dedup.minhashPairsBlocked]]; pick `bands` with
+    * [[lshBandsFor]]).
+    */
+  def minhashPairsBlocked(docs: DataFrame, k: Int = 32, bands: Int = 32,
+      maxLenDiff: Int = 3): DataFrame =
+    Dedup.minhashPairsBlocked(docs, k, bands, maxLenDiff)
+
+  /** Banding tuner: the (bands) choice whose S-curve midpoint sits
+    * closest to `targetJaccard` (see [[operators.Dedup.lshBandsFor]]).
+    */
+  def lshBandsFor(targetJaccard: Double, k: Int = 16): Int =
+    Dedup.lshBandsFor(targetJaccard, k)
+
   /** Connected components over an arbitrary edge list — exact at any
     * component diameter (alternating large-star/small-star rounds).
     */
@@ -606,6 +621,16 @@ object Graft {
     * [[operators.Graph.bfsHops]]). */
   def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int = 8): DataFrame =
     operators.Graph.bfsHops(operators.Graph.adjacency(edges), seeds, rounds)
+
+  /** Shared wedge-join aggregate — per candidate pair (ca < cc), the
+    * common-neighbor count and Adamic–Adar sum; feed it to
+    * [[operators.Graph.commonNeighborsFrom]] /
+    * [[operators.Graph.adamicAdarFrom]] so both link predictors pay
+    * the Σ deg² wedge join once (see [[operators.Graph.wedgeStats]]).
+    */
+  def wedgeStats(edges: DataFrame): DataFrame =
+    operators.Graph.wedgeStats(
+      operators.Graph.withOutDeg(operators.Graph.adjacency(edges)))
 
   /** Per-community Newman–Girvan modularity contributions (see
     * [[operators.Graph.communityModularity]]). */
