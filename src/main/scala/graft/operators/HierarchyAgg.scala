@@ -704,12 +704,12 @@ object HierarchyAgg {
     // Control decisions stay DISTRIBUTED, as dim-grain frames — never
     // a driver collect: at the 100M-leaf dimension the leveling
     // fallback is built for, a leaf-grain collect is a driver OOM.
-    // Each control frame is localCheckpoint-pinned because it feeds
-    // more than one consumer plan (Spark has no cross-branch subplan
-    // reuse) and is then broadcast into the repair joins — control
-    // metadata flows executor-to-executor, never through the driver.
-    // The one driver-side decision left is the 1-row isEmpty probe
-    // below, which keeps an always-empty fact branch out of the plan.
+    // One pinned control frame feeds every consumer plan (Spark has
+    // no cross-branch subplan reuse) and broadcasts into the repair
+    // joins — control metadata flows executor-to-executor, never
+    // through the driver. The one driver-side decision left is the
+    // 1-row isEmpty probe below, which keeps an always-empty fact
+    // branch out of the plan.
     // fallback CANDIDATES are the NEW closure's leaf keys — NOT
     // flaggedNodes: a leaf both versions flag is_leaf but the OLD
     // closure dropped (depth bound / cycle guard / missing parent)
@@ -732,11 +732,15 @@ object HierarchyAgg {
       .join(grainKeys(oldDim), Seq("aff_key"), "left_anti")
     // ONE control frame serves both decisions (each feeds >1 consumer
     // plan and Spark has no cross-branch subplan reuse without it): a
-    // tagged union, distinct per side, cached — computed once by the
-    // isEmpty probe below, then read back by every consumer plan; the
-    // only eager work is that 1-row probe, the same single control job
-    // the collect-based form paid, minus the collect (cache, like the
-    // sig pins in Dedup: repeat invocations dedupe in the CacheManager)
+    // tagged union, distinct per side, pinned by a LAZY localCheckpoint
+    // — computed once by the isEmpty probe below, then read back by
+    // every consumer plan; the only eager work is that 1-row probe,
+    // the same single control job the collect-based form paid, minus
+    // the collect. Lazy checkpoint, NOT cache(): each repair call
+    // builds a distinct plan, so CacheManager dedup would never apply
+    // and a long-lived maintenance session would accumulate one pinned
+    // frame per repair — the checkpointed partitions are GC-owned and
+    // release with the frame.
     val nullId = lit(null).cast(
       oldDim.flaggedNodes.schema("node_id").dataType)
     val nullKey = lit(null).cast(
@@ -748,7 +752,7 @@ object HierarchyAgg {
         .select(nullId.as("id"), col("aff_key").as("key"),
           lit("miss").as("kind")))
       .distinct()
-      .cache()
+      .localCheckpoint(false)
     val invalidated = control.filter(col("kind") === "anc")
       .select(col("id").as("ancestor_node_id"))
     val missingKeysDf = control.filter(col("kind") === "miss")

@@ -282,16 +282,18 @@ object Phash {
   def phashPairs(hashed: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"banded exactness holds only to Hamming 3, got $maxHamming")
-    // cached: both sides of the band-bucket self-join read the hash
+    // cached: both sides of the band-bucket self-join read the band
     // frame, and without the pin the per-doc synth+DCT pipeline
     // upstream runs once PER SIDE (Spark has no cross-branch subplan
-    // reuse — the dominant d20 cost, measured ~2× on the operator)
-    val pinned = hashed.cache()
-    val bands = pinned.select(col("doc_id"), col("phash"),
+    // reuse — the dominant d20 cost, measured ~2× on the operator).
+    // The pin lives on this INTERNAL derivation (minhashLsh's sigs
+    // convention), never on the caller-supplied `hashed` frame.
+    val bands = hashed.select(col("doc_id"), col("phash"),
       explode(sequence(lit(0), lit(3))).as("band_idx"))
       .withColumn("band_val",
         expr("shiftrightunsigned(phash, band_idx * 16)")
           .bitwiseAND(lit(0xFFFFL)))
+      .cache()
     val a = bands.select(col("band_idx"), col("band_val"),
       col("doc_id").as("doc_a"), col("phash").as("ph_a"))
     val b = bands.select(col("band_idx"), col("band_val"),

@@ -46,10 +46,13 @@ object LshSweep {
       .localCheckpoint()
     println(f"== layouts vs tau=0.05 (n_truth=$nTruth) ==")
     layouts.foreach { case (k, b) =>
-      val t0 = System.nanoTime()
+      val tSig = System.nanoTime()
       val cand0 = graft.operators.Dedup.minhashPairs(docs, k = k, bands = b)
         .select("doc_a", "doc_b").localCheckpoint()
+      val sigSecs = (System.nanoTime() - tSig) / 1e9
+      println(f"k=$k%3d b=$b%3d candidate generation: $sigSecs%.1f s")
       Seq(false, true).foreach { blocked =>
+        val t0 = System.nanoTime()
         val cand = if (!blocked) cand0 else cand0
           .join(meta.select(col("doc_id").as("doc_a"),
             col("lang").as("la"), col("n_chars").as("ca")), Seq("doc_a"))

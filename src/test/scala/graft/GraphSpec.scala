@@ -326,14 +326,18 @@ class GraphSpec extends SparkSpec {
     assert(loose.count() === 40L)
   }
 
-  test("connectedComponents: round 6 is the fixpoint on the gate corpus") {
-    // the registry runs 6 pointer-jumping rounds; a 7th round changing
+  test("connectedComponents: round 6 is the fixpoint on BOTH gate corpora") {
+    // the registry runs 6 pointer-jumping rounds with the runtime
+    // probe off (g13 passes verifyFixpoint=false), so THIS test is the
+    // only convergence check left — it must cover every corpus the
+    // driver gates on, not just the smallest: a 7th round changing
     // nothing proves the fixed-round labels ARE the true components
-    val adj = graft.operators.GraphQueries.cachedAdjDeg(spark,
-      "/root/testdata/sf0.001")
-    val r6 = Graph.connectedComponents(adj, 6)
-    val r7 = Graph.connectedComponents(adj, 7)
-    assert(r6.exceptAll(r7).isEmpty && r7.exceptAll(r6).isEmpty,
-      "a 7th round must not move any label")
+    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val adj = graft.operators.GraphQueries.cachedAdjDeg(spark, sfDir)
+      val r6 = Graph.connectedComponents(adj, 6, verifyFixpoint = false)
+      val r7 = Graph.connectedComponents(adj, 7, verifyFixpoint = false)
+      assert(r6.exceptAll(r7).isEmpty && r7.exceptAll(r6).isEmpty,
+        s"a 7th round must not move any label at $sfDir")
+    }
   }
 }
