@@ -18,6 +18,7 @@ class EmptyInputSpec extends SparkSpec {
   test("dedup family returns empty on an empty corpus") {
     assert(Dedup.exactDedup(noDocs).count() == 0)
     assert(Dedup.minhashPairs(noDocs).count() == 0)
+    assert(Dedup.minhashPairsBlocked(noDocs).count() == 0)
     assert(Dedup.ngramJaccard(noDocs).count() == 0)
     assert(Dedup.incrementalDedup(noDocs, noDocs).count() == 0)
     assert(Dedup.dupClusters(noDocs).count() == 0)
@@ -178,6 +179,15 @@ class EmptyInputSpec extends SparkSpec {
     val dp = graft.operators.Olap.dynamicPivot(noDocs,
       Seq("lang"), "source", count(lit(1)), fill = Some(lit(0L)))
     assert(dp.columns.toSeq == Seq("lang") && dp.count() == 0)
+  }
+
+  test("wedgeStats and its readouts return empty on an empty edge list") {
+    val noEdges = Seq.empty[(Long, Long, Long)].toDF("a", "b", "w")
+    val adjDeg = Graph.withOutDeg(Graph.adjacency(noEdges))
+    val w = Graph.wedgeStats(adjDeg)
+    assert(w.count() == 0)
+    assert(Graph.commonNeighborsFrom(w, noEdges, adjDeg).count() == 0)
+    assert(Graph.adamicAdarFrom(w, noEdges).count() == 0)
   }
 
   test("connected components with no edges labels every node as itself") {
