@@ -438,6 +438,35 @@ class DedupSpec extends SparkSpec {
     assert(operators.Dedup.lshBandsFor(0.05, 32) == 32)
   }
 
+  test("minhashPairsBlocked is exactly the unblocked candidates restricted to the block") {
+    import spark.implicits._
+    // a mixed corpus: same-lang/same-length pairs, a cross-lang copy,
+    // a length-gap copy, and unrelated docs — the blocked candidate
+    // set must equal the unblocked set post-filtered by the (lang,
+    // length) predicate, i.e. blocking changes WHICH pairs are
+    // eligible, never the hashing
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "web", 30L),
+      (2L, "alpha beta gamma delta epsilon", "en", "web", 31L),
+      (3L, "alpha beta gamma delta epsilon", "fr", "web", 30L),
+      (4L, "alpha beta gamma delta epsilon", "en", "web", 99L),
+      (5L, "totally different words here now", "en", "web", 32L),
+      (6L, "alpha beta gamma words here now", "en", "web", 31L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val k = 32
+    val blocked = operators.Dedup.minhashPairsBlocked(docs, k = k, bands = k)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val meta = docs.select("doc_id", "lang", "n_chars")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val unblockedAll: Set[(Long, Long)] =
+      operators.Dedup.minhashPairs(docs, k = k, bands = k)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val unblockedRestricted = unblockedAll.filter { case (a, b) =>
+      meta(a)._1 == meta(b)._1 && math.abs(meta(a)._2 - meta(b)._2) <= 3 }
+    assert(blocked === unblockedRestricted)
+    assert(blocked.contains((1L, 2L)), "same-block identical pair must collide")
+  }
+
   test("d23 dup-rate rollup: canonical owners don't count as dups") {
     import spark.implicits._
     // 'web' ships the canonical (1) + two copies (2, 4); 'feed' ships
