@@ -274,24 +274,52 @@ object Graph {
       .agg(count(lit(1)).as("triangles"))
   }
 
-  /** `rounds` synchronous peeling rounds of the k-core reduction:
-    * each round drops every edge with an endpoint of current degree
-    * < k. The operator PINS the round count (fixpoint iteration is
-    * the production loop; a fixed unroll keeps the result driver-
-    * checkable — a planted long chain in the spec shows the cascade).
-    * Each round is two window counts over the current edge list —
-    * the frame is referenced ONCE per round, so the plan grows
-    * linearly, not 2^rounds (the degree-recompute-via-join trap).
-    * Returns the surviving directed edge list.
+  /** ONE synchronous k-core peeling round: drop every edge with an
+    * endpoint of current degree < k. Degrees come from two hash
+    * aggregates (`groupBy(src|dst).count`) whose surviving keys
+    * semi-join back onto the edge list — map-side partial counts, no
+    * sort, where the former window form sorted the ENTIRE edge
+    * relation twice per round (two full-edge sort exchanges; at 100×
+    * the edges those sorts dominate the job). Factored out so
+    * PlanSpec can pin the round's shape (no WindowExec).
+    */
+  private[graft] def kcorePeelRound(e: DataFrame, k: Int): DataFrame = {
+    val keepSrc = e.groupBy("src").agg(count(lit(1)).as("__d"))
+      .filter(col("__d") >= k).select("src")
+    val keepDst = e.groupBy("dst").agg(count(lit(1)).as("__d"))
+      .filter(col("__d") >= k).select("dst")
+    e.join(keepSrc, Seq("src"), "left_semi")
+      .join(keepDst, Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
+  }
+
+  /** Up to `rounds` synchronous peeling rounds of the k-core
+    * reduction (see [[kcorePeelRound]]). The operator PINS the round
+    * cap (fixpoint iteration is the production loop; a fixed unroll
+    * keeps the result driver-checkable — a planted long chain in the
+    * spec shows the cascade) and EARLY-EXITS once a round drops no
+    * edges: peeling is monotone, so an unchanged edge count is the
+    * fixpoint and the remaining rounds are provably no-ops — the
+    * result is identical to the full unroll (the oracle's 8 CTEs).
+    * Each round eagerly `localCheckpoint`s the surviving edges: the
+    * round references its input THREE times (two degree aggregates +
+    * the semi-join base), so a lazy loop re-derives the whole prefix
+    * 3× per round (the g13 lineage lesson); the checkpoint makes
+    * every round one bounded job, and the fixpoint count reads the
+    * materialized blocks for near-free. Returns the surviving
+    * directed edge list.
     */
   def kcorePeel(adj: DataFrame, k: Int = 3, rounds: Int = 8): DataFrame = {
     var e = adj.select(col("src"), col("dst"))
-    for (_ <- 1 to rounds) {
-      e = e
-        .withColumn("ds", count(lit(1)).over(Window.partitionBy("src")))
-        .withColumn("dd", count(lit(1)).over(Window.partitionBy("dst")))
-        .filter(col("ds") >= k && col("dd") >= k)
-        .select(col("src"), col("dst"))
+    var prevEdges = -1L
+    var round = 0
+    var fixed = false
+    while (round < rounds && !fixed) {
+      e = kcorePeelRound(e, k).localCheckpoint()
+      val n = e.count()
+      fixed = n == prevEdges
+      prevEdges = n
+      round += 1
     }
     e
   }

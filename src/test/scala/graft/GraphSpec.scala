@@ -108,6 +108,13 @@ class GraphSpec extends SparkSpec {
       .select("src").distinct().as[Long].collect().toSet
     assert(after8 === Set(1L, 2L, 3L, 4L))
     assert(after2.exists(_ >= 10L), "round 2 must still hold path middles")
+    // early exit: peeling is monotone, so once a round drops nothing
+    // the remaining rounds are no-ops — a 100-round cap must return
+    // the same core as the 8-round cap (and terminate at the fixpoint,
+    // not run 100 eager jobs)
+    val after100 = Graph.kcorePeel(adj, k = 2, rounds = 100)
+      .select("src").distinct().as[Long].collect().toSet
+    assert(after100 === after8)
   }
 
   test("assortativity: −1 on a star, null on a degree-regular graph") {

@@ -603,6 +603,27 @@ class PlanSpec extends SparkSpec {
     assert(!p20.contains("CartesianProduct"), p20.take(2000))
   }
 
+  test("g5: a k-core peel round is hash aggregates + semi-joins — no full-edge window sorts") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import spark.implicits._
+    // one round's plan, pinned on a tiny in-memory edge list: degrees
+    // must come from groupBy.count (map-side partial hash aggregate),
+    // never from count(*) OVER (PARTITION BY …) — the window form
+    // sorts the ENTIRE edge relation twice per round
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val round = graft.operators.Graph.kcorePeelRound(e, 3)
+    val wins = round.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.isEmpty, s"peel round plans a window sort:\n$round")
+    val p = round.queryExecution.executedPlan.toString()
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+    // and the registered g5 entry's (post-peel) readout plan is
+    // window-free too: the peel loop materializes via localCheckpoint,
+    // so the final plan reads an ExistingRDD scan
+    val g5 = plan("g5_kcore")
+    assert(g5.contains("ExistingRDD") || g5.contains("Scan ExistingRDD"), g5.take(2000))
+  }
+
   test("q1: aggregation runs inside whole-stage codegen") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     // AQE's pre-execution plan string hides codegen stages; ask for
