@@ -149,7 +149,11 @@ object Graft {
   def exactDedup(docs: DataFrame): DataFrame = Dedup.exactDedup(docs)
 
   /** Near-duplicate clusters (minhash-LSH candidates → connected
-    * components); docs need `doc_id` + `text`.
+    * components); docs need `doc_id` + `text`. When `lang` and
+    * `n_chars` are present the candidates use the truth-aligned
+    * BLOCKED layout ([[minhashPairsBlocked]], tuned bands) — the
+    * measured serving default; without them the unblocked primitive
+    * is the fallback (see [[operators.Dedup.dupClusters]]).
     */
   def nearDupClusters(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame =
     Dedup.dupClusters(docs, minEstJaccard)

@@ -186,7 +186,13 @@ object Dedup {
           greatest(col("n_grams"), lit(1L)), 6).as("contamination"))
   }
 
-  /** Per-doc minhash signature + banded LSH keys + candidate count.
+  /** Per-doc minhash signature + banded LSH keys + candidate count —
+    * the UNBLOCKED PRIMITIVE: band buckets are the only candidate
+    * filter, so use it for corpora without blocking metadata or as
+    * the recall-side reference; the SERVING path for real corpora is
+    * [[minhashLshBlocked]]/[[minhashPairsBlocked]], whose
+    * (lang, length) blocking the d22 eval measured at precision 0.32
+    * vs 0.0016 for this layout at τ=0.05.
     * `sigCols` exposes band keys so the result is inspectable; the
     * candidate count comes from the bucket self-join.
     *
@@ -293,6 +299,16 @@ object Dedup {
     * b = (1/τ)^r ≈ 400 bands for rows=2, i.e. k=800, which measured
     * recall 0.70 / precision 0.43 at 25× the hash cost — the tuner's
     * rows=1 answer stands.)
+    *
+    * Note the internal signature frame is `cache()`-pinned for the
+    * bucket self-join (both sides read it; an uncached plan re-hashes
+    * the corpus twice and projection collapse re-inlines the
+    * pipeline). The pin is SESSION-LIFETIME by the registry's
+    * sigs-pin convention — CacheManager dedupes repeat invocations on
+    * the same input plan, but distinct inputs across a long-lived
+    * interactive session each keep a pin; callers embedding this in a
+    * service should bound it with their own lifecycle (unpersist or a
+    * GC-owned localCheckpoint) per the h16 pattern.
     */
   def minhashPairsBlocked(docs: DataFrame, k: Int = 32, bands: Int = 32,
       maxLenDiff: Int = 3): DataFrame = {
@@ -879,14 +895,50 @@ object Dedup {
         least(col(idCol), coalesce(col("__mn"), col(idCol))).as("component_id"))
   }
 
-  /** Near-dup clusters: minhash-LSH candidate pairs filtered by
-    * estimated Jaccard, grouped into components. The sub-quadratic
-    * 100 TB path (candidates only from band buckets).
+  /** Near-dup clusters: LSH candidate pairs filtered by estimated
+    * Jaccard, grouped into components. The sub-quadratic 100 TB path
+    * (candidates only from band buckets). When the corpus carries the
+    * truth-aligned blocking metadata (`lang`, `n_chars`), candidates
+    * come from [[minhashPairsBlocked]] at the k=32 layout with
+    * [[lshBandsFor]]-tuned bands — the measured serving default (the
+    * d22 eval moved precision 0.0016 → 0.32 at recall 0.93 on this
+    * corpus when the blocking landed); a corpus without the metadata
+    * falls back to the unblocked [[minhashPairs]] primitive.
     */
   def dupClusters(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame = {
-    val pairs = minhashPairs(docs).filter(col("est_jaccard") >= minEstJaccard)
+    val k = 32
+    val pairs =
+      (if (Seq("lang", "n_chars").forall(docs.columns.contains))
+        minhashPairsBlocked(docs, k, lshBandsFor(minEstJaccard, k))
+      else minhashPairs(docs))
+      .filter(col("est_jaccard") >= minEstJaccard)
     connectedComponents(docs, pairs)
   }
+
+  /** Per-doc candidate summary over a near-dup PAIR frame: how many
+    * candidate partners each doc drew (0 for docs in no pair). The
+    * d2 serving readout — pairs should come from the tuned
+    * [[minhashPairsBlocked]] layout (or a session-cached copy of it);
+    * feeding the unblocked [[minhashPairs]] set here reports the
+    * operating point the d22 eval measured at precision 0.0016.
+    */
+  def minhashCandidateSummary(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val cand = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+    docs.select("doc_id", "lang", "n_chars")
+      .join(cand, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+  }
+
+  /** [[minhashLsh]]'s per-doc summary re-based on the BLOCKED tuned
+    * layout: [[minhashPairsBlocked]] candidates counted per doc — the
+    * serving-path twin of the d22/d25 eval entries.
+    */
+  def minhashLshBlocked(docs: DataFrame, k: Int = 32, bands: Int = 32,
+      maxLenDiff: Int = 3): DataFrame =
+    minhashCandidateSummary(docs, minhashPairsBlocked(docs, k, bands, maxLenDiff))
 
   /** Similarity clusters over EXACT blocked n-gram Jaccard edges —
     * engine-independent (no xxhash), so a DuckDB recursive CTE
