@@ -9,6 +9,25 @@ object Bench {
     // silently benches a 32-core box at 4 threads
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // CONTENTION GUARD (house rule, wired into the tool per the r16
+    // verdict): floors are all-time green minima, so folding a run
+    // that STARTED on a busy host can only be safe (min() is
+    // monotone) — but a contended run's numbers also can't lower any
+    // floor honestly, and r16's closing sweep at load 3.51 produced
+    // 10 false >2× readings. Sample the 1-min load BEFORE any work;
+    // above the threshold the run still measures and reports (the
+    // driver needs its BENCH_r{N} line) but REFUSES to fold floors,
+    // and says so loudly in both stderr and the JSON line.
+    val startLoad = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val foldMaxLoad = sys.env.get("SPARK_GRAFT_FOLD_MAXLOAD")
+      .map(_.toDouble).getOrElse(2.0)
+    val loadOkToFold = startLoad < 0 || startLoad <= foldMaxLoad
+    if (!loadOkToFold)
+      System.err.println(
+        f"[bench] ======== CONTENDED RUN: start load_avg $startLoad%.2f > " +
+          f"$foldMaxLoad%.2f — measuring, but floor fold is DISABLED " +
+          "(re-run idle to fold; override with SPARK_GRAFT_FOLD_MAXLOAD) ========")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -141,6 +160,7 @@ object Bench {
       val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":2,""" +
         s""""warm_ok":$warmOk,"warm_sec":${fmt(warmSec)},"load_avg":${fmt(loadAvg)},""" +
+        s""""start_load":${fmt(startLoad)},"folded":$loadOkToFold,""" +
         s""""failed":$fl,"suspect":$sus,"queries":$m$om,"sf":"$sfDir"}"""
     }
     // drop order: fastest first; failures sort as slowest so they stay
@@ -161,6 +181,7 @@ object Bench {
         .mkString(
           s"""{"total":$total,"sf":"$sfDir","cpus":$cpus,"runs":2,""" +
             s""""warm_ok":$warmOk,"warm_sec":$warmSec,"load_avg":$loadAvg,""" +
+            s""""start_load":$startLoad,"folded":$loadOkToFold,""" +
             s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
             s""""suspect":${suspect.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
             """"queries":{""", ",", "},") +
@@ -171,12 +192,29 @@ object Bench {
     // BENCH_FULL.json = explicit minima fold: floor(q) = min(committed
     // floor, this run's green result). min() makes the fold monotone —
     // a contended run can only lower floors it genuinely beat, so the
-    // file is safe to auto-commit. Failed queries (-1) never fold in;
-    // queries new to the registry enter at this run's time (their
-    // first observed floor). A run at a DIFFERENT sf than the committed
-    // baseline (local sf0.001 iteration) must not touch the file — its
-    // numbers are incomparable and would replace the floors wholesale.
-    if (committedBaseline.forall(_._1 == sfDir)) try {
+    // file is safe to auto-commit; the load guard above still skips
+    // the fold on contended starts so a busy-host run can never
+    // become a closing artifact (per-query entries NEW to the
+    // registry would otherwise enter at contended times and set their
+    // first floor too high). Failed queries (-1) never fold in. A run
+    // at a DIFFERENT sf than the committed baseline (local sf0.001
+    // iteration) must not touch the file — its numbers are
+    // incomparable and would replace the floors wholesale.
+    // "floor_notes" (manual re-set annotations, e.g. h16's r16
+    // design-change re-floor) are carried over VERBATIM from the
+    // committed baseline: the r16 close showed the auto-fold erasing
+    // a note committed hours earlier. Notes must not contain '}'.
+    val committedFloorNotes: Option[String] = {
+      def notes(txt: String): Option[String] =
+        "\"floor_notes\"\\s*:\\s*(\\{[^}]*\\})".r
+          .findFirstMatchIn(txt).map(_.group(1))
+      try {
+        val p = new ProcessBuilder("git", "show", "HEAD:BENCH_FULL.json").start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        if (p.waitFor() == 0) notes(out) else None
+      } catch { case _: Throwable => None }
+    }
+    if (loadOkToFold && committedBaseline.forall(_._1 == sfDir)) try {
       val green = results.filter(_._2 >= 0).toMap
       val merged = (committedMin.keySet ++ green.keySet).toSeq.sorted.map { q =>
         q -> ((committedMin.get(q), green.get(q)) match {
@@ -187,11 +225,14 @@ object Bench {
         })
       }
       val mergedTotal = merged.map(_._2).sum
+      val notesField = committedFloorNotes
+        .map(n => s""""floor_notes":$n,""").getOrElse("")
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (merged.map { case (k, v) => s"\"$k\":$v" }
           .mkString(
             s"""{"total":$mergedTotal,"sf":"$sfDir",""" +
               """"note":"baseline: per-query green minima, auto-folded by Bench (raw runs in BENCH_LAST.json)",""" +
+              notesField +
               """"queries":{""", ",", "}}\n"))
           .getBytes("UTF-8"))
     } catch { case _: Throwable => () }

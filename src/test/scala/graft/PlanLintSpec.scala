@@ -131,12 +131,28 @@ class PlanLintSpec extends SparkSpec {
     // the global top-k idiom (filter rank <= k over an ORDER BY-only
     // window) is scale-safe: the optimizer pushes the limit below the
     // window, so the single-partition sort sees at most k rows —
-    // recognize it by the bounding operator in the window's subtree
-    def limitBounded(w: WindowExec): Boolean = w.child.collectFirst {
-      case _: TakeOrderedAndProjectExec => ()
-      case _: WindowGroupLimitExec => ()
-      case _: GlobalLimitExec => ()
-    }.nonEmpty
+    // recognize it by a bounding operator on the window's DIRECT
+    // input chain. The walk descends only through unary row-preserving
+    // or row-shrinking nodes (project/filter/sort/exchange/aggregate —
+    // cardinality can't grow through them, so a limit below still
+    // bounds the window input) and STOPS at multi-child nodes (a limit
+    // inside one join/union input does NOT bound the join output) and
+    // at generators (explode can expand a bounded input arbitrarily) —
+    // the full-subtree collectFirst this replaces would have credited
+    // a GlobalLimit buried in one side of an upstream join (ADVICE r16).
+    def limitBounded(w: WindowExec): Boolean = {
+      import org.apache.spark.sql.execution.GenerateExec
+      @annotation.tailrec
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+        case _: TakeOrderedAndProjectExec => true
+        case _: WindowGroupLimitExec => true
+        case _: GlobalLimitExec => true
+        case _: GenerateExec => false
+        case u if u.children.size == 1 => walk(u.children.head)
+        case _ => false
+      }
+      walk(w.child)
+    }
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skipEager)
       .filterNot(unpartitionedWindowAllowed)

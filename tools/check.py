@@ -70,12 +70,20 @@ def main():
         mismatch = None
         for c in got.columns:
             a, b = got[c], exp[c]
-            # Driver-exact: the driver hashes canonicalized values, so an
-            # int64-vs-float64 promotion (DuckDB HUGEINT -> float64) fails
-            # on dtype ALONE even when values are bit-exact. No tolerance:
-            # the engine's FP discipline guarantees bit-identical doubles.
-            if (pd.api.types.is_float_dtype(a) !=
-                    pd.api.types.is_float_dtype(b)):
+            # Driver-exact: the driver hashes canonicalized values, so ANY
+            # dtype-kind drift (int64-vs-float64 from DuckDB HUGEINT
+            # promotion, int-vs-object/string, bool-vs-int, ...) fails on
+            # dtype ALONE even when stringified values agree. Compare
+            # dtype KINDS generally (ADVICE r16): integer widths are
+            # allowed to differ (i<->u and i32<->i64 canonicalize the
+            # same), everything else must match kind-for-kind. No float
+            # tolerance: the engine's FP discipline guarantees
+            # bit-identical doubles.
+            ka, kb = a.dtype.kind, b.dtype.kind
+            int_kinds = frozenset("iu")
+            kinds_match = (ka == kb or
+                           (ka in int_kinds and kb in int_kinds))
+            if not kinds_match:
                 mismatch = (f"col {c} DTYPE: spark={a.dtype} "
                             f"duckdb={b.dtype} (driver hash fails on this)")
                 break
