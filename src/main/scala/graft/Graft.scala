@@ -621,6 +621,19 @@ object Graft {
   def triangleCounts(edges: DataFrame): DataFrame =
     operators.Graph.triangleCounts(edges)
 
+  /** k-core: surviving canonical edges after ≤`rounds` degree peels
+    * with fixpoint early-exit (see [[operators.Graph.kcorePeel]]);
+    * takes the DIRECTED adjacency. */
+  def kcorePeel(adj: DataFrame, k: Int = 3, rounds: Int = 8): DataFrame =
+    operators.Graph.kcorePeel(adj, k, rounds)
+
+  /** k-truss: the maximal subgraph where every edge closes ≥ k−2
+    * triangles, via ≤`rounds` support peels with fixpoint early-exit
+    * (see [[operators.Graph.ktrussPeel]]); takes canonical `a < b`
+    * edges. */
+  def ktrussPeel(edges: DataFrame, k: Int = 3, rounds: Int = 8): DataFrame =
+    operators.Graph.ktrussPeel(edges, k, rounds)
+
   /** Multi-source BFS hop distances from a (node) seed frame (see
     * [[operators.Graph.bfsHops]]). */
   def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int = 8): DataFrame =

@@ -324,6 +324,62 @@ object Graph {
     e
   }
 
+  /** ONE synchronous k-truss peeling round: drop every edge whose
+    * triangle support (triangles containing it within the CURRENT
+    * edge set) is below k−2. Triangles come from the same canonical
+    * oriented wedge join as [[triangleCounts]] (x<y<z, each found
+    * once), exploded to their three member edges and hash-counted;
+    * surviving edges semi-join back. Factored out so PlanSpec can pin
+    * the round's shape (joins + hash aggregates, no window sorts).
+    */
+  private[graft] def ktrussPeelRound(e: DataFrame, k: Int): DataFrame = {
+    val e1 = e.select(col("a").as("x"), col("b").as("y"))
+    val e2 = e.select(col("a").as("y2"), col("b").as("z"))
+    val e3 = e.select(col("a").as("x3"), col("b").as("z3"))
+    val tri = e1.join(e2, col("y") === col("y2"))
+      .join(e3, col("x") === col("x3") && col("z") === col("z3"))
+      .select(col("x"), col("y"), col("z"))
+    val support = tri.select(explode(array(
+        struct(col("x").as("a"), col("y").as("b")),
+        struct(col("y").as("a"), col("z").as("b")),
+        struct(col("x").as("a"), col("z").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("__sup"))
+      .filter(col("__sup") >= k - 2)
+      .select("a", "b")
+    e.join(support, Seq("a", "b"), "left_semi").select(col("a"), col("b"))
+  }
+
+  /** Up to `rounds` synchronous k-truss peeling rounds: the k-truss is
+    * the maximal subgraph where every edge closes ≥ k−2 triangles —
+    * the community-core operator one notch stronger than the k-core
+    * (every 3-truss edge is in a 2-core, not vice versa; Cohen 2008,
+    * public NSA tech report "Trusses: cohesive subgraphs for social
+    * network analysis"). Same house discipline as [[kcorePeel]]: a
+    * pinned round cap (driver-checkable against an unrolled-CTE
+    * oracle), per-round eager `localCheckpoint` (the wedge join reads
+    * the frame THREE times per round — a lazy loop re-derives the
+    * whole prefix 3× per round), and EARLY EXIT at the edge-count
+    * fixpoint, which peeling's monotonicity makes provably identical
+    * to the full unroll. Input/output: canonical `a < b` edges. Each
+    * round's cost is the Σ deg² wedge stream — the same bound as one
+    * [[triangleCounts]] pass, never pairs×edges.
+    */
+  def ktrussPeel(edges: DataFrame, k: Int = 3, rounds: Int = 8): DataFrame = {
+    var e = edges.select(col("a"), col("b"))
+    var prevEdges = -1L
+    var round = 0
+    var fixed = false
+    while (round < rounds && !fixed) {
+      e = ktrussPeelRound(e, k).localCheckpoint()
+      val n = e.count()
+      fixed = n == prevEdges
+      prevEdges = n
+      round += 1
+    }
+    e
+  }
+
   /** ADAMIC–ADAR link prediction: non-adjacent pairs scored
     * Σ_{b ∈ common} 1/ln(deg(b)) — common neighbors weighted by how
     * SELECTIVE they are (a niche part shared by two products is far

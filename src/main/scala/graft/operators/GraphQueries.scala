@@ -25,6 +25,16 @@ import graft.Tables
   */
 object GraphQueries {
 
+  /** Corpora where GraphSpec has PROVEN that 6 pointer-jumping rounds
+    * reach the connected-components fixpoint (a 7th round moves no
+    * label). g13 skips the eager runtime probe exactly on these dirs;
+    * every other input runs library-safe with the probe on. The spec
+    * iterates THIS set, so adding a dir here without extending the
+    * proof fails the suite, and the two can never drift apart.
+    */
+  val fixpointProvenDirs: Set[String] = Set(
+    "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
   private val edgeCache =
     new graft.SessionCache[String, DataFrame](_.unpersist())
 
@@ -197,13 +207,17 @@ object GraphQueries {
         col("common"), col("jaccard"))
     }),
     // connected components (6 pointer-jumping min-label rounds) →
-    // component sizes; GraphSpec proves round 6 is the fixpoint at the
-    // gate corpus, so the fixed-round labels ARE the true components
-    // and the runtime probe round (verifyFixpoint) is skipped here —
-    // it would re-run every round eagerly on plan-only consumers too.
+    // component sizes; GraphSpec proves round 6 is the fixpoint at
+    // every dir in [[fixpointProvenDirs]], so there the fixed-round
+    // labels ARE the true components and the runtime probe round
+    // (verifyFixpoint) is skipped — it would re-run every round
+    // eagerly on plan-only consumers too. Any OTHER sfDir gets the
+    // library-safe probe (ADVICE r16): a novel/regenerated corpus
+    // must not silently ship unconverged labels on the strength of a
+    // proof about different data.
     "g13_connected_components" -> ((s, d) => {
       val cc = Graph.connectedComponents(cachedAdjDeg(s, d),
-        verifyFixpoint = false)
+        verifyFixpoint = !fixpointProvenDirs.contains(d))
         .groupBy("lbl").agg(count(lit(1)).as("n_members"))
       rankedTopK(cc, Seq(col("n_members").desc, col("lbl")), 20,
         col("lbl").as("component"), col("n_members"))
@@ -232,6 +246,19 @@ object GraphQueries {
         .agg(count(lit(1)).as("n_nodes"),
           sum(abs(col("r8") - col("r7"))).as("l1_delta_micro"),
           max(abs(col("r8") - col("r7"))).as("max_delta_micro"))
+    }),
+    // 3-truss after ≤8 peeling rounds (every surviving edge closes ≥1
+    // triangle among survivors — the community-core one notch above
+    // g5's k-core): surviving nodes ranked by truss degree. Exact
+    // integer peel, fixpoint early-exit ≡ the oracle's full unroll.
+    "g16_ktruss" -> ((s, d) => {
+      val truss = Graph.ktrussPeel(
+        cachedEdges(s, d).select(col("a"), col("b")), k = 3)
+      val deg = truss
+        .select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("truss_deg"))
+      rankedTopK(deg, Seq(col("truss_deg").desc, col("node")), 30,
+        col("node").as("part"), col("truss_deg"))
     }))
 
   /** Shared oracle base: baskets → canonical pairs → per-node top-8 →
@@ -362,6 +389,36 @@ object GraphQueries {
          QUALIFY row_number() OVER (
            PARTITION BY node ORDER BY wt DESC, lbl) = 1)"""
     }.mkString
+
+  /** Unrolled k-truss peels: each round keeps edges whose triangle
+    * support within the current edge set is ≥ k−2. tk0 = the
+    * canonical edges; triangles from the oriented x<y<z join,
+    * exploded to member edges and counted. Every CTE is MATERIALIZED
+    * — round i references round i−1 four times, and DuckDB would
+    * otherwise re-plan the whole prefix per reference.
+    */
+  private def ktrussCtes(k: Int, rounds: Int): String =
+    """,
+       tk0 AS MATERIALIZED (SELECT a, b FROM edges)""" +
+      (1 to rounds).map { i =>
+        val prev = s"tk${i - 1}"
+        s""",
+       tktri$i AS (
+         SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         FROM $prev e1
+         JOIN $prev e2 ON e1.b = e2.a
+         JOIN $prev e3 ON e3.a = e1.a AND e3.b = e2.b),
+       tksup$i AS (
+         SELECT a, b, COUNT(*) AS s FROM (
+           SELECT x AS a, y AS b FROM tktri$i
+           UNION ALL SELECT y AS a, z AS b FROM tktri$i
+           UNION ALL SELECT x AS a, z AS b FROM tktri$i)
+         GROUP BY a, b),
+       tk$i AS MATERIALIZED (
+         SELECT e.a, e.b FROM $prev e
+         JOIN tksup$i s ON e.a = s.a AND e.b = s.b
+         WHERE s.s >= ${k - 2})"""
+      }.mkString
 
   /** 8 unrolled k-core peels: each round keeps edges whose endpoints
     * both still have degree ≥ k.
@@ -600,7 +657,18 @@ object GraphQueries {
        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
          CAST(SUM(ABS(a.r - b.r)) AS BIGINT) AS l1_delta_micro,
          CAST(MAX(ABS(a.r - b.r)) AS BIGINT) AS max_delta_micro
-       FROM pr8 a JOIN pr7 b USING (node)"""))
+       FROM pr8 a JOIN pr7 b USING (node)"""),
+    "g16_ktruss" -> (graphCtes + ktrussCtes(3, 8) +
+      """,
+       tdeg AS (
+         SELECT node, CAST(COUNT(*) AS BIGINT) AS truss_deg FROM (
+           SELECT a AS node FROM tk8
+           UNION ALL SELECT b AS node FROM tk8)
+         GROUP BY node)
+       SELECT CAST(row_number() OVER (ORDER BY truss_deg DESC, node) AS BIGINT)
+           AS rank,
+         node AS part, truss_deg
+       FROM tdeg QUALIFY rank <= 30"""))
 
   /** The unrolled pointer-jumping min-label rounds of
     * [[Graph.connectedComponents]]: per round, min over (own label,

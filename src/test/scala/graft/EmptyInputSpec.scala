@@ -188,6 +188,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(w.count() == 0)
     assert(Graph.commonNeighborsFrom(w, noEdges, adjDeg).count() == 0)
     assert(Graph.adamicAdarFrom(w, noEdges).count() == 0)
+    // the peel loops early-exit on the empty fixpoint without error
+    assert(Graph.kcorePeel(adjDeg).count() == 0)
+    assert(Graph.ktrussPeel(noEdges.select(col("a"), col("b"))).count() == 0)
   }
 
   test("connected components with no edges labels every node as itself") {

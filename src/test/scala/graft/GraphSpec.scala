@@ -117,6 +117,30 @@ class GraphSpec extends SparkSpec {
     assert(after100 === after8)
   }
 
+  test("ktrussPeel: 3-truss keeps triangles and drops tree edges; a 4-truss strip cascades to empty") {
+    import spark.implicits._
+    // K4 (every edge in 2 triangles) + a lone triangle (support 1) +
+    // a pendant edge (no triangle): the 3-truss keeps both triangle
+    // structures and sheds the pendant
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val lone = Seq((10L, 11L), (10L, 12L), (11L, 12L))
+    val edges3 = (k4 ++ lone :+ ((20L, 21L))).toDF("a", "b")
+    val t3 = Graph.ktrussPeel(edges3, k = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(t3 === (k4 ++ lone).toSet)
+    // 4-triangle strip (1-2-3, 2-3-4, 3-4-5, 4-5-6): the middle edge
+    // starts at support 2, but peeling the strip's ends cascades
+    // inward over FOUR rounds until nothing is left — while K5
+    // (every edge support 3) rides through untouched. Proves rounds
+    // cascade on recomputed supports, not the round-1 snapshot.
+    val strip = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L), (4L, 6L), (5L, 6L))
+    val k5 = for (i <- 10L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val t4 = Graph.ktrussPeel((strip ++ k5).toDF("a", "b"), k = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(t4 === k5.toSet)
+  }
+
   test("assortativity: −1 on a star, null on a degree-regular graph") {
     // K1,3: every edge joins deg-3 hub to a deg-1 leaf → perfectly
     // disassortative
@@ -208,7 +232,7 @@ class GraphSpec extends SparkSpec {
     for (name <- Seq("g1_copurchase_graph", "g2_pagerank", "g3_label_prop",
         "g4_triangles", "g5_kcore", "g6_link_predict",
         "g7_personalized_pagerank", "g8_bfs_hops", "g9_modularity",
-        "g10_adamic_adar")) {
+        "g10_adamic_adar", "g16_ktruss")) {
       val out = SparkEntry.queries(name)(spark, sf)
       if (name != "g8_bfs_hops") // g8 emits a (hops, n_parts) histogram
         assert(out.columns.head === "rank", s"$name leads with rank")
@@ -333,18 +357,21 @@ class GraphSpec extends SparkSpec {
     assert(loose.count() === 40L)
   }
 
-  test("connectedComponents: round 6 is the fixpoint on BOTH gate corpora") {
+  test("connectedComponents: round 6 is the fixpoint on every probe-skipped corpus") {
     // the registry runs 6 pointer-jumping rounds with the runtime
-    // probe off (g13 passes verifyFixpoint=false), so THIS test is the
-    // only convergence check left — it must cover every corpus the
-    // driver gates on, not just the smallest: a 7th round changing
-    // nothing proves the fixed-round labels ARE the true components
-    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    // probe off exactly on GraphQueries.fixpointProvenDirs, so THIS
+    // test is the only convergence check left for those dirs — it
+    // iterates the SAME set the registry consults (gate SFs + the
+    // bench sf0.1), so a dir added to the skip set without a proof
+    // here fails the suite: a 7th round changing nothing proves the
+    // fixed-round labels ARE the true components
+    for (sfDir <- graft.operators.GraphQueries.fixpointProvenDirs.toSeq.sorted) {
       val adj = graft.operators.GraphQueries.cachedAdjDeg(spark, sfDir)
-      val r6 = Graph.connectedComponents(adj, 6, verifyFixpoint = false)
-      val r7 = Graph.connectedComponents(adj, 7, verifyFixpoint = false)
-      assert(r6.exceptAll(r7).isEmpty && r7.exceptAll(r6).isEmpty,
-        s"a 7th round must not move any label at $sfDir")
+      // the probe round IS the proof (it fails loudly if any label
+      // still moves after round 6) — one probed run, not two full
+      // unrolls diffed against each other
+      val r6 = Graph.connectedComponents(adj, 6, verifyFixpoint = true)
+      assert(r6.limit(1).count() === 1L, s"no labels at $sfDir")
     }
   }
 }

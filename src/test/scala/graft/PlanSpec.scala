@@ -622,6 +622,13 @@ class PlanSpec extends SparkSpec {
     // so the final plan reads an ExistingRDD scan
     val g5 = plan("g5_kcore")
     assert(g5.contains("ExistingRDD") || g5.contains("Scan ExistingRDD"), g5.take(2000))
+    // the k-truss round (g16) holds the same contract: triangle
+    // supports via joins + hash aggregates, never a window sort
+    val tEdges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val tRound = graft.operators.Graph.ktrussPeelRound(tEdges, 3)
+    val tWins = tRound.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(tWins.isEmpty, s"truss round plans a window sort:\n$tRound")
+    assert(tRound.queryExecution.executedPlan.toString().contains("LeftSemi"))
   }
 
   test("q1: aggregation runs inside whole-stage codegen") {
