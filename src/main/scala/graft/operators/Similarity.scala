@@ -1209,7 +1209,34 @@ object SimilarityQueries {
     // nearest-centroid (Rocchio) classifier over fixed-point label
     // centroids — the O(|labels|) screen before a kNN fallback
     "s18_centroid_classify" -> ((s, d) =>
-      Similarity.centroidClassify(Tables.embeddings(s, d)))
+      Similarity.centroidClassify(Tables.embeddings(s, d))),
+    // RECALL@K CURVE (round 17; d25's sweep idea applied to s15): LSH
+    // recall against the exact top-5 at k = 1/3/5 from ONE brute pass
+    // + ONE LSH pass — the operating-point curve a plane/probe change
+    // is tuned on (recall@1 and recall@5 move differently under a
+    // banding change; a single k hides that). The two ranked frames
+    // are cache-pinned (sigs-pin convention — each k's readout is two
+    // 1-row counts over them, and three lazy re-derivations would
+    // triple the brute/LSH work in one plan).
+    "s19_recall_curve" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val exact = Similarity.bruteForceTopK(emb)
+        .select(col("q_id"), col("rank"), col("neighbor_id")).cache()
+      val approx = Similarity.lshTopK(emb)
+        .select(col("q_id"), col("rank").as("a_rank"), col("neighbor_id"))
+        .cache()
+      Seq(1, 3, 5).map { k =>
+        val ex = exact.filter(col("rank") <= k)
+        val nT = ex.agg(count(lit(1)).as("n_truth"))
+        val nH = ex
+          .join(approx.filter(col("a_rank") <= k), Seq("q_id", "neighbor_id"))
+          .agg(count(lit(1)).as("n_hits"))
+        nT.crossJoin(broadcast(nH))
+          .select(lit(k.toLong).as("k"), col("n_truth"), col("n_hits"),
+            round(col("n_hits").cast("double") /
+              col("n_truth").cast("double"), 6).as("recall"))
+      }.reduce(_ unionByName _)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -1626,6 +1653,73 @@ object SimilarityQueries {
            ROUND(CAST(COALESCE(h.h, 0) AS DOUBLE)
              / CAST(kk.depth AS DOUBLE), 6) AS recall
          FROM kk LEFT JOIN hits h ON kk.q_id = h.q_id""",
+    // s15's exact + LSH rank chains kept at rank grain, read at three
+    // cutoffs: per k, truth = exact pairs with rnk <= k, hits = pairs
+    // in BOTH rank lists at rnk <= k — micro recall over all queries
+    "s19_recall_curve" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+           FROM e),
+         expairs AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(c.v, q.v), s -> s[1] * s[2]))
+               / (c.nrm * q.nrm) AS cos
+           FROM n c JOIN n q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         exr AS (
+           SELECT q_id, neighbor_id, rnk FROM (
+             SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY ROUND(cos, 9) DESC, neighbor_id ASC) AS rnk
+             FROM expairs) WHERE rnk <= 5),
+         b AS (
+           SELECT vec_id, t.t AS tbl,
+             CAST(list_sum(list_transform(range(0, 6), p ->
+               CASE WHEN list_sum(list_transform(range(0, len(v)), d ->
+                      v[d + 1] * (((1103515245 * ((t.t * 6 + p) * 131 + d) + 12345)
+                                   % 2147483648) / 1073741824.0 - 1.0))) >= 0
+                    THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+           FROM n, (SELECT unnest(range(0, 8)) AS t) t),
+         probes AS (
+           SELECT vec_id AS q_id, tbl,
+             CASE WHEN j.j = -1 THEN bucket
+                  ELSE xor(bucket, CAST(power(2, j.j) AS BIGINT)) END AS probe
+           FROM b, (SELECT unnest(range(-1, 6)) AS j) j
+           WHERE vec_id < 10),
+         cand AS (
+           SELECT DISTINCT p.q_id, c.vec_id
+           FROM probes p JOIN b c ON c.tbl = p.tbl AND c.bucket = p.probe
+           WHERE c.vec_id <> p.q_id),
+         appairs AS (
+           SELECT cand.q_id, cand.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(c.v, q.v), s -> s[1] * s[2]))
+               / (c.nrm * q.nrm) AS cos
+           FROM cand JOIN n c ON cand.vec_id = c.vec_id
+                     JOIN n q ON cand.q_id = q.vec_id),
+         apr AS (
+           SELECT q_id, neighbor_id, rnk FROM (
+             SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY ROUND(cos, 9) DESC, neighbor_id ASC) AS rnk
+             FROM appairs) WHERE rnk <= 5),
+         ks AS (SELECT unnest([1, 3, 5]) AS k),
+         t AS (
+           SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_truth
+           FROM ks JOIN exr ON exr.rnk <= ks.k GROUP BY ks.k),
+         h AS (
+           SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_hits
+           FROM ks
+           JOIN exr ON exr.rnk <= ks.k
+           JOIN apr ON apr.q_id = exr.q_id
+             AND apr.neighbor_id = exr.neighbor_id AND apr.rnk <= ks.k
+           GROUP BY ks.k)
+         SELECT CAST(t.k AS BIGINT) AS k, t.n_truth,
+           COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+           ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+             / CAST(t.n_truth AS DOUBLE), 6) AS recall
+         FROM t LEFT JOIN h ON t.k = h.k""",
     // the exact shortlist, pairwise sims among its members, then the
     // greedy rounds unrolled — identical λ literals and rank keys
     "s16_mmr_diversify" ->

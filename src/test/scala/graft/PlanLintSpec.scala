@@ -54,7 +54,9 @@ class PlanLintSpec extends SparkSpec {
     "s17_knn_regression",  // brute-force scan broadcasts the query set (s12)
     "s18_centroid_classify", // |labels|-row centroid frame crossed onto queries
     "q79_weekday_profile", // 1-row overall-average broadcast (q46's shape)
-    "t26_token_burstiness" // 1-row corpus-size broadcast (t11's shape)
+    "t26_token_burstiness", // 1-row corpus-size broadcast (t11's shape)
+    "s19_recall_curve"     // d25's shape: two 1-row metric frames crossed
+                           // per cutoff, over s1's query-set broadcast
   )
 
   private val skipEager = Set(

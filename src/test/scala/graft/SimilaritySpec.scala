@@ -239,6 +239,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, f"LSH recall too low: $recall%.2f")
   }
 
+  test("s19 recall curve: truth counts are 10·k, hits bounded, and the @5 point equals s15's micro recall") {
+    val rows = SparkEntry.queries("s19_recall_curve")(spark, sf).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("n_truth"), r.getAs[Long]("n_hits"),
+          r.getAs[Double]("recall"))).toMap
+    assert(rows.keySet === Set(1L, 3L, 5L))
+    rows.foreach { case (k, (t, h, rec)) =>
+      assert(t === 10 * k, s"k=$k: every query has 5 exact neighbors")
+      assert(h >= 0 && h <= t)
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // the k=5 point must agree with s15's per-query recalls micro-
+    // averaged — same truth, same candidates, different readout grain
+    val s15 = SparkEntry.queries("s15_recall_eval")(spark, sf).collect()
+    val microHits = s15.map(_.getAs[Long]("hits")).sum
+    assert(rows(5L)._2 === microHits, "s19@5 disagrees with s15's hits")
+  }
+
   test("graph ANN: beam walk over the kNN graph; recall vs brute force; monotone in hops") {
     val rows = Similarity.graphSearch(emb).collect()
     assert(rows.nonEmpty)
