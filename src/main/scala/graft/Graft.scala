@@ -468,6 +468,12 @@ object Graft {
       codec: Multimodal.MediaCodec = new Multimodal.ByteStatsCodec) =
     Multimodal.extractFeatures(spark, media, codec)
 
+  /** ViT-style patch grid over 24-bpp BMP payloads: one row per
+    * `patch`×`patch` tile with its exact byte sum + mean luminance
+    * (see [[operators.Multimodal.imageTiles]]). */
+  def imageTiles(spark: SparkSession, media: DataFrame, patch: Int = 4) =
+    Multimodal.imageTiles(spark, media, patch)
+
   /** Predicate-filtered ANN: top-k cosine among corpus vectors
     * sharing each query's label — the filter constrains candidate
     * generation (semi-join corpus prune + label on the bucket key),

@@ -880,6 +880,63 @@ object Multimodal {
     * executors, the codec opens once per partition and closes when the
     * partition is drained.
     */
+  /** One tile of a ViT-style patch grid: exact integer byte sum over
+    * the tile's pixels plus its 6-dp mean luminance readout.
+    */
+  case class TileRow(doc_id: Long, tile_y: Long, tile_x: Long,
+      lum_sum: Long, mean_lum: Double)
+
+  /** ViT-STYLE PATCH GRID over 24-bpp BMP payloads: each image is
+    * cropped to the largest `patch`-multiple (the standard ViT crop —
+    * leftover right/bottom pixels are dropped) and emitted as one row
+    * per patch with the exact integer sum of its pixel bytes (all 3
+    * channels) and the mean luminance. This is the image→patch-tokens
+    * step of a multimodal training pipeline expressed at the engine
+    * grain: pixels are decoded and reduced INSIDE the task (a narrow
+    * flatMap, rows ×(w/patch)(h/patch), each a few dozen bytes), so
+    * a 100 TB image corpus shuffles patch aggregates, never tensors.
+    * The parse is [[BmpThumbCodec]]'s header discipline; the decode
+    * is stateless byte math, so no per-partition codec lifecycle is
+    * needed. Integer sums make the result engine-independent — the
+    * DuckDB oracle re-derives every tile from the synthesized pixel
+    * formula and hash-matches.
+    */
+  def imageTiles(spark: SparkSession, media: DataFrame,
+      patch: Int = 4): Dataset[TileRow] = {
+    import spark.implicits._
+    require(patch > 0)
+    media.as[MediaRow].flatMap { r =>
+      val b = r.payload
+      def le16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+      def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
+      require(b.length >= 54 && b(0) == 'B' && b(1) == 'M',
+        s"doc ${r.doc_id}: not a BMP payload")
+      val pixelOff = le32(10)
+      val w = le32(18)
+      val h = math.abs(le32(22))
+      require(w > 0 && h > 0 && le16(28) == 24 && le32(30) == 0,
+        s"doc ${r.doc_id}: unsupported BMP variant")
+      val stride = ((w * 3 + 3) / 4) * 4
+      require(pixelOff >= 54 && pixelOff.toLong + stride.toLong * h <= b.length,
+        s"doc ${r.doc_id}: truncated pixel array")
+      for {
+        ty <- 0 until h / patch
+        tx <- 0 until w / patch
+      } yield {
+        var sum = 0L
+        var y = 0
+        while (y < patch) {
+          val base = pixelOff + (ty * patch + y) * stride + tx * patch * 3
+          var o = 0
+          while (o < patch * 3) { sum += (b(base + o) & 0xff); o += 1 }
+          y += 1
+        }
+        TileRow(r.doc_id, ty.toLong, tx.toLong, sum,
+          math.round(sum / (3.0 * patch * patch) * 1e6) / 1e6)
+      }
+    }
+  }
+
   def extractFeatures(spark: SparkSession, media: DataFrame,
       codec: MediaCodec = new ByteStatsCodec): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -1064,6 +1121,22 @@ object MultimodalQueries {
         }
       Multimodal.extractFeatures(s, rows.toDF(),
         new Multimodal.BmpThumbCodec(2, 2)).toDF()
+    }),
+    // ViT-STYLE PATCH GRID (round 17): 8–12 × 8–10 synthesized BMPs
+    // cropped to the largest 4-multiple and emitted as one row per
+    // 4×4 patch with its exact integer byte sum + mean luminance —
+    // the image→patch-tokens step, reduced inside the task. Exact
+    // integers → full-SQL hash-match oracle (m5's pixel formula)
+    "m18_image_tiles" -> ((s, d) => {
+      import s.implicits._
+      val rows = Multimodal.mediaTable(Tables.documents(s, d))
+        .as[Multimodal.MediaRow].map { r =>
+          val w = (8 + (r.doc_id % 5)).toInt
+          val h = (8 + (r.doc_id % 3)).toInt
+          Multimodal.MediaRow(r.doc_id,
+            Multimodal.synthBmp(w, h, r.payload), "image/bmp", w, h)
+        }
+      Multimodal.imageTiles(s, rows.toDF(), patch = 4).toDF()
     }),
     // FRAME SAMPLING at the codec: every 4th 64-sample frame of the
     // synthesized PCM is scored, the rest are never featurized (the
@@ -1365,6 +1438,34 @@ object MultimodalQueries {
     // BmpThumbCodec(2,2): the four sampled luminances re-derived at
     // the codec's exact integer-division sample positions and FP
     // accumulation order ((l00 + l10) + l01) + l11
+    // tile (ty, tx) sums the 48 pixel bytes (4×4 px × 3 channels) of
+    // the synthesized BMP: byte i of the tile sits at source offset
+    // (ty·4 + i÷12)·w·3 + tx·12 + i%12 mod len — m5's pixel formula
+    // read tile-wise; mean = sum / 48 (never an exact .5 at 6 dp:
+    // the fractional part of sum·1e6/48 is a third, not a half)
+    "m18_image_tiles" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS len,
+             CAST(8 + doc_id % 5 AS INT) AS w, CAST(8 + doc_id % 3 AS INT) AS h
+           FROM documents),
+         t AS (
+           SELECT doc_id, text, len, w, h, ty.ty AS tile_y, tx.tx AS tile_x
+           FROM d,
+             (SELECT unnest(range(0, 3)) AS ty) ty,
+             (SELECT unnest(range(0, 3)) AS tx) tx
+           WHERE ty.ty < h // 4 AND tx.tx < w // 4),
+         s AS (
+           SELECT doc_id, tile_y, tile_x,
+             CAST(list_sum(list_transform(range(0, 48), i ->
+               ord(substr(text,
+                 CAST(1 + (((tile_y * 4 + i // 12) * w * 3
+                            + tile_x * 12 + i % 12) % len) AS INT), 1))))
+               AS BIGINT) AS lum_sum
+           FROM t)
+         SELECT doc_id, CAST(tile_y AS BIGINT) AS tile_y,
+           CAST(tile_x AS BIGINT) AS tile_x, lum_sum,
+           ROUND(CAST(lum_sum AS DOUBLE) / 48.0, 6) AS mean_lum
+         FROM s""",
     "m5_resize" ->
       """WITH d AS (
            SELECT doc_id, text, length(text) AS len,

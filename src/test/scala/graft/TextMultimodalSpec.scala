@@ -390,6 +390,36 @@ class TextMultimodalSpec extends SparkSpec {
     assert(math.abs(f2.mean_byte - 100.0) < 1e-6)
   }
 
+  test("imageTiles: quadrant pattern yields per-tile sums; odd sizes crop to the patch multiple") {
+    // 8×8 image in four 4×4 quadrants of constant luminance
+    // 10/20/30/40 → exactly four tiles whose sums are 48× the value
+    val w = 8; val h = 8
+    val stride = ((w * 3 + 3) / 4) * 4
+    val bmp = Multimodal.synthBmp(w, h, Array.fill[Byte](stride * h)(0))
+    val pixelOff = (bmp(10) & 0xff) | ((bmp(11) & 0xff) << 8)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      bmp(pixelOff + y * stride + x * 3 + c) =
+        (10 * (1 + (y / 4) * 2 + (x / 4))).toByte
+    val media = Seq((1L, bmp, "image/bmp", w, h))
+      .toDF("doc_id", "payload", "media_type", "width", "height")
+    val tiles = Multimodal.imageTiles(spark, media, patch = 4).collect()
+      .map(t => (t.tile_y, t.tile_x) -> (t.lum_sum, t.mean_lum)).toMap
+    assert(tiles.size === 4)
+    assert(tiles((0L, 0L)) === ((480L, 10.0)))
+    assert(tiles((0L, 1L)) === ((960L, 20.0)))
+    assert(tiles((1L, 0L)) === ((1440L, 30.0)))
+    assert(tiles((1L, 1L)) === ((1920L, 40.0)))
+    // 10×9: the grid crops to 2×2 patches (ViT crop) — the right 2
+    // columns and bottom row never reach a tile
+    val odd = Multimodal.synthBmp(10, 9, Array.fill[Byte](11)(7.toByte))
+    val oddTiles = Multimodal.imageTiles(spark,
+      Seq((2L, odd, "image/bmp", 10, 9))
+        .toDF("doc_id", "payload", "media_type", "width", "height"),
+      patch = 4).collect()
+    assert(oddTiles.length === 4)
+    assert(oddTiles.forall(t => t.tile_y < 2 && t.tile_x < 2))
+  }
+
   test("FrameSampleCodec: sampled frames match hand-computed stats; stride 1 = full") {
     // 256 samples = 4 frames of 64; frames alternate amplitude
     // 8192 / 16384 / 8192 / 16384; stride 2 samples frames 0 and 2
