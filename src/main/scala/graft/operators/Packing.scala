@@ -394,6 +394,20 @@ object Packing {
       stratifiedSample(Tables.documents(s, d))
         .select("doc_id", "lang", "source", "n_chars")),
     "p3_mixture_plan" -> ((s, d) => mixturePlan(Tables.documents(s, d))),
+    // p3's plan the responsible pipeline actually runs (round 17):
+    // contaminated docs — any training doc sharing a 5-gram with the
+    // d8 held-out set — are anti-joined OUT before the per-language
+    // token counts, so the published mixture budgets CLEAN tokens.
+    // One extra gram-keyed shuffle (d8's shape) + a doc-id anti-join;
+    // the plan itself stays two tiny aggregates + a 1-row broadcast.
+    "p17_decontaminated_mixture" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      val eval = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      val contaminated = graft.operators.Dedup.decontaminate(corpus, eval)
+        .select("doc_id")
+      mixturePlan(corpus.join(contaminated, Seq("doc_id"), "left_anti"))
+    }),
     "p4_split_shards" -> ((s, d) => splitShards(Tables.documents(s, d))),
     "p5_epoch_shuffle" -> ((s, d) => epochShuffle(Tables.documents(s, d))),
     "p6_token_budget_sample" -> ((s, d) =>
@@ -556,6 +570,46 @@ object Packing {
          WHERE (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 100
                < (CASE WHEN lang = 'en' THEN ${defaultStratumRates("en")}
                        ELSE $defaultRatePct END)""",
+    // d8's gram derivation names the contaminated doc ids; p3's plan
+    // arithmetic runs over the surviving (clean) corpus only
+    "p17_decontaminated_mixture" ->
+      raw"""WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT DISTINCT doc_id, gram FROM (
+             SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= 5 THEN
+                 list_transform(range(1, len(toks) - 3),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                        toks[i+3] || ' ' || toks[i+4])
+               ELSE [] END) AS gram
+             FROM t)),
+         e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+         bad AS (
+           SELECT DISTINCT doc_id FROM g
+           WHERE doc_id % 50 <> 0 AND gram IN (SELECT gram FROM e)),
+         clean AS (
+           SELECT * FROM documents
+           WHERE doc_id % 50 <> 0
+             AND doc_id NOT IN (SELECT doc_id FROM bad)),
+         per_lang AS (
+           SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+               AS lang_tokens
+           FROM clean GROUP BY lang),
+         tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens FROM per_lang),
+         r AS (
+           SELECT lang, n_docs, lang_tokens,
+             CAST(CASE WHEN lang = 'en' THEN 0.4 ELSE 0.15 END AS DOUBLE) AS share,
+             ROUND(LEAST(1.0,
+               CAST(total_tokens AS DOUBLE) * 0.5
+                 * CAST(CASE WHEN lang = 'en' THEN 0.4 ELSE 0.15 END AS DOUBLE)
+                 / CAST(lang_tokens AS DOUBLE)), 6) AS rate
+           FROM per_lang, tot)
+         SELECT lang, n_docs, lang_tokens, share, rate,
+           CAST(FLOOR(rate * CAST(lang_tokens AS DOUBLE)) AS BIGINT) AS planned_tokens
+         FROM r""",
     "p3_mixture_plan" ->
       raw"""WITH per_lang AS (
            SELECT lang, COUNT(*) AS n_docs,

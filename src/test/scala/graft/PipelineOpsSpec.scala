@@ -319,6 +319,27 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("decontaminated mixture: a corpus doc sharing a 5-gram with eval never reaches the plan") {
+    val docs = Seq(
+      (50L, "alpha beta gamma delta epsilon zeta", "en", "s0", 35L), // eval (id % 50 = 0)
+      // contaminated: shares the 5-gram "alpha beta gamma delta epsilon"
+      (1L, "alpha beta gamma delta epsilon something else entirely", "en", "s1", 54L),
+      (2L, "seven clean tokens with no overlap at all", "en", "s2", 42L),
+      (3L, "fuenf saubere woerter hier ja", "de", "s3", 29L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    val eval = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val clean = corpus.join(
+      Dedup.decontaminate(corpus, eval).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    val plan = Packing.mixturePlan(clean).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("lang_tokens"))).toMap
+    // doc 1's 8 tokens are gone; en budgets doc 2 only
+    assert(plan("en") === ((1L, 8L)))
+    assert(plan("de") === ((1L, 5L)))
+  }
+
   test("temperature mixture: alpha=1 is proportional; alpha<1 upsamples small sources") {
     val docs = ((0L until 400L).map(i => (i, Seq.fill(20)("w").mkString(" "),
         "en", "big", 40L)) ++

@@ -17,6 +17,7 @@ class PlanLintSpec extends SparkSpec {
     "q30_band_join",       // 4-row literal band dim, non-equi predicate
     "q14_subquery",        // scalar subquery (1-row broadcast)
     "p3_mixture_plan",     // 1-row corpus-total broadcast
+    "p17_decontaminated_mixture", // p3's 1-row total broadcast, post-decontam
     "t9_unigram_logprob",  // 1-row corpus-total broadcast
     "t13_bigram_logprob",  // 1-row vocab-size broadcast
     "t14_perplexity_filter", // t13's vocab broadcast + 1-row stats broadcast
