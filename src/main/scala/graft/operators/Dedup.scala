@@ -142,15 +142,33 @@ object Dedup {
     * distinct-gram set (or a bloom filter of it) — Spark's AQE already
     * picks broadcast when the built side fits.
     */
-  def decontaminate(corpus: DataFrame, eval: DataFrame, n: Int = 5): DataFrame = {
-    def grams(df: DataFrame) = df.select(col("doc_id"),
+  def decontaminate(corpus: DataFrame, eval: DataFrame, n: Int = 5): DataFrame =
+    decontaminatePrepped(corpus, evalGramIndex(eval, n), n)
+
+  /** The held-out side of [[decontaminate]] as a PREPARED INDEX: the
+    * eval suite's distinct (gram, eval_id) rows — build once, probe
+    * per corpus batch (the st10 persisted-index contract; st34
+    * streams the corpus against this). Eval suites are small, so the
+    * index broadcasts; nothing about the probe requires that.
+    */
+  def evalGramIndex(eval: DataFrame, n: Int = 5): DataFrame =
+    eval.select(col("doc_id").as("eval_id"),
       explode(array_distinct(wordNgrams(tokens(lower(col("text"))), n))).as("gram"))
-    grams(corpus)
-      .join(grams(eval).select(col("gram"), col("doc_id").as("eval_id")), "gram")
+      .select("gram", "eval_id")
+
+  /** [[decontaminate]] against a pre-built [[evalGramIndex]]: per-doc
+    * results depend only on the doc's own grams and the static index,
+    * so batches of corpus docs can probe independently (streaming
+    * ingest, incremental re-checks) and union to the batch answer.
+    */
+  def decontaminatePrepped(corpus: DataFrame, evalGrams: DataFrame,
+      n: Int = 5): DataFrame =
+    corpus.select(col("doc_id"),
+        explode(array_distinct(wordNgrams(tokens(lower(col("text"))), n))).as("gram"))
+      .join(evalGrams, "gram")
       .groupBy("doc_id")
       .agg(countDistinct(col("gram")).as("n_shared_grams"),
         countDistinct(col("eval_id")).as("n_eval_docs_hit"))
-  }
 
   /** Per-EVAL-doc contamination report — the graded view whose binary
     * summary is [[decontaminate]]: for each held-out doc, what

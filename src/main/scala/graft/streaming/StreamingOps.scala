@@ -669,6 +669,19 @@ object StreamingQueries {
       dir
     }
 
+  /** d8's training-corpus split (doc_id % 50 ≠ 0) as a 4-file stream
+    * source — st34 ingests it in micro-batches against the static
+    * eval gram index.
+    */
+  private def decontamStreamDir(s: SparkSession, d: String): String =
+    fixtureCache(s, s"decontam:$d") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_dc_stream")
+        .resolve("batch").toString
+      Tables.documents(s, d).filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        .repartition(4).write.mode("overwrite").parquet(dir)
+      dir
+    }
+
   private def embStreamDir(s: SparkSession, d: String): String =
     fixtureCache(s, s"emb:$d") {
       val dir = java.nio.file.Files.createTempDirectory("graft_emb_stream")
@@ -682,7 +695,8 @@ object StreamingQueries {
     * timed SF before the clock starts.
     */
   def warmFixtures(s: SparkSession, d: String): Unit = {
-    mvStreamDir(s, d); ndStreamDir(s, d); embStreamDir(s, d); ()
+    mvStreamDir(s, d); ndStreamDir(s, d); embStreamDir(s, d)
+    decontamStreamDir(s, d); ()
   }
 
   /** Drive a Structured Streaming query over the events parquet to
@@ -1196,6 +1210,43 @@ object StreamingQueries {
       }
       acc
     }),
+    // STREAMING DECONTAMINATION GATE (round 17; d8 re-based on a
+    // stream): the training corpus ingests in micro-batches and each
+    // batch probes the STATIC eval gram index (built once, st10's
+    // persisted-index contract) — per-doc contamination depends only
+    // on the doc's own grams and the index, so the per-batch results
+    // union to exactly the batch answer, and the d8 oracle is reused
+    // verbatim. The gate every streaming corpus ingest should run
+    // BEFORE a doc reaches training storage.
+    "st34_stream_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val eval = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      val dir = decontamStreamDir(s, d)
+      val schema = s.read.parquet(dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      var acc: DataFrame = null
+      val partsWas = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val index = graft.operators.Dedup.evalGramIndex(eval).cache()
+      try {
+        val q = stream.writeStream.outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val flagged = graft.operators.Dedup
+              .decontaminatePrepped(batch.toDF(), index)
+              .localCheckpoint()
+            acc = if (acc == null) flagged else acc.unionByName(flagged)
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", partsWas)
+        index.unpersist()
+      }
+      if (acc == null)
+        graft.operators.Dedup.decontaminate(docs.limit(0), eval)
+      else acc
+    }),
     // st10's classification landed through the EXACTLY-ONCE durable
     // sink: foreachBatch + idempotent batch_id-partition overwrite
     // (see [[StreamingOpsSinks.streamNearDupToParquet]]). The
@@ -1319,6 +1370,9 @@ object StreamingQueries {
     // (d11's invariant, streamed)
     "st10_stream_neardup" ->
       graft.operators.DedupQueries.oracles("d11_incremental_neardup"),
+    // streamed micro-batch decontamination ≡ the single-shot d8 gate
+    "st34_stream_decontam" ->
+      graft.operators.DedupQueries.oracles("d8_decontaminate"),
     // durable sink contents ≡ the single-shot incremental near-dup
     "st11_stream_neardup_sink" ->
       graft.operators.DedupQueries.oracles("d11_incremental_neardup"),

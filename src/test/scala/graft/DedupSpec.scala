@@ -269,6 +269,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("decontamination: per-batch prepped probes union to the single-shot gate") {
+    // st34's contract: per-doc contamination depends only on the
+    // doc's own grams and the static eval index, so micro-batches
+    // union to exactly the batch answer
+    val eval = Seq((50L, "alpha beta gamma delta epsilon zeta", "en", "s0", 35L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon shared here", "en", "s1", 43L),
+      (2L, "beta gamma delta epsilon zeta also shared", "en", "s2", 42L),
+      (3L, "nothing in common with the held out suite", "en", "s3", 42L),
+      (4L, "alpha beta gamma delta epsilon zeta full overlap", "en", "s4", 48L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val idx = Dedup.evalGramIndex(eval)
+    val batched = Dedup.decontaminatePrepped(corpus.filter(col("doc_id") <= 2), idx)
+      .unionByName(Dedup.decontaminatePrepped(corpus.filter(col("doc_id") > 2), idx))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(batched) === canon(Dedup.decontaminate(corpus, eval)))
+    // and the planted overlaps are actually flagged (1, 2, 4 — not 3)
+    assert(batched.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 4L))
+  }
+
   test("connected components merge chained near-dup pairs into one cluster") {
     import spark.implicits._
     val nodes = Seq(0L, 1L, 2L, 3L, 4L).toDF("doc_id")

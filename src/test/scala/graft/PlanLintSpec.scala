@@ -73,6 +73,9 @@ class PlanLintSpec extends SparkSpec {
     // st11 runs the stream + durable sink on invocation; its
     // classification plan is d11's (linted there)
     "st11_stream_neardup_sink",
+    // st34 drives the stream on invocation; its probe plan is d8's
+    // gram join (linted there)
+    "st34_stream_decontam",
     // st12/st13 drive the full stream on invocation; the histogram agg
     // plan is q39's (linted there); st14's session agg is st4's
     "st12_stream_histogram", "st13_stream_histogram_append",
