@@ -93,6 +93,13 @@ object DedupQueries {
     // dupClusters stays the API/serving path (spec-tested on planted
     // duplicates).
     "d6_dup_clusters" -> ((s, d) => cachedClusters(s, d, minJaccard = 0.05)),
+    // the minhash SERVING cluster API (dupClusters) driver-checked
+    // end-to-end on its blocked default (round 17 — through r16 it
+    // was spec-tested only): blocked candidates at the tuned layout,
+    // est-Jaccard ≥ 0.05 (eq/32 is dyadic — both engines compare the
+    // exact same doubles), adaptive connected components
+    "d26_blocked_dup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(Tables.documents(s, d), minEstJaccard = 0.05)),
     // incremental ingest: every 5th doc plays the "new batch", the
     // rest the already-ingested corpus
     "d7_incremental_dedup" -> ((s, d) => {
@@ -455,6 +462,26 @@ object DedupQueries {
              AND abs(da.n_chars - db.n_chars) <= 3)"""
 
   val oracles: Map[String, String] = Map(
+    // the BLOCKED candidate set (shared CTE prefix), est-filtered at
+    // eq/32 >= 0.05 (exact dyadic doubles both engines), then d6's
+    // recursive min-reachable-id component algebra
+    "d26_blocked_dup_clusters" ->
+      (blockedCandCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + raw""",
+         est AS (
+           SELECT c.doc_a, c.doc_b
+           FROM cand c
+           JOIN sig sa ON sa.doc_id = c.doc_a
+           JOIN sig sb ON sb.doc_id = c.doc_b
+           WHERE CAST(list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN sa.sig[i + 1] = sb.sig[i + 1] THEN 1 ELSE 0 END))
+             AS DOUBLE) / 32 >= 0.05),
+         e AS (SELECT doc_a AS s, doc_b AS d FROM est
+               UNION SELECT doc_b, doc_a FROM est),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS r FROM documents
+           UNION
+           SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s)
+         SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id"""),
     // the BLOCKED candidate set (shared CTE prefix — the d22 eval's
     // exact layout) counted per doc: serving and eval oracles derive
     // one pair set, so they can never drift apart
