@@ -151,6 +151,10 @@ object Bench {
     // fit, drop the fastest queries — reporting how many and their
     // summed time — until it does. Failures (-1) are never dropped.
     def fmt(v: Double) = f"$v%.2f"
+    // didFold reports what ACTUALLY happened to BENCH_FULL — set true
+    // only after a successful fold write; the load guard alone (an
+    // sf-mismatched run, a failed write) must not claim floors landed
+    var didFold = false
     def line(keep: Seq[(String, Double)], omitted: Seq[(String, Double)]) = {
       val m = keep.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -160,7 +164,7 @@ object Bench {
       val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":2,""" +
         s""""warm_ok":$warmOk,"warm_sec":${fmt(warmSec)},"load_avg":${fmt(loadAvg)},""" +
-        s""""start_load":${fmt(startLoad)},"folded":$loadOkToFold,""" +
+        s""""start_load":${fmt(startLoad)},"folded":$didFold,""" +
         s""""failed":$fl,"suspect":$sus,"queries":$m$om,"sf":"$sfDir"}"""
     }
     // drop order: fastest first; failures sort as slowest so they stay
@@ -168,27 +172,6 @@ object Bench {
     var keep = results.size
     while (keep > 1 && line(bySlow.take(keep), bySlow.drop(keep)).length > 1800)
       keep -= 1
-    // full-precision per-query dump for offline analysis (cwd = repo);
-    // both raw runs preserved so snapshots are self-describing.
-    // Raw runs go to BENCH_LAST.json — NEVER to BENCH_FULL.json: the
-    // committed BENCH_FULL is the per-query green-minima baseline the
-    // 2×-total gate and the 3× suspect detector key off, and a raw
-    // (possibly contended) run committed over it would silently raise
-    // every floor (this happened in round 12: a `commit -a` replaced
-    // the 75.02 s minima file with an 87.05 s contended run).
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
-      (results.sortBy(_._1).map { case (k, v) => s"\"$k\":$v" }
-        .mkString(
-          s"""{"total":$total,"sf":"$sfDir","cpus":$cpus,"runs":2,""" +
-            s""""warm_ok":$warmOk,"warm_sec":$warmSec,"load_avg":$loadAvg,""" +
-            s""""start_load":$startLoad,"folded":$loadOkToFold,""" +
-            s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-            s""""suspect":${suspect.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-            """"queries":{""", ",", "},") +
-        runs.sortBy(_._1).map { case (k, r1, r2) => s"""\"$k\":[$r1,$r2]""" }
-          .mkString(""""raw_runs":{""", ",", "}}\n"))
-        .getBytes("UTF-8"))
-    catch { case _: Throwable => () }
     // BENCH_FULL.json = explicit minima fold: floor(q) = min(committed
     // floor, this run's green result). min() makes the fold monotone —
     // a contended run can only lower floors it genuinely beat, so the
@@ -204,15 +187,25 @@ object Bench {
     // design-change re-floor) are carried over VERBATIM from the
     // committed baseline: the r16 close showed the auto-fold erasing
     // a note committed hours earlier. Notes must not contain '}'.
+    // Notes come from git HEAD first (the authoritative committed
+    // annotation), but fall back to the WORKING file like
+    // committedBaseline does: a manual re-floor + note edited but not
+    // yet committed must survive the very next fold, not be erased by
+    // it — the exact incident class this field exists to prevent.
     val committedFloorNotes: Option[String] = {
       def notes(txt: String): Option[String] =
         "\"floor_notes\"\\s*:\\s*(\\{[^}]*\\})".r
           .findFirstMatchIn(txt).map(_.group(1))
-      try {
-        val p = new ProcessBuilder("git", "show", "HEAD:BENCH_FULL.json").start()
-        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-        if (p.waitFor() == 0) notes(out) else None
-      } catch { case _: Throwable => None }
+      val fromGit =
+        try {
+          val p = new ProcessBuilder("git", "show", "HEAD:BENCH_FULL.json").start()
+          val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+          if (p.waitFor() == 0) notes(out) else None
+        } catch { case _: Throwable => None }
+      fromGit.orElse(
+        try notes(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8"))
+        catch { case _: Throwable => None })
     }
     if (loadOkToFold && committedBaseline.forall(_._1 == sfDir)) try {
       val green = results.filter(_._2 >= 0).toMap
@@ -235,7 +228,30 @@ object Bench {
               notesField +
               """"queries":{""", ",", "}}\n"))
           .getBytes("UTF-8"))
+      didFold = true
     } catch { case _: Throwable => () }
+    // full-precision per-query dump for offline analysis (cwd = repo);
+    // both raw runs preserved so snapshots are self-describing —
+    // written AFTER the fold so its `folded` field is the truth.
+    // Raw runs go to BENCH_LAST.json — NEVER to BENCH_FULL.json: the
+    // committed BENCH_FULL is the per-query green-minima baseline the
+    // 2×-total gate and the 3× suspect detector key off, and a raw
+    // (possibly contended) run committed over it would silently raise
+    // every floor (this happened in round 12: a `commit -a` replaced
+    // the 75.02 s minima file with an 87.05 s contended run).
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+      (results.sortBy(_._1).map { case (k, v) => s"\"$k\":$v" }
+        .mkString(
+          s"""{"total":$total,"sf":"$sfDir","cpus":$cpus,"runs":2,""" +
+            s""""warm_ok":$warmOk,"warm_sec":$warmSec,"load_avg":$loadAvg,""" +
+            s""""start_load":$startLoad,"folded":$didFold,""" +
+            s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+            s""""suspect":${suspect.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+            """"queries":{""", ",", "},") +
+        runs.sortBy(_._1).map { case (k, r1, r2) => s"""\"$k\":[$r1,$r2]""" }
+          .mkString(""""raw_runs":{""", ",", "}}\n"))
+        .getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     println(line(bySlow.take(keep), bySlow.drop(keep)))
     spark.stop()
   }

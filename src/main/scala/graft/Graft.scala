@@ -153,10 +153,21 @@ object Graft {
     * `n_chars` are present the candidates use the truth-aligned
     * BLOCKED layout ([[minhashPairsBlocked]], tuned bands) — the
     * measured serving default; without them the unblocked primitive
-    * is the fallback (see [[operators.Dedup.dupClusters]]).
+    * is the fallback. READ the blocking contract on
+    * [[operators.Dedup.dupClusters]] before pointing this at a new
+    * corpus: exact (non-null) lang match, and `maxLenDiff` (±3-char
+    * default, the tuned near-identical window — widen it, or pass
+    * `Int.MaxValue`, for corpora whose near-dups differ in length).
     */
-  def nearDupClusters(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame =
-    Dedup.dupClusters(docs, minEstJaccard)
+  def nearDupClusters(docs: DataFrame, minEstJaccard: Double = 0.5,
+      maxLenDiff: Int = 3): DataFrame =
+    Dedup.dupClusters(docs, minEstJaccard, maxLenDiff)
+
+  /** Per-doc candidate summary on the blocked tuned layout (see
+    * [[operators.Dedup.minhashLshBlocked]]). */
+  def minhashLshBlocked(docs: DataFrame, k: Int = 32, bands: Int = 32,
+      maxLenDiff: Int = 3): DataFrame =
+    Dedup.minhashLshBlocked(docs, k, bands, maxLenDiff)
 
   /** Similarity clusters over EXACT blocked n-gram Jaccard edges —
     * deterministic and engine-independent (DuckDB-reproducible), where

@@ -922,12 +922,24 @@ object Dedup {
     * d22 eval moved precision 0.0016 → 0.32 at recall 0.93 on this
     * corpus when the blocking landed); a corpus without the metadata
     * falls back to the unblocked [[minhashPairs]] primitive.
+    *
+    * BLOCKING CONTRACT (read before pointing this at a new corpus):
+    * under the blocked default a pair must share `lang` EXACTLY (a
+    * null lang matches nothing — the same plain-equality convention
+    * as the exact [[ngramJaccard]] truth; normalize or fill the
+    * column first) and sit within `maxLenDiff` chars. The ±3 default
+    * is the d22/d25-tuned near-IDENTICAL-document window; corpora
+    * where near-dups legitimately differ in length (appended
+    * boilerplate, truncation) should widen it — `Int.MaxValue`
+    * disables the window while keeping the lang block and band
+    * buckets.
     */
-  def dupClusters(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame = {
+  def dupClusters(docs: DataFrame, minEstJaccard: Double = 0.5,
+      maxLenDiff: Int = 3): DataFrame = {
     val k = 32
     val pairs =
       (if (Seq("lang", "n_chars").forall(docs.columns.contains))
-        minhashPairsBlocked(docs, k, lshBandsFor(minEstJaccard, k))
+        minhashPairsBlocked(docs, k, lshBandsFor(minEstJaccard, k), maxLenDiff)
       else minhashPairs(docs))
       .filter(col("est_jaccard") >= minEstJaccard)
     connectedComponents(docs, pairs)
@@ -944,10 +956,15 @@ object Dedup {
     val cand = pairs.select(col("doc_a").as("doc_id"))
       .unionAll(pairs.select(col("doc_b").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
-    docs.select("doc_id", "lang", "n_chars")
+    // the count itself is metadata-independent — carry whichever of
+    // the blocking columns the corpus actually has, so the summary
+    // also serves the unblocked primitive on a bare (doc_id, text)
+    // corpus instead of failing analysis on a missing column
+    val meta = Seq("lang", "n_chars").filter(docs.columns.contains)
+    docs.select(("doc_id" +: meta).map(col): _*)
       .join(cand, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+      .select((col("doc_id") +: meta.map(col)) :+
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"): _*)
   }
 
   /** [[minhashLsh]]'s per-doc summary re-based on the BLOCKED tuned

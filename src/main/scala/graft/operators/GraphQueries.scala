@@ -403,12 +403,12 @@ object GraphQueries {
       (1 to rounds).map { i =>
         val prev = s"tk${i - 1}"
         s""",
-       tktri$i AS (
+       tktri$i AS MATERIALIZED (
          SELECT e1.a AS x, e1.b AS y, e2.b AS z
          FROM $prev e1
          JOIN $prev e2 ON e1.b = e2.a
          JOIN $prev e3 ON e3.a = e1.a AND e3.b = e2.b),
-       tksup$i AS (
+       tksup$i AS MATERIALIZED (
          SELECT a, b, COUNT(*) AS s FROM (
            SELECT x AS a, y AS b FROM tktri$i
            UNION ALL SELECT y AS a, z AS b FROM tktri$i

@@ -310,6 +310,43 @@ class DedupSpec extends SparkSpec {
     assert(comp(3L) == 3L) // unrelated stays alone
   }
 
+  test("dup clusters blocking contract: the length window splits long-gap near-dups unless widened") {
+    // identical text, but doc 11 reports a 10-char-larger n_chars
+    // (appended boilerplate scenario): the ±3 default window blocks
+    // the pair out — the documented near-IDENTICAL semantics — and
+    // maxLenDiff=Int.MaxValue restores it without losing the lang
+    // block (doc 12, same text in another lang, stays alone in both)
+    val same = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val gap = Seq(
+      (10L, same, "en", "s0", 60L),
+      (11L, same, "en", "s1", 70L),
+      (12L, same, "de", "s2", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val strict = Dedup.dupClusters(gap, minEstJaccard = 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(strict === Map(10L -> 10L, 11L -> 11L, 12L -> 12L))
+    val wide = Dedup.dupClusters(gap, minEstJaccard = 0.5,
+      maxLenDiff = Int.MaxValue).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wide === Map(10L -> 10L, 11L -> 10L, 12L -> 12L))
+  }
+
+  test("minhashLshBlocked summary counts each doc's blocked candidates (0 for blocked-out docs)") {
+    val out = Dedup.minhashLshBlocked(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_candidates")).toMap
+    // 0/1 exact dups and 2 the near-dup: all same lang + n_chars, so
+    // each draws the other two as candidates; 3 is unrelated text
+    // (no shared band bucket) and reports 0
+    assert(out(0L) == 2L && out(1L) == 2L && out(2L) == 2L, out.toString)
+    assert(out(3L) == 0L)
+    // and the summary works on a bare corpus (no blocking metadata):
+    // counts over the unblocked primitive's pairs
+    val bare = docs.select("doc_id", "text")
+    val bareOut = Dedup.minhashCandidateSummary(bare, Dedup.minhashPairs(bare))
+      .columns.toSeq
+    assert(bareOut === Seq("doc_id", "n_candidates"))
+  }
+
   test("leak-free split: every near-dup component lands on ONE side; docs all covered") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("leaksplit").toString

@@ -41,19 +41,25 @@ PATTERNS = {
 
 def main() -> int:
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else -1
-    files = subprocess.run(
+    tracked = subprocess.run(
         ["git", "ls-files"], capture_output=True, text=True, check=True
     ).stdout.splitlines()
     # the scanner's own pattern definitions ARE the leak strings —
-    # exclude exactly this file (still counted in files_tracked, and
-    # the exclusion is itself visible in the committed source)
-    files = [f for f in files if f != "tools/leakscan.py"]
+    # exclude exactly this file. files_tracked keeps the FULL count so
+    # the tracked-vs-scanned gap in the evidence exposes the exclusion.
+    files = [f for f in tracked if f != "tools/leakscan.py"]
     tree = subprocess.run(
         ["git", "rev-parse", "HEAD^{tree}"], capture_output=True, text=True,
         check=True).stdout.strip()
     head = subprocess.run(
         ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
         check=True).stdout.strip()
+    # the scan reads WORKING-TREE contents; the tree hash only
+    # evidences the scan when the two agree — record dirtiness so a
+    # "0 hits at tree X" claim can't silently cover unscanned content
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain"], capture_output=True, text=True,
+        check=True).stdout.strip() != ""
     hits = {k: [] for k in PATTERNS}
     scanned = 0
     for path in files:
@@ -78,15 +84,16 @@ def main() -> int:
         "evidence": {
             "head": head,
             "tree": tree,
-            "files_tracked": len(files),
+            "tree_is_scanned_content": not dirty,
+            "files_tracked": len(tracked),
             "files_scanned": scanned,
-            "scanner": "tools/leakscan.py",
+            "scanner": "tools/leakscan.py (excluded from its own scan)",
         },
     }
     with open("LEAKCHECK.json", "w") as f:
         json.dump(out, f, indent=2)
         f.write("\n")
-    print(json.dumps({"n_hits": n_hits, "tree": tree,
+    print(json.dumps({"n_hits": n_hits, "tree": tree, "dirty": dirty,
                       "files_scanned": scanned}))
     return 1 if n_hits else 0
 
