@@ -480,10 +480,17 @@ object Graft {
     Multimodal.extractFeatures(spark, media, codec)
 
   /** ViT-style patch grid over 24-bpp BMP payloads: one row per
-    * `patch`×`patch` tile with its exact byte sum + mean luminance
-    * (see [[operators.Multimodal.imageTiles]]). */
+    * `patch`×`patch` tile with its exact byte sum, mean luminance and
+    * content hash (see [[operators.Multimodal.imageTiles]]). */
   def imageTiles(spark: SparkSession, media: DataFrame, patch: Int = 4) =
     Multimodal.imageTiles(spark, media, patch)
+
+  /** Exact subimage matching over a tile frame: doc pairs sharing
+    * ≥ `minShared` distinct tile content hashes, ubiquitous tiles
+    * guarded out (see [[operators.Multimodal.subimageMatches]]). */
+  def subimageMatches(tiles: DataFrame, minShared: Int = 2,
+      maxDocsPerTile: Int = 16): DataFrame =
+    Multimodal.subimageMatches(tiles, minShared, maxDocsPerTile)
 
   /** Predicate-filtered ANN: top-k cosine among corpus vectors
     * sharing each query's label — the filter constrains candidate

@@ -881,10 +881,13 @@ object Multimodal {
     * partition is drained.
     */
   /** One tile of a ViT-style patch grid: exact integer byte sum over
-    * the tile's pixels plus its 6-dp mean luminance readout.
+    * the tile's pixels, its 6-dp mean luminance readout, and an
+    * engine-independent CONTENT HASH (the house codepoint-fold
+    * polynomial, h = (h·131 + byte) mod 2^31−1 over the tile's bytes
+    * in row-major order) — the join key for exact subimage matching.
     */
   case class TileRow(doc_id: Long, tile_y: Long, tile_x: Long,
-      lum_sum: Long, mean_lum: Double)
+      lum_sum: Long, mean_lum: Double, tile_hash: Long)
 
   /** ViT-STYLE PATCH GRID over 24-bpp BMP payloads: each image is
     * cropped to the largest `patch`-multiple (the standard ViT crop —
@@ -924,17 +927,56 @@ object Multimodal {
         tx <- 0 until w / patch
       } yield {
         var sum = 0L
+        var hash = 0L
         var y = 0
         while (y < patch) {
           val base = pixelOff + (ty * patch + y) * stride + tx * patch * 3
           var o = 0
-          while (o < patch * 3) { sum += (b(base + o) & 0xff); o += 1 }
+          while (o < patch * 3) {
+            val v = b(base + o) & 0xff
+            sum += v
+            hash = (hash * 131 + v) % 2147483647L
+            o += 1
+          }
           y += 1
         }
         TileRow(r.doc_id, ty.toLong, tx.toLong, sum,
-          math.round(sum / (3.0 * patch * patch) * 1e6) / 1e6)
+          math.round(sum / (3.0 * patch * patch) * 1e6) / 1e6, hash)
       }
     }
+  }
+
+  /** EXACT SUBIMAGE MATCHING over a tile frame: doc pairs sharing at
+    * least `minShared` distinct tile CONTENT hashes — the
+    * copied-image-region detector (cropped re-posts, watermark-moved
+    * copies, shared letterhead) at the patch grain, where whole-image
+    * operators (m12's pHash, d20) see two different images.
+    *
+    * Scale shape: the tile hash IS the blocking key (an equi-join,
+    * never all-pairs), and a frequency guard drops NON-DISCRIMINATIVE
+    * tiles first — a flat black tile appears in half the corpus, and
+    * joining through it is a quadratic hot block; any hash carried by
+    * more than `maxDocsPerTile` docs is excluded BEFORE the self-join
+    * (the d15/d18 `maxBandPopulation` convention, as a silent filter
+    * here because ubiquitous tiles are definitionally not evidence of
+    * copying). A hash carried by a single doc can't form a pair and
+    * is dropped by the same filter.
+    */
+  def subimageMatches(tiles: DataFrame, minShared: Int = 2,
+      maxDocsPerTile: Int = 16): DataFrame = {
+    val docTile = tiles.select(col("doc_id"), col("tile_hash")).distinct()
+    val usable = docTile.groupBy("tile_hash")
+      .agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2 && col("__nd") <= maxDocsPerTile)
+      .select("tile_hash")
+    val blocked = docTile.join(usable, Seq("tile_hash"), "left_semi")
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.tile_hash") === col("b.tile_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_tiles"))
+      .filter(col("n_shared_tiles") >= minShared)
   }
 
   def extractFeatures(spark: SparkSession, media: DataFrame,
@@ -988,6 +1030,41 @@ object MultimodalQueries {
     * committed values are machine-pinned (same JVM libm), which is
     * exactly the driver's situation.
     */
+  /** Shared DuckDB CTE prefix deriving the m18 tile frame (`s`): per
+    * doc the 8–12 × 8–10 synthesized BMP dims, the cropped 4×4 patch
+    * grid, and per tile the exact byte sum AND the codepoint-fold
+    * polynomial content hash — the SQL twin of
+    * [[Multimodal.imageTiles]] at the registry sizing. Used by the
+    * m18 readout and the m19 subimage self-join, which therefore
+    * derive ONE tile set and cannot drift apart.
+    */
+  private val tileCtes: String =
+    """WITH d AS (
+           SELECT doc_id, text, length(text) AS len,
+             CAST(8 + doc_id % 5 AS INT) AS w, CAST(8 + doc_id % 3 AS INT) AS h
+           FROM documents),
+         t AS (
+           SELECT doc_id, text, len, w, h, ty.ty AS tile_y, tx.tx AS tile_x
+           FROM d,
+             (SELECT unnest(range(0, 3)) AS ty) ty,
+             (SELECT unnest(range(0, 3)) AS tx) tx
+           WHERE ty.ty < h // 4 AND tx.tx < w // 4),
+         s AS MATERIALIZED (
+           SELECT doc_id, tile_y, tile_x,
+             CAST(list_sum(list_transform(range(0, 48), i ->
+               ord(substr(text,
+                 CAST(1 + (((tile_y * 4 + i // 12) * w * 3
+                            + tile_x * 12 + i % 12) % len) AS INT), 1))))
+               AS BIGINT) AS lum_sum,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(0, 48), i ->
+                   CAST(ord(substr(text,
+                     CAST(1 + (((tile_y * 4 + i // 12) * w * 3
+                                + tile_x * 12 + i % 12) % len) AS INT), 1))
+                     AS BIGINT))),
+               (x, y) -> (x * 131 + y) % 2147483647) AS tile_hash
+           FROM t)"""
+
   private def featureDigest(df: DataFrame): DataFrame =
     df.groupBy((col("doc_id") % 16).as("bucket"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1137,6 +1214,23 @@ object MultimodalQueries {
             Multimodal.synthBmp(w, h, r.payload), "image/bmp", w, h)
         }
       Multimodal.imageTiles(s, rows.toDF(), patch = 4).toDF()
+    }),
+    // EXACT SUBIMAGE MATCHING (round 17): doc pairs sharing ≥2
+    // distinct tile content hashes from m18's grid — copied-region
+    // detection at the patch grain (whole-image hashes see two
+    // different images); tile hash = blocking key, ubiquitous tiles
+    // guarded out before the self-join
+    "m19_subimage_match" -> ((s, d) => {
+      import s.implicits._
+      val rows = Multimodal.mediaTable(Tables.documents(s, d))
+        .as[Multimodal.MediaRow].map { r =>
+          val w = (8 + (r.doc_id % 5)).toInt
+          val h = (8 + (r.doc_id % 3)).toInt
+          Multimodal.MediaRow(r.doc_id,
+            Multimodal.synthBmp(w, h, r.payload), "image/bmp", w, h)
+        }
+      Multimodal.subimageMatches(
+        Multimodal.imageTiles(s, rows.toDF(), patch = 4).toDF())
     }),
     // FRAME SAMPLING at the codec: every 4th 64-sample frame of the
     // synthesized PCM is scored, the rest are never featurized (the
@@ -1438,34 +1532,38 @@ object MultimodalQueries {
     // BmpThumbCodec(2,2): the four sampled luminances re-derived at
     // the codec's exact integer-division sample positions and FP
     // accumulation order ((l00 + l10) + l01) + l11
-    // tile (ty, tx) sums the 48 pixel bytes (4×4 px × 3 channels) of
-    // the synthesized BMP: byte i of the tile sits at source offset
-    // (ty·4 + i÷12)·w·3 + tx·12 + i%12 mod len — m5's pixel formula
-    // read tile-wise; mean = sum / 48 (never an exact .5 at 6 dp:
-    // the fractional part of sum·1e6/48 is a third, not a half)
+    // tile (ty, tx) sums/hashes the 48 pixel bytes (4×4 px × 3
+    // channels) of the synthesized BMP: byte i of the tile sits at
+    // source offset (ty·4 + i÷12)·w·3 + tx·12 + i%12 mod len — m5's
+    // pixel formula read tile-wise; mean = sum / 48 (never an exact
+    // .5 at 6 dp: the fractional part of sum·1e6/48 is a third, not
+    // a half); tile_hash = the codepoint-fold polynomial over the
+    // same bytes in the same order
     "m18_image_tiles" ->
-      """WITH d AS (
-           SELECT doc_id, text, length(text) AS len,
-             CAST(8 + doc_id % 5 AS INT) AS w, CAST(8 + doc_id % 3 AS INT) AS h
-           FROM documents),
-         t AS (
-           SELECT doc_id, text, len, w, h, ty.ty AS tile_y, tx.tx AS tile_x
-           FROM d,
-             (SELECT unnest(range(0, 3)) AS ty) ty,
-             (SELECT unnest(range(0, 3)) AS tx) tx
-           WHERE ty.ty < h // 4 AND tx.tx < w // 4),
-         s AS (
-           SELECT doc_id, tile_y, tile_x,
-             CAST(list_sum(list_transform(range(0, 48), i ->
-               ord(substr(text,
-                 CAST(1 + (((tile_y * 4 + i // 12) * w * 3
-                            + tile_x * 12 + i % 12) % len) AS INT), 1))))
-               AS BIGINT) AS lum_sum
-           FROM t)
+      (tileCtes + """
          SELECT doc_id, CAST(tile_y AS BIGINT) AS tile_y,
            CAST(tile_x AS BIGINT) AS tile_x, lum_sum,
-           ROUND(CAST(lum_sum AS DOUBLE) / 48.0, 6) AS mean_lum
-         FROM s""",
+           ROUND(CAST(lum_sum AS DOUBLE) / 48.0, 6) AS mean_lum,
+           tile_hash
+         FROM s"""),
+    // m18's tile hashes self-joined: distinct (doc, hash) pairs,
+    // ubiquitous hashes (>16 docs) and singletons dropped BEFORE the
+    // join, then pair-grain shared-tile counts at >= 2
+    "m19_subimage_match" ->
+      (tileCtes + """,
+         dc AS (SELECT DISTINCT doc_id, tile_hash FROM s),
+         ok AS (
+           SELECT tile_hash FROM dc
+           GROUP BY tile_hash HAVING COUNT(*) BETWEEN 2 AND 16),
+         bl AS (
+           SELECT dc.doc_id, dc.tile_hash FROM dc
+           JOIN ok ON dc.tile_hash = ok.tile_hash)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_tiles
+         FROM bl a JOIN bl b
+           ON a.tile_hash = b.tile_hash AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+         HAVING COUNT(*) >= 2"""),
     "m5_resize" ->
       """WITH d AS (
            SELECT doc_id, text, length(text) AS len,

@@ -420,6 +420,35 @@ class TextMultimodalSpec extends SparkSpec {
     assert(oddTiles.forall(t => t.tile_y < 2 && t.tile_x < 2))
   }
 
+  test("subimageMatches: shared pixel regions pair up; ubiquitous tiles are guarded out") {
+    // docs 1 and 2 carry identical pixel content (same source bytes,
+    // same 8×8 size) → every tile hash matches; doc 3 differs
+    val src1 = Array.tabulate[Byte](64)(i => (i * 7 + 1).toByte)
+    val src3 = Array.tabulate[Byte](64)(i => (i * 11 + 5).toByte)
+    def mk(id: Long, src: Array[Byte]) =
+      (id, Multimodal.synthBmp(8, 8, src), "image/bmp", 8, 8)
+    val media = Seq(mk(1L, src1), mk(2L, src1), mk(3L, src3))
+      .toDF("doc_id", "payload", "media_type", "width", "height")
+    val tiles = Multimodal.imageTiles(spark, media).toDF()
+    val pairs = Multimodal.subimageMatches(tiles).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet === Set((1L, 2L)))
+    assert(pairs((1L, 2L)) >= 2L)
+    // ubiquity guard: 20 constant-color docs share one tile hash —
+    // carried by >16 docs it is dropped BEFORE the self-join, so the
+    // flat-tile hot block never forms a pair
+    val flat = (10L to 29L).map(id =>
+      (id, Multimodal.synthBmp(8, 8, Array.fill[Byte](64)(42)), "image/bmp", 8, 8))
+      .toDF("doc_id", "payload", "media_type", "width", "height")
+    val flatTiles = Multimodal.imageTiles(spark, flat).toDF()
+    assert(Multimodal.subimageMatches(flatTiles).count() === 0L)
+    // ...and raising the cap past the corpus size restores the pairs
+    // (a constant-color doc has ONE distinct tile hash, so the shared
+    // count is 1 — minShared must come down with it)
+    assert(Multimodal.subimageMatches(flatTiles, minShared = 1,
+      maxDocsPerTile = 100).count() === (20L * 19L) / 2L)
+  }
+
   test("FrameSampleCodec: sampled frames match hand-computed stats; stride 1 = full") {
     // 256 samples = 4 frames of 64; frames alternate amplitude
     // 8192 / 16384 / 8192 / 16384; stride 2 samples frames 0 and 2
