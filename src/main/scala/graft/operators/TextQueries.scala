@@ -481,6 +481,32 @@ object TextQueries {
     // see [[Bpe]].
     "t21_bpe_tokens" -> ((s, d) => Bpe.bpeTokens(Tables.documents(s, d))),
 
+    // TOKENIZER FERTILITY (round 17; the multilingual tokenizer-
+    // quality readout a vocab/merge change is gated on): per language,
+    // BPE tokens per word and chars per BPE token over t21's exact
+    // per-doc counts — a language whose fertility runs high is
+    // under-served by the merge table (it pays more sequence length
+    // per word of content). t21's scale shape plus one |langs|-row
+    // aggregate; ratios divide exact BIGINT sums.
+    "t27_tokenizer_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(Bpe.bpeTokens(docs), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").cast("long").as("n_words"),
+          sum("n_bpe_tokens").cast("long").as("n_bpe_tokens"),
+          sum("n_chars").cast("long").as("__chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_bpe_tokens"),
+          when(col("n_words") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_bpe_tokens").cast("double") /
+              col("n_words").cast("double"), 6)).as("fertility"),
+          when(col("n_bpe_tokens") === 0, lit(null).cast("double"))
+            .otherwise(round(col("__chars").cast("double") /
+              col("n_bpe_tokens").cast("double"), 6)).as("chars_per_token"))
+    }),
+
     // COLLOCATION MINING: adjacent-bigram pointwise mutual information
     // ln(p(w1w2) / (p(w1)·p(w2))) over the corpus, min support 5 — the
     // multi-word-expression detector (phrase vocabularies, tokenizer
@@ -1222,6 +1248,26 @@ object TextQueries {
          FROM f""",
     // merge training unrolled in SQL — generated by Bpe.bpeOracleSql
     "t21_bpe_tokens" -> Bpe.bpeOracleSql(16),
+    // t21's per-doc counts (the shared BPE CTE body) aggregated per
+    // language; the same exact-sum-then-divide ratio arithmetic
+    "t27_tokenizer_fertility" ->
+      ("WITH " + Bpe.bpeOracleCtes(16) + raw""",
+         perdoc AS (
+           SELECT d.doc_id, COUNT(*) AS n_words,
+             CAST(SUM(COALESCE(t.n_tok, 0)) AS BIGINT) AS n_bpe_tokens
+           FROM docw d LEFT JOIN tok t ON t.word = d.w GROUP BY d.doc_id)
+         SELECT doc.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+           CAST(SUM(p.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+           CASE WHEN SUM(p.n_words) = 0 THEN NULL
+                ELSE ROUND(CAST(SUM(p.n_bpe_tokens) AS DOUBLE)
+                  / CAST(SUM(p.n_words) AS DOUBLE), 6) END AS fertility,
+           CASE WHEN SUM(p.n_bpe_tokens) = 0 THEN NULL
+                ELSE ROUND(CAST(SUM(doc.n_chars) AS DOUBLE)
+                  / CAST(SUM(p.n_bpe_tokens) AS DOUBLE), 6) END
+             AS chars_per_token
+         FROM perdoc p JOIN documents doc ON p.doc_id = doc.doc_id
+         GROUP BY doc.lang"""),
     // the engine's exact PMI formula over the same whitespace tokens;
     // bigrams rebuilt positionally, unigram joins via split_part
     "t22_collocations" ->

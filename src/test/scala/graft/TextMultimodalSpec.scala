@@ -420,6 +420,26 @@ class TextMultimodalSpec extends SparkSpec {
     assert(oddTiles.forall(t => t.tile_y < 2 && t.tile_x < 2))
   }
 
+  test("tokenizer fertility: per-lang sums equal t21's per-doc counts aggregated; ratios consistent") {
+    val docs = graft.Tables.documents(spark, sf)
+    val manual = docs.select(col("doc_id"), col("lang"))
+      .join(graft.operators.Bpe.bpeTokens(docs), "doc_id")
+      .groupBy("lang")
+      .agg(sum("n_words").as("w"), sum("n_bpe_tokens").as("t")).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("w"), r.getAs[Long]("t"))).toMap
+    val out = SparkEntry.queries("t27_tokenizer_fertility")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      assert(r.getAs[Long]("n_words") === manual(lang)._1, lang)
+      assert(r.getAs[Long]("n_bpe_tokens") === manual(lang)._2, lang)
+      val fert = r.getAs[Double]("fertility")
+      assert(fert > 0.0 && fert ===
+        math.round(manual(lang)._2.toDouble / manual(lang)._1 * 1e6) / 1e6, lang)
+    }
+  }
+
   test("subimageMatches: shared pixel regions pair up; ubiquitous tiles are guarded out") {
     // docs 1 and 2 carry identical pixel content (same source bytes,
     // same 8×8 size) → every tile hash matches; doc 3 differs
