@@ -144,6 +144,53 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // SELF-DISPOSITION (r17 verdict #1): a contended sweep previously
+    // shipped its >2×-of-floor readings as an open question the next
+    // round had to answer with manual idle BenchOne runs. Close that
+    // loop in the tool: after the sweep, every entry whose best run
+    // exceeded 2× its committed floor is re-measured — the tool first
+    // waits for the 1-min host load to decay below the fold threshold
+    // (poll every 10 s, up to SPARK_GRAFT_REMEASURE_WAIT seconds,
+    // default 600; 0 disables the phase) — and the re-measures ship
+    // IN the same artifact (`remeasured` map + `remeasure_load`), so
+    // a contaminated run carries its own verdict. Re-measured minima
+    // fold into BENCH_FULL only when taken under an ok load; on a
+    // never-idle host the phase times out and degrades to report-only.
+    def loadNow: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val resultMap = results.toMap
+    val over2x = results.collect { case (name, v)
+      if v > 0 && committedMin.get(name).exists(b => b >= 0.2 && v > 2 * b)
+      => name }
+    val remeasureWait = sys.env.get("SPARK_GRAFT_REMEASURE_WAIT")
+      .map(_.toInt).getOrElse(600)
+    var remeasureLoad = -1.0
+    val remeasured: Map[String, Double] =
+      if (over2x.isEmpty || remeasureWait <= 0) Map.empty
+      else {
+        val deadline = System.nanoTime() + remeasureWait * 1000000000L
+        var l = loadNow
+        while (l >= 0 && l > foldMaxLoad && System.nanoTime() < deadline) {
+          System.err.println(f"[bench] remeasure: waiting for idle (load $l%.2f > $foldMaxLoad%.2f)")
+          Thread.sleep(10000)
+          l = loadNow
+        }
+        remeasureLoad = l
+        // worst ratios first; cap the budget so a fully contaminated
+        // sweep (r17 had 33 >2× entries) still re-measures in bounded
+        // time. 2 timed runs each, min reported — same protocol as
+        // the sweep itself.
+        over2x.sortBy(n => -(resultMap(n) / committedMin(n))).take(40)
+          .map { n =>
+            val fn = SparkEntry.queries(n)
+            val a = once(n, fn)
+            val b = if (a >= 0) once(n, fn) else -1.0
+            val ok = Seq(a, b).filter(_ >= 0)
+            n -> (if (ok.isEmpty) -1.0 else ok.min)
+          }.toMap
+      }
+    val remeasureLoadOk = remeasured.nonEmpty &&
+      (remeasureLoad < 0 || remeasureLoad <= foldMaxLoad)
     // The harness keeps only the tail of stdout (~2000 chars) — an
     // 80-query map at full double precision overflows that window and
     // the JSON line arrives truncated (unparseable). Emit centisecond
@@ -155,6 +202,14 @@ object Bench {
     // only after a successful fold write; the load guard alone (an
     // sf-mismatched run, a failed write) must not claim floors landed
     var didFold = false
+    // the remeasure disposition travels in BOTH outputs: the printed
+    // line (what the driver snapshots as BENCH_r{N}) and BENCH_LAST —
+    // a contaminated reading without its idle re-measure next to it
+    // is exactly the deferred-disposition failure mode this closes.
+    val remeasureField =
+      if (remeasured.isEmpty) ""
+      else remeasured.toSeq.sorted.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString(s""","remeasure_load":${fmt(remeasureLoad)},"remeasured":{""", ",", "}")
     def line(keep: Seq[(String, Double)], omitted: Seq[(String, Double)]) = {
       val m = keep.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -165,7 +220,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":2,""" +
         s""""warm_ok":$warmOk,"warm_sec":${fmt(warmSec)},"load_avg":${fmt(loadAvg)},""" +
         s""""start_load":${fmt(startLoad)},"folded":$didFold,""" +
-        s""""failed":$fl,"suspect":$sus,"queries":$m$om,"sf":"$sfDir"}"""
+        s""""failed":$fl,"suspect":$sus$remeasureField,"queries":$m$om,"sf":"$sfDir"}"""
     }
     // drop order: fastest first; failures sort as slowest so they stay
     val bySlow = results.sortBy(r => -(if (r._2 < 0) Double.MaxValue else r._2))
@@ -175,40 +230,68 @@ object Bench {
     // BENCH_FULL.json = explicit minima fold: floor(q) = min(committed
     // floor, this run's green result). min() makes the fold monotone —
     // a contended run can only lower floors it genuinely beat, so the
-    // file is safe to auto-commit; the load guard above still skips
-    // the fold on contended starts so a busy-host run can never
+    // file is safe to auto-commit; the load guard still excludes the
+    // SWEEP's numbers on contended starts so a busy-host run can never
     // become a closing artifact (per-query entries NEW to the
     // registry would otherwise enter at contended times and set their
-    // first floor too high). Failed queries (-1) never fold in. A run
+    // first floor too high) — only the verified-idle re-measures from
+    // such a run may fold. Failed queries (-1) never fold in. A run
     // at a DIFFERENT sf than the committed baseline (local sf0.001
     // iteration) must not touch the file — its numbers are
     // incomparable and would replace the floors wholesale.
     // "floor_notes" (manual re-set annotations, e.g. h16's r16
-    // design-change re-floor) are carried over VERBATIM from the
-    // committed baseline: the r16 close showed the auto-fold erasing
-    // a note committed hours earlier. Notes must not contain '}'.
-    // Notes come from git HEAD first (the authoritative committed
-    // annotation), but fall back to the WORKING file like
-    // committedBaseline does: a manual re-floor + note edited but not
-    // yet committed must survive the very next fold, not be erased by
-    // it — the exact incident class this field exists to prevent.
+    // design-change re-floor) are carried over from the baseline: the
+    // r16 close showed the auto-fold erasing a note committed hours
+    // earlier. Notes must not contain '}' or escaped quotes.
+    // MERGED PER KEY, working file winning (ADVICE r17): a manual
+    // re-floor + note edited but NOT YET COMMITTED must survive the
+    // very next fold — reading git HEAD first would revert exactly
+    // that edit whenever HEAD already carries a floor_notes field.
+    // Per-key union (rather than working-file-only) keeps HEAD's notes
+    // alive even if a stale/partial working file lost some keys.
     val committedFloorNotes: Option[String] = {
-      def notes(txt: String): Option[String] =
+      def notes(txt: String): Map[String, String] =
         "\"floor_notes\"\\s*:\\s*(\\{[^}]*\\})".r
-          .findFirstMatchIn(txt).map(_.group(1))
+          .findFirstMatchIn(txt).map(_.group(1)) match {
+          case None => Map.empty
+          case Some(obj) =>
+            "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r.findAllMatchIn(obj)
+              .map(m => m.group(1) -> m.group(2)).toMap
+        }
       val fromGit =
         try {
           val p = new ProcessBuilder("git", "show", "HEAD:BENCH_FULL.json").start()
           val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-          if (p.waitFor() == 0) notes(out) else None
-        } catch { case _: Throwable => None }
-      fromGit.orElse(
+          if (p.waitFor() == 0) notes(out) else Map.empty[String, String]
+        } catch { case _: Throwable => Map.empty[String, String] }
+      val fromFile =
         try notes(new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8"))
-        catch { case _: Throwable => None })
+        catch { case _: Throwable => Map.empty[String, String] }
+      val merged = fromGit ++ fromFile // working-file value wins per key
+      if (merged.isEmpty) None
+      else Some(merged.toSeq.sorted
+        .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString("{", ",", "}"))
     }
-    if (loadOkToFold && committedBaseline.forall(_._1 == sfDir)) try {
-      val green = results.filter(_._2 >= 0).toMap
+    // fold source: the sweep's green results when the RUN started
+    // idle, plus any idle re-measures (taken under verified-ok load
+    // even after a contended start) — min-merged where both exist.
+    // min() keeps the fold monotone either way.
+    val foldSource: Map[String, Double] = {
+      val base =
+        if (loadOkToFold) results.filter(_._2 >= 0).toMap
+        else Map.empty[String, Double]
+      val rm =
+        if (remeasureLoadOk) remeasured.filter(_._2 >= 0)
+        else Map.empty[String, Double]
+      (base.keySet ++ rm.keySet).map { q =>
+        q -> math.min(base.getOrElse(q, Double.MaxValue),
+          rm.getOrElse(q, Double.MaxValue))
+      }.toMap
+    }
+    if (foldSource.nonEmpty && committedBaseline.forall(_._1 == sfDir)) try {
+      val green = foldSource
       val merged = (committedMin.keySet ++ green.keySet).toSeq.sorted.map { q =>
         q -> ((committedMin.get(q), green.get(q)) match {
           case (Some(b), Some(v)) => math.min(b, v)
@@ -247,6 +330,9 @@ object Bench {
             s""""start_load":$startLoad,"folded":$didFold,""" +
             s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
             s""""suspect":${suspect.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+            s""""remeasure_load":$remeasureLoad,"remeasured":${
+              remeasured.toSeq.sorted.map { case (k, v) => s"\"$k\":$v" }
+                .mkString("{", ",", "}")},""" +
             """"queries":{""", ",", "},") +
         runs.sortBy(_._1).map { case (k, r1, r2) => s"""\"$k\":[$r1,$r2]""" }
           .mkString(""""raw_runs":{""", ",", "}}\n"))

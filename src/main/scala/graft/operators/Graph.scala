@@ -331,8 +331,16 @@ object Graph {
     * once), exploded to their three member edges and hash-counted;
     * surviving edges semi-join back. Factored out so PlanSpec can pin
     * the round's shape (joins + hash aggregates, no window sorts).
+    *
+    * Requires k ≥ 3: the semi-join keeps only edges that APPEAR in the
+    * support aggregate, and triangle-free edges never do — so at
+    * k ≤ 2 (where every edge trivially has support ≥ k−2 = 0) this
+    * round would wrongly drop all edges outside triangles.
+    * [[ktrussPeel]] short-circuits that case before reaching here.
     */
   private[graft] def ktrussPeelRound(e: DataFrame, k: Int): DataFrame = {
+    require(k >= 3,
+      s"ktrussPeelRound requires k >= 3 (k=$k keeps every edge; ktrussPeel short-circuits it)")
     val e1 = e.select(col("a").as("x"), col("b").as("y"))
     val e2 = e.select(col("a").as("y2"), col("b").as("z"))
     val e3 = e.select(col("a").as("x3"), col("b").as("z3"))
@@ -366,6 +374,11 @@ object Graph {
     * [[triangleCounts]] pass, never pairs×edges.
     */
   def ktrussPeel(edges: DataFrame, k: Int = 3, rounds: Int = 8): DataFrame = {
+    // k ≤ 2 means the support threshold k−2 ≤ 0: EVERY edge qualifies,
+    // including triangle-free ones the peel round's semi-join would
+    // wrongly drop (they never appear in the support aggregate) —
+    // the k ≤ 2 truss is the input graph itself, by definition.
+    if (k <= 2) return edges.select(col("a"), col("b"))
     var e = edges.select(col("a"), col("b"))
     var prevEdges = -1L
     var round = 0

@@ -139,6 +139,16 @@ class GraphSpec extends SparkSpec {
     val t4 = Graph.ktrussPeel((strip ++ k5).toDF("a", "b"), k = 4)
       .as[(Long, Long)].collect().toSet
     assert(t4 === k5.toSet)
+    // k ≤ 2 truss is the input graph by definition (support threshold
+    // k−2 ≤ 0 admits every edge) — including the triangle-free pendant
+    // the peel round's support semi-join would wrongly drop (ADVICE
+    // r17). The round itself refuses k < 3 loudly.
+    val t2 = Graph.ktrussPeel(edges3, k = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(t2 === (k4 ++ lone :+ ((20L, 21L))).toSet)
+    assertThrows[IllegalArgumentException] {
+      Graph.ktrussPeelRound(edges3, k = 2)
+    }
   }
 
   test("assortativity: −1 on a star, null on a degree-regular graph") {

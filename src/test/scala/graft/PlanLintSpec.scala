@@ -147,14 +147,34 @@ class PlanLintSpec extends SparkSpec {
     // the full-subtree collectFirst this replaces would have credited
     // a GlobalLimit buried in one side of an upstream join (ADVICE r16).
     def limitBounded(w: WindowExec): Boolean = {
-      import org.apache.spark.sql.execution.GenerateExec
+      import org.apache.spark.sql.execution.{FilterExec, InputAdapter,
+        LocalLimitExec, ProjectExec, SortExec, WholeStageCodegenExec}
+      import org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec
+      import org.apache.spark.sql.execution.aggregate.{HashAggregateExec,
+        ObjectHashAggregateExec, SortAggregateExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      // WHITELIST of traversable unary nodes (ADVICE r17): descending
+      // through ANY unary node would credit a limit below a unary
+      // row-GROWING operator (ExpandExec from rollup/grouping sets,
+      // object map nodes) — only nodes that provably preserve or
+      // shrink cardinality may sit between the bounding operator and
+      // the window. WindowExec itself is row-preserving (adds columns,
+      // never rows: p15's global window sits above a partitioned
+      // rank window whose WindowGroupLimit provides the bound).
+      // Anything else (including GenerateExec and ExpandExec, which
+      // fall through to the default) stops the walk.
       @annotation.tailrec
       def walk(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
         case _: TakeOrderedAndProjectExec => true
         case _: WindowGroupLimitExec => true
         case _: GlobalLimitExec => true
-        case _: GenerateExec => false
-        case u if u.children.size == 1 => walk(u.children.head)
+        case u @ (_: ProjectExec | _: FilterExec | _: SortExec |
+                  _: LocalLimitExec | _: WholeStageCodegenExec |
+                  _: InputAdapter | _: ShuffleExchangeLike |
+                  _: AQEShuffleReadExec | _: HashAggregateExec |
+                  _: ObjectHashAggregateExec | _: SortAggregateExec |
+                  _: WindowExec) =>
+          walk(u.children.head)
         case _ => false
       }
       walk(w.child)
