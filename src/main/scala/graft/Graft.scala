@@ -479,6 +479,15 @@ object Graft {
       codec: Multimodal.MediaCodec = new Multimodal.ByteStatsCodec) =
     Multimodal.extractFeatures(spark, media, codec)
 
+  /** Permissive decode for scraped corpora: good rows carry the exact
+    * strict-path stats, malformed payloads become in-band quarantine
+    * records (doc_id, decoder diagnostic) instead of aborting the job
+    * (see [[graft.operators.Multimodal.extractFeaturesQuarantine]]).
+    */
+  def extractFeaturesQuarantine(spark: SparkSession, media: DataFrame,
+      codec: Multimodal.MediaCodec = new Multimodal.ByteStatsCodec) =
+    Multimodal.extractFeaturesQuarantine(spark, media, codec)
+
   /** ViT-style patch grid over 24-bpp BMP payloads: one row per
     * `patch`×`patch` tile with its exact byte sum, mean luminance and
     * content hash (see [[operators.Multimodal.imageTiles]]). */

@@ -24,6 +24,18 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, media_type: String,
       n_bytes: Long, byte_sum: Long, mean_byte: Double,
       feat_0: Double, feat_1: Double)
+  /** One row per input doc from the PERMISSIVE decode path: good docs
+    * carry the exact [[MediaFeatures]] columns (`ok = true`,
+    * `error = None`); malformed payloads are QUARANTINED in place
+    * (`ok = false`, the decoder's diagnostic in `error`, feature
+    * slots null) instead of aborting the job — at real corpus scale
+    * one corrupt file must never kill a 100 TB decode stage.
+    */
+  case class MediaDecodeOutcome(doc_id: Long, media_type: String,
+      ok: Boolean, error: Option[String],
+      n_bytes: Option[Long], byte_sum: Option[Long],
+      mean_byte: Option[Double], feat_0: Option[Double],
+      feat_1: Option[Double])
 
   /** Synthesize a media table from documents: payload = utf8 bytes of
     * the text (stand-in for image bytes), metadata derived
@@ -1009,6 +1021,55 @@ object Multimodal {
       }
     }
   }
+
+  /** PERMISSIVE twin of [[extractFeatures]] — the production mode for
+    * scraped corpora (r17 verdict #2). The strict path's fail-fast
+    * `require`s are the right contract for synthesized gate data, but
+    * at 100 TB with billions of scraped files, ONE corrupt payload
+    * aborting the stage is the #1 operational failure of media
+    * pipelines (the `badRecordsPath` idiom exists for exactly this).
+    * Here each row decodes under a per-row catch: good rows carry the
+    * byte-identical [[MediaFeatures]] stats (same codec, same code
+    * path — the spec proves equality against the strict output), bad
+    * rows become in-band quarantine records (doc_id, decoder
+    * diagnostic) the caller can count, sample, and route to a
+    * quarantine sink. Scala's `requirement failed: ` prefix is
+    * stripped so the diagnostic is the codec's own message, not an
+    * engine-ism. Only non-fatal decode errors are caught — OOM/fatal
+    * JVM errors still fail the task, as they must.
+    */
+  def extractFeaturesQuarantine(spark: SparkSession, media: DataFrame,
+      codec: MediaCodec = new ByteStatsCodec): Dataset[MediaDecodeOutcome] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      codec.open()
+      val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def closeOnce(): Unit = if (closed.compareAndSet(false, true)) codec.close()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+      val mapped = rows.map { r =>
+        try {
+          val f = codec.decode(r)
+          MediaDecodeOutcome(r.doc_id, r.media_type, ok = true, None,
+            Some(f(0).toLong), Some(f(1).toLong), Some(f(2)),
+            Some(f(3)), Some(f(4)))
+        } catch { case scala.util.control.NonFatal(e) =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+            .stripPrefix("requirement failed: ")
+          MediaDecodeOutcome(r.doc_id, r.media_type, ok = false, Some(msg),
+            None, None, None, None, None)
+        }
+      }
+      new Iterator[MediaDecodeOutcome] {
+        override def hasNext: Boolean = {
+          val h = mapped.hasNext
+          if (!h) closeOnce()
+          h
+        }
+        override def next(): MediaDecodeOutcome = mapped.next()
+      }
+    }
+  }
 }
 
 /** Registry: binary plumbing is engine-specific (binary payload +
@@ -1231,6 +1292,32 @@ object MultimodalQueries {
         }
       Multimodal.subimageMatches(
         Multimodal.imageTiles(s, rows.toDF(), patch = 4).toDF())
+    }),
+    // CORRUPT-MEDIA QUARANTINE (round 18): the permissive decode mode
+    // a scraped corpus needs — two corruption classes planted
+    // deterministically on m3's BMP synth (doc_id % 7 == 0: payload
+    // cut to 20 bytes, killing the magic/size check; % 7 == 3: cut to
+    // 56 bytes, intact header over a missing raster), decoded by the
+    // SAME strict BmpCodec under extractFeaturesQuarantine's per-row
+    // catch. Good rows carry m3's exact stats (spec-proven equal to
+    // the strict path); bad rows surface the decoder's own diagnostic
+    // in-band. Fully SQL-re-derivable (m3's formulas + the planted
+    // rule), so the driver hash checks good AND quarantined rows.
+    "m20_decode_quarantine" -> ((s, d) => {
+      import s.implicits._
+      val rows = Multimodal.mediaTable(Tables.documents(s, d))
+        .as[Multimodal.MediaRow].map { r =>
+          val w = (2 + (r.doc_id % 6)).toInt
+          val h = (2 + (r.doc_id % 4)).toInt
+          val bmp = Multimodal.synthBmp(w, h, r.payload)
+          val payload =
+            if (r.doc_id % 7 == 0) java.util.Arrays.copyOf(bmp, 20)
+            else if (r.doc_id % 7 == 3) java.util.Arrays.copyOf(bmp, 56)
+            else bmp
+          Multimodal.MediaRow(r.doc_id, payload, "image/bmp", w, h)
+        }
+      Multimodal.extractFeaturesQuarantine(s, rows.toDF(),
+        new Multimodal.BmpCodec).toDF()
     }),
     // FRAME SAMPLING at the codec: every 4th 64-sample frame of the
     // synthesized PCM is scored, the rest are never featurized (the
@@ -1474,6 +1561,41 @@ object MultimodalQueries {
            FLOOR(CAST(s.bsum AS DOUBLE) / (d.w * d.h * 3) * 1e6 + 0.5) / 1e6 AS mean_byte,
            CAST(d.w AS DOUBLE) AS feat_0, CAST(d.h AS DOUBLE) AS feat_1
          FROM d JOIN s USING (doc_id)""",
+    // quarantine mode over m3's synth: good rows (doc_id % 7 ∉ {0,3})
+    // re-derive by m3's exact formulas; planted-corrupt rows carry
+    // NULL features and the BmpCodec's own diagnostic text, which the
+    // planted rule makes SQL-derivable (20-byte cut → the magic/size
+    // require; 56-byte cut → intact header, missing raster)
+    "m20_decode_quarantine" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS len,
+             CAST(2 + doc_id % 6 AS INT) AS w, CAST(2 + doc_id % 4 AS INT) AS h
+           FROM documents),
+         s AS (
+           SELECT d.doc_id,
+             SUM(ord(substr(d.text, CAST(1 + (j.j % d.len) AS INT), 1))) AS bsum
+           FROM d, LATERAL (SELECT unnest(generate_series(0, d.w * d.h * 3 - 1)) AS j) j
+           WHERE d.doc_id % 7 NOT IN (0, 3)
+           GROUP BY d.doc_id)
+         SELECT d.doc_id, 'image/bmp' AS media_type,
+           d.doc_id % 7 NOT IN (0, 3) AS ok,
+           CASE WHEN d.doc_id % 7 = 0
+                  THEN 'doc ' || CAST(d.doc_id AS VARCHAR) || ': not a BMP payload'
+                WHEN d.doc_id % 7 = 3
+                  THEN 'doc ' || CAST(d.doc_id AS VARCHAR) || ': truncated pixel array'
+           END AS error,
+           CASE WHEN d.doc_id % 7 NOT IN (0, 3)
+                THEN CAST(54 + ((d.w * 3 + 3) // 4) * 4 * d.h AS BIGINT) END AS n_bytes,
+           CASE WHEN d.doc_id % 7 NOT IN (0, 3)
+                THEN CAST(d.w * d.h AS BIGINT) END AS byte_sum,
+           CASE WHEN d.doc_id % 7 NOT IN (0, 3)
+                THEN FLOOR(CAST(s.bsum AS DOUBLE) / (d.w * d.h * 3) * 1e6 + 0.5) / 1e6
+           END AS mean_byte,
+           CASE WHEN d.doc_id % 7 NOT IN (0, 3)
+                THEN CAST(d.w AS DOUBLE) END AS feat_0,
+           CASE WHEN d.doc_id % 7 NOT IN (0, 3)
+                THEN CAST(d.h AS DOUBLE) END AS feat_1
+         FROM d LEFT JOIN s USING (doc_id)""",
     // PngCodec: filter-0 scanlines reconstruct to exactly the cyclic
     // text bytes (spec: PNG ≡ BMP stats on identical content), so the
     // decoded stats re-derive like m3's; compressed length dropped

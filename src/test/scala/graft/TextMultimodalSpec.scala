@@ -587,6 +587,44 @@ class TextMultimodalSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("quarantine decode: good rows equal the strict path exactly; corrupt rows carry the diagnostic; strict still throws") {
+    // planted mixed batch: two clean BMPs + the two m20 corruption
+    // classes (magic/size kill, intact-header-missing-raster)
+    val clean1 = Multimodal.synthBmp(3, 2, "hello".getBytes("UTF-8"))
+    val clean2 = Multimodal.synthBmp(2, 4, "world!".getBytes("UTF-8"))
+    val cut20 = java.util.Arrays.copyOf(clean1, 20)
+    val cut56 = java.util.Arrays.copyOf(clean2, 56)
+    val media = Seq(
+      (1L, clean1, "image/bmp", 3, 2), (2L, cut20, "image/bmp", 3, 2),
+      (3L, clean2, "image/bmp", 2, 4), (4L, cut56, "image/bmp", 2, 4))
+      .toDF("doc_id", "payload", "media_type", "width", "height")
+    val out = Multimodal.extractFeaturesQuarantine(spark, media,
+      new Multimodal.BmpCodec).collect().sortBy(_.doc_id)
+    // good rows: byte-identical to the strict path on the clean subset
+    val strict = Multimodal.extractFeatures(spark,
+      media.filter($"doc_id".isin(1L, 3L)), new Multimodal.BmpCodec)
+      .collect().sortBy(_.doc_id)
+    val good = out.filter(_.ok)
+    assert(good.map(_.doc_id).toSeq == Seq(1L, 3L))
+    good.zip(strict).foreach { case (q, s) =>
+      assert(q.error.isEmpty)
+      assert((q.n_bytes.get, q.byte_sum.get, q.mean_byte.get,
+        q.feat_0.get, q.feat_1.get) ===
+        (s.n_bytes, s.byte_sum, s.mean_byte, s.feat_0, s.feat_1))
+    }
+    // quarantined rows: decoder diagnostic in-band, feature slots null
+    val bad = out.filterNot(_.ok)
+    assert(bad.map(_.doc_id).toSeq == Seq(2L, 4L))
+    assert(bad(0).error.get == "doc 2: not a BMP payload")
+    assert(bad(1).error.get == "doc 4: truncated pixel array")
+    assert(bad.forall(b => b.n_bytes.isEmpty && b.byte_sum.isEmpty &&
+      b.mean_byte.isEmpty && b.feat_0.isEmpty && b.feat_1.isEmpty))
+    // strict mode is unchanged: the same batch still fails fast
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(spark, media, new Multimodal.BmpCodec).collect()
+    }
+  }
+
   test("PngCodec fully decodes a synthesized truecolor PNG (inflate + unfilter)") {
     // 2×2, pixels cycle [10, 20, 30] with no row padding in PNG, so
     // 12 channel bytes → mean exactly 20
