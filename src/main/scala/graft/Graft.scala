@@ -488,11 +488,16 @@ object Graft {
       codec: Multimodal.MediaCodec = new Multimodal.ByteStatsCodec) =
     Multimodal.extractFeaturesQuarantine(spark, media, codec)
 
-  /** ViT-style patch grid over 24-bpp BMP payloads: one row per
-    * `patch`×`patch` tile with its exact byte sum, mean luminance and
-    * content hash (see [[operators.Multimodal.imageTiles]]). */
-  def imageTiles(spark: SparkSession, media: DataFrame, patch: Int = 4) =
-    Multimodal.imageTiles(spark, media, patch)
+  /** ViT-style patch grid over image payloads: one row per
+    * `patch`×`patch` tile with its exact byte sum, channel-aware mean
+    * luminance and content hash. Decode is routed through a
+    * [[operators.Multimodal.RasterCodec]] — default 24-bpp BMP; pass
+    * [[operators.Multimodal.SniffRaster]] to tile a mixed BMP/PGM
+    * corpus by magic-byte dispatch
+    * (see [[operators.Multimodal.imageTiles]]). */
+  def imageTiles(spark: SparkSession, media: DataFrame, patch: Int = 4,
+      codec: Multimodal.RasterCodec = new Multimodal.BmpRaster) =
+    Multimodal.imageTiles(spark, media, patch, codec)
 
   /** Exact subimage matching over a tile frame: doc pairs sharing
     * ≥ `minShared` distinct tile content hashes, ubiquitous tiles

@@ -901,26 +901,33 @@ object Multimodal {
   case class TileRow(doc_id: Long, tile_y: Long, tile_x: Long,
       lum_sum: Long, mean_lum: Double, tile_hash: Long)
 
-  /** ViT-STYLE PATCH GRID over 24-bpp BMP payloads: each image is
-    * cropped to the largest `patch`-multiple (the standard ViT crop —
-    * leftover right/bottom pixels are dropped) and emitted as one row
-    * per patch with the exact integer sum of its pixel bytes (all 3
-    * channels) and the mean luminance. This is the image→patch-tokens
-    * step of a multimodal training pipeline expressed at the engine
-    * grain: pixels are decoded and reduced INSIDE the task (a narrow
-    * flatMap, rows ×(w/patch)(h/patch), each a few dozen bytes), so
-    * a 100 TB image corpus shuffles patch aggregates, never tensors.
-    * The parse is [[BmpThumbCodec]]'s header discipline; the decode
-    * is stateless byte math, so no per-partition codec lifecycle is
-    * needed. Integer sums make the result engine-independent — the
-    * DuckDB oracle re-derives every tile from the synthesized pixel
-    * formula and hash-matches.
+  /** A decoded pixel raster: `bytes(offset ..)` holds `height` rows of
+    * `width × channels` channel bytes, row-major, channel-interleaved,
+    * with NO row padding. `offset` lets zero-copy codecs (PGM, and
+    * BMP whenever the stride needs no padding) hand back a window
+    * into the payload instead of copying the raster.
     */
-  def imageTiles(spark: SparkSession, media: DataFrame,
-      patch: Int = 4): Dataset[TileRow] = {
-    import spark.implicits._
-    require(patch > 0)
-    media.as[MediaRow].flatMap { r =>
+  case class Raster(width: Int, height: Int, channels: Int,
+      bytes: Array[Byte], offset: Int)
+
+  /** Pixel-grain decode interface for tile/patch operators (r17
+    * verdict #3): where [[MediaCodec]] reduces a payload to feature
+    * stats inside the codec, a RasterCodec exposes the decoded pixels
+    * so grid operators ([[imageTiles]]) run ONE tiling loop over any
+    * codec's output — a mixed scraped corpus tiles uniformly.
+    */
+  trait RasterCodec extends Serializable {
+    def raster(r: MediaRow): Raster
+  }
+
+  /** 24-bpp BMP raster: [[BmpCodec]]'s header discipline; rows with
+    * 4-byte-aligned stride are unpadded into a fresh array unless the
+    * stride already equals `w·3` (then the payload is windowed
+    * zero-copy). Byte ORDER matches the original m18 tiling loop
+    * exactly (channel bytes row-major, padding skipped).
+    */
+  final class BmpRaster extends RasterCodec {
+    override def raster(r: MediaRow): Raster = {
       val b = r.payload
       def le16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
       def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
@@ -934,17 +941,117 @@ object Multimodal {
       val stride = ((w * 3 + 3) / 4) * 4
       require(pixelOff >= 54 && pixelOff.toLong + stride.toLong * h <= b.length,
         s"doc ${r.doc_id}: truncated pixel array")
+      if (stride == w * 3) Raster(w, h, 3, b, pixelOff)
+      else {
+        val out = new Array[Byte](w * 3 * h)
+        var y = 0
+        while (y < h) {
+          System.arraycopy(b, pixelOff + y * stride, out, y * w * 3, w * 3)
+          y += 1
+        }
+        Raster(w, h, 3, out, 0)
+      }
+    }
+  }
+
+  /** Binary-PGM (P5) raster: [[PgmCodec]]'s header walk (whitespace
+    * tokens, `#` comments, maxval < 256), then a zero-copy window
+    * onto the w×h gray bytes (channels = 1).
+    */
+  final class PgmRaster extends RasterCodec {
+    override def raster(r: MediaRow): Raster = {
+      val b = r.payload
+      require(b.length >= 2 && b(0) == 'P' && b(1) == '5',
+        s"doc ${r.doc_id}: not a binary PGM payload")
+      var i = 2
+      def nextInt(): Int = {
+        while (i < b.length &&
+          (b(i).toChar.isWhitespace || b(i) == '#')) {
+          if (b(i) == '#') while (i < b.length && b(i) != '\n') i += 1
+          else i += 1
+        }
+        var v = 0L
+        require(i < b.length && b(i) >= '0' && b(i) <= '9',
+          s"doc ${r.doc_id}: malformed PGM header")
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+          v = v * 10 + (b(i) - '0')
+          require(v <= Int.MaxValue, s"doc ${r.doc_id}: PGM header token overflow")
+          i += 1
+        }
+        v.toInt
+      }
+      val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+      require(maxval > 0 && maxval < 256,
+        s"doc ${r.doc_id}: 16-bit PGM unsupported (maxval $maxval)")
+      require(w > 0 && h > 0, s"doc ${r.doc_id}: non-positive PGM dims ${w}x$h")
+      val raster = w.toLong * h.toLong
+      require(raster <= Int.MaxValue,
+        s"doc ${r.doc_id}: PGM raster ${w}x$h overflows")
+      i += 1 // exactly one whitespace byte separates header and raster
+      require(b.length - i >= raster.toInt,
+        s"doc ${r.doc_id}: truncated PGM raster")
+      Raster(w, h, 1, b, i)
+    }
+  }
+
+  /** Content-SNIFFING raster codec: dispatch on the payload's magic
+    * bytes ('BM' → BMP, 'P5' → PGM), never on metadata — scraped
+    * corpora routinely carry wrong extensions/MIME types, and the
+    * bytes are the only authority. Unrecognized magic fails loudly
+    * (route through [[extractFeaturesQuarantine]]-style handling for
+    * permissive ingest).
+    */
+  final class SniffRaster extends RasterCodec {
+    private val bmp = new BmpRaster
+    private val pgm = new PgmRaster
+    override def raster(r: MediaRow): Raster = {
+      val b = r.payload
+      if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') bmp.raster(r)
+      else if (b.length >= 2 && b(0) == 'P' && b(1) == '5') pgm.raster(r)
+      else throw new IllegalArgumentException(
+        s"doc ${r.doc_id}: unrecognized raster magic")
+    }
+  }
+
+  /** ViT-STYLE PATCH GRID over 24-bpp BMP payloads: each image is
+    * cropped to the largest `patch`-multiple (the standard ViT crop —
+    * leftover right/bottom pixels are dropped) and emitted as one row
+    * per patch with the exact integer sum of its pixel bytes (all 3
+    * channels) and the mean luminance. This is the image→patch-tokens
+    * step of a multimodal training pipeline expressed at the engine
+    * grain: pixels are decoded and reduced INSIDE the task (a narrow
+    * flatMap, rows ×(w/patch)(h/patch), each a few dozen bytes), so
+    * a 100 TB image corpus shuffles patch aggregates, never tensors.
+    * The decode is routed through a [[RasterCodec]] (r17 verdict #3:
+    * default [[BmpRaster]] preserves m18's exact output byte-for-byte;
+    * [[SniffRaster]] tiles a MIXED BMP/PGM corpus uniformly); it is
+    * stateless byte math, so no per-partition codec lifecycle is
+    * needed. Integer sums make the result engine-independent — the
+    * DuckDB oracle re-derives every tile from the synthesized pixel
+    * formula and hash-matches. The mean divides by the tile's CHANNEL
+    * byte count (3·patch² for BMP, patch² for PGM), so the luminance
+    * readout is comparable across codecs.
+    */
+  def imageTiles(spark: SparkSession, media: DataFrame,
+      patch: Int = 4, codec: RasterCodec = new BmpRaster): Dataset[TileRow] = {
+    import spark.implicits._
+    require(patch > 0)
+    media.as[MediaRow].flatMap { r =>
+      val ras = codec.raster(r)
+      val b = ras.bytes
+      val ch = ras.channels
+      val rowBytes = ras.width * ch
       for {
-        ty <- 0 until h / patch
-        tx <- 0 until w / patch
+        ty <- 0 until ras.height / patch
+        tx <- 0 until ras.width / patch
       } yield {
         var sum = 0L
         var hash = 0L
         var y = 0
         while (y < patch) {
-          val base = pixelOff + (ty * patch + y) * stride + tx * patch * 3
+          val base = ras.offset + (ty * patch + y) * rowBytes + tx * patch * ch
           var o = 0
-          while (o < patch * 3) {
+          while (o < patch * ch) {
             val v = b(base + o) & 0xff
             sum += v
             hash = (hash * 131 + v) % 2147483647L
@@ -953,7 +1060,7 @@ object Multimodal {
           y += 1
         }
         TileRow(r.doc_id, ty.toLong, tx.toLong, sum,
-          math.round(sum / (3.0 * patch * patch) * 1e6) / 1e6, hash)
+          math.round(sum / (ch.toDouble * patch * patch) * 1e6) / 1e6, hash)
       }
     }
   }
@@ -1319,6 +1426,30 @@ object MultimodalQueries {
       Multimodal.extractFeaturesQuarantine(s, rows.toDF(),
         new Multimodal.BmpCodec).toDF()
     }),
+    // MIXED-CODEC TILE GRID (round 18): m18's patch grid over a
+    // corpus that is half 24-bpp BMP (even doc_id) and half binary
+    // PGM (odd doc_id) at the same dims, tiled UNIFORMLY through the
+    // content-sniffing RasterCodec — dispatch on the payload's magic
+    // bytes, never metadata (scraped corpora lie about MIME types).
+    // Same TileRow contract: exact integer sums, channel-count-aware
+    // mean (sum/48 for BMP tiles, sum/16 for PGM), the same content
+    // hash. Fully SQL-re-derivable per codec arm (m18's formula for
+    // BMP; the grayscale cycled-text formula for PGM).
+    "m21_mixed_tiles" -> ((s, d) => {
+      import s.implicits._
+      val rows = Multimodal.mediaTable(Tables.documents(s, d))
+        .as[Multimodal.MediaRow].map { r =>
+          val w = (8 + (r.doc_id % 5)).toInt
+          val h = (8 + (r.doc_id % 3)).toInt
+          val payload =
+            if (r.doc_id % 2 == 0) Multimodal.synthBmp(w, h, r.payload)
+            else Multimodal.synthPgm(w, h, r.payload)
+          Multimodal.MediaRow(r.doc_id, payload,
+            if (r.doc_id % 2 == 0) "image/bmp" else "image/x-pgm", w, h)
+        }
+      Multimodal.imageTiles(s, rows.toDF(), patch = 4,
+        codec = new Multimodal.SniffRaster).toDF()
+    }),
     // FRAME SAMPLING at the codec: every 4th 64-sample frame of the
     // synthesized PCM is scored, the rest are never featurized (the
     // decimation step of a video/audio ingest). Rows-only; the spec
@@ -1668,6 +1799,39 @@ object MultimodalQueries {
            ROUND(CAST(lum_sum AS DOUBLE) / 48.0, 6) AS mean_lum,
            tile_hash
          FROM s"""),
+    // mixed-codec tiles: even docs re-derive by m18's 48-byte BMP
+    // tile formula; odd docs by the grayscale PGM formula (16 gray
+    // bytes at (ty·4+i÷4)·w + tx·4 + i%4 mod len — synthPgm's cycled
+    // text); mean = sum/16 is DYADIC (4 binary decimal places), so
+    // ROUND(x,6) is exact on both engines
+    "m21_mixed_tiles" ->
+      (tileCtes + """,
+         pgm AS (
+           SELECT doc_id, tile_y, tile_x,
+             CAST(list_sum(list_transform(range(0, 16), i ->
+               ord(substr(text,
+                 CAST(1 + (((tile_y * 4 + i // 4) * w
+                            + tile_x * 4 + i % 4) % len) AS INT), 1))))
+               AS BIGINT) AS lum_sum,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(0, 16), i ->
+                   CAST(ord(substr(text,
+                     CAST(1 + (((tile_y * 4 + i // 4) * w
+                                + tile_x * 4 + i % 4) % len) AS INT), 1))
+                     AS BIGINT))),
+               (x, y) -> (x * 131 + y) % 2147483647) AS tile_hash
+           FROM t WHERE doc_id % 2 = 1)
+         SELECT doc_id, CAST(tile_y AS BIGINT) AS tile_y,
+           CAST(tile_x AS BIGINT) AS tile_x, lum_sum,
+           ROUND(CAST(lum_sum AS DOUBLE) / 48.0, 6) AS mean_lum,
+           tile_hash
+         FROM s WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id, CAST(tile_y AS BIGINT) AS tile_y,
+           CAST(tile_x AS BIGINT) AS tile_x, lum_sum,
+           ROUND(CAST(lum_sum AS DOUBLE) / 16.0, 6) AS mean_lum,
+           tile_hash
+         FROM pgm"""),
     // m18's tile hashes self-joined: distinct (doc, hash) pairs,
     // ubiquitous hashes (>16 docs) and singletons dropped BEFORE the
     // join, then pair-grain shared-tile counts at >= 2

@@ -420,6 +420,56 @@ class TextMultimodalSpec extends SparkSpec {
     assert(oddTiles.forall(t => t.tile_y < 2 && t.tile_x < 2))
   }
 
+  test("mixed-codec tiles: PGM quadrants tile like BMP's; SniffRaster dispatches on magic and rejects junk") {
+    // 8×8 grayscale PGM in four constant quadrants 10/20/30/40: tile
+    // sums are 16× the value (1 channel), means equal the gray level
+    // exactly as in the BMP quadrant test — the cross-codec contract
+    val w = 8; val h = 8
+    val px = Array.tabulate[Byte](w * h)(j =>
+      (10 * (1 + ((j / w) / 4) * 2 + ((j % w) / 4))).toByte)
+    val pgm = Multimodal.synthPgm(w, h, px)
+    // synthPgm cycles src over w*h; src IS w*h bytes, so identity
+    val bmp = Multimodal.synthBmp(w, h, Array.fill[Byte](w * 3 * h)(0))
+    val pixelOff = (bmp(10) & 0xff) | ((bmp(11) & 0xff) << 8)
+    val stride = ((w * 3 + 3) / 4) * 4
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      bmp(pixelOff + y * stride + x * 3 + c) =
+        (10 * (1 + (y / 4) * 2 + (x / 4))).toByte
+    val media = Seq((1L, bmp, "whatever/lies", w, h),
+      (2L, pgm, "metadata/ignored", w, h))
+      .toDF("doc_id", "payload", "media_type", "width", "height")
+    val tiles = Multimodal.imageTiles(spark, media, patch = 4,
+      codec = new Multimodal.SniffRaster).collect()
+    assert(tiles.length === 8)
+    val byDoc = tiles.groupBy(_.doc_id)
+    // both codecs: mean_lum reads the quadrant's gray level
+    for (d <- Seq(1L, 2L)) {
+      val m = byDoc(d).map(t => (t.tile_y, t.tile_x) -> t.mean_lum).toMap
+      assert(m === Map((0L, 0L) -> 10.0, (0L, 1L) -> 20.0,
+        (1L, 0L) -> 30.0, (1L, 1L) -> 40.0), s"doc $d means")
+    }
+    // channel-count-aware sums: 48× for BMP, 16× for PGM
+    assert(byDoc(1L).map(t => (t.tile_y, t.tile_x) -> t.lum_sum).toMap
+      === Map((0L, 0L) -> 480L, (0L, 1L) -> 960L,
+        (1L, 0L) -> 1440L, (1L, 1L) -> 1920L))
+    assert(byDoc(2L).map(t => (t.tile_y, t.tile_x) -> t.lum_sum).toMap
+      === Map((0L, 0L) -> 160L, (0L, 1L) -> 320L,
+        (1L, 0L) -> 480L, (1L, 1L) -> 640L))
+    // constant quadrants: a BMP tile of gray g hashes the byte g 48
+    // times, a PGM tile 16 times — different byte streams, different
+    // hashes (the hash keys CONTENT + layout, as m19 requires)
+    assert(byDoc(1L).map(_.tile_hash).toSet
+      .intersect(byDoc(2L).map(_.tile_hash).toSet).isEmpty)
+    // junk magic fails loudly through the sniffer
+    val junk = Seq((3L, "GARBAGE".getBytes("UTF-8"), "x", 1, 1))
+      .toDF("doc_id", "payload", "media_type", "width", "height")
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.imageTiles(spark, junk, patch = 4,
+        codec = new Multimodal.SniffRaster).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("tokenizer fertility: per-lang sums equal t21's per-doc counts aggregated; ratios consistent") {
     val docs = graft.Tables.documents(spark, sf)
     val manual = docs.select(col("doc_id"), col("lang"))
