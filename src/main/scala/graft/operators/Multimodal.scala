@@ -1083,17 +1083,51 @@ object Multimodal {
     */
   def subimageMatches(tiles: DataFrame, minShared: Int = 2,
       maxDocsPerTile: Int = 16): DataFrame = {
-    val docTile = tiles.select(col("doc_id"), col("tile_hash")).distinct()
-    val usable = docTile.groupBy("tile_hash")
-      .agg(count(lit(1)).as("__nd"))
-      .filter(col("__nd") >= 2 && col("__nd") <= maxDocsPerTile)
-      .select("tile_hash")
-    val blocked = docTile.join(usable, Seq("tile_hash"), "left_semi")
+    val blocked = subimageIndex(tiles, maxDocsPerTile)
     blocked.as("a")
       .join(blocked.as("b"),
         col("a.tile_hash") === col("b.tile_hash") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_tiles"))
+      .filter(col("n_shared_tiles") >= minShared)
+  }
+
+  /** The STATIC side of subimage matching, factored for streaming
+    * ingest (r17 verdict #6 — the evalGramIndex/prepped split applied
+    * to m19): distinct (doc_id, tile_hash) pairs restricted to USABLE
+    * hashes (carried by 2..maxDocsPerTile docs — the same frequency
+    * guard as [[subimageMatches]], computed ONCE over the catalog so
+    * it cannot depend on how a stream is batched). Build once,
+    * persist, probe per micro-batch with [[subimageProbePrepped]].
+    */
+  def subimageIndex(tiles: DataFrame, maxDocsPerTile: Int = 16): DataFrame = {
+    val docTile = tiles.select(col("doc_id"), col("tile_hash")).distinct()
+    val usable = docTile.groupBy("tile_hash")
+      .agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2 && col("__nd") <= maxDocsPerTile)
+      .select("tile_hash")
+    docTile.join(usable, Seq("tile_hash"), "left_semi")
+  }
+
+  /** Probe a micro-batch's tiles against a prepped [[subimageIndex]]:
+    * pairs (index doc `doc_a` < probing doc `doc_b`) sharing at least
+    * `minShared` distinct usable hashes. The `doc_a < doc_b` join
+    * orientation makes each unordered pair emit in EXACTLY one batch
+    * (the one where the higher-id doc arrives), so when the index
+    * covers the whole corpus the per-batch results union to
+    * [[subimageMatches]]'s single-shot answer regardless of batching.
+    * Only hashes present in the index join (the usable set), so the
+    * probe side needs no frequency pass of its own.
+    */
+  def subimageProbePrepped(index: DataFrame, probeTiles: DataFrame,
+      minShared: Int = 2): DataFrame = {
+    val probe = probeTiles.select(col("doc_id").as("doc_b"),
+      col("tile_hash")).distinct()
+    index.select(col("doc_id").as("doc_a"), col("tile_hash"))
+      .join(probe, Seq("tile_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_tiles"))
       .filter(col("n_shared_tiles") >= minShared)
   }

@@ -76,6 +76,9 @@ class PlanLintSpec extends SparkSpec {
     // st34 drives the stream on invocation; its probe plan is d8's
     // gram join (linted there)
     "st34_stream_decontam",
+    // st35 drives the stream on invocation; its probe plan is m19's
+    // tile-hash equi-join (linted there)
+    "st35_stream_subimage",
     // st12/st13 drive the full stream on invocation; the histogram agg
     // plan is q39's (linted there); st14's session agg is st4's
     "st12_stream_histogram", "st13_stream_histogram_append",

@@ -470,6 +470,35 @@ class TextMultimodalSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("subimage index/probe split: per-batch probes union to the single-shot matcher") {
+    // st35's contract: the frequency guard lives in the STATIC index
+    // (computed once over the catalog), and the doc_a < doc_b probe
+    // orientation emits each pair exactly once — in the batch where
+    // its higher-id doc arrives — so any batching unions to
+    // subimageMatches' answer
+    def media(rows: Seq[(Long, String)]) = rows.map { case (id, txt) =>
+      (id, Multimodal.synthBmp(8, 8, txt.getBytes("UTF-8")), "image/bmp", 8, 8)
+    }.toDF("doc_id", "payload", "media_type", "width", "height")
+    // docs 1/2 identical content (4 shared tiles), 3 different,
+    // 4 identical to 1/2 again (pairs 1-2, 1-4, 2-4)
+    val all = media(Seq(1L -> "copied pixel content", 2L -> "copied pixel content",
+      3L -> "totally different bytes", 4L -> "copied pixel content"))
+    val tiles = Multimodal.imageTiles(spark, all, patch = 4).toDF()
+    val single = Multimodal.subimageMatches(tiles).collect()
+      .map(_.toString).sorted.toSeq
+    val index = Multimodal.subimageIndex(tiles)
+    def probe(ids: Long*) = Multimodal.subimageProbePrepped(index,
+      tiles.filter(col("doc_id").isin(ids.map(Long.box): _*)))
+    val batched = probe(1L, 2L).unionByName(probe(3L)).unionByName(probe(4L))
+    assert(batched.collect().map(_.toString).sorted.toSeq === single)
+    assert(single.nonEmpty) // the planted copies actually pair
+    // orientation: doc 4's batch carries exactly the pairs ending at 4
+    assert(probe(4L).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 4L), (2L, 4L)))
+    // and doc 1's batch carries none (no lower-id partner exists)
+    assert(probe(1L).collect().isEmpty)
+  }
+
   test("tokenizer fertility: per-lang sums equal t21's per-doc counts aggregated; ratios consistent") {
     val docs = graft.Tables.documents(spark, sf)
     val manual = docs.select(col("doc_id"), col("lang"))
