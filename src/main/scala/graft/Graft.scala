@@ -51,6 +51,24 @@ object Graft {
   def finalizeRollup(mv: DataFrame, dim: HierarchyDimension): DataFrame =
     HierarchyAgg.finalizeRollup(mv, dim.aggregationDim)
 
+  /** Generic incremental MV over ANY star query — one measures API
+    * unifying the signed sum/count fold and the append-only exact
+    * bitmap distinct, with the retraction matrix enforced (see
+    * [[operators.MvFold]]): build once, fold deltas, retract with the
+    * original rows, read finalized.
+    */
+  def mvBuild(facts: DataFrame, keys: Seq[String],
+      measures: Seq[operators.MvMeasure]): DataFrame =
+    operators.MvFold.build(facts, keys, measures)
+
+  def mvFold(mv: DataFrame, delta: DataFrame, keys: Seq[String],
+      measures: Seq[operators.MvMeasure], retract: Boolean = false): DataFrame =
+    operators.MvFold.fold(mv, delta, keys, measures, retract)
+
+  def mvRead(mv: DataFrame, keys: Seq[String],
+      measures: Seq[operators.MvMeasure]): DataFrame =
+    operators.MvFold.read(mv, keys, measures)
+
   /** Persist derived dims as parquet (the reference materializes its
     * dims as stored tables, hierarchy_dimension_table.py:75-82);
     * reload with [[loadDim]] — no re-derivation.

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Measure spec for a generic incremental materialized view — the
+  * r17-verdict unification of the two house MV contracts (h9's
+  * signed-grain sum/count fold, h24's append-only bitmap-distinct
+  * fold) into one API a user points at any star query.
+  */
+sealed trait MvMeasure { def name: String }
+
+/** Additive measure: stored partial = Σ expr·weight. Retraction folds
+  * exactly through weight = −1 (pass the ORIGINAL, un-negated rows).
+  * FP discipline: prefer exact integer/decimal `expr` (e.g. cents) —
+  * stored partials must re-aggregate bit-identically in any order.
+  */
+final case class MvSum(name: String, expr: Column) extends MvMeasure
+
+/** Signed row count: stored partial = Σ weight — subtracts under
+  * retraction, so a fully retracted group cancels to zero (and its
+  * MV row is dropped, see [[MvFold.fold]]).
+  */
+final case class MvCount(name: String) extends MvMeasure
+
+/** EXACT distinct count via a stored per-group bitmap (h24's trick:
+  * counts don't decompose over set union, bitmaps do — new = old OR
+  * delta). APPEND-ONLY: set union is idempotent and monotone, so a
+  * bitmap cannot retract; [[MvFold.fold]] refuses `retract = true`
+  * when a bitmap measure is present. Deletions need the signed-grain
+  * path (an [[MvSum]]/[[MvCount]] MV at (group, member) grain).
+  */
+final case class MvBitmapDistinct(name: String, expr: Column,
+    maxId: Int) extends MvMeasure
+
+/** Generic incremental-MV maintenance over any star query:
+  * {{{
+  *   val mv0 = MvFold.build(facts, Seq("k1", "k2"), measures)
+  *   val mv1 = MvFold.fold(mv0, newBatch, Seq("k1", "k2"), measures)
+  *   val mv2 = MvFold.fold(mv1, badRows, keys, measures, retract = true)
+  *   MvFold.read(mv2, keys, measures)   // finalized readout
+  * }}}
+  *
+  * RETRACTION MATRIX (the contract the spec pins):
+  *   - [[MvSum]]    — retracts exactly (signed partial).
+  *   - [[MvCount]]  — retracts exactly (signed row weight).
+  *   - [[MvBitmapDistinct]] — REFUSES retraction loudly (monotone).
+  *   - a group whose signed row count cancels to 0 is DROPPED from
+  *     the stored MV (a full retraction leaves no ghost row — and
+  *     every additive partial of such a group is provably 0 too,
+  *     since the same rows entered and left).
+  *
+  * Scale shape: only the delta pays a fact-side shuffle (one
+  * hash-aggregate with map-side combine at MV grain); the stored MV
+  * re-aggregates at its own bounded grain. At 100 TB this is the
+  * difference between shuffling a day's ingest and recomputing the
+  * historical table. The hidden `__mv_n` column carries the signed
+  * row count for the zero-drop rule regardless of which measures the
+  * caller asked for; [[read]] strips it.
+  */
+object MvFold {
+
+  private def partialAggs(measures: Seq[MvMeasure], weight: Column): Seq[Column] =
+    measures.map {
+      case MvSum(n, e) => sum(e * weight).as(n)
+      case MvCount(n)  => sum(weight).as(n)
+      case MvBitmapDistinct(n, e, m) =>
+        graft.functions.BitmapDistinctAggregate.bitmapBuild(e, m).as(n)
+    } :+ sum(weight).as("__mv_n")
+
+  private def mergeAggs(measures: Seq[MvMeasure]): Seq[Column] =
+    measures.map {
+      case MvSum(n, _)  => sum(col(n)).as(n)
+      case MvCount(n)   => sum(col(n)).as(n)
+      case MvBitmapDistinct(n, _, m) =>
+        graft.functions.BitmapDistinctAggregate.bitmapMerge(col(n), m).as(n)
+    } :+ sum(col("__mv_n")).as("__mv_n")
+
+  private def distinctNames(measures: Seq[MvMeasure]): Unit = {
+    val names = measures.map(_.name)
+    require(names.distinct == names, s"duplicate measure names: $names")
+    require(!names.contains("__mv_n"), "__mv_n is reserved")
+  }
+
+  /** Build the stored MV at `keys` grain from a fact frame. ONE
+    * hash-aggregate (map-side combine); partials stay raw — rounding
+    * belongs in the caller's readout, never in stored state.
+    */
+  def build(facts: DataFrame, keys: Seq[String],
+      measures: Seq[MvMeasure]): DataFrame = {
+    distinctNames(measures)
+    val aggs = partialAggs(measures, lit(1L))
+    facts.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fold a delta batch into a stored MV. `retract = true` removes
+    * the batch's ORIGINAL rows (weight −1 on every signed partial);
+    * refused when a bitmap measure is present (monotone — see the
+    * retraction matrix above). Groups whose signed row count cancels
+    * to zero are dropped.
+    */
+  def fold(mv: DataFrame, delta: DataFrame, keys: Seq[String],
+      measures: Seq[MvMeasure], retract: Boolean = false): DataFrame = {
+    distinctNames(measures)
+    require(!(retract && measures.exists(_.isInstanceOf[MvBitmapDistinct])),
+      "bitmap-distinct measures cannot retract (set union is monotone); " +
+        "deletions need the signed-grain path — an MvSum/MvCount MV at " +
+        "(group, member) grain, h9's contract")
+    val w = lit(if (retract) -1L else 1L)
+    val deltaAggs = partialAggs(measures, w)
+    val deltaMv = delta.groupBy(keys.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    val merged = mergeAggs(measures)
+    mv.unionByName(deltaMv)
+      .groupBy(keys.map(col): _*)
+      .agg(merged.head, merged.tail: _*)
+      .filter(col("__mv_n") =!= 0)
+  }
+
+  /** Finalized readout: keys + each measure (bitmaps read off as
+    * their exact cardinality), the hidden row count stripped.
+    */
+  def read(mv: DataFrame, keys: Seq[String],
+      measures: Seq[MvMeasure]): DataFrame = {
+    val outs = keys.map(col) ++ measures.map {
+      case MvBitmapDistinct(n, _, _) =>
+        graft.functions.BitmapDistinctAggregate
+          .bitmapCardinality(col(n)).as(n)
+      case m => col(m.name)
+    }
+    mv.select(outs: _*)
+  }
+}

@@ -2010,6 +2010,45 @@ object OlapQueries {
           round(col("cum_cents").cast("double") /
             (col("cohort_size").cast("double") * 100.0), 6)
             .as("ltv_per_customer"))
+    }),
+    // GENERIC INCREMENTAL MV (round 18, r17 verdict #7): MvFold
+    // unifies the two house MV contracts — h9's signed sum/count fold
+    // and h24's append-only bitmap-distinct fold — behind one
+    // measures API a user points at any star query. The entry drives
+    // the full lifecycle on orders at (priority, order-year) grain:
+    // build on the historical 4/5ths, fold in the 1/5th append batch,
+    // RETRACT the o_orderkey % 7 = 0 slice of the historical rows
+    // (sums/counts cancel exactly; fully-retracted groups drop), and
+    // read next to an append-only bitmap MV of exact distinct
+    // customers over the same lifecycle minus the retraction (bitmaps
+    // refuse retraction by contract — the spec pins the matrix).
+    // Oracle = FULL RECOMPUTE per measure semantics. Cents keep the
+    // additive partials exact integers (the q80 convention); one
+    // divide at readout.
+    "q81_mv_fold" -> ((s, d) => {
+      val f = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"),
+        col("o_custkey"))
+      val keys = Seq("o_orderpriority", "order_year")
+      val hist = f.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+      val append = f.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+      val retractRows = hist.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      val signed = Seq(MvSum("sum_cents", col("cents")),
+        MvCount("n_orders"))
+      val dist = Seq(MvBitmapDistinct("distinct_cust",
+        col("o_custkey"), 1 << 21))
+      val signedMv = MvFold.fold(
+        MvFold.fold(MvFold.build(hist, keys, signed), append, keys, signed),
+        retractRows, keys, signed, retract = true)
+      val distMv = MvFold.fold(MvFold.build(hist, keys, dist),
+        append, keys, dist)
+      MvFold.read(signedMv, keys, signed)
+        .join(MvFold.read(distMv, keys, dist), keys)
+        .select(col("o_orderpriority"), col("order_year"),
+          round(col("sum_cents").cast("double") / 100.0, 2).as("sum_price"),
+          col("n_orders"), col("distinct_cust"))
     })
   )
 
@@ -3359,6 +3398,32 @@ object OlapQueries {
            ROUND(CAST(cum_cents AS DOUBLE) / 100.0, 2) AS cum_revenue,
            ROUND(CAST(cum_cents AS DOUBLE)
              / (CAST(cohort_size AS DOUBLE) * 100.0), 6) AS ltv_per_customer
-         FROM w"""
+         FROM w""",
+    // FULL RECOMPUTE per measure semantics: signed measures over
+    // (hist ∪ append) \ retracted — i.e. everything except the
+    // o_orderkey % 7 = 0 slice of the historical (% 5 ≠ 0) rows —
+    // and the append-only exact distinct over hist ∪ append (all
+    // rows; bitmaps don't retract). Fully-retracted groups vanish
+    // from the signed side; the inner join mirrors the MV zero-drop.
+    "q81_mv_fold" ->
+      """WITH f AS (
+           SELECT o_orderkey, o_orderpriority,
+             CAST(year(o_orderdate) AS BIGINT) AS order_year,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o_custkey
+           FROM orders),
+         s AS (
+           SELECT o_orderpriority, order_year,
+             ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS sum_price,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+           FROM f WHERE NOT (o_orderkey % 5 <> 0 AND o_orderkey % 7 = 0)
+           GROUP BY 1, 2),
+         dt AS (
+           SELECT o_orderpriority, order_year,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distinct_cust
+           FROM f GROUP BY 1, 2)
+         SELECT s.o_orderpriority, s.order_year, s.sum_price,
+           s.n_orders, dt.distinct_cust
+         FROM s JOIN dt USING (o_orderpriority, order_year)"""
   )
 }

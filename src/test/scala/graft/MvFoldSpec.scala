@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{MvBitmapDistinct, MvCount, MvFold, MvSum}
+
+/** The q81 retraction matrix, pinned on planted data: sums and counts
+  * fold/retract exactly, a fully-retracted group leaves no ghost row,
+  * bitmap-distinct refuses retraction loudly, and the full
+  * build→fold→retract→read lifecycle equals a one-shot recompute.
+  */
+class MvFoldSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keys = Seq("grp")
+  private val signed = Seq(MvSum("s", col("v")), MvCount("n"))
+
+  private def facts(rows: (String, Long, Long)*) =
+    rows.toDF("grp", "v", "member")
+
+  test("build + fold(append) equals a one-shot build on the union") {
+    val hist = facts(("a", 10L, 1L), ("a", 5L, 2L), ("b", 7L, 1L))
+    val delta = facts(("a", 3L, 3L), ("c", 1L, 9L))
+    val folded = MvFold.read(
+      MvFold.fold(MvFold.build(hist, keys, signed), delta, keys, signed),
+      keys, signed).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = MvFold.read(
+      MvFold.build(hist.unionByName(delta), keys, signed),
+      keys, signed).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(folded === oneShot)
+    assert(folded === Set(("a", 18L, 3L), ("b", 7L, 1L), ("c", 1L, 1L)))
+  }
+
+  test("retraction of ORIGINAL rows cancels sums and counts exactly; a fully-retracted group drops") {
+    val hist = facts(("a", 10L, 1L), ("a", 5L, 2L), ("b", 7L, 1L))
+    val mv = MvFold.build(hist, keys, signed)
+    // partial retraction: one of a's two rows leaves
+    val partial = MvFold.read(
+      MvFold.fold(mv, facts(("a", 5L, 2L)), keys, signed, retract = true),
+      keys, signed).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(partial === Set(("a", 10L, 1L), ("b", 7L, 1L)))
+    // full retraction: group b vanishes — no ghost row with zeros
+    val full = MvFold.read(
+      MvFold.fold(mv, facts(("b", 7L, 1L)), keys, signed, retract = true),
+      keys, signed).collect().map(_.getString(0)).toSet
+    assert(full === Set("a"))
+  }
+
+  test("bitmap-distinct folds append-only (old OR delta) and REFUSES retraction") {
+    val dist = Seq(MvBitmapDistinct("d", col("member"), 1 << 10))
+    val hist = facts(("a", 0L, 1L), ("a", 0L, 2L), ("b", 0L, 5L))
+    val delta = facts(("a", 0L, 2L), ("a", 0L, 3L), ("b", 0L, 5L))
+    val read = MvFold.read(
+      MvFold.fold(MvFold.build(hist, keys, dist), delta, keys, dist),
+      keys, dist).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // idempotent union: re-inserted members count once
+    assert(read === Map("a" -> 3L, "b" -> 1L))
+    val err = intercept[IllegalArgumentException] {
+      MvFold.fold(MvFold.build(hist, keys, dist), delta, keys, dist,
+        retract = true)
+    }
+    assert(err.getMessage.contains("cannot retract"))
+  }
+
+  test("mixed signed + bitmap measures fold together while appending") {
+    val measures = signed :+ MvBitmapDistinct("d", col("member"), 1 << 10)
+    val hist = facts(("a", 10L, 1L), ("b", 7L, 2L))
+    val delta = facts(("a", 3L, 1L), ("a", 4L, 9L))
+    val read = MvFold.read(
+      MvFold.fold(MvFold.build(hist, keys, measures), delta, keys, measures),
+      keys, measures).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(read === Set(("a", 17L, 3L, 2L), ("b", 7L, 1L, 1L)))
+  }
+
+  test("reserved and duplicate measure names are rejected") {
+    val hist = facts(("a", 1L, 1L))
+    intercept[IllegalArgumentException] {
+      MvFold.build(hist, keys, Seq(MvCount("x"), MvSum("x", col("v"))))
+    }
+    intercept[IllegalArgumentException] {
+      MvFold.build(hist, keys, Seq(MvCount("__mv_n")))
+    }
+  }
+}
