@@ -69,6 +69,13 @@ object Graft {
       measures: Seq[operators.MvMeasure]): DataFrame =
     operators.MvFold.read(mv, keys, measures)
 
+  /** Release every operator-internal cache pin taken in `spark` —
+    * the service-lifecycle hook for long-lived sessions (see
+    * [[SessionPins]]; pinned frames stay usable, they recompute).
+    */
+  def releasePins(spark: SparkSession): Unit =
+    SessionPins.releaseAll(spark)
+
   /** Persist derived dims as parquet (the reference materializes its
     * dims as stored tables, hierarchy_dimension_table.py:75-82);
     * reload with [[loadDim]] — no re-derivation.

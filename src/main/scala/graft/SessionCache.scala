@@ -1,6 +1,76 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Owned lifecycle for operator-INTERNAL `cache()` pins (r17 verdict
+  * #4). Operators pin derivations that are read by ≥2 consumers of
+  * the plan they return (minhash signature frames, ANN shortlists,
+  * pHash band frames, skyline point sets): without the pin the
+  * upstream pipeline re-runs per consumer (Spark has no cross-branch
+  * subplan reuse), but a bare `.cache()` floats free — nothing ever
+  * unpersists it, and across a long-lived interactive session each
+  * distinct input accumulates block-manager storage forever (the
+  * documented footgun this object retires).
+  *
+  * Every internal pin is registered here per session instead:
+  *   - [[pin]] = `cache()` + register (semantics otherwise identical
+  *     to the raw pin — same frame back, CacheManager still dedupes
+  *     repeat plans);
+  *   - the registry is BOUNDED (`maxPins`, insertion order): past the
+  *     bound the oldest pin is unpersisted and its consumers simply
+  *     recompute — storage can no longer grow without limit;
+  *   - [[releaseAll]] is the service-lifecycle hook: unpersist and
+  *     forget everything this session pinned (frames stay usable);
+  *   - stopped sessions are swept on access (their block-manager
+  *     state died with the context — nothing to unpersist).
+  *
+  * The registry-RESULT caches ([[SessionCache]] instances with
+  * `onEvict = unpersist`, HierarchyDimension's `unpersistAll`) keep
+  * their own ownership; this covers the pins INSIDE operator bodies.
+  */
+object SessionPins {
+  private val maxPins = sys.env.get("GRAFT_MAX_SESSION_PINS")
+    .map(_.toInt).getOrElse(256)
+  private val m = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.ArrayDeque[DataFrame]]()
+
+  private def quietUnpersist(df: DataFrame): Unit =
+    try { df.unpersist(); () }
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  /** cache() + register, returning the same frame. */
+  def pin(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val it = m.keySet.iterator
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+    val q = m.computeIfAbsent(spark,
+      _ => new java.util.ArrayDeque[DataFrame]())
+    q.synchronized {
+      q.addLast(df.cache())
+      // oldest-first eviction: unpersist releases the executor blocks;
+      // the frame itself stays usable (recompute on next read). Note
+      // CacheManager unpersists by PLAN equality — an evicted pin that
+      // shares its plan with a newer one drops the shared entry, which
+      // is the conservative (storage-bounding) direction.
+      while (q.size > maxPins) quietUnpersist(q.pollFirst())
+    }
+    df
+  }
+
+  /** Unpersist and forget every pin taken in `spark` — idempotent;
+    * pinned frames stay usable, they just recompute.
+    */
+  def releaseAll(spark: SparkSession): Unit = {
+    val q = m.remove(spark)
+    if (q != null && !spark.sparkContext.isStopped)
+      q.synchronized { q.forEach(quietUnpersist) }
+  }
+
+  private[graft] def pinCount(spark: SparkSession): Int = {
+    val q = m.get(spark)
+    if (q == null) 0 else q.synchronized(q.size)
+  }
+}
 
 /** Per-session memo cache for derived frames (hierarchy dims, dedup
   * components).

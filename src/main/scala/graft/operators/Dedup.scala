@@ -235,7 +235,7 @@ object Dedup {
       .withColumn("sig", polyMinhashSig(col("shingles"), k))
       .withColumn("bandkeys", polyBandKeys(col("sig"), bands, rows))
       .select("doc_id", "sig", "bandkeys")
-      .cache()
+      .transform(graft.SessionPins.pin)
     val buckets = sigs.select(col("doc_id"),
       posexplode(col("bandkeys")).as(Seq("band", "bucket")))
     // candidate pairs: same (band, bucket), a < b, deduped across bands
@@ -286,7 +286,7 @@ object Dedup {
       .withColumn("sig", polyMinhashSig(col("shingles"), k))
       .withColumn("bandkeys", polyBandKeys(col("sig"), bands, rows))
       .select("doc_id", "sig", "bandkeys")
-      .cache()
+      .transform(graft.SessionPins.pin)
     val buckets = sigs.select(col("doc_id"), col("sig"),
       posexplode(col("bandkeys")).as(Seq("band", "bucket")))
     buckets.as("a")
@@ -318,15 +318,16 @@ object Dedup {
     * recall 0.70 / precision 0.43 at 25× the hash cost — the tuner's
     * rows=1 answer stands.)
     *
-    * Note the internal signature frame is `cache()`-pinned for the
-    * bucket self-join (both sides read it; an uncached plan re-hashes
-    * the corpus twice and projection collapse re-inlines the
-    * pipeline). The pin is SESSION-LIFETIME by the registry's
-    * sigs-pin convention — CacheManager dedupes repeat invocations on
-    * the same input plan, but distinct inputs across a long-lived
-    * interactive session each keep a pin; callers embedding this in a
-    * service should bound it with their own lifecycle (unpersist or a
-    * GC-owned localCheckpoint) per the h16 pattern.
+    * Note the internal signature frame is pinned for the bucket
+    * self-join (both sides read it; an uncached plan re-hashes the
+    * corpus twice and projection collapse re-inlines the pipeline).
+    * The pin is OWNED by [[graft.SessionPins]] (r17 verdict #4):
+    * CacheManager still dedupes repeat invocations on the same input
+    * plan, distinct inputs register per session against a bounded
+    * registry (oldest pin unpersisted past the bound), and services
+    * release everything with `SessionPins.releaseAll(spark)` — the
+    * grow-forever footgun of the old raw `cache()` convention is
+    * retired structurally.
     */
   def minhashPairsBlocked(docs: DataFrame, k: Int = 32, bands: Int = 32,
       maxLenDiff: Int = 3): DataFrame = {
@@ -339,7 +340,7 @@ object Dedup {
       .withColumn("sig", polyMinhashSig(col("shingles"), k))
       .withColumn("bandkeys", polyBandKeys(col("sig"), bands, rows))
       .select("doc_id", "lang", "n_chars", "sig", "bandkeys")
-      .cache()
+      .transform(graft.SessionPins.pin)
     val buckets = sigs.select(col("doc_id"), col("lang"), col("n_chars"),
       col("sig"), posexplode(col("bandkeys")).as(Seq("band", "bucket")))
     buckets.as("a")
@@ -378,7 +379,7 @@ object Dedup {
       .withColumn("sim", polySimhash32(col("toks")))
       .select(Seq(col("doc_id"), col("sim")) ++
         (0 until 4).map(k => shiftright(col("sim"), 15 * k).bitwiseAND(lit(32767L)).as(s"sb_$k")): _*)
-      .cache()
+      .transform(graft.SessionPins.pin)
     val buckets = sigs.select(col("doc_id"), col("sim"),
         posexplode(array((0 until 4).map(k => col(s"sb_$k")): _*)).as(Seq("band", "bucket")))
     val near = buckets.as("a")
@@ -435,7 +436,7 @@ object Dedup {
       .withColumn("shingles", array_distinct(wordNgrams(tokens(lower(col("text"))), 2)))
       .withColumn("band", floor(col("n_chars") / bandWidth))
       .select("doc_id", "lang", "n_chars", "band", "shingles")
-      .cache()
+      .transform(graft.SessionPins.pin)
     val oversized = t.groupBy("lang", "band")
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBandPopulation)
@@ -488,7 +489,7 @@ object Dedup {
         array_distinct(wordNgrams(tokens(lower(col("text"))), 5)))
       .select("doc_id", "grams")
       .filter(size(col("grams")) > 0)
-      .cache()
+      .transform(graft.SessionPins.pin)
     val ex = t.select(col("doc_id"), explode(col("grams")).as("gram"))
     val kept = ex.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
@@ -1087,7 +1088,7 @@ object Dedup {
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
     }
     val buckets =
-      lshBucketed(e.cache(), nPlanes, nTables, extras = Seq("label"))
+      lshBucketed(graft.SessionPins.pin(e), nPlanes, nTables, extras = Seq("label"))
     buckets.as("a").join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))

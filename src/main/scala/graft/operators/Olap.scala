@@ -249,8 +249,9 @@ object Olap {
     // pass, survivor filter, sweep join) — persist once, q46's
     // inline-cache convention, or the upstream fact aggregate re-runs
     // per consumer
-    val pts = points.select(col(idCol), col(xCol).cast("double").as("__x"),
-      col(yCol).as("__y")).cache()
+    val pts = graft.SessionPins.pin(
+      points.select(col(idCol), col(xCol).cast("double").as("__x"),
+        col(yCol).as("__y")))
     val stats = pts.agg(min("__x").as("__xmin"), max("__x").as("__xmax"))
     val b = pts.crossJoin(broadcast(stats))
       .withColumn("__b",

@@ -937,7 +937,7 @@ object OlapQueries {
           col("p_brand"))), Seq("l_partkey"))
         .groupBy("l_orderkey")
         .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
-        .cache()
+        .transform(graft.SessionPins.pin)
       val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
       val brandCnt = baskets
         .select(explode(col("bs")).as("p_brand"))

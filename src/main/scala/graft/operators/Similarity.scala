@@ -90,7 +90,7 @@ object Similarity {
         shortlist).as("tk"))
       .select(col("q_id"), explode(col("tk")).as("t"))
       .select(col("q_id"), col("t.id").as("id"), col("t.score").as("rel"))
-      .cache()
+      .transform(graft.SessionPins.pin)
     val sv = short.join(c.select(col("vec_id").as("id"), col("v"),
       col("nrm")), Seq("id"))
     val sa = sv.select(col("q_id"), col("id").as("ia"), col("v").as("va"),
@@ -503,10 +503,10 @@ object Similarity {
       nEntries: Int = 8, prebuiltEdges: Option[DataFrame] = None): DataFrame = {
     val c = corpus(emb)
     val edges = prebuiltEdges
-      .getOrElse(knnGraphEdges(emb, degree).cache()) // read once per hop
+      .getOrElse(graft.SessionPins.pin(knnGraphEdges(emb, degree))) // read once per hop
     // the scoring side re-scans per hop too — cache the bare
     // (id, v, nrm) projection so hops 2..H are memory reads
-    val cScore = c.select(col("vec_id"), col("v"), col("nrm")).cache()
+    val cScore = graft.SessionPins.pin(c.select(col("vec_id"), col("v"), col("nrm")))
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     // ENTRY POINTS: the nEntries smallest corpus ids not equal to the
@@ -760,7 +760,7 @@ object Similarity {
     // corpus so each pass is a memory scan, not a parquet re-read.
     // (Production builds train on a SAMPLE and persist the index; the
     // cache models the "read once, train, encode" offline job.)
-    val c = corpus(emb).cache()
+    val c = graft.SessionPins.pin(corpus(emb))
     val dim = c.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
@@ -1221,10 +1221,11 @@ object SimilarityQueries {
     "s19_recall_curve" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val exact = Similarity.bruteForceTopK(emb)
-        .select(col("q_id"), col("rank"), col("neighbor_id")).cache()
+        .select(col("q_id"), col("rank"), col("neighbor_id"))
+        .transform(graft.SessionPins.pin)
       val approx = Similarity.lshTopK(emb)
         .select(col("q_id"), col("rank").as("a_rank"), col("neighbor_id"))
-        .cache()
+        .transform(graft.SessionPins.pin)
       Seq(1, 3, 5).map { k =>
         val ex = exact.filter(col("rank") <= k)
         val nT = ex.agg(count(lit(1)).as("n_truth"))
