@@ -179,7 +179,10 @@ object Bench {
         // worst ratios first; cap the budget so a fully contaminated
         // sweep (r17 had 33 >2× entries) still re-measures in bounded
         // time. 2 timed runs each, min reported — same protocol as
-        // the sweep itself.
+        // the sweep itself. Entries past the cap are COUNTED in
+        // `remeasure_capped` below — an over-2× entry absent from the
+        // remeasured map must be distinguishable from one the phase
+        // never considered, or its disposition re-opens manually.
         over2x.sortBy(n => -(resultMap(n) / committedMin(n))).take(40)
           .map { n =>
             val fn = SparkEntry.queries(n)
@@ -189,6 +192,8 @@ object Bench {
             n -> (if (ok.isEmpty) -1.0 else ok.min)
           }.toMap
       }
+    val remeasureCapped = math.max(0,
+      (if (remeasureWait <= 0) 0 else over2x.size) - remeasured.size)
     val remeasureLoadOk = remeasured.nonEmpty &&
       (remeasureLoad < 0 || remeasureLoad <= foldMaxLoad)
     // The harness keeps only the tail of stdout (~2000 chars) — an
@@ -206,11 +211,30 @@ object Bench {
     // line (what the driver snapshots as BENCH_r{N}) and BENCH_LAST —
     // a contaminated reading without its idle re-measure next to it
     // is exactly the deferred-disposition failure mode this closes.
-    val remeasureField =
-      if (remeasured.isEmpty) ""
-      else remeasured.toSeq.sorted.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-        .mkString(s""","remeasure_load":${fmt(remeasureLoad)},"remeasured":{""", ",", "}")
-    def line(keep: Seq[(String, Double)], omitted: Seq[(String, Double)]) = {
+    // The printed copy is TRIMMABLE like the query map (worst ratios
+    // kept, `remeasured_omitted` counts the rest): on a heavily
+    // contaminated sweep a full 40-entry map plus the suspect list
+    // would push the line past the harness's ~2000-char stdout tail
+    // and ship it truncated mid-JSON — in exactly the scenario this
+    // feature exists for. BENCH_LAST.json always carries the full map.
+    val rmBySeverity = remeasured.toSeq
+      .sortBy { case (k, _) => -(resultMap.getOrElse(k, 0.0) /
+        committedMin.getOrElse(k, 1.0)) }
+    def remeasureField(rmKeep: Seq[(String, Double)]) = {
+      val omitted = remeasured.size - rmKeep.size
+      if (remeasured.isEmpty && remeasureCapped == 0) ""
+      else {
+        val m = rmKeep.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+          .mkString("{", ",", "}")
+        val om = if (omitted > 0) s""","remeasured_omitted":$omitted""" else ""
+        val cap = if (remeasureCapped > 0)
+          s""","remeasure_capped":$remeasureCapped""" else ""
+        s""","remeasure_load":${fmt(remeasureLoad)},"remeasured":$m$om$cap"""
+      }
+    }
+    def line(keep: Seq[(String, Double)], omitted: Seq[(String, Double)],
+        rmKeep: Seq[(String, Double)]) = {
       val m = keep.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val om = if (omitted.isEmpty) ""
@@ -220,13 +244,23 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":2,""" +
         s""""warm_ok":$warmOk,"warm_sec":${fmt(warmSec)},"load_avg":${fmt(loadAvg)},""" +
         s""""start_load":${fmt(startLoad)},"folded":$didFold,""" +
-        s""""failed":$fl,"suspect":$sus$remeasureField,"queries":$m$om,"sf":"$sfDir"}"""
+        s""""failed":$fl,"suspect":$sus${remeasureField(rmKeep)},""" +
+        s""""queries":$m$om,"sf":"$sfDir"}"""
     }
-    // drop order: fastest first; failures sort as slowest so they stay
+    // drop order: fastest queries first (failures sort as slowest so
+    // they stay), then mildest re-measures — both maps shrink until
+    // the line fits the harness window
     val bySlow = results.sortBy(r => -(if (r._2 < 0) Double.MaxValue else r._2))
     var keep = results.size
-    while (keep > 1 && line(bySlow.take(keep), bySlow.drop(keep)).length > 1800)
+    var rmKeepN = rmBySeverity.size
+    while (keep > 1 &&
+        line(bySlow.take(keep), bySlow.drop(keep),
+          rmBySeverity.take(rmKeepN)).length > 1800)
       keep -= 1
+    while (rmKeepN > 0 &&
+        line(bySlow.take(keep), bySlow.drop(keep),
+          rmBySeverity.take(rmKeepN)).length > 1800)
+      rmKeepN -= 1
     // BENCH_FULL.json = explicit minima fold: floor(q) = min(committed
     // floor, this run's green result). min() makes the fold monotone —
     // a contended run can only lower floors it genuinely beat, so the
@@ -330,7 +364,8 @@ object Bench {
             s""""start_load":$startLoad,"folded":$didFold,""" +
             s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
             s""""suspect":${suspect.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-            s""""remeasure_load":$remeasureLoad,"remeasured":${
+            s""""remeasure_load":$remeasureLoad,"remeasure_capped":$remeasureCapped,""" +
+            s""""remeasured":${
               remeasured.toSeq.sorted.map { case (k, v) => s"\"$k\":$v" }
                 .mkString("{", ",", "}")},""" +
             """"queries":{""", ",", "},") +
@@ -338,7 +373,8 @@ object Bench {
           .mkString(""""raw_runs":{""", ",", "}}\n"))
         .getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    println(line(bySlow.take(keep), bySlow.drop(keep)))
+    println(line(bySlow.take(keep), bySlow.drop(keep),
+      rmBySeverity.take(rmKeepN)))
     spark.stop()
   }
 }

@@ -31,8 +31,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SessionPins {
   private val maxPins = sys.env.get("GRAFT_MAX_SESSION_PINS")
     .map(_.toInt).getOrElse(256)
+
+  // `dead` closes the pin/releaseAll race: releaseAll removes the
+  // queue from the map and THEN (under the lock) marks it dead and
+  // drains it. A pin that grabbed the old queue before the removal
+  // either lands inside the drained set (released with the rest) or
+  // observes `dead` and retries into a fresh queue — a cached frame
+  // can never end up registered nowhere (the silent re-leak the
+  // registry exists to prevent).
+  private final class PinQueue {
+    var dead = false
+    val q = new java.util.ArrayDeque[DataFrame]()
+  }
   private val m = new java.util.concurrent.ConcurrentHashMap[
-    SparkSession, java.util.ArrayDeque[DataFrame]]()
+    SparkSession, PinQueue]()
 
   private def quietUnpersist(df: DataFrame): Unit =
     try { df.unpersist(); () }
@@ -43,32 +55,45 @@ object SessionPins {
     val spark = df.sparkSession
     val it = m.keySet.iterator
     while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
-    val q = m.computeIfAbsent(spark,
-      _ => new java.util.ArrayDeque[DataFrame]())
-    q.synchronized {
-      q.addLast(df.cache())
-      // oldest-first eviction: unpersist releases the executor blocks;
-      // the frame itself stays usable (recompute on next read). Note
-      // CacheManager unpersists by PLAN equality — an evicted pin that
-      // shares its plan with a newer one drops the shared entry, which
-      // is the conservative (storage-bounding) direction.
-      while (q.size > maxPins) quietUnpersist(q.pollFirst())
+    df.cache()
+    var registered = false
+    while (!registered) {
+      val pq = m.computeIfAbsent(spark, _ => new PinQueue)
+      registered = pq.synchronized {
+        if (pq.dead) false // racing releaseAll drained this queue; retry
+        else {
+          pq.q.addLast(df)
+          // oldest-first eviction: unpersist releases the executor
+          // blocks; the frame itself stays usable (recompute on next
+          // read). Note CacheManager unpersists by PLAN equality — an
+          // evicted pin sharing its plan with a newer one drops the
+          // shared entry, which is the conservative (storage-bounding)
+          // direction.
+          while (pq.q.size > maxPins) quietUnpersist(pq.q.pollFirst())
+          true
+        }
+      }
     }
     df
   }
 
   /** Unpersist and forget every pin taken in `spark` — idempotent;
-    * pinned frames stay usable, they just recompute.
+    * pinned frames stay usable, they just recompute. Safe to race
+    * with concurrent [[pin]]s: each pin either drains here or
+    * re-registers in a fresh queue.
     */
   def releaseAll(spark: SparkSession): Unit = {
-    val q = m.remove(spark)
-    if (q != null && !spark.sparkContext.isStopped)
-      q.synchronized { q.forEach(quietUnpersist) }
+    val pq = m.remove(spark)
+    if (pq != null) pq.synchronized {
+      pq.dead = true
+      if (!spark.sparkContext.isStopped) pq.q.forEach(quietUnpersist)
+      pq.q.clear()
+    }
   }
 
   private[graft] def pinCount(spark: SparkSession): Int = {
-    val q = m.get(spark)
-    if (q == null) 0 else q.synchronized(q.size)
+    val pq = m.get(spark)
+    if (pq == null) 0 else pq.synchronized(pq.q.size)
   }
 }
 

@@ -657,42 +657,8 @@ object Multimodal {
   final class PgmCodec extends MediaCodec {
     override def decode(r: MediaRow): Array[Double] = {
       val b = r.payload
-      require(b.length >= 2 && b(0) == 'P' && b(1) == '5',
-        s"doc ${r.doc_id}: not a binary PGM payload")
-      var i = 2
-      // read 3 whitespace-separated integer tokens, skipping # comments
-      def nextInt(): Int = {
-        while (i < b.length &&
-          (b(i).toChar.isWhitespace || b(i) == '#')) {
-          if (b(i) == '#') while (i < b.length && b(i) != '\n') i += 1
-          else i += 1
-        }
-        // Long accumulator + bound check: a >10-digit token would wrap
-        // an Int accumulator to an arbitrary (possibly small positive)
-        // value and defeat the raster-size validation downstream
-        var v = 0L
-        require(i < b.length && b(i) >= '0' && b(i) <= '9',
-          s"doc ${r.doc_id}: malformed PGM header")
-        while (i < b.length && b(i) >= '0' && b(i) <= '9') {
-          v = v * 10 + (b(i) - '0')
-          require(v <= Int.MaxValue, s"doc ${r.doc_id}: PGM header token overflow")
-          i += 1
-        }
-        v.toInt
-      }
-      val w = nextInt(); val h = nextInt(); val maxval = nextInt()
-      require(maxval > 0 && maxval < 256,
-        s"doc ${r.doc_id}: 16-bit PGM unsupported (maxval $maxval)")
-      // raster size in LONG arithmetic: an adversarial header like
-      // "65535 65535" overflows Int (w*h < 0), which would slip past a
-      // `length - i >= w*h` check and silently return nonsense features
-      require(w > 0 && h > 0, s"doc ${r.doc_id}: non-positive PGM dims ${w}x$h")
-      val raster = w.toLong * h.toLong
-      require(raster <= Int.MaxValue,
-        s"doc ${r.doc_id}: PGM raster ${w}x$h overflows")
-      val px = raster.toInt
-      i += 1 // exactly one whitespace byte separates header and raster
-      require(b.length - i >= px, s"doc ${r.doc_id}: truncated PGM raster")
+      val (w, h, i) = pgmHeader(b, r.doc_id)
+      val px = w * h
       var sum = 0.0
       var j = 0
       while (j < px) { sum += (b(i + j) & 0xff); j += 1 }
@@ -954,43 +920,60 @@ object Multimodal {
     }
   }
 
-  /** Binary-PGM (P5) raster: [[PgmCodec]]'s header walk (whitespace
-    * tokens, `#` comments, maxval < 256), then a zero-copy window
-    * onto the w×h gray bytes (channels = 1).
+  /** SHARED P5 header walk (whitespace tokens, `#` comments,
+    * maxval < 256, Long-accumulated tokens, Int-overflow-safe raster
+    * bound, truncation check): ONE parser feeding both the stats
+    * codec ([[PgmCodec]]) and the raster codec ([[PgmRaster]]), so
+    * the two decode paths can never drift on the same payload.
+    * Returns (width, height, raster offset).
+    */
+  private[operators] def pgmHeader(b: Array[Byte], docId: Long): (Int, Int, Int) = {
+    require(b.length >= 2 && b(0) == 'P' && b(1) == '5',
+      s"doc $docId: not a binary PGM payload")
+    var i = 2
+    // read 3 whitespace-separated integer tokens, skipping # comments
+    def nextInt(): Int = {
+      while (i < b.length &&
+        (b(i).toChar.isWhitespace || b(i) == '#')) {
+        if (b(i) == '#') while (i < b.length && b(i) != '\n') i += 1
+        else i += 1
+      }
+      // Long accumulator + bound check: a >10-digit token would wrap
+      // an Int accumulator to an arbitrary (possibly small positive)
+      // value and defeat the raster-size validation downstream
+      var v = 0L
+      require(i < b.length && b(i) >= '0' && b(i) <= '9',
+        s"doc $docId: malformed PGM header")
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10 + (b(i) - '0')
+        require(v <= Int.MaxValue, s"doc $docId: PGM header token overflow")
+        i += 1
+      }
+      v.toInt
+    }
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    require(maxval > 0 && maxval < 256,
+      s"doc $docId: 16-bit PGM unsupported (maxval $maxval)")
+    // raster size in LONG arithmetic: an adversarial header like
+    // "65535 65535" overflows Int (w*h < 0), which would slip past a
+    // `length - i >= w*h` check and silently return nonsense features
+    require(w > 0 && h > 0, s"doc $docId: non-positive PGM dims ${w}x$h")
+    val raster = w.toLong * h.toLong
+    require(raster <= Int.MaxValue,
+      s"doc $docId: PGM raster ${w}x$h overflows")
+    i += 1 // exactly one whitespace byte separates header and raster
+    require(b.length - i >= raster.toInt,
+      s"doc $docId: truncated PGM raster")
+    (w, h, i)
+  }
+
+  /** Binary-PGM (P5) raster: the shared [[pgmHeader]] walk, then a
+    * zero-copy window onto the w×h gray bytes (channels = 1).
     */
   final class PgmRaster extends RasterCodec {
     override def raster(r: MediaRow): Raster = {
-      val b = r.payload
-      require(b.length >= 2 && b(0) == 'P' && b(1) == '5',
-        s"doc ${r.doc_id}: not a binary PGM payload")
-      var i = 2
-      def nextInt(): Int = {
-        while (i < b.length &&
-          (b(i).toChar.isWhitespace || b(i) == '#')) {
-          if (b(i) == '#') while (i < b.length && b(i) != '\n') i += 1
-          else i += 1
-        }
-        var v = 0L
-        require(i < b.length && b(i) >= '0' && b(i) <= '9',
-          s"doc ${r.doc_id}: malformed PGM header")
-        while (i < b.length && b(i) >= '0' && b(i) <= '9') {
-          v = v * 10 + (b(i) - '0')
-          require(v <= Int.MaxValue, s"doc ${r.doc_id}: PGM header token overflow")
-          i += 1
-        }
-        v.toInt
-      }
-      val w = nextInt(); val h = nextInt(); val maxval = nextInt()
-      require(maxval > 0 && maxval < 256,
-        s"doc ${r.doc_id}: 16-bit PGM unsupported (maxval $maxval)")
-      require(w > 0 && h > 0, s"doc ${r.doc_id}: non-positive PGM dims ${w}x$h")
-      val raster = w.toLong * h.toLong
-      require(raster <= Int.MaxValue,
-        s"doc ${r.doc_id}: PGM raster ${w}x$h overflows")
-      i += 1 // exactly one whitespace byte separates header and raster
-      require(b.length - i >= raster.toInt,
-        s"doc ${r.doc_id}: truncated PGM raster")
-      Raster(w, h, 1, b, i)
+      val (w, h, off) = pgmHeader(r.payload, r.doc_id)
+      Raster(w, h, 1, r.payload, off)
     }
   }
 
@@ -1132,36 +1115,47 @@ object Multimodal {
       .filter(col("n_shared_tiles") >= minShared)
   }
 
-  def extractFeatures(spark: SparkSession, media: DataFrame,
-      codec: MediaCodec = new ByteStatsCodec): Dataset[MediaFeatures] = {
+  /** Shared per-partition codec lifecycle — the r17-documented
+    * subtleties live exactly ONCE here for both decode modes:
+    * `open()` before the partition's rows; `close()` exactly once, on
+    * task completion (fires on success, failure AND early termination
+    * e.g. limit — piggybacking on iterator exhaustion alone would
+    * leak the codec handle on any non-drained partition, and
+    * completion listeners run exactly once so there is no
+    * double-close), with a belt-and-braces exhaustion close for
+    * non-task callers (unit tests driving the closure directly).
+    */
+  private def decodeWithLifecycle[T](spark: SparkSession, media: DataFrame,
+      codec: MediaCodec, enc: org.apache.spark.sql.Encoder[T])(
+      f: MediaRow => T): Dataset[T] = {
     import spark.implicits._
+    implicit val te: org.apache.spark.sql.Encoder[T] = enc
     media.as[MediaRow].mapPartitions { rows =>
       codec.open()
-      // Close on task completion (fires on success, failure AND early
-      // termination e.g. limit) — piggybacking on iterator exhaustion
-      // would leak the codec handle on any non-drained partition, and
-      // completion listeners run exactly once so there is no
-      // double-close. Belt-and-braces guard for non-task callers (unit
-      // tests driving the closure directly).
       val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
       def closeOnce(): Unit = if (closed.compareAndSet(false, true)) codec.close()
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
-      val mapped = rows.map { r =>
-        val f = codec.decode(r)
-        MediaFeatures(r.doc_id, r.media_type,
-          f(0).toLong, f(1).toLong, f(2), f(3), f(4))
-      }
-      new Iterator[MediaFeatures] {
+      val mapped = rows.map(f)
+      new Iterator[T] {
         override def hasNext: Boolean = {
           val h = mapped.hasNext
           if (!h) closeOnce()
           h
         }
-        override def next(): MediaFeatures = mapped.next()
+        override def next(): T = mapped.next()
       }
     }
   }
+
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+      codec: MediaCodec = new ByteStatsCodec): Dataset[MediaFeatures] =
+    decodeWithLifecycle(spark, media, codec,
+      org.apache.spark.sql.Encoders.product[MediaFeatures]) { r =>
+      val f = codec.decode(r)
+      MediaFeatures(r.doc_id, r.media_type,
+        f(0).toLong, f(1).toLong, f(2), f(3), f(4))
+    }
 
   /** PERMISSIVE twin of [[extractFeatures]] — the production mode for
     * scraped corpora (r17 verdict #2). The strict path's fail-fast
@@ -1180,37 +1174,21 @@ object Multimodal {
     * JVM errors still fail the task, as they must.
     */
   def extractFeaturesQuarantine(spark: SparkSession, media: DataFrame,
-      codec: MediaCodec = new ByteStatsCodec): Dataset[MediaDecodeOutcome] = {
-    import spark.implicits._
-    media.as[MediaRow].mapPartitions { rows =>
-      codec.open()
-      val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
-      def closeOnce(): Unit = if (closed.compareAndSet(false, true)) codec.close()
-      Option(org.apache.spark.TaskContext.get())
-        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
-      val mapped = rows.map { r =>
-        try {
-          val f = codec.decode(r)
-          MediaDecodeOutcome(r.doc_id, r.media_type, ok = true, None,
-            Some(f(0).toLong), Some(f(1).toLong), Some(f(2)),
-            Some(f(3)), Some(f(4)))
-        } catch { case scala.util.control.NonFatal(e) =>
-          val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
-            .stripPrefix("requirement failed: ")
-          MediaDecodeOutcome(r.doc_id, r.media_type, ok = false, Some(msg),
-            None, None, None, None, None)
-        }
-      }
-      new Iterator[MediaDecodeOutcome] {
-        override def hasNext: Boolean = {
-          val h = mapped.hasNext
-          if (!h) closeOnce()
-          h
-        }
-        override def next(): MediaDecodeOutcome = mapped.next()
+      codec: MediaCodec = new ByteStatsCodec): Dataset[MediaDecodeOutcome] =
+    decodeWithLifecycle(spark, media, codec,
+      org.apache.spark.sql.Encoders.product[MediaDecodeOutcome]) { r =>
+      try {
+        val f = codec.decode(r)
+        MediaDecodeOutcome(r.doc_id, r.media_type, ok = true, None,
+          Some(f(0).toLong), Some(f(1).toLong), Some(f(2)),
+          Some(f(3)), Some(f(4)))
+      } catch { case scala.util.control.NonFatal(e) =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+          .stripPrefix("requirement failed: ")
+        MediaDecodeOutcome(r.doc_id, r.media_type, ok = false, Some(msg),
+          None, None, None, None, None)
       }
     }
-  }
 }
 
 /** Registry: binary plumbing is engine-specific (binary payload +

@@ -76,10 +76,15 @@ object MvFold {
         graft.functions.BitmapDistinctAggregate.bitmapMerge(col(n), m).as(n)
     } :+ sum(col("__mv_n")).as("__mv_n")
 
-  private def distinctNames(measures: Seq[MvMeasure]): Unit = {
+  private def checkNames(keys: Seq[String], measures: Seq[MvMeasure]): Unit = {
     val names = measures.map(_.name)
     require(names.distinct == names, s"duplicate measure names: $names")
-    require(!names.contains("__mv_n"), "__mv_n is reserved")
+    require(!names.contains("__mv_n") && !keys.contains("__mv_n"),
+      "__mv_n is reserved")
+    val clash = names.intersect(keys)
+    require(clash.isEmpty,
+      s"measure names collide with grouping keys: $clash — the MV frame " +
+        "would carry duplicate columns and fail ambiguously downstream")
   }
 
   /** Build the stored MV at `keys` grain from a fact frame. ONE
@@ -88,7 +93,7 @@ object MvFold {
     */
   def build(facts: DataFrame, keys: Seq[String],
       measures: Seq[MvMeasure]): DataFrame = {
-    distinctNames(measures)
+    checkNames(keys, measures)
     val aggs = partialAggs(measures, lit(1L))
     facts.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -101,7 +106,7 @@ object MvFold {
     */
   def fold(mv: DataFrame, delta: DataFrame, keys: Seq[String],
       measures: Seq[MvMeasure], retract: Boolean = false): DataFrame = {
-    distinctNames(measures)
+    checkNames(keys, measures)
     require(!(retract && measures.exists(_.isInstanceOf[MvBitmapDistinct])),
       "bitmap-distinct measures cannot retract (set union is monotone); " +
         "deletions need the signed-grain path — an MvSum/MvCount MV at " +

@@ -72,13 +72,18 @@ class MvFoldSpec extends SparkSpec {
     assert(read === Set(("a", 17L, 3L, 2L), ("b", 7L, 1L, 1L)))
   }
 
-  test("reserved and duplicate measure names are rejected") {
+  test("reserved, duplicate and key-colliding measure names are rejected") {
     val hist = facts(("a", 1L, 1L))
     intercept[IllegalArgumentException] {
       MvFold.build(hist, keys, Seq(MvCount("x"), MvSum("x", col("v"))))
     }
     intercept[IllegalArgumentException] {
       MvFold.build(hist, keys, Seq(MvCount("__mv_n")))
+    }
+    // a measure named like a grouping key would emit duplicate
+    // columns and fail ambiguously at the NEXT fold — refuse upfront
+    intercept[IllegalArgumentException] {
+      MvFold.build(hist, keys, Seq(MvSum("grp", col("v"))))
     }
   }
 }

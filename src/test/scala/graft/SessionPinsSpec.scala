@@ -39,15 +39,14 @@ class SessionPinsSpec extends SparkSpec {
       "minhashLsh's sigs pin must register with SessionPins")
     SessionPins.releaseAll(spark)
     assert(SessionPins.pinCount(spark) == 0)
-    // storage actually drained: no graft-pinned RDDs remain cached
-    // (other suites may share the context, so assert on the delta)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty ||
-      SessionPins.pinCount(spark) == 0)
   }
 
   test("the per-session bound unpersists oldest pins first") {
     SessionPins.releaseAll(spark)
-    val bound = 256 // default GRAFT_MAX_SESSION_PINS
+    // the EFFECTIVE bound (env-aware): hardcoding 256 would test the
+    // wrong bound (or fail spuriously) under GRAFT_MAX_SESSION_PINS
+    val bound = sys.env.get("GRAFT_MAX_SESSION_PINS")
+      .map(_.toInt).getOrElse(256)
     val frames = (0 until bound + 3).map { i =>
       SessionPins.pin(Seq((i.toLong, i.toString)).toDF("id", "s"))
     }
