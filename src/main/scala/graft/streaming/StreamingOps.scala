@@ -691,6 +691,32 @@ object StreamingQueries {
       dir
     }
 
+  /** m20's corrupted-media frame (m3-dim BMP synth with the two
+    * planted corruption classes) as a 4-file stream source — st36
+    * routes each arriving micro-batch through the permissive decode.
+    */
+  private def quarantineStreamDir(s: SparkSession, d: String): String =
+    fixtureCache(s, s"quarantine:$d") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_q_stream")
+        .resolve("batch").toString
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, text) =>
+          val w = (2 + (id % 6)).toInt
+          val h = (2 + (id % 4)).toInt
+          val bmp = graft.operators.Multimodal.synthBmp(w, h, text)
+          val payload =
+            if (id % 7 == 0) java.util.Arrays.copyOf(bmp, 20)
+            else if (id % 7 == 3) java.util.Arrays.copyOf(bmp, 56)
+            else bmp
+          graft.operators.Multimodal.MediaRow(id, payload, "image/bmp", w, h)
+        }
+        .toDF().repartition(4).write.mode("overwrite").parquet(dir)
+      dir
+    }
+
   /** m18's synthesized-BMP media frame (the WHOLE corpus) as a 4-file
     * stream source — st35 tiles arriving images per micro-batch and
     * probes them against the static tile-hash index of the same
@@ -719,7 +745,8 @@ object StreamingQueries {
     */
   def warmFixtures(s: SparkSession, d: String): Unit = {
     mvStreamDir(s, d); ndStreamDir(s, d); embStreamDir(s, d)
-    decontamStreamDir(s, d); tilesStreamDir(s, d); ()
+    decontamStreamDir(s, d); tilesStreamDir(s, d)
+    quarantineStreamDir(s, d); ()
   }
 
   /** Drive a Structured Streaming query over the events parquet to
@@ -1312,6 +1339,43 @@ object StreamingQueries {
         graft.operators.Multimodal.subimageMatches(catalogTiles.limit(0))
       else acc
     }),
+    // STREAMING DECODE QUARANTINE (round 18; m20 re-based on a
+    // stream): scraped media ingests in micro-batches and each batch
+    // runs the permissive decode INSIDE its tasks — good rows carry
+    // the strict-path stats toward training storage, malformed
+    // payloads become in-band quarantine records instead of killing
+    // the ingest job. Per-doc outcomes depend only on the doc's own
+    // bytes, so batch results union to exactly the single-shot answer
+    // and m20's oracle is reused VERBATIM — the decode gate every
+    // streaming media pipeline runs at real corpus scale, where a
+    // fail-fast decoder aborting the stream on one bad file is the
+    // #1 operational failure.
+    "st36_stream_quarantine" -> ((s, d) => {
+      val dir = quarantineStreamDir(s, d)
+      val schema = s.read.parquet(dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      var acc: DataFrame = null
+      val partsWas = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = stream.writeStream.outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val out = graft.operators.Multimodal
+              .extractFeaturesQuarantine(s, batch.toDF(),
+                new graft.operators.Multimodal.BmpCodec)
+              .toDF().localCheckpoint()
+            acc = if (acc == null) out else acc.unionByName(out)
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", partsWas)
+      if (acc == null)
+        graft.operators.Multimodal.extractFeaturesQuarantine(s,
+          s.read.parquet(dir).limit(0),
+          new graft.operators.Multimodal.BmpCodec).toDF()
+      else acc
+    }),
     // st10's classification landed through the EXACTLY-ONCE durable
     // sink: foreachBatch + idempotent batch_id-partition overwrite
     // (see [[StreamingOpsSinks.streamNearDupToParquet]]). The
@@ -1442,6 +1506,10 @@ object StreamingQueries {
     // self-join (each pair emits in its higher-id doc's batch)
     "st35_stream_subimage" ->
       graft.operators.MultimodalQueries.oracles("m19_subimage_match"),
+    // per-doc decode outcomes are batch-independent, so the streamed
+    // union ≡ m20's single-shot permissive decode
+    "st36_stream_quarantine" ->
+      graft.operators.MultimodalQueries.oracles("m20_decode_quarantine"),
     // durable sink contents ≡ the single-shot incremental near-dup
     "st11_stream_neardup_sink" ->
       graft.operators.DedupQueries.oracles("d11_incremental_neardup"),

@@ -79,6 +79,9 @@ class PlanLintSpec extends SparkSpec {
     // st35 drives the stream on invocation; its probe plan is m19's
     // tile-hash equi-join (linted there)
     "st35_stream_subimage",
+    // st36 drives the stream on invocation; its decode plan is m20's
+    // per-row permissive map (linted there)
+    "st36_stream_quarantine",
     // st12/st13 drive the full stream on invocation; the histogram agg
     // plan is q39's (linted there); st14's session agg is st4's
     "st12_stream_histogram", "st13_stream_histogram_append",
