@@ -230,4 +230,32 @@ class EmptyInputSpec extends SparkSpec {
     assert(Multimodal.extractFeatures(spark, Multimodal.mediaTable(noDocs),
       new Multimodal.SpectrumCodec(64)).count() == 0)
   }
+
+  test("round-18 operators handle empty inputs") {
+    val noMedia = Seq.empty[(Long, Array[Byte], String, Int, Int)]
+      .toDF("doc_id", "payload", "media_type", "width", "height")
+    // permissive decode over nothing: no rows, no quarantine records
+    assert(Multimodal.extractFeaturesQuarantine(spark, noMedia,
+      new Multimodal.BmpCodec).count() == 0)
+    // sniffing tiler, index and probe over an empty corpus
+    val noTiles = Multimodal.imageTiles(spark, noMedia, patch = 4,
+      codec = new Multimodal.SniffRaster).toDF()
+    assert(noTiles.count() == 0)
+    assert(Multimodal.subimageIndex(noTiles).count() == 0)
+    assert(Multimodal.subimageProbePrepped(
+      Multimodal.subimageIndex(noTiles), noTiles).count() == 0)
+    // MvFold: empty build reads empty; empty MV accepts a fold; a
+    // live MV absorbs an empty delta unchanged (incl. the bitmap arm)
+    val noFacts = Seq.empty[(String, Long, Long)].toDF("grp", "v", "member")
+    val one = Seq(("a", 2L, 7L)).toDF("grp", "v", "member")
+    val ks = Seq("grp")
+    val ms = Seq(MvSum("s", col("v")), MvCount("n"),
+      MvBitmapDistinct("d", col("member"), 1 << 10))
+    assert(MvFold.read(MvFold.build(noFacts, ks, ms), ks, ms).count() == 0)
+    assert(MvFold.read(MvFold.fold(MvFold.build(noFacts, ks, ms),
+      one, ks, ms), ks, ms).count() == 1)
+    val absorbed = MvFold.read(MvFold.fold(MvFold.build(one, ks, ms),
+      noFacts, ks, ms), ks, ms).collect()
+    assert(absorbed.length == 1 && absorbed.head.getLong(3) == 1L)
+  }
 }

@@ -72,6 +72,49 @@ class MvFoldSpec extends SparkSpec {
     assert(read === Set(("a", 17L, 3L, 2L), ("b", 7L, 1L, 1L)))
   }
 
+  test("random batch splits with random retraction subsets equal the one-shot recompute") {
+    // deterministic LCG (house convention: no Random in specs)
+    var x = 7L
+    def nxt(m: Int): Int = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(x >> 17, m).toInt
+    }
+    for (trial <- 1 to 4) {
+      val rows = (1 to 60).map { _ =>
+        ("g" + nxt(5), nxt(100).toLong, nxt(10).toLong)
+      }
+      // random 3-way split into hist/delta1/delta2; random subset of
+      // HIST rows retracted (retraction contract: original rows only)
+      val tagged = rows.map(r => (r, nxt(3)))
+      val hist = tagged.collect { case (r, 0) => r }
+      val d1 = tagged.collect { case (r, 1) => r }
+      val d2 = tagged.collect { case (r, 2) => r }
+      val retract = hist.filter(_ => nxt(4) == 0)
+      val kept = (hist diff retract) ++ d1 ++ d2
+      def df(rs: Seq[(String, Long, Long)]) = facts(rs: _*)
+      val folded = MvFold.fold(
+        MvFold.fold(MvFold.fold(MvFold.build(df(hist), keys, signed),
+          df(d1), keys, signed), df(d2), keys, signed),
+        df(retract), keys, signed, retract = true)
+      def canon(mv: org.apache.spark.sql.DataFrame) =
+        MvFold.read(mv, keys, signed).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(canon(folded) === canon(MvFold.build(df(kept), keys, signed)),
+        s"trial $trial: folded != one-shot (hist=${hist.size} " +
+          s"d1=${d1.size} d2=${d2.size} retract=${retract.size})")
+      // bitmap arm (append-only): folding the same splits without the
+      // retraction equals the one-shot distinct over everything
+      val dist = Seq(MvBitmapDistinct("d", col("member"), 1 << 10))
+      def canonD(mv: org.apache.spark.sql.DataFrame) =
+        MvFold.read(mv, keys, dist).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet
+      val foldedD = MvFold.fold(MvFold.fold(MvFold.build(df(hist), keys, dist),
+        df(d1), keys, dist), df(d2), keys, dist)
+      assert(canonD(foldedD) === canonD(MvFold.build(df(rows), keys, dist)),
+        s"trial $trial: bitmap fold != one-shot")
+    }
+  }
+
   test("reserved, duplicate and key-colliding measure names are rejected") {
     val hist = facts(("a", 1L, 1L))
     intercept[IllegalArgumentException] {
