@@ -115,6 +115,28 @@ class MvFoldSpec extends SparkSpec {
     }
   }
 
+  test("a persisted MV round-trips through parquet and keeps folding (bitmap column included)") {
+    // at 100 TB the stored MV is a TABLE, not a session frame: write
+    // it out, reload cold, fold the next delta — identical to the
+    // continuous in-session fold (the binary bitmap partial survives
+    // the parquet round-trip byte-for-byte)
+    val ms = signed :+ MvBitmapDistinct("d", col("member"), 1 << 10)
+    val hist = facts(("a", 10L, 1L), ("a", 5L, 2L), ("b", 7L, 5L))
+    val delta = facts(("a", 3L, 2L), ("c", 1L, 9L))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mv").resolve("mv").toString
+    MvFold.build(hist, keys, ms).write.mode("overwrite").parquet(dir)
+    val reloaded = MvFold.fold(spark.read.parquet(dir), delta, keys, ms)
+    val continuous = MvFold.fold(MvFold.build(hist, keys, ms), delta, keys, ms)
+    def canon(mv: org.apache.spark.sql.DataFrame) =
+      MvFold.read(mv, keys, ms).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    assert(canon(reloaded) === canon(continuous))
+    assert(canon(reloaded) === Set(("a", 18L, 3L, 2L), ("b", 7L, 1L, 1L),
+      ("c", 1L, 1L, 1L)))
+  }
+
   test("reserved, duplicate and key-colliding measure names are rejected") {
     val hist = facts(("a", 1L, 1L))
     intercept[IllegalArgumentException] {
