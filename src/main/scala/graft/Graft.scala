@@ -539,6 +539,13 @@ object Graft {
   def filteredKnn(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame =
     operators.Similarity.filteredLshTopK(embeddings, k, nQueries)
 
+  /** IVF operating-point curve: recall@k at each probe count from one
+    * codebook and one brute truth pass — the readout nprobe is tuned
+    * on (see [[operators.Similarity.ivfProbeCurve]]). */
+  def ivfProbeCurve(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
+      nprobes: Seq[Int] = Seq(1, 2, 3)): DataFrame =
+    operators.Similarity.ivfProbeCurve(embeddings, k, nQueries, nprobes)
+
   /** Okapi BM25 full-text top-k with the corpus's own docs as
     * queries (see [[operators.Retrieval.bm25TopK]]). */
   def bm25TopK(docs: DataFrame, k: Int = 5, nQueries: Int = 5): DataFrame =

@@ -733,6 +733,58 @@ object Similarity {
     rerank(pairs, k)
   }
 
+  /** IVF OPERATING-POINT CURVE (s20; the probe-axis sibling of s19's
+    * banding curve): recall@k of the IVF index at each
+    * nprobe ∈ `nprobes`, measured against ONE brute-force truth pass
+    * over ONE trained codebook — the readout an ANN deployment tunes
+    * nprobe on (recall climbs with probed lists, scan cost climbs
+    * linearly with them; the curve names the knee). The codebook,
+    * assignments, truth frame and the max-nprobe probe ranking build
+    * ONCE (pin-cached — each sweep point reads them three ways);
+    * each sweep point then pays only its own bounded candidate join.
+    * Probe selection is [[ivfTopK]]'s exact bounded-heap ranking
+    * (round(cos,9) desc, centroid-id ties), so sweep point p
+    * reproduces `ivfTopK(nprobe = p)`'s candidate set verbatim.
+    */
+  def ivfProbeCurve(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
+      nprobes: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1), s"bad nprobes: $nprobes")
+    val c = corpus(emb)
+    val centroids = kmeansCentroids(c, k = 10, iters = 2)
+    val assigned = graft.SessionPins.pin(assignToCentroids(c, centroids)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("list_id")))
+    val truth = graft.SessionPins.pin(bruteForceTopK(emb, k, nQueries)
+      .select(col("q_id"), col("neighbor_id")))
+    val probeRanked = graft.SessionPins.pin(
+      c.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("ccos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .groupBy("q_id")
+        .agg(topkByScore(round(col("ccos"), 9), col("c_id").cast("double"),
+          col("c_id"), nprobes.max).as("tk"),
+          first("qv").as("qv"), first("qn").as("qn"))
+        .select(col("q_id"), col("qv"), col("qn"),
+          posexplode(col("tk")).as(Seq("pos", "t")))
+        .select(col("q_id"), col("qv"), col("qn"),
+          (col("pos") + 1).as("prank"), col("t.id").as("list_id")))
+    nprobes.map { p =>
+      val probes = probeRanked.filter(col("prank") <= p)
+        .select(col("q_id"), col("qv"), col("qn"), col("list_id"))
+      val pairs = assigned.join(broadcast(probes), Seq("list_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      val approx = rerank(pairs, k).select(col("q_id"), col("neighbor_id"))
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      val nH = truth.join(approx, Seq("q_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      nT.crossJoin(broadcast(nH))
+        .select(lit(p.toLong).as("nprobe"), col("n_truth"), col("n_hits"),
+          round(col("n_hits").cast("double") /
+            col("n_truth").cast("double"), 6).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** IVF-PQ index build — the memory-scale path for [[ivfTopK]]: at
     * 100 TB of 768-d embeddings the raw vectors (6 KB/row) cannot live
     * in executor memory, so the index stores PRODUCT-QUANTIZED codes:
@@ -1237,7 +1289,13 @@ object SimilarityQueries {
             round(col("n_hits").cast("double") /
               col("n_truth").cast("double"), 6).as("recall"))
       }.reduce(_ unionByName _)
-    })
+    }),
+    // IVF PROBE CURVE (round 18): recall@5 at nprobe 1/2/3 from ONE
+    // codebook + ONE brute truth pass — the probe-axis operating
+    // curve (s19 sweeps the LSH banding axis). Sweep point p's
+    // candidate set reproduces ivfTopK(nprobe = p) verbatim.
+    "s20_ivf_probe_curve" -> ((s, d) =>
+      Similarity.ivfProbeCurve(Tables.embeddings(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1558,6 +1616,11 @@ object SimilarityQueries {
     // (upsert ≡ frozen-codebook rebuild, so encoding the full corpus
     // against base-trained codebooks IS the grown index).
     "s3_knn_ivf" -> ("WITH " + ivfCoarseCtes("") + "," + ivfExactTail),
+    // s3's coarse CTEs + ONE probe ranking at max nprobe + per-point
+    // candidate/rank/hit CTEs; truth = the s1 brute derivation at
+    // k=5. Same FP rank keys (ROUND(cos,9), id ties) as the engine.
+    "s20_ivf_probe_curve" ->
+      ("WITH " + ivfCoarseCtes("") + "," + ivfRecallCurveSql(5, Seq(1, 2, 3))),
     "s8_knn_ivfpq" -> ("WITH " + ivfCoarseCtes("") + "," + pqCtes + "," + adcTail),
     "s11_pq_upsert" ->
       ("WITH " + ivfCoarseCtes("WHERE vec_id % 5 <> 0") + "," + pqCtes + "," + adcTail),
@@ -1952,6 +2015,62 @@ a3 AS (
         ROUND(list_sum(list_transform(list_zip(nn.v, s.cv), z -> z[1] * z[2]))
           / (nn.nrm * s.cn), 9) DESC, s.c_id ASC) AS rn
     FROM n nn, c2n s) WHERE rn = 1)"""
+
+  /** s20's tail generator: brute truth at `k` (s1's derivation), ONE
+    * probe ranking capped at max(nprobes), then per sweep point the
+    * candidate/score/rank/hit CTEs and a UNION ALL readout row —
+    * everything downstream of [[ivfCoarseCtes]]'s a3/c2n.
+    */
+  private def ivfRecallCurveSql(k: Int, nprobes: Seq[Int]): String = {
+    val truth = s"""
+exp AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+    list_sum(list_transform(list_zip(c.v, q.v), s -> s[1] * s[2]))
+      / (c.nrm * q.nrm) AS cos
+  FROM n c JOIN n q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+exr AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+      row_number() OVER (PARTITION BY q_id
+        ORDER BY ROUND(cos, 9) DESC, neighbor_id ASC) AS rnk
+    FROM exp) WHERE rnk <= $k),
+tcount AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM exr),
+pr AS (
+  SELECT q_id, list_id, prank FROM (
+    SELECT q.vec_id AS q_id, s.c_id AS list_id,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        ROUND(list_sum(list_transform(list_zip(q.v, s.cv), z -> z[1] * z[2]))
+          / (q.nrm * s.cn), 9) DESC, s.c_id ASC) AS prank
+    FROM n q, c2n s WHERE q.vec_id < 10) WHERE prank <= ${nprobes.max})"""
+    val per = nprobes.map { p => s"""
+cand$p AS (
+  SELECT pr.q_id, a3.vec_id
+  FROM pr JOIN a3 USING (list_id)
+  WHERE pr.prank <= $p AND a3.vec_id <> pr.q_id),
+scored$p AS (
+  SELECT c.q_id, c.vec_id AS neighbor_id,
+    list_sum(list_transform(list_zip(cv.v, qv.v), z -> z[1] * z[2]))
+      / (cv.nrm * qv.nrm) AS cos
+  FROM cand$p c
+  JOIN n cv ON cv.vec_id = c.vec_id
+  JOIN n qv ON qv.vec_id = c.q_id),
+rk$p AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+      row_number() OVER (PARTITION BY q_id
+        ORDER BY ROUND(cos, 9) DESC, neighbor_id ASC) AS rnk
+    FROM scored$p) WHERE rnk <= $k),
+hit$p AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM exr JOIN rk$p USING (q_id, neighbor_id))"""
+    }.mkString(",")
+    val selects = nprobes.map { p => s"""
+SELECT CAST($p AS BIGINT) AS nprobe, t.n_truth, h.n_hits,
+  ROUND(CAST(h.n_hits AS DOUBLE) / CAST(t.n_truth AS DOUBLE), 6) AS recall
+FROM tcount t, hit$p h"""
+    }.mkString(" UNION ALL ")
+    truth + "," + per + selects
+  }
 
   /** s3's tail: nprobe=3 probe lists per query, candidates from the
     * probed lists, exact cosine re-rank to k=5. */

@@ -56,8 +56,11 @@ class PlanLintSpec extends SparkSpec {
     "s18_centroid_classify", // |labels|-row centroid frame crossed onto queries
     "q79_weekday_profile", // 1-row overall-average broadcast (q46's shape)
     "t26_token_burstiness", // 1-row corpus-size broadcast (t11's shape)
-    "s19_recall_curve"     // d25's shape: two 1-row metric frames crossed
+    "s19_recall_curve",    // d25's shape: two 1-row metric frames crossed
                            // per cutoff, over s1's query-set broadcast
+    "s20_ivf_probe_curve"  // s3's codebook broadcast + s1's query-set
+                           // broadcast + two 1-row metric frames crossed
+                           // per sweep point (s19's shape on the probe axis)
   )
 
   private val skipEager = Set(

@@ -257,6 +257,28 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(5L)._2 === microHits, "s19@5 disagrees with s15's hits")
   }
 
+  test("s20 probe curve: recall non-decreasing in nprobe, nprobe=3 matches ivfTopK, all-lists probe is exhaustive") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val rows = SparkEntry.queries("s20_ivf_probe_curve")(spark, sf).collect()
+      .map(r => r.getAs[Long]("nprobe") ->
+        (r.getAs[Long]("n_truth"), r.getAs[Long]("n_hits"),
+          r.getAs[Double]("recall"))).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L))
+    assert(rows.values.forall { case (t, h, _) => t == 50L && h >= 0 && h <= t })
+    // probing MORE lists can only add candidates → recall monotone
+    assert(rows(1L)._3 <= rows(2L)._3 && rows(2L)._3 <= rows(3L)._3)
+    // the nprobe=3 sweep point reproduces ivfTopK(nprobe=3)'s hits:
+    // same codebook, same probe ranking, same rerank
+    val truth = Similarity.bruteForceTopK(emb).select("q_id", "neighbor_id")
+    val ivfHits = truth.join(
+      Similarity.ivfTopK(emb).select("q_id", "neighbor_id"),
+      Seq("q_id", "neighbor_id")).count()
+    assert(rows(3L)._2 === ivfHits, "s20@3 disagrees with ivfTopK(nprobe=3)")
+    // probing ALL 10 lists makes the scan exhaustive → recall 1.0
+    val all = Similarity.ivfProbeCurve(emb, nprobes = Seq(10)).collect().head
+    assert(all.getAs[Double]("recall") === 1.0)
+  }
+
   test("graph ANN: beam walk over the kNN graph; recall vs brute force; monotone in hops") {
     val rows = Similarity.graphSearch(emb).collect()
     assert(rows.nonEmpty)
