@@ -2049,6 +2049,70 @@ object OlapQueries {
         .select(col("o_orderpriority"), col("order_year"),
           round(col("sum_cents").cast("double") / 100.0, 2).as("sum_price"),
           col("n_orders"), col("distinct_cust"))
+    }),
+
+    // ROLLING EXACT MEDIAN (round 18): the order-statistic the
+    // ewma/OLS control family (q54/q75) can't express — a trailing
+    // 7-order median of spend per customer, the robust baseline for
+    // per-entity anomaly flags (median shrugs off the one-off spike
+    // that drags a mean). Exact integer cents in the frame kill FP
+    // ambiguity; the even/odd interpolation is ONE closed formula
+    // (a[(n+1) div 2] + a[n div 2 + 1]) / 2 — identical in both
+    // engines by construction (the oracle computes the same list
+    // expression, never DuckDB's quantile_cont). 100 TB shape:
+    // partitioned by customer with a BOUNDED 7-row frame — state is
+    // O(7) per running key, the window runs inside each hash
+    // partition with no global sort, and the sort_array is over ≤7
+    // elements per row (constant work, codegen-friendly).
+    "q82_rolling_quantile" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-6, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+        .withColumn("a", sort_array(collect_list(col("cents")).over(w)))
+        // raw double, no ROUND: the pair-sum is an exact integer and
+        // one IEEE division is bit-identical in both engines, while
+        // rounding half-cent boundaries is not (HALF_UP vs banker's)
+        .withColumn("rolling_median",
+          (element_at(col("a"), expr("(size(a) + 1) div 2").cast("int")) +
+            element_at(col("a"), expr("size(a) div 2 + 1").cast("int")))
+            .cast("double") / 200.0)
+        .select(col("o_custkey"), col("o_orderkey"), col("rolling_median"))
+    }),
+
+    // SEASONAL DECOMPOSITION (round 18): classical additive
+    // decompose of the daily revenue series — trend = centered
+    // 7-day moving average, seasonal = mean detrended deviation per
+    // weekday, residual = the rest. The q61 forecast family's
+    // missing diagnostic: it answers "is Monday actually weak, or
+    // is that the trend?" before anyone fits a model. Exact integer
+    // cents through the trend window (AVG of BIGINT = exact sum ÷
+    // count in both engines); the weekday profile is a 7-row frame
+    // broadcast back onto the series. 100 TB shape: the series is
+    // DAILY GRAIN — thousands of rows regardless of fact volume —
+    // so the unpartitioned bounded window is a non-issue; the fact
+    // table pays exactly one shuffle (the daily pre-aggregate).
+    "q83_seasonal_decompose" -> ((s, d) => {
+      val wTrend = Window.orderBy("day").rowsBetween(-3, 3)
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("cents"))
+      val tr = daily
+        .withColumn("trend_c", avg(col("cents")).over(wTrend))
+        .withColumn("wd", dayofweek(col("day")))
+        .withColumn("det", col("cents") - col("trend_c"))
+      val seasonal = tr.groupBy("wd")
+        .agg(avg(col("det")).as("seas_c"))
+      tr.join(broadcast(seasonal), "wd")
+        .select(
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("cents") / 100.0, 2).as("value"),
+          round(col("trend_c") / 100.0, 2).as("trend"),
+          round(col("seas_c") / 100.0, 2).as("seasonal"),
+          round((col("det") - col("seas_c")) / 100.0, 2).as("resid"))
     })
   )
 
@@ -3424,6 +3488,46 @@ object OlapQueries {
            FROM f GROUP BY 1, 2)
          SELECT s.o_orderpriority, s.order_year, s.sum_price,
            s.n_orders, dt.distinct_cust
-         FROM s JOIN dt USING (o_orderpriority, order_year)"""
+         FROM s JOIN dt USING (o_orderpriority, order_year)""",
+    // Same closed interpolation formula as the Spark side — list
+    // collect + sort over the exact-cents frame, (a[(n+1) div 2] +
+    // a[n div 2 + 1]) / 2 — never DuckDB's quantile_cont, whose
+    // interpolation arithmetic isn't pinned to this formula.
+    "q82_rolling_quantile" ->
+      """WITH w AS (
+           SELECT o_custkey, o_orderkey,
+             list_sort(list(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS a
+           FROM orders)
+         SELECT o_custkey, o_orderkey,
+           (CAST(a[(len(a) + 1) // 2] AS DOUBLE)
+            + CAST(a[len(a) // 2 + 1] AS DOUBLE)) / 200.0
+             AS rolling_median
+         FROM w""",
+    // trend = centered 7-day moving average of exact daily cents
+    // (AVG(BIGINT): exact sum ÷ count in both engines); seasonal =
+    // mean detrended deviation per weekday (strftime %w is 0=Sunday,
+    // +1 matches Spark's dayofweek); residual = the rest.
+    "q83_seasonal_decompose" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1),
+         tr AS (
+           SELECT day, cents,
+             AVG(cents) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend_c,
+             CAST(strftime(day, '%w') AS INT) + 1 AS wd
+           FROM daily),
+         se AS (SELECT *, cents - trend_c AS det FROM tr),
+         sw AS (SELECT wd, AVG(det) AS seas_c FROM se GROUP BY wd)
+         SELECT strftime(se.day, '%Y-%m-%d') AS day,
+           ROUND(cents / 100.0, 2) AS value,
+           ROUND(trend_c / 100.0, 2) AS trend,
+           ROUND(seas_c / 100.0, 2) AS seasonal,
+           ROUND((det - seas_c) / 100.0, 2) AS resid
+         FROM se JOIN sw USING (wd)"""
   )
 }

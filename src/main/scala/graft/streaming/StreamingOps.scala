@@ -740,13 +740,31 @@ object StreamingQueries {
       dir
     }
 
+  /** q81's order facts (priority, year, cents, custkey — cents keep
+    * the additive partials exact integers) as a 4-file stream
+    * source — st37 folds each arriving micro-batch into the generic
+    * MvFold store.
+    */
+  private def ordersMvStreamDir(s: SparkSession, d: String): String =
+    fixtureCache(s, s"ordmv:$d") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ordmv_stream")
+        .resolve("facts").toString
+      Tables.orders(s, d).select(
+          col("o_orderpriority"),
+          year(col("o_orderdate")).cast("long").as("order_year"),
+          floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"),
+          col("o_custkey"))
+        .repartition(4).write.mode("overwrite").parquet(dir)
+      dir
+    }
+
   /** Bench pre-warm hook: build the stream source fixtures for the
     * timed SF before the clock starts.
     */
   def warmFixtures(s: SparkSession, d: String): Unit = {
     mvStreamDir(s, d); ndStreamDir(s, d); embStreamDir(s, d)
     decontamStreamDir(s, d); tilesStreamDir(s, d)
-    quarantineStreamDir(s, d); ()
+    quarantineStreamDir(s, d); ordersMvStreamDir(s, d); ()
   }
 
   /** Drive a Structured Streaming query over the events parquet to
@@ -1376,6 +1394,49 @@ object StreamingQueries {
           new graft.operators.Multimodal.BmpCodec).toDF()
       else acc
     }),
+    // STREAMING GENERIC MV (round 18; q81's MvFold as a continuous
+    // process): order facts ingest in micro-batches and each batch
+    // folds into ONE stored MV carrying all three measure kinds at
+    // once — MvSum (exact integer cents), MvCount, and the
+    // append-only exact-distinct bitmap. Only the arriving delta
+    // pays a fact-side shuffle (one hash-aggregate at MV grain);
+    // the store re-aggregates at its own bounded grain — at 100 TB
+    // the stream folds a day's ingest, never re-scans history. The
+    // fold is associative over batch boundaries (the MvFoldSpec
+    // invariance property), so the read-off after the full stream
+    // equals the single-shot build — the oracle is q81's full
+    // recompute WITHOUT its retraction slice (all orders enter).
+    "st37_stream_mv_fold" -> ((s, d) => {
+      import graft.operators.{MvFold, MvSum, MvCount, MvBitmapDistinct}
+      val dir = ordersMvStreamDir(s, d)
+      val schema = s.read.parquet(dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val keys = Seq("o_orderpriority", "order_year")
+      val measures = Seq(MvSum("sum_cents", col("cents")),
+        MvCount("n_orders"),
+        MvBitmapDistinct("distinct_cust", col("o_custkey"), 1 << 21))
+      var mv: DataFrame = null
+      val partsWas = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = stream.writeStream.outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val delta = batch.toDF()
+            mv = (if (mv == null) MvFold.build(delta, keys, measures)
+                  else MvFold.fold(mv, delta, keys, measures))
+              .localCheckpoint()
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", partsWas)
+      if (mv == null)
+        mv = MvFold.build(s.read.parquet(dir).limit(0), keys, measures)
+      MvFold.read(mv, keys, measures)
+        .select(col("o_orderpriority"), col("order_year"),
+          round(col("sum_cents").cast("double") / 100.0, 2).as("sum_price"),
+          col("n_orders"), col("distinct_cust"))
+    }),
     // st10's classification landed through the EXACTLY-ONCE durable
     // sink: foreachBatch + idempotent batch_id-partition overwrite
     // (see [[StreamingOpsSinks.streamNearDupToParquet]]). The
@@ -1510,6 +1571,16 @@ object StreamingQueries {
     // union ≡ m20's single-shot permissive decode
     "st36_stream_quarantine" ->
       graft.operators.MultimodalQueries.oracles("m20_decode_quarantine"),
+    // stream-folded generic MV ≡ full recompute per measure semantics
+    // (q81's invariant, streamed, without the retraction slice)
+    "st37_stream_mv_fold" ->
+      """SELECT o_orderpriority,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           ROUND(CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100.0, 2) AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distinct_cust
+         FROM orders GROUP BY 1, 2""",
     // durable sink contents ≡ the single-shot incremental near-dup
     "st11_stream_neardup_sink" ->
       graft.operators.DedupQueries.oracles("d11_incremental_neardup"),

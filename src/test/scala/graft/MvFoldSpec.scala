@@ -151,4 +151,28 @@ class MvFoldSpec extends SparkSpec {
       MvFold.build(hist, keys, Seq(MvSum("grp", col("v"))))
     }
   }
+
+  test("st37 registered entry: stream-folded MV equals a single-shot recompute") {
+    // drives the REAL micro-batch stream (maxFilesPerTrigger=1 over a
+    // 4-file source) and compares the read-off against a direct
+    // one-shot aggregate — the batch-boundary invariance of the fold,
+    // proven on the registered entry itself rather than synthetic rows
+    val got = SparkEntry.queries("st37_stream_mv_fold")(spark, sf)
+      .collect().map(r => (r.getAs[String]("o_orderpriority"),
+        r.getAs[Long]("order_year")) ->
+        (r.getAs[Double]("sum_price"), r.getAs[Long]("n_orders"),
+          r.getAs[Long]("distinct_cust"))).toMap
+    val want = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"),
+        year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(round(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .cast("double") / 100.0, 2).as("sum_price"),
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("distinct_cust"))
+      .collect().map(r => (r.getAs[String]("o_orderpriority"),
+        r.getAs[Long]("order_year")) ->
+        (r.getAs[Double]("sum_price"), r.getAs[Long]("n_orders"),
+          r.getAs[Long]("distinct_cust"))).toMap
+    assert(got == want)
+  }
 }

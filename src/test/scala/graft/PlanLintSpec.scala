@@ -85,6 +85,9 @@ class PlanLintSpec extends SparkSpec {
     // st36 drives the stream on invocation; its decode plan is m20's
     // per-row permissive map (linted there)
     "st36_stream_quarantine",
+    // st37 drives the stream on invocation; its fold plan is q81's
+    // MvFold hash-aggregate (linted there)
+    "st37_stream_mv_fold",
     // st12/st13 drive the full stream on invocation; the histogram agg
     // plan is q39's (linted there); st14's session agg is st4's
     "st12_stream_histogram", "st13_stream_histogram_append",
@@ -137,7 +140,9 @@ class PlanLintSpec extends SparkSpec {
     // at extreme dim sizes; at the customer-dimension bound the
     // single sort is the simplest correct plan:
     "q71_decile_lift",
-    "q78_decile_transition")
+    "q78_decile_transition",
+    "q83_seasonal_decompose") // centered 7-day trend over the DAY-grain
+                              // aggregate (calendar-bounded, q56's shape)
 
   test("every unpartitioned window in a registry plan is limit-bounded or whitelisted domain-bounded") {
     import org.apache.spark.sql.execution.{GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}

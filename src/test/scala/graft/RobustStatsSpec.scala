@@ -137,4 +137,54 @@ class RobustStatsSpec extends SparkSpec {
     // day 11: window Jan 5–11 → {101,104} ∪ {102}
     assert(got("1995-01-11") == ((1L, 3L, 0L, 4L)))
   }
+
+  test("q82 rolling median equals a driver-side brute recount (odd and even frames)") {
+    val rows = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .collect().map(r => (r.getAs[Long]("o_custkey"),
+        r.getAs[Long]("o_orderkey"),
+        r.getAs[java.time.LocalDateTime]("o_orderdate"),
+        math.floor(r.getAs[Double]("o_totalprice") * 100.0 + 0.5).toLong))
+    val want = rows.groupBy(_._1).flatMap { case (_, rs) =>
+      val ordered = rs.sortBy(t => (t._3, t._2))(
+        Ordering.Tuple2(Ordering.by((d: java.time.LocalDateTime) =>
+          d.toString), Ordering.Long))
+      ordered.indices.map { i =>
+        val frame = ordered.slice(math.max(0, i - 6), i + 1).map(_._4).sorted
+        val n = frame.length
+        val m = (frame((n + 1) / 2 - 1) + frame(n / 2)).toDouble / 200.0
+        ordered(i)._2 -> m
+      }
+    }
+    val got = SparkEntry.queries("q82_rolling_quantile")(spark, sf)
+      .collect().map(r => r.getAs[Long]("o_orderkey") ->
+        r.getAs[Double]("rolling_median")).toMap
+    assert(got.size == want.size)
+    // raw doubles from one exact-integer division: equality is exact.
+    // first rows exercise odd frames (1,3,..), steady state even+odd
+    for ((k, m) <- want) assert(got(k) == m, s"orderkey $k: ${got(k)} vs $m")
+  }
+
+  test("q83 decomposition: value recombines from the parts; trend equals a hand recount") {
+    val out = SparkEntry.queries("q83_seasonal_decompose")(spark, sf)
+      .collect().map(r => r.getAs[String]("day") ->
+        (r.getAs[Double]("value"), r.getAs[Double]("trend"),
+          r.getAs[Double]("seasonal"), r.getAs[Double]("resid"))).toMap
+    // additive identity pre-rounding; each of the four parts is
+    // rounded to 2 dp independently → recombination drift ≤ 2 cents
+    for ((d, (v, t, se, re)) <- out)
+      assert(math.abs(v - (t + se + re)) <= 0.021, s"$d: $v vs ${t + se + re}")
+    // hand recount of the centered 7-day trend over daily cents
+    val daily = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("c"))
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Long]("c")).sortBy(_._1)
+    daily.indices.foreach { i =>
+      val frame = daily.slice(math.max(0, i - 3), math.min(daily.length, i + 4))
+      val trend = frame.map(_._2).sum.toDouble / frame.length / 100.0
+      val got = out(daily(i)._1)._2
+      assert(math.abs(got - trend) <= 0.006, s"${daily(i)._1}: $got vs $trend")
+    }
+  }
 }
