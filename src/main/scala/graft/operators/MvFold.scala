@@ -135,4 +135,90 @@ object MvFold {
     }
     mv.select(outs: _*)
   }
+
+  // ------------------------------------------------------------------
+  // Histogram-quantile MV — the THIRD point in the retraction matrix:
+  // a mergeable AND retractable quantile store. Quantiles don't
+  // decompose over union (like distinct counts), but equi-width
+  // bucket COUNTS do — and unlike bitmaps they also decompose over
+  // set difference, so this MV folds and retracts exactly. Stored at
+  // (keys, bucket) grain via the signed-count machinery above; the
+  // readout is an exact integer rank-walk (no FP anywhere), accurate
+  // to one bucket width. Scale shape: the fact side pays ONE shuffle
+  // to the bounded (keys × buckets) grain; readout windows run over
+  // MV rows only, never facts.
+  // ------------------------------------------------------------------
+
+  private val bucketCol = "__mv_bucket"
+
+  private def checkHist(lo: Long, hi: Long, buckets: Int): Long = {
+    require(buckets > 0 && hi > lo, s"bad histogram domain [$lo,$hi)/$buckets")
+    require((hi - lo) % buckets == 0,
+      s"(hi - lo) = ${hi - lo} must divide evenly into $buckets buckets " +
+        "so bucket edges stay exact integers (the oracle-parity rule)")
+    require(hi - lo <= (1L << 52),
+      "domain width must stay below 2^52 so the bucket division is " +
+        "exact in double (in-domain values; out-of-range ones clamp)")
+    (hi - lo) / buckets
+  }
+
+  /** Equi-width bucket of `value` over [lo, hi); out-of-range values
+    * clamp to the edge buckets (a quantile answer saturated at the
+    * domain edge beats a dropped row).
+    */
+  private def histBucket(value: Column, lo: Long, hi: Long,
+      buckets: Int): Column = {
+    val width = (hi - lo) / buckets
+    least(lit(buckets - 1), greatest(lit(0),
+      floor((value - lit(lo)) / lit(width)).cast("int")))
+  }
+
+  /** Build a quantile MV: signed bucket counts at (keys, bucket)
+    * grain. `value` must be integer-typed (the cents convention).
+    */
+  def buildHist(facts: DataFrame, keys: Seq[String], value: Column,
+      lo: Long, hi: Long, buckets: Int): DataFrame = {
+    checkHist(lo, hi, buckets)
+    build(facts.withColumn(bucketCol, histBucket(value, lo, hi, buckets)),
+      keys :+ bucketCol, Nil)
+  }
+
+  /** Fold (or with `retract = true` remove) a delta batch's bucket
+    * counts. Fully-cancelled buckets drop via the zero-drop rule.
+    */
+  def foldHist(mv: DataFrame, delta: DataFrame, keys: Seq[String],
+      value: Column, lo: Long, hi: Long, buckets: Int,
+      retract: Boolean = false): DataFrame = {
+    checkHist(lo, hi, buckets)
+    fold(mv, delta.withColumn(bucketCol, histBucket(value, lo, hi, buckets)),
+      keys :+ bucketCol, Nil, retract)
+  }
+
+  /** Quantile readout at integer percents (e.g. Seq(50, 95) → columns
+    * `p50`, `p95`): per key group, the LOWER EDGE of the first bucket
+    * whose cumulative count reaches rank ceil(pct·n/100) — computed
+    * as (pct·n + 99) div 100, exact integer arithmetic end to end, so
+    * any engine reproduces it bit-for-bit. Answers are exact to one
+    * bucket width.
+    */
+  def readHistQuantiles(mv: DataFrame, keys: Seq[String],
+      percents: Seq[Int], lo: Long, hi: Long, buckets: Int): DataFrame = {
+    val width = checkHist(lo, hi, buckets)
+    require(percents.nonEmpty && percents.forall(p => p > 0 && p <= 100),
+      s"percents must be in (0, 100]: $percents")
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(keys.map(col): _*)
+    val cum = mv
+      .withColumn("__mv_cum",
+        sum(col("__mv_n")).over(byKey.orderBy(col(bucketCol))))
+      .withColumn("__mv_total", sum(col("__mv_n")).over(byKey))
+    val edge = lit(lo) + col(bucketCol).cast("long") * lit(width)
+    val qs = percents.map { p =>
+      // ceil(pct·n/100) as pure integer arithmetic (Column./ would
+      // detour through double): (pct·n + 99) div 100
+      val target = expr(s"(${p}L * __mv_total + 99L) div 100L")
+      min(when(col("__mv_cum") >= target, edge)).as(s"p$p")
+    }
+    cum.groupBy(keys.map(col): _*).agg(qs.head, qs.tail: _*)
+  }
 }

@@ -2051,6 +2051,35 @@ object OlapQueries {
           col("n_orders"), col("distinct_cust"))
     }),
 
+    // INCREMENTAL QUANTILE MV (round 18): the THIRD point in q81's
+    // retraction matrix — quantiles don't decompose over union (like
+    // distinct counts) but equi-width bucket COUNTS do, and unlike
+    // bitmaps they also decompose over set DIFFERENCE, so this MV
+    // folds AND retracts exactly. Same lifecycle as q81 (build on
+    // the historical 4/5ths, fold the 1/5th append, retract the %7
+    // slice of history), stored at (priority, order-year, bucket)
+    // grain — 4096 buckets of 16384 cents over [0, 2^26) — and read
+    // off as p50/p95 via an exact integer rank-walk (answers exact
+    // to one bucket width; no FP anywhere). 100 TB: facts shuffle
+    // ONCE to the bounded keys×buckets grain; readout windows run
+    // over MV rows only.
+    "q84_quantile_mv" -> ((s, d) => {
+      val f = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      val keys = Seq("o_orderpriority", "order_year")
+      val (lo, hi, nb) = (0L, 1L << 26, 4096)
+      val hist = f.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+      val append = f.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+      val retractRows = hist.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      val mv = MvFold.foldHist(
+        MvFold.foldHist(MvFold.buildHist(hist, keys, col("cents"), lo, hi, nb),
+          append, keys, col("cents"), lo, hi, nb),
+        retractRows, keys, col("cents"), lo, hi, nb, retract = true)
+      MvFold.readHistQuantiles(mv, keys, Seq(50, 95), lo, hi, nb)
+    }),
+
     // ROLLING EXACT MEDIAN (round 18): the order-statistic the
     // ewma/OLS control family (q54/q75) can't express — a trailing
     // 7-order median of spend per customer, the robust baseline for
@@ -3489,6 +3518,37 @@ object OlapQueries {
          SELECT s.o_orderpriority, s.order_year, s.sum_price,
            s.n_orders, dt.distinct_cust
          FROM s JOIN dt USING (o_orderpriority, order_year)""",
+    // FULL RECOMPUTE of the bucketed quantile over the retained set
+    // ((hist ∪ append) \ retracted, q81's slice): same bucket math
+    // (width 16384 over [0, 2^26), edge clamp), same exact-integer
+    // rank target ceil(pct·n/100) = (pct·n + 99) div 100, same
+    // lower-edge readout.
+    "q84_quantile_mv" ->
+      """WITH f AS (
+           SELECT o_orderkey, o_orderpriority,
+             CAST(year(o_orderdate) AS BIGINT) AS order_year,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         r AS (
+           SELECT * FROM f
+           WHERE NOT (o_orderkey % 5 <> 0 AND o_orderkey % 7 = 0)),
+         b AS (
+           SELECT o_orderpriority, order_year,
+             LEAST(4095, GREATEST(0, cents // 16384)) AS bucket,
+             COUNT(*) AS cnt
+           FROM r GROUP BY 1, 2, 3),
+         c AS (
+           SELECT *,
+             SUM(cnt) OVER (PARTITION BY o_orderpriority, order_year
+                            ORDER BY bucket) AS cum,
+             SUM(cnt) OVER (PARTITION BY o_orderpriority, order_year) AS n
+           FROM b)
+         SELECT o_orderpriority, order_year,
+           MIN(CASE WHEN cum >= (50 * n + 99) // 100
+                    THEN CAST(bucket * 16384 AS BIGINT) END) AS p50,
+           MIN(CASE WHEN cum >= (95 * n + 99) // 100
+                    THEN CAST(bucket * 16384 AS BIGINT) END) AS p95
+         FROM c GROUP BY 1, 2""",
     // Same closed interpolation formula as the Spark side — list
     // collect + sort over the exact-cents frame, (a[(n+1) div 2] +
     // a[n div 2 + 1]) / 2 — never DuckDB's quantile_cont, whose

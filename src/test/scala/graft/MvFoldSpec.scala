@@ -152,6 +152,50 @@ class MvFoldSpec extends SparkSpec {
     }
   }
 
+  test("histogram-quantile MV: unit buckets read exact quantiles, fold and RETRACT exactly") {
+    // values 1..100, bucket width 1 → quantile = exact order statistic
+    val (lo, hi, nb) = (0L, 128L, 128)
+    val all = (1L to 100L).map(("a", _)).toDF("grp", "v")
+    val mv = MvFold.buildHist(all, Seq("grp"), col("v"), lo, hi, nb)
+    val q = MvFold.readHistQuantiles(mv, Seq("grp"), Seq(50, 95), lo, hi, nb)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(q == ((50L, 95L)))
+    // split folds equal the one-shot build (batch-boundary invariance)
+    val (b1, b2) = ((1L to 37L).map(("a", _)).toDF("grp", "v"),
+      (38L to 100L).map(("a", _)).toDF("grp", "v"))
+    val folded = MvFold.foldHist(
+      MvFold.buildHist(b1, Seq("grp"), col("v"), lo, hi, nb),
+      b2, Seq("grp"), col("v"), lo, hi, nb)
+    assert(folded.collect().toSet == mv.collect().toSet)
+    // retract the top half: quantiles walk back to the 1..50 answers
+    val top = (51L to 100L).map(("a", _)).toDF("grp", "v")
+    val shrunk = MvFold.foldHist(mv, top, Seq("grp"), col("v"), lo, hi, nb,
+      retract = true)
+    val q2 = MvFold.readHistQuantiles(shrunk, Seq("grp"), Seq(50, 95),
+      lo, hi, nb).collect().map(r => (r.getLong(1), r.getLong(2))).head
+    // n = 50: p50 rank 25 → 25; p95 rank ceil(47.5) = 48 → 48
+    assert(q2 == ((25L, 48L)))
+    // full retraction leaves no ghost group
+    val gone = MvFold.foldHist(shrunk, (1L to 50L).map(("a", _)).toDF("grp", "v"),
+      Seq("grp"), col("v"), lo, hi, nb, retract = true)
+    assert(gone.count() == 0)
+  }
+
+  test("histogram-quantile MV clamps out-of-domain values to the edge buckets") {
+    val (lo, hi, nb) = (0L, 128L, 128)
+    val weird = Seq(("a", -5L), ("a", 1000L)).toDF("grp", "v")
+    val mv = MvFold.buildHist(weird, Seq("grp"), col("v"), lo, hi, nb)
+    val buckets = mv.collect().map(_.getAs[Int]("__mv_bucket")).sorted
+    assert(buckets.toSeq == Seq(0, 127))
+    // misconfigured domains are refused upfront
+    intercept[IllegalArgumentException] {
+      MvFold.buildHist(weird, Seq("grp"), col("v"), 0L, 100L, 7)
+    }
+    intercept[IllegalArgumentException] {
+      MvFold.readHistQuantiles(mv, Seq("grp"), Seq(0), lo, hi, nb)
+    }
+  }
+
   test("st37 registered entry: stream-folded MV equals a single-shot recompute") {
     // drives the REAL micro-batch stream (maxFilesPerTrigger=1 over a
     // 4-file source) and compares the read-off against a direct
