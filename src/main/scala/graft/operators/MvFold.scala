@@ -115,9 +115,21 @@ object MvFold {
     val deltaAggs = partialAggs(measures, w)
     val deltaMv = delta.groupBy(keys.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
+    merge(mv.unionByName(deltaMv), keys, measures)
+  }
+
+  /** Merge a frame of stored PARTIALS (any number of per-batch or
+    * per-shard MV fragments stacked as rows) back to one row per
+    * group — the re-aggregation half of [[fold]], public so durable
+    * stores can stack idempotent batch partials and read them off
+    * with one bounded aggregate (see `streamMvFoldToParquet`).
+    * Zero-drop applies: groups whose signed counts cancel vanish.
+    */
+  def merge(partials: DataFrame, keys: Seq[String],
+      measures: Seq[MvMeasure]): DataFrame = {
+    checkNames(keys, measures)
     val merged = mergeAggs(measures)
-    mv.unionByName(deltaMv)
-      .groupBy(keys.map(col): _*)
+    partials.groupBy(keys.map(col): _*)
       .agg(merged.head, merged.tail: _*)
       .filter(col("__mv_n") =!= 0)
   }

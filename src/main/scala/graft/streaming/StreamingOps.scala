@@ -636,6 +636,61 @@ object StreamingOpsSinks {
       .start()
     try q.processAllAvailable() finally q.stop()
   }
+
+  /** EXACTLY-ONCE durable streaming MV — the replay gap st37's
+    * in-memory fold leaves open, closed: signed measures (MvSum /
+    * MvCount) are NOT idempotent under at-least-once replay (a
+    * re-folded batch double-counts, unlike st23's monotone bitmaps),
+    * so the durable store holds BATCH-PARTIAL rows instead of a
+    * rolling total. Each micro-batch aggregates its delta to MV grain
+    * ([[graft.operators.MvFold.build]] — deterministic in the batch)
+    * and overwrites exactly its own `batch_id=N` partition; a
+    * crash-replayed batch rewrites byte-identical partials over
+    * itself. Checkpoint WAL + deterministic partial + idempotent
+    * partition write = end-to-end exactly-once. Readout is ONE
+    * bounded merge-aggregate over the stored partials
+    * ([[graft.operators.MvFold.merge]] — batches × grain rows, never
+    * facts); a maintenance job can compact old partials with the same
+    * merge at any time without changing the read-off.
+    */
+  def streamMvFoldToParquet(spark: SparkSession,
+      streamDir: String, schema: org.apache.spark.sql.types.StructType,
+      outDir: String, checkpointDir: String,
+      keys: Seq[String], measures: Seq[graft.operators.MvMeasure],
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamDir)
+    val q = stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          graft.operators.MvFold.build(batch.toDF(), keys, measures)
+            .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
+          ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** Read a [[streamMvFoldToParquet]] store: merge the batch partials
+    * and finalize. Safe at any instant — readers see only whole
+    * committed partitions.
+    */
+  def readMvFoldStore(spark: SparkSession, outDir: String,
+      keys: Seq[String],
+      measures: Seq[graft.operators.MvMeasure]): DataFrame = {
+    import graft.operators.MvFold
+    MvFold.read(
+      MvFold.merge(spark.read.parquet(outDir).drop("batch_id"), keys, measures),
+      keys, measures)
+  }
 }
 
 object StreamingQueries {
@@ -1437,6 +1492,38 @@ object StreamingQueries {
           round(col("sum_cents").cast("double") / 100.0, 2).as("sum_price"),
           col("n_orders"), col("distinct_cust"))
     }),
+    // st37's fold landed through the EXACTLY-ONCE durable MV store:
+    // signed measures are NOT replay-idempotent (a re-folded batch
+    // double-counts sums — the gap st37's in-memory fold leaves
+    // open), so the store holds batch-PARTIAL partitions written
+    // idempotently (each batch overwrites exactly its own batch_id=N
+    // partition) and the registered result is the post-stream
+    // READ-OFF: one bounded MvFold.merge over the partials. The
+    // crash-replay proof (delete the last checkpoint commit, re-run,
+    // sums unchanged) lives in StreamingSpec; the oracle is st37's
+    // full recompute verbatim.
+    "st38_stream_mv_sink" -> ((s, d) => {
+      import graft.operators.{MvSum, MvCount, MvBitmapDistinct}
+      val dir = ordersMvStreamDir(s, d)
+      val schema = s.read.parquet(dir).schema
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_mvsink").resolve("out").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_mvsink_ckpt").toString
+      val keys = Seq("o_orderpriority", "order_year")
+      val measures = Seq(MvSum("sum_cents", col("cents")),
+        MvCount("n_orders"),
+        MvBitmapDistinct("distinct_cust", col("o_custkey"), 1 << 21))
+      val partsWas = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try StreamingOpsSinks.streamMvFoldToParquet(
+        s, dir, schema, out, ckpt, keys, measures)
+      finally s.conf.set("spark.sql.shuffle.partitions", partsWas)
+      StreamingOpsSinks.readMvFoldStore(s, out, keys, measures)
+        .select(col("o_orderpriority"), col("order_year"),
+          round(col("sum_cents").cast("double") / 100.0, 2).as("sum_price"),
+          col("n_orders"), col("distinct_cust"))
+    }),
     // st10's classification landed through the EXACTLY-ONCE durable
     // sink: foreachBatch + idempotent batch_id-partition overwrite
     // (see [[StreamingOpsSinks.streamNearDupToParquet]]). The
@@ -1571,6 +1658,16 @@ object StreamingQueries {
     // union ≡ m20's single-shot permissive decode
     "st36_stream_quarantine" ->
       graft.operators.MultimodalQueries.oracles("m20_decode_quarantine"),
+    // durable MV store read-off ≡ the same full recompute (st37's
+    // oracle; the sink adds exactly-once durability, not semantics)
+    "st38_stream_mv_sink" ->
+      """SELECT o_orderpriority,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           ROUND(CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100.0, 2) AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distinct_cust
+         FROM orders GROUP BY 1, 2""",
     // stream-folded generic MV ≡ full recompute per measure semantics
     // (q81's invariant, streamed, without the retraction slice)
     "st37_stream_mv_fold" ->

@@ -641,6 +641,54 @@ class StreamingSpec extends SparkSpec {
     assert(canon(sunk, cols: _*) == canon(oracle, cols: _*))
   }
 
+  test("st38: exactly-once durable MV store survives a mid-stream crash replay (signed measures)") {
+    import graft.operators.{MvCount, MvFold, MvSum}
+    // signed sums are the measures a replay would corrupt — the test
+    // plants the crash st11 plants and asserts the SUM is unchanged
+    val facts = Tables.orders(spark, sf).select(
+      col("o_orderkey"), col("o_orderpriority"),
+      year(col("o_orderdate")).cast("long").as("order_year"),
+      floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    val srcDir = java.nio.file.Files.createTempDirectory("mv_x1_src").toString
+    val out = java.nio.file.Files.createTempDirectory("mv_x1_out")
+      .resolve("out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mv_x1_ckpt").toString
+    val keys = Seq("o_orderpriority", "order_year")
+    val measures = Seq(MvSum("sum_cents", col("cents")), MvCount("n_orders"))
+    def quarter(r: Int) = facts.filter(pmod(col("o_orderkey"), lit(4)) === r)
+    // phase 1: two files land (two micro-batches at maxFilesPerTrigger=1)
+    quarter(0).repartition(1).write.mode("append").parquet(srcDir)
+    quarter(1).repartition(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    graft.streaming.StreamingOpsSinks.streamMvFoldToParquet(
+      spark, srcDir, schema, out, ckpt, keys, measures)
+    // CRASH SIMULATION: output written, commit marker lost → the
+    // restart MUST replay that batch (the partial write runs twice)
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.length >= 2)
+    val victim = commits.last
+    val crc = new java.io.File(victim.getParentFile, s".${victim.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    assert(victim.delete())
+    // phase 2: two more files land; restart from the same checkpoint
+    quarter(2).repartition(1).write.mode("append").parquet(srcDir)
+    quarter(3).repartition(1).write.mode("append").parquet(srcDir)
+    graft.streaming.StreamingOpsSinks.streamMvFoldToParquet(
+      spark, srcDir, schema, out, ckpt, keys, measures)
+    // replayed batch overwrote its own partition: the signed sums
+    // match a single-shot recompute EXACTLY (a duplicated fold would
+    // inflate sum_cents — the failure bitmaps mask and sums expose)
+    val got = graft.streaming.StreamingOpsSinks
+      .readMvFoldStore(spark, out, keys, measures)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val want = MvFold.read(MvFold.build(facts, keys, measures), keys, measures)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == want)
+  }
+
   test("st18: streamed semantic dedup equals single-shot; planted dup labeled") {
     val emb = Tables.embeddings(spark, sf)
     val corpusEmb = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
