@@ -257,5 +257,19 @@ class EmptyInputSpec extends SparkSpec {
     val absorbed = MvFold.read(MvFold.fold(MvFold.build(one, ks, ms),
       noFacts, ks, ms), ks, ms).collect()
     assert(absorbed.length == 1 && absorbed.head.getLong(3) == 1L)
+    // histogram-quantile arm: empty build reads empty quantiles; a
+    // live histogram absorbs an empty delta unchanged; merge of an
+    // empty partial frame is empty
+    val (lo, hi, nb) = (0L, 64L, 64)
+    val hEmpty = MvFold.buildHist(noFacts, ks, col("v"), lo, hi, nb)
+    assert(MvFold.readHistQuantiles(hEmpty, ks, Seq(50), lo, hi, nb)
+      .count() == 0)
+    val hOne = MvFold.foldHist(MvFold.buildHist(one, ks, col("v"), lo, hi, nb),
+      noFacts, ks, col("v"), lo, hi, nb)
+    val q = MvFold.readHistQuantiles(hOne, ks, Seq(50, 100), lo, hi, nb)
+      .collect()
+    assert(q.length == 1 && q.head.getLong(1) == 2L && q.head.getLong(2) == 2L)
+    assert(MvFold.merge(MvFold.build(noFacts, ks, Seq(MvCount("n"))),
+      ks, Seq(MvCount("n"))).count() == 0)
   }
 }

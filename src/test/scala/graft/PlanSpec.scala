@@ -631,6 +631,35 @@ class PlanSpec extends SparkSpec {
     assert(tRound.queryExecution.executedPlan.toString().contains("LeftSemi"))
   }
 
+  test("MvFold incremental cost: folding a delta into a PERSISTED MV scans facts exactly once") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.operators.{MvCount, MvFold, MvSum}
+    // production shape: the stored MV lives in parquet; only the
+    // delta may touch the fact table. A plan with two fact scans
+    // would re-pay history on every fold — the exact failure an
+    // incremental MV exists to avoid.
+    val keys = Seq("o_orderpriority")
+    val measures = Seq(MvSum("s", col("o_totalprice")), MvCount("n"))
+    val facts = Tables.orders(spark, sf)
+    val mvDir = java.nio.file.Files.createTempDirectory("mv_cost")
+      .resolve("mv").toString
+    MvFold.build(facts.filter(col("o_orderkey") % 5 =!= 0), keys, measures)
+      .write.parquet(mvDir)
+    val folded = MvFold.fold(spark.read.parquet(mvDir),
+      facts.filter(col("o_orderkey") % 5 === 0), keys, measures)
+    val scans = folded.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f.relation.location.rootPaths.mkString
+    }
+    val factScans = scans.count(_.contains("orders.parquet"))
+    val mvScans = scans.count(_.contains("mv_cost"))
+    assert(factScans == 1, s"fact table scanned $factScans times:\n$scans")
+    assert(mvScans == 1, s"MV store scanned $mvScans times:\n$scans")
+    // and the delta's filter reaches its scan (history never read)
+    val p = folded.queryExecution.executedPlan.toString()
+    assert(p.contains("PushedFilters"), p.take(2000))
+  }
+
   test("q1: aggregation runs inside whole-stage codegen") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     // AQE's pre-execution plan string hides codegen stages; ask for
