@@ -382,4 +382,29 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("histogram-quantile MV brackets the exact order statistic within one bucket width") {
+    import graft.operators.MvFold
+    // the accuracy CONTRACT of q84's sketch: for any data and any
+    // percent, readout ≤ exact-rank value < readout + width, where
+    // the exact rank is the same ceil(p·n/100) the readout targets
+    val (lo, hi, nb) = (0L, 1024L, 64)
+    val width = (hi - lo) / nb
+    val rowsGen = Gen.nonEmptyListOf(Gen.choose(0L, 1023L))
+    for ((vals, i) <- samples(rowsGen, 12).zipWithIndex) {
+      val df = vals.map(("g", _)).toDF("grp", "v")
+      val mv = MvFold.buildHist(df, Seq("grp"), col("v"), lo, hi, nb)
+      val ps = Seq(1, 25, 50, 75, 95, 100)
+      val got = MvFold.readHistQuantiles(mv, Seq("grp"), ps, lo, hi, nb)
+        .collect().head
+      val sorted = vals.sorted
+      ps.zipWithIndex.foreach { case (p, j) =>
+        val rank = (p.toLong * sorted.length + 99) / 100
+        val exact = sorted((rank - 1).toInt)
+        val q = got.getLong(1 + j)
+        assert(q <= exact && exact < q + width,
+          s"case $i p$p: readout $q !~ exact $exact (n=${sorted.length})")
+      }
+    }
+  }
 }
