@@ -507,6 +507,52 @@ object TextQueries {
               col("n_bpe_tokens").cast("double"), 6)).as("chars_per_token"))
     }),
 
+    // CORPUS DATASHEET (round 18): the per-source report every
+    // training-data release ships — doc/token/char volume, predicted
+    // language mix (t2's heuristic), mean quality (t3's exact integer
+    // ppm composite), and exact-duplicate exposure (docs whose full
+    // text recurs ANYWHERE in the corpus — cross-source copies count,
+    // which is the point of the report). All integer aggregates
+    // (avg = sum div n; dup share in ppm), so the oracle matches
+    // bit-for-bit. 100 TB shape: one pass computes all per-doc
+    // signals narrowly (no shuffle), the dup join is hash-keyed at
+    // text grain (in production: the d1 content-hash MV), and the
+    // final aggregate lands at |sources| grain with map-side combine.
+    "t28_corpus_datasheet" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val perDoc = docs
+        .withColumn("toks", tokens(lower(col("text"))))
+        .withColumn("n_toks", size(col("toks")))
+        .withColumn("s_en", markerCount(col("toks"), enMarkers))
+        .withColumn("s_fr", markerCount(col("toks"), frMarkers))
+        .withColumn("s_es", markerCount(col("toks"), esMarkers))
+        .withColumn("s_de", markerCount(col("toks"), deMarkers))
+        .withColumn("n_stop", col("s_en"))
+        .withColumn("n_long",
+          size(filter(col("toks"), t => length(t) > 5)))
+        .withColumn("pred",
+          langId(col("s_en"), col("s_fr"), col("s_es"), col("s_de")))
+        .withColumn("q", qualityPpm)
+      val copies = docs.groupBy("text").agg(count(lit(1)).as("n_copies"))
+      perDoc.join(copies, "text")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks").cast("long")).as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          sum(when(col("pred") === "en", 1L).otherwise(0L)).as("n_en"),
+          sum(when(col("pred") === "fr", 1L).otherwise(0L)).as("n_fr"),
+          sum(when(col("pred") === "es", 1L).otherwise(0L)).as("n_es"),
+          sum(when(col("pred") === "de", 1L).otherwise(0L)).as("n_de"),
+          sum(col("q")).as("__sum_q"),
+          sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("dup_docs"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_chars"), col("n_en"), col("n_fr"), col("n_es"),
+          col("n_de"),
+          expr("__sum_q div n_docs").as("avg_quality_ppm"),
+          col("dup_docs"),
+          expr("(1000000 * dup_docs) div n_docs").as("dup_ppm"))
+    }),
+
     // COLLOCATION MINING: adjacent-bigram pointwise mutual information
     // ln(p(w1w2) / (p(w1)·p(w2))) over the corpus, min support 5 — the
     // multi-word-expression detector (phrase vocabularies, tokenizer
@@ -1268,6 +1314,48 @@ object TextQueries {
              AS chars_per_token
          FROM perdoc p JOIN documents doc ON p.doc_id = doc.doc_id
          GROUP BY doc.lang"""),
+    // per-doc signals recomputed with the t2/t3 oracle formulas
+    // (shared marker lists and qualityPpmSql, so the Spark and SQL
+    // definitions cannot silently diverge); dup exposure via a
+    // corpus-wide text-count join; all integer aggregates
+    "t28_corpus_datasheet" ->
+      (raw"""WITH t AS (
+           SELECT doc_id, source, text,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id, source, text, len(toks) AS n_toks,
+             len(list_filter(toks, x -> x IN $enL)) AS s_en,
+             len(list_filter(toks, x -> x IN $frL)) AS s_fr,
+             len(list_filter(toks, x -> x IN $esL)) AS s_es,
+             len(list_filter(toks, x -> x IN $deL)) AS s_de,
+             length(text) AS n_chars,
+             """ + graft.functions.TextFunctions.qualityPpmSql + raw""" AS q
+           FROM t),
+         p AS (
+           SELECT *, CASE
+             WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+             WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+             WHEN s_es >= s_de THEN 'es'
+             ELSE 'de' END AS pred
+           FROM m),
+         c AS (SELECT text, COUNT(*) AS n_copies FROM documents GROUP BY text),
+         g AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             CAST(SUM(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+             CAST(SUM(CASE WHEN pred = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+             CAST(SUM(CASE WHEN pred = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+             CAST(SUM(CASE WHEN pred = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+             CAST(SUM(q) AS BIGINT) AS sum_q,
+             CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_docs
+           FROM p JOIN c USING (text) GROUP BY source)
+         SELECT source, n_docs, n_tokens, n_chars, n_en, n_fr, n_es, n_de,
+           CAST(sum_q // n_docs AS BIGINT) AS avg_quality_ppm, dup_docs,
+           CAST((1000000 * dup_docs) // n_docs AS BIGINT) AS dup_ppm
+         FROM g"""),
     // the engine's exact PMI formula over the same whitespace tokens;
     // bigrams rebuilt positionally, unigram joins via split_part
     "t22_collocations" ->

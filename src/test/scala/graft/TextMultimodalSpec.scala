@@ -1400,4 +1400,35 @@ class TextMultimodalSpec extends SparkSpec {
         .toDF("doc_id", "text", "lang", "source", "n_chars")).count()
     assert(empty === 0L)
   }
+
+  test("t28 datasheet: hand-computed fixture (lang mix, integer quality avg, cross-source dup)") {
+    // 5 docs, 2 sources; d2/d3 share identical text ACROSS sources —
+    // both must count as dup exposure (the report's point)
+    val dir = java.nio.file.Files.createTempDirectory("ds_fix").toString
+    Seq(
+      (1L, "the and of it", "en", "s1", 13L),
+      (2L, "copy me please now", "en", "s1", 18L),
+      (3L, "copy me please now", "en", "s2", 18L),
+      (4L, "le la et les maison", "fr", "s2", 19L),
+      (5L, "der die das und ist heute", "de", "s2", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t28_corpus_datasheet")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_chars"),
+          (r.getAs[Long]("n_en"), r.getAs[Long]("n_fr"),
+            r.getAs[Long]("n_es"), r.getAs[Long]("n_de")),
+          r.getAs[Long]("avg_quality_ppm"), r.getAs[Long]("dup_docs"),
+          r.getAs[Long]("dup_ppm"))).toMap
+    // s1: q(d1) = 300000·3/4 + 0 + 4000·4 = 241000 (3 en markers);
+    //     q(d2) = 0 + 300000·1/4 + 16000 = 91000 ("please" > 5 chars,
+    //     all-zero marker tie → 'en') → avg (241000+91000) div 2
+    assert(got("s1") == ((2L, 8L, 31L, (2L, 0L, 0L, 0L), 166000L,
+      1L, 500000L)))
+    // s2: d3 en-tie 91000, d4 fr (4 markers) 60000+20000, d5 de
+    //     (5 markers, no long tokens) 24000·... = 0+0+4000·6
+    assert(got("s2") == ((3L, 15L, 62L, (1L, 1L, 0L, 1L), 65000L,
+      1L, 333333L)))
+  }
 }
