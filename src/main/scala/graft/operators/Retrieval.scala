@@ -108,6 +108,61 @@ object Retrieval {
       .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
         col("s.id").as("doc_id"), round(col("s.score"), 6).as("rrf_score"))
   }
+
+  /** Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty,
+    * SIGIR'01) — the other classic lexical ranker next to BM25, and
+    * the one with a probabilistic reading (log p(q|d) under a
+    * document language model smoothed toward the corpus model).
+    *
+    * Computed in the SPARSE decomposition, so only matching postings
+    * pay work (the dense sum touches every (query-term, doc) pair):
+    *
+    *   score(q,d) = Σ_{w∈q∩d} ln(1 + tf(w,d) / (μ·p(w|C)))
+    *              + |q| · ln(μ / (dl + μ))
+    *
+    * with p(w|C) = cf(w)/|C| — RANK-EQUIVALENT to the dense
+    * Σ_{w∈q} ln((tf + μ·p)/(dl + μ)): it drops only the
+    * query-constant Σ_{w∈q} ln(p(w|C)), which shifts every candidate
+    * of a query by the same amount (the spec pins the exact identity
+    * against a dense Scala reference). Candidates
+    * are docs sharing ≥1 query term, t18's postings⋈qterms shape; the
+    * cf table is the same vocabulary-bounded aggregate as df. All
+    * doubles are plain deterministic math over engine-independent
+    * integer counts; rank keys round to 9 dp (the t11 convention).
+    */
+  def qlmTopK(docs: DataFrame, k: Int = 5, nQueries: Int = 5,
+      mu: Double = 300.0): DataFrame = {
+    val t = docs.select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
+    val postings = t.groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"), first("dl").as("dl"))
+    // collection frequencies + the 1-row corpus token total
+    val cfreq = t.groupBy("term").agg(count(lit(1)).cast("double").as("cf"))
+    val total = t.agg(count(lit(1)).cast("double").as("n_total"))
+    val qterms = docs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(tokens(lower(col("text"))))).as("term"))
+    val qsize = qterms.groupBy("q_id")
+      .agg(count(lit(1)).cast("double").as("q_len"))
+    val scored = postings.join(cfreq, "term")
+      .join(broadcast(qterms), "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .crossJoin(broadcast(total))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(log(lit(1.0) +
+          col("tf") * col("n_total") / (lit(mu) * col("cf")))).as("match_part"),
+        first("dl").as("dl"))
+      .join(broadcast(qsize), "q_id")
+      .withColumn("score", col("match_part") +
+        col("q_len") * log(lit(mu) / (col("dl") + lit(mu))))
+    scored
+      .groupBy("q_id")
+      .agg(topkByScore(round(col("score"), 9), col("score"), col("doc_id"), k).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.id").as("doc_id"), round(col("s.score"), 6).as("qlm"))
+  }
 }
 
 object RetrievalQueries {
@@ -115,7 +170,8 @@ object RetrievalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t18_bm25_topk" -> ((s, d) => Retrieval.bm25TopK(Tables.documents(s, d))),
     "s10_hybrid_rrf" -> ((s, d) =>
-      Retrieval.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d)))
+      Retrieval.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d))),
+    "t29_qlm_topk" -> ((s, d) => Retrieval.qlmTopK(Tables.documents(s, d)))
   )
 
   // shared CTE prefix: tokenization identical to t9/t11's oracles
@@ -195,6 +251,48 @@ object RetrievalQueries {
                ORDER BY ROUND(rrf, 9) DESC, doc_id ASC) AS BIGINT) AS rank
            FROM fused)
          SELECT q_id, rank, doc_id, ROUND(rrf, 6) AS rrf_score
+         FROM ranked WHERE rank <= 5""",
+    // the sparse Dirichlet decomposition verbatim (μ = 300); cf and
+    // the corpus token total replace t18's df/avgdl statistics
+    "t29_qlm_topk" ->
+      raw"""WITH t AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         post AS (
+           SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf,
+             ANY_VALUE(dl) AS dl
+           FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+                   unnest(toks) AS term FROM t)
+           GROUP BY doc_id, term),
+         cfq AS (
+           SELECT term, CAST(SUM(tf) AS DOUBLE) AS cf FROM post GROUP BY term),
+         tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS n_total FROM post),
+         qterms AS (
+           SELECT doc_id AS q_id, unnest(list_distinct(toks)) AS term
+           FROM t WHERE doc_id < 5),
+         qsize AS (
+           SELECT q_id, CAST(COUNT(*) AS DOUBLE) AS q_len
+           FROM qterms GROUP BY q_id),
+         cand AS (
+           SELECT q.q_id, p.doc_id,
+             SUM(ln(1.0 + p.tf * s.n_total / (300.0 * c.cf))) AS match_part,
+             ANY_VALUE(p.dl) AS dl
+           FROM post p JOIN cfq c USING (term)
+                JOIN qterms q USING (term)
+                CROSS JOIN tot s
+           WHERE p.doc_id <> q.q_id
+           GROUP BY q.q_id, p.doc_id),
+         qlms AS (
+           SELECT c.q_id, c.doc_id,
+             c.match_part + z.q_len * ln(300.0 / (c.dl + 300.0)) AS score
+           FROM cand c JOIN qsize z USING (q_id)),
+         ranked AS (
+           SELECT q_id, doc_id, score,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY ROUND(score, 9) DESC, doc_id ASC) AS BIGINT) AS rank
+           FROM qlms)
+         SELECT q_id, rank, doc_id, ROUND(score, 6) AS qlm
          FROM ranked WHERE rank <= 5"""
   )
 }

@@ -82,4 +82,54 @@ class RetrievalSpec extends SparkSpec {
       !ph.contains("CartesianProduct\n"), ph.take(2000))
     assert(ph.contains("FullOuter"), ph.take(3000))
   }
+
+  test("qlm: sparse decomposition equals the dense Dirichlet sum on a controlled fixture") {
+    import spark.implicits._
+    val mu = 300.0
+    val fixture = Seq(
+      (0L, "apple banana cherry", "en", "s", 19L),
+      (1L, "banana banana date", "en", "s", 18L),
+      (10L, "apple banana apple fig", "en", "s", 22L),
+      (11L, "banana fig fig date date", "en", "s", 24L),
+      (12L, "grape kiwi lemon", "en", "s", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Retrieval.qlmTopK(fixture, k = 5, nQueries = 2, mu = mu)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("rank"), r.getAs[Double]("qlm"))).toMap
+    // dense reference: score(q,d) = Σ_{w ∈ q} ln((tf + μ·cf/|C|)/(dl + μ))
+    // over candidate docs (≥1 shared term, d ≠ q). The sparse form
+    // drops the query-constant Σ_{w∈q} ln(p(w|C)) — rank-invariant —
+    // so the identity is sparse = dense − that constant
+    val toks = Map(0L -> Seq("apple", "banana", "cherry"),
+      1L -> Seq("banana", "banana", "date"),
+      10L -> Seq("apple", "banana", "apple", "fig"),
+      11L -> Seq("banana", "fig", "fig", "date", "date"),
+      12L -> Seq("grape", "kiwi", "lemon"))
+    val cf = toks.values.flatten.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val total = toks.values.map(_.size).sum.toDouble
+    val want = for {
+      q <- Seq(0L, 1L); d <- toks.keys.toSeq
+      if d != q && toks(q).toSet.intersect(toks(d).toSet).nonEmpty
+    } yield {
+      val dl = toks(d).size.toDouble
+      val dense = toks(q).distinct.map { w =>
+        val tf = toks(d).count(_ == w).toDouble
+        math.log((tf + mu * cf(w) / total) / (dl + mu))
+      }.sum
+      val qConst = toks(q).distinct.map(w => math.log(cf(w) / total)).sum
+      (q, d) -> (dense - qConst)
+    }
+    assert(got.keySet == want.map(_._1).toSet)
+    for (((q, d), s) <- want)
+      assert(math.abs(got((q, d))._2 - s) < 1e-6,
+        s"($q,$d): ${got((q, d))._2} vs $s")
+    // ranks follow the dense scores (desc, doc_id tie-break)
+    for (q <- Seq(0L, 1L)) {
+      val expOrder = want.filter(_._1._1 == q)
+        .sortBy { case ((_, d), s) => (-math.rint(s * 1e9), d) }.map(_._1._2)
+      val gotOrder = got.filter(_._1._1 == q).toSeq
+        .sortBy(_._2._1).map(_._1._2)
+      assert(gotOrder == expOrder, s"q=$q: $gotOrder vs $expOrder")
+    }
+  }
 }
