@@ -544,6 +544,53 @@ object Multimodal {
     }
   }
 
+  /** Top-2 spectral-peak constellation — the audio-fingerprint
+    * primitive (Shazam-style landmark hashing reduced to its
+    * deterministic core): FFT channel 0, rank bins by magnitude, emit
+    * the two loudest as [payload_bytes, p1, 0, p1, p2]. A second
+    * "peak" below 1% of the first is the quantization-noise floor,
+    * not content — emitted as the 0 sentinel so a single-tone clip
+    * fingerprints stably (FP noise would otherwise pick an arbitrary
+    * bin). Two clips sharing (p1, p2) are spectral twins regardless of
+    * amplitude — the invariance that makes the fingerprint a NEAR-dup
+    * key rather than an exact-byte one.
+    */
+  final class PeakPairCodec(nFft: Int = 1024) extends MediaCodec {
+    require(nFft >= 4 && (nFft & (nFft - 1)) == 0,
+      s"nFft must be a power of two: $nFft")
+    override def decode(r: MediaRow): Array[Double] = {
+      val (_, channels, samples) = wavPcm16(r.payload, r.doc_id)
+      val re = new Array[Double](nFft)
+      val im = new Array[Double](nFft)
+      val step = math.max(1, channels)
+      val n = math.min(nFft, samples.length / step)
+      var i = 0
+      while (i < n) { re(i) = samples(i * step) / 32768.0; i += 1 }
+      Dsp.fft(re, im)
+      // DC excluded (offset is not pitch); two-pass argmax keeps the
+      // scan branch-simple and exact
+      var p1 = 1; var m1 = -1.0
+      var k = 1
+      while (k <= nFft / 2) {
+        val mag = math.sqrt(re(k) * re(k) + im(k) * im(k))
+        if (mag > m1) { m1 = mag; p1 = k }
+        k += 1
+      }
+      var p2 = 0; var m2 = -1.0
+      k = 1
+      while (k <= nFft / 2) {
+        if (k != p1) {
+          val mag = math.sqrt(re(k) * re(k) + im(k) * im(k))
+          if (mag > m2) { m2 = mag; p2 = k }
+        }
+        k += 1
+      }
+      if (m2 <= 0.01 * m1) p2 = 0
+      Array(r.payload.length.toDouble, p1.toDouble, 0.0,
+        p1.toDouble, p2.toDouble)
+    }
+  }
+
   /** Nearest-neighbor RESIZE at the codec — the thumbnail/downscale
     * step of an image ingest, running where the pixels already are
     * (decode + resize per partition; full-resolution pixels never
@@ -1462,6 +1509,45 @@ object MultimodalQueries {
       Multimodal.imageTiles(s, rows.toDF(), patch = 4,
         codec = new Multimodal.SniffRaster).toDF()
     }),
+    // AUDIO NEAR-DUP (round 18): spectral-constellation fingerprinting
+    // — the audio twin of d20's image phash. Every doc_id % 7 == 4
+    // clip RE-RECORDS its predecessor's two tones at its own
+    // amplitudes: a byte-unequal waveform exact hashing misses, but an
+    // identical top-2 peak constellation (PeakPairCodec), so the
+    // (p1, p2) equi-self-join pairs them — amplitude-invariant near-dup
+    // by construction. The FFT runs inside the decode tasks; only the
+    // 2-int fingerprint shuffles (the production constellation-hash
+    // shape: landmark hashes to a key-join, audio never moves twice).
+    // Bin-aligned tones make the peak bins EXACTLY derivable from the
+    // synth parameters, so unlike the digest-checked FFT entries (m11)
+    // this carries a first-principles oracle over decoder output —
+    // including the single-tone degenerate (b1 = b2 → sentinel p2 = 0).
+    "m22_audio_neardup" -> ((s, d) => {
+      import s.implicits._
+      val rows = Multimodal.mediaTable(Tables.documents(s, d))
+        .as[Multimodal.MediaRow].map { r =>
+          val src = if (r.doc_id % 7 == 4) r.doc_id - 1 else r.doc_id
+          val b1 = (3 + src % 200).toInt
+          val b2 = (7 + src % 97).toInt
+          val a1 = 0.30 + (r.doc_id % 5) * 0.08
+          val a2 = 0.10 + (r.doc_id % 3) * 0.05
+          val samples = Array.tabulate[Short](1024) { i =>
+            val t = 2.0 * math.Pi * i / 1024.0
+            ((a1 * math.sin(b1 * t) + a2 * math.sin(b2 * t)) * 32767.0 / 2).toShort
+          }
+          Multimodal.MediaRow(r.doc_id,
+            Multimodal.synthWav(8000, samples), "audio/wav", 0, 0)
+        }
+      val fp = Multimodal.extractFeatures(s, rows.toDF(),
+        new Multimodal.PeakPairCodec(1024)).toDF()
+        .select(col("doc_id"), col("feat_0").cast("long").as("p1"),
+          col("feat_1").cast("long").as("p2"))
+      fp.select(col("doc_id").as("doc_a"), col("p1"), col("p2"))
+        .join(fp.select(col("doc_id").as("doc_b"), col("p1"), col("p2")),
+          Seq("p1", "p2"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("p1"), col("p2"))
+    }),
     // FRAME SAMPLING at the codec: every 4th 64-sample frame of the
     // synthesized PCM is scored, the rest are never featurized (the
     // decimation step of a video/audio ingest). Rows-only; the spec
@@ -1916,6 +2002,24 @@ object MultimodalQueries {
            CAST((d.n + 63) // 64 AS DOUBLE) AS feat_0,
            CAST(8000 AS DOUBLE) AS feat_1
          FROM d JOIN s USING (doc_id)""",
+    // bin-aligned tones ⇒ the FFT's top-2 bins ARE the synth's tone
+    // bins (a1 > a2 strictly by construction), re-derived from first
+    // principles — incl. the planted predecessor-copy re-record and
+    // the single-tone degenerate (b1 = b2 → sentinel p2 = 0)
+    "m22_audio_neardup" ->
+      """WITH f AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 4 THEN doc_id - 1 ELSE doc_id END AS src
+           FROM documents),
+         fp AS (
+           SELECT doc_id,
+             CAST(3 + src % 200 AS BIGINT) AS p1,
+             CAST(CASE WHEN 7 + src % 97 = 3 + src % 200 THEN 0
+                       ELSE 7 + src % 97 END AS BIGINT) AS p2
+           FROM f)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p1, a.p2
+         FROM fp a JOIN fp b
+           ON a.p1 = b.p1 AND a.p2 = b.p2 AND a.doc_id < b.doc_id""",
     // m6's sample synthesis re-derived positionally; ZCR via lag()
     // sign compare, RMS = IEEE sqrt of the exact integer ratio
     "m14_audio_timedomain" ->

@@ -1431,4 +1431,36 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got("s2") == ((3L, 15L, 62L, (1L, 1L, 0L, 1L), 65000L,
       1L, 333333L)))
   }
+
+  test("m22: every planted re-record pairs with its source; single tones fingerprint with the sentinel") {
+    val pairs = SparkEntry.queries("m22_audio_neardup")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val ids = Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // planted: doc_id % 7 == 4 re-records doc_id - 1 → both share the
+    // source's constellation and MUST pair
+    val planted = ids.filter(i => i % 7 == 4 && ids(i - 1)).map(i => (i - 1, i))
+    assert(planted.nonEmpty)
+    assert(planted.subsetOf(pairs),
+      s"missing planted pairs: ${(planted -- pairs).take(5)}")
+    // every reported pair shares a constellation under the synth's
+    // id-formula (src = id-1 for re-records) — no false positives
+    def fp(i: Long): (Long, Long) = {
+      val s0 = if (i % 7 == 4) i - 1 else i
+      val (b1, b2) = (3 + s0 % 200, 7 + s0 % 97)
+      (b1, if (b1 == b2) 0L else b2)
+    }
+    for ((a, b) <- pairs) assert(fp(a) == fp(b), s"pair ($a,$b) fp mismatch")
+    // degenerate single tone (b1 == b2): the second "peak" is the
+    // noise floor → sentinel 0, not an arbitrary FP-noise bin
+    val mono = {
+      val samples = Array.tabulate[Short](1024) { i =>
+        ((0.5 * math.sin(2.0 * math.Pi * 11 * i / 1024.0)) * 32767.0 / 2).toShort
+      }
+      operators.Multimodal.MediaRow(0L,
+        operators.Multimodal.synthWav(8000, samples), "audio/wav", 0, 0)
+    }
+    val f = new operators.Multimodal.PeakPairCodec(1024).decode(mono)
+    assert(f(3) == 11.0 && f(4) == 0.0, f.mkString(","))
+  }
 }
