@@ -169,6 +169,24 @@ object GraphQueries {
       rankedTopK(pr, Seq(col("ppr_micro").desc, col("node")), 40,
         col("node").as("part"), col("ppr_micro"))
     }),
+    // LANDMARK CLOSENESS (round 18): harmonic closeness estimated
+    // from the 5 demand landmarks — Σ 1/dist over reaching landmarks
+    // (self-distance excluded), in exact integer micro units
+    // (1000000 div hops, hops ≤ 8 → a fixed value table both engines
+    // reproduce bit-for-bit). ONE labeled BFS carries all landmarks
+    // (frontier keyed by (landmark, node) — the landmark/sketch trick:
+    // cost scales with frontier coverage, not |landmarks| sweeps);
+    // exact closeness needs all-pairs BFS, which no 100 TB graph
+    // affords — landmark estimation is the production answer
+    "g17_landmark_closeness" -> ((s, d) => {
+      val dist = Graph.landmarkDistances(cachedAdjDeg(s, d), demandSeeds(s, d))
+      val cl = dist.filter(col("hops") > 0)
+        .groupBy("node")
+        .agg(sum(expr("1000000L div hops")).as("closeness_micro"),
+          count(lit(1)).as("n_landmarks"))
+      rankedTopK(cl, Seq(col("closeness_micro").desc, col("node")), 40,
+        col("node").as("part"), col("closeness_micro"), col("n_landmarks"))
+    }),
     // community-quality readout: per-community modularity contribution
     // of g3's label-propagation partition (is the structure real?)
     "g9_modularity" -> ((s, d) => {
@@ -373,6 +391,34 @@ object GraphQueries {
        b0 AS (SELECT node, CAST(0 AS BIGINT) AS hops FROM bseeds)""" + rs
   }
 
+  /** Labeled (per-landmark) BFS unroll — bfsCtes with the frontier
+    * keyed by (landmark, node); distinct CTE names so both can appear
+    * in one statement.
+    */
+  private def lmCtes(rounds: Int): String = {
+    val rs = (1 to rounds).map { i =>
+      val prev = if (i == 1) "lm0" else s"lm${i - 1}"
+      s""",
+       lm$i AS (
+         SELECT p.landmark, a.dst AS node, MIN(p.hops + a.hop) AS hops
+         FROM lmadj a JOIN $prev p ON a.src = p.node
+         GROUP BY p.landmark, a.dst)"""
+    }.mkString
+    s""",
+       lmadj AS MATERIALIZED (
+         SELECT src, dst, CAST(1 AS BIGINT) AS hop FROM adj
+         UNION ALL
+         SELECT src, src, 0 FROM (SELECT DISTINCT src FROM adj)),
+       lmseeds AS (
+         SELECT l_partkey AS node
+         FROM (
+           SELECT l_partkey,
+             row_number() OVER (ORDER BY COUNT(*) DESC, l_partkey) AS rn
+           FROM lineitem GROUP BY l_partkey QUALIFY rn <= 5)),
+       lm0 AS (SELECT node AS landmark, node,
+         CAST(0 AS BIGINT) AS hops FROM lmseeds)""" + rs
+  }
+
   /** 4 unrolled label-propagation rounds (weighted argmax, ties to the
     * smallest label).
     */
@@ -456,6 +502,19 @@ object GraphQueries {
            AS rank,
          node AS part, CAST(r AS BIGINT) AS ppr_micro
        FROM pp8 QUALIFY rank <= 40"""),
+    // the labeled-BFS unroll + exact integer micro closeness
+    // (1000000 // hops over reaching landmarks, self excluded)
+    "g17_landmark_closeness" -> (graphCtes + lmCtes(8) +
+      """
+       SELECT CAST(row_number() OVER
+           (ORDER BY closeness_micro DESC, node) AS BIGINT) AS rank,
+         node AS part, closeness_micro, n_landmarks
+       FROM (
+         SELECT node,
+           CAST(SUM(1000000 // hops) AS BIGINT) AS closeness_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_landmarks
+         FROM lm8 WHERE hops > 0 GROUP BY node)
+       QUALIFY rank <= 40"""),
     "g3_label_prop" -> (graphCtes +
       """,
        lb0 AS (SELECT DISTINCT src AS node, src AS lbl FROM adj)""" +

@@ -384,4 +384,24 @@ class GraphSpec extends SparkSpec {
       assert(r6.limit(1).count() === 1L, s"no labels at $sfDir")
     }
   }
+
+  test("landmarkDistances: a path graph reads hand-computed per-landmark hops and closeness") {
+    // path 1-2-3-4-5, landmarks {1, 5}: dist(1, n) = n-1, dist(5, n) = 5-n
+    val path = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L))
+    val adj = Graph.adjacency(edgesDF(path))
+    val seeds = Seq(1L, 5L).toDF("node")
+    val got = Graph.landmarkDistances(adj, seeds, rounds = 8)
+      .collect().map(r => (r.getAs[Long]("landmark"),
+        r.getAs[Long]("node")) -> r.getAs[Long]("hops")).toMap
+    for (n <- 1L to 5L) {
+      assert(got((1L, n)) == n - 1, s"landmark 1 -> $n")
+      assert(got((5L, n)) == 5 - n, s"landmark 5 -> $n")
+    }
+    // harmonic closeness in micro units, self excluded: node 2 =
+    // 1000000/1 + 1000000 div 3; endpoints see only the far landmark
+    val cl = got.toSeq.filter(_._2 > 0)
+      .groupBy(_._1._2).view.mapValues(_.map(t => 1000000L / t._2).sum).toMap
+    assert(cl(1L) == 250000L && cl(2L) == 1333333L && cl(3L) == 1000000L
+      && cl(4L) == 1333333L && cl(5L) == 250000L)
+  }
 }
