@@ -408,6 +408,56 @@ object Packing {
         .select("doc_id")
       mixturePlan(corpus.join(contaminated, Seq("doc_id"), "left_anti"))
     }),
+    // END-TO-END CORPUS FUNNEL (round 18): the whole curation
+    // pipeline as ONE dataflow — decontaminate (d8's gate, %50 eval
+    // split) → exact-dedup (d1/p8's keep-min-id-per-content-hash) →
+    // quality filter (t7's shared rule set) → pack (p1's 512-token
+    // bins) — read out as the stage funnel (docs/tokens surviving
+    // each stage, bins at the end) every corpus release publishes
+    // next to its datasheet. Each stage reuses THE shared definition
+    // (decontaminate / sha2 canon / qualityReason / sequencePack),
+    // so the funnel is the composition proof: the stages chain in
+    // one DAG with no materialization between them. The per-stage
+    // count rows each cost one aggregate over the stage frame — at
+    // 100 TB the stage frames would be cached once; the counts are
+    // report cost, not pipeline cost.
+    "p18_corpus_funnel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      val eval = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      val contaminated = graft.operators.Dedup.decontaminate(corpus, eval)
+        .select("doc_id")
+      val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      val keyed = clean.withColumn("__key", sha2(lower(trim(col("text"))), 256))
+      val deduped = keyed
+        .join(keyed.groupBy("__key").agg(min("doc_id").as("__cid")), "__key")
+        .filter(col("doc_id") === col("__cid"))
+        .drop("__key", "__cid")
+      val qual = deduped
+        .withColumn("__toks", tokens(lower(col("text"))))
+        .withColumn("__n", size(col("__toks")))
+        .withColumn("__sl", length(regexp_replace(col("text"), "\\s", "")))
+        .withColumn("__stop", markerCount(col("__toks"), enMarkers))
+        .filter(qualityReason(col("__n"), col("__sl"), col("__stop")).isNull)
+        .drop("__toks", "__n", "__sl", "__stop")
+      val packed = sequencePack(qual, capacity = 512)
+      def stage(id: Long, name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(size(tokens(col("text"))).cast("long")), lit(0L))
+              .as("n_tokens"))
+          .select(lit(id).as("stage_id"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"),
+            lit(null).cast("long").as("n_bins"))
+      stage(0L, "corpus", corpus)
+        .unionByName(stage(1L, "decontaminated", clean))
+        .unionByName(stage(2L, "deduped", deduped))
+        .unionByName(stage(3L, "quality", qual))
+        .unionByName(packed.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+            countDistinct(col("lang"), col("bin_id")).as("n_bins"))
+          .select(lit(4L).as("stage_id"), lit("packed").as("stage"),
+            col("n_docs"), col("n_tokens"), col("n_bins")))
+    }),
     "p4_split_shards" -> ((s, d) => splitShards(Tables.documents(s, d))),
     "p5_epoch_shuffle" -> ((s, d) => epochShuffle(Tables.documents(s, d))),
     "p6_token_budget_sample" -> ((s, d) =>
@@ -750,6 +800,78 @@ object Packing {
                < CAST(ROUND(rate * 1000000) AS BIGINT)""",
     // t7's keep rule -> d1's min-id-per-hash dedup -> p2's LCG sample,
     // verbatim compositions of those oracles
+    // each stage recomputed with ITS family's oracle formula (d8's
+    // gram gate, the sha256 canon, t7's rule constants, p1's
+    // cumulative-sum bins) — the funnel is the composition, verbatim
+    "p18_corpus_funnel" ->
+      raw"""WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT DISTINCT doc_id, gram FROM (
+             SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= 5 THEN
+                 list_transform(range(1, len(toks) - 3),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                        toks[i+3] || ' ' || toks[i+4])
+               ELSE [] END) AS gram
+             FROM t)),
+         e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+         bad AS (
+           SELECT DISTINCT doc_id FROM g
+           WHERE doc_id % 50 <> 0 AND gram IN (SELECT gram FROM e)),
+         corpus AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+         clean AS (
+           SELECT * FROM corpus
+           WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+         keyed AS (SELECT *, sha256(lower(trim(text))) AS key FROM clean),
+         canon AS (SELECT key, MIN(doc_id) AS cid FROM keyed GROUP BY key),
+         dedup AS (
+           SELECT k.* FROM keyed k
+           JOIN canon c ON k.key = c.key AND k.doc_id = c.cid),
+         qm AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+             length(regexp_replace(text, '\s', '', 'g')) AS sum_len
+           FROM dedup),
+         q AS (
+           SELECT d.* FROM dedup d JOIN qm USING (doc_id)
+           WHERE len(qm.toks) >= $qualityMinTokens
+             AND len(qm.toks) <= $qualityMaxTokens
+             AND qm.sum_len >= len(qm.toks) * $qualityMinMeanTokLen
+             AND qm.sum_len <= len(qm.toks) * $qualityMaxMeanTokLen
+             AND len(list_filter(qm.toks, x -> x IN ${graft.functions.TextFunctions.sqlInList(enMarkers)})) >= $qualityMinStopwords),
+         nq AS (
+           SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+           FROM q),
+         pb AS (
+           SELECT lang, doc_id, n,
+             COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+               AS bin_id
+           FROM nq)
+         SELECT CAST(0 AS BIGINT) AS stage_id, 'corpus' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(len(regexp_split_to_array(trim(text), '\s+'))), 0) AS BIGINT) AS n_tokens,
+           CAST(NULL AS BIGINT) AS n_bins FROM corpus
+         UNION ALL
+         SELECT 1, 'decontaminated', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(len(regexp_split_to_array(trim(text), '\s+'))), 0) AS BIGINT),
+           NULL FROM clean
+         UNION ALL
+         SELECT 2, 'deduped', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(len(regexp_split_to_array(trim(text), '\s+'))), 0) AS BIGINT),
+           NULL FROM dedup
+         UNION ALL
+         SELECT 3, 'quality', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(len(regexp_split_to_array(trim(text), '\s+'))), 0) AS BIGINT),
+           NULL FROM q
+         UNION ALL
+         SELECT 4, 'packed', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n), 0) AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT DISTINCT lang, bin_id FROM pb)) FROM pb""",
     "p8_corpus_prep" ->
       raw"""WITH t AS (
            SELECT doc_id, lang, source, text,

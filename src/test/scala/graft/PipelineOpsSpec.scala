@@ -508,4 +508,26 @@ class PipelineOpsSpec extends SparkSpec {
     // 100·10⁶ div 512 = 195312 (floor); 100 < 90% of 512
     assert(out("fr") == ((1L, 195312L, 0.0, 100.0)))
   }
+
+  test("p18 funnel: stages shrink monotonically and packing conserves the quality stage") {
+    val rows = SparkEntry.queries("p18_corpus_funnel")(spark, sf)
+      .collect().map(r => r.getAs[Long]("stage_id") ->
+        (r.getAs[String]("stage"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_tokens"),
+          Option(r.get(r.fieldIndex("n_bins"))).map(_.asInstanceOf[Long])))
+      .toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(rows(0)._1 == "corpus" && rows(4)._1 == "packed")
+    // each filter stage can only shrink the corpus (docs AND tokens)
+    for (i <- 1L to 3L) {
+      assert(rows(i)._2 <= rows(i - 1)._2, s"stage $i grew docs")
+      assert(rows(i)._3 <= rows(i - 1)._3, s"stage $i grew tokens")
+    }
+    assert(rows(0)._2 > rows(3)._2, "funnel filtered nothing — fixture degenerate")
+    // packing re-arranges, never drops: docs and tokens conserved
+    assert(rows(4)._2 == rows(3)._2 && rows(4)._3 == rows(3)._3)
+    // bin count only at the pack stage, and ≥ tokens/capacity
+    assert(rows(4)._4.exists(_ >= rows(4)._3 / 512))
+    for (i <- 0L to 3L) assert(rows(i)._4.isEmpty, s"stage $i has bins")
+  }
 }
