@@ -57,6 +57,57 @@ object Similarity {
     rerank(pairs, k)
   }
 
+  /** SCALAR-QUANTIZATION (int8) RECALL EVAL — the vector-COMPRESSION
+    * axis of the ANN family (s8's PQ is the codebook path; SQ8 is the
+    * simpler, ubiquitous one: 4× smaller vectors, one multiply to
+    * decode). Per-dimension min/max train the quantizer; each corpus
+    * vector is quantized to 255 levels and RECONSTRUCTED; queries
+    * stay full-precision (the standard asymmetric setup). The readout
+    * is s15's recall contract: exact top-k on raw vectors vs top-k on
+    * reconstructed corpus, hits/recall per query — the number that
+    * decides whether the 4× memory saving is free or not.
+    *
+    * Scale shape: the trainer is ONE narrow explode keyed by dim
+    * (map-side combine collapses every partition to |dims| rows);
+    * the (lo, hi) table broadcasts as a single array row; quantize +
+    * reconstruct is a per-row zip_with (no shuffle). Degenerate dims
+    * (hi = lo) reconstruct to the constant. All arithmetic is plain
+    * IEEE doubles in a pinned expression order, mirrored exactly by
+    * the oracle.
+    */
+  def sq8Recall(emb: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val c = corpus(emb)
+    val stats = c.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("lo"), col("hi"))))
+        .as("st"))
+    val rec = c.crossJoin(broadcast(stats))
+      .withColumn("rv", zip_with(col("v"), col("st"), (x, s) => {
+        val lo = s.getField("lo")
+        val w = s.getField("hi") - lo
+        when(w === 0.0, lo).otherwise(
+          lo + least(lit(255.0), greatest(lit(0.0),
+            floor((x - lo) * lit(255.0) / w + lit(0.5)))) * w / lit(255.0))
+      }))
+      .select(col("vec_id"), col("rv"))
+      .withColumn("rn", norm(col("rv")))
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = rec.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("rv"), col("qv")) / (col("rn") * col("qn")))
+    val approx = rerank(pairs, k).select(col("q_id"), col("neighbor_id"))
+    val exact = bruteForceTopK(emb, k, nQueries)
+      .select(col("q_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("q_id", "neighbor_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("h"))
+    exact.groupBy("q_id").agg(count(lit(1)).as("depth"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("h"), lit(0L)).as("hits"),
+        round(coalesce(col("h"), lit(0L)).cast("double") /
+          col("depth").cast("double"), 6).as("recall"))
+  }
+
   /** MMR DIVERSIFIED RETRIEVAL (Carbonell & Goldstein, SIGIR'98):
     * greedy re-rank of each query's exact top-`shortlist` cosine
     * candidates, picking `k` results that maximize
@@ -1250,6 +1301,11 @@ object SimilarityQueries {
           round(coalesce(col("h"), lit(0L)).cast("double") /
             col("depth").cast("double"), 6).as("recall"))
     }),
+    // int8 scalar quantization: recall of the reconstructed-corpus
+    // top-k vs the raw-vector truth (asymmetric query setup) — the
+    // 4×-compression acceptance test
+    "s21_sq8_recall" -> ((s, d) =>
+      Similarity.sq8Recall(Tables.embeddings(s, d))),
     // MMR diversified retrieval: greedy λ·rel − (1−λ)·max-sim re-rank
     // of the exact top-20 shortlist, 5 picks per query
     "s16_mmr_diversify" -> ((s, d) =>
@@ -1707,6 +1763,68 @@ object SimilarityQueries {
                row_number() OVER (PARTITION BY q_id
                  ORDER BY ROUND(cos, 9) DESC, neighbor_id ASC) AS rnk
              FROM appairs) WHERE rnk <= 5),
+         hits AS (
+           SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS h
+           FROM ex JOIN ap USING (q_id, neighbor_id) GROUP BY ex.q_id),
+         kk AS (
+           SELECT q_id, CAST(COUNT(*) AS BIGINT) AS depth
+           FROM ex GROUP BY q_id)
+         SELECT kk.q_id, COALESCE(h.h, CAST(0 AS BIGINT)) AS hits,
+           ROUND(CAST(COALESCE(h.h, 0) AS DOUBLE)
+             / CAST(kk.depth AS DOUBLE), 6) AS recall
+         FROM kk LEFT JOIN hits h ON kk.q_id = h.q_id""",
+    // per-dim min/max trainer, the SAME pinned reconstruction
+    // expression order as the Spark zip_with, asymmetric cosine
+    // (reconstructed corpus × raw queries), s15's recall readout
+    "s21_sq8_recall" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+           FROM e),
+         dims AS (
+           SELECT i AS dim, MIN(v[i]) AS lo, MAX(v[i]) AS hi
+           FROM n, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) ix
+           GROUP BY i),
+         sl AS (
+           SELECT list(lo ORDER BY dim) AS los,
+             list(hi ORDER BY dim) AS his FROM dims),
+         rq AS (
+           SELECT n.vec_id,
+             list_transform(range(1, len(n.v) + 1), i ->
+               CASE WHEN sl.his[i] = sl.los[i] THEN sl.los[i]
+                    ELSE sl.los[i] + LEAST(255.0, GREATEST(0.0,
+                      floor((n.v[i] - sl.los[i]) * 255.0
+                            / (sl.his[i] - sl.los[i]) + 0.5)))
+                      * (sl.his[i] - sl.los[i]) / 255.0 END) AS rv
+           FROM n CROSS JOIN sl),
+         rn AS (
+           SELECT vec_id, rv,
+             sqrt(list_sum(list_transform(rv, x -> x * x))) AS rnm
+           FROM rq),
+         appairs AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(c.rv, q.v), s -> s[1] * s[2]))
+               / (c.rnm * q.nrm) AS cos
+           FROM rn c JOIN n q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         ap AS (
+           SELECT q_id, neighbor_id FROM (
+             SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY ROUND(cos, 9) DESC, neighbor_id ASC) AS rnk
+             FROM appairs) WHERE rnk <= 5),
+         expairs AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(c.v, q.v), s -> s[1] * s[2]))
+               / (c.nrm * q.nrm) AS cos
+           FROM n c JOIN n q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         ex AS (
+           SELECT q_id, neighbor_id FROM (
+             SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY ROUND(cos, 9) DESC, neighbor_id ASC) AS rnk
+             FROM expairs) WHERE rnk <= 5),
          hits AS (
            SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS h
            FROM ex JOIN ap USING (q_id, neighbor_id) GROUP BY ex.q_id),

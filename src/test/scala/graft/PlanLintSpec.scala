@@ -59,6 +59,7 @@ class PlanLintSpec extends SparkSpec {
     "s19_recall_curve",    // d25's shape: two 1-row metric frames crossed
                            // per cutoff, over s1's query-set broadcast
     "t29_qlm_topk",        // 1-row corpus-token-total broadcast (t18's shape)
+    "s21_sq8_recall",      // 1-row (lo,hi)-array broadcast + s1's query-set broadcast
     "s20_ivf_probe_curve"  // s3's codebook broadcast + s1's query-set
                            // broadcast + two 1-row metric frames crossed
                            // per sweep point (s19's shape on the probe axis)

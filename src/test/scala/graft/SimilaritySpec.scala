@@ -760,4 +760,28 @@ class SimilaritySpec extends SparkSpec {
       .toMap
     assert(got(0L) == ((0L, true)) && got(1L) == ((1L, true)))
   }
+
+  test("sq8 recall: degenerate dims survive, well-separated clusters keep recall 1.0") {
+    import spark.implicits._
+    // dim 0 is CONSTANT (hi = lo → must reconstruct to the constant,
+    // not NaN); dims 1–2 put vectors on distinct angles in two
+    // well-separated clusters, so 255-level quantization cannot flip
+    // any top-k membership
+    val rows = (0L until 12L).map { i =>
+      val (cx, cy) = if (i % 2 == 0) (10.0f, 0.0f) else (0.0f, 10.0f)
+      (i, Array(1.0f, cx + (i / 2) * 0.1f, cy + (i / 2) * 0.07f), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val out = operators.Similarity.sq8Recall(rows, k = 3, nQueries = 4)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("hits"),
+        r.getAs[Double]("recall")))
+    assert(out.length == 4)
+    for ((q, h, rec) <- out) {
+      assert(!rec.isNaN, s"q$q recall NaN — degenerate dim broke the quantizer")
+      assert(h == 3L && rec == 1.0, s"q$q: hits=$h recall=$rec")
+    }
+    // and on the real table the compression must stay near-lossless
+    val real = SparkEntry.queries("s21_sq8_recall")(spark, sf)
+      .agg(avg("recall")).head().getDouble(0)
+    assert(real >= 0.6, s"mean SQ8 recall $real — quantizer broken")
+  }
 }
