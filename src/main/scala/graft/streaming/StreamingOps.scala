@@ -813,13 +813,27 @@ object StreamingQueries {
       dir
     }
 
+  /** The full documents table as a 4-file stream source — st39
+    * ingests it in micro-batches and maintains the t28 datasheet
+    * incrementally.
+    */
+  private def docsStreamDir(s: SparkSession, d: String): String =
+    fixtureCache(s, s"docsfull:$d") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_docs_stream")
+        .resolve("batch").toString
+      Tables.documents(s, d)
+        .repartition(4).write.mode("overwrite").parquet(dir)
+      dir
+    }
+
   /** Bench pre-warm hook: build the stream source fixtures for the
     * timed SF before the clock starts.
     */
   def warmFixtures(s: SparkSession, d: String): Unit = {
     mvStreamDir(s, d); ndStreamDir(s, d); embStreamDir(s, d)
     decontamStreamDir(s, d); tilesStreamDir(s, d)
-    quarantineStreamDir(s, d); ordersMvStreamDir(s, d); ()
+    quarantineStreamDir(s, d); ordersMvStreamDir(s, d)
+    docsStreamDir(s, d); ()
   }
 
   /** Drive a Structured Streaming query over the events parquet to
@@ -1449,6 +1463,84 @@ object StreamingQueries {
           new graft.operators.Multimodal.BmpCodec).toDF()
       else acc
     }),
+    // STREAMING CORPUS DATASHEET (round 18; t28 as a continuously
+    // maintained MV): documents ingest in micro-batches; TWO MvFold
+    // stores carry the report — per-source signal sums (docs, tokens,
+    // chars, predicted-lang indicators, quality ppm: all additive →
+    // MvSum/MvCount at |sources| grain) and a (source, content-hash)
+    // count MV for the NON-additive part, duplicate exposure (a dup
+    // is defined against the whole corpus, so it can only be read off
+    // cross-batch state — the hash-grain MV is exactly the state a
+    // production exact-dup tracker keeps). Read-off reconstructs
+    // t28's columns: integer avg = sum div n, dup_docs = per-source
+    // counts of hashes whose GLOBAL count exceeds 1. Only each batch
+    // pays per-doc signal work; the stores re-aggregate at their own
+    // grains. Oracle = t28's full recompute VERBATIM.
+    "st39_stream_datasheet" -> ((s, d) => {
+      import graft.operators.{MvFold, MvSum, MvCount}
+      import graft.functions.TextFunctions._
+      val dir = docsStreamDir(s, d)
+      val schema = s.read.parquet(dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      def perDoc(df: DataFrame): DataFrame = df
+        .withColumn("toks", tokens(lower(col("text"))))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+        .withColumn("s_en", markerCount(col("toks"), enMarkers))
+        .withColumn("s_fr", markerCount(col("toks"), frMarkers))
+        .withColumn("s_es", markerCount(col("toks"), esMarkers))
+        .withColumn("s_de", markerCount(col("toks"), deMarkers))
+        .withColumn("n_stop", col("s_en"))
+        .withColumn("n_long", size(filter(col("toks"), t => length(t) > 5)))
+        .withColumn("pred",
+          langId(col("s_en"), col("s_fr"), col("s_es"), col("s_de")))
+        .withColumn("q", qualityPpm)
+        .withColumn("__key", sha2(col("text"), 256))
+      val sKeys = Seq("source")
+      val sMeasures = Seq(
+        MvSum("n_tokens", col("n_toks")),
+        MvSum("n_chars", length(col("text")).cast("long")),
+        MvSum("n_en", when(col("pred") === "en", 1L).otherwise(0L)),
+        MvSum("n_fr", when(col("pred") === "fr", 1L).otherwise(0L)),
+        MvSum("n_es", when(col("pred") === "es", 1L).otherwise(0L)),
+        MvSum("n_de", when(col("pred") === "de", 1L).otherwise(0L)),
+        MvSum("sum_q", col("q")),
+        MvCount("n_docs"))
+      val hKeys = Seq("source", "__key")
+      val hMeasures = Seq(MvCount("cnt"))
+      var sigMv: DataFrame = null
+      var hashMv: DataFrame = null
+      val partsWas = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = stream.writeStream.outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val delta = perDoc(batch.toDF())
+            sigMv = (if (sigMv == null) MvFold.build(delta, sKeys, sMeasures)
+                     else MvFold.fold(sigMv, delta, sKeys, sMeasures))
+              .localCheckpoint()
+            hashMv = (if (hashMv == null) MvFold.build(delta, hKeys, hMeasures)
+                      else MvFold.fold(hashMv, delta, hKeys, hMeasures))
+              .localCheckpoint()
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", partsWas)
+      require(sigMv != null && hashMv != null, "empty stream source")
+      val hashes = MvFold.read(hashMv, hKeys, hMeasures)
+      val totals = hashes.groupBy("__key").agg(sum("cnt").as("total"))
+      val dups = hashes.join(totals.filter(col("total") > 1), "__key")
+        .groupBy("source").agg(sum("cnt").as("dup_docs"))
+      MvFold.read(sigMv, sKeys, sMeasures)
+        .join(dups, Seq("source"), "left")
+        .withColumn("dup_docs", coalesce(col("dup_docs"), lit(0L)))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_chars"), col("n_en"), col("n_fr"), col("n_es"),
+          col("n_de"),
+          expr("sum_q div n_docs").as("avg_quality_ppm"),
+          col("dup_docs"),
+          expr("(1000000 * dup_docs) div n_docs").as("dup_ppm"))
+    }),
     // STREAMING GENERIC MV (round 18; q81's MvFold as a continuous
     // process): order facts ingest in micro-batches and each batch
     // folds into ONE stored MV carrying all three measure kinds at
@@ -1658,6 +1750,11 @@ object StreamingQueries {
     // union ≡ m20's single-shot permissive decode
     "st36_stream_quarantine" ->
       graft.operators.MultimodalQueries.oracles("m20_decode_quarantine"),
+    // incrementally maintained datasheet ≡ t28's single-shot report
+    // (per-source signals are additive; dup exposure reads off the
+    // cross-batch hash-grain MV)
+    "st39_stream_datasheet" ->
+      graft.operators.TextQueries.oracles("t28_corpus_datasheet"),
     // durable MV store read-off ≡ the same full recompute (st37's
     // oracle; the sink adds exactly-once durability, not semantics)
     "st38_stream_mv_sink" ->

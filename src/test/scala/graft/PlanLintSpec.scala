@@ -93,6 +93,9 @@ class PlanLintSpec extends SparkSpec {
     // st38 runs the stream + durable MV store on invocation; its
     // partial/merge plans are q81's MvFold aggregates (linted there)
     "st38_stream_mv_sink",
+    // st39 drives the stream on invocation; per-doc signal plan is
+    // t28's, the fold plans are q81's MvFold aggregates (linted there)
+    "st39_stream_datasheet",
     // st12/st13 drive the full stream on invocation; the histogram agg
     // plan is q39's (linted there); st14's session agg is st4's
     "st12_stream_histogram", "st13_stream_histogram_append",
