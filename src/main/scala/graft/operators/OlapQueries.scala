@@ -2080,6 +2080,29 @@ object OlapQueries {
       MvFold.readHistQuantiles(mv, keys, Seq(50, 95), lo, hi, nb)
     }),
 
+    // SQL SURFACE PROOF (round 18): the GraftExtensions function
+    // registry driven end-to-end through spark.sql — a user who only
+    // speaks SQL gets the native codegen'd expressions (fingerprint64,
+    // subword_estimate, vector_dot) by name, with Graft.install's
+    // idempotent registration and the OptimizeSelfDot rule live in
+    // the session (vector_dot(x, x) folds to one array traversal; the
+    // emitted value is Σx² either way, so the oracle is rule-blind).
+    // 100 TB shape: pure per-row native expressions inside
+    // whole-stage codegen over an id-equi join.
+    "q85_sql_surface" -> ((s, d) => {
+      graft.Graft.install(s)
+      Tables.documents(s, d).createOrReplaceTempView("g_docs")
+      Tables.embeddings(s, d).createOrReplaceTempView("g_emb")
+      s.sql("""
+        SELECT d.doc_id,
+          fingerprint64(d.text) AS fingerprint,
+          subword_estimate(split(trim(lower(d.text)), '\\s+')) AS n_subwords,
+          round(vector_dot(CAST(e.embedding AS ARRAY<DOUBLE>),
+                           CAST(e.embedding AS ARRAY<DOUBLE>)), 6) AS norm_sq
+        FROM g_docs d JOIN g_emb e ON e.vec_id = d.doc_id
+      """)
+    }),
+
     // ROLLING EXACT MEDIAN (round 18): the order-statistic the
     // ewma/OLS control family (q54/q75) can't express — a trailing
     // 7-order median of spend per customer, the robust baseline for
@@ -3549,6 +3572,20 @@ object OlapQueries {
            MIN(CASE WHEN cum >= (95 * n + 99) // 100
                     THEN CAST(bucket * 16384 AS BIGINT) END) AS p95
          FROM c GROUP BY 1, 2""",
+    // each native expression re-derived from first principles: t4's
+    // positional fingerprint, t6's ceil(len/4) subword rule, Σx² for
+    // the self-dot (whatever plan the optimizer rule picks)
+    "q85_sql_surface" ->
+      raw"""SELECT d.doc_id,
+           CAST(COALESCE(list_sum(list_transform(range(1, length(d.text) + 1),
+             i -> i * ord(substring(d.text, CAST(i AS INT), 1)))), 0) AS BIGINT)
+             AS fingerprint,
+           CAST(list_sum(list_transform(
+             regexp_split_to_array(trim(lower(d.text)), '\s+'),
+             t -> (length(t) + 3) // 4)) AS BIGINT) AS n_subwords,
+           ROUND(list_sum(list_transform(e.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS norm_sq
+         FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id""",
     // Same closed interpolation formula as the Spark side — list
     // collect + sort over the exact-cents frame, (a[(n+1) div 2] +
     // a[n div 2 + 1]) / 2 — never DuckDB's quantile_cont, whose
