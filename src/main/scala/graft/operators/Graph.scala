@@ -231,7 +231,12 @@ object Graph {
       frontier = cand.join(settled, Seq("landmark", "node"), "left_anti")
         .localCheckpoint()
       if (frontier.isEmpty) done = true
-      else settled = settled.unionByName(frontier).localCheckpoint()
+      // settled stays a LAZY union of the already-checkpointed
+      // frontiers — lineage grows one union node per round while each
+      // row materializes exactly once (re-checkpointing the
+      // accumulated union would copy every settled row O(rounds)
+      // times; self-review r18)
+      else settled = settled.unionByName(frontier)
       r += 1
     }
     settled

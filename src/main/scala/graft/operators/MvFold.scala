@@ -111,6 +111,14 @@ object MvFold {
       "bitmap-distinct measures cannot retract (set union is monotone); " +
         "deletions need the signed-grain path — an MvSum/MvCount MV at " +
         "(group, member) grain, h9's contract")
+    // an MV's measure set is fixed at build: folding with a DIFFERENT
+    // set would die inside unionByName with an opaque unresolved-column
+    // error — refuse upfront with the actual contract (self-review r18)
+    val missing = (measures.map(_.name) :+ "__mv_n")
+      .filterNot(mv.columns.contains)
+    require(missing.isEmpty,
+      s"stored MV lacks measure columns $missing — an MV's measure set " +
+        "is fixed at build; every fold must pass the same measures")
     val w = lit(if (retract) -1L else 1L)
     val deltaAggs = partialAggs(measures, w)
     val deltaMv = delta.groupBy(keys.map(col): _*)

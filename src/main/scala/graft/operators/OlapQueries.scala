@@ -2139,10 +2139,15 @@ object OlapQueries {
     // 7-day moving average, seasonal = mean detrended deviation per
     // weekday, residual = the rest. The q61 forecast family's
     // missing diagnostic: it answers "is Monday actually weak, or
-    // is that the trend?" before anyone fits a model. Exact integer
-    // cents through the trend window (AVG of BIGINT = exact sum ÷
-    // count in both engines); the weekday profile is a 7-row frame
-    // broadcast back onto the series. 100 TB shape: the series is
+    // is that the trend?" before anyone fits a model. EXACT INTEGERS
+    // end to end (the self-review close of the first cut, whose
+    // seasonal was an order-dependent double mean): the trend rides
+    // as its exact (sum, count) pair, and the detrended deviation is
+    // scaled by 420 — every centered frame holds 4–7 days and
+    // 4,5,6,7 all divide 420 — so det420 = 420·cents − tsum·(420/n)
+    // is an exact long, group sums of it are exact, and every output
+    // is a FIXED chain of divisions of exact integers (bit-identical
+    // in any engine, any partitioning). 100 TB shape: the series is
     // DAILY GRAIN — thousands of rows regardless of fact volume —
     // so the unpartitioned bounded window is a non-issue; the fact
     // table pays exactly one shuffle (the daily pre-aggregate).
@@ -2153,18 +2158,22 @@ object OlapQueries {
         .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
           .as("cents"))
       val tr = daily
-        .withColumn("trend_c", avg(col("cents")).over(wTrend))
+        .withColumn("tsum", sum(col("cents")).over(wTrend))
+        .withColumn("tcnt", count(lit(1)).over(wTrend))
         .withColumn("wd", dayofweek(col("day")))
-        .withColumn("det", col("cents") - col("trend_c"))
+        .withColumn("det420",
+          lit(420L) * col("cents") - col("tsum") * expr("420L div tcnt"))
       val seasonal = tr.groupBy("wd")
-        .agg(avg(col("det")).as("seas_c"))
+        .agg(sum(col("det420")).as("s420"), count(lit(1)).as("n"))
       tr.join(broadcast(seasonal), "wd")
         .select(
           date_format(col("day"), "yyyy-MM-dd").as("day"),
           round(col("cents") / 100.0, 2).as("value"),
-          round(col("trend_c") / 100.0, 2).as("trend"),
-          round(col("seas_c") / 100.0, 2).as("seasonal"),
-          round((col("det") - col("seas_c")) / 100.0, 2).as("resid"))
+          round(col("tsum").cast("double") / col("tcnt") / 100.0, 2).as("trend"),
+          round(col("s420").cast("double") / (lit(420.0) * col("n")) / 100.0, 2)
+            .as("seasonal"),
+          round((col("det420") * col("n") - col("s420")).cast("double")
+            / (lit(420.0) * col("n")) / 100.0, 2).as("resid"))
     })
   )
 
@@ -3603,10 +3612,11 @@ object OlapQueries {
             + CAST(a[len(a) // 2 + 1] AS DOUBLE)) / 200.0
              AS rolling_median
          FROM w""",
-    // trend = centered 7-day moving average of exact daily cents
-    // (AVG(BIGINT): exact sum ÷ count in both engines); seasonal =
-    // mean detrended deviation per weekday (strftime %w is 0=Sunday,
-    // +1 matches Spark's dayofweek); residual = the rest.
+    // exact-integer mirror of the entry: trend rides as its (sum,
+    // count) pair, the detrended deviation is scaled by 420 (frame
+    // counts 4..7 all divide 420 → exact longs, order-free group
+    // sums), every output a fixed division chain of exact integers;
+    // strftime %w is 0=Sunday, +1 matches Spark's dayofweek.
     "q83_seasonal_decompose" ->
       """WITH daily AS (
            SELECT CAST(o_orderdate AS DATE) AS day,
@@ -3614,17 +3624,23 @@ object OlapQueries {
            FROM orders GROUP BY 1),
          tr AS (
            SELECT day, cents,
-             AVG(cents) OVER (ORDER BY day
-               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend_c,
+             SUM(cents) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS tsum,
+             COUNT(*) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS tcnt,
              CAST(strftime(day, '%w') AS INT) + 1 AS wd
            FROM daily),
-         se AS (SELECT *, cents - trend_c AS det FROM tr),
-         sw AS (SELECT wd, AVG(det) AS seas_c FROM se GROUP BY wd)
+         se AS (SELECT *, 420 * cents - tsum * (420 // tcnt) AS det420 FROM tr),
+         sw AS (
+           SELECT wd, CAST(SUM(det420) AS BIGINT) AS s420,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM se GROUP BY wd)
          SELECT strftime(se.day, '%Y-%m-%d') AS day,
            ROUND(cents / 100.0, 2) AS value,
-           ROUND(trend_c / 100.0, 2) AS trend,
-           ROUND(seas_c / 100.0, 2) AS seasonal,
-           ROUND((det - seas_c) / 100.0, 2) AS resid
+           ROUND(CAST(tsum AS DOUBLE) / tcnt / 100.0, 2) AS trend,
+           ROUND(CAST(s420 AS DOUBLE) / (420.0 * n) / 100.0, 2) AS seasonal,
+           ROUND(CAST(det420 * n - s420 AS DOUBLE)
+             / (420.0 * n) / 100.0, 2) AS resid
          FROM se JOIN sw USING (wd)"""
   )
 }

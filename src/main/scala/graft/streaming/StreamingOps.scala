@@ -680,13 +680,20 @@ object StreamingOpsSinks {
   }
 
   /** Read a [[streamMvFoldToParquet]] store: merge the batch partials
-    * and finalize. Safe at any instant — readers see only whole
-    * committed partitions.
+    * and finalize. Safe at any instant AFTER the first batch commits —
+    * readers see only whole committed partitions. Before the first
+    * commit the store directory does not exist (and carries no
+    * schema), so the read is refused with a clear message rather than
+    * surfacing Spark's opaque path/schema error (self-review r18: the
+    * earlier scaladoc over-promised "any instant").
     */
   def readMvFoldStore(spark: SparkSession, outDir: String,
       keys: Seq[String],
       measures: Seq[graft.operators.MvMeasure]): DataFrame = {
     import graft.operators.MvFold
+    require(new java.io.File(outDir).exists(),
+      s"MV store $outDir has no committed batches yet — the store is " +
+        "created by the first micro-batch; read after at least one commit")
     MvFold.read(
       MvFold.merge(spark.read.parquet(outDir).drop("batch_id"), keys, measures),
       keys, measures)

@@ -150,6 +150,13 @@ class MvFoldSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       MvFold.build(hist, keys, Seq(MvSum("grp", col("v"))))
     }
+    // an MV's measure set is fixed at build: folding with a different
+    // set is refused with the contract, not unionByName's opaque
+    // unresolved-column error
+    val narrow = MvFold.build(hist, keys, Seq(MvCount("n")))
+    intercept[IllegalArgumentException] {
+      MvFold.fold(narrow, hist, keys, Seq(MvCount("n"), MvSum("s", col("v"))))
+    }
   }
 
   test("histogram-quantile MV: unit buckets read exact quantiles, fold and RETRACT exactly") {
