@@ -679,6 +679,34 @@ object StreamingOpsSinks {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Compact a [[streamMvFoldToParquet]] store: collapse all batch
+    * partials into ONE `batch_id = -1` partition (the same
+    * [[graft.operators.MvFold.merge]] the readout runs, persisted).
+    * Bounds the read-off cost after long stream lifetimes — the
+    * store shrinks from (batches × grain) partials back to grain —
+    * and the read-off is provably unchanged (merge is associative;
+    * the spec pins it).
+    *
+    * MUST run while the stream is STOPPED after a clean shutdown:
+    * compaction folds every partition it sees, so an uncommitted
+    * crash partition would enter the store permanently, and a batch
+    * replayed AFTER compaction would add its partial next to the
+    * compacted copy. Post-compaction resumes are safe — micro-batch
+    * ids only grow, so no future partition collides with −1.
+    */
+  def compactMvStore(spark: SparkSession, outDir: String,
+      keys: Seq[String],
+      measures: Seq[graft.operators.MvMeasure]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val merged = graft.operators.MvFold
+      .merge(spark.read.parquet(outDir).drop("batch_id"), keys, measures)
+      .withColumn("batch_id", lit(-1L))
+      .localCheckpoint() // sever lineage from the files being replaced
+    merged.write.mode("overwrite")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+  }
+
   /** Read a [[streamMvFoldToParquet]] store: merge the batch partials
     * and finalize. Safe at any instant AFTER the first batch commits —
     * readers see only whole committed partitions. Before the first

@@ -689,6 +689,44 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("MV store compaction: read-off invariant, store collapses to one partition, stream resumes safely") {
+    import graft.operators.{MvCount, MvSum}
+    val facts = Tables.orders(spark, sf).select(
+      col("o_orderkey"), col("o_orderpriority"),
+      floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    val srcDir = java.nio.file.Files.createTempDirectory("mv_cp_src").toString
+    val out = java.nio.file.Files.createTempDirectory("mv_cp_out")
+      .resolve("out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mv_cp_ckpt").toString
+    val keys = Seq("o_orderpriority")
+    val measures = Seq(MvSum("sum_cents", col("cents")), MvCount("n"))
+    def half(r: Int) = facts.filter(pmod(col("o_orderkey"), lit(2)) === r)
+    half(0).repartition(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    graft.streaming.StreamingOpsSinks.streamMvFoldToParquet(
+      spark, srcDir, schema, out, ckpt, keys, measures)
+    def readOff() = graft.streaming.StreamingOpsSinks
+      .readMvFoldStore(spark, out, keys, measures)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val before = readOff()
+    // clean shutdown → compact: read-off unchanged, ONE partition left
+    graft.streaming.StreamingOpsSinks.compactMvStore(spark, out, keys, measures)
+    assert(readOff() == before)
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+    assert(parts == Set("batch_id=-1"), parts.toString)
+    // resume with the second half: new batch ids never collide with -1
+    half(1).repartition(1).write.mode("append").parquet(srcDir)
+    graft.streaming.StreamingOpsSinks.streamMvFoldToParquet(
+      spark, srcDir, schema, out, ckpt, keys, measures)
+    val want = graft.operators.MvFold.read(
+      graft.operators.MvFold.build(facts, keys, measures), keys, measures)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(readOff() == want)
+  }
+
   test("st18: streamed semantic dedup equals single-shot; planted dup labeled") {
     val emb = Tables.embeddings(spark, sf)
     val corpusEmb = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
