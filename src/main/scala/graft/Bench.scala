@@ -196,6 +196,92 @@ object Bench {
       (if (remeasureWait <= 0) 0 else over2x.size) - remeasured.size)
     val remeasureLoadOk = remeasured.nonEmpty &&
       (remeasureLoad < 0 || remeasureLoad <= foldMaxLoad)
+    // NOISE-EXEMPT DISPOSITION (r18 verdict #4): entries >2× floor
+    // whose floor sits BELOW the 0.2 s remeasure cut are deliberately
+    // excluded from self-disposition (a 2× exceedance of a 50 ms floor
+    // is scheduling noise, and re-measuring it proves nothing) — but
+    // silently excluding them left the artifact printing >2× readings
+    // with no disposition. Name them explicitly, so every >2× entry in
+    // an artifact is re-measured, failed, or declared noise-exempt.
+    // Persistent offenders still get adjudicated: the floor
+    // re-validation path below has NO floor cutoff, so an entry that
+    // exceeds on consecutive IDLE sweeps re-floors to its median idle
+    // reading and leaves this list for good.
+    val noiseExempt = results.collect { case (name, v)
+      if v > 0 && committedMin.get(name).exists(b => b > 0 && b < 0.2 && v > 2 * b)
+      => name }.sorted
+    // FLOOR RE-VALIDATION (r18 verdict #1): the monotone-min fold has
+    // no path to CORRECT a floor — one lucky host-day reading becomes
+    // a permanent >2× accusation against a healthy query (d2/d24's
+    // r16 floors, never reproduced in any idle sweep since). Close
+    // that structurally: an entry that reads >2× its committed floor
+    // in K consecutive IDLE observations (sweep readings from an
+    // idle start, or verified-idle re-measures) with NO source change
+    // in between is re-floored to the MEDIAN of those readings, with
+    // a floor_note recording the old floor and the evidence. State =
+    // BENCH_REVALIDATE.json: per-entry consecutive readings plus a
+    // source-tree content hash that resets every counter on any code
+    // change (a fresh floor must be re-earned against fresh code).
+    val srcHash: String = try {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get("src/main/scala"))
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p))
+          .toSeq.sortBy(_.toString).foreach { p =>
+            md.update(p.toString.getBytes("UTF-8"))
+            md.update(java.nio.file.Files.readAllBytes(p))
+          }
+      } finally it.close()
+      md.digest().map("%02x".format(_)).mkString
+    } catch { case _: Throwable => "" }
+    val revalK = sys.env.get("SPARK_GRAFT_REVALIDATE_K").map(_.toInt).getOrElse(3)
+    val prevReval: Map[String, Seq[Double]] = {
+      val txt = try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_REVALIDATE.json")), "UTF-8")
+      catch { case _: Throwable => "" }
+      val prevHash = "\"src_hash\"\\s*:\\s*\"([^\"]*)\"".r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      if (prevHash.isEmpty || prevHash != srcHash) Map.empty
+      else "\"([A-Za-z0-9_]+)\"\\s*:\\s*\\[([^\\]]*)\\]".r.findAllMatchIn(txt)
+        .map(m => m.group(1) ->
+          m.group(2).split(',').toSeq.filter(_.nonEmpty).map(_.trim.toDouble))
+        .toMap
+    }
+    // this run's idle evidence: sweep results when the START was idle,
+    // overlaid by any verified-idle re-measures (the fresher reading)
+    val idleObs: Map[String, Double] =
+      (if (loadOkToFold) results.filter(_._2 >= 0).toMap
+       else Map.empty[String, Double]) ++
+      (if (remeasureLoadOk) remeasured.filter(_._2 >= 0)
+       else Map.empty[String, Double])
+    val revalState = scala.collection.mutable.Map[String, Seq[Double]]() ++ prevReval
+    var refloored = Map.empty[String, (Double, String)]
+    if (idleObs.nonEmpty && srcHash.nonEmpty) {
+      committedMin.foreach { case (name, floor) =>
+        idleObs.get(name).foreach { r =>
+          if (floor > 0 && r > 2 * floor) {
+            val hist = prevReval.getOrElse(name, Nil) :+ r
+            if (hist.size >= revalK) {
+              val med = hist.sorted.apply(hist.size / 2)
+              refloored += name -> (med -> (
+                f"auto-revalidated: floor $floor%.3f unmet in ${hist.size} " +
+                  f"consecutive idle readings (${hist.map(v => f"$v%.2f").mkString("/")}) " +
+                  f"with no src change; re-set to median $med%.3f"))
+              revalState.remove(name)
+            } else revalState(name) = hist
+          } else revalState.remove(name)
+        }
+      }
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_REVALIDATE.json"),
+        (s"""{"src_hash":"$srcHash","note":"floor re-validation state: consecutive idle >2x-of-floor readings per entry (K=$revalK re-floors to median + floor_note); counters reset on any src/main/scala change","entries":{""" +
+          revalState.toSeq.sortBy(_._1).map { case (k, vs) =>
+            "\"" + k + "\":[" + vs.map(v => f"$v%.3f").mkString(",") + "]"
+          }.mkString(",") + "}}\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
     // The harness keeps only the tail of stdout (~2000 chars) — an
     // 80-query map at full double precision overflows that window and
     // the JSON line arrives truncated (unparseable). Emit centisecond
@@ -241,10 +327,14 @@ object Bench {
         else s""","omitted":${omitted.size},"omitted_sec":${fmt(omitted.map(_._2).sum)}"""
       val sus = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
       val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val ne = noiseExempt.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val rf = if (refloored.isEmpty) ""
+        else refloored.keys.toSeq.sorted.map("\"" + _ + "\"")
+          .mkString(""","refloored":[""", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":2,""" +
         s""""warm_ok":$warmOk,"warm_sec":${fmt(warmSec)},"load_avg":${fmt(loadAvg)},""" +
         s""""start_load":${fmt(startLoad)},"folded":$didFold,""" +
-        s""""failed":$fl,"suspect":$sus${remeasureField(rmKeep)},""" +
+        s""""failed":$fl,"suspect":$sus,"noise_exempt":$ne$rf${remeasureField(rmKeep)},""" +
         s""""queries":$m$om,"sf":"$sfDir"}"""
     }
     // drop order: fastest queries first (failures sort as slowest so
@@ -283,7 +373,7 @@ object Bench {
     // that edit whenever HEAD already carries a floor_notes field.
     // Per-key union (rather than working-file-only) keeps HEAD's notes
     // alive even if a stale/partial working file lost some keys.
-    val committedFloorNotes: Option[String] = {
+    val committedFloorNotes: Map[String, String] = {
       def notes(txt: String): Map[String, String] =
         "\"floor_notes\"\\s*:\\s*(\\{[^}]*\\})".r
           .findFirstMatchIn(txt).map(_.group(1)) match {
@@ -302,11 +392,7 @@ object Bench {
         try notes(new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8"))
         catch { case _: Throwable => Map.empty[String, String] }
-      val merged = fromGit ++ fromFile // working-file value wins per key
-      if (merged.isEmpty) None
-      else Some(merged.toSeq.sorted
-        .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
-        .mkString("{", ",", "}"))
+      fromGit ++ fromFile // working-file value wins per key
     }
     // fold source: the sweep's green results when the RUN started
     // idle, plus any idle re-measures (taken under verified-ok load
@@ -326,17 +412,26 @@ object Bench {
     }
     if (foldSource.nonEmpty && committedBaseline.forall(_._1 == sfDir)) try {
       val green = foldSource
+      // re-validated entries OVERRIDE the monotone min — that is the
+      // entire point of re-validation: the median idle reading may be
+      // HIGHER than a stale lucky floor. From the next commit on, the
+      // min fold resumes from the re-validated level.
       val merged = (committedMin.keySet ++ green.keySet).toSeq.sorted.map { q =>
-        q -> ((committedMin.get(q), green.get(q)) match {
-          case (Some(b), Some(v)) => math.min(b, v)
-          case (Some(b), None)    => b
-          case (None, Some(v))    => v
-          case (None, None)       => -1.0 // unreachable
-        })
+        q -> (refloored.get(q).map(_._1).getOrElse(
+          (committedMin.get(q), green.get(q)) match {
+            case (Some(b), Some(v)) => math.min(b, v)
+            case (Some(b), None)    => b
+            case (None, Some(v))    => v
+            case (None, None)       => -1.0 // unreachable
+          }))
       }
       val mergedTotal = merged.map(_._2).sum
-      val notesField = committedFloorNotes
-        .map(n => s""""floor_notes":$n,""").getOrElse("")
+      val allNotes = committedFloorNotes ++
+        refloored.map { case (k, (_, n)) => k -> n }
+      val notesField = if (allNotes.isEmpty) ""
+        else allNotes.toSeq.sorted
+          .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+          .mkString("\"floor_notes\":{", ",", "},")
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (merged.map { case (k, v) => s"\"$k\":$v" }
           .mkString(
@@ -364,6 +459,8 @@ object Bench {
             s""""start_load":$startLoad,"folded":$didFold,""" +
             s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
             s""""suspect":${suspect.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+            s""""noise_exempt":${noiseExempt.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+            s""""refloored":${refloored.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
             s""""remeasure_load":$remeasureLoad,"remeasure_capped":$remeasureCapped,""" +
             s""""remeasured":${
               remeasured.toSeq.sorted.map { case (k, v) => s"\"$k\":$v" }

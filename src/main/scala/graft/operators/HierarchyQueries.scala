@@ -187,6 +187,39 @@ object HierarchyQueries {
       HierarchyAgg.hierarchicalRollup(
         HierarchyAgg.salesFacts(s, d),
         dimension(s, d).aggregationDim)),
+    // SQL SURFACE for the hierarchy engine (round 19, r18 verdict #7):
+    // the reference's user-facing story — README "Running the
+    // aggregation", main.py:27-56 — for a SQL-only user. The engine's
+    // dimensional frames register as temp views and the flagship
+    // rollup is ONE spark.sql statement shaped like the reference
+    // query (facts × aggregation dim on the descendant natural key,
+    // lpad-indented ancestor labels, sum/sum/distinct/count, DFS
+    // order); oracle = h4's SQL verbatim, so the SQL surface is
+    // hash-pinned to the DataFrame engine's output. Note the SQL
+    // form pays COUNT(DISTINCT)'s Expand over the expanded stream —
+    // the DataFrame API (h4) stays the optimized path; this entry is
+    // the compatibility surface.
+    "h33_sql_rollup" -> ((s, d) => {
+      dimension(s, d).aggregationDim
+        .createOrReplaceTempView("g_product_aggregation_dim")
+      HierarchyAgg.salesFacts(s, d).createOrReplaceTempView("g_sales_facts")
+      s.sql("""
+        SELECT lpad('-', (ancestor_level_number - 1) * 7, '-')
+                 || ancestor_node_name AS product_node_name,
+               lpad('-', (ancestor_level_number - 1) * 7, '-')
+                 || ancestor_level_name AS product_level_name,
+               ROUND(SUM(sales_amount), 2) AS sum_sales_amount,
+               ROUND(SUM(unit_quantity), 2) AS sum_unit_quantity,
+               COUNT(DISTINCT customer_id) AS distinct_customer_count,
+               COUNT(*) AS count_of_fact_records
+        FROM g_sales_facts f
+        JOIN g_product_aggregation_dim a
+          ON CAST(f.leaf_key AS BIGINT) = a.descendant_node_natural_key
+        GROUP BY product_node_name, product_level_name,
+                 ancestor_node_sort_order
+        ORDER BY ancestor_node_sort_order
+      """)
+    }),
     "h5_hier_agg_deep" -> ((s, d) => {
       val facts = HierarchyAgg.salesFacts(s, d)
         .withColumn("leaf_key",
@@ -932,6 +965,9 @@ FROM rdim""",
       s"""${prelude(false)}
 SELECT * FROM adim""",
     "h4_hier_agg" -> rollupSql(deep = false, "c.c_nationkey"),
+    // the SQL surface is pinned to the SAME derivation as h4 — one
+    // engine, two user-facing syntaxes, one oracle
+    "h33_sql_rollup" -> rollupSql(deep = false, "c.c_nationkey"),
     // the bitmap mode must be RESULT-IDENTICAL to the exact rollup
     "h23_hier_agg_bitmap" -> rollupSql(deep = false, "c.c_nationkey"),
     // the h4 closure derivation + quantile_cont(0.5) (the q48-proven

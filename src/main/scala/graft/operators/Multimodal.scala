@@ -1062,35 +1062,81 @@ object Multimodal {
     * byte count (3·patch² for BMP, patch² for PGM), so the luminance
     * readout is comparable across codecs.
     */
+  /** The shared per-document tiling loop — ONE implementation behind
+    * both the strict ([[imageTiles]]) and quarantine
+    * ([[imageTilesQuarantine]]) grids, so the two modes cannot drift
+    * (the m20 extractFeatures/Quarantine convention).
+    */
+  private def tilesOf(r: MediaRow, codec: RasterCodec,
+      patch: Int): IndexedSeq[TileRow] = {
+    val ras = codec.raster(r)
+    val b = ras.bytes
+    val ch = ras.channels
+    val rowBytes = ras.width * ch
+    for {
+      ty <- 0 until ras.height / patch
+      tx <- 0 until ras.width / patch
+    } yield {
+      var sum = 0L
+      var hash = 0L
+      var y = 0
+      while (y < patch) {
+        val base = ras.offset + (ty * patch + y) * rowBytes + tx * patch * ch
+        var o = 0
+        while (o < patch * ch) {
+          val v = b(base + o) & 0xff
+          sum += v
+          hash = (hash * 131 + v) % 2147483647L
+          o += 1
+        }
+        y += 1
+      }
+      TileRow(r.doc_id, ty.toLong, tx.toLong, sum,
+        math.round(sum / (ch.toDouble * patch * patch) * 1e6) / 1e6, hash)
+    }
+  }
+
   def imageTiles(spark: SparkSession, media: DataFrame,
       patch: Int = 4, codec: RasterCodec = new BmpRaster): Dataset[TileRow] = {
     import spark.implicits._
     require(patch > 0)
+    media.as[MediaRow].flatMap(r => tilesOf(r, codec, patch))
+  }
+
+  /** One row of the PERMISSIVE tile grid: a good document emits its
+    * [[TileRow]]s with `ok = true`; a payload the codec rejects emits
+    * ONE in-band quarantine row (`ok = false`, the decoder's own
+    * diagnostic, tile fields null).
+    */
+  case class TileOutcome(doc_id: Long, ok: Boolean, error: Option[String],
+      tile_y: Option[Long], tile_x: Option[Long], lum_sum: Option[Long],
+      mean_lum: Option[Double], tile_hash: Option[Long])
+
+  /** PERMISSIVE twin of [[imageTiles]] (r18 verdict #5 — the last
+    * strict-only decode surface): [[SniffRaster]] and the format
+    * rasters rightly fail fast on junk payloads, but a scraped corpus
+    * cannot let one corrupt file abort the tiling stage. Same
+    * [[tilesOf]] loop (good tiles are byte-identical to the strict
+    * grid — spec-proven), per-document catch of non-fatal decode
+    * errors only (OOM/fatal JVM errors still fail the task), Scala's
+    * `requirement failed: ` prefix stripped so the diagnostic is the
+    * codec's message — the [[extractFeaturesQuarantine]] contract at
+    * the tile grain.
+    */
+  def imageTilesQuarantine(spark: SparkSession, media: DataFrame,
+      patch: Int = 4,
+      codec: RasterCodec = new BmpRaster): Dataset[TileOutcome] = {
+    import spark.implicits._
+    require(patch > 0)
     media.as[MediaRow].flatMap { r =>
-      val ras = codec.raster(r)
-      val b = ras.bytes
-      val ch = ras.channels
-      val rowBytes = ras.width * ch
-      for {
-        ty <- 0 until ras.height / patch
-        tx <- 0 until ras.width / patch
-      } yield {
-        var sum = 0L
-        var hash = 0L
-        var y = 0
-        while (y < patch) {
-          val base = ras.offset + (ty * patch + y) * rowBytes + tx * patch * ch
-          var o = 0
-          while (o < patch * ch) {
-            val v = b(base + o) & 0xff
-            sum += v
-            hash = (hash * 131 + v) % 2147483647L
-            o += 1
-          }
-          y += 1
-        }
-        TileRow(r.doc_id, ty.toLong, tx.toLong, sum,
-          math.round(sum / (ch.toDouble * patch * patch) * 1e6) / 1e6, hash)
+      try tilesOf(r, codec, patch).map(t =>
+        TileOutcome(t.doc_id, ok = true, None, Some(t.tile_y), Some(t.tile_x),
+          Some(t.lum_sum), Some(t.mean_lum), Some(t.tile_hash)))
+      catch { case scala.util.control.NonFatal(e) =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+          .stripPrefix("requirement failed: ")
+        Seq(TileOutcome(r.doc_id, ok = false, Some(msg),
+          None, None, None, None, None))
       }
     }
   }
@@ -1507,6 +1553,29 @@ object MultimodalQueries {
             if (r.doc_id % 2 == 0) "image/bmp" else "image/x-pgm", w, h)
         }
       Multimodal.imageTiles(s, rows.toDF(), patch = 4,
+        codec = new Multimodal.SniffRaster).toDF()
+    }),
+    // TILE-GRID QUARANTINE (round 19): m21's mixed sniffing grid in
+    // permissive mode — every doc_id % 11 == 5 payload is replaced by
+    // junk bytes no raster magic matches, and the grid must tile the
+    // rest byte-identically (spec-proven vs m21's strict output) while
+    // surfacing the junk docs as in-band quarantine rows carrying
+    // SniffRaster's own diagnostic. Fully SQL-re-derivable: m21's two
+    // codec arms filtered to the healthy docs + the planted rule.
+    "m23_tile_quarantine" -> ((s, d) => {
+      import s.implicits._
+      val rows = Multimodal.mediaTable(Tables.documents(s, d))
+        .as[Multimodal.MediaRow].map { r =>
+          val w = (8 + (r.doc_id % 5)).toInt
+          val h = (8 + (r.doc_id % 3)).toInt
+          val payload =
+            if (r.doc_id % 11 == 5) Array[Byte](0x4a, 0x4b, 0x4c)
+            else if (r.doc_id % 2 == 0) Multimodal.synthBmp(w, h, r.payload)
+            else Multimodal.synthPgm(w, h, r.payload)
+          Multimodal.MediaRow(r.doc_id, payload,
+            if (r.doc_id % 2 == 0) "image/bmp" else "image/x-pgm", w, h)
+        }
+      Multimodal.imageTilesQuarantine(s, rows.toDF(), patch = 4,
         codec = new Multimodal.SniffRaster).toDF()
     }),
     // AUDIO NEAR-DUP (round 18): spectral-constellation fingerprinting
@@ -1930,6 +1999,49 @@ object MultimodalQueries {
            ROUND(CAST(lum_sum AS DOUBLE) / 16.0, 6) AS mean_lum,
            tile_hash
          FROM pgm"""),
+    // m21's two codec arms restricted to the healthy docs (the junk
+    // rule doc_id % 11 = 5 replaces the payload BEFORE the sniff, so
+    // those docs tile nothing), wrapped in the quarantine columns,
+    // plus one in-band row per junk doc carrying SniffRaster's exact
+    // diagnostic text
+    "m23_tile_quarantine" ->
+      (tileCtes + """,
+         pgm AS (
+           SELECT doc_id, tile_y, tile_x,
+             CAST(list_sum(list_transform(range(0, 16), i ->
+               ord(substr(text,
+                 CAST(1 + (((tile_y * 4 + i // 4) * w
+                            + tile_x * 4 + i % 4) % len) AS INT), 1))))
+               AS BIGINT) AS lum_sum,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(0, 16), i ->
+                   CAST(ord(substr(text,
+                     CAST(1 + (((tile_y * 4 + i // 4) * w
+                                + tile_x * 4 + i % 4) % len) AS INT), 1))
+                     AS BIGINT))),
+               (x, y) -> (x * 131 + y) % 2147483647) AS tile_hash
+           FROM t WHERE doc_id % 2 = 1)
+         SELECT doc_id, TRUE AS ok, CAST(NULL AS VARCHAR) AS error,
+           CAST(tile_y AS BIGINT) AS tile_y,
+           CAST(tile_x AS BIGINT) AS tile_x, lum_sum,
+           ROUND(CAST(lum_sum AS DOUBLE) / 48.0, 6) AS mean_lum,
+           tile_hash
+         FROM s WHERE doc_id % 2 = 0 AND doc_id % 11 <> 5
+         UNION ALL
+         SELECT doc_id, TRUE AS ok, CAST(NULL AS VARCHAR) AS error,
+           CAST(tile_y AS BIGINT) AS tile_y,
+           CAST(tile_x AS BIGINT) AS tile_x, lum_sum,
+           ROUND(CAST(lum_sum AS DOUBLE) / 16.0, 6) AS mean_lum,
+           tile_hash
+         FROM pgm WHERE doc_id % 11 <> 5
+         UNION ALL
+         SELECT doc_id, FALSE AS ok,
+           'doc ' || CAST(doc_id AS VARCHAR) || ': unrecognized raster magic'
+             AS error,
+           CAST(NULL AS BIGINT) AS tile_y, CAST(NULL AS BIGINT) AS tile_x,
+           CAST(NULL AS BIGINT) AS lum_sum, CAST(NULL AS DOUBLE) AS mean_lum,
+           CAST(NULL AS BIGINT) AS tile_hash
+         FROM documents WHERE doc_id % 11 = 5"""),
     // m18's tile hashes self-joined: distinct (doc, hash) pairs,
     // ubiquitous hashes (>16 docs) and singletons dropped BEFORE the
     // join, then pair-grain shared-tile counts at >= 2

@@ -87,6 +87,28 @@ object MvFold {
         "would carry duplicate columns and fail ambiguously downstream")
   }
 
+  /** Verify that a stored MV frame carries EXACTLY the requested
+    * contract — keys ++ measure names ++ `__mv_n`, nothing missing and
+    * nothing extra — and report the actual mismatch instead of letting
+    * unionByName (fold) or an unresolved-column lookup (merge/read)
+    * die opaquely downstream. Shared by [[fold]] and the durable-store
+    * readers (`readMvFoldStore` / `compactMvStore`), whose parquet
+    * schema is whatever the directory happens to hold.
+    */
+  private[graft] def checkMvSchema(actual: Seq[String], keys: Seq[String],
+      measures: Seq[MvMeasure], what: String): Unit = {
+    val expected = (keys ++ measures.map(_.name) :+ "__mv_n")
+    val missing = expected.filterNot(actual.contains)
+    val extra = actual.filterNot(expected.contains)
+    require(missing.isEmpty && extra.isEmpty,
+      s"$what does not match the requested MV contract " +
+        s"(keys=$keys, measures=${measures.map(_.name)})" +
+        (if (missing.nonEmpty) s"; missing columns: $missing" else "") +
+        (if (extra.nonEmpty) s"; unexpected columns: $extra" else "") +
+        " — an MV's key/measure set is fixed at build; every fold and " +
+        "read must pass the same keys and measures")
+  }
+
   /** Build the stored MV at `keys` grain from a fact frame. ONE
     * hash-aggregate (map-side combine); partials stay raw — rounding
     * belongs in the caller's readout, never in stored state.
@@ -113,12 +135,11 @@ object MvFold {
         "(group, member) grain, h9's contract")
     // an MV's measure set is fixed at build: folding with a DIFFERENT
     // set would die inside unionByName with an opaque unresolved-column
-    // error — refuse upfront with the actual contract (self-review r18)
-    val missing = (measures.map(_.name) :+ "__mv_n")
-      .filterNot(mv.columns.contains)
-    require(missing.isEmpty,
-      s"stored MV lacks measure columns $missing — an MV's measure set " +
-        "is fixed at build; every fold must pass the same measures")
+    // error — refuse upfront with the actual contract (self-review r18).
+    // The check is SYMMETRIC (ADVICE r18): an MV built with MORE
+    // measures than the fold requests fails just as opaquely (deltaMv
+    // lacks the stored extras), so extra columns are refused too.
+    checkMvSchema(mv.columns, keys, measures, "stored MV")
     val w = lit(if (retract) -1L else 1L)
     val deltaAggs = partialAggs(measures, w)
     val deltaMv = delta.groupBy(keys.map(col): _*)
@@ -184,17 +205,30 @@ object MvFold {
 
   /** Equi-width bucket of `value` over [lo, hi); out-of-range values
     * clamp to the edge buckets (a quantile answer saturated at the
-    * domain edge beats a dropped row).
+    * domain edge beats a dropped row). NULL values fail LOUDLY
+    * (ADVICE r18): a silent null bucket row would both pollute the
+    * store and sort differently across engines (Spark windows put
+    * nulls first, DuckDB last), shifting every cumulative rank — the
+    * caller must clean or impute nulls before building the MV.
     */
   private def histBucket(value: Column, lo: Long, hi: Long,
       buckets: Int): Column = {
     val width = (hi - lo) / buckets
-    least(lit(buckets - 1), greatest(lit(0),
+    val bucket = least(lit(buckets - 1), greatest(lit(0),
       floor((value - lit(lo)) / lit(width)).cast("int")))
+    // assert_true returns NULL when the predicate holds and throws
+    // (with the message) otherwise, so the `when` collapses to
+    // `bucket` on every valid row at codegen speed
+    when(assert_true(value.isNotNull,
+      lit("MvFold histogram MV: NULL measure value — quantile buckets " +
+        "require non-null integer values (filter or impute nulls " +
+        "before buildHist/foldHist; a silent null bucket would shift " +
+        "every quantile)")).isNull, bucket)
   }
 
   /** Build a quantile MV: signed bucket counts at (keys, bucket)
-    * grain. `value` must be integer-typed (the cents convention).
+    * grain. `value` must be integer-typed (the cents convention) and
+    * NON-NULL — null values fail the build loudly, see [[histBucket]].
     */
   def buildHist(facts: DataFrame, keys: Seq[String], value: Column,
       lo: Long, hi: Long, buckets: Int): DataFrame = {

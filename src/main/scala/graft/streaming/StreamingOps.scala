@@ -679,7 +679,85 @@ object StreamingOpsSinks {
     try q.processAllAvailable() finally q.stop()
   }
 
-  /** Compact a [[streamMvFoldToParquet]] store: collapse all batch
+  // ------------------------------------------------------------------
+  // Durable-MV store maintenance plumbing. All path operations go
+  // through the Hadoop FileSystem API (ADVICE r18: java.io.File is
+  // local-only — an hdfs:// or s3a:// store must resolve through the
+  // same filesystem spark.read does).
+  // ------------------------------------------------------------------
+
+  private def fsFor(spark: SparkSession, dir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Batch ids the streaming checkpoint has COMMITTED — one numeric
+    * file per completed micro-batch under `checkpointDir/commits/`
+    * (the structured-streaming commit log's on-disk layout; entries
+    * compacted into `N.compact` files are long-committed too, but a
+    * stopped query's latest commits are always plain numeric files
+    * and compaction only needs ids that might still be ORPHANS, which
+    * are by definition recent).
+    */
+  private def committedBatchIds(spark: SparkSession,
+      checkpointDir: String): Set[Long] = {
+    val (fs, p) = fsFor(spark, checkpointDir + "/commits")
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .flatMap { n =>
+        val base = n.stripSuffix(".compact")
+        if (base.nonEmpty && base.forall(_.isDigit)) Some(base.toLong) else None
+      }.toSet
+  }
+
+  private def mvPartitionIds(fs: org.apache.hadoop.fs.FileSystem,
+      out: org.apache.hadoop.fs.Path): Seq[Long] =
+    fs.listStatus(out).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+
+  private def pendingPath(out: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(out, ".graft-compact-pending")
+
+  /** Complete a compaction swap whose merged copy already landed at
+    * `outDir/.graft-compact-pending` (hidden: Spark's partition
+    * discovery skips dot/underscore names, so readers never see it).
+    * The pending dir only ever comes into existence via an ATOMIC
+    * rename of a fully-written staging partition, so its presence
+    * guarantees a complete merged copy plus the manifest naming
+    * exactly the partitions it folded — deleting those (and only
+    * those) then renaming the pending dir to `batch_id=-1` is
+    * idempotent under crash-rerun, and partitions written by a
+    * later-resumed stream (absent from the manifest) survive.
+    */
+  private def finishPendingSwap(fs: org.apache.hadoop.fs.FileSystem,
+      out: org.apache.hadoop.fs.Path): Boolean = {
+    val pending = pendingPath(out)
+    if (!fs.exists(pending)) return false
+    val mf = new org.apache.hadoop.fs.Path(pending, "_graft_folded_partitions")
+    require(fs.exists(mf),
+      s"compaction pending dir $pending has no manifest — not a graft " +
+        "compaction artifact; refusing to touch the store")
+    val in = fs.open(mf)
+    val folded = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList finally in.close()
+    folded.foreach { name =>
+      val p = new org.apache.hadoop.fs.Path(out, name)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val landed = new org.apache.hadoop.fs.Path(out, "batch_id=-1")
+    require(fs.rename(pending, landed),
+      s"could not rename $pending into place")
+    // manifest cleanup LAST (and best-effort): it rides inside the
+    // landed partition where Spark's underscore-prefix rule hides it,
+    // so a crash right here leaves a fully consistent store
+    fs.delete(new org.apache.hadoop.fs.Path(landed, "_graft_folded_partitions"),
+      false)
+    true
+  }
+
+  /** Compact a [[streamMvFoldToParquet]] store: collapse the batch
     * partials into ONE `batch_id = -1` partition (the same
     * [[graft.operators.MvFold.merge]] the readout runs, persisted).
     * Bounds the read-off cost after long stream lifetimes — the
@@ -687,24 +765,82 @@ object StreamingOpsSinks {
     * and the read-off is provably unchanged (merge is associative;
     * the spec pins it).
     *
-    * MUST run while the stream is STOPPED after a clean shutdown:
-    * compaction folds every partition it sees, so an uncommitted
-    * crash partition would enter the store permanently, and a batch
-    * replayed AFTER compaction would add its partial next to the
-    * compacted copy. Post-compaction resumes are safe — micro-batch
-    * ids only grow, so no future partition collides with −1.
+    * CRASH SAFETY (ADVICE r18 — the previous whole-directory
+    * overwrite destroyed the store if compaction died mid-write): the
+    * merged partition is written DURABLY to a staging sibling first;
+    * the store itself is only modified by atomic renames plus
+    * manifest-scoped deletes, so at every instant either the old
+    * partials or the complete merged copy exist on disk. A compaction
+    * that crashes mid-swap is finished automatically by the next
+    * [[compactMvStore]] call (and refused loudly by
+    * [[readMvFoldStore]] until then). No overwrite ever targets the
+    * live store, so the session's `partitionOverwriteMode` (static or
+    * dynamic) cannot change the outcome.
+    *
+    * ORPHAN HANDLING (r18 verdict #4): pass `checkpointDir` and
+    * compaction folds ONLY partitions the streaming checkpoint's
+    * commit log recorded — a `batch_id=N` partition written by a
+    * batch that crashed BEFORE its commit (whose replay, after an
+    * intervening compaction, would otherwise double-count) is dropped
+    * in the swap instead of entering the store permanently. Without
+    * `checkpointDir` every partition folds (callers guaranteeing a
+    * clean shutdown).
+    *
+    * MUST run while the stream is STOPPED. Post-compaction resumes
+    * are safe — micro-batch ids only grow, so no future partition
+    * collides with −1.
     */
   def compactMvStore(spark: SparkSession, outDir: String,
       keys: Seq[String],
-      measures: Seq[graft.operators.MvMeasure]): Unit = {
-    import org.apache.spark.sql.functions.lit
-    val merged = graft.operators.MvFold
-      .merge(spark.read.parquet(outDir).drop("batch_id"), keys, measures)
+      measures: Seq[graft.operators.MvMeasure],
+      checkpointDir: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.MvFold
+    val (fs, out) = fsFor(spark, outDir)
+    require(fs.exists(out),
+      s"MV store $outDir has no committed batches yet — nothing to compact")
+    finishPendingSwap(fs, out) // complete a crashed predecessor first
+    val store = spark.read.parquet(outDir)
+    MvFold.checkMvSchema(store.columns.toSeq.filterNot(_ == "batch_id"),
+      keys, measures, s"MV store $outDir")
+    val partIds = mvPartitionIds(fs, out)
+    require(partIds.nonEmpty, s"MV store $outDir holds no batch partitions")
+    // −1 (a prior compaction's output) is committed by construction
+    val foldIds = checkpointDir match {
+      case None => partIds
+      case Some(cp) =>
+        val committed = committedBatchIds(spark, cp)
+        partIds.filter(id => id == -1L || committed.contains(id))
+    }
+    require(foldIds.nonEmpty,
+      s"MV store $outDir holds no COMMITTED partitions (present: " +
+        s"${partIds.sorted.mkString(",")}) — refusing to compact a store " +
+        "of nothing but orphans")
+    // 1. durable staging write OUTSIDE the store (a sibling path —
+    //    readers of outDir cannot see it; partition pruning keeps the
+    //    scan to the folded ids)
+    val staging = outDir + ".compacting"
+    val (sfs, stagingP) = fsFor(spark, staging)
+    sfs.delete(stagingP, true)
+    MvFold.merge(
+        store.filter(col("batch_id").isin(foldIds: _*)).drop("batch_id"),
+        keys, measures)
       .withColumn("batch_id", lit(-1L))
-      .localCheckpoint() // sever lineage from the files being replaced
-    merged.write.mode("overwrite")
-      .partitionBy("batch_id")
-      .parquet(outDir)
+      .write.mode("overwrite").partitionBy("batch_id").parquet(staging)
+    // 2. manifest: EVERY partition present at the snapshot is
+    //    superseded (folded) or orphaned (dropped) — the swap deletes
+    //    exactly this list, so partitions appearing later survive
+    val stagedPart = new org.apache.hadoop.fs.Path(stagingP, "batch_id=-1")
+    val mf = new org.apache.hadoop.fs.Path(stagedPart, "_graft_folded_partitions")
+    val os = fs.create(mf, true)
+    try os.write(partIds.sorted.map(id => s"batch_id=$id").mkString("\n")
+      .getBytes("UTF-8")) finally os.close()
+    // 3. atomic publish of the complete merged copy (hidden name), then
+    //    the manifest-scoped swap shared with crash recovery
+    require(fs.rename(stagedPart, pendingPath(out)),
+      s"could not stage compaction into $outDir")
+    finishPendingSwap(fs, out)
+    sfs.delete(stagingP, true)
   }
 
   /** Read a [[streamMvFoldToParquet]] store: merge the batch partials
@@ -713,17 +849,29 @@ object StreamingOpsSinks {
     * commit the store directory does not exist (and carries no
     * schema), so the read is refused with a clear message rather than
     * surfacing Spark's opaque path/schema error (self-review r18: the
-    * earlier scaladoc over-promised "any instant").
+    * earlier scaladoc over-promised "any instant"). Likewise refused:
+    * a store whose parquet schema does not match the requested
+    * keys/measures (r18 verdict #8 — the mismatch otherwise dies as
+    * an opaque missing-column error deep in the merge), and a store
+    * with a crashed compaction pending (the partials may be partially
+    * deleted; run [[compactMvStore]] to complete the swap first).
     */
   def readMvFoldStore(spark: SparkSession, outDir: String,
       keys: Seq[String],
       measures: Seq[graft.operators.MvMeasure]): DataFrame = {
     import graft.operators.MvFold
-    require(new java.io.File(outDir).exists(),
+    val (fs, out) = fsFor(spark, outDir)
+    require(fs.exists(out),
       s"MV store $outDir has no committed batches yet — the store is " +
         "created by the first micro-batch; read after at least one commit")
-    MvFold.read(
-      MvFold.merge(spark.read.parquet(outDir).drop("batch_id"), keys, measures),
+    require(!fs.exists(pendingPath(out)),
+      s"MV store $outDir has a crashed compaction pending — its partials " +
+        "may be partially swapped; run compactMvStore to complete the " +
+        "swap, then read")
+    val store = spark.read.parquet(outDir)
+    MvFold.checkMvSchema(store.columns.toSeq.filterNot(_ == "batch_id"),
+      keys, measures, s"MV store $outDir")
+    MvFold.read(MvFold.merge(store.drop("batch_id"), keys, measures),
       keys, measures)
   }
 }

@@ -1100,6 +1100,16 @@ class HierarchySpec extends SparkSpec {
     assert(math.abs(s(nations) - root.getAs[Double]("sum_sales_amount")) < 1e-4)
   }
 
+  test("h33 SQL surface: the spark.sql rollup equals the DataFrame engine's h4 output exactly") {
+    // one engine, two syntaxes: the registered-view SQL statement must
+    // reproduce the flagship rollup row-for-row (values AND order)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).toSeq
+    val sql = canon(HierarchyQueries.queries("h33_sql_rollup")(spark, sf))
+    val api = canon(HierarchyQueries.queries("h4_hier_agg")(spark, sf))
+    assert(sql == api)
+  }
+
   test("flagship rollup invariants hold at every sf dir") {
     // the driver gates at sf0.01 and benches at sf0.1; this guards
     // SF-dependent regressions (partition-count effects, data-shape

@@ -157,6 +157,34 @@ class MvFoldSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       MvFold.fold(narrow, hist, keys, Seq(MvCount("n"), MvSum("s", col("v"))))
     }
+    // ... and SYMMETRICALLY (ADVICE r18): an MV built with MORE
+    // measures than the fold requests names the extra columns instead
+    // of dying inside unionByName
+    val wide = MvFold.build(hist, keys, Seq(MvCount("n"), MvSum("s", col("v"))))
+    val extra = intercept[IllegalArgumentException] {
+      MvFold.fold(wide, hist, keys, Seq(MvCount("n")))
+    }
+    assert(extra.getMessage.contains("unexpected columns") &&
+      extra.getMessage.contains("s"))
+  }
+
+  test("histogram-quantile MV fails LOUDLY on NULL measure values (ADVICE r18)") {
+    val (lo, hi, nb) = (0L, 128L, 128)
+    val withNull = Seq(("a", java.lang.Long.valueOf(5L)), ("a", null))
+      .toDF("grp", "v")
+    // a silent null bucket would sort first in Spark windows but last
+    // in DuckDB's, shifting every cumulative rank — the build must
+    // throw, not pollute the store
+    val e = intercept[Exception] {
+      MvFold.buildHist(withNull, Seq("grp"), col("v"), lo, hi, nb).collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ causes(t.getCause)
+    assert(causes(e).exists(_.contains("NULL measure value")), e.toString)
+    // non-null rows still build fine through the same guard
+    val clean = Seq(("a", 5L), ("a", 6L)).toDF("grp", "v")
+    assert(MvFold.buildHist(clean, Seq("grp"), col("v"), lo, hi, nb)
+      .count() == 2)
   }
 
   test("histogram-quantile MV: unit buckets read exact quantiles, fold and RETRACT exactly") {

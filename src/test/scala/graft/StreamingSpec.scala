@@ -727,6 +727,152 @@ class StreamingSpec extends SparkSpec {
     assert(readOff() == want)
   }
 
+  /** Shared fixture for the compaction-hardening tests: a 2-batch
+    * durable MV store over the orders halves, plus its checkpoint.
+    */
+  private def buildMvStore(): (String, String, org.apache.spark.sql.DataFrame,
+      Seq[String], Seq[graft.operators.MvMeasure]) = {
+    import graft.operators.{MvCount, MvSum}
+    val facts = Tables.orders(spark, sf).select(
+      col("o_orderkey"), col("o_orderpriority"),
+      floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    val srcDir = java.nio.file.Files.createTempDirectory("mv_h_src").toString
+    val out = java.nio.file.Files.createTempDirectory("mv_h_out")
+      .resolve("out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mv_h_ckpt").toString
+    val keys = Seq("o_orderpriority")
+    val measures = Seq(MvSum("sum_cents", col("cents")), MvCount("n"))
+    facts.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .repartition(1).write.mode("append").parquet(srcDir)
+    facts.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .repartition(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    graft.streaming.StreamingOpsSinks.streamMvFoldToParquet(
+      spark, srcDir, schema, out, ckpt, keys, measures)
+    (out, ckpt, facts, keys, measures)
+  }
+
+  private def mvParts(out: String): Set[String] =
+    new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+
+  test("compaction is overwrite-mode-proof: dynamic partitionOverwriteMode cannot leave stale partials (r18 verdict #2)") {
+    // the st-family sinks set dynamic per-write, so a cluster might set
+    // it session-wide; the old compaction write under dynamic mode
+    // would replace ONLY batch_id=-1 and leave every batch partial
+    // alive next to the compacted copy — double-counting the store.
+    // The staged-swap compaction never overwrites the live store, so
+    // the session conf must be irrelevant. Proven under BOTH settings.
+    val (out, _, _, keys, measures) = buildMvStore()
+    def readOff() = graft.streaming.StreamingOpsSinks
+      .readMvFoldStore(spark, out, keys, measures)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val before = readOff()
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "dynamic")
+      graft.streaming.StreamingOpsSinks.compactMvStore(spark, out, keys, measures)
+      assert(mvParts(out) == Set("batch_id=-1"), mvParts(out).toString)
+      assert(readOff() == before)
+      // and again under explicit static (the default), on the already
+      // single-partition store — still invariant, still one partition
+      spark.conf.set(key, "static")
+      graft.streaming.StreamingOpsSinks.compactMvStore(spark, out, keys, measures)
+      assert(mvParts(out) == Set("batch_id=-1"))
+      assert(readOff() == before)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("compaction with checkpointDir drops UNCOMMITTED orphan partitions (r18 verdict #4)") {
+    import graft.operators.MvFold
+    val (out, ckpt, facts, keys, measures) = buildMvStore()
+    // plant an orphan: a batch partition whose commit marker never
+    // landed (the crash window st38 exercises) — written directly as
+    // MV-shaped partials under an id the commit log does not know
+    val junk = spark.range(1).select(
+      lit("ORPHAN").as("o_orderpriority"), lit(999999L).as("cents"))
+    MvFold.build(junk, keys, measures)
+      .write.mode("overwrite").parquet(s"$out/batch_id=99")
+    // without the commit log the orphan would fold in permanently;
+    // with it, compaction folds ONLY committed partitions and the
+    // orphan is dropped in the swap
+    graft.streaming.StreamingOpsSinks.compactMvStore(
+      spark, out, keys, measures, checkpointDir = Some(ckpt))
+    assert(mvParts(out) == Set("batch_id=-1"), mvParts(out).toString)
+    val got = graft.streaming.StreamingOpsSinks
+      .readMvFoldStore(spark, out, keys, measures)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val want = MvFold.read(MvFold.build(facts, keys, measures), keys, measures)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == want)
+    assert(!got.contains("ORPHAN"))
+  }
+
+  test("a crashed compaction swap is refused by the reader and COMPLETED by the next compact") {
+    import graft.operators.MvFold
+    val (out, _, facts, keys, measures) = buildMvStore()
+    // simulate the crash window: the merged copy landed at the hidden
+    // pending path (with its manifest), one store partition already
+    // deleted, the swap never finished — the exact on-disk state a
+    // kill -9 between delete and rename leaves behind
+    val merged = MvFold.merge(
+      spark.read.parquet(out).drop("batch_id"), keys, measures)
+    val tmp = java.nio.file.Files.createTempDirectory("mv_h_pend")
+      .resolve("staged").toString
+    merged.write.parquet(tmp)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp, "_graft_folded_partitions"),
+      mvParts(out).toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    val pending = java.nio.file.Paths.get(out, ".graft-compact-pending")
+    val victim = mvParts(out).toSeq.sorted.head
+    import org.apache.commons.io.FileUtils
+    FileUtils.deleteDirectory(new java.io.File(out, victim))
+    assert(new java.io.File(tmp).renameTo(pending.toFile))
+    // the reader refuses the half-swapped store loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingOpsSinks
+        .readMvFoldStore(spark, out, keys, measures)
+    }
+    assert(e.getMessage.contains("crashed compaction pending"))
+    // the next compact completes the swap from the durable merged copy
+    graft.streaming.StreamingOpsSinks.compactMvStore(spark, out, keys, measures)
+    assert(mvParts(out) == Set("batch_id=-1"))
+    val got = graft.streaming.StreamingOpsSinks
+      .readMvFoldStore(spark, out, keys, measures)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val want = MvFold.read(MvFold.build(facts, keys, measures), keys, measures)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == want)
+  }
+
+  test("MV store readers refuse a keys/measures mismatch with the contract, not an opaque error (r18 verdict #8)") {
+    import graft.operators.{MvCount, MvSum}
+    val (out, _, _, keys, measures) = buildMvStore()
+    // fewer measures than stored → the extra stored column is named
+    val e1 = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingOpsSinks.readMvFoldStore(
+        spark, out, keys, Seq(MvCount("n")))
+    }
+    assert(e1.getMessage.contains("unexpected columns") &&
+      e1.getMessage.contains("sum_cents"))
+    // a measure the store never carried → named as missing
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingOpsSinks.compactMvStore(
+        spark, out, keys, measures :+ MvSum("ghost", col("cents")))
+    }
+    assert(e2.getMessage.contains("missing columns") &&
+      e2.getMessage.contains("ghost"))
+  }
+
   test("st18: streamed semantic dedup equals single-shot; planted dup labeled") {
     val emb = Tables.embeddings(spark, sf)
     val corpusEmb = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)

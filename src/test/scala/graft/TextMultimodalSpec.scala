@@ -704,6 +704,42 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("tile quarantine: good tiles byte-identical to the strict grid; junk docs in-band; strict still throws") {
+    val bmp = Multimodal.synthBmp(8, 8, "hello".getBytes("UTF-8"))
+    val pgm = Multimodal.synthPgm(8, 8, "world!".getBytes("UTF-8"))
+    val junk = Array[Byte](0x4a, 0x4b, 0x4c) // no raster magic
+    val media = Seq(
+      (1L, bmp, "image/bmp", 8, 8), (2L, junk, "image/bmp", 8, 8),
+      (3L, pgm, "image/x-pgm", 8, 8))
+      .toDF("doc_id", "payload", "media_type", "width", "height")
+    val out = Multimodal.imageTilesQuarantine(spark, media, patch = 4,
+      codec = new Multimodal.SniffRaster).collect()
+    // good rows: the strict grid's TileRows verbatim (shared loop)
+    val strict = Multimodal.imageTiles(spark,
+      media.filter($"doc_id".isin(1L, 3L)), patch = 4,
+      codec = new Multimodal.SniffRaster).collect()
+      .map(t => (t.doc_id, t.tile_y, t.tile_x, t.lum_sum, t.mean_lum,
+        t.tile_hash)).toSet
+    val good = out.filter(_.ok)
+      .map(q => (q.doc_id, q.tile_y.get, q.tile_x.get, q.lum_sum.get,
+        q.mean_lum.get, q.tile_hash.get)).toSet
+    assert(good == strict && good.size == 8) // 2 docs × 2×2 tiles
+    assert(out.filter(_.ok).forall(_.error.isEmpty))
+    // the junk doc: exactly ONE in-band row, the codec's diagnostic,
+    // every tile field null
+    val bad = out.filterNot(_.ok)
+    assert(bad.map(_.doc_id).toSeq == Seq(2L))
+    assert(bad.head.error.get == "doc 2: unrecognized raster magic")
+    assert(bad.head.tile_y.isEmpty && bad.head.tile_x.isEmpty &&
+      bad.head.lum_sum.isEmpty && bad.head.mean_lum.isEmpty &&
+      bad.head.tile_hash.isEmpty)
+    // strict mode unchanged: the same batch still fails fast
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.imageTiles(spark, media, patch = 4,
+        codec = new Multimodal.SniffRaster).collect()
+    }
+  }
+
   test("PngCodec fully decodes a synthesized truecolor PNG (inflate + unfilter)") {
     // 2×2, pixels cycle [10, 20, 30] with no row padding in PNG, so
     // 12 channel bytes → mean exactly 20
