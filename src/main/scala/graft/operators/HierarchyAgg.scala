@@ -263,6 +263,56 @@ object HierarchyAgg {
       col("descendant_node_natural_key"),
       col("ancestor_node_sort_order"))
 
+  /** HIERARCHY × FLAT-ATTRIBUTE CUBE (round 19): every hierarchy node
+    * crossed with a flat dimension attribute — the drill-ACROSS
+    * companion of the flagship rollup ("this node's subtotal, and its
+    * per-segment breakdown, in one result"). The lattice is
+    * GROUPING SETS ((node), (node, segment)): the global () cell is
+    * dropped — it duplicates the root's ALL row.
+    *
+    * Scale shape: ONE fact shuffle to the finest OUTPUT grain
+    * (leaf, segment); the broadcast closure expands ×depth without
+    * moving facts; the rollup(node, segment) grouping-set aggregate
+    * computes both grains additively from the pre-agg partials (no
+    * distinct, no second fact pass — the Expand doubles the pre-agg
+    * stream, which is dimension-sized, never the facts). Labels join
+    * on the numeric sort order at the end (the h4 discipline).
+    */
+  def hierSegmentCube(facts: DataFrame, aggDim: DataFrame,
+      factKey: String = "leaf_key", segCol: String = "c_mktsegment",
+      broadcastDim: Boolean = true): DataFrame = {
+    val pre = facts.groupBy(col(factKey), col(segCol))
+      .agg(
+        sum(col("sales_amount")).as("__sales"),
+        sum(col("unit_quantity")).as("__qty"),
+        count(lit(1)).as("__n"))
+    val expanded = pre
+      .join(maybeBroadcast(closureKeys(aggDim), broadcastDim),
+        col(factKey) === col("descendant_node_natural_key"))
+    // Column-overload rollup (the String* form trips Spark 4's
+    // ambiguous-self-join detector after multi-joins); grouping_id
+    // 0 = (node, seg), 1 = (node), 3 = the dropped global cell
+    val agg = expanded
+      .rollup(col("ancestor_node_sort_order"), col(segCol))
+      .agg(
+        grouping_id().as("__gid"),
+        round(sum(col("__sales")), 2).as("sum_sales_amount"),
+        round(sum(col("__qty")), 2).as("sum_unit_quantity"),
+        sum(col("__n")).as("count_of_fact_records"))
+      .filter(col("__gid") <= 1)
+      .withColumn("segment", coalesce(col(segCol), lit("ALL")))
+    val indent = expr("lpad('-', (ancestor_level_number - 1) * 7, '-')")
+    val labels = aggDim.filter(col("net_level") === 0).select(
+      col("ancestor_node_sort_order"),
+      concat(indent, col("ancestor_node_name")).as("product_node_name"))
+    agg
+      .join(maybeBroadcast(labels, broadcastDim),
+        Seq("ancestor_node_sort_order"))
+      .orderBy(col("ancestor_node_sort_order"), col("segment"))
+      .select("product_node_name", "segment", "sum_sales_amount",
+        "sum_unit_quantity", "count_of_fact_records")
+  }
+
   /** Label join + final DFS ordering.
     * CONTRACT: aggDim must come from HierarchyDimension.aggregationDim
     * (or satisfy the same invariant): ancestor_node_sort_order is a

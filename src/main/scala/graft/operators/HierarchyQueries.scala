@@ -220,6 +220,16 @@ object HierarchyQueries {
         ORDER BY ancestor_node_sort_order
       """)
     }),
+    // HIERARCHY × FLAT-ATTRIBUTE CUBE (round 19): every node's
+    // subtotal AND its per-market-segment breakdown in one result —
+    // GROUPING SETS ((node), (node, segment)) over the closure
+    // expansion, the drill-across the pure rollup can't answer. One
+    // fact shuffle at (leaf, segment); the grouping-set Expand runs
+    // over the dimension-sized pre-agg, never facts.
+    "h34_hier_attr_cube" -> ((s, d) =>
+      HierarchyAgg.hierSegmentCube(
+        HierarchyAgg.salesFacts(s, d),
+        dimension(s, d).aggregationDim)),
     "h5_hier_agg_deep" -> ((s, d) => {
       val facts = HierarchyAgg.salesFacts(s, d)
         .withColumn("leaf_key",
@@ -968,6 +978,38 @@ SELECT * FROM adim""",
     // the SQL surface is pinned to the SAME derivation as h4 — one
     // engine, two user-facing syntaxes, one oracle
     "h33_sql_rollup" -> rollupSql(deep = false, "c.c_nationkey"),
+    // GROUPING SETS over the closure expansion: (node) and
+    // (node, segment) cells, the global () cell dropped (it
+    // duplicates the root's ALL row); labels join on sort order
+    "h34_hier_attr_cube" ->
+      s"""${prelude(false)},
+facts AS (
+  SELECT c.c_nationkey AS leaf_key, c.c_mktsegment AS seg,
+         l.l_quantity AS unit_quantity, l.l_extendedprice AS sales_amount
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+),
+agg AS (
+  SELECT ancestor_node_sort_order AS so,
+         COALESCE(seg, 'ALL') AS segment,
+         ROUND(SUM(sales_amount), 2) AS sum_sales_amount,
+         ROUND(SUM(unit_quantity), 2) AS sum_unit_quantity,
+         COUNT(*) AS count_of_fact_records
+  FROM facts f
+  JOIN adim ON CAST(f.leaf_key AS BIGINT) = adim.descendant_node_natural_key
+  GROUP BY GROUPING SETS ((ancestor_node_sort_order),
+                          (ancestor_node_sort_order, seg))
+),
+lbl AS (
+  SELECT node_sort_order AS so,
+         lpad('-', (level_number - 1) * 7, '-') || node_name
+           AS product_node_name
+  FROM rdim
+)
+SELECT product_node_name, segment, sum_sales_amount, sum_unit_quantity,
+       count_of_fact_records
+FROM agg JOIN lbl USING (so)""",
     // the bitmap mode must be RESULT-IDENTICAL to the exact rollup
     "h23_hier_agg_bitmap" -> rollupSql(deep = false, "c.c_nationkey"),
     // the h4 closure derivation + quantile_cont(0.5) (the q48-proven

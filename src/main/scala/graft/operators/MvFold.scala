@@ -190,7 +190,15 @@ object MvFold {
   // MV rows only, never facts.
   // ------------------------------------------------------------------
 
-  private val bucketCol = "__mv_bucket"
+  private[graft] val bucketCol = "__mv_bucket"
+
+  /** Merge a frame of stored HISTOGRAM partials (per-batch/per-shard
+    * (keys, bucket)-grain signed counts stacked as rows) back to one
+    * row per (keys, bucket) — [[merge]] at the histogram grain, public
+    * for durable quantile stores (see `streamHistMvToParquet`).
+    */
+  def mergeHist(partials: DataFrame, keys: Seq[String]): DataFrame =
+    merge(partials, keys :+ bucketCol, Nil)
 
   private def checkHist(lo: Long, hi: Long, buckets: Int): Long = {
     require(buckets > 0 && hi > lo, s"bad histogram domain [$lo,$hi)/$buckets")

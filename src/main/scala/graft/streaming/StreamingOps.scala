@@ -679,6 +679,80 @@ object StreamingOpsSinks {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** EXACTLY-ONCE durable streaming QUANTILE MV — q84's histogram MV
+    * as a continuous sink, st38's durability protocol: each
+    * micro-batch bucketizes its rows ([[graft.operators.MvFold.buildHist]]
+    * — deterministic integer bucket math) and overwrites exactly its
+    * own `batch_id=N` partition with (keys, bucket)-grain signed
+    * counts; checkpoint WAL + deterministic partial + idempotent
+    * partition write = end-to-end exactly-once, and bucket counts are
+    * additive so the read-off ([[readHistMvStore]]) is one bounded
+    * merge over batches × (keys × buckets) rows, never facts. `value`
+    * must be a non-null integer column (the cents convention —
+    * [[graft.operators.MvFold.buildHist]]'s contract).
+    */
+  def streamHistMvToParquet(spark: SparkSession,
+      streamDir: String, schema: org.apache.spark.sql.types.StructType,
+      outDir: String, checkpointDir: String,
+      keys: Seq[String], value: org.apache.spark.sql.Column,
+      lo: Long, hi: Long, buckets: Int,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamDir)
+    val q = stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          graft.operators.MvFold
+            .buildHist(batch.toDF(), keys, value, lo, hi, buckets)
+            .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
+          ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** Read a [[streamHistMvToParquet]] store: merge the bucket partials
+    * and read quantiles at `percents` via the exact integer rank-walk
+    * ([[graft.operators.MvFold.readHistQuantiles]]). Same guards as
+    * [[readMvFoldStore]] (existence, pending compaction, schema
+    * contract), at the histogram grain.
+    */
+  def readHistMvStore(spark: SparkSession, outDir: String,
+      keys: Seq[String], percents: Seq[Int],
+      lo: Long, hi: Long, buckets: Int): DataFrame = {
+    import graft.operators.MvFold
+    val (fs, out) = fsFor(spark, outDir)
+    require(fs.exists(out),
+      s"quantile MV store $outDir has no committed batches yet — the " +
+        "store is created by the first micro-batch; read after at least " +
+        "one commit")
+    require(!fs.exists(pendingPath(out)),
+      s"quantile MV store $outDir has a crashed compaction pending — run " +
+        "compactHistMvStore to complete the swap, then read")
+    val store = spark.read.parquet(outDir)
+    MvFold.checkMvSchema(store.columns.toSeq.filterNot(_ == "batch_id"),
+      keys :+ MvFold.bucketCol, Nil, s"quantile MV store $outDir")
+    MvFold.readHistQuantiles(MvFold.mergeHist(store.drop("batch_id"), keys),
+      keys, percents, lo, hi, buckets)
+  }
+
+  /** [[compactMvStore]] for a [[streamHistMvToParquet]] store: the
+    * histogram grain is (keys, bucket) with no extra measures, so the
+    * staged-swap compaction applies verbatim.
+    */
+  def compactHistMvStore(spark: SparkSession, outDir: String,
+      keys: Seq[String], checkpointDir: Option[String] = None): Unit =
+    compactMvStore(spark, outDir, keys :+ graft.operators.MvFold.bucketCol,
+      Nil, checkpointDir)
+
   // ------------------------------------------------------------------
   // Durable-MV store maintenance plumbing. All path operations go
   // through the Hadoop FileSystem API (ADVICE r18: java.io.File is
@@ -1799,6 +1873,34 @@ object StreamingQueries {
           round(col("sum_cents").cast("double") / 100.0, 2).as("sum_price"),
           col("n_orders"), col("distinct_cust"))
     }),
+    // q84's quantile MV as a CONTINUOUS durable store (round 19):
+    // each micro-batch lands its (priority, year, bucket)-grain
+    // signed counts under the idempotent batch_id overwrite (bucket
+    // math is deterministic integer arithmetic, so a crash-replayed
+    // batch rewrites identical partials — st38's exactly-once
+    // argument verbatim); the read-off is q84's exact integer
+    // rank-walk over the merged store. Quantiles maintained
+    // continuously without ever re-scanning history: the classic
+    // "p95 by segment, live" dashboard primitive. Oracle = q84's
+    // derivation without the retraction slice (this stream is
+    // append-only; retraction stays q84's batch-side contract).
+    "st40_stream_quantile_mv" -> ((s, d) => {
+      val dir = ordersMvStreamDir(s, d)
+      val schema = s.read.parquet(dir).schema
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_histmv").resolve("out").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_histmv_ckpt").toString
+      val keys = Seq("o_orderpriority", "order_year")
+      val (lo, hi, nb) = (0L, 1L << 26, 4096)
+      val partsWas = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try StreamingOpsSinks.streamHistMvToParquet(
+        s, dir, schema, out, ckpt, keys, col("cents"), lo, hi, nb)
+      finally s.conf.set("spark.sql.shuffle.partitions", partsWas)
+      StreamingOpsSinks.readHistMvStore(s, out, keys, Seq(50, 95),
+        lo, hi, nb)
+    }),
     // st10's classification landed through the EXACTLY-ONCE durable
     // sink: foreachBatch + idempotent batch_id-partition overwrite
     // (see [[StreamingOpsSinks.streamNearDupToParquet]]). The
@@ -1948,6 +2050,32 @@ object StreamingQueries {
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distinct_cust
          FROM orders GROUP BY 1, 2""",
+    // stream-maintained quantile store ≡ q84's bucket derivation over
+    // ALL orders (no retraction slice — the stream is append-only);
+    // same integer rank-walk, answers exact to one 16384-cent bucket
+    "st40_stream_quantile_mv" ->
+      """WITH f AS (
+           SELECT o_orderpriority,
+             CAST(year(o_orderdate) AS BIGINT) AS order_year,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         b AS (
+           SELECT o_orderpriority, order_year,
+             LEAST(4095, GREATEST(0, cents // 16384)) AS bucket,
+             COUNT(*) AS cnt
+           FROM f GROUP BY 1, 2, 3),
+         c AS (
+           SELECT *,
+             SUM(cnt) OVER (PARTITION BY o_orderpriority, order_year
+                            ORDER BY bucket) AS cum,
+             SUM(cnt) OVER (PARTITION BY o_orderpriority, order_year) AS n
+           FROM b)
+         SELECT o_orderpriority, order_year,
+           MIN(CASE WHEN cum >= (50 * n + 99) // 100
+                    THEN CAST(bucket * 16384 AS BIGINT) END) AS p50,
+           MIN(CASE WHEN cum >= (95 * n + 99) // 100
+                    THEN CAST(bucket * 16384 AS BIGINT) END) AS p95
+         FROM c GROUP BY 1, 2""",
     // stream-folded generic MV ≡ full recompute per measure semantics
     // (q81's invariant, streamed, without the retraction slice)
     "st37_stream_mv_fold" ->

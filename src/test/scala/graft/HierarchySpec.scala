@@ -1110,6 +1110,33 @@ class HierarchySpec extends SparkSpec {
     assert(sql == api)
   }
 
+  test("h34 hierarchy×segment cube: segment cells sum to each node's ALL cell; ALL cells equal the h4 rollup") {
+    val cube = HierarchyQueries.queries("h34_hier_attr_cube")(spark, sf)
+      .collect()
+    val all = cube.filter(_.getAs[String]("segment") == "ALL")
+      .map(r => r.getAs[String]("product_node_name") ->
+        (r.getAs[Double]("sum_sales_amount"),
+          r.getAs[Long]("count_of_fact_records"))).toMap
+    // per node: segment cells sum back to the ALL cell (counts exact;
+    // sales to rounding tolerance — the cells are independently
+    // 2dp-rounded)
+    val bySeg = cube.filterNot(_.getAs[String]("segment") == "ALL")
+      .groupBy(_.getAs[String]("product_node_name"))
+    assert(bySeg.keySet == all.keySet)
+    bySeg.foreach { case (node, rows) =>
+      assert(rows.map(_.getAs[Long]("count_of_fact_records")).sum ==
+        all(node)._2, node)
+      assert(math.abs(rows.map(_.getAs[Double]("sum_sales_amount")).sum -
+        all(node)._1) < 0.05, node)
+    }
+    // ALL cells ≡ the flagship rollup's node rows (same engine grain)
+    val h4 = HierarchyQueries.queries("h4_hier_agg")(spark, sf).collect()
+      .map(r => r.getAs[String]("product_node_name") ->
+        (r.getAs[Double]("sum_sales_amount"),
+          r.getAs[Long]("count_of_fact_records"))).toMap
+    assert(all == h4)
+  }
+
   test("flagship rollup invariants hold at every sf dir") {
     // the driver gates at sf0.01 and benches at sf0.1; this guards
     // SF-dependent regressions (partition-count effects, data-shape

@@ -854,6 +854,43 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("st40: durable streaming quantile MV equals the single-shot histogram build; compaction invariant") {
+    import graft.operators.MvFold
+    val facts = Tables.orders(spark, sf).select(
+      col("o_orderkey"), col("o_orderpriority"),
+      floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    val srcDir = java.nio.file.Files.createTempDirectory("hmv_src").toString
+    val out = java.nio.file.Files.createTempDirectory("hmv_out")
+      .resolve("out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("hmv_ckpt").toString
+    val keys = Seq("o_orderpriority")
+    val (lo, hi, nb) = (0L, 1L << 26, 4096)
+    facts.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .repartition(1).write.mode("append").parquet(srcDir)
+    facts.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .repartition(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    graft.streaming.StreamingOpsSinks.streamHistMvToParquet(
+      spark, srcDir, schema, out, ckpt, keys, col("cents"), lo, hi, nb)
+    def readOff() = graft.streaming.StreamingOpsSinks
+      .readHistMvStore(spark, out, keys, Seq(50, 95), lo, hi, nb)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val got = readOff()
+    // streamed store ≡ single-shot histogram build over all facts
+    val want = MvFold.readHistQuantiles(
+      MvFold.buildHist(facts, keys, col("cents"), lo, hi, nb),
+      keys, Seq(50, 95), lo, hi, nb)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == want && got.nonEmpty)
+    // compaction: read-off invariant, one partition left
+    graft.streaming.StreamingOpsSinks.compactHistMvStore(
+      spark, out, keys, checkpointDir = Some(ckpt))
+    assert(mvParts(out) == Set("batch_id=-1"))
+    assert(readOff() == got)
+  }
+
   test("MV store readers refuse a keys/measures mismatch with the contract, not an opaque error (r18 verdict #8)") {
     import graft.operators.{MvCount, MvSum}
     val (out, _, _, keys, measures) = buildMvStore()
