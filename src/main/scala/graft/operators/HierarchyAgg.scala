@@ -414,16 +414,30 @@ object HierarchyAgg {
   def rollupMv(facts: DataFrame, aggDim: DataFrame,
       factKey: String = "leaf_key", weight: Column = lit(1L),
       broadcastDim: Boolean = true): DataFrame =
-    facts
-      .groupBy(col(factKey), col("customer_id"))
-      .agg(
-        sum(col("sales_amount") * weight).as("mv_sales"),
-        sum(col("unit_quantity") * weight).as("mv_qty"),
-        // signed row weight, not count(): a retraction batch
-        // (weight = -1) must SUBTRACT from the fact-record count, or
-        // mv_n drifts upward and the mv_n != 0 zero-pair drop — which
-        // keeps the distinct-customer read-off exact — never fires
-        sum(weight).as("mv_n"))
+    rollupMvFromPairs(
+      facts
+        .groupBy(col(factKey), col("customer_id"))
+        .agg(
+          sum(col("sales_amount") * weight).as("mv_sales"),
+          sum(col("unit_quantity") * weight).as("mv_qty"),
+          // signed row weight, not count(): a retraction batch
+          // (weight = -1) must SUBTRACT from the fact-record count, or
+          // mv_n drifts upward and the mv_n != 0 zero-pair drop — which
+          // keeps the distinct-customer read-off exact — never fires
+          sum(weight).as("mv_n")),
+      aggDim, factKey, broadcastDim)
+
+  /** The closure half of [[rollupMv]], public for EXTERNALLY-maintained
+    * (leaf, customer)-grain pair stores: the durable streaming rollup
+    * (st41) reads its exactly-once MvFold store off into exactly this
+    * shape. `pairs` must carry (`factKey`, customer_id, mv_sales,
+    * mv_qty, mv_n) — additive partials at pair grain. Dimension-sized
+    * input expands ×depth through the broadcast closure; facts were
+    * already collapsed upstream.
+    */
+  def rollupMvFromPairs(pairs: DataFrame, aggDim: DataFrame,
+      factKey: String = "leaf_key", broadcastDim: Boolean = true): DataFrame =
+    pairs
       .join(maybeBroadcast(closureKeys(aggDim), broadcastDim),
         col(factKey) === col("descendant_node_natural_key"))
       .groupBy(col("ancestor_node_sort_order"), col("customer_id"))

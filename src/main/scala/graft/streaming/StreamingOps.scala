@@ -1873,6 +1873,38 @@ object StreamingQueries {
           round(col("sum_cents").cast("double") / 100.0, 2).as("sum_price"),
           col("n_orders"), col("distinct_cust"))
     }),
+    // the FLAGSHIP rollup as a DURABLE exactly-once stream (round 19):
+    // st9 maintains the reference's headline query live but holds its
+    // MV in memory — a crash loses the fold. Here the (leaf, customer)
+    // pair grain — the flagship MV grain, rollupMv's contract — lands
+    // through the generic durable store (deterministic batch partials,
+    // idempotent batch_id overwrite, replay-safe for the signed sums),
+    // and the read-off is the UNCHANGED engine: broadcast closure
+    // expansion + finalizeRollup, exact distinct read off the pair
+    // grain. The reference's main.py result, continuously maintained,
+    // crash-safe, never re-scanning history.
+    "st41_stream_hier_rollup" -> ((s, d) => {
+      import graft.operators.{MvSum, MvCount}
+      val adim = graft.operators.HierarchyQueries.dimension(s, d).aggregationDim
+      val dir = mvStreamDir(s, d)
+      val schema = s.read.parquet(dir).schema
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_hrmv").resolve("out").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_hrmv_ckpt").toString
+      val keys = Seq("leaf_key", "customer_id")
+      val measures = Seq(MvSum("mv_sales", col("sales_amount")),
+        MvSum("mv_qty", col("unit_quantity")), MvCount("mv_n"))
+      val partsWas = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try StreamingOpsSinks.streamMvFoldToParquet(
+        s, dir, schema, out, ckpt, keys, measures)
+      finally s.conf.set("spark.sql.shuffle.partitions", partsWas)
+      graft.operators.HierarchyAgg.finalizeRollup(
+        graft.operators.HierarchyAgg.rollupMvFromPairs(
+          StreamingOpsSinks.readMvFoldStore(s, out, keys, measures), adim),
+        adim)
+    }),
     // q84's quantile MV as a CONTINUOUS durable store (round 19):
     // each micro-batch lands its (priority, year, bucket)-grain
     // signed counts under the idempotent batch_id overwrite (bucket
@@ -2015,6 +2047,10 @@ object StreamingQueries {
   val oracles: Map[String, String] = Map(
     // stream-maintained MV ≡ full recompute (h9's invariant, streamed)
     "st9_incremental_rollup_stream" ->
+      graft.operators.HierarchyQueries.oracles("h9_incremental_rollup"),
+    // durable flagship rollup ≡ the same full recompute (st9's oracle;
+    // the exactly-once store adds durability, not semantics)
+    "st41_stream_hier_rollup" ->
       graft.operators.HierarchyQueries.oracles("h9_incremental_rollup"),
     // stream-maintained bitmap MV ≡ full distinct recompute (h24's
     // invariant, streamed)

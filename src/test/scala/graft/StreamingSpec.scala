@@ -891,6 +891,44 @@ class StreamingSpec extends SparkSpec {
     assert(readOff() == got)
   }
 
+  test("st41: durable flagship rollup survives a crash replay and equals the one-shot engine output") {
+    import graft.operators.{HierarchyAgg, HierarchyQueries, MvCount, MvSum}
+    val adim = HierarchyQueries.dimension(spark, sf).aggregationDim
+    val facts = HierarchyAgg.salesFacts(spark, sf)
+      .select("leaf_key", "customer_id", "unit_quantity", "sales_amount")
+    val srcDir = java.nio.file.Files.createTempDirectory("hr_src").toString
+    val out = java.nio.file.Files.createTempDirectory("hr_out")
+      .resolve("out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("hr_ckpt").toString
+    val keys = Seq("leaf_key", "customer_id")
+    val measures = Seq(MvSum("mv_sales", col("sales_amount")),
+      MvSum("mv_qty", col("unit_quantity")), MvCount("mv_n"))
+    def half(r: Int) = facts.filter(pmod(col("customer_id"), lit(2)) === r)
+    half(0).repartition(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    graft.streaming.StreamingOpsSinks.streamMvFoldToParquet(
+      spark, srcDir, schema, out, ckpt, keys, measures)
+    // CRASH: output written, commit marker lost → restart MUST replay
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    val victim = commits.last
+    val crc = new java.io.File(victim.getParentFile, s".${victim.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    assert(victim.delete())
+    half(1).repartition(1).write.mode("append").parquet(srcDir)
+    graft.streaming.StreamingOpsSinks.streamMvFoldToParquet(
+      spark, srcDir, schema, out, ckpt, keys, measures)
+    // read-off through the UNCHANGED engine = one-shot flagship rollup
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).toSeq
+    val streamed = HierarchyAgg.finalizeRollup(
+      HierarchyAgg.rollupMvFromPairs(
+        graft.streaming.StreamingOpsSinks
+          .readMvFoldStore(spark, out, keys, measures), adim), adim)
+    val oneShot = HierarchyAgg.hierarchicalRollup(facts, adim)
+    assert(canon(streamed) == canon(oneShot))
+  }
+
   test("MV store readers refuse a keys/measures mismatch with the contract, not an opaque error (r18 verdict #8)") {
     import graft.operators.{MvCount, MvSum}
     val (out, _, _, keys, measures) = buildMvStore()
