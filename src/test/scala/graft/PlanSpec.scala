@@ -36,6 +36,35 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("h34: attribute cube broadcasts the closure; the fact stream shuffles at most twice; Expand sits above the pre-agg") {
+    val p = plan("h34_hier_attr_cube")
+    // closure + label joins broadcast; no sort-merge on the fact path
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the grouping-set Expand must be ABOVE the (leaf, segment)
+    // pre-aggregation: Expand doubles whatever stream it sits on, and
+    // the pre-agg stream is dimension-sized while the raw fact stream
+    // is not. In the plan string the pre-agg HashAggregate therefore
+    // appears BELOW (after, in top-down print order, i.e. at a later
+    // offset than) the Expand node.
+    assert(p.contains("Expand"), p)
+    val expandAt = p.indexOf("Expand")
+    assert(p.indexOf("HashAggregate", expandAt) > 0,
+      s"no aggregate below the Expand — it may be doubling raw facts:\n$p")
+    // fact spine: the (leaf, segment) pre-agg exchange + the
+    // grouping-set aggregate exchange, nothing more
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    def factShuffles(n: SparkPlan): Int = n match {
+      case _: BroadcastExchangeExec => 0
+      case s: ShuffleExchangeExec => 1 + s.children.map(factShuffles).sum
+      case other => other.children.map(factShuffles).sum
+    }
+    val df = SparkEntry.queries("h34_hier_attr_cube")(spark, sf)
+    val count = factShuffles(df.queryExecution.sparkPlan)
+    assert(count <= 2, s"$count fact-side shuffles:\n$p")
+  }
+
   test("h10: both closures broadcast; fact side pays at most 2 shuffle exchanges") {
     val p = plan("h10_multi_hier_agg")
     // geo + brand closure joins and the orders/customer dim joins are
