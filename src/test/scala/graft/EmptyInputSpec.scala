@@ -272,4 +272,28 @@ class EmptyInputSpec extends SparkSpec {
     assert(MvFold.merge(MvFold.build(noFacts, ks, Seq(MvCount("n"))),
       ks, Seq(MvCount("n"))).count() == 0)
   }
+
+  test("round-19 operators handle empty inputs") {
+    // tile quarantine: empty media → zero rows (strict grid likewise)
+    val noMedia = Seq.empty[(Long, Array[Byte], String, Int, Int)]
+      .toDF("doc_id", "payload", "media_type", "width", "height")
+    assert(Multimodal.imageTilesQuarantine(spark, noMedia,
+      codec = new Multimodal.SniffRaster).count() == 0)
+    // hierarchy × attribute cube: empty facts → empty cube (the
+    // labels join finds no aggregate rows)
+    val adim = operators.HierarchyQueries.dimension(spark, sf).aggregationDim
+    val noFacts2 = Seq.empty[(Long, String, Double, Double)]
+      .toDF("leaf_key", "c_mktsegment", "sales_amount", "unit_quantity")
+    assert(HierarchyAgg.hierSegmentCube(noFacts2, adim).count() == 0)
+    // pair-grain rollup read-off: empty pair store → empty rollup
+    val noPairs = Seq.empty[(Long, Long, Double, Double, Long)]
+      .toDF("leaf_key", "customer_id", "mv_sales", "mv_qty", "mv_n")
+    assert(HierarchyAgg.finalizeRollup(
+      HierarchyAgg.rollupMvFromPairs(noPairs, adim), adim).count() == 0)
+    // histogram merge at the public hist grain: empty partials → empty
+    val noFacts3 = Seq.empty[(String, Long)].toDF("grp", "v")
+    assert(MvFold.mergeHist(
+      MvFold.buildHist(noFacts3, Seq("grp"), col("v"), 0L, 64L, 64),
+      Seq("grp")).count() == 0)
+  }
 }

@@ -852,6 +852,14 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
     assert(got == want)
+    // recovery + compaction are IDEMPOTENT: a second compact over the
+    // already-compacted store changes nothing
+    graft.streaming.StreamingOpsSinks.compactMvStore(spark, out, keys, measures)
+    assert(mvParts(out) == Set("batch_id=-1"))
+    assert(graft.streaming.StreamingOpsSinks
+      .readMvFoldStore(spark, out, keys, measures)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap == want)
   }
 
   test("st40: durable streaming quantile MV equals the single-shot histogram build; compaction invariant") {
