@@ -937,6 +937,62 @@ class StreamingSpec extends SparkSpec {
     assert(canon(streamed) == canon(oneShot))
   }
 
+  test("compaction fuzz: many random batch partials + random orphans, compacted mid-lifecycle, always equals the committed recompute") {
+    import graft.operators.{MvCount, MvFold, MvSum}
+    import spark.implicits._
+    val keys = Seq("grp")
+    val measures = Seq(MvSum("s", col("v")), MvCount("n"))
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 3) {
+      val out = java.nio.file.Files.createTempDirectory(s"fz_out$trial")
+        .resolve("out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory(s"fz_ck$trial").toString
+      new java.io.File(s"$ckpt/commits").mkdirs()
+      val nBatches = 6 + rnd.nextInt(5)
+      var committedRows = Seq.empty[(String, Long)]
+      var compactions = 0
+      for (b <- 0 until nBatches) {
+        // a batch = 1..20 random (grp, v) rows over a small key space
+        val rows = Seq.fill(1 + rnd.nextInt(20))(
+          (s"g${rnd.nextInt(4)}", rnd.nextInt(1000).toLong))
+        MvFold.build(rows.toDF("grp", "v"), keys, measures)
+          .write.mode("overwrite").parquet(s"$out/batch_id=$b")
+        // ~1 in 4 batches crashes before its commit marker lands —
+        // its partition is an orphan the commit log never records
+        val committed = rnd.nextInt(4) != 0
+        if (committed) {
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$ckpt/commits/$b"), "ok".getBytes)
+          committedRows ++= rows
+        }
+        // compaction can run at ANY stopped instant; the orphan
+        // filter must hold at every point, not just at the end.
+        // (A store holding NOTHING but orphans is refused by
+        // contract — only compact once something committed.)
+        if (rnd.nextInt(3) == 0 && committedRows.nonEmpty) {
+          graft.streaming.StreamingOpsSinks.compactMvStore(
+            spark, out, keys, measures, checkpointDir = Some(ckpt))
+          compactions += 1
+        }
+      }
+      graft.streaming.StreamingOpsSinks.compactMvStore(
+        spark, out, keys, measures, checkpointDir = Some(ckpt))
+      compactions += 1
+      assert(mvParts(out) == Set("batch_id=-1"), s"trial $trial")
+      val got = graft.streaming.StreamingOpsSinks
+        .readMvFoldStore(spark, out, keys, measures)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val want = MvFold.read(
+        MvFold.build(committedRows.toDF("grp", "v"), keys, measures),
+        keys, measures)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(got == want,
+        s"trial $trial ($nBatches batches, $compactions compactions)")
+    }
+  }
+
   test("MV store readers refuse a keys/measures mismatch with the contract, not an opaque error (r18 verdict #8)") {
     import graft.operators.{MvCount, MvSum}
     val (out, _, _, keys, measures) = buildMvStore()
