@@ -52,6 +52,44 @@ object Gif {
     out.toByteArray
   }
 
+  /** Deterministic ANIMATED GIF89a synthesizer (round 19): the same
+    * grayscale palette, one graphic-control extension + image
+    * descriptor + LZW raster per frame — the multi-frame visual
+    * container a video-ish ingest path decimates. Every frame covers
+    * the logical screen (no partial-frame composition in the subset).
+    */
+  def synthAnimated(width: Int, height: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && frames.nonEmpty &&
+      frames.forall(_.length == width * height),
+      s"synthAnimated: bad dims $width x $height for ${frames.size} frames")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(width); u16(height)
+    out.write(0xf7); out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    frames.foreach { px =>
+      // graphic control extension: 10cs delay, no transparency
+      out.write(0x21); out.write(0xf9); out.write(0x04)
+      out.write(0x00); u16(10); out.write(0x00); out.write(0x00)
+      out.write(0x2c)
+      u16(0); u16(0); u16(width); u16(height)
+      out.write(0x00)
+      out.write(8)
+      val compressed = lzwEncode(px, 8)
+      var off = 0
+      while (off < compressed.length) {
+        val n = math.min(255, compressed.length - off)
+        out.write(n); out.write(compressed, off, n); off += n
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
   /** GIF-variant LZW: emits CLEAR first, grows 9→12 bits, re-CLEARs
     * when the table would pass 4096 codes; LSB-first bit packing. */
   private[operators] def lzwEncode(data: Array[Byte], minCodeSize: Int): Array[Byte] = {
@@ -244,6 +282,110 @@ object Gif {
       Array(r.payload.length.toDouble, d.gray.length.toDouble,
         math.round(sum.toDouble / d.gray.length * 1e6) / 1e6,
         d.width.toDouble, d.height.toDouble)
+    }
+  }
+
+  /** Decode EVERY frame of a (possibly animated) GIF — the
+    * multi-frame walk [[decode]] stops short of: skip extensions,
+    * decode each 0x2c image descriptor with the shared palette, stop
+    * at the 0x3b trailer. Same loud-failure subset rules per frame.
+    */
+  def decodeFrames(b: Array[Byte], docId: Long): Seq[Decoded] = {
+    require(b.length >= 13, s"doc $docId: GIF too short")
+    val magic = new String(b, 0, 6, "US-ASCII")
+    require(magic == "GIF87a" || magic == "GIF89a",
+      s"doc $docId: not a GIF payload ($magic)")
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    var i = 6
+    i += 4
+    val flags = b(i) & 0xff; i += 3
+    require((flags & 0x80) != 0, s"doc $docId: GIF without a global color table")
+    val tableSize = 2 << (flags & 7)
+    require(i + tableSize * 3 <= b.length, s"doc $docId: truncated GIF palette")
+    val luma = new Array[Byte](tableSize)
+    var t = 0
+    while (t < tableSize) {
+      val r = b(i) & 0xff; val g = b(i + 1) & 0xff; val bl = b(i + 2) & 0xff
+      luma(t) = ((77 * r + 150 * g + 29 * bl) >> 8).toByte
+      i += 3; t += 1
+    }
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Decoded]
+    var done = false
+    while (!done) {
+      require(i < b.length, s"doc $docId: GIF stream ends without trailer")
+      (b(i) & 0xff) match {
+        case 0x21 =>
+          i += 2
+          require(i < b.length, s"doc $docId: truncated GIF extension block")
+          while ((b(i) & 0xff) != 0) {
+            i += 1 + (b(i) & 0xff)
+            require(i < b.length, s"doc $docId: truncated GIF extension block")
+          }
+          i += 1
+        case 0x2c =>
+          require(i + 11 <= b.length,
+            s"doc $docId: truncated GIF image descriptor")
+          val w = u16(i + 5); val h = u16(i + 7)
+          val imgFlags = b(i + 9) & 0xff
+          require((imgFlags & 0x40) == 0, s"doc $docId: interlaced GIF unsupported")
+          require((imgFlags & 0x80) == 0, s"doc $docId: local color table unsupported")
+          require(w > 0 && h > 0, s"doc $docId: degenerate GIF image $w x $h")
+          i += 10
+          val minCodeSize = b(i) & 0xff; i += 1
+          require(minCodeSize >= 2 && minCodeSize <= 8,
+            s"doc $docId: bad GIF LZW minimum code size $minCodeSize")
+          val raster = new java.io.ByteArrayOutputStream()
+          require(i < b.length, s"doc $docId: GIF raster data missing")
+          var bs = b(i) & 0xff; i += 1
+          while (bs != 0) {
+            require(i + bs <= b.length, s"doc $docId: truncated GIF sub-block")
+            raster.write(b, i, bs); i += bs
+            require(i < b.length, s"doc $docId: GIF missing block terminator")
+            bs = b(i) & 0xff; i += 1
+          }
+          val idx = lzwDecode(raster.toByteArray, minCodeSize, w * h, docId)
+          val gray = new Array[Byte](w * h)
+          var p = 0
+          while (p < idx.length) {
+            val ix = idx(p) & 0xff
+            require(ix < tableSize, s"doc $docId: GIF index $ix outside palette")
+            gray(p) = luma(ix); p += 1
+          }
+          frames += Decoded(w, h, gray)
+        case 0x3b => done = true
+        case other =>
+          throw new IllegalArgumentException(
+            s"doc $docId: unexpected GIF block 0x${other.toHexString}")
+      }
+    }
+    require(frames.nonEmpty, s"doc $docId: GIF carries no image frames")
+    frames.toSeq
+  }
+
+  /** FRAME SAMPLING over an animated GIF — the video-ingest
+    * decimation step (m6's stride rule) on a real multi-frame VISUAL
+    * container: every `stride`-th frame (0, stride, 2·stride, …) is
+    * decoded into features, the rest are skipped after the block
+    * walk. Emits `[n_frames, n_sampled, mean gray over the sampled
+    * frames (6 dp), width, height]` — exact integer sums underneath,
+    * so the readout is engine-independent.
+    */
+  final class FrameSampleGifCodec(stride: Int) extends Multimodal.MediaCodec {
+    require(stride > 0, s"FrameSampleGifCodec: stride $stride")
+    override def decode(r: Multimodal.MediaRow): Array[Double] = {
+      val frames = Gif.decodeFrames(r.payload, r.doc_id)
+      val sampled = frames.zipWithIndex.collect {
+        case (f, ix) if ix % stride == 0 => f
+      }
+      var sum = 0L; var n = 0L
+      sampled.foreach { f =>
+        var i = 0
+        while (i < f.gray.length) { sum += (f.gray(i) & 0xff); i += 1 }
+        n += f.gray.length
+      }
+      Array(frames.size.toDouble, sampled.size.toDouble,
+        math.round(sum.toDouble / n * 1e6) / 1e6,
+        frames.head.width.toDouble, frames.head.height.toDouble)
     }
   }
 }

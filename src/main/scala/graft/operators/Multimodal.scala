@@ -1434,6 +1434,34 @@ object MultimodalQueries {
     // oracle over the decoder's output. Only the LZW-compressed
     // payload length is not SQL-derivable, so that column stays out
     // of the registry projection (still in the API and specs).
+    // VIDEO-STYLE FRAME SAMPLING on a real multi-frame container
+    // (round 19): every doc synthesizes an ANIMATED GIF of 2–5 frames
+    // (frame f's pixels = the text bytes cycled at offset f), and the
+    // FrameSampleGifCodec decodes the full block walk but featurizes
+    // only every 2nd frame — m6's decimation rule on a visual
+    // container instead of PCM. Exact integer pixel sums → full SQL
+    // oracle (the sampled-frame mean re-derives from the synth rule).
+    "m24_video_frames" -> ((s, d) => {
+      import s.implicits._
+      val rows = Multimodal.mediaTable(Tables.documents(s, d))
+        .as[Multimodal.MediaRow].map { r =>
+          val w = (3 + (r.doc_id % 8)).toInt
+          val h = (3 + (r.doc_id % 5)).toInt
+          val nf = (2 + (r.doc_id % 4)).toInt
+          val src = if (r.payload.isEmpty) Array[Byte](42) else r.payload
+          val frames = Seq.tabulate(nf)(f =>
+            Array.tabulate[Byte](w * h)(j => src((j + f) % src.length)))
+          Multimodal.MediaRow(r.doc_id, Gif.synthAnimated(w, h, frames),
+            "image/gif", w, h)
+        }
+      Multimodal.extractFeatures(s, rows.toDF(),
+        new Gif.FrameSampleGifCodec(2)).toDF()
+        .select(col("doc_id"),
+          col("n_bytes").as("n_frames"),
+          col("byte_sum").as("n_sampled"),
+          col("mean_byte").as("mean_sampled"),
+          col("feat_0").as("width"), col("feat_1").as("height"))
+    }),
     "m9_gif_decode" -> ((s, d) => {
       import s.implicits._
       val rows = Multimodal.mediaTable(Tables.documents(s, d))
@@ -1930,6 +1958,31 @@ object MultimodalQueries {
            CAST(d.w * d.h AS BIGINT) AS byte_sum,
            CAST(s.bsum AS DOUBLE) / (d.w * d.h) AS mean_byte,
            CAST(d.w AS DOUBLE) AS feat_0, CAST(d.h AS DOUBLE) AS feat_1
+         FROM d JOIN s USING (doc_id)""",
+    // animated-GIF frame sampling: frame f's pixels are the text
+    // bytes cycled at offset f (LZW round-trips exactly, identity
+    // palette), stride 2 keeps frames 0,2,4 → the sampled-frame mean
+    // re-derives from the synth rule as exact integer sums
+    "m24_video_frames" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS len,
+             CAST(3 + doc_id % 8 AS INT) AS w, CAST(3 + doc_id % 5 AS INT) AS h,
+             CAST(2 + doc_id % 4 AS INT) AS nf
+           FROM documents),
+         s AS (
+           SELECT d.doc_id,
+             SUM(ord(substr(d.text, CAST(1 + ((j.j + f.f) % d.len) AS INT), 1))) AS psum,
+             COUNT(*) AS n
+           FROM d,
+             LATERAL (SELECT unnest(generate_series(0, d.nf - 1)) AS f) f,
+             LATERAL (SELECT unnest(generate_series(0, d.w * d.h - 1)) AS j) j
+           WHERE f.f % 2 = 0
+           GROUP BY d.doc_id)
+         SELECT d.doc_id,
+           CAST(d.nf AS BIGINT) AS n_frames,
+           CAST((d.nf + 1) // 2 AS BIGINT) AS n_sampled,
+           FLOOR(CAST(s.psum AS DOUBLE) / s.n * 1e6 + 0.5) / 1e6 AS mean_sampled,
+           CAST(d.w AS DOUBLE) AS width, CAST(d.h AS DOUBLE) AS height
          FROM d JOIN s USING (doc_id)""",
     // GifCodec: LZW round-trips byte-exactly and the synth palette is
     // grayscale identity (index i → luma i), so decoded grays are the

@@ -980,6 +980,39 @@ class TextMultimodalSpec extends SparkSpec {
     assert(Gif.decode(patched, 4L).gray.length == 64)
   }
 
+  test("animated Gif: every frame round-trips byte-exactly; frame sampling decimates correctly") {
+    // 4 distinct frames: decodeFrames must return all of them in order
+    val (w, h) = (7, 5)
+    val frames = Seq.tabulate(4)(f =>
+      Array.tabulate[Byte](w * h)(j => ((j * 3 + f * 11) % 256).toByte))
+    val gif = Gif.synthAnimated(w, h, frames)
+    val decoded = Gif.decodeFrames(gif, 0L)
+    assert(decoded.size == 4)
+    decoded.zip(frames).foreach { case (d, src) =>
+      assert(d.width == w && d.height == h)
+      assert(d.gray.toSeq == src.toSeq)
+    }
+    // single-frame animation ≡ the single-image decoder's answer
+    val one = Gif.synthAnimated(w, h, frames.take(1))
+    assert(Gif.decodeFrames(one, 1L).head.gray.toSeq ==
+      frames.head.toSeq)
+    // stride-2 sampling: frames 0 and 2 only — hand-computed mean
+    val row = Seq((9L, gif, "image/gif", w, h))
+      .toDF("doc_id", "payload", "media_type", "width", "height")
+    val f2 = Multimodal.extractFeatures(spark, row,
+      new Gif.FrameSampleGifCodec(2)).collect().head
+    assert(f2.n_bytes == 4L && f2.byte_sum == 2L) // 4 frames, 2 sampled
+    val expSum = Seq(0, 2).flatMap(f => frames(f).map(_ & 0xff)).map(_.toLong).sum
+    val expMean = math.round(expSum.toDouble / (2 * w * h) * 1e6) / 1e6
+    assert(f2.mean_byte == expMean && f2.feat_0 == w && f2.feat_1 == h)
+    // stride 1 ≡ featurize everything (the m6 stride-1 invariant)
+    val f1 = Multimodal.extractFeatures(spark, row,
+      new Gif.FrameSampleGifCodec(1)).collect().head
+    val allMean = math.round(frames.flatMap(_.map(_ & 0xff)).map(_.toLong).sum
+      .toDouble / (4 * w * h) * 1e6) / 1e6
+    assert(f1.byte_sum == 4L && f1.mean_byte == allMean)
+  }
+
   test("m9: decoded GIF dimensions re-derive the synth metadata; mean equals the exact source mean") {
     val out = SparkEntry.queries("m9_gif_decode")(spark, sf).collect()
     assert(out.nonEmpty)
