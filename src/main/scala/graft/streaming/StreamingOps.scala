@@ -856,9 +856,14 @@ object StreamingOpsSinks {
     * commit log recorded — a `batch_id=N` partition written by a
     * batch that crashed BEFORE its commit (whose replay, after an
     * intervening compaction, would otherwise double-count) is dropped
-    * in the swap instead of entering the store permanently. Without
+    * instead of entering the store permanently. Without
     * `checkpointDir` every partition folds (callers guaranteeing a
-    * clean shutdown).
+    * clean shutdown). REPLAY SAFETY: the swap manifest lists only the
+    * FOLDED partitions, so if the stream is resumed after a mid-swap
+    * crash and replays an orphan (landing the same WAL-pinned content
+    * under the same id, then committing it), the later recovery
+    * cannot delete that now-committed partition — it survives and
+    * re-merges at the next read or compact (spec-pinned).
     *
     * MUST run while the stream is STOPPED. Post-compaction resumes
     * are safe — micro-batch ids only grow, so no future partition
@@ -901,15 +906,28 @@ object StreamingOpsSinks {
         keys, measures)
       .withColumn("batch_id", lit(-1L))
       .write.mode("overwrite").partitionBy("batch_id").parquet(staging)
-    // 2. manifest: EVERY partition present at the snapshot is
-    //    superseded (folded) or orphaned (dropped) — the swap deletes
-    //    exactly this list, so partitions appearing later survive
+    // 2. manifest: ONLY the partitions whose data is IN the merged
+    //    copy (the swap deletes exactly this list). Orphans are
+    //    deliberately NOT listed: if the operator resumes the stream
+    //    after a mid-swap crash, the WAL replays an uncommitted batch
+    //    under its original id and COMMITS it — a manifest-scoped
+    //    delete of that partition would destroy committed data the
+    //    fold never included. Unlisted, the replayed partition
+    //    survives recovery and re-merges at the next read/compact.
     val stagedPart = new org.apache.hadoop.fs.Path(stagingP, "batch_id=-1")
     val mf = new org.apache.hadoop.fs.Path(stagedPart, "_graft_folded_partitions")
     val os = fs.create(mf, true)
-    try os.write(partIds.sorted.map(id => s"batch_id=$id").mkString("\n")
+    try os.write(foldIds.sorted.map(id => s"batch_id=$id").mkString("\n")
       .getBytes("UTF-8")) finally os.close()
-    // 3. atomic publish of the complete merged copy (hidden name), then
+    // 3. drop the orphans (uncommitted at this stopped instant —
+    //    their replay, were the stream resumed, would land the same
+    //    WAL-pinned content under the same id and then commit, so
+    //    deleting junk now is safe; a crash right here leaves every
+    //    committed partition intact and no fold applied)
+    (partIds.toSet -- foldIds).foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(out, s"batch_id=$id"), true)
+    }
+    // 4. atomic publish of the complete merged copy (hidden name), then
     //    the manifest-scoped swap shared with crash recovery
     require(fs.rename(stagedPart, pendingPath(out)),
       s"could not stage compaction into $outDir")

@@ -937,6 +937,40 @@ class StreamingSpec extends SparkSpec {
     assert(canon(streamed) == canon(oneShot))
   }
 
+  test("recovery never deletes a partition outside the manifest: an orphan replayed-and-committed after the crash survives and re-merges") {
+    import graft.operators.MvFold
+    val (out, ckpt, facts, keys, measures) = buildMvStore()
+    // simulate: the crashed compaction's snapshot saw batch 1 as an
+    // ORPHAN (excluded from the fold, absent from the manifest); the
+    // operator then resumed the stream, which replayed batch 1 and
+    // COMMITTED it — on-disk now: batches 0 and 1 (both present, both
+    // committed) plus a pending merged copy folding ONLY batch 0
+    val merged = MvFold.merge(
+      spark.read.parquet(s"$out/batch_id=0"), keys, measures)
+    val tmp = java.nio.file.Files.createTempDirectory("mv_rp_pend")
+      .resolve("staged").toString
+    merged.write.parquet(tmp)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp, "_graft_folded_partitions"),
+      "batch_id=0".getBytes("UTF-8"))
+    assert(new java.io.File(tmp)
+      .renameTo(java.nio.file.Paths.get(out, ".graft-compact-pending").toFile))
+    // recovery + fresh compaction: batch 1 must NOT be deleted by the
+    // manifest swap (it is outside the manifest); the commit log says
+    // it is committed, so the fresh pass folds it alongside -1
+    graft.streaming.StreamingOpsSinks.compactMvStore(
+      spark, out, keys, measures, checkpointDir = Some(ckpt))
+    assert(mvParts(out) == Set("batch_id=-1"))
+    val got = graft.streaming.StreamingOpsSinks
+      .readMvFoldStore(spark, out, keys, measures)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val want = MvFold.read(MvFold.build(facts, keys, measures), keys, measures)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == want)
+  }
+
   test("compaction fuzz: many random batch partials + random orphans, compacted mid-lifecycle, always equals the committed recompute") {
     import graft.operators.{MvCount, MvFold, MvSum}
     import spark.implicits._
