@@ -300,7 +300,12 @@ object HierarchyAgg {
         round(sum(col("__qty")), 2).as("sum_unit_quantity"),
         sum(col("__n")).as("count_of_fact_records"))
       .filter(col("__gid") <= 1)
-      .withColumn("segment", coalesce(col(segCol), lit("ALL")))
+      // label via the grouping id, not coalesce: a detail cell whose
+      // segment value is genuinely NULL (gid = 0) must not collide
+      // with the (node) subtotal cell (gid = 1) — NULL segments print
+      // as SQL's NULL string form in the detail rows
+      .withColumn("segment",
+        when(col("__gid") === 1, lit("ALL")).otherwise(col(segCol)))
     val indent = expr("lpad('-', (ancestor_level_number - 1) * 7, '-')")
     val labels = aggDim.filter(col("net_level") === 0).select(
       col("ancestor_node_sort_order"),

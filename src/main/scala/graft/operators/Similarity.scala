@@ -511,9 +511,11 @@ object Similarity {
 
   /** GRAPH ANN (s13): greedy BEAM SEARCH over the k-NN graph — the
     * NSW/HNSW-class navigable-graph idea in a deterministic,
-    * oracle-expressible form. The graph is [[knnJoin]]'s per-vector
-    * top-`degree` edge set, SYMMETRIZED (an undirected k-NN graph is
-    * the standard NSW base layer); search starts at the smallest
+    * oracle-expressible form. The graph is a per-vector top-`degree`
+    * edge set, SYMMETRIZED (an undirected k-NN graph is the standard
+    * NSW base layer) — built EXACTLY by [[exactKnnGraphEdges]] (the
+    * served path; offline build cost, r19 verdict #6) or cheaply by
+    * [[knnGraphEdges]]'s LSH join; search starts at the smallest
     * corpus id (≠ the query itself) and runs `hops` rounds of
     * expand-score-prune: candidates = frontier ∪ frontier's
     * neighbors, scored by exact cosine against the query, pruned to
@@ -534,13 +536,16 @@ object Similarity {
     * re-shuffled) and against the corpus for scoring (point-lookup
     * joins; a serving deployment holds graph + vectors in an index
     * service, here each hop is a broadcast hash join). The expensive
-    * part is the one-time graph BUILD, which is s7's bucket-blocked
-    * kNN join — never all-pairs.
+    * part is the one-time graph BUILD — exact top-`degree` by
+    * default (offline, amortized; see [[exactKnnGraphEdges]]), or
+    * s7's bucket-blocked LSH join when the build budget is tight.
     */
-  /** The s13 graph BUILD, factored so it can be memoized/persisted
-    * separately from search (production serves many queries against
-    * one stored graph): [[knnJoin]]'s top-`degree` edges,
-    * symmetrized. */
+  /** The CHEAP s13 graph build: [[knnJoin]]'s LSH-bucketed
+    * top-`degree` edges, symmetrized. O(Σ|bucket|²) build cost, but
+    * the missed edges cap the walk's recall (measured 0.60@5 on the
+    * fixture) — use [[exactKnnGraphEdges]] when build cost is paid
+    * offline (r19 verdict #6).
+    */
   def knnGraphEdges(emb: DataFrame, degree: Int = 8): DataFrame = {
     val edges0 = knnJoin(emb, k = degree)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
@@ -549,12 +554,48 @@ object Similarity {
       .distinct()
   }
 
+  /** The QUALITY s13 graph build (r19 verdict #6): EXACT top-`degree`
+    * neighbors per vector — the standard offline k-NN-graph
+    * construction (HNSW/NSW papers build from true neighbors; the
+    * walk's recall is then bounded by connectivity, not by an LSH
+    * edge set's misses). All pairs score once: the corpus broadcasts
+    * against itself and the per-vector heap keeps `degree` survivors,
+    * so the shuffle moves ≤ degree rows per vector, never the pair
+    * stream. Build cost is O(n²·d) — an OFFLINE cost, amortized over
+    * every query served against the stored graph (the s11 stored-
+    * index contract); at corpus sizes past a broadcastable right side,
+    * shard the build (block-row sweeps over the same heap) or fall
+    * back to [[knnGraphEdges]]'s LSH build and pay the recall gap.
+    */
+  def exactKnnGraphEdges(emb: DataFrame, degree: Int = 16): DataFrame = {
+    val c = corpus(emb)
+    val left = c.select(col("vec_id"), col("v"), col("nrm"))
+    val right = broadcast(c.select(
+      col("vec_id").as("j_id"), col("v").as("jv"), col("nrm").as("jn")))
+    val edges0 = left.crossJoin(right)
+      .filter(col("j_id") =!= col("vec_id"))
+      .withColumn("cos", dot(col("v"), col("jv")) / (col("nrm") * col("jn")))
+      .groupBy("vec_id")
+      .agg(topkByScore(round(col("cos"), 9), col("cos"), col("j_id"),
+        degree).as("tk"))
+      .select(col("vec_id").as("src"), explode(col("tk")).as("t"))
+      .select(col("src"), col("t.id").as("dst"))
+    edges0.unionByName(
+        edges0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
   def graphSearch(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
-      degree: Int = 8, beam: Int = 8, hops: Int = 8,
+      degree: Int = 16, beam: Int = 16, hops: Int = 8,
       nEntries: Int = 8, prebuiltEdges: Option[DataFrame] = None): DataFrame = {
+    // degree/beam defaults are SWEPT values (graft.tools.GraphAnnSweep,
+    // r19 verdict #6): on the 64-d fixture, exact edges at
+    // degree 16 / beam 16 / 8 entries read recall@5 0.92 (sf0.001) and
+    // 0.96 (sf0.01) vs 0.62/0.64 at the old 8/8 — the walk, not just
+    // the edge set, was the limiter
     val c = corpus(emb)
     val edges = prebuiltEdges
-      .getOrElse(graft.SessionPins.pin(knnGraphEdges(emb, degree))) // read once per hop
+      .getOrElse(graft.SessionPins.pin(exactKnnGraphEdges(emb, degree))) // read once per hop
     // the scoring side re-scans per hop too — cache the bare
     // (id, v, nrm) projection so hops 2..H are memory reads
     val cScore = graft.SessionPins.pin(c.select(col("vec_id"), col("v"), col("nrm")))
@@ -1225,7 +1266,7 @@ object SimilarityQueries {
 
   private def cachedGraph(s: SparkSession, sfDir: String): DataFrame =
     graphCache(s, sfDir)(
-      Similarity.knnGraphEdges(Tables.embeddings(s, sfDir)).cache())
+      Similarity.exactKnnGraphEdges(Tables.embeddings(s, sfDir)).cache())
 
   /** Force the shared graph build at `sfDir` so timed s13 runs read
     * the session cache (the warmDims/warmComponents convention). */
@@ -1268,11 +1309,14 @@ object SimilarityQueries {
     // train-split neighbors; ties to the smallest label
     "s12_knn_classify" -> ((s, d) =>
       Similarity.knnClassify(Tables.embeddings(s, d))),
-    // GRAPH ANN: greedy beam search over the symmetrized s7 k-NN
+    // GRAPH ANN: greedy beam search over the symmetrized EXACT k-NN
     // graph (NSW-style navigable graph, deterministic walk, 8 spread
-    // entry points standing in for HNSW's upper-layer descent); the
-    // oracle re-derives the graph (s7's buckets at rank <= 8) AND
-    // all eight unrolled hops
+    // entry points standing in for HNSW's upper-layer descent). The
+    // graph builds OFFLINE from exact top-8 neighbors (r19 verdict
+    // #6 — the LSH edge set capped recall at 0.60; exact edges lift
+    // it while the build cost amortizes over every query served);
+    // the oracle re-derives the exact edges AND all eight unrolled
+    // hops
     "s13_knn_graph" -> ((s, d) =>
       Similarity.graphSearch(Tables.embeddings(s, d),
         prebuiltEdges = Some(cachedGraph(s, d)))),
@@ -2013,6 +2057,8 @@ object SimilarityQueries {
     * expand-score-prune blocks (the k-means-unroll pattern). */
   private def graphSearchOracle: String = {
     val hops = 8
+    val degree = 16 // exactKnnGraphEdges/graphSearch defaults (swept)
+    val beam = 16
     val hopBlocks = (1 to hops).map { h =>
       val p = h - 1
       s"""
@@ -2032,18 +2078,26 @@ f$h AS MATERIALIZED (
   SELECT q_id, vid FROM (
     SELECT q_id, vid, row_number() OVER (PARTITION BY q_id
       ORDER BY ROUND(cos, 9) DESC, vid ASC) AS rn FROM s$h)
-  WHERE rn <= 8)"""
+  WHERE rn <= $beam)"""
     }.mkString(",")
-    "WITH " + lshPairCtes + """,
+    """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
          epairs AS (
-           SELECT vec_id, j_id, cos FROM once
-           UNION ALL SELECT j_id, vec_id, cos FROM once),
+           SELECT a.vec_id, b.vec_id AS j_id,
+             list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+               / (a.nrm * b.nrm) AS cos
+           FROM n a JOIN n b ON b.vec_id <> a.vec_id),
          rke AS (
            SELECT vec_id, j_id,
              CAST(row_number() OVER (PARTITION BY vec_id
                ORDER BY ROUND(cos, 9) DESC, j_id ASC) AS BIGINT) AS rank
            FROM epairs),
-         ed0 AS (SELECT vec_id AS src, j_id AS dst FROM rke WHERE rank <= 8),
+         ed0 AS (SELECT vec_id AS src, j_id AS dst FROM rke
+                 WHERE rank <= """ + degree + """),
          ed AS (
            SELECT DISTINCT src, dst FROM (
              SELECT src, dst FROM ed0

@@ -36,6 +36,36 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("h33: the SQL surface plans the pair-grain two-phase rollup — no Expand, closure broadcast") {
+    val df = SparkEntry.queries("h33_sql_rollup")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    // the naive single-GROUP-BY SQL statement pays COUNT(DISTINCT)'s
+    // Expand over the closure-EXPANDED fact stream (r19 verdict #1 —
+    // measured 6× h4's floor); the two-phase statement counts customer
+    // groups off the MV grain, so no Expand may appear anywhere
+    assert(!p.contains("Expand"),
+      "the SQL surface regressed to the Expand plan:\n" + p)
+    // closure + label joins broadcast; no sort-merge on the fact path
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // fact spine matches the DataFrame engine's (h4): the (leaf,
+    // customer) pre-agg is the only exchange of fact-sized data, then
+    // the MV-grain and node-grain aggregates — no extra shuffles over
+    // what the optimized path pays
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    def factShuffles(n: SparkPlan): Int = n match {
+      case _: BroadcastExchangeExec => 0
+      case s: ShuffleExchangeExec => 1 + s.children.map(factShuffles).sum
+      case other => other.children.map(factShuffles).sum
+    }
+    val h33 = factShuffles(df.queryExecution.sparkPlan)
+    val h4 = factShuffles(
+      SparkEntry.queries("h4_hier_agg")(spark, sf).queryExecution.sparkPlan)
+    assert(h33 <= h4,
+      s"h33 pays $h33 shuffle exchanges vs h4's $h4:\n$p")
+  }
+
   test("h34: attribute cube broadcasts the closure; the fact stream shuffles at most twice; Expand sits above the pre-agg") {
     val p = plan("h34_hier_attr_cube")
     // closure + label joins broadcast; no sort-merge on the fact path

@@ -280,7 +280,13 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("graph ANN: beam walk over the kNN graph; recall vs brute force; monotone in hops") {
-    val rows = Similarity.graphSearch(emb).collect()
+    // the served configuration (s13's registered entry): EXACT-built
+    // edges — the r19 verdict #6 floor lift; the LSH-built graph
+    // stays available as the cheap-build path but is not the one the
+    // recall floor is pinned on
+    val exactEdges = Similarity.exactKnnGraphEdges(emb).cache()
+    val rows = Similarity.graphSearch(emb,
+      prebuiltEdges = Some(exactEdges)).collect()
     assert(rows.nonEmpty)
     rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
       assert(rs.length <= 5)
@@ -293,10 +299,13 @@ class SimilaritySpec extends SparkSpec {
       brute((r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))))
     val recall = hits.toDouble / 50
     info(f"graph-ANN recall@5 vs brute force: $recall%.2f")
-    assert(recall >= 0.5, f"graph recall too low: $recall%.2f")
+    // the r19 verdict #6 floor: exact edges must lift the walk past
+    // the LSH build's 0.60 ceiling
+    assert(recall >= 0.75, f"graph recall too low: $recall%.2f")
     // visited set only grows with hops → recall is monotone: the
     // default 8-hop walk must find at least what the 5-hop walk does
-    val fewer = Similarity.graphSearch(emb, hops = 5).collect()
+    val fewer = Similarity.graphSearch(emb, hops = 5,
+      prebuiltEdges = Some(exactEdges)).collect()
     val hits5 = fewer.count(r =>
       brute((r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))))
     info(f"graph-ANN recall@5 at 5 hops: ${hits5.toDouble / 50}%.2f")
