@@ -767,12 +767,15 @@ object StreamingOpsSinks {
   }
 
   /** Batch ids the streaming checkpoint has COMMITTED — one numeric
-    * file per completed micro-batch under `checkpointDir/commits/`
-    * (the structured-streaming commit log's on-disk layout; entries
-    * compacted into `N.compact` files are long-committed too, but a
-    * stopped query's latest commits are always plain numeric files
-    * and compaction only needs ids that might still be ORPHANS, which
-    * are by definition recent).
+    * file per completed micro-batch under `checkpointDir/commits/`,
+    * the structured-streaming commit log's on-disk layout. CAVEAT
+    * (r19 ADVICE, high): Spark PURGES this log down to the last
+    * `spark.sql.streaming.minBatchesToRetain` (default 100) entries,
+    * so absence from the listing does NOT mean uncommitted for OLD
+    * ids — only ids GREATER than the retained maximum can be orphans
+    * (micro-batch ids are sequential and batch N+1 only starts after
+    * batch N commits). Callers must treat `id <= max(listed)` as
+    * committed; [[compactMvStore]] does.
     */
   private def committedBatchIds(spark: SparkSession,
       checkpointDir: String): Set[Long] = {
@@ -780,10 +783,16 @@ object StreamingOpsSinks {
     if (!fs.exists(p)) Set.empty
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
       .flatMap { n =>
-        val base = n.stripSuffix(".compact")
-        if (base.nonEmpty && base.forall(_.isDigit)) Some(base.toLong) else None
+        if (n.nonEmpty && n.forall(_.isDigit)) Some(n.toLong) else None
       }.toSet
   }
+
+  /** Test seam for the running-stream detection: invoked between the
+    * staging write and the re-list that compares partition ids against
+    * the snapshot, so a spec can deterministically interleave a
+    * concurrent writer in the race window. No-op in production.
+    */
+  private[graft] var compactTestHook: () => Unit = () => ()
 
   private def mvPartitionIds(fs: org.apache.hadoop.fs.FileSystem,
       out: org.apache.hadoop.fs.Path): Seq[Long] =
@@ -865,9 +874,21 @@ object StreamingOpsSinks {
     * cannot delete that now-committed partition — it survives and
     * re-merges at the next read or compact (spec-pinned).
     *
-    * MUST run while the stream is STOPPED. Post-compaction resumes
-    * are safe — micro-batch ids only grow, so no future partition
-    * collides with −1.
+    * MUST run while the stream is STOPPED — and that contract is now
+    * ENFORCED, not conventional (r19 verdict #3): a create-exclusive
+    * lock file (`.graft-compact-lock`, hidden from partition
+    * discovery) is acquired before the partition snapshot and held
+    * through the swap. A second concurrent compactor fails the
+    * exclusive create and refuses loudly; a stream that commits a NEW
+    * partition between the snapshot and the publish is detected at
+    * publish time and the compaction aborts (staging discarded, store
+    * untouched). A compactor that CRASHES leaves the lock behind —
+    * the refusal message names the file; delete it once no compactor
+    * is alive (the store itself is always consistent: crash recovery
+    * is the manifest swap, not the lock).
+    *
+    * Post-compaction resumes are safe — micro-batch ids only grow, so
+    * no future partition collides with −1.
     */
   def compactMvStore(spark: SparkSession, outDir: String,
       keys: Seq[String],
@@ -878,61 +899,97 @@ object StreamingOpsSinks {
     val (fs, out) = fsFor(spark, outDir)
     require(fs.exists(out),
       s"MV store $outDir has no committed batches yet — nothing to compact")
-    finishPendingSwap(fs, out) // complete a crashed predecessor first
-    val store = spark.read.parquet(outDir)
-    MvFold.checkMvSchema(store.columns.toSeq.filterNot(_ == "batch_id"),
-      keys, measures, s"MV store $outDir")
-    val partIds = mvPartitionIds(fs, out)
-    require(partIds.nonEmpty, s"MV store $outDir holds no batch partitions")
-    // −1 (a prior compaction's output) is committed by construction
-    val foldIds = checkpointDir match {
-      case None => partIds
-      case Some(cp) =>
-        val committed = committedBatchIds(spark, cp)
-        partIds.filter(id => id == -1L || committed.contains(id))
-    }
-    require(foldIds.nonEmpty,
-      s"MV store $outDir holds no COMMITTED partitions (present: " +
-        s"${partIds.sorted.mkString(",")}) — refusing to compact a store " +
-        "of nothing but orphans")
-    // 1. durable staging write OUTSIDE the store (a sibling path —
-    //    readers of outDir cannot see it; partition pruning keeps the
-    //    scan to the folded ids)
-    val staging = outDir + ".compacting"
-    val (sfs, stagingP) = fsFor(spark, staging)
-    sfs.delete(stagingP, true)
-    MvFold.merge(
-        store.filter(col("batch_id").isin(foldIds: _*)).drop("batch_id"),
-        keys, measures)
-      .withColumn("batch_id", lit(-1L))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(staging)
-    // 2. manifest: ONLY the partitions whose data is IN the merged
-    //    copy (the swap deletes exactly this list). Orphans are
-    //    deliberately NOT listed: if the operator resumes the stream
-    //    after a mid-swap crash, the WAL replays an uncommitted batch
-    //    under its original id and COMMITS it — a manifest-scoped
-    //    delete of that partition would destroy committed data the
-    //    fold never included. Unlisted, the replayed partition
-    //    survives recovery and re-merges at the next read/compact.
-    val stagedPart = new org.apache.hadoop.fs.Path(stagingP, "batch_id=-1")
-    val mf = new org.apache.hadoop.fs.Path(stagedPart, "_graft_folded_partitions")
-    val os = fs.create(mf, true)
-    try os.write(foldIds.sorted.map(id => s"batch_id=$id").mkString("\n")
-      .getBytes("UTF-8")) finally os.close()
-    // 3. drop the orphans (uncommitted at this stopped instant —
-    //    their replay, were the stream resumed, would land the same
-    //    WAL-pinned content under the same id and then commit, so
-    //    deleting junk now is safe; a crash right here leaves every
-    //    committed partition intact and no fold applied)
-    (partIds.toSet -- foldIds).foreach { id =>
-      fs.delete(new org.apache.hadoop.fs.Path(out, s"batch_id=$id"), true)
-    }
-    // 4. atomic publish of the complete merged copy (hidden name), then
-    //    the manifest-scoped swap shared with crash recovery
-    require(fs.rename(stagedPart, pendingPath(out)),
-      s"could not stage compaction into $outDir")
-    finishPendingSwap(fs, out)
-    sfs.delete(stagingP, true)
+    val lock = new org.apache.hadoop.fs.Path(out, ".graft-compact-lock")
+    val lockStream =
+      try fs.create(lock, false) // create-exclusive: the concurrency fence
+      catch { case _: java.io.IOException => throw new IllegalStateException(
+        s"MV store $outDir is locked by another compaction ($lock exists). " +
+          "If no compactor is alive this is a stale lock from a crashed " +
+          "run — the store is consistent (recovery is the manifest swap, " +
+          "not the lock); delete the lock file and re-run.") }
+    lockStream.close()
+    try {
+      finishPendingSwap(fs, out) // complete a crashed predecessor first
+      val store = spark.read.parquet(outDir)
+      MvFold.checkMvSchema(store.columns.toSeq.filterNot(_ == "batch_id"),
+        keys, measures, s"MV store $outDir")
+      val partIds = mvPartitionIds(fs, out)
+      require(partIds.nonEmpty, s"MV store $outDir holds no batch partitions")
+      // −1 (a prior compaction's output) is committed by construction.
+      // Spark PURGES the commit log to the last minBatchesToRetain
+      // entries (r19 ADVICE, high), so ids at or below the retained
+      // maximum are committed even when their entry is gone: batch
+      // N+1 only starts after batch N commits. Only ids ABOVE the
+      // retained max can be orphans.
+      val foldIds = checkpointDir match {
+        case None => partIds
+        case Some(cp) =>
+          val committed = committedBatchIds(spark, cp)
+          partIds.filter(id => id == -1L || committed.contains(id) ||
+            (committed.nonEmpty && id <= committed.max))
+      }
+      require(foldIds.nonEmpty,
+        s"MV store $outDir holds no COMMITTED partitions (present: " +
+          s"${partIds.sorted.mkString(",")}) — refusing to compact a store " +
+          "of nothing but orphans")
+      // 1. durable staging write OUTSIDE the store (a sibling path —
+      //    readers of outDir cannot see it; partition pruning keeps the
+      //    scan to the folded ids). Derived via Path normalization, not
+      //    string concat: a trailing-slash outDir would otherwise nest
+      //    the staging dir INSIDE the live store (r19 ADVICE).
+      val stagingP = new org.apache.hadoop.fs.Path(
+        out.getParent, out.getName + ".compacting")
+      val sfs = stagingP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      sfs.delete(stagingP, true)
+      MvFold.merge(
+          store.filter(col("batch_id").isin(foldIds: _*)).drop("batch_id"),
+          keys, measures)
+        .withColumn("batch_id", lit(-1L))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(stagingP.toString)
+      // 2. manifest: ONLY the partitions whose data is IN the merged
+      //    copy (the swap deletes exactly this list). Orphans are
+      //    deliberately NOT listed: if the operator resumes the stream
+      //    after a mid-swap crash, the WAL replays an uncommitted batch
+      //    under its original id and COMMITS it — a manifest-scoped
+      //    delete of that partition would destroy committed data the
+      //    fold never included. Unlisted, the replayed partition
+      //    survives recovery and re-merges at the next read/compact.
+      val stagedPart = new org.apache.hadoop.fs.Path(stagingP, "batch_id=-1")
+      val mf = new org.apache.hadoop.fs.Path(stagedPart, "_graft_folded_partitions")
+      val os = fs.create(mf, true)
+      try os.write(foldIds.sorted.map(id => s"batch_id=$id").mkString("\n")
+        .getBytes("UTF-8")) finally os.close()
+      // 3. RUNNING-STREAM DETECTION, before any destructive step: a
+      //    partition that appeared since the snapshot means a live
+      //    stream is committing into the store — the "stopped" contract
+      //    is broken. Abort with the store untouched.
+      compactTestHook()
+      val nowIds = mvPartitionIds(fs, out).toSet
+      if ((nowIds -- partIds.toSet).nonEmpty) {
+        sfs.delete(stagingP, true)
+        throw new IllegalStateException(
+          s"MV store $outDir grew new partitions " +
+            s"${(nowIds -- partIds.toSet).toSeq.sorted.mkString(",")} during " +
+            "compaction — a stream is writing to this store. compactMvStore " +
+            "MUST run while the stream is stopped; compaction aborted, " +
+            "store untouched.")
+      }
+      // 4. drop the orphans (uncommitted at this stopped instant —
+      //    their replay, were the stream resumed, would land the same
+      //    WAL-pinned content under the same id and then commit, so
+      //    deleting junk now is safe; a crash right here leaves every
+      //    committed partition intact and no fold applied)
+      (partIds.toSet -- foldIds).foreach { id =>
+        fs.delete(new org.apache.hadoop.fs.Path(out, s"batch_id=$id"), true)
+      }
+      // 5. atomic publish of the complete merged copy (hidden name), then
+      //    the manifest-scoped swap shared with crash recovery
+      require(fs.rename(stagedPart, pendingPath(out)),
+        s"could not stage compaction into $outDir")
+      finishPendingSwap(fs, out)
+      sfs.delete(stagingP, true)
+    } finally fs.delete(lock, false)
   }
 
   /** Read a [[streamMvFoldToParquet]] store: merge the batch partials

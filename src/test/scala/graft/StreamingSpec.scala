@@ -815,6 +815,122 @@ class StreamingSpec extends SparkSpec {
     assert(!got.contains("ORPHAN"))
   }
 
+  test("compaction survives a PURGED commit log: committed partitions below max(commits) still fold (r19 ADVICE high)") {
+    import graft.operators.MvFold
+    val (out, ckpt, facts, keys, measures) = buildMvStore()
+    // Spark retains only the last minBatchesToRetain commit entries;
+    // after a long stream, old committed batches have store partitions
+    // but NO commit file. Simulate the purge: delete every commit
+    // entry except the newest. The old filter classified the purged
+    // ids as orphans and DELETED their committed data in the swap.
+    val commitsDir = new java.io.File(s"$ckpt/commits")
+    val commits = commitsDir.listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.length >= 2, "fixture must have >= 2 committed batches")
+    commits.dropRight(1).foreach { f =>
+      val crc = new java.io.File(f.getParentFile, s".${f.getName}.crc")
+      if (crc.exists()) assert(crc.delete())
+      assert(f.delete())
+    }
+    // a genuine orphan ABOVE the retained max must still be dropped
+    val junk = spark.range(1).select(
+      lit("ORPHAN").as("o_orderpriority"), lit(999999L).as("cents"))
+    MvFold.build(junk, keys, measures)
+      .write.mode("overwrite").parquet(s"$out/batch_id=99")
+    graft.streaming.StreamingOpsSinks.compactMvStore(
+      spark, out, keys, measures, checkpointDir = Some(ckpt))
+    assert(mvParts(out) == Set("batch_id=-1"), mvParts(out).toString)
+    val got = graft.streaming.StreamingOpsSinks
+      .readMvFoldStore(spark, out, keys, measures)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // every committed batch survives the purge; the orphan does not
+    val want = MvFold.read(MvFold.build(facts, keys, measures), keys, measures)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == want)
+    assert(!got.contains("ORPHAN"))
+  }
+
+  test("compaction is fenced: a concurrent compactor is refused, the lock clears on completion (r19 verdict #3)") {
+    val (out, _, _, keys, measures) = buildMvStore()
+    def readOff() = graft.streaming.StreamingOpsSinks
+      .readMvFoldStore(spark, out, keys, measures)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val before = readOff()
+    // another compactor holds the lock → this one refuses loudly and
+    // touches nothing
+    val lock = new java.io.File(out, ".graft-compact-lock")
+    assert(lock.createNewFile())
+    val e = intercept[IllegalStateException] {
+      graft.streaming.StreamingOpsSinks.compactMvStore(spark, out, keys, measures)
+    }
+    assert(e.getMessage.contains("locked by another compaction"), e.getMessage)
+    assert(mvParts(out).size == 2, mvParts(out).toString) // untouched
+    assert(readOff() == before)
+    // lock released (stale-crash recovery is manual by design) → the
+    // next compact proceeds and leaves no lock behind
+    assert(lock.delete())
+    graft.streaming.StreamingOpsSinks.compactMvStore(spark, out, keys, measures)
+    assert(mvParts(out) == Set("batch_id=-1"))
+    assert(!lock.exists(), "lock must clear after a successful compact")
+    assert(readOff() == before)
+  }
+
+  test("compaction aborts if a stream commits a new partition mid-compact; store untouched (r19 verdict #3)") {
+    import graft.operators.MvFold
+    val (out, _, _, keys, measures) = buildMvStore()
+    def readOff() = graft.streaming.StreamingOpsSinks
+      .readMvFoldStore(spark, out, keys, measures)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val before = readOff()
+    val late = spark.range(1).select(
+      lit("LATE").as("o_orderpriority"), lit(123L).as("cents"))
+    // a "live stream" lands batch_id=7 in the detection window (between
+    // the snapshot and the destructive steps) via the test seam
+    graft.streaming.StreamingOpsSinks.compactTestHook = () =>
+      MvFold.build(late, keys, measures)
+        .write.mode("overwrite").parquet(s"$out/batch_id=7")
+    try {
+      val e = intercept[IllegalStateException] {
+        graft.streaming.StreamingOpsSinks.compactMvStore(spark, out, keys, measures)
+      }
+      assert(e.getMessage.contains("grew new partitions"), e.getMessage)
+    } finally graft.streaming.StreamingOpsSinks.compactTestHook = () => ()
+    // nothing folded, nothing deleted: the original partials AND the
+    // late batch are all present, the read-off now includes the late row
+    assert(mvParts(out).size == 3, mvParts(out).toString)
+    val after = readOff()
+    assert(after("LATE") == (123L, 1L))
+    assert(before.forall { case (k, v) => after(k) == v })
+    // with the stream stopped the next compact succeeds and keeps it all
+    graft.streaming.StreamingOpsSinks.compactMvStore(spark, out, keys, measures)
+    assert(mvParts(out) == Set("batch_id=-1"))
+    assert(readOff() == after)
+  }
+
+  test("compaction staging lands as a SIBLING even for a trailing-slash outDir (r19 ADVICE)") {
+    val (out, _, _, keys, measures) = buildMvStore()
+    val before = graft.streaming.StreamingOpsSinks
+      .readMvFoldStore(spark, out, keys, measures)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // string-concat staging would create <out>/.compacting INSIDE the
+    // store; Path normalization must strip the slash and use a sibling
+    graft.streaming.StreamingOpsSinks.compactMvStore(
+      spark, out + "/", keys, measures)
+    assert(mvParts(out) == Set("batch_id=-1"), mvParts(out).toString)
+    val leftovers = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.contains("compacting"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+    assert(graft.streaming.StreamingOpsSinks
+      .readMvFoldStore(spark, out, keys, measures)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap == before)
+  }
+
   test("a crashed compaction swap is refused by the reader and COMPLETED by the next compact") {
     import graft.operators.MvFold
     val (out, _, facts, keys, measures) = buildMvStore()
@@ -985,33 +1101,50 @@ class StreamingSpec extends SparkSpec {
       val nBatches = 6 + rnd.nextInt(5)
       var committedRows = Seq.empty[(String, Long)]
       var compactions = 0
+      def compact(): Unit = {
+        graft.streaming.StreamingOpsSinks.compactMvStore(
+          spark, out, keys, measures, checkpointDir = Some(ckpt))
+        compactions += 1
+      }
+      // PROTOCOL-FAITHFUL lifecycle (r19 ADVICE): micro-batch commits
+      // are SEQUENTIAL — batch N+1 never starts before N commits, so
+      // an uncommitted partition can only ever be the TAIL id. A
+      // crashed batch is replayed by the WAL under the SAME id with
+      // the SAME content on restart, then committed. (The old fuzz
+      // committed batches after an uncommitted one — an interleaving
+      // the streaming engine cannot produce, and one the purge-safe
+      // orphan rule rightly treats as committed.)
       for (b <- 0 until nBatches) {
         // a batch = 1..20 random (grp, v) rows over a small key space
         val rows = Seq.fill(1 + rnd.nextInt(20))(
           (s"g${rnd.nextInt(4)}", rnd.nextInt(1000).toLong))
-        MvFold.build(rows.toDF("grp", "v"), keys, measures)
+        def land(): Unit = MvFold.build(rows.toDF("grp", "v"), keys, measures)
           .write.mode("overwrite").parquet(s"$out/batch_id=$b")
+        land()
         // ~1 in 4 batches crashes before its commit marker lands —
-        // its partition is an orphan the commit log never records
-        val committed = rnd.nextInt(4) != 0
-        if (committed) {
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(s"$ckpt/commits/$b"), "ok".getBytes)
-          committedRows ++= rows
+        // a TAIL orphan; compaction at this stopped instant must
+        // drop it, and the subsequent WAL replay re-lands the same
+        // content under the same id (the replay-safety story)
+        if (rnd.nextInt(4) == 0) {
+          if (rnd.nextInt(2) == 0 && committedRows.nonEmpty) compact()
+          land() // restart: deterministic replay of the pinned batch
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$ckpt/commits/$b"), "ok".getBytes)
+        committedRows ++= rows
+        // the engine PURGES old commit entries (minBatchesToRetain):
+        // randomly keep only the newest — committed partitions below
+        // max(commits) must still fold (the r19 data-loss fix)
+        if (rnd.nextInt(3) == 0) {
+          new java.io.File(s"$ckpt/commits").listFiles()
+            .filter(f => f.getName.forall(_.isDigit) && f.getName.toLong < b)
+            .foreach(f => assert(f.delete()))
         }
         // compaction can run at ANY stopped instant; the orphan
         // filter must hold at every point, not just at the end.
-        // (A store holding NOTHING but orphans is refused by
-        // contract — only compact once something committed.)
-        if (rnd.nextInt(3) == 0 && committedRows.nonEmpty) {
-          graft.streaming.StreamingOpsSinks.compactMvStore(
-            spark, out, keys, measures, checkpointDir = Some(ckpt))
-          compactions += 1
-        }
+        if (rnd.nextInt(3) == 0 && committedRows.nonEmpty) compact()
       }
-      graft.streaming.StreamingOpsSinks.compactMvStore(
-        spark, out, keys, measures, checkpointDir = Some(ckpt))
-      compactions += 1
+      compact()
       assert(mvParts(out) == Set("batch_id=-1"), s"trial $trial")
       val got = graft.streaming.StreamingOpsSinks
         .readMvFoldStore(spark, out, keys, measures)
