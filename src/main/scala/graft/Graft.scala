@@ -851,4 +851,26 @@ object Graft {
 
   /** Register graft's SQL functions + optimizer rule on a session. */
   def install(spark: SparkSession): Unit = GraftFunctions.register(spark)
+
+  /** SQL-SURFACE dimension build (r19 verdict #8): derive the three
+    * hierarchy frames from a parent-child node TEMP VIEW and register
+    * them back as temp views — `<prefix>_hierarchy_nodes`,
+    * `<prefix>_reporting_dim`, `<prefix>_aggregation_dim` — so the
+    * reference's whole story (node table → dimensions → rollup;
+    * hierarchy_dimension_table.py:75-228 + main.py:27-56) runs
+    * through `spark.sql` end-to-end around this one builder call: a
+    * SQL-only user CREATEs the node view in SQL, calls this, and
+    * every downstream query (the h33-shaped rollup included) is pure
+    * SQL against the registered views. The views are lazy logical
+    * plans over the engine's derivation — same closure, same DFS
+    * numbering, same flags as the DataFrame API, by construction.
+    */
+  def buildHierarchyViews(spark: SparkSession, nodesView: String,
+      prefix: String = "graft", knownDepth: Int = -1): Unit = {
+    val dim = new operators.HierarchyDimension(
+      spark.table(nodesView), knownDepth = knownDepth)
+    dim.flaggedNodes.createOrReplaceTempView(s"${prefix}_hierarchy_nodes")
+    dim.reportingDim.createOrReplaceTempView(s"${prefix}_reporting_dim")
+    dim.aggregationDim.createOrReplaceTempView(s"${prefix}_aggregation_dim")
+  }
 }

@@ -120,6 +120,27 @@ object MvFold {
     facts.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Build batch partials with a PER-ROW signed weight (+1 insert /
+    * −1 retraction; rows carry their ORIGINAL, un-negated values —
+    * the weight signs the partials, [[MvSum]]/[[MvCount]]'s
+    * exact-retraction contract applied inside one batch). This is the
+    * streaming-retraction primitive (st42): a micro-batch mixing
+    * inserts and corrections folds into a durable store exactly,
+    * because the signed partials stay additive and groups whose row
+    * count cancels vanish at [[merge]]. Bitmap measures are refused
+    * (set union is monotone — see [[fold]]'s retraction matrix).
+    */
+  def buildSigned(facts: DataFrame, keys: Seq[String],
+      measures: Seq[MvMeasure], weight: Column): DataFrame = {
+    checkNames(keys, measures)
+    require(!measures.exists(_.isInstanceOf[MvBitmapDistinct]),
+      "bitmap-distinct measures cannot retract (set union is monotone); " +
+        "signed streams need MvSum/MvCount measures — deletions against " +
+        "a bitmap store need the h9 signed-grain path")
+    val aggs = partialAggs(measures, weight)
+    facts.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Fold a delta batch into a stored MV. `retract = true` removes
     * the batch's ORIGINAL rows (weight −1 on every signed partial);
     * refused when a bitmap measure is present (monotone — see the

@@ -653,11 +653,23 @@ object StreamingOpsSinks {
     * facts); a maintenance job can compact old partials with the same
     * merge at any time without changing the read-off.
     */
+  /** `weightCol` (r19 verdict #5 — RETRACTION for the durable store):
+    * name of a signed per-row weight column in the stream (+1 insert,
+    * −1 retraction carrying the ORIGINAL row values). Batch partials
+    * build through [[graft.operators.MvFold.buildSigned]], so a
+    * correction micro-batch folds exactly: the partials stay additive,
+    * a replayed batch still rewrites its identical partition
+    * (exactly-once unchanged — determinism is per-batch, sign
+    * included), and fully-retracted groups vanish at the read-off's
+    * merge. Bitmap measures are refused with a weight column (set
+    * union is monotone).
+    */
   def streamMvFoldToParquet(spark: SparkSession,
       streamDir: String, schema: org.apache.spark.sql.types.StructType,
       outDir: String, checkpointDir: String,
       keys: Seq[String], measures: Seq[graft.operators.MvMeasure],
-      maxFilesPerTrigger: Int = 1): Unit = {
+      maxFilesPerTrigger: Int = 1,
+      weightCol: Option[String] = None): Unit = {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(streamDir)
@@ -667,7 +679,13 @@ object StreamingOpsSinks {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             batchId: Long) =>
-          graft.operators.MvFold.build(batch.toDF(), keys, measures)
+          val partial = weightCol match {
+            case None => graft.operators.MvFold.build(batch.toDF(), keys, measures)
+            case Some(w) => graft.operators.MvFold.buildSigned(
+              batch.toDF(), keys, measures,
+              org.apache.spark.sql.functions.col(w).cast("long"))
+          }
+          partial
             .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -1044,6 +1062,29 @@ object StreamingQueries {
       graft.operators.HierarchyAgg.salesFacts(s, d)
         .select("leaf_key", "customer_id", "unit_quantity", "sales_amount")
         .repartition(2).write.mode("overwrite").parquet(dir)
+      dir
+    }
+
+  /** st42's SIGNED stream fixture: the flagship pair-grain facts as
+    * insert files (w = +1) plus ONE retraction file (w = −1) carrying
+    * the original rows of a deterministic slice (customers ≡ 3 mod
+    * 10, even part keys) — the correction feed a durable rollup store
+    * receives when upstream restates data.
+    */
+  private def mvRetractStreamDir(s: SparkSession, d: String): String =
+    fixtureCache(s, s"mvr:$d") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_mvr_stream")
+        .resolve("facts").toString
+      val facts = graft.operators.HierarchyAgg.salesFacts(s, d)
+      val cols = Seq("leaf_key", "customer_id", "unit_quantity",
+        "sales_amount").map(col)
+      facts.select(cols: _*).withColumn("w", lit(1L))
+        .repartition(2).write.mode("overwrite").parquet(dir)
+      facts
+        .filter(pmod(col("customer_id"), lit(10)) === 3 &&
+          pmod(col("l_partkey"), lit(2)) === 0)
+        .select(cols: _*).withColumn("w", lit(-1L))
+        .repartition(1).write.mode("append").parquet(dir)
       dir
     }
 
@@ -1980,6 +2021,38 @@ object StreamingQueries {
           StreamingOpsSinks.readMvFoldStore(s, out, keys, measures), adim),
         adim)
     }),
+    // RETRACTION through the durable rollup store (round 20, r19
+    // verdict #5): st41 is append-only — here the stream carries a
+    // signed weight column (+1 inserts, then a −1 CORRECTION batch
+    // restating a slice of the facts), folded through the same
+    // exactly-once store via MvFold.buildSigned. Signed partials stay
+    // additive, a replayed batch rewrites its identical partition
+    // (sign included), fully-retracted (leaf, customer) pairs vanish
+    // at the merge so the EXACT distinct-customer read-off tracks the
+    // deletes. Oracle = full recompute over the SURVIVING facts; the
+    // crash-replay proof reuses st38's protocol in StreamingSpec.
+    "st42_stream_retraction" -> ((s, d) => {
+      import graft.operators.{MvSum, MvCount}
+      val adim = graft.operators.HierarchyQueries.dimension(s, d).aggregationDim
+      val dir = mvRetractStreamDir(s, d)
+      val schema = s.read.parquet(dir).schema
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_rtmv").resolve("out").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_rtmv_ckpt").toString
+      val keys = Seq("leaf_key", "customer_id")
+      val measures = Seq(MvSum("mv_sales", col("sales_amount")),
+        MvSum("mv_qty", col("unit_quantity")), MvCount("mv_n"))
+      val partsWas = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try StreamingOpsSinks.streamMvFoldToParquet(
+        s, dir, schema, out, ckpt, keys, measures, weightCol = Some("w"))
+      finally s.conf.set("spark.sql.shuffle.partitions", partsWas)
+      graft.operators.HierarchyAgg.finalizeRollup(
+        graft.operators.HierarchyAgg.rollupMvFromPairs(
+          StreamingOpsSinks.readMvFoldStore(s, out, keys, measures), adim),
+        adim)
+    }),
     // q84's quantile MV as a CONTINUOUS durable store (round 19):
     // each micro-batch lands its (priority, year, bucket)-grain
     // signed counts under the idempotent batch_id overwrite (bucket
@@ -2127,6 +2200,11 @@ object StreamingQueries {
     // the exactly-once store adds durability, not semantics)
     "st41_stream_hier_rollup" ->
       graft.operators.HierarchyQueries.oracles("h9_incremental_rollup"),
+    // signed durable rollup ≡ full recompute over the SURVIVING facts
+    // (the retraction batch must subtract exactly — sums, counts, and
+    // the exact distinct read-off)
+    "st42_stream_retraction" ->
+      graft.operators.HierarchyQueries.retractionRollupSql,
     // stream-maintained bitmap MV ≡ full distinct recompute (h24's
     // invariant, streamed)
     "st23_stream_distinct_mv" ->

@@ -1110,6 +1110,81 @@ class HierarchySpec extends SparkSpec {
     assert(sql == api)
   }
 
+  test("SQL end-to-end: nodes CREATEd in SQL, dims registered as views, rollup in SQL — equals the DataFrame engine (r19 verdict #8)") {
+    // the reference's whole workflow for a SQL-only user: node table,
+    // dimensions, facts and the rollup are ALL spark.sql; the single
+    // Scala call registers the engine's derived frames as temp views
+    Tables.region(spark, sf).createOrReplaceTempView("sqlr_region")
+    Tables.nation(spark, sf).createOrReplaceTempView("sqlr_nation")
+    Tables.lineitem(spark, sf).createOrReplaceTempView("sqlr_lineitem")
+    Tables.orders(spark, sf).createOrReplaceTempView("sqlr_orders")
+    Tables.customer(spark, sf).createOrReplaceTempView("sqlr_customer")
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY VIEW sqlr_nodes AS
+      SELECT 'root' AS node_id, CAST(-1 AS BIGINT) AS node_natural_key,
+             'All Regions' AS node_name, 'Total' AS level_name,
+             CAST(NULL AS STRING) AS parent_node_id
+      UNION ALL
+      SELECT concat('r', r_regionkey), CAST(100 + r_regionkey AS BIGINT),
+             r_name, 'Region', 'root' FROM sqlr_region
+      UNION ALL
+      SELECT concat('n', n_nationkey), CAST(n_nationkey AS BIGINT),
+             n_name, 'Nation', concat('r', n_regionkey) FROM sqlr_nation
+    """)
+    graft.Graft.buildHierarchyViews(spark, "sqlr_nodes",
+      prefix = "sqlr", knownDepth = 3)
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY VIEW sqlr_facts AS
+      SELECT CAST(c.c_nationkey AS BIGINT) AS leaf_key,
+             c.c_custkey AS customer_id,
+             l.l_quantity AS unit_quantity,
+             l.l_extendedprice AS sales_amount
+      FROM sqlr_lineitem l
+      JOIN sqlr_orders o ON l.l_orderkey = o.o_orderkey
+      JOIN sqlr_customer c ON o.o_custkey = c.c_custkey
+    """)
+    val sqlOut = spark.sql("""
+      WITH pair AS (
+        SELECT leaf_key, customer_id,
+               SUM(sales_amount) AS mv_sales,
+               SUM(unit_quantity) AS mv_qty, COUNT(*) AS mv_n
+        FROM sqlr_facts GROUP BY leaf_key, customer_id),
+      mv AS (
+        SELECT /*+ BROADCAST(a) */
+               a.ancestor_node_sort_order, p.customer_id,
+               SUM(p.mv_sales) AS mv_sales, SUM(p.mv_qty) AS mv_qty,
+               SUM(p.mv_n) AS mv_n
+        FROM pair p
+        JOIN sqlr_aggregation_dim a
+          ON p.leaf_key = a.descendant_node_natural_key
+        GROUP BY a.ancestor_node_sort_order, p.customer_id),
+      agg AS (
+        SELECT ancestor_node_sort_order,
+               ROUND(SUM(mv_sales), 2) AS sum_sales_amount,
+               ROUND(SUM(mv_qty), 2) AS sum_unit_quantity,
+               COUNT(customer_id) AS distinct_customer_count,
+               SUM(mv_n) AS count_of_fact_records
+        FROM mv GROUP BY ancestor_node_sort_order)
+      SELECT /*+ BROADCAST(lbl) */
+             lpad('-', (ancestor_level_number - 1) * 7, '-')
+               || ancestor_node_name AS product_node_name,
+             lpad('-', (ancestor_level_number - 1) * 7, '-')
+               || ancestor_level_name AS product_level_name,
+             sum_sales_amount, sum_unit_quantity,
+             distinct_customer_count, count_of_fact_records
+      FROM agg
+      JOIN (SELECT ancestor_node_sort_order, ancestor_node_name,
+                   ancestor_level_name, ancestor_level_number
+            FROM sqlr_aggregation_dim WHERE net_level = 0) lbl
+        USING (ancestor_node_sort_order)
+      ORDER BY ancestor_node_sort_order
+    """)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).toSeq
+    assert(canon(sqlOut) ==
+      canon(HierarchyQueries.queries("h4_hier_agg")(spark, sf)))
+  }
+
   test("h34 hierarchy×segment cube: segment cells sum to each node's ALL cell; ALL cells equal the h4 rollup") {
     val cube = HierarchyQueries.queries("h34_hier_attr_cube")(spark, sf)
       .collect()

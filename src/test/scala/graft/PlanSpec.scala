@@ -95,6 +95,19 @@ class PlanSpec extends SparkSpec {
     assert(count <= 2, s"$count fact-side shuffles:\n$p")
   }
 
+  test("h35: the wide-dim fallback joins the closure shuffle-side — no broadcast build of the dim") {
+    val p = plan("h35_shuffle_dim_rollup")
+    // broadcastDim = false + the merge hint: the closure and label
+    // joins ride sort-merge (the no-driver-OOM path); the two-phase
+    // distinct discipline still holds (no Expand)
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Expand"), p)
+    val smj = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smj.exists(l =>
+      l.contains("descendant_node_natural_key") || l.contains("leaf_key")),
+      smj.mkString("\n"))
+  }
+
   test("h10: both closures broadcast; fact side pays at most 2 shuffle exchanges") {
     val p = plan("h10_multi_hier_agg")
     // geo + brand closure joins and the orders/customer dim joins are

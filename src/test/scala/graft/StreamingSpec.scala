@@ -1053,6 +1053,68 @@ class StreamingSpec extends SparkSpec {
     assert(canon(streamed) == canon(oneShot))
   }
 
+  test("st42: signed retraction stream survives a crash replay; store equals the surviving-facts recompute (r19 verdict #5)") {
+    import graft.operators.{HierarchyAgg, HierarchyQueries, MvCount, MvSum}
+    val adim = HierarchyQueries.dimension(spark, sf).aggregationDim
+    val facts = HierarchyAgg.salesFacts(spark, sf)
+    val cols = Seq("leaf_key", "customer_id", "unit_quantity",
+      "sales_amount").map(col)
+    val srcDir = java.nio.file.Files.createTempDirectory("rt_src").toString
+    val out = java.nio.file.Files.createTempDirectory("rt_out")
+      .resolve("out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rt_ckpt").toString
+    val keys = Seq("leaf_key", "customer_id")
+    val measures = Seq(MvSum("mv_sales", col("sales_amount")),
+      MvSum("mv_qty", col("unit_quantity")), MvCount("mv_n"))
+    // inserts land first (w = +1)
+    facts.select(cols: _*).withColumn("w", lit(1L))
+      .repartition(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    graft.streaming.StreamingOpsSinks.streamMvFoldToParquet(
+      spark, srcDir, schema, out, ckpt, keys, measures,
+      weightCol = Some("w"))
+    // CRASH: the insert batch's partition is written, its commit
+    // marker lost → the restart MUST replay it (same content, same
+    // sign, same partition — idempotent), THEN fold the retraction
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    val victim = commits.last
+    val crc = new java.io.File(victim.getParentFile, s".${victim.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    assert(victim.delete())
+    val retracted = pmod(col("customer_id"), lit(10)) === 3 &&
+      pmod(col("l_partkey"), lit(2)) === 0
+    facts.filter(retracted)
+      .select(cols: _*).withColumn("w", lit(-1L))
+      .repartition(1).write.mode("append").parquet(srcDir)
+    graft.streaming.StreamingOpsSinks.streamMvFoldToParquet(
+      spark, srcDir, schema, out, ckpt, keys, measures,
+      weightCol = Some("w"))
+    // read-off ≡ the one-shot rollup over SURVIVING facts only —
+    // sums, counts, AND the exact distinct (fully-retracted pairs
+    // vanish at the merge, so retracted-out customers stop counting)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).toSeq
+    val streamed = HierarchyAgg.finalizeRollup(
+      HierarchyAgg.rollupMvFromPairs(
+        graft.streaming.StreamingOpsSinks
+          .readMvFoldStore(spark, out, keys, measures), adim), adim)
+    val oneShot = HierarchyAgg.hierarchicalRollup(
+      facts.filter(!retracted), adim)
+    assert(canon(streamed) == canon(oneShot))
+    // and the retraction is not a no-op: totals differ from all-facts
+    assert(canon(streamed) !=
+      canon(HierarchyAgg.hierarchicalRollup(facts, adim)))
+    // a signed stream refuses bitmap measures loudly (monotone union)
+    val e = intercept[Exception] {
+      graft.operators.MvFold.buildSigned(
+        facts.select(cols: _*).withColumn("w", lit(1L)), keys,
+        Seq(graft.operators.MvBitmapDistinct("bm", col("customer_id"), 1 << 20)),
+        col("w"))
+    }
+    assert(e.getMessage.contains("monotone"), e.getMessage)
+  }
+
   test("recovery never deletes a partition outside the manifest: an orphan replayed-and-committed after the crash survives and re-merges") {
     import graft.operators.MvFold
     val (out, ckpt, facts, keys, measures) = buildMvStore()
