@@ -266,6 +266,19 @@ object MvFold {
       keys :+ bucketCol, Nil)
   }
 
+  /** [[buildHist]] with a PER-ROW signed weight — the streaming-
+    * retraction primitive on the quantile plane (st43): a correction
+    * micro-batch's bucket counts land NEGATIVE and cancel exactly at
+    * the merge (bucket assignment is deterministic integer math, so
+    * the retraction row hits the same bucket its insert did).
+    */
+  def buildHistSigned(facts: DataFrame, keys: Seq[String], value: Column,
+      lo: Long, hi: Long, buckets: Int, weight: Column): DataFrame = {
+    checkHist(lo, hi, buckets)
+    buildSigned(facts.withColumn(bucketCol, histBucket(value, lo, hi, buckets)),
+      keys :+ bucketCol, Nil, weight)
+  }
+
   /** Fold (or with `retract = true` remove) a delta batch's bucket
     * counts. Fully-cancelled buckets drop via the zero-drop rule.
     */

@@ -714,7 +714,8 @@ object StreamingOpsSinks {
       outDir: String, checkpointDir: String,
       keys: Seq[String], value: org.apache.spark.sql.Column,
       lo: Long, hi: Long, buckets: Int,
-      maxFilesPerTrigger: Int = 1): Unit = {
+      maxFilesPerTrigger: Int = 1,
+      weightCol: Option[String] = None): Unit = {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(streamDir)
@@ -724,8 +725,14 @@ object StreamingOpsSinks {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             batchId: Long) =>
-          graft.operators.MvFold
-            .buildHist(batch.toDF(), keys, value, lo, hi, buckets)
+          val partial = weightCol match {
+            case None => graft.operators.MvFold
+              .buildHist(batch.toDF(), keys, value, lo, hi, buckets)
+            case Some(w) => graft.operators.MvFold
+              .buildHistSigned(batch.toDF(), keys, value, lo, hi, buckets,
+                org.apache.spark.sql.functions.col(w).cast("long"))
+          }
+          partial
             .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -1183,6 +1190,26 @@ object StreamingQueries {
           floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"),
           col("o_custkey"))
         .repartition(4).write.mode("overwrite").parquet(dir)
+      dir
+    }
+
+  /** st43's SIGNED orders stream: insert files (w = +1) plus one
+    * retraction file (w = −1) restating the o_orderkey ≡ 0 mod 7
+    * slice — the correction feed on the quantile-MV plane.
+    */
+  private def ordersRetractStreamDir(s: SparkSession, d: String): String =
+    fixtureCache(s, s"ordmvr:$d") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ordrt_stream")
+        .resolve("facts").toString
+      val ord = Tables.orders(s, d)
+      val sel = Seq(col("o_orderpriority"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      ord.select(sel: _*).withColumn("w", lit(1L))
+        .repartition(2).write.mode("overwrite").parquet(dir)
+      ord.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select(sel: _*).withColumn("w", lit(-1L))
+        .repartition(1).write.mode("append").parquet(dir)
       dir
     }
 
@@ -2081,6 +2108,33 @@ object StreamingQueries {
       StreamingOpsSinks.readHistMvStore(s, out, keys, Seq(50, 95),
         lo, hi, nb)
     }),
+    // RETRACTION on the QUANTILE plane (round 20; st42's signed-weight
+    // contract applied to the histogram MV — together they close the
+    // retraction matrix in streaming: sums/counts retract (st42),
+    // bucket counts retract (here), bitmaps refuse by monotonicity).
+    // Bucket assignment is deterministic integer math, so a
+    // correction row's negative count lands in EXACTLY the bucket its
+    // insert hit and cancels at the merge; the rank-walk then reads
+    // quantiles of the SURVIVING distribution. Oracle = st40's bucket
+    // derivation over orders minus the retracted slice.
+    "st43_stream_quantile_retraction" -> ((s, d) => {
+      val dir = ordersRetractStreamDir(s, d)
+      val schema = s.read.parquet(dir).schema
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_histrt").resolve("out").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_histrt_ckpt").toString
+      val keys = Seq("o_orderpriority", "order_year")
+      val (lo, hi, nb) = (0L, 1L << 26, 4096)
+      val partsWas = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try StreamingOpsSinks.streamHistMvToParquet(
+        s, dir, schema, out, ckpt, keys, col("cents"), lo, hi, nb,
+        weightCol = Some("w"))
+      finally s.conf.set("spark.sql.shuffle.partitions", partsWas)
+      StreamingOpsSinks.readHistMvStore(s, out, keys, Seq(50, 95),
+        lo, hi, nb)
+    }),
     // st10's classification landed through the EXACTLY-ONCE durable
     // sink: foreachBatch + idempotent batch_id-partition overwrite
     // (see [[StreamingOpsSinks.streamNearDupToParquet]]). The
@@ -2248,6 +2302,33 @@ object StreamingQueries {
              CAST(year(o_orderdate) AS BIGINT) AS order_year,
              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
            FROM orders),
+         b AS (
+           SELECT o_orderpriority, order_year,
+             LEAST(4095, GREATEST(0, cents // 16384)) AS bucket,
+             COUNT(*) AS cnt
+           FROM f GROUP BY 1, 2, 3),
+         c AS (
+           SELECT *,
+             SUM(cnt) OVER (PARTITION BY o_orderpriority, order_year
+                            ORDER BY bucket) AS cum,
+             SUM(cnt) OVER (PARTITION BY o_orderpriority, order_year) AS n
+           FROM b)
+         SELECT o_orderpriority, order_year,
+           MIN(CASE WHEN cum >= (50 * n + 99) // 100
+                    THEN CAST(bucket * 16384 AS BIGINT) END) AS p50,
+           MIN(CASE WHEN cum >= (95 * n + 99) // 100
+                    THEN CAST(bucket * 16384 AS BIGINT) END) AS p95
+         FROM c GROUP BY 1, 2""",
+    // signed quantile store ≡ the same bucket derivation over the
+    // SURVIVING orders (the retraction batch must cancel its slice's
+    // bucket counts exactly)
+    "st43_stream_quantile_retraction" ->
+      """WITH f AS (
+           SELECT o_orderpriority,
+             CAST(year(o_orderdate) AS BIGINT) AS order_year,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders
+           WHERE o_orderkey % 7 <> 0),
          b AS (
            SELECT o_orderpriority, order_year,
              LEAST(4095, GREATEST(0, cents // 16384)) AS bucket,

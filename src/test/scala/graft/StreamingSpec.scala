@@ -1015,6 +1015,56 @@ class StreamingSpec extends SparkSpec {
     assert(readOff() == got)
   }
 
+  test("st43: signed quantile stream cancels the retracted slice's buckets exactly; crash replay safe") {
+    import graft.operators.MvFold
+    val ord = Tables.orders(spark, sf)
+    val sel = Seq(col("o_orderpriority"),
+      year(col("o_orderdate")).cast("long").as("order_year"),
+      floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    val srcDir = java.nio.file.Files.createTempDirectory("hrt_src").toString
+    val out = java.nio.file.Files.createTempDirectory("hrt_out")
+      .resolve("out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("hrt_ckpt").toString
+    val keys = Seq("o_orderpriority", "order_year")
+    val (lo, hi, nb) = (0L, 1L << 26, 4096)
+    ord.select(sel: _*).withColumn("w", lit(1L))
+      .repartition(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    graft.streaming.StreamingOpsSinks.streamHistMvToParquet(
+      spark, srcDir, schema, out, ckpt, keys, col("cents"), lo, hi, nb,
+      weightCol = Some("w"))
+    // CRASH before the commit marker → the restart replays the insert
+    // batch (same partition, same signs), THEN folds the retraction
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    val victim = commits.last
+    val crc = new java.io.File(victim.getParentFile, s".${victim.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    assert(victim.delete())
+    ord.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .select(sel: _*).withColumn("w", lit(-1L))
+      .repartition(1).write.mode("append").parquet(srcDir)
+    graft.streaming.StreamingOpsSinks.streamHistMvToParquet(
+      spark, srcDir, schema, out, ckpt, keys, col("cents"), lo, hi, nb,
+      weightCol = Some("w"))
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    val got = canon(graft.streaming.StreamingOpsSinks
+      .readHistMvStore(spark, out, keys, Seq(50, 95), lo, hi, nb))
+    // ≡ single-shot histogram over the SURVIVING orders only
+    val surviving = ord.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+      .select(sel: _*)
+    val want = canon(MvFold.readHistQuantiles(
+      MvFold.buildHist(surviving, keys, col("cents"), lo, hi, nb),
+      keys, Seq(50, 95), lo, hi, nb))
+    assert(got == want && got.nonEmpty)
+    // and the retraction moved at least one quantile (not a no-op)
+    val all = canon(MvFold.readHistQuantiles(
+      MvFold.buildHist(ord.select(sel: _*), keys, col("cents"), lo, hi, nb),
+      keys, Seq(50, 95), lo, hi, nb))
+    assert(got != all)
+  }
+
   test("st41: durable flagship rollup survives a crash replay and equals the one-shot engine output") {
     import graft.operators.{HierarchyAgg, HierarchyQueries, MvCount, MvSum}
     val adim = HierarchyQueries.dimension(spark, sf).aggregationDim
