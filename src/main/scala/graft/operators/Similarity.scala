@@ -1305,6 +1305,21 @@ object SimilarityQueries {
       val grown = Similarity.upsertPqIndex(index, books, cents, batch)
       Similarity.ivfpqQuery(emb, grown, books, cents)
     }),
+    // TOMBSTONE DELETES on the stored IVF-PQ index (round 20; s11's
+    // CRUD sibling): an id-keyed left-anti drops the code rows —
+    // O(index scan), no retraining — and the deleted vectors simply
+    // stop being candidates. Encoding is per-row deterministic under
+    // frozen codebooks, so delete ≡ rebuild-without-deleted
+    // row-for-row (spec-asserted); the oracle re-derives the full s8
+    // pipeline with the deleted slice excluded exactly at the
+    // shortlist (where the pruned index stops producing candidates).
+    "s22_pq_delete" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (index, books, cents) = Similarity.ivfpqIndex(emb)
+      val pruned = Similarity.deleteFromPqIndex(index,
+        emb.filter(pmod(col("vec_id"), lit(9)) === 0).select("vec_id"))
+      Similarity.ivfpqQuery(emb, pruned, books, cents)
+    }),
     // kNN label propagation: majority vote over the 5 exact nearest
     // train-split neighbors; ties to the smallest label
     "s12_knn_classify" -> ((s, d) =>
@@ -1724,6 +1739,12 @@ object SimilarityQueries {
     "s8_knn_ivfpq" -> ("WITH " + ivfCoarseCtes("") + "," + pqCtes + "," + adcTail),
     "s11_pq_upsert" ->
       ("WITH " + ivfCoarseCtes("WHERE vec_id % 5 <> 0") + "," + pqCtes + "," + adcTail),
+    // s22: the s8 re-derivation (full-corpus training — the frozen
+    // codebooks) with the deleted slice excluded at the shortlist,
+    // exactly where the pruned index stops producing candidates
+    "s22_pq_delete" ->
+      ("WITH " + ivfCoarseCtes("") + "," + pqCtes + "," +
+        adcTailWhere(" AND i.vec_id % 9 <> 0")),
     // s14: micro-quantized integer centroid sums per (label, parity
     // snapshot) — VectorMeanAgg's committed contract — then the
     // centroid cosine/norm folds, all re-derived exactly
@@ -2340,8 +2361,13 @@ idx AS (
   FROM recon r JOIN a3 USING (vec_id))"""
 
   /** ADC tail: probe lists, asymmetric-distance shortlist of
-    * refine×k=40 against reconstructions only, exact refine to k=5. */
-  private def adcTail: String = """
+    * refine×k=40 against reconstructions only, exact refine to k=5.
+    * `extraShortWhere` injects an extra candidate predicate — s22's
+    * tombstone-delete oracle excludes the deleted slice exactly where
+    * the pruned index stops producing candidates. */
+  private def adcTail: String = adcTailWhere("")
+
+  private def adcTailWhere(extraShortWhere: String): String = s"""
 pr AS (
   SELECT q_id, c_id AS list_id FROM (
     SELECT q.vec_id AS q_id, s.c_id,
@@ -2358,7 +2384,7 @@ short AS (
     FROM pr p
     JOIN idx i USING (list_id)
     JOIN n qn ON qn.vec_id = p.q_id
-    WHERE i.vec_id <> p.q_id) WHERE rn <= 40),
+    WHERE i.vec_id <> p.q_id$extraShortWhere) WHERE rn <= 40),
 scored AS (
   SELECT s.q_id, s.vec_id AS neighbor_id,
     list_sum(list_transform(list_zip(cv.v, qv.v), z -> z[1] * z[2]))

@@ -37,6 +37,7 @@ class PlanLintSpec extends SparkSpec {
     "h22_move_mv_repair",  // h21's closure-delta crosses inside the repair
     "q46_market_basket",   // 1-row order-total broadcast (lift normalizer)
     "s11_pq_upsert",       // s8's coarse-codebook broadcast on the grown index
+    "s22_pq_delete",       // s8's coarse-codebook broadcast on the pruned index
     "q50_rfm",             // 1-row anchor + three 1-row quintile-cut broadcasts
     "s12_knn_classify",    // brute-force baseline broadcasts the query set (s1)
     "s13_knn_graph",       // 9-row entry-point literal crossed onto the 10-row query set

@@ -499,6 +499,27 @@ class SimilaritySpec extends SparkSpec {
     assert(afterDel.forall(r => !batchIds(r.getAs[Long]("neighbor_id"))))
   }
 
+  test("s22 pq delete: tombstoned index == per-row-filtered encode; deleted ids never surface; idempotent") {
+    val (index, books, cents) = Similarity.ivfpqIndex(emb)
+    val dels = emb.filter(col("vec_id") % 9 === 0).select("vec_id")
+    val pruned = Similarity.deleteFromPqIndex(index, dels)
+    // encoding is per-row deterministic under frozen codebooks, so the
+    // left-anti delete equals filtering the full encode row-for-row
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("list_id"),
+        r.getSeq[Byte](r.fieldIndex("codes")).toList, r.getAs[Double]("rnrm")))
+      .sortBy(_._1).toSeq
+    assert(canon(pruned) ==
+      canon(Similarity.encodePq(
+        Similarity.corpus(emb.filter(col("vec_id") % 9 =!= 0)), books, cents)))
+    // deletes are idempotent (left-anti of an absent id is a no-op)
+    assert(canon(Similarity.deleteFromPqIndex(pruned, dels)) == canon(pruned))
+    // the registered entry's results never name a deleted id
+    val rows = SparkEntry.queries("s22_pq_delete")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("neighbor_id") % 9 != 0))
+  }
+
   test("kNN classify: planted clusters vote correctly; ties break to the smallest label") {
     import spark.implicits._
     def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
