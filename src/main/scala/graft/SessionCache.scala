@@ -97,6 +97,37 @@ object SessionPins {
   }
 }
 
+/** Stored-artifact materialization (optimization r21): cache, force,
+  * and re-root at the `InMemoryRelation` leaf.
+  *
+  * The session-cached artifacts (graph edges/adjacency/labels/pr7,
+  * hierarchy dims, dedup components, s13's k-NN graph) are built once
+  * and consumed by many registry entries. With a bare `.cache()` each
+  * consumer still re-analyzes the artifact's FULL build lineage —
+  * trees whose self-referencing unions/joins duplicate subplans
+  * exponentially (g8's final plan carried ~1.5k Exchange nodes; its
+  * floor was Catalyst planning, not execution). [[leaf]] truncates
+  * the stored frame to its materialized `InMemoryRelation`, which
+  * keeps columnar storage AND the accurate post-materialization size
+  * statistics (broadcast-join decisions unchanged — a `LogicalRDD`
+  * local checkpoint loses them and flips small-side broadcasts to
+  * sort-merge joins).
+  *
+  * Lifecycle: the underlying cache is registered with [[SessionPins]]
+  * (bounded, released by `releaseAll`), because the leaf frame's own
+  * `unpersist()` no longer matches the original plan in the
+  * CacheManager. An unpersisted leaf stays CORRECT — the
+  * `InMemoryRelation` recomputes from its retained physical child —
+  * it just loses the speedup.
+  */
+object Materialize {
+  def leaf(df: DataFrame): DataFrame = {
+    SessionPins.pin(df)
+    df.count()
+    org.apache.spark.sql.GraftColumnBridge.cachedLeaf(df)
+  }
+}
+
 /** Per-session memo cache for derived frames (hierarchy dims, dedup
   * components).
   *

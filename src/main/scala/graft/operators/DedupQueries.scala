@@ -29,8 +29,8 @@ object DedupQueries {
 
   private def cachedClusters(s: SparkSession, sfDir: String,
       minJaccard: Double): DataFrame =
-    compCache(s, (sfDir, minJaccard))(
-      Dedup.jaccardClusters(Tables.documents(s, sfDir), minJaccard = minJaccard).cache())
+    compCache(s, (sfDir, minJaccard))(graft.Materialize.leaf(
+      Dedup.jaccardClusters(Tables.documents(s, sfDir), minJaccard = minJaccard)))
 
   /** Memoized LSH-candidate and exact-Jaccard pair frames per
     * (session, sfDir): d22 and d25 evaluate the SAME candidate set and
@@ -44,15 +44,16 @@ object DedupQueries {
   private def cachedEvalCand(s: SparkSession, d: String): DataFrame =
     evalPairCache(s, (d, "cand")) {
       val k = 32
-      Dedup.minhashPairsBlocked(Tables.documents(s, d), k = k,
-          bands = Dedup.lshBandsFor(0.05, k))
-        .select("doc_a", "doc_b").cache()
+      graft.Materialize.leaf(
+        Dedup.minhashPairsBlocked(Tables.documents(s, d), k = k,
+            bands = Dedup.lshBandsFor(0.05, k))
+          .select("doc_a", "doc_b"))
     }
 
   private def cachedEvalTruth(s: SparkSession, d: String): DataFrame =
     evalPairCache(s, (d, "truth"))(
-      Dedup.ngramJaccard(Tables.documents(s, d))
-        .select(col("doc_a"), col("doc_b"), col("jaccard")).cache())
+      graft.Materialize.leaf(Dedup.ngramJaccard(Tables.documents(s, d))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))))
 
   /** Force the shared exact-Jaccard component derivation and the
     * d22/d25 eval pair frames at `sfDir` so timed runs read the

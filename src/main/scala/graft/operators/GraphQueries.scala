@@ -38,10 +38,26 @@ object GraphQueries {
   private val edgeCache =
     new graft.SessionCache[String, DataFrame](_.unpersist())
 
-  /** The cached co-purchase 8-NN edge table at `sfDir`. */
+  /** The cached co-purchase 8-NN edge table at `sfDir`.
+    *
+    * Stored artifacts here are re-rooted at their materialized
+    * `InMemoryRelation` ([[graft.Materialize.leaf]], optimization
+    * r21): a bare cache pins EXECUTION but leaves the full build
+    * lineage in the logical plan, and the graph derivations reference
+    * their inputs multiply (pairs twice in the mirror union, edges
+    * twice in the adjacency, adj twice in withOutDeg), so every
+    * CONSUMER re-analyzed an exponentially duplicated tree — g8's
+    * final plan carried ~1.5k Exchange nodes of pure lineage and
+    * Catalyst planning, not execution, dominated the g-family floors.
+    * The leaf keeps the cache's columnar storage, its ACCURATE size
+    * statistics (broadcast decisions unchanged), and the cached
+    * plan's physical partitioning, so the src-hash layout below still
+    * makes per-round joins exchange-free.
+    */
   def cachedEdges(s: SparkSession, sfDir: String): DataFrame =
     edgeCache(s, sfDir)(
-      Graph.knnEdges(Graph.copurchasePairs(Tables.lineitem(s, sfDir))).cache())
+      graft.Materialize.leaf(
+        Graph.knnEdges(Graph.copurchasePairs(Tables.lineitem(s, sfDir)))))
 
   /** Degree-annotated adjacency, persisted PARTITIONED BY `src`: the
     * second half of the stored graph artifact. The iterative
@@ -52,8 +68,9 @@ object GraphQueries {
     */
   def cachedAdjDeg(s: SparkSession, sfDir: String): DataFrame =
     edgeCache(s, sfDir + "#adjdeg")(
-      Graph.withOutDeg(Graph.adjacency(cachedEdges(s, sfDir)))
-        .repartition(col("src")).cache())
+      graft.Materialize.leaf(
+        Graph.withOutDeg(Graph.adjacency(cachedEdges(s, sfDir)))
+          .repartition(col("src"))))
 
   /** The label-propagation partition (4 rounds), persisted — read by
     * g3's size readout and by every consumer of g9's modularity
@@ -62,7 +79,7 @@ object GraphQueries {
     */
   def cachedLabels(s: SparkSession, sfDir: String): DataFrame =
     edgeCache(s, sfDir + "#labels")(
-      Graph.labelPropagation(cachedAdjDeg(s, sfDir)).cache())
+      graft.Materialize.leaf(Graph.labelPropagation(cachedAdjDeg(s, sfDir))))
 
   /** Round-7 PageRank frame (node, r), persisted: g2 derives round 8
     * with ONE extra step and g15 reads the 7↔8 convergence delta —
@@ -70,8 +87,8 @@ object GraphQueries {
     */
   def cachedPr7(s: SparkSession, sfDir: String): DataFrame =
     edgeCache(s, sfDir + "#pr7")(
-      Graph.pagerank(cachedAdjDeg(s, sfDir), 7)
-        .select(col("node"), col("rank_micro").as("r")).cache())
+      graft.Materialize.leaf(Graph.pagerank(cachedAdjDeg(s, sfDir), 7)
+        .select(col("node"), col("rank_micro").as("r"))))
 
   /** The shared wedge-join aggregate (common count + Adamic–Adar sum
     * per candidate pair), persisted: g6 and g10 run the identical
@@ -79,7 +96,17 @@ object GraphQueries {
     */
   def cachedWedge(s: SparkSession, sfDir: String): DataFrame =
     edgeCache(s, sfDir + "#wedge")(
-      Graph.wedgeStats(cachedAdjDeg(s, sfDir)).cache())
+      graft.Materialize.leaf(Graph.wedgeStats(cachedAdjDeg(s, sfDir))))
+
+  /** |V| of the stored graph — a property of the maintained artifact
+    * (read off the cached adjacency once per (session, sfDir)), shared
+    * so g7's teleport-mass arithmetic doesn't pay a distinct+count job
+    * per invocation. */
+  private val nNodesCache = new graft.SessionCache[String, Long]()
+
+  private def cachedNNodes(s: SparkSession, sfDir: String): Long =
+    nNodesCache(s, sfDir)(
+      cachedAdjDeg(s, sfDir).select(col("src")).distinct().count())
 
   /** Force the shared graph build so timed g-runs read the session
     * cache (the warmDims/warmComponents/warmGraph convention). */
@@ -89,16 +116,24 @@ object GraphQueries {
     cachedLabels(spark, sfDir).count()
     cachedPr7(spark, sfDir).count()
     cachedWedge(spark, sfDir).count()
+    cachedNNodes(spark, sfDir)
+    demandSeeds(spark, sfDir)
+    ()
   }
 
-  /** The g7/g8 seed set: the `n` highest-demand parts (lineitem count
-    * desc, partkey ties), COLLECTED into a literal frame (codebook
-    * convention) so iterative rounds reference a LocalRelation instead
-    * of re-running the demand scan per round. One definition — the
-    * g7/g8 oracles hard-code the same rule.
+  /** The g7/g8/g17 seed set: the `n` highest-demand parts (lineitem
+    * count desc, partkey ties), COLLECTED into a literal frame
+    * (codebook convention) so iterative rounds reference a
+    * LocalRelation instead of re-running the demand scan per round,
+    * and SESSION-CACHED (r21) next to the graph artifact it seeds —
+    * three registry entries share one demand scan instead of paying
+    * it per invocation. One definition — the g7/g8/g17 oracles
+    * hard-code the same rule.
     */
+  private val seedsCache = new graft.SessionCache[String, DataFrame]()
+
   private def demandSeeds(s: SparkSession, sfDir: String,
-      n: Int = 5): DataFrame = {
+      n: Int = 5): DataFrame = seedsCache(s, s"$sfDir#$n") {
     import s.implicits._
     Tables.lineitem(s, sfDir)
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
@@ -162,7 +197,7 @@ object GraphQueries {
     // "proximity to the bestsellers" for recommendation ranking
     "g7_personalized_pagerank" -> ((s, d) => {
       val adjOd = cachedAdjDeg(s, d)
-      val nNodes = adjOd.select(col("src")).distinct().count()
+      val nNodes = cachedNNodes(s, d)
       val seeds = demandSeeds(s, d)
         .withColumn("tele", lit(150000L * nNodes / 5L))
       val pr = Graph.personalizedPagerank(adjOd, seeds)

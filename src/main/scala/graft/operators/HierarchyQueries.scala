@@ -36,19 +36,19 @@ object HierarchyQueries {
 
   def historicalMv(spark: SparkSession, sfDir: String): DataFrame =
     mvCache(spark, s"hist:$sfDir")(
-      HierarchyAgg.rollupMv(
+      graft.Materialize.leaf(HierarchyAgg.rollupMv(
         HierarchyAgg.salesFacts(spark, sfDir)
           .filter(pmod(col("l_partkey"), lit(7)) =!= 0),
-        dimension(spark, sfDir).aggregationDim).cache())
+        dimension(spark, sfDir).aggregationDim)))
 
   /** The h16 fixture: the full-corpus MV maintained under the
     * PRE-EDIT hierarchy — the stored view a reparent invalidates.
     */
   def fullMv(spark: SparkSession, sfDir: String): DataFrame =
     mvCache(spark, s"full:$sfDir")(
-      HierarchyAgg.rollupMv(
+      graft.Materialize.leaf(HierarchyAgg.rollupMv(
         HierarchyAgg.salesFacts(spark, sfDir),
-        dimension(spark, sfDir).aggregationDim).cache())
+        dimension(spark, sfDir).aggregationDim)))
 
   def dimension(spark: SparkSession, sfDir: String): HierarchyDimension =
     cached(spark, "region_nation", sfDir)(
@@ -112,8 +112,8 @@ object HierarchyQueries {
     */
   def historyClosures(spark: SparkSession, sfDir: String): DataFrame =
     mvCache(spark, s"histclosure:$sfDir")(
-      HierarchyDimension.historyClosure(
-        versionedRegionNationNodes(spark, sfDir), knownDepth = 3).cache())
+      graft.Materialize.leaf(HierarchyDimension.historyClosure(
+        versionedRegionNationNodes(spark, sfDir), knownDepth = 3)))
 
   /** Force-derive (and instance-cache) every dimension the hierarchy
     * registry reads at `sfDir`. The bench calls this for the timed SF

@@ -37,6 +37,12 @@ object Similarity {
     * (q_id, rank, neighbor_id, `scoreName`). Partial aggregation:
     * map-side buffers hold ≤ k entries each.
     */
+  /** Spec-only door onto [[rerank]]: the r21 graphSearch fixpoint spec
+    * replays the pre-r21 full-unroll walk and must finish it with the
+    * exact production re-rank to compare row-for-row. */
+  private[graft] def rerankForSpec(pairs: DataFrame, k: Int): DataFrame =
+    rerank(pairs, k)
+
   private def rerank(pairs: DataFrame, k: Int,
       scoreName: String = "cosine"): DataFrame =
     pairs
@@ -594,13 +600,17 @@ object Similarity {
     // 0.96 (sf0.01) vs 0.62/0.64 at the old 8/8 — the walk, not just
     // the edge set, was the limiter
     val c = corpus(emb)
+    // materialized LEAVES, not bare pins (r21): every hop builds a new
+    // plan referencing these frames, so Catalyst re-analyzed the full
+    // graph-build lineage once per hop — the leaf keeps hops 2..H as
+    // memory reads AND one-node subplans
     val edges = prebuiltEdges
-      .getOrElse(graft.SessionPins.pin(exactKnnGraphEdges(emb, degree))) // read once per hop
-    // the scoring side re-scans per hop too — cache the bare
+      .getOrElse(graft.Materialize.leaf(exactKnnGraphEdges(emb, degree))) // read once per hop
+    // the scoring side re-scans per hop too — materialize the bare
     // (id, v, nrm) projection so hops 2..H are memory reads
-    val cScore = graft.SessionPins.pin(c.select(col("vec_id"), col("v"), col("nrm")))
-    val q = c.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cScore = graft.Materialize.leaf(c.select(col("vec_id"), col("v"), col("nrm")))
+    val q = graft.Materialize.leaf(c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
     // ENTRY POINTS: the nEntries smallest corpus ids not equal to the
     // query — ids are uncorrelated with embedding geometry, so these
     // are a deterministic random-ish spread standing in for HNSW's
@@ -612,37 +622,53 @@ object Similarity {
     require(firstIds.length >= 2, "graphSearch needs at least 2 corpus vectors")
     val spark = emb.sparkSession
     import spark.implicits._
-    var frontier = q.select(col("q_id"))
-      .crossJoin(broadcast(firstIds.toSeq.toDF("vec_id")))
-      .filter(col("vec_id") =!= col("q_id"))
-      .groupBy("q_id")
-      .agg(slice(sort_array(collect_list(col("vec_id"))), 1, nEntries).as("vs"))
-      .select(col("q_id"), explode(col("vs")).as("vec_id"))
+    // THE FRONTIER LIVES ON THE DRIVER (r21): it is bounded by
+    // queries × beam rows BY CONSTRUCTION (the beam prune), i.e. a
+    // control frame under the firstIds/codebook collect convention —
+    // never corpus-sized. Driving the loop from a collected frontier
+    //   - cuts the hop-to-hop plan recursion outright (each hop's plan
+    //     roots at a LocalRelation + the two materialized leaves), so
+    //     the per-hop eager `localCheckpoint` and its write amplify
+    //     away entirely, and
+    //   - makes the BEAM FIXPOINT observable for free: if
+    //     frontier_k == frontier_{k-1} then cand_{k+1} == cand_k,
+    //     scored_{k+1} == scored_k (same candidates, same
+    //     deterministic scores), so the visited set gains nothing and
+    //     every later frontier repeats — the remaining hops are
+    //     provably no-ops and the walk exits early with a
+    //     bit-identical answer to the oracle's full 8-hop unroll
+    //     (GraphSearchFixpointSpec asserts both claims).
+    val qIdList = q.select("q_id").collect().map(_.getLong(0)).sorted
+    var frontierPairs: Set[(Long, Long)] = qIdList.flatMap { qid =>
+      firstIds.filter(_ != qid).sorted.take(nEntries).map(v => (qid, v))
+    }.toSet
     var visited: DataFrame = null
-    for (_ <- 1 to hops) {
-      val cand = frontier
-        .unionByName(edges.join(broadcast(frontier),
-            edges("src") === frontier("vec_id"))
+    var hop = 1
+    var fixed = false
+    while (hop <= hops && !fixed) {
+      val frontierDf = frontierPairs.toSeq.sorted.toDF("q_id", "vec_id")
+      // cand may carry duplicates (frontier ∪ frontier's neighbors) —
+      // the (q_id, vec_id) min-groupBy below dedups them in the same
+      // exchange that used to be a separate `distinct()`, and a
+      // revisited pair scores identically so MIN is pure dedup
+      val cand = frontierDf
+        .unionByName(edges.join(broadcast(frontierDf),
+            edges("src") === frontierDf("vec_id"))
           .select(col("q_id"), col("dst").as("vec_id")))
         .filter(col("vec_id") =!= col("q_id"))
-        .distinct()
-      // MATERIALIZE each hop (lineage cut): scored feeds BOTH the
-      // visited union and the next frontier, so a lazy loop doubles
-      // the plan per hop — 2^hops analysis/execution blowup. The
-      // frame is (queries × visited-this-hop) rows — tiny; the walk
-      // is inherently sequential, exactly like an iterative graph
-      // algorithm's per-superstep materialization.
       val scored = cScore
         .join(broadcast(cand), Seq("vec_id"))
         .join(broadcast(q), Seq("q_id"))
         .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
-        .select("q_id", "vec_id", "cos")
-        .localCheckpoint()
+        .groupBy("q_id", "vec_id").agg(min("cos").as("cos"))
       visited = if (visited == null) scored else visited.unionByName(scored)
-      frontier = scored.groupBy("q_id")
+      val next = scored.groupBy("q_id")
         .agg(topkByScore(round(col("cos"), 9), col("cos"), col("vec_id"), beam).as("tk"))
         .select(col("q_id"), explode(col("tk")).as("t"))
         .select(col("q_id"), col("t.id").as("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      if (next == frontierPairs) fixed = true else frontierPairs = next
+      hop += 1
     }
     // a node revisited across hops scores identically — MIN is dedup
     val dedup = visited.groupBy("q_id", "vec_id").agg(min("cos").as("cos"))
@@ -1265,8 +1291,8 @@ object SimilarityQueries {
     new graft.SessionCache[String, DataFrame](_.unpersist())
 
   private def cachedGraph(s: SparkSession, sfDir: String): DataFrame =
-    graphCache(s, sfDir)(
-      Similarity.exactKnnGraphEdges(Tables.embeddings(s, sfDir)).cache())
+    graphCache(s, sfDir)(graft.Materialize.leaf(
+      Similarity.exactKnnGraphEdges(Tables.embeddings(s, sfDir))))
 
   /** Force the shared graph build at `sfDir` so timed s13 runs read
     * the session cache (the warmDims/warmComponents convention). */

@@ -49,6 +49,39 @@ object GraftColumnBridge {
         df.queryExecution.toRdd)(spark))
   }
 
+  /** Rebuild a CACHED-and-materialized Dataset as a one-node logical
+    * plan over its own `InMemoryRelation` (optimization r21).
+    *
+    * `.cache()` pins execution but leaves the full build lineage in
+    * the logical plan, so every consumer re-ANALYZES the whole
+    * (often exponentially self-referencing) build tree — the stored
+    * graph/dim artifacts produced final plans with hundreds to
+    * thousands of Exchange nodes of pure lineage, and Catalyst
+    * planning time dominated their consumers' floors. Re-rooting the
+    * frame at the materialized `InMemoryRelation` leaf keeps
+    * everything the cache gives (columnar storage, ACCURATE
+    * `sizeInBytes` statistics, so broadcast-join decisions are
+    * unchanged — a `LogicalRDD` checkpoint loses those stats and
+    * flipped g14/g17's broadcasts to sort-merge joins) while
+    * consumers now analyze a leaf.
+    *
+    * The caller must have materialized the cache (e.g. `df.count()`)
+    * first, or the relation's statistics still read as the child
+    * plan's estimate. Falls back to the input frame unchanged when
+    * cache substitution doesn't kick in (e.g. caching disabled).
+    */
+  def cachedLeaf(df: Dataset[_]): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    // fresh wrapper so QueryExecution re-runs withCachedData and
+    // substitutes the InMemoryRelation for the matching subtree
+    val fresh = classic.Dataset.ofRows(spark, df.queryExecution.analyzed)
+    fresh.queryExecution.optimizedPlan match {
+      case leaf: catalyst.plans.logical.LeafNode =>
+        classic.Dataset.ofRows(spark, leaf)
+      case _ => df.toDF()
+    }
+  }
+
   /** DataFrame over an InternalRow RDD with an explicit schema — the
     * return path for operators that drop to the internal-row level
     * (e.g. the single-task union-find in

@@ -312,6 +312,70 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= hits5, s"recall must not drop with more hops: $hits < $hits5")
   }
 
+  test("graph ANN fixpoint early-exit ≡ full 8-hop unroll (r21), and more hops stay a no-op") {
+    // graphSearch (r21) drives the beam walk from a driver-collected
+    // frontier and EXITS once frontier_k == frontier_{k-1} — claiming
+    // the remaining hops are provably no-ops. Pin that claim against a
+    // REFERENCE full unroll: the pre-r21 loop shape (always `hops`
+    // rounds, distinct-candidates, no early exit), reimplemented here
+    // verbatim-semantics, must agree row-for-row after the same rerank.
+    import graft.functions.TopKAggregate.topkByScore
+    import graft.functions.VectorFunctions.dot
+    import org.apache.spark.sql.DataFrame
+    val exactEdges = Similarity.exactKnnGraphEdges(emb).cache()
+    def fullUnroll(k: Int, nQueries: Int, beam: Int, hops: Int,
+        nEntries: Int): DataFrame = {
+      import spark.implicits._
+      val c = Similarity.corpus(emb)
+      val q = c.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val firstIds = c.select("vec_id").orderBy("vec_id").limit(nEntries + 1)
+        .collect().map(_.getLong(0))
+      var frontier = q.select(col("q_id"))
+        .crossJoin(broadcast(firstIds.toSeq.toDF("vec_id")))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id")
+        .agg(slice(sort_array(collect_list(col("vec_id"))), 1, nEntries).as("vs"))
+        .select(col("q_id"), explode(col("vs")).as("vec_id"))
+      var visited: DataFrame = null
+      for (_ <- 1 to hops) {
+        val cand = frontier
+          .unionByName(exactEdges.join(broadcast(frontier),
+              exactEdges("src") === frontier("vec_id"))
+            .select(col("q_id"), col("dst").as("vec_id")))
+          .filter(col("vec_id") =!= col("q_id"))
+          .distinct()
+        val scored = c.select(col("vec_id"), col("v"), col("nrm"))
+          .join(broadcast(cand), Seq("vec_id"))
+          .join(broadcast(q), Seq("q_id"))
+          .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+          .select("q_id", "vec_id", "cos")
+          .localCheckpoint()
+        visited = if (visited == null) scored else visited.unionByName(scored)
+        frontier = scored.groupBy("q_id")
+          .agg(topkByScore(round(col("cos"), 9), col("cos"), col("vec_id"), beam).as("tk"))
+          .select(col("q_id"), explode(col("tk")).as("t"))
+          .select(col("q_id"), col("t.id").as("vec_id"))
+      }
+      val dedup = visited.groupBy("q_id", "vec_id").agg(min("cos").as("cos"))
+      Similarity.rerankForSpec(dedup, k)
+    }
+    def canon(df: DataFrame): Seq[(Long, Long, Long, Double)] =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val fast = Similarity.graphSearch(emb, prebuiltEdges = Some(exactEdges))
+    val slow = fullUnroll(k = 5, nQueries = 10, beam = 16, hops = 8, nEntries = 8)
+    assert(canon(fast) == canon(slow),
+      "early-exit walk must be row-identical to the full 8-hop unroll")
+    // fixpoint ⇒ extending the hop budget changes nothing
+    val more = Similarity.graphSearch(emb, hops = 20,
+      prebuiltEdges = Some(exactEdges))
+    assert(canon(fast) == canon(more),
+      "post-fixpoint hops must be no-ops")
+    exactEdges.unpersist()
+  }
+
   test("s14 embedding drift: identical halves read cos 1, a planted rotation reads below") {
     import spark.implicits._
     // label "same": even and odd vectors identical → centroid cos 1.
