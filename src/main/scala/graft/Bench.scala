@@ -18,10 +18,31 @@ object Bench {
     // above the threshold the run still measures and reports (the
     // driver needs its BENCH_r{N} line) but REFUSES to fold floors,
     // and says so loudly in both stderr and the JSON line.
-    val startLoad = java.lang.management.ManagementFactory
+    var startLoad = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val foldMaxLoad = sys.env.get("SPARK_GRAFT_FOLD_MAXLOAD")
       .map(_.toDouble).getOrElse(2.0)
+    // PRE-SWEEP LOAD DECAY (r21, the r20 verdict's #1c): a sweep that
+    // STARTS contended ships 300 contaminated readings and then has to
+    // re-measure its way back to defensibility — waiting out a
+    // transient load spike BEFORE the clock starts is strictly
+    // cheaper. Same poll loop as the remeasure phase; bounded by
+    // SPARK_GRAFT_START_WAIT seconds (default 300; 0 disables), and a
+    // never-idle host degrades to the old behavior (measure anyway,
+    // refuse to fold).
+    val startWait = sys.env.get("SPARK_GRAFT_START_WAIT")
+      .map(_.toInt).getOrElse(300)
+    if (startLoad >= 0 && startLoad > foldMaxLoad && startWait > 0) {
+      val deadline = System.nanoTime() + startWait * 1000000000L
+      while (startLoad >= 0 && startLoad > foldMaxLoad &&
+          System.nanoTime() < deadline) {
+        System.err.println(
+          f"[bench] start: waiting for idle (load $startLoad%.2f > $foldMaxLoad%.2f)")
+        Thread.sleep(10000)
+        startLoad = java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
+      }
+    }
     val loadOkToFold = startLoad < 0 || startLoad <= foldMaxLoad
     if (!loadOkToFold)
       System.err.println(
@@ -183,7 +204,14 @@ object Bench {
         // `remeasure_capped` below — an over-2× entry absent from the
         // remeasured map must be distinguishable from one the phase
         // never considered, or its disposition re-opens manually.
-        over2x.sortBy(n => -(resultMap(n) / committedMin(n))).take(40)
+        // Cap raised 40 → 150 and env-tunable (r21, r20 verdict #1:
+        // the r20 sweep had 67 >2× entries and shipped 27 with no
+        // disposition): re-measuring is ~2× the contaminated entries'
+        // own runtime — minutes — and an undispositioned >2× reading
+        // costs a round of manual adjudication.
+        over2x.sortBy(n => -(resultMap(n) / committedMin(n)))
+          .take(sys.env.get("SPARK_GRAFT_REMEASURE_CAP")
+            .map(_.toInt).getOrElse(150))
           .map { n =>
             val fn = SparkEntry.queries(n)
             val a = once(n, fn)
@@ -196,6 +224,17 @@ object Bench {
       (if (remeasureWait <= 0) 0 else over2x.size) - remeasured.size)
     val remeasureLoadOk = remeasured.nonEmpty &&
       (remeasureLoad < 0 || remeasureLoad <= foldMaxLoad)
+    // ADJUSTED TOTAL (r21, r20 verdict #1b): the artifact's own
+    // defensible headline — the sweep total with every VERIFIED-IDLE
+    // green re-measure substituted for its contaminated sweep reading.
+    // Absent re-measures (none needed, or the phase timed out /
+    // stayed contended) leave the sweep numbers in place, so
+    // adjusted_total == value exactly when there is nothing defensible
+    // to substitute.
+    val adjustedTotal = results.collect { case (name, v) if v >= 0 =>
+      if (remeasureLoadOk) remeasured.get(name).filter(_ >= 0).getOrElse(v)
+      else v
+    }.sum
     // NOISE-EXEMPT DISPOSITION (r18 verdict #4): entries >2× floor
     // whose floor sits BELOW the 0.2 s remeasure cut are deliberately
     // excluded from self-disposition (a 2× exceedance of a 50 ms floor
@@ -332,6 +371,7 @@ object Bench {
         else refloored.keys.toSeq.sorted.map("\"" + _ + "\"")
           .mkString(""","refloored":[""", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":2,""" +
+        s""""adjusted_total":${fmt(adjustedTotal)},""" +
         s""""warm_ok":$warmOk,"warm_sec":${fmt(warmSec)},"load_avg":${fmt(loadAvg)},""" +
         s""""start_load":${fmt(startLoad)},"folded":$didFold,""" +
         s""""failed":$fl,"suspect":$sus,"noise_exempt":$ne$rf${remeasureField(rmKeep)},""" +
@@ -454,7 +494,8 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (results.sortBy(_._1).map { case (k, v) => s"\"$k\":$v" }
         .mkString(
-          s"""{"total":$total,"sf":"$sfDir","cpus":$cpus,"runs":2,""" +
+          s"""{"total":$total,"adjusted_total":$adjustedTotal,""" +
+            s""""sf":"$sfDir","cpus":$cpus,"runs":2,""" +
             s""""warm_ok":$warmOk,"warm_sec":$warmSec,"load_avg":$loadAvg,""" +
             s""""start_load":$startLoad,"folded":$didFold,""" +
             s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +

@@ -77,24 +77,80 @@ object Bpe {
     (merges.result(), seqs.map { case (w, syms, _) => w -> syms.length }.toMap)
   }
 
+  /** Driver-collect bound for the training dictionary (r20 verdict
+    * #3: this was the one data-plane-growing collect in the tree with
+    * no guard — vocabulary grows with the language via Heaps' law,
+    * ~10⁸ distinct tokens at web scale, and the silent failure mode
+    * was an opaque driver OOM). Overridable per call; the default
+    * comfortably covers real-language vocabularies after a min-count
+    * prune (production BPE trainers prune before the merge loop).
+    */
+  val defaultMaxVocab: Int = 4_000_000
+
   /** The (word, count) dictionary — a vocabulary-bounded control
     * read (the k-means-codebook convention), shared by
     * [[bpeTokens]] and [[mergeTable]] so the tokenization convention
-    * cannot drift between them. */
-  private def wordCounts(docs: DataFrame): Seq[(String, Long)] =
-    docs.select(explode(tokens(lower(col("text")))).as("w"))
+    * cannot drift between them.
+    *
+    * `minCount` > 1 prunes rare words BEFORE the collect (the
+    * production-trainer move; the merge loop then runs on the pruned
+    * dictionary). `maxVocab` is the loud guard (d4's
+    * `maxBandPopulation` convention): the collect is bounded by
+    * `limit(maxVocab + 1)` — no extra counting pass — and one row
+    * past the bound fails with the knobs named instead of an opaque
+    * driver OOM.
+    */
+  private def wordCounts(docs: DataFrame, minCount: Long = 1L,
+      maxVocab: Int = defaultMaxVocab): Seq[(String, Long)] = {
+    val agg = docs.select(explode(tokens(lower(col("text")))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val pruned = if (minCount > 1L) agg.filter(col("cnt") >= minCount) else agg
+    val rows = pruned.limit(maxVocab + 1).collect()
+    if (rows.length > maxVocab) throw new IllegalStateException(
+      s"BPE training dictionary exceeds maxVocab=$maxVocab distinct words " +
+        s"(minCount=$minCount): raise minCount to prune rare words before " +
+        "the driver collect, or raise maxVocab if the driver has the memory")
+    rows.map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+  }
 
   /** t21: per-doc word and BPE-token counts under a corpus-trained
-    * `nMerges`-merge vocabulary. */
-  def bpeTokens(docs: DataFrame, nMerges: Int = 16): DataFrame = {
+    * `nMerges`-merge vocabulary.
+    *
+    * `minCount` = 1 (the registry/oracle setting) keeps the original
+    * path byte-for-byte: train on the full dictionary, broadcast the
+    * trained per-word token counts. `minCount` > 1 (the 100 TB
+    * setting) trains the MERGES on the pruned dictionary only, then
+    * tokenizes the full vocabulary DISTRIBUTEDLY (per-word merge
+    * application over the distinct-words frame — vocabulary-grain,
+    * the codec-loop convention), so rare words still get exact token
+    * counts without ever riding a driver collect. BpeSpec pins that
+    * on the gate corpus the two paths agree row-for-row (the pruned
+    * dictionary there learns the identical merge table).
+    */
+  def bpeTokens(docs: DataFrame, nMerges: Int = 16,
+      minCount: Long = 1L, maxVocab: Int = defaultMaxVocab): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (_, tokCount) = trainMerges(wordCounts(docs), nMerges)
-    val dict = tokCount.toSeq.toDF("w", "n_tok")
-    docs.select(col("doc_id"), explode(tokens(lower(col("text")))).as("w"))
+    val words = docs.select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("w"))
+    val dict: DataFrame = if (minCount <= 1L) {
+      val (_, tokCount) =
+        trainMerges(wordCounts(docs, minCount, maxVocab), nMerges)
+      tokCount.toSeq.toDF("w", "n_tok")
+    } else {
+      val (merges, _) =
+        trainMerges(wordCounts(docs, minCount, maxVocab), nMerges)
+      val mergeList = merges.toIndexedSeq
+      import spark.implicits._
+      words.select("w").distinct().as[String].mapPartitions { it =>
+        it.map { w =>
+          var syms = w.map(_.toString).toVector
+          mergeList.foreach { case (a, b) => syms = applyMerge(syms, a, b) }
+          (w, syms.length)
+        }
+      }.toDF("w", "n_tok")
+    }
+    words
       .join(broadcast(dict), Seq("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
@@ -104,10 +160,12 @@ object Bpe {
   /** The learned merge table as a DataFrame (rank, left, right) — the
     * persistable artifact a serving tokenizer loads (spec-exercised
     * against the hand-derived fixture merges). */
-  def mergeTable(docs: DataFrame, nMerges: Int = 16): DataFrame = {
+  def mergeTable(docs: DataFrame, nMerges: Int = 16,
+      minCount: Long = 1L, maxVocab: Int = defaultMaxVocab): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (merges, _) = trainMerges(wordCounts(docs), nMerges)
+    val (merges, _) =
+      trainMerges(wordCounts(docs, minCount, maxVocab), nMerges)
     merges.zipWithIndex
       .map { case ((l, r), i) => (i + 1, l, r) }.toDF("rank", "left", "right")
   }

@@ -868,16 +868,31 @@ object OlapQueries {
     // user, so range ≡ rows cross-engine).
     "q43_resample_locf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // ONE user-keyed exchange covers everything (r21; guide §2.4
+      // "operations keyed the same way share one exchange"): the
+      // explicit user_id repartition is the single fact shuffle —
+      // the hour aggregate clusters by (user_id, hr) which a user_id
+      // hash satisfies, the last-in-hour pick rides max_by inside
+      // that same aggregate (replacing a row_number window that
+      // sorted the whole fact stream per user-hour), the grid
+      // aggregate clusters by user_id, the grid⨝hours join keys on
+      // (user_id, hr) ⊇ user_id (subset co-partitioning), and the
+      // LOCF window partitions by user_id. Plan: 6 Exchange → 2
+      // (the repartition + the final readout), zero fact-stream
+      // window sorts.
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("ts"), col("event_id"), col("value"))
         .withColumn("hr", date_trunc("hour", col("ts")))
+        .repartition(col("user_id"))
       val hourAgg = ev
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("user_id", "hr")
-            .orderBy(col("ts").desc, col("event_id").desc)))
         .groupBy("user_id", "hr")
         .agg(count(lit(1)).as("n_events"),
-          max(when(col("rn") === 1, col("value"))).as("last_v"))
+          // last by (ts DESC, event_id DESC) ≡ max_by on the
+          // (ts, event_id) struct — event_id is unique, so the pick
+          // is total-ordered and carries that row's value (nulls
+          // included) exactly like the old rn = 1 window row
+          max_by(col("value"), struct(col("ts"), col("event_id")))
+            .as("last_v"))
       val grid = ev.groupBy("user_id")
         .agg(min("hr").as("h0"), max("hr").as("h1"))
         .select(col("user_id"),

@@ -591,6 +591,11 @@ object Similarity {
       .distinct()
   }
 
+  /** Corpus bound for [[graphSearch]]'s DEFAULT exact edge build —
+    * past it the all-pairs crossJoin stops being an acceptable
+    * implicit cost and the caller must choose a build explicitly. */
+  val maxExactGraphBuild: Long = 200000L
+
   def graphSearch(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
       degree: Int = 16, beam: Int = 16, hops: Int = 8,
       nEntries: Int = 8, prebuiltEdges: Option[DataFrame] = None): DataFrame = {
@@ -604,8 +609,21 @@ object Similarity {
     // plan referencing these frames, so Catalyst re-analyzed the full
     // graph-build lineage once per hop — the leaf keeps hops 2..H as
     // memory reads AND one-node subplans
-    val edges = prebuiltEdges
-      .getOrElse(graft.Materialize.leaf(exactKnnGraphEdges(emb, degree))) // read once per hop
+    val edges = prebuiltEdges.getOrElse {
+      // DEFAULT-BUILD GUARD (r21, ADVICE r20): exactKnnGraphEdges is
+      // an O(n²·d) broadcast crossJoin — correct offline at corpus
+      // sizes whose right side broadcasts, quadratic disaster past
+      // them. Library callers without prebuilt edges get a loud
+      // refusal with the two escape hatches named instead of a
+      // broadcast-limit failure (or worse, a silent n² job).
+      val n = emb.count()
+      require(n <= maxExactGraphBuild,
+        s"graphSearch default edge build is exact O(n^2) and the corpus has " +
+          s"$n vectors (> $maxExactGraphBuild): build the graph offline and " +
+          "pass prebuiltEdges (exactKnnGraphEdges on a budget, or " +
+          "knnGraphEdges' LSH build at reduced recall)")
+      graft.Materialize.leaf(exactKnnGraphEdges(emb, degree)) // read once per hop
+    }
     // the scoring side re-scans per hop too — materialize the bare
     // (id, v, nrm) projection so hops 2..H are memory reads
     val cScore = graft.Materialize.leaf(c.select(col("vec_id"), col("v"), col("nrm")))
@@ -1353,7 +1371,7 @@ object SimilarityQueries {
     // GRAPH ANN: greedy beam search over the symmetrized EXACT k-NN
     // graph (NSW-style navigable graph, deterministic walk, 8 spread
     // entry points standing in for HNSW's upper-layer descent). The
-    // graph builds OFFLINE from exact top-8 neighbors (r19 verdict
+    // graph builds OFFLINE from exact top-16 neighbors (r19 verdict
     // #6 — the LSH edge set capped recall at 0.60; exact edges lift
     // it while the build cost amortizes over every query served);
     // the oracle re-derives the exact edges AND all eight unrolled

@@ -572,8 +572,14 @@ object StreamingOpsSinks {
       .parquet(streamDir)
     // shingle/band the corpus ONCE for the stream's lifetime — the
     // persisted-index contract (st18's codebook shape); per batch
-    // only the arriving docs pay the shingle work
-    val index = graft.operators.Dedup.prepNearDupIndex(corpus).cache()
+    // only the arriving docs pay the shingle work. Materialized LEAF
+    // (r21): foreachBatch re-plans the join per micro-batch, so a
+    // bare cache still re-analyzed the index's full build lineage
+    // once per batch
+    // rawIndex is unpersisted at stream close so every run rebuilds
+    // its index (the leaf's own unpersist is a no-op by design)
+    val rawIndex = graft.operators.Dedup.prepNearDupIndex(corpus)
+    val index = graft.Materialize.leaf(rawIndex)
     val q = stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
@@ -590,7 +596,7 @@ object StreamingOpsSinks {
           ()
       }
       .start()
-    try q.processAllAvailable() finally { q.stop(); index.unpersist() }
+    try q.processAllAvailable() finally { q.stop(); rawIndex.unpersist() }
   }
 
   /** EXACTLY-ONCE continuous SEMANTIC-dedup ingest — st11's durable
@@ -905,9 +911,15 @@ object StreamingOpsSinks {
     * discovery) is acquired before the partition snapshot and held
     * through the swap. A second concurrent compactor fails the
     * exclusive create and refuses loudly; a stream that commits a NEW
-    * partition between the snapshot and the publish is detected at
-    * publish time and the compaction aborts (staging discarded, store
-    * untouched). A compactor that CRASHES leaves the lock behind —
+    * partition between the snapshot and the publish is detected by a
+    * re-list taken just before the swap and the compaction aborts
+    * (staging discarded, store untouched). That check is BEST-EFFORT
+    * narrowing, not a proof (r21, ADVICE r20): a stream replaying an
+    * ORPHAN id (same partition name, so not "new") that commits it
+    * after the re-list but before the swap still loses that commit to
+    * the orphan delete — the stopped-stream contract above is what
+    * actually rules this out; the re-list only shrinks the window for
+    * contract violators. A compactor that CRASHES leaves the lock behind —
     * the refusal message names the file; delete it once no compactor
     * is alive (the store itself is always consistent: crash recovery
     * is the manifest swap, not the lock).
@@ -924,10 +936,20 @@ object StreamingOpsSinks {
     val (fs, out) = fsFor(spark, outDir)
     require(fs.exists(out),
       s"MV store $outDir has no committed batches yet — nothing to compact")
+    // create-exclusive concurrency fence. ATOMICITY CAVEAT (r21,
+    // ADVICE r20): create(path, overwrite=false) is atomic on HDFS
+    // and local filesystems but NOT guaranteed on object stores
+    // (S3A/GCS) — two compactors racing a store on such a filesystem
+    // can both pass the fence; pair the store with a real lock
+    // service there. Only FileAlreadyExistsException means "locked";
+    // any other IOException (transient FS failure) propagates as
+    // itself instead of masquerading as a lock conflict.
     val lock = new org.apache.hadoop.fs.Path(out, ".graft-compact-lock")
     val lockStream =
-      try fs.create(lock, false) // create-exclusive: the concurrency fence
-      catch { case _: java.io.IOException => throw new IllegalStateException(
+      try fs.create(lock, false)
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                   _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
         s"MV store $outDir is locked by another compaction ($lock exists). " +
           "If no compactor is alive this is a stale lock from a crashed " +
           "run — the store is consistent (recovery is the manifest swap, " +
@@ -1730,7 +1752,8 @@ object StreamingQueries {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       // corpus index built once for the stream (the persisted-index
       // contract); per batch only the arriving docs shingle
-      val index = graft.operators.Dedup.prepNearDupIndex(corpus).cache()
+      val rawIndex = graft.operators.Dedup.prepNearDupIndex(corpus)
+      val index = graft.Materialize.leaf(rawIndex)
       try {
         val q = stream.writeStream.outputMode("update")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -1743,7 +1766,7 @@ object StreamingQueries {
         try q.processAllAvailable() finally q.stop()
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", partsWas)
-        index.unpersist()
+        rawIndex.unpersist()
       }
       acc
     }),
@@ -1765,7 +1788,8 @@ object StreamingQueries {
       var acc: DataFrame = null
       val partsWas = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val index = graft.operators.Dedup.evalGramIndex(eval).cache()
+      val rawIndex = graft.operators.Dedup.evalGramIndex(eval)
+      val index = graft.Materialize.leaf(rawIndex)
       try {
         val q = stream.writeStream.outputMode("update")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -1778,7 +1802,7 @@ object StreamingQueries {
         try q.processAllAvailable() finally q.stop()
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", partsWas)
-        index.unpersist()
+        rawIndex.unpersist()
       }
       if (acc == null)
         graft.operators.Dedup.decontaminate(docs.limit(0), eval)
@@ -1804,8 +1828,9 @@ object StreamingQueries {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val catalogTiles = graft.operators.Multimodal
         .imageTiles(s, s.read.parquet(dir), patch = 4).toDF()
-      val index = graft.operators.Multimodal
-        .subimageIndex(catalogTiles).cache()
+      val rawIndex = graft.operators.Multimodal
+        .subimageIndex(catalogTiles)
+      val index = graft.Materialize.leaf(rawIndex)
       try {
         val q = stream.writeStream.outputMode("update")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -1820,7 +1845,7 @@ object StreamingQueries {
         try q.processAllAvailable() finally q.stop()
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", partsWas)
-        index.unpersist()
+        rawIndex.unpersist()
       }
       if (acc == null)
         graft.operators.Multimodal.subimageMatches(catalogTiles.limit(0))

@@ -1094,6 +1094,34 @@ class TextMultimodalSpec extends SparkSpec {
       mt.toString)
   }
 
+  test("BPE trainer guard + min-count prune (r21): loud maxVocab, prune-invariant gate corpus") {
+    import graft.operators.Bpe
+    val docs = Tables.documents(spark, sf)
+    // 1. the maxVocab guard fails LOUDLY naming both knobs (the d4
+    //    loud-guard convention) instead of an opaque driver OOM
+    val e = intercept[IllegalStateException](
+      Bpe.mergeTable(docs, nMerges = 2, maxVocab = 3))
+    assert(e.getMessage.contains("maxVocab") && e.getMessage.contains("minCount"))
+    // 2. prune invariance on the gate corpus: training on the
+    //    minCount ≥ 2 dictionary learns the IDENTICAL 16-merge table
+    //    (rare words contribute too little pair mass to move any
+    //    argmax here), so the oracle's unpruned unroll stays exact
+    def merges(mc: Long) = Bpe.mergeTable(docs, 16, minCount = mc)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"))).toSeq
+    assert(merges(2L) == merges(1L),
+      "min-count prune changed the gate-corpus merge table")
+    // 3. and the pruned-path tokenization (distributed per-word merge
+    //    application for words BELOW the prune) agrees row-for-row
+    //    with the registry path
+    def counts(mc: Long) = Bpe.bpeTokens(docs, 16, minCount = mc)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens")))).toMap
+    assert(counts(2L) == counts(1L),
+      "pruned-path token counts diverge from the registry path")
+  }
+
   test("m13 GrvSceneCodec: planted cut found, drift rejected, loud failures") {
     import graft.operators.Multimodal
     val w = 4; val h = 3; val fs = w * h
