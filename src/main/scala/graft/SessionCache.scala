@@ -121,10 +121,32 @@ object SessionPins {
   * it just loses the speedup.
   */
 object Materialize {
+  // leaf → raw frame, so [[release]] can unpersist the ORIGINAL cached
+  // plan (the leaf's own unpersist() no longer matches the CacheManager
+  // entry — ADVICE r21 #2: registry caches evicting leaves silently
+  // stopped releasing executor storage). Weak keys: once a registry
+  // cache drops the leaf, the entry clears with it; values (raw
+  // frames) don't reach their keys, so the classic WeakHashMap
+  // value→key pin doesn't apply.
+  private val raws =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, DataFrame]())
+
   def leaf(df: DataFrame): DataFrame = {
     SessionPins.pin(df)
     df.count()
-    org.apache.spark.sql.GraftColumnBridge.cachedLeaf(df)
+    val l = org.apache.spark.sql.GraftColumnBridge.cachedLeaf(df)
+    if (l ne df) raws.put(l, df)
+    l
+  }
+
+  /** Unpersist a [[leaf]]'s underlying cache entry (falls back to a
+    * plain `unpersist()` for frames that aren't leaves) — the correct
+    * `onEvict` for registry caches that store materialized leaves. */
+  def release(df: DataFrame): Unit = {
+    val raw = raws.remove(df)
+    try { (if (raw != null) raw else df).unpersist(); () }
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 }
 

@@ -150,8 +150,15 @@ object Bpe {
         }
       }.toDF("w", "n_tok")
     }
+    // broadcast only the driver-sized dict (minCount ≤ 1: trained
+    // counts already collected above). The minCount > 1 dict is the
+    // FULL distinct vocabulary — unbounded at scale — and a broadcast
+    // hint would collect it right back to the driver (ADVICE r21 #1),
+    // recreating the failure wordCounts' guard exists to prevent;
+    // that side joins distributed (vocabulary-grain shuffle).
+    val dictSide = if (minCount <= 1L) broadcast(dict) else dict
     words
-      .join(broadcast(dict), Seq("w"))
+      .join(dictSide, Seq("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_tok")).cast("long").as("n_bpe_tokens"))

@@ -25,7 +25,7 @@ object DedupQueries {
     * swept on access (see [[graft.SessionCache]]).
     */
   private val compCache =
-    new graft.SessionCache[(String, Double), DataFrame](_.unpersist())
+    new graft.SessionCache[(String, Double), DataFrame](graft.Materialize.release)
 
   private def cachedClusters(s: SparkSession, sfDir: String,
       minJaccard: Double): DataFrame =
@@ -39,7 +39,7 @@ object DedupQueries {
     * cachedClusters' contract applied to the eval harness inputs.
     */
   private val evalPairCache =
-    new graft.SessionCache[(String, String), DataFrame](_.unpersist())
+    new graft.SessionCache[(String, String), DataFrame](graft.Materialize.release)
 
   private def cachedEvalCand(s: SparkSession, d: String): DataFrame =
     evalPairCache(s, (d, "cand")) {

@@ -611,8 +611,30 @@ object Graph {
     }
     var lbl = adj.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
-    for (_ <- 1 to rounds) lbl = step(lbl).localCheckpoint()
-    if (verifyFixpoint) {
+    // CONVERGENCE EARLY EXIT (r22, the s13 beam-fixpoint pattern):
+    // every node's label is NON-INCREASING per round (the least()
+    // includes the node's own label), so Σ label is strictly
+    // decreasing until the fixpoint and an UNCHANGED sum proves the
+    // round moved no label at all — from there every further round is
+    // the identity, and stopping yields the bit-identical result of
+    // the full `rounds`-round unroll (the oracle's shape;
+    // GraphSpec pins early-exit ≡ fixed-round). The witness is one
+    // node-grain aggregate per round over the just-checkpointed frame
+    // (DECIMAL(38,0): node ids are unbounded longs at scale, the sum
+    // must not wrap). An observed identity round IS the fixpoint
+    // probe, so the verify pass is skipped whenever the exit fired.
+    var prevSum: java.math.BigDecimal = null
+    var fixed = false
+    var r = 0
+    while (r < rounds && !fixed) {
+      lbl = step(lbl).localCheckpoint()
+      val s = lbl.agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
+        .head().getDecimal(0)
+      if (prevSum != null && prevSum.compareTo(s) == 0) fixed = true
+      prevSum = s
+      r += 1
+    }
+    if (verifyFixpoint && !fixed) {
       // A fixed round count is only correct if it REACHED the
       // fixpoint — on a topology whose label chains outlast the
       // pointer-jumping contraction the labels would silently split

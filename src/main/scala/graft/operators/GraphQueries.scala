@@ -36,7 +36,7 @@ object GraphQueries {
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
   private val edgeCache =
-    new graft.SessionCache[String, DataFrame](_.unpersist())
+    new graft.SessionCache[String, DataFrame](graft.Materialize.release)
 
   /** The cached co-purchase 8-NN edge table at `sfDir`.
     *
@@ -135,20 +135,35 @@ object GraphQueries {
   private def demandSeeds(s: SparkSession, sfDir: String,
       n: Int = 5): DataFrame = seedsCache(s, s"$sfDir#$n") {
     import s.implicits._
+    // r22 (window audit): the top-n pick over the part-grain count
+    // frame ran through an unpartitioned row_number window — a global
+    // sort of a data-sized frame into one task. sort.limit(n) plans
+    // as TakeOrderedAndProject (bounded heaps), same n rows under the
+    // same (cnt desc, partkey) total order.
     Tables.lineitem(s, sfDir)
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("cnt").desc, col("l_partkey"))))
-      .filter(col("rn") <= n)
+      .sort(col("cnt").desc, col("l_partkey"))
+      .limit(n)
       .select(col("l_partkey"))
       .as[Long].collect().toSeq.toDF("node")
   }
 
+  /** Top-k readout with a rank column. r22 (window audit): the old
+    * shape ranked the WHOLE readout frame through an unpartitioned
+    * row_number window — a global sort of a node/pair-grain frame
+    * funneled into one task. `sort.limit(k)` plans as
+    * TakeOrderedAndProject (per-partition bounded heaps, one bounded
+    * merge — never a full global sort), provably the same k rows
+    * under the same total order; the rank window then re-ranks ≤ k
+    * rows — its single-partition input is bounded BY CONSTRUCTION.
+    * Callers pass a total order (unique tie column last), so ranks
+    * are deterministic and oracle-identical.
+    */
   private def rankedTopK(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
       k: Int, cols: org.apache.spark.sql.Column*): DataFrame =
-    df.withColumn("rank",
+    df.sort(order: _*).limit(k)
+      .withColumn("rank",
         row_number().over(Window.orderBy(order: _*)).cast("long"))
-      .filter(col("rank") <= k)
       .select(col("rank") +: cols: _*)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

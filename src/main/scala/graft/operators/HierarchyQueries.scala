@@ -32,7 +32,7 @@ object HierarchyQueries {
     * so the benched operator is the incremental fold of the arriving
     * batch, not a rebuild of history.
     */
-  private val mvCache = new graft.SessionCache[String, DataFrame](_.unpersist())
+  private val mvCache = new graft.SessionCache[String, DataFrame](graft.Materialize.release)
 
   def historicalMv(spark: SparkSession, sfDir: String): DataFrame =
     mvCache(spark, s"hist:$sfDir")(

@@ -294,23 +294,99 @@ object Olap {
         when(col("op").isNotNull, col(s"c_$c")).otherwise(col(c)).as(c)): _*)
   }
 
+  /** SCALABLE GLOBAL RANK + PREFIX SUM (r22 window audit): the
+    * entity-grain global rank/cumsum queries (q64/q71/q78) ran their
+    * total-order windows UNPARTITIONED — Spark funnels the whole
+    * entity frame into one task, the classic 100 TB scale-killer the
+    * WindowExec warning names. This is the standard two-pass
+    * decomposition instead: range-repartition by the order key
+    * (parallelism-adaptive partition count), per-partition counts /
+    * sums roll up to per-partition OFFSETS (a window over the
+    * partition-COUNT-grain stats frame — ≤ `defaultParallelism` rows,
+    * bounded by cluster size, never by data), and each partition
+    * ranks/prefix-sums locally with the offset added. Exactness:
+    * `order` must be a TOTAL order (unique tie column last) — then
+    * ranks are the same integers the single-task window produced, on
+    * any partitioning. The entity frame is materialized once
+    * (`localCheckpoint`) so the sampling pass and both branches never
+    * recompute the upstream fact aggregate, and equal keys can never
+    * straddle a range boundary inconsistently (RangePartitioner
+    * assigns by key value; the tie column makes keys unique anyway).
+    *
+    * Returns (ranked frame = input columns + `__rank` [+ `__cum` when
+    * `sumCol` is set], the checkpointed entity frame for totals).
+    */
+  private[graft] def rangedGlobal(byEntity: DataFrame,
+      order: Seq[Column], sumCol: Option[Column])
+      : (DataFrame, DataFrame) = {
+    val spark = byEntity.sparkSession
+    val c = byEntity.localCheckpoint()
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    val ranged = c.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val statAggs = Seq(count(lit(1)).as("__n")) ++
+      sumCol.map(sc => sum(sc).as("__s"))
+    val stats = ranged.groupBy("__pid")
+      .agg(statAggs.head, statAggs.tail: _*)
+    val wOff = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs0 = stats.withColumn("__offn",
+      coalesce(sum("__n").over(wOff), lit(0L)))
+    val offs = (if (sumCol.isEmpty) offs0
+      else offs0.withColumn("__offs",
+        coalesce(sum("__s").over(wOff), lit(0L).cast(offs0.schema("__s").dataType))))
+      .drop("__n", "__s")
+    val wLoc = Window.partitionBy("__pid").orderBy(order: _*)
+    val wLocCum = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked0 = ranged.join(broadcast(offs), Seq("__pid"))
+      .withColumn("__rank",
+        (col("__offn") + row_number().over(wLoc)).cast("long"))
+    val ranked = sumCol match {
+      case None => ranked0.drop("__pid", "__offn")
+      case Some(sc) => ranked0
+        .withColumn("__cum", col("__offs") + sum(sc).over(wLocCum))
+        .drop("__pid", "__offn", "__offs")
+    }
+    (ranked, c)
+  }
+
+  /** Spark `ntile(k)` reproduced from a global 1-based `__rank` and
+    * the total row count `n` — bit-identical bucket assignment
+    * (first n%k buckets get ⌈n/k⌉ rows, the rest ⌊n/k⌋), expressed in
+    * integral arithmetic so [[rangedGlobal]]'s scalable rank can
+    * replace the unpartitioned ntile window.
+    */
+  private def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    // integral division via floor(double): exact while operands stay
+    // below 2^53 — entity counts, so ~6 orders of magnitude of
+    // headroom at 100 TB. rem/thr stay in long arithmetic. The
+    // `otherwise` branch divides by bs and is only reachable when
+    // bs ≥ 1 (bs = 0 ⇒ thr = n ⇒ every rank takes the first branch).
+    def idiv(a: Column, b: Column): Column =
+      floor(a.cast("double") / b.cast("double")).cast("long")
+    val bs = idiv(n, lit(k.toLong))
+    val rem = n % lit(k.toLong)
+    val thr = rem * (bs + lit(1L))
+    when(rank <= thr, idiv(rank - lit(1L), bs + lit(1L)) + lit(1L))
+      .otherwise(rem + idiv(rank - lit(1L) - thr, bs) + lit(1L))
+  }
+
   /** ABC / Pareto classification summary (q64): entities ranked by
     * `revCol` desc (ties by `idCol` asc), classified by 9-dp-rounded
     * cumulative revenue share — A ≤ `aCut`, B ≤ `bCut`, C the rest —
-    * and summarized per class. The cumulative fold is a global window
-    * at ENTITY grain (dimension-sized, never facts); callers must feed
-    * order-free-deterministic revenues (integer-cent sums) so the fold
-    * sees identical doubles on any engine.
+    * and summarized per class. The cumulative fold runs through
+    * [[rangedGlobal]] (r22): entity-grain, but no longer single-task.
+    * Callers must feed order-free-deterministic revenues (integer-cent
+    * sums) so the fold sees identical values on any engine.
     */
   def abcSummary(byEntity: DataFrame, idCol: String, revCol: String,
       aCut: Double = 0.80, bCut: Double = 0.95): DataFrame = {
-    val w = Window.orderBy(col(revCol).desc, col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.orderBy(col(revCol).desc, col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val classed = byEntity
-      .withColumn("__share",
-        round(sum(revCol).over(w) / sum(revCol).over(wAll), 9))
+    val (ranked, c) = rangedGlobal(byEntity,
+      Seq(col(revCol).desc, col(idCol)), Some(col(revCol)))
+    val totAll = c.agg(sum(revCol).as("__totsh"))
+    val classed = ranked
+      .crossJoin(broadcast(totAll))
+      .withColumn("__share", round(col("__cum") / col("__totsh"), 9))
       .withColumn("abc_class",
         when(col("__share") <= aCut, lit("A"))
           .when(col("__share") <= bCut, lit("B")).otherwise(lit("C")))
@@ -405,11 +481,25 @@ object Olap {
     * sums; the window runs at ENTITY grain (dimension-sized — facts
     * pre-aggregate first, the q64 global-window convention).
     */
+  /** Global ntile(k) under a total order, computed scalably: the
+    * [[rangedGlobal]] two-pass rank + [[ntileFromRank]]'s exact Spark
+    * bucket arithmetic — bit-identical to
+    * `ntile(k).over(Window.orderBy(order))` without the single-task
+    * window (r22 window audit; used by q71/q78).
+    */
+  private[graft] def globalNtile(byEntity: DataFrame, order: Seq[Column],
+      k: Int, out: String): DataFrame = {
+    val (ranked, c) = rangedGlobal(byEntity, order, None)
+    val nTot = c.agg(count(lit(1)).as("__nn"))
+    ranked.crossJoin(broadcast(nTot))
+      .withColumn(out, ntileFromRank(col("__rank"), col("__nn"), k))
+      .drop("__rank", "__nn")
+  }
+
   def decileLift(byEntity: DataFrame, idCol: String,
       centsCol: String): DataFrame = {
-    val ranked = byEntity.withColumn("decile",
-      ntile(10).over(Window.orderBy(col(centsCol).desc, col(idCol)))
-        .cast("long"))
+    val ranked = globalNtile(byEntity,
+      Seq(col(centsCol).desc, col(idCol)), 10, "decile")
     val g = ranked.groupBy("decile")
       .agg(count(lit(1)).as("n_customers"),
         sum(col(centsCol).cast("decimal(38,0)")).as("__c"))

@@ -995,10 +995,13 @@ object OlapQueries {
         .agg(array_join(
           transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
             x => x.getField("event_type")), ">").as("path"))
+      // r22 (window audit): bounded-grain input (paths ≤ |event
+      // types|³), but the uniform TakeOrderedAndProject + ≤20-row
+      // re-rank shape costs nothing and keeps the audit simple
       paths.groupBy("path").agg(count(lit(1)).as("n_users"))
+        .sort(col("n_users").desc, col("path")).limit(20)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("n_users").desc, col("path"))).cast("long"))
-        .filter(col("rank") <= 20)
         .select(col("rank"), col("path"), col("n_users"))
     }),
 
@@ -1943,14 +1946,17 @@ object OlapQueries {
     // customer-grain frames, a ≤100-row transition aggregate; the
     // row-share window runs over that 100-row frame.
     "q78_decile_transition" -> ((s, d) => {
-      def deciles(year: Int, out: String) = Tables.orders(s, d)
-        .filter(org.apache.spark.sql.functions.year(col("o_orderdate"))
-          === year)
-        .groupBy("o_custkey")
-        .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
-          .as("cents"))
-        .withColumn(out, ntile(10).over(
-          Window.orderBy(col("cents").desc, col("o_custkey"))).cast("long"))
+      // r22 (window audit): the entity-grain ntile runs through
+      // Olap.globalNtile's two-pass ranged rank — bit-identical
+      // buckets, no single-task window over the customer frame
+      def deciles(year: Int, out: String) = Olap.globalNtile(
+        Tables.orders(s, d)
+          .filter(org.apache.spark.sql.functions.year(col("o_orderdate"))
+            === year)
+          .groupBy("o_custkey")
+          .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+            .as("cents")),
+        Seq(col("cents").desc, col("o_custkey")), 10, out)
         .select(col("o_custkey"), col(out))
       val t = deciles(1996, "from_decile")
         .join(deciles(1997, "to_decile"), "o_custkey")

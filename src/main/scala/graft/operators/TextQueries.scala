@@ -605,9 +605,12 @@ object TextQueries {
         .agg(sum(col("c").cast("decimal(38,0)")).as("sc"),
           sum((col("c") * col("c")).cast("decimal(38,0)")).as("sc2"),
           count(lit(1)).as("df"))
-      byTok.withColumn("rank", row_number().over(
+      // r22 (window audit): sort.limit plans as TakeOrderedAndProject
+      // (bounded heaps — no global sort of the vocab-grain frame);
+      // the rank window then re-ranks ≤ 20 rows
+      byTok.sort(col("sc").desc, col("tok")).limit(20)
+        .withColumn("rank", row_number().over(
           Window.orderBy(col("sc").desc, col("tok"))).cast("long"))
-        .filter(col("rank") <= 20)
         .crossJoin(broadcast(nDocs))
         .select(col("rank"), col("tok").as("token"),
           col("sc").cast("long").as("total_count"), col("df").as("doc_freq"),
@@ -717,11 +720,14 @@ object TextQueries {
       .agg(sum("wscore").as("tot"))
     val occ = phrases.groupBy("phrase")
       .agg(count(lit(1)).as("n_occurrences"))
+    // r22 (window audit): top-N via TakeOrderedAndProject, then a
+    // bounded ≤ topN-row re-rank — no global sort of the phrase frame
     scored.join(occ, Seq("phrase"))
       .withColumn("score", col("tot") / col("n_occurrences"))
+      .sort(round(col("score"), 9).desc, col("phrase"))
+      .limit(topN)
       .withColumn("rank", row_number().over(Window.orderBy(
         round(col("score"), 9).desc, col("phrase"))).cast("long"))
-      .filter(col("rank") <= topN)
       .select(col("rank"), col("phrase"), col("n_occurrences"),
         round(col("score"), 6).as("score"))
   }
@@ -752,9 +758,12 @@ object TextQueries {
         log((col("n_pair").cast("double") / col("nb")) /
           ((col("c1").cast("double") / col("nu")) *
            (col("c2").cast("double") / col("nu")))))
+      // r22 (window audit): same TakeOrderedAndProject + bounded
+      // re-rank shape as rakeKeywords
+      .sort(round(col("pmi"), 9).desc, col("w1"), col("w2"))
+      .limit(topN)
       .withColumn("rank", row_number().over(Window.orderBy(
         round(col("pmi"), 9).desc, col("w1"), col("w2"))).cast("long"))
-      .filter(col("rank") <= topN)
       .select(col("rank"), col("w1"), col("w2"), col("n_pair"),
         round(col("pmi"), 6).as("pmi"))
   }

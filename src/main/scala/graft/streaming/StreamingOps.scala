@@ -945,15 +945,24 @@ object StreamingOpsSinks {
     // any other IOException (transient FS failure) propagates as
     // itself instead of masquerading as a lock conflict.
     val lock = new org.apache.hadoop.fs.Path(out, ".graft-compact-lock")
+    def lockConflict(): Nothing = throw new IllegalStateException(
+      s"MV store $outDir is locked by another compaction ($lock exists). " +
+        "If no compactor is alive this is a stale lock from a crashed " +
+        "run — the store is consistent (recovery is the manifest swap, " +
+        "not the lock); delete the lock file and re-run.")
     val lockStream =
       try fs.create(lock, false)
-      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-                   _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalStateException(
-        s"MV store $outDir is locked by another compaction ($lock exists). " +
-          "If no compactor is alive this is a stale lock from a crashed " +
-          "run — the store is consistent (recovery is the manifest swap, " +
-          "not the lock); delete the lock file and re-run.") }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException => lockConflict()
+        // older Hadoop impls / some connectors signal the conflict as a
+        // plain IOException (ADVICE r21 #4): if the lock demonstrably
+        // exists, it IS the conflict — keep the recovery guidance;
+        // genuinely transient failures still propagate as themselves
+        case e: java.io.IOException =>
+          val exists = try fs.exists(lock) catch { case _: Throwable => false }
+          if (exists) lockConflict() else throw e
+      }
     lockStream.close()
     try {
       finishPendingSwap(fs, out) // complete a crashed predecessor first
@@ -1079,8 +1088,67 @@ object StreamingQueries {
     * sfDir) — the fixture is demo setup standing in for files landing
     * from outside, not part of the streamed operator, so timed runs
     * measure stream consumption, not the fixture write.
+    *
+    * TWO files per fixture (r22; was 4): micro-batching is
+    * semantics-free for every consumer (per-doc decisions against a
+    * static index, associative MV folds — each entry's own comment
+    * carries the argument, and the oracles pin it), so batch count
+    * only buys per-batch fixed cost. Two batches are the minimum that
+    * still exercises both maintenance paths (store init, then a
+    * fold/merge into existing state) — st9's 2-file precedent, now
+    * uniform. StreamProf (plans/r22/streamprof_before.txt) measured
+    * the per-batch fixed cost at 0.10–0.15 s of checkpoint-log fsync
+    * plus 0.3–0.5 s of addBatch on row counts this small; at real
+    * arrival rates trigger sizing is exactly this knob (guide §1.2:
+    * remove unnecessary passes).
     */
   private val fixtureCache = new graft.SessionCache[String, String]
+
+  /** Per-run scratch root for STREAMING CHECKPOINTS (offset WAL,
+    * commit log, state store). These are run-local throwaways here —
+    * every bench/oracle run starts a fresh stream on a fresh dir — so
+    * they go to the fastest local filesystem available: `/dev/shm`
+    * when writable (the checkpoint fsync is a pure per-batch tax on a
+    * disk-backed /tmp: StreamProf measured walCommit+commitOffsets ≈
+    * 0.07 s/batch on ext4), else the JVM tmpdir. A production
+    * deployment parameterizes this to durable storage —
+    * SPARK_GRAFT_STREAM_TMP overrides the root (set it to a
+    * disk-backed path to restore the old behavior); sink OUTPUT
+    * directories are not affected, only checkpoints.
+    */
+  private[graft] def ckptScratchDir(prefix: String): String = {
+    val base = sys.env.get("SPARK_GRAFT_STREAM_TMP")
+      .map(java.nio.file.Paths.get(_))
+      .orElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isDirectory(shm) &&
+            java.nio.file.Files.isWritable(shm)) Some(shm) else None
+      }
+    (base match {
+      case Some(b) => java.nio.file.Files.createTempDirectory(b, prefix)
+      case None => java.nio.file.Files.createTempDirectory(prefix)
+    }).toString
+  }
+
+  /** Start a configured writeStream on a scratch checkpoint
+    * ([[ckptScratchDir]]), drain it, and delete the checkpoint — the
+    * foreachBatch registry entries previously relied on Spark's
+    * implicit temp checkpoint (disk-backed JVM tmpdir); an explicit
+    * scratch dir is not auto-deleted, so this helper owns the cleanup.
+    */
+  private def drainWithScratchCkpt(
+      w: org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row]): Unit = {
+    val ckpt = java.nio.file.Paths.get(ckptScratchDir("graft_fb_ckpt"))
+    val q = w.option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    } catch { case _: Throwable => () }
+  }
 
   private def mvStreamDir(s: SparkSession, d: String): String =
     fixtureCache(s, s"mv:$d") {
@@ -1108,7 +1176,7 @@ object StreamingQueries {
       val cols = Seq("leaf_key", "customer_id", "unit_quantity",
         "sales_amount").map(col)
       facts.select(cols: _*).withColumn("w", lit(1L))
-        .repartition(2).write.mode("overwrite").parquet(dir)
+        .repartition(1).write.mode("overwrite").parquet(dir)
       facts
         .filter(pmod(col("customer_id"), lit(10)) === 3 &&
           pmod(col("l_partkey"), lit(2)) === 0)
@@ -1122,7 +1190,7 @@ object StreamingQueries {
       val dir = java.nio.file.Files.createTempDirectory("graft_nd_stream")
         .resolve("batch").toString
       Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5)) === 0)
-        .repartition(4).write.mode("overwrite").parquet(dir)
+        .repartition(2).write.mode("overwrite").parquet(dir)
       dir
     }
 
@@ -1135,7 +1203,7 @@ object StreamingQueries {
       val dir = java.nio.file.Files.createTempDirectory("graft_dc_stream")
         .resolve("batch").toString
       Tables.documents(s, d).filter(pmod(col("doc_id"), lit(50)) =!= 0)
-        .repartition(4).write.mode("overwrite").parquet(dir)
+        .repartition(2).write.mode("overwrite").parquet(dir)
       dir
     }
 
@@ -1144,7 +1212,7 @@ object StreamingQueries {
       val dir = java.nio.file.Files.createTempDirectory("graft_emb_stream")
         .resolve("batch").toString
       Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(5)) === 0)
-        .repartition(4).write.mode("overwrite").parquet(dir)
+        .repartition(2).write.mode("overwrite").parquet(dir)
       dir
     }
 
@@ -1170,7 +1238,7 @@ object StreamingQueries {
             else bmp
           graft.operators.Multimodal.MediaRow(id, payload, "image/bmp", w, h)
         }
-        .toDF().repartition(4).write.mode("overwrite").parquet(dir)
+        .toDF().repartition(2).write.mode("overwrite").parquet(dir)
       dir
     }
 
@@ -1193,7 +1261,7 @@ object StreamingQueries {
           graft.operators.Multimodal.MediaRow(id,
             graft.operators.Multimodal.synthBmp(w, h, text), "image/bmp", w, h)
         }
-        .toDF().repartition(4).write.mode("overwrite").parquet(dir)
+        .toDF().repartition(2).write.mode("overwrite").parquet(dir)
       dir
     }
 
@@ -1211,7 +1279,7 @@ object StreamingQueries {
           year(col("o_orderdate")).cast("long").as("order_year"),
           floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"),
           col("o_custkey"))
-        .repartition(4).write.mode("overwrite").parquet(dir)
+        .repartition(2).write.mode("overwrite").parquet(dir)
       dir
     }
 
@@ -1228,7 +1296,7 @@ object StreamingQueries {
         year(col("o_orderdate")).cast("long").as("order_year"),
         floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
       ord.select(sel: _*).withColumn("w", lit(1L))
-        .repartition(2).write.mode("overwrite").parquet(dir)
+        .repartition(1).write.mode("overwrite").parquet(dir)
       ord.filter(pmod(col("o_orderkey"), lit(7)) === 0)
         .select(sel: _*).withColumn("w", lit(-1L))
         .repartition(1).write.mode("append").parquet(dir)
@@ -1244,7 +1312,7 @@ object StreamingQueries {
       val dir = java.nio.file.Files.createTempDirectory("graft_docs_stream")
         .resolve("batch").toString
       Tables.documents(s, d)
-        .repartition(4).write.mode("overwrite").parquet(dir)
+        .repartition(2).write.mode("overwrite").parquet(dir)
       dir
     }
 
@@ -1292,11 +1360,27 @@ object StreamingQueries {
     // restore the session setting afterwards.
     val partsWas = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    // explicit scratch checkpoint (tmpfs when available — see
+    // ckptScratchDir): the memory sink otherwise gets a Spark temp
+    // checkpoint on the disk-backed JVM tmpdir, and the stateful
+    // entries pay offset-WAL + state-store fsync per micro-batch
+    // there. Deleted after the stream closes (Spark only auto-deletes
+    // ITS OWN temp checkpoints).
+    val ckpt = java.nio.file.Paths.get(ckptScratchDir("graft_stream_ckpt"))
     try {
       val q = build(ev).writeStream
+        .option("checkpointLocation", ckpt.toString)
         .outputMode(outputMode).format("memory").queryName(qname).start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", partsWas)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", partsWas)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Throwable => () }
+    }
     spark.table(qname)
   }
 
@@ -1401,8 +1485,7 @@ object StreamingQueries {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val out = java.nio.file.Files
         .createTempDirectory("graft_hist_sink").resolve("out").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_hist_ckpt").toString
+      val ckpt = StreamingQueries.ckptScratchDir("graft_hist_ckpt")
       val partsWas = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
@@ -1686,15 +1769,14 @@ object StreamingQueries {
       val partsWas = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        val q = stream.writeStream.outputMode("update")
+        drainWithScratchCkpt(stream.writeStream.outputMode("update")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             val delta = batch.toDF()
             mv = (if (mv == null) graft.operators.HierarchyAgg.rollupMv(delta, adim)
                   else graft.operators.HierarchyAgg.mergeRollupMv(mv, delta, adim))
               .localCheckpoint()
             ()
-          }.start()
-        try q.processAllAvailable() finally q.stop()
+          })
       } finally s.conf.set("spark.sql.shuffle.partitions", partsWas)
       graft.operators.HierarchyAgg.finalizeRollup(mv, adim)
     }),
@@ -1717,7 +1799,7 @@ object StreamingQueries {
       val partsWas = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        val q = stream.writeStream.outputMode("update")
+        drainWithScratchCkpt(stream.writeStream.outputMode("update")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             val delta = batch.toDF()
             mv = (if (mv == null)
@@ -1726,8 +1808,7 @@ object StreamingQueries {
                     graft.operators.HierarchyAgg.mergeDistinctMv(mv, delta, adim, 1 << 21))
               .localCheckpoint()
             ()
-          }.start()
-        try q.processAllAvailable() finally q.stop()
+          })
       } finally s.conf.set("spark.sql.shuffle.partitions", partsWas)
       graft.operators.HierarchyAgg.readDistinctMv(mv)
     }),
@@ -1755,15 +1836,14 @@ object StreamingQueries {
       val rawIndex = graft.operators.Dedup.prepNearDupIndex(corpus)
       val index = graft.Materialize.leaf(rawIndex)
       try {
-        val q = stream.writeStream.outputMode("update")
+        drainWithScratchCkpt(stream.writeStream.outputMode("update")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             val classified = graft.operators.Dedup
               .incrementalNearDupPrepped(index, batch.toDF(), minJaccard = 0.05)
               .localCheckpoint()
             acc = if (acc == null) classified else acc.unionByName(classified)
             ()
-          }.start()
-        try q.processAllAvailable() finally q.stop()
+          })
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", partsWas)
         rawIndex.unpersist()
@@ -1791,15 +1871,14 @@ object StreamingQueries {
       val rawIndex = graft.operators.Dedup.evalGramIndex(eval)
       val index = graft.Materialize.leaf(rawIndex)
       try {
-        val q = stream.writeStream.outputMode("update")
+        drainWithScratchCkpt(stream.writeStream.outputMode("update")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             val flagged = graft.operators.Dedup
               .decontaminatePrepped(batch.toDF(), index)
               .localCheckpoint()
             acc = if (acc == null) flagged else acc.unionByName(flagged)
             ()
-          }.start()
-        try q.processAllAvailable() finally q.stop()
+          })
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", partsWas)
         rawIndex.unpersist()
@@ -1832,7 +1911,7 @@ object StreamingQueries {
         .subimageIndex(catalogTiles)
       val index = graft.Materialize.leaf(rawIndex)
       try {
-        val q = stream.writeStream.outputMode("update")
+        drainWithScratchCkpt(stream.writeStream.outputMode("update")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             val tiles = graft.operators.Multimodal
               .imageTiles(s, batch.toDF(), patch = 4).toDF()
@@ -1841,8 +1920,7 @@ object StreamingQueries {
               .localCheckpoint()
             acc = if (acc == null) pairs else acc.unionByName(pairs)
             ()
-          }.start()
-        try q.processAllAvailable() finally q.stop()
+          })
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", partsWas)
         rawIndex.unpersist()
@@ -1871,7 +1949,7 @@ object StreamingQueries {
       val partsWas = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        val q = stream.writeStream.outputMode("update")
+        drainWithScratchCkpt(stream.writeStream.outputMode("update")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             val out = graft.operators.Multimodal
               .extractFeaturesQuarantine(s, batch.toDF(),
@@ -1879,8 +1957,7 @@ object StreamingQueries {
               .toDF().localCheckpoint()
             acc = if (acc == null) out else acc.unionByName(out)
             ()
-          }.start()
-        try q.processAllAvailable() finally q.stop()
+          })
       } finally s.conf.set("spark.sql.shuffle.partitions", partsWas)
       if (acc == null)
         graft.operators.Multimodal.extractFeaturesQuarantine(s,
@@ -1924,7 +2001,7 @@ object StreamingQueries {
       val sKeys = Seq("source")
       val sMeasures = Seq(
         MvSum("n_tokens", col("n_toks")),
-        MvSum("n_chars", length(col("text")).cast("long")),
+        MvSum("n_chars", col("n_chars_in")),
         MvSum("n_en", when(col("pred") === "en", 1L).otherwise(0L)),
         MvSum("n_fr", when(col("pred") === "fr", 1L).otherwise(0L)),
         MvSum("n_es", when(col("pred") === "es", 1L).otherwise(0L)),
@@ -1938,18 +2015,28 @@ object StreamingQueries {
       val partsWas = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        val q = stream.writeStream.outputMode("update")
+        drainWithScratchCkpt(stream.writeStream.outputMode("update")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            // materialize the per-doc signals ONCE per batch (r22):
+            // both MV folds read `delta`, and as a lazy frame the
+            // whole tokenize/markerCount/sha2 pass ran twice per
+            // batch — once inside each fold's localCheckpoint job.
+            // Project to the measure inputs first so the checkpoint
+            // holds narrow signal columns, not the token arrays/text
+            // (guide §2.3: narrow what you materialize)
             val delta = perDoc(batch.toDF())
+              .withColumn("n_chars_in", length(col("text")).cast("long"))
+              .select("source", "n_toks", "n_chars_in", "pred", "q", "__key")
+              .localCheckpoint()
             sigMv = (if (sigMv == null) MvFold.build(delta, sKeys, sMeasures)
                      else MvFold.fold(sigMv, delta, sKeys, sMeasures))
               .localCheckpoint()
             hashMv = (if (hashMv == null) MvFold.build(delta, hKeys, hMeasures)
                       else MvFold.fold(hashMv, delta, hKeys, hMeasures))
               .localCheckpoint()
+            delta.unpersist()
             ()
-          }.start()
-        try q.processAllAvailable() finally q.stop()
+          })
       } finally s.conf.set("spark.sql.shuffle.partitions", partsWas)
       require(sigMv != null && hashMv != null, "empty stream source")
       val hashes = MvFold.read(hashMv, hKeys, hMeasures)
@@ -1992,15 +2079,14 @@ object StreamingQueries {
       val partsWas = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        val q = stream.writeStream.outputMode("update")
+        drainWithScratchCkpt(stream.writeStream.outputMode("update")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             val delta = batch.toDF()
             mv = (if (mv == null) MvFold.build(delta, keys, measures)
                   else MvFold.fold(mv, delta, keys, measures))
               .localCheckpoint()
             ()
-          }.start()
-        try q.processAllAvailable() finally q.stop()
+          })
       } finally s.conf.set("spark.sql.shuffle.partitions", partsWas)
       if (mv == null)
         mv = MvFold.build(s.read.parquet(dir).limit(0), keys, measures)
@@ -2025,8 +2111,7 @@ object StreamingQueries {
       val schema = s.read.parquet(dir).schema
       val out = java.nio.file.Files
         .createTempDirectory("graft_mvsink").resolve("out").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_mvsink_ckpt").toString
+      val ckpt = StreamingQueries.ckptScratchDir("graft_mvsink_ckpt")
       val keys = Seq("o_orderpriority", "order_year")
       val measures = Seq(MvSum("sum_cents", col("cents")),
         MvCount("n_orders"),
@@ -2058,8 +2143,7 @@ object StreamingQueries {
       val schema = s.read.parquet(dir).schema
       val out = java.nio.file.Files
         .createTempDirectory("graft_hrmv").resolve("out").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_hrmv_ckpt").toString
+      val ckpt = StreamingQueries.ckptScratchDir("graft_hrmv_ckpt")
       val keys = Seq("leaf_key", "customer_id")
       val measures = Seq(MvSum("mv_sales", col("sales_amount")),
         MvSum("mv_qty", col("unit_quantity")), MvCount("mv_n"))
@@ -2090,8 +2174,7 @@ object StreamingQueries {
       val schema = s.read.parquet(dir).schema
       val out = java.nio.file.Files
         .createTempDirectory("graft_rtmv").resolve("out").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_rtmv_ckpt").toString
+      val ckpt = StreamingQueries.ckptScratchDir("graft_rtmv_ckpt")
       val keys = Seq("leaf_key", "customer_id")
       val measures = Seq(MvSum("mv_sales", col("sales_amount")),
         MvSum("mv_qty", col("unit_quantity")), MvCount("mv_n"))
@@ -2121,8 +2204,7 @@ object StreamingQueries {
       val schema = s.read.parquet(dir).schema
       val out = java.nio.file.Files
         .createTempDirectory("graft_histmv").resolve("out").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_histmv_ckpt").toString
+      val ckpt = StreamingQueries.ckptScratchDir("graft_histmv_ckpt")
       val keys = Seq("o_orderpriority", "order_year")
       val (lo, hi, nb) = (0L, 1L << 26, 4096)
       val partsWas = s.conf.get("spark.sql.shuffle.partitions")
@@ -2147,8 +2229,7 @@ object StreamingQueries {
       val schema = s.read.parquet(dir).schema
       val out = java.nio.file.Files
         .createTempDirectory("graft_histrt").resolve("out").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_histrt_ckpt").toString
+      val ckpt = StreamingQueries.ckptScratchDir("graft_histrt_ckpt")
       val keys = Seq("o_orderpriority", "order_year")
       val (lo, hi, nb) = (0L, 1L << 26, 4096)
       val partsWas = s.conf.get("spark.sql.shuffle.partitions")
@@ -2176,8 +2257,7 @@ object StreamingQueries {
       val schema = s.read.parquet(dir).schema
       val out = java.nio.file.Files
         .createTempDirectory("graft_nd_sink").resolve("out").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_nd_ckpt").toString
+      val ckpt = StreamingQueries.ckptScratchDir("graft_nd_ckpt")
       val partsWas = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try StreamingOpsSinks.streamNearDupToParquet(
@@ -2200,8 +2280,7 @@ object StreamingQueries {
       val schema = s.read.parquet(dir).schema
       val out = java.nio.file.Files
         .createTempDirectory("graft_sem_sink").resolve("out").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_sem_ckpt").toString
+      val ckpt = StreamingQueries.ckptScratchDir("graft_sem_ckpt")
       val partsWas = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       // targetClusterSize pins the SINGLE-CLUSTER regime (autoK = 1)

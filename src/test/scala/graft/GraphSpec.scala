@@ -385,6 +385,51 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: convergence early-exit ≡ fixed-round unroll (r22)") {
+    // r22 added the Σ-label fixpoint witness (labels are per-node
+    // non-increasing, so an unchanged sum proves an identity round)
+    // with early exit. This spec replays the pre-r22 fixed-count loop
+    // VERBATIM and pins row-identity on (a) the gate corpus, where the
+    // exit fires before round 6, and (b) a 40-node path under an
+    // exactly-sufficient budget, where it must NOT fire early in a
+    // way that splits components.
+    def oldUnroll(adj: org.apache.spark.sql.DataFrame, rounds: Int)
+        : org.apache.spark.sql.DataFrame = {
+      def step(cur: org.apache.spark.sql.DataFrame) = {
+        val nb = adj
+          .join(cur.select(col("node").as("dst"), col("lbl").as("nl")), "dst")
+          .groupBy("src").agg(min("nl").as("nl"))
+          .select(col("src").as("node"), col("nl"))
+        val gp = cur.select(col("node").as("g_node"), col("lbl").as("gl"))
+        cur
+          .join(nb, Seq("node"), "left")
+          .join(gp, col("lbl") === col("g_node"))
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("nl"), col("lbl")), col("gl"))
+              .as("lbl"))
+      }
+      var lbl = adj.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      for (_ <- 1 to rounds) lbl = step(lbl).localCheckpoint()
+      lbl
+    }
+    val adj = graft.operators.GraphQueries
+      .cachedAdjDeg(spark, "/root/testdata/sf0.001")
+    val got = Graph.connectedComponents(adj, 6, verifyFixpoint = false)
+      .as[(Long, Long)].collect().toMap
+    val want = oldUnroll(adj, 6).as[(Long, Long)].collect().toMap
+    assert(got === want,
+      "early-exit components must equal the fixed 6-round unroll")
+    // a 40-node path needs every pointer-jumping round of a budget
+    // sized to its diameter: the witness must not cut the loop short
+    val path = Graph.adjacency(edgesDF((1L until 40L).map(i => (i, i + 1, 1L))))
+    val gotPath = Graph.connectedComponents(path, rounds = 7)
+      .as[(Long, Long)].collect().toMap
+    val wantPath = oldUnroll(path, 7).as[(Long, Long)].collect().toMap
+    assert(gotPath === wantPath)
+    assert(gotPath.values.toSet === Set(1L), "one component, min-id label")
+  }
+
   test("landmarkDistances: a path graph reads hand-computed per-landmark hops and closeness") {
     // path 1-2-3-4-5, landmarks {1, 5}: dist(1, n) = n-1, dist(5, n) = 5-n
     val path = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L))

@@ -52,6 +52,7 @@ class PlanLintSpec extends SparkSpec {
     "q70_skew_profile",    // per-key 1-row stats ⨝ 1-row percentiles on a
                            // literal group key (constant-folded to NLJ)
     "q71_decile_lift",     // 1-row revenue-total broadcast (share normalizer)
+    "q78_decile_transition", // globalNtile's 1-row entity-count broadcast (×2 years)
     "q74_aging_buckets",   // 1-row snapshot-date broadcast (q50's anchor)
     "s17_knn_regression",  // brute-force scan broadcasts the query set (s12)
     "s18_centroid_classify", // |labels|-row centroid frame crossed onto queries
@@ -139,17 +140,18 @@ class PlanLintSpec extends SparkSpec {
     "h17_contribution",      // grand-total share over the node-grain rollup (dim-sized)
     "q56_rolling_distinct",  // 7d/cumulative frames over the DAY-grain frame (calendar-bounded)
     "q62_skyline",           // rank/cume frames over 256-row bucket stats + 1-row range frames
-    "q64_abc_pareto",        // cumulative revenue share over the |brands| aggregate
+    // q64/q71/q78 (r22): the entity-grain global rank/cumsum/ntile
+    // now runs through Olap.rangedGlobal's two-pass range-partitioned
+    // decomposition — the only unpartitioned window left is the
+    // per-partition OFFSET roll-up over the partition-COUNT-grain
+    // stats frame (≤ defaultParallelism rows, bounded by cluster
+    // size, never by data):
+    "q64_abc_pareto",
+    "q71_decile_lift",
+    "q78_decile_transition",
     "q67_chi2_independence", // expected-count frames over the contingency cells (|seg|×|prio|)
     "q69_benford",           // digit-share frame over the 9 leading digits
     "q70_skew_profile",      // stat + percentile frames over per-key aggregates on literal key names
-    // global ntile(10) is a TOTAL-ORDER semantic: the decile cut is
-    // defined over the whole customer-DIM-grain frame (never fact
-    // grain). A range-partitioned sort would serve the same semantics
-    // at extreme dim sizes; at the customer-dimension bound the
-    // single sort is the simplest correct plan:
-    "q71_decile_lift",
-    "q78_decile_transition",
     "q83_seasonal_decompose") // centered 7-day trend over the DAY-grain
                               // aggregate (calendar-bounded, q56's shape)
 
