@@ -623,16 +623,26 @@ object Graph {
     // (DECIMAL(38,0): node ids are unbounded longs at scale, the sum
     // must not wrap). An observed identity round IS the fixpoint
     // probe, so the verify pass is skipped whenever the exit fired.
+    // The witness job costs ~70 ms/round at bench scale, so it only
+    // runs over the LAST THREE budgeted rounds (pointer jumping is
+    // budgeted at O(log n) with slack; convergence before rounds-3
+    // would still exit after rounds-2, and witnessing the early
+    // rounds — which essentially always move — is pure overhead;
+    // measured: witness-every-round made g13 net-NEUTRAL, the saved
+    // round cancelled by 5 witness jobs).
+    val checkFrom = math.max(1, rounds - 2)
     var prevSum: java.math.BigDecimal = null
     var fixed = false
     var r = 0
     while (r < rounds && !fixed) {
       lbl = step(lbl).localCheckpoint()
-      val s = lbl.agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
-        .head().getDecimal(0)
-      if (prevSum != null && prevSum.compareTo(s) == 0) fixed = true
-      prevSum = s
       r += 1
+      if (r >= checkFrom) {
+        val s = lbl.agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
+          .head().getDecimal(0)
+        if (prevSum != null && prevSum.compareTo(s) == 0) fixed = true
+        prevSum = s
+      }
     }
     if (verifyFixpoint && !fixed) {
       // A fixed round count is only correct if it REACHED the

@@ -314,7 +314,19 @@ object HierarchyQueries {
     "h6_hier_agg_parts" -> ((s, d) => {
       val facts = HierarchyAgg.salesFacts(s, d)
         .withColumn("leaf_key", col("l_partkey").cast("long"))
-      HierarchyAgg.hierarchicalRollup(facts, partDimension(s, d).aggregationDim)
+      // ONE explicit customer-keyed fact exchange (r22, the q43
+      // shared-exchange pattern, guide §2.4): hashpartitioning on
+      // customer_id satisfies BOTH MV groupBys — (leaf, customer)
+      // and, across the broadcast closure join, (node, customer) —
+      // so the pair-grain re-shuffle between them disappears. Worth
+      // it exactly on this WIDE dimension: leaf = l_partkey is at
+      // lineitem grain, so the (leaf, customer) pre-agg barely dedups
+      // and partial-agg-before-shuffle bought nothing. rollupMv keeps
+      // the generic partial-agg-first shape for narrow dims (h4's
+      // 25-leaf rollup dedups ~40× map-side — re-keying THAT would
+      // shuffle raw facts for no reason).
+      HierarchyAgg.hierarchicalRollup(facts.repartition(col("customer_id")),
+        partDimension(s, d).aggregationDim)
     }),
     // the PATHOLOGICALLY-WIDE-dimension fallback, driver-gated (round
     // 20, r19 verdict #4): h6's 20k-leaf rollup with
@@ -328,7 +340,14 @@ object HierarchyQueries {
     "h35_shuffle_dim_rollup" -> ((s, d) => {
       val facts = HierarchyAgg.salesFacts(s, d)
         .withColumn("leaf_key", col("l_partkey").cast("long"))
-      HierarchyAgg.hierarchicalRollup(facts,
+      // ONE explicit JOIN-KEYED fact exchange (r22, guide §2.4): on
+      // the shuffle-dim path the closure join is a sort-merge on
+      // leaf_key, so hashpartitioning(leaf_key) serves the (leaf,
+      // customer) pre-agg AND the SMJ's big side — the pre-agg's own
+      // exchange and the join's big-side re-exchange collapse into
+      // this one. (h6's customer key would NOT satisfy the SMJ and
+      // would re-shuffle the pair stream on leaf_key anyway.)
+      HierarchyAgg.hierarchicalRollup(facts.repartition(col("leaf_key")),
         partDimension(s, d).aggregationDim.hint("merge"),
         broadcastDim = false)
     }),

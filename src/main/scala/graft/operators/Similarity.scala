@@ -504,9 +504,19 @@ object Similarity {
         dot(col("v"), col("jv")) / (col("nrm") * col("jn"))))
       .select("vec_id", "j_id", "cos")
       .groupBy("vec_id", "j_id").agg(min("cos").as("cos"))
-    // mirror so both endpoints rank the pair, then per-vector top-k
-    val pairs = pairsOnce.unionByName(pairsOnce.select(
-      col("j_id").as("vec_id"), col("vec_id").as("j_id"), col("cos")))
+    // mirror so both endpoints rank the pair, then per-vector top-k.
+    // r22: the mirror is an inline explode-to-both-directions, not a
+    // union of two references to `pairsOnce` — the union re-planned
+    // the whole bucket join + min-aggregate subtree per branch (two
+    // full passes unless runtime exchange reuse happened to fire);
+    // the explode doubles rows in the same task instead (guide §1.2).
+    val pairs = pairsOnce
+      .select(explode(array(
+        struct(col("vec_id"), col("j_id"), col("cos")),
+        struct(col("j_id").as("vec_id"), col("vec_id").as("j_id"),
+          col("cos")))).as("p"))
+      .select(col("p.vec_id").as("vec_id"), col("p.j_id").as("j_id"),
+        col("p.cos").as("cos"))
     pairs
       .groupBy("vec_id")
       .agg(topkByScore(round(col("cos"), 9), col("cos"), col("j_id"), k).as("tk"))
