@@ -320,7 +320,11 @@ object Olap {
       order: Seq[Column], sumCol: Option[Column])
       : (DataFrame, DataFrame) = {
     val spark = byEntity.sparkSession
-    val c = byEntity.localCheckpoint()
+    // LAZY checkpoint: materializes inside the range-sampling pass
+    // (the first action that touches it) instead of as a dedicated
+    // eager job — one fewer job per call; the cache still guarantees
+    // the stats branch and the main branch read identical bytes
+    val c = byEntity.localCheckpoint(false)
     val parts = math.max(1, spark.sparkContext.defaultParallelism)
     val ranged = c.repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id())
